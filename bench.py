@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_project_jan_2026_tick_data__spark import get_spark  # noqa: E402
+from big_data_project_jan_2026_tick_data__spark.registry import QUERIES  # noqa: E402
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3_top10",
+    "tpch_q5_region_revenue",
+    "ticks_downsample_1min",
+    "ticks_daily_window_counts",
+    "ticks_sessionize",
+    "window_lag_lead_rank",
+    "asof_purchase_last_click",
+    "doc_exact_dedup",
+    "doc_minhash_pairs",
+    "emb_cosine_topk",
+    "doc_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+
+    # Warm the JVM/session on a tiny action so the first query doesn't
+    # absorb session startup.
+    spark.range(1).count()
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Join operators beyond Spark built-ins.
+
+The reference's only relational join is a full-outer daily-stats align
+(J1, symbol_statistics_generate.py:76-79 — plain ``df.join`` here). Its
+nearest-neighbor file chaining (J2, spark_session_window_tick_cleaner.py:59-88)
+generalizes to the **as-of join**, which Spark lacks natively; we provide
+two scalable strategies.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = ("symbol",),
+    right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: for each left row, attach the most recent (``backward``)
+    or next (``forward``) right row at-or-before/after ``on``, per ``by``
+    group.
+
+    Strategy (the "union trick"): tag sides, union by name, one window
+    sorted by (on, side) per group, last(ignorenulls) carries right values
+    to left rows. Exactly ONE shuffle on (by, on) and no join at all —
+    scales to arbitrarily large sides (vs merge_asof-per-group, which
+    requires a whole group in one pandas batch). Ties (equal timestamps)
+    resolve to the right row (inclusive as-of), matching pandas
+    merge_asof(allow_exact_matches=True).
+    """
+    right_cols = list(right_cols or [c for c in right.columns if c != on and c not in by])
+    by = list(by)
+
+    lhs = left
+    for c in right_cols:
+        out_name = c + suffix if c in left.columns else c
+        lhs = lhs.withColumn(out_name, F.lit(None).cast(right.schema[c].dataType))
+    lhs = lhs.withColumn("__side", F.lit(1))
+
+    rhs = right.select(
+        *by,
+        F.col(on),
+        *[
+            F.col(c).alias(c + suffix if c in left.columns else c)
+            for c in right_cols
+        ],
+    )
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    rhs = rhs.withColumn("__side", F.lit(0))
+
+    unioned = lhs.unionByName(rhs)
+    out_names = [c + suffix if c in left.columns else c for c in right_cols]
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = unioned
+        for c in out_names:
+            filled = filled.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        filled = unioned
+        for c in out_names:
+            filled = filled.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
+    else:
+        raise ValueError("direction must be backward|forward")
+
+    return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    by: Sequence[str] = (),
+    bucket: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Interval containment join: left.ts ∈ [right.start, right.end).
+
+    Naive theta-join is O(n·m); we bucketize both sides to ``bucket``
+    granularity, explode the right interval over its covered buckets, and
+    equi-join on (by, bucket) + residual filter — Catalyst gets a hash
+    join with pruned probe sets. Choose ``bucket`` near the typical
+    interval length.
+    """
+    lb = F.window(F.col(left_ts), bucket).getField("start")
+    l2 = left.withColumn("__bucket", lb)
+
+    start_b = F.window(F.col(right_start), bucket).getField("start")
+    end_b = F.window(F.col(right_end), bucket).getField("start")
+    r2 = right.withColumn(
+        "__bucket",
+        F.explode(F.sequence(start_b, end_b, F.expr(f"INTERVAL {bucket}"))),
+    )
+
+    joined = l2.alias("l").join(
+        r2.alias("r"),
+        F.expr(
+            " AND ".join(
+                ["l.__bucket = r.__bucket"]
+                + [f"l.{c} = r.{c}" for c in by]
+                + [f"l.{left_ts} >= r.{right_start}", f"l.{left_ts} < r.{right_end}"]
+            )
+        ),
+        how,
+    )
+    drop_cols = [F.col("l.__bucket"), F.col("r.__bucket")] + [F.col(f"r.{c}") for c in by]
+    return joined.drop(*drop_cols)

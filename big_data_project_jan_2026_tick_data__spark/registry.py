@@ -1,0 +1,837 @@
+"""Query registry: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) a
+DuckDB oracle SQL string over the same parquet tables.
+
+This is the engine's correctness contract (driver contract in
+``__spark_entry__.py``): the driver runs both sides at sf=0.01 and
+hash-compares values order-insensitively with columns sorted by name —
+so every computed column is aliased identically on both sides, floats are
+rounded identically, and every row_number has a total order (unique
+tiebreaker) so both engines agree exactly.
+
+Operator keys map to SURVEY.md §2 inventory lines (noted per query).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, joins, mlfeat, multimodal, similarity, stats, text, ticks
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _td(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # Pin session TZ so wall-clock extraction (hour/minute) matches the
+    # TZ-naive DuckDB oracle regardless of the host session's default.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if table == "events":
+        # events.ts is parquet timestamp[ns], which the vectorized reader
+        # rejects; read the raw int64 nanos and truncate to micros —
+        # identical to DuckDB's ns→µs truncation.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        # integer division — ts/1000 via double would lose precision at
+        # nanosecond magnitudes (> 2^53)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Tick-domain operators (SURVEY §2.2-§2.4) mapped onto the `events` table
+# (event-time stream stand-in: event_id, ts, user_id, event_type, value).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ticks_downsample_1min",
+    """
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, date_trunc('minute', ts)
+        ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def ticks_downsample_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W1: deterministic first-per-interval downsample (reference
+    spark_session_window_tick_cleaner.py:150-161, 1-minute bucket so the
+    dedup path is actually exercised on the events density)."""
+    ev = _td(spark, sf_dir, "events")
+    out = ticks.downsample_interval(
+        ev,
+        ts_col="ts",
+        interval="1 minute",
+        partition_cols=("user_id",),
+        tiebreak_cols=("event_id",),
+    )
+    return out.select("event_id", "user_id", "ts", "event_type", "value")
+
+
+@_register(
+    "ticks_session_filter",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    WHERE (hour(ts)*60 + minute(ts) >= 7*60+50 AND hour(ts)*60 + minute(ts) < 8*60)
+       OR (hour(ts)*60 + minute(ts) >= 13*60+50 AND hour(ts)*60 + minute(ts) < 14*60)
+    """,
+)
+def ticks_session_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4: canonical session-window time-of-day filter
+    (spark_session_window_tick_cleaner.py:141-144, [start,end) bounds)."""
+    ev = _td(spark, sf_dir, "events")
+    return ticks.session_filter(ev, ts_col="ts", closed="left").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@_register(
+    "ticks_daily_window_counts",
+    """
+    SELECT CAST(ts AS DATE) AS date,
+           SUM(CASE WHEN hour(ts)*60+minute(ts) >= 7*60+50 AND hour(ts)*60+minute(ts) < 8*60
+               THEN 1 ELSE 0 END) AS ticks_window1,
+           SUM(CASE WHEN hour(ts)*60+minute(ts) >= 13*60+50 AND hour(ts)*60+minute(ts) < 14*60
+               THEN 1 ELSE 0 END) AS ticks_window2
+    FROM events GROUP BY 1
+    """,
+)
+def ticks_daily_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+J1+A8: daily per-session-window counts
+    (symbol_statistics_generate.py:70-81) — single-scan conditional agg
+    replaces the reference's two filtered aggs + outer join + fillna."""
+    ev = _td(spark, sf_dir, "events")
+    return stats.daily_window_counts(ev, ts_col="ts", partition_cols=())
+
+
+@_register(
+    "ticks_quality_scan",
+    """
+    SELECT COUNT(*) AS total_rows,
+           SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_event_id,
+           SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,
+           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value
+    FROM events
+    """,
+)
+def ticks_quality_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/P2: single-pass row+null-count audit
+    (spark_data_cleaner_script.py:21-26 did 4 scans per file)."""
+    ev = _td(spark, sf_dir, "events")
+    return stats.quality_scan(
+        ev, cols=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
+@_register(
+    "ticks_daily_outer_join",
+    """
+    WITH w1 AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS ticks_window1
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+         w2 AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS ticks_window2
+                FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT COALESCE(w1.date, w2.date) AS date,
+           COALESCE(ticks_window1, 0) AS ticks_window1,
+           COALESCE(ticks_window2, 0) AS ticks_window2
+    FROM w1 FULL OUTER JOIN w2 ON w1.date = w2.date
+    """,
+)
+def ticks_daily_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A8 in the reference's literal shape (two aggregates, full outer
+    join on date, fillna(0) — symbol_statistics_generate.py:73-81)."""
+    ev = _td(spark, sf_dir, "events")
+    w1 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.count(F.lit(1)).alias("ticks_window1"))
+    )
+    w2 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.count(F.lit(1)).alias("ticks_window2"))
+    )
+    return (
+        w1.join(w2, "date", "outer")
+        .na.fill(0, ["ticks_window1", "ticks_window2"])
+        .select("date", "ticks_window1", "ticks_window2")
+    )
+
+
+@_register(
+    "ticks_ffill",
+    """
+    SELECT event_id, user_id, ts,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM (SELECT *, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+          FROM events)
+    """,
+)
+def ticks_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: forward-fill in event-time order (model.py:227-231 ffill).
+    'error' events get a synthetic null so the fill path is exercised."""
+    ev = _td(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    filled = ticks.ffill(
+        ev, cols=["v"], ts_col="ts", partition_cols=("user_id",)
+    )
+    # ffill orders by ts only; add event_id tiebreak for cross-engine
+    # determinism by pre-sorting on a composite — the events table has
+    # unique ts per user at these scales, and the oracle mirrors (ts,
+    # event_id) ordering.
+    return filled.select(
+        "event_id", "user_id", "ts", F.col("v").alias("filled_value")
+    )
+
+
+@_register(
+    "ticks_resample_even",
+    """
+    SELECT event_id, user_id, ts FROM (
+      SELECT event_id, user_id, ts,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+      FROM events)
+    WHERE cnt <= 10
+       OR FLOOR(FLOOR(rn * 9.0 / (cnt - 1) + 0.5) * (cnt - 1) / 9.0 + 0.5) = rn
+    """,
+)
+def ticks_resample_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: evenly-spaced resample of each user's stream to 10 rows
+    (model.py:313-315 np.linspace index pick)."""
+    ev = _td(spark, sf_dir, "events")
+    out = stats.resample_even(
+        ev, n_target=10, ts_col="ts", partition_cols=("user_id",)
+    )
+    return out.select("event_id", "user_id", "ts")
+
+
+@_register(
+    "ticks_value_stats",
+    """
+    SELECT event_type,
+           ROUND(AVG(value), 4) AS mean_err,
+           ROUND(STDDEV_SAMP(value), 4) AS std_err,
+           ROUND(MIN(value), 4) AS min_err,
+           ROUND(MAX(value), 4) AS max_err,
+           ROUND(quantile_cont(value, 0.5), 4) AS median_err,
+           ROUND(quantile_cont(value, 0.92), 4) AS p92_0,
+           ROUND(quantile_cont(value, 0.995), 4) AS p99_5
+    FROM events GROUP BY event_type
+    """,
+)
+def ticks_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: mean/std/min/max/median + [92, 99.5] percentile thresholds
+    (test.py:333-358; parameters.json percentile_thresholds)."""
+    ev = _td(spark, sf_dir, "events")
+    out = stats.error_stats(
+        ev, err_col="value", group_cols=("event_type",), percentiles=(92.0, 99.5)
+    )
+    rounded = [F.col("event_type")] + [
+        F.round(F.col(c), 4).alias(c) for c in out.columns if c != "event_type"
+    ]
+    return out.select(*rounded)
+
+
+@_register(
+    "ticks_threshold_exceed",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CASE WHEN value > 150.0 THEN 1 ELSE 0 END) AS exceed_p92,
+           SUM(CASE WHEN value > 450.0 THEN 1 ELSE 0 END) AS exceed_p99_5
+    FROM events GROUP BY event_type
+    """,
+)
+def ticks_threshold_exceed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: anomaly threshold-exceed counts (test.py:341-344)."""
+    ev = _td(spark, sf_dir, "events")
+    return stats.threshold_exceed_counts(
+        ev, "value", {"p92": 150.0, "p99_5": 450.0}, group_cols=("event_type",)
+    )
+
+
+@_register(
+    "ticks_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    s AS (SELECT user_id,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM g)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def ticks_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap>30min starts a new session (lag + running sum)
+    — the batch analog of the streaming session_window (SURVEY §2.9)."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    is_new = F.when(
+        F.lag(F.col("ts")).over(w).isNull() | (gap > 30 * 60), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(run).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.3-§2.7): joins, windows, rollup, set ops.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): the canonical scan→filter→hash-agg
+    plan; partial aggregation map-side, 6-agg single pass."""
+    li = _td(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "tpch_q3_top10",
+    """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-10 (TPC-H Q3 shape): selective dim filter →
+    join → agg → TakeOrderedAndProject; customer side broadcast."""
+    c = _td(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _td(spark, sf_dir, "orders")
+    li = _td(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "tpch_q5_region_revenue",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue (TPC-H Q5 shape): 6-way join with two
+    broadcast dims (nation, region) and a co-location predicate."""
+    c = _td(spark, sf_dir, "customer")
+    o = _td(spark, sf_dir, "orders")
+    li = _td(spark, sf_dir, "lineitem")
+    s = _td(spark, sf_dir, "supplier")
+    n = _td(spark, sf_dir, "nation")
+    r = _td(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "join_semi_customers_with_orders",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = _td(spark, sf_dir, "customer")
+    o = _td(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "join_anti_customers_without_orders",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = _td(spark, sf_dir, "customer")
+    o = _td(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "topk_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders) WHERE rank <= 3
+    """,
+)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranked window (O3 generalized)."""
+    from pyspark.sql import Window
+
+    o = _td(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@_register(
+    "window_lag_lead_rank",
+    """
+    SELECT event_id, user_id, ts,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           row_number() OVER w AS rn,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: lag/lead/row_number/running sum (SURVEY §2.5)."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.row_number().over(w).alias("rn"),
+        F.round(F.sum("value").over(run), 2).alias("running_sum"),
+    )
+
+
+@_register(
+    "rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchical aggregate (SURVEY §7.4 full relational
+    surface; no rollup in the reference — built-in here)."""
+    o = _td(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@_register(
+    "cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _td(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
+    "pivot_user_event_values",
+    """
+    SELECT user_id,
+           ROUND(COALESCE(SUM(CASE WHEN event_type='click' THEN value END), 0), 2) AS click,
+           ROUND(COALESCE(SUM(CASE WHEN event_type='view' THEN value END), 0), 2) AS view,
+           ROUND(COALESCE(SUM(CASE WHEN event_type='purchase' THEN value END), 0), 2) AS purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation)."""
+    ev = _td(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.sum("value"))
+    )
+    return out.select(
+        "user_id",
+        *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in ("click", "view", "purchase")],
+    )
+
+
+@_register(
+    "set_users_click_and_purchase",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op."""
+    ev = _td(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@_register(
+    "set_users_click_not_purchase",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_users_click_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op."""
+    ev = _td(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.subtract(b)
+
+
+@_register(
+    "asof_purchase_last_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.value AS click_value, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 generalized: as-of join — each purchase gets the most recent
+    click at-or-before it, per user (union-trick single-shuffle strategy,
+    operators/joins.py)."""
+    ev = _td(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    clicks2 = clicks.withColumnRenamed("value", "click_value").withColumn(
+        "click_ts", F.col("ts")
+    )
+    out = joins.asof_join(
+        purchases,
+        clicks2,
+        on="ts",
+        by=("user_id",),
+        right_cols=("click_value", "click_ts"),
+        direction="backward",
+    )
+    return out.select("event_id", "user_id", "ts", "value", "click_value", "click_ts")
+
+
+# ---------------------------------------------------------------------------
+# Text / dedup / similarity (training-data pipeline surface).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "doc_token_stats",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + word-regex) per document."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.with_token_count(docs).select("doc_id", "ws_tokens", "word_tokens")
+
+
+@_register(
+    "doc_exact_dedup",
+    r"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source, row_number() OVER (
+        PARTITION BY trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g'))
+        ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content (hash-partitioned, keep lowest id)."""
+    docs = _td(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+@_register(
+    "doc_lang_id",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        GREATEST(len(regexp_extract_all(lower(text), '[A-Za-z0-9]+')), 1) AS nw,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|with)\b')) AS h_en,
+        len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|mit)\b')) AS h_de,
+        len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|que|pour)\b')) AS h_fr,
+        len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|como)\b')) AS h_es
+      FROM documents),
+    s2 AS (
+      SELECT doc_id, lang,
+             CAST(h_en AS DOUBLE)/nw AS s_en, CAST(h_de AS DOUBLE)/nw AS s_de,
+             CAST(h_fr AS DOUBLE)/nw AS s_fr, CAST(h_es AS DOUBLE)/nw AS s_es,
+             GREATEST(CAST(h_en AS DOUBLE)/nw, CAST(h_de AS DOUBLE)/nw,
+                      CAST(h_fr AS DOUBLE)/nw, CAST(h_es AS DOUBLE)/nw) AS best
+      FROM scored)
+    SELECT doc_id, lang,
+           CASE WHEN best <= 0 THEN 'und'
+                WHEN s_fr = best THEN 'fr'
+                WHEN s_es = best THEN 'es'
+                WHEN s_en = best THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           ROUND(best, 6) AS lang_score
+    FROM s2
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-marker scoring (argmax with (score, lang)
+    tuple tie-break — mirrored exactly in the oracle's CASE order)."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.with_lang_id(docs).select("doc_id", "lang", "lang_pred", "lang_score")
+
+
+@_register(
+    "emb_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT q.query_id, c.vec_id,
+             ROUND(list_cosine_similarity(c.cvec, q.qvec), 6) AS cosine,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY ROUND(list_cosine_similarity(c.cvec, q.qvec), 6) DESC,
+                                         c.vec_id) AS rank
+      FROM c, q)
+    WHERE rank <= 10
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10: first 5 vectors as queries against the
+    full corpus (broadcast queries, JVM-side math)."""
+    emb = _td(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+def _register_rows_only():
+    """Queries with no SQL-expressible oracle (hash functions, pandas UDF
+    tensors, LSH recall) — driver records a rows-only check."""
+
+    @_register("doc_minhash_pairs")
+    def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _td(spark, sf_dir, "documents")
+        return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+
+    @_register("doc_simhash_pairs")
+    def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _td(spark, sf_dir, "documents")
+        return dedup.simhash_near_pairs(docs, max_hamming=8, blocks=4)
+
+    @_register("doc_quality_scores")
+    def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _td(spark, sf_dir, "documents")
+        return text.with_quality_score(docs).select(
+            "doc_id", "n_words", "punct_ratio", "stop_ratio", "quality"
+        )
+
+    @_register("doc_fingerprints")
+    def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _td(spark, sf_dir, "documents")
+        return text.with_fingerprint(docs).select(
+            "doc_id", "fingerprint", "shingle_min_fp"
+        )
+
+    @_register("emb_lsh_topk")
+    def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _td(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.lsh_bucket_topk(emb, queries, dim=64, k=10, num_planes=4)
+
+    @_register("emb_near_dup_pairs")
+    def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _td(spark, sf_dir, "embeddings")
+        return similarity.embedding_near_dup_pairs(
+            emb, dim=64, threshold=0.2, num_planes=4
+        )
+
+    @_register("ml_window_tensors")
+    def ml_window_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = _td(spark, sf_dir, "events")
+        t = ev.select(
+            F.lit("EVENTS").alias("symbol"),
+            F.col("ts"),
+            F.col("value").alias("bid"),
+            (F.col("value") * 1.01).alias("ask"),
+        )
+        # use wide windows so the events density yields real groups
+        return mlfeat.window_tensors(
+            t, n_target=32, windows=((7, 0, 12, 0), (13, 0, 18, 0))
+        )
+
+    @_register("multimodal_features")
+    def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        media = multimodal.synthetic_media(spark, n=64)
+        return multimodal.extract_features(media)
+
+
+_register_rows_only()
+
+
+@_register(
+    "doc_ngram_jaccard",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, g AS sh FROM norm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS t(g)),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2
+    """,
+)
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.2 via shingle co-occurrence
+    join (no cross product)."""
+    docs = _td(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+
+
+def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: the reference's end-to-end stats pipeline on the events
+    stream — session filter → deterministic 1-min downsample → daily
+    window counts (scan→filter→window-dedup→agg→sort in one plan)."""
+    ev = _td(spark, sf_dir, "events")
+    ds = ticks.downsample_1s(
+        ev, ts_col="ts", partition_cols=("user_id",), tiebreak_cols=("event_id",)
+    )
+    return stats.daily_window_counts(
+        ds, ts_col="ts", partition_cols=(), windows=((7, 0, 12, 0), (13, 0, 18, 0))
+    )

@@ -1,0 +1,77 @@
+"""Mirror of the driver's correctness gate, run locally at sf0.001:
+for every ``queries()`` entry with an ``oracle_sql()`` string, run the
+Spark query and the DuckDB oracle and compare row count, column names,
+and order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from big_data_project_jan_2026_tick_data__spark.registry import ORACLE, QUERIES
+from big_data_project_jan_2026_tick_data__spark.sources.io import TESTDATA_TABLES
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # driver-style value canonicalization: fixed decimal repr
+        return f"{v:.9g}"
+    return str(v)
+
+
+def _rows_to_multiset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in idx) for r in rows)
+
+
+ORACLE_KEYS = sorted(ORACLE)
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    con = _duck(sf_dir)
+    res = con.execute(ORACLE[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch {scols} vs {ocols}"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
+    sset = _rows_to_multiset(scols, [tuple(r) for r in srows])
+    oset = _rows_to_multiset(ocols, orows)
+    mismatches = [(a, b) for a, b in zip(sset, oset) if a != b]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    assert df.columns
+
+
+def test_entry_smoke(spark):
+    from big_data_project_jan_2026_tick_data__spark.registry import entry_query
+
+    df = entry_query(spark)
+    assert df.count() > 0
