@@ -1,0 +1,235 @@
+"""Snapshot-log lakehouse: dependency-free time travel on parquet.
+
+Emulates the observable Iceberg behavior the reference uses
+(``Apache Iceberg/iceberg_time_travel.py`` — ``$snapshots`` listing
+:48-58, ``FOR VERSION AS OF`` :139-143, ``FOR TIMESTAMP AS OF`` :163-167,
+snapshot count-diff :184-197, ``rollback_to_snapshot`` :224-226 — and
+``metadata_layer.py:73-82`` table DDL) with ~200 LoC of pure PySpark +
+an append-only JSON log:
+
+    <root>/
+      data/<commit-uuid>/part-*.parquet   immutable data files per commit
+      _snapshots/log.json                 append-only snapshot log
+
+A snapshot = manifest (list of data dirs) + summary map. Commits are
+atomic via write-temp + ``os.replace`` of the log. Readers pin a
+manifest, so concurrent reads during a commit see a consistent snapshot
+(single-writer assumed — a real multi-writer needs a CAS catalog, which
+is exactly what Iceberg's JDBC catalog provides in the reference).
+
+Rollback is **rollback-as-new-snapshot** (matches Iceberg: the log only
+grows; ``iceberg_time_travel.py:224-244``).
+
+Scale notes: data files are never rewritten or moved; a snapshot read is
+``spark.read.parquet(*dirs)`` so partition pruning / pushdown apply
+unchanged; record counts come from parquet footers (metadata-only, no
+scan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LOG_DIR = "_snapshots"
+_LOG_FILE = "log.json"
+
+SNAPSHOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_id", T.LongType(), False),
+        T.StructField("parent_snapshot_id", T.LongType(), True),
+        T.StructField("committed_at", T.TimestampType(), False),
+        T.StructField("operation", T.StringType(), False),
+        T.StructField("summary", T.MapType(T.StringType(), T.StringType()), False),
+    ]
+)
+
+
+def _footer_row_count(dirpath: str) -> int:
+    """Sum parquet footer num_rows over a data dir — metadata-only."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(dirpath):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(dirpath, name)).metadata.num_rows
+    return total
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_snapshot_id: int | None
+    committed_at_ms: int
+    operation: str
+    manifest: list[str]  # data dirs relative to root
+    summary: dict[str, str]
+
+
+class SnapshotTable:
+    """A parquet table with snapshot lineage, time travel and rollback."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- log ----------------------------------------------------------------
+
+    @property
+    def _log_path(self) -> str:
+        return os.path.join(self.root, _LOG_DIR, _LOG_FILE)
+
+    def _read_log(self) -> list[Snapshot]:
+        if not os.path.exists(self._log_path):
+            return []
+        with open(self._log_path) as f:
+            return [Snapshot(**e) for e in json.load(f)]
+
+    def _append_log(self, snap: Snapshot) -> None:
+        entries = self._read_log()
+        entries.append(snap)
+        tmp = self._log_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump([vars(s) for s in entries], f)
+        os.replace(tmp, self._log_path)  # atomic commit point
+
+    # -- writes -------------------------------------------------------------
+
+    def write(self, df: DataFrame, mode: str = "append") -> Snapshot:
+        """Commit ``df`` as a new snapshot. ``mode``: append | overwrite."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError("mode must be append|overwrite")
+        commit_dir = f"data/{uuid.uuid4().hex}"
+        out_path = os.path.join(self.root, commit_dir)
+        df.write.mode("errorifexists").parquet(out_path)
+        added = _footer_row_count(out_path)
+
+        log = self._read_log()
+        parent = log[-1] if log else None
+        if mode == "append" and parent is not None:
+            manifest = [*parent.manifest, commit_dir]
+            deleted = 0
+        else:
+            manifest = [commit_dir]
+            deleted = int(parent.summary["total-records"]) if parent else 0
+        total = (
+            added + int(parent.summary["total-records"])
+            if (mode == "append" and parent)
+            else added
+        )
+        snap = Snapshot(
+            snapshot_id=(parent.snapshot_id + 1) if parent else 1,
+            parent_snapshot_id=parent.snapshot_id if parent else None,
+            committed_at_ms=int(time.time() * 1000),
+            operation=mode,
+            manifest=manifest,
+            summary={
+                "added-records": str(added),
+                "deleted-records": str(deleted),
+                "total-records": str(total),
+            },
+        )
+        self._append_log(snap)
+        return snap
+
+    def rollback_to(self, snapshot_id: int) -> Snapshot:
+        """Roll back to an earlier snapshot — appended as a NEW snapshot
+        whose manifest is the target's (lineage preserved,
+        iceberg_time_travel.py:224-244 semantics)."""
+        log = self._read_log()
+        target = next((s for s in log if s.snapshot_id == snapshot_id), None)
+        if target is None:
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        head = log[-1]
+        snap = Snapshot(
+            snapshot_id=head.snapshot_id + 1,
+            parent_snapshot_id=head.snapshot_id,
+            committed_at_ms=int(time.time() * 1000),
+            operation="rollback",
+            manifest=list(target.manifest),
+            summary={
+                "added-records": "0",
+                "deleted-records": "0",
+                "total-records": target.summary["total-records"],
+                "rolled-back-to": str(snapshot_id),
+            },
+        )
+        self._append_log(snap)
+        return snap
+
+    # -- reads --------------------------------------------------------------
+
+    def _resolve(self, version: int | None, as_of_ms: int | None) -> Snapshot:
+        log = self._read_log()
+        if not log:
+            raise ValueError(f"table {self.root} has no snapshots")
+        if version is not None:
+            for s in log:
+                if s.snapshot_id == version:
+                    return s
+            raise ValueError(f"snapshot {version} not found")
+        if as_of_ms is not None:
+            eligible = [s for s in log if s.committed_at_ms <= as_of_ms]
+            if not eligible:
+                raise ValueError(f"no snapshot at or before {as_of_ms}")
+            return eligible[-1]
+        return log[-1]
+
+    def read(
+        self, version: int | None = None, as_of_ms: int | None = None
+    ) -> DataFrame:
+        """Read the table — latest, ``FOR VERSION AS OF`` (version=) or
+        ``FOR TIMESTAMP AS OF`` (as_of_ms=)."""
+        snap = self._resolve(version, as_of_ms)
+        if not snap.manifest:
+            raise ValueError("empty snapshot")
+        paths = [os.path.join(self.root, d) for d in snap.manifest]
+        return self.spark.read.parquet(*paths)
+
+    def snapshots(self) -> DataFrame:
+        """The ``$snapshots`` metadata relation (snapshot_id, parent,
+        committed_at, operation, summary MAP) —
+        iceberg_time_travel.py:48-58."""
+        rows = [
+            (
+                s.snapshot_id,
+                s.parent_snapshot_id,
+                s.committed_at_ms,
+                s.operation,
+                s.summary,
+            )
+            for s in self._read_log()
+        ]
+        df = self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_snapshot_id long, committed_at_ms long, "
+            "operation string, summary map<string,string>",
+        )
+        return df.select(
+            "snapshot_id",
+            "parent_snapshot_id",
+            F.timestamp_millis(F.col("committed_at_ms")).alias("committed_at"),
+            "operation",
+            "summary",
+        )
+
+    def current_snapshot_id(self) -> int:
+        return self._resolve(None, None).snapshot_id
+
+    def diff(self, from_id: int, to_id: int) -> dict[str, int]:
+        """Metadata-only snapshot diff (count delta,
+        iceberg_time_travel.py:184-197 — no table scan)."""
+        a = self._resolve(from_id, None)
+        b = self._resolve(to_id, None)
+        ca = int(a.summary["total-records"])
+        cb = int(b.summary["total-records"])
+        return {"from_count": ca, "to_count": cb, "delta": cb - ca}

@@ -791,6 +791,31 @@ def _register_rows_only():
         media = multimodal.synthetic_media(spark, n=64)
         return multimodal.extract_features(media)
 
+    @_register("snapshot_time_travel")
+    def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """St-ops end-to-end: 2 appends + overwrite + rollback on a temp
+        snapshot table, returns the $snapshots lineage (stable columns)."""
+        import tempfile
+
+        from .plans.snapshots import SnapshotTable
+
+        ev = _td(spark, sf_dir, "events")
+        with tempfile.TemporaryDirectory() as d:
+            t = SnapshotTable(spark, f"{d}/tbl")
+            t.write(ev.filter(F.col("event_id") % 3 == 0), mode="append")
+            t.write(ev.filter(F.col("event_id") % 3 == 1), mode="append")
+            t.write(ev.filter(F.col("event_id") % 3 == 2), mode="overwrite")
+            t.rollback_to(2)
+            out = t.snapshots().select(
+                "snapshot_id",
+                "parent_snapshot_id",
+                "operation",
+                F.element_at("summary", "added-records").alias("added_records"),
+                F.element_at("summary", "total-records").alias("total_records"),
+            )
+            rows = out.collect()  # materialize before tmpdir cleanup
+        return spark.createDataFrame(rows, out.schema)
+
 
 _register_rows_only()
 

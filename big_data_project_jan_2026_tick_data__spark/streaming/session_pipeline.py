@@ -1,0 +1,122 @@
+"""Structured Streaming session-window pipeline.
+
+Re-expresses the reference's (spec-only) live endpoint — MT5 ticks pulled
+in a loop, buffered per fixed daily session window, scored when the
+window closes (PDF LiveEndpointManager/TickProcessor; windows per
+``main.py:184``: 07:50-08:00 and 13:50-14:00) — as an event-time
+Structured Streaming job:
+
+- source: any streaming DataFrame (file/rate/kafka; tests replay parquet
+  through a file source — the MT5 feed is broker-specific and
+  missing-by-design in the reference too, ``WARNINGS.md:1-9``);
+- session membership: the same canonical ``session_filter`` predicate as
+  batch (one definition, batch/stream parity);
+- accumulation: watermark + fixed ``window()`` aggregation — late data
+  beyond the watermark is dropped (an upgrade over the reference, which
+  assumes an in-order feed);
+- window-close scoring: the windowed aggregate emits in append mode only
+  when the watermark passes window end — i.e. exactly the reference's
+  "_check_window_transitions → score when window completes" semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.ticks import SESSION_WINDOWS, window_predicate
+
+
+def session_window_aggregate(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    value_cols: Sequence[str] = ("bid", "ask"),
+    key_cols: Sequence[str] = ("symbol",),
+    windows=SESSION_WINDOWS,
+    watermark: str = "10 minutes",
+    bucket: str = "10 minutes",
+) -> DataFrame:
+    """Per (key, 10-min event-time window) aggregate over session-window
+    ticks: count + first/last/min/max of each value column.
+
+    In append output mode a row is emitted once, when the watermark passes
+    the window end — the streaming analog of the reference's window-close
+    model trigger. Works identically on a batch DataFrame (Spark's
+    unified semantics), which is how the oracle checks it.
+    """
+    ts = F.col(ts_col)
+    pred = None
+    for w in windows:
+        p = window_predicate(ts, *w, closed="left")
+        pred = p if pred is None else (pred | p)
+    filtered = stream.filter(pred)
+    if stream.isStreaming:
+        filtered = filtered.withWatermark(ts_col, watermark)
+
+    aggs = [F.count(F.lit(1)).alias("n_ticks")]
+    for c in value_cols:
+        aggs.extend(
+            [
+                F.min(c).alias(f"min_{c}"),
+                F.max(c).alias(f"max_{c}"),
+                F.avg(c).alias(f"avg_{c}"),
+            ]
+        )
+    return (
+        filtered.groupBy(*key_cols, F.window(ts, bucket).alias("w"))
+        .agg(*aggs)
+        .select(
+            *key_cols,
+            F.col("w").getField("start").alias("window_start"),
+            F.col("w").getField("end").alias("window_end"),
+            *[c for c in ("n_ticks",)],
+            *[
+                F.col(f"{fn}_{c}")
+                for c in value_cols
+                for fn in ("min", "max", "avg")
+            ],
+        )
+    )
+
+
+def gap_session_windows(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("symbol",),
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Dynamic-gap sessionization via ``session_window`` (the streaming
+    built-in; batch analog = ticks_sessionize's lag+cumsum)."""
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(*key_cols, F.session_window(F.col(ts_col), gap).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("s").getField("start").alias("session_start"),
+            F.col("s").getField("end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame, query_name: str, output_mode: str = "append"
+) -> "DataFrame":
+    """Drive a streaming aggregate to completion against a memory sink
+    (test/smoke harness — processAllAvailable is synchronous)."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return agg.sparkSession.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,86 @@
+"""Time-travel subsystem: append/overwrite/rollback lineage, VERSION and
+TIMESTAMP AS OF reads, $snapshots listing, metadata-only diff (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_jan_2026_tick_data__spark.plans.snapshots import SnapshotTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "tbl"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumn("v", F.col("id") * 2.0)
+
+
+def test_append_overwrite_lineage(spark, table):
+    s1 = table.write(_df(spark, 0, 10), mode="append")
+    s2 = table.write(_df(spark, 10, 15), mode="append")
+    s3 = table.write(_df(spark, 0, 3), mode="overwrite")
+
+    assert (s1.snapshot_id, s2.snapshot_id, s3.snapshot_id) == (1, 2, 3)
+    assert s2.parent_snapshot_id == 1
+    assert s1.summary == {
+        "added-records": "10", "deleted-records": "0", "total-records": "10"
+    }
+    assert s2.summary["total-records"] == "15"
+    assert s3.summary == {
+        "added-records": "3", "deleted-records": "15", "total-records": "3"
+    }
+
+    assert table.read().count() == 3
+    assert table.read(version=2).count() == 15
+    assert table.read(version=1).count() == 10
+
+
+def test_timestamp_as_of(spark, table):
+    s1 = table.write(_df(spark, 0, 5))
+    s2 = table.write(_df(spark, 5, 9))
+    assert table.read(as_of_ms=s1.committed_at_ms).count() == 5
+    assert table.read(as_of_ms=s2.committed_at_ms + 10).count() == 9
+    with pytest.raises(ValueError, match="no snapshot"):
+        table.read(as_of_ms=s1.committed_at_ms - 10_000)
+
+
+def test_rollback_is_new_snapshot(spark, table):
+    table.write(_df(spark, 0, 5))
+    table.write(_df(spark, 5, 9))
+    rb = table.rollback_to(1)
+    assert rb.snapshot_id == 3
+    assert rb.operation == "rollback"
+    assert rb.parent_snapshot_id == 2
+    assert table.read().count() == 5
+    # history intact: version 2 still readable after rollback
+    assert table.read(version=2).count() == 9
+    assert table.snapshots().count() == 3
+
+
+def test_snapshots_listing_and_diff(spark, table):
+    table.write(_df(spark, 0, 5))
+    table.write(_df(spark, 5, 9))
+    snaps = table.snapshots()
+    assert snaps.columns == [
+        "snapshot_id", "parent_snapshot_id", "committed_at", "operation", "summary"
+    ]
+    rows = {r["snapshot_id"]: r for r in snaps.collect()}
+    assert rows[2]["summary"]["added-records"] == "4"
+    assert rows[2]["operation"] == "append"
+    # element_at on the summary MAP (reference F8 surface)
+    added = snaps.select(
+        F.element_at("summary", "added-records").alias("a")
+    ).collect()
+    assert sorted(x["a"] for x in added) == ["4", "5"]
+    assert table.diff(1, 2) == {"from_count": 5, "to_count": 9, "delta": 4}
+
+
+def test_read_unknown_version(spark, table):
+    table.write(_df(spark, 0, 5))
+    with pytest.raises(ValueError, match="not found"):
+        table.read(version=99)

@@ -1,0 +1,132 @@
+"""Structured Streaming session pipeline: file-source replay of tick-shaped
+data, watermark-gated append emission, batch/stream result parity
+(FIXTURES.md §6 — events replayed as the MT5 stand-in)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_jan_2026_tick_data__spark.streaming.session_pipeline import (
+    gap_session_windows,
+    run_stream_to_memory,
+    session_window_aggregate,
+)
+
+TICK_SCHEMA = "symbol string, ts timestamp, bid double, ask double"
+
+
+@pytest.fixture(scope="module")
+def tick_dir(tmp_path_factory):
+    """Tick-shaped fixture: two symbols, ticks dense inside the 07:50-08:00
+    and 13:50-14:00 session windows plus out-of-window noise."""
+    d = tmp_path_factory.mktemp("ticks")
+    rows = []
+    for day in (1, 2):
+        for sym, base in (("US30", 38000.0), ("BTCUSD", 42000.0)):
+            for h, m0 in ((7, 50), (13, 50)):
+                for i in range(60):  # one tick / 10s inside the window
+                    ts = pd.Timestamp(2026, 1, day, h, m0 + i // 6, (i % 6) * 10)
+                    rows.append((sym, ts, base + i * 0.5, base + i * 0.5 + 1.0))
+            rows.append((sym, pd.Timestamp(2026, 1, day, 10, 30, 0), base, base + 1))
+    # day-3 in-window "flush" tick per symbol: advances the watermark so the
+    # day-2 windows close and emit in append mode (the day-3 window itself
+    # stays open and must NOT be emitted).
+    for sym, base in (("US30", 38000.0), ("BTCUSD", 42000.0)):
+        rows.append((sym, pd.Timestamp(2026, 1, 3, 7, 51, 0), base, base + 1.0))
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts", "bid", "ask"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(d / "ticks.parquet", index=False)
+    return str(d)
+
+
+def test_stream_matches_batch(spark, tick_dir):
+    batch = spark.read.parquet(tick_dir)
+    stream = (
+        spark.readStream.schema(TICK_SCHEMA).parquet(tick_dir)
+    )
+    agg_stream = session_window_aggregate(stream)
+    out = run_stream_to_memory(agg_stream, "sess_agg")
+    got = {
+        (r["symbol"], str(r["window_start"])): r["n_ticks"] for r in out.collect()
+    }
+
+    expected_df = session_window_aggregate(batch)
+    # stream emits only watermark-closed windows: the day-3 flush windows
+    # are still open, so parity is over day-1/day-2 windows.
+    expected = {
+        (r["symbol"], str(r["window_start"])): r["n_ticks"]
+        for r in expected_df.collect()
+        if r["window_start"].day < 3
+    }
+    assert got == expected
+    assert len(got) == 8  # 2 days × 2 symbols × 2 session windows
+    assert all(n == 60 for n in got.values())
+
+
+def test_streaming_gap_sessions(spark, tick_dir):
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(tick_dir)
+    out = run_stream_to_memory(gap_session_windows(stream), "gap_sess")
+    rows = out.collect()
+    # per symbol/day: morning window, the 10:30 stray, afternoon window
+    assert len(rows) == 12
+    by_sym = {}
+    for r in rows:
+        by_sym.setdefault(r["symbol"], []).append(r["n_events"])
+    assert sorted(by_sym["US30"]) == [1, 1, 60, 60, 60, 60]
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Rows older than watermark-behind-max must not produce new appends
+    once the watermark passed — feed two files, second contains a very
+    late tick."""
+    d = tmp_path / "late"
+    d.mkdir()
+    on_time = pd.DataFrame(
+        {
+            "symbol": ["US30"] * 3,
+            "ts": [pd.Timestamp(2026, 1, 5, 7, 50, s) for s in (0, 10, 20)],
+            "bid": [1.0, 2.0, 3.0],
+            "ask": [2.0, 3.0, 4.0],
+        }
+    )
+    on_time.assign(ts=on_time.ts.astype("datetime64[us]")).to_parquet(d / "a.parquet", index=False)
+    stream = spark.readStream.schema(TICK_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d))
+    agg = session_window_aggregate(stream, watermark="5 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .start()
+    )
+    q.processAllAvailable()
+    # advance watermark far past the first window, then deliver a late tick
+    advance = pd.DataFrame(
+        {
+            "symbol": ["US30"],
+            "ts": [pd.Timestamp(2026, 1, 5, 13, 55, 0)],
+            "bid": [9.0],
+            "ask": [10.0],
+        }
+    )
+    advance.assign(ts=advance.ts.astype("datetime64[us]")).to_parquet(d / "b.parquet", index=False)
+    q.processAllAvailable()
+    late = pd.DataFrame(
+        {
+            "symbol": ["US30"],
+            "ts": [pd.Timestamp(2026, 1, 5, 7, 51, 0)],  # hours late
+            "bid": [99.0],
+            "ask": [100.0],
+        }
+    )
+    late.assign(ts=late.ts.astype("datetime64[us]")).to_parquet(d / "c.parquet", index=False)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM late_test").collect()
+    morning = [r for r in rows if r["window_start"].hour == 7]
+    # the late tick must NOT appear: morning window emitted with 3 ticks
+    assert len(morning) == 1
+    assert morning[0]["n_ticks"] == 3
