@@ -41,22 +41,25 @@ def with_window_id(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def _fill(values: np.ndarray) -> np.ndarray:
+    """ffill → bfill → 0 (model.py:227-231, 301-311)."""
+    return pd.DataFrame(values).ffill().bfill().fillna(0.0).to_numpy()
+
+
 def _pad_resample(values: np.ndarray, n_target: int) -> np.ndarray:
     """model.py:296-315 semantics: <n → place at linspace positions then
-    ffill/bfill; >n → pick linspace indices; ==n → unchanged."""
+    fill; >n → pick linspace indices; ==n → unchanged. NaNs are filled
+    in every branch (the reference scrubs before windowing)."""
     n = len(values)
     if n == n_target:
-        return values
+        return _fill(values)
     if n > n_target:
         idx = np.linspace(0, n - 1, n_target).round().astype(int)
-        return values[idx]
+        return _fill(values[idx])
     out = np.full((n_target, values.shape[1]), np.nan, dtype=np.float64)
     pos = np.linspace(0, n_target - 1, n).round().astype(int)
     out[pos] = values
-    # ffill then bfill then 0 (model.py:227-231, 301-311)
-    df = pd.DataFrame(out)
-    df = df.ffill().bfill().fillna(0.0)
-    return df.to_numpy()
+    return _fill(out)
 
 
 def window_tensors(
@@ -139,7 +142,9 @@ def reconstruction_errors(
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         errs = []
         for feats in pdf["features"]:
-            x = np.asarray(feats, dtype=np.float64)
+            # Arrow hands nested arrays as an object sequence of per-row
+            # arrays — stack explicitly.
+            x = np.stack([np.asarray(row, dtype=np.float64) for row in feats])
             errs.append(float(np.mean((x - fn(x)) ** 2)))
         return pd.DataFrame(
             {"symbol": pdf["symbol"], "window_id": pdf["window_id"], "err": errs}

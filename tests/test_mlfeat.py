@@ -1,0 +1,102 @@
+"""ML featurization: window tensors (FIXTURES.md §5 cases — exactly n,
+fewer (pad+fill), more (linspace downsample), leading nulls), scaler,
+chronological split, reconstruction errors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_jan_2026_tick_data__spark.operators import mlfeat, stats
+
+
+def _ticks(spark, n, day=5, h=7, m0=50, sym="US30", bid0=100.0, none_at=()):
+    rows = []
+    for i in range(n):
+        ts = pd.Timestamp(2026, 1, day, h, m0 + i // 60, i % 60).to_pydatetime()
+        bid = None if i in none_at else bid0 + i
+        ask = None if i in none_at else bid0 + i + 0.5
+        rows.append((sym, ts, bid, ask))
+    return spark.createDataFrame(
+        rows, "symbol string, ts timestamp, bid double, ask double"
+    )
+
+
+def test_tensor_exact_count(spark):
+    df = _ticks(spark, 8)
+    out = mlfeat.window_tensors(df, n_target=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["window_id"] == "2026-01-05_morning"
+    assert r["original_tick_count"] == 8
+    feats = np.array(r["features"])
+    assert feats.shape == (8, 3)
+    np.testing.assert_allclose(feats[:, 0], [100 + i for i in range(8)])
+    np.testing.assert_allclose(feats[:, 2], 0.5)  # spread
+
+
+def test_tensor_pad_fills(spark):
+    df = _ticks(spark, 3)
+    r = mlfeat.window_tensors(df, n_target=7).collect()[0]
+    feats = np.array(r["features"])
+    assert feats.shape == (7, 3)
+    assert r["original_tick_count"] == 3
+    # linspace placement: rows at 0, 3, 6; gaps forward-filled
+    np.testing.assert_allclose(feats[:, 0], [100, 100, 100, 101, 101, 101, 102])
+
+
+def test_tensor_downsample_linspace(spark):
+    df = _ticks(spark, 9)
+    r = mlfeat.window_tensors(df, n_target=3).collect()[0]
+    feats = np.array(r["features"])
+    # np.linspace(0, 8, 3) → indices 0, 4, 8
+    np.testing.assert_allclose(feats[:, 0], [100, 104, 108])
+
+
+def test_tensor_leading_null_bfill(spark):
+    df = _ticks(spark, 4, none_at=(0,))
+    r = mlfeat.window_tensors(df, n_target=4).collect()[0]
+    feats = np.array(r["features"])
+    # leading null backward-filled from first valid (101)
+    np.testing.assert_allclose(feats[:, 0], [101, 101, 102, 103])
+
+
+def test_afternoon_window_id(spark):
+    df = _ticks(spark, 2, h=13, m0=51)
+    r = mlfeat.window_tensors(df, n_target=2).collect()[0]
+    assert r["window_id"] == "2026-01-05_afternoon"
+
+
+def test_scale_features(spark):
+    df = _ticks(spark, 5)
+    scaled = mlfeat.scale_features(df, ["bid"], group_cols=("symbol",))
+    vals = sorted(r["bid"] for r in scaled.collect())
+    np.testing.assert_allclose(np.mean(vals), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.std(vals), 1.0, atol=1e-12)
+
+
+def test_chronological_split(spark):
+    df = spark.range(10).withColumn("wid", F.col("id"))
+    out = stats.chronological_split(df, "wid", ratios=(0.6, 0.2, 0.2))
+    by_split = {}
+    for r in out.collect():
+        by_split.setdefault(r["split"], []).append(r["id"])
+    assert sorted(by_split["train"]) == list(range(6))
+    assert sorted(by_split["val"]) == [6, 7]
+    assert sorted(by_split["test"]) == [8, 9]
+
+
+def test_reconstruction_errors_zero_for_constant(spark):
+    # constant window → mean reconstruction is exact → err 0
+    df = _ticks(spark, 4, bid0=100.0)
+    const = df.withColumn("bid", F.lit(5.0)).withColumn("ask", F.lit(5.0))
+    tensors = mlfeat.window_tensors(const, n_target=4)
+    errs = mlfeat.reconstruction_errors(tensors).collect()
+    assert len(errs) == 1
+    assert errs[0]["err"] == 0.0
+    # varying window → positive error
+    tensors2 = mlfeat.window_tensors(df, n_target=4)
+    errs2 = mlfeat.reconstruction_errors(tensors2).collect()
+    assert errs2[0]["err"] > 0.0

@@ -1,0 +1,118 @@
+"""Tick operator unit tests on FIXTURES.md §1-shaped data: nulls,
+unparseable timestamps, duplicate seconds, negative spreads, ±inf."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_jan_2026_tick_data__spark.operators import stats, ticks
+
+
+@pytest.fixture(scope="module")
+def raw_ticks(spark):
+    rows = [
+        # DateTime, Bid, Ask, Volume, symbol
+        ("20260105 07:50:00.100", 100.0, 100.5, 1.0, "US30"),
+        ("20260105 07:50:00.200", 100.1, 100.6, 1.0, "US30"),  # same second
+        ("20260105 07:50:01.000", 100.2, 100.7, 1.0, "US30"),
+        ("20260105 07:55:30.000", None, 100.8, 1.0, "US30"),   # null bid
+        ("20260105 08:30:00.000", 101.0, 100.0, 1.0, "US30"),  # out of window, neg spread
+        ("20260105 13:51:00.000", 102.0, 102.5, 1.0, "US30"),
+        ("not-a-timestamp", 103.0, 103.5, 1.0, "US30"),        # unparseable
+        (None, 104.0, 104.5, 1.0, "US30"),                     # null ts
+        ("20260105 07:50:00.150", 42000.0, 42001.0, 1.0, "BTCUSD"),
+        ("20260105 13:59:59.999", 42010.0, float("inf"), 1.0, "BTCUSD"),
+    ]
+    return spark.createDataFrame(
+        rows, "DateTime string, Bid double, Ask double, Volume double, symbol string"
+    )
+
+
+def test_parse_ticks_drops_unparseable_and_volume(raw_ticks):
+    out = ticks.parse_ticks(raw_ticks)
+    assert "Volume" not in out.columns
+    assert set(out.columns) == {"ts", "bid", "ask", "symbol"}
+    assert out.count() == 8  # 2 unparseable rows dropped
+    assert out.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_session_filter_bounds(raw_ticks):
+    parsed = ticks.parse_ticks(raw_ticks)
+    # [start,end): 13:59:59.999 in, 08:30 out
+    left = ticks.session_filter(parsed, closed="left")
+    assert left.count() == 7
+    # hour_tail (reference cleaner): keeps whole 7th/13th hour from :50
+    tail = ticks.session_filter(parsed, closed="hour_tail")
+    assert tail.count() == 7
+
+
+def test_downsample_1s_deterministic_first(raw_ticks):
+    parsed = ticks.parse_ticks(raw_ticks)
+    ds = ticks.downsample_1s(parsed, partition_cols=("symbol",))
+    us30_0750 = ds.filter(
+        (F.col("symbol") == "US30")
+        & (F.date_trunc("second", "ts") == "2026-01-05 07:50:00")
+    ).collect()
+    assert len(us30_0750) == 1
+    assert us30_0750[0]["bid"] == 100.0  # earliest tick in the second wins
+
+
+def test_spread_clamped_at_zero(raw_ticks):
+    parsed = ticks.with_spread(ticks.parse_ticks(raw_ticks))
+    neg = parsed.filter(F.col("ask") < F.col("bid")).collect()
+    assert all(r["spread"] == 0.0 for r in neg)
+
+
+def test_scrub_inf_then_fills(spark):
+    df = spark.createDataFrame(
+        [
+            ("X", 1, 1.0),
+            ("X", 2, float("inf")),
+            ("X", 3, float("nan")),
+            ("X", 4, 4.0),
+            ("X", 5, None),
+        ],
+        "symbol string, ts long, v double",
+    )
+    scrubbed = ticks.scrub_inf_nan(df, ["v"])
+    vals = {r["ts"]: r["v"] for r in scrubbed.collect()}
+    assert vals[2] is None and vals[3] is None
+    filled = ticks.ffill(scrubbed, ["v"], ts_col="ts")
+    vals = {r["ts"]: r["v"] for r in filled.collect()}
+    assert vals == {1: 1.0, 2: 1.0, 3: 1.0, 4: 4.0, 5: 4.0}
+    # leading null needs bfill
+    df2 = spark.createDataFrame(
+        [("X", 1, None), ("X", 2, 2.0)], "symbol string, ts long, v double"
+    )
+    bf = ticks.bfill(df2, ["v"], ts_col="ts")
+    assert {r["ts"]: r["v"] for r in bf.collect()} == {1: 2.0, 2: 2.0}
+
+
+def test_shift_timezone(spark):
+    df = spark.createDataFrame(
+        [("X", "2026-01-05 07:50:00")], "symbol string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = ticks.shift_timezone(df, hours=2).collect()[0]
+    assert out["ts"].hour == 9
+
+
+def test_daily_window_counts_empty_window_zero(spark):
+    # day with only a morning-window tick: afternoon count must be 0
+    df = spark.createDataFrame(
+        [("X", "2026-01-05 07:55:00"), ("X", "2026-01-06 13:55:00")],
+        "symbol string, s string",
+    ).withColumn("ts", F.to_timestamp("s"))
+    out = stats.daily_window_counts(df, partition_cols=("symbol",))
+    rows = {str(r["date"]): (r["ticks_window1"], r["ticks_window2"]) for r in out.collect()}
+    assert rows == {"2026-01-05": (1, 0), "2026-01-06": (0, 1)}
+
+
+def test_quality_scan_single_row(raw_ticks):
+    out = stats.quality_scan(raw_ticks, cols=["DateTime", "Bid", "Ask"]).collect()[0]
+    assert out["total_rows"] == 10
+    assert out["null_DateTime"] == 1
+    assert out["null_Bid"] == 1
+    assert out["null_Ask"] == 0
