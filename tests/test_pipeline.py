@@ -1,0 +1,87 @@
+"""End-to-end batch ETL chain on a reference-shaped CSV tree: one folder
+per symbol, out-of-order files, duplicate seconds, nulls, unparseable
+timestamps (SURVEY §3.1)."""
+
+from __future__ import annotations
+
+import csv
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_jan_2026_tick_data__spark.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def csv_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("csv_root")
+    # two symbols; file 2 written first (out of time order, exercises the
+    # global-sort replacement of the reference's file chaining)
+    data = {
+        "US30": {
+            "b.csv": [  # later ticks
+                ("20260106 07:50:00.100", 38010.0, 38011.0, 1.0),
+                ("20260106 07:50:00.300", 38010.5, 38011.5, 1.0),  # dup second
+                ("20260106 13:55:00.000", 38020.0, 38021.0, 1.0),
+            ],
+            "a.csv": [  # earlier ticks
+                ("20260105 07:51:00.000", 38000.0, 38001.0, 1.0),
+                ("20260105 09:30:00.000", 38005.0, 38006.0, 1.0),  # out of window
+                ("bad-timestamp", 1.0, 2.0, 1.0),
+                ("20260105 13:52:00.000", None, 38003.0, 1.0),  # null bid
+            ],
+        },
+        "BTCUSD": {
+            "x.csv": [
+                ("20260105 07:55:30.500", 42000.0, 42001.0, 2.0),
+                ("20260105 07:55:30.900", 42000.5, 42001.5, 2.0),  # dup second
+            ]
+        },
+    }
+    for sym, files in data.items():
+        d = root / sym
+        d.mkdir()
+        for fname, rows in files.items():
+            with open(d / fname, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["DateTime", "Bid", "Ask", "Volume"])
+                for r in rows:
+                    w.writerow(["" if v is None else v for v in r])
+    return str(root)
+
+
+def test_pipeline_end_to_end(spark, csv_tree, tmp_path):
+    out = run_pipeline(spark, csv_tree, str(tmp_path / "work"))
+
+    # bronze: Volume dropped, symbol derived from folder, all rows kept
+    assert set(out["bronze"].columns) == {"DateTime", "Bid", "Ask", "symbol"}
+    assert out["bronze"].count() == 9
+
+    # quality: per-(bronze-)file audit, one row per written file, null counts
+    q = out["quality"].agg(
+        F.sum("total_rows").alias("n"), F.sum("null_Bid").alias("nb")
+    ).collect()[0]
+    assert q["n"] == 9
+    assert q["nb"] == 1
+
+    # gold: unparseable dropped, out-of-window dropped, 1-per-second dedup,
+    # deterministic first-in-second kept
+    gold = out["gold"]
+    assert gold.count() == 5  # 9 - 1 bad-ts - 1 out-of-window - 2 dup-second
+    us30_0750 = gold.filter(
+        (F.col("symbol") == "US30") & (F.to_date("ts") == "2026-01-06")
+        & (F.hour("ts") == 7)
+    ).collect()
+    assert len(us30_0750) == 1
+    assert us30_0750[0]["bid"] == 38010.0  # first tick of the second
+    # partitioned layout: (symbol, year) directories exist
+    assert (tmp_path / "work" / "gold" / "symbol=US30" / "year=2026").exists()
+
+    # stats: daily per-window counts with empty windows as 0
+    rows = {
+        (r["symbol"], str(r["date"])): (r["ticks_window1"], r["ticks_window2"])
+        for r in out["stats"].collect()
+    }
+    assert rows[("US30", "2026-01-05")] == (1, 1)
+    assert rows[("US30", "2026-01-06")] == (1, 1)
+    assert rows[("BTCUSD", "2026-01-05")] == (1, 0)
