@@ -98,19 +98,26 @@ def range_join(
     """Interval containment join: left.ts ∈ [right.start, right.end).
 
     Naive theta-join is O(n·m); we bucketize both sides to ``bucket``
-    granularity, explode the right interval over its covered buckets, and
-    equi-join on (by, bucket) + residual filter — Catalyst gets a hash
-    join with pruned probe sets. Choose ``bucket`` near the typical
-    interval length.
+    granularity (integer epoch buckets — Spark allows only one
+    ``window()`` expression per projection), explode the right interval
+    over its covered buckets, and equi-join on (by, bucket) + residual
+    filter — Catalyst gets a hash join with pruned probe sets. Choose
+    ``bucket`` near the typical interval length.
     """
-    lb = F.window(F.col(left_ts), bucket).getField("start")
-    l2 = left.withColumn("__bucket", lb)
+    import pandas as pd
 
-    start_b = F.window(F.col(right_start), bucket).getField("start")
-    end_b = F.window(F.col(right_end), bucket).getField("start")
+    bucket_s = int(pd.Timedelta(bucket).total_seconds())
+    l2 = left.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(left_ts)) / bucket_s)
+    )
     r2 = right.withColumn(
         "__bucket",
-        F.explode(F.sequence(start_b, end_b, F.expr(f"INTERVAL {bucket}"))),
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(right_start)) / bucket_s),
+                F.floor(F.unix_timestamp(F.col(right_end)) / bucket_s),
+            )
+        ),
     )
 
     joined = l2.alias("l").join(

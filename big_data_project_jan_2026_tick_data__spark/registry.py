@@ -631,6 +631,224 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "value", "click_value", "click_ts")
 
 
+@_register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue filter+agg (TPC-H Q6 shape) — pure pushdown scan,
+    no shuffle beyond the final single-row agg."""
+    li = _td(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@_register(
+    "scalar_subquery_above_avg",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price."""
+    o = _td(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v)
+        """
+    )
+
+
+@_register(
+    "distinct_agg_per_status",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def distinct_agg_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg under the hood)."""
+    o = _td(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@_register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube)."""
+    o = _td(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@_register(
+    "union_all_orders_split",
+    """
+    SELECT o_orderkey, 'high' AS tier FROM orders WHERE o_totalprice >= 150000
+    UNION ALL
+    SELECT o_orderkey, 'low' AS tier FROM orders WHERE o_totalprice < 150000
+    """,
+)
+def union_all_orders_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (U1 generalized) — re-unioned disjoint split."""
+    o = _td(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") >= 150000).select(
+        "o_orderkey", F.lit("high").alias("tier")
+    )
+    lo = o.filter(F.col("o_totalprice") < 150000).select(
+        "o_orderkey", F.lit("low").alias("tier")
+    )
+    return hi.unionByName(lo)
+
+
+@_register(
+    "minmax_by_priority",
+    """
+    SELECT o_orderpriority,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def minmax_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) aggregates."""
+    o = _td(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@_register(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props column (F8-adjacent: semi-
+    structured access in the data plane)."""
+    ev = _td(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "string_funcs_part_names",
+    """
+    SELECT p_partkey,
+           lower(replace(p_name, ' ', '_')) AS slug,
+           split_part(p_type, ' ', 1) AS type_head,
+           length(p_name) AS name_len
+    FROM part
+    """,
+)
+def string_funcs_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (F9/F10): sanitize, prefix split, length."""
+    p = _td(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.regexp_replace("p_name", " ", "_")).alias("slug"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@_register(
+    "ntile_percentile_orders",
+    """
+    SELECT o_orderkey,
+           ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+           ROUND(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr
+    FROM orders
+    """,
+)
+def ntile_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank global windows (W3 building blocks)."""
+    from pyspark.sql import Window
+
+    o = _td(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@_register(
+    "range_join_events_in_order_windows",
+    """
+    SELECT o.o_orderkey, COUNT(e.event_id) AS n_events
+    FROM (SELECT o_orderkey, o_orderdate,
+                 o_orderdate + INTERVAL 2 DAY AS window_end
+          FROM orders WHERE o_orderkey % 100 = 0) o
+    JOIN events e ON e.ts >= o.o_orderdate AND e.ts < o.window_end
+    GROUP BY o.o_orderkey
+    """,
+)
+def range_join_events_in_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment range join (bucketized equi-join strategy,
+    operators/joins.py:range_join) — events falling in 2-day windows
+    anchored at (a sample of) order dates."""
+    ev = _td(spark, sf_dir, "events")
+    o = (
+        _td(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("w_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS")).alias("w_end"),
+        )
+    )
+    joined = joins.range_join(
+        ev, o, left_ts="ts", right_start="w_start", right_end="w_end",
+        bucket="1 day",
+    )
+    return joined.groupBy("o_orderkey").agg(F.count("event_id").alias("n_events"))
+
+
 # ---------------------------------------------------------------------------
 # Text / dedup / similarity (training-data pipeline surface).
 # ---------------------------------------------------------------------------
