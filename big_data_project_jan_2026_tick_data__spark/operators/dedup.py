@@ -37,13 +37,28 @@ def exact_dedup(
     )
 
 
+_MAX_TOKENS = 1 << 20
+
+
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set of a normalized text column (distinct)."""
+    """Word n-gram shingle set of a normalized text column (distinct).
+
+    Built as a chain of ``zip_with(toks, slice(toks, k+1, …), concat)`` —
+    lambda arguments are array *elements*, so the token array is computed
+    once per row. (The obvious ``transform(sequence, i -> slice(toks,
+    i+1, n))`` re-evaluates the whole split-normalize expression per
+    element — ~10× slower.) Shorter-than-n docs yield one partial gram,
+    matching the index-based semantics.
+    """
     toks = F.split(normalize_text(col), " ")
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.array_distinct(grams)
+    g = toks
+    for k in range(1, n):
+        g = F.zip_with(
+            g, F.slice(toks, k + 1, _MAX_TOKENS), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    full = F.filter(g, lambda x: x.isNotNull())
+    partial = F.array(F.array_join(toks, " "))
+    return F.array_distinct(F.when(F.size(toks) < n, partial).otherwise(full))
 
 
 def minhash_signatures(
@@ -54,18 +69,39 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(shingle, seed_i). Computed by exploding shingles and taking
-    ``num_hashes`` mins in one groupBy — a single shuffle on id."""
+    xxhash64(shingle, seed_i).
+
+    Strategy: ONE codegen'd xxhash64 per shingle, then ``num_hashes``
+    linear permutations ``a_i*h + b_i`` (cheap 64-bit arithmetic) reduced
+    by min in a single hash aggregate. Partial (map-side) aggregation
+    collapses each partition to one 32-long row per doc before the
+    shuffle, so shuffle volume is O(#docs), not O(#shingles). ~2× faster
+    than hashing num_hashes times per shingle, and far faster than
+    interpreted higher-order lambdas (not codegen'd).
+    """
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
-    )
-    aggs = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    ).select(F.col(id_col), F.xxhash64("__sh").alias("__h"))
+    # deterministic odd multipliers/offsets (splitmix-style constants)
+    def _consts(i: int) -> tuple[int, int]:
+        a = (0x9E3779B97F4A7C15 * (2 * i + 1)) & 0xFFFFFFFFFFFFFFFF | 1
+        b = (0xBF58476D1CE4E5B9 * (i + 1)) & 0xFFFFFFFFFFFFFFFF
+        # to signed 64
+        to_s = lambda v: v - (1 << 64) if v >= (1 << 63) else v
+        return to_s(a), to_s(b)
+
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _consts(i)
+        aggs.append(
+            F.min(F.col("__h") * F.lit(a).cast("long") + F.lit(b).cast("long")).alias(
+                f"h{i}"
+            )
+        )
     sigs = sh.groupBy(id_col).agg(*aggs)
     return sigs.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 

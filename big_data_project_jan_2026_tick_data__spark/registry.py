@@ -632,6 +632,31 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stats_min_max_metadata",
+    """
+    SELECT MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+           MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+           COUNT(*) AS n
+    FROM lineitem
+    """,
+)
+def stats_min_max_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: dataset time-range/extent WITHOUT a data scan — the reference
+    reads parquet footers row-by-row on the driver
+    (spark_session_window_tick_cleaner.py:44-57); Spark's aggregate
+    pushdown (enabled in ENGINE_CONF) answers unfiltered MIN/MAX/COUNT
+    from footer statistics."""
+    li = _td(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
     "tpch_q6_forecast_revenue",
     """
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
