@@ -680,6 +680,108 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tpch_q4_priority_check",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): correlated EXISTS →
+    left-semi join under Catalyst."""
+    o = _td(spark, sf_dir, "orders")
+    li = _td(spark, sf_dir, "lineitem")
+    o.createOrReplaceTempView("orders_v")
+    li.createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders_v
+        WHERE EXISTS (SELECT 1 FROM lineitem_v
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@_register(
+    "tpch_q12_shipmode_buckets",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority bucketing after join (TPC-H Q12 shape): join + CASE-in-SUM
+    conditional aggregation."""
+    o = _td(spark, sf_dir, "orders")
+    li = _td(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "tpch_q14_promo_ratio",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def tpch_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue ratio (TPC-H Q14 shape): broadcast dim join +
+    conditional ratio aggregate."""
+    li = _td(spark, sf_dir, "lineitem")
+    p = _td(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+        )
+    )
+
+
+@_register(
+    "tpch_q18_large_orders",
+    """
+    SELECT o_orderkey, ROUND(total_qty, 2) AS total_qty
+    FROM (SELECT l_orderkey AS o_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey)
+    WHERE total_qty > 30
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 core): agg + HAVING filter."""
+    li = _td(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 30)
+        .select("o_orderkey", F.round("total_qty", 2).alias("total_qty"))
+    )
+
+
+@_register(
     "scalar_subquery_above_avg",
     """
     SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
@@ -1033,6 +1135,18 @@ def _register_rows_only():
     def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         media = multimodal.synthetic_media(spark, n=64)
         return multimodal.extract_features(media)
+
+    @_register("approx_aggregates")
+    def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Scale-path approximations (no oracle — HLL/GK sketches differ
+        across engines by design): approx_count_distinct + percentile_approx
+        per event_type."""
+        ev = _td(spark, sf_dir, "events")
+        return ev.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5).alias("approx_median"),
+            F.percentile_approx("value", 0.95).alias("approx_p95"),
+        )
 
     @_register("snapshot_time_travel")
     def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -105,6 +105,103 @@ def gap_session_windows(
     )
 
 
+def stateful_window_scorer(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    value_cols: Sequence[str] = ("bid", "ask"),
+    key_cols: Sequence[str] = ("symbol",),
+    watermark: str = "10 minutes",
+    bucket_minutes: int = 10,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): accumulate ticks
+    per (key, session-window bucket) in incremental state, emit ONE scored
+    row when the event-time timeout fires (watermark passes window end).
+
+    This is the faithful analog of the reference's TickProcessor /
+    LiveEndpointManager._check_window_transitions (PDF spec): buffer per
+    window, score on transition. Unlike the built-in windowed aggregate it
+    keeps arbitrary Python state (here: count/sum/min/max per value col —
+    stand-in for an online scoring model) and controls emission timing
+    explicitly. State is O(1) per open window, not O(ticks).
+    """
+    import pandas as pd  # local: executor-side import parity
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n_vals = list(value_cols)
+    bucket_ms = bucket_minutes * 60 * 1000
+
+    ts = F.col(ts_col)
+    pred = None
+    for w in SESSION_WINDOWS:
+        p = window_predicate(ts, *w, closed="left")
+        pred = p if pred is None else (pred | p)
+    src = (
+        stream.filter(pred)
+        .withWatermark(ts_col, watermark)
+        .withColumn(
+            "w_start", F.window(ts, f"{bucket_minutes} minutes").getField("start")
+        )
+    )
+
+    key_fields = ", ".join(f"{k} string" for k in key_cols)
+    out_schema = (
+        f"{key_fields}, window_start timestamp, n_ticks long, "
+        + ", ".join(
+            f"sum_{c} double, min_{c} double, max_{c} double" for c in n_vals
+        )
+    )
+    state_schema = "n long, " + ", ".join(
+        f"s_{c} double, mn_{c} double, mx_{c} double" for c in n_vals
+    )
+
+    def score(key, pdfs, state):
+        if state.hasTimedOut:
+            vals = state.get
+            state.remove()
+            n = vals[0]
+            row = {k: key[i] for i, k in enumerate(key_cols)}
+            row["window_start"] = pd.Timestamp(key[len(key_cols)])
+            row["n_ticks"] = n
+            for j, c in enumerate(n_vals):
+                row[f"sum_{c}"] = vals[1 + 3 * j]
+                row[f"min_{c}"] = vals[2 + 3 * j]
+                row[f"max_{c}"] = vals[3 + 3 * j]
+            yield pd.DataFrame([row])
+        else:
+            n = 0
+            acc = {c: [0.0, float("inf"), float("-inf")] for c in n_vals}
+            if state.exists:
+                prev = state.get
+                n = prev[0]
+                for j, c in enumerate(n_vals):
+                    acc[c] = [prev[1 + 3 * j], prev[2 + 3 * j], prev[3 + 3 * j]]
+            for pdf in pdfs:
+                n += len(pdf)
+                for c in n_vals:
+                    col = pdf[c].astype(float)
+                    acc[c][0] += float(col.sum())
+                    acc[c][1] = min(acc[c][1], float(col.min()))
+                    acc[c][2] = max(acc[c][2], float(col.max()))
+            flat = [n]
+            for c in n_vals:
+                flat.extend(acc[c])
+            state.update(tuple(flat))
+            # fire when the watermark passes this bucket's end
+            w_start = key[len(key_cols)]
+            end_ms = int(pd.Timestamp(w_start).value // 1_000_000) + bucket_ms
+            state.setTimeoutTimestamp(end_ms)
+            yield pd.DataFrame()
+
+    return src.groupBy(*key_cols, "w_start").applyInPandasWithState(
+        score,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def run_stream_to_memory(
     agg: DataFrame, query_name: str, output_mode: str = "append"
 ) -> "DataFrame":

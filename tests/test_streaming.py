@@ -130,3 +130,60 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     # the late tick must NOT appear: morning window emitted with 3 ticks
     assert len(morning) == 1
     assert morning[0]["n_ticks"] == 3
+
+
+def test_stateful_window_scorer(spark, tmp_path):
+    """applyInPandasWithState: state accumulates across micro-batches and
+    emits exactly once per window when the watermark passes window end."""
+    from big_data_project_jan_2026_tick_data__spark.streaming.session_pipeline import (
+        stateful_window_scorer,
+    )
+
+    d = tmp_path / "st"
+    d.mkdir()
+    # batch 1: three ticks in the 07:50 window
+    b1 = pd.DataFrame(
+        {
+            "symbol": ["US30"] * 3,
+            "ts": [pd.Timestamp(2026, 1, 5, 7, 50 + m, 0) for m in (0, 3, 6)],
+            "bid": [10.0, 20.0, 30.0],
+            "ask": [11.0, 21.0, 31.0],
+        }
+    )
+    b1.assign(ts=b1.ts.astype("datetime64[us]")).to_parquet(d / "a.parquet", index=False)
+    stream = (
+        spark.readStream.schema(TICK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = stateful_window_scorer(stream, watermark="1 minute")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM stateful_out").count() == 0  # window open
+
+    # batch 2: a tick far later -> watermark passes 08:00, window closes
+    b2 = pd.DataFrame(
+        {
+            "symbol": ["US30"],
+            "ts": [pd.Timestamp(2026, 1, 5, 13, 55, 0)],
+            "bid": [99.0],
+            "ask": [100.0],
+        }
+    )
+    b2.assign(ts=b2.ts.astype("datetime64[us]")).to_parquet(d / "b.parquet", index=False)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM stateful_out").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["symbol"] == "US30"
+    assert r["n_ticks"] == 3
+    assert r["sum_bid"] == 60.0
+    assert r["min_bid"] == 10.0
+    assert r["max_ask"] == 31.0
+    assert r["window_start"].hour == 7
