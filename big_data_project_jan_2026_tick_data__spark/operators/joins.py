@@ -133,3 +133,31 @@ def range_join(
     )
     drop_cols = [F.col("l.__bucket"), F.col("r.__bucket")] + [F.col(f"r.{c}") for c in by]
     return joined.drop(*drop_cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: a hot key on the (large) left side would
+    put one shuffle partition orders of magnitude above the rest; salting
+    splits every left key across ``salt_buckets`` sub-partitions and
+    replicates the right side per salt, so the hot key's work spreads over
+    ``salt_buckets`` tasks.
+
+    AQE's skew-join handles sort-merge skew automatically (enabled in
+    ENGINE_CONF); explicit salting remains the tool for aggregate-after-
+    join pipelines and for engines/paths AQE can't rewrite. Left salt is
+    derived deterministically from a row hash, not rand(), so retries and
+    oracle comparisons are stable.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    l2 = left.withColumn("__salt", salt.cast("int"))
+    r2 = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    out = l2.join(r2, [on, "__salt"], how)
+    return out.drop("__salt")

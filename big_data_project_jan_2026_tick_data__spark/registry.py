@@ -657,6 +657,25 @@ def stats_min_max_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "salted_join_skewed_users",
+    """
+    SELECT e.user_id, e.event_id, c.c_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def salted_join_skewed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join (operators/joins.py::salted_join) —
+    result must be identical to the plain join (the oracle)."""
+    ev = _td(spark, sf_dir, "events").select("user_id", "event_id")
+    c = _td(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    return joins.salted_join(ev, c, on="user_id", salt_buckets=8).select(
+        "user_id", "event_id", "c_name"
+    )
+
+
+@_register(
     "tpch_q6_forecast_revenue",
     """
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue

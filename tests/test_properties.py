@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the operators with the trickiest
+semantics: as-of join vs pandas merge_asof, evenly-spaced resample vs
+np.linspace, MinHash Jaccard estimate vs exact Jaccard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from big_data_project_jan_2026_tick_data__spark.operators import dedup, joins, stats
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    left_ts=st.lists(st.integers(0, 1000), min_size=1, max_size=20),
+    right_ts=st.lists(st.integers(0, 1000), min_size=1, max_size=20),
+)
+@settings(**SETTINGS)
+def test_asof_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    right_ts = sorted(set(right_ts))
+    left = spark.createDataFrame(
+        [("A", int(t), i) for i, t in enumerate(left_ts)],
+        "symbol string, ts long, lid int",
+    )
+    right = spark.createDataFrame(
+        [("A", int(t), float(t) * 2) for t in right_ts],
+        "symbol string, ts long, v double",
+    )
+    got = {
+        r["lid"]: r["v"]
+        for r in joins.asof_join(
+            left, right, on="ts", by=("symbol",), right_cols=("v",)
+        ).collect()
+    }
+    lp = pd.DataFrame({"ts": left_ts, "lid": range(len(left_ts))}).sort_values("ts")
+    rp = pd.DataFrame({"ts": right_ts, "v": [t * 2.0 for t in right_ts]})
+    exp_df = pd.merge_asof(lp, rp, on="ts", direction="backward")
+    exp = {
+        int(r.lid): (None if pd.isna(r.v) else r.v) for r in exp_df.itertuples()
+    }
+    assert got == exp
+
+
+@given(
+    n_rows=st.integers(1, 60),
+    n_target=st.integers(2, 20),
+)
+@settings(**SETTINGS)
+def test_resample_even_matches_linspace(spark, n_rows, n_target):
+    df = spark.createDataFrame(
+        [("A", i) for i in range(n_rows)], "symbol string, ts long"
+    )
+    got = sorted(
+        r["ts"]
+        for r in stats.resample_even(
+            df, n_target=n_target, ts_col="ts", partition_cols=("symbol",)
+        ).collect()
+    )
+    if n_rows <= n_target:
+        exp = list(range(n_rows))
+    else:
+        # floor(x+0.5) rounding, mirroring the operator/oracle definition
+        idx = {
+            int(np.floor(k * (n_rows - 1) / (n_target - 1) + 0.5))
+            for k in range(n_target)
+        }
+        exp = sorted(idx)
+    assert got == exp
+
+
+@given(data=st.data())
+@settings(**SETTINGS)
+def test_minhash_estimates_jaccard(spark, data):
+    base = data.draw(
+        st.lists(st.sampled_from("abcdefgh"), min_size=12, max_size=24)
+    )
+    # doc B = doc A with a mutated tail → known overlap
+    words_a = [f"w{c}{i % 7}" for i, c in enumerate(base)]
+    words_b = list(words_a)
+    words_b[-3:] = ["zz1", "zz2", "zz3"]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words_a)), (1, " ".join(words_b))], "doc_id long, text string"
+    )
+    exact = dedup.ngram_jaccard_pairs(docs, shingle_n=3).collect()
+    sigs = dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16).collect()
+    if sigs and exact:
+        est = sigs[0]["est_jaccard"]
+        true = exact[0]["jaccard"]
+        assert abs(est - true) < 0.35  # 64 hashes → σ ≈ 0.06; generous bound
