@@ -76,11 +76,16 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.25) * F.least(stop_ratio * 5.0, F.lit(1.0))
         + F.lit(0.15) * wlen_score
     )
+    # floor-based half-up round: both engines (Spark and any IEEE-754 SQL
+    # oracle) floor the *same* binary double, so 6th-decimal half-way
+    # values can't disagree the way decimal-string HALF_UP vs binary
+    # rounding do.
+    q6 = F.floor(quality * 1e6 + F.lit(0.5)) / F.lit(1e6)
     return (
         df.withColumn("n_words", words)
         .withColumn("punct_ratio", F.round(punct_ratio, 6))
         .withColumn("stop_ratio", F.round(stop_ratio, 6))
-        .withColumn("quality", F.round(quality, 6))
+        .withColumn("quality", q6)
     )
 
 
