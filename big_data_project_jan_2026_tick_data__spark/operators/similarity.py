@@ -128,6 +128,75 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse quantizer (``nlist`` centroids sampled
+    deterministically from the corpus) → corpus partitioned by nearest
+    centroid → each query probes its ``nprobe`` nearest cells → exact
+    cosine rerank inside the probed cells.
+
+    ``nprobe == nlist`` degrades to exhaustive search (exactly matches
+    ``brute_force_topk`` — property-tested). The centroid collect is
+    metadata-scale (nlist × dim floats) regardless of corpus size; at
+    100 TB the corpus is scanned once to assign cells (narrow, no
+    shuffle), and the candidate join shuffles only on a 1-int cell key.
+    """
+    c = corpus.select(F.col(corpus_id), _to_double(F.col(vec_col)).alias("cvec"))
+    # Deterministic sample: the nlist corpus vectors with smallest
+    # xxhash64(id) — stable across runs/partitionings, no RNG state.
+    cent_rows = (
+        c.withColumn("h", F.xxhash64(F.col(corpus_id)))
+        .orderBy("h")
+        .limit(nlist)
+        .select("cvec")
+        .collect()
+    )
+    centroids = [[float(x) for x in r.cvec] for r in cent_rows]
+
+    def cell_scores(vec: Column) -> Column:
+        """array<struct<score,cid>> of cosine-to-centroid, one per cell."""
+        import math
+
+        entries = []
+        for i, cent in enumerate(centroids):
+            cn = math.sqrt(sum(v * v for v in cent)) or 1.0
+            plane = F.array(*[F.lit(v) for v in cent])
+            score = dot(vec, plane) / (F.lit(cn) * norm(vec))
+            entries.append(F.struct(score.alias("score"), F.lit(i).alias("cid")))
+        return F.array(*entries)
+
+    c = c.withColumn("cell", F.array_max(cell_scores(F.col("cvec"))).getField("cid"))
+    c = c.withColumn("cnorm", norm(F.col("cvec")))
+
+    q = queries.select(F.col(query_id), _to_double(F.col(vec_col)).alias("qvec"))
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(cell_scores(F.col("qvec")))), 1, nprobe),
+        lambda s: s.getField("cid"),
+    )
+    q = (
+        q.withColumn("cell", F.explode(probes))
+        .withColumn("qnorm", norm(F.col("qvec")))
+    )
+    scored = c.join(F.broadcast(q), "cell").withColumn(
+        "cosine",
+        F.round(dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

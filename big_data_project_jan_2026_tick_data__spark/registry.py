@@ -1122,12 +1122,16 @@ def _register_rows_only():
         )
         return similarity.lsh_bucket_topk(emb, queries, dim=64, k=10, num_planes=4)
 
-    @_register("emb_near_dup_pairs")
-    def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @_register("emb_ivf_topk")
+    def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF-style cluster-pruned ANN (recall < 1 by design at
+        nprobe < nlist — rows-only; exactness at nprobe == nlist is
+        property-tested in tests/test_similarity.py)."""
         emb = _td(spark, sf_dir, "embeddings")
-        return similarity.embedding_near_dup_pairs(
-            emb, dim=64, threshold=0.2, num_planes=4
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
         )
+        return similarity.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
 
     @_register("ml_window_tensors")
     def ml_window_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1261,6 +1265,45 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _td(spark, sf_dir, "documents")
     return text.with_quality_score(docs).select(
         "doc_id", "n_words", "punct_ratio", "stop_ratio", "quality"
+    )
+
+
+def _near_dup_oracle(dim: int = 64, num_planes: int = 4, seed: int = 42) -> str:
+    """Build the DuckDB oracle for emb_near_dup_pairs by interpolating the
+    SAME deterministic hyperplanes the Spark operator uses — the LSH
+    bucketing and cosine filter are then re-derived independently in SQL."""
+    from .operators.similarity import _hyperplane
+
+    bucket_terms = []
+    for p in range(num_planes):
+        plane = ", ".join(repr(v) for v in _hyperplane(dim, p, seed))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(vec, [{plane}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "\n        + ".join(bucket_terms)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    b AS (
+      SELECT vec_id, vec,
+        {bucket} AS bucket
+      FROM v)
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.vec, b2.vec), 6) AS cosine
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE ROUND(list_cosine_similarity(a.vec, b2.vec), 6) >= 0.2
+    """
+
+
+@_register("emb_near_dup_pairs", _near_dup_oracle())
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane LSH bucket join +
+    exact cosine filter — oracle re-derives the identical buckets in SQL
+    from the same deterministic planes."""
+    emb = _td(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.2, num_planes=4
     )
 
 
