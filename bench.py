@@ -25,6 +25,8 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3_top10",
     "tpch_q5_region_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q21_sole_fault_supplier",
     "ticks_downsample_1min",
     "ticks_daily_window_counts",
     "ticks_sessionize",
