@@ -202,6 +202,85 @@ def stateful_window_scorer(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    id_cols: Sequence[str] = ("symbol", "ts"),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
+    watermark horizon, so state size is O(arrival rate × watermark) —
+    viable on an unbounded 100-TB/day feed, where plain
+    ``dropDuplicates`` on a stream would grow state forever.
+
+    On a batch DataFrame this degrades to ``dropDuplicates`` (unified
+    semantics; that is also the oracle for the streaming path)."""
+    if stream.isStreaming:
+        return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(id_cols)
+        )
+    return stream.dropDuplicates(list(id_cols))
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "symbol",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    lookback: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on key + event-time interval: each left
+    row matches right rows with ``l.ts - lookback <= r.ts <= l.ts``
+    (e.g. a trade joined to the quotes that preceded it).
+
+    Both sides carry watermarks and the time condition is two-sided, so
+    Spark can expire join state — the requirements for unbounded
+    stream-stream joins. Right-side columns must be pre-renamed to avoid
+    collisions (key column excepted)."""
+    l_src = left
+    r_src = right
+    if left.isStreaming:
+        l_src = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        r_src = right.withWatermark(right_ts, watermark)
+    r_key = f"r_{key}"
+    r_src = r_src.withColumnRenamed(key, r_key)
+    cond = (
+        (F.col(key) == F.col(r_key))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return l_src.join(r_src, cond, "inner").drop(r_key)
+
+
+def stream_append_snapshots(
+    stream: DataFrame, table_path: str, checkpoint: str
+):
+    """Streaming ingestion into the snapshot-log lakehouse table: each
+    micro-batch commits as one snapshot (foreachBatch → SnapshotTable
+    append), so the stream's history is time-travelable exactly like
+    batch loads — the Spark-native analog of the reference's live feed
+    landing in Iceberg. Returns the started StreamingQuery."""
+    from ..plans.snapshots import SnapshotTable
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        SnapshotTable(batch_df.sparkSession, table_path).write(
+            batch_df, mode="append"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_memory(
     agg: DataFrame, query_name: str, output_mode: str = "append"
 ) -> "DataFrame":

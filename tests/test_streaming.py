@@ -132,6 +132,140 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     assert morning[0]["n_ticks"] == 3
 
 
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates across micro-batches
+    within the watermark horizon are dropped; batch path = dropDuplicates
+    (same helper, unified semantics) is the oracle."""
+    from big_data_project_jan_2026_tick_data__spark.streaming.session_pipeline import (
+        streaming_dedup,
+    )
+
+    d = tmp_path / "dd"
+    d.mkdir()
+    t0 = pd.Timestamp(2026, 1, 5, 7, 50, 0)
+    a = pd.DataFrame(
+        {
+            "symbol": ["US30", "US30", "BTCUSD"],
+            "ts": [t0, t0, t0],  # in-batch duplicate
+            "bid": [1.0, 1.0, 2.0],
+            "ask": [2.0, 2.0, 3.0],
+        }
+    )
+    a.assign(ts=a.ts.astype("datetime64[us]")).to_parquet(d / "a.parquet", index=False)
+    b = pd.DataFrame(
+        {
+            "symbol": ["US30", "US30"],
+            # cross-batch duplicate of t0 + one new tick
+            "ts": [t0, t0 + pd.Timedelta(seconds=30)],
+            "bid": [1.0, 9.0],
+            "ask": [2.0, 9.5],
+        }
+    )
+    b.assign(ts=b.ts.astype("datetime64[us]")).to_parquet(d / "b.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(TICK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = run_stream_to_memory(streaming_dedup(stream), "dedup_out")
+    got = sorted((r["symbol"], str(r["ts"])) for r in out.collect())
+
+    batch_expected = sorted(
+        (r["symbol"], str(r["ts"]))
+        for r in streaming_dedup(spark.read.parquet(str(d))).collect()
+    )
+    assert got == batch_expected
+    assert len(got) == 3  # (US30, t0), (BTCUSD, t0), (US30, t0+30s)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Trades matched to quotes within the preceding interval — both
+    sides watermarked, two-sided time bound (state-expirable join)."""
+    from big_data_project_jan_2026_tick_data__spark.streaming.session_pipeline import (
+        stream_stream_interval_join,
+    )
+
+    base = pd.Timestamp(2026, 1, 5, 7, 50, 0)
+    qd = tmp_path / "quotes"
+    td = tmp_path / "trades"
+    qd.mkdir()
+    td.mkdir()
+    quotes = pd.DataFrame(
+        {
+            "symbol": ["US30"] * 3 + ["BTCUSD"],
+            "r_ts": [
+                base,
+                base + pd.Timedelta(seconds=20),
+                base + pd.Timedelta(seconds=200),  # outside 1-min lookback
+                base,
+            ],
+            "bid": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    quotes.assign(r_ts=quotes.r_ts.astype("datetime64[us]")).to_parquet(
+        qd / "q.parquet", index=False
+    )
+    trades = pd.DataFrame(
+        {
+            "symbol": ["US30"],
+            "ts": [base + pd.Timedelta(seconds=30)],
+            "price": [1.5],
+        }
+    )
+    trades.assign(ts=trades.ts.astype("datetime64[us]")).to_parquet(
+        td / "t.parquet", index=False
+    )
+
+    t_stream = spark.readStream.schema("symbol string, ts timestamp, price double").parquet(str(td))
+    q_stream = spark.readStream.schema("symbol string, r_ts timestamp, bid double").parquet(str(qd))
+    joined = stream_stream_interval_join(t_stream, q_stream, lookback="1 minute")
+    out = run_stream_to_memory(joined, "ssj_out")
+    rows = out.collect()
+    # the US30 trade matches the two quotes within the preceding minute;
+    # the 200s-old quote and the BTCUSD quote must not match
+    assert sorted(r["bid"] for r in rows) == [1.0, 2.0]
+    assert all(r["symbol"] == "US30" for r in rows)
+
+
+def test_stream_append_snapshots(spark, tmp_path):
+    """foreachBatch → SnapshotTable: each micro-batch is one time-travel
+    snapshot; total records accumulate and old versions stay readable."""
+    from big_data_project_jan_2026_tick_data__spark.plans.snapshots import SnapshotTable
+    from big_data_project_jan_2026_tick_data__spark.streaming.session_pipeline import (
+        stream_append_snapshots,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    t0 = pd.Timestamp(2026, 1, 5, 7, 50, 0)
+    for i, fname in enumerate(("a.parquet", "b.parquet")):
+        pdf = pd.DataFrame(
+            {
+                "symbol": ["US30"] * 2,
+                "ts": [t0 + pd.Timedelta(seconds=10 * i + j) for j in range(2)],
+                "bid": [1.0 + i, 2.0 + i],
+                "ask": [2.0 + i, 3.0 + i],
+            }
+        )
+        pdf.assign(ts=pdf.ts.astype("datetime64[us]")).to_parquet(d / fname, index=False)
+
+    stream = (
+        spark.readStream.schema(TICK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    tbl_path = str(tmp_path / "tbl")
+    q = stream_append_snapshots(stream, tbl_path, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    t = SnapshotTable(spark, tbl_path)
+    snaps = t.snapshots().orderBy("snapshot_id").collect()
+    assert len(snaps) == 2  # one commit per micro-batch
+    assert t.read().count() == 4
+    assert t.read(version=snaps[0]["snapshot_id"]).count() == 2
+
+
 def test_stateful_window_scorer(spark, tmp_path):
     """applyInPandasWithState: state accumulates across micro-batches and
     emits exactly once per window when the watermark passes window end."""
