@@ -1164,31 +1164,6 @@ def _register_rows_only():
             F.percentile_approx("value", 0.95).alias("approx_p95"),
         )
 
-    @_register("snapshot_time_travel")
-    def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """St-ops end-to-end: 2 appends + overwrite + rollback on a temp
-        snapshot table, returns the $snapshots lineage (stable columns)."""
-        import tempfile
-
-        from .plans.snapshots import SnapshotTable
-
-        ev = _td(spark, sf_dir, "events")
-        with tempfile.TemporaryDirectory() as d:
-            t = SnapshotTable(spark, f"{d}/tbl")
-            t.write(ev.filter(F.col("event_id") % 3 == 0), mode="append")
-            t.write(ev.filter(F.col("event_id") % 3 == 1), mode="append")
-            t.write(ev.filter(F.col("event_id") % 3 == 2), mode="overwrite")
-            t.rollback_to(2)
-            out = t.snapshots().select(
-                "snapshot_id",
-                "parent_snapshot_id",
-                "operation",
-                F.element_at("summary", "added-records").alias("added_records"),
-                F.element_at("summary", "total-records").alias("total_records"),
-            )
-            rows = out.collect()  # materialize before tmpdir cleanup
-        return spark.createDataFrame(rows, out.schema)
-
 
 _register_rows_only()
 
@@ -1294,6 +1269,51 @@ def _near_dup_oracle(dim: int = 64, num_planes: int = 4, seed: int = 42) -> str:
     FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
     WHERE ROUND(list_cosine_similarity(a.vec, b2.vec), 6) >= 0.2
     """
+
+
+@_register(
+    "snapshot_time_travel",
+    """
+    WITH c AS (
+      SELECT
+        SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS c0,
+        SUM(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END) AS c1,
+        SUM(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END) AS c2
+      FROM events)
+    SELECT 1 AS snapshot_id, NULL AS parent_snapshot_id,
+           'append' AS operation, c0 AS added_records, c0 AS total_records
+    FROM c
+    UNION ALL SELECT 2, 1, 'append', c1, c0 + c1 FROM c
+    UNION ALL SELECT 3, 2, 'overwrite', c2, c2 FROM c
+    UNION ALL SELECT 4, 3, 'rollback', 0, c0 + c1 FROM c
+    """,
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St-ops end-to-end: 2 appends + overwrite + rollback-to-2 on a temp
+    snapshot table; returns the $snapshots lineage. The oracle recomputes
+    the expected lineage (ids, parents, operations, added/total record
+    counts) from the events table — cross-checking the engine's
+    footer-count bookkeeping and rollback-as-new-snapshot semantics."""
+    import tempfile
+
+    from .plans.snapshots import SnapshotTable
+
+    ev = _td(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(spark, f"{d}/tbl")
+        t.write(ev.filter(F.col("event_id") % 3 == 0), mode="append")
+        t.write(ev.filter(F.col("event_id") % 3 == 1), mode="append")
+        t.write(ev.filter(F.col("event_id") % 3 == 2), mode="overwrite")
+        t.rollback_to(2)
+        out = t.snapshots().select(
+            "snapshot_id",
+            "parent_snapshot_id",
+            "operation",
+            F.element_at("summary", "added-records").alias("added_records"),
+            F.element_at("summary", "total-records").alias("total_records"),
+        )
+        rows = out.collect()  # materialize before tmpdir cleanup
+    return spark.createDataFrame(rows, out.schema)
 
 
 @_register("emb_near_dup_pairs", _near_dup_oracle())
