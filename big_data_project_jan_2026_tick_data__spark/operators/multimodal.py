@@ -97,6 +97,68 @@ def extract_features(
     return df.mapInPandas(kernel, schema=_FEATURES_SCHEMA)
 
 
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ms", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    payload_col: str = "payload",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Frame sampling for video payloads: emit one row per sampled frame
+    (every ``every_ms`` of duration, capped at ``max_frames``) with a
+    per-frame feature vector — a cardinality-*increasing* mapInPandas
+    kernel (n media rows → Σ frames rows), the batch shape a real
+    av/ffmpeg sampler would produce.
+
+    Stubbed decode: frame features hash (payload, frame_idx); with
+    ``decode_stub=False`` raises NotImplementedError where a real
+    demuxer/decoder would run.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real video demux/decode (av/ffmpeg) is not available "
+                    "in this environment; use decode_stub=True"
+                )
+            out = {"media_id": [], "frame_idx": [], "frame_ms": [], "features": []}
+            vids = pdf[pdf["kind"] == "video"]
+            for _, row in vids.iterrows():
+                dur = row["meta"]["duration_ms"] if row["meta"] is not None else 0
+                n_frames = min(max_frames, max(int(dur or 0) // every_ms, 1))
+                payload = row[payload_col] or b""
+                for i in range(n_frames):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["frame_ms"].append(i * every_ms)
+                    out["features"].append(
+                        _fake_features(payload + i.to_bytes(4, "big"))
+                    )
+            # explicit dtypes: an empty dict-of-lists defaults every
+            # column to float64, which Arrow can't cast to list<float>
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_ms": pd.Series(out["frame_ms"], dtype="int64"),
+                    "features": pd.Series(out["features"], dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=_FRAMES_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic synthetic media table for tests (binary payloads of
     varying size + typed metadata)."""

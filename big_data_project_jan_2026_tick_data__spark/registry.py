@@ -1152,6 +1152,13 @@ def _register_rows_only():
         media = multimodal.synthetic_media(spark, n=64)
         return multimodal.extract_features(media)
 
+    @_register("multimodal_frame_sample")
+    def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cardinality-increasing mapInPandas: one row per sampled video
+        frame (stubbed decode — batch shape is the contract)."""
+        media = multimodal.synthetic_media(spark, n=64)
+        return multimodal.sample_frames(media, every_ms=1000, max_frames=8)
+
     @_register("approx_aggregates")
     def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Scale-path approximations (no oracle — HLL/GK sketches differ
