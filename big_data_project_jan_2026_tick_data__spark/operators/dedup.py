@@ -201,6 +201,61 @@ def ngram_jaccard_pairs(
     return out
 
 
+def dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: the step after
+    pair generation in a real dedup pipeline — transitively group pairs
+    into clusters and tag every document with its cluster's minimum id
+    (the canonical representative; ``doc_id == cluster_id`` rows are the
+    keepers).
+
+    Min-label propagation: every node starts labeled with its own id and
+    repeatedly takes the min of its label and its neighbors' labels —
+    converges in O(component diameter) joins, which for near-dup graphs
+    (tiny, dense components) is a handful of iterations. Each iteration
+    is one shuffle on the edge key; ``localCheckpoint`` truncates the
+    growing lineage. At web scale the same loop applies (GraphFrames'
+    alternating large/small-star halves the iteration count but the
+    per-iteration plan is identical).
+    """
+    e_fwd = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e_rev = pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    edges = e_fwd.union(e_rev)
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash per document: for each token hash, each bit
     contributes +1/-1; the sign of the per-bit sum forms the fingerprint.

@@ -1890,6 +1890,47 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@_register(
+    "doc_dup_clusters",
+    r"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, g AS sh FROM norm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS t(g)),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components (min-label propagation)
+    over exact word-3-gram Jaccard >= 0.2 pairs; every doc tagged with
+    its component's min doc_id. Oracle recomputes the components with a
+    recursive reachability CTE — an independent algorithm on the same
+    edge set."""
+    docs = _td(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    return dedup.dup_clusters(docs, pairs)
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the reference's end-to-end stats pipeline on the events
     stream — session filter → deterministic 1-min downsample → daily

@@ -94,3 +94,30 @@ def test_minhash_estimates_jaccard(spark, data):
         est = sigs[0]["est_jaccard"]
         true = exact[0]["jaccard"]
         assert abs(est - true) < 0.35  # 64 hashes → σ ≈ 0.06; generous bound
+
+
+def test_dup_clusters_hand_graph(spark):
+    """Connected components: chain, pair, and singleton resolve to the
+    component-min cluster ids."""
+    from big_data_project_jan_2026_tick_data__spark.operators.dedup import dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds; all nodes
+    must still land on the global min label."""
+    from big_data_project_jan_2026_tick_data__spark.operators.dedup import dup_clusters
+
+    n = 12
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs).collect()}
+    assert out == {i: 0 for i in range(n)}
