@@ -130,6 +130,53 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", ngram: int = 8) -> D
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    token_col: str = "word_tokens",
+    order_col: str = "doc_id",
+    shard_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Pack documents into training sequences of ~``budget`` tokens:
+    within each shard, documents (in deterministic ``order_col`` order)
+    are assigned ``seq_bucket = floor(exclusive-prefix-sum / budget)`` —
+    the standard prefix-sum approximation of greedy bin packing (a doc
+    may straddle a boundary; no doc is split).
+
+    Sharding matters at 100 TB: the prefix sum is a window over
+    ``shard_cols`` partitions, so parallelism = #shards — pack within
+    natural shards (source, language, date), never one global window.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*shard_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(
+        "seq_bucket", F.floor(cum_excl / F.lit(budget)).cast("long")
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic sampling: keep rows where
+    ``xxhash64(key, seed) mod 10000 < rate*10000``. Unlike ``df.sample``
+    the decision is a pure function of the key — stable across runs,
+    partitionings and cluster sizes, and consistent between pipeline
+    stages that sample the same keys (the property training-data
+    pipelines actually need)."""
+    threshold = int(rate * 10000)
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(10000))
+    return df.filter(bucket < threshold)
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical normalization used by dedup: lowercase, collapse
     whitespace, strip punctuation."""

@@ -1891,6 +1891,44 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @_register(
+    "doc_pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens
+      FROM documents)
+    SELECT doc_id, source, word_tokens,
+           CAST(FLOOR(COALESCE(SUM(word_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+             AS BIGINT) AS seq_bucket
+    FROM t
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: per-source prefix-sum binning
+    of documents into ~256-token buckets (no doc split; deterministic
+    doc_id order)."""
+    docs = _td(spark, sf_dir, "documents")
+    packed = text.pack_sequences(
+        text.with_token_count(docs), budget=256, shard_cols=("source",)
+    )
+    return packed.select("doc_id", "source", "word_tokens", "seq_bucket")
+
+
+def _register_hash_sample():
+    @_register("doc_hash_sample")
+    def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic xxhash64 sampling (rows-only: DuckDB has no
+        xxhash64 — determinism/monotonicity property-tested instead)."""
+        docs = _td(spark, sf_dir, "documents")
+        return text.hash_sample(docs, rate=0.2).select("doc_id", "source", "lang")
+
+
+_register_hash_sample()
+
+
+@_register(
     "doc_dup_clusters",
     r"""
     WITH RECURSIVE norm AS (

@@ -121,3 +121,41 @@ def test_dup_clusters_long_chain_converges(spark):
     )
     out = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs).collect()}
     assert out == {i: 0 for i in range(n)}
+
+
+def test_hash_sample_deterministic_and_monotone(spark, sf_dir):
+    """Deterministic hash sampling: same keys every run; smaller rates
+    are subsets of larger rates; observed rate near nominal."""
+    from big_data_project_jan_2026_tick_data__spark.operators.text import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    s20a = {r.doc_id for r in hash_sample(docs, 0.2).select("doc_id").collect()}
+    s20b = {r.doc_id for r in hash_sample(docs, 0.2).select("doc_id").collect()}
+    s50 = {r.doc_id for r in hash_sample(docs, 0.5).select("doc_id").collect()}
+    assert s20a == s20b  # pure function of the key
+    assert s20a <= s50  # thresholds nest
+    assert 0.08 <= len(s20a) / n <= 0.35
+    assert 0.35 <= len(s50) / n <= 0.65
+
+
+def test_pack_sequences_budget_contract(spark, sf_dir):
+    """Every bucket except a shard's last holds >= budget tokens only via
+    its final (straddling) doc: the exclusive prefix sum of each bucket's
+    first doc is < (bucket+1)*budget and >= bucket*budget."""
+    from big_data_project_jan_2026_tick_data__spark.operators.text import (
+        pack_sequences,
+        with_token_count,
+    )
+
+    docs = with_token_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    out = pack_sequences(docs, budget=256).collect()
+    by_shard: dict[str, list] = {}
+    for r in out:
+        by_shard.setdefault(r.source, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.seq_bucket == cum // 256
+            cum += r.word_tokens
