@@ -211,3 +211,63 @@ def bfill(
 def shift_timezone(df: DataFrame, ts_col: str = "ts", hours: int = 2) -> DataFrame:
     """Broker-timezone normalization (+2h, reference data_loader.py:50)."""
     return df.withColumn(ts_col, F.col(ts_col) + F.expr(f"INTERVAL {hours} HOURS"))
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "bid",
+    interval: str = "1 minute",
+    partition_cols: Sequence[str] = ("symbol",),
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Tick → OHLC bars: open/high/low/close + count per time bucket —
+    the canonical tick downsample (generalizes the reference's
+    first-per-second A1: open IS its "first", plus high/low/close).
+
+    One hash aggregate, no window: open/close via min_by/max_by on a
+    (ts, tiebreak...) struct so ties are deterministic; partial (map-side)
+    aggregation applies, so shuffle volume is one row per (key, bucket).
+    """
+    order_key = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+    bucket = F.window(F.col(ts_col), interval).getField("start").alias("bar_start")
+    return (
+        df.groupBy(*partition_cols, bucket)
+        .agg(
+            F.min_by(F.col(value_col), order_key).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "bid",
+    window_ms: int = 300_000,
+    partition_cols: Sequence[str] = ("symbol",),
+) -> DataFrame:
+    """Trailing time-window stats per tick (moving average / extrema over
+    the last ``window_ms``): an event-time RANGE frame over epoch-millis
+    — each row sees exactly the ticks in ``(ts - window, ts]``.
+
+    RANGE (not ROWS): tick density varies, so a row-count frame would be
+    wrong. The frame is computed within partitions after one sort — no
+    self-join, no explosion.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.unix_millis(F.col(ts_col)))
+        .rangeBetween(-window_ms, 0)
+    )
+    return (
+        df.withColumn("roll_avg", F.round(F.avg(value_col).over(w), 6))
+        .withColumn("roll_min", F.min(value_col).over(w))
+        .withColumn("roll_max", F.max(value_col).over(w))
+        .withColumn("roll_n", F.count(F.lit(1)).over(w))
+    )

@@ -1891,6 +1891,65 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @_register(
+    "ticks_ohlc_bars",
+    """
+    SELECT user_id, bar_start,
+           arg_min(value, ord) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ord) AS close,
+           COUNT(*) AS n_ticks
+    FROM (SELECT user_id, date_trunc('minute', ts) AS bar_start, value,
+                 -- fixed-width sortable key == Spark's struct(ts, event_id)
+                 lpad(CAST(epoch_ms(ts) AS VARCHAR), 14, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+          FROM events) t
+    GROUP BY user_id, bar_start
+    """,
+)
+def ticks_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars per (user, minute) over the events stand-in — the
+    canonical tick downsample (open/close deterministic via
+    (ts, event_id) min_by/max_by; single hash agg, map-side partials)."""
+    ev = _td(spark, sf_dir, "events")
+    return ticks.ohlc_bars(
+        ev,
+        ts_col="ts",
+        value_col="value",
+        interval="1 minute",
+        partition_cols=("user_id",),
+        tiebreak_cols=("event_id",),
+    )
+
+
+@_register(
+    "ticks_rolling_stats",
+    """
+    SELECT event_id, user_id, ts, value,
+           ROUND(AVG(value) OVER w, 6) AS roll_avg,
+           MIN(value) OVER w AS roll_min,
+           MAX(value) OVER w AS roll_max,
+           COUNT(*) OVER w AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ticks_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-minute moving stats per tick: event-time RANGE frame
+    over epoch-millis (density-correct, unlike a ROWS frame)."""
+    ev = _td(spark, sf_dir, "events")
+    out = ticks.rolling_stats(
+        ev, ts_col="ts", value_col="value", window_ms=300_000,
+        partition_cols=("user_id",),
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        "roll_avg", "roll_min", "roll_max", "roll_n",
+    )
+
+
+@_register(
     "doc_pack_sequences",
     r"""
     WITH t AS (
