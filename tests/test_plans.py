@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the scale properties claimed in
+BASELINE.md/README are asserted here so a refactor can't silently
+reintroduce a bad plan (lost pushdown, sort-merge where broadcast was
+intended, extra shuffles)."""
+
+from __future__ import annotations
+
+import re
+
+from big_data_project_jan_2026_tick_data__spark.registry import QUERIES
+
+
+def _explain(spark, name, sf_dir) -> tuple[str, str]:
+    """(operator tree, full formatted output with per-node details)."""
+    df = QUERIES[name](spark, sf_dir)
+    full = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = full.split("\n\n")[0]
+    return tree, full
+
+
+def _shuffles(tree: str) -> int:
+    """Shuffle exchanges in the tree (BroadcastExchange excluded)."""
+    return len(re.findall(r"(?<!Broadcast)Exchange", tree))
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    tree, full = _explain(spark, "tpch_q1", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in full
+    # column pruning: the scan must not read unused wide columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", full)
+    assert m and "l_partkey" not in m.group(1) and "l_suppkey" not in m.group(1)
+    assert _shuffles(tree) == 1  # partial agg -> one exchange -> final agg
+
+
+def test_q3_all_joins_broadcast(spark, sf_dir):
+    tree, _ = _explain(spark, "tpch_q3_top10", sf_dir)
+    assert "SortMergeJoin" not in tree
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "TakeOrderedAndProject" in tree  # top-k, not global sort
+
+
+def test_q9_single_fact_scan_all_broadcast(spark, sf_dir):
+    tree, _ = _explain(spark, "tpch_q9_product_profit", sf_dir)
+    assert "SortMergeJoin" not in tree
+    assert tree.count("BroadcastHashJoin") == 4
+    assert _shuffles(tree) == 1  # only the final group-by exchange
+
+
+def test_downsample_single_exchange(spark, sf_dir):
+    tree, _ = _explain(spark, "ticks_downsample_1min", sf_dir)
+    assert _shuffles(tree) == 1
+    # rank pushdown: partial top-1 filtering before the shuffle
+    assert "WindowGroupLimit" in tree
+
+
+def test_ohlc_partial_aggregation(spark, sf_dir):
+    tree, _ = _explain(spark, "ticks_ohlc_bars", sf_dir)
+    # partial + final aggregate around exactly one exchange (struct
+    # min_by/max_by forces sort-based agg — still map-side partials)
+    assert len(re.findall(r"(?:Sort|Hash)Aggregate", tree)) == 2
+    assert _shuffles(tree) == 1
+
+
+def test_minhash_no_explosion(spark, sf_dir):
+    """Band self-join must be an equi hash join on the bucket key —
+    never a cartesian/nested-loop product of the corpus with itself."""
+    _, full = _explain(spark, "doc_minhash_pairs", sf_dir)
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
+    assert "BroadcastHashJoin" in full or "SortMergeJoin" in full
+
+
+def test_asof_no_range_explosion(spark, sf_dir):
+    _, full = _explain(spark, "asof_purchase_last_click", sf_dir)
+    # union+window trick: no join at all in the matching phase
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
