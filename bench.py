@@ -28,6 +28,8 @@ HEADLINE = [
     "tpch_q9_product_profit",
     "tpch_q21_sole_fault_supplier",
     "ticks_downsample_1min",
+    "ticks_ohlc_bars",
+    "ticks_rolling_stats",
     "ticks_daily_window_counts",
     "ticks_sessionize",
     "window_lag_lead_rank",
