@@ -166,6 +166,37 @@ class SnapshotTable:
         self._append_log(snap)
         return snap
 
+    def compact(self, num_files: int | None = None) -> Snapshot:
+        """Small-file compaction: rewrite the current snapshot's data as
+        one new commit (``operation='compact'``, same rows). Long append
+        histories accumulate many small files — footer overhead and task
+        fragmentation at scale; compaction resets the manifest to a
+        single freshly-written dir while every older snapshot stays
+        readable (data dirs are immutable; the log only grows)."""
+        current = self._resolve(None, None)
+        df = self.read()
+        if num_files is not None:
+            df = df.repartition(num_files)
+        commit_dir = f"data/{uuid.uuid4().hex}"
+        out_path = os.path.join(self.root, commit_dir)
+        df.write.mode("errorifexists").parquet(out_path)
+        total = _footer_row_count(out_path)
+        snap = Snapshot(
+            snapshot_id=current.snapshot_id + 1,
+            parent_snapshot_id=current.snapshot_id,
+            committed_at_ms=int(time.time() * 1000),
+            operation="compact",
+            manifest=[commit_dir],
+            summary={
+                "added-records": str(total),
+                "deleted-records": current.summary["total-records"],
+                "total-records": str(total),
+                "compacted-dirs": str(len(current.manifest)),
+            },
+        )
+        self._append_log(snap)
+        return snap
+
     # -- reads --------------------------------------------------------------
 
     def _resolve(self, version: int | None, as_of_ms: int | None) -> Snapshot:

@@ -84,3 +84,37 @@ def test_read_unknown_version(spark, table):
     table.write(_df(spark, 0, 5))
     with pytest.raises(ValueError, match="not found"):
         table.read(version=99)
+
+
+def test_compact_preserves_data_and_history(spark, tmp_path, sf_dir):
+    """Compaction rewrites the manifest into one fresh dir with identical
+    rows; prior snapshots stay readable and rollback still works."""
+    import os
+
+    from big_data_project_jan_2026_tick_data__spark.plans.snapshots import SnapshotTable
+
+    ev = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "ct"))
+    t.write(ev.filter("o_orderkey % 2 = 0"), mode="append")
+    t.write(ev.filter("o_orderkey % 2 = 1"), mode="append")
+    before = {r.o_orderkey for r in t.read().collect()}
+
+    snap = t.compact(num_files=1)
+    assert snap.operation == "compact"
+    assert int(snap.summary["total-records"]) == len(before)
+    assert snap.summary["compacted-dirs"] == "2"
+    # one data dir, one part file
+    data_dir = os.path.join(t.root, snap.manifest[0])
+    parts = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert len(snap.manifest) == 1 and len(parts) == 1
+
+    after = {r.o_orderkey for r in t.read().collect()}
+    assert after == before
+    # time travel to the pre-compact append still works
+    assert {r.o_orderkey for r in t.read(version=2).collect()} == before
+    assert t.read(version=1).count() == ev.filter("o_orderkey % 2 = 0").count()
+    # rollback across a compaction
+    t.rollback_to(1)
+    assert t.read().count() == ev.filter("o_orderkey % 2 = 0").count()
