@@ -170,3 +170,38 @@ def chronological_split(
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     expr = expr.otherwise(labels[-1]) if expr is not None else F.lit(labels[-1])
     return df.withColumn("split", expr)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Shuffle-skew diagnostic: per-key row counts for the ``top_k``
+    heaviest keys plus each key's share of total and ratio to the mean
+    key weight. Run this before choosing a join/agg strategy — a
+    skew_ratio in the hundreds means the hot key needs salting
+    (joins.salted_join) or AQE skew splitting; at 100 TB a single hot
+    key is the difference between a 5-minute and a 5-hour stage."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(c) for c in key_cols])
+    return (
+        counts.join(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total_rows"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") / (F.col("total_rows") / F.col("n_keys")), 4
+            ).alias("skew_ratio"),
+            "rank",
+        )
+    )

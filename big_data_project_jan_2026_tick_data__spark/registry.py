@@ -1891,6 +1891,32 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @_register(
+    "events_key_skew_report",
+    """
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id),
+    totals AS (
+      SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_keys FROM counts),
+    ranked AS (
+      SELECT user_id, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, user_id) AS rank
+      FROM counts)
+    SELECT user_id, n_rows,
+           ROUND(n_rows / total_rows, 6) AS share,
+           ROUND(n_rows / (total_rows / n_keys), 4) AS skew_ratio,
+           rank
+    FROM ranked, totals
+    WHERE rank <= 10
+    """,
+)
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic: top-10 heaviest keys with share of total
+    and ratio to the mean key weight (input to the salting decision)."""
+    ev = _td(spark, sf_dir, "events")
+    return stats.key_skew_report(ev, key_cols=("user_id",), top_k=10)
+
+
+@_register(
     "ticks_ohlc_bars",
     """
     SELECT user_id, bar_start,

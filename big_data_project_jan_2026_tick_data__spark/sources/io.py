@@ -10,6 +10,8 @@ scan, with ``input_file_name()`` when per-file provenance matters
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -82,3 +84,29 @@ def write_parquet(
 def write_csv_report(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S7: CSV sink for small reports (quality scan, daily stats)."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    cluster_by: Sequence[str] = ("ts",),
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet write with within-file clustering: rows are
+    sorted on ``cluster_by`` inside each task before writing, so parquet
+    row-group min/max statistics become tight and range predicates
+    (time filters on tick data) prune row groups at scan time — the
+    poor-man's Z-order, free at write time. Combine with
+    ``partition_by`` for directory-level pruning."""
+    out = df
+    if cluster_by:
+        # partition cols must prefix the sort: the parquet writer re-sorts
+        # each task by partition columns for dynamic partitioning, which
+        # would destroy a cluster-only ordering; with the prefix in place
+        # the writer's required ordering is already satisfied.
+        out = df.sortWithinPartitions(*partition_by, *cluster_by)
+    writer = out.write.mode(mode).option("compression", "snappy")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -85,3 +85,34 @@ def test_pipeline_end_to_end(spark, csv_tree, tmp_path):
     assert rows[("US30", "2026-01-05")] == (1, 1)
     assert rows[("US30", "2026-01-06")] == (1, 1)
     assert rows[("BTCUSD", "2026-01-05")] == (1, 0)
+
+
+def test_write_clustered_prunes_and_roundtrips(spark, tmp_path, sf_dir):
+    """Clustered write: partition dirs appear, data round-trips, and
+    row-group time ranges are tight (sorted within files)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from big_data_project_jan_2026_tick_data__spark.sources.io import write_clustered
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "clustered")
+    write_clustered(
+        orders,
+        out,
+        partition_by=("o_orderpriority",),
+        cluster_by=("o_orderdate", "o_orderkey"),
+    )
+    dirs = [d for d in os.listdir(out) if d.startswith("o_orderpriority=")]
+    assert len(dirs) == 5
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # within every file the cluster column is sorted -> tight row groups
+    for root, _, files in os.walk(out):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            tbl = pq.read_table(os.path.join(root, f), columns=["o_orderdate"])
+            vals = tbl["o_orderdate"].to_pylist()
+            assert vals == sorted(vals)
