@@ -271,3 +271,47 @@ def rolling_stats(
         .withColumn("roll_max", F.max(value_col).over(w))
         .withColumn("roll_n", F.count(F.lit(1)).over(w))
     )
+
+
+def despike(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "bid",
+    k: int = 5,
+    max_rel_dev: float = 0.5,
+    partition_cols: Sequence[str] = ("symbol",),
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Spike filter — the tick-cleaning step the reference's pipeline
+    lacks: drop ticks whose value deviates from the trailing ``k``-tick
+    MEDIAN by more than ``max_rel_dev`` (relative). Median, not mean: a
+    bad print inflates a trailing mean and gets innocent neighbors
+    dropped (collateral damage verified in tests); the median of a small
+    trailing window is robust to isolated spikes.
+
+    Spark restricts ``median()`` over framed windows, so the median is
+    exact via ``array_sort(collect_list())`` over a ROWS frame — memory
+    is O(k) per row (bounded; this is why a row-count frame is used here
+    while ``rolling_stats`` uses RANGE). Order has a tiebreaker so both
+    engines see identical frames. n=1 rows are kept (deviation 0).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.unix_millis(F.col(ts_col)), *[F.col(c) for c in tiebreak_cols])
+        .rowsBetween(-(k - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(value_col).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (F.floor((n - 1) / 2) + 1).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    med = (lo + hi) / 2.0
+    rel_dev = F.abs(F.col(value_col) - med) / F.abs(med)
+    return (
+        df.withColumn("__rel_dev", rel_dev)
+        .filter(
+            F.col("__rel_dev").isNull() | (F.col("__rel_dev") <= max_rel_dev)
+        )
+        .drop("__rel_dev")
+    )

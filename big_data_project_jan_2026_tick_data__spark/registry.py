@@ -1891,6 +1891,31 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @_register(
+    "ticks_despike",
+    """
+    SELECT event_id, user_id, ts, value FROM (
+      SELECT event_id, user_id, ts, value,
+             ABS(value - MEDIAN(value) OVER w) / ABS(MEDIAN(value) OVER w) AS rel_dev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) t
+    WHERE rel_dev IS NULL OR rel_dev <= 0.5
+    """,
+)
+def ticks_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike filter: drop ticks deviating > 50% from the trailing
+    5-tick median (robust to the spike itself, unlike a mean — the
+    cleaning step the reference's pipeline lacks)."""
+    ev = _td(spark, sf_dir, "events")
+    out = ticks.despike(
+        ev, ts_col="ts", value_col="value", k=5,
+        max_rel_dev=0.5, partition_cols=("user_id",),
+        tiebreak_cols=("event_id",),
+    )
+    return out.select("event_id", "user_id", "ts", "value")
+
+
+@_register(
     "events_key_skew_report",
     """
     WITH counts AS (

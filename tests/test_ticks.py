@@ -116,3 +116,25 @@ def test_quality_scan_single_row(raw_ticks):
     assert out["null_DateTime"] == 1
     assert out["null_Bid"] == 1
     assert out["null_Ask"] == 0
+
+
+def test_despike_removes_bad_print(spark):
+    """An isolated 10x spike inside a stable series is dropped; normal
+    ticks and the series head survive."""
+    import pandas as pd
+
+    from big_data_project_jan_2026_tick_data__spark.operators.ticks import despike
+
+    base = pd.Timestamp(2026, 1, 5, 7, 50, 0)
+    rows = [
+        ("US30", base + pd.Timedelta(seconds=10 * i), 100.0 + (i % 3))
+        for i in range(10)
+    ]
+    rows.insert(5, ("US30", base + pd.Timedelta(seconds=45), 1000.0))  # spike
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts", "bid"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf)
+    out = despike(df, value_col="bid", max_rel_dev=0.5).collect()
+    vals = sorted(r.bid for r in out)
+    assert 1000.0 not in vals
+    assert len(vals) == 10
