@@ -1891,6 +1891,48 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @_register(
+    "events_funnel",
+    """
+    SELECT
+      SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
+      SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS clicked_after_view,
+      SUM(CASE WHEN t_view < t_click AND t_click < t_purchase
+          THEN 1 ELSE 0 END) AS purchased_full_funnel
+    FROM (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id) u
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase): per-user
+    conditional-min timestamps in ONE scan + one tiny final agg — no
+    joins, no per-stage subqueries (NULL mins propagate 'never did
+    stage' through the < comparisons)."""
+    ev = _td(spark, sf_dir, "events")
+
+    def stage_min(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    u = ev.groupBy("user_id").agg(
+        stage_min("view").alias("t_view"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return u.agg(
+        flag(F.col("t_view").isNotNull()).alias("viewed"),
+        flag(F.col("t_view") < F.col("t_click")).alias("clicked_after_view"),
+        flag(
+            (F.col("t_view") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_purchase"))
+        ).alias("purchased_full_funnel"),
+    )
+
+
+@_register(
     "ticks_despike",
     """
     SELECT event_id, user_id, ts, value FROM (
