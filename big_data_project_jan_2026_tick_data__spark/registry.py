@@ -1891,6 +1891,62 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @_register(
+    "part_name_tokens",
+    """
+    SELECT p_partkey, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part) s,
+         UNNEST(range(1, len(toks) + 1)) AS t(i)
+    """,
+)
+def part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode: one output row per token with its
+    position (the generator/flatten pattern; 0-based in both engines)."""
+    p = _td(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "tok"),
+    )
+
+
+@_register(
+    "events_weekly_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id)
+    SELECT CAST(date_trunc('week', d0) AS DATE) AS cohort_week,
+           COUNT(DISTINCT f.user_id) AS cohort_size,
+           COUNT(DISTINCT CASE WHEN CAST(e.ts AS DATE) >= d0 + 7
+                 AND CAST(e.ts AS DATE) < d0 + 14
+                 THEN e.user_id END) AS week1_retained
+    FROM first_seen f JOIN events e ON f.user_id = e.user_id
+    GROUP BY 1
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted again
+    if active in days [7, 14) after first touch — distinct-count over a
+    self-join on the cohort dimension."""
+    ev = _td(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(F.date_trunc("week", F.col("d0")).cast("date").alias("cohort_week"))
+        .agg(
+            F.countDistinct("user_id").alias("cohort_size"),
+            F.countDistinct(
+                F.when(
+                    (F.to_date("ts") >= F.date_add(F.col("d0"), 7))
+                    & (F.to_date("ts") < F.date_add(F.col("d0"), 14)),
+                    F.col("user_id"),
+                )
+            ).alias("week1_retained"),
+        )
+    )
+
+
+@_register(
     "events_funnel",
     """
     SELECT
