@@ -72,3 +72,25 @@ def test_asof_tie_is_inclusive(spark):
     )
     back = joins.asof_join(left, right, on="ts", by=("symbol",), right_cols=("v",))
     assert back.collect()[0]["v"] == 7.0
+
+
+def test_catalog_external_table_and_symbol_listing(spark, tmp_path, sf_dir):
+    """S10 external-table registration over existing parquet + S9
+    catalog-driven symbol discovery."""
+    from big_data_project_jan_2026_tick_data__spark.sources.catalog import (
+        create_external_parquet,
+        list_symbols,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    loc = str(tmp_path / "ext_orders")
+    src.write.mode("overwrite").parquet(loc)
+
+    create_external_parquet(spark, "ext_orders_t", loc)
+    try:
+        back = spark.table("ext_orders_t")
+        assert back.count() == src.count()
+        syms = list_symbols(spark, "ext_orders_t", symbol_col="o_orderpriority")
+        assert syms == sorted(syms) and len(syms) == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ext_orders_t")
