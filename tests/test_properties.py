@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from big_data_project_jan_2026_tick_data__spark.operators import dedup, joins, stats
@@ -159,3 +160,79 @@ def test_pack_sequences_budget_contract(spark, sf_dir):
         for r in rows:
             assert r.seq_bucket == cum // 256
             cum += r.word_tokens
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 3600),      # second offset
+            st.integers(0, 3),         # symbol idx
+            st.floats(1.0, 1000.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_ohlc_matches_pandas(spark, data):
+    """ohlc_bars vs a pandas resample-style oracle on random ticks
+    (duplicate timestamps resolved by the tiebreak id in both)."""
+    from big_data_project_jan_2026_tick_data__spark.operators.ticks import ohlc_bars
+
+    base = pd.Timestamp(2026, 1, 5)
+    pdf = pd.DataFrame(
+        {
+            "tid": range(len(data)),
+            "symbol": [f"S{s}" for _, s, _ in data],
+            "ts": [base + pd.Timedelta(seconds=off) for off, _, _ in data],
+            "bid": [v for _, _, v in data],
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.symbol, r.bar_start): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in ohlc_bars(
+            df, value_col="bid", interval="1 minute", tiebreak_cols=("tid",)
+        ).collect()
+    }
+
+    pdf["bar"] = pdf.ts.dt.floor("min")
+    expected = {}
+    for (sym, bar), g in pdf.sort_values(["ts", "tid"]).groupby(["symbol", "bar"]):
+        expected[(sym, bar.to_pydatetime())] = (
+            g.bid.iloc[0],
+            g.bid.max(),
+            g.bid.min(),
+            g.bid.iloc[-1],
+            len(g),
+        )
+    assert got == expected
+
+
+def test_deterministic_ops_invariant_under_input_order(spark, sf_dir):
+    """Downsample/OHLC results must not depend on input partitioning or
+    row order (the property the reference's nondeterministic first()
+    lacked — SURVEY §4.4.2)."""
+    from big_data_project_jan_2026_tick_data__spark.registry import _td
+    from big_data_project_jan_2026_tick_data__spark.operators.ticks import (
+        downsample_interval,
+        ohlc_bars,
+    )
+
+    ev = _td(spark, sf_dir, "events")
+    scrambled = ev.repartition(13).sortWithinPartitions(F.desc("value"))
+
+    for op in (
+        lambda d: downsample_interval(
+            d, ts_col="ts", interval="1 minute",
+            partition_cols=("user_id",), tiebreak_cols=("event_id",),
+        ).select("event_id"),
+        lambda d: ohlc_bars(
+            d, ts_col="ts", value_col="value", interval="1 minute",
+            partition_cols=("user_id",), tiebreak_cols=("event_id",),
+        ),
+    ):
+        a = sorted(map(tuple, op(ev).collect()))
+        b = sorted(map(tuple, op(scrambled).collect()))
+        assert a == b
