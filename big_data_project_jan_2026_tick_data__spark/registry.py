@@ -1147,6 +1147,39 @@ def _register_rows_only():
             t, n_target=32, windows=((7, 0, 12, 0), (13, 0, 18, 0))
         )
 
+    @_register("ml_anomaly_scores")
+    def ml_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The reference's full ML lifecycle (SURVEY §3.3) as one plan:
+        featurize (window tensors via applyInPandas) → score
+        (reconstruction MSE, mean-model stand-in) → percentile thresholds
+        (92 / 99.5, parameters.json) → per-window anomaly flags. Rows-only
+        (pandas-UDF tensors); the pieces are unit-tested in test_mlfeat."""
+        ev = _td(spark, sf_dir, "events")
+        t = ev.select(
+            F.lit("EVENTS").alias("symbol"),
+            F.col("ts"),
+            F.col("value").alias("bid"),
+            (F.col("value") * 1.01).alias("ask"),
+        )
+        tensors = mlfeat.window_tensors(
+            t, n_target=32, windows=((7, 0, 12, 0), (13, 0, 18, 0))
+        )
+        errs = mlfeat.reconstruction_errors(tensors)
+        thresholds = errs.groupBy("symbol").agg(
+            F.percentile(F.col("err"), 0.92).alias("p92"),
+            F.percentile(F.col("err"), 0.995).alias("p99_5"),
+        )
+        return (
+            errs.join(F.broadcast(thresholds), "symbol")
+            .select(
+                "symbol",
+                "window_id",
+                F.round("err", 9).alias("err"),
+                (F.col("err") > F.col("p92")).alias("anomaly_p92"),
+                (F.col("err") > F.col("p99_5")).alias("anomaly_p99_5"),
+            )
+        )
+
     @_register("multimodal_features")
     def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         media = multimodal.synthetic_media(spark, n=64)
