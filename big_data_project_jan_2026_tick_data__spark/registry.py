@@ -1924,6 +1924,34 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @_register(
+    "events_value_histogram",
+    """
+    SELECT LEAST(GREATEST(CAST(FLOOR(value / 100.0) AS BIGINT), 0), 9)
+             AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (10 clamped buckets of width 100) in one
+    hash aggregate — the distribution-profiling primitive; bucket math in
+    codegen, no width_bucket UDF."""
+    ev = _td(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 100.0).cast("long"), F.lit(0)),
+        F.lit(9),
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+@_register(
     "part_name_tokens",
     """
     SELECT p_partkey, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
