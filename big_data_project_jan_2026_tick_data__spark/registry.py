@@ -1192,6 +1192,57 @@ def _register_rows_only():
         media = multimodal.synthetic_media(spark, n=64)
         return multimodal.sample_frames(media, every_ms=1000, max_frames=8)
 
+    @_register("streaming_session_agg")
+    def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """S13/§2.9 through the driver contract: replay the events table
+        as a file-source STREAM, run the watermarked session-window
+        aggregate, drain to a memory sink, return the materialized
+        result. Rows-only: append mode emits only watermark-closed
+        windows, so the row set is a deterministic prefix of the batch
+        result (batch/stream parity is asserted in test_streaming)."""
+        from .streaming.session_pipeline import (
+            run_stream_to_memory,
+            session_window_aggregate,
+        )
+
+        import os
+        import shutil
+        import tempfile
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = (
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        # the file-stream source wants a directory of its own; symlink
+        # the single table file into a temp dir for the replay
+        d = tempfile.mkdtemp(prefix="stream_events_")
+        try:
+            os.symlink(
+                os.path.abspath(f"{sf_dir}/events.parquet"),
+                os.path.join(d, "events.parquet"),
+            )
+            stream = (
+                spark.readStream.schema(schema)
+                .parquet(d)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+                .select(
+                    F.lit("EVENTS").alias("symbol"),
+                    "ts",
+                    F.col("value").alias("bid"),
+                    (F.col("value") * 1.01).alias("ask"),
+                )
+            )
+            agg = session_window_aggregate(
+                stream, windows=((7, 0, 12, 0), (13, 0, 18, 0))
+            )
+            out = run_stream_to_memory(agg, "reg_stream_sess")
+            rows = out.collect()
+            return spark.createDataFrame(rows, out.schema)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     @_register("approx_aggregates")
     def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Scale-path approximations (no oracle — HLL/GK sketches differ
