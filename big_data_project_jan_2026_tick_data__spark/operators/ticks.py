@@ -315,3 +315,50 @@ def despike(
         )
         .drop("__rel_dev")
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "bid",
+    step: str = "1 hour",
+    partition_cols: Sequence[str] = ("symbol",),
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Regular time-series materialization: build a complete time spine
+    (``step`` grid from each key's first to last tick, generated
+    distributively via sequence+explode) and carry the last-known value
+    onto every grid point with an as-of join — the gap-filling step
+    quant pipelines need before resampling/feature windows.
+
+    Input is first deduplicated to one row per (key, ts) (latest by
+    ``tiebreak_col``) so the carried value is deterministic. The as-of
+    attach reuses ``joins.asof_join`` — one shuffle, no spine×ticks
+    explosion."""
+    from pyspark.sql import Window
+
+    from .joins import asof_join
+
+    clean = df.select(*partition_cols, ts_col, value_col)
+    if tiebreak_col is not None:
+        w = Window.partitionBy(*partition_cols, ts_col).orderBy(
+            F.col(tiebreak_col).desc()
+        )
+        clean = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*partition_cols, ts_col, value_col)
+        )
+    spine = (
+        clean.groupBy(*partition_cols)
+        .agg(F.min(ts_col).alias("__t0"), F.max(ts_col).alias("__t1"))
+        .select(
+            *partition_cols,
+            F.explode(
+                F.sequence(F.col("__t0"), F.col("__t1"), F.expr(f"INTERVAL {step}"))
+            ).alias(ts_col),
+        )
+    )
+    return asof_join(
+        spine, clean, on=ts_col, by=tuple(partition_cols), right_cols=(value_col,)
+    )

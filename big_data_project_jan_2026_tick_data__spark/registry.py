@@ -1975,6 +1975,37 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @_register(
+    "ticks_gap_fill",
+    """
+    WITH dedup AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events) t WHERE rn = 1),
+    bounds AS (
+      SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1 FROM dedup GROUP BY user_id),
+    spine AS (
+      SELECT user_id, UNNEST(generate_series(t0, t1, INTERVAL 6 HOUR)) AS ts
+      FROM bounds)
+    SELECT s.user_id, s.ts, e.value
+    FROM spine s ASOF JOIN dedup e
+      ON s.user_id = e.user_id AND s.ts >= e.ts
+    """,
+)
+def ticks_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling: complete 6-hour spine per user carrying the
+    last-known value (sequence+explode spine, as-of attach). Oracle uses
+    DuckDB's native ASOF JOIN — an independent as-of implementation
+    cross-checking ours."""
+    ev = _td(spark, sf_dir, "events")
+    return ticks.gap_fill(
+        ev, ts_col="ts", value_col="value", step="6 hours",
+        partition_cols=("user_id",), tiebreak_col="event_id",
+    ).select("user_id", "ts", "value")
+
+
+@_register(
     "events_value_histogram",
     """
     SELECT LEAST(GREATEST(CAST(FLOOR(value / 100.0) AS BIGINT), 0), 9)
