@@ -184,3 +184,42 @@ def normalize_text(col: Column) -> Column:
     c = F.regexp_replace(c, r"[^\w\s]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d[\d\s()-]{7,}\d"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: replace emails, phone-shaped
+    number runs and IPv4 literals with typed placeholders — chained
+    regexp_replace, all codegen, order matters (emails first so their
+    digits aren't phone-matched)."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IP_RE, "<IP>")
+    c = F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+    return df.withColumn("scrubbed", c).withColumn(
+        "pii_found", F.col(text_col) != F.col("scrubbed")
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 3,
+) -> DataFrame:
+    """Boilerplate-line removal: split into lines, drop lines with fewer
+    than ``min_line_words`` words (nav/menu/footer fragments), rejoin.
+    Higher-order functions (filter over split) — no UDF, no explode
+    round-trip."""
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.size(F.split(F.trim(ln), r"\s+"))
+        >= F.lit(min_line_words),
+    )
+    return df.withColumn("clean_text", F.array_join(kept, "\n")).withColumn(
+        "lines_dropped", F.size(lines) - F.size(kept)
+    )

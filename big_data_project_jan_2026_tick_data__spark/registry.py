@@ -1974,6 +1974,59 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _scrub_pii_oracle() -> str:
+    """Interpolate the module's PII regexes so Spark and the oracle run
+    the same patterns (DuckDB needs the 'g' flag; Spark's regexp_replace
+    is global by default)."""
+    from .operators.text import PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+
+    return (
+        "SELECT doc_id,\n"
+        "       regexp_replace(regexp_replace(regexp_replace(text,\n"
+        "         '" + PII_EMAIL_RE + "', '<EMAIL>', 'g'),\n"
+        "         '" + PII_IP_RE + "', '<IP>', 'g'),\n"
+        "         '" + PII_PHONE_RE + "', '<PHONE>', 'g') AS scrubbed,\n"
+        "       text <> regexp_replace(regexp_replace(regexp_replace(text,\n"
+        "         '" + PII_EMAIL_RE + "', '<EMAIL>', 'g'),\n"
+        "         '" + PII_IP_RE + "', '<IP>', 'g'),\n"
+        "         '" + PII_PHONE_RE + "', '<PHONE>', 'g') AS pii_found\n"
+        "FROM documents"
+    )
+
+
+@_register("doc_scrub_pii", _scrub_pii_oracle())
+def doc_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/IPs/phone runs -> typed placeholders) —
+    chained codegen regexp_replace, no UDF."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.scrub_pii(docs).select("doc_id", "scrubbed", "pii_found")
+
+
+@_register(
+    "doc_strip_boilerplate",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+    k AS (
+      SELECT doc_id, lines,
+             list_filter(lines,
+               ln -> len(regexp_split_to_array(trim(ln), '\s+')) >= 3) AS kept
+      FROM t)
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS clean_text,
+           len(lines) - len(kept) AS lines_dropped
+    FROM k
+    """,
+)
+def doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal (drop lines with < 3 words) via
+    higher-order filter over split — no UDF, no explode round-trip."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.strip_boilerplate(docs, min_line_words=3).select(
+        "doc_id", "clean_text", "lines_dropped"
+    )
+
+
 @_register(
     "ticks_gap_fill",
     """
