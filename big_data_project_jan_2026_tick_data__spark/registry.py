@@ -1974,6 +1974,41 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@_register(
+    "window_value_functions",
+    """
+    SELECT event_id, user_id, ts,
+           first_value(value) OVER w AS day_open,
+           last_value(value) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS day_close,
+           nth_value(value, 2) OVER w AS day_second
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts, event_id)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with explicit frames —
+    last_value needs the full-partition frame (the default frame stops
+    at CURRENT ROW, a classic SQL footgun both engines share)."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.first("value").over(w).alias("day_open"),
+        F.last("value").over(w_full).alias("day_close"),
+        F.nth_value("value", 2).over(w).alias("day_second"),
+    )
+
+
 def _scrub_pii_oracle() -> str:
     """Interpolate the module's PII regexes so Spark and the oracle run
     the same patterns (DuckDB needs the 'g' flag; Spark's regexp_replace
