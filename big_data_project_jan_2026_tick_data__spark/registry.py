@@ -1975,6 +1975,32 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @_register(
+    "emb_label_centroids",
+    """
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS c,
+           COUNT(*) AS n
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY 1, 2
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dim): posexplode the
+    vector and average per dimension — the cluster-quality/IVF-debug
+    primitive, pure codegen + hash agg (no vector UDF)."""
+    emb = _td(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    return e.groupBy("label", "dim").agg(
+        F.round(F.avg("x"), 6).alias("c"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
     "window_value_functions",
     """
     SELECT event_id, user_id, ts,
