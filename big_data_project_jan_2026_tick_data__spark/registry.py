@@ -1975,6 +1975,73 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @_register(
+    "set_ops_multiset",
+    """
+    SELECT event_type, n FROM (
+      SELECT event_type, COUNT(*) AS n FROM (
+        SELECT event_type FROM events WHERE user_id % 2 = 0
+        EXCEPT ALL
+        SELECT event_type FROM events WHERE user_id % 3 = 0) e
+      GROUP BY event_type
+      UNION ALL
+      SELECT event_type, -COUNT(*) AS n FROM (
+        SELECT event_type FROM events WHERE user_id % 2 = 0
+        INTERSECT ALL
+        SELECT event_type FROM events WHERE user_id % 3 = 0) i
+      GROUP BY event_type) u
+    """,
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — multiset semantics (duplicate counts
+    subtract / take-min, unlike the DISTINCT set ops already covered);
+    aggregated to per-type counts for a stable comparison."""
+    ev = _td(spark, sf_dir, "events")
+    a = ev.filter(F.col("user_id") % 2 == 0).select("event_type")
+    b = ev.filter(F.col("user_id") % 3 == 0).select("event_type")
+    exc = (
+        a.exceptAll(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("event_type")
+        .agg((-F.count(F.lit(1))).alias("n"))
+    )
+    return exc.unionByName(inter)
+
+
+@_register(
+    "orders_unpivot",
+    """
+    SELECT o_orderpriority, metric, ROUND(val, 2) AS val
+    FROM (SELECT o_orderpriority,
+                 SUM(o_totalprice) AS total_price,
+                 AVG(o_totalprice) AS avg_price,
+                 CAST(COUNT(*) AS DOUBLE) AS n_orders
+          FROM orders GROUP BY o_orderpriority) w
+    UNPIVOT (val FOR metric IN (total_price, avg_price, n_orders))
+    """,
+)
+def orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide metrics -> long rows) via stack() — the
+    inverse of the pivot query already covered."""
+    o = _td(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("total_price"),
+        F.avg("o_totalprice").alias("avg_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.expr(
+            "stack(3, 'total_price', total_price, 'avg_price', avg_price, "
+            "'n_orders', n_orders) AS (metric, val)"
+        ),
+    ).withColumn("val", F.round("val", 2))
+
+
+@_register(
     "emb_label_centroids",
     """
     SELECT label, CAST(i - 1 AS INTEGER) AS dim,
