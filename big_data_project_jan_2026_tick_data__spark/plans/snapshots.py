@@ -197,6 +197,39 @@ class SnapshotTable:
         self._append_log(snap)
         return snap
 
+    def expire_snapshots(self, keep_last: int = 1) -> dict[str, int]:
+        """Storage reclamation (Iceberg ``expire_snapshots`` analog):
+        drop all but the newest ``keep_last`` snapshots from the log and
+        delete data dirs no surviving snapshot references. Time travel
+        to expired snapshots stops working — by design; the current
+        table state is untouched. Returns counts of expired snapshots
+        and deleted data dirs."""
+        import shutil
+
+        log = self._read_log()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if len(log) <= keep_last:
+            return {"expired_snapshots": 0, "deleted_dirs": 0}
+        keep = log[-keep_last:]
+        expired = log[:-keep_last]
+        live_dirs = {d for s in keep for d in s.manifest}
+        dead_dirs = {
+            d for s in expired for d in s.manifest if d not in live_dirs
+        }
+        # commit the truncated log FIRST (atomic), then delete files — a
+        # crash between the two leaks orphan dirs but never breaks reads
+        tmp = self._log_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump([vars(s) for s in keep], f)
+        os.replace(tmp, self._log_path)
+        for d in dead_dirs:
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        return {
+            "expired_snapshots": len(expired),
+            "deleted_dirs": len(dead_dirs),
+        }
+
     # -- reads --------------------------------------------------------------
 
     def _resolve(self, version: int | None, as_of_ms: int | None) -> Snapshot:

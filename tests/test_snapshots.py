@@ -118,3 +118,36 @@ def test_compact_preserves_data_and_history(spark, tmp_path, sf_dir):
     # rollback across a compaction
     t.rollback_to(1)
     assert t.read().count() == ev.filter("o_orderkey % 2 = 0").count()
+
+
+def test_expire_snapshots_reclaims_storage(spark, tmp_path, sf_dir):
+    """Expiry keeps the newest N snapshots, deletes unreferenced data
+    dirs, preserves current reads, and breaks reads of expired versions
+    (by design)."""
+    import os
+
+    import pytest
+
+    from big_data_project_jan_2026_tick_data__spark.plans.snapshots import SnapshotTable
+
+    ev = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "exp"))
+    t.write(ev.filter("o_orderkey % 3 = 0"), mode="append")
+    t.write(ev.filter("o_orderkey % 3 = 1"), mode="append")
+    t.compact(num_files=1)  # snapshot 3 references only the fresh dir
+    n_current = t.read().count()
+    dirs_before = set(os.listdir(os.path.join(t.root, "data")))
+
+    res = t.expire_snapshots(keep_last=1)
+    assert res == {"expired_snapshots": 2, "deleted_dirs": 2}
+    dirs_after = set(os.listdir(os.path.join(t.root, "data")))
+    assert len(dirs_before) == 3 and len(dirs_after) == 1
+
+    assert t.read().count() == n_current  # current state intact
+    with pytest.raises(ValueError):
+        t.read(version=1)  # expired
+    # the table keeps working after expiry
+    t.write(ev.filter("o_orderkey % 3 = 2"), mode="append")
+    assert t.read().count() == ev.count()
