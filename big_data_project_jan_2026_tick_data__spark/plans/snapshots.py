@@ -252,12 +252,17 @@ class SnapshotTable:
         self, version: int | None = None, as_of_ms: int | None = None
     ) -> DataFrame:
         """Read the table — latest, ``FOR VERSION AS OF`` (version=) or
-        ``FOR TIMESTAMP AS OF`` (as_of_ms=)."""
+        ``FOR TIMESTAMP AS OF`` (as_of_ms=).
+
+        ``mergeSchema`` is on: commits may add columns over time
+        (schema evolution — the Iceberg capability the reference had but
+        never used, SURVEY §1.3); older files surface NULL for columns
+        they predate."""
         snap = self._resolve(version, as_of_ms)
         if not snap.manifest:
             raise ValueError("empty snapshot")
         paths = [os.path.join(self.root, d) for d in snap.manifest]
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def snapshots(self) -> DataFrame:
         """The ``$snapshots`` metadata relation (snapshot_id, parent,

@@ -151,3 +151,33 @@ def test_expire_snapshots_reclaims_storage(spark, tmp_path, sf_dir):
     # the table keeps working after expiry
     t.write(ev.filter("o_orderkey % 3 = 2"), mode="append")
     assert t.read().count() == ev.count()
+
+
+def test_schema_evolution_add_column(spark, tmp_path, sf_dir):
+    """A later commit may add a column; reads merge schemas and older
+    rows surface NULL for the new column (Iceberg-style add-column
+    evolution). Time travel to the pre-evolution snapshot shows the old
+    schema only."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_jan_2026_tick_data__spark.plans.snapshots import SnapshotTable
+
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "evo"))
+    t.write(base.filter("o_orderkey % 2 = 0"), mode="append")
+    evolved = base.filter("o_orderkey % 2 = 1").withColumn(
+        "discounted", F.col("o_totalprice") * 0.9
+    )
+    t.write(evolved, mode="append")
+
+    cur = t.read()
+    assert "discounted" in cur.columns
+    assert cur.count() == base.count()
+    old_rows = cur.filter("o_orderkey % 2 = 0")
+    assert old_rows.count() > 0
+    assert old_rows.filter(F.col("discounted").isNotNull()).count() == 0
+
+    v1 = t.read(version=1)
+    assert "discounted" not in v1.columns
