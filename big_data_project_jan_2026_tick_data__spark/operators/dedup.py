@@ -71,33 +71,24 @@ def minhash_signatures(
     """MinHash signature per document: sig[i] = min over shingles of
     xxhash64(shingle, seed_i).
 
-    Strategy: ONE codegen'd xxhash64 per shingle, then ``num_hashes``
-    linear permutations ``a_i*h + b_i`` (cheap 64-bit arithmetic) reduced
-    by min in a single hash aggregate. Partial (map-side) aggregation
-    collapses each partition to one 32-long row per doc before the
-    shuffle, so shuffle volume is O(#docs), not O(#shingles). ~2× faster
-    than hashing num_hashes times per shingle, and far faster than
-    interpreted higher-order lambdas (not codegen'd).
+    Strategy: ONE codegen'd xxhash64 of the shingle *string*, then
+    ``num_hashes`` independent permutations ``xxhash64(h, i)`` — each a
+    fixed-width (long, int) hash, JVM codegen'd, reduced by min in a
+    single hash aggregate. Re-hashing the 8-byte value is ~as cheap as
+    the linear ``a*h + b`` permutation it replaces but cannot overflow,
+    so it is safe under ``spark.sql.ansi.enabled=true`` (Spark 4
+    default) where signed-64 wraparound raises ARITHMETIC_OVERFLOW.
+    Partial (map-side) aggregation collapses each partition to one
+    num_hashes-long row per doc before the shuffle, so shuffle volume is
+    O(#docs), not O(#shingles).
     """
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
     ).select(F.col(id_col), F.xxhash64("__sh").alias("__h"))
-    # deterministic odd multipliers/offsets (splitmix-style constants)
-    def _consts(i: int) -> tuple[int, int]:
-        a = (0x9E3779B97F4A7C15 * (2 * i + 1)) & 0xFFFFFFFFFFFFFFFF | 1
-        b = (0xBF58476D1CE4E5B9 * (i + 1)) & 0xFFFFFFFFFFFFFFFF
-        # to signed 64
-        to_s = lambda v: v - (1 << 64) if v >= (1 << 63) else v
-        return to_s(a), to_s(b)
-
-    aggs = []
-    for i in range(num_hashes):
-        a, b = _consts(i)
-        aggs.append(
-            F.min(F.col("__h") * F.lit(a).cast("long") + F.lit(b).cast("long")).alias(
-                f"h{i}"
-            )
-        )
+    aggs = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
     sigs = sh.groupBy(id_col).agg(*aggs)
     return sigs.select(
         F.col(id_col),
@@ -112,11 +103,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: split the signature
     into ``bands`` bands of ``num_hashes//bands`` rows, hash each band,
     self-join on (band_idx, band_hash). Output: (id_a, id_b) with a < b,
-    plus the estimated Jaccard from full-signature agreement."""
+    plus the estimated Jaccard from full-signature agreement.
+
+    ``max_bucket_size`` is the hot-bucket safety valve for real corpora:
+    a degenerate band bucket holding m documents (boilerplate, empty
+    docs, templated text) contributes m²/2 candidate pairs, so one hot
+    bucket can turn the equi-join quadratic at 100 TB. Buckets larger
+    than the cap are dropped *before* the self-join (the count runs over
+    the same (band_idx, band_hash) partitioning the join shuffles on, so
+    AQE reuses the exchange). Near-dup semantics degrade gracefully —
+    docs in a dropped bucket still pair through their other bands.
+    ``None`` disables the cap."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_entries = sigs.select(
@@ -125,14 +127,21 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.concat_ws(",", *[F.col("sig")[b * rows + r] for r in range(rows)])
-                    )
+                    # variadic fixed-width hash of the band's signature
+                    # slice — no string materialization per band
+                    F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
                     for b in range(bands)
                 ]
             )
         ).alias("band_idx", "band_hash"),
     )
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band_idx", "band_hash")
+        band_entries = (
+            band_entries.withColumn("__bsz", F.count(F.lit(1)).over(bw))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     pairs = (
@@ -168,16 +177,32 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs, computed distributively:
     explode shingles, self-join on shingle (co-occurrence count = |A∩B|),
     join per-doc sizes for |A∪B|. No cross join — the shuffle key is the
-    shingle, so common shingles dominate cost (cap via stopword-shingle
-    filtering at scale)."""
+    shingle, so common shingles dominate cost.
+
+    ``max_shingle_df`` caps that cost: a stopword shingle appearing in d
+    documents yields d²/2 co-occurrence rows, so one hot 3-gram ("of the
+    and"-class boilerplate) is quadratic at corpus scale. Shingles whose
+    document frequency exceeds the cap are excluded from BOTH the
+    intersection join and the per-doc set sizes, i.e. the result is the
+    exact Jaccard over the reduced shingle universe (the standard
+    df-filtered similarity; hot shingles carry no similarity signal
+    anyway). ``None`` disables the cap."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
+    if max_shingle_df is not None:
+        dfw = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(dfw))
+            .filter(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("a")

@@ -153,7 +153,16 @@ def salted_join(
     join pipelines and for engines/paths AQE can't rewrite. Left salt is
     derived deterministically from a row hash, not rand(), so retries and
     oracle comparisons are stable.
+
+    Only ``inner`` and ``left`` joins are supported: the right side is
+    replicated once per salt, so a right/full outer join would emit each
+    *unmatched* right row ``salt_buckets`` times — silent duplication.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "unmatched right rows would be duplicated once per salt bucket"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
     l2 = left.withColumn("__salt", salt.cast("int"))
     r2 = right.withColumn(

@@ -174,13 +174,17 @@ def ffill(
     cols: Sequence[str],
     ts_col: str = "ts",
     partition_cols: Sequence[str] = ("symbol",),
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Forward-fill nulls in event-time order (reference model.py:227-231
     pandas ``ffill``) via last(ignorenulls) over an unbounded-preceding
-    window. Partitioned by key so state never crosses symbols."""
+    window. Partitioned by key so state never crosses symbols.
+    ``tiebreak_cols`` totalizes the order when timestamps can repeat —
+    without it, fill results on duplicate timestamps are
+    partitioning-dependent."""
     w = (
         Window.partitionBy(*partition_cols)
-        .orderBy(F.col(ts_col).asc())
+        .orderBy(F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = df
@@ -194,12 +198,14 @@ def bfill(
     cols: Sequence[str],
     ts_col: str = "ts",
     partition_cols: Sequence[str] = ("symbol",),
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Backward-fill (reference model.py:227-231 ``bfill``) — mirrored
-    first(ignorenulls) over unbounded-following."""
+    first(ignorenulls) over unbounded-following. ``tiebreak_cols`` as in
+    :func:`ffill`."""
     w = (
         Window.partitionBy(*partition_cols)
-        .orderBy(F.col(ts_col).asc())
+        .orderBy(F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols])
         .rowsBetween(0, Window.unboundedFollowing)
     )
     out = df
