@@ -4,18 +4,27 @@ Emulates the observable Iceberg behavior the reference uses
 (``Apache Iceberg/iceberg_time_travel.py`` — ``$snapshots`` listing
 :48-58, ``FOR VERSION AS OF`` :139-143, ``FOR TIMESTAMP AS OF`` :163-167,
 snapshot count-diff :184-197, ``rollback_to_snapshot`` :224-226 — and
-``metadata_layer.py:73-82`` table DDL) with ~200 LoC of pure PySpark +
-an append-only JSON log:
+``metadata_layer.py:73-82`` table DDL) with ~250 LoC of pure PySpark +
+an append-only metadata log:
 
     <root>/
       data/<commit-uuid>/part-*.parquet   immutable data files per commit
-      _snapshots/log.json                 append-only snapshot log
+      _snapshots/snap-%09d.json           one immutable file per snapshot
 
-A snapshot = manifest (list of data dirs) + summary map. Commits are
-atomic via write-temp + ``os.replace`` of the log. Readers pin a
-manifest, so concurrent reads during a commit see a consistent snapshot
-(single-writer assumed — a real multi-writer needs a CAS catalog, which
-is exactly what Iceberg's JDBC catalog provides in the reference).
+All metadata I/O goes through the **Hadoop FileSystem API** (via the
+session JVM), so the table works identically on file://, hdfs://, s3a://
+etc. — matching the reference's S3/MinIO lakehouse
+(``iceberg_migration.py:62-108``) without driver-local POSIX assumptions.
+
+A snapshot = manifest (list of data dirs) + summary map. The commit
+point is an **exclusive create** of the next ``snap-N.json`` (HDFS and
+strongly-consistent object stores make create-if-absent atomic): two
+writers racing to commit snapshot N both derive N from the same parent,
+and exactly one create succeeds — the loser gets
+:class:`ConcurrentCommitError` and should re-read the log and retry
+(optimistic concurrency, the lightweight analog of Iceberg's CAS
+catalog swap). Readers pin a manifest, so reads during a commit see a
+consistent snapshot.
 
 Rollback is **rollback-as-new-snapshot** (matches Iceberg: the log only
 grows; ``iceberg_time_travel.py:224-244``).
@@ -23,13 +32,13 @@ grows; ``iceberg_time_travel.py:224-244``).
 Scale notes: data files are never rewritten or moved; a snapshot read is
 ``spark.read.parquet(*dirs)`` so partition pruning / pushdown apply
 unchanged; record counts come from parquet footers (metadata-only, no
-scan).
+scan — read through the JVM's ParquetFileReader so footers also come
+off the Hadoop FS, not the local disk).
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 from dataclasses import dataclass
@@ -39,7 +48,71 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _LOG_DIR = "_snapshots"
-_LOG_FILE = "log.json"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same snapshot id first — re-read the
+    log and retry the commit (optimistic concurrency)."""
+
+
+class _HadoopFS:
+    """Thin py4j wrapper over ``org.apache.hadoop.fs.FileSystem`` for the
+    table's metadata I/O. Everything here is metadata-scale (a few KB per
+    snapshot) — the data files themselves are written/read by Spark."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self._jvm = spark.sparkContext._jvm
+        self._conf = spark.sparkContext._jsc.hadoopConfiguration()
+        self._root = self._jvm.org.apache.hadoop.fs.Path(root)
+        self.fs = self._root.getFileSystem(self._conf)
+
+    def path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def mkdirs(self, p: str) -> None:
+        self.fs.mkdirs(self.path(p))
+
+    def exists(self, p: str) -> bool:
+        return self.fs.exists(self.path(p))
+
+    def list_names(self, p: str) -> list[str]:
+        return [st.getPath().getName() for st in self.fs.listStatus(self.path(p))]
+
+    def read_text(self, p: str) -> str:
+        stream = self.fs.open(self.path(p))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def create_text(self, p: str, text: str, overwrite: bool = False) -> None:
+        """Write a small text file; ``overwrite=False`` is the atomic
+        create-if-absent commit primitive."""
+        out = self.fs.create(self.path(p), overwrite)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def delete(self, p: str, recursive: bool = False) -> None:
+        self.fs.delete(self.path(p), recursive)
+
+    def parquet_row_count(self, dirpath: str) -> int:
+        """Sum parquet footer num_rows over a data dir — metadata-only,
+        through the Hadoop FS (works on object storage)."""
+        total = 0
+        for name in self.list_names(dirpath):
+            if not name.endswith(".parquet"):
+                continue
+            f = self._jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                self.path(f"{dirpath}/{name}"), self._conf
+            )
+            reader = self._jvm.org.apache.parquet.hadoop.ParquetFileReader.open(f)
+            try:
+                total += reader.getRecordCount()
+            finally:
+                reader.close()
+        return total
 
 SNAPSHOTS_SCHEMA = T.StructType(
     [
@@ -50,17 +123,6 @@ SNAPSHOTS_SCHEMA = T.StructType(
         T.StructField("summary", T.MapType(T.StringType(), T.StringType()), False),
     ]
 )
-
-
-def _footer_row_count(dirpath: str) -> int:
-    """Sum parquet footer num_rows over a data dir — metadata-only."""
-    import pyarrow.parquet as pq
-
-    total = 0
-    for name in os.listdir(dirpath):
-        if name.endswith(".parquet"):
-            total += pq.ParquetFile(os.path.join(dirpath, name)).metadata.num_rows
-    return total
 
 
 @dataclass
@@ -79,28 +141,42 @@ class SnapshotTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        self._hfs = _HadoopFS(spark, root)
+        self._hfs.mkdirs(f"{root}/{_LOG_DIR}")
+        self._hfs.mkdirs(f"{root}/data")
 
     # -- log ----------------------------------------------------------------
 
-    @property
-    def _log_path(self) -> str:
-        return os.path.join(self.root, _LOG_DIR, _LOG_FILE)
+    def _snap_path(self, snapshot_id: int) -> str:
+        # fixed-width name: lexicographic listing order == id order
+        return f"{self.root}/{_LOG_DIR}/snap-{snapshot_id:09d}.json"
 
     def _read_log(self) -> list[Snapshot]:
-        if not os.path.exists(self._log_path):
-            return []
-        with open(self._log_path) as f:
-            return [Snapshot(**e) for e in json.load(f)]
+        names = sorted(
+            n
+            for n in self._hfs.list_names(f"{self.root}/{_LOG_DIR}")
+            if n.startswith("snap-") and n.endswith(".json")
+        )
+        return [
+            Snapshot(**json.loads(self._hfs.read_text(f"{self.root}/{_LOG_DIR}/{n}")))
+            for n in names
+        ]
 
     def _append_log(self, snap: Snapshot) -> None:
-        entries = self._read_log()
-        entries.append(snap)
-        tmp = self._log_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump([vars(s) for s in entries], f)
-        os.replace(tmp, self._log_path)  # atomic commit point
+        """Commit point: exclusive create of the snapshot's own file —
+        atomic on HDFS / strongly-consistent object stores; a concurrent
+        writer that won the race makes this raise ConcurrentCommitError."""
+        try:
+            self._hfs.create_text(
+                self._snap_path(snap.snapshot_id), json.dumps(vars(snap)), overwrite=False
+            )
+        except Exception as e:  # py4j wraps FileAlreadyExistsException
+            if "exists" in str(e).lower():
+                raise ConcurrentCommitError(
+                    f"snapshot {snap.snapshot_id} was committed concurrently; "
+                    "re-read the log and retry"
+                ) from e
+            raise
 
     # -- writes -------------------------------------------------------------
 
@@ -109,9 +185,9 @@ class SnapshotTable:
         if mode not in ("append", "overwrite"):
             raise ValueError("mode must be append|overwrite")
         commit_dir = f"data/{uuid.uuid4().hex}"
-        out_path = os.path.join(self.root, commit_dir)
+        out_path = f"{self.root}/{commit_dir}"
         df.write.mode("errorifexists").parquet(out_path)
-        added = _footer_row_count(out_path)
+        added = self._hfs.parquet_row_count(out_path)
 
         log = self._read_log()
         parent = log[-1] if log else None
@@ -178,9 +254,9 @@ class SnapshotTable:
         if num_files is not None:
             df = df.repartition(num_files)
         commit_dir = f"data/{uuid.uuid4().hex}"
-        out_path = os.path.join(self.root, commit_dir)
+        out_path = f"{self.root}/{commit_dir}"
         df.write.mode("errorifexists").parquet(out_path)
-        total = _footer_row_count(out_path)
+        total = self._hfs.parquet_row_count(out_path)
         snap = Snapshot(
             snapshot_id=current.snapshot_id + 1,
             parent_snapshot_id=current.snapshot_id,
@@ -204,8 +280,6 @@ class SnapshotTable:
         to expired snapshots stops working — by design; the current
         table state is untouched. Returns counts of expired snapshots
         and deleted data dirs."""
-        import shutil
-
         log = self._read_log()
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
@@ -217,14 +291,13 @@ class SnapshotTable:
         dead_dirs = {
             d for s in expired for d in s.manifest if d not in live_dirs
         }
-        # commit the truncated log FIRST (atomic), then delete files — a
-        # crash between the two leaks orphan dirs but never breaks reads
-        tmp = self._log_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump([vars(s) for s in keep], f)
-        os.replace(tmp, self._log_path)
+        # drop the expired snapshot files FIRST, then data dirs — a crash
+        # between the two leaks orphan dirs but never breaks reads (no
+        # surviving snapshot references a deleted dir)
+        for s in expired:
+            self._hfs.delete(self._snap_path(s.snapshot_id))
         for d in dead_dirs:
-            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+            self._hfs.delete(f"{self.root}/{d}", recursive=True)
         return {
             "expired_snapshots": len(expired),
             "deleted_dirs": len(dead_dirs),
@@ -261,7 +334,7 @@ class SnapshotTable:
         snap = self._resolve(version, as_of_ms)
         if not snap.manifest:
             raise ValueError("empty snapshot")
-        paths = [os.path.join(self.root, d) for d in snap.manifest]
+        paths = [f"{self.root}/{d}" for d in snap.manifest]
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def snapshots(self) -> DataFrame:

@@ -1,0 +1,85 @@
+"""Hot-key safety valves in the dedup operators: a degenerate shingle or
+LSH band bucket shared by m documents costs O(m²) candidate pairs, so the
+frequency caps must drop it *before* the self-join (the 100 TB scale
+guard — VERDICT r1 scale-killer #2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_project_jan_2026_tick_data__spark.operators import dedup
+
+BOILER = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def _stopword_corpus(spark, n=30):
+    """Every doc shares the same boilerplate phrase; unique tail content."""
+    rows = [(i, f"{BOILER} unique token{i} payload{i} content{i}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_cap_drops_hot_shingles(spark):
+    docs = _stopword_corpus(spark, 30)
+    # Uncapped: boilerplate 3-grams co-occur in all 30 docs -> every doc
+    # pairs with every other (30*29/2 pairs), the quadratic blowup.
+    uncapped = dedup.ngram_jaccard_pairs(docs, max_shingle_df=None)
+    assert uncapped.count() == 30 * 29 // 2
+    # Capped below the corpus size: hot shingles (df=30) are excluded from
+    # both the intersection and the set sizes, so unrelated docs no longer
+    # intersect at all.
+    capped = dedup.ngram_jaccard_pairs(docs, max_shingle_df=5)
+    assert capped.count() == 0
+
+
+def test_ngram_cap_keeps_real_duplicates(spark):
+    # Two genuine near-duplicates among boilerplate-heavy noise: their
+    # shared *rare* shingles (df=2 <= cap) survive the cap.
+    rows = [(i, f"{BOILER} unique token{i} payload{i}") for i in range(20)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=5)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}
+
+
+def test_minhash_bucket_cap_drops_degenerate_bucket(spark):
+    # 40 identical documents: every band bucket holds all 40 entries.
+    docs = spark.createDataFrame(
+        [(i, BOILER) for i in range(40)], "doc_id long, text string"
+    )
+    uncapped = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, max_bucket_size=None)
+    assert uncapped.count() == 40 * 39 // 2
+    capped = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, max_bucket_size=10)
+    assert capped.count() == 0
+
+
+def test_minhash_bucket_cap_preserves_small_buckets(spark):
+    # A pair of identical docs (bucket size 2) plus distinct noise docs:
+    # the cap leaves small buckets untouched.
+    rows = [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta")]
+    rows += [(10 + i, f"wholly distinct document number {i} about topic{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, max_bucket_size=10)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in pairs
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in out.collect()}[(1, 2)]
+    assert est == 1.0
+
+
+def test_minhash_ansi_safe(spark):
+    """Signature math must not raise under ANSI mode (Spark 4 default in
+    external sessions) — regression for the r1 ARITHMETIC_OVERFLOW."""
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        docs = spark.createDataFrame(
+            [(1, "some document text here"), (2, "some document text here")],
+            "doc_id long, text string",
+        )
+        out = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+        assert out.count() == 1
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

@@ -153,6 +153,59 @@ def test_expire_snapshots_reclaims_storage(spark, tmp_path, sf_dir):
     assert t.read().count() == ev.count()
 
 
+def test_concurrent_commit_conflict(spark, tmp_path):
+    """Two writers deriving the same next snapshot id: the exclusive
+    create of snap-N.json makes exactly one commit win; the loser gets
+    ConcurrentCommitError and can retry after re-reading the log."""
+    from big_data_project_jan_2026_tick_data__spark.plans.snapshots import (
+        ConcurrentCommitError,
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "cc")
+    w1 = SnapshotTable(spark, root)
+    w2 = SnapshotTable(spark, root)
+    w1.write(_df(spark, 0, 5), mode="append")
+
+    # simulate the race: both writers read parent=1, then w2 commits 2
+    # first; w1's _append_log for id 2 must fail, not silently clobber
+    w2.write(_df(spark, 5, 8), mode="append")
+    import json as _json
+    import time as _time
+
+    from big_data_project_jan_2026_tick_data__spark.plans.snapshots import Snapshot
+
+    stale = Snapshot(
+        snapshot_id=2,
+        parent_snapshot_id=1,
+        committed_at_ms=int(_time.time() * 1000),
+        operation="append",
+        manifest=["data/stale"],
+        summary={"added-records": "0", "deleted-records": "0", "total-records": "5"},
+    )
+    with pytest.raises(ConcurrentCommitError):
+        w1._append_log(stale)
+    # the winning commit is intact
+    assert w1.read().count() == 8
+    assert _json.loads(
+        w1._hfs.read_text(w1._snap_path(2))
+    )["summary"]["total-records"] == "8"
+
+
+def test_metadata_io_is_hadoop_fs(spark, tmp_path):
+    """The metadata log round-trips through the Hadoop FileSystem API
+    with an explicit file:// URI (the object-store code path — no POSIX
+    calls involved)."""
+    root = f"file://{tmp_path}/uri_tbl"
+    t = SnapshotTable(spark, root)
+    t.write(_df(spark, 0, 7), mode="append")
+    t.write(_df(spark, 7, 10), mode="append")
+    assert t.read().count() == 10
+    assert t.read(version=1).count() == 7
+    assert t.snapshots().count() == 2
+    assert t.diff(1, 2)["delta"] == 3
+
+
 def test_schema_evolution_add_column(spark, tmp_path, sf_dir):
     """A later commit may add a column; reads merge schemas and older
     rows surface NULL for the new column (Iceberg-style add-column
