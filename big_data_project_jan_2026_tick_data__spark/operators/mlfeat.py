@@ -125,27 +125,88 @@ def scale_features(
     return out.drop(*drop)
 
 
+class PCAReconstructor:
+    """Per-symbol closed-form linear autoencoder (reference
+    `ML Model/Scripts/model.py:385-398` trains a torch autoencoder per
+    symbol; torch is absent here, but PCA IS the optimal *linear*
+    autoencoder — encoder V^T, decoder V — so this is a real trained
+    reconstruction model, not a stand-in).
+
+    ``models``: symbol → (mean f-vector, V f×k component matrix).
+    Reconstruction of a window's tick-vectors x (n×f):
+    ``mean + (x - mean) V V^T`` — the projection onto the learned k-dim
+    subspace. Unknown symbols fall back to mean reconstruction (V=0)."""
+
+    def __init__(self, models: dict[str, tuple[np.ndarray, np.ndarray]]):
+        self.models = models
+
+    def __call__(self, x: np.ndarray, symbol: str) -> np.ndarray:
+        m = self.models.get(symbol)
+        if m is None:
+            return np.broadcast_to(x.mean(axis=0), x.shape)
+        mean, comps = m
+        centered = x - mean
+        return mean + centered @ comps @ comps.T
+
+
+def fit_pca_reconstructor(
+    tensors: DataFrame, dim: int, n_components: int = 1
+) -> PCAReconstructor:
+    """Fit the per-symbol PCA reconstruction model distributively: the
+    per-tick feature vectors inside every window are exploded JVM-side
+    and reduced to per-symbol first/second moments in ONE hash aggregate
+    (partial map-side combine — shuffle volume is #symbols × f² doubles,
+    independent of data size). The f×f covariance eigendecomposition
+    runs on the driver — f is the feature count (3 here), so this is
+    metadata-scale math, the same shape as IVF's centroid collect."""
+    fv = tensors.select("symbol", F.explode("features").alias("fv"))
+    aggs: list = [F.count(F.lit(1)).alias("n")]
+    for i in range(dim):
+        aggs.append(F.sum(F.col("fv")[i].cast("double")).alias(f"s{i}"))
+    for i in range(dim):
+        for j in range(i, dim):
+            aggs.append(
+                F.sum(
+                    (F.col("fv")[i] * F.col("fv")[j]).cast("double")
+                ).alias(f"s{i}_{j}")
+            )
+    rows = fv.groupBy("symbol").agg(*aggs).collect()
+
+    models: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for r in rows:
+        n = r["n"]
+        mean = np.array([r[f"s{i}"] / n for i in range(dim)])
+        cov = np.zeros((dim, dim))
+        for i in range(dim):
+            for j in range(i, dim):
+                cov[i, j] = cov[j, i] = r[f"s{i}_{j}"] / n - mean[i] * mean[j]
+        eigvals, eigvecs = np.linalg.eigh(cov)
+        comps = eigvecs[:, np.argsort(eigvals)[::-1][:n_components]]
+        models[r["symbol"]] = (mean, comps)
+    return PCAReconstructor(models)
+
+
 def reconstruction_errors(
     tensors: DataFrame,
     model_fn=None,
 ) -> DataFrame:
     """Per-window reconstruction MSE (model.py:385-398). ``model_fn``:
-    tensor (n×f ndarray) → reconstruction ndarray; defaults to the mean
-    reconstruction (a 0-parameter autoencoder stand-in — torch is not in
-    this container; the scoring CONTRACT is what's exercised)."""
+    ``(tensor n×f ndarray, symbol) → reconstruction ndarray`` — e.g. a
+    fitted :class:`PCAReconstructor`; defaults to the per-window mean
+    reconstruction (a 0-parameter baseline)."""
 
-    def default_model(x: np.ndarray) -> np.ndarray:
+    def default_model(x: np.ndarray, symbol: str) -> np.ndarray:
         return np.broadcast_to(x.mean(axis=0), x.shape)
 
     fn = model_fn or default_model
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         errs = []
-        for feats in pdf["features"]:
+        for sym, feats in zip(pdf["symbol"], pdf["features"]):
             # Arrow hands nested arrays as an object sequence of per-row
             # arrays — stack explicitly.
             x = np.stack([np.asarray(row, dtype=np.float64) for row in feats])
-            errs.append(float(np.mean((x - fn(x)) ** 2)))
+            errs.append(float(np.mean((x - fn(x, sym)) ** 2)))
         return pd.DataFrame(
             {"symbol": pdf["symbol"], "window_id": pdf["window_id"], "err": errs}
         )

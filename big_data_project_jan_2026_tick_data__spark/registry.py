@@ -1232,10 +1232,12 @@ def _register_rows_only():
     @_register("ml_anomaly_scores")
     def ml_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The reference's full ML lifecycle (SURVEY §3.3) as one plan:
-        featurize (window tensors via applyInPandas) → score
-        (reconstruction MSE, mean-model stand-in) → percentile thresholds
-        (92 / 99.5, parameters.json) → per-window anomaly flags. Rows-only
-        (pandas-UDF tensors); the pieces are unit-tested in test_mlfeat."""
+        featurize (window tensors via applyInPandas) → train (per-symbol
+        closed-form PCA linear autoencoder, distributed moment agg) →
+        score (reconstruction MSE) → percentile thresholds (92 / 99.5,
+        parameters.json) → per-window anomaly flags. Rows-only
+        (pandas-UDF tensors); the PCA math is unit-tested against a
+        numpy oracle in test_mlfeat."""
         ev = _td(spark, sf_dir, "events")
         t = ev.select(
             F.lit("EVENTS").alias("symbol"),
@@ -1245,8 +1247,9 @@ def _register_rows_only():
         )
         tensors = mlfeat.window_tensors(
             t, n_target=32, windows=((7, 0, 12, 0), (13, 0, 18, 0))
-        )
-        errs = mlfeat.reconstruction_errors(tensors)
+        ).localCheckpoint()  # reused by fit AND score — one featurize pass
+        model = mlfeat.fit_pca_reconstructor(tensors, dim=3, n_components=1)
+        errs = mlfeat.reconstruction_errors(tensors, model_fn=model)
         thresholds = errs.groupBy("symbol").agg(
             F.percentile(F.col("err"), 0.92).alias("p92"),
             F.percentile(F.col("err"), 0.995).alias("p99_5"),
@@ -1321,6 +1324,63 @@ def _register_rows_only():
             )
             out = run_stream_to_memory(agg, "reg_stream_sess")
             rows = out.collect()
+            return spark.createDataFrame(rows, out.schema)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    @_register("streaming_health")
+    def streaming_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Live-endpoint health surface (reference main.py:407-439
+        health_check): run a short replay stream, report per-query
+        liveness/throughput as a DataFrame. Rows-only (wall-clock
+        counters are nondeterministic by nature)."""
+        import os
+        import shutil
+        import tempfile
+
+        from .streaming.session_pipeline import (
+            health_check,
+            session_window_aggregate,
+        )
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = (
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        d = tempfile.mkdtemp(prefix="stream_health_")
+        try:
+            os.symlink(
+                os.path.abspath(f"{sf_dir}/events.parquet"),
+                os.path.join(d, "events.parquet"),
+            )
+            stream = (
+                spark.readStream.schema(schema)
+                .parquet(d)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+                .select(
+                    F.lit("EVENTS").alias("symbol"),
+                    "ts",
+                    F.col("value").alias("bid"),
+                    (F.col("value") * 1.01).alias("ask"),
+                )
+            )
+            agg = session_window_aggregate(
+                stream, windows=((7, 0, 12, 0), (13, 0, 18, 0))
+            )
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("reg_stream_health")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                out = health_check([q], spark=spark)
+                rows = out.collect()
+            finally:
+                q.stop()
             return spark.createDataFrame(rows, out.schema)
         finally:
             shutil.rmtree(d, ignore_errors=True)

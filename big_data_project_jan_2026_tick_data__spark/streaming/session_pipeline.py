@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.ticks import SESSION_WINDOWS, window_predicate
@@ -279,6 +279,53 @@ def stream_append_snapshots(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def health_check(queries, spark: SparkSession | None = None) -> DataFrame:
+    """Live-endpoint health surface (reference `main.py:407-439`
+    ``health_check()`` + the PDF's monitoring spec): one row per
+    StreamingQuery with liveness, exception state, and the key
+    throughput/latency counters from ``lastProgress`` — as a DataFrame
+    so it composes with the rest of the engine (filter on
+    ``healthy == false``, write to a sink, alert).
+
+    ``queries``: iterable of StreamingQuery (or a single one). Driver-
+    side by nature — StreamingQuery state lives on the driver; the row
+    count is #queries, metadata-scale."""
+    from pyspark.sql import Row
+
+    if not isinstance(queries, (list, tuple)):
+        queries = [queries]
+    rows = []
+    for q in queries:
+        p = q.lastProgress or {}
+        exc = q.exception()
+        rows.append(
+            Row(
+                query_id=str(q.id),
+                name=q.name,
+                is_active=q.isActive,
+                healthy=bool(q.isActive and exc is None),
+                exception=str(exc) if exc is not None else None,
+                batch_id=p.get("batchId"),
+                input_rows_per_second=p.get("inputRowsPerSecond"),
+                processed_rows_per_second=p.get("processedRowsPerSecond"),
+                num_input_rows=p.get("numInputRows"),
+                trigger_timestamp=p.get("timestamp"),
+            )
+        )
+    s = spark or (queries[0].sparkSession if hasattr(queries[0], "sparkSession") else None)
+    if s is None:
+        from pyspark.sql import SparkSession as _SS
+
+        s = _SS.getActiveSession()
+    schema = (
+        "query_id string, name string, is_active boolean, healthy boolean, "
+        "exception string, batch_id long, input_rows_per_second double, "
+        "processed_rows_per_second double, num_input_rows long, "
+        "trigger_timestamp string"
+    )
+    return s.createDataFrame(rows, schema)
 
 
 def run_stream_to_memory(

@@ -88,6 +88,54 @@ def test_chronological_split(spark):
     assert sorted(by_split["test"]) == [8, 9]
 
 
+def test_pca_reconstructor_matches_numpy_oracle(spark):
+    """fit_pca_reconstructor's distributed moments + driver eigh must
+    reproduce a pure-numpy PCA on the same collected data exactly (up to
+    float tolerance), and the scored MSEs must match the numpy formula."""
+    rng = np.random.default_rng(7)
+    # two symbols, correlated 3-feature tick vectors
+    rows = []
+    for sym, shift in (("A", 0.0), ("B", 5.0)):
+        base = rng.normal(size=(40, 1))
+        x = np.hstack([base, base * 2 + rng.normal(scale=0.1, size=(40, 1)), base * -1 + shift])
+        for w in range(4):
+            feats = x[w * 10 : (w + 1) * 10].astype(np.float32).tolist()
+            rows.append((sym, f"w{w}", 10, feats))
+    tensors = spark.createDataFrame(rows, schema=mlfeat.TENSOR_SCHEMA)
+
+    model = mlfeat.fit_pca_reconstructor(tensors, dim=3, n_components=1)
+    errs = {
+        (r["symbol"], r["window_id"]): r["err"]
+        for r in mlfeat.reconstruction_errors(tensors, model_fn=model).collect()
+    }
+
+    # numpy oracle, per symbol
+    for sym in ("A", "B"):
+        data = [r for r in rows if r[0] == sym]
+        allx = np.vstack([np.array(r[3], dtype=np.float64) for r in data])
+        mean = allx.mean(axis=0)
+        cov = np.cov(allx.T, bias=True)
+        w_, v_ = np.linalg.eigh(cov)
+        comps = v_[:, [np.argmax(w_)]]
+        np.testing.assert_allclose(model.models[sym][0], mean, rtol=1e-9)
+        # compare the projection (sign/rotation-invariant), not raw vecs
+        np.testing.assert_allclose(
+            model.models[sym][1] @ model.models[sym][1].T,
+            comps @ comps.T,
+            atol=1e-9,
+        )
+        for r in data:
+            x = np.array(r[3], dtype=np.float64)
+            recon = mean + (x - mean) @ comps @ comps.T
+            expected = float(np.mean((x - recon) ** 2))
+            # E[x²]-E[x]² moment covariance loses a few digits to
+            # cancellation vs np.cov's centered two-pass — 1e-6 is the
+            # honest agreement bound
+            np.testing.assert_allclose(errs[(sym, r[1])], expected, rtol=1e-6)
+    # a 1-component model on rank-~1 data reconstructs almost perfectly
+    assert all(e < 0.1 for e in errs.values())
+
+
 def test_reconstruction_errors_zero_for_constant(spark):
     # constant window → mean reconstruction is exact → err 0
     df = _ticks(spark, 4, bid0=100.0)

@@ -321,3 +321,38 @@ def test_stateful_window_scorer(spark, tmp_path):
     assert r["min_bid"] == 10.0
     assert r["max_ask"] == 31.0
     assert r["window_start"].hour == 7
+
+
+def test_health_check_surface(spark, tick_dir):
+    """health_check() mirrors the reference live endpoint's monitoring:
+    one row per query, healthy while active+exception-free, throughput
+    counters populated from lastProgress, inactive after stop."""
+    from big_data_project_jan_2026_tick_data__spark.streaming.session_pipeline import (
+        health_check,
+    )
+
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(tick_dir)
+    agg = session_window_aggregate(stream)
+    # default micro-batch trigger: the query stays ACTIVE after draining,
+    # so the healthy-while-running state is observable deterministically
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("health_probe")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        h = health_check([q], spark=spark).collect()
+        assert len(h) == 1
+        row = h[0]
+        assert row["name"] == "health_probe"
+        assert row["is_active"] and row["healthy"]
+        assert row["exception"] is None
+        assert row["num_input_rows"] is not None and row["num_input_rows"] >= 0
+        assert row["batch_id"] is not None
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    h2 = health_check(q, spark=spark).collect()[0]
+    assert not h2["is_active"] and not h2["healthy"]
