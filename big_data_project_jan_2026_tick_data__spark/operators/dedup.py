@@ -61,6 +61,39 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(toks) < n, partial).otherwise(full))
 
 
+_P31 = (1 << 31) - 1  # Mersenne prime: 31-bit operands keep products < 2^62
+
+
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct 31-bit hashes of the word n-gram shingles of a text
+    column — WITHOUT materializing shingle strings. Per-token xxhash64
+    (one string hash per token, not per n-gram), then n-grams combine
+    the n token hashes with modular polynomial mixing (`h*K + h' mod p`,
+    all long arithmetic, ANSI-safe). ~2× cheaper than building the
+    concatenated n-gram string and hashing it, which is the dominant
+    per-shingle cost in MinHash signatures."""
+    toks = F.split(normalize_text(col), " ")
+    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_P31)))
+    g = th
+    for k in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(th, k + 1, _MAX_TOKENS),
+            lambda a, b: F.pmod(a * F.lit(1_000_003) + b, F.lit(_P31)),
+        )
+    full = F.filter(g, lambda x: x.isNotNull())
+    # shorter-than-n docs: single hash of the whole token sequence,
+    # mirroring shingles()'s partial-gram semantics
+    partial = F.array(
+        F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: F.pmod(acc * F.lit(1_000_003) + h, F.lit(_P31)),
+        )
+    )
+    return F.array_distinct(F.when(F.size(toks) < n, partial).otherwise(full))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -68,27 +101,42 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(shingle, seed_i).
+    """MinHash signature per document: sig[i] = min over shingles of a
+    Carter-Wegman universal hash ``(a_i·h + b_i) mod p``.
 
-    Strategy: ONE codegen'd xxhash64 of the shingle *string*, then
-    ``num_hashes`` independent permutations ``xxhash64(h, i)`` — each a
-    fixed-width (long, int) hash, JVM codegen'd, reduced by min in a
-    single hash aggregate. Re-hashing the 8-byte value is ~as cheap as
-    the linear ``a*h + b`` permutation it replaces but cannot overflow,
-    so it is safe under ``spark.sql.ansi.enabled=true`` (Spark 4
-    default) where signed-64 wraparound raises ARITHMETIC_OVERFLOW.
+    Strategy: 31-bit shingle hashes straight from token hashes (see
+    :func:`shingle_hashes` — no shingle strings materialized), then
+    ``num_hashes`` modular linear permutations — 31-bit operands keep
+    every product under 2^62, so the math cannot overflow and is safe
+    under ``spark.sql.ansi.enabled=true`` (Spark 4 default, where
+    signed-64 wraparound raises ARITHMETIC_OVERFLOW; the previous
+    ``a·h + b`` over wrapping int64 relied on exactly that wraparound
+    for mixing). Each permutation is mul+add+mod — cheaper than
+    re-hashing with xxhash64 per permutation.
     Partial (map-side) aggregation collapses each partition to one
     num_hashes-long row per doc before the shuffle, so shuffle volume is
     O(#docs), not O(#shingles).
     """
+    p = _P31
     sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
-    ).select(F.col(id_col), F.xxhash64("__sh").alias("__h"))
-    aggs = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+        F.col(id_col),
+        F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("__h"),
+    )
+
+    # deterministic 31-bit multipliers/offsets (splitmix-style constants)
+    def _consts(i: int) -> tuple[int, int]:
+        a = ((0x9E3779B97F4A7C15 * (2 * i + 1)) >> 33) % (p - 1) + 1  # 1..p-1
+        b = (0xBF58476D1CE4E5B9 * (i + 1)) % p
+        return a, b
+
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _consts(i)
+        aggs.append(
+            F.min(
+                F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(p))
+            ).alias(f"h{i}")
+        )
     sigs = sh.groupBy(id_col).agg(*aggs)
     return sigs.select(
         F.col(id_col),
@@ -123,7 +171,6 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_entries = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.posexplode(
             F.array(
                 *[
@@ -136,12 +183,24 @@ def minhash_lsh_pairs(
         ).alias("band_idx", "band_hash"),
     )
     if max_bucket_size is not None:
-        bw = Window.partitionBy("band_idx", "band_hash")
-        band_entries = (
-            band_entries.withColumn("__bsz", F.count(F.lit(1)).over(bw))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
+        # hot buckets are rare by construction (≤ docs·bands/cap of them),
+        # so find them with a map-side-combined count and broadcast-ANTI-
+        # join them away — no sort, no extra shuffle of the entries
+        hot = (
+            band_entries.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band_idx", "band_hash")
         )
+        band_entries = band_entries.join(
+            F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
+        )
+    # Self-join on SLIM entries (id, band only): the band-bucket join is
+    # the dominant shuffle, and carrying the num_hashes-long signature
+    # array through both sides would multiply its width ~8×. Signatures
+    # are joined back only for the (far fewer) surviving candidate pairs
+    # — and sigs' groupBy output is already hash-partitioned by id, so
+    # the join-back needs no new exchange of the signature table.
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     pairs = (
@@ -154,11 +213,12 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = pairs.join(sa, "id_a").join(sb, "id_b")
     est = (
         F.size(
             F.filter(
@@ -197,12 +257,15 @@ def ngram_jaccard_pairs(
         F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
     if max_shingle_df is not None:
-        dfw = Window.partitionBy("sh")
-        sh = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(dfw))
-            .filter(F.col("__df") <= max_shingle_df)
-            .drop("__df")
+        # hot shingles are few (≤ total/cap): map-side-combined count,
+        # then broadcast anti-join — no sort of the full shingle stream
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("sh")
         )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("a")
