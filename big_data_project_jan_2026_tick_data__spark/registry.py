@@ -2421,10 +2421,10 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_funnel",
     """
     SELECT
-      SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
-      SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS clicked_after_view,
-      SUM(CASE WHEN t_view < t_click AND t_click < t_purchase
-          THEN 1 ELSE 0 END) AS purchased_full_funnel
+      CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+      CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+      CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_purchase
+          THEN 1 ELSE 0 END) AS BIGINT) AS purchased_full_funnel
     FROM (
       SELECT user_id,
              MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
