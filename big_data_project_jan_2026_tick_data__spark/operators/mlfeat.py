@@ -83,7 +83,10 @@ def window_tensors(
     base = with_window_id(base, ts_col)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
+        # tiebreak duplicate timestamps on the feature values themselves:
+        # pandas' stable sort would otherwise preserve Arrow batch order,
+        # which depends on upstream partitioning — nondeterministic output
+        pdf = pdf.sort_values([ts_col, *feats], kind="mergesort")
         vals = pdf[feats].to_numpy(dtype=np.float64)
         vals = np.where(np.isinf(vals), np.nan, vals)
         tensor = _pad_resample(vals, n_target)

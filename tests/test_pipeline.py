@@ -116,3 +116,42 @@ def test_write_clustered_prunes_and_roundtrips(spark, tmp_path, sf_dir):
             tbl = pq.read_table(os.path.join(root, f), columns=["o_orderdate"])
             vals = tbl["o_orderdate"].to_pylist()
             assert vals == sorted(vals)
+
+
+def test_daily_stats_report_artifacts(spark, tmp_path, sf_dir):
+    """Reference-parity report artifacts (symbol_statistics_generate.py:
+    90-104): one <symbol>_daily_window_counts.csv per symbol; plots only
+    when matplotlib is importable (absent here -> skipped, not failed)."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from big_data_project_jan_2026_tick_data__spark.operators import stats
+    from big_data_project_jan_2026_tick_data__spark.reports import (
+        write_daily_stats_report,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .withColumn("symbol", F.concat(F.lit("SYM"), F.col("user_id") % 2))
+    )
+    daily = stats.daily_window_counts(
+        ev, ts_col="ts", partition_cols=("symbol",),
+        windows=((7, 0, 12, 0), (13, 0, 18, 0)),
+    )
+    out = write_daily_stats_report(daily, str(tmp_path / "report"))
+    assert sorted(os.path.basename(p) for p in out["csv"]) == [
+        "SYM0_daily_window_counts.csv",
+        "SYM1_daily_window_counts.csv",
+    ]
+    back = pd.read_csv(out["csv"][0])
+    assert list(back.columns) == ["date", "ticks_window1", "ticks_window2"]
+    assert len(back) > 0 and (back["ticks_window1"] >= 0).all()
+    try:
+        import matplotlib  # noqa: F401
+        assert len(out["plots"]) == 2
+    except ImportError:
+        assert out["plots"] == []
