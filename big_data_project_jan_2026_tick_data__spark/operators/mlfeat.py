@@ -46,18 +46,32 @@ def _fill(values: np.ndarray) -> np.ndarray:
     return pd.DataFrame(values).ffill().bfill().fillna(0.0).to_numpy()
 
 
+def _spaced_indices(n_points: int, span: int) -> np.ndarray:
+    """round(i·span/(n_points-1)) for i in 0..n_points-1 — linspace
+    endpoints-inclusive index spacing, computed in EXACT integer
+    arithmetic with round-half-up: ``(2·i·span + (n-1)) // (2(n-1))``.
+    Replaces ``np.linspace(...).round()`` (banker's rounding on floats),
+    whose half-point behavior is float-representation-dependent and not
+    reproducible in SQL — this formula is, so the tensor oracle can
+    re-derive identical indices."""
+    if n_points == 1:
+        return np.zeros(1, dtype=int)
+    d = n_points - 1
+    return np.array([(2 * i * span + d) // (2 * d) for i in range(n_points)])
+
+
 def _pad_resample(values: np.ndarray, n_target: int) -> np.ndarray:
-    """model.py:296-315 semantics: <n → place at linspace positions then
-    fill; >n → pick linspace indices; ==n → unchanged. NaNs are filled
-    in every branch (the reference scrubs before windowing)."""
+    """model.py:296-315 semantics: <n → place at evenly-spaced positions
+    then fill; >n → pick evenly-spaced indices; ==n → unchanged. NaNs are
+    filled in every branch (the reference scrubs before windowing)."""
     n = len(values)
     if n == n_target:
         return _fill(values)
     if n > n_target:
-        idx = np.linspace(0, n - 1, n_target).round().astype(int)
+        idx = _spaced_indices(n_target, n - 1)
         return _fill(values[idx])
     out = np.full((n_target, values.shape[1]), np.nan, dtype=np.float64)
-    pos = np.linspace(0, n_target - 1, n).round().astype(int)
+    pos = _spaced_indices(n, n_target - 1)
     out[pos] = values
     return _fill(out)
 

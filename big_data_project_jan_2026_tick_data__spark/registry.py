@@ -1206,8 +1206,78 @@ def _register_rows_only():
         )
         return similarity.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
 
-    @_register("ml_window_tensors")
+    @_register(
+        "ml_window_tensors",
+        """
+        WITH base AS (
+          SELECT CAST(ts AS TIMESTAMP) AS ts,
+                 value AS bid, value * 1.01 AS ask,
+                 GREATEST(value * 1.01 - value, 0.0) AS spread
+          FROM events
+          WHERE (hour(ts)*60 + minute(ts) BETWEEN 7*60 AND 12*60)
+             OR (hour(ts)*60 + minute(ts) BETWEEN 13*60 AND 18*60)),
+        wid AS (
+          SELECT *, CAST(CAST(ts AS DATE) AS VARCHAR) || '_' ||
+                 CASE WHEN hour(ts) < 12 THEN 'morning' ELSE 'afternoon' END
+                 AS window_id
+          FROM base),
+        ordered AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY window_id ORDER BY ts, bid, ask, spread) - 1 AS rn,
+                 COUNT(*) OVER (PARTITION BY window_id) AS n
+          FROM wid),
+        wins AS (SELECT DISTINCT window_id, n FROM ordered),
+        targets AS (
+          SELECT window_id, n, i AS row_idx
+          FROM wins, UNNEST(range(32)) AS t(i)),
+        -- n >= 32: target i picks source row round_half_up(i*(n-1)/31)
+        pick_ge AS (
+          SELECT t.window_id, t.n, t.row_idx, o.bid, o.ask, o.spread
+          FROM targets t JOIN ordered o
+            ON o.window_id = t.window_id
+           AND t.n >= 32
+           AND o.rn = (2*t.row_idx*(t.n-1) + 31) // 62),
+        -- n < 32: source row j lands at position round_half_up(j*31/(n-1))
+        placed AS (
+          SELECT window_id, n,
+                 CASE WHEN n = 1 THEN 0
+                      ELSE (2*rn*31 + (n-1)) // (2*(n-1)) END AS pos,
+                 bid, ask, spread
+          FROM ordered WHERE n < 32),
+        -- ffill from nearest placed position <= target, bfill otherwise
+        fill_lt AS (
+          SELECT t.window_id, t.n, t.row_idx,
+                 COALESCE(f.bid, b.bid) AS bid,
+                 COALESCE(f.ask, b.ask) AS ask,
+                 COALESCE(f.spread, b.spread) AS spread
+          FROM targets t
+          LEFT JOIN LATERAL (
+            SELECT bid, ask, spread FROM placed p
+            WHERE p.window_id = t.window_id AND p.pos <= t.row_idx
+            ORDER BY p.pos DESC LIMIT 1) f ON TRUE
+          LEFT JOIN LATERAL (
+            SELECT bid, ask, spread FROM placed p
+            WHERE p.window_id = t.window_id AND p.pos > t.row_idx
+            ORDER BY p.pos ASC LIMIT 1) b ON TRUE
+          WHERE t.n < 32)
+        SELECT 'EVENTS' AS symbol, window_id,
+               CAST(n AS INT) AS original_tick_count,
+               CAST(row_idx AS INT) AS row_idx,
+               CAST(CAST(bid AS FLOAT) AS DOUBLE) AS bid,
+               CAST(CAST(ask AS FLOAT) AS DOUBLE) AS ask,
+               CAST(CAST(spread AS FLOAT) AS DOUBLE) AS spread
+        FROM (SELECT * FROM pick_ge UNION ALL SELECT * FROM fill_lt)
+        """,
+    )
     def ml_window_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """§2.10 through the driver contract, FULLY oracled: the pandas
+        pad/resample tensor builder exploded back to scalar rows, and the
+        DuckDB oracle re-derives the entire path in SQL — session filter,
+        window ids, (ts, features) total order, the exact integer
+        round-half-up pick/place indices (see mlfeat._spaced_indices),
+        ffill/bfill padding, and the float32 quantization of the tensor
+        cells (CAST(... AS FLOAT) AS DOUBLE mirrors the ArrayType(Float)
+        storage)."""
         ev = _td(spark, sf_dir, "events")
         t = ev.select(
             F.lit("EVENTS").alias("symbol"),
@@ -1219,14 +1289,20 @@ def _register_rows_only():
         tensors = mlfeat.window_tensors(
             t, n_target=32, windows=((7, 0, 12, 0), (13, 0, 18, 0))
         )
-        # JSON-serialize the nested tensor: the driver canonicalizer
-        # hashes scalar cells (array<array<float>> is unhashable in
-        # pandas), and the string form is deterministic.
-        return tensors.select(
+        fv = tensors.select(
             "symbol",
             "window_id",
             "original_tick_count",
-            F.to_json(F.col("features")).alias("features_json"),
+            F.posexplode("features").alias("row_idx", "fv"),
+        )
+        return fv.select(
+            "symbol",
+            "window_id",
+            "original_tick_count",
+            "row_idx",
+            F.col("fv")[0].cast("double").alias("bid"),
+            F.col("fv")[1].cast("double").alias("ask"),
+            F.col("fv")[2].cast("double").alias("spread"),
         )
 
     @_register("ml_anomaly_scores")
