@@ -1174,41 +1174,12 @@ def emb_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=10, nlist=16, nprobe=16)
 
 
-def _register_rows_only():
-    """Queries with no SQL-expressible oracle (hash functions, pandas UDF
-    tensors, LSH recall) — driver records a rows-only check."""
-
-    @_register("doc_minhash_pairs")
-    def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = _td(spark, sf_dir, "documents")
-        return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8)
-
-    @_register("doc_simhash_pairs")
-    def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = _td(spark, sf_dir, "documents")
-        return dedup.simhash_near_pairs(docs, max_hamming=8, blocks=4)
-
-    @_register("doc_fingerprints")
-    def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = _td(spark, sf_dir, "documents")
-        return text.with_fingerprint(docs).select(
-            "doc_id", "fingerprint", "shingle_min_fp"
-        )
-
-    @_register("emb_ivf_topk")
-    def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """IVF-style cluster-pruned ANN (recall < 1 by design at
-        nprobe < nlist — rows-only; exactness at nprobe == nlist is
-        property-tested in tests/test_similarity.py)."""
-        emb = _td(spark, sf_dir, "embeddings")
-        queries = emb.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        return similarity.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
-
-    @_register(
-        "ml_window_tensors",
-        """
+# Exploded ML window tensors re-derived fully in SQL: session filter,
+# window ids, (ts, features) total order, exact integer round-half-up
+# pick/place indices (mlfeat._spaced_indices), ffill/bfill padding, and
+# the float32 quantization of the ArrayType(FloatType) tensor cells.
+# Shared by the ml_window_tensors and ml_anomaly_scores_mean oracles.
+_TENSOR_ROWS_SQL = """
         WITH base AS (
           SELECT CAST(ts AS TIMESTAMP) AS ts,
                  value AS bid, value * 1.01 AS ask,
@@ -1267,8 +1238,42 @@ def _register_rows_only():
                CAST(CAST(ask AS FLOAT) AS DOUBLE) AS ask,
                CAST(CAST(spread AS FLOAT) AS DOUBLE) AS spread
         FROM (SELECT * FROM pick_ge UNION ALL SELECT * FROM fill_lt)
-        """,
-    )
+"""
+
+
+def _register_rows_only():
+    """Queries with no SQL-expressible oracle (hash functions, pandas UDF
+    tensors, LSH recall) — driver records a rows-only check."""
+
+    @_register("doc_minhash_pairs")
+    def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _td(spark, sf_dir, "documents")
+        return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+
+    @_register("doc_simhash_pairs")
+    def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _td(spark, sf_dir, "documents")
+        return dedup.simhash_near_pairs(docs, max_hamming=8, blocks=4)
+
+    @_register("doc_fingerprints")
+    def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _td(spark, sf_dir, "documents")
+        return text.with_fingerprint(docs).select(
+            "doc_id", "fingerprint", "shingle_min_fp"
+        )
+
+    @_register("emb_ivf_topk")
+    def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF-style cluster-pruned ANN (recall < 1 by design at
+        nprobe < nlist — rows-only; exactness at nprobe == nlist is
+        property-tested in tests/test_similarity.py)."""
+        emb = _td(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+
+    @_register("ml_window_tensors", _TENSOR_ROWS_SQL)
     def ml_window_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
         """§2.10 through the driver contract, FULLY oracled: the pandas
         pad/resample tensor builder exploded back to scalar rows, and the
@@ -1475,6 +1480,58 @@ def _register_rows_only():
 
 
 _register_rows_only()
+
+
+@_register(
+    "ml_anomaly_scores_mean",
+    f"""
+    WITH tensor_rows AS ({_TENSOR_ROWS_SQL}),
+    werr AS (
+      SELECT symbol, window_id,
+             (var_pop(bid) + var_pop(ask) + var_pop(spread)) / 3.0 AS err
+      FROM tensor_rows GROUP BY symbol, window_id),
+    thr AS (
+      SELECT symbol, quantile_cont(err, 0.92) AS p92,
+             quantile_cont(err, 0.995) AS p99_5
+      FROM werr GROUP BY symbol)
+    SELECT w.symbol, w.window_id, ROUND(w.err, 6) AS err,
+           w.err > t.p92 AS anomaly_p92,
+           w.err > t.p99_5 AS anomaly_p99_5
+    FROM werr w JOIN thr t ON w.symbol = t.symbol
+    """,
+)
+def ml_anomaly_scores_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anomaly-scoring lifecycle with the 0-parameter mean
+    reconstruction model — the one scoring path whose math is fully
+    SQL-expressible, so the WHOLE pipeline (pandas-UDF tensors →
+    reconstruction MSE → percentile thresholds → flags) gets an
+    independent DuckDB verdict. Mean-model MSE ≡ per-window average of
+    the per-feature population variances; thresholds are interpolated
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``). The
+    PCA-scored twin (``ml_anomaly_scores``) stays rows-only: its model
+    is a data-dependent eigendecomposition no SQL engine reproduces."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.lit("EVENTS").alias("symbol"),
+        F.col("ts"),
+        F.col("value").alias("bid"),
+        (F.col("value") * 1.01).alias("ask"),
+    )
+    tensors = mlfeat.window_tensors(
+        t, n_target=32, windows=((7, 0, 12, 0), (13, 0, 18, 0))
+    )
+    errs = mlfeat.reconstruction_errors(tensors).localCheckpoint()
+    thresholds = errs.groupBy("symbol").agg(
+        F.percentile(F.col("err"), 0.92).alias("p92"),
+        F.percentile(F.col("err"), 0.995).alias("p99_5"),
+    )
+    return errs.join(F.broadcast(thresholds), "symbol").select(
+        "symbol",
+        "window_id",
+        F.round("err", 6).alias("err"),
+        (F.col("err") > F.col("p92")).alias("anomaly_p92"),
+        (F.col("err") > F.col("p99_5")).alias("anomaly_p99_5"),
+    )
 
 
 @_register(
@@ -2791,7 +2848,7 @@ _DRIVER_PRIORITY = [
     # -- newly oracled / changed this round --
     "emb_lsh_topk",
     "emb_ivf_exact",
-    "ml_anomaly_scores",
+    "ml_anomaly_scores_mean",
 ]
 
 
