@@ -64,34 +64,40 @@ def shingles(col: Column, n: int = 3) -> Column:
 _P31 = (1 << 31) - 1  # Mersenne prime: 31-bit operands keep products < 2^62
 
 
-def shingle_hashes(col: Column, n: int = 3) -> Column:
+def shingle_hashes(col_name: str, n: int = 3) -> Column:
     """Distinct 31-bit hashes of the word n-gram shingles of a text
     column — WITHOUT materializing shingle strings. Per-token xxhash64
     (one string hash per token, not per n-gram), then n-grams combine
     the n token hashes with modular polynomial mixing (`h*K + h' mod p`,
     all long arithmetic, ANSI-safe). ~2× cheaper than building the
     concatenated n-gram string and hashing it, which is the dominant
-    per-shingle cost in MinHash signatures."""
-    toks = F.split(normalize_text(col), " ")
-    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_P31)))
+    per-shingle cost in MinHash signatures.
+
+    Built as ONE ``F.expr`` SQL string rather than nested higher-order
+    ``Column`` builders: each pyspark lambda/operator crosses py4j, and
+    the chatter adds ~1 s of driver-side DataFrame-construction latency
+    per query — a parsed SQL string is a single round trip. Takes the
+    column NAME for that reason. The token-hash array appears several
+    times in the tree; whole-stage codegen's common-subexpression
+    elimination evaluates it once per row."""
+    norm = (
+        rf"trim(regexp_replace(regexp_replace(lower({col_name}), "
+        rf"'[^\\w\\s]', ' '), '\\s+', ' '))"
+    )
+    th = f"transform(split({norm}, ' '), t -> pmod(xxhash64(t), {_P31}L))"
     g = th
     for k in range(1, n):
-        g = F.zip_with(
-            g,
-            F.slice(th, k + 1, _MAX_TOKENS),
-            lambda a, b: F.pmod(a * F.lit(1_000_003) + b, F.lit(_P31)),
+        g = (
+            f"zip_with({g}, slice({th}, {k + 1}, {_MAX_TOKENS}), "
+            f"(a, b) -> pmod(a * 1000003L + b, {_P31}L))"
         )
-    full = F.filter(g, lambda x: x.isNotNull())
-    # shorter-than-n docs: single hash of the whole token sequence,
-    # mirroring shingles()'s partial-gram semantics
-    partial = F.array(
-        F.aggregate(
-            th,
-            F.lit(0).cast("long"),
-            lambda acc, h: F.pmod(acc * F.lit(1_000_003) + h, F.lit(_P31)),
-        )
+    partial = (
+        f"array(aggregate({th}, 0L, (acc, h) -> pmod(acc * 1000003L + h, {_P31}L)))"
     )
-    return F.array_distinct(F.when(F.size(toks) < n, partial).otherwise(full))
+    return F.expr(
+        f"array_distinct(CASE WHEN size({th}) < {n} THEN {partial} "
+        f"ELSE filter({g}, x -> x IS NOT NULL) END)"
+    )
 
 
 def minhash_signatures(
@@ -120,7 +126,7 @@ def minhash_signatures(
     p = _P31
     sh = df.select(
         F.col(id_col),
-        F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("__h"),
+        F.explode(shingle_hashes(text_col, shingle_n)).alias("__h"),
     )
 
     # deterministic 31-bit multipliers/offsets (splitmix-style constants)
@@ -133,14 +139,12 @@ def minhash_signatures(
     for i in range(num_hashes):
         a, b = _consts(i)
         aggs.append(
-            F.min(
-                F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(p))
-            ).alias(f"h{i}")
+            F.expr(f"min(pmod(__h * {a}L + {b}L, {p}L))").alias(f"h{i}")
         )
     sigs = sh.groupBy(id_col).agg(*aggs)
     return sigs.select(
         F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        F.expr(f"array({', '.join(f'h{i}' for i in range(num_hashes))})").alias("sig"),
     )
 
 
@@ -169,18 +173,15 @@ def minhash_lsh_pairs(
     ``None`` disables the cap."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # variadic fixed-width hash of each band's signature slice — no
+    # string materialization per band; one SQL string, not 8×4 py4j ops
+    band_arr = ", ".join(
+        f"xxhash64({', '.join(f'sig[{b * rows + r}]' for r in range(rows))})"
+        for b in range(bands)
+    )
     band_entries = sigs.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    # variadic fixed-width hash of the band's signature
-                    # slice — no string materialization per band
-                    F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.expr(f"array({band_arr})")).alias("band_idx", "band_hash"),
     )
     if max_bucket_size is not None:
         # hot buckets are rare by construction (≤ docs·bands/cap of them),
@@ -219,16 +220,11 @@ def minhash_lsh_pairs(
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     pairs = pairs.join(sa, "id_a").join(sb, "id_b")
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda v: v,
-            )
-        )
-        / F.lit(float(num_hashes))
+    est = F.expr(
+        "round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+        f" / {float(num_hashes)}, 6)"
     )
-    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
 def ngram_jaccard_pairs(
