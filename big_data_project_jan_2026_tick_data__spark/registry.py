@@ -37,6 +37,14 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+# Resolved-table cache: spark.read.parquet does a footer/schema
+# resolution job on every call (~50-100 ms), and registry queries read
+# the same handful of tables over and over. DataFrames are immutable
+# plans, so reusing them across queries is free; keyed per session so
+# multiple driver sessions stay isolated.
+_TD_CACHE: dict = {}
+
+
 def _td(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # Pin session TZ so wall-clock extraction (hour/minute) matches the
     # TZ-naive DuckDB oracle regardless of the host session's default.
@@ -45,6 +53,9 @@ def _td(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # ANSI mode (Spark 4 default) turns intentional wraparound hash math
     # into ARITHMETIC_OVERFLOW, so pin it off like timeZone above.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    key = (spark, sf_dir, table)
+    if key in _TD_CACHE:
+        return _TD_CACHE[key]
     if table == "events":
         # events.ts is parquet timestamp[ns], which the vectorized reader
         # rejects; read the raw int64 nanos and truncate to micros —
@@ -53,8 +64,11 @@ def _td(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         # integer division — ts/1000 via double would lose precision at
         # nanosecond magnitudes (> 2^53)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    _TD_CACHE[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------
