@@ -220,9 +220,11 @@ def minhash_lsh_pairs(
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     pairs = pairs.join(sa, "id_a").join(sb, "id_b")
+    # divisor must be an explicit DOUBLE: a bare `64.0` literal parses as
+    # DECIMAL in Spark SQL and would silently decimal-ize the estimate
     est = F.expr(
         "round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
-        f" / {float(num_hashes)}, 6)"
+        f" / cast({num_hashes} as double), 6)"
     )
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
