@@ -353,22 +353,21 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
+    # single F.expr per bit (and one for the assembly) — nested Column
+    # builders would cost ~6 py4j round trips per bit × 64 bits of pure
+    # driver latency (see shingle_hashes)
     aggs = [
-        F.sum(
-            F.when(
-                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1
-            ).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (h & shiftleft(1L, {i})) != 0 THEN 1 ELSE -1 END)"
         ).alias(f"b{i}")
         for i in range(bits)
     ]
     sums = toks.groupBy(id_col).agg(*aggs)
-    fp = None
-    for i in range(bits):
-        bit = F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp.bitwiseOR(bit)
-    return sums.select(F.col(id_col), fp.alias("simhash"))
+    fp = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
+        for i in range(bits)
+    )
+    return sums.select(F.col(id_col), F.expr(fp).alias("simhash"))
 
 
 def simhash_near_pairs(
