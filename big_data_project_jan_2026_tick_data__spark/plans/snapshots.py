@@ -180,8 +180,12 @@ class SnapshotTable:
 
     # -- writes -------------------------------------------------------------
 
-    def write(self, df: DataFrame, mode: str = "append") -> Snapshot:
-        """Commit ``df`` as a new snapshot. ``mode``: append | overwrite."""
+    def write(self, df: DataFrame, mode: str = "append", retries: int = 3) -> Snapshot:
+        """Commit ``df`` as a new snapshot. ``mode``: append | overwrite.
+        ``retries``: optimistic-concurrency attempts — on a commit race
+        the metadata attach is recomputed against the winner's log tail
+        and retried; raises :class:`ConcurrentCommitError` when all
+        attempts lose."""
         if mode not in ("append", "overwrite"):
             raise ValueError("mode must be append|overwrite")
         commit_dir = f"data/{uuid.uuid4().hex}"
@@ -189,33 +193,43 @@ class SnapshotTable:
         df.write.mode("errorifexists").parquet(out_path)
         added = self._hfs.parquet_row_count(out_path)
 
-        log = self._read_log()
-        parent = log[-1] if log else None
-        if mode == "append" and parent is not None:
-            manifest = [*parent.manifest, commit_dir]
-            deleted = 0
-        else:
-            manifest = [commit_dir]
-            deleted = int(parent.summary["total-records"]) if parent else 0
-        total = (
-            added + int(parent.summary["total-records"])
-            if (mode == "append" and parent)
-            else added
-        )
-        snap = Snapshot(
-            snapshot_id=(parent.snapshot_id + 1) if parent else 1,
-            parent_snapshot_id=parent.snapshot_id if parent else None,
-            committed_at_ms=int(time.time() * 1000),
-            operation=mode,
-            manifest=manifest,
-            summary={
-                "added-records": str(added),
-                "deleted-records": str(deleted),
-                "total-records": str(total),
-            },
-        )
-        self._append_log(snap)
-        return snap
+        # the data files are written once; only the metadata attach is
+        # retried — on a commit race, re-read the log (so the winner
+        # becomes the parent and, for append, its manifest is included)
+        # and try the next snapshot id. Iceberg's optimistic commit loop.
+        last_err: Exception | None = None
+        for _ in range(max(1, retries)):
+            log = self._read_log()
+            parent = log[-1] if log else None
+            if mode == "append" and parent is not None:
+                manifest = [*parent.manifest, commit_dir]
+                deleted = 0
+            else:
+                manifest = [commit_dir]
+                deleted = int(parent.summary["total-records"]) if parent else 0
+            total = (
+                added + int(parent.summary["total-records"])
+                if (mode == "append" and parent)
+                else added
+            )
+            snap = Snapshot(
+                snapshot_id=(parent.snapshot_id + 1) if parent else 1,
+                parent_snapshot_id=parent.snapshot_id if parent else None,
+                committed_at_ms=int(time.time() * 1000),
+                operation=mode,
+                manifest=manifest,
+                summary={
+                    "added-records": str(added),
+                    "deleted-records": str(deleted),
+                    "total-records": str(total),
+                },
+            )
+            try:
+                self._append_log(snap)
+                return snap
+            except ConcurrentCommitError as e:
+                last_err = e
+        raise last_err
 
     def rollback_to(self, snapshot_id: int) -> Snapshot:
         """Roll back to an earlier snapshot — appended as a NEW snapshot

@@ -148,3 +148,31 @@ def test_reconstruction_errors_zero_for_constant(spark):
     tensors2 = mlfeat.window_tensors(df, n_target=4)
     errs2 = mlfeat.reconstruction_errors(tensors2).collect()
     assert errs2[0]["err"] > 0.0
+
+
+def test_spaced_indices_properties():
+    """_spaced_indices must behave like endpoint-inclusive linspace
+    rounding: exact endpoints, strict monotonicity whenever the span
+    allows distinct values, and agreement with np.linspace().round()
+    away from half-points (where numpy's banker's rounding is float-
+    representation-dependent by design — the integer formula is the
+    spec there)."""
+    from big_data_project_jan_2026_tick_data__spark.operators.mlfeat import (
+        _spaced_indices,
+    )
+
+    for n_points in range(1, 70):
+        for span in (0, 1, 5, 31, 32, 100, 599):
+            idx = _spaced_indices(n_points, span)
+            assert len(idx) == n_points
+            assert idx[0] == 0
+            if n_points > 1:
+                assert idx[-1] == span
+                assert all(b >= a for a, b in zip(idx, idx[1:]))
+                if span >= n_points - 1:
+                    # enough room: indices strictly increase (no dup picks)
+                    assert all(b > a for a, b in zip(idx, idx[1:]))
+                ls = np.linspace(0, span, n_points)
+                frac_half = np.isclose(ls % 1, 0.5)
+                agree = ls.round().astype(int)[~frac_half]
+                assert (np.asarray(idx)[~frac_half] == agree).all()

@@ -192,6 +192,35 @@ def test_concurrent_commit_conflict(spark, tmp_path):
     )["summary"]["total-records"] == "8"
 
 
+def test_write_retries_after_commit_race(spark, tmp_path):
+    """write() re-derives the commit against the winner's log tail and
+    retries: the loser's append lands as the NEXT snapshot with the
+    winner's rows included in the total (Iceberg-style optimistic
+    commit loop)."""
+    root = str(tmp_path / "retry")
+    w1 = SnapshotTable(spark, root)
+    w2 = SnapshotTable(spark, root)
+    w1.write(_df(spark, 0, 5), mode="append")
+
+    # interleave: just before w1 attaches its metadata, w2 wins the race
+    orig = w1._append_log
+    state = {"raced": False}
+
+    def racy(snap):
+        if not state["raced"]:
+            state["raced"] = True
+            w2.write(_df(spark, 100, 104), mode="append")  # winner: id 2
+        orig(snap)
+
+    w1._append_log = racy
+    snap = w1.write(_df(spark, 5, 8), mode="append")
+    assert snap.snapshot_id == 3
+    assert snap.parent_snapshot_id == 2
+    # loser's manifest includes the winner's data: all 12 rows present
+    assert snap.summary["total-records"] == "12"
+    assert w1.read().count() == 12
+
+
 def test_metadata_io_is_hadoop_fs(spark, tmp_path):
     """The metadata log round-trips through the Hadoop FileSystem API
     with an explicit file:// URI (the object-store code path — no POSIX
