@@ -1701,6 +1701,57 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def _emb_dup_clusters_oracle(dim: int = 64, num_planes: int = 4, seed: int = 42) -> str:
+    """Recursive-reachability oracle over the SAME hyperplane-bucketed
+    edge set as emb_near_dup_pairs — independent connected-components
+    algorithm (BFS closure) vs the engine's min-label propagation."""
+    from .operators.similarity import _hyperplane
+
+    bucket_terms = []
+    for p in range(num_planes):
+        plane = ", ".join(repr(v) for v in _hyperplane(dim, p, seed))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(vec, [{plane}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "\n        + ".join(bucket_terms)
+    return f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    b AS (
+      SELECT vec_id, vec,
+        {bucket} AS bucket
+      FROM v),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      WHERE ROUND(list_cosine_similarity(a.vec, b2.vec), 6) >= 0.2),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT vec_id AS src, vec_id AS dst FROM v
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+    SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """
+
+
+@_register("emb_dup_clusters", _emb_dup_clusters_oracle())
+def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: the LSH-bucketed cosine pairs fed
+    through connected components (min-label propagation) — the step a
+    real dedup pipeline runs after pair generation, here on the
+    embedding modality. Oracle recomputes the components with a
+    recursive reachability CTE over an independently re-derived edge
+    set."""
+    emb = _td(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.2, num_planes=4
+    )
+    return dedup.dup_clusters(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
 @_register("emb_near_dup_pairs", _near_dup_oracle())
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: random-hyperplane LSH bucket join +
