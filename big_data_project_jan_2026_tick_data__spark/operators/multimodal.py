@@ -5,22 +5,27 @@ per-item decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas functions over ``mapInPandas`` (one batch per
 partition slice — never row-at-a-time).
 
-The actual codecs (PIL/librosa/av) are NOT in this container, so the
-decode kernels are stubbed: ``decode_stub=True`` (default) produces a
-deterministic fake feature vector from the bytes' hash; ``False`` raises
-``NotImplementedError`` at the point a real codec would be invoked. The
-Spark-side plumbing — schema, batch iteration, partitioning — is real and
-tested.
+Decoding is REAL for the self-describing formats a pure-numpy
+environment can parse (see ``codecs.py``): binary P6 PPM images,
+RIFF/WAVE PCM16 audio, and PSEQ (length-prefixed PPM frame sequences)
+video. Formats that need PIL/librosa/av — absent from this container —
+raise at exactly the point the external codec would be invoked, unless
+``allow_hash_fallback`` is set, in which case unknown payloads get a
+deterministic content-hash feature vector (useful for smoke tests over
+arbitrary blobs).
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -55,42 +60,91 @@ _FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in for a real decode→embed kernel: fold the
-    byte content into ``dim`` floats. Replaces (not approximates) codec
-    output; swap for PIL/librosa in a full deployment."""
+def _hash_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic content-hash feature vector — the fallback for
+    payloads in formats this environment cannot decode."""
     import hashlib
 
     h = hashlib.sha256(payload or b"").digest()
     return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
 
 
+def _image_features(pixels: np.ndarray) -> list[float]:
+    """8-dim pooled image descriptor: per-channel mean and std of the
+    8×8 nearest-resized image (normalized), mean luma, aspect ratio —
+    the shape a real embed kernel produces, computed from real pixels."""
+    h, w = pixels.shape[:2]
+    small = codecs.resize_nearest(pixels, 8, 8).astype(np.float64) / 255.0
+    means = small.mean(axis=(0, 1))
+    stds = small.std(axis=(0, 1))
+    luma = float(0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2])
+    return [*(float(x) for x in means), *(float(x) for x in stds), luma, w / h]
+
+
+def _audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
+    """8-dim audio descriptor: mean, std, rms, zero-crossing rate,
+    min, max, duration (s, /10), normalized sample rate."""
+    if len(samples) == 0:
+        samples = np.zeros(1)
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    return [
+        float(samples.mean()),
+        float(samples.std()),
+        float(np.sqrt(np.mean(samples**2))),
+        zcr,
+        float(samples.min()),
+        float(samples.max()),
+        len(samples) / sample_rate / 10.0,
+        sample_rate / 48000.0,
+    ]
+
+
+def _decode_features(payload: bytes, codec: str, allow_hash_fallback: bool) -> list[float]:
+    if codec == "ppm":
+        return _image_features(codecs.decode_ppm(payload))
+    if codec == "pcm16":
+        return _audio_features(*codecs.decode_wav(payload))
+    if codec == "ppmseq":
+        frames = codecs.demux_ppmseq(payload)
+        # representative frame = first (thumbnail semantics)
+        return _image_features(codecs.decode_ppm(frames[0]))
+    if allow_hash_fallback:
+        return _hash_features(payload)
+    raise NotImplementedError(
+        f"codec {codec!r} needs an external decoder (PIL/librosa/av), "
+        "none available in this environment; pass allow_hash_fallback=True "
+        "to smoke-test with content-hash features"
+    )
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
-    decode_stub: bool = True,
+    allow_hash_fallback: bool = False,
 ) -> DataFrame:
     """Decode + featurize media payloads via mapInPandas (Arrow batches).
 
-    Real deployment would dispatch on ``kind`` to PIL (image resize +
-    pooled pixels), librosa (mel stats) or av (frame sampling); here the
-    kernel is the deterministic stub above.
-    """
+    Dispatches on ``meta.codec``: ppm / pcm16 / ppmseq decode for REAL
+    (pure numpy, ``codecs.py``); anything else raises where an external
+    codec would run, or falls back to content-hash features when
+    ``allow_hash_fallback`` is set."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media codecs (PIL/librosa/av) are not available in "
-                    "this environment; use decode_stub=True"
+            feats = []
+            for payload, meta in zip(pdf[payload_col], pdf["meta"]):
+                codec = (meta or {}).get("codec") or ""
+                feats.append(
+                    _decode_features(payload or b"", codec, allow_hash_fallback)
                 )
-            payloads = pdf[payload_col]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "features": payloads.map(lambda b: _fake_features(b or b"")),
+                    "n_bytes": pdf[payload_col].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "features": pd.Series(feats, dtype="object"),
                 }
             )
 
@@ -112,38 +166,34 @@ def sample_frames(
     every_ms: int = 1000,
     max_frames: int = 8,
     payload_col: str = "payload",
-    decode_stub: bool = True,
 ) -> DataFrame:
-    """Frame sampling for video payloads: emit one row per sampled frame
-    (every ``every_ms`` of duration, capped at ``max_frames``) with a
-    per-frame feature vector — a cardinality-*increasing* mapInPandas
-    kernel (n media rows → Σ frames rows), the batch shape a real
-    av/ffmpeg sampler would produce.
-
-    Stubbed decode: frame features hash (payload, frame_idx); with
-    ``decode_stub=False`` raises NotImplementedError where a real
-    demuxer/decoder would run.
-    """
+    """Frame sampling for video payloads: demux the PSEQ container, pick
+    the frame nearest each ``every_ms`` tick of the declared duration
+    (capped at ``max_frames``), decode it and emit one row per sampled
+    frame — a cardinality-*increasing* mapInPandas kernel (n media rows
+    → Σ frames rows), the same batch shape an av/ffmpeg sampler
+    produces, with a real demux→decode per emitted frame."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real video demux/decode (av/ffmpeg) is not available "
-                    "in this environment; use decode_stub=True"
-                )
             out = {"media_id": [], "frame_idx": [], "frame_ms": [], "features": []}
             vids = pdf[pdf["kind"] == "video"]
             for _, row in vids.iterrows():
-                dur = row["meta"]["duration_ms"] if row["meta"] is not None else 0
-                n_frames = min(max_frames, max(int(dur or 0) // every_ms, 1))
-                payload = row[payload_col] or b""
-                for i in range(n_frames):
+                meta = row["meta"] or {}
+                dur = int(meta.get("duration_ms") or 0)
+                frames = codecs.demux_ppmseq(row[payload_col] or b"")
+                if not frames:
+                    continue
+                n_samples = min(max_frames, max(dur // every_ms, 1))
+                for i in range(n_samples):
+                    t_ms = i * every_ms
+                    # evenly-spaced frames over the duration → nearest
+                    src = min(len(frames) - 1, t_ms * len(frames) // max(dur, 1))
                     out["media_id"].append(row["media_id"])
                     out["frame_idx"].append(i)
-                    out["frame_ms"].append(i * every_ms)
+                    out["frame_ms"].append(t_ms)
                     out["features"].append(
-                        _fake_features(payload + i.to_bytes(4, "big"))
+                        _image_features(codecs.decode_ppm(frames[src]))
                     )
             # explicit dtypes: an empty dict-of-lists defaults every
             # column to float64, which Arrow can't cast to list<float>
@@ -160,22 +210,49 @@ def sample_frames(
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
-    """Deterministic synthetic media table for tests (binary payloads of
-    varying size + typed metadata)."""
-    base = spark.range(n).withColumnRenamed("id", "media_id")
-    kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("media_id") % 3 + 1).cast("int"),
+    """Deterministic synthetic media table in the REAL formats the
+    decoders parse: P6 PPM images, RIFF/WAVE PCM16 audio, PSEQ frame
+    sequences for video. Generated distributively (mapInPandas over a
+    range — payload bytes never touch the driver)."""
+    base = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("kind"),
     )
-    payload = F.encode(
-        F.concat(F.lit("payload-"), F.sha2(F.concat(F.lit(seed), F.col("media_id")), 256)),
-        "utf-8",
-    )
-    meta = F.struct(
-        (F.col("media_id") % 640 + 32).cast("int").alias("width"),
-        (F.col("media_id") % 480 + 32).cast("int").alias("height"),
-        F.lit(16000).alias("sample_rate"),
-        (F.col("media_id") * 100).cast("long").alias("duration_ms"),
-        F.lit("stub").alias("codec"),
-    )
-    return base.select("media_id", kind.alias("kind"), payload.alias("payload"), meta.alias("meta"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind in zip(pdf["media_id"], pdf["kind"]):
+                rng = np.random.default_rng(seed * 1_000_003 + int(mid))
+                if kind == "image":
+                    w, h = 16 + int(mid) % 48, 12 + int(mid) % 36
+                    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    payload = codecs.encode_ppm(px)
+                    meta = (w, h, None, None, "ppm")
+                elif kind == "audio":
+                    sr = 16000
+                    dur_ms = 50 + int(mid) % 200
+                    t = np.arange(int(sr * dur_ms / 1000))
+                    wave = (
+                        np.sin(2 * np.pi * (200 + int(mid) % 600) * t / sr) * 12000
+                        + rng.normal(0, 500, len(t))
+                    ).astype(np.int16)
+                    payload = codecs.encode_wav(wave, sr)
+                    meta = (None, None, sr, dur_ms, "pcm16")
+                else:
+                    n_frames = 2 + int(mid) % 6
+                    frames = [
+                        rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+                        for _ in range(n_frames)
+                    ]
+                    payload = codecs.encode_ppmseq(frames)
+                    meta = (16, 12, None, int(mid) % 8000 + 1000, "ppmseq")
+                rows.append((int(mid), kind, payload, meta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -1362,13 +1362,17 @@ def _register_rows_only():
 
     @_register("multimodal_features")
     def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Real decode→featurize over Arrow batches: P6 PPM / WAV PCM16 /
+        PSEQ payloads parsed with the pure-numpy codecs (operators/
+        codecs.py); formats needing PIL/librosa/av still raise at the
+        codec boundary."""
         media = multimodal.synthetic_media(spark, n=64)
         return multimodal.extract_features(media)
 
     @_register("multimodal_frame_sample")
     def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Cardinality-increasing mapInPandas: one row per sampled video
-        frame (stubbed decode — batch shape is the contract)."""
+        frame, with a real PSEQ demux + PPM decode per emitted frame."""
         media = multimodal.synthetic_media(spark, n=64)
         return multimodal.sample_frames(media, every_ms=1000, max_frames=8)
 
