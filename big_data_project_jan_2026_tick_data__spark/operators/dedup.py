@@ -376,11 +376,14 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: pigeonhole the 64 bits into ``blocks``
     segments — any pair within ``max_hamming`` (< blocks) shares at least
     one identical segment → equi-join per segment, then exact Hamming
-    filter via bit_count(xor)."""
+    filter via bit_count(xor). ``max_bucket_size`` drops degenerate
+    segment buckets before the self-join (same quadratic-hot-bucket
+    guard as :func:`minhash_lsh_pairs`)."""
     fps = simhash(df, text_col, id_col)
     seg_bits = 64 // blocks
     segs = fps.select(
@@ -396,6 +399,14 @@ def simhash_near_pairs(
             )
         ).alias("seg_idx", "seg"),
     )
+    if max_bucket_size is not None:
+        hot = (
+            segs.groupBy("seg_idx", "seg")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("seg_idx", "seg")
+        )
+        segs = segs.join(F.broadcast(hot), ["seg_idx", "seg"], "left_anti")
     pairs = (
         segs.alias("a")
         .join(

@@ -205,9 +205,13 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     num_planes: int = 6,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
-    (same hyperplane signature ⇒ candidate) then exact-filtered."""
+    (same hyperplane signature ⇒ candidate) then exact-filtered.
+    ``max_bucket_size`` drops degenerate buckets (e.g. a corpus full of
+    zero/identical vectors) before the quadratic self-join — same guard
+    as the text-dedup operators; oracles mirror the cap in SQL."""
     def signature(vec: Column) -> Column:
         bits = []
         for p in range(num_planes):
@@ -220,6 +224,14 @@ def embedding_near_dup_pairs(
 
     v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
     v = v.withColumn("bucket", signature(F.col("vec"))).withColumn("n", norm(F.col("vec")))
+    if max_bucket_size is not None:
+        hot = (
+            v.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("bucket")
+        )
+        v = v.join(F.broadcast(hot), "bucket", "left_anti")
     pairs = (
         v.alias("a")
         .join(

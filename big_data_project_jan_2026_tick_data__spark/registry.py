@@ -1648,10 +1648,15 @@ def _near_dup_oracle(dim: int = 64, num_planes: int = 4, seed: int = 42) -> str:
     return f"""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-    b AS (
+    b0 AS (
       SELECT vec_id, vec,
         {bucket} AS bucket
-      FROM v)
+      FROM v),
+    -- mirror the operator's hot-bucket cap (1000)
+    b AS (
+      SELECT vec_id, vec, bucket FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b0)
+      WHERE bsz <= 1000)
     SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
            ROUND(list_cosine_similarity(a.vec, b2.vec), 6) AS cosine
     FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
@@ -1722,10 +1727,14 @@ def _emb_dup_clusters_oracle(dim: int = 64, num_planes: int = 4, seed: int = 42)
     return f"""
     WITH RECURSIVE v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-    b AS (
+    b0 AS (
       SELECT vec_id, vec,
         {bucket} AS bucket
       FROM v),
+    b AS (
+      SELECT vec_id, vec, bucket FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b0)
+      WHERE bsz <= 1000),
     pairs AS (
       SELECT a.vec_id AS id_a, b2.vec_id AS id_b
       FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
