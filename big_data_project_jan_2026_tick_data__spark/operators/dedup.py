@@ -287,6 +287,52 @@ def ngram_jaccard_pairs(
     return out
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 4,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share at
+    least one word ``shingle_n``-gram with any benchmark document (the
+    standard eval-leakage check run before training; cf. GPT-3 §C /
+    Llama-style 8-to-13-gram overlap, shortened here so small corpora
+    still collide).
+
+    Distributed shape: both sides explode to distinct shingles, hashed
+    to 64-bit keys (``xxhash64``) so the join shuffles 8-byte keys, never
+    n-gram strings. The benchmark side (eval suites — tiny next to a
+    training corpus) is broadcast by default, making the whole check a
+    map-side hash join: the 100 TB corpus is scanned once with zero
+    shuffle before the final per-doc count agg. Set
+    ``broadcast_benchmark=False`` for benchmark sets beyond broadcast
+    size (falls back to a shuffle hash join on the 8-byte key).
+
+    Returns one row per contaminated corpus doc:
+    (id_col, n_hit_shingles, n_bench_docs).
+    """
+    def sh(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
+        ).select(out_id, F.xxhash64("__s").alias("__h"))
+
+    c = sh(corpus, "__cid")
+    b = sh(benchmark, "__bid").distinct()
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    return (
+        c.join(b, "__h")
+        .groupBy(F.col("__cid").alias(id_col))
+        .agg(
+            F.countDistinct("__h").alias("n_hit_shingles"),
+            F.countDistinct("__bid").alias("n_bench_docs"),
+        )
+    )
+
+
 def dup_clusters(
     df: DataFrame,
     pairs: DataFrame,

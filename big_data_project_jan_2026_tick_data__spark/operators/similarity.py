@@ -197,6 +197,91 @@ def ivf_topk(
     )
 
 
+def _q6(v: float) -> float:
+    """floor-based half-up quantization to 6 decimals — the same IEEE-754
+    formula the SQL oracles use (``floor(x*1e6 + 0.5)/1e6``), so both
+    engines quantize the *same* binary double to the same value."""
+    import math
+
+    return math.floor(v * 1e6 + 0.5) / 1e6
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the
+    curation primitive behind topic bucketing / per-cluster sampling of
+    training corpora (and the honest version of :func:`ivf_topk`'s coarse
+    quantizer).
+
+    Deterministic by construction (no RNG, no partition-order
+    sensitivity), so two independent engines reproduce it exactly:
+
+    - **init**: the ``k`` vectors with the smallest ``id_col`` (collect is
+      k×dim metadata, corpus-size-independent);
+    - **assign**: argmin of squared L2 distance over the ``k`` broadcast
+      centroid literals — pure map-side expression, zero shuffle, ties
+      broken by lowest cluster id (array_min over struct<dist,cid>);
+    - **update**: per-(cluster, dim) mean via ``posexplode`` + hash agg —
+      ONE shuffle of k×dim partial aggregates per iteration (map-side
+      combine collapses each partition to ≤ k×dim rows), then a k×dim
+      collect. Centroids are quantized to 1e-6 each update so
+      cross-engine float-sum ordering differences can't drift.
+
+    At 100 TB: per iteration the corpus is scanned once, the only
+    shuffle is the tiny partial-agg exchange, and nothing larger than
+    k×dim ever reaches the driver. Empty clusters keep their previous
+    centroid.
+
+    Returns (id_col, cluster, dist_sq) for the final assignment.
+    """
+    v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
+    init_rows = v.orderBy(id_col).limit(k).collect()
+    centroids: list[list[float]] = [[float(x) for x in r.vec] for r in init_rows]
+
+    def assign_expr(cents: list[list[float]]) -> Column:
+        # One F.expr string per assignment (see shingle_hashes: nested
+        # py4j Column builders dominate driver build latency).
+        entries = []
+        for cid, cent in enumerate(cents):
+            arr = ", ".join(f"{x!r}D" for x in cent)
+            dsq = (
+                f"aggregate(zip_with(vec, array({arr}), "
+                f"(x, c) -> (x - c) * (x - c)), 0D, (a, x) -> a + x)"
+            )
+            entries.append(f"struct({dsq} AS dsq, {cid} AS cid)")
+        return F.expr(f"array_min(array({', '.join(entries)}))")
+
+    for _ in range(iters):
+        assigned = v.withColumn("cluster", assign_expr(centroids).getField("cid"))
+        upd = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_c: dict[int, dict[int, float]] = {}
+        for r in upd:
+            new_c.setdefault(r.cluster, {})[r.pos] = _q6(r.m)
+        centroids = [
+            [new_c[cid][p] for p in range(len(centroids[cid]))]
+            if cid in new_c
+            else centroids[cid]
+            for cid in range(k)
+        ]
+
+    final = v.withColumn("a", assign_expr(centroids))
+    return final.select(
+        F.col(id_col),
+        F.col("a").getField("cid").alias("cluster"),
+        (F.floor(F.col("a").getField("dsq") * 1e6 + F.lit(0.5)) / 1e6).alias("dist_sq"),
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

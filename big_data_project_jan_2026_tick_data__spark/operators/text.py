@@ -130,6 +130,81 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", ngram: int = 8) -> D
     )
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals for corpus
+    filtering (Rae et al. 2021 §A1.1 repetition rules, adapted to
+    token/n-gram form):
+
+    - ``dup_token_frac``: fraction of tokens that are repeat occurrences
+      (1 − distinct/total);
+    - ``dup_bigram_frac``: same over word bigrams;
+    - ``top_bigram_cnt`` / ``top_bigram_frac``: occurrences of the most
+      frequent bigram and its share of all bigrams (ties on count are
+      irrelevant to both outputs).
+
+    The distinct-ratio signals are pure per-row array arithmetic — zero
+    shuffle. The top-bigram mode needs cross-occurrence counting, which
+    no per-row pass gives without O(n²) work, so it explodes bigrams into
+    a two-stage hash agg (map-side combine collapses each partition to
+    one row per (doc, gram)) and joins back — at 100 TB that is one
+    narrow shuffle keyed by doc_id, never a full-text shuffle.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, 1 << 20),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+    def q6(c: Column) -> Column:
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("__dt"),
+        bigrams.alias("__bg"),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        q6(
+            (F.col("n_tokens") - F.col("__dt"))
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("dup_token_frac"),
+        F.size("__bg").alias("__nb"),
+        q6(
+            (F.size("__bg") - F.size(F.array_distinct("__bg")))
+            / F.greatest(F.size("__bg"), F.lit(1))
+        ).alias("dup_bigram_frac"),
+    )
+    top = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("top_bigram_cnt"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "dup_token_frac",
+            "dup_bigram_frac",
+            F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
+            q6(
+                F.coalesce("top_bigram_cnt", F.lit(0))
+                / F.greatest(F.col("__nb"), F.lit(1))
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 256,

