@@ -2995,6 +2995,79 @@ def _kmeans_oracle(k: int = 8, dim: int = 64) -> str:
     """
 
 
+@_register(
+    "doc_curation_pipeline",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lower(text) AS txt FROM documents),
+    m AS (
+      SELECT doc_id,
+             length(txt) AS n_chars,
+             len(regexp_extract_all(txt, '[A-Za-z0-9]+')) AS words,
+             len(regexp_extract_all(txt, '[^\w\s]')) AS n_punct,
+             len(regexp_extract_all(txt, '[A-Za-z0-9]')) AS word_chars,
+             len(regexp_extract_all(txt, '\bthe\b'))
+               + len(regexp_extract_all(txt, '\band\b'))
+               + len(regexp_extract_all(txt, '\bof\b'))
+               + len(regexp_extract_all(txt, '\bto\b'))
+               + len(regexp_extract_all(txt, '\bis\b'))
+               + len(regexp_extract_all(txt, '\bthat\b'))
+               + len(regexp_extract_all(txt, '\bwith\b')) AS stop_hits
+      FROM base),
+    q AS (
+      SELECT doc_id,
+             FLOOR((0.35 * LEAST(n_chars / 2000.0, 1.0)
+                 + 0.25 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1) * 4.0, 1.0))
+                 + 0.25 * LEAST(LEAST(stop_hits / GREATEST(words, 1), 1.0) * 5.0, 1.0)
+                 + 0.15 * (CASE WHEN word_chars / GREATEST(words, 1) >= 3.0
+                                 AND word_chars / GREATEST(words, 1) <= 10.0
+                           THEN 1.0 ELSE 0.5 END)) * 1e6 + 0.5) / 1e6 AS quality
+      FROM m),
+    scr AS (
+      SELECT d.doc_id, d.source, q.quality,
+             regexp_replace(regexp_replace(regexp_replace(d.text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\+?\d[\d\s()-]{7,}\d', '<PHONE>', 'g') AS scrubbed
+      FROM documents d JOIN q USING (doc_id)
+      WHERE q.quality >= 0.48),
+    ded AS (
+      SELECT doc_id, source, quality, scrubbed FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY trim(regexp_replace(regexp_replace(lower(scrubbed), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g'))
+          ORDER BY doc_id) AS rn
+        FROM scr) WHERE rn = 1),
+    tok AS (
+      SELECT doc_id, source, quality,
+             len(regexp_extract_all(scrubbed, '[A-Za-z0-9]+')) AS word_tokens
+      FROM ded)
+    SELECT doc_id, source, quality,
+           CAST(word_tokens AS INT) AS word_tokens,
+           CAST(FLOOR(COALESCE(SUM(word_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+             AS BIGINT) AS seq_bucket
+    FROM tok
+    """,
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation flow in ONE Catalyst plan:
+    quality scoring → threshold filter → PII scrub → exact dedup of the
+    scrubbed text → token budgeting → per-source sequence packing.
+    Every stage is an already-verified operator; this query proves they
+    compose (the filter pushes below the scrub, the dedup window keys on
+    the scrubbed hash, the pack window shards by source) — the shape a
+    real 100 TB corpus run would use. Oracle re-derives all five stages
+    in one DuckDB CTE chain."""
+    docs = _td(spark, sf_dir, "documents")
+    q = text.with_quality_score(docs).filter(F.col("quality") >= 0.48)
+    s = text.scrub_pii(q)
+    d = dedup.exact_dedup(s, text_col="scrubbed")
+    t = text.with_token_count(d, text_col="scrubbed")
+    p = text.pack_sequences(t, budget=256)
+    return p.select("doc_id", "source", "quality", "word_tokens", "seq_bucket")
+
+
 @_register("emb_kmeans", _kmeans_oracle())
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 2 iterations, deterministic
@@ -3051,7 +3124,6 @@ _DRIVER_PRIORITY = [
     "orders_unpivot",
     "window_value_functions",
     "part_name_tokens",
-    "multimodal_features",
     "streaming_session_agg",
     # -- round-1 FAILs, root cause fixed (oracle integer-SUM typing) --
     "ticks_daily_window_counts",
@@ -3069,6 +3141,7 @@ _DRIVER_PRIORITY = [
     "doc_repetition_signals",
     "doc_decontaminate",
     "emb_kmeans",
+    "doc_curation_pipeline",
 ]
 
 
