@@ -263,3 +263,58 @@ def test_schema_evolution_add_column(spark, tmp_path, sf_dir):
 
     v1 = t.read(version=1)
     assert "discounted" not in v1.columns
+
+
+def test_incremental_dedup_equals_one_shot(spark, tmp_path, sf_dir):
+    """Ordered-range incremental ingestion == one-shot exact dedup, and
+    re-ingesting an already-seen batch appends 0 rows."""
+    from big_data_project_jan_2026_tick_data__spark.operators.dedup import exact_dedup
+    from big_data_project_jan_2026_tick_data__spark.plans.incremental import (
+        HASH_COL,
+        dedup_append,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = lo + (hi - lo) // 2
+    t = SnapshotTable(spark, str(tmp_path / "corpus"))
+    dedup_append(t, docs.filter(F.col("doc_id") <= mid))
+    dedup_append(t, docs.filter(F.col("doc_id") > mid))
+
+    got = sorted(r.doc_id for r in t.read().select("doc_id").collect())
+    want = sorted(r.doc_id for r in exact_dedup(docs).select("doc_id").collect())
+    assert got == want
+    assert HASH_COL in t.read().columns
+
+    # idempotent re-ingest: everything already committed -> empty append
+    before = t.read().count()
+    dedup_append(t, docs.filter(F.col("doc_id") <= mid))
+    assert t.read().count() == before
+    assert int(t.snapshots().orderBy(F.desc("snapshot_id")).first().summary["added-records"]) == 0
+
+
+def test_incremental_dedup_anti_join_prunes_to_hash_column(spark, tmp_path, sf_dir):
+    """The existing-table side of the ingest anti-join must scan ONLY the
+    persisted content_hash column (the 100 TB contract: dedup against a
+    huge table is a one-int-column read)."""
+    from big_data_project_jan_2026_tick_data__spark.plans.incremental import (
+        HASH_COL,
+        dedup_append,
+        with_content_hash,
+    )
+    from big_data_project_jan_2026_tick_data__spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = SnapshotTable(spark, str(tmp_path / "corpus"))
+    dedup_append(t, docs.limit(50))
+
+    existing = t.read().select(HASH_COL).distinct()
+    b = with_content_hash(exact_dedup(docs.limit(80)), "text").join(
+        existing, HASH_COL, "left_anti"
+    )
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    table_scans = [s for s in scans if s.strip() == f"{HASH_COL}:bigint"]
+    assert table_scans, f"no hash-only scan found in plan scans: {scans}"
