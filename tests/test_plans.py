@@ -77,3 +77,35 @@ def test_asof_no_range_explosion(spark, sf_dir):
     # union+window trick: no join at all in the matching phase
     assert "CartesianProduct" not in full
     assert "BroadcastNestedLoopJoin" not in full
+
+
+def test_decontaminate_broadcast_no_cartesian(spark, sf_dir):
+    """The benchmark shingle side must broadcast (map-side hash join —
+    the 100 TB contract: corpus scan has no shuffle before the agg) and
+    nothing may degenerate to a cross product."""
+    tree, full = _explain(spark, "doc_decontaminate", sf_dir)
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
+    assert "BroadcastHashJoin" in tree
+
+
+def test_kmeans_assignment_is_map_side(spark, sf_dir):
+    """k-means final output: assignment against literal centroids is a
+    pure projection — no join anywhere, no shuffle at all in the final
+    assignment plan (updates happen in earlier actions)."""
+    tree, full = _explain(spark, "emb_kmeans", sf_dir)
+    assert "Join" not in tree
+    assert _shuffles(tree) == 0
+
+
+def test_curation_pipeline_single_text_scan(spark, sf_dir):
+    """The composed curation pipeline reads the documents table without
+    cartesian blowups and keeps the dedup/pack windows as the only
+    exchanges (quality filter + scrub are map-side)."""
+    tree, full = _explain(spark, "doc_curation_pipeline", sf_dir)
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
+    # dedup window (content hash) + pack window (source) => bounded
+    # exchange count; a regression that adds a join-shaped shuffle per
+    # stage would push this up
+    assert _shuffles(tree) <= 3
