@@ -252,6 +252,57 @@ def hash_sample(
     return df.filter(bucket < threshold)
 
 
+def md5_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Engine-portable deterministic sampling: keep rows whose first 4
+    hex chars of ``md5(cast(key as string))`` fall below
+    ``floor(rate * 65536)`` (compared as lowercase hex strings — the
+    lexicographic order of fixed-width hex equals the numeric order).
+
+    Same contract as :func:`hash_sample` (pure function of the key:
+    stable across runs, partitionings, cluster sizes) but reproducible
+    by ANY engine with md5 — the property you need when the sampling
+    decision must be re-derivable outside Spark (audits, oracle checks,
+    mixed-engine pipelines). xxhash-based :func:`hash_sample` stays the
+    fast path; md5 costs ~1 full hash per row more."""
+    return df.filter(_md5_bucket_pred(rate, key_col))
+
+
+def _md5_bucket_pred(rate: float, key_col: str) -> Column:
+    thr_int = min(int(rate * 65536), 65536)
+    if thr_int >= 65536:  # rate 1.0: every 4-hex-char bucket qualifies
+        return F.lit(True)
+    return F.substring(F.md5(F.col(key_col).cast("string")), 1, 4) < F.lit(
+        format(thr_int, "04x")
+    )
+
+
+def stratified_md5_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (e.g. keep 50% of a high-quality domain, 5% of a crawl tier):
+    each stratum gets its own md5-bucket threshold; unlisted strata get
+    ``default_rate``. One map-side filter, zero shuffle; the decision is
+    a pure function of (key, stratum) so re-runs and engine re-derivations
+    agree row-for-row."""
+    pred = None
+    for stratum, rate in sorted(rates.items()):
+        p = (F.col(strata_col) == stratum) & _md5_bucket_pred(rate, key_col)
+        pred = p if pred is None else pred | p
+    others = ~F.col(strata_col).isin(*rates.keys()) & _md5_bucket_pred(
+        default_rate, key_col
+    )
+    return df.filter(others if pred is None else pred | others)
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical normalization used by dedup: lowercase, collapse
     whitespace, strip punctuation."""

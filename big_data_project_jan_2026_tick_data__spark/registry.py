@@ -3079,6 +3079,27 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_stratified_sample",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE (source = 'src0' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+       OR (source = 'src1' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+       OR (source NOT IN ('src0', 'src1')
+           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc')
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing via per-stratum deterministic sampling: 50% of
+    src0, 25% of src1, 5% of everything else — md5-bucket thresholds, so
+    the exact keep-set is re-derivable by any engine (the oracle applies
+    the same thresholds in SQL)."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.stratified_md5_sample(
+        docs, {"src0": 0.5, "src1": 0.25}, default_rate=0.05
+    ).select("doc_id", "source")
+
+
+@_register(
     "incremental_dedup",
     """
     SELECT doc_id, lang, source FROM (
@@ -3184,6 +3205,7 @@ _DRIVER_PRIORITY = [
     # -- first past the round-1 budget cut (50): checked only if the
     # driver's budget grows; pytest oracle sweep covers it regardless --
     "incremental_dedup",
+    "doc_stratified_sample",
 ]
 
 

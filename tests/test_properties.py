@@ -283,3 +283,24 @@ def test_decontaminate_hand_case(spark):
     assert set(out) == {10}
     assert out[10].n_hit_shingles == 1  # "the quick brown fox"
     assert out[10].n_bench_docs == 2
+
+
+def test_stratified_md5_sample_rates_and_monotonicity(spark, sf_dir):
+    """Per-stratum md5 sampling: monotone keep-sets across rates, pure
+    function of (key, stratum), unlisted strata use the default rate."""
+    from big_data_project_jan_2026_tick_data__spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    small = {r.doc_id for r in T.stratified_md5_sample(
+        docs, {"src0": 0.2}, default_rate=0.05).select("doc_id").collect()}
+    big = {r.doc_id for r in T.stratified_md5_sample(
+        docs, {"src0": 0.6}, default_rate=0.10).select("doc_id").collect()}
+    assert small <= big
+    again = {r.doc_id for r in T.stratified_md5_sample(
+        docs, {"src0": 0.2}, default_rate=0.05).select("doc_id").collect()}
+    assert small == again
+    # a stratum rate of 0 keeps nothing from that stratum
+    none_src0 = T.stratified_md5_sample(docs, {"src0": 0.0}, default_rate=1.0)
+    assert none_src0.filter(F.col("source") == "src0").count() == 0
+    assert none_src0.filter(F.col("source") != "src0").count() == \
+        docs.filter(F.col("source") != "src0").count()
