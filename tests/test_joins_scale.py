@@ -94,3 +94,43 @@ def test_catalog_external_table_and_symbol_listing(spark, tmp_path, sf_dir):
         assert syms == sorted(syms) and len(syms) == 5
     finally:
         spark.sql("DROP TABLE IF EXISTS ext_orders_t")
+
+
+def test_zorder_write_clusters_all_dimensions(spark, tmp_path, sf_dir):
+    """Z-order layout: with files covering compact Morton ranges, the
+    per-file min/max span of EVERY z-order column is a fraction of the
+    global span (a single-column sort leaves the other column's span at
+    ~100% per file) — the property that makes multi-dimension range
+    predicates prune files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_project_jan_2026_tick_data__spark.sources.io import write_zordered
+
+    ev = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"), F.col("o_totalprice").alias("value")
+    )
+    out = str(tmp_path / "z")
+    write_zordered(ev, out, zorder_by=("user_id", "value"), num_files=16)
+
+    glo = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    gspan_u = glo[1] - glo[0]
+    gspan_v = glo[3] - glo[2]
+    spans_u, spans_v = [], []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.read_metadata(f)
+        lo_u = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi_u = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        lo_v = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        hi_v = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        spans_u.append((hi_u - lo_u) / gspan_u)
+        spans_v.append((hi_v - lo_v) / gspan_v)
+    assert len(spans_u) >= 8
+    # both dimensions clustered at once — the z-order property
+    assert sum(spans_u) / len(spans_u) < 0.6, spans_u
+    assert sum(spans_v) / len(spans_v) < 0.6, spans_v
+    # and the data round-trips
+    assert spark.read.parquet(out).count() == ev.count()
