@@ -80,6 +80,12 @@ def shingle_hashes(col_name: str, n: int = 3) -> Column:
     column NAME for that reason. The token-hash array appears several
     times in the tree; whole-stage codegen's common-subexpression
     elimination evaluates it once per row."""
+    return F.expr(_shingle_hashes_sql(col_name, n))
+
+
+def _shingle_hashes_sql(col_name: str, n: int) -> str:
+    """The SQL text behind :func:`shingle_hashes` (reused verbatim by
+    per-row signature builders)."""
     norm = (
         rf"trim(regexp_replace(regexp_replace(lower({col_name}), "
         rf"'[^\\w\\s]', ' '), '\\s+', ' '))"
@@ -94,10 +100,21 @@ def shingle_hashes(col_name: str, n: int = 3) -> Column:
     partial = (
         f"array(aggregate({th}, 0L, (acc, h) -> pmod(acc * 1000003L + h, {_P31}L)))"
     )
-    return F.expr(
+    return (
         f"array_distinct(CASE WHEN size({th}) < {n} THEN {partial} "
         f"ELSE filter({g}, x -> x IS NOT NULL) END)"
     )
+
+
+def _mh_consts(i: int) -> tuple[int, int]:
+    """Deterministic 31-bit Carter-Wegman multiplier/offset for
+    permutation ``i`` (splitmix-style constants) — shared by the batch
+    (explode+agg) and per-row (HOF) signature builders so the two
+    formulations are bit-identical."""
+    p = _P31
+    a = ((0x9E3779B97F4A7C15 * (2 * i + 1)) >> 33) % (p - 1) + 1  # 1..p-1
+    b = (0xBF58476D1CE4E5B9 * (i + 1)) % p
+    return a, b
 
 
 def minhash_signatures(
@@ -129,15 +146,9 @@ def minhash_signatures(
         F.explode(shingle_hashes(text_col, shingle_n)).alias("__h"),
     )
 
-    # deterministic 31-bit multipliers/offsets (splitmix-style constants)
-    def _consts(i: int) -> tuple[int, int]:
-        a = ((0x9E3779B97F4A7C15 * (2 * i + 1)) >> 33) % (p - 1) + 1  # 1..p-1
-        b = (0xBF58476D1CE4E5B9 * (i + 1)) % p
-        return a, b
-
     aggs = []
     for i in range(num_hashes):
-        a, b = _consts(i)
+        a, b = _mh_consts(i)
         aggs.append(
             F.expr(f"min(pmod(__h * {a}L + {b}L, {p}L))").alias(f"h{i}")
         )
@@ -146,6 +157,30 @@ def minhash_signatures(
         F.col(id_col),
         F.expr(f"array({', '.join(f'h{i}' for i in range(num_hashes))})").alias("sig"),
     )
+
+
+def minhash_signature_col(
+    text_col: str = "text", num_hashes: int = 8, shingle_n: int = 3
+) -> Column:
+    """Per-ROW MinHash signature (array<long>) — ``array_min`` over the
+    permuted shingle hashes, entirely map-side. ~2× slower than
+    :func:`minhash_signatures`'s explode + codegen'd hash-agg on batch
+    data (measured at sf0.1), but it needs NO aggregation, which makes
+    it the only formulation usable upstream of stateful streaming
+    operators (``dropDuplicatesWithinWatermark`` cannot follow a
+    streaming agg) and as a derived column inside any other plan."""
+    p = _P31
+    sh = _shingle_hashes_sql(text_col, shingle_n)
+    terms = ", ".join(
+        f"array_min(transform(__mh_sh, h -> pmod(h * {a}L + {b}L, {p}L)))"
+        for a, b in (_mh_consts(i) for i in range(num_hashes))
+    )
+    # bind the shingle array to a lambda variable (transform over a
+    # 1-element array) so the shingle expression is evaluated once per
+    # row, not once per permutation
+    return F.expr(
+        f"transform(array({sh}), __mh_sh -> array({terms}))"
+    ).getItem(0)
 
 
 def minhash_lsh_pairs(

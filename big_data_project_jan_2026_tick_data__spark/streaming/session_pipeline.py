@@ -223,6 +223,54 @@ def streaming_dedup(
     return stream.dropDuplicates(list(id_cols))
 
 
+def streaming_near_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """NEAR-duplicate streaming dedup with bounded state: each document
+    gets a single LSH band key — ``xxhash64`` of its per-row MinHash
+    signature (:func:`…operators.dedup.minhash_signature_col`, the
+    map-side formulation: stateful dedup cannot follow a streaming
+    agg) — and ``dropDuplicatesWithinWatermark`` on that key collapses
+    near-identical arrivals to the first one within the watermark
+    horizon.
+
+    One band of ``num_hashes`` rows ⇒ a pair with Jaccard j collides
+    with probability j^num_hashes — precision-leaning by design (false
+    merges need j ≈ 1); a multi-band recall-leaning variant needs
+    cross-row state beyond per-key dedup and belongs in the batch
+    :func:`…operators.dedup.minhash_lsh_pairs` backfill pass. State is
+    one 8-byte key per surviving doc per watermark horizon.
+
+    On a batch frame this degrades to keep-first-by-``ts_col`` per band
+    key — the oracle for the streaming path.
+    """
+    from ..operators.dedup import minhash_signature_col
+
+    from pyspark.sql import functions as F
+
+    keyed = stream.withColumn(
+        "band_key",
+        F.xxhash64(minhash_signature_col(text_col, num_hashes, shingle_n).cast("string")),
+    )
+    if stream.isStreaming:
+        return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["band_key"]
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_key").orderBy(ts_col)
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -356,3 +356,67 @@ def test_health_check_surface(spark, tick_dir):
     q.awaitTermination(30)
     h2 = health_check(q, spark=spark).collect()[0]
     assert not h2["is_active"] and not h2["healthy"]
+
+
+def test_streaming_near_dedup_collapses_near_identical(spark, tmp_path):
+    """LSH-band streaming near-dedup: identical and near-identical docs
+    (same MinHash band key) collapse to first arrival across
+    micro-batches; distinct docs survive. Batch keep-first-by-ts is the
+    oracle."""
+    from big_data_project_jan_2026_tick_data__spark.streaming.session_pipeline import (
+        streaming_near_dedup,
+    )
+
+    d = tmp_path / "nd"
+    d.mkdir()
+    t0 = pd.Timestamp(2026, 1, 5, 7, 50, 0)
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    a = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [base, "completely different content about spark shuffles here"],
+            "ts": [t0, t0],
+        }
+    )
+    a.assign(ts=a.ts.astype("datetime64[us]")).to_parquet(d / "a.parquet", index=False)
+    b = pd.DataFrame(
+        {
+            "doc_id": [3],
+            "text": [base],  # exact dup of doc 1, later micro-batch
+            "ts": [t0 + pd.Timedelta(seconds=30)],
+        }
+    )
+    b.assign(ts=b.ts.astype("datetime64[us]")).to_parquet(d / "b.parquet", index=False)
+
+    schema = "doc_id long, text string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = run_stream_to_memory(streaming_near_dedup(stream), "near_dedup_out")
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [1, 2]  # doc 3 collapsed onto doc 1's band key
+
+    batch = streaming_near_dedup(spark.read.parquet(str(d)))
+    assert sorted(r.doc_id for r in batch.collect()) == got
+
+
+def test_minhash_signature_col_matches_batch_signatures(spark, sf_dir):
+    """The per-row (map-side) MinHash signature must be bit-identical to
+    the explode+agg batch formulation — shared permutation constants."""
+    from big_data_project_jan_2026_tick_data__spark.operators.dedup import (
+        minhash_signature_col,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    per_row = {
+        r.doc_id: list(r.sig)
+        for r in docs.select(
+            "doc_id", minhash_signature_col("text", 16, 3).alias("sig")
+        ).collect()
+    }
+    batch = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures(docs, num_hashes=16).collect()
+    }
+    assert per_row == batch
