@@ -423,6 +423,37 @@ def dup_clusters(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: near-duplicate documents
+    must land in the SAME split (else held-out examples leak into
+    training through their near-copies). Components over the near-dup
+    ``pairs`` graph (:func:`dup_clusters`) become the split unit; each
+    cluster is assigned by an engine-portable md5 bucket of its
+    cluster_id — deterministic, re-derivable in plain SQL, stable when
+    the corpus grows (a cluster's id is its min member id, so adding
+    unrelated docs never flips an existing cluster's split).
+
+    Shuffle profile = dup_clusters (the label-propagation joins) plus
+    one map-side bucket assignment; the split itself adds no shuffle.
+    """
+    clusters = dup_clusters(df, pairs, id_col=id_col)
+    test_hi = format(min(int(test_frac * 65536), 65536), "04x")
+    val_hi = format(min(int((test_frac + val_frac) * 65536), 65536), "04x")
+    bucket = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4)
+    return clusters.withColumn(
+        "split",
+        F.when(bucket < test_hi, "test")
+        .when(bucket < val_hi, "val")
+        .otherwise("train"),
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash per document: for each token hash, each bit
     contributes +1/-1; the sign of the per-bit sum forms the fingerprint.

@@ -2864,6 +2864,55 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_leakage_safe_split",
+    r"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id AS id, g AS sh FROM norm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS t(g)),
+    sh AS (
+      SELECT id, sh FROM (
+        SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh0)
+      WHERE df <= 1000),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < '1999' THEN 'test'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < '3333' THEN 'val'
+                ELSE 'train' END AS split
+    FROM comp
+    """,
+)
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup components (word-3-gram
+    Jaccard >= 0.2 graph) are the split unit, assigned by an md5 bucket of
+    the component's min doc_id — no near-duplicate pair ever straddles a
+    split. 10% test / 10% val thresholds."""
+    docs = _td(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    return dedup.leakage_safe_split(docs, pairs, val_frac=0.1, test_frac=0.1)
+
+
+@_register(
     "doc_repetition_signals",
     r"""
     WITH norm AS (
@@ -3206,6 +3255,7 @@ _DRIVER_PRIORITY = [
     # driver's budget grows; pytest oracle sweep covers it regardless --
     "incremental_dedup",
     "doc_stratified_sample",
+    "doc_leakage_safe_split",
 ]
 
 

@@ -304,3 +304,16 @@ def test_stratified_md5_sample_rates_and_monotonicity(spark, sf_dir):
     assert none_src0.filter(F.col("source") == "src0").count() == 0
     assert none_src0.filter(F.col("source") != "src0").count() == \
         docs.filter(F.col("source") != "src0").count()
+
+
+def test_leakage_safe_split_invariant(spark, sf_dir):
+    """No near-dup pair straddles a split; fractions are applied at the
+    cluster level; singleton docs are their own cluster."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    out = dedup.leakage_safe_split(docs, pairs, val_frac=0.2, test_frac=0.2)
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    for p in pairs.collect():
+        assert split_of[p.id_a] == split_of[p.id_b], (p.id_a, p.id_b)
+    assert set(split_of.values()) <= {"train", "val", "test"}
+    assert out.count() == docs.count()
