@@ -2913,6 +2913,47 @@ def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_source_report",
+    r"""
+    WITH base AS (
+      SELECT doc_id, source, lang, lower(text) AS txt,
+             trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      FROM documents),
+    m AS (
+      SELECT doc_id, source, lang,
+             len(regexp_extract_all(txt, '[A-Za-z0-9]+')) AS words,
+             COUNT(*) OVER (PARTITION BY norm) >= 2 AS is_dup
+      FROM base)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+    FROM m GROUP BY source
+    """,
+)
+def doc_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report — the domain-level stats a corpus
+    curator filters on (RefinedWeb-style per-domain decisions): doc and
+    language counts, token totals, and how many docs have an exact
+    duplicate anywhere in the corpus (window count over the content
+    hash, no self-join)."""
+    docs = _td(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    norm = text.normalize_text(F.col("text"))
+    d = text.with_token_count(docs).withColumn(
+        "is_dup", F.count(F.lit(1)).over(Window.partitionBy(F.xxhash64(norm))) >= 2
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("word_tokens").alias("total_words"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("dup_docs"),
+    )
+
+
+@_register(
     "doc_repetition_signals",
     r"""
     WITH norm AS (
@@ -3256,6 +3297,7 @@ _DRIVER_PRIORITY = [
     "incremental_dedup",
     "doc_stratified_sample",
     "doc_leakage_safe_split",
+    "doc_source_report",
 ]
 
 
