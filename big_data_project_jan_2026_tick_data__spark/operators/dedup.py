@@ -482,29 +482,30 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return sums.select(F.col(id_col), F.expr(fp).alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def hamming_pairs(
+    fps: DataFrame,
+    fp_col: str,
+    id_col: str,
     max_hamming: int = 3,
     blocks: int = 4,
     max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: pigeonhole the 64 bits into ``blocks``
-    segments — any pair within ``max_hamming`` (< blocks) shares at least
-    one identical segment → equi-join per segment, then exact Hamming
-    filter via bit_count(xor). ``max_bucket_size`` drops degenerate
-    segment buckets before the self-join (same quadratic-hot-bucket
-    guard as :func:`minhash_lsh_pairs`)."""
-    fps = simhash(df, text_col, id_col)
+    """Pairs of rows whose 64-bit fingerprints differ by at most
+    ``max_hamming`` bits — the pigeonhole segment join shared by SimHash
+    text dedup and perceptual (dHash) media dedup: split the 64 bits into
+    ``blocks`` segments; any pair within ``max_hamming`` (< blocks)
+    shares at least one identical segment → equi-join per segment, then
+    exact Hamming filter via ``bit_count(xor)``. ``max_bucket_size``
+    drops degenerate segment buckets before the quadratic self-join
+    (same hot-bucket guard as :func:`minhash_lsh_pairs`)."""
     seg_bits = 64 // blocks
     segs = fps.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(fp_col),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), i * seg_bits)
+                    F.shiftrightunsigned(F.col(fp_col), i * seg_bits)
                     .bitwiseAND(F.lit((1 << seg_bits) - 1).cast("long"))
                     for i in range(blocks)
                 ]
@@ -530,8 +531,8 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("fp_a"),
-            F.col("b.simhash").alias("fp_b"),
+            F.col(f"a.{fp_col}").alias("fp_a"),
+            F.col(f"b.{fp_col}").alias("fp_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -540,4 +541,24 @@ def simhash_near_pairs(
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash — :func:`hamming_pairs` over
+    :func:`simhash` fingerprints."""
+    return hamming_pairs(
+        simhash(df, text_col, id_col),
+        fp_col="simhash",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        blocks=blocks,
+        max_bucket_size=max_bucket_size,
     )

@@ -209,6 +209,54 @@ def sample_frames(
     return df.mapInPandas(kernel, schema=_FRAMES_SCHEMA)
 
 
+def _dhash(pixels: np.ndarray) -> int:
+    """64-bit difference hash (dHash): grayscale → nearest-resize to
+    8×9 → each bit is left-pixel > right-pixel. Robust to re-encoding,
+    mild noise and rescaling — the standard perceptual key for image
+    dedup (pHash-family, as used by large image-text corpus cleanups).
+    Returns a SIGNED 64-bit int (Spark long)."""
+    gray = pixels.astype(np.float64).mean(axis=2) if pixels.ndim == 3 else pixels
+    small = codecs.resize_nearest(gray[..., None], 8, 9)[..., 0]
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def perceptual_hashes(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Perceptual (dHash) fingerprints for image/video payloads via
+    mapInPandas: ppm images hash their pixels, ppmseq videos hash their
+    first frame (thumbnail semantics); other codecs yield NULL. Feed the
+    result to ``dedup.hamming_pairs`` for near-dup candidate pairs, or
+    dedup exactly on the hash — at 100 TB only (media_id, phash) pairs
+    ever shuffle, the payload bytes stay where they were decoded."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf[payload_col], pdf["meta"]
+            ):
+                codec = (meta or {}).get("codec") or ""
+                if codec == "ppm":
+                    ph = _dhash(codecs.decode_ppm(payload))
+                elif codec == "ppmseq":
+                    ph = _dhash(codecs.decode_ppm(codecs.demux_ppmseq(payload)[0]))
+                else:
+                    ph = None
+                out.append((int(mid), kind, ph))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "phash"])
+
+    return df.mapInPandas(kernel, schema=_PHASH_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic synthetic media table in the REAL formats the
     decoders parse: P6 PPM images, RIFF/WAVE PCM16 audio, PSEQ frame

@@ -1369,6 +1369,23 @@ def _register_rows_only():
         media = multimodal.synthetic_media(spark, n=64)
         return multimodal.extract_features(media)
 
+    @_register("multimodal_image_dedup")
+    def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Perceptual image dedup: dHash fingerprints over decoded
+        pixels (videos hash their first frame), near-dup pairs via the
+        shared Hamming pigeonhole join. A re-encoded copy tier (same
+        payloads, offset ids) guarantees every image/video pairs with
+        its twin at hamming 0 — rows-only, but the expected pair count
+        is structural."""
+        media = multimodal.synthetic_media(spark, n=48)
+        copies = media.withColumn("media_id", F.col("media_id") + 10000)
+        fps = multimodal.perceptual_hashes(media.unionByName(copies)).filter(
+            F.col("phash").isNotNull()
+        )
+        return dedup.hamming_pairs(
+            fps, fp_col="phash", id_col="media_id", max_hamming=2
+        )
+
     @_register("multimodal_frame_sample")
     def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Cardinality-increasing mapInPandas: one row per sampled video

@@ -103,3 +103,53 @@ def test_sample_frames_real_demux(spark):
         src = min(len(blobs) - 1, f.frame_ms * len(blobs) // max(dur, 1))
         expected = multimodal._image_features(codecs.decode_ppm(blobs[src]))
         np.testing.assert_allclose(f.features, expected, rtol=1e-6)
+
+
+def test_perceptual_hash_near_dup_detection(spark):
+    """dHash: a re-encoded copy with mild pixel noise stays within a few
+    Hamming bits of the original; an unrelated image does not. The
+    hamming_pairs pigeonhole join finds exactly the planted pair."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_project_jan_2026_tick_data__spark.operators import codecs, multimodal
+    from big_data_project_jan_2026_tick_data__spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(11)
+    # smooth gradient image: dHash is stable under small noise on smooth
+    # content (random-noise images flip bits at the slightest touch)
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = np.stack([(xx * 4) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], -1).astype(
+        np.uint8
+    )
+    noisy = base.astype(np.int16) + rng.integers(-6, 7, base.shape)
+    noisy = noisy.clip(0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+
+    rows = [
+        (1, "image", codecs.encode_ppm(base), (64, 48, None, None, "ppm")),
+        (2, "image", codecs.encode_ppm(noisy), (64, 48, None, None, "ppm")),
+        (3, "image", codecs.encode_ppm(other), (64, 48, None, None, "ppm")),
+    ]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    df = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+
+    fps = multimodal.perceptual_hashes(df)
+    pairs = hamming_pairs(fps, fp_col="phash", id_col="media_id", max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_perceptual_hashes_video_and_audio(spark):
+    """ppmseq videos hash their first frame; audio rows yield NULL."""
+    from big_data_project_jan_2026_tick_data__spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=12)
+    fps = {r.media_id: r.phash for r in multimodal.perceptual_hashes(media).collect()}
+    rows = {r.media_id: r.kind for r in media.select("media_id", "kind").collect()}
+    for mid, kind in rows.items():
+        if kind == "audio":
+            assert fps[mid] is None
+        else:
+            assert isinstance(fps[mid], int)
