@@ -489,6 +489,7 @@ def hamming_pairs(
     max_hamming: int = 3,
     blocks: int = 4,
     max_bucket_size: int | None = 1000,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Pairs of rows whose 64-bit fingerprints differ by at most
     ``max_hamming`` bits — the pigeonhole segment join shared by SimHash
@@ -497,11 +498,17 @@ def hamming_pairs(
     shares at least one identical segment → equi-join per segment, then
     exact Hamming filter via ``bit_count(xor)``. ``max_bucket_size``
     drops degenerate segment buckets before the quadratic self-join
-    (same hot-bucket guard as :func:`minhash_lsh_pairs`)."""
+    (same hot-bucket guard as :func:`minhash_lsh_pairs`).
+
+    ``group_cols`` joins the segments *within groups only* — required
+    when fingerprints from different spaces share one table (media kinds,
+    languages): the group columns become part of the bucket key, so
+    cross-group coincidences are never even generated."""
     seg_bits = 64 // blocks
     segs = fps.select(
         F.col(id_col),
         F.col(fp_col),
+        *[F.col(g) for g in group_cols],
         F.posexplode(
             F.array(
                 *[
@@ -512,22 +519,21 @@ def hamming_pairs(
             )
         ).alias("seg_idx", "seg"),
     )
+    bucket_cols = [*group_cols, "seg_idx", "seg"]
     if max_bucket_size is not None:
         hot = (
-            segs.groupBy("seg_idx", "seg")
+            segs.groupBy(*bucket_cols)
             .agg(F.count(F.lit(1)).alias("__bsz"))
             .filter(F.col("__bsz") > max_bucket_size)
-            .select("seg_idx", "seg")
+            .select(*bucket_cols)
         )
-        segs = segs.join(F.broadcast(hot), ["seg_idx", "seg"], "left_anti")
+        segs = segs.join(F.broadcast(hot), bucket_cols, "left_anti")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in bucket_cols:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
     pairs = (
         segs.alias("a")
-        .join(
-            segs.alias("b"),
-            (F.col("a.seg_idx") == F.col("b.seg_idx"))
-            & (F.col("a.seg") == F.col("b.seg"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        .join(segs.alias("b"), cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

@@ -221,6 +221,26 @@ def _dhash(pixels: np.ndarray) -> int:
     return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
 
 
+def _audio_envelope_hash(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint: RMS energy over 65 equal windows, each
+    bit is next-window > this-window. Invariant to global gain (only
+    energy *ordering* matters) and robust to mild noise — the envelope
+    analogue of image dHash."""
+    n = len(samples)
+    if n < 65:
+        samples = np.pad(samples.astype(np.float64), (0, 65 - n))
+        n = 65
+    bounds = (np.arange(66) * n) // 65
+    e = np.array(
+        [
+            np.sqrt(np.mean(np.square(samples[bounds[i]:max(bounds[i + 1], bounds[i] + 1)].astype(np.float64))))
+            for i in range(65)
+        ]
+    )
+    bits = e[1:] > e[:-1]
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
 _PHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -231,12 +251,13 @@ _PHASH_SCHEMA = T.StructType(
 
 
 def perceptual_hashes(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Perceptual (dHash) fingerprints for image/video payloads via
-    mapInPandas: ppm images hash their pixels, ppmseq videos hash their
-    first frame (thumbnail semantics); other codecs yield NULL. Feed the
-    result to ``dedup.hamming_pairs`` for near-dup candidate pairs, or
-    dedup exactly on the hash — at 100 TB only (media_id, phash) pairs
-    ever shuffle, the payload bytes stay where they were decoded."""
+    """Perceptual fingerprints for media payloads via mapInPandas: ppm
+    images dHash their pixels, ppmseq videos dHash their first frame
+    (thumbnail semantics), pcm16 audio hashes its RMS-energy envelope;
+    unknown codecs yield NULL. Hashes from different kinds live in
+    different metric spaces — pair them with ``dedup.hamming_pairs(...,
+    group_cols=("kind",))``. At 100 TB only (media_id, kind, phash)
+    triples ever shuffle; payload bytes stay where they were decoded."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -249,6 +270,8 @@ def perceptual_hashes(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     ph = _dhash(codecs.decode_ppm(payload))
                 elif codec == "ppmseq":
                     ph = _dhash(codecs.decode_ppm(codecs.demux_ppmseq(payload)[0]))
+                elif codec == "pcm16":
+                    ph = _audio_envelope_hash(codecs.decode_wav(payload)[0])
                 else:
                     ph = None
                 out.append((int(mid), kind, ph))

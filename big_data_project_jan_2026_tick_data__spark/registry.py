@@ -1371,19 +1371,21 @@ def _register_rows_only():
 
     @_register("multimodal_image_dedup")
     def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Perceptual image dedup: dHash fingerprints over decoded
-        pixels (videos hash their first frame), near-dup pairs via the
-        shared Hamming pigeonhole join. A re-encoded copy tier (same
-        payloads, offset ids) guarantees every image/video pairs with
-        its twin at hamming 0 — rows-only, but the expected pair count
-        is structural."""
+        """Perceptual media dedup: dHash for images (videos hash their
+        first frame), RMS-envelope hash for audio, near-dup pairs via
+        the shared Hamming pigeonhole join grouped by kind (hashes from
+        different kinds live in different metric spaces). A copy tier
+        (same payloads, offset ids) guarantees every media row pairs
+        with its twin at hamming 0 — rows-only, but the expected pair
+        count is structural."""
         media = multimodal.synthetic_media(spark, n=48)
         copies = media.withColumn("media_id", F.col("media_id") + 10000)
         fps = multimodal.perceptual_hashes(media.unionByName(copies)).filter(
             F.col("phash").isNotNull()
         )
         return dedup.hamming_pairs(
-            fps, fp_col="phash", id_col="media_id", max_hamming=2
+            fps, fp_col="phash", id_col="media_id", max_hamming=2,
+            group_cols=("kind",),
         )
 
     @_register("multimodal_frame_sample")

@@ -141,15 +141,41 @@ def test_perceptual_hash_near_dup_detection(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
-def test_perceptual_hashes_video_and_audio(spark):
-    """ppmseq videos hash their first frame; audio rows yield NULL."""
+def test_perceptual_hashes_all_kinds(spark):
+    """Every synthetic kind fingerprints: images/videos via dHash, audio
+    via the RMS-envelope hash; the kind-grouped pair join never emits
+    cross-kind pairs even for identical hash values."""
     from big_data_project_jan_2026_tick_data__spark.operators import multimodal
+    from big_data_project_jan_2026_tick_data__spark.operators.dedup import hamming_pairs
 
     media = multimodal.synthetic_media(spark, n=12)
-    fps = {r.media_id: r.phash for r in multimodal.perceptual_hashes(media).collect()}
-    rows = {r.media_id: r.kind for r in media.select("media_id", "kind").collect()}
-    for mid, kind in rows.items():
-        if kind == "audio":
-            assert fps[mid] is None
-        else:
-            assert isinstance(fps[mid], int)
+    fps_df = multimodal.perceptual_hashes(media)
+    fps = {r.media_id: r.phash for r in fps_df.collect()}
+    assert all(isinstance(v, int) for v in fps.values())
+
+    kinds = {r.media_id: r.kind for r in media.select("media_id", "kind").collect()}
+    pairs = hamming_pairs(
+        fps_df, fp_col="phash", id_col="media_id", max_hamming=64,
+        group_cols=("kind",),
+    )
+    for p in pairs.collect():
+        assert kinds[p.id_a] == kinds[p.id_b]
+
+
+def test_audio_envelope_hash_gain_invariant():
+    """The audio fingerprint ignores global gain but not a reshaped
+    envelope."""
+    import numpy as np
+
+    from big_data_project_jan_2026_tick_data__spark.operators.multimodal import (
+        _audio_envelope_hash,
+    )
+
+    rng = np.random.default_rng(5)
+    env = np.repeat(rng.uniform(0.2, 1.0, 65), 200)
+    wave = (env * rng.normal(0, 4000, len(env))).astype(np.int16)
+    h1 = _audio_envelope_hash(wave)
+    h2 = _audio_envelope_hash((wave * 0.5).astype(np.int16))
+    assert bin(h1 ^ h2).count("1") <= 4  # gain-invariant up to int16 rounding
+    h3 = _audio_envelope_hash(wave[::-1].copy())
+    assert bin(h1 ^ h3).count("1") > 10  # reversed envelope is far away
