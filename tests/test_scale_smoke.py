@@ -149,3 +149,59 @@ def test_ngram_jaccard_50k_docs_capped(spark):
     )
     n_pairs = pairs.count()
     assert 0 < n_pairs < 2 * n
+
+
+def test_kmeans_500k_vectors(spark):
+    """500k synthetic dim-16 vectors through 2 Lloyd iterations: per
+    iteration the corpus is scanned once and only k×dim partial aggs
+    shuffle — wall time must stay near-linear (catches accidental
+    driver-side collection of assignments)."""
+    import time
+
+    from big_data_project_jan_2026_tick_data__spark.operators import similarity
+
+    n, dim, k = 500_000, 16, 8
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dim}), "
+            "j -> cast(pmod(xxhash64(id * 31 + j), 1000) as float) / 1000.0)"
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    out = similarity.kmeans(vecs, k=k, iters=2)
+    assert out.count() == n
+    dt = time.time() - t0
+    assert dt < 120, f"kmeans 500k took {dt:.0f}s"
+    assert out.select("cluster").distinct().count() <= k
+
+
+def test_decontaminate_200k_corpus_vs_5k_benchmark(spark):
+    """200k-doc corpus against a 5k-doc benchmark: the benchmark shingle
+    set broadcasts, the corpus side never shuffles before the count agg;
+    planted contamination (every 40th doc embeds a benchmark phrase) is
+    found, clean docs are not flagged."""
+    from big_data_project_jan_2026_tick_data__spark.operators import dedup
+
+    n = 200_000
+    corpus = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(
+                F.col("id") % 40 == 0,
+                F.lit("secret benchmark passage alpha bravo charlie delta "),
+            ).otherwise(F.lit("ordinary training text without overlap here ")),
+            F.lit("filler body "),
+            F.xxhash64("id").cast("string"),
+        ).alias("text"),
+    )
+    bench = spark.range(5_000).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("eval question secret benchmark passage alpha bravo charlie delta item "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    hits = dedup.decontaminate(corpus, bench, shingle_n=4)
+    n_hits = hits.count()
+    assert n_hits == n // 40, n_hits
