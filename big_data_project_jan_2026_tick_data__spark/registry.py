@@ -2931,6 +2931,32 @@ def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.leakage_safe_split(docs, pairs, val_frac=0.1, test_frac=0.1)
 
 
+# One SQL text, two engines: this string runs verbatim as the Spark
+# query (over register_testdata_views) AND as its own DuckDB oracle —
+# the cleanest demonstration that the SQL surface is ANSI-portable.
+_SQL_OVER_VIEWS = """
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY c.c_mktsegment
+"""
+
+
+@_register("sql_over_views", _SQL_OVER_VIEWS)
+def sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plain-SQL user surface: testdata tables registered as temp
+    views (sources/catalog.py::register_testdata_views — the Trino-SQL
+    workflow of the reference), then ONE ANSI SQL string executed by
+    ``spark.sql`` — the very same string IS the DuckDB oracle."""
+    from .sources.catalog import register_testdata_views
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(_SQL_OVER_VIEWS)
+
+
 @_register(
     "doc_source_report",
     r"""
@@ -3317,6 +3343,7 @@ _DRIVER_PRIORITY = [
     "doc_stratified_sample",
     "doc_leakage_safe_split",
     "doc_source_report",
+    "sql_over_views",
 ]
 
 

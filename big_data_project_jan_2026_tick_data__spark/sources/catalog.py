@@ -42,3 +42,24 @@ def create_external_parquet(spark: SparkSession, table: str, location: str) -> N
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {table} USING parquet LOCATION '{location}'"
     )
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so users run plain
+    ``spark.sql`` over them — the engine's answer to the reference's
+    Trino SQL surface (``metadata_layer.py`` external tables). Handles
+    the events table's nanosecond timestamps the same way the registry
+    does (legacy int64 read + integer DIV truncation to micros)."""
+    from pyspark.sql import functions as F
+
+    from .io import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        if t == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet").withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.createOrReplaceTempView(t)
