@@ -109,3 +109,33 @@ def test_curation_pipeline_single_text_scan(spark, sf_dir):
     # exchange count; a regression that adds a join-shaped shuffle per
     # stage would push this up
     assert _shuffles(tree) <= 3
+
+
+def test_plan_doctor_reports_and_gates(spark, sf_dir):
+    """plan_report counts match the hand-asserted q9 plan; a deliberate
+    cross join trips assert_scale_safe; a clean plan passes the gate."""
+    import pytest as _pytest
+
+    from big_data_project_jan_2026_tick_data__spark.plans.doctor import (
+        ScaleSafetyError,
+        assert_scale_safe,
+        plan_report,
+    )
+
+    q9 = QUERIES["tpch_q9_product_profit"](spark, sf_dir)
+    r = plan_report(q9)
+    assert r["broadcast_joins"] == 4
+    assert r["shuffles"] == 1
+    assert r["cartesian_products"] == 0
+    assert r["python_row_udfs"] == 0
+    assert r["pushed_filter_scans"] >= 1
+    assert_scale_safe(q9, max_shuffles=1)
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    cross = a.crossJoin(b)
+    with _pytest.raises(ScaleSafetyError):
+        assert_scale_safe(cross)
+
+    with _pytest.raises(ScaleSafetyError, match="shuffles"):
+        assert_scale_safe(q9, max_shuffles=0)
