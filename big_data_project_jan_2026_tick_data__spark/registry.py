@@ -2958,6 +2958,44 @@ def sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_md5_fingerprints",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')) AS n,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, g FROM norm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS t(g))
+    SELECT n.doc_id,
+           md5(n.n) AS exact_fp,
+           MIN(md5(s.g)) AS shingle_min_fp
+    FROM norm n JOIN sh s USING (doc_id)
+    GROUP BY n.doc_id, n.n
+    """,
+)
+def doc_md5_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable document fingerprints: md5 of the normalized text
+    (exact content key) + the lexicographic MIN over per-shingle md5s (a
+    1-hash winnowing sketch, robust to small edits) — the oracle-able
+    twin of the xxhash64 ``doc_fingerprints`` (same plan shape, portable
+    hash). Explode+min is one map-side-combined agg; nothing but
+    (doc_id, 32-byte hex) pairs shuffle."""
+    docs = _td(spark, sf_dir, "documents")
+    norm = text.normalize_text(F.col("text"))
+    sh = docs.select(
+        F.col("doc_id"),
+        F.md5(norm).alias("exact_fp"),
+        F.explode(dedup.shingles(F.col("text"), 3)).alias("__g"),
+    )
+    return sh.groupBy("doc_id", "exact_fp").agg(
+        F.min(F.md5("__g")).alias("shingle_min_fp")
+    )
+
+
+@_register(
     "doc_source_report",
     r"""
     WITH base AS (
@@ -3344,6 +3382,7 @@ _DRIVER_PRIORITY = [
     "doc_leakage_safe_split",
     "doc_source_report",
     "sql_over_views",
+    "doc_md5_fingerprints",
 ]
 
 
