@@ -231,6 +231,28 @@ class SnapshotTable:
                 last_err = e
         raise last_err
 
+    def merge(self, updates: DataFrame, key_cols: list[str]) -> Snapshot:
+        """MERGE INTO (upsert): rows in ``updates`` replace current rows
+        sharing their key; new keys are inserted — committed as ONE new
+        overwrite snapshot (copy-on-write, the Iceberg COW strategy; old
+        versions stay time-travelable).
+
+        Plan shape: current LEFT ANTI join the distinct update keys
+        (broadcast — update batches are small next to the table), union
+        the updates, rewrite. At 100 TB copy-on-write rewrites the whole
+        table per merge; partition-scoped merges (filter both sides to
+        the touched partitions, overwrite only those) or a merge-on-read
+        delete-file design are the upgrades — out of scope here, noted
+        for the deploy story."""
+        from pyspark.sql import functions as F
+
+        cur = self.read()
+        keys = updates.select(*key_cols).distinct()
+        keep = cur.join(F.broadcast(keys), key_cols, "left_anti")
+        return self.write(
+            keep.unionByName(updates, allowMissingColumns=True), mode="overwrite"
+        )
+
     def rollback_to(self, snapshot_id: int) -> Snapshot:
         """Roll back to an earlier snapshot — appended as a NEW snapshot
         whose manifest is the target's (lineage preserved,

@@ -3273,6 +3273,39 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "snapshot_merge_upsert",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 4 = 0 THEN value * 2 ELSE value END AS value
+    FROM events WHERE event_id % 2 = 0
+    """,
+)
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) on the snapshot table: seed with the even
+    event_ids, then merge an update batch (every 4th id, doubled value)
+    keyed on event_id — updates replace, the rest survive, committed
+    copy-on-write with history intact. The oracle is the last-writer-
+    wins CASE over the raw events table."""
+    import tempfile
+
+    from .plans.snapshots import SnapshotTable
+
+    ev = _td(spark, sf_dir, "events").select("event_id", "value")
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(spark, f"{d}/tbl")
+        t.write(ev.filter(F.col("event_id") % 2 == 0), mode="append")
+        t.merge(
+            ev.filter(F.col("event_id") % 4 == 0).withColumn(
+                "value", F.col("value") * 2
+            ),
+            key_cols=["event_id"],
+        )
+        out = t.read().select("event_id", "value")
+        rows = out.collect()  # materialize before tmpdir cleanup
+    return spark.createDataFrame(rows, out.schema)
+
+
+@_register(
     "incremental_dedup",
     """
     SELECT doc_id, lang, source FROM (
@@ -3383,6 +3416,7 @@ _DRIVER_PRIORITY = [
     "doc_source_report",
     "sql_over_views",
     "doc_md5_fingerprints",
+    "snapshot_merge_upsert",
 ]
 
 

@@ -318,3 +318,26 @@ def test_incremental_dedup_anti_join_prunes_to_hash_column(spark, tmp_path, sf_d
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     table_scans = [s for s in scans if s.strip() == f"{HASH_COL}:bigint"]
     assert table_scans, f"no hash-only scan found in plan scans: {scans}"
+
+
+def test_merge_upsert_replaces_and_inserts(spark, tmp_path, sf_dir):
+    """MERGE: matched keys take the update's row, unmatched keep the
+    current row, brand-new keys insert; history stays time-travelable."""
+    ev = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+    ).limit(100)
+    t = SnapshotTable(spark, str(tmp_path / "m"))
+    t.write(ev, mode="append")
+    v1 = t.current_snapshot_id()
+
+    updates = ev.limit(10).withColumn("v", F.col("v") * 0 + 1.5).unionByName(
+        spark.createDataFrame([(10**9, 7.0)], "k long, v double")
+    )
+    t.merge(updates, key_cols=["k"])
+
+    cur = {r.k: r.v for r in t.read().collect()}
+    assert cur[10**9] == 7.0                       # insert
+    upd_keys = [r.k for r in ev.limit(10).collect()]
+    assert all(cur[k] == 1.5 for k in upd_keys)    # replace
+    assert t.read().count() == 101
+    assert t.read(version=v1).count() == 100       # history intact
