@@ -317,3 +317,33 @@ def test_leakage_safe_split_invariant(spark, sf_dir):
         assert split_of[p.id_a] == split_of[p.id_b], (p.id_a, p.id_b)
     assert set(split_of.values()) <= {"train", "val", "test"}
     assert out.count() == docs.count()
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij".split()), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_signals_match_pandas(spark, docs_tokens):
+    """Property: dup-token/bigram fractions and top-bigram counts match
+    an independent pandas/python computation for arbitrary small docs."""
+    from collections import Counter
+
+    from big_data_project_jan_2026_tick_data__spark.operators import text as T
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in T.repetition_signals(df).collect()}
+    for i, toks in enumerate(docs_tokens):
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        assert abs(r.dup_token_frac - (len(toks) - len(set(toks))) / len(toks)) < 1e-6
+        nb = max(len(bigrams), 1)
+        assert abs(r.dup_bigram_frac - (len(bigrams) - len(set(bigrams))) / nb) < 1e-6
+        top = max(Counter(bigrams).values()) if bigrams else 0
+        assert r.top_bigram_cnt == top
+        assert abs(r.top_bigram_frac - top / nb) < 1e-6
