@@ -249,6 +249,76 @@ def ohlc_bars(
     )
 
 
+def indicators(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    partition_cols: Sequence[str] = ("symbol",),
+    tiebreak_cols: Sequence[str] = (),
+    window_rows: int = 20,
+    ema_span: int = 12,
+) -> DataFrame:
+    """Technical-indicator pack per series — the derived columns a tick
+    platform's consumers chart (reference domain: quant features over
+    cleaned tick streams):
+
+    - ``ret``: log return vs the previous tick;
+    - ``rvol``: realized volatility = sqrt(Σ ret² over the trailing
+      ``window_rows`` ticks);
+    - ``boll_mid`` / ``boll_up`` / ``boll_dn``: Bollinger bands
+      (trailing mean ± 2 population stddevs);
+    - ``ema``: truncated exponential moving average over ``ema_span``
+      ticks, weights a·(1−a)^k (a = 2/(span+1)) normalized over the
+      available lags.
+
+    Everything is ROWS-frame window arithmetic after ONE sort per
+    partition — no self-join; the EMA's per-lag weights use the
+    row_number *difference* inside an aggregate over collect_list of the
+    trailing frame (bounded ``ema_span`` elements per row), all codegen.
+    Deterministic total order via ``tiebreak_cols``.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w1 = Window.partitionBy(*partition_cols).orderBy(*order)
+    wN = w1.rowsBetween(-(window_rows - 1), 0)
+    wE = w1.rowsBetween(-(ema_span - 1), 0)
+    a = 2.0 / (ema_span + 1)
+
+    ret = F.log(F.col(value_col) / F.lag(value_col, 1).over(w1))
+    out = df.withColumn("ret", F.round(ret, 6))
+    # trailing frame as a bounded array; EMA = Σ w_k x_{-k} / Σ w_k with
+    # w_k = (1-a)^k counted from the newest element (end of the list)
+    vals = F.collect_list(F.col(value_col).cast("double")).over(wE)
+    n = F.size(vals)
+    weighted = F.expr(
+        f"aggregate(zip_with(__vals, sequence(size(__vals) - 1, 0), "
+        f"(x, k) -> x * pow({1 - a!r}D, k)), 0D, (acc, v) -> acc + v)"
+    )
+    wsum = F.expr(
+        f"aggregate(transform(sequence(0, size(__vals) - 1), "
+        f"k -> pow({1 - a!r}D, k)), 0D, (acc, v) -> acc + v)"
+    )
+    out = (
+        out.withColumn("__vals", vals)
+        .withColumn("ema", F.round(weighted / wsum, 6))
+        .drop("__vals")
+    )
+    sq = F.col("__ret_raw") * F.col("__ret_raw")
+    out = (
+        out.withColumn("__ret_raw", ret)
+        .withColumn("rvol", F.round(F.sqrt(F.sum(sq).over(wN)), 6))
+        .drop("__ret_raw")
+    )
+    mid = F.avg(value_col).over(wN)
+    sd = F.stddev_pop(value_col).over(wN)
+    return (
+        out.withColumn("boll_mid", F.round(mid, 6))
+        .withColumn("boll_up", F.round(mid + 2 * sd, 6))
+        .withColumn("boll_dn", F.round(mid - 2 * sd, 6))
+    )
+
+
 def rolling_stats(
     df: DataFrame,
     ts_col: str = "ts",

@@ -3273,6 +3273,59 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ticks_indicators",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, ts, value,
+             ln(value / lag(value) OVER w) AS ret_raw,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS l,
+             avg(value) OVER w20 AS mid,
+             stddev_pop(value) OVER w20 AS sd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    r AS (
+      SELECT *,
+             sqrt(sum(ret_raw * ret_raw) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS rvol_raw,
+             list_sum(list_transform(range(1, len(l) + 1),
+               i -> l[i] * pow({decay}, len(l) - i))) AS wsum_x,
+             list_sum(list_transform(range(1, len(l) + 1),
+               i -> pow({decay}, len(l) - i))) AS wsum
+      FROM base)
+    SELECT event_id, user_id, ts,
+           ROUND(ret_raw, 6) AS ret,
+           ROUND(wsum_x / wsum, 6) AS ema,
+           ROUND(rvol_raw, 6) AS rvol,
+           ROUND(mid, 6) AS boll_mid,
+           ROUND(mid + 2 * sd, 6) AS boll_up,
+           ROUND(mid - 2 * sd, 6) AS boll_dn
+    FROM r
+    """.format(decay=repr(1 - 2.0 / 13)),
+)
+def ticks_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Technical-indicator pack over the events stream (per-user price
+    series stand-in): log returns, truncated EMA(12), realized vol(20),
+    Bollinger(20, 2) — all single-sort ROWS-frame window arithmetic, no
+    self-join. Oracle re-derives the truncated EMA via list windows."""
+    ev = _td(spark, sf_dir, "events")
+    out = ticks.indicators(
+        ev,
+        ts_col="ts",
+        value_col="value",
+        partition_cols=("user_id",),
+        tiebreak_cols=("event_id",),
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "ret", "ema", "rvol",
+        "boll_mid", "boll_up", "boll_dn",
+    )
+
+
+@_register(
     "snapshot_merge_upsert",
     """
     SELECT event_id,
@@ -3417,6 +3470,7 @@ _DRIVER_PRIORITY = [
     "sql_over_views",
     "doc_md5_fingerprints",
     "snapshot_merge_upsert",
+    "ticks_indicators",
 ]
 
 
