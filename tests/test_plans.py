@@ -139,3 +139,11 @@ def test_plan_doctor_reports_and_gates(spark, sf_dir):
 
     with _pytest.raises(ScaleSafetyError, match="shuffles"):
         assert_scale_safe(q9, max_shuffles=0)
+
+
+def test_indicators_single_sort_no_join(spark, sf_dir):
+    """All four indicator families share one partition key, so the plan
+    must have exactly ONE shuffle (the window sort) and no join."""
+    tree, full = _explain(spark, "ticks_indicators", sf_dir)
+    assert "Join" not in tree
+    assert _shuffles(tree) == 1
