@@ -329,6 +329,44 @@ def stream_append_snapshots(
     )
 
 
+def stream_merge_snapshots(
+    stream: DataFrame, table_path: str, checkpoint: str, key_cols: list[str]
+):
+    """Streaming UPSERT into the snapshot-log table (CDC apply): each
+    micro-batch first collapses to one row per key (last by arrival
+    within the batch — foreachBatch sees an ordinary DataFrame), then
+    MERGEs into the table, so replays and late corrections overwrite
+    instead of duplicating. The foreachBatch + checkpoint pair gives
+    exactly-once table state per epoch; each merge is one copy-on-write
+    snapshot, so the upsert history is time-travelable. Returns the
+    started StreamingQuery."""
+    from pyspark.sql import Window
+
+    from ..plans.snapshots import SnapshotTable
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = SnapshotTable(batch_df.sparkSession, table_path)
+        w = Window.partitionBy(*key_cols).orderBy(F.monotonically_increasing_id().desc())
+        last = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            t.merge(last, key_cols=key_cols)
+        except ValueError:
+            t.write(last, mode="append")  # first batch: empty table
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def health_check(queries, spark: SparkSession | None = None) -> DataFrame:
     """Live-endpoint health surface (reference `main.py:407-439`
     ``health_check()`` + the PDF's monitoring spec): one row per
