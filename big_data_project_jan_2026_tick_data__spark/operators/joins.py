@@ -23,6 +23,7 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance_ms: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the most recent (``backward``)
     or next (``forward``) right row at-or-before/after ``on``, per ``by``
@@ -35,6 +36,11 @@ def asof_join(
     requires a whole group in one pandas batch). Ties (equal timestamps)
     resolve to the right row (inclusive as-of), matching pandas
     merge_asof(allow_exact_matches=True).
+
+    ``tolerance_ms`` (pandas ``merge_asof(tolerance=...)``): a match
+    further than this from the left timestamp is nulled out — quotes too
+    stale to attach to a trade. Implemented by carrying the matched
+    right timestamp through the same window (zero extra shuffles).
     """
     right_cols = list(right_cols or [c for c in right.columns if c != on and c not in by])
     by = list(by)
@@ -45,6 +51,9 @@ def asof_join(
         lhs = lhs.withColumn(out_name, F.lit(None).cast(right.schema[c].dataType))
     lhs = lhs.withColumn("__side", F.lit(1))
 
+    if tolerance_ms is not None:
+        lhs = lhs.withColumn("__r_on", F.lit(None).cast(right.schema[on].dataType))
+
     rhs = right.select(
         *by,
         F.col(on),
@@ -53,6 +62,8 @@ def asof_join(
             for c in right_cols
         ],
     )
+    if tolerance_ms is not None:
+        rhs = rhs.withColumn("__r_on", F.col(on))
     for c in left.columns:
         if c not in rhs.columns:
             rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
@@ -60,6 +71,8 @@ def asof_join(
 
     unioned = lhs.unionByName(rhs)
     out_names = [c + suffix if c in left.columns else c for c in right_cols]
+    if tolerance_ms is not None:
+        out_names = [*out_names, "__r_on"]
 
     if direction == "backward":
         w = (
@@ -82,7 +95,15 @@ def asof_join(
     else:
         raise ValueError("direction must be backward|forward")
 
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+    if tolerance_ms is not None:
+        gap = F.abs(F.unix_millis(F.col(on)) - F.unix_millis(F.col("__r_on")))
+        stale = F.col("__r_on").isNull() | (gap > tolerance_ms)
+        for c in out_names:
+            if c != "__r_on":
+                out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+        out = out.drop("__r_on")
+    return out
 
 
 def range_join(

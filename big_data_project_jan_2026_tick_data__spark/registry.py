@@ -650,6 +650,46 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "asof_with_tolerance",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN date_diff('millisecond', c.ts, p.ts) <= 86400000
+                THEN c.value END AS click_value,
+           CASE WHEN date_diff('millisecond', c.ts, p.ts) <= 86400000
+                THEN c.ts END AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof tolerance):
+    clicks older than 24h before the purchase are nulled — the matched
+    timestamp rides the same single-shuffle window, zero extra cost.
+    Oracle = DuckDB ASOF JOIN + gap CASE."""
+    ev = _td(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "value")
+        .withColumnRenamed("value", "click_value")
+        .withColumn("click_ts", F.col("ts"))
+    )
+    out = joins.asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=("user_id",),
+        right_cols=("click_value", "click_ts"),
+        direction="backward",
+        tolerance_ms=86_400_000,
+    )
+    return out.select("event_id", "user_id", "ts", "click_value", "click_ts")
+
+
+@_register(
     "stats_min_max_metadata",
     """
     SELECT MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
@@ -3471,6 +3511,7 @@ _DRIVER_PRIORITY = [
     "doc_md5_fingerprints",
     "snapshot_merge_upsert",
     "ticks_indicators",
+    "asof_with_tolerance",
 ]
 
 

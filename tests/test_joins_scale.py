@@ -134,3 +134,44 @@ def test_zorder_write_clusters_all_dimensions(spark, tmp_path, sf_dir):
     assert sum(spans_v) / len(spans_v) < 0.6, spans_v
     # and the data round-trips
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    """asof_join(tolerance_ms=...) nulls matches staler than the bound —
+    parity with pandas merge_asof(tolerance=...)."""
+    import pandas as pd
+
+    from big_data_project_jan_2026_tick_data__spark.operators.joins import asof_join
+
+    base = pd.Timestamp(2026, 1, 5, 8, 0, 0)
+    left = pd.DataFrame(
+        {
+            "symbol": ["A"] * 4,
+            "ts": [base + pd.Timedelta(seconds=s) for s in (0, 10, 60, 300)],
+            "px": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "symbol": ["A"] * 2,
+            "ts": [base - pd.Timedelta(seconds=5), base + pd.Timedelta(seconds=55)],
+            "quote": [100.0, 200.0],
+        }
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts", by=("symbol",), tolerance_ms=30_000,
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="symbol", tolerance=pd.Timedelta(seconds=30),
+    )
+    for g, (_, e) in zip(got, exp.iterrows()):
+        ge = None if g.quote is None else g.quote
+        ee = None if pd.isna(e.quote) else e.quote
+        assert ge == ee, (g.ts, ge, ee)
