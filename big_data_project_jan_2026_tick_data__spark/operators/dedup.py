@@ -140,12 +140,17 @@ def minhash_signatures(
     num_hashes-long row per doc before the shuffle, so shuffle volume is
     O(#docs), not O(#shingles).
     """
-    p = _P31
     sh = df.select(
         F.col(id_col),
         F.explode(shingle_hashes(text_col, shingle_n)).alias("__h"),
     )
+    return _signatures_from_hashes(sh, id_col, num_hashes)
 
+
+def _signatures_from_hashes(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, __h) exploded shingle hashes → (id, sig array) via the shared
+    Carter-Wegman permutations; one map-side-combined groupBy."""
+    p = _P31
     aggs = []
     for i in range(num_hashes):
         a, b = _mh_consts(i)
@@ -262,6 +267,80 @@ def minhash_lsh_pairs(
         f" / cast({num_hashes} as double), 6)"
     )
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def md5_minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Engine-reproducible MinHash+LSH: shingle hashes come from md5 of
+    the shingle STRING (28 bits from the first 7 hex chars — any SQL
+    engine recomputes them), signatures use the shared Carter-Wegman
+    permutations, and band keys are the plain '-'-joined signature
+    slices. ~2-3× the cost of :func:`minhash_lsh_pairs` (string shingles
+    + md5 vs token-hash mixing; portable band strings vs xxhash64) —
+    exists so the FULL LSH pipeline (signature → band → candidate pair →
+    similarity estimate) gets an independent value-hash oracle, not a
+    rows-only check. Same hot-bucket cap and slim-join shape."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
+    ).select(
+        id_col,
+        F.expr("cast(conv(substr(md5(__s), 1, 7), 16, 10) as bigint)").alias("__h"),
+    )
+    sigs = _signatures_from_hashes(sh, id_col, num_hashes)
+    rows = num_hashes // bands
+    band_arr = ", ".join(
+        "concat_ws('-', {})".format(
+            ", ".join(f"sig[{b * rows + r}]" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    band_entries = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(f"array({band_arr})")).alias("band_idx", "band_key"),
+    )
+    if max_bucket_size is not None:
+        hot = (
+            band_entries.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band_idx", "band_key")
+        )
+        band_entries = band_entries.join(
+            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+        )
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.expr(
+        "round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+        f" / cast({num_hashes} as double), 6)"
+    )
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+    )
 
 
 def ngram_jaccard_pairs(

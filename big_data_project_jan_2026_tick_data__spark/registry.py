@@ -2997,6 +2997,70 @@ def sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_OVER_VIEWS)
 
 
+def _md5_minhash_oracle(
+    num_hashes: int = 16, bands: int = 4, cap: int = 1000
+) -> str:
+    """Full LSH re-derivation in DuckDB: md5-derived 28-bit shingle
+    hashes → the same Carter-Wegman signature mins (constants imported
+    from the engine) → '-'-joined band keys → capped band self-join →
+    fraction-of-equal-minima similarity estimate."""
+    from .operators.dedup import _P31, _mh_consts
+
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"MIN((h * {a} + {b}) % {_P31}) AS h{i}"
+        for i, (a, b) in ((i, _mh_consts(i)) for i in range(num_hashes))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {idx} AS band_idx, concat_ws('-', {cols}) AS band_key, "
+        "[{allc}] AS sig FROM sigs".format(
+            idx=b,
+            cols=", ".join(f"h{b * rows + r}" for r in range(rows)),
+            allc=", ".join(f"h{i}" for i in range(num_hashes)),
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(g), 1, 7)) AS BIGINT) AS h
+      FROM norm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS t(g)),
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands0 AS (
+      {band_rows}),
+    bands AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bsz
+        FROM bands0) WHERE bsz <= {cap})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(({eq}) / CAST({num_hashes} AS DOUBLE), 6) AS est_jaccard
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """
+
+
+@_register("doc_md5_minhash_pairs", _md5_minhash_oracle())
+def doc_md5_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash+LSH pipeline under an independent value-hash
+    oracle: md5-derived shingle hashes (engine-portable, unlike the
+    xxhash64 fast path of ``doc_minhash_pairs``), shared Carter-Wegman
+    permutations, plain band-slice keys, hot-bucket cap mirrored in
+    SQL."""
+    docs = _td(spark, sf_dir, "documents")
+    return dedup.md5_minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
+
+
 @_register(
     "doc_md5_fingerprints",
     r"""
@@ -3512,6 +3576,7 @@ _DRIVER_PRIORITY = [
     "snapshot_merge_upsert",
     "ticks_indicators",
     "asof_with_tolerance",
+    "doc_md5_minhash_pairs",
 ]
 
 
