@@ -502,6 +502,33 @@ def dup_clusters(
     )
 
 
+def md5_simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    """Engine-reproducible SimHash: per-token 60-bit hashes from md5 hex
+    prefixes (any SQL engine recomputes them) instead of xxhash64 —
+    otherwise identical to :func:`simhash` (per-bit ±1 sums, sign
+    fingerprint). The portable twin that lets the SimHash pipeline carry
+    a value-hash oracle."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn(
+        "h", F.expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)")
+    )
+    aggs = [
+        F.expr(
+            f"sum(CASE WHEN (h & {1 << i}L) != 0 THEN 1 ELSE -1 END)"
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    fp = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}L ELSE 0L END)" for i in range(bits)
+    )
+    return sums.select(F.col(id_col), F.expr(fp).alias("simhash"))
+
+
 def leakage_safe_split(
     df: DataFrame,
     pairs: DataFrame,

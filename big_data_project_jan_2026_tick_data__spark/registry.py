@@ -3050,6 +3050,63 @@ def _md5_minhash_oracle(
     """
 
 
+def _md5_simhash_oracle(bits: int = 60, max_hamming: int = 3, cap: int = 1000) -> str:
+    """Full SimHash re-derivation in DuckDB: md5-derived 60-bit token
+    hashes → per-bit ±1 sums → sign fingerprint → 16-bit pigeonhole
+    segments (the same scheme as dedup.hamming_pairs) → capped self-join
+    → exact bit_count(xor) Hamming filter."""
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = "\n             | ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM norm, UNNEST(toks) AS u(t)),
+    b AS (
+      SELECT doc_id,
+             {sums}
+      FROM h GROUP BY doc_id),
+    fp AS (
+      SELECT doc_id,
+             {fp} AS fp
+      FROM b),
+    segs0 AS (
+      SELECT doc_id, fp, s AS seg_idx, (fp >> (s * 16)) & 65535 AS seg
+      FROM fp, UNNEST([0, 1, 2, 3]) AS t(s)),
+    segs AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY seg_idx, seg) AS bsz
+        FROM segs0) WHERE bsz <= {cap})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM segs a JOIN segs b
+      ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+@_register("doc_md5_simhash_pairs", _md5_simhash_oracle(max_hamming=6))
+def doc_md5_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs under an independent value-hash oracle:
+    md5-portable 60-bit fingerprints through the shared Hamming
+    pigeonhole join (doc_simhash_pairs' xxhash64 fast path stays
+    rows-only by nature)."""
+    docs = _td(spark, sf_dir, "documents")
+    fps = dedup.md5_simhash(docs)
+    return dedup.hamming_pairs(
+        fps, fp_col="simhash", id_col="doc_id", max_hamming=6, blocks=4
+    )
+
+
 @_register("doc_md5_minhash_pairs", _md5_minhash_oracle())
 def doc_md5_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL MinHash+LSH pipeline under an independent value-hash
@@ -3577,6 +3634,7 @@ _DRIVER_PRIORITY = [
     "ticks_indicators",
     "asof_with_tolerance",
     "doc_md5_minhash_pairs",
+    "doc_md5_simhash_pairs",
 ]
 
 
