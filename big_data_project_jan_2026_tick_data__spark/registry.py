@@ -57,14 +57,12 @@ def _td(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if key in _TD_CACHE:
         return _TD_CACHE[key]
     if table == "events":
-        # events.ts is parquet timestamp[ns], which the vectorized reader
-        # rejects; read the raw int64 nanos and truncate to micros —
-        # identical to DuckDB's ns→µs truncation.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        # integer division — ts/1000 via double would lose precision at
-        # nanosecond magnitudes (> 2^53)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # schema-adaptive: the testdata generator has shipped ts as both
+        # int64-nanos and native timestamp[us]; io.read_events branches on
+        # the resolved schema instead of pinning one physical type.
+        from .sources.io import read_events
+
+        df = read_events(spark, f"{sf_dir}/{table}.parquet")
     else:
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     _TD_CACHE[key] = df
@@ -1452,12 +1450,9 @@ def _register_rows_only():
         import shutil
         import tempfile
 
+        from .sources.io import events_stream_source
+
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = (
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
         # the file-stream source wants a directory of its own; symlink
         # the single table file into a temp dir for the replay
         d = tempfile.mkdtemp(prefix="stream_events_")
@@ -1467,9 +1462,7 @@ def _register_rows_only():
                 os.path.join(d, "events.parquet"),
             )
             stream = (
-                spark.readStream.schema(schema)
-                .parquet(d)
-                .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+                events_stream_source(spark, f"{sf_dir}/events.parquet", d)
                 .select(
                     F.lit("EVENTS").alias("symbol"),
                     "ts",
@@ -1501,12 +1494,9 @@ def _register_rows_only():
             session_window_aggregate,
         )
 
+        from .sources.io import events_stream_source
+
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = (
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
         d = tempfile.mkdtemp(prefix="stream_health_")
         try:
             os.symlink(
@@ -1514,9 +1504,7 @@ def _register_rows_only():
                 os.path.join(d, "events.parquet"),
             )
             stream = (
-                spark.readStream.schema(schema)
-                .parquet(d)
-                .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+                events_stream_source(spark, f"{sf_dir}/events.parquet", d)
                 .select(
                     F.lit("EVENTS").alias("symbol"),
                     "ts",

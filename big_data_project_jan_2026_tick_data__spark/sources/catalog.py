@@ -49,17 +49,8 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
     ``spark.sql`` over them — the engine's answer to the reference's
     Trino SQL surface (``metadata_layer.py`` external tables). Handles
     the events table's nanosecond timestamps the same way the registry
-    does (legacy int64 read + integer DIV truncation to micros)."""
-    from pyspark.sql import functions as F
-
-    from .io import TESTDATA_TABLES
+    does (schema-adaptive ts normalization via ``io.read_events``)."""
+    from .io import read_testdata, TESTDATA_TABLES
 
     for t in TESTDATA_TABLES:
-        if t == "events":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(f"{sf_dir}/{t}.parquet").withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
-        else:
-            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        df.createOrReplaceTempView(t)
+        read_testdata(spark, sf_dir, t).createOrReplaceTempView(t)

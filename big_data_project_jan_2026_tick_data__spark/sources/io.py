@@ -59,7 +59,59 @@ def read_parquet(spark: SparkSession, path: str, with_file: bool = False) -> Dat
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {table!r}")
+    if table == "events":
+        return read_events(spark, f"{sf_dir}/{table}.parquet")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _events_ts_normalizer(dt):
+    """Map the physical type of an events ``ts`` column to a normalizer
+    producing session-TZ TimestampType. The testdata generator has shipped
+    ``ts`` as int64-nanos (surfaced as LongType under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and as native timestamp[us]
+    (surfaced as TimestampNTZ); queries must never assume which."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if isinstance(dt, LongType):
+        # integer division — ns→µs via double would lose precision at
+        # nanosecond magnitudes (> 2^53); matches DuckDB's truncation.
+        return lambda df: df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    if isinstance(dt, TimestampNTZType):
+        # wall-clock-preserving under a UTC session TZ, so downstream
+        # hour/minute extraction and oracle hashes are unchanged.
+        return lambda df: df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return lambda df: df
+
+
+def _read_events_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-resolve the events file with whatever reader config its
+    footer requires (TIMESTAMP(NANOS) is rejected by the vectorized
+    reader unless read as raw int64)."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """S3 (events branch): schema-adaptive scan of the event-stream table —
+    inspect the resolved schema and normalize ``ts`` to TimestampType."""
+    df = _read_events_raw(spark, path)
+    return _events_ts_normalizer(df.schema["ts"].dataType)(df)
+
+
+def events_stream_source(
+    spark: SparkSession, probe_path: str, directory: str
+) -> DataFrame:
+    """Streaming events source. File streams require an explicit schema,
+    so batch-probe the raw file schema first (one footer read), then apply
+    the identical ts normalization to the stream."""
+    raw = _read_events_raw(spark, probe_path)
+    stream = spark.readStream.schema(raw.schema).parquet(directory)
+    return _events_ts_normalizer(raw.schema["ts"].dataType)(stream)
 
 
 def write_parquet(

@@ -132,11 +132,10 @@ def test_daily_stats_report_artifacts(spark, tmp_path, sf_dir):
         write_daily_stats_report,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        .withColumn("symbol", F.concat(F.lit("SYM"), F.col("user_id") % 2))
+    from big_data_project_jan_2026_tick_data__spark.sources.io import read_events
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").withColumn(
+        "symbol", F.concat(F.lit("SYM"), F.col("user_id") % 2)
     )
     daily = stats.daily_window_counts(
         ev, ts_col="ts", partition_cols=("symbol",),
