@@ -65,6 +65,42 @@ def brute_force_topk(
     )
 
 
+def _sql_arr(vals) -> str:
+    """Render a python float list as a SQL double-array literal."""
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def _dot_sql(vec_expr: str, arr_expr: str) -> str:
+    return (
+        f"aggregate(zip_with({vec_expr}, {arr_expr}, (x, y) -> x * y), "
+        f"0D, (a, v) -> a + v)"
+    )
+
+
+def _norm_sql(vec_expr: str) -> str:
+    return f"sqrt(aggregate({vec_expr}, 0D, (a, v) -> a + v * v))"
+
+
+def _signature_expr(
+    vec_expr: str, dim: int, num_planes: int, seed: int
+) -> Column:
+    """Sign-bit LSH signature as ONE parsed SQL expression.
+
+    Building this with nested Column constructors costs num_planes×dim
+    py4j round-trips just to assemble the literal plane arrays (~1 s of
+    driver latency per call at dim 64); a single F.expr string is parsed
+    JVM-side in one hop. Same lesson as dedup.shingle_hashes.
+    """
+    planes = "array(" + ", ".join(
+        _sql_arr(_hyperplane(dim, p, seed)) for p in range(num_planes)
+    ) + ")"
+    return F.expr(
+        f"aggregate(transform({planes}, (p, i) -> "
+        f"IF({_dot_sql(vec_expr, 'p')} >= 0D, shiftleft(1, i), 0)), "
+        f"0, (a, v) -> a + v)"
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane (pure function of
     (plane_idx, seed) — same plane on every executor, no driver state)."""
@@ -98,24 +134,14 @@ def lsh_bucket_topk(
     rerank within buckets. Recall < 1 by design; the bucket join replaces
     the full cross product (corpus shuffles on a 1-int key).
     """
-    def signature(vec: Column) -> Column:
-        bits = []
-        for p in range(num_planes):
-            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p, seed)])
-            bits.append(F.when(dot(vec, plane) >= 0, 1 << p).otherwise(0))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
     c = corpus.select(F.col(corpus_id), _to_double(F.col(vec_col)).alias("cvec"))
-    c = c.withColumn("bucket", signature(F.col("cvec"))).withColumn(
-        "cnorm", norm(F.col("cvec"))
-    )
+    c = c.withColumn(
+        "bucket", _signature_expr("cvec", dim, num_planes, seed)
+    ).withColumn("cnorm", norm(F.col("cvec")))
     q = queries.select(F.col(query_id), _to_double(F.col(vec_col)).alias("qvec"))
-    q = q.withColumn("bucket", signature(F.col("qvec"))).withColumn(
-        "qnorm", norm(F.col("qvec"))
-    )
+    q = q.withColumn(
+        "bucket", _signature_expr("qvec", dim, num_planes, seed)
+    ).withColumn("qnorm", norm(F.col("qvec")))
     scored = c.join(F.broadcast(q), "bucket").withColumn(
         "cosine",
         F.round(dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6),
@@ -161,25 +187,32 @@ def ivf_topk(
     )
     centroids = [[float(x) for x in r.cvec] for r in cent_rows]
 
-    def cell_scores(vec: Column) -> Column:
-        """array<struct<score,cid>> of cosine-to-centroid, one per cell."""
-        import math
+    import math
 
-        entries = []
-        for i, cent in enumerate(centroids):
-            cn = math.sqrt(sum(v * v for v in cent)) or 1.0
-            plane = F.array(*[F.lit(v) for v in cent])
-            score = dot(vec, plane) / (F.lit(cn) * norm(vec))
-            entries.append(F.struct(score.alias("score"), F.lit(i).alias("cid")))
-        return F.array(*entries)
+    cents_sql = "array(" + ", ".join(_sql_arr(cent) for cent in centroids) + ")"
+    cnorms_sql = _sql_arr(
+        [math.sqrt(sum(v * v for v in cent)) or 1.0 for cent in centroids]
+    )
 
-    c = c.withColumn("cell", F.array_max(cell_scores(F.col("cvec"))).getField("cid"))
+    def cell_scores(vec_expr: str) -> str:
+        """array<struct<score,cid>> of cosine-to-centroid, one per cell —
+        emitted as ONE SQL string: nlist×dim literal Column builders cost
+        ~2000 py4j round-trips (≈2.5 s of pure driver latency at
+        nlist=16, dim=64); one parsed expression costs one."""
+        return (
+            f"transform({cents_sql}, (c, i) -> struct("
+            f"{_dot_sql(vec_expr, 'c')} / "
+            f"(element_at({cnorms_sql}, i + 1) * {_norm_sql(vec_expr)}) "
+            f"AS score, i AS cid))"
+        )
+
+    c = c.withColumn("cell", F.expr(f"array_max({cell_scores('cvec')}).cid"))
     c = c.withColumn("cnorm", norm(F.col("cvec")))
 
     q = queries.select(F.col(query_id), _to_double(F.col(vec_col)).alias("qvec"))
-    probes = F.transform(
-        F.slice(F.reverse(F.array_sort(cell_scores(F.col("qvec")))), 1, nprobe),
-        lambda s: s.getField("cid"),
+    probes = F.expr(
+        f"transform(slice(reverse(array_sort({cell_scores('qvec')})), 1, {nprobe}), "
+        f"s -> s.cid)"
     )
     q = (
         q.withColumn("cell", F.explode(probes))
@@ -297,18 +330,10 @@ def embedding_near_dup_pairs(
     ``max_bucket_size`` drops degenerate buckets (e.g. a corpus full of
     zero/identical vectors) before the quadratic self-join — same guard
     as the text-dedup operators; oracles mirror the cap in SQL."""
-    def signature(vec: Column) -> Column:
-        bits = []
-        for p in range(num_planes):
-            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p, seed)])
-            bits.append(F.when(dot(vec, plane) >= 0, 1 << p).otherwise(0))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
     v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
-    v = v.withColumn("bucket", signature(F.col("vec"))).withColumn("n", norm(F.col("vec")))
+    v = v.withColumn(
+        "bucket", _signature_expr("vec", dim, num_planes, seed)
+    ).withColumn("n", norm(F.col("vec")))
     if max_bucket_size is not None:
         hot = (
             v.groupBy("bucket")
