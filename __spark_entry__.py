@@ -47,6 +47,8 @@ _ADJUDICATION_PRIORITY = [
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_image_dedup",
+    "multimodal_features_digest",
+    "multimodal_frame_digest",
     "streaming_health",
     # (b) round-1 hash FAILs whose fixes never reached comparison
     "ticks_quality_scan",

@@ -181,20 +181,13 @@ def sample_frames(
             for _, row in vids.iterrows():
                 meta = row["meta"] or {}
                 dur = int(meta.get("duration_ms") or 0)
-                frames = codecs.demux_ppmseq(row[payload_col] or b"")
-                if not frames:
-                    continue
-                n_samples = min(max_frames, max(dur // every_ms, 1))
-                for i in range(n_samples):
-                    t_ms = i * every_ms
-                    # evenly-spaced frames over the duration → nearest
-                    src = min(len(frames) - 1, t_ms * len(frames) // max(dur, 1))
+                for i, t_ms, feats in plan_frame_samples(
+                    row[payload_col], dur, every_ms, max_frames
+                ):
                     out["media_id"].append(row["media_id"])
                     out["frame_idx"].append(i)
                     out["frame_ms"].append(t_ms)
-                    out["features"].append(
-                        _image_features(codecs.decode_ppm(frames[src]))
-                    )
+                    out["features"].append(feats)
             # explicit dtypes: an empty dict-of-lists defaults every
             # column to float64, which Arrow can't cast to list<float>
             yield pd.DataFrame(
@@ -207,6 +200,27 @@ def sample_frames(
             )
 
     return df.mapInPandas(kernel, schema=_FRAMES_SCHEMA)
+
+
+def plan_frame_samples(
+    payload: bytes, duration_ms: int, every_ms: int, max_frames: int
+) -> list[tuple[int, int, list[float]]]:
+    """(frame_idx, frame_ms, features) for each sampled frame of one PSEQ
+    payload — pure function shared by the mapInPandas kernel and the
+    driver-side oracle recomputation: pick the frame nearest each
+    ``every_ms`` tick of the declared duration, capped at ``max_frames``,
+    decode it, featurize."""
+    frames = codecs.demux_ppmseq(payload or b"")
+    if not frames:
+        return []
+    out = []
+    n_samples = min(max_frames, max(duration_ms // every_ms, 1))
+    for i in range(n_samples):
+        t_ms = i * every_ms
+        # evenly-spaced frames over the duration → nearest
+        src = min(len(frames) - 1, t_ms * len(frames) // max(duration_ms, 1))
+        out.append((i, t_ms, _image_features(codecs.decode_ppm(frames[src]))))
+    return out
 
 
 def _dhash(pixels: np.ndarray) -> int:
@@ -280,50 +294,72 @@ def perceptual_hashes(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(kernel, schema=_PHASH_SCHEMA)
 
 
+def synthetic_media_item(mid: int, seed: int = 7) -> tuple[str, bytes, tuple]:
+    """Pure per-id payload generator: (kind, payload, meta) for media_id
+    ``mid``. A pure function of (mid, seed) so executors generate their
+    own partitions AND the oracle side can recompute any item locally
+    without Spark — the value-check independence hinges on this."""
+    kind = ("image", "audio", "video")[mid % 3]
+    rng = np.random.default_rng(seed * 1_000_003 + int(mid))
+    if kind == "image":
+        w, h = 16 + int(mid) % 48, 12 + int(mid) % 36
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = codecs.encode_ppm(px)
+        meta = (w, h, None, None, "ppm")
+    elif kind == "audio":
+        sr = 16000
+        dur_ms = 50 + int(mid) % 200
+        t = np.arange(int(sr * dur_ms / 1000))
+        wave = (
+            np.sin(2 * np.pi * (200 + int(mid) % 600) * t / sr) * 12000
+            + rng.normal(0, 500, len(t))
+        ).astype(np.int16)
+        payload = codecs.encode_wav(wave, sr)
+        meta = (None, None, sr, dur_ms, "pcm16")
+    else:
+        n_frames = 2 + int(mid) % 6
+        frames = [
+            rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+            for _ in range(n_frames)
+        ]
+        payload = codecs.encode_ppmseq(frames)
+        meta = (16, 12, None, int(mid) % 8000 + 1000, "ppmseq")
+    return kind, payload, meta
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic synthetic media table in the REAL formats the
     decoders parse: P6 PPM images, RIFF/WAVE PCM16 audio, PSEQ frame
     sequences for video. Generated distributively (mapInPandas over a
     range — payload bytes never touch the driver)."""
-    base = spark.range(n).select(
-        F.col("id").alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("id") % 3 + 1).cast("int"),
-        ).alias("kind"),
-    )
+    base = spark.range(n).select(F.col("id").alias("media_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for mid, kind in zip(pdf["media_id"], pdf["kind"]):
-                rng = np.random.default_rng(seed * 1_000_003 + int(mid))
-                if kind == "image":
-                    w, h = 16 + int(mid) % 48, 12 + int(mid) % 36
-                    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                    payload = codecs.encode_ppm(px)
-                    meta = (w, h, None, None, "ppm")
-                elif kind == "audio":
-                    sr = 16000
-                    dur_ms = 50 + int(mid) % 200
-                    t = np.arange(int(sr * dur_ms / 1000))
-                    wave = (
-                        np.sin(2 * np.pi * (200 + int(mid) % 600) * t / sr) * 12000
-                        + rng.normal(0, 500, len(t))
-                    ).astype(np.int16)
-                    payload = codecs.encode_wav(wave, sr)
-                    meta = (None, None, sr, dur_ms, "pcm16")
-                else:
-                    n_frames = 2 + int(mid) % 6
-                    frames = [
-                        rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
-                        for _ in range(n_frames)
-                    ]
-                    payload = codecs.encode_ppmseq(frames)
-                    meta = (16, 12, None, int(mid) % 8000 + 1000, "ppmseq")
+            for mid in pdf["media_id"]:
+                kind, payload, meta = synthetic_media_item(int(mid), seed)
                 rows.append((int(mid), kind, payload, meta))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
     return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def local_phash(payload: bytes, codec: str) -> int | None:
+    """Driver-side recomputation of one perceptual hash (no Spark) —
+    oracle companion to :func:`perceptual_hashes`."""
+    if codec == "ppm":
+        return _dhash(codecs.decode_ppm(payload))
+    if codec == "ppmseq":
+        return _dhash(codecs.decode_ppm(codecs.demux_ppmseq(payload)[0]))
+    if codec == "pcm16":
+        return _audio_envelope_hash(codecs.decode_wav(payload)[0])
+    return None
+
+
+def local_features(payload: bytes, codec: str) -> list[float]:
+    """Driver-side recomputation of one feature vector, quantized through
+    float32 exactly as the ArrayType(FloatType) column stores it."""
+    return [float(np.float32(v)) for v in _decode_features(payload, codec, False)]
