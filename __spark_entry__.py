@@ -49,6 +49,7 @@ _ADJUDICATION_PRIORITY = [
     "multimodal_image_dedup",
     "multimodal_features_digest",
     "multimodal_frame_digest",
+    "tracking_best_run",
     "streaming_health",
     # (b) round-1 hash FAILs whose fixes never reached comparison
     "ticks_quality_scan",

@@ -1,0 +1,180 @@
+"""Experiment/run tracking as plain Spark parquet tables.
+
+Engine-side replacement for the reference's MLflow wrapper
+(``ML Model/Scripts/mlflow_utils.py:48-113``: experiment setup, phase
+runs with parent links, ``log_params`` / ``log_metrics(step=...)`` /
+``log_artifact``): the same record shapes land in four append-only
+parquet tables (runs, params, metrics, artifacts) under one root, so
+run history is queryable with the exact DataFrame/SQL surface as any
+other engine source — no tracking server.
+
+Scale notes: tracking data is metadata-scale, but naive per-call
+appends would write one parquet file per logged metric — a classic
+small-file anti-pattern. The tracker therefore BUFFERS rows in memory
+and writes one file per table per ``flush()`` (``end_run`` flushes).
+Readers get plain DataFrames; ``best_run`` is one window query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_RUNS_DDL = (
+    "run_id string, experiment string, phase string, run_name string, "
+    "parent_run_id string, status string, seq int"
+)
+_PARAMS_DDL = "run_id string, key string, value string"
+_METRICS_DDL = "run_id string, key string, value double, step int"
+_ARTIFACTS_DDL = "run_id string, path string, kind string"
+
+
+class RunTracker:
+    """Parquet-backed experiment tracker.
+
+    Run ids are deterministic (``experiment/phase/seq``) so tests and
+    oracle queries can reproduce them; wall-clock stamps are the
+    caller's concern (pass one as a param/tag if needed) — determinism
+    of the stored tables is what makes run history value-checkable.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, experiment: str):
+        self.spark = spark
+        self.root = root
+        self.experiment = experiment
+        self._seq = 0
+        # run_id -> (phase, run_name, parent) — survives flushes, unlike
+        # the write buffer, so end_run can restate the run row
+        self._run_info: dict[str, tuple[str, str, str | None]] = {}
+        self._buf: dict[str, list[tuple]] = {
+            "runs": [],
+            "params": [],
+            "metrics": [],
+            "artifacts": [],
+        }
+
+    # -- write side ---------------------------------------------------
+
+    def start_run(
+        self,
+        phase: str,
+        parent_run_id: str | None = None,
+        run_name: str | None = None,
+    ) -> str:
+        self._seq += 1
+        run_id = f"{self.experiment}/{phase}/{self._seq:04d}"
+        name = run_name or f"{self.experiment}_{phase}_{self._seq:04d}"
+        self._run_info[run_id] = (phase, name, parent_run_id)
+        self._buf["runs"].append(
+            (run_id, self.experiment, phase, name, parent_run_id, "RUNNING", self._seq)
+        )
+        return run_id
+
+    def log_params(self, run_id: str, params: dict) -> None:
+        for k in sorted(params):
+            self._buf["params"].append((run_id, k, str(params[k])))
+
+    def log_metrics(self, run_id: str, metrics: dict, step: int = 0) -> None:
+        for k in sorted(metrics):
+            self._buf["metrics"].append((run_id, k, float(metrics[k]), step))
+
+    def log_artifact(self, run_id: str, path: str, kind: str = "file") -> None:
+        self._buf["artifacts"].append((run_id, path, kind))
+
+    def end_run(self, run_id: str, status: str = "FINISHED") -> None:
+        # status transition is recorded as the LAST runs row for the id;
+        # readers resolve current status with a max_by over seq (append-
+        # only tables never update in place — same discipline as the
+        # snapshots subsystem).
+        self._seq += 1
+        phase, name, parent = self._run_info[run_id]
+        self._buf["runs"].append(
+            (run_id, self.experiment, phase, name, parent, status, self._seq)
+        )
+        self.flush()
+
+    def flush(self) -> None:
+        ddl = {
+            "runs": _RUNS_DDL,
+            "params": _PARAMS_DDL,
+            "metrics": _METRICS_DDL,
+            "artifacts": _ARTIFACTS_DDL,
+        }
+        for table, rows in self._buf.items():
+            if not rows:
+                continue
+            (
+                self.spark.createDataFrame(rows, ddl[table])
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(os.path.join(self.root, table))
+            )
+            self._buf[table] = []
+
+    # -- read side ----------------------------------------------------
+
+    def _table(self, name: str, ddl: str) -> DataFrame:
+        path = os.path.join(self.root, name)
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return self.spark.createDataFrame([], ddl)
+
+    def runs(self) -> DataFrame:
+        """Current state per run: the append-only runs log resolved to
+        one row per run_id (latest status wins via max_by(seq))."""
+        r = self._table("runs", _RUNS_DDL)
+        return r.groupBy("run_id").agg(
+            F.first("experiment").alias("experiment"),
+            F.first("phase").alias("phase"),
+            F.first("run_name").alias("run_name"),
+            F.first("parent_run_id").alias("parent_run_id"),
+            F.expr("max_by(status, seq)").alias("status"),
+            F.min("seq").alias("started_seq"),
+        )
+
+    def params(self) -> DataFrame:
+        return self._table("params", _PARAMS_DDL)
+
+    def metrics(self) -> DataFrame:
+        return self._table("metrics", _METRICS_DDL)
+
+    def artifacts(self) -> DataFrame:
+        return self._table("artifacts", _ARTIFACTS_DDL)
+
+    def metric_history(self, key: str) -> DataFrame:
+        """(run_id, step, value) trajectory for one metric key."""
+        return (
+            self.metrics()
+            .filter(F.col("key") == key)
+            .select("run_id", "step", "value")
+        )
+
+    def last_metric(self, key: str) -> DataFrame:
+        """Final (max-step) value of ``key`` per run."""
+        return (
+            self.metrics()
+            .filter(F.col("key") == key)
+            .groupBy("run_id")
+            .agg(F.expr("max_by(value, step)").alias("value"))
+        )
+
+    def best_run(self, key: str, mode: str = "min") -> DataFrame:
+        """The run whose FINAL value of ``key`` is best — one window
+        query over the joined runs/metrics tables; ties break on
+        run_id so the answer is total-ordered."""
+        asc = mode == "min"
+        last = self.last_metric(key)
+        joined = self.runs().join(last, "run_id")
+        order = [
+            F.col("value").asc() if asc else F.col("value").desc(),
+            F.col("run_id").asc(),
+        ]
+        w = Window.orderBy(*order)
+        return (
+            joined.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("run_id", "phase", "status", "value")
+        )

@@ -1691,6 +1691,85 @@ def multimodal_frame_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Run tracking (reference mlflow_utils.py:48-113 → parquet run tables).
+# The simulated training loop is deterministic, and the same Python
+# formula computes the expected values at oracle-build time — so the
+# whole write→flush→read-back→window-query path is value-checked.
+# ---------------------------------------------------------------------------
+
+_TRACK_SYMBOLS = ("US30", "US2000", "BTCUSD")
+_TRACK_EPOCHS = 5
+
+
+def _track_loss(sym_i: int, epoch: int) -> float:
+    return round(1.0 / (epoch + 2) + sym_i * 0.05, 6)
+
+
+def _tracking_oracle() -> str:
+    rows = []
+    for sym_i in range(len(_TRACK_SYMBOLS)):
+        run_id = f"bench/train/{2 * sym_i + 2:04d}"
+        final = _track_loss(sym_i, _TRACK_EPOCHS - 1)
+        rows.append((run_id, "train", "FINISHED", final))
+    best = min(rows, key=lambda r: (r[3], r[0]))[0]
+    vals = ", ".join(
+        f"('{r}', '{p}', '{s}', {v!r}, {str(r == best).lower()})"
+        for r, p, s, v in rows
+    )
+    return (
+        "SELECT run_id, phase, status, CAST(final_loss AS DOUBLE) AS final_loss, "
+        f"is_best FROM (VALUES {vals}) AS t(run_id, phase, status, final_loss, is_best)"
+    )
+
+
+@_register("tracking_best_run", _tracking_oracle())
+def tracking_best_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment tracking surface (reference mlflow_utils.py phase
+    runs/params/metrics/artifacts → parquet tables): simulate a
+    deterministic 3-symbol training pipeline, flush to parquet, then
+    answer 'final loss per run + which run is best' with one window
+    query over the read-back tables."""
+    import shutil
+    import tempfile
+
+    from .plans.tracking import RunTracker
+
+    d = tempfile.mkdtemp(prefix="tracking_")
+    try:
+        tr = RunTracker(spark, d, "bench")
+        parent = tr.start_run("pipeline")
+        for sym_i, symbol in enumerate(_TRACK_SYMBOLS):
+            rid = tr.start_run("train", parent_run_id=parent)
+            tr.log_params(rid, {"symbol": symbol, "batch": 168, "lr": 5e-4})
+            for epoch in range(_TRACK_EPOCHS):
+                tr.log_metrics(rid, {"loss": _track_loss(sym_i, epoch)}, step=epoch)
+            tr.log_artifact(rid, f"/models/{symbol}.pt", "model")
+            tr.end_run(rid)
+        tr.end_run(parent)
+
+        best = tr.best_run("loss", mode="min").select("run_id").limit(1)
+        out = (
+            tr.runs()
+            .filter(F.col("phase") == "train")
+            .join(tr.last_metric("loss"), "run_id")
+            .join(
+                best.withColumn("is_best", F.lit(True)), "run_id", "left"
+            )
+            .select(
+                "run_id",
+                "phase",
+                "status",
+                F.col("value").alias("final_loss"),
+                F.coalesce("is_best", F.lit(False)).alias("is_best"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @_register(
     "ml_anomaly_scores_mean",
     f"""

@@ -1,0 +1,75 @@
+"""RunTracker: parquet-backed experiment tracking (reference
+mlflow_utils.py phase runs / params / metrics / artifacts)."""
+
+from __future__ import annotations
+
+from big_data_project_jan_2026_tick_data__spark.plans.tracking import RunTracker
+
+
+def _fit(tracker: RunTracker) -> tuple[str, list[str]]:
+    parent = tracker.start_run("pipeline")
+    child_ids = []
+    for i, sym in enumerate(["A", "B"]):
+        rid = tracker.start_run("train", parent_run_id=parent)
+        child_ids.append(rid)
+        tracker.log_params(rid, {"symbol": sym, "lr": 5e-4})
+        for epoch in range(3):
+            tracker.log_metrics(rid, {"loss": 1.0 / (epoch + 1) + i}, step=epoch)
+        tracker.log_artifact(rid, f"/m/{sym}.pt", "model")
+        tracker.end_run(rid)
+    tracker.end_run(parent)
+    return parent, child_ids
+
+
+def test_lifecycle_and_best_run(spark, tmp_path):
+    tr = RunTracker(spark, str(tmp_path / "exp"), "e1")
+    parent, (rid_a, rid_b) = _fit(tr)
+
+    runs = {r.run_id: r for r in tr.runs().collect()}
+    assert len(runs) == 3
+    assert runs[parent].status == "FINISHED"
+    assert runs[rid_a].parent_run_id == parent
+    assert runs[rid_b].phase == "train"
+
+    # deterministic run ids: experiment/phase/seq
+    assert rid_a == "e1/train/0002"
+
+    hist = tr.metric_history("loss").filter(f"run_id = '{rid_a}'").collect()
+    assert sorted((r.step, r.value) for r in hist) == [
+        (0, 1.0),
+        (1, 0.5),
+        (2, 1.0 / 3),
+    ]
+
+    last = {r.run_id: r.value for r in tr.last_metric("loss").collect()}
+    assert last[rid_a] == 1.0 / 3 and last[rid_b] == 1.0 / 3 + 1
+
+    best = tr.best_run("loss", mode="min").collect()
+    assert len(best) == 1 and best[0].run_id == rid_a
+
+    params = {(r.run_id, r.key): r.value for r in tr.params().collect()}
+    assert params[(rid_a, "symbol")] == "A"
+    arts = tr.artifacts().filter(f"run_id = '{rid_b}'").collect()
+    assert [a.path for a in arts] == ["/m/B.pt"]
+
+
+def test_buffered_flush_writes_once_per_table(spark, tmp_path):
+    """The buffer must collapse many log calls into one file per flush —
+    per-call appends would be a small-file storm at any real cadence."""
+    import glob
+
+    root = tmp_path / "exp2"
+    tr = RunTracker(spark, str(root), "e2")
+    rid = tr.start_run("train")
+    for epoch in range(50):
+        tr.log_metrics(rid, {"loss": float(epoch)}, step=epoch)
+    tr.end_run(rid)  # single flush
+    files = glob.glob(str(root / "metrics" / "*.parquet"))
+    assert len(files) == 1, files
+    assert tr.metrics().count() == 50
+
+
+def test_empty_tables_read_as_empty(spark, tmp_path):
+    tr = RunTracker(spark, str(tmp_path / "none"), "e3")
+    assert tr.runs().count() == 0
+    assert tr.best_run("loss").count() == 0
