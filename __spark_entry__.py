@@ -51,6 +51,7 @@ _ADJUDICATION_PRIORITY = [
     "multimodal_frame_digest",
     "tracking_best_run",
     "streaming_health",
+    "streaming_session_agg",
     # (b) round-1 hash FAILs whose fixes never reached comparison
     "ticks_quality_scan",
     "ticks_daily_window_counts",

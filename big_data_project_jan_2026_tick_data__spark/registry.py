@@ -1414,14 +1414,43 @@ def _register_rows_only():
         media = multimodal.synthetic_media(spark, n=64)
         return multimodal.sample_frames(media, every_ms=1000, max_frames=8)
 
-    @_register("streaming_session_agg")
+    _STREAM_SESS_ORACLE = """
+    WITH f AS (
+      SELECT 'EVENTS' AS symbol, ts, value AS bid, value * 1.01 AS ask
+      FROM events
+      WHERE (hour(ts)*60 + minute(ts) >= 7*60 AND hour(ts)*60 + minute(ts) < 12*60)
+         OR (hour(ts)*60 + minute(ts) >= 13*60 AND hour(ts)*60 + minute(ts) < 18*60)),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM f),
+    agg AS (
+      SELECT symbol,
+             time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+             time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE AS window_end,
+             count(*) AS n_ticks,
+             min(bid) AS min_bid, max(bid) AS max_bid, avg(bid) AS avg_bid,
+             min(ask) AS min_ask, max(ask) AS max_ask, avg(ask) AS avg_ask
+      FROM f GROUP BY 1, 2)
+    SELECT symbol, window_start, window_end, n_ticks,
+           floor(min_bid*1000000 + 0.5)/1000000 AS min_bid,
+           floor(max_bid*1000000 + 0.5)/1000000 AS max_bid,
+           floor(avg_bid*1000000 + 0.5)/1000000 AS avg_bid,
+           floor(min_ask*1000000 + 0.5)/1000000 AS min_ask,
+           floor(max_ask*1000000 + 0.5)/1000000 AS max_ask,
+           floor(avg_ask*1000000 + 0.5)/1000000 AS avg_ask
+    FROM agg, wm WHERE window_end <= wm.w
+    """
+
+    @_register("streaming_session_agg", _STREAM_SESS_ORACLE)
     def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """S13/§2.9 through the driver contract: replay the events table
         as a file-source STREAM, run the watermarked session-window
         aggregate, drain to a memory sink, return the materialized
-        result. Rows-only: append mode emits only watermark-closed
-        windows, so the row set is a deterministic prefix of the batch
-        result (batch/stream parity is asserted in test_streaming)."""
+        result. VALUE-CHECKED: with a single input file the availableNow
+        replay is one batch, so the final watermark is max(event time) −
+        delay and append mode emits exactly the windows with window_end ≤
+        watermark (boundary semantics pinned by experiment: a window
+        whose end equals the watermark IS emitted). The oracle recomputes
+        that emitted prefix in SQL; floats quantized half-up 6dp on both
+        sides so distributed vs serial summation order can't flip a bit."""
         from .streaming.session_pipeline import (
             run_stream_to_memory,
             session_window_aggregate,
@@ -1456,7 +1485,16 @@ def _register_rows_only():
             )
             out = run_stream_to_memory(agg, "reg_stream_sess")
             rows = out.collect()
-            return spark.createDataFrame(rows, out.schema)
+            df = spark.createDataFrame(rows, out.schema)
+
+            def q6(c: str):
+                return (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6).alias(c)
+
+            return df.select(
+                "symbol", "window_start", "window_end", "n_ticks",
+                q6("min_bid"), q6("max_bid"), q6("avg_bid"),
+                q6("min_ask"), q6("max_ask"), q6("avg_ask"),
+            )
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
