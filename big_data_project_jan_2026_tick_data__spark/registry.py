@@ -3687,7 +3687,12 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH base AS (
       SELECT event_id, user_id, ts, value,
-             ln(value / lag(value) OVER w) AS ret_raw,
+             -- mirror Spark non-ANSI null semantics: x/0 -> NULL and
+             -- ln(x<=0) -> NULL (DuckDB would raise on ln(0) instead)
+             CASE WHEN lag(value) OVER w IS NULL
+                    OR lag(value) OVER w = 0
+                    OR value / lag(value) OVER w <= 0 THEN NULL
+                  ELSE ln(value / lag(value) OVER w) END AS ret_raw,
              list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS l,
              avg(value) OVER w20 AS mid,
