@@ -147,3 +147,20 @@ def test_indicators_single_sort_no_join(spark, sf_dir):
     tree, full = _explain(spark, "ticks_indicators", sf_dir)
     assert "Join" not in tree
     assert _shuffles(tree) == 1
+
+
+def test_ann_corpus_scanned_once_query_broadcast(spark, sf_dir):
+    """The headline ANN queries (bench slots): corpus side must be ONE
+    parquet scan with NO shuffle before the bucket/cell equi-join; the
+    query side must be broadcast; the only exchange is the per-query
+    top-k window (with map-side WindowGroupLimit pushdown). This is the
+    100 TB contract — a sort-merge join or a corpus repartition here
+    means the SQL-string expression refactor broke the plan."""
+    for name in ("emb_lsh_topk", "emb_ivf_topk"):
+        tree, full = _explain(spark, name, sf_dir)
+        assert tree.count("Scan parquet") == 2, name
+        assert "BroadcastHashJoin" in tree, name
+        assert "SortMergeJoin" not in tree, name
+        assert "CartesianProduct" not in tree, name
+        assert _shuffles(tree) == 1, name  # the top-k window exchange
+        assert "WindowGroupLimit" in tree, name  # rank<=k pushed map-side

@@ -41,6 +41,42 @@ def tick_dir(tmp_path_factory):
     return str(d)
 
 
+def test_append_emission_boundary_at_exact_watermark(spark, tmp_path):
+    """Knife-edge semantics the streaming_session_agg ORACLE depends on:
+    a window whose end equals the final watermark exactly IS emitted
+    (emission predicate is window_end <= watermark, not <). If a Spark
+    upgrade flips this, the oracle's `<=` goes stale — fail here by
+    name, not as a cryptic value-hash mismatch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "edge"
+    d.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["E"] * 3,
+            # window [08:00, 08:10); max ts 08:20:00.000000 makes the
+            # final watermark (delay 10 min) EXACTLY 08:10:00.000000
+            "ts": pd.to_datetime(
+                ["2024-01-01 08:01:00", "2024-01-01 08:05:00", "2024-01-01 08:20:00"]
+            ).astype("datetime64[us]"),
+            "bid": [1.0, 2.0, 3.0],
+            "ask": [1.1, 2.1, 3.1],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(d / "t.parquet"))
+    raw = spark.read.parquet(str(d))
+    stream = spark.readStream.schema(raw.schema).parquet(str(d)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = session_window_aggregate(stream, windows=((7, 0, 12, 0),))
+    out = run_stream_to_memory(agg, "edge_boundary_q").collect()
+    emitted = {(r.window_start.isoformat(), r.n_ticks) for r in out}
+    assert ("2024-01-01T08:00:00", 2) in emitted, emitted
+    # the 08:20 window is open (watermark == 08:10 < its end) — not emitted
+    assert not any(ws.startswith("2024-01-01T08:20") for ws, _ in emitted)
+
+
 def test_stream_matches_batch(spark, tick_dir):
     batch = spark.read.parquet(tick_dir)
     stream = (
