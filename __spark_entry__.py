@@ -50,6 +50,7 @@ _ADJUDICATION_PRIORITY = [
     "multimodal_features_digest",
     "multimodal_frame_digest",
     "tracking_best_run",
+    "doc_export_shards",
     "streaming_health",
     "streaming_session_agg",
     # (b) round-1 hash FAILs whose fixes never reached comparison

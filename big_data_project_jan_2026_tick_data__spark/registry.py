@@ -3579,6 +3579,89 @@ def _kmeans_oracle(k: int = 8, dim: int = 64) -> str:
 
 
 @_register(
+    "doc_export_shards",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text, lower(text) AS txt FROM documents),
+    m AS (
+      SELECT doc_id,
+             length(txt) AS n_chars,
+             len(regexp_extract_all(txt, '[A-Za-z0-9]+')) AS words,
+             len(regexp_extract_all(txt, '[^\w\s]')) AS n_punct,
+             len(regexp_extract_all(txt, '[A-Za-z0-9]')) AS word_chars,
+             len(regexp_extract_all(txt, '\bthe\b'))
+               + len(regexp_extract_all(txt, '\band\b'))
+               + len(regexp_extract_all(txt, '\bof\b'))
+               + len(regexp_extract_all(txt, '\bto\b'))
+               + len(regexp_extract_all(txt, '\bis\b'))
+               + len(regexp_extract_all(txt, '\bthat\b'))
+               + len(regexp_extract_all(txt, '\bwith\b')) AS stop_hits
+      FROM base),
+    q AS (
+      SELECT doc_id,
+             FLOOR((0.35 * LEAST(n_chars / 2000.0, 1.0)
+                 + 0.25 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1) * 4.0, 1.0))
+                 + 0.25 * LEAST(LEAST(stop_hits / GREATEST(words, 1), 1.0) * 5.0, 1.0)
+                 + 0.15 * (CASE WHEN word_chars / GREATEST(words, 1) >= 3.0
+                                 AND word_chars / GREATEST(words, 1) <= 10.0
+                           THEN 1.0 ELSE 0.5 END)) * 1e6 + 0.5) / 1e6 AS quality
+      FROM m),
+    ded AS (
+      SELECT doc_id, text FROM (
+        SELECT b.doc_id, b.text, row_number() OVER (
+          PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(b.text),
+            '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')))
+          ORDER BY b.doc_id) AS rn
+        FROM base b JOIN q USING (doc_id) WHERE q.quality >= 0.4)
+      WHERE rn = 1),
+    tok AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                  AS BIGINT) % 4 AS shard_id
+      FROM ded),
+    packed AS (
+      SELECT *, CAST(FLOOR(COALESCE(SUM(word_tokens) OVER (
+               PARTITION BY shard_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+             AS BIGINT) AS seq_bucket
+      FROM tok)
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT seq_bucket) AS BIGINT) AS n_seqs,
+           CAST(SUM(word_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+                AS BIGINT) % 1000000000) AS BIGINT) AS content_fp
+    FROM packed GROUP BY shard_id
+    """,
+)
+def doc_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-pipeline SINK round-trip: quality gate → portable md5
+    dedup → token budget → deterministic shard assignment → per-shard
+    packing → partitioned parquet WRITE → manifest aggregated from the
+    READ-BACK files. The oracle recomputes the manifest purely in SQL —
+    agreement proves the written shards carry exactly the curated rows
+    (plans/export.py; sink semantics S5/S6, reference naming
+    spark_session_window_tick_cleaner.py:173-182 replaced by
+    partitioned-output discipline)."""
+    import shutil
+    import tempfile
+
+    from .plans.export import export_training_shards
+
+    docs = _td(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="shards_")
+    try:
+        manifest = export_training_shards(
+            spark, docs, d, min_quality=0.4, budget=256, num_shards=4
+        )
+        rows = manifest.collect()
+        return spark.createDataFrame(rows, manifest.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@_register(
     "doc_curation_pipeline",
     r"""
     WITH base AS (
