@@ -88,7 +88,13 @@ def main() -> None:
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
-    total = round(sum(t for t in timings.values() if t is not None), 3)
+    # a degraded run must never look faster than a complete one: with any
+    # per-query error the headline value is null, not a smaller sum
+    total = (
+        None
+        if errors
+        else round(sum(t for t in timings.values() if t is not None), 3)
+    )
     out = {
         "metric": "headline_suite_total",
         "value": total,

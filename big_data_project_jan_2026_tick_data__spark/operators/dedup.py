@@ -24,11 +24,14 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Exact dedup: keep the lowest-id document per identical (normalized)
-    content. Shuffles on the 64-bit content hash, not the text itself."""
+    content. Shuffles on the content hash, not the text itself.
+    ``portable=True`` keys on md5 instead of xxhash64 — slower, but
+    reproducible by any external engine (export manifests, oracles)."""
     content = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
-    h = F.xxhash64(content)
+    h = F.md5(content) if portable else F.xxhash64(content)
     w = Window.partitionBy(h).orderBy(F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))

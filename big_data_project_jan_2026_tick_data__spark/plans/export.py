@@ -18,7 +18,7 @@ files.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import text as T
@@ -36,18 +36,12 @@ def export_training_shards(
 ) -> DataFrame:
     """Curate ``docs`` into packed training shards under ``out_dir`` and
     return the per-shard manifest computed from the written files."""
+    from ..operators.dedup import exact_dedup
+
     base = T.with_quality_score(docs).filter(F.col("quality") >= min_quality)
-
-    # Engine-portable exact dedup: min doc_id per md5(normalized text).
-    # (dedup.exact_dedup uses xxhash64 — faster, but not reproducible by
-    # an external engine; the export manifest must be.)
-    w = Window.partitionBy(F.md5(T.normalize_text(F.col("text")))).orderBy("doc_id")
-    base = (
-        base.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-
+    # portable=True: manifest fingerprints must be reproducible by an
+    # external engine, so the dedup key is md5, not xxhash64
+    base = exact_dedup(base, portable=True)
     base = T.with_token_count(base)
     base = base.withColumn(
         "shard_id",

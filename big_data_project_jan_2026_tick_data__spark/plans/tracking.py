@@ -44,7 +44,13 @@ class RunTracker:
         self.spark = spark
         self.root = root
         self.experiment = experiment
-        self._seq = 0
+        # Resume-safe: the tables are durable parquet, so a new tracker
+        # over an existing root must continue the seq counter — otherwise
+        # its run_ids collide with persisted runs and runs()/best_run()
+        # silently merge distinct runs.
+        existing = self._table("runs", _RUNS_DDL)
+        row = existing.agg(F.max("seq")).first()
+        self._seq = int(row[0]) if row and row[0] is not None else 0
         # run_id -> (phase, run_name, parent) — survives flushes, unlike
         # the write buffer, so end_run can restate the run row
         self._run_info: dict[str, tuple[str, str, str | None]] = {}
@@ -89,7 +95,20 @@ class RunTracker:
         # only tables never update in place — same discipline as the
         # snapshots subsystem).
         self._seq += 1
-        phase, name, parent = self._run_info[run_id]
+        info = self._run_info.get(run_id)
+        if info is None:
+            # run started by a previous session (e.g. closing a crashed
+            # RUNNING run): recover its identity from the persisted log
+            row = (
+                self._table("runs", _RUNS_DDL)
+                .filter(F.col("run_id") == run_id)
+                .orderBy("seq")
+                .first()
+            )
+            if row is None:
+                raise KeyError(f"unknown run_id {run_id!r}")
+            info = (row.phase, row.run_name, row.parent_run_id)
+        phase, name, parent = info
         self._buf["runs"].append(
             (run_id, self.experiment, phase, name, parent, status, self._seq)
         )
@@ -119,8 +138,12 @@ class RunTracker:
         path = os.path.join(self.root, name)
         try:
             return self.spark.read.parquet(path)
-        except Exception:
-            return self.spark.createDataFrame([], ddl)
+        except Exception as exc:
+            # only a never-written table reads as empty; corruption or
+            # permission failures must propagate, not report "no runs"
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return self.spark.createDataFrame([], ddl)
+            raise
 
     def runs(self) -> DataFrame:
         """Current state per run: the append-only runs log resolved to

@@ -1420,7 +1420,12 @@ def _register_rows_only():
       FROM events
       WHERE (hour(ts)*60 + minute(ts) >= 7*60 AND hour(ts)*60 + minute(ts) < 12*60)
          OR (hour(ts)*60 + minute(ts) >= 13*60 AND hour(ts)*60 + minute(ts) < 18*60)),
-    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM f),
+    -- Spark's event-time stats truncate max event time to MILLISECONDS
+    -- (EventTimeStatsAccum), so mirror that floor before subtracting the
+    -- delay — a sub-ms max ts must not put the oracle 1ms ahead of
+    -- Spark's watermark on a 10-minute boundary.
+    wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE AS w
+           FROM f),
     agg AS (
       SELECT symbol,
              time_bucket(INTERVAL '10 minutes', ts) AS window_start,
@@ -1893,12 +1898,12 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
 
 
-@_register(
-    "doc_quality_scores",
-    r"""
-    WITH base AS (
-      SELECT doc_id, lower(text) AS txt FROM documents),
-    m AS (
+# Shared DuckDB SQL for the document quality formula and content
+# normalization — mirrors text.with_quality_score / text.normalize_text
+# term by term. THREE oracles reuse these (doc_quality_scores,
+# doc_curation_pipeline, doc_export_shards): change them only in lockstep
+# with the Spark implementation, never fork a per-oracle copy.
+_DOC_METRICS_CTE = r"""m AS (
       SELECT doc_id,
              length(txt) AS n_chars,
              len(regexp_extract_all(txt, '[A-Za-z0-9]+')) AS words,
@@ -1911,23 +1916,36 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                + len(regexp_extract_all(txt, '\bis\b'))
                + len(regexp_extract_all(txt, '\bthat\b'))
                + len(regexp_extract_all(txt, '\bwith\b')) AS stop_hits
-      FROM base),
-    r AS (
-      SELECT doc_id, words,
-             LEAST(n_chars / 2000.0, 1.0) AS len_score,
-             n_punct / GREATEST(n_chars, 1) AS punct_ratio,
-             LEAST(stop_hits / GREATEST(words, 1), 1.0) AS stop_ratio,
-             word_chars / GREATEST(words, 1) AS mean_wlen
-      FROM m)
+      FROM base)"""
+
+_QUALITY_EXPR = """FLOOR((0.35 * LEAST(n_chars / 2000.0, 1.0)
+                 + 0.25 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1) * 4.0, 1.0))
+                 + 0.25 * LEAST(LEAST(stop_hits / GREATEST(words, 1), 1.0) * 5.0, 1.0)
+                 + 0.15 * (CASE WHEN word_chars / GREATEST(words, 1) >= 3.0
+                                 AND word_chars / GREATEST(words, 1) <= 10.0
+                           THEN 1.0 ELSE 0.5 END)) * 1e6 + 0.5) / 1e6"""
+
+
+def _norm_sql(col: str) -> str:
+    """DuckDB mirror of text.normalize_text: lowercase, strip
+    punctuation, collapse whitespace, trim."""
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}), "
+        f"'[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
+@_register(
+    "doc_quality_scores",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lower(text) AS txt FROM documents),
+    {_DOC_METRICS_CTE}
     SELECT doc_id, words AS n_words,
-           ROUND(punct_ratio, 6) AS punct_ratio,
-           ROUND(stop_ratio, 6) AS stop_ratio,
-           FLOOR((0.35 * len_score
-                 + 0.25 * (1.0 - LEAST(punct_ratio * 4.0, 1.0))
-                 + 0.25 * LEAST(stop_ratio * 5.0, 1.0)
-                 + 0.15 * (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0
-                           THEN 1.0 ELSE 0.5 END)) * 1e6 + 0.5) / 1e6 AS quality
-    FROM r
+           ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+           ROUND(LEAST(stop_hits / GREATEST(words, 1), 1.0), 6) AS stop_ratio,
+           {_QUALITY_EXPR} AS quality
+    FROM m
     """,
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3580,37 +3598,17 @@ def _kmeans_oracle(k: int = 8, dim: int = 64) -> str:
 
 @_register(
     "doc_export_shards",
-    r"""
+    f"""
     WITH base AS (
       SELECT doc_id, text, lower(text) AS txt FROM documents),
-    m AS (
-      SELECT doc_id,
-             length(txt) AS n_chars,
-             len(regexp_extract_all(txt, '[A-Za-z0-9]+')) AS words,
-             len(regexp_extract_all(txt, '[^\w\s]')) AS n_punct,
-             len(regexp_extract_all(txt, '[A-Za-z0-9]')) AS word_chars,
-             len(regexp_extract_all(txt, '\bthe\b'))
-               + len(regexp_extract_all(txt, '\band\b'))
-               + len(regexp_extract_all(txt, '\bof\b'))
-               + len(regexp_extract_all(txt, '\bto\b'))
-               + len(regexp_extract_all(txt, '\bis\b'))
-               + len(regexp_extract_all(txt, '\bthat\b'))
-               + len(regexp_extract_all(txt, '\bwith\b')) AS stop_hits
-      FROM base),
+    {_DOC_METRICS_CTE},
     q AS (
-      SELECT doc_id,
-             FLOOR((0.35 * LEAST(n_chars / 2000.0, 1.0)
-                 + 0.25 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1) * 4.0, 1.0))
-                 + 0.25 * LEAST(LEAST(stop_hits / GREATEST(words, 1), 1.0) * 5.0, 1.0)
-                 + 0.15 * (CASE WHEN word_chars / GREATEST(words, 1) >= 3.0
-                                 AND word_chars / GREATEST(words, 1) <= 10.0
-                           THEN 1.0 ELSE 0.5 END)) * 1e6 + 0.5) / 1e6 AS quality
+      SELECT doc_id, {_QUALITY_EXPR} AS quality
       FROM m),
     ded AS (
       SELECT doc_id, text FROM (
         SELECT b.doc_id, b.text, row_number() OVER (
-          PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(b.text),
-            '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')))
+          PARTITION BY md5({_norm_sql('b.text')})
           ORDER BY b.doc_id) AS rn
         FROM base b JOIN q USING (doc_id) WHERE q.quality >= 0.4)
       WHERE rn = 1),
@@ -3663,44 +3661,25 @@ def doc_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "doc_curation_pipeline",
-    r"""
+    f"""
     WITH base AS (
       SELECT doc_id, lower(text) AS txt FROM documents),
-    m AS (
-      SELECT doc_id,
-             length(txt) AS n_chars,
-             len(regexp_extract_all(txt, '[A-Za-z0-9]+')) AS words,
-             len(regexp_extract_all(txt, '[^\w\s]')) AS n_punct,
-             len(regexp_extract_all(txt, '[A-Za-z0-9]')) AS word_chars,
-             len(regexp_extract_all(txt, '\bthe\b'))
-               + len(regexp_extract_all(txt, '\band\b'))
-               + len(regexp_extract_all(txt, '\bof\b'))
-               + len(regexp_extract_all(txt, '\bto\b'))
-               + len(regexp_extract_all(txt, '\bis\b'))
-               + len(regexp_extract_all(txt, '\bthat\b'))
-               + len(regexp_extract_all(txt, '\bwith\b')) AS stop_hits
-      FROM base),
+    {_DOC_METRICS_CTE},
     q AS (
-      SELECT doc_id,
-             FLOOR((0.35 * LEAST(n_chars / 2000.0, 1.0)
-                 + 0.25 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1) * 4.0, 1.0))
-                 + 0.25 * LEAST(LEAST(stop_hits / GREATEST(words, 1), 1.0) * 5.0, 1.0)
-                 + 0.15 * (CASE WHEN word_chars / GREATEST(words, 1) >= 3.0
-                                 AND word_chars / GREATEST(words, 1) <= 10.0
-                           THEN 1.0 ELSE 0.5 END)) * 1e6 + 0.5) / 1e6 AS quality
+      SELECT doc_id, {_QUALITY_EXPR} AS quality
       FROM m),
     scr AS (
       SELECT d.doc_id, d.source, q.quality,
              regexp_replace(regexp_replace(regexp_replace(d.text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-               '\+?\d[\d\s()-]{7,}\d', '<PHONE>', 'g') AS scrubbed
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+               '\\+?\\d[\\d\\s()-]{{7,}}\\d', '<PHONE>', 'g') AS scrubbed
       FROM documents d JOIN q USING (doc_id)
       WHERE q.quality >= 0.48),
     ded AS (
       SELECT doc_id, source, quality, scrubbed FROM (
         SELECT *, row_number() OVER (
-          PARTITION BY trim(regexp_replace(regexp_replace(lower(scrubbed), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g'))
+          PARTITION BY {_norm_sql('scrubbed')}
           ORDER BY doc_id) AS rn
         FROM scr) WHERE rn = 1),
     tok AS (

@@ -91,7 +91,13 @@ def _read_events_raw(spark: SparkSession, path: str) -> DataFrame:
     reader unless read as raw int64)."""
     try:
         return spark.read.parquet(path)
-    except Exception:
+    except Exception as exc:
+        # Flip the legacy conf ONLY for the nanos rejection — a missing
+        # path or transient FS error must propagate unchanged, not leave
+        # a session-wide legacy reader mode behind.
+        msg = str(exc)
+        if "PARQUET_TYPE_ILLEGAL" not in msg and "Illegal Parquet type" not in msg:
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
 

@@ -115,8 +115,9 @@ def test_table_schema_contract(spark, sf_dir, table):
     for col, want in CONTRACT[table].items():
         assert col in fields, f"{table}.{col} missing — testdata regenerated?"
         assert isinstance(fields[col], want), (
-            f"{table}.{col} is {fields[col]} but queries require {want.__name__} "
-            f"— testdata physical schema changed; fix the adapter, not 44 tests"
+            f"{table}.{col} is {fields[col]} but queries require one of "
+            f"{[t.__name__ for t in want]} — testdata physical schema changed; "
+            f"fix the adapter, not 44 tests"
         )
     # one cheap row read so decode errors (not just schema) surface here too
     assert df.limit(1).count() in (0, 1)

@@ -69,6 +69,28 @@ def test_buffered_flush_writes_once_per_table(spark, tmp_path):
     assert tr.metrics().count() == 50
 
 
+def test_seq_resumes_across_tracker_instances(spark, tmp_path):
+    """A new tracker over an existing root must continue the seq counter
+    (durable tables → colliding run_ids would merge distinct runs) and
+    must be able to close a run it didn't start (crashed-session
+    recovery)."""
+    root = str(tmp_path / "exp4")
+    tr1 = RunTracker(spark, root, "e4")
+    rid1 = tr1.start_run("train")
+    tr1.end_run(rid1)
+
+    tr2 = RunTracker(spark, root, "e4")
+    rid2 = tr2.start_run("train")
+    assert rid2 != rid1
+    tr2.end_run(rid2)
+    assert tr2.runs().count() == 2
+
+    tr3 = RunTracker(spark, root, "e4")
+    tr3.end_run(rid2, status="KILLED")
+    statuses = {r.run_id: r.status for r in tr3.runs().collect()}
+    assert statuses[rid2] == "KILLED" and statuses[rid1] == "FINISHED"
+
+
 def test_empty_tables_read_as_empty(spark, tmp_path):
     tr = RunTracker(spark, str(tmp_path / "none"), "e3")
     assert tr.runs().count() == 0
