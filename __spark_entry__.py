@@ -22,42 +22,94 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.entry_query(spark, "/root/testdata/sf0.001")
 
 
-# The driver adjudicates a bounded window of queries per round, so dict
-# order is the scheduling lever: queries with no driver verdict yet come
-# first — (a) never-adjudicated registrations from rounds 1-2, (b) the
-# round-1 hash-mismatch fixes that erred out in round 2 before reaching
-# comparison, (c) the events-reading family repaired this round — then
-# everything already proven green.
+# The driver adjudicates a bounded window (~50) of queries per round, so
+# dict order is the scheduling lever. Round-4 ordering:
+# (a) the stale r2 FAIL (window_value_functions errored on the since-fixed
+#     events adapter and was left out of the r3 window — needs a green row),
+# (b) queries whose CODE or ORACLE changed this round (the multimodal raw
+#     pair now posexplodes to scalar rows with per-element VALUES oracles;
+#     approx_aggregates became self-checking; doc_hash_sample moved to the
+#     oracle-able md5 bucket; streaming_health now returns a deterministic
+#     surface; tracking/runs identity resolution and the dup_clusters
+#     convergence cadence changed; similarity literal-array rendering
+#     gained input validation),
+# (c) green queries with the OLDEST verdicts (r1, then r2) so every row's
+#     proof stays fresh against regenerated testdata.
+# Deliberately absent: the four xxhash-based rows-only entries
+# (doc_minhash_pairs, doc_simhash_pairs, doc_fingerprints, ml_anomaly_*)
+# whose value proof lives in their md5/mean twins — a slot spent there
+# can never produce a hash verdict.
 _ADJUDICATION_PRIORITY = [
-    # (a) registered but never adjudicated across rounds 1-2
-    "doc_md5_minhash_pairs",
-    "doc_md5_simhash_pairs",
-    "doc_md5_fingerprints",
-    "ticks_indicators",
-    "snapshot_merge_upsert",
-    "sql_over_views",
-    "asof_with_tolerance",
-    "approx_aggregates",
-    "doc_hash_sample",
-    "doc_stratified_sample",
-    "doc_leakage_safe_split",
-    "doc_source_report",
-    "emb_dup_clusters",
-    "incremental_dedup",
+    # (a) stale FAIL
+    "window_value_functions",
+    # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",
-    "multimodal_image_dedup",
-    "multimodal_features_digest",
-    "multimodal_frame_digest",
-    "tracking_best_run",
-    "doc_export_shards",
+    "approx_aggregates",
+    "doc_hash_sample",
     "streaming_health",
-    "streaming_session_agg",
-    # (b) round-1 hash FAILs whose fixes never reached comparison
-    "ticks_quality_scan",
-    "ticks_daily_window_counts",
-    "ticks_threshold_exceed",
-    "json_props_extract",
+    "tracking_best_run",
+    "doc_dup_clusters",
+    "doc_leakage_safe_split",
+    "emb_dup_clusters",
+    "emb_lsh_topk",
+    "emb_ivf_exact",
+    "emb_kmeans",
+    "emb_near_dup_pairs",
+    # (c) oldest green verdicts first — r1 set
+    "ticks_value_stats",
+    "tpch_q1",
+    "tpch_q3_top10",
+    "tpch_q5_region_revenue",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "topk_orders_per_priority",
+    "window_lag_lead_rank",
+    "rollup_orders",
+    "cube_orders",
+    "pivot_user_event_values",
+    "stats_min_max_metadata",
+    "salted_join_skewed_users",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_priority_check",
+    "tpch_q14_promo_ratio",
+    "tpch_q18_large_orders",
+    "scalar_subquery_above_avg",
+    "distinct_agg_per_status",
+    "grouping_sets_orders",
+    "union_all_orders_split",
+    "minmax_by_priority",
+    "string_funcs_part_names",
+    "ntile_percentile_orders",
+    "doc_token_stats",
+    "doc_exact_dedup",
+    "doc_lang_id",
+    "emb_cosine_topk",
+    # (c) r2 set, as window room permits
+    "tpch_q2_min_acctbal_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_predicate",
+    "tpch_q20_part_promotion",
+    "tpch_q22_global_sales_opportunity",
+    "doc_ngram_jaccard",
+    "doc_quality_scores",
+    "doc_pack_sequences",
+    "doc_scrub_pii",
+    "doc_strip_boilerplate",
+    "emb_label_centroids",
+    "orders_unpivot",
+    "part_name_tokens",
+    "tpch_q12_shipmode_buckets",
+    "doc_repetition_signals",
+    "doc_decontaminate",
+    "doc_curation_pipeline",
 ]
 
 

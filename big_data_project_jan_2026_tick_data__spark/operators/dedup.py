@@ -467,7 +467,11 @@ def dup_clusters(
     converges in O(component diameter) joins, which for near-dup graphs
     (tiny, dense components) is a handful of iterations. Each iteration
     is one shuffle on the edge key; ``localCheckpoint`` truncates the
-    growing lineage. At web scale the same loop applies (GraphFrames'
+    growing lineage. The driver-side convergence ``count()`` runs every
+    SECOND iteration only (it exists purely to stop the loop; propagation
+    itself is label-monotone, so overshooting by one iteration is a no-op
+    on the result) — halves the scheduler-job overhead on deep
+    components. At web scale the same loop applies (GraphFrames'
     alternating large/small-star halves the iteration count but the
     per-iteration plan is identical).
     """
@@ -475,7 +479,7 @@ def dup_clusters(
     e_rev = pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
     edges = e_fwd.union(e_rev)
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             edges.join(labels, edges.b == labels.id)
             .groupBy("a")
@@ -491,14 +495,16 @@ def dup_clusters(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        check_now = it % 2 == 1 or it == max_iter - 1
+        if check_now:
+            changed = (
+                new_labels.withColumnRenamed("label", "new_label")
+                .join(labels, "id")
+                .filter(F.col("new_label") != F.col("label"))
+                .count()
+            )
         labels = new_labels
-        if changed == 0:
+        if check_now and changed == 0:
             break
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")

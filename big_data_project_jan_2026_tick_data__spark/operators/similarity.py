@@ -66,8 +66,24 @@ def brute_force_topk(
 
 
 def _sql_arr(vals) -> str:
-    """Render a python float list as a SQL double-array literal."""
-    return "array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")"
+    """Render a python float list as a SQL double-array literal.
+
+    Rejects NaN/Inf up front: repr() would render them as 'nan'/'inf',
+    which either fails SQL parsing or resolves as a column reference —
+    a cryptic analysis error far from the cause (centroids are computed
+    from data, so a poisoned embedding CAN reach here)."""
+    import math
+
+    vals = [float(v) for v in vals]
+    for v in vals:
+        if not math.isfinite(v):
+            raise ValueError(
+                f"non-finite value {v!r} in vector {vals!r} — cannot build "
+                "a SQL array literal; scrub NaN/Inf from embeddings before "
+                "LSH/IVF (e.g. filter on aggregate(v, true, (a,x) -> a AND "
+                "NOT isnan(x) AND NOT x IN (double('inf'), double('-inf'))))"
+            )
+    return "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
 
 
 def _dot_sql(vec_expr: str, arr_expr: str) -> str:

@@ -149,11 +149,15 @@ class RunTracker:
         """Current state per run: the append-only runs log resolved to
         one row per run_id (latest status wins via max_by(seq))."""
         r = self._table("runs", _RUNS_DDL)
+        # identity columns resolve via min_by(col, seq) — the values at
+        # run creation — NOT unordered first(): a future writer emitting a
+        # status-only row (null identity columns) must not be able to
+        # corrupt run metadata depending on partition arrival order.
         return r.groupBy("run_id").agg(
-            F.first("experiment").alias("experiment"),
-            F.first("phase").alias("phase"),
-            F.first("run_name").alias("run_name"),
-            F.first("parent_run_id").alias("parent_run_id"),
+            F.expr("min_by(experiment, seq)").alias("experiment"),
+            F.expr("min_by(phase, seq)").alias("phase"),
+            F.expr("min_by(run_name, seq)").alias("run_name"),
+            F.expr("min_by(parent_run_id, seq)").alias("parent_run_id"),
             F.expr("max_by(status, seq)").alias("status"),
             F.min("seq").alias("started_seq"),
         )

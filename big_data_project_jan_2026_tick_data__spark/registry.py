@@ -1398,22 +1398,6 @@ def _register_rows_only():
             )
         )
 
-    @_register("multimodal_features")
-    def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Real decode→featurize over Arrow batches: P6 PPM / WAV PCM16 /
-        PSEQ payloads parsed with the pure-numpy codecs (operators/
-        codecs.py); formats needing PIL/librosa/av still raise at the
-        codec boundary."""
-        media = multimodal.synthetic_media(spark, n=64)
-        return multimodal.extract_features(media)
-
-    @_register("multimodal_frame_sample")
-    def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Cardinality-increasing mapInPandas: one row per sampled video
-        frame, with a real PSEQ demux + PPM decode per emitted frame."""
-        media = multimodal.synthetic_media(spark, n=64)
-        return multimodal.sample_frames(media, every_ms=1000, max_frames=8)
-
     _STREAM_SESS_ORACLE = """
     WITH f AS (
       SELECT 'EVENTS' AS symbol, ts, value AS bid, value * 1.01 AS ask
@@ -1503,12 +1487,38 @@ def _register_rows_only():
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
-    @_register("streaming_health")
+    _STREAM_HEALTH_ORACLE = """
+    WITH f AS (
+      SELECT 'EVENTS' AS symbol, ts, value AS bid, value * 1.01 AS ask
+      FROM events
+      WHERE (hour(ts)*60 + minute(ts) >= 7*60 AND hour(ts)*60 + minute(ts) < 12*60)
+         OR (hour(ts)*60 + minute(ts) >= 13*60 AND hour(ts)*60 + minute(ts) < 18*60)),
+    wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE AS w
+           FROM f),
+    agg AS (
+      SELECT symbol, time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+             time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE AS window_end
+      FROM f GROUP BY 1, 2)
+    SELECT 'reg_stream_health' AS name, TRUE AS healthy,
+           CAST(NULL AS VARCHAR) AS exception,
+           (SELECT CAST(count(*) AS BIGINT) FROM events) AS total_input_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM agg, wm
+             WHERE window_end <= wm.w) AS emitted_rows
+    """
+
+    @_register("streaming_health", _STREAM_HEALTH_ORACLE)
     def streaming_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Live-endpoint health surface (reference main.py:407-439
-        health_check): run a short replay stream, report per-query
-        liveness/throughput as a DataFrame. Rows-only (wall-clock
-        counters are nondeterministic by nature)."""
+        health_check): run a replay stream, report per-query health as a
+        DataFrame. VALUE-CHECKED on the deterministic surface: liveness/
+        exception state from the operator's health row (captured while the
+        query is still active), total source rows from summing
+        ``recentProgress.numInputRows`` across micro-batches (= the whole
+        events table regardless of batch split), and the append-mode
+        emitted-window count from the memory sink (same watermark-prefix
+        semantics the streaming_session_agg oracle pins). Wall-clock rate/
+        latency counters stay on the health_check operator surface but are
+        excluded here — nondeterministic by nature."""
         import os
         import shutil
         import tempfile
@@ -1547,24 +1557,77 @@ def _register_rows_only():
             )
             try:
                 q.processAllAvailable()
-                out = health_check([q], spark=spark)
-                rows = out.collect()
+                hc = health_check([q], spark=spark).collect()[0]
+                total_rows = sum(
+                    int(p.get("numInputRows") or 0)
+                    for p in (q.recentProgress or [])
+                )
+                emitted = spark.table("reg_stream_health").count()
             finally:
                 q.stop()
-            return spark.createDataFrame(rows, out.schema)
+            return spark.createDataFrame(
+                [(hc.name, bool(hc.healthy), hc.exception, total_rows, emitted)],
+                "name string, healthy boolean, exception string, "
+                "total_input_rows long, emitted_rows long",
+            )
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
-    @_register("approx_aggregates")
+    _APPROX_AGG_ORACLE = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS exact_median,
+           floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS exact_p95,
+           TRUE AS users_within_bound,
+           TRUE AS median_within_bound,
+           TRUE AS p95_within_bound
+    FROM events GROUP BY event_type
+    """
+
+    @_register("approx_aggregates", _APPROX_AGG_ORACLE)
     def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Scale-path approximations (no oracle — HLL/GK sketches differ
-        across engines by design): approx_count_distinct + percentile_approx
-        per event_type."""
+        """Scale-path approximations, SELF-CHECKING: raw HLL/GK sketch
+        outputs can never hash-match another engine (sketches differ by
+        design), so the plan computes the exact aggregates alongside and
+        emits within-bound booleans — approx_count_distinct within 3×rsd
+        (rsd=0.05 default → 15% rel err) of the exact distinct count, and
+        percentile_approx within 5% of the per-group value range of the
+        exact interpolated percentile. The oracle recomputes the exact
+        values and asserts every bound check is TRUE, making the
+        approximation quality itself driver-verdictable. At 100 TB you run
+        ONLY the approx half (one pass, mergeable sketches); the exact
+        columns here are the verification harness."""
         ev = _td(spark, sf_dir, "events")
-        return ev.groupBy("event_type").agg(
+        agg = ev.groupBy("event_type").agg(
             F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
             F.percentile_approx("value", 0.5).alias("approx_median"),
+            F.percentile("value", 0.5).alias("exact_median"),
             F.percentile_approx("value", 0.95).alias("approx_p95"),
+            F.percentile("value", 0.95).alias("exact_p95"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        tol = (F.col("vmax") - F.col("vmin")) * 0.05 + F.lit(1e-9)
+
+        def q6(c: str):
+            return (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6).alias(c)
+
+        return agg.select(
+            "event_type",
+            "exact_users",
+            q6("exact_median"),
+            q6("exact_p95"),
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.15 * F.greatest(F.col("exact_users"), F.lit(1))
+            ).alias("users_within_bound"),
+            (F.abs(F.col("approx_median") - F.col("exact_median")) <= tol).alias(
+                "median_within_bound"
+            ),
+            (F.abs(F.col("approx_p95") - F.col("exact_p95")) <= tol).alias(
+                "p95_within_bound"
+            ),
         )
 
 
@@ -1731,6 +1794,111 @@ def multimodal_frame_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         "frame_ms",
         F.expr(_FEAT_DIGEST_SQL).alias("feat_digest"),
+    )
+
+
+def _q6_col(c) -> "F.Column":
+    """floor-half-up 6dp on a float32 feature element, cast to double
+    first so Spark and the VALUES oracle quantize the identical IEEE
+    value."""
+    return F.floor(c.cast("double") * 1e6 + F.lit(0.5)) / 1e6
+
+
+def _multimodal_features_rows_oracle(n: int = 64) -> str:
+    """Per-ELEMENT expected values: every (media_id, pos, feature) scalar
+    recomputed locally — the raw-query oracle (digest twin collapses the
+    vector; this one proves each element and the array order)."""
+    from .operators.multimodal import local_features, synthetic_media_item
+
+    rows = []
+    for mid in range(n):
+        kind, payload, meta = synthetic_media_item(mid)
+        for pos, v in enumerate(local_features(payload, meta[4])):
+            rows.append((mid, kind, len(payload), pos, _q(v, 6)))
+    vals = ", ".join(
+        f"({m}, '{k}', {nb}, {p}, {v!r})" for m, k, nb, p, v in rows
+    )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, kind, "
+        "CAST(n_bytes AS BIGINT) AS n_bytes, CAST(pos AS INT) AS pos, "
+        f"CAST(feat_q AS DOUBLE) AS feat_q FROM (VALUES {vals}) "
+        "AS t(media_id, kind, n_bytes, pos, feat_q)"
+    )
+
+
+def _multimodal_frames_rows_oracle(
+    n: int = 64, every_ms: int = 1000, max_frames: int = 8
+) -> str:
+    import numpy as np
+
+    from .operators.multimodal import plan_frame_samples, synthetic_media_item
+
+    rows = []
+    for mid in range(n):
+        kind, payload, meta = synthetic_media_item(mid)
+        if kind != "video":
+            continue
+        for i, t_ms, feats in plan_frame_samples(
+            payload, meta[3], every_ms, max_frames
+        ):
+            for pos, v in enumerate(feats):
+                rows.append((mid, i, t_ms, pos, _q(float(np.float32(v)), 6)))
+    vals = ", ".join(f"({m}, {i}, {t}, {p}, {v!r})" for m, i, t, p, v in rows)
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(frame_idx AS INT) AS frame_idx, "
+        "CAST(frame_ms AS BIGINT) AS frame_ms, CAST(pos AS INT) AS pos, "
+        f"CAST(feat_q AS DOUBLE) AS feat_q FROM (VALUES {vals}) "
+        "AS t(media_id, frame_idx, frame_ms, pos, feat_q)"
+    )
+
+
+@_register("multimodal_features", _multimodal_features_rows_oracle())
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode→featurize over Arrow batches: P6 PPM / WAV PCM16 /
+    PSEQ payloads parsed with the pure-numpy codecs (operators/codecs.py);
+    formats needing PIL/librosa/av raise at the codec boundary. The
+    feature vector is posexploded to scalar (pos, value) rows — the
+    driver's canonicalizer can't hash array columns, and exploding also
+    lets the oracle pin per-element values AND element order, stronger
+    than the digest twin."""
+    media = multimodal.synthetic_media(spark, n=64)
+    feats = multimodal.extract_features(media)
+    fv = feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("features").alias("pos", "fv"),
+    )
+    return fv.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "pos",
+        _q6_col(F.col("fv")).alias("feat_q"),
+    )
+
+
+@_register("multimodal_frame_sample", _multimodal_frames_rows_oracle())
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-increasing mapInPandas: one row per sampled video
+    frame, real PSEQ demux + PPM decode per emitted frame; frame feature
+    vectors posexploded to scalar rows for the per-element value-hash
+    (see multimodal_features)."""
+    media = multimodal.synthetic_media(spark, n=64)
+    frames = multimodal.sample_frames(media, every_ms=1000, max_frames=8)
+    fv = frames.select(
+        "media_id",
+        "frame_idx",
+        "frame_ms",
+        F.posexplode("features").alias("pos", "fv"),
+    )
+    return fv.select(
+        "media_id",
+        "frame_idx",
+        "frame_ms",
+        "pos",
+        _q6_col(F.col("fv")).alias("feat_q"),
     )
 
 
@@ -3133,12 +3301,27 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_hash_sample():
-    @_register("doc_hash_sample")
+    # rate 0.2 → keep md5-hex-prefix buckets below int(0.2*65536)=0x3333,
+    # compared as fixed-width lowercase hex (lexicographic ≡ numeric) —
+    # the exact predicate text.md5_sample builds.
+    @_register(
+        "doc_hash_sample",
+        """
+        SELECT doc_id, source, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+        """,
+    )
     def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Deterministic xxhash64 sampling (rows-only: DuckDB has no
-        xxhash64 — determinism/monotonicity property-tested instead)."""
+        """Deterministic key-hash sampling via the engine-portable md5
+        bucket (text.md5_sample) — a pure function of the key, so the
+        sampling decision is re-derivable by ANY engine (the oracle
+        re-applies the identical predicate in DuckDB). The xxhash64 fast
+        path (text.hash_sample, one JVM hash per row, no md5 cost) keeps
+        the same keep/drop contract and stays property-tested in
+        tests/test_text.py — it can't be driver-adjudicated because no
+        other engine reproduces xxhash64."""
         docs = _td(spark, sf_dir, "documents")
-        return text.hash_sample(docs, rate=0.2).select("doc_id", "source", "lang")
+        return text.md5_sample(docs, rate=0.2).select("doc_id", "source", "lang")
 
 
 _register_hash_sample()

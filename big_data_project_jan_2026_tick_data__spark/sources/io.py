@@ -93,11 +93,19 @@ def _read_events_raw(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     except Exception as exc:
         # Flip the legacy conf ONLY for the nanos rejection — a missing
-        # path or transient FS error must propagate unchanged, not leave
-        # a session-wide legacy reader mode behind.
+        # path or transient FS error must propagate unchanged without
+        # touching reader config.
         msg = str(exc)
         if "PARQUET_TYPE_ILLEGAL" not in msg and "Illegal Parquet type" not in msg:
             raise
+        # NOTE blast radius: nanosAsLong INTENTIONALLY stays set for the
+        # rest of the session. The returned DataFrame is lazy — the conf
+        # must still be on whenever a downstream action finally scans the
+        # file, so it cannot be restored here. Consequence: any later
+        # parquet read of OTHER ns-timestamp data in the same session also
+        # resolves ts as LongType; read_events handles that shape
+        # explicitly (see _events_ts_normalizer), and µs/ms files are
+        # unaffected (the conf only changes TIMESTAMP(NANOS) resolution).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
 
