@@ -1,0 +1,814 @@
+"""Document-corpus registry queries (training-data pipeline over the `documents` table): dedup family (exact, MinHash/SimHash md5 twins, n-gram Jaccard, clustering, decontamination), quality/language/PII/boilerplate scoring, sampling, packing, sharded export, and the end-to-end curation pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import (  # noqa: F401
+    dedup,
+    joins,
+    mlfeat,
+    multimodal,
+    similarity,
+    stats,
+    text,
+    ticks,
+)
+from ._base import _register, _td
+
+
+# ---------------------------------------------------------------------------
+# Text / dedup / similarity (training-data pipeline surface).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "doc_token_stats",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + word-regex) per document."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.with_token_count(docs).select("doc_id", "ws_tokens", "word_tokens")
+
+
+@_register(
+    "doc_exact_dedup",
+    r"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source, row_number() OVER (
+        PARTITION BY trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g'))
+        ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content (hash-partitioned, keep lowest id)."""
+    docs = _td(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+@_register(
+    "doc_lang_id",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        GREATEST(len(regexp_extract_all(lower(text), '[A-Za-z0-9]+')), 1) AS nw,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|with)\b')) AS h_en,
+        len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|mit)\b')) AS h_de,
+        len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|que|pour)\b')) AS h_fr,
+        len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|como)\b')) AS h_es
+      FROM documents),
+    s2 AS (
+      SELECT doc_id, lang,
+             CAST(h_en AS DOUBLE)/nw AS s_en, CAST(h_de AS DOUBLE)/nw AS s_de,
+             CAST(h_fr AS DOUBLE)/nw AS s_fr, CAST(h_es AS DOUBLE)/nw AS s_es,
+             GREATEST(CAST(h_en AS DOUBLE)/nw, CAST(h_de AS DOUBLE)/nw,
+                      CAST(h_fr AS DOUBLE)/nw, CAST(h_es AS DOUBLE)/nw) AS best
+      FROM scored)
+    SELECT doc_id, lang,
+           CASE WHEN best <= 0 THEN 'und'
+                WHEN s_fr = best THEN 'fr'
+                WHEN s_es = best THEN 'es'
+                WHEN s_en = best THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           ROUND(best, 6) AS lang_score
+    FROM s2
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-marker scoring (argmax with (score, lang)
+    tuple tie-break — mirrored exactly in the oracle's CASE order)."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.with_lang_id(docs).select("doc_id", "lang", "lang_pred", "lang_score")
+
+
+@_register("doc_minhash_pairs")
+def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _td(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+
+
+@_register("doc_simhash_pairs")
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _td(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=8, blocks=4)
+
+
+@_register("doc_fingerprints")
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _td(spark, sf_dir, "documents")
+    return text.with_fingerprint(docs).select(
+        "doc_id", "fingerprint", "shingle_min_fp"
+    )
+
+
+@_register(
+    "doc_ngram_jaccard",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id AS id, g AS sh FROM norm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS t(g)),
+    sh AS (
+      SELECT id, sh FROM (
+        SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh0)
+      WHERE df <= 1000),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2
+    """,
+)
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.2 via shingle co-occurrence
+    join (no cross product)."""
+    docs = _td(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+
+
+# Shared DuckDB SQL for the document quality formula and content
+# normalization — mirrors text.with_quality_score / text.normalize_text
+# term by term. THREE oracles reuse these (doc_quality_scores,
+# doc_curation_pipeline, doc_export_shards): change them only in lockstep
+# with the Spark implementation, never fork a per-oracle copy.
+
+
+_DOC_METRICS_CTE = r"""m AS (
+      SELECT doc_id,
+             length(txt) AS n_chars,
+             len(regexp_extract_all(txt, '[A-Za-z0-9]+')) AS words,
+             len(regexp_extract_all(txt, '[^\w\s]')) AS n_punct,
+             len(regexp_extract_all(txt, '[A-Za-z0-9]')) AS word_chars,
+             len(regexp_extract_all(txt, '\bthe\b'))
+               + len(regexp_extract_all(txt, '\band\b'))
+               + len(regexp_extract_all(txt, '\bof\b'))
+               + len(regexp_extract_all(txt, '\bto\b'))
+               + len(regexp_extract_all(txt, '\bis\b'))
+               + len(regexp_extract_all(txt, '\bthat\b'))
+               + len(regexp_extract_all(txt, '\bwith\b')) AS stop_hits
+      FROM base)"""
+
+
+_QUALITY_EXPR = """FLOOR((0.35 * LEAST(n_chars / 2000.0, 1.0)
+                 + 0.25 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1) * 4.0, 1.0))
+                 + 0.25 * LEAST(LEAST(stop_hits / GREATEST(words, 1), 1.0) * 5.0, 1.0)
+                 + 0.15 * (CASE WHEN word_chars / GREATEST(words, 1) >= 3.0
+                                 AND word_chars / GREATEST(words, 1) <= 10.0
+                           THEN 1.0 ELSE 0.5 END)) * 1e6 + 0.5) / 1e6"""
+
+
+def _norm_sql(col: str) -> str:
+    """DuckDB mirror of text.normalize_text: lowercase, strip
+    punctuation, collapse whitespace, trim."""
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}), "
+        f"'[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
+@_register(
+    "doc_quality_scores",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lower(text) AS txt FROM documents),
+    {_DOC_METRICS_CTE}
+    SELECT doc_id, words AS n_words,
+           ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+           ROUND(LEAST(stop_hits / GREATEST(words, 1), 1.0), 6) AS stop_ratio,
+           {_QUALITY_EXPR} AS quality
+    FROM m
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring (north-star text analysis) —
+    pure Catalyst regexp-count arithmetic, oracle-checked term by term."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.with_quality_score(docs).select(
+        "doc_id", "n_words", "punct_ratio", "stop_ratio", "quality"
+    )
+
+
+def _scrub_pii_oracle() -> str:
+    """Interpolate the module's PII regexes so Spark and the oracle run
+    the same patterns (DuckDB needs the 'g' flag; Spark's regexp_replace
+    is global by default)."""
+    from ..operators.text import PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+
+    return (
+        "SELECT doc_id,\n"
+        "       regexp_replace(regexp_replace(regexp_replace(text,\n"
+        "         '" + PII_EMAIL_RE + "', '<EMAIL>', 'g'),\n"
+        "         '" + PII_IP_RE + "', '<IP>', 'g'),\n"
+        "         '" + PII_PHONE_RE + "', '<PHONE>', 'g') AS scrubbed,\n"
+        "       text <> regexp_replace(regexp_replace(regexp_replace(text,\n"
+        "         '" + PII_EMAIL_RE + "', '<EMAIL>', 'g'),\n"
+        "         '" + PII_IP_RE + "', '<IP>', 'g'),\n"
+        "         '" + PII_PHONE_RE + "', '<PHONE>', 'g') AS pii_found\n"
+        "FROM documents"
+    )
+
+
+@_register("doc_scrub_pii", _scrub_pii_oracle())
+def doc_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/IPs/phone runs -> typed placeholders) —
+    chained codegen regexp_replace, no UDF."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.scrub_pii(docs).select("doc_id", "scrubbed", "pii_found")
+
+
+@_register(
+    "doc_strip_boilerplate",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+    k AS (
+      SELECT doc_id, lines,
+             list_filter(lines,
+               ln -> len(regexp_split_to_array(trim(ln), '\s+')) >= 3) AS kept
+      FROM t)
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS clean_text,
+           len(lines) - len(kept) AS lines_dropped
+    FROM k
+    """,
+)
+def doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal (drop lines with < 3 words) via
+    higher-order filter over split — no UDF, no explode round-trip."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.strip_boilerplate(docs, min_line_words=3).select(
+        "doc_id", "clean_text", "lines_dropped"
+    )
+
+
+@_register(
+    "doc_pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens
+      FROM documents)
+    SELECT doc_id, source, word_tokens,
+           CAST(FLOOR(COALESCE(SUM(word_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+             AS BIGINT) AS seq_bucket
+    FROM t
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: per-source prefix-sum binning
+    of documents into ~256-token buckets (no doc split; deterministic
+    doc_id order)."""
+    docs = _td(spark, sf_dir, "documents")
+    packed = text.pack_sequences(
+        text.with_token_count(docs), budget=256, shard_cols=("source",)
+    )
+    return packed.select("doc_id", "source", "word_tokens", "seq_bucket")
+
+
+# rate 0.2 → keep md5-hex-prefix buckets below int(0.2*65536)=0x3333,
+# compared as fixed-width lowercase hex (lexicographic ≡ numeric) —
+# the exact predicate text.md5_sample builds.
+@_register(
+    "doc_hash_sample",
+    """
+    SELECT doc_id, source, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+    """,
+)
+def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key-hash sampling via the engine-portable md5
+    bucket (text.md5_sample) — a pure function of the key, so the
+    sampling decision is re-derivable by ANY engine (the oracle
+    re-applies the identical predicate in DuckDB). The xxhash64 fast
+    path (text.hash_sample, one JVM hash per row, no md5 cost) keeps
+    the same keep/drop contract and stays property-tested in
+    tests/test_text.py — it can't be driver-adjudicated because no
+    other engine reproduces xxhash64."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.md5_sample(docs, rate=0.2).select("doc_id", "source", "lang")
+
+
+@_register(
+    "doc_dup_clusters",
+    r"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id AS id, g AS sh FROM norm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS t(g)),
+    sh AS (
+      SELECT id, sh FROM (
+        SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh0)
+      WHERE df <= 1000),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components (min-label propagation)
+    over exact word-3-gram Jaccard >= 0.2 pairs; every doc tagged with
+    its component's min doc_id. Oracle recomputes the components with a
+    recursive reachability CTE — an independent algorithm on the same
+    edge set."""
+    docs = _td(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    return dedup.dup_clusters(docs, pairs)
+
+
+@_register(
+    "doc_leakage_safe_split",
+    r"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id AS id, g AS sh FROM norm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS t(g)),
+    sh AS (
+      SELECT id, sh FROM (
+        SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh0)
+      WHERE df <= 1000),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < '1999' THEN 'test'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < '3333' THEN 'val'
+                ELSE 'train' END AS split
+    FROM comp
+    """,
+)
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup components (word-3-gram
+    Jaccard >= 0.2 graph) are the split unit, assigned by an md5 bucket of
+    the component's min doc_id — no near-duplicate pair ever straddles a
+    split. 10% test / 10% val thresholds."""
+    docs = _td(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    return dedup.leakage_safe_split(docs, pairs, val_frac=0.1, test_frac=0.1)
+
+
+# One SQL text, two engines: this string runs verbatim as the Spark
+# query (over register_testdata_views) AND as its own DuckDB oracle —
+# the cleanest demonstration that the SQL surface is ANSI-portable.
+
+
+def _md5_minhash_oracle(
+    num_hashes: int = 16, bands: int = 4, cap: int = 1000
+) -> str:
+    """Full LSH re-derivation in DuckDB: md5-derived 28-bit shingle
+    hashes → the same Carter-Wegman signature mins (constants imported
+    from the engine) → '-'-joined band keys → capped band self-join →
+    fraction-of-equal-minima similarity estimate."""
+    from ..operators.dedup import _P31, _mh_consts
+
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"MIN((h * {a} + {b}) % {_P31}) AS h{i}"
+        for i, (a, b) in ((i, _mh_consts(i)) for i in range(num_hashes))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {idx} AS band_idx, concat_ws('-', {cols}) AS band_key, "
+        "[{allc}] AS sig FROM sigs".format(
+            idx=b,
+            cols=", ".join(f"h{b * rows + r}" for r in range(rows)),
+            allc=", ".join(f"h{i}" for i in range(num_hashes)),
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(g), 1, 7)) AS BIGINT) AS h
+      FROM norm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS t(g)),
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands0 AS (
+      {band_rows}),
+    bands AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bsz
+        FROM bands0) WHERE bsz <= {cap})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(({eq}) / CAST({num_hashes} AS DOUBLE), 6) AS est_jaccard
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """
+
+
+def _md5_simhash_oracle(bits: int = 60, max_hamming: int = 3, cap: int = 1000) -> str:
+    """Full SimHash re-derivation in DuckDB: md5-derived 60-bit token
+    hashes → per-bit ±1 sums → sign fingerprint → 16-bit pigeonhole
+    segments (the same scheme as dedup.hamming_pairs) → capped self-join
+    → exact bit_count(xor) Hamming filter."""
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = "\n             | ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM norm, UNNEST(toks) AS u(t)),
+    b AS (
+      SELECT doc_id,
+             {sums}
+      FROM h GROUP BY doc_id),
+    fp AS (
+      SELECT doc_id,
+             {fp} AS fp
+      FROM b),
+    segs0 AS (
+      SELECT doc_id, fp, s AS seg_idx, (fp >> (s * 16)) & 65535 AS seg
+      FROM fp, UNNEST([0, 1, 2, 3]) AS t(s)),
+    segs AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY seg_idx, seg) AS bsz
+        FROM segs0) WHERE bsz <= {cap})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM segs a JOIN segs b
+      ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+@_register("doc_md5_simhash_pairs", _md5_simhash_oracle(max_hamming=6))
+def doc_md5_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs under an independent value-hash oracle:
+    md5-portable 60-bit fingerprints through the shared Hamming
+    pigeonhole join (doc_simhash_pairs' xxhash64 fast path stays
+    rows-only by nature)."""
+    docs = _td(spark, sf_dir, "documents")
+    fps = dedup.md5_simhash(docs)
+    return dedup.hamming_pairs(
+        fps, fp_col="simhash", id_col="doc_id", max_hamming=6, blocks=4
+    )
+
+
+@_register("doc_md5_minhash_pairs", _md5_minhash_oracle())
+def doc_md5_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash+LSH pipeline under an independent value-hash
+    oracle: md5-derived shingle hashes (engine-portable, unlike the
+    xxhash64 fast path of ``doc_minhash_pairs``), shared Carter-Wegman
+    permutations, plain band-slice keys, hot-bucket cap mirrored in
+    SQL."""
+    docs = _td(spark, sf_dir, "documents")
+    return dedup.md5_minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
+
+
+@_register(
+    "doc_md5_fingerprints",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')) AS n,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, g FROM norm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS t(g))
+    SELECT n.doc_id,
+           md5(n.n) AS exact_fp,
+           MIN(md5(s.g)) AS shingle_min_fp
+    FROM norm n JOIN sh s USING (doc_id)
+    GROUP BY n.doc_id, n.n
+    """,
+)
+def doc_md5_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable document fingerprints: md5 of the normalized text
+    (exact content key) + the lexicographic MIN over per-shingle md5s (a
+    1-hash winnowing sketch, robust to small edits) — the oracle-able
+    twin of the xxhash64 ``doc_fingerprints`` (same plan shape, portable
+    hash). Explode+min is one map-side-combined agg; nothing but
+    (doc_id, 32-byte hex) pairs shuffle."""
+    docs = _td(spark, sf_dir, "documents")
+    norm = text.normalize_text(F.col("text"))
+    sh = docs.select(
+        F.col("doc_id"),
+        F.md5(norm).alias("exact_fp"),
+        F.explode(dedup.shingles(F.col("text"), 3)).alias("__g"),
+    )
+    return sh.groupBy("doc_id", "exact_fp").agg(
+        F.min(F.md5("__g")).alias("shingle_min_fp")
+    )
+
+
+@_register(
+    "doc_source_report",
+    r"""
+    WITH base AS (
+      SELECT doc_id, source, lang, lower(text) AS txt,
+             trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      FROM documents),
+    m AS (
+      SELECT doc_id, source, lang,
+             len(regexp_extract_all(txt, '[A-Za-z0-9]+')) AS words,
+             COUNT(*) OVER (PARTITION BY norm) >= 2 AS is_dup
+      FROM base)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+    FROM m GROUP BY source
+    """,
+)
+def doc_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report — the domain-level stats a corpus
+    curator filters on (RefinedWeb-style per-domain decisions): doc and
+    language counts, token totals, and how many docs have an exact
+    duplicate anywhere in the corpus (window count over the content
+    hash, no self-join)."""
+    docs = _td(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    norm = text.normalize_text(F.col("text"))
+    d = text.with_token_count(docs).withColumn(
+        "is_dup", F.count(F.lit(1)).over(Window.partitionBy(F.xxhash64(norm))) >= 2
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("word_tokens").alias("total_words"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("dup_docs"),
+    )
+
+
+@_register(
+    "doc_repetition_signals",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    bg AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, GREATEST(len(toks) - 1, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS grams
+      FROM norm),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_bigram_cnt FROM (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM bg, UNNEST(grams) AS t(g) GROUP BY doc_id, g)
+      GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS INT) AS n_tokens,
+           floor((len(b.toks) - len(list_distinct(b.toks)))
+                 / GREATEST(len(b.toks), 1) * 1e6 + 0.5) / 1e6 AS dup_token_frac,
+           floor((len(b.grams) - len(list_distinct(b.grams)))
+                 / GREATEST(len(b.grams), 1) * 1e6 + 0.5) / 1e6 AS dup_bigram_frac,
+           CAST(COALESCE(t.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+           floor(COALESCE(t.top_bigram_cnt, 0)
+                 / GREATEST(len(b.grams), 1) * 1e6 + 0.5) / 1e6 AS top_bigram_frac
+    FROM bg b LEFT JOIN top t USING (doc_id)
+    """,
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (duplicate-token/bigram fractions,
+    top-bigram share) over the documents table — the within-document
+    twin of the cross-document dedup family."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.repetition_signals(docs)
+
+
+@_register(
+    "doc_decontaminate",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source, g FROM norm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 3, 1) + 1),
+                              i -> array_to_string(toks[i:i+3], ' '))) AS t(g))
+    SELECT a.doc_id,
+           CAST(COUNT(DISTINCT a.g) AS BIGINT) AS n_hit_shingles,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+    FROM sh a JOIN sh b ON a.g = b.g
+    WHERE a.source != 'src0' AND b.source = 'src0'
+    GROUP BY a.doc_id
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (source != 'src0') sharing
+    any word 4-gram with the benchmark split (source = 'src0'); the
+    benchmark shingle set is broadcast, so the corpus scan is
+    shuffle-free. Oracle joins the shingle *strings* — an independent
+    check of the hashed join."""
+    docs = _td(spark, sf_dir, "documents")
+    return dedup.decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        shingle_n=4,
+    )
+
+
+@_register(
+    "doc_export_shards",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, lower(text) AS txt FROM documents),
+    {_DOC_METRICS_CTE},
+    q AS (
+      SELECT doc_id, {_QUALITY_EXPR} AS quality
+      FROM m),
+    ded AS (
+      SELECT doc_id, text FROM (
+        SELECT b.doc_id, b.text, row_number() OVER (
+          PARTITION BY md5({_norm_sql('b.text')})
+          ORDER BY b.doc_id) AS rn
+        FROM base b JOIN q USING (doc_id) WHERE q.quality >= 0.4)
+      WHERE rn = 1),
+    tok AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                  AS BIGINT) % 4 AS shard_id
+      FROM ded),
+    packed AS (
+      SELECT *, CAST(FLOOR(COALESCE(SUM(word_tokens) OVER (
+               PARTITION BY shard_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+             AS BIGINT) AS seq_bucket
+      FROM tok)
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT seq_bucket) AS BIGINT) AS n_seqs,
+           CAST(SUM(word_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+                AS BIGINT) % 1000000000) AS BIGINT) AS content_fp
+    FROM packed GROUP BY shard_id
+    """,
+)
+def doc_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-pipeline SINK round-trip: quality gate → portable md5
+    dedup → token budget → deterministic shard assignment → per-shard
+    packing → partitioned parquet WRITE → manifest aggregated from the
+    READ-BACK files. The oracle recomputes the manifest purely in SQL —
+    agreement proves the written shards carry exactly the curated rows
+    (plans/export.py; sink semantics S5/S6, reference naming
+    spark_session_window_tick_cleaner.py:173-182 replaced by
+    partitioned-output discipline)."""
+    import shutil
+    import tempfile
+
+    from ..plans.export import export_training_shards
+
+    docs = _td(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="shards_")
+    try:
+        manifest = export_training_shards(
+            spark, docs, d, min_quality=0.4, budget=256, num_shards=4
+        )
+        rows = manifest.collect()
+        return spark.createDataFrame(rows, manifest.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@_register(
+    "doc_curation_pipeline",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lower(text) AS txt FROM documents),
+    {_DOC_METRICS_CTE},
+    q AS (
+      SELECT doc_id, {_QUALITY_EXPR} AS quality
+      FROM m),
+    scr AS (
+      SELECT d.doc_id, d.source, q.quality,
+             regexp_replace(regexp_replace(regexp_replace(d.text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+               '\\+?\\d[\\d\\s()-]{{7,}}\\d', '<PHONE>', 'g') AS scrubbed
+      FROM documents d JOIN q USING (doc_id)
+      WHERE q.quality >= 0.48),
+    ded AS (
+      SELECT doc_id, source, quality, scrubbed FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY {_norm_sql('scrubbed')}
+          ORDER BY doc_id) AS rn
+        FROM scr) WHERE rn = 1),
+    tok AS (
+      SELECT doc_id, source, quality,
+             len(regexp_extract_all(scrubbed, '[A-Za-z0-9]+')) AS word_tokens
+      FROM ded)
+    SELECT doc_id, source, quality,
+           CAST(word_tokens AS INT) AS word_tokens,
+           CAST(FLOOR(COALESCE(SUM(word_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+             AS BIGINT) AS seq_bucket
+    FROM tok
+    """,
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation flow in ONE Catalyst plan:
+    quality scoring → threshold filter → PII scrub → exact dedup of the
+    scrubbed text → token budgeting → per-source sequence packing.
+    Every stage is an already-verified operator; this query proves they
+    compose (the filter pushes below the scrub, the dedup window keys on
+    the scrubbed hash, the pack window shards by source) — the shape a
+    real 100 TB corpus run would use. Oracle re-derives all five stages
+    in one DuckDB CTE chain."""
+    docs = _td(spark, sf_dir, "documents")
+    q = text.with_quality_score(docs).filter(F.col("quality") >= 0.48)
+    s = text.scrub_pii(q)
+    d = dedup.exact_dedup(s, text_col="scrubbed")
+    t = text.with_token_count(d, text_col="scrubbed")
+    p = text.pack_sequences(t, budget=256)
+    return p.select("doc_id", "source", "quality", "word_tokens", "seq_bucket")
+
+
+@_register(
+    "doc_stratified_sample",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE (source = 'src0' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+       OR (source = 'src1' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+       OR (source NOT IN ('src0', 'src1')
+           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc')
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing via per-stratum deterministic sampling: 50% of
+    src0, 25% of src1, 5% of everything else — md5-bucket thresholds, so
+    the exact keep-set is re-derivable by any engine (the oracle applies
+    the same thresholds in SQL)."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.stratified_md5_sample(
+        docs, {"src0": 0.5, "src1": 0.25}, default_rate=0.05
+    ).select("doc_id", "source")

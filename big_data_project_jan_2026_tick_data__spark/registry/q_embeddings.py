@@ -1,0 +1,337 @@
+"""Embedding registry queries over the `embeddings` table: ANN (brute-force oracle, LSH, IVF), k-means, near-dup pairs/clusters, label centroids."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import (  # noqa: F401
+    dedup,
+    joins,
+    mlfeat,
+    multimodal,
+    similarity,
+    stats,
+    text,
+    ticks,
+)
+from ._base import _register, _td
+
+
+@_register(
+    "emb_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT q.query_id, c.vec_id,
+             ROUND(list_cosine_similarity(c.cvec, q.qvec), 6) AS cosine,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY ROUND(list_cosine_similarity(c.cvec, q.qvec), 6) DESC,
+                                         c.vec_id) AS rank
+      FROM c, q)
+    WHERE rank <= 10
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10: first 5 vectors as queries against the
+    full corpus (broadcast queries, JVM-side math)."""
+    emb = _td(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+def _lsh_topk_oracle(
+    dim: int = 64, num_planes: int = 4, seed: int = 42, k: int = 10
+) -> str:
+    """DuckDB oracle for emb_lsh_topk: re-derive the hyperplane sign
+    buckets in SQL from the SAME deterministic planes the Spark operator
+    uses (cf. _near_dup_oracle), then rank candidates within buckets —
+    an independent recomputation of the whole ANN path."""
+    from ..operators.similarity import _hyperplane
+
+    bucket_terms = []
+    for p in range(num_planes):
+        plane = ", ".join(repr(v) for v in _hyperplane(dim, p, seed))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(vec, [{plane}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "\n        + ".join(bucket_terms)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    b AS (
+      SELECT vec_id, vec,
+        {bucket} AS bucket
+      FROM v),
+    q AS (SELECT vec_id AS query_id, vec AS qvec, bucket FROM b WHERE vec_id < 5),
+    c AS (SELECT vec_id, vec AS cvec, bucket FROM b)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT q.query_id, c.vec_id,
+             ROUND(list_cosine_similarity(c.cvec, q.qvec), 6) AS cosine,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY ROUND(list_cosine_similarity(c.cvec, q.qvec), 6) DESC,
+                                         c.vec_id) AS rank
+      FROM c JOIN q ON c.bucket = q.bucket)
+    WHERE rank <= {k}
+    """
+
+
+@_register("emb_lsh_topk", _lsh_topk_oracle())
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via random-hyperplane LSH buckets (recall < 1 by
+    design; the oracle recomputes identical buckets in SQL, so the
+    *bucketed* result is checked exactly, not against brute force)."""
+    emb = _td(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_bucket_topk(emb, queries, dim=64, k=10, num_planes=4)
+
+
+@_register(
+    "emb_ivf_exact",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT q.query_id, c.vec_id,
+             ROUND(list_cosine_similarity(c.cvec, q.qvec), 6) AS cosine,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY ROUND(list_cosine_similarity(c.cvec, q.qvec), 6) DESC,
+                                         c.vec_id) AS rank
+      FROM c, q)
+    WHERE rank <= 10
+    """,
+)
+def emb_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at nprobe == nlist: every cell is probed, so the
+    cluster-pruned path must reproduce brute-force top-k exactly — the
+    oracle is plain exhaustive cosine SQL, independently checking the
+    cell-assignment + probe + rerank machinery end to end."""
+    emb = _td(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=10, nlist=16, nprobe=16)
+
+
+# Exploded ML window tensors re-derived fully in SQL: session filter,
+# window ids, (ts, features) total order, exact integer round-half-up
+# pick/place indices (mlfeat._spaced_indices), ffill/bfill padding, and
+# the float32 quantization of the ArrayType(FloatType) tensor cells.
+# Shared by the ml_window_tensors and ml_anomaly_scores_mean oracles.
+
+
+@_register("emb_ivf_topk")
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style cluster-pruned ANN (recall < 1 by design at
+    nprobe < nlist — rows-only; exactness at nprobe == nlist is
+    property-tested in tests/test_similarity.py)."""
+    emb = _td(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+
+
+def _near_dup_oracle(dim: int = 64, num_planes: int = 4, seed: int = 42) -> str:
+    """Build the DuckDB oracle for emb_near_dup_pairs by interpolating the
+    SAME deterministic hyperplanes the Spark operator uses — the LSH
+    bucketing and cosine filter are then re-derived independently in SQL."""
+    from ..operators.similarity import _hyperplane
+
+    bucket_terms = []
+    for p in range(num_planes):
+        plane = ", ".join(repr(v) for v in _hyperplane(dim, p, seed))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(vec, [{plane}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "\n        + ".join(bucket_terms)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    b0 AS (
+      SELECT vec_id, vec,
+        {bucket} AS bucket
+      FROM v),
+    -- mirror the operator's hot-bucket cap (1000)
+    b AS (
+      SELECT vec_id, vec, bucket FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b0)
+      WHERE bsz <= 1000)
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.vec, b2.vec), 6) AS cosine
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE ROUND(list_cosine_similarity(a.vec, b2.vec), 6) >= 0.2
+    """
+
+
+def _emb_dup_clusters_oracle(dim: int = 64, num_planes: int = 4, seed: int = 42) -> str:
+    """Recursive-reachability oracle over the SAME hyperplane-bucketed
+    edge set as emb_near_dup_pairs — independent connected-components
+    algorithm (BFS closure) vs the engine's min-label propagation."""
+    from ..operators.similarity import _hyperplane
+
+    bucket_terms = []
+    for p in range(num_planes):
+        plane = ", ".join(repr(v) for v in _hyperplane(dim, p, seed))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(vec, [{plane}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "\n        + ".join(bucket_terms)
+    return f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    b0 AS (
+      SELECT vec_id, vec,
+        {bucket} AS bucket
+      FROM v),
+    b AS (
+      SELECT vec_id, vec, bucket FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b0)
+      WHERE bsz <= 1000),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      WHERE ROUND(list_cosine_similarity(a.vec, b2.vec), 6) >= 0.2),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT vec_id AS src, vec_id AS dst FROM v
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+    SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """
+
+
+@_register("emb_dup_clusters", _emb_dup_clusters_oracle())
+def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: the LSH-bucketed cosine pairs fed
+    through connected components (min-label propagation) — the step a
+    real dedup pipeline runs after pair generation, here on the
+    embedding modality. Oracle recomputes the components with a
+    recursive reachability CTE over an independently re-derived edge
+    set."""
+    emb = _td(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.2, num_planes=4
+    )
+    return dedup.dup_clusters(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
+@_register("emb_near_dup_pairs", _near_dup_oracle())
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane LSH bucket join +
+    exact cosine filter — oracle re-derives the identical buckets in SQL
+    from the same deterministic planes."""
+    emb = _td(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.2, num_planes=4
+    )
+
+
+@_register(
+    "emb_label_centroids",
+    """
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS c,
+           COUNT(*) AS n
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY 1, 2
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dim): posexplode the
+    vector and average per dimension — the cluster-quality/IVF-debug
+    primitive, pure codegen + hash agg (no vector UDF)."""
+    emb = _td(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    return e.groupBy("label", "dim").agg(
+        F.round(F.avg("x"), 6).alias("c"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def _kmeans_oracle(k: int = 8, dim: int = 64) -> str:
+    """Chained-CTE DuckDB k-means (init → assign → update → assign), the
+    independent re-derivation of similarity.kmeans' two Lloyd
+    iterations. Distances are squared-L2 computed dimension-by-dimension
+    (same left-to-right fold as the Spark ``aggregate``); updated
+    centroids are quantized with the shared floor-half-up-1e-6 formula so
+    both engines iterate from identical literals."""
+    d1 = dim + 1
+    return rf"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM (SELECT * FROM base ORDER BY vec_id LIMIT {k})),
+    a1d AS (
+      SELECT b.vec_id, b.v, i.cid,
+             list_sum(list_transform(range(1, {d1}),
+               j -> (b.v[j] - i.c[j]) * (b.v[j] - i.c[j]))) AS dsq
+      FROM base b CROSS JOIN init i),
+    a1 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid) AS rn
+        FROM a1d) WHERE rn = 1),
+    u1 AS (
+      SELECT cid, list(q ORDER BY j) AS c FROM (
+        SELECT a.cid, t.j, floor(avg(a.v[t.j]) * 1e6 + 0.5) / 1e6 AS q
+        FROM a1 a CROSS JOIN range(1, {d1}) t(j)
+        GROUP BY a.cid, t.j) GROUP BY cid),
+    c1 AS (
+      SELECT i.cid, COALESCE(u.c, i.c) AS c
+      FROM init i LEFT JOIN u1 u USING (cid)),
+    a2d AS (
+      SELECT b.vec_id, b.v, i.cid,
+             list_sum(list_transform(range(1, {d1}),
+               j -> (b.v[j] - i.c[j]) * (b.v[j] - i.c[j]))) AS dsq
+      FROM base b CROSS JOIN c1 i),
+    a2 AS (
+      SELECT vec_id, v, cid, dsq FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid) AS rn
+        FROM a2d) WHERE rn = 1),
+    u2 AS (
+      SELECT cid, list(q ORDER BY j) AS c FROM (
+        SELECT a.cid, t.j, floor(avg(a.v[t.j]) * 1e6 + 0.5) / 1e6 AS q
+        FROM a2 a CROSS JOIN range(1, {d1}) t(j)
+        GROUP BY a.cid, t.j) GROUP BY cid),
+    c2 AS (
+      SELECT i.cid, COALESCE(u.c, i.c) AS c
+      FROM c1 i LEFT JOIN u2 u USING (cid)),
+    afd AS (
+      SELECT b.vec_id, i.cid,
+             list_sum(list_transform(range(1, {d1}),
+               j -> (b.v[j] - i.c[j]) * (b.v[j] - i.c[j]))) AS dsq
+      FROM base b CROSS JOIN c2 i)
+    SELECT vec_id, CAST(cid AS INT) AS cluster,
+           floor(dsq * 1e6 + 0.5) / 1e6 AS dist_sq
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid) AS rn
+      FROM afd) WHERE rn = 1
+    """
+
+
+@_register("emb_kmeans", _kmeans_oracle())
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 iterations, deterministic
+    lowest-id init) over the embeddings table: map-side argmin assignment
+    against broadcast centroid literals, per-(cluster,dim) mean update via
+    one k×dim partial-agg shuffle."""
+    emb = _td(spark, sf_dir, "embeddings")
+    return similarity.kmeans(emb, k=8, iters=2)

@@ -1,0 +1,582 @@
+"""Event-stream / tick-domain registry queries (SURVEY §2.2-§2.4 over the `events` table: downsampling, session filters, OHLC bars, rolling stats, despike/gap-fill, retention/funnel/skew reports)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import (  # noqa: F401
+    dedup,
+    joins,
+    mlfeat,
+    multimodal,
+    similarity,
+    stats,
+    text,
+    ticks,
+)
+from ._base import _register, _td
+
+
+# ---------------------------------------------------------------------------
+# Tick-domain operators (SURVEY §2.2-§2.4) mapped onto the `events` table
+# (event-time stream stand-in: event_id, ts, user_id, event_type, value).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ticks_downsample_1min",
+    """
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, date_trunc('minute', ts)
+        ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def ticks_downsample_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W1: deterministic first-per-interval downsample (reference
+    spark_session_window_tick_cleaner.py:150-161, 1-minute bucket so the
+    dedup path is actually exercised on the events density)."""
+    ev = _td(spark, sf_dir, "events")
+    out = ticks.downsample_interval(
+        ev,
+        ts_col="ts",
+        interval="1 minute",
+        partition_cols=("user_id",),
+        tiebreak_cols=("event_id",),
+    )
+    return out.select("event_id", "user_id", "ts", "event_type", "value")
+
+
+@_register(
+    "ticks_session_filter",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    WHERE (hour(ts)*60 + minute(ts) >= 7*60+50 AND hour(ts)*60 + minute(ts) < 8*60)
+       OR (hour(ts)*60 + minute(ts) >= 13*60+50 AND hour(ts)*60 + minute(ts) < 14*60)
+    """,
+)
+def ticks_session_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4: canonical session-window time-of-day filter
+    (spark_session_window_tick_cleaner.py:141-144, [start,end) bounds)."""
+    ev = _td(spark, sf_dir, "events")
+    return ticks.session_filter(ev, ts_col="ts", closed="left").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@_register(
+    "ticks_daily_window_counts",
+    """
+    SELECT CAST(ts AS DATE) AS date,
+           CAST(SUM(CASE WHEN hour(ts)*60+minute(ts) >= 7*60+50 AND hour(ts)*60+minute(ts) < 8*60
+               THEN 1 ELSE 0 END) AS BIGINT) AS ticks_window1,
+           CAST(SUM(CASE WHEN hour(ts)*60+minute(ts) >= 13*60+50 AND hour(ts)*60+minute(ts) < 14*60
+               THEN 1 ELSE 0 END) AS BIGINT) AS ticks_window2
+    FROM events GROUP BY 1
+    """,
+)
+def ticks_daily_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+J1+A8: daily per-session-window counts
+    (symbol_statistics_generate.py:70-81) — single-scan conditional agg
+    replaces the reference's two filtered aggs + outer join + fillna."""
+    ev = _td(spark, sf_dir, "events")
+    return stats.daily_window_counts(ev, ts_col="ts", partition_cols=())
+
+
+@_register(
+    "ticks_quality_scan",
+    """
+    SELECT COUNT(*) AS total_rows,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+           CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value
+    FROM events
+    """,
+)
+def ticks_quality_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/P2: single-pass row+null-count audit
+    (spark_data_cleaner_script.py:21-26 did 4 scans per file)."""
+    ev = _td(spark, sf_dir, "events")
+    return stats.quality_scan(
+        ev, cols=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
+@_register(
+    "ticks_daily_outer_join",
+    """
+    WITH w1 AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS ticks_window1
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+         w2 AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS ticks_window2
+                FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT COALESCE(w1.date, w2.date) AS date,
+           COALESCE(ticks_window1, 0) AS ticks_window1,
+           COALESCE(ticks_window2, 0) AS ticks_window2
+    FROM w1 FULL OUTER JOIN w2 ON w1.date = w2.date
+    """,
+)
+def ticks_daily_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A8 in the reference's literal shape (two aggregates, full outer
+    join on date, fillna(0) — symbol_statistics_generate.py:73-81)."""
+    ev = _td(spark, sf_dir, "events")
+    w1 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.count(F.lit(1)).alias("ticks_window1"))
+    )
+    w2 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.count(F.lit(1)).alias("ticks_window2"))
+    )
+    return (
+        w1.join(w2, "date", "outer")
+        .na.fill(0, ["ticks_window1", "ticks_window2"])
+        .select("date", "ticks_window1", "ticks_window2")
+    )
+
+
+@_register(
+    "ticks_ffill",
+    """
+    SELECT event_id, user_id, ts,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM (SELECT *, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+          FROM events)
+    """,
+)
+def ticks_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: forward-fill in event-time order (model.py:227-231 ffill).
+    'error' events get a synthetic null so the fill path is exercised."""
+    ev = _td(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    filled = ticks.ffill(
+        ev,
+        cols=["v"],
+        ts_col="ts",
+        partition_cols=("user_id",),
+        tiebreak_cols=("event_id",),
+    )
+    return filled.select(
+        "event_id", "user_id", "ts", F.col("v").alias("filled_value")
+    )
+
+
+@_register(
+    "ticks_resample_even",
+    """
+    SELECT event_id, user_id, ts FROM (
+      SELECT event_id, user_id, ts,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+      FROM events)
+    WHERE cnt <= 10
+       OR FLOOR(FLOOR(rn * 9.0 / (cnt - 1) + 0.5) * (cnt - 1) / 9.0 + 0.5) = rn
+    """,
+)
+def ticks_resample_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: evenly-spaced resample of each user's stream to 10 rows
+    (model.py:313-315 np.linspace index pick)."""
+    ev = _td(spark, sf_dir, "events")
+    out = stats.resample_even(
+        ev, n_target=10, ts_col="ts", partition_cols=("user_id",)
+    )
+    return out.select("event_id", "user_id", "ts")
+
+
+@_register(
+    "ticks_value_stats",
+    """
+    SELECT event_type,
+           ROUND(AVG(value), 4) AS mean_err,
+           ROUND(STDDEV_SAMP(value), 4) AS std_err,
+           ROUND(MIN(value), 4) AS min_err,
+           ROUND(MAX(value), 4) AS max_err,
+           ROUND(quantile_cont(value, 0.5), 4) AS median_err,
+           ROUND(quantile_cont(value, 0.92), 4) AS p92_0,
+           ROUND(quantile_cont(value, 0.995), 4) AS p99_5
+    FROM events GROUP BY event_type
+    """,
+)
+def ticks_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: mean/std/min/max/median + [92, 99.5] percentile thresholds
+    (test.py:333-358; parameters.json percentile_thresholds)."""
+    ev = _td(spark, sf_dir, "events")
+    out = stats.error_stats(
+        ev, err_col="value", group_cols=("event_type",), percentiles=(92.0, 99.5)
+    )
+    rounded = [F.col("event_type")] + [
+        F.round(F.col(c), 4).alias(c) for c in out.columns if c != "event_type"
+    ]
+    return out.select(*rounded)
+
+
+@_register(
+    "ticks_threshold_exceed",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN value > 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS exceed_p92,
+           CAST(SUM(CASE WHEN value > 450.0 THEN 1 ELSE 0 END) AS BIGINT) AS exceed_p99_5
+    FROM events GROUP BY event_type
+    """,
+)
+def ticks_threshold_exceed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: anomaly threshold-exceed counts (test.py:341-344)."""
+    ev = _td(spark, sf_dir, "events")
+    return stats.threshold_exceed_counts(
+        ev, "value", {"p92": 150.0, "p99_5": 450.0}, group_cols=("event_type",)
+    )
+
+
+@_register(
+    "ticks_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    s AS (SELECT user_id,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM g)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def ticks_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap>30min starts a new session (lag + running sum)
+    — the batch analog of the streaming session_window (SURVEY §2.9)."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    is_new = F.when(
+        F.lag(F.col("ts")).over(w).isNull() | (gap > 30 * 60), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(run).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@_register(
+    "ticks_gap_fill",
+    """
+    WITH dedup AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events) t WHERE rn = 1),
+    bounds AS (
+      SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1 FROM dedup GROUP BY user_id),
+    spine AS (
+      SELECT user_id, UNNEST(generate_series(t0, t1, INTERVAL 6 HOUR)) AS ts
+      FROM bounds)
+    SELECT s.user_id, s.ts, e.value
+    FROM spine s ASOF JOIN dedup e
+      ON s.user_id = e.user_id AND s.ts >= e.ts
+    """,
+)
+def ticks_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling: complete 6-hour spine per user carrying the
+    last-known value (sequence+explode spine, as-of attach). Oracle uses
+    DuckDB's native ASOF JOIN — an independent as-of implementation
+    cross-checking ours."""
+    ev = _td(spark, sf_dir, "events")
+    return ticks.gap_fill(
+        ev, ts_col="ts", value_col="value", step="6 hours",
+        partition_cols=("user_id",), tiebreak_col="event_id",
+    ).select("user_id", "ts", "value")
+
+
+@_register(
+    "events_value_histogram",
+    """
+    SELECT LEAST(GREATEST(CAST(FLOOR(value / 100.0) AS BIGINT), 0), 9)
+             AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (10 clamped buckets of width 100) in one
+    hash aggregate — the distribution-profiling primitive; bucket math in
+    codegen, no width_bucket UDF."""
+    ev = _td(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 100.0).cast("long"), F.lit(0)),
+        F.lit(9),
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+@_register(
+    "events_weekly_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id)
+    SELECT CAST(date_trunc('week', d0) AS DATE) AS cohort_week,
+           COUNT(DISTINCT f.user_id) AS cohort_size,
+           COUNT(DISTINCT CASE WHEN CAST(e.ts AS DATE) >= d0 + 7
+                 AND CAST(e.ts AS DATE) < d0 + 14
+                 THEN e.user_id END) AS week1_retained
+    FROM first_seen f JOIN events e ON f.user_id = e.user_id
+    GROUP BY 1
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted again
+    if active in days [7, 14) after first touch — distinct-count over a
+    self-join on the cohort dimension."""
+    ev = _td(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(F.date_trunc("week", F.col("d0")).cast("date").alias("cohort_week"))
+        .agg(
+            F.countDistinct("user_id").alias("cohort_size"),
+            F.countDistinct(
+                F.when(
+                    (F.to_date("ts") >= F.date_add(F.col("d0"), 7))
+                    & (F.to_date("ts") < F.date_add(F.col("d0"), 14)),
+                    F.col("user_id"),
+                )
+            ).alias("week1_retained"),
+        )
+    )
+
+
+@_register(
+    "events_funnel",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+      CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+      CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_purchase
+          THEN 1 ELSE 0 END) AS BIGINT) AS purchased_full_funnel
+    FROM (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id) u
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase): per-user
+    conditional-min timestamps in ONE scan + one tiny final agg — no
+    joins, no per-stage subqueries (NULL mins propagate 'never did
+    stage' through the < comparisons)."""
+    ev = _td(spark, sf_dir, "events")
+
+    def stage_min(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    u = ev.groupBy("user_id").agg(
+        stage_min("view").alias("t_view"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return u.agg(
+        flag(F.col("t_view").isNotNull()).alias("viewed"),
+        flag(F.col("t_view") < F.col("t_click")).alias("clicked_after_view"),
+        flag(
+            (F.col("t_view") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_purchase"))
+        ).alias("purchased_full_funnel"),
+    )
+
+
+@_register(
+    "ticks_despike",
+    """
+    SELECT event_id, user_id, ts, value FROM (
+      SELECT event_id, user_id, ts, value,
+             ABS(value - MEDIAN(value) OVER w) / ABS(MEDIAN(value) OVER w) AS rel_dev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) t
+    WHERE rel_dev IS NULL OR rel_dev <= 0.5
+    """,
+)
+def ticks_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike filter: drop ticks deviating > 50% from the trailing
+    5-tick median (robust to the spike itself, unlike a mean — the
+    cleaning step the reference's pipeline lacks)."""
+    ev = _td(spark, sf_dir, "events")
+    out = ticks.despike(
+        ev, ts_col="ts", value_col="value", k=5,
+        max_rel_dev=0.5, partition_cols=("user_id",),
+        tiebreak_cols=("event_id",),
+    )
+    return out.select("event_id", "user_id", "ts", "value")
+
+
+@_register(
+    "events_key_skew_report",
+    """
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id),
+    totals AS (
+      SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_keys FROM counts),
+    ranked AS (
+      SELECT user_id, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, user_id) AS rank
+      FROM counts)
+    SELECT user_id, n_rows,
+           ROUND(n_rows / total_rows, 6) AS share,
+           ROUND(n_rows / (total_rows / n_keys), 4) AS skew_ratio,
+           rank
+    FROM ranked, totals
+    WHERE rank <= 10
+    """,
+)
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic: top-10 heaviest keys with share of total
+    and ratio to the mean key weight (input to the salting decision)."""
+    ev = _td(spark, sf_dir, "events")
+    return stats.key_skew_report(ev, key_cols=("user_id",), top_k=10)
+
+
+@_register(
+    "ticks_ohlc_bars",
+    """
+    SELECT user_id, bar_start,
+           arg_min(value, ord) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ord) AS close,
+           COUNT(*) AS n_ticks
+    FROM (SELECT user_id, date_trunc('minute', ts) AS bar_start, value,
+                 -- fixed-width sortable key == Spark's struct(ts, event_id)
+                 lpad(CAST(epoch_ms(ts) AS VARCHAR), 14, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+          FROM events) t
+    GROUP BY user_id, bar_start
+    """,
+)
+def ticks_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars per (user, minute) over the events stand-in — the
+    canonical tick downsample (open/close deterministic via
+    (ts, event_id) min_by/max_by; single hash agg, map-side partials)."""
+    ev = _td(spark, sf_dir, "events")
+    return ticks.ohlc_bars(
+        ev,
+        ts_col="ts",
+        value_col="value",
+        interval="1 minute",
+        partition_cols=("user_id",),
+        tiebreak_cols=("event_id",),
+    )
+
+
+@_register(
+    "ticks_rolling_stats",
+    """
+    SELECT event_id, user_id, ts, value,
+           ROUND(AVG(value) OVER w, 6) AS roll_avg,
+           MIN(value) OVER w AS roll_min,
+           MAX(value) OVER w AS roll_max,
+           COUNT(*) OVER w AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ticks_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-minute moving stats per tick: event-time RANGE frame
+    over epoch-millis (density-correct, unlike a ROWS frame)."""
+    ev = _td(spark, sf_dir, "events")
+    out = ticks.rolling_stats(
+        ev, ts_col="ts", value_col="value", window_ms=300_000,
+        partition_cols=("user_id",),
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        "roll_avg", "roll_min", "roll_max", "roll_n",
+    )
+
+
+@_register(
+    "ticks_indicators",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, ts, value,
+             -- mirror Spark non-ANSI null semantics: x/0 -> NULL and
+             -- ln(x<=0) -> NULL (DuckDB would raise on ln(0) instead)
+             CASE WHEN lag(value) OVER w IS NULL
+                    OR lag(value) OVER w = 0
+                    OR value / lag(value) OVER w <= 0 THEN NULL
+                  ELSE ln(value / lag(value) OVER w) END AS ret_raw,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS l,
+             avg(value) OVER w20 AS mid,
+             stddev_pop(value) OVER w20 AS sd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    r AS (
+      SELECT *,
+             sqrt(sum(ret_raw * ret_raw) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS rvol_raw,
+             list_sum(list_transform(range(1, len(l) + 1),
+               i -> l[i] * pow({decay}, len(l) - i))) AS wsum_x,
+             list_sum(list_transform(range(1, len(l) + 1),
+               i -> pow({decay}, len(l) - i))) AS wsum
+      FROM base)
+    SELECT event_id, user_id, ts,
+           ROUND(ret_raw, 6) AS ret,
+           ROUND(wsum_x / wsum, 6) AS ema,
+           ROUND(rvol_raw, 6) AS rvol,
+           ROUND(mid, 6) AS boll_mid,
+           ROUND(mid + 2 * sd, 6) AS boll_up,
+           ROUND(mid - 2 * sd, 6) AS boll_dn
+    FROM r
+    """.format(decay=repr(1 - 2.0 / 13)),
+)
+def ticks_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Technical-indicator pack over the events stream (per-user price
+    series stand-in): log returns, truncated EMA(12), realized vol(20),
+    Bollinger(20, 2) — all single-sort ROWS-frame window arithmetic, no
+    self-join. Oracle re-derives the truncated EMA via list windows."""
+    ev = _td(spark, sf_dir, "events")
+    out = ticks.indicators(
+        ev,
+        ts_col="ts",
+        value_col="value",
+        partition_cols=("user_id",),
+        tiebreak_cols=("event_id",),
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "ret", "ema", "rvol",
+        "boll_mid", "boll_up", "boll_dn",
+    )

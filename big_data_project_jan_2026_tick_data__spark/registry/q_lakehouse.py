@@ -1,0 +1,218 @@
+"""Lakehouse / ops registry queries: snapshot time travel, MERGE upsert, incremental dedup ingestion, experiment tracking."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import (  # noqa: F401
+    dedup,
+    joins,
+    mlfeat,
+    multimodal,
+    similarity,
+    stats,
+    text,
+    ticks,
+)
+from ._base import _register, _td
+
+
+# ---------------------------------------------------------------------------
+# Run tracking (reference mlflow_utils.py:48-113 → parquet run tables).
+# The simulated training loop is deterministic, and the same Python
+# formula computes the expected values at oracle-build time — so the
+# whole write→flush→read-back→window-query path is value-checked.
+# ---------------------------------------------------------------------------
+
+
+_TRACK_SYMBOLS = ("US30", "US2000", "BTCUSD")
+
+
+_TRACK_EPOCHS = 5
+
+
+def _track_loss(sym_i: int, epoch: int) -> float:
+    return round(1.0 / (epoch + 2) + sym_i * 0.05, 6)
+
+
+def _tracking_oracle() -> str:
+    rows = []
+    for sym_i in range(len(_TRACK_SYMBOLS)):
+        run_id = f"bench/train/{2 * sym_i + 2:04d}"
+        final = _track_loss(sym_i, _TRACK_EPOCHS - 1)
+        rows.append((run_id, "train", "FINISHED", final))
+    best = min(rows, key=lambda r: (r[3], r[0]))[0]
+    vals = ", ".join(
+        f"('{r}', '{p}', '{s}', {v!r}, {str(r == best).lower()})"
+        for r, p, s, v in rows
+    )
+    return (
+        "SELECT run_id, phase, status, CAST(final_loss AS DOUBLE) AS final_loss, "
+        f"is_best FROM (VALUES {vals}) AS t(run_id, phase, status, final_loss, is_best)"
+    )
+
+
+@_register("tracking_best_run", _tracking_oracle())
+def tracking_best_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment tracking surface (reference mlflow_utils.py phase
+    runs/params/metrics/artifacts → parquet tables): simulate a
+    deterministic 3-symbol training pipeline, flush to parquet, then
+    answer 'final loss per run + which run is best' with one window
+    query over the read-back tables."""
+    import shutil
+    import tempfile
+
+    from ..plans.tracking import RunTracker
+
+    d = tempfile.mkdtemp(prefix="tracking_")
+    try:
+        tr = RunTracker(spark, d, "bench")
+        parent = tr.start_run("pipeline")
+        for sym_i, symbol in enumerate(_TRACK_SYMBOLS):
+            rid = tr.start_run("train", parent_run_id=parent)
+            tr.log_params(rid, {"symbol": symbol, "batch": 168, "lr": 5e-4})
+            for epoch in range(_TRACK_EPOCHS):
+                tr.log_metrics(rid, {"loss": _track_loss(sym_i, epoch)}, step=epoch)
+            tr.log_artifact(rid, f"/models/{symbol}.pt", "model")
+            tr.end_run(rid)
+        tr.end_run(parent)
+
+        best = tr.best_run("loss", mode="min").select("run_id").limit(1)
+        out = (
+            tr.runs()
+            .filter(F.col("phase") == "train")
+            .join(tr.last_metric("loss"), "run_id")
+            .join(
+                best.withColumn("is_best", F.lit(True)), "run_id", "left"
+            )
+            .select(
+                "run_id",
+                "phase",
+                "status",
+                F.col("value").alias("final_loss"),
+                F.coalesce("is_best", F.lit(False)).alias("is_best"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@_register(
+    "snapshot_time_travel",
+    """
+    WITH c AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        CAST(SUM(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(SUM(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM events)
+    SELECT CAST(1 AS BIGINT) AS snapshot_id,
+           CAST(NULL AS BIGINT) AS parent_snapshot_id,
+           'append' AS operation, c0 AS added_records, c0 AS total_records
+    FROM c
+    UNION ALL SELECT 2, 1, 'append', c1, c0 + c1 FROM c
+    UNION ALL SELECT 3, 2, 'overwrite', c2, c2 FROM c
+    UNION ALL SELECT 4, 3, 'rollback', CAST(0 AS BIGINT), c0 + c1 FROM c
+    """,
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St-ops end-to-end: 2 appends + overwrite + rollback-to-2 on a temp
+    snapshot table; returns the $snapshots lineage. The oracle recomputes
+    the expected lineage (ids, parents, operations, added/total record
+    counts) from the events table — cross-checking the engine's
+    footer-count bookkeeping and rollback-as-new-snapshot semantics."""
+    import tempfile
+
+    from ..plans.snapshots import SnapshotTable
+
+    ev = _td(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(spark, f"{d}/tbl")
+        t.write(ev.filter(F.col("event_id") % 3 == 0), mode="append")
+        t.write(ev.filter(F.col("event_id") % 3 == 1), mode="append")
+        t.write(ev.filter(F.col("event_id") % 3 == 2), mode="overwrite")
+        t.rollback_to(2)
+        out = t.snapshots().select(
+            "snapshot_id",
+            "parent_snapshot_id",
+            "operation",
+            F.element_at("summary", "added-records").cast("bigint").alias("added_records"),
+            F.element_at("summary", "total-records").cast("bigint").alias("total_records"),
+        )
+        rows = out.collect()  # materialize before tmpdir cleanup
+    return spark.createDataFrame(rows, out.schema)
+
+
+@_register(
+    "snapshot_merge_upsert",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 4 = 0 THEN value * 2 ELSE value END AS value
+    FROM events WHERE event_id % 2 = 0
+    """,
+)
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) on the snapshot table: seed with the even
+    event_ids, then merge an update batch (every 4th id, doubled value)
+    keyed on event_id — updates replace, the rest survive, committed
+    copy-on-write with history intact. The oracle is the last-writer-
+    wins CASE over the raw events table."""
+    import tempfile
+
+    from ..plans.snapshots import SnapshotTable
+
+    ev = _td(spark, sf_dir, "events").select("event_id", "value")
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(spark, f"{d}/tbl")
+        t.write(ev.filter(F.col("event_id") % 2 == 0), mode="append")
+        t.merge(
+            ev.filter(F.col("event_id") % 4 == 0).withColumn(
+                "value", F.col("value") * 2
+            ),
+            key_cols=["event_id"],
+        )
+        out = t.read().select("event_id", "value")
+        rows = out.collect()  # materialize before tmpdir cleanup
+    return spark.createDataFrame(rows, out.schema)
+
+
+@_register(
+    "incremental_dedup",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source, row_number() OVER (
+        PARTITION BY trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+        ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: the documents table arrives as three
+    contiguous doc_id-range batches, each deduped within itself and
+    against the already-committed snapshot table (anti-join on the
+    persisted content_hash column — a one-int-column scan of the
+    existing data). The invariant IS the oracle: ordered-range
+    incremental ingestion must equal one-shot exact dedup of the whole
+    corpus (plain keep-lowest-doc_id SQL)."""
+    import tempfile
+
+    from ..plans.incremental import dedup_append
+    from ..plans.snapshots import SnapshotTable
+
+    docs = _td(spark, sf_dir, "documents")
+    # contiguous range thresholds: 2 scalars collected, batch bounds are
+    # data-independent of partitioning
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    t1 = lo + (hi - lo) // 3
+    t2 = lo + 2 * (hi - lo) // 3
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(spark, f"{d}/corpus")
+        dedup_append(t, docs.filter(F.col("doc_id") <= t1))
+        dedup_append(t, docs.filter((F.col("doc_id") > t1) & (F.col("doc_id") <= t2)))
+        dedup_append(t, docs.filter(F.col("doc_id") > t2))
+        out = t.read().select("doc_id", "lang", "source")
+        rows = out.collect()  # materialize before tmpdir cleanup
+    return spark.createDataFrame(rows, out.schema)

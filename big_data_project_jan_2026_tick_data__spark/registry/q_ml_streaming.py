@@ -1,0 +1,445 @@
+"""ML-feature and streaming registry queries: window tensors, PCA/mean anomaly scoring, the watermarked streaming session aggregate + health surface, and self-checking approximate aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import (  # noqa: F401
+    dedup,
+    joins,
+    mlfeat,
+    multimodal,
+    similarity,
+    stats,
+    text,
+    ticks,
+)
+from ._base import _register, _td
+
+
+_TENSOR_ROWS_SQL = """
+        WITH base AS (
+          SELECT CAST(ts AS TIMESTAMP) AS ts,
+                 value AS bid, value * 1.01 AS ask,
+                 GREATEST(value * 1.01 - value, 0.0) AS spread
+          FROM events
+          WHERE (hour(ts)*60 + minute(ts) BETWEEN 7*60 AND 12*60)
+             OR (hour(ts)*60 + minute(ts) BETWEEN 13*60 AND 18*60)),
+        wid AS (
+          SELECT *, CAST(CAST(ts AS DATE) AS VARCHAR) || '_' ||
+                 CASE WHEN hour(ts) < 12 THEN 'morning' ELSE 'afternoon' END
+                 AS window_id
+          FROM base),
+        ordered AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY window_id ORDER BY ts, bid, ask, spread) - 1 AS rn,
+                 COUNT(*) OVER (PARTITION BY window_id) AS n
+          FROM wid),
+        wins AS (SELECT DISTINCT window_id, n FROM ordered),
+        targets AS (
+          SELECT window_id, n, i AS row_idx
+          FROM wins, UNNEST(range(32)) AS t(i)),
+        -- n >= 32: target i picks source row round_half_up(i*(n-1)/31)
+        pick_ge AS (
+          SELECT t.window_id, t.n, t.row_idx, o.bid, o.ask, o.spread
+          FROM targets t JOIN ordered o
+            ON o.window_id = t.window_id
+           AND t.n >= 32
+           AND o.rn = (2*t.row_idx*(t.n-1) + 31) // 62),
+        -- n < 32: source row j lands at position round_half_up(j*31/(n-1))
+        placed AS (
+          SELECT window_id, n,
+                 CASE WHEN n = 1 THEN 0
+                      ELSE (2*rn*31 + (n-1)) // (2*(n-1)) END AS pos,
+                 bid, ask, spread
+          FROM ordered WHERE n < 32),
+        -- ffill from nearest placed position <= target, bfill otherwise
+        fill_lt AS (
+          SELECT t.window_id, t.n, t.row_idx,
+                 COALESCE(f.bid, b.bid) AS bid,
+                 COALESCE(f.ask, b.ask) AS ask,
+                 COALESCE(f.spread, b.spread) AS spread
+          FROM targets t
+          LEFT JOIN LATERAL (
+            SELECT bid, ask, spread FROM placed p
+            WHERE p.window_id = t.window_id AND p.pos <= t.row_idx
+            ORDER BY p.pos DESC LIMIT 1) f ON TRUE
+          LEFT JOIN LATERAL (
+            SELECT bid, ask, spread FROM placed p
+            WHERE p.window_id = t.window_id AND p.pos > t.row_idx
+            ORDER BY p.pos ASC LIMIT 1) b ON TRUE
+          WHERE t.n < 32)
+        SELECT 'EVENTS' AS symbol, window_id,
+               CAST(n AS INT) AS original_tick_count,
+               CAST(row_idx AS INT) AS row_idx,
+               CAST(CAST(bid AS FLOAT) AS DOUBLE) AS bid,
+               CAST(CAST(ask AS FLOAT) AS DOUBLE) AS ask,
+               CAST(CAST(spread AS FLOAT) AS DOUBLE) AS spread
+        FROM (SELECT * FROM pick_ge UNION ALL SELECT * FROM fill_lt)
+"""
+
+
+@_register("ml_window_tensors", _TENSOR_ROWS_SQL)
+def ml_window_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 through the driver contract, FULLY oracled: the pandas
+    pad/resample tensor builder exploded back to scalar rows, and the
+    DuckDB oracle re-derives the entire path in SQL — session filter,
+    window ids, (ts, features) total order, the exact integer
+    round-half-up pick/place indices (see mlfeat._spaced_indices),
+    ffill/bfill padding, and the float32 quantization of the tensor
+    cells (CAST(... AS FLOAT) AS DOUBLE mirrors the ArrayType(Float)
+    storage)."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.lit("EVENTS").alias("symbol"),
+        F.col("ts"),
+        F.col("value").alias("bid"),
+        (F.col("value") * 1.01).alias("ask"),
+    )
+    # use wide windows so the events density yields real groups
+    tensors = mlfeat.window_tensors(
+        t, n_target=32, windows=((7, 0, 12, 0), (13, 0, 18, 0))
+    )
+    fv = tensors.select(
+        "symbol",
+        "window_id",
+        "original_tick_count",
+        F.posexplode("features").alias("row_idx", "fv"),
+    )
+    return fv.select(
+        "symbol",
+        "window_id",
+        "original_tick_count",
+        "row_idx",
+        F.col("fv")[0].cast("double").alias("bid"),
+        F.col("fv")[1].cast("double").alias("ask"),
+        F.col("fv")[2].cast("double").alias("spread"),
+    )
+
+
+@_register("ml_anomaly_scores")
+def ml_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full ML lifecycle (SURVEY §3.3) as one plan:
+    featurize (window tensors via applyInPandas) → train (per-symbol
+    closed-form PCA linear autoencoder, distributed moment agg) →
+    score (reconstruction MSE) → percentile thresholds (92 / 99.5,
+    parameters.json) → per-window anomaly flags. Rows-only
+    (pandas-UDF tensors); the PCA math is unit-tested against a
+    numpy oracle in test_mlfeat."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.lit("EVENTS").alias("symbol"),
+        F.col("ts"),
+        F.col("value").alias("bid"),
+        (F.col("value") * 1.01).alias("ask"),
+    )
+    tensors = mlfeat.window_tensors(
+        t, n_target=32, windows=((7, 0, 12, 0), (13, 0, 18, 0))
+    ).localCheckpoint()  # reused by fit AND score — one featurize pass
+    model = mlfeat.fit_pca_reconstructor(tensors, dim=3, n_components=1)
+    errs = mlfeat.reconstruction_errors(tensors, model_fn=model)
+    thresholds = errs.groupBy("symbol").agg(
+        F.percentile(F.col("err"), 0.92).alias("p92"),
+        F.percentile(F.col("err"), 0.995).alias("p99_5"),
+    )
+    return (
+        errs.join(F.broadcast(thresholds), "symbol")
+        .select(
+            "symbol",
+            "window_id",
+            F.round("err", 9).alias("err"),
+            (F.col("err") > F.col("p92")).alias("anomaly_p92"),
+            (F.col("err") > F.col("p99_5")).alias("anomaly_p99_5"),
+        )
+    )
+
+
+_STREAM_SESS_ORACLE = """
+WITH f AS (
+  SELECT 'EVENTS' AS symbol, ts, value AS bid, value * 1.01 AS ask
+  FROM events
+  WHERE (hour(ts)*60 + minute(ts) >= 7*60 AND hour(ts)*60 + minute(ts) < 12*60)
+     OR (hour(ts)*60 + minute(ts) >= 13*60 AND hour(ts)*60 + minute(ts) < 18*60)),
+-- Spark's event-time stats truncate max event time to MILLISECONDS
+-- (EventTimeStatsAccum), so mirror that floor before subtracting the
+-- delay — a sub-ms max ts must not put the oracle 1ms ahead of
+-- Spark's watermark on a 10-minute boundary.
+wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE AS w
+       FROM f),
+agg AS (
+  SELECT symbol,
+         time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+         time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE AS window_end,
+         count(*) AS n_ticks,
+         min(bid) AS min_bid, max(bid) AS max_bid, avg(bid) AS avg_bid,
+         min(ask) AS min_ask, max(ask) AS max_ask, avg(ask) AS avg_ask
+  FROM f GROUP BY 1, 2)
+SELECT symbol, window_start, window_end, n_ticks,
+       floor(min_bid*1000000 + 0.5)/1000000 AS min_bid,
+       floor(max_bid*1000000 + 0.5)/1000000 AS max_bid,
+       floor(avg_bid*1000000 + 0.5)/1000000 AS avg_bid,
+       floor(min_ask*1000000 + 0.5)/1000000 AS min_ask,
+       floor(max_ask*1000000 + 0.5)/1000000 AS max_ask,
+       floor(avg_ask*1000000 + 0.5)/1000000 AS avg_ask
+FROM agg, wm WHERE window_end <= wm.w
+"""
+
+
+@_register("streaming_session_agg", _STREAM_SESS_ORACLE)
+def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13/§2.9 through the driver contract: replay the events table
+    as a file-source STREAM, run the watermarked session-window
+    aggregate, drain to a memory sink, return the materialized
+    result. VALUE-CHECKED: with a single input file the availableNow
+    replay is one batch, so the final watermark is max(event time) −
+    delay and append mode emits exactly the windows with window_end ≤
+    watermark (boundary semantics pinned by experiment: a window
+    whose end equals the watermark IS emitted). The oracle recomputes
+    that emitted prefix in SQL; floats quantized half-up 6dp on both
+    sides so distributed vs serial summation order can't flip a bit."""
+    from ..streaming.session_pipeline import (
+        run_stream_to_memory,
+        session_window_aggregate,
+    )
+
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.io import events_stream_source
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the file-stream source wants a directory of its own; symlink
+    # the single table file into a temp dir for the replay
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    try:
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(d, "events.parquet"),
+        )
+        stream = (
+            events_stream_source(spark, f"{sf_dir}/events.parquet", d)
+            .select(
+                F.lit("EVENTS").alias("symbol"),
+                "ts",
+                F.col("value").alias("bid"),
+                (F.col("value") * 1.01).alias("ask"),
+            )
+        )
+        agg = session_window_aggregate(
+            stream, windows=((7, 0, 12, 0), (13, 0, 18, 0))
+        )
+        out = run_stream_to_memory(agg, "reg_stream_sess")
+        rows = out.collect()
+        df = spark.createDataFrame(rows, out.schema)
+
+        def q6(c: str):
+            return (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6).alias(c)
+
+        return df.select(
+            "symbol", "window_start", "window_end", "n_ticks",
+            q6("min_bid"), q6("max_bid"), q6("avg_bid"),
+            q6("min_ask"), q6("max_ask"), q6("avg_ask"),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_STREAM_HEALTH_ORACLE = """
+WITH f AS (
+  SELECT 'EVENTS' AS symbol, ts, value AS bid, value * 1.01 AS ask
+  FROM events
+  WHERE (hour(ts)*60 + minute(ts) >= 7*60 AND hour(ts)*60 + minute(ts) < 12*60)
+     OR (hour(ts)*60 + minute(ts) >= 13*60 AND hour(ts)*60 + minute(ts) < 18*60)),
+wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE AS w
+       FROM f),
+agg AS (
+  SELECT symbol, time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+         time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE AS window_end
+  FROM f GROUP BY 1, 2)
+SELECT 'reg_stream_health' AS name, TRUE AS healthy,
+       CAST(NULL AS VARCHAR) AS exception,
+       (SELECT CAST(count(*) AS BIGINT) FROM events) AS total_input_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM agg, wm
+         WHERE window_end <= wm.w) AS emitted_rows
+"""
+
+
+@_register("streaming_health", _STREAM_HEALTH_ORACLE)
+def streaming_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live-endpoint health surface (reference main.py:407-439
+    health_check): run a replay stream, report per-query health as a
+    DataFrame. VALUE-CHECKED on the deterministic surface: liveness/
+    exception state from the operator's health row (captured while the
+    query is still active), total source rows from summing
+    ``recentProgress.numInputRows`` across micro-batches (= the whole
+    events table regardless of batch split), and the append-mode
+    emitted-window count from the memory sink (same watermark-prefix
+    semantics the streaming_session_agg oracle pins). Wall-clock rate/
+    latency counters stay on the health_check operator surface but are
+    excluded here — nondeterministic by nature."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.session_pipeline import (
+        health_check,
+        session_window_aggregate,
+    )
+
+    from ..sources.io import events_stream_source
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = tempfile.mkdtemp(prefix="stream_health_")
+    try:
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(d, "events.parquet"),
+        )
+        stream = (
+            events_stream_source(spark, f"{sf_dir}/events.parquet", d)
+            .select(
+                F.lit("EVENTS").alias("symbol"),
+                "ts",
+                F.col("value").alias("bid"),
+                (F.col("value") * 1.01).alias("ask"),
+            )
+        )
+        agg = session_window_aggregate(
+            stream, windows=((7, 0, 12, 0), (13, 0, 18, 0))
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("reg_stream_health")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            hc = health_check([q], spark=spark).collect()[0]
+            total_rows = sum(
+                int(p.get("numInputRows") or 0)
+                for p in (q.recentProgress or [])
+            )
+            emitted = spark.table("reg_stream_health").count()
+        finally:
+            q.stop()
+        return spark.createDataFrame(
+            [(hc.name, bool(hc.healthy), hc.exception, total_rows, emitted)],
+            "name string, healthy boolean, exception string, "
+            "total_input_rows long, emitted_rows long",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_APPROX_AGG_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS exact_median,
+       floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS exact_p95,
+       TRUE AS users_within_bound,
+       TRUE AS median_within_bound,
+       TRUE AS p95_within_bound
+FROM events GROUP BY event_type
+"""
+
+
+@_register("approx_aggregates", _APPROX_AGG_ORACLE)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path approximations, SELF-CHECKING: raw HLL/GK sketch
+    outputs can never hash-match another engine (sketches differ by
+    design), so the plan computes the exact aggregates alongside and
+    emits within-bound booleans — approx_count_distinct within 3×rsd
+    (rsd=0.05 default → 15% rel err) of the exact distinct count, and
+    percentile_approx within 5% of the per-group value range of the
+    exact interpolated percentile. The oracle recomputes the exact
+    values and asserts every bound check is TRUE, making the
+    approximation quality itself driver-verdictable. At 100 TB you run
+    ONLY the approx half (one pass, mergeable sketches); the exact
+    columns here are the verification harness."""
+    ev = _td(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.percentile("value", 0.5).alias("exact_median"),
+        F.percentile_approx("value", 0.95).alias("approx_p95"),
+        F.percentile("value", 0.95).alias("exact_p95"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    tol = (F.col("vmax") - F.col("vmin")) * 0.05 + F.lit(1e-9)
+
+    def q6(c: str):
+        return (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6).alias(c)
+
+    return agg.select(
+        "event_type",
+        "exact_users",
+        q6("exact_median"),
+        q6("exact_p95"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.15 * F.greatest(F.col("exact_users"), F.lit(1))
+        ).alias("users_within_bound"),
+        (F.abs(F.col("approx_median") - F.col("exact_median")) <= tol).alias(
+            "median_within_bound"
+        ),
+        (F.abs(F.col("approx_p95") - F.col("exact_p95")) <= tol).alias(
+            "p95_within_bound"
+        ),
+    )
+
+
+@_register(
+    "ml_anomaly_scores_mean",
+    f"""
+    WITH tensor_rows AS ({_TENSOR_ROWS_SQL}),
+    werr AS (
+      SELECT symbol, window_id,
+             (var_pop(bid) + var_pop(ask) + var_pop(spread)) / 3.0 AS err
+      FROM tensor_rows GROUP BY symbol, window_id),
+    thr AS (
+      SELECT symbol, quantile_cont(err, 0.92) AS p92,
+             quantile_cont(err, 0.995) AS p99_5
+      FROM werr GROUP BY symbol)
+    SELECT w.symbol, w.window_id, ROUND(w.err, 6) AS err,
+           w.err > t.p92 AS anomaly_p92,
+           w.err > t.p99_5 AS anomaly_p99_5
+    FROM werr w JOIN thr t ON w.symbol = t.symbol
+    """,
+)
+def ml_anomaly_scores_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anomaly-scoring lifecycle with the 0-parameter mean
+    reconstruction model — the one scoring path whose math is fully
+    SQL-expressible, so the WHOLE pipeline (pandas-UDF tensors →
+    reconstruction MSE → percentile thresholds → flags) gets an
+    independent DuckDB verdict. Mean-model MSE ≡ per-window average of
+    the per-feature population variances; thresholds are interpolated
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``). The
+    PCA-scored twin (``ml_anomaly_scores``) stays rows-only: its model
+    is a data-dependent eigendecomposition no SQL engine reproduces."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.lit("EVENTS").alias("symbol"),
+        F.col("ts"),
+        F.col("value").alias("bid"),
+        (F.col("value") * 1.01).alias("ask"),
+    )
+    tensors = mlfeat.window_tensors(
+        t, n_target=32, windows=((7, 0, 12, 0), (13, 0, 18, 0))
+    )
+    errs = mlfeat.reconstruction_errors(tensors).localCheckpoint()
+    thresholds = errs.groupBy("symbol").agg(
+        F.percentile(F.col("err"), 0.92).alias("p92"),
+        F.percentile(F.col("err"), 0.995).alias("p99_5"),
+    )
+    return errs.join(F.broadcast(thresholds), "symbol").select(
+        "symbol",
+        "window_id",
+        F.round("err", 6).alias("err"),
+        (F.col("err") > F.col("p92")).alias("anomaly_p92"),
+        (F.col("err") > F.col("p99_5")).alias("anomaly_p99_5"),
+    )

@@ -1,0 +1,1442 @@
+"""Relational / SQL-surface registry queries: the TPC-H all-22 suite, join strategies (semi/anti/as-of/salted/range), window functions, rollup/cube/grouping sets, set ops, unpivot, and the plain-SQL view surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import (  # noqa: F401
+    dedup,
+    joins,
+    mlfeat,
+    multimodal,
+    similarity,
+    stats,
+    text,
+    ticks,
+)
+from ._base import _register, _td
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.3-§2.7): joins, windows, rollup, set ops.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): the canonical scan→filter→hash-agg
+    plan; partial aggregation map-side, 6-agg single pass."""
+    li = _td(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "tpch_q3_top10",
+    """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-10 (TPC-H Q3 shape): selective dim filter →
+    join → agg → TakeOrderedAndProject; customer side broadcast."""
+    c = _td(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _td(spark, sf_dir, "orders")
+    li = _td(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "tpch_q5_region_revenue",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue (TPC-H Q5 shape): 6-way join with two
+    broadcast dims (nation, region) and a co-location predicate."""
+    c = _td(spark, sf_dir, "customer")
+    o = _td(spark, sf_dir, "orders")
+    li = _td(spark, sf_dir, "lineitem")
+    s = _td(spark, sf_dir, "supplier")
+    n = _td(spark, sf_dir, "nation")
+    r = _td(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "join_semi_customers_with_orders",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = _td(spark, sf_dir, "customer")
+    o = _td(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "join_anti_customers_without_orders",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = _td(spark, sf_dir, "customer")
+    o = _td(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "topk_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders) WHERE rank <= 3
+    """,
+)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranked window (O3 generalized)."""
+    from pyspark.sql import Window
+
+    o = _td(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@_register(
+    "window_lag_lead_rank",
+    """
+    SELECT event_id, user_id, ts,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           row_number() OVER w AS rn,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: lag/lead/row_number/running sum (SURVEY §2.5)."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.row_number().over(w).alias("rn"),
+        F.round(F.sum("value").over(run), 2).alias("running_sum"),
+    )
+
+
+@_register(
+    "rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchical aggregate (SURVEY §7.4 full relational
+    surface; no rollup in the reference — built-in here)."""
+    o = _td(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@_register(
+    "cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _td(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
+    "pivot_user_event_values",
+    """
+    SELECT user_id,
+           ROUND(COALESCE(SUM(CASE WHEN event_type='click' THEN value END), 0), 2) AS click,
+           ROUND(COALESCE(SUM(CASE WHEN event_type='view' THEN value END), 0), 2) AS view,
+           ROUND(COALESCE(SUM(CASE WHEN event_type='purchase' THEN value END), 0), 2) AS purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation)."""
+    ev = _td(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.sum("value"))
+    )
+    return out.select(
+        "user_id",
+        *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in ("click", "view", "purchase")],
+    )
+
+
+@_register(
+    "set_users_click_and_purchase",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op."""
+    ev = _td(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@_register(
+    "set_users_click_not_purchase",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_users_click_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op."""
+    ev = _td(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.subtract(b)
+
+
+@_register(
+    "asof_purchase_last_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.value AS click_value, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 generalized: as-of join — each purchase gets the most recent
+    click at-or-before it, per user (union-trick single-shuffle strategy,
+    operators/joins.py)."""
+    ev = _td(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    clicks2 = clicks.withColumnRenamed("value", "click_value").withColumn(
+        "click_ts", F.col("ts")
+    )
+    out = joins.asof_join(
+        purchases,
+        clicks2,
+        on="ts",
+        by=("user_id",),
+        right_cols=("click_value", "click_ts"),
+        direction="backward",
+    )
+    return out.select("event_id", "user_id", "ts", "value", "click_value", "click_ts")
+
+
+@_register(
+    "asof_with_tolerance",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN date_diff('millisecond', c.ts, p.ts) <= 86400000
+                THEN c.value END AS click_value,
+           CASE WHEN date_diff('millisecond', c.ts, p.ts) <= 86400000
+                THEN c.ts END AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof tolerance):
+    clicks older than 24h before the purchase are nulled — the matched
+    timestamp rides the same single-shuffle window, zero extra cost.
+    Oracle = DuckDB ASOF JOIN + gap CASE."""
+    ev = _td(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "value")
+        .withColumnRenamed("value", "click_value")
+        .withColumn("click_ts", F.col("ts"))
+    )
+    out = joins.asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=("user_id",),
+        right_cols=("click_value", "click_ts"),
+        direction="backward",
+        tolerance_ms=86_400_000,
+    )
+    return out.select("event_id", "user_id", "ts", "click_value", "click_ts")
+
+
+@_register(
+    "stats_min_max_metadata",
+    """
+    SELECT MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+           MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+           COUNT(*) AS n
+    FROM lineitem
+    """,
+)
+def stats_min_max_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: dataset time-range/extent WITHOUT a data scan — the reference
+    reads parquet footers row-by-row on the driver
+    (spark_session_window_tick_cleaner.py:44-57); Spark's aggregate
+    pushdown (enabled in ENGINE_CONF) answers unfiltered MIN/MAX/COUNT
+    from footer statistics."""
+    li = _td(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "salted_join_skewed_users",
+    """
+    SELECT e.user_id, e.event_id, c.c_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def salted_join_skewed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join (operators/joins.py::salted_join) —
+    result must be identical to the plain join (the oracle)."""
+    ev = _td(spark, sf_dir, "events").select("user_id", "event_id")
+    c = _td(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    return joins.salted_join(ev, c, on="user_id", salt_buckets=8).select(
+        "user_id", "event_id", "c_name"
+    )
+
+
+@_register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue filter+agg (TPC-H Q6 shape) — pure pushdown scan,
+    no shuffle beyond the final single-row agg."""
+    li = _td(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@_register(
+    "tpch_q4_priority_check",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): correlated EXISTS →
+    left-semi join under Catalyst."""
+    o = _td(spark, sf_dir, "orders")
+    li = _td(spark, sf_dir, "lineitem")
+    o.createOrReplaceTempView("orders_v")
+    li.createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders_v
+        WHERE EXISTS (SELECT 1 FROM lineitem_v
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@_register(
+    "tpch_q12_shipmode_buckets",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority bucketing after join (TPC-H Q12 shape): join + CASE-in-SUM
+    conditional aggregation."""
+    o = _td(spark, sf_dir, "orders")
+    li = _td(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "tpch_q14_promo_ratio",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def tpch_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue ratio (TPC-H Q14 shape): broadcast dim join +
+    conditional ratio aggregate."""
+    li = _td(spark, sf_dir, "lineitem")
+    p = _td(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+        )
+    )
+
+
+@_register(
+    "tpch_q18_large_orders",
+    """
+    SELECT o_orderkey, ROUND(total_qty, 2) AS total_qty
+    FROM (SELECT l_orderkey AS o_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey)
+    WHERE total_qty > 30
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 core): agg + HAVING filter."""
+    li = _td(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 30)
+        .select("o_orderkey", F.round("total_qty", 2).alias("total_qty"))
+    )
+
+
+@_register(
+    "scalar_subquery_above_avg",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price."""
+    o = _td(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v)
+        """
+    )
+
+
+@_register(
+    "distinct_agg_per_status",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def distinct_agg_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg under the hood)."""
+    o = _td(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@_register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube)."""
+    o = _td(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@_register(
+    "union_all_orders_split",
+    """
+    SELECT o_orderkey, 'high' AS tier FROM orders WHERE o_totalprice >= 150000
+    UNION ALL
+    SELECT o_orderkey, 'low' AS tier FROM orders WHERE o_totalprice < 150000
+    """,
+)
+def union_all_orders_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (U1 generalized) — re-unioned disjoint split."""
+    o = _td(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") >= 150000).select(
+        "o_orderkey", F.lit("high").alias("tier")
+    )
+    lo = o.filter(F.col("o_totalprice") < 150000).select(
+        "o_orderkey", F.lit("low").alias("tier")
+    )
+    return hi.unionByName(lo)
+
+
+@_register(
+    "minmax_by_priority",
+    """
+    SELECT o_orderpriority,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def minmax_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) aggregates."""
+    o = _td(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@_register(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props column (F8-adjacent: semi-
+    structured access in the data plane)."""
+    ev = _td(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "string_funcs_part_names",
+    """
+    SELECT p_partkey,
+           lower(replace(p_name, ' ', '_')) AS slug,
+           split_part(p_type, ' ', 1) AS type_head,
+           length(p_name) AS name_len
+    FROM part
+    """,
+)
+def string_funcs_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (F9/F10): sanitize, prefix split, length."""
+    p = _td(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.regexp_replace("p_name", " ", "_")).alias("slug"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@_register(
+    "ntile_percentile_orders",
+    """
+    SELECT o_orderkey,
+           ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+           ROUND(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr
+    FROM orders
+    """,
+)
+def ntile_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank global windows (W3 building blocks)."""
+    from pyspark.sql import Window
+
+    o = _td(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@_register(
+    "range_join_events_in_order_windows",
+    """
+    SELECT o.o_orderkey, COUNT(e.event_id) AS n_events
+    FROM (SELECT o_orderkey, o_orderdate,
+                 o_orderdate + INTERVAL 2 DAY AS window_end
+          FROM orders WHERE o_orderkey % 100 = 0) o
+    JOIN events e ON e.ts >= o.o_orderdate AND e.ts < o.window_end
+    GROUP BY o.o_orderkey
+    """,
+)
+def range_join_events_in_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment range join (bucketized equi-join strategy,
+    operators/joins.py:range_join) — events falling in 2-day windows
+    anchored at (a sample of) order dates."""
+    ev = _td(spark, sf_dir, "events")
+    o = (
+        _td(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("w_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS")).alias("w_end"),
+        )
+    )
+    joined = joins.range_join(
+        ev, o, left_ts="ts", right_start="w_start", right_end="w_end",
+        bucket="1 day",
+    )
+    return joined.groupBy("o_orderkey").agg(F.count("event_id").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion suite (adapted to the driver's slimmed schema: no
+# partsupp / l_commitdate / l_receiptdate / l_shipmode / c_phone — each
+# query keeps the original's *relational shape* and swaps in available
+# columns). Together with Q1/Q3/Q4/Q5/Q6/Q12/Q14/Q18 above this covers
+# every distinct TPC-H plan pattern expressible on the testdata.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q2_min_acctbal_supplier",
+    """
+    SELECT n_name, s_suppkey, s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                       WHERE s2.s_nationkey = supplier.s_nationkey)
+    """,
+)
+def tpch_q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-subquery re-joined to pick the
+    extreme row per group (min acctbal supplier per nation; the original's
+    min-supplycost-per-part, sans partsupp)."""
+    s = _td(spark, sf_dir, "supplier")
+    n = _td(spark, sf_dir, "nation")
+    mins = s.groupBy("s_nationkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        s.join(F.broadcast(mins), "s_nationkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@_register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+         ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral volume between two nations by ship year — the
+    two-role dimension join (nation joined twice under different keys)."""
+    li = _td(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    o = _td(spark, sf_dir, "orders")
+    c = _td(spark, sf_dir, "customer")
+    s = _td(spark, sf_dir, "supplier")
+    n1 = _td(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _td(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair | rpair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+            AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+         ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — conditional-sum ratio over an
+    8-way join; every dimension side broadcast."""
+    p = _td(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _td(spark, sf_dir, "lineitem")
+    s = _td(spark, sf_dir, "supplier")
+    o = _td(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    c = _td(spark, sf_dir, "customer")
+    n1 = _td(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = _td(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = _td(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_register(
+    "tpch_q9_product_profit",
+    """
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - 0.5 * p_retailprice * l_quantity AS amount
+          FROM part JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%red%') profit
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: cost = 0.5*p_retailprice*l_quantity in place of
+    ps_supplycost — partsupp is absent from the testdata): profit by
+    supplier nation × order year over a LIKE-filtered part dimension."""
+    p = _td(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = _td(spark, sf_dir, "lineitem")
+    s = _td(spark, sf_dir, "supplier")
+    o = _td(spark, sf_dir, "orders")
+    n = _td(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.5) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+@_register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+             AS revenue, c_acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue in a quarter
+    — selective fact filters on both fact tables, then top-k."""
+    c = _td(spark, sf_dir, "customer")
+    o = _td(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _td(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _td(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@_register(
+    "tpch_q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_19'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, ROUND(value, 2) AS value FROM pv
+    WHERE value > (SELECT SUM(value) * 0.0015 FROM pv)
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: part value from lineitem flow instead of
+    partsupp stock): per-part value filtered by a global-fraction scalar
+    subquery (HAVING > SUM()*f)."""
+    li = _td(spark, sf_dir, "lineitem")
+    s = _td(spark, sf_dir, "supplier")
+    n = _td(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
+    pv = (
+        li.join(
+            F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    thresh = pv.agg((F.sum("value") * 0.0015).alias("threshold"))
+    return (
+        pv.join(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"), F.round("value", 2).alias("value")
+        )
+    )
+
+
+@_register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count histogram — left outer join with a join-side
+    predicate, two-level aggregation."""
+    c = _td(spark, sf_dir, "customer")
+    o = _td(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@_register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the max quarterly revenue — a
+    reused CTE consumed both as join input and as a scalar-max subquery."""
+    li = _td(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _td(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        s.join(F.broadcast(rev), s.s_suppkey == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+        )
+    )
+
+
+@_register(
+    "tpch_q16_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: supplier-part association from lineitem, not
+    partsupp): distinct-count per attribute triple with NOT-LIKE and
+    IN-list dimension predicates."""
+    p = _td(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    li = _td(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < (
+      SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = part.p_partkey)
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity-order revenue — correlated per-part
+    average decorrelated into an aggregate + broadcast re-join."""
+    li = _td(spark, sf_dir, "lineitem")
+    p = _td(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    half_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(half_avg), li.l_partkey == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_register(
+    "tpch_q19_disjunctive_predicate",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+           AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#7' AND l_quantity BETWEEN 20 AND 30
+           AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def tpch_q19_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs mixed join/residual predicate — Catalyst
+    pushes the per-side conjuncts below the join and keeps the cross-table
+    disjunction as a residual filter."""
+    li = _td(spark, sf_dir, "lineitem")
+    p = _td(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "tpch_q20_part_promotion",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey HAVING SUM(l_quantity) > 100)
+    """,
+)
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: shipped-quantity threshold replaces the
+    partsupp availqty comparison): IN-subquery over a HAVING-filtered
+    aggregate → left-semi join."""
+    s = _td(spark, sf_dir, "supplier")
+    li = _td(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = _td(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+    )
+    return s.join(
+        F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@_register(
+    "tpch_q21_sole_fault_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: returnflag='R' marks the fault in place of
+    receipt-after-commit — those date columns are absent): EXISTS +
+    NOT-EXISTS with non-equi correlation → semi + anti join on a compound
+    condition."""
+    li = _td(spark, sf_dir, "lineitem")
+    o = _td(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _td(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    cand = l1.join(
+        l2,
+        (l1.l_orderkey == F.col("l2_orderkey"))
+        & (l1.l_suppkey != F.col("l2_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (l1.l_orderkey == F.col("l3_orderkey"))
+        & (l1.l_suppkey != F.col("l3_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(o, cand.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_register(
+    "tpch_q22_global_sales_opportunity",
+    """
+    SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM (SELECT c_nationkey % 5 AS cntrycode, c_acctbal FROM customer
+          WHERE c_nationkey IN (1, 2, 3, 8, 9, 11, 17)
+            AND c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_acctbal > 0.0
+                               AND c2.c_nationkey IN (1, 2, 3, 8, 9, 11, 17))
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderpriority = '1-URGENT')
+         ) custsale
+    GROUP BY cntrycode
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: nationkey bucket replaces the phone country
+    prefix — c_phone is absent; "no urgent orders" replaces "no orders"
+    since the dense testdata gives every customer an order): above-average
+    -balance customers — uncorrelated scalar avg + anti join + agg."""
+    keys = [1, 2, 3, 8, 9, 11, 17]
+    c = _td(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(keys))
+    o = _td(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@_register(
+    "set_ops_multiset",
+    """
+    SELECT event_type, n FROM (
+      SELECT event_type, COUNT(*) AS n FROM (
+        SELECT event_type FROM events WHERE user_id % 2 = 0
+        EXCEPT ALL
+        SELECT event_type FROM events WHERE user_id % 3 = 0) e
+      GROUP BY event_type
+      UNION ALL
+      SELECT event_type, -COUNT(*) AS n FROM (
+        SELECT event_type FROM events WHERE user_id % 2 = 0
+        INTERSECT ALL
+        SELECT event_type FROM events WHERE user_id % 3 = 0) i
+      GROUP BY event_type) u
+    """,
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — multiset semantics (duplicate counts
+    subtract / take-min, unlike the DISTINCT set ops already covered);
+    aggregated to per-type counts for a stable comparison."""
+    ev = _td(spark, sf_dir, "events")
+    a = ev.filter(F.col("user_id") % 2 == 0).select("event_type")
+    b = ev.filter(F.col("user_id") % 3 == 0).select("event_type")
+    exc = (
+        a.exceptAll(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("event_type")
+        .agg((-F.count(F.lit(1))).alias("n"))
+    )
+    return exc.unionByName(inter)
+
+
+@_register(
+    "orders_unpivot",
+    """
+    SELECT o_orderpriority, metric, ROUND(val, 2) AS val
+    FROM (SELECT o_orderpriority,
+                 SUM(o_totalprice) AS total_price,
+                 AVG(o_totalprice) AS avg_price,
+                 CAST(COUNT(*) AS DOUBLE) AS n_orders
+          FROM orders GROUP BY o_orderpriority) w
+    UNPIVOT (val FOR metric IN (total_price, avg_price, n_orders))
+    """,
+)
+def orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide metrics -> long rows) via stack() — the
+    inverse of the pivot query already covered."""
+    o = _td(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("total_price"),
+        F.avg("o_totalprice").alias("avg_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.expr(
+            "stack(3, 'total_price', total_price, 'avg_price', avg_price, "
+            "'n_orders', n_orders) AS (metric, val)"
+        ),
+    ).withColumn("val", F.round("val", 2))
+
+
+@_register(
+    "window_value_functions",
+    """
+    SELECT event_id, user_id, ts,
+           first_value(value) OVER w AS day_open,
+           last_value(value) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS day_close,
+           nth_value(value, 2) OVER w AS day_second
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts, event_id)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with explicit frames —
+    last_value needs the full-partition frame (the default frame stops
+    at CURRENT ROW, a classic SQL footgun both engines share)."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.first("value").over(w).alias("day_open"),
+        F.last("value").over(w_full).alias("day_close"),
+        F.nth_value("value", 2).over(w).alias("day_second"),
+    )
+
+
+@_register(
+    "part_name_tokens",
+    """
+    SELECT p_partkey, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part) s,
+         UNNEST(range(1, len(toks) + 1)) AS t(i)
+    """,
+)
+def part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode: one output row per token with its
+    position (the generator/flatten pattern; 0-based in both engines)."""
+    p = _td(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "tok"),
+    )
+
+
+_SQL_OVER_VIEWS = """
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY c.c_mktsegment
+"""
+
+
+@_register("sql_over_views", _SQL_OVER_VIEWS)
+def sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plain-SQL user surface: testdata tables registered as temp
+    views (sources/catalog.py::register_testdata_views — the Trino-SQL
+    workflow of the reference), then ONE ANSI SQL string executed by
+    ``spark.sql`` — the very same string IS the DuckDB oracle."""
+    from ..sources.catalog import register_testdata_views
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(_SQL_OVER_VIEWS)
