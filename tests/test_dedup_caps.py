@@ -83,3 +83,16 @@ def test_minhash_ansi_safe(spark):
         assert out.count() == 1
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_dup_clusters_path_graph_and_isolated_node(spark):
+    """A 7-node path graph needs multiple propagation rounds (diameter 6)
+    — exercises the every-2nd-iteration convergence check including the
+    overshoot-is-a-no-op property — and an isolated node must keep its
+    own id as cluster label."""
+    docs = spark.createDataFrame([(i,) for i in [*range(7), 100]], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(docs, pairs).collect()}
+    assert got == {**{i: 0 for i in range(7)}, 100: 100}

@@ -98,3 +98,21 @@ def test_kmeans_final_assignment_is_nearest(spark, sf_dir):
     assert {r.cluster for r in rows} <= set(range(4))
     assert all(r.dist_sq >= 0 for r in rows)
     assert out.count() == emb.count()
+
+
+def test_sql_arr_rejects_non_finite():
+    """NaN/Inf in a vector must fail fast with a named error, not leak
+    'nan' into a SQL literal and die later at analysis."""
+    import math
+
+    import pytest
+
+    from big_data_project_jan_2026_tick_data__spark.operators.similarity import (
+        _sql_arr,
+    )
+
+    assert "array(" in _sql_arr([0.5, -1.25])
+    with pytest.raises(ValueError, match="non-finite"):
+        _sql_arr([1.0, float("nan")])
+    with pytest.raises(ValueError, match="non-finite"):
+        _sql_arr([math.inf, 0.0])

@@ -95,3 +95,22 @@ def test_empty_tables_read_as_empty(spark, tmp_path):
     tr = RunTracker(spark, str(tmp_path / "none"), "e3")
     assert tr.runs().count() == 0
     assert tr.best_run("loss").count() == 0
+
+
+def test_runs_identity_survives_status_only_row(spark, tmp_path):
+    """Identity columns resolve from the run-CREATION row (min_by over
+    seq), so a minimal/foreign writer appending a status-only row (null
+    identity columns) cannot corrupt run metadata — regression guard for
+    the unordered first() it replaced."""
+    root = str(tmp_path / "exp5")
+    tr = RunTracker(spark, root, "e5")
+    rid = tr.start_run("train", run_name="named")
+    tr.end_run(rid)
+    # simulate a status-only append: nulls everywhere but id/status/seq
+    tr._buf["runs"].append((rid, None, None, None, None, "KILLED", 999))
+    tr.flush()
+    row = tr.runs().filter(f"run_id = '{rid}'").first()
+    assert row.experiment == "e5"
+    assert row.phase == "train"
+    assert row.run_name == "named"
+    assert row.status == "KILLED"
