@@ -164,3 +164,58 @@ def test_ann_corpus_scanned_once_query_broadcast(spark, sf_dir):
         assert "CartesianProduct" not in tree, name
         assert _shuffles(tree) == 1, name  # the top-k window exchange
         assert "WindowGroupLimit" in tree, name  # rank<=k pushed map-side
+
+
+# -- optional Iceberg backend (plans/iceberg_backend.py) -----------------
+# No iceberg-spark-runtime jar ships in this environment, so integration
+# is env-gated; conf shape, MERGE SQL generation and the unavailable-path
+# error contract are testable unconditionally.
+
+
+def test_iceberg_conf_shape():
+    from big_data_project_jan_2026_tick_data__spark.plans.iceberg_backend import (
+        iceberg_conf,
+    )
+
+    conf = iceberg_conf(catalog="lake", warehouse="/tmp/wh")
+    assert conf["spark.sql.catalog.lake"].endswith("SparkCatalog")
+    assert conf["spark.sql.catalog.lake.warehouse"] == "/tmp/wh"
+    assert conf["spark.sql.catalog.lake.type"] == "hadoop"
+    assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
+    jdbc = iceberg_conf(catalog="lake", jdbc_uri="jdbc:postgresql://h/db")
+    assert jdbc["spark.sql.catalog.lake.catalog-impl"].endswith("JdbcCatalog")
+    assert jdbc["spark.sql.catalog.lake.uri"] == "jdbc:postgresql://h/db"
+    assert "spark.sql.catalog.lake.type" not in jdbc
+
+
+def test_iceberg_merge_sql_shape():
+    from big_data_project_jan_2026_tick_data__spark.plans.iceberg_backend import (
+        _merge_sql,
+    )
+
+    sql = _merge_sql("lake.db.t", "src", ["id"], ["id", "v", "ts"])
+    assert sql.startswith("MERGE INTO lake.db.t t USING src s ON t.id <=> s.id")
+    assert "UPDATE SET t.v = s.v, t.ts = s.ts" in sql
+    assert "INSERT (id, v, ts) VALUES (s.id, s.v, s.ts)" in sql
+    # key columns never appear in the UPDATE SET list
+    assert "t.id = s.id" not in sql
+    import pytest
+
+    with pytest.raises(ValueError):
+        _merge_sql("t", "s", [], ["id"])
+
+
+def test_iceberg_unavailable_error_is_actionable(spark):
+    import os
+
+    import pytest
+
+    from big_data_project_jan_2026_tick_data__spark.plans import iceberg_backend
+
+    if os.environ.get("SPARK_GRAFT_ICEBERG") == "1":
+        pytest.skip("runtime jar present; unavailable-path not applicable")
+    assert not iceberg_backend.iceberg_available(spark)
+    with pytest.raises(
+        iceberg_backend.IcebergUnavailableError, match="iceberg-spark-runtime"
+    ):
+        iceberg_backend.IcebergSnapshotTable(spark, "lake.db.t")
