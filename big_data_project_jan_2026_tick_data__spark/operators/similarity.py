@@ -201,9 +201,15 @@ def ivf_topk(
         .select("cvec")
         .collect()
     )
-    centroids = [[float(x) for x in r.cvec] for r in cent_rows]
-
     import math
+
+    # Centroid literals are quantized to 6dp before rendering: a coarse
+    # quantizer's cell boundaries don't care about the 7th decimal, and
+    # full-precision repr() doubles the SQL text (nlist×dim literals are
+    # the plan-build cost here — ~23 KB → ~12 KB at nlist=16, dim=64).
+    # Exactness at nprobe == nlist is untouched (every cell probed, and
+    # the cosine rerank always uses the REAL vectors, never centroids).
+    centroids = [[_q6(float(x)) for x in r.cvec] for r in cent_rows]
 
     cents_sql = "array(" + ", ".join(_sql_arr(cent) for cent in centroids) + ")"
     cnorms_sql = _sql_arr(
