@@ -119,7 +119,14 @@ def _signature_expr(
 
 def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane (pure function of
-    (plane_idx, seed) — same plane on every executor, no driver state)."""
+    (plane_idx, seed) — same plane on every executor, no driver state).
+
+    Components are quantized to 6dp: a sign-hash direction doesn't care
+    about the 7th decimal, and full-precision repr() doubles the literal
+    text every signature expression (and every DuckDB oracle that
+    re-derives the planes through this same function) has to parse —
+    quantizing HERE keeps Spark and oracle bit-identical by
+    construction."""
     import math
 
     vals = []
@@ -131,7 +138,7 @@ def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
         x ^= (x << 5) & 0xFFFFFFFF
         vals.append((x / 2**31) - 1.0)
     n = math.sqrt(sum(v * v for v in vals)) or 1.0
-    return [v / n for v in vals]
+    return [_q6(v / n) for v in vals]
 
 
 def lsh_bucket_topk(
