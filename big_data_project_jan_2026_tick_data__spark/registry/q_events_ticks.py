@@ -580,3 +580,123 @@ def ticks_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "ret", "ema", "rvol",
         "boll_mid", "boll_up", "boll_dn",
     )
+
+
+@_register(
+    "ticks_tz_spread_scrub",
+    """
+    WITH t AS (
+      SELECT event_id, ts,
+             CASE WHEN event_id % 103 = 0 THEN NULL ELSE value END AS bid,
+             CASE WHEN event_id % 101 = 0 THEN NULL
+                  WHEN event_id % 107 = 0 THEN value * 0.99
+                  ELSE value * 1.01 END AS ask
+      FROM events)
+    SELECT event_id,
+           ts + INTERVAL 2 HOUR AS ts,
+           floor(bid * 1000000 + 0.5) / 1000000 AS bid,
+           floor(ask * 1000000 + 0.5) / 1000000 AS ask,
+           floor(CASE WHEN ask IS NULL OR bid IS NULL THEN 0.0
+                      ELSE GREATEST(ask - bid, 0.0) END * 1000000 + 0.5)
+             / 1000000 AS spread
+    FROM t
+    """,
+)
+def ticks_tz_spread_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/F3 + F4 + F5 through the driver contract in one pipeline:
+    deterministic ±inf/NaN injection (id-keyed, so the oracle knows
+    exactly which rows) → ticks.scrub_inf_nan (non-finite → NULL, the
+    reference's replace([inf,-inf], nan)) → ticks.with_spread (ask-bid
+    clamped at 0; Spark's null-skipping greatest makes scrubbed rows 0.0,
+    mirrored by an explicit CASE in the oracle) → ticks.shift_timezone
+    (+2h broker normalization, data_loader.py:50). Floats quantized
+    half-up 6dp on both sides."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 103 == 0, F.lit(float("nan")))
+        .otherwise(F.col("value"))
+        .alias("bid"),
+        F.when(F.col("event_id") % 101 == 0, F.lit(float("inf")))
+        .when(F.col("event_id") % 107 == 0, F.col("value") * 0.99)
+        .otherwise(F.col("value") * 1.01)
+        .alias("ask"),
+    )
+    t = ticks.scrub_inf_nan(t, ["bid", "ask"])
+    t = ticks.with_spread(t)
+    t = ticks.shift_timezone(t, hours=2)
+
+    def q6(c: str):
+        return (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6).alias(c)
+
+    return t.select("event_id", "ts", q6("bid"), q6("ask"), q6("spread"))
+
+
+@_register(
+    "stats_csv_roundtrip",
+    """
+    SELECT CAST(ts AS DATE) AS date,
+           CAST(SUM(CASE WHEN hour(ts)*60+minute(ts) >= 7*60+50 AND hour(ts)*60+minute(ts) < 8*60
+               THEN 1 ELSE 0 END) AS BIGINT) AS ticks_window1,
+           CAST(SUM(CASE WHEN hour(ts)*60+minute(ts) >= 13*60+50 AND hour(ts)*60+minute(ts) < 14*60
+               THEN 1 ELSE 0 END) AS BIGINT) AS ticks_window2
+    FROM events GROUP BY 1
+    """,
+)
+def stats_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 + S1 through the driver contract: the daily window-count report
+    written through the CSV sink (io.write_csv_report — the reference's
+    per-symbol stats CSVs), then read back with the schema-on-read CSV
+    scan (io.read_csv_ticks, explicit DDL). The oracle is the same SQL
+    the in-memory daily-counts query carries, so any value lost or
+    mangled by the CSV encode/decode (dates, bigints, header handling)
+    breaks the hash. Read-back is materialized before the temp dir is
+    removed."""
+    import shutil
+    import tempfile
+
+    from ..sources.io import read_csv_ticks, write_csv_report
+
+    ev = _td(spark, sf_dir, "events")
+    counts = stats.daily_window_counts(ev, ts_col="ts", partition_cols=())
+    d = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    try:
+        write_csv_report(counts, d)
+        back = read_csv_ticks(
+            spark,
+            d,
+            schema="date date, ticks_window1 bigint, ticks_window2 bigint",
+        )
+        rows = back.collect()
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@_register(
+    "events_date_membership",
+    """
+    SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+       OR CAST(ts AS DATE) = DATE '2024-01-07'
+       OR CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY 1
+    """,
+)
+def events_date_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 through the driver contract: date-membership filter (the
+    reference's per-date file selection loop) as a partition-prunable
+    IN-list predicate + daily counts. Dates are literals on both sides;
+    if the generator's date range moves, both sides shrink identically
+    (rows still hash-equal). Oracle spells the membership as an OR chain:
+    DuckDB 1.0.0 mis-evaluates `CAST(ts AS DATE) IN (DATE ...)` to false
+    even for single-element lists (= comparison works)."""
+    ev = _td(spark, sf_dir, "events")
+    days = [F.to_date(F.lit(d)) for d in ("2024-01-03", "2024-01-07", "2024-01-15")]
+    return (
+        ev.filter(F.to_date("ts").isin(*days))
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
