@@ -219,3 +219,24 @@ def test_iceberg_unavailable_error_is_actionable(spark):
         iceberg_backend.IcebergUnavailableError, match="iceberg-spark-runtime"
     ):
         iceberg_backend.IcebergSnapshotTable(spark, "lake.db.t")
+
+
+def test_approx_aggregates_single_pass(spark, sf_dir):
+    """The self-checking approx query computes 8 aggregates (2 sketches,
+    2 exact distincts/percentiles, min/max) over event_type — must stay
+    ONE scan; distinct aggs add their expand/partial layers but only
+    group-key exchanges, never a second table read."""
+    tree, full = _explain(spark, "approx_aggregates", sf_dir)
+    assert full.count("Scan parquet") <= 1 or tree.count("FileScan") <= 1
+    # projection pruning: only the three referenced columns are read
+    m = re.search(r"ReadSchema: struct<([^>]*)>", full)
+    assert m is not None
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"event_type", "user_id", "value"}, read_cols
+
+
+def test_tz_spread_scrub_no_shuffle(spark, sf_dir):
+    """Pure row-wise pipeline (inject -> scrub -> clamp -> shift) must
+    compile to a single narrow stage: zero shuffle exchanges."""
+    tree, _ = _explain(spark, "ticks_tz_spread_scrub", sf_dir)
+    assert _shuffles(tree) == 0
