@@ -43,10 +43,12 @@ _ADJUDICATION_PRIORITY = [
     # (a) stale FAIL
     "window_value_functions",
     # (b) NEW this round: CSV sink+scan roundtrip, tz/clamp/scrub
-    # pipeline, date-membership filter — first driver verdicts needed
+    # pipeline, date-membership filter, incremental near-dup ingestion
+    # — first driver verdicts needed
     "stats_csv_roundtrip",
     "ticks_tz_spread_scrub",
     "events_date_membership",
+    "doc_incremental_minhash",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

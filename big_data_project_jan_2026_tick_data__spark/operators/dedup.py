@@ -272,6 +272,108 @@ def minhash_lsh_pairs(
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
+def md5_minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig) engine-reproducible MinHash signatures — the column you
+    PERSIST: num_hashes int64s per document replace the text for all
+    future near-dup work, and any SQL engine can recompute them (md5
+    shingle hashes + shared Carter-Wegman permutations)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
+    ).select(
+        id_col,
+        F.expr("cast(conv(substr(md5(__s), 1, 7), 16, 10) as bigint)").alias("__h"),
+    )
+    return _signatures_from_hashes(sh, id_col, num_hashes)
+
+
+def _md5_band_entries(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_key) LSH band entries from a signature column
+    ('-'-joined slice strings — portable band keys)."""
+    rows = num_hashes // bands
+    band_arr = ", ".join(
+        "concat_ws('-', {})".format(
+            ", ".join(f"sig[{b * rows + r}]" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(f"array({band_arr})")).alias("band_idx", "band_key"),
+    )
+
+
+def incremental_minhash_pairs(
+    existing_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs between an arriving batch and an ALREADY-SIGNED
+    corpus — the incremental twin of :func:`md5_minhash_lsh_pairs`, and
+    the reason :func:`md5_minhash_signatures` exists as a persistable
+    column: at 100 TB the corpus text is never re-read and its signatures
+    never recomputed — the stored (id, sig) table (num_hashes int64s per
+    doc) is banded and equi-joined against the new batch's bands.
+    Batch-internal pairs are ``md5_minhash_lsh_pairs`` on the batch
+    alone; this function covers the cross generation.
+
+    The hot-bucket cap counts entries across BOTH sides (a bucket
+    degenerate in the union is exactly as quadratic as in the one-shot
+    pipeline) and drops them before the join, same safety valve as the
+    one-shot path. Returns (id_existing, id_new, est_jaccard)."""
+    e = _md5_band_entries(existing_sigs, id_col, num_hashes, bands)
+    b = _md5_band_entries(batch_sigs, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        combined = e.select("band_idx", "band_key").unionAll(
+            b.select("band_idx", "band_key")
+        )
+        hot = (
+            combined.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band_idx", "band_key")
+        )
+        e = e.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
+        b = b.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
+    pairs = (
+        e.alias("e")
+        .join(
+            b.alias("b"),
+            (F.col("e.band_idx") == F.col("b.band_idx"))
+            & (F.col("e.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col(f"e.{id_col}").alias("id_existing"),
+            F.col(f"b.{id_col}").alias("id_new"),
+        )
+        .dropDuplicates(["id_existing", "id_new"])
+    )
+    se = existing_sigs.select(
+        F.col(id_col).alias("id_existing"), F.col("sig").alias("sig_a")
+    )
+    sb = batch_sigs.select(F.col(id_col).alias("id_new"), F.col("sig").alias("sig_b"))
+    est = F.expr(
+        "round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+        f" / cast({num_hashes} as double), 6)"
+    )
+    return (
+        pairs.join(se, "id_existing")
+        .join(sb, "id_new")
+        .select("id_existing", "id_new", est.alias("est_jaccard"))
+    )
+
+
 def md5_minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -290,25 +392,8 @@ def md5_minhash_lsh_pairs(
     exists so the FULL LSH pipeline (signature → band → candidate pair →
     similarity estimate) gets an independent value-hash oracle, not a
     rows-only check. Same hot-bucket cap and slim-join shape."""
-    sh = df.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
-    ).select(
-        id_col,
-        F.expr("cast(conv(substr(md5(__s), 1, 7), 16, 10) as bigint)").alias("__h"),
-    )
-    sigs = _signatures_from_hashes(sh, id_col, num_hashes)
-    rows = num_hashes // bands
-    band_arr = ", ".join(
-        "concat_ws('-', {})".format(
-            ", ".join(f"sig[{b * rows + r}]" for r in range(rows))
-        )
-        for b in range(bands)
-    )
-    band_entries = sigs.select(
-        F.col(id_col),
-        F.posexplode(F.expr(f"array({band_arr})")).alias("band_idx", "band_key"),
-    )
+    sigs = md5_minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_entries = _md5_band_entries(sigs, id_col, num_hashes, bands)
     if max_bucket_size is not None:
         hot = (
             band_entries.groupBy("band_idx", "band_key")

@@ -812,3 +812,75 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.stratified_md5_sample(
         docs, {"src0": 0.5, "src1": 0.25}, default_rate=0.05
     ).select("doc_id", "source")
+
+
+def _md5_incr_minhash_oracle(
+    num_hashes: int = 16, bands: int = 4, cap: int = 1000
+) -> str:
+    """Cross-generation re-derivation in DuckDB: identical signature/band
+    machinery as _md5_minhash_oracle, but pairs must straddle the batch
+    split (doc_id % 5 = 4 is the 'arriving' generation) — the oracle for
+    the incremental ingestion path."""
+    from ..operators.dedup import _P31, _mh_consts
+
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"MIN((h * {a} + {b}) % {_P31}) AS h{i}"
+        for i, (a, b) in ((i, _mh_consts(i)) for i in range(num_hashes))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {idx} AS band_idx, concat_ws('-', {cols}) AS band_key, "
+        "[{allc}] AS sig FROM sigs".format(
+            idx=b,
+            cols=", ".join(f"h{b * rows + r}" for r in range(rows)),
+            allc=", ".join(f"h{i}" for i in range(num_hashes)),
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(g), 1, 7)) AS BIGINT) AS h
+      FROM norm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS t(g)),
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands0 AS (
+      {band_rows}),
+    bands AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bsz
+        FROM bands0) WHERE bsz <= {cap})
+    SELECT DISTINCT a.doc_id AS id_existing, b.doc_id AS id_new,
+           ROUND(({eq}) / CAST({num_hashes} AS DOUBLE), 6) AS est_jaccard
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+    """
+
+
+@_register("doc_incremental_minhash", _md5_incr_minhash_oracle())
+def doc_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingestion (the MinHash twin of
+    incremental_dedup's exact path): the committed corpus is represented
+    only by its persisted md5-MinHash signatures
+    (dedup.md5_minhash_signatures — num_hashes int64s per doc, text never
+    re-read), and an arriving batch (doc_id % 5 = 4 here) is signed and
+    band-joined against them (dedup.incremental_minhash_pairs, shared
+    hot-bucket cap across both generations). The oracle re-derives both
+    generations' signatures in DuckDB and enumerates exactly the
+    cross-generation candidate pairs with their similarity estimates."""
+    docs = _td(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    existing = docs.filter(F.col("doc_id") % 5 != 4)
+    esig = dedup.md5_minhash_signatures(existing)
+    bsig = dedup.md5_minhash_signatures(batch)
+    return dedup.incremental_minhash_pairs(esig, bsig)

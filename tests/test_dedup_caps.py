@@ -96,3 +96,27 @@ def test_dup_clusters_path_graph_and_isolated_node(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(docs, pairs).collect()}
     assert got == {**{i: 0 for i in range(7)}, 100: 100}
+
+
+def test_incremental_minhash_equals_one_shot_cross_pairs(spark, sf_dir):
+    """Invariant: pairing a batch against the committed corpus's stored
+    signatures yields EXACTLY the one-shot pipeline's pairs that straddle
+    the split (same band keys, same cap semantics over the union, same
+    similarity estimates) — incremental ingestion loses nothing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter("doc_id % 5 = 4")
+    existing = docs.filter("doc_id % 5 <> 4")
+    inc = {
+        (r.id_existing, r.id_new, r.est_jaccard)
+        for r in dedup.incremental_minhash_pairs(
+            dedup.md5_minhash_signatures(existing),
+            dedup.md5_minhash_signatures(batch),
+        ).collect()
+    }
+    one_shot = dedup.md5_minhash_lsh_pairs(docs).collect()
+    cross = {
+        (r.id_a, r.id_b, r.est_jaccard) if r.id_b % 5 == 4 else (r.id_b, r.id_a, r.est_jaccard)
+        for r in one_shot
+        if (r.id_a % 5 == 4) != (r.id_b % 5 == 4)
+    }
+    assert inc == cross
