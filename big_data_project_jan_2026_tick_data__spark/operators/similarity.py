@@ -392,3 +392,60 @@ def embedding_near_dup_pairs(
         )
     )
     return pairs
+
+
+def incremental_embedding_near_dup(
+    existing: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 16,
+    threshold: float = 0.95,
+    num_planes: int = 6,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs between an arriving embedding batch and the
+    existing corpus — the embedding twin of
+    ``dedup.incremental_minhash_pairs``. The hyperplanes are a pure
+    function of (plane_idx, seed), so the existing side's
+    (id, bucket, norm) columns can be PERSISTED once and reused for
+    every future batch: ingestion then buckets only the new vectors and
+    equi-joins against the stored buckets — no corpus-side recompute, no
+    self-join. The hot-bucket cap counts entries across both generations
+    (union), mirroring the one-shot operator's guard. Returns
+    (id_existing, id_new, cosine ≥ threshold)."""
+
+    def prep(df: DataFrame) -> DataFrame:
+        v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
+        return v.withColumn(
+            "bucket", _signature_expr("vec", dim, num_planes, seed)
+        ).withColumn("n", norm(F.col("vec")))
+
+    e, b = prep(existing), prep(batch)
+    if max_bucket_size is not None:
+        combined = e.select("bucket").unionAll(b.select("bucket"))
+        hot = (
+            combined.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("bucket")
+        )
+        e = e.join(F.broadcast(hot), "bucket", "left_anti")
+        b = b.join(F.broadcast(hot), "bucket", "left_anti")
+    return (
+        e.alias("a")
+        .join(b.alias("b"), F.col("a.bucket") == F.col("b.bucket"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.n") * F.col("b.n")), 6
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_existing"),
+            F.col(f"b.{id_col}").alias("id_new"),
+            "cosine",
+        )
+    )

@@ -335,3 +335,52 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     one k×dim partial-agg shuffle."""
     emb = _td(spark, sf_dir, "embeddings")
     return similarity.kmeans(emb, k=8, iters=2)
+
+
+def _incr_near_dup_oracle(dim: int = 64, num_planes: int = 4, seed: int = 42) -> str:
+    """Cross-generation twin of _near_dup_oracle: same deterministic
+    hyperplane buckets and cap-over-union, pairs restricted to
+    existing × batch (vec_id % 5 = 4 is the arriving generation)."""
+    from ..operators.similarity import _hyperplane
+
+    bucket_terms = []
+    for p in range(num_planes):
+        plane = ", ".join(repr(v) for v in _hyperplane(dim, p, seed))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(vec, [{plane}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "\n        + ".join(bucket_terms)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    b0 AS (
+      SELECT vec_id, vec,
+        {bucket} AS bucket
+      FROM v),
+    b AS (
+      SELECT vec_id, vec, bucket FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b0)
+      WHERE bsz <= 1000)
+    SELECT a.vec_id AS id_existing, b2.vec_id AS id_new,
+           ROUND(list_cosine_similarity(a.vec, b2.vec), 6) AS cosine
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket
+     AND a.vec_id % 5 <> 4 AND b2.vec_id % 5 = 4
+    WHERE ROUND(list_cosine_similarity(a.vec, b2.vec), 6) >= 0.2
+    """
+
+
+@_register("emb_incremental_near_dup", _incr_near_dup_oracle())
+def emb_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup ingestion: an arriving batch
+    (vec_id % 5 = 4) LSH-bucketed against the existing corpus — whose
+    (bucket, norm) representation is persistable, so only new vectors
+    are ever signed (similarity.incremental_embedding_near_dup). Oracle
+    re-derives both generations' buckets from the same deterministic
+    hyperplanes and enumerates exactly the cross pairs."""
+    emb = _td(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    existing = emb.filter(F.col("vec_id") % 5 != 4)
+    return similarity.incremental_embedding_near_dup(
+        existing, batch, dim=64, threshold=0.2, num_planes=4
+    )
