@@ -49,6 +49,7 @@ _ADJUDICATION_PRIORITY = [
     "ticks_tz_spread_scrub",
     "events_date_membership",
     "doc_incremental_minhash",
+    "doc_incremental_simhash",
     "emb_incremental_near_dup",
     # (b) changed this round
     "multimodal_features",

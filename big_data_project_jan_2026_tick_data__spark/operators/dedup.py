@@ -750,6 +750,77 @@ def hamming_pairs(
     )
 
 
+def incremental_hamming_pairs(
+    existing_fps: DataFrame,
+    batch_fps: DataFrame,
+    fp_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    max_bucket_size: int | None = 1000,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fingerprint pairs between an arriving batch and the existing
+    corpus — the Hamming twin of :func:`incremental_minhash_pairs`,
+    shared by incremental SimHash text ingestion AND incremental
+    perceptual media dedup (any 64-bit fingerprint space). The existing
+    side is just its (id, fp[, group]) columns — 8 bytes per row,
+    persisted once, never recomputed; a batch explodes its own segments
+    and equi-joins the stored ones. The hot-bucket cap counts segment
+    entries across BOTH generations. Returns
+    (id_existing, id_new, hamming ≤ max_hamming)."""
+    seg_bits = 64 // blocks
+
+    def segments(fps: DataFrame) -> DataFrame:
+        return fps.select(
+            F.col(id_col),
+            F.col(fp_col),
+            *[F.col(g) for g in group_cols],
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col(fp_col), i * seg_bits)
+                        .bitwiseAND(F.lit((1 << seg_bits) - 1).cast("long"))
+                        for i in range(blocks)
+                    ]
+                )
+            ).alias("seg_idx", "seg"),
+        )
+
+    e, b = segments(existing_fps), segments(batch_fps)
+    bucket_cols = [*group_cols, "seg_idx", "seg"]
+    if max_bucket_size is not None:
+        combined = e.select(*bucket_cols).unionAll(b.select(*bucket_cols))
+        hot = (
+            combined.groupBy(*bucket_cols)
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select(*bucket_cols)
+        )
+        e = e.join(F.broadcast(hot), bucket_cols, "left_anti")
+        b = b.join(F.broadcast(hot), bucket_cols, "left_anti")
+    cond = F.lit(True)
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    pairs = (
+        e.alias("a")
+        .join(b.alias("b"), cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_existing"),
+            F.col(f"b.{id_col}").alias("id_new"),
+            F.col(f"a.{fp_col}").alias("fp_a"),
+            F.col(f"b.{fp_col}").alias("fp_b"),
+        )
+        .dropDuplicates(["id_existing", "id_new"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_existing", "id_new", "hamming")
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -884,3 +884,71 @@ def doc_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     esig = dedup.md5_minhash_signatures(existing)
     bsig = dedup.md5_minhash_signatures(batch)
     return dedup.incremental_minhash_pairs(esig, bsig)
+
+
+def _md5_incr_simhash_oracle(
+    bits: int = 60, max_hamming: int = 6, cap: int = 1000
+) -> str:
+    """Cross-generation twin of _md5_simhash_oracle: same fingerprints
+    and pigeonhole segments, cap over the union, pairs restricted to
+    existing × batch (doc_id % 5 = 4 arriving)."""
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = "\n             | ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM norm, UNNEST(toks) AS u(t)),
+    b AS (
+      SELECT doc_id,
+             {sums}
+      FROM h GROUP BY doc_id),
+    fp AS (
+      SELECT doc_id,
+             {fp} AS fp
+      FROM b),
+    segs0 AS (
+      SELECT doc_id, fp, s AS seg_idx, (fp >> (s * 16)) & 65535 AS seg
+      FROM fp, UNNEST([0, 1, 2, 3]) AS t(s)),
+    segs AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY seg_idx, seg) AS bsz
+        FROM segs0) WHERE bsz <= {cap})
+    SELECT DISTINCT a.doc_id AS id_existing, b.doc_id AS id_new,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM segs a JOIN segs b
+      ON a.seg_idx = b.seg_idx AND a.seg = b.seg
+     AND a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+@_register("doc_incremental_simhash", _md5_incr_simhash_oracle())
+def doc_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash ingestion: the committed corpus is its stored
+    8-byte fingerprints (dedup.md5_simhash — never recomputed), and the
+    arriving batch (doc_id % 5 = 4) is fingerprinted and pigeonhole-
+    joined against them (dedup.incremental_hamming_pairs — the same
+    operator serves incremental perceptual media dedup). Oracle
+    re-derives both generations' fingerprints and enumerates the
+    cross-generation pairs."""
+    docs = _td(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    existing = docs.filter(F.col("doc_id") % 5 != 4)
+    return dedup.incremental_hamming_pairs(
+        dedup.md5_simhash(existing),
+        dedup.md5_simhash(batch),
+        fp_col="simhash",
+        id_col="doc_id",
+        max_hamming=6,
+        blocks=4,
+    )

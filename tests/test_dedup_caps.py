@@ -120,3 +120,31 @@ def test_incremental_minhash_equals_one_shot_cross_pairs(spark, sf_dir):
         if (r.id_a % 5 == 4) != (r.id_b % 5 == 4)
     }
     assert inc == cross
+
+
+def test_incremental_simhash_equals_one_shot_cross_pairs(spark, sf_dir):
+    """Same invariant as the MinHash twin: batch-vs-stored-fingerprints
+    pairing reproduces exactly the one-shot pigeonhole pairs that
+    straddle the split."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter("doc_id % 5 = 4")
+    existing = docs.filter("doc_id % 5 <> 4")
+    inc = {
+        (r.id_existing, r.id_new, r.hamming)
+        for r in dedup.incremental_hamming_pairs(
+            dedup.md5_simhash(existing),
+            dedup.md5_simhash(batch),
+            fp_col="simhash",
+            id_col="doc_id",
+            max_hamming=6,
+        ).collect()
+    }
+    one_shot = dedup.hamming_pairs(
+        dedup.md5_simhash(docs), fp_col="simhash", id_col="doc_id", max_hamming=6
+    ).collect()
+    cross = {
+        (r.id_a, r.id_b, r.hamming) if r.id_b % 5 == 4 else (r.id_b, r.id_a, r.hamming)
+        for r in one_shot
+        if (r.id_a % 5 == 4) != (r.id_b % 5 == 4)
+    }
+    assert inc == cross
