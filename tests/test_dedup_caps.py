@@ -148,3 +148,26 @@ def test_incremental_simhash_equals_one_shot_cross_pairs(spark, sf_dir):
         if (r.id_a % 5 == 4) != (r.id_b % 5 == 4)
     }
     assert inc == cross
+
+
+def test_minhash_signatures_survive_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """The persistence contract behind incremental ingestion: signatures
+    written to parquet and read back must pair identically to in-memory
+    ones (array<long> fidelity through the sink/scan)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter("doc_id % 5 = 4")
+    existing = docs.filter("doc_id % 5 <> 4")
+    esig = dedup.md5_minhash_signatures(existing)
+    path = str(tmp_path / "sigs")
+    esig.write.parquet(path)
+    stored = spark.read.parquet(path)
+    bsig = dedup.md5_minhash_signatures(batch)
+    mem = {
+        (r.id_existing, r.id_new, r.est_jaccard)
+        for r in dedup.incremental_minhash_pairs(esig, bsig).collect()
+    }
+    disk = {
+        (r.id_existing, r.id_new, r.est_jaccard)
+        for r in dedup.incremental_minhash_pairs(stored, bsig).collect()
+    }
+    assert mem == disk
