@@ -347,3 +347,40 @@ def test_repetition_signals_match_pandas(spark, docs_tokens):
         top = max(Counter(bigrams).values()) if bigrams else 0
         assert r.top_bigram_cnt == top
         assert abs(r.top_bigram_frac - top / nb) < 1e-6
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40),
+        min_size=2,
+        max_size=12,
+    ),
+    split_mod=st.integers(2, 4),
+)
+def test_incremental_minhash_invariant_random_docs(spark, texts, split_mod):
+    """For ARBITRARY small corpora (adversarial short/empty/near-dup
+    texts) and arbitrary generation splits, batch-vs-stored-signature
+    pairing equals the one-shot pipeline's cross-split pairs — the
+    fixed-split test's invariant, fuzzed."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    batch = docs.filter(f"doc_id % {split_mod} = 0")
+    existing = docs.filter(f"doc_id % {split_mod} <> 0")
+    inc = {
+        (r.id_existing, r.id_new, r.est_jaccard)
+        for r in dedup.incremental_minhash_pairs(
+            dedup.md5_minhash_signatures(existing),
+            dedup.md5_minhash_signatures(batch),
+        ).collect()
+    }
+    cross = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        if r.id_b % split_mod == 0
+        else (r.id_b, r.id_a, r.est_jaccard)
+        for r in dedup.md5_minhash_lsh_pairs(docs).collect()
+        if (r.id_a % split_mod == 0) != (r.id_b % split_mod == 0)
+    }
+    assert inc == cross
