@@ -1,0 +1,448 @@
+"""Gradient-trained MLP autoencoder with data-parallel Spark training.
+
+Re-expresses the reference's torch anomaly-detection stack — architecture
+`ML Model/Scripts/model.py:91-180` (flatten(window x features) ->
+hidden_dims -> latent bottleneck -> mirrored decoder, LeakyReLU(0.01),
+BatchNorm1d, dropout), training loop `ML Model/Scripts/train.py:343-368`
+(AdamW, MSE, global grad-norm clip 0.5) and the published
+hyperparameters `ML Model/Model Parameters/parameters.json`
+(hidden [256,128,64,32], latent 16, lr 5e-4, weight_decay 1e-4) — as a
+pure-numpy network trained with SYNCHRONOUS DATA-PARALLEL gradients:
+
+- Windows are assigned to deterministic batch groups
+  (``crc32(window_id) % n_batches``); each ``(symbol, batch)`` group
+  computes its joint forward/backward in one Arrow-batched
+  ``applyInPandas`` task. Batch-norm statistics are per-group ("ghost
+  batch norm") — exactly torch DDP's per-device BatchNorm behavior, so
+  this IS the distributed formulation of the reference's training, not
+  an approximation of it.
+- The driver sums the per-group partial gradients (shuffle volume is
+  ``n_batches x n_params`` floats — independent of corpus size), clips
+  the global norm, applies one AdamW step per epoch (decoupled weight
+  decay, torch semantics), and maintains running BN statistics for
+  eval-mode scoring.
+- All symbols train SIMULTANEOUSLY (one Spark job per epoch covers every
+  per-symbol model), matching the reference's model-per-symbol layout
+  (`train.py` trains per symbol) without multiplying job counts.
+
+Everything is float64 and seeded — two runs produce bit-identical
+models, which the tests assert. The backward pass is verified against
+finite-difference gradients in ``tests/test_autoencoder.py``.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# parameters.json "model" / "training" blocks
+HIDDEN_DIMS = (256, 128, 64, 32)
+LATENT_DIM = 16
+LEAKY_SLOPE = 0.01  # model.py:156 LeakyReLU(negative_slope=0.01)
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1  # torch BatchNorm1d default
+ADAM_BETAS = (0.9, 0.999)
+ADAM_EPS = 1e-8
+
+
+# ---------------------------------------------------------------------------
+# network spec / parameter plumbing
+
+
+def build_blocks(
+    input_total: int,
+    hidden_dims: Sequence[int] = HIDDEN_DIMS,
+    latent_dim: int = LATENT_DIM,
+    use_batch_norm: bool = True,
+) -> list[tuple]:
+    """Sequential block list mirroring model.py:117-147: encoder
+    [linear, bn?, act] per hidden dim + linear-to-latent, then the
+    mirrored decoder + linear back to the flattened input."""
+    blocks: list[tuple] = []
+    prev = input_total
+    for h in hidden_dims:
+        blocks.append(("linear", prev, h))
+        if use_batch_norm:
+            blocks.append(("bn", h))
+        blocks.append(("act",))
+        prev = h
+    blocks.append(("linear", prev, latent_dim))
+    prev = latent_dim
+    for h in reversed(list(hidden_dims)):
+        blocks.append(("linear", prev, h))
+        if use_batch_norm:
+            blocks.append(("bn", h))
+        blocks.append(("act",))
+        prev = h
+    blocks.append(("linear", prev, input_total))
+    return blocks
+
+
+def init_params(blocks: list[tuple], seed: int) -> list:
+    """Torch Linear default init: W, b ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    (kaiming_uniform_(a=sqrt(5)) reduces to exactly this bound); BN
+    gamma=1, beta=0."""
+    rng = np.random.default_rng(seed)
+    params: list = []
+    for blk in blocks:
+        if blk[0] == "linear":
+            _, fan_in, fan_out = blk
+            bound = 1.0 / np.sqrt(fan_in)
+            params.append(
+                {
+                    "W": rng.uniform(-bound, bound, size=(fan_in, fan_out)),
+                    "b": rng.uniform(-bound, bound, size=fan_out),
+                }
+            )
+        elif blk[0] == "bn":
+            d = blk[1]
+            params.append({"gamma": np.ones(d), "beta": np.zeros(d)})
+        else:
+            params.append(None)
+    return params
+
+
+def init_running(blocks: list[tuple]) -> list:
+    """Eval-mode BN running statistics (mean 0 / var 1, torch defaults)."""
+    return [
+        {"mean": np.zeros(blk[1]), "var": np.ones(blk[1])} if blk[0] == "bn" else None
+        for blk in blocks
+    ]
+
+
+def flatten_params(params: list) -> np.ndarray:
+    out = []
+    for p in params:
+        if p is None:
+            continue
+        if "W" in p:
+            out.extend((p["W"].ravel(), p["b"]))
+        else:
+            out.extend((p["gamma"], p["beta"]))
+    return np.concatenate(out)
+
+
+def unflatten_params(flat: np.ndarray, blocks: list[tuple]) -> list:
+    params: list = []
+    i = 0
+    for blk in blocks:
+        if blk[0] == "linear":
+            _, a, b = blk
+            W = flat[i : i + a * b].reshape(a, b)
+            i += a * b
+            bias = flat[i : i + b]
+            i += b
+            params.append({"W": W, "b": bias})
+        elif blk[0] == "bn":
+            d = blk[1]
+            params.append({"gamma": flat[i : i + d], "beta": flat[i + d : i + 2 * d]})
+            i += 2 * d
+        else:
+            params.append(None)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward / backward (pure functions — finite-difference-tested)
+
+
+def forward(
+    blocks: list[tuple],
+    params: list,
+    X: np.ndarray,
+    training: bool,
+    running: list | None = None,
+):
+    """Returns (output, caches, batch_stats). ``training`` selects batch
+    statistics for BN (ghost-batch semantics); eval mode uses
+    ``running``. ``batch_stats[i]`` = (mean, biased var, n) per BN block."""
+    h = X
+    caches: list = []
+    batch_stats: list = [None] * len(blocks)
+    for i, blk in enumerate(blocks):
+        if blk[0] == "linear":
+            caches.append(h)
+            h = h @ params[i]["W"] + params[i]["b"]
+        elif blk[0] == "bn":
+            if training:
+                mu = h.mean(axis=0)
+                var = h.var(axis=0)  # biased, as torch normalizes
+                batch_stats[i] = (mu, var, len(h))
+            else:
+                mu, var = running[i]["mean"], running[i]["var"]
+            inv_std = 1.0 / np.sqrt(var + BN_EPS)
+            xhat = (h - mu) * inv_std
+            caches.append((xhat, inv_std))
+            h = params[i]["gamma"] * xhat + params[i]["beta"]
+        else:
+            caches.append(h)
+            h = np.where(h > 0, h, LEAKY_SLOPE * h)
+    return h, caches, batch_stats
+
+
+def loss_and_grad(
+    blocks: list[tuple], params: list, X: np.ndarray
+) -> tuple[float, list, list]:
+    """Sum-of-squared-errors loss over the batch and its exact gradient
+    (the driver divides by the GLOBAL n·dims to form the MSE gradient —
+    per-group sums stay mergeable). Returns (loss_sum, grads,
+    batch_stats)."""
+    out, caches, batch_stats = forward(blocks, params, X, training=True)
+    err = out - X
+    loss_sum = float(np.sum(err * err))
+    d = 2.0 * err
+    grads: list = [None] * len(blocks)
+    for i in range(len(blocks) - 1, -1, -1):
+        blk = blocks[i]
+        if blk[0] == "linear":
+            h_in = caches[i]
+            grads[i] = {"W": h_in.T @ d, "b": d.sum(axis=0)}
+            d = d @ params[i]["W"].T
+        elif blk[0] == "bn":
+            xhat, inv_std = caches[i]
+            n = len(xhat)
+            grads[i] = {
+                "gamma": (d * xhat).sum(axis=0),
+                "beta": d.sum(axis=0),
+            }
+            dxhat = d * params[i]["gamma"]
+            # standard BN backward (batch statistics participate)
+            d = (
+                inv_std
+                / n
+                * (
+                    n * dxhat
+                    - dxhat.sum(axis=0)
+                    - xhat * (dxhat * xhat).sum(axis=0)
+                )
+            )
+        else:
+            h_in = caches[i]
+            d = d * np.where(h_in > 0, 1.0, LEAKY_SLOPE)
+    return loss_sum, grads, batch_stats
+
+
+def flatten_grads(grads: list) -> np.ndarray:
+    out = []
+    for g in grads:
+        if g is None:
+            continue
+        if "W" in g:
+            out.extend((g["W"].ravel(), g["b"]))
+        else:
+            out.extend((g["gamma"], g["beta"]))
+    return np.concatenate(out)
+
+
+# ---------------------------------------------------------------------------
+# the trained model (eval-mode scorer, plugs into
+# mlfeat.reconstruction_errors(model_fn=...))
+
+
+class TrainedAutoencoder:
+    """symbol -> (params, running BN stats); reconstructs one window's
+    (n_ticks x features) matrix through the eval-mode network
+    (model.py:165-180 forward: flatten -> encode -> decode -> reshape).
+    Unknown symbols fall back to mean reconstruction, matching
+    :class:`mlfeat.PCAReconstructor`."""
+
+    def __init__(
+        self,
+        blocks: list[tuple],
+        models: dict[str, tuple[list, list]],
+        history: dict[str, list[float]],
+    ):
+        self.blocks = blocks
+        self.models = models
+        self.history = history  # symbol -> per-epoch MSE (train.py loss curve)
+
+    def __call__(self, x: np.ndarray, symbol: str) -> np.ndarray:
+        m = self.models.get(symbol)
+        if m is None:
+            return np.broadcast_to(x.mean(axis=0), x.shape)
+        params, running = m
+        flat = x.reshape(1, -1).astype(np.float64)
+        out, _, _ = forward(self.blocks, params, flat, training=False, running=running)
+        return out.reshape(x.shape)
+
+
+# ---------------------------------------------------------------------------
+# distributed trainer
+
+
+def _grad_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("symbol", T.StringType(), False),
+            T.StructField("batch_id", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), False),
+            T.StructField("loss_sum", T.DoubleType(), False),
+            T.StructField("grad", T.ArrayType(T.DoubleType()), False),
+            T.StructField("bn_mean", T.ArrayType(T.DoubleType()), True),
+            T.StructField("bn_var", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+
+def fit_autoencoder(
+    tensors: DataFrame,
+    *,
+    hidden_dims: Sequence[int] = HIDDEN_DIMS,
+    latent_dim: int = LATENT_DIM,
+    use_batch_norm: bool = True,
+    n_epochs: int = 50,
+    lr: float = 5e-4,  # parameters.json training.learning_rate
+    weight_decay: float = 1e-4,  # parameters.json training.weight_decay
+    clip_norm: float = 0.5,  # train.py:365 clip_grad_norm_(max_norm=0.5)
+    n_batches: int = 8,
+    seed: int = 0,
+) -> TrainedAutoencoder:
+    """Train one autoencoder per symbol over a ``window_tensors``
+    DataFrame (symbol, window_id, features: n_target x f).
+
+    Scale notes: the tensors input is localCheckpoint-ed ONCE (featurize
+    runs once, not per epoch). Per epoch: one broadcast of the parameter
+    vectors (n_symbols x n_params float64), one Spark job whose shuffle
+    is the groupBy(symbol, batch) exchange of tensors, and a driver
+    collect of ``n_symbols x n_batches`` gradient rows. ``n_batches``
+    bounds BOTH the driver traffic and the per-task batch size — at
+    cluster scale raise it so each group fits executor memory; gradient
+    rows stay tiny relative to data (n_params is model-, not
+    corpus-sized).
+    """
+    first = tensors.select("features").first()
+    if first is None:
+        return TrainedAutoencoder(blocks=[], models={}, history={})
+    tensor0 = first[0]
+    input_total = len(tensor0) * len(tensor0[0])
+    blocks = build_blocks(input_total, hidden_dims, latent_dim, use_batch_norm)
+    bn_dims = [blk[1] for blk in blocks if blk[0] == "bn"]
+    bn_split = np.cumsum(bn_dims)[:-1] if bn_dims else None
+
+    # deterministic batch assignment; checkpoint so the (pandas-UDF)
+    # featurization upstream runs once, not once per epoch
+    batched = (
+        tensors.select(
+            "symbol",
+            F.pmod(F.crc32(F.col("window_id").cast("string").cast("binary")), F.lit(n_batches)).alias(
+                "batch_id"
+            ),
+            "features",
+        )
+        .localCheckpoint()
+    )
+    symbols = sorted(r[0] for r in batched.select("symbol").distinct().collect())
+    if not symbols:
+        return TrainedAutoencoder(blocks=blocks, models={}, history={})
+
+    def sym_seed(sym: str) -> int:
+        return (seed * 1_000_003 + zlib.crc32(sym.encode())) & 0x7FFFFFFF
+
+    params = {s: init_params(blocks, sym_seed(s)) for s in symbols}
+    running = {s: init_running(blocks) for s in symbols}
+    flat = {s: flatten_params(params[s]) for s in symbols}
+    n_params = len(next(iter(flat.values())))
+    adam_m = {s: np.zeros(n_params) for s in symbols}
+    adam_v = {s: np.zeros(n_params) for s in symbols}
+    history: dict[str, list[float]] = {s: [] for s in symbols}
+    sc = tensors.sparkSession.sparkContext
+    b1, b2 = ADAM_BETAS
+
+    for epoch in range(1, n_epochs + 1):
+        bc = sc.broadcast({s: v.copy() for s, v in flat.items()})
+
+        def grad_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            sym = key[0]
+            p = unflatten_params(bc.value[sym], blocks)
+            X = np.stack(
+                [
+                    np.stack([np.asarray(row, dtype=np.float64) for row in feats])
+                    for feats in pdf["features"]
+                ]
+            ).reshape(len(pdf), -1)
+            loss_sum, grads, batch_stats = loss_and_grad(blocks, p, X)
+            means = [st[0] for st in batch_stats if st is not None]
+            vars_ = [st[1] for st in batch_stats if st is not None]
+            return pd.DataFrame(
+                {
+                    "symbol": [sym],
+                    "batch_id": [int(key[1])],
+                    "n": [len(X)],
+                    "loss_sum": [loss_sum],
+                    "grad": [flatten_grads(grads)],
+                    "bn_mean": [np.concatenate(means) if means else None],
+                    "bn_var": [np.concatenate(vars_) if vars_ else None],
+                }
+            )
+
+        rows = (
+            batched.groupBy("symbol", "batch_id")
+            .applyInPandas(grad_fn, schema=_grad_schema())
+            .collect()
+        )
+        bc.destroy()
+
+        by_sym: dict[str, list] = {}
+        for r in rows:
+            by_sym.setdefault(r["symbol"], []).append(r)
+        for s in symbols:
+            group = by_sym.get(s)
+            if not group:
+                continue
+            # collect() row order is not deterministic across runs — fix
+            # the float-summation order so training is bit-reproducible
+            group.sort(key=lambda r: r["batch_id"])
+            n_total = sum(r["n"] for r in group)
+            denom = float(n_total * input_total)
+            g = np.zeros(n_params)
+            for r in group:
+                g += np.asarray(r["grad"])
+            g /= denom
+            history[s].append(sum(r["loss_sum"] for r in group) / denom)
+
+            # global-norm clip (train.py:365), then decoupled AdamW step
+            norm = float(np.linalg.norm(g))
+            if norm > clip_norm:
+                g *= clip_norm / norm
+            v = flat[s]
+            v *= 1.0 - lr * weight_decay
+            adam_m[s] = b1 * adam_m[s] + (1 - b1) * g
+            adam_v[s] = b2 * adam_v[s] + (1 - b2) * g * g
+            mhat = adam_m[s] / (1 - b1**epoch)
+            vhat = adam_v[s] / (1 - b2**epoch)
+            v -= lr * mhat / (np.sqrt(vhat) + ADAM_EPS)
+
+            if bn_dims:
+                # momentum update of running stats from the size-weighted
+                # average of the per-group (ghost) batch statistics;
+                # torch stores the UNBIASED variance in running_var
+                mean_acc = np.zeros(int(np.sum(bn_dims)))
+                var_acc = np.zeros_like(mean_acc)
+                for r in group:
+                    w = r["n"] / n_total
+                    mean_acc += w * np.asarray(r["bn_mean"])
+                    unbias = r["n"] / max(r["n"] - 1, 1)
+                    var_acc += w * np.asarray(r["bn_var"]) * unbias
+                means = np.split(mean_acc, bn_split) if bn_split is not None else [mean_acc]
+                vars_ = np.split(var_acc, bn_split) if bn_split is not None else [var_acc]
+                bi = 0
+                for i, blk in enumerate(blocks):
+                    if blk[0] == "bn":
+                        running[s][i]["mean"] = (
+                            (1 - BN_MOMENTUM) * running[s][i]["mean"]
+                            + BN_MOMENTUM * means[bi]
+                        )
+                        running[s][i]["var"] = (
+                            (1 - BN_MOMENTUM) * running[s][i]["var"]
+                            + BN_MOMENTUM * vars_[bi]
+                        )
+                        bi += 1
+
+    models = {s: (unflatten_params(flat[s], blocks), running[s]) for s in symbols}
+    return TrainedAutoencoder(blocks=blocks, models=models, history=history)

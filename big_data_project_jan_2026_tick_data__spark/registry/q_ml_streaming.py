@@ -155,6 +155,57 @@ def ml_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ml_anomaly_scores_ae")
+def ml_anomaly_scores_ae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL training stack, distributed: featurize →
+    train a gradient MLP autoencoder per symbol (LeakyReLU + ghost
+    batch-norm, AdamW with decoupled weight decay, global grad-norm clip
+    0.5 — `ML Model/Scripts/model.py:91-180`, `train.py:343-368`) via
+    synchronous data-parallel gradients → score reconstruction MSE →
+    92/99.5 percentile anomaly flags (parameters.json). A reduced
+    epoch/width budget keeps the adjudication run tight; the trainer is
+    seeded and bit-deterministic (tests/test_autoencoder.py). Rows-only:
+    gradient training is not SQL-expressible — backward correctness is
+    finite-difference-verified and the lifecycle shape shares its oracle
+    with `ml_anomaly_scores_mean` ★."""
+    from ..operators import autoencoder as ae
+
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.lit("EVENTS").alias("symbol"),
+        F.col("ts"),
+        F.col("value").alias("bid"),
+        (F.col("value") * 1.01).alias("ask"),
+    )
+    # standardize BEFORE windowing (the reference fits a StandardScaler
+    # on the tick features, model.py:351-383) — keeps gradients O(1)
+    t = mlfeat.scale_features(ticks.with_spread(t), ["bid", "ask", "spread"])
+    tensors = mlfeat.window_tensors(
+        t, n_target=32, windows=((7, 0, 12, 0), (13, 0, 18, 0))
+    ).localCheckpoint()  # one featurize pass feeds every training epoch
+    model = ae.fit_autoencoder(
+        tensors,
+        hidden_dims=(32, 16),
+        latent_dim=8,
+        n_epochs=12,
+        lr=5e-3,
+        n_batches=4,
+        seed=42,
+    )
+    errs = mlfeat.reconstruction_errors(tensors, model_fn=model)
+    thresholds = errs.groupBy("symbol").agg(
+        F.percentile(F.col("err"), 0.92).alias("p92"),
+        F.percentile(F.col("err"), 0.995).alias("p99_5"),
+    )
+    return errs.join(F.broadcast(thresholds), "symbol").select(
+        "symbol",
+        "window_id",
+        F.round("err", 6).alias("err"),
+        (F.col("err") > F.col("p92")).alias("anomaly_p92"),
+        (F.col("err") > F.col("p99_5")).alias("anomaly_p99_5"),
+    )
+
+
 _STREAM_SESS_ORACLE = """
 WITH f AS (
   SELECT 'EVENTS' AS symbol, ts, value AS bid, value * 1.01 AS ask
