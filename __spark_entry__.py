@@ -51,6 +51,12 @@ _ADJUDICATION_PRIORITY = [
     "doc_incremental_minhash",
     "doc_incremental_simhash",
     "emb_incremental_near_dup",
+    # (b) NEW: gradient-trained autoencoder lifecycle (rows-only by
+    # nature, but a first verdict beats none; value proof = the ★
+    # mean-model twin + finite-difference tests)
+    "ml_anomaly_scores_ae",
+    # (b) NEW: plain-SQL macro surface (SQL UDFs), full value oracle
+    "sql_function_surface",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -177,6 +177,15 @@ def minhash_signature_col(
     it the only formulation usable upstream of stateful streaming
     operators (``dropDuplicatesWithinWatermark`` cannot follow a
     streaming agg) and as a derived column inside any other plan."""
+    return F.expr(minhash_sig_sql(text_col, num_hashes, shingle_n))
+
+
+def minhash_sig_sql(
+    text_col: str, num_hashes: int = 8, shingle_n: int = 3
+) -> str:
+    """The SQL text behind :func:`minhash_signature_col` — also the body
+    of the ``minhash_sig8`` SQL macro (`functions/sql_macros.py`), so the
+    DataFrame and plain-SQL surfaces cannot drift."""
     p = _P31
     sh = _shingle_hashes_sql(text_col, shingle_n)
     terms = ", ".join(
@@ -186,9 +195,7 @@ def minhash_signature_col(
     # bind the shingle array to a lambda variable (transform over a
     # 1-element array) so the shingle expression is evaluated once per
     # row, not once per permutation
-    return F.expr(
-        f"transform(array({sh}), __mh_sh -> array({terms}))"
-    ).getItem(0)
+    return f"transform(array({sh}), __mh_sh -> array({terms}))[0]"
 
 
 def minhash_lsh_pairs(

@@ -205,6 +205,68 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SURFACE_QUERY = """
+    SELECT doc_id,
+           token_count(text) AS ws_tokens,
+           word_count(text) AS word_tokens,
+           quality_score(text) AS quality,
+           lang_id(text) AS lang_pred,
+           content_key(text) AS content_key,
+           md5_keep(CAST(doc_id AS STRING), 0.25) AS keep_25
+    FROM documents
+"""
+
+
+@_register(
+    "sql_function_surface",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text, lower(text) AS txt FROM documents),
+    """
+    + _DOC_METRICS_CTE.replace("FROM base)", ", text FROM base)")
+    + r""",
+    lang AS (
+      SELECT doc_id,
+        GREATEST(len(regexp_extract_all(lower(text), '[A-Za-z0-9]+')), 1) AS nw,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|with)\b')) AS DOUBLE) AS h_en,
+        CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|mit)\b')) AS DOUBLE) AS h_de,
+        CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|que|pour)\b')) AS DOUBLE) AS h_fr,
+        CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|como)\b')) AS DOUBLE) AS h_es
+      FROM base)
+    SELECT m.doc_id,
+           CAST(CASE WHEN length(trim(m.text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(m.text), '\s+')) END AS INT) AS ws_tokens,
+           CAST(m.words AS INT) AS word_tokens,
+           """
+    + _QUALITY_EXPR
+    + r""" AS quality,
+           CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) <= 0 THEN 'und'
+                WHEN h_fr/nw = GREATEST(h_en, h_de, h_fr, h_es)/nw THEN 'fr'
+                WHEN h_es/nw = GREATEST(h_en, h_de, h_fr, h_es)/nw THEN 'es'
+                WHEN h_en/nw = GREATEST(h_en, h_de, h_fr, h_es)/nw THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           md5(trim(regexp_replace(regexp_replace(lower(m.text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS content_key,
+           substring(md5(CAST(m.doc_id AS VARCHAR)), 1, 4) < '4000' AS keep_25
+    FROM m JOIN lang ON m.doc_id = lang.doc_id
+    """,
+)
+def sql_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's scalar operators reached ENTIRELY through SQL: temp
+    views + `functions/sql_macros.py` SQL UDFs (expression macros that
+    inline into codegen — the reference's SQL-first Trino workflow,
+    `Apache Iceberg/metadata_layer.py`), one spark.sql string, zero
+    DataFrame API. The oracle re-derives every macro term-for-term in
+    DuckDB (quality/normalization CTEs shared with doc_quality_scores)."""
+    from ..functions.sql_macros import register_sql_functions
+    from ..sources.catalog import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    register_sql_functions(spark)
+    return spark.sql(_SQL_SURFACE_QUERY)
+
+
+
+
 def _scrub_pii_oracle() -> str:
     """Interpolate the module's PII regexes so Spark and the oracle run
     the same patterns (DuckDB needs the 'g' flag; Spark's regexp_replace
