@@ -57,6 +57,8 @@ _ADJUDICATION_PRIORITY = [
     "ml_anomaly_scores_ae",
     # (b) NEW: plain-SQL macro surface (SQL UDFs), full value oracle
     "sql_function_surface",
+    # (b) NEW: corpus-wide line dedup, full value oracle
+    "doc_line_dedup",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

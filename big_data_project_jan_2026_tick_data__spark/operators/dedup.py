@@ -846,3 +846,78 @@ def simhash_near_pairs(
         blocks=blocks,
         max_bucket_size=max_bucket_size,
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    keep: str = "first",
+    min_chars: int = 1,
+    portable: bool = False,
+) -> DataFrame:
+    """Corpus-wide line/paragraph dedup (the C4 / CCNet text-cleaning
+    step the reference's corpus tooling lacks): split every document on
+    ``sep``, and across the WHOLE corpus either keep only the first
+    occurrence of each repeated line (``keep='first'``, C4-style — first
+    = lowest ``(doc_id, position)``) or drop every occurrence of any
+    line that appears more than once (``keep='unique'``, CCNet-style
+    boilerplate removal). Documents are reassembled with surviving lines
+    in their original order.
+
+    Lines shorter than ``min_chars`` are exempt (always kept) — they
+    carry structure, not content, and would otherwise all collide.
+
+    Scale shape: two shuffles of the line corpus — one by line hash
+    (window count / row_number; the full-text line rides along so there
+    is no second join back to fetch it), one by ``id_col`` for
+    reassembly. Never a self-join, never a cross product; skew on a
+    viral line is bounded because the hash partition only carries that
+    line's occurrences, and only slim (hash, id, pos) state feeds the
+    window rank. ``portable=True`` keys on md5 instead of xxhash64 so
+    any engine can re-derive the drop-set (oracle checks).
+
+    Returns ``(id_col, text_col, n_lines, n_kept)`` — one row per input
+    document (documents whose every line was dropped survive with empty
+    text, so downstream length filters make the removal decision
+    explicitly).
+    """
+    if keep not in ("first", "unique"):
+        raise ValueError(f"keep must be 'first' or 'unique', got {keep!r}")
+    line = F.col("__line")
+    key = F.md5(line) if portable else F.xxhash64(line).cast("string")
+    eligible = F.length(line) >= min_chars
+    # exempt lines get a per-occurrence synthetic key: they rank 1 in a
+    # singleton partition instead of piling into one skewed null-key
+    # partition (a corpus is mostly short/blank lines)
+    exempt_key = F.concat_ws("#", F.lit("__x"), F.col(id_col).cast("string"), F.col("__pos").cast("string"))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__key", F.when(eligible, key).otherwise(exempt_key))
+    w = Window.partitionBy("__key").orderBy(F.col(id_col).asc(), F.col("__pos").asc())
+    if keep == "first":
+        survives = F.row_number().over(w) == 1
+    else:
+        survives = F.count(F.lit(1)).over(Window.partitionBy("__key")) == 1
+    kept = lines.withColumn("__keep", survives)
+    out = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("__pos"), F.col("__line")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("__line"),
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__keep").cast("int")).alias("n_kept"),
+    )
+    return out

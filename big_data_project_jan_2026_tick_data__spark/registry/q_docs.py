@@ -143,6 +143,63 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
 
 
+# Spark-side deterministic re-lining for the line-dedup query: the
+# testdata documents are single-line word soup, so lines are synthesized
+# as 8-token chunks of the normalized text (lambda-bound so the token
+# split evaluates once per row).
+_RELINE_SQL = r"""
+transform(array(split(trim(regexp_replace(regexp_replace(lower(text),
+    '[^\\w\\s]', ' '), '\\s+', ' ')), ' ')),
+  tk -> array_join(transform(
+          sequence(0, greatest(cast(ceil(size(tk) / 8.0) AS INT), 1) - 1),
+          i -> array_join(slice(tk, i * 8 + 1, 8), ' ')), '\n'))[0]
+"""
+
+
+@_register(
+    "doc_line_dedup",
+    r"""
+    WITH relined AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               range(0, GREATEST(CAST(ceil(len(toks) / 8.0) AS INT), 1)),
+               i -> array_to_string(toks[i*8+1 : i*8+8], ' ')), chr(10)) AS text
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+            FROM documents)),
+    lines AS (
+      SELECT doc_id, i - 1 AS pos, l[i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM relined),
+           UNNEST(range(1, len(l) + 1)) AS t(i)),
+    ranked AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN length(line) >= 1
+                  THEN row_number() OVER (
+                         PARTITION BY (CASE WHEN length(line) >= 1 THEN line END)
+                         ORDER BY doc_id, pos)
+                  ELSE 1 END AS rn
+      FROM lines)
+    SELECT doc_id,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1), '') AS text,
+           count(*) AS n_lines,
+           count(*) FILTER (WHERE rn = 1) AS n_kept
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup (C4-style keep-first): documents re-lined
+    into 8-token chunks, every repeated line dropped except its first
+    ``(doc_id, pos)`` occurrence, texts reassembled in order. The hash
+    only GROUPS equal lines (survivor choice is the deterministic
+    (doc_id, pos) rank), so the xxhash64 fast path is fully
+    value-oracled — the oracle partitions by the line text itself."""
+    docs = _td(spark, sf_dir, "documents")
+    relined = docs.select("doc_id", F.expr(_RELINE_SQL).alias("text"))
+    return dedup.line_dedup(relined, keep="first").select(
+        "doc_id", "text", "n_lines", "n_kept"
+    )
+
+
 # Shared DuckDB SQL for the document quality formula and content
 # normalization — mirrors text.with_quality_score / text.normalize_text
 # term by term. THREE oracles reuse these (doc_quality_scores,

@@ -171,3 +171,68 @@ def test_minhash_signatures_survive_parquet_roundtrip(spark, sf_dir, tmp_path):
         for r in dedup.incremental_minhash_pairs(stored, bsig).collect()
     }
     assert mem == disk
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line/paragraph dedup
+
+
+def _line_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta\ncommon line\nx"),
+            (2, "common line\ngamma delta\nx"),
+            (3, "unique only\n\ncommon line"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_line_dedup_keep_first(spark):
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(_line_docs(spark), keep="first").collect()
+    }
+    # doc 1 holds the first occurrence of every duplicated line
+    assert out[1]["text"] == "alpha beta\ncommon line\nx"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    # doc 2 loses 'common line' and 'x' to doc 1
+    assert out[2]["text"] == "gamma delta"
+    assert out[2]["n_kept"] == 1
+    # blank line is exempt (min_chars); 'common line' dropped
+    assert out[3]["text"] == "unique only\n"
+    assert out[3]["n_kept"] == 2
+
+
+def test_line_dedup_keep_unique_drops_all_occurrences(spark):
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup.line_dedup(_line_docs(spark), keep="unique").collect()
+    }
+    assert out[1] == "alpha beta"
+    assert out[2] == "gamma delta"
+    assert out[3] == "unique only\n"
+
+
+def test_line_dedup_idempotent_and_portable_parity(spark):
+    docs = _line_docs(spark)
+    once = dedup.line_dedup(docs, keep="first")
+    twice = dedup.line_dedup(once.select("doc_id", "text"), keep="first")
+    t1 = {r["doc_id"]: r["text"] for r in once.collect()}
+    t2 = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert t1 == t2  # after dedup every eligible line is globally unique
+    via_md5 = {
+        r["doc_id"]: r["text"]
+        for r in dedup.line_dedup(docs, keep="first", portable=True).collect()
+    }
+    assert via_md5 == t1
+
+
+def test_line_dedup_on_corpus_preserves_doc_count(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.line_dedup(docs, sep=" ", min_chars=1, keep="first")
+    assert out.count() == docs.count()
+    stats = out.agg(
+        F.sum("n_lines").alias("nl"), F.sum("n_kept").alias("nk")
+    ).first()
+    assert 0 < stats["nk"] < stats["nl"]  # word-soup corpus must collide
