@@ -921,3 +921,46 @@ def line_dedup(
         F.sum(F.col("__keep").cast("int")).alias("n_kept"),
     )
     return out
+
+
+def cross_doc_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document cross-corpus overlap: the fraction of a document's
+    distinct word n-gram shingles that also occur in at least one OTHER
+    document — the template/boilerplate/contamination signal behind
+    span-level dedup decisions (the per-doc aggregate of what
+    `decontaminate` and `ngram_jaccard_pairs` consume pairwise).
+
+    Keys on md5 of the shingle STRING (collision-free in practice —
+    the 31-bit mixed hashes of `shingle_hashes` would produce expected
+    birthday collisions at corpus scale and break exact counts). The
+    hash only groups equal shingles, so any engine can re-derive the
+    counts by grouping on the shingle text itself. One explode, one
+    count-over-shingle window (no pair materialization — a shingle in
+    10^6 docs costs a count, not 10^12 pairs), one per-doc agg.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__s")
+    ).select(F.col(id_col), F.md5("__s").alias("__k"))
+    # shingles() is distinct per doc, so rows per __k partition == docs
+    # containing the shingle — a plain window count, never a collect_set
+    # (which would be O(df²) memory on a hot shingle)
+    w = Window.partitionBy("__k")
+    per = sh.withColumn("__docs", F.count(F.lit(1)).over(w))
+    return per.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("__docs") >= 2).cast("long")).alias("n_shared"),
+        (
+            F.floor(
+                F.sum((F.col("__docs") >= 2).cast("long"))
+                / F.count(F.lit(1))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("overlap_frac"),
+    )

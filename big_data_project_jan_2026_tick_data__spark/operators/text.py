@@ -349,3 +349,54 @@ def strip_boilerplate(
     return df.withColumn("clean_text", F.array_join(kept, "\n")).withColumn(
         "lines_dropped", F.size(lines) - F.size(kept)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (corpus keyword extraction /
+    doc-signature primitive). idf is the smoothed sklearn form
+    ``ln((1+N)/(1+df)) + 1``; scores are q6-quantized BEFORE ranking so
+    rank order is reproducible across engines (raw doubles differ in the
+    last ulp between libm implementations), ties broken by term.
+
+    Scale shape: one (doc, term) hash agg for tf (map-side combined), a
+    term-level agg for df, a broadcast of the scalar N, and one term
+    equi-join — never a collect of the vocabulary. Top-k via per-doc
+    rank window partitioned by doc (bounded partitions).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.floor(
+                F.col("tf")
+                * (F.log((1 + F.col("n")) / (1 + F.col("df"))) + 1) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )

@@ -200,6 +200,66 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "doc_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS tk
+            FROM documents), UNNEST(tk) AS u(t)
+      WHERE length(t) > 0),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             FLOOR(tf.tf * (ln((1.0 + n.n) / (1.0 + dfreq.df)) + 1) * 1e6 + 0.5) / 1e6 AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (keyword extraction) — tf / df /
+    scalar-N aggs + one term equi-join; q6-quantized score ranking so
+    both engines rank identical values."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, k=5).withColumnRenamed("rank", "rnk")
+
+
+@_register(
+    "doc_cross_overlap",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, g AS s FROM norm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS t(g)),
+    cnt AS (SELECT s, count(*) AS docs FROM sh GROUP BY s)
+    SELECT id AS doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           FLOOR(CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1e6 + 0.5) / 1e6 AS overlap_frac
+    FROM sh JOIN cnt USING (s) GROUP BY id
+    """,
+)
+def doc_cross_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-corpus shingle overlap fraction (template /
+    contamination signal): count-over-shingle window, no pair
+    materialization; md5 keys group equal shingles so the oracle can
+    group on the shingle text itself."""
+    docs = _td(spark, sf_dir, "documents")
+    return dedup.cross_doc_overlap(docs)
+
+
 # Shared DuckDB SQL for the document quality formula and content
 # normalization — mirrors text.with_quality_score / text.normalize_text
 # term by term. THREE oracles reuse these (doc_quality_scores,

@@ -236,3 +236,53 @@ def test_line_dedup_on_corpus_preserves_doc_count(spark, sf_dir):
         F.sum("n_lines").alias("nl"), F.sum("n_kept").alias("nk")
     ).first()
     assert 0 < stats["nk"] < stats["nl"]  # word-soup corpus must collide
+
+
+# ---------------------------------------------------------------------------
+# cross-doc overlap + TF-IDF invariants
+
+
+def test_cross_doc_overlap_bounds(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # exact dup of 1
+            (3, "zeta eta theta iota kappa"),  # fully unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.cross_doc_overlap(docs).collect()}
+    assert out[1]["overlap_frac"] == 1.0 and out[2]["overlap_frac"] == 1.0
+    assert out[3]["overlap_frac"] == 0.0 and out[3]["n_shared"] == 0
+    assert out[1]["n_shingles"] == 3  # 5 tokens -> 3 trigrams
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared rareword"),
+            (2, "shared shared shared"),
+            (3, "shared other other"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {
+        r["doc_id"]: r["term"]
+        for r in t.tfidf_top_terms(docs, k=1).collect()
+    }
+    # at equal tf, the rare term (df=1, idf ln(2)+1) beats the
+    # corpus-wide one (df=3, idf exactly 1)
+    assert top[1] == "rareword"
+    assert top[3] == "other"
+    full = t.tfidf_top_terms(docs, k=10)
+    assert full.filter("rank > 10").count() == 0
+    # ranks are dense 1..k per doc
+    import collections
+
+    ranks = collections.defaultdict(list)
+    for r in full.collect():
+        ranks[r["doc_id"]].append(r["rank"])
+    for v in ranks.values():
+        assert sorted(v) == list(range(1, len(v) + 1))
