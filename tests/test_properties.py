@@ -384,3 +384,39 @@ def test_incremental_minhash_invariant_random_docs(spark, texts, split_mod):
         if (r.id_a % split_mod == 0) != (r.id_b % split_mod == 0)
     }
     assert inc == cross
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", ""]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**SETTINGS)
+def test_line_dedup_invariants_random_corpora(spark, corpus):
+    """keep='first' invariants over arbitrary corpora: (1) every distinct
+    eligible line survives exactly once corpus-wide; (2) the survivor is
+    the lexicographically-first (doc_id, pos) occurrence; (3) exempt
+    (blank) lines always survive; (4) per-doc counts are consistent."""
+    docs = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.line_dedup(docs, keep="first").collect()}
+
+    # python oracle
+    seen: set[str] = set()
+    for i, lines in enumerate(corpus):
+        lines = ("\n".join(lines)).split("\n")  # mirror split semantics
+        kept = []
+        for ln in lines:
+            if len(ln) < 1:  # exempt
+                kept.append(ln)
+            elif ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        r = out[i]
+        assert r["text"] == "\n".join(kept)
+        assert r["n_lines"] == len(lines)
+        assert r["n_kept"] == len(kept)
