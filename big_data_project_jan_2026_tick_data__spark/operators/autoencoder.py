@@ -446,3 +446,93 @@ def fit_autoencoder(
 
     models = {s: (unflatten_params(flat[s], blocks), running[s]) for s in symbols}
     return TrainedAutoencoder(blocks=blocks, models=models, history=history)
+
+
+# ---------------------------------------------------------------------------
+# torch state-dict interop (weights-only migration path; torch NOT needed)
+
+
+def params_from_torch_state(
+    state: dict,
+    input_total: int,
+    hidden_dims: Sequence[int] = HIDDEN_DIMS,
+    latent_dim: int = LATENT_DIM,
+    use_batch_norm: bool = True,
+) -> tuple[list[tuple], list, list]:
+    """Convert a torch ``Autoencoder.state_dict()``-shaped mapping
+    (reference `ML Model/Scripts/model.py:117-147` — ``encoder.N.*`` /
+    ``decoder.N.*`` nn.Sequential keys) into this module's (blocks,
+    params, running) so reference-trained weights score HERE with no
+    torch dependency: export the state dict to npz/arrays on the torch
+    side (`{k: v.numpy() for k, v in sd.items()}`), load it anywhere.
+
+    Key layout per hidden block: Linear at sequential index i, BatchNorm
+    at i+1 (when enabled), activation i+2, Dropout i+3 — parameterless
+    modules still consume indices. Torch Linear stores weight as
+    (out, in); transposed here. BN running_var is torch's unbiased
+    estimate, used as-is. Raises KeyError naming the first missing key.
+    """
+    state = {k: np.asarray(v, dtype=np.float64) for k, v in state.items()}
+    blocks = build_blocks(input_total, hidden_dims, latent_dim, use_batch_norm)
+    params: list = []
+    running: list = []
+    step = 4 if use_batch_norm else 3  # linear, [bn,] act, dropout
+    half = len(hidden_dims)
+
+    def seq_index(side_pos: int, is_bn: bool) -> str:
+        # side_pos counts (linear, bn?) pairs from the side's start;
+        # the side's final latent/output Linear sits at half*step
+        if side_pos == half:
+            return str(half * step)
+        return str(side_pos * step + (1 if is_bn else 0))
+
+    side, pos = "encoder", 0
+    for blk in blocks:
+        if blk[0] == "linear":
+            key = f"{side}.{seq_index(pos, False)}"
+            params.append(
+                {
+                    "W": state[f"{key}.weight"].T.copy(),
+                    "b": state[f"{key}.bias"],
+                }
+            )
+            running.append(None)
+            if pos == half:  # side finished after its closing Linear
+                side, pos = "decoder", 0
+        elif blk[0] == "bn":
+            key = f"{side}.{seq_index(pos, True)}"
+            params.append(
+                {"gamma": state[f"{key}.weight"], "beta": state[f"{key}.bias"]}
+            )
+            running.append(
+                {
+                    "mean": state[f"{key}.running_mean"],
+                    "var": state[f"{key}.running_var"],
+                }
+            )
+            pos += 1
+        else:
+            params.append(None)
+            running.append(None)
+            if not use_batch_norm:
+                pos += 1
+    return blocks, params, running
+
+
+def from_torch_state_dicts(
+    states: dict[str, dict],
+    input_total: int,
+    hidden_dims: Sequence[int] = HIDDEN_DIMS,
+    latent_dim: int = LATENT_DIM,
+    use_batch_norm: bool = True,
+) -> TrainedAutoencoder:
+    """Per-symbol torch state dicts -> a ready scorer for
+    ``mlfeat.reconstruction_errors(model_fn=...)``."""
+    blocks = build_blocks(input_total, hidden_dims, latent_dim, use_batch_norm)
+    models = {}
+    for sym, sd in states.items():
+        _, params, running = params_from_torch_state(
+            sd, input_total, hidden_dims, latent_dim, use_batch_norm
+        )
+        models[sym] = (params, running)
+    return TrainedAutoencoder(blocks, models, history={})

@@ -138,3 +138,87 @@ def test_unknown_symbol_falls_back_to_mean():
     x = np.arange(12, dtype=float).reshape(6, 2)
     rec = model(x, "NOPE")
     np.testing.assert_allclose(rec, np.broadcast_to(x.mean(axis=0), x.shape))
+
+
+def test_torch_state_dict_interop():
+    """Weights-only migration from the reference's torch models: explicit
+    nn.Sequential key layout (Linear at i, BN at i+1, activation and
+    Dropout consume i+2/i+3), Linear weight transposition, BN running
+    stats — verified against a hand-computed forward pass."""
+    rng = np.random.default_rng(11)
+    # arch: input 2 -> hidden (2,) -> latent 1, BN on
+    sd = {
+        "encoder.0.weight": rng.normal(size=(2, 2)),  # torch (out, in)
+        "encoder.0.bias": rng.normal(size=2),
+        "encoder.1.weight": rng.uniform(0.5, 1.5, size=2),  # gamma
+        "encoder.1.bias": rng.normal(size=2),  # beta
+        "encoder.1.running_mean": rng.normal(size=2),
+        "encoder.1.running_var": rng.uniform(0.5, 1.5, size=2),
+        "encoder.4.weight": rng.normal(size=(1, 2)),
+        "encoder.4.bias": rng.normal(size=1),
+        "decoder.0.weight": rng.normal(size=(2, 1)),
+        "decoder.0.bias": rng.normal(size=2),
+        "decoder.1.weight": rng.uniform(0.5, 1.5, size=2),
+        "decoder.1.bias": rng.normal(size=2),
+        "decoder.1.running_mean": rng.normal(size=2),
+        "decoder.1.running_var": rng.uniform(0.5, 1.5, size=2),
+        "decoder.4.weight": rng.normal(size=(2, 2)),
+        "decoder.4.bias": rng.normal(size=2),
+    }
+    model = ae.from_torch_state_dicts(
+        {"SYM": sd}, input_total=2, hidden_dims=(2,), latent_dim=1
+    )
+    params, running = model.models["SYM"]
+    np.testing.assert_array_equal(params[0]["W"], sd["encoder.0.weight"].T)
+    np.testing.assert_array_equal(params[1]["gamma"], sd["encoder.1.weight"])
+    np.testing.assert_array_equal(running[1]["var"], sd["encoder.1.running_var"])
+
+    # hand-computed eval forward for one 1x2 window
+    x = np.array([[0.3, -0.7]])
+
+    def bn(h, pre):
+        mu, var = sd[f"{pre}.running_mean"], sd[f"{pre}.running_var"]
+        xh = (h - mu) / np.sqrt(var + ae.BN_EPS)
+        return sd[f"{pre}.weight"] * xh + sd[f"{pre}.bias"]
+
+    def act(h):
+        return np.where(h > 0, h, ae.LEAKY_SLOPE * h)
+
+    h = act(bn(x @ sd["encoder.0.weight"].T + sd["encoder.0.bias"], "encoder.1"))
+    h = h @ sd["encoder.4.weight"].T + sd["encoder.4.bias"]
+    h = act(bn(h @ sd["decoder.0.weight"].T + sd["decoder.0.bias"], "decoder.1"))
+    expected = h @ sd["decoder.4.weight"].T + sd["decoder.4.bias"]
+
+    got = model(x.reshape(1, 2), "SYM")
+    np.testing.assert_allclose(got, expected.reshape(1, 2), rtol=1e-12)
+
+
+def test_torch_state_dict_missing_key_raises():
+    with pytest.raises(KeyError):
+        ae.params_from_torch_state(
+            {"encoder.0.weight": np.zeros((2, 2))},
+            input_total=2,
+            hidden_dims=(2,),
+            latent_dim=1,
+        )
+
+
+def test_torch_state_dict_no_bn_layout():
+    """Without BatchNorm the Sequential stride is 3 (linear, act,
+    dropout) — the closing Linear of each side sits at half*3."""
+    rng = np.random.default_rng(5)
+    sd = {
+        "encoder.0.weight": rng.normal(size=(2, 2)),
+        "encoder.0.bias": rng.normal(size=2),
+        "encoder.3.weight": rng.normal(size=(1, 2)),
+        "encoder.3.bias": rng.normal(size=1),
+        "decoder.0.weight": rng.normal(size=(2, 1)),
+        "decoder.0.bias": rng.normal(size=2),
+        "decoder.3.weight": rng.normal(size=(2, 2)),
+        "decoder.3.bias": rng.normal(size=2),
+    }
+    blocks, params, running = ae.params_from_torch_state(
+        sd, input_total=2, hidden_dims=(2,), latent_dim=1, use_batch_norm=False
+    )
+    assert [b[0] for b in blocks].count("bn") == 0
+    np.testing.assert_array_equal(params[-1]["W"], sd["decoder.3.weight"].T)
