@@ -59,9 +59,11 @@ _ADJUDICATION_PRIORITY = [
     "sql_function_surface",
     # (b) NEW: corpus-wide line dedup, full value oracle
     "doc_line_dedup",
-    # (b) NEW: overlap/TF-IDF text analysis, full value oracles
+    # (b) NEW: overlap/TF-IDF/chunking/correlation, full value oracles
     "doc_cross_overlap",
     "doc_tfidf_top_terms",
+    "doc_chunk_windows",
+    "ticks_symbol_correlation",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -205,3 +205,51 @@ def key_skew_report(
             "rank",
         )
     )
+
+
+def symbol_correlation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    value_col: str = "value",
+    interval_sec: int = 3600,
+    min_buckets: int = 2,
+) -> DataFrame:
+    """Pairwise Pearson correlation between symbols' resampled series —
+    the cross-symbol analytics step downstream of the reference's
+    per-symbol statistics (`Symbol Data And Stats`): bucket each symbol
+    to ``interval_sec`` means, align buckets with a self-equi-join, and
+    correlate per unordered pair.
+
+    Scale: one hash agg to bucket means (map-side combined — the join
+    and corr see #buckets×#symbols rows, never raw ticks), a bucket-key
+    equi-join producing #buckets×#pairs rows, one pair agg. Quadratic
+    ONLY in symbol count (a portfolio dimension, thousands at most),
+    linear in data. Pairs with fewer than ``min_buckets`` aligned
+    buckets are dropped (corr undefined/meaningless).
+    """
+    bucket = (F.col(ts_col).cast("long") / interval_sec).cast("long")
+    means = df.groupBy(
+        F.col(symbol_col).alias("sym"), bucket.alias("__b")
+    ).agg(F.avg(value_col).alias("__v"))
+    a, b = means.alias("a"), means.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.__b") == F.col("b.__b")) & (F.col("a.sym") < F.col("b.sym")),
+    )
+    return (
+        joined.groupBy(
+            F.col("a.sym").alias("sym_a"), F.col("b.sym").alias("sym_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.corr(F.col("a.__v"), F.col("b.__v")).alias("__c"),
+        )
+        .filter(F.col("n_buckets") >= min_buckets)
+        .select(
+            "sym_a",
+            "sym_b",
+            "n_buckets",
+            (F.floor(F.col("__c") * 1e6 + F.lit(0.5)) / 1e6).alias("corr"),
+        )
+    )

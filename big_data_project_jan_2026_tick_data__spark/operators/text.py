@@ -400,3 +400,50 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking (RAG / context-window prep):
+    token windows of ``chunk_tokens`` starting every
+    ``chunk_tokens - overlap`` tokens; the final window is truncated at
+    the document end, and a document shorter than one window yields one
+    chunk. Chunk count = 1 + ceil((n - chunk)/stride) for n > chunk.
+
+    Pure per-row array arithmetic (lambda-bound so the token split
+    evaluates once per row) followed by posexplode — zero shuffle; the
+    output is chunk-granular and ready for embedding/packing stages.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    chunks_sql = f"""
+    transform(array(split({_NORM_SQL(text_col)}, ' ')), tk ->
+      transform(
+        sequence(0, CASE WHEN size(tk) <= {chunk_tokens} THEN 0
+                 ELSE cast(ceil((size(tk) - {chunk_tokens}) / {stride}.0d) AS INT) END),
+        i -> array_join(slice(tk, i * {stride} + 1, {chunk_tokens}), ' ')))[0]
+    """
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(chunks_sql)).alias("chunk_idx", "chunk_text"),
+    ).withColumn(
+        "n_tokens",
+        F.when(F.length("chunk_text") == 0, 0).otherwise(
+            F.size(F.split(F.col("chunk_text"), " "))
+        ),
+    )
+
+
+def _NORM_SQL(col_name: str) -> str:
+    """normalize_text as SQL text (for expressions that must bind the
+    token array in a lambda — see dedup._shingle_hashes_sql)."""
+    return (
+        rf"trim(regexp_replace(regexp_replace(lower({col_name}), "
+        rf"'[^\\w\\s]', ' '), '\\s+', ' '))"
+    )

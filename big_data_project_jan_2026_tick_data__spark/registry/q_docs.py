@@ -201,6 +201,36 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_chunk_windows",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS tk
+      FROM documents),
+    nc AS (
+      SELECT doc_id, tk,
+             CASE WHEN len(tk) <= 32 THEN 1
+                  ELSE 1 + CAST(ceil((len(tk) - 32) / 24.0) AS INT) END AS n
+      FROM norm),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             array_to_string(tk[i*24+1 : i*24+32], ' ') AS chunk_text
+      FROM nc, UNNEST(range(0, n)) AS t(i))
+    SELECT doc_id, chunk_idx, chunk_text,
+           CASE WHEN length(chunk_text) = 0 THEN 0
+                ELSE len(string_split(chunk_text, ' ')) END AS n_tokens
+    FROM chunks
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (RAG / context-window prep): 32-token
+    windows every 24 tokens (8-token overlap), final window truncated —
+    per-row array arithmetic + posexplode, zero shuffle."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.chunk_windows(docs, chunk_tokens=32, overlap=8)
+
+
+@_register(
     "doc_tfidf_top_terms",
     r"""
     WITH toks AS (

@@ -25,6 +25,40 @@ from ._base import _register, _td
 
 
 @_register(
+    "ticks_symbol_correlation",
+    r"""
+    WITH m AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS sym,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT a.sym AS sym_a, b.sym AS sym_b, a.v AS va, b.v AS vb
+      FROM m a JOIN m b ON a.b = b.b AND a.sym < b.sym)
+    SELECT sym_a, sym_b, count(*) AS n_buckets,
+           FLOOR(corr(va, vb) * 1e6 + 0.5) / 1e6 AS corr_q6
+    FROM j GROUP BY sym_a, sym_b HAVING count(*) >= 2
+    """,
+)
+def ticks_symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-symbol Pearson correlation over hourly resampled series
+    (the portfolio-level step downstream of the reference's per-symbol
+    stats): bucket means → bucket-aligned self-join → per-pair corr.
+    Quadratic only in symbol count, linear in ticks."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        "ts",
+        "value",
+    )
+    return stats.symbol_correlation(t, interval_sec=3600).withColumnRenamed(
+        "corr", "corr_q6"
+    )
+
+
+@_register(
     "ticks_downsample_1min",
     """
     SELECT event_id, user_id, ts, event_type, value FROM (

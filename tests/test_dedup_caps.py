@@ -286,3 +286,48 @@ def test_tfidf_rare_term_outranks_common(spark):
         ranks[r["doc_id"]].append(r["rank"])
     for v in ranks.values():
         assert sorted(v) == list(range(1, len(v) + 1))
+
+
+def test_chunk_windows_contract(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = t.chunk_windows(docs, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 10 tokens, window 4, stride 2 -> 1 + ceil(6/2) = 4 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_text"] for r in c1] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9",
+    ]
+    assert all(r["n_tokens"] == 4 for r in c1)
+    # consecutive chunks overlap by exactly `overlap` tokens
+    for prev, nxt in zip(c1, c1[1:]):
+        assert prev["chunk_text"].split()[-2:] == nxt["chunk_text"].split()[:2]
+    assert by_doc[2][0]["chunk_text"] == "a b" and by_doc[2][0]["n_tokens"] == 2
+    assert by_doc[3][0]["n_tokens"] == 0
+
+
+def test_symbol_correlation_known_values(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import stats as s
+
+    rows = []
+    for b in range(20):
+        v = float(b)
+        rows.append(("A", b * 3600, v))          # identity series
+        rows.append(("B", b * 3600, 2 * v + 5))  # affine of A -> corr 1
+        rows.append(("C", b * 3600, -v))         # negated -> corr -1
+    df = spark.createDataFrame(rows, "symbol string, ts long, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["sym_a"], r["sym_b"]): r
+        for r in s.symbol_correlation(df, interval_sec=3600).collect()
+    }
+    assert out[("A", "B")]["corr"] == 1.0
+    assert out[("A", "C")]["corr"] == -1.0
+    assert out[("B", "C")]["corr"] == -1.0
+    assert all(r["n_buckets"] == 20 for r in out.values())
