@@ -64,6 +64,8 @@ _ADJUDICATION_PRIORITY = [
     "doc_tfidf_top_terms",
     "doc_chunk_windows",
     "ticks_symbol_correlation",
+    "events_funnel_steps",
+    "events_retention_cohorts",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -253,3 +253,109 @@ def symbol_correlation(
             (F.floor(F.col("__c") * 1e6 + F.lit(0.5)) / 1e6).alias("corr"),
         )
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Greedy ordered funnel: a user's step-k timestamp is the earliest
+    step-k event STRICTLY after their step-(k-1) timestamp (the standard
+    product-analytics funnel — order matters, revisits don't).
+
+    One hash agg for step 0, then per later step one filtered
+    user-key equi-join + min-agg — k-1 narrow shuffles keyed by user,
+    each over only that step's events. Output: one row per step with
+    reached-user counts and conversion vs step 0 (q6).
+    """
+    steps = list(steps)
+    cur = df.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias("t0")
+    )
+    for k, s in enumerate(steps[1:], start=1):
+        ev = df.filter(F.col(type_col) == s).select(
+            F.col(user_col), F.col(ts_col).alias("__ts")
+        )
+        nxt = (
+            ev.join(cur.select(user_col, f"t{k-1}"), user_col)
+            .filter(F.col("__ts") > F.col(f"t{k-1}"))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t{k}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    counts = cur.agg(
+        *[F.count(F.col(f"t{k}")).alias(f"c{k}") for k in range(len(steps))]
+    )
+    stacked = counts.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("step"), F.col(f"c{k}").alias("users")
+                    )
+                    for k, s in enumerate(steps)
+                ]
+            )
+        ).alias("step_idx", "s"),
+        F.col("c0").alias("__c0"),
+    )
+    return stacked.select(
+        "step_idx",
+        F.col("s.step").alias("step"),
+        F.col("s.users").alias("users"),
+        (
+            F.floor(
+                F.col("s.users") / F.greatest(F.col("__c0"), F.lit(1)) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("conversion_q6"),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen ISO week,
+    active-user counts per week offset, retention vs the cohort's own
+    size (offset 0 is 100% by construction — a user is active in the
+    week they first appear).
+
+    Two hash aggs (first-seen per user, distinct user-weeks) and one
+    user-key join — all shuffles keyed by user or (cohort, offset).
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    first = df.groupBy(user_col).agg(F.min(wk).alias("__cohort"))
+    active = df.select(F.col(user_col), wk.alias("__wk")).distinct()
+    joined = active.join(first, user_col).select(
+        F.col(user_col),
+        F.to_date("__cohort").alias("cohort_week"),
+        (F.datediff(F.to_date("__wk"), F.to_date("__cohort")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+    )
+    per_cell = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct(user_col).alias("active_users")
+    )
+    sizes = per_cell.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("active_users").alias("__size")
+    )
+    return (
+        per_cell.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            (
+                F.floor(
+                    F.col("active_users") / F.col("__size") * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("retention_q6"),
+        )
+    )

@@ -29,6 +29,11 @@ ORACLE: dict[str, str] = {}
 
 def _register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # a silent dict overwrite would leave the earlier query
+        # registered-looking but untested (and the later one shadowed) —
+        # fail loudly at import instead
+        if name in QUERIES:
+            raise ValueError(f"duplicate registry query name: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle

@@ -25,6 +25,63 @@ from ._base import _register, _td
 
 
 @_register(
+    "events_funnel_steps",
+    r"""
+    WITH s0 AS (
+      SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+      FROM events GROUP BY user_id),
+    s1 AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id),
+    c AS (SELECT (SELECT count(t0) FROM s0) AS c0,
+                 (SELECT count(*) FROM s1) AS c1,
+                 (SELECT count(*) FROM s2) AS c2)
+    SELECT 0 AS step_idx, 'view' AS step, c0 AS users,
+           FLOOR(CAST(c0 AS DOUBLE) / GREATEST(c0, 1) * 1e6 + 0.5) / 1e6 AS conversion_q6
+    FROM c
+    UNION ALL SELECT 1, 'click', c1,
+           FLOOR(CAST(c1 AS DOUBLE) / GREATEST(c0, 1) * 1e6 + 0.5) / 1e6 FROM c
+    UNION ALL SELECT 2, 'purchase', c2,
+           FLOOR(CAST(c2 AS DOUBLE) / GREATEST(c0, 1) * 1e6 + 0.5) / 1e6 FROM c
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy ordered funnel view→click→purchase: per-step min-after-
+    previous-step timestamps via one narrow user-key join per step."""
+    ev = _td(spark, sf_dir, "events")
+    return stats.funnel(ev, steps=("view", "click", "purchase"))
+
+
+@_register(
+    "events_retention_cohorts",
+    r"""
+    WITH wk AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+    fst AS (SELECT user_id, min(w) AS cohort FROM wk GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, w FROM wk),
+    cells AS (
+      SELECT CAST(cohort AS DATE) AS cohort_week,
+             CAST(date_diff('day', CAST(cohort AS DATE), CAST(w AS DATE)) / 7 AS INT) AS week_offset,
+             count(DISTINCT user_id) AS active_users
+      FROM active JOIN fst USING (user_id) GROUP BY 1, 2),
+    sizes AS (SELECT cohort_week, active_users AS sz FROM cells WHERE week_offset = 0)
+    SELECT c.cohort_week, c.week_offset, c.active_users,
+           FLOOR(CAST(c.active_users AS DOUBLE) / sz * 1e6 + 0.5) / 1e6 AS retention_q6
+    FROM cells c JOIN sizes USING (cohort_week)
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (first-seen ISO week × week offset ×
+    active users, retention vs own cohort size)."""
+    ev = _td(spark, sf_dir, "events")
+    return stats.retention_cohorts(ev)
+
+
+@_register(
     "ticks_symbol_correlation",
     r"""
     WITH m AS (

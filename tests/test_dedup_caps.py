@@ -331,3 +331,49 @@ def test_symbol_correlation_known_values(spark):
     assert out[("A", "C")]["corr"] == -1.0
     assert out[("B", "C")]["corr"] == -1.0
     assert all(r["n_buckets"] == 20 for r in out.values())
+
+
+def test_funnel_ordered_semantics(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import stats as s
+
+    rows = [
+        # u1 completes in order
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2 clicks BEFORE viewing: click doesn't count, purchase after a
+        # later click does not exist -> reaches only 'view'
+        (2, 20, "click"), (2, 30, "view"), (2, 25, "purchase"),
+        # u3 never views -> reaches nothing
+        (3, 10, "click"), (3, 20, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["step"]: r for r in s.funnel(df, ("view", "click", "purchase")).collect()}
+    assert out["view"]["users"] == 2
+    assert out["click"]["users"] == 1  # only u1's post-view click
+    assert out["purchase"]["users"] == 1
+    assert out["view"]["conversion_q6"] == 1.0
+    assert out["click"]["conversion_q6"] == 0.5
+
+
+def test_retention_cohorts_contract(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import stats as s
+
+    day = 86400
+    rows = [
+        (1, 0), (1, 7 * day),            # week0 cohort, active w0+w1
+        (2, 0),                           # week0 cohort, only w0
+        (3, 7 * day), (3, 21 * day),      # week1 cohort, active w1+w3
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long").withColumn(
+        "ts", (F.col("ts") + 4 * day).cast("timestamp")  # 1970-01-05 is a Monday
+    )
+    out = {
+        (str(r["cohort_week"]), r["week_offset"]): r
+        for r in s.retention_cohorts(df).collect()
+    }
+    w0, w1 = "1970-01-05", "1970-01-12"
+    assert out[(w0, 0)]["active_users"] == 2 and out[(w0, 0)]["retention_q6"] == 1.0
+    assert out[(w0, 1)]["active_users"] == 1 and out[(w0, 1)]["retention_q6"] == 0.5
+    assert out[(w1, 0)]["active_users"] == 1
+    assert out[(w1, 2)]["active_users"] == 1 and out[(w1, 2)]["retention_q6"] == 1.0
+    assert (w1, 1) not in out  # inactive cells are absent, not zero
