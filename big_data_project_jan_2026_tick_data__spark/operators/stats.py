@@ -274,6 +274,11 @@ def funnel(
     steps = list(steps)
     cur = df.groupBy(user_col).agg(
         F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias("t0")
+    ).filter(
+        # users who never did step 0 can never convert — drop them
+        # before the per-step joins instead of carrying them through
+        # every shuffle (count(t0) already ignored their nulls)
+        F.col("t0").isNotNull()
     )
     for k, s in enumerate(steps[1:], start=1):
         ev = df.filter(F.col(type_col) == s).select(
@@ -339,8 +344,11 @@ def retention_cohorts(
         .cast("int")
         .alias("week_offset"),
     )
+    # `active` is already distinct on (user, week) and cohort/offset are
+    # functions of (user, week), so a plain count equals count-distinct
+    # without the partial-distinct aggregate state
     per_cell = joined.groupBy("cohort_week", "week_offset").agg(
-        F.countDistinct(user_col).alias("active_users")
+        F.count(F.lit(1)).alias("active_users")
     )
     sizes = per_cell.filter(F.col("week_offset") == 0).select(
         "cohort_week", F.col("active_users").alias("__size")
