@@ -66,6 +66,7 @@ _ADJUDICATION_PRIORITY = [
     "ticks_symbol_correlation",
     "events_funnel_steps",
     "events_retention_cohorts",
+    "emb_quantize_int8",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -384,3 +384,30 @@ def emb_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.incremental_embedding_near_dup(
         existing, batch, dim=64, threshold=0.2, num_planes=4
     )
+
+
+@_register(
+    "emb_quantize_int8",
+    r"""
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    stats AS (SELECT pos, min(v) AS dmin, max(v) AS dmax FROM ex GROUP BY pos),
+    q2 AS (
+      SELECT vec_id, pos, v, dmin, dmax, (dmax - dmin) / 255.0 AS sc,
+             CASE WHEN dmax = dmin THEN 0
+                  ELSE CAST(FLOOR((v - dmin) / ((dmax - dmin) / 255.0) + 0.5) AS INT) - 128
+             END AS q
+      FROM ex JOIN stats USING (pos))
+    SELECT vec_id, CAST(pos AS INT) AS pos, q,
+           abs(v - (dmin + (q + 128) * sc)) <= sc / 2 + 1e-12 AS within_bound
+    FROM q2
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affine per-dimension int8 quantization (the 4x ANN-shard memory
+    lever), emitted as scalar rows with a per-value reconstruction-error
+    bound check; codes are exact IEEE arithmetic on float32 inputs, so
+    the oracle reproduces them bit-for-bit."""
+    emb = _td(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings_int8(emb, as_rows=True)

@@ -116,3 +116,32 @@ def test_sql_arr_rejects_non_finite():
         _sql_arr([1.0, float("nan")])
     with pytest.raises(ValueError, match="non-finite"):
         _sql_arr([math.inf, 0.0])
+
+
+def test_quantize_int8_contract(spark, sf_dir):
+    from big_data_project_jan_2026_tick_data__spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = sim.quantize_embeddings_int8(emb, as_rows=True)
+    agg = rows.agg(
+        F.min("q").alias("qmin"),
+        F.max("q").alias("qmax"),
+        F.min(F.col("within_bound").cast("int")).alias("all_ok"),
+    ).first()
+    assert -128 <= agg["qmin"] and agg["qmax"] <= 127
+    assert agg["all_ok"] == 1  # every value within scale/2 of its code
+    # array form matches the row form element-for-element
+    arr = {r["vec_id"]: r["qvec"] for r in sim.quantize_embeddings_int8(emb).collect()}
+    sample = rows.filter(F.col("vec_id") < 3).collect()
+    for r in sample:
+        assert arr[r["vec_id"]][r["pos"]] == r["q"]
+    # min/max dims hit the code range ends
+    d = emb.select(F.size("embedding").alias("d")).first()["d"]
+    per_dim = {
+        (r["pos"]): (r["qlo"], r["qhi"])
+        for r in rows.groupBy("pos")
+        .agg(F.min("q").alias("qlo"), F.max("q").alias("qhi"))
+        .collect()
+    }
+    assert len(per_dim) == d
+    assert all(lo == -128 and hi == 127 for lo, hi in per_dim.values())
