@@ -5,3 +5,4 @@ from .scalars import (  # noqa: F401
     window_id_str,
     clamped_spread,
 )
+from . import sql_macros  # noqa: F401

@@ -1,1 +1,1 @@
-from . import ticks, stats, joins, dedup, similarity, text, mlfeat, multimodal  # noqa: F401
+from . import ticks, stats, joins, dedup, similarity, text, mlfeat, multimodal, autoencoder  # noqa: F401
