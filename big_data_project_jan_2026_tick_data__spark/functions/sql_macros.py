@@ -23,13 +23,11 @@ from pyspark.sql import SparkSession
 
 from ..operators.dedup import minhash_sig_sql
 
+from ..operators.text import normalize_sql
+
 # regex fragments at the SQL-literal level (default Spark escaping:
 # '\\w' in SQL text means the two chars backslash-w, i.e. regex \w)
 _WORD_RE = "[A-Za-z0-9]+"
-_NORM = (
-    r"trim(regexp_replace(regexp_replace(lower({c}), '[^\\w\\s]', ' '), "
-    r"'\\s+', ' '))"
-)
 _STOP_EN = r"'\\b(the|and|of|to|is|that|with)\\b'"
 
 # quality components over lower(t) — term-for-term the formula of
@@ -73,7 +71,7 @@ def _lang_id_body() -> str:
 
 def sql_function_ddls() -> dict[str, str]:
     """name -> CREATE OR REPLACE TEMPORARY FUNCTION statement."""
-    norm_t = _NORM.format(c="t")
+    norm_t = normalize_sql("t")
     defs = {
         # text analysis (operators/text.py twins)
         "norm_text": ("(t STRING) RETURNS STRING", norm_t),
@@ -84,7 +82,8 @@ def sql_function_ddls() -> dict[str, str]:
         ),
         "word_count": (
             "(t STRING) RETURNS INT",
-            f"size(regexp_extract_all(t, '{_WORD_RE}', 0))",
+            # coalesce mirrors with_token_count's NULL-text -> 0
+            f"coalesce(size(regexp_extract_all(t, '{_WORD_RE}', 0)), 0)",
         ),
         "quality_score": ("(t STRING) RETURNS DOUBLE", _QUALITY_BODY),
         "lang_id": ("(t STRING) RETURNS STRING", _lang_id_body()),

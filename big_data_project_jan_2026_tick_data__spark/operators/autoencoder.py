@@ -316,17 +316,10 @@ def fit_autoencoder(
     rows stay tiny relative to data (n_params is model-, not
     corpus-sized).
     """
-    first = tensors.select("features").first()
-    if first is None:
-        return TrainedAutoencoder(blocks=[], models={}, history={})
-    tensor0 = first[0]
-    input_total = len(tensor0) * len(tensor0[0])
-    blocks = build_blocks(input_total, hidden_dims, latent_dim, use_batch_norm)
-    bn_dims = [blk[1] for blk in blocks if blk[0] == "bn"]
-    bn_split = np.cumsum(bn_dims)[:-1] if bn_dims else None
-
-    # deterministic batch assignment; checkpoint so the (pandas-UDF)
-    # featurization upstream runs once, not once per epoch
+    # deterministic batch assignment; checkpoint FIRST so the
+    # (pandas-UDF) featurization upstream runs exactly once — probing
+    # the input shape before checkpointing would execute the featurize
+    # pipeline a second time just to read one row
     batched = (
         tensors.select(
             "symbol",
@@ -337,6 +330,14 @@ def fit_autoencoder(
         )
         .localCheckpoint()
     )
+    first = batched.select("features").first()
+    if first is None:
+        return TrainedAutoencoder(blocks=[], models={}, history={})
+    tensor0 = first[0]
+    input_total = len(tensor0) * len(tensor0[0])
+    blocks = build_blocks(input_total, hidden_dims, latent_dim, use_batch_norm)
+    bn_dims = [blk[1] for blk in blocks if blk[0] == "bn"]
+    bn_split = np.cumsum(bn_dims)[:-1] if bn_dims else None
     symbols = sorted(r[0] for r in batched.select("symbol").distinct().collect())
     if not symbols:
         return TrainedAutoencoder(blocks=blocks, models={}, history={})

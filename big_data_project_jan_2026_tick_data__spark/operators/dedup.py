@@ -13,6 +13,8 @@ no Python in the hot path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -89,10 +91,9 @@ def shingle_hashes(col_name: str, n: int = 3) -> Column:
 def _shingle_hashes_sql(col_name: str, n: int) -> str:
     """The SQL text behind :func:`shingle_hashes` (reused verbatim by
     per-row signature builders)."""
-    norm = (
-        rf"trim(regexp_replace(regexp_replace(lower({col_name}), "
-        rf"'[^\\w\\s]', ' '), '\\s+', ' '))"
-    )
+    from .text import normalize_sql
+
+    norm = normalize_sql(col_name)
     th = f"transform(split({norm}, ' '), t -> pmod(xxhash64(t), {_P31}L))"
     g = th
     for k in range(1, n):
@@ -892,9 +893,17 @@ def line_dedup(
     # singleton partition instead of piling into one skewed null-key
     # partition (a corpus is mostly short/blank lines)
     exempt_key = F.concat_ws("#", F.lit("__x"), F.col(id_col).cast("string"), F.col("__pos").cast("string"))
+    # sep is a LITERAL separator: F.split takes a Java regex, so escape
+    # every char (re.escape is Java-compatible here — it never escapes
+    # alphanumerics, and \<punct> is the char itself in Java regex).
+    # NULL text must still yield the contractual one output row — treat
+    # it as empty (split(NULL) is NULL and posexplode(NULL) emits no
+    # rows, which would silently drop the document).
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep))
+        ).alias("__pos", "__line"),
     ).withColumn("__key", F.when(eligible, key).otherwise(exempt_key))
     w = Window.partitionBy("__key").orderBy(F.col(id_col).asc(), F.col("__pos").asc())
     if keep == "first":

@@ -451,15 +451,20 @@ def incremental_embedding_near_dup(
     )
 
 
+def _exploded_dims(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, pos, __v double) — the one explode shared by the dim-stats
+    aggregation and the quantizer."""
+    return df.select(F.col(id_col), F.posexplode(vec_col).alias("pos", "__v")).select(
+        F.col(id_col), "pos", F.col("__v").cast("double").alias("__v")
+    )
+
+
 def embedding_dim_stats(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
     """Per-dimension (pos, dmin, dmax) over the corpus — one explode +
     map-side-combined agg keyed by dimension index (shuffle = d rows)."""
-    ex = df.select(
-        F.col(id_col), F.posexplode(vec_col).alias("pos", "__v")
-    ).select("pos", F.col("__v").cast("double").alias("__v"))
-    return ex.groupBy("pos").agg(
+    return _exploded_dims(df, vec_col, id_col).groupBy("pos").agg(
         F.min("__v").alias("dmin"), F.max("__v").alias("dmax")
     )
 
@@ -483,9 +488,7 @@ def quantize_embeddings_int8(
     default rebuilds arrays per id (one id-keyed shuffle). The stats
     join is a broadcast of d rows — corpus-size-independent.
     """
-    ex = df.select(F.col(id_col), F.posexplode(vec_col).alias("pos", "__v")).select(
-        F.col(id_col), "pos", F.col("__v").cast("double").alias("__v")
-    )
+    ex = _exploded_dims(df, vec_col, id_col)
     stats = embedding_dim_stats(df, vec_col, id_col)
     scale = (F.col("dmax") - F.col("dmin")) / F.lit(255.0)
     q = F.when(F.col("dmax") == F.col("dmin"), F.lit(0)).otherwise(

@@ -245,7 +245,14 @@ def symbol_correlation(
             F.count(F.lit(1)).alias("n_buckets"),
             F.corr(F.col("a.__v"), F.col("b.__v")).alias("__c"),
         )
-        .filter(F.col("n_buckets") >= min_buckets)
+        .filter(
+            (F.col("n_buckets") >= min_buckets)
+            # zero-variance series (halted ticker repeating one price)
+            # make corr 0/0 — Spark yields NaN, SQL engines NULL; drop
+            # the pair in both formulations rather than emit either
+            & F.col("__c").isNotNull()
+            & ~F.isnan("__c")
+        )
         .select(
             "sym_a",
             "sym_b",

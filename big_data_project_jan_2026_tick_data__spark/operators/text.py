@@ -423,7 +423,7 @@ def chunk_windows(
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     chunks_sql = f"""
-    transform(array(split({_NORM_SQL(text_col)}, ' ')), tk ->
+    transform(array(split({normalize_sql(text_col)}, ' ')), tk ->
       transform(
         sequence(0, CASE WHEN size(tk) <= {chunk_tokens} THEN 0
                  ELSE cast(ceil((size(tk) - {chunk_tokens}) / {stride}.0d) AS INT) END),
@@ -440,9 +440,12 @@ def chunk_windows(
     )
 
 
-def _NORM_SQL(col_name: str) -> str:
-    """normalize_text as SQL text (for expressions that must bind the
-    token array in a lambda — see dedup._shingle_hashes_sql)."""
+def normalize_sql(col_name: str) -> str:
+    """:func:`normalize_text` as Spark-SQL text — THE single source for
+    every SQL-string formulation of the canonical normalization
+    (shingle hashing, SQL macros, lambda-bound token pipelines). The
+    DuckDB mirror lives in ``registry/q_docs.py::_norm_sql``; change
+    them only together."""
     return (
         rf"trim(regexp_replace(regexp_replace(lower({col_name}), "
         rf"'[^\\w\\s]', ' '), '\\s+', ' '))"

@@ -23,6 +23,53 @@ from ._base import _register, _td
 # ---------------------------------------------------------------------------
 
 
+# Shared DuckDB SQL for the document quality formula and content
+# normalization — mirrors text.with_quality_score / text.normalize_text
+# term by term. THREE oracles reuse these (doc_quality_scores,
+# doc_curation_pipeline, doc_export_shards): change them only in lockstep
+# with the Spark implementation, never fork a per-oracle copy.
+
+
+def _doc_metrics_cte(extra_cols: str = "") -> str:
+    """The quality-metrics CTE; ``extra_cols`` (e.g. ``", text"``) is
+    appended to the select list — an explicit parameter instead of
+    string surgery on the rendered SQL."""
+    return rf"""m AS (
+      SELECT doc_id,
+             length(txt) AS n_chars,
+             len(regexp_extract_all(txt, '[A-Za-z0-9]+')) AS words,
+             len(regexp_extract_all(txt, '[^\w\s]')) AS n_punct,
+             len(regexp_extract_all(txt, '[A-Za-z0-9]')) AS word_chars,
+             len(regexp_extract_all(txt, '\bthe\b'))
+               + len(regexp_extract_all(txt, '\band\b'))
+               + len(regexp_extract_all(txt, '\bof\b'))
+               + len(regexp_extract_all(txt, '\bto\b'))
+               + len(regexp_extract_all(txt, '\bis\b'))
+               + len(regexp_extract_all(txt, '\bthat\b'))
+               + len(regexp_extract_all(txt, '\bwith\b')) AS stop_hits{extra_cols}
+      FROM base)"""
+
+
+_DOC_METRICS_CTE = _doc_metrics_cte()
+
+
+_QUALITY_EXPR = """FLOOR((0.35 * LEAST(n_chars / 2000.0, 1.0)
+                 + 0.25 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1) * 4.0, 1.0))
+                 + 0.25 * LEAST(LEAST(stop_hits / GREATEST(words, 1), 1.0) * 5.0, 1.0)
+                 + 0.15 * (CASE WHEN word_chars / GREATEST(words, 1) >= 3.0
+                                 AND word_chars / GREATEST(words, 1) <= 10.0
+                           THEN 1.0 ELSE 0.5 END)) * 1e6 + 0.5) / 1e6"""
+
+
+def _norm_sql(col: str) -> str:
+    """DuckDB mirror of text.normalize_text: lowercase, strip
+    punctuation, collapse whitespace, trim."""
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}), "
+        f"'[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
 @_register(
     "doc_token_stats",
     r"""
@@ -290,44 +337,6 @@ def doc_cross_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_doc_overlap(docs)
 
 
-# Shared DuckDB SQL for the document quality formula and content
-# normalization — mirrors text.with_quality_score / text.normalize_text
-# term by term. THREE oracles reuse these (doc_quality_scores,
-# doc_curation_pipeline, doc_export_shards): change them only in lockstep
-# with the Spark implementation, never fork a per-oracle copy.
-
-
-_DOC_METRICS_CTE = r"""m AS (
-      SELECT doc_id,
-             length(txt) AS n_chars,
-             len(regexp_extract_all(txt, '[A-Za-z0-9]+')) AS words,
-             len(regexp_extract_all(txt, '[^\w\s]')) AS n_punct,
-             len(regexp_extract_all(txt, '[A-Za-z0-9]')) AS word_chars,
-             len(regexp_extract_all(txt, '\bthe\b'))
-               + len(regexp_extract_all(txt, '\band\b'))
-               + len(regexp_extract_all(txt, '\bof\b'))
-               + len(regexp_extract_all(txt, '\bto\b'))
-               + len(regexp_extract_all(txt, '\bis\b'))
-               + len(regexp_extract_all(txt, '\bthat\b'))
-               + len(regexp_extract_all(txt, '\bwith\b')) AS stop_hits
-      FROM base)"""
-
-
-_QUALITY_EXPR = """FLOOR((0.35 * LEAST(n_chars / 2000.0, 1.0)
-                 + 0.25 * (1.0 - LEAST(n_punct / GREATEST(n_chars, 1) * 4.0, 1.0))
-                 + 0.25 * LEAST(LEAST(stop_hits / GREATEST(words, 1), 1.0) * 5.0, 1.0)
-                 + 0.15 * (CASE WHEN word_chars / GREATEST(words, 1) >= 3.0
-                                 AND word_chars / GREATEST(words, 1) <= 10.0
-                           THEN 1.0 ELSE 0.5 END)) * 1e6 + 0.5) / 1e6"""
-
-
-def _norm_sql(col: str) -> str:
-    """DuckDB mirror of text.normalize_text: lowercase, strip
-    punctuation, collapse whitespace, trim."""
-    return (
-        f"trim(regexp_replace(regexp_replace(lower({col}), "
-        f"'[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
-    )
 
 
 @_register(
@@ -370,7 +379,7 @@ _SQL_SURFACE_QUERY = """
     WITH base AS (
       SELECT doc_id, text, lower(text) AS txt FROM documents),
     """
-    + _DOC_METRICS_CTE.replace("FROM base)", ", text FROM base)")
+    + _doc_metrics_cte(", text")
     + r""",
     lang AS (
       SELECT doc_id,

@@ -94,7 +94,8 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m a JOIN m b ON a.b = b.b AND a.sym < b.sym)
     SELECT sym_a, sym_b, count(*) AS n_buckets,
            FLOOR(corr(va, vb) * 1e6 + 0.5) / 1e6 AS corr_q6
-    FROM j GROUP BY sym_a, sym_b HAVING count(*) >= 2
+    FROM j GROUP BY sym_a, sym_b
+    HAVING count(*) >= 2 AND corr(va, vb) IS NOT NULL
     """,
 )
 def ticks_symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -377,3 +377,32 @@ def test_retention_cohorts_contract(spark):
     assert out[(w1, 0)]["active_users"] == 1
     assert out[(w1, 2)]["active_users"] == 1 and out[(w1, 2)]["retention_q6"] == 1.0
     assert (w1, 1) not in out  # inactive cells are absent, not zero
+
+
+def test_line_dedup_literal_separator_and_null_text(spark):
+    """sep is a LITERAL separator even when it is a regex metachar, and a
+    NULL text still yields the contractual one output row (review
+    findings: '|' used to split between every character; NULL docs
+    vanished entirely)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta|common x|gamma"), (2, "common x|delta"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.line_dedup(docs, sep="|").collect()}
+    assert len(out) == 3
+    assert out[1]["text"] == "alpha beta|common x|gamma"
+    assert out[2]["text"] == "delta"  # 'common x' kept only in doc 1
+    assert out[3]["text"] == "" and out[3]["n_lines"] == 1
+
+
+def test_symbol_correlation_drops_zero_variance_series(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import stats as s
+
+    rows = []
+    for b in range(10):
+        rows.append(("A", b * 3600, float(b)))
+        rows.append(("FLAT", b * 3600, 7.0))  # halted ticker: constant
+    df = spark.createDataFrame(rows, "symbol string, ts long, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = s.symbol_correlation(df, interval_sec=3600).collect()
+    assert out == []  # the only pair involves the flat series -> dropped
