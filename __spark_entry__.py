@@ -67,6 +67,7 @@ _ADJUDICATION_PRIORITY = [
     "events_funnel_steps",
     "events_retention_cohorts",
     "emb_quantize_int8",
+    "emb_quantized_topk",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -516,3 +516,26 @@ def quantize_embeddings_int8(
         ).alias("qvec"),
         F.min(F.col("within_bound").cast("int")).cast("boolean").alias("all_within"),
     )
+
+
+def dequantize_int8(
+    rows: DataFrame, stats: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Reconstruct double vectors from int8 code rows + per-dim stats
+    (the read path of a quantized ANN shard): v' = dmin + (q+128)*scale.
+    Broadcast d-row stats join, one id-keyed shuffle to rebuild arrays.
+    Exact IEEE arithmetic — codes plus stats reproduce the SAME doubles
+    in any engine, so downstream similarity scores stay oracle-checkable.
+    """
+    scale = (F.col("dmax") - F.col("dmin")) / F.lit(255.0)
+    dq = rows.join(F.broadcast(stats), "pos").select(
+        F.col(id_col),
+        "pos",
+        (F.col("dmin") + (F.col("q") + F.lit(128)) * scale).alias("__dq"),
+    )
+    return dq.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "__dq"))),
+            lambda s: s.getField("__dq"),
+        ).alias(vec_col)
+    )

@@ -411,3 +411,46 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle reproduces them bit-for-bit."""
     emb = _td(spark, sf_dir, "embeddings")
     return similarity.quantize_embeddings_int8(emb, as_rows=True)
+
+
+@_register(
+    "emb_quantized_topk",
+    r"""
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    stats AS (SELECT pos, min(v) AS dmin, max(v) AS dmax FROM ex GROUP BY pos),
+    dq AS (
+      SELECT vec_id, pos,
+             dmin + ((CASE WHEN dmax = dmin THEN 0
+                      ELSE CAST(FLOOR((v - dmin) / ((dmax - dmin) / 255.0) + 0.5) AS INT) - 128
+                      END) + 128) * ((dmax - dmin) / 255.0) AS rv
+      FROM ex JOIN stats USING (pos)),
+    vecs AS (SELECT vec_id, list(rv ORDER BY pos) AS vec FROM dq GROUP BY vec_id),
+    qs AS (SELECT vec_id AS query_id, vec AS qvec FROM vecs WHERE vec_id < 5)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT qs.query_id, c.vec_id,
+             ROUND(list_cosine_similarity(c.vec, qs.qvec), 6) AS cosine,
+             row_number() OVER (PARTITION BY qs.query_id
+                                ORDER BY ROUND(list_cosine_similarity(c.vec, qs.qvec), 6) DESC,
+                                         c.vec_id) AS rank
+      FROM vecs c, qs)
+    WHERE rank <= 10
+    """,
+)
+def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quantized search: int8 codes → dequantize → exact
+    cosine top-10 over the reconstructed vectors (the read path of a 4x-
+    compressed ANN shard). Codes and dequantized doubles are exact IEEE
+    arithmetic, so the oracle re-derives the ENTIRE quantize→dequantize→
+    score→rank pipeline bit-for-bit."""
+    emb = _td(spark, sf_dir, "embeddings")
+    rows = similarity.quantize_embeddings_int8(emb, as_rows=True).select(
+        "vec_id", "pos", "q"
+    )
+    stats = similarity.embedding_dim_stats(emb)
+    deq = similarity.dequantize_int8(rows, stats)
+    queries = deq.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(deq, queries, k=10)

@@ -145,3 +145,30 @@ def test_quantize_int8_contract(spark, sf_dir):
     }
     assert len(per_dim) == d
     assert all(lo == -128 and hi == 127 for lo, hi in per_dim.values())
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """Quantized search is an approximation — measure it: top-10 by
+    dequantized int8 vectors must overlap heavily with the exact top-10
+    (32 dims, 8-bit codes: near-lossless on this data)."""
+    from big_data_project_jan_2026_tick_data__spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = sim.quantize_embeddings_int8(emb, as_rows=True).select("vec_id", "pos", "q")
+    deq = sim.dequantize_int8(rows, sim.embedding_dim_stats(emb))
+    dq_queries = deq.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.brute_force_topk(deq, dq_queries, k=10).collect()
+    }
+    ex_queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.brute_force_topk(emb, ex_queries, k=10).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, recall
