@@ -205,3 +205,68 @@ def test_decontaminate_200k_corpus_vs_5k_benchmark(spark):
     hits = dedup.decontaminate(corpus, bench, shingle_n=4)
     n_hits = hits.count()
     assert n_hits == n // 40, n_hits
+
+
+@pytest.fixture(scope="module")
+def big_docs(spark):
+    """~300k synthetic docs (~40 tokens each, word-soup with planted
+    exact duplicates every 10th doc) generated distributively."""
+    words = 500
+    return spark.range(300_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("w"),
+                    (F.xxhash64((F.col("id") / 10).cast("long") * 40 + i) % words).cast(
+                        "string"
+                    ),
+                )
+                for i in range(40)
+            ],
+        ).alias("text"),
+    )
+
+
+def test_line_dedup_scales(spark, big_docs):
+    from big_data_project_jan_2026_tick_data__spark.operators import dedup
+
+    out = dedup.line_dedup(big_docs, sep=" ", min_chars=1, keep="first")
+    agg = out.agg(F.count(F.lit(1)).alias("n"), F.sum("n_kept").alias("nk")).first()
+    assert agg["n"] == 300_000
+    assert 0 < agg["nk"] < 300_000 * 40
+
+
+def test_tfidf_scales(spark, big_docs):
+    from big_data_project_jan_2026_tick_data__spark.operators import text
+
+    out = text.tfidf_top_terms(big_docs, k=3)
+    assert out.count() == 300_000 * 3
+
+
+def test_cross_overlap_scales(spark, big_docs):
+    from big_data_project_jan_2026_tick_data__spark.operators import dedup
+
+    # planted dup groups of 10 -> every doc's shingles are shared
+    row = dedup.cross_doc_overlap(big_docs).agg(
+        F.count(F.lit(1)).alias("n"), F.min("overlap_frac").alias("mn")
+    ).first()
+    assert row["n"] == 300_000 and row["mn"] == 1.0
+
+
+def test_funnel_retention_scale(spark, big_ticks):
+    from big_data_project_jan_2026_tick_data__spark.operators import stats
+
+    ev = big_ticks.select(
+        (F.col("tid") % 100_000).alias("user_id"),
+        F.col("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            ((F.col("tid") % 3) + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    fun = {r["step"]: r["users"] for r in stats.funnel(ev, ("view", "click", "purchase")).collect()}
+    assert fun["view"] == 100_000 and fun["purchase"] > 0
+    ret = stats.retention_cohorts(ev)
+    assert ret.count() > 0
