@@ -420,3 +420,38 @@ def test_line_dedup_invariants_random_corpora(spark, corpus):
         assert r["text"] == "\n".join(kept)
         assert r["n_lines"] == len(lines)
         assert r["n_kept"] == len(kept)
+
+
+@given(
+    n_tokens=st.integers(0, 40),
+    chunk=st.integers(2, 12),
+    overlap_frac=st.floats(0.0, 0.9),
+)
+@settings(**SETTINGS)
+def test_chunk_windows_coverage_invariants(spark, n_tokens, chunk, overlap_frac):
+    """Every token position is covered by at least one chunk, consecutive
+    chunks advance by exactly stride, and only the final chunk may be
+    short."""
+    from big_data_project_jan_2026_tick_data__spark.operators import text as t
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    toks = [f"w{i}" for i in range(n_tokens)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = sorted(
+        t.chunk_windows(docs, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    stride = chunk - overlap
+    n = max(n_tokens, 1)  # empty text still yields one (empty) chunk
+    expected_chunks = 1 if n <= chunk else 1 + -(-(n - chunk) // stride)
+    assert len(out) == expected_chunks
+    covered = []
+    for r in out:
+        start = r["chunk_idx"] * stride
+        got = r["chunk_text"].split(" ") if r["chunk_text"] else []
+        assert got == toks[start : start + chunk]
+        covered.extend(range(start, min(start + chunk, n_tokens)))
+    assert set(covered) == set(range(n_tokens))
+    # all but the last chunk are full-width
+    for r in out[:-1]:
+        assert r["n_tokens"] == chunk
