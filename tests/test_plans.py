@@ -240,3 +240,61 @@ def test_tz_spread_scrub_no_shuffle(spark, sf_dir):
     compile to a single narrow stage: zero shuffle exchanges."""
     tree, _ = _explain(spark, "ticks_tz_spread_scrub", sf_dir)
     assert _shuffles(tree) == 0
+
+
+def test_line_dedup_two_narrow_shuffles_no_join(spark, sf_dir):
+    """line_dedup must be window + reassembly only: no join back to fetch
+    line text, no cartesian, no Python."""
+    from big_data_project_jan_2026_tick_data__spark.operators import dedup
+    from big_data_project_jan_2026_tick_data__spark.plans.doctor import plan_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = plan_report(dedup.line_dedup(docs, sep=" "))
+    assert r["cartesian_products"] == 0 and r["broadcast_nested_loop_joins"] == 0
+    assert r["sort_merge_joins"] == 0 and r["broadcast_joins"] == 0
+    assert r["python_row_udfs"] == 0
+    assert r["shuffles"] <= 3  # line-key window, doc reassembly (+AQE read)
+
+
+def test_funnel_joins_stay_keyed(spark, sf_dir):
+    """Per-step funnel joins are user-key equi-joins — never a nested
+    loop; one aggregation per step plus the final count."""
+    from big_data_project_jan_2026_tick_data__spark.operators import stats
+    from big_data_project_jan_2026_tick_data__spark.plans.doctor import plan_report
+    from big_data_project_jan_2026_tick_data__spark.sources.io import read_events
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    r = plan_report(stats.funnel(ev, ("view", "click", "purchase")))
+    assert r["cartesian_products"] == 0 and r["broadcast_nested_loop_joins"] == 0
+    assert r["python_row_udfs"] == 0
+
+
+def test_symbol_correlation_join_on_bucket_means(spark, sf_dir):
+    """The correlation self-join must consume bucket MEANS, not raw
+    ticks: exactly two scans of the events file (one per join side),
+    each reduced by a partial aggregate before the join."""
+    from big_data_project_jan_2026_tick_data__spark.operators import stats
+    from big_data_project_jan_2026_tick_data__spark.plans.doctor import plan_report
+    from big_data_project_jan_2026_tick_data__spark.sources.io import read_events
+    from pyspark.sql import functions as F
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        "value",
+    )
+    r = plan_report(stats.symbol_correlation(ev))
+    assert r["cartesian_products"] == 0 and r["broadcast_nested_loop_joins"] == 0
+    assert r["scans"] <= 2
+
+
+def test_quantize_stats_join_is_broadcast(spark, sf_dir):
+    """Per-dim stats (d rows) must broadcast back to the exploded values —
+    a sort-merge join here would shuffle the whole exploded corpus."""
+    from big_data_project_jan_2026_tick_data__spark.operators import similarity
+    from big_data_project_jan_2026_tick_data__spark.plans.doctor import plan_report
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    r = plan_report(similarity.quantize_embeddings_int8(emb, as_rows=True))
+    assert r["broadcast_joins"] >= 1 and r["sort_merge_joins"] == 0
+    assert r["cartesian_products"] == 0 and r["python_row_udfs"] == 0
