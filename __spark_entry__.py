@@ -68,6 +68,7 @@ _ADJUDICATION_PRIORITY = [
     "events_retention_cohorts",
     "emb_quantize_int8",
     "emb_quantized_topk",
+    "doc_lm_perplexity",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -450,3 +450,94 @@ def normalize_sql(col_name: str) -> str:
         rf"trim(regexp_replace(regexp_replace(lower({col_name}), "
         rf"'[^\\w\\s]', ' '), '\\s+', ' '))"
     )
+
+
+def lm_cross_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Bigram-LM cross-entropy / perplexity per document — the
+    CCNet-style quality filter (Wenzek et al. 2020 score with KenLM;
+    here a Laplace-smoothed bigram LM trained DISTRIBUTIVELY on
+    ``lm_corpus``, default: the corpus itself). Documents whose token
+    stream surprises the corpus LM (high perplexity) are non-prose,
+    garbled, or off-distribution — the standard pretraining-data cut.
+
+    Model: P(w|prev) = (c(prev,w) + 1) / (c(prev) + V);
+    first token scored by the unigram P(w) = (c(w) + 1) / (N + V).
+    Per-doc cross-entropy H = -(1/n)*sum(log2 P); perplexity = 2^H.
+
+    Scale shape: LM training is two hash aggs over per-row-derived
+    token/bigram explosions (zip_with, no position self-join; shuffle is
+    vocab-sized after map-side combine). Scoring explodes each doc once
+    (previous token fetched per row with ``get``, no join) and joins
+    against the count tables on token keys, then reduces per doc. V and
+    N are a broadcast scalar row. No Python, no collects.
+    """
+    lm = lm_corpus if lm_corpus is not None else df
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+
+    lm_tok = lm.select(F.explode(toks).alias("w")).filter(F.length("w") > 0)
+    uni = lm_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    lm_big = lm.select(
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    toks,
+                    F.slice(toks, 2, 1 << 20),
+                    lambda a, b: F.struct(a.alias("w_prev"), b.alias("w")),
+                ),
+                lambda s: s.getField("w").isNotNull()
+                & (F.length(s.getField("w_prev")) > 0),
+            )
+        ).alias("bg")
+    ).select("bg.w_prev", "bg.w")
+    big = lm_big.groupBy("w_prev", "w").agg(F.count(F.lit(1)).alias("c12"))
+    totals = uni.agg(F.count(F.lit(1)).alias("v"), F.sum("c1").alias("n"))
+
+    doc_pos = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(F.col(id_col), "__t", F.posexplode("__t").alias("pos", "w"))
+        .filter(F.length("w") > 0)
+        # get() returns NULL at index -1 (pos 0): the doc's first token
+        .withColumn("w_prev", F.get("__t", F.col("pos") - 1))
+        .drop("__t")
+    )
+    scored = (
+        doc_pos.join(
+            uni.select(F.col("w").alias("w_prev"), F.col("c1").alias("c_prev")),
+            "w_prev",
+            "left",
+        )
+        .join(uni, "w", "left")
+        .join(big, ["w_prev", "w"], "left")
+        .join(F.broadcast(totals))
+    )
+    logp = F.when(
+        F.col("w_prev").isNull(),
+        F.log2(
+            (F.coalesce(F.col("c1"), F.lit(0)) + 1)
+            / (F.col("n") + F.col("v")).cast("double")
+        ),
+    ).otherwise(
+        F.log2(
+            (F.coalesce(F.col("c12"), F.lit(0)) + 1)
+            / (F.coalesce(F.col("c_prev"), F.lit(0)) + F.col("v")).cast("double")
+        )
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum(logp) / F.count(F.lit(1))).alias("__h"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            q6(F.col("__h")).alias("cross_entropy"),
+            q6(F.pow(F.lit(2.0), F.col("__h"))).alias("perplexity"),
+        )
+    )

@@ -1170,3 +1170,45 @@ def doc_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=6,
         blocks=4,
     )
+
+
+@_register(
+    "doc_lm_perplexity",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS tk
+      FROM documents),
+    tok AS (
+      SELECT doc_id, i - 1 AS pos, tk[i] AS w,
+             CASE WHEN i >= 2 THEN tk[i-1] END AS w_prev
+      FROM norm, UNNEST(range(1, len(tk) + 1)) AS t(i)
+      WHERE length(tk[i]) > 0),
+    uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+    big AS (SELECT w_prev, w, count(*) AS c12 FROM tok
+            WHERE w_prev IS NOT NULL AND length(w_prev) > 0 GROUP BY w_prev, w),
+    tot AS (SELECT count(*) AS v, sum(c1) AS n FROM uni),
+    sc AS (
+      SELECT t.doc_id,
+             CASE WHEN t.w_prev IS NULL
+               THEN log2((COALESCE(u.c1, 0) + 1) / CAST(tot.n + tot.v AS DOUBLE))
+               ELSE log2((COALESCE(b.c12, 0) + 1) / CAST(COALESCE(up.c1, 0) + tot.v AS DOUBLE))
+             END AS lp
+      FROM tok t
+      LEFT JOIN uni u ON t.w = u.w
+      LEFT JOIN uni up ON t.w_prev = up.w
+      LEFT JOIN big b ON t.w_prev = b.w_prev AND t.w = b.w
+      CROSS JOIN tot)
+    SELECT doc_id, count(*) AS n_tokens,
+           FLOOR(-sum(lp) / count(*) * 1e6 + 0.5) / 1e6 AS cross_entropy,
+           FLOOR(power(2.0, -sum(lp) / count(*)) * 1e6 + 0.5) / 1e6 AS perplexity
+    FROM sc GROUP BY doc_id
+    """,
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: Laplace-smoothed bigram LM
+    trained distributively on the corpus itself, per-doc cross-entropy
+    and perplexity — the oracle retrains the identical LM and rescores
+    every document in SQL."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.lm_cross_entropy(docs)

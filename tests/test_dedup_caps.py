@@ -406,3 +406,45 @@ def test_symbol_correlation_drops_zero_variance_series(spark):
     df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     out = s.symbol_correlation(df, interval_sec=3600).collect()
     assert out == []  # the only pair involves the flat series -> dropped
+
+
+def test_lm_cross_entropy_matches_python_oracle(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import text as t
+    import math
+    from collections import Counter
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the rug",
+        3: "zx qq vv zx qq",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in t.lm_cross_entropy(docs).collect()}
+
+    toks = {k: v.split() for k, v in corpus.items()}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    big = Counter(
+        (ws[i], ws[i + 1]) for ws in toks.values() for i in range(len(ws) - 1)
+    )
+    V, N = len(uni), sum(uni.values())
+    for k, ws in toks.items():
+        lps = [math.log2((uni[ws[0]] + 1) / (N + V))]
+        for i in range(1, len(ws)):
+            lps.append(
+                math.log2((big[(ws[i - 1], ws[i])] + 1) / (uni[ws[i - 1]] + V))
+            )
+        h = -sum(lps) / len(lps)
+        assert got[k]["n_tokens"] == len(ws)
+        assert got[k]["cross_entropy"] == math.floor(h * 1e6 + 0.5) / 1e6
+        assert got[k]["perplexity"] == math.floor(2**h * 1e6 + 0.5) / 1e6
+
+
+def test_lm_perplexity_flags_out_of_distribution(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import text as t
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows.append((100, "qzx wvk jjq pzn mmv tkk"))  # garbled outlier
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["perplexity"] for r in t.lm_cross_entropy(docs).collect()}
+    in_dist = max(v for k, v in out.items() if k != 100)
+    assert out[100] > 3 * in_dist  # the outlier is clearly separable
