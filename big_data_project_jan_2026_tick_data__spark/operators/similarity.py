@@ -469,11 +469,21 @@ def embedding_dim_stats(
     )
 
 
+def _reassemble(rows: DataFrame, id_col: str, val_col: str, out_col: str):
+    """(id, pos, val) scalar rows -> per-id array ordered by pos (the
+    shared id-keyed rebuild used by quantize and dequantize)."""
+    return F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col(val_col)))),
+        lambda s: s.getField(val_col),
+    ).alias(out_col)
+
+
 def quantize_embeddings_int8(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     as_rows: bool = False,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Affine per-dimension int8 quantization of an embedding column —
     the 4x memory lever that makes billion-vector ANN shards fit
@@ -486,10 +496,13 @@ def quantize_embeddings_int8(
 
     ``as_rows=True`` returns scalar rows (id, pos, q, within_bound);
     default rebuilds arrays per id (one id-keyed shuffle). The stats
-    join is a broadcast of d rows — corpus-size-independent.
+    join is a broadcast of d rows — corpus-size-independent; pass a
+    precomputed ``stats`` (embedding_dim_stats) when quantize and
+    dequantize share one pipeline, so the corpus is not re-aggregated.
     """
     ex = _exploded_dims(df, vec_col, id_col)
-    stats = embedding_dim_stats(df, vec_col, id_col)
+    if stats is None:
+        stats = embedding_dim_stats(df, vec_col, id_col)
     scale = (F.col("dmax") - F.col("dmin")) / F.lit(255.0)
     q = F.when(F.col("dmax") == F.col("dmin"), F.lit(0)).otherwise(
         F.floor((F.col("__v") - F.col("dmin")) / scale + F.lit(0.5)).cast("int")
@@ -510,10 +523,7 @@ def quantize_embeddings_int8(
     if as_rows:
         return rows
     return rows.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "q"))),
-            lambda s: s.getField("q"),
-        ).alias("qvec"),
+        _reassemble(rows, id_col, "q", "qvec"),
         F.min(F.col("within_bound").cast("int")).cast("boolean").alias("all_within"),
     )
 
@@ -533,9 +543,4 @@ def dequantize_int8(
         "pos",
         (F.col("dmin") + (F.col("q") + F.lit(128)) * scale).alias("__dq"),
     )
-    return dq.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "__dq"))),
-            lambda s: s.getField("__dq"),
-        ).alias(vec_col)
-    )
+    return dq.groupBy(id_col).agg(_reassemble(dq, id_col, "__dq", vec_col))

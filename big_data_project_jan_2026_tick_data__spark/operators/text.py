@@ -486,7 +486,11 @@ def lm_cross_entropy(
             F.filter(
                 F.zip_with(
                     toks,
-                    F.slice(toks, 2, 1 << 20),
+                    # exact tail length, not a fixed cap: a capped slice
+                    # would silently drop training bigrams past the cap
+                    # on very long documents while scoring (and the
+                    # oracle) count every position
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
                     lambda a, b: F.struct(a.alias("w_prev"), b.alias("w")),
                 ),
                 lambda s: s.getField("w").isNotNull()

@@ -1174,10 +1174,10 @@ def doc_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "doc_lm_perplexity",
-    r"""
+    rf"""
     WITH norm AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS tk
+             string_split({_norm_sql('text')}, ' ') AS tk
       FROM documents),
     tok AS (
       SELECT doc_id, i - 1 AS pos, tk[i] AS w,

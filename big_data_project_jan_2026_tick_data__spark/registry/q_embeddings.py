@@ -445,10 +445,10 @@ def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, so the oracle re-derives the ENTIRE quantize→dequantize→
     score→rank pipeline bit-for-bit."""
     emb = _td(spark, sf_dir, "embeddings")
-    rows = similarity.quantize_embeddings_int8(emb, as_rows=True).select(
-        "vec_id", "pos", "q"
-    )
     stats = similarity.embedding_dim_stats(emb)
+    rows = similarity.quantize_embeddings_int8(
+        emb, as_rows=True, stats=stats
+    ).select("vec_id", "pos", "q")
     deq = similarity.dequantize_int8(rows, stats)
     queries = deq.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"

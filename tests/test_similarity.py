@@ -154,8 +154,11 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     from big_data_project_jan_2026_tick_data__spark.operators import similarity as sim
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    rows = sim.quantize_embeddings_int8(emb, as_rows=True).select("vec_id", "pos", "q")
-    deq = sim.dequantize_int8(rows, sim.embedding_dim_stats(emb))
+    stats = sim.embedding_dim_stats(emb)
+    rows = sim.quantize_embeddings_int8(emb, as_rows=True, stats=stats).select(
+        "vec_id", "pos", "q"
+    )
+    deq = sim.dequantize_int8(rows, stats)
     dq_queries = deq.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
