@@ -75,3 +75,23 @@ def test_entry_smoke(spark):
 
     df = entry_query(spark)
     assert df.count() > 0
+
+
+def test_adjudication_priority_names_resolve():
+    """Every name in the driver-contract priority list must be a
+    registered query — a typo would silently forfeit its adjudication
+    slot (rank() treats unknown names as ordinary entries)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry_check__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    unknown = [n for n in mod._ADJUDICATION_PRIORITY if n not in QUERIES]
+    assert unknown == [], unknown
+    dupes = {
+        n for n in mod._ADJUDICATION_PRIORITY
+        if mod._ADJUDICATION_PRIORITY.count(n) > 1
+    }
+    assert dupes == set(), dupes
