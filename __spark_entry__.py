@@ -69,6 +69,7 @@ _ADJUDICATION_PRIORITY = [
     "emb_quantize_int8",
     "emb_quantized_topk",
     "doc_lm_perplexity",
+    "multimodal_resize_digest",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

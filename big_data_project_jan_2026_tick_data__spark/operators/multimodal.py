@@ -363,3 +363,76 @@ def local_features(payload: bytes, codec: str) -> list[float]:
     """Driver-side recomputation of one feature vector, quantized through
     float32 exactly as the ArrayType(FloatType) column stores it."""
     return [float(np.float32(v)) for v in _decode_features(payload, codec, False)]
+
+
+RESIZED_SCHEMA = T.StructType(
+    list(MEDIA_SCHEMA.fields) + [T.StructField("resized", T.BooleanType(), False)]
+)
+
+
+def _resize_payload(payload: bytes, codec: str, out_h: int, out_w: int):
+    """(new_payload, resized?) for one media item — image PPM resized
+    directly, PSEQ video resized frame-by-frame (demux → per-frame
+    nearest-neighbor → re-mux), other codecs passed through."""
+    if codec == "ppm":
+        px = codecs.resize_nearest(codecs.decode_ppm(payload), out_h, out_w)
+        return codecs.encode_ppm(px), True
+    if codec == "ppmseq":
+        frames = [
+            codecs.resize_nearest(codecs.decode_ppm(f), out_h, out_w)
+            for f in codecs.demux_ppmseq(payload)
+        ]
+        return codecs.encode_ppmseq(frames), True
+    return payload, False
+
+
+def resize_images(
+    df: DataFrame, out_h: int, out_w: int, allow_hash_fallback: bool = False
+) -> DataFrame:
+    """Batch resize of the visual media in a table (the preprocessing
+    step before any fixed-input-size vision featurizer): images and
+    every frame of PSEQ videos go through the real nearest-neighbor
+    kernel (`codecs.resize_nearest`); audio rows pass through untouched
+    with ``resized=false``. Arrow-batched ``mapInPandas`` — payload
+    bytes move executor-side only, width/height metadata updated in
+    place. External-codec formats raise at the decode boundary like
+    :func:`extract_features` (reference `Data Preprocessing and
+    Cleaning` performs the equivalent per-file resize loop
+    single-node)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads, out_meta, flags = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                codec = meta["codec"] if isinstance(meta, dict) else meta[4]
+                new_payload, did = _resize_payload(
+                    bytes(payload), codec, out_h, out_w
+                )
+                m = dict(meta) if isinstance(meta, dict) else {
+                    "width": meta[0],
+                    "height": meta[1],
+                    "sample_rate": meta[2],
+                    "duration_ms": meta[3],
+                    "codec": meta[4],
+                }
+                if did:
+                    m["width"], m["height"] = out_w, out_h
+                out_payloads.append(new_payload)
+                out_meta.append(m)
+                flags.append(did)
+            pdf = pdf.copy()
+            pdf["payload"] = out_payloads
+            pdf["meta"] = out_meta
+            pdf["resized"] = flags
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+def local_resize_digest(payload: bytes, codec: str, out_h: int, out_w: int) -> str:
+    """Driver-side md5 of the resized payload — oracle companion to
+    :func:`resize_images`."""
+    import hashlib
+
+    new_payload, _ = _resize_payload(payload, codec, out_h, out_w)
+    return hashlib.md5(new_payload).hexdigest()

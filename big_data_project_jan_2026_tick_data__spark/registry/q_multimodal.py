@@ -284,3 +284,43 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         _q6_col(F.col("fv")).alias("feat_q"),
     )
+
+
+def _multimodal_resize_oracle(n: int = 64, out_h: int = 12, out_w: int = 16) -> str:
+    from ..operators.multimodal import local_resize_digest, synthetic_media_item
+
+    rows = []
+    for mid in range(n):
+        kind, payload, meta = synthetic_media_item(mid)
+        rows.append(
+            (
+                mid,
+                kind,
+                kind in ("image", "video"),
+                local_resize_digest(payload, meta[4], out_h, out_w),
+            )
+        )
+    vals = ", ".join(
+        f"({m}, '{k}', {str(r).lower()}, '{d}')" for m, k, r, d in rows
+    )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, kind, "
+        "CAST(resized AS BOOLEAN) AS resized, payload_md5 "
+        f"FROM (VALUES {vals}) AS t(media_id, kind, resized, payload_md5)"
+    )
+
+
+@_register("multimodal_resize_digest", _multimodal_resize_oracle())
+def multimodal_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch visual resize through the real distributed kernel (PPM
+    images + every PSEQ video frame to 16x12 nearest-neighbor; audio
+    passes through), value-checked by md5 of the re-encoded payloads —
+    the oracle regenerates and resizes every item driver-side."""
+    media = multimodal.synthetic_media(spark, n=64)
+    out = multimodal.resize_images(media, out_h=12, out_w=16)
+    return out.select(
+        "media_id",
+        "kind",
+        "resized",
+        F.md5("payload").alias("payload_md5"),
+    )

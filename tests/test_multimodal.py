@@ -179,3 +179,39 @@ def test_audio_envelope_hash_gain_invariant():
     assert bin(h1 ^ h2).count("1") <= 4  # gain-invariant up to int16 rounding
     h3 = _audio_envelope_hash(wave[::-1].copy())
     assert bin(h1 ^ h3).count("1") > 10  # reversed envelope is far away
+
+
+def test_resize_images_contract(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import (
+        codecs,
+        multimodal,
+    )
+
+    media = multimodal.synthetic_media(spark, n=12)
+    out = {r["media_id"]: r for r in multimodal.resize_images(media, 8, 10).collect()}
+    orig = {r["media_id"]: r for r in media.collect()}
+    assert len(out) == 12
+    for mid, r in out.items():
+        if r["kind"] == "image":
+            px = codecs.decode_ppm(bytes(r["payload"]))
+            assert px.shape[:2] == (8, 10)
+            assert r["resized"] and r["meta"]["width"] == 10 and r["meta"]["height"] == 8
+        elif r["kind"] == "video":
+            frames = codecs.demux_ppmseq(bytes(r["payload"]))
+            assert all(
+                codecs.decode_ppm(f).shape[:2] == (8, 10) for f in frames
+            )
+            assert r["resized"]
+        else:  # audio passes through byte-identical
+            assert not r["resized"]
+            assert bytes(r["payload"]) == bytes(orig[mid]["payload"])
+    # resizing an already-resized table is a no-op on payload bytes
+    once = multimodal.resize_images(media, 8, 10)
+    twice = {
+        r["media_id"]: bytes(r["payload"])
+        for r in multimodal.resize_images(
+            once.select("media_id", "kind", "payload", "meta"), 8, 10
+        ).collect()
+    }
+    for mid, r in out.items():
+        assert twice[mid] == bytes(r["payload"])
