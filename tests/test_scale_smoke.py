@@ -270,3 +270,33 @@ def test_funnel_retention_scale(spark, big_ticks):
     assert fun["view"] == 100_000 and fun["purchase"] > 0
     ret = stats.retention_cohorts(ev)
     assert ret.count() > 0
+
+
+def test_lm_perplexity_scales(spark, big_docs):
+    from big_data_project_jan_2026_tick_data__spark.operators import text
+
+    out = text.lm_cross_entropy(big_docs)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"), F.max("perplexity").alias("mx")
+    ).first()
+    assert agg["n"] == 300_000 and agg["mx"] > 0
+
+
+def test_quantize_scales(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import similarity
+
+    # 1M vectors x 32 dims generated distributively
+    emb = spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 31), i -> "
+            "cast(pmod(xxhash64(id * 32 + i), 1000) / 500.0 - 1.0 as float))"
+        ).alias("embedding"),
+    )
+    stats = similarity.embedding_dim_stats(emb)
+    rows = similarity.quantize_embeddings_int8(emb, as_rows=True, stats=stats)
+    agg = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("within_bound").cast("int")).alias("ok"),
+    ).first()
+    assert agg["n"] == 32_000_000 and agg["ok"] == 1
