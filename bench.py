@@ -43,6 +43,10 @@ HEADLINE = [
     "emb_lsh_topk",
     "emb_ivf_topk",
     "doc_quality_scores",
+    # round-4 continuation: the two new headline corpus ops (19-query
+    # suite — totals not comparable to the 17-query definition)
+    "doc_line_dedup",
+    "doc_lm_perplexity",
 ]
 
 
