@@ -70,6 +70,7 @@ _ADJUDICATION_PRIORITY = [
     "emb_quantized_topk",
     "doc_lm_perplexity",
     "multimodal_resize_digest",
+    "events_data_contract",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -1,0 +1,118 @@
+"""Declarative data contracts: expectation rules compiled into ONE
+validation aggregate.
+
+The reference's cleaning scripts check quality imperatively per file
+(`Data Preprocessing and Cleaning/spark_data_cleaner_script.py` runs
+count/filter actions per rule per file); here a rule LIST compiles into
+a single conditional-aggregation pass over the table (plus one
+aggregate for uniqueness rules, which need distinct counting), emitting
+a per-rule violations report — the shape a 100 TB ingestion gate needs:
+rule count never multiplies scan count.
+
+Rule forms (dicts — declarative, serializable, loggable to tracking):
+    {"rule": "not_null",  "col": "ts"}
+    {"rule": "unique",    "col": "event_id"}
+    {"rule": "in_range",  "col": "value", "lo": 0.0, "hi": 1e6}   # inclusive
+    {"rule": "in_set",    "col": "event_type", "values": [...]}
+    {"rule": "matches",   "col": "sym", "pattern": "^[A-Z]+$"}
+    {"rule": "expr",      "name": "spread>=0", "predicate": "ask >= bid"}
+
+NULL semantics: for value rules (in_range / in_set / matches / expr) a
+NULL never violates — add an explicit not_null rule to reject NULLs, so
+each rule reports exactly one failure mode.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _violation_pred(rule: dict):
+    kind = rule["rule"]
+    if kind == "not_null":
+        return F.col(rule["col"]).isNull()
+    c = F.col(rule["col"]) if "col" in rule else None
+    if kind == "in_range":
+        return c.isNotNull() & ((c < rule["lo"]) | (c > rule["hi"]))
+    if kind == "in_set":
+        return c.isNotNull() & ~c.isin(*rule["values"])
+    if kind == "matches":
+        return c.isNotNull() & ~c.rlike(rule["pattern"])
+    if kind == "expr":
+        return F.expr(rule["predicate"]).isNotNull() & ~F.expr(rule["predicate"])
+    raise ValueError(f"unknown rule kind: {kind!r}")
+
+
+def rule_name(rule: dict) -> str:
+    if rule["rule"] == "expr":
+        return f"expr:{rule['name']}"
+    return f"{rule['rule']}:{rule['col']}"
+
+
+def validate(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
+    """Evaluate every rule in (at most) two aggregation passes and
+    return ``(rule, violations, total_rows, passed)`` — one row per
+    rule, deterministic order-insensitive content.
+
+    Pass 1: all row-local rules as conditional sums in one hash-free
+    global aggregate (a single scan regardless of rule count).
+    Pass 2 (only if any ``unique`` rule): count vs distinct count per
+    uniqueness column in one aggregate over the same scan.
+    """
+    rules = list(rules)
+    row_rules = [r for r in rules if r["rule"] != "unique"]
+    uniq_rules = [r for r in rules if r["rule"] == "unique"]
+
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for i, r in enumerate(row_rules):
+        aggs.append(
+            F.sum(_violation_pred(r).cast("long")).alias(f"__v{i}")
+        )
+    for i, r in enumerate(uniq_rules):
+        col = r["col"]
+        # violations = rows beyond the first per duplicated value; NULLs
+        # are not counted by count(col) or count_distinct -> exempt
+        aggs.append(
+            (F.count(F.col(col)) - F.countDistinct(F.col(col))).alias(f"__u{i}")
+        )
+    row = df.agg(*aggs)
+
+    entries = []
+    for i, r in enumerate(row_rules):
+        entries.append((rule_name(r), f"__v{i}"))
+    for i, r in enumerate(uniq_rules):
+        entries.append((rule_name(r), f"__u{i}"))
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.coalesce(F.col(c), F.lit(0)).alias("violations"),
+            )
+            for name, c in entries
+        ]
+    )
+    return row.select(
+        F.explode(structs).alias("e"), F.col("__total").alias("total_rows")
+    ).select(
+        F.col("e.rule").alias("rule"),
+        F.col("e.violations").alias("violations"),
+        "total_rows",
+        (F.col("e.violations") == 0).alias("passed"),
+    )
+
+
+def enforce(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
+    """Gate form: return rows violating NO row-local rule (uniqueness is
+    a table property, not a row filter — use :func:`validate` /
+    ``dedup.exact_dedup`` for that). One codegen'd filter, zero shuffle.
+    """
+    pred = None
+    for r in rules:
+        if r["rule"] == "unique":
+            continue
+        v = _violation_pred(r)
+        pred = v if pred is None else (pred | v)
+    return df if pred is None else df.filter(~F.coalesce(pred, F.lit(False)))

@@ -216,3 +216,49 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = t.read().select("doc_id", "lang", "source")
         rows = out.collect()  # materialize before tmpdir cleanup
     return spark.createDataFrame(rows, out.schema)
+
+
+@_register(
+    "events_data_contract",
+    r"""
+    WITH t AS (
+      SELECT count(*) AS total,
+        CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ts,
+        CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_eid,
+        CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+             ('view','click','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+        CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 500) THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+        CAST(sum(CASE WHEN event_type IS NOT NULL
+             AND NOT regexp_matches(event_type, '^[a-z]+$') THEN 1 ELSE 0 END) AS BIGINT) AS v_re,
+        CAST(sum(CASE WHEN value IS NOT NULL AND NOT (value >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_pos,
+        CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) AS v_uq
+      FROM events)
+    SELECT 'not_null:ts' AS rule, v_ts AS violations, total AS total_rows, v_ts = 0 AS passed FROM t
+    UNION ALL SELECT 'not_null:event_id', v_eid, total, v_eid = 0 FROM t
+    UNION ALL SELECT 'in_set:event_type', v_set, total, v_set = 0 FROM t
+    UNION ALL SELECT 'in_range:value', v_rng, total, v_rng = 0 FROM t
+    UNION ALL SELECT 'matches:event_type', v_re, total, v_re = 0 FROM t
+    UNION ALL SELECT 'expr:value_nonneg', v_pos, total, v_pos = 0 FROM t
+    UNION ALL SELECT 'unique:event_id', v_uq, total, v_uq = 0 FROM t
+    """,
+)
+def events_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative ingestion contract over the events stream — seven
+    rules (nullability, set/range/regex membership, a free predicate,
+    uniqueness) compiled into two aggregation passes by
+    `plans/expectations.py::validate`; the oracle recomputes every
+    rule's violation count in one SQL aggregate."""
+    from ..plans.expectations import validate
+
+    ev = _td(spark, sf_dir, "events")
+    rules = [
+        {"rule": "not_null", "col": "ts"},
+        {"rule": "not_null", "col": "event_id"},
+        {"rule": "in_set", "col": "event_type",
+         "values": ["view", "click", "purchase", "signup", "error"]},
+        {"rule": "in_range", "col": "value", "lo": 0.0, "hi": 500.0},
+        {"rule": "matches", "col": "event_type", "pattern": "^[a-z]+$"},
+        {"rule": "expr", "name": "value_nonneg", "predicate": "value >= 0"},
+        {"rule": "unique", "col": "event_id"},
+    ]
+    return validate(ev, rules)

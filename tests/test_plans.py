@@ -298,3 +298,57 @@ def test_quantize_stats_join_is_broadcast(spark, sf_dir):
     r = plan_report(similarity.quantize_embeddings_int8(emb, as_rows=True))
     assert r["broadcast_joins"] >= 1 and r["sort_merge_joins"] == 0
     assert r["cartesian_products"] == 0 and r["python_row_udfs"] == 0
+
+
+def test_expectations_validate_and_enforce(spark):
+    from big_data_project_jan_2026_tick_data__spark.plans.expectations import (
+        enforce,
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", -5.0),     # range + nonneg violation
+            (2, "a", 20.0),     # duplicate id
+            (None, "zz", 30.0), # null id + set violation
+            (4, None, None),    # null text exempt from set; null value exempt
+        ],
+        "id long, tag string, v double",
+    )
+    rules = [
+        {"rule": "not_null", "col": "id"},
+        {"rule": "in_set", "col": "tag", "values": ["a", "b"]},
+        {"rule": "in_range", "col": "v", "lo": 0.0, "hi": 25.0},
+        {"rule": "expr", "name": "v_nonneg", "predicate": "v >= 0"},
+        {"rule": "unique", "col": "id"},
+    ]
+    rep = {r["rule"]: r for r in validate(df, rules).collect()}
+    assert rep["not_null:id"]["violations"] == 1
+    assert rep["in_set:tag"]["violations"] == 1      # 'zz'; NULL tag exempt
+    assert rep["in_range:v"]["violations"] == 2      # -5 and 30
+    assert rep["expr:v_nonneg"]["violations"] == 1   # -5; NULL exempt
+    assert rep["unique:id"]["violations"] == 1       # second id=2
+    assert all(r["total_rows"] == 5 for r in rep.values())
+    assert not rep["unique:id"]["passed"]
+
+    kept = enforce(df, rules)  # row-local rules only
+    ids = sorted((r["id"], r["tag"]) for r in kept.collect())
+    # survivors: (1,a), (2,a) and the all-NULL-values row fails not_null
+    assert ids == [(1, "a"), (2, "a"), (4, None)]
+
+
+def test_expectations_single_scan(spark, sf_dir):
+    """Row-local rules must compile to ONE scan regardless of rule count
+    (the reference runs one action per rule per file)."""
+    from big_data_project_jan_2026_tick_data__spark.plans.doctor import plan_report
+    from big_data_project_jan_2026_tick_data__spark.plans.expectations import validate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rules = [
+        {"rule": "not_null", "col": "doc_id"},
+        {"rule": "in_range", "col": "n_chars", "lo": 0, "hi": 10**9},
+        {"rule": "matches", "col": "lang", "pattern": "^[a-z]+$"},
+    ]
+    r = plan_report(validate(docs, rules))
+    assert r["scans"] == 1 and r["python_row_udfs"] == 0
