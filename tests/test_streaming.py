@@ -497,3 +497,28 @@ def test_stream_merge_snapshots_upserts(spark, tmp_path):
         (1, 10.0), (2, 25.0), (3, 30.0),
     }
     assert t.read(version=v1).count() == 2  # pre-merge state intact
+
+
+def test_enforce_contract_on_stream(spark, tick_dir):
+    """plans/expectations.enforce is a stateless codegen filter, so the
+    same declarative contract gates a stream unmodified — bad rows never
+    reach downstream state."""
+    from big_data_project_jan_2026_tick_data__spark.plans.expectations import enforce
+
+    stream = (
+        spark.readStream.schema(TICK_SCHEMA).format("parquet").load(str(tick_dir))
+    )
+    rules = [
+        {"rule": "not_null", "col": "ts"},
+        {"rule": "expr", "name": "spread_nonneg", "predicate": "ask >= bid"},
+        {"rule": "in_range", "col": "bid", "lo": 0.0, "hi": 1e9},
+    ]
+    gated = enforce(stream, rules)
+    assert gated.isStreaming
+    out = run_stream_to_memory(gated, "contract_gate")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["ask"] >= r["bid"] and r["ts"] is not None for r in rows)
+    # parity: the streaming gate keeps exactly the batch gate's rows
+    batch = enforce(spark.read.parquet(str(tick_dir)), rules)
+    assert len(rows) == batch.count()
