@@ -455,3 +455,77 @@ def test_chunk_windows_coverage_invariants(spark, n_tokens, chunk, overlap_frac)
     # all but the last chunk are full-width
     for r in out[:-1]:
         assert r["n_tokens"] == chunk
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 5),                   # user
+            st.integers(0, 50),                  # ts
+            st.sampled_from(["a", "b", "c", "x"]),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(**SETTINGS)
+def test_funnel_matches_sequential_oracle(spark, events):
+    """Greedy ordered funnel vs a per-user sequential python oracle over
+    random event streams (duplicate timestamps, missing steps,
+    out-of-order arrivals)."""
+    df = spark.createDataFrame(
+        [(u, t, e) for u, t, e in events], "user_id long, ts long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["step"]: r["users"]
+        for r in stats.funnel(df, ("a", "b", "c")).collect()
+    }
+
+    by_user: dict[int, list] = {}
+    for u, t, e in events:
+        by_user.setdefault(u, []).append((t, e))
+    reach = {"a": 0, "b": 0, "c": 0}
+    for evs in by_user.values():
+        t_prev = None
+        for step in ("a", "b", "c"):
+            cand = [
+                t
+                for t, e in evs
+                if e == step and (t_prev is None or t > t_prev)
+            ]
+            if not cand:
+                break
+            t_prev = min(cand)
+            reach[step] += 1
+    assert got == reach
+
+
+@given(
+    series=st.lists(
+        st.tuples(st.floats(-100, 100), st.floats(-100, 100)),
+        min_size=3,
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_symbol_correlation_matches_numpy(spark, series):
+    """Pairwise bucket-mean correlation vs numpy.corrcoef (one value per
+    bucket so the resample is the identity)."""
+    rows = []
+    for b, (x, y) in enumerate(series):
+        rows.append(("X", b * 3600, float(x)))
+        rows.append(("Y", b * 3600, float(y)))
+    df = spark.createDataFrame(rows, "symbol string, ts long, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = stats.symbol_correlation(df, interval_sec=3600).collect()
+
+    xs = np.array([x for x, _ in series])
+    ys = np.array([y for _, y in series])
+    if np.std(xs) == 0 or np.std(ys) == 0:
+        assert out == []  # zero-variance pairs are dropped
+    else:
+        expected = float(np.corrcoef(xs, ys)[0, 1])
+        assert len(out) == 1
+        got = out[0]
+        assert got["n_buckets"] == len(series)
+        assert got["corr"] == pytest.approx(expected, abs=2e-6)
