@@ -71,6 +71,7 @@ _ADJUDICATION_PRIORITY = [
     "doc_lm_perplexity",
     "multimodal_resize_digest",
     "events_data_contract",
+    "ticks_winsorize",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

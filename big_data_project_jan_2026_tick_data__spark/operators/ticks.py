@@ -438,3 +438,39 @@ def gap_fill(
     return asof_join(
         spine, clean, on=ts_col, by=tuple(partition_cols), right_cols=(value_col,)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_cols: Sequence[str] = ("bid", "ask"),
+    lo: float = 0.01,
+    hi: float = 0.99,
+    by: Sequence[str] = ("symbol",),
+) -> DataFrame:
+    """Per-group percentile clamping (winsorization) — the robust
+    alternative to dropping outlier ticks: values outside the group's
+    [lo, hi] exact percentiles are pulled to the boundary, and a
+    ``<col>_clamped`` flag records the intervention (audit trail for the
+    cleaning report). One percentile aggregate per group (exact
+    ``percentile``, matching the despike/value-stats discipline) joined
+    back broadcast — group count is portfolio-sized, so the bounds table
+    never shuffles the tick stream."""
+    aggs = []
+    for c in value_cols:
+        aggs.append(F.percentile(F.col(c), F.lit(lo)).alias(f"__lo_{c}"))
+        aggs.append(F.percentile(F.col(c), F.lit(hi)).alias(f"__hi_{c}"))
+    by = list(by)
+    if by:
+        bounds = df.groupBy(*by).agg(*aggs)
+        out = df.join(F.broadcast(bounds), by)
+    else:
+        bounds = df.agg(*aggs)
+        out = df.crossJoin(F.broadcast(bounds))
+    for c in value_cols:
+        lo_c, hi_c = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        out = out.withColumn(
+            f"{c}_clamped",
+            F.col(c).isNotNull() & ((F.col(c) < lo_c) | (F.col(c) > hi_c)),
+        ).withColumn(c, F.least(F.greatest(F.col(c), lo_c), hi_c))
+    drop = [f"__lo_{c}" for c in value_cols] + [f"__hi_{c}" for c in value_cols]
+    return out.drop(*drop)

@@ -117,6 +117,40 @@ def ticks_symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ticks_winsorize",
+    r"""
+    WITH t AS (
+      SELECT event_id, 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, value
+      FROM events),
+    b AS (
+      SELECT symbol, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      FROM t GROUP BY symbol)
+    SELECT t.event_id, t.symbol,
+           FLOOR(LEAST(GREATEST(t.value, b.lo), b.hi) * 1e6 + 0.5) / 1e6 AS value_w,
+           (t.value IS NOT NULL AND (t.value < b.lo OR t.value > b.hi)) AS value_clamped
+    FROM t JOIN b USING (symbol)
+    """,
+)
+def ticks_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol 5/95-percentile winsorization with intervention flags
+    (exact percentiles, broadcast bounds join — the robust-cleaning
+    counterpart of `ticks_despike`)."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "value",
+    )
+    out = ticks.winsorize(t, value_cols=("value",), lo=0.05, hi=0.95)
+    return out.select(
+        "event_id",
+        "symbol",
+        (F.floor(F.col("value") * 1e6 + F.lit(0.5)) / 1e6).alias("value_w"),
+        "value_clamped",
+    )
+
+
+@_register(
     "ticks_downsample_1min",
     """
     SELECT event_id, user_id, ts, event_type, value FROM (

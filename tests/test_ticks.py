@@ -138,3 +138,34 @@ def test_despike_removes_bad_print(spark):
     vals = sorted(r.bid for r in out)
     assert 1000.0 not in vals
     assert len(vals) == 10
+
+
+def test_winsorize_contract(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import ticks as tk
+
+    rows = [("A", float(v)) for v in range(1, 100)] + [
+        ("A", 10_000.0),   # high outlier
+        ("A", -10_000.0),  # low outlier
+        ("B", 5.0),
+    ]
+    df = spark.createDataFrame(
+        [(s, i, v) for i, (s, v) in enumerate(rows)],
+        "symbol string, tid long, value double",
+    )
+    out = {
+        (r["symbol"], r["tid"]): r
+        for r in tk.winsorize(
+            df, value_cols=("value",), lo=0.05, hi=0.95
+        ).collect()
+    }
+    a_vals = [r["value"] for k, r in out.items() if k[0] == "A"]
+    a_flags = [r["value_clamped"] for k, r in out.items() if k[0] == "A"]
+    # the two outliers were pulled inside the observed [p5, p95] band
+    assert max(a_vals) < 10_000.0 and min(a_vals) > -10_000.0
+    assert sum(a_flags) >= 2
+    # mid-range values untouched and unflagged
+    mid = next(r for k, r in out.items() if k[0] == "A" and r["value"] == 50.0)
+    assert not mid["value_clamped"]
+    # single-value group: both bounds equal the value, nothing clamps
+    b = next(r for k, r in out.items() if k[0] == "B")
+    assert b["value"] == 5.0 and not b["value_clamped"]
