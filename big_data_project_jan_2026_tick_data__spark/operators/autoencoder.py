@@ -290,6 +290,27 @@ def _grad_schema() -> T.StructType:
     )
 
 
+def _flatten_running(running: list) -> tuple[np.ndarray, np.ndarray]:
+    ms = [r["mean"] for r in running if r is not None]
+    vs = [r["var"] for r in running if r is not None]
+    if not ms:
+        return np.zeros(0), np.zeros(0)
+    return np.concatenate(ms), np.concatenate(vs)
+
+
+def _unflatten_running(rm: np.ndarray, rv: np.ndarray, blocks: list[tuple]) -> list:
+    out: list = []
+    i = 0
+    for blk in blocks:
+        if blk[0] == "bn":
+            d = blk[1]
+            out.append({"mean": rm[i : i + d], "var": rv[i : i + d]})
+            i += d
+        else:
+            out.append(None)
+    return out
+
+
 def fit_autoencoder(
     tensors: DataFrame,
     *,
@@ -302,6 +323,9 @@ def fit_autoencoder(
     clip_norm: float = 0.5,  # train.py:365 clip_grad_norm_(max_norm=0.5)
     n_batches: int = 8,
     seed: int = 0,
+    val_fraction: float = 0.0,
+    early_stopping: bool = False,
+    patience: int = 30,  # parameters.json training.patience
 ) -> TrainedAutoencoder:
     """Train one autoencoder per symbol over a ``window_tensors``
     DataFrame (symbol, window_id, features: n_target x f).
@@ -315,6 +339,13 @@ def fit_autoencoder(
     cluster scale raise it so each group fits executor memory; gradient
     rows stay tiny relative to data (n_params is model-, not
     corpus-sized).
+
+    ``val_fraction`` holds out the last batches as a validation fold
+    (scored EVAL-mode with the current running BN stats, exactly
+    train.py:377-386's model.eval() loop); with ``early_stopping``
+    (train.py:391-399, parameters.json patience) training stops after
+    ``patience`` epochs without val improvement and the BEST state is
+    restored (train.py keeps best_model_state) — per symbol.
     """
     # deterministic batch assignment; checkpoint FIRST so the
     # (pandas-UDF) featurization upstream runs exactly once — probing
@@ -352,21 +383,52 @@ def fit_autoencoder(
     adam_m = {s: np.zeros(n_params) for s in symbols}
     adam_v = {s: np.zeros(n_params) for s in symbols}
     history: dict[str, list[float]] = {s: [] for s in symbols}
+    val_history: dict[str, list[float]] = {s: [] for s in symbols}
+    n_val = max(1, round(n_batches * val_fraction)) if val_fraction > 0 else 0
+    val_ids = set(range(n_batches - n_val, n_batches))
+    best_val = {s: float("inf") for s in symbols}
+    best_state: dict[str, tuple] = {}
+    stale = {s: 0 for s in symbols}
+    stopped = {s: False for s in symbols}
     sc = tensors.sparkSession.sparkContext
     b1, b2 = ADAM_BETAS
 
     for epoch in range(1, n_epochs + 1):
-        bc = sc.broadcast({s: v.copy() for s, v in flat.items()})
+        bc = sc.broadcast(
+            {
+                s: (v.copy(), *_flatten_running(running[s]))
+                for s, v in flat.items()
+            }
+        )
+        bc_val_ids = val_ids
 
         def grad_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             sym = key[0]
-            p = unflatten_params(bc.value[sym], blocks)
+            w, rm, rv = bc.value[sym]
+            p = unflatten_params(w, blocks)
             X = np.stack(
                 [
                     np.stack([np.asarray(row, dtype=np.float64) for row in feats])
                     for feats in pdf["features"]
                 ]
             ).reshape(len(pdf), -1)
+            if int(key[1]) in bc_val_ids:
+                # validation fold: eval-mode loss only (running BN
+                # stats), no backward — train.py's model.eval() loop
+                run = _unflatten_running(rm, rv, blocks)
+                out, _, _ = forward(blocks, p, X, training=False, running=run)
+                loss_sum = float(np.sum((out - X) ** 2))
+                return pd.DataFrame(
+                    {
+                        "symbol": [sym],
+                        "batch_id": [int(key[1])],
+                        "n": [len(X)],
+                        "loss_sum": [loss_sum],
+                        "grad": [np.zeros(0)],
+                        "bn_mean": [None],
+                        "bn_var": [None],
+                    }
+                )
             loss_sum, grads, batch_stats = loss_and_grad(blocks, p, X)
             means = [st[0] for st in batch_stats if st is not None]
             vars_ = [st[1] for st in batch_stats if st is not None]
@@ -393,12 +455,31 @@ def fit_autoencoder(
         for r in rows:
             by_sym.setdefault(r["symbol"], []).append(r)
         for s in symbols:
-            group = by_sym.get(s)
-            if not group:
+            if stopped[s]:
+                continue
+            all_rows = by_sym.get(s)
+            if not all_rows:
                 continue
             # collect() row order is not deterministic across runs — fix
             # the float-summation order so training is bit-reproducible
-            group.sort(key=lambda r: r["batch_id"])
+            all_rows.sort(key=lambda r: r["batch_id"])
+            group = [r for r in all_rows if r["batch_id"] not in val_ids]
+            val_rows = [r for r in all_rows if r["batch_id"] in val_ids]
+            if not group:
+                continue
+            # the epoch's val fold was scored with the BROADCAST (entering)
+            # state — snapshot it now, BEFORE this epoch's update, so a
+            # best-val save restores the state the loss actually measured
+            if val_rows:
+                entering = (
+                    flat[s].copy(),
+                    [
+                        None
+                        if x is None
+                        else {"mean": x["mean"].copy(), "var": x["var"].copy()}
+                        for x in running[s]
+                    ],
+                )
             n_total = sum(r["n"] for r in group)
             denom = float(n_total * input_total)
             g = np.zeros(n_params)
@@ -445,8 +526,33 @@ def fit_autoencoder(
                         )
                         bi += 1
 
-    models = {s: (unflatten_params(flat[s], blocks), running[s]) for s in symbols}
-    return TrainedAutoencoder(blocks=blocks, models=models, history=history)
+            if val_rows:
+                vn = sum(r["n"] for r in val_rows)
+                vloss = sum(r["loss_sum"] for r in val_rows) / float(
+                    vn * input_total
+                )
+                val_history[s].append(vloss)
+                if vloss < best_val[s]:
+                    best_val[s] = vloss
+                    best_state[s] = entering
+                    stale[s] = 0
+                else:
+                    stale[s] += 1
+                    if early_stopping and stale[s] >= patience:
+                        stopped[s] = True
+        if all(stopped.values()):
+            break
+
+    models = {}
+    for s in symbols:
+        if early_stopping and s in best_state:
+            w, run = best_state[s]
+            models[s] = (unflatten_params(w, blocks), run)
+        else:
+            models[s] = (unflatten_params(flat[s], blocks), running[s])
+    model = TrainedAutoencoder(blocks=blocks, models=models, history=history)
+    model.val_history = val_history
+    return model
 
 
 # ---------------------------------------------------------------------------

@@ -222,3 +222,55 @@ def test_torch_state_dict_no_bn_layout():
     )
     assert [b[0] for b in blocks].count("bn") == 0
     np.testing.assert_array_equal(params[-1]["W"], sd["decoder.3.weight"].T)
+
+
+def test_validation_fold_and_early_stopping(spark):
+    """val_fraction holds out batches scored eval-mode; early stopping
+    halts on stale val loss and restores the best state (train.py
+    early-stopping semantics, parameters.json patience)."""
+    tensors = _toy_tensors(spark, n_windows=30)
+    kw = dict(
+        hidden_dims=(8, 4),
+        latent_dim=2,
+        n_batches=5,
+        seed=5,
+        val_fraction=0.2,
+    )
+    model = ae.fit_autoencoder(tensors, n_epochs=20, lr=2e-2, **kw)
+    vh = model.val_history["SYM"]
+    assert len(vh) == 20 and all(v > 0 for v in vh)
+    assert vh[-1] < vh[0]  # val loss improves on learnable data
+
+    # patience=1 with a huge lr: val loss goes stale fast -> stops early
+    stopped = ae.fit_autoencoder(
+        tensors, n_epochs=50, lr=5.0, early_stopping=True, patience=1, **kw
+    )
+    sh = stopped.val_history["SYM"]
+    assert len(sh) < 50, "early stopping never triggered"
+    # best-state restoration: the returned model must score like the
+    # best epoch, not like the diverged final parameters
+    diverged = ae.fit_autoencoder(tensors, n_epochs=len(sh), lr=5.0, **kw)
+    err_stopped = (
+        mlfeat.reconstruction_errors(tensors, model_fn=stopped)
+        .agg({"err": "avg"})
+        .first()[0]
+    )
+    err_final = (
+        mlfeat.reconstruction_errors(tensors, model_fn=diverged)
+        .agg({"err": "avg"})
+        .first()[0]
+    )
+    assert err_stopped <= err_final
+
+
+def test_val_disabled_keeps_behavior_identical(spark):
+    """val_fraction=0 (default) must leave the original training
+    trajectory untouched — regression guard for the extension."""
+    tensors = _toy_tensors(spark)
+    kw = dict(hidden_dims=(8, 4), latent_dim=2, n_epochs=5, lr=2e-2, n_batches=3, seed=5)
+    a = ae.fit_autoencoder(tensors, **kw)
+    b = ae.fit_autoencoder(tensors, **kw, val_fraction=0.0)
+    np.testing.assert_array_equal(
+        ae.flatten_params(a.models["SYM"][0]), ae.flatten_params(b.models["SYM"][0])
+    )
+    assert b.val_history["SYM"] == []
