@@ -100,6 +100,17 @@ def sql_function_ddls() -> dict[str, str]:
             "CASE WHEN r >= 1.0 THEN true ELSE substring(md5(k), 1, 4) < "
             "lower(lpad(hex(cast(floor(r * 65536) AS BIGINT)), 4, '0')) END",
         ),
+        # sliding-window chunking (text.chunk_windows twin) — chunk/stride
+        # arrive as runtime arguments, proving macros can be parameterized
+        "chunk_text": (
+            "(t STRING, chunk INT, overlap INT) RETURNS ARRAY<STRING>",
+            f"""transform(array(split({norm_t}, ' ')), tk ->
+              transform(
+                sequence(0, CASE WHEN size(tk) <= chunk THEN 0
+                         ELSE cast(ceil((size(tk) - chunk)
+                                   / cast(chunk - overlap AS DOUBLE)) AS INT) END),
+                i -> array_join(slice(tk, i * (chunk - overlap) + 1, chunk), ' ')))[0]""",
+        ),
         # tick scalars (functions/scalars.py twins)
         "clamped_spread": (
             "(ask DOUBLE, bid DOUBLE) RETURNS DOUBLE",

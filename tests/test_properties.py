@@ -529,3 +529,39 @@ def test_symbol_correlation_matches_numpy(spark, series):
         got = out[0]
         assert got["n_buckets"] == len(series)
         assert got["corr"] == pytest.approx(expected, abs=2e-6)
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(**SETTINGS)
+def test_lm_cross_entropy_matches_python_oracle_random(spark, corpus):
+    """Bigram-LM scoring vs an exact python reimplementation over random
+    corpora (repeated tokens, single-token docs, duplicate docs)."""
+    import math
+    from collections import Counter
+
+    from big_data_project_jan_2026_tick_data__spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in t.lm_cross_entropy(docs).collect()}
+
+    uni = Counter(w for ws in corpus for w in ws)
+    big = Counter((ws[i], ws[i + 1]) for ws in corpus for i in range(len(ws) - 1))
+    V, N = len(uni), sum(uni.values())
+    for i, ws in enumerate(corpus):
+        lps = [math.log2((uni[ws[0]] + 1) / (N + V))]
+        for j in range(1, len(ws)):
+            lps.append(math.log2((big[(ws[j - 1], ws[j])] + 1) / (uni[ws[j - 1]] + V)))
+        h = -sum(lps) / len(lps)
+        assert got[i]["n_tokens"] == len(ws)
+        assert got[i]["cross_entropy"] == pytest.approx(
+            math.floor(h * 1e6 + 0.5) / 1e6, abs=2e-6
+        )

@@ -120,3 +120,19 @@ def test_registration_is_idempotent(spark, sf_dir):
     assert spark.sql("SELECT quality_score('the cat and the hat') AS q").first()[
         "q"
     ] is not None
+
+
+def test_chunk_text_macro_matches_operator(spark, sf_dir):
+    _setup(spark, sf_dir)
+    sql_rows = spark.sql(
+        "SELECT doc_id, chunk_text(text, 32, 8) AS chunks FROM documents"
+    ).collect()
+    op_rows = text.chunk_windows(
+        spark.table("documents"), chunk_tokens=32, overlap=8
+    ).collect()
+    by_doc: dict = {}
+    for r in op_rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    for r in sql_rows:
+        expected = [c for _, c in sorted(by_doc[r["doc_id"]])]
+        assert list(r["chunks"]) == expected
