@@ -104,12 +104,18 @@ def sql_function_ddls() -> dict[str, str]:
         # arrive as runtime arguments, proving macros can be parameterized
         "chunk_text": (
             "(t STRING, chunk INT, overlap INT) RETURNS ARRAY<STRING>",
-            f"""transform(array(split({norm_t}, ' ')), tk ->
+            # assert_true mirrors chunk_windows' ValueError guard: without
+            # it chunk==overlap divides by zero mid-query (ANSI) and
+            # overlap>chunk silently drops trailing tokens
+            f"""CASE WHEN assert_true(chunk > 0 AND overlap >= 0 AND overlap < chunk,
+                         'chunk_text: require 0 <= overlap < chunk') IS NULL
+            THEN transform(array(split({norm_t}, ' ')), tk ->
               transform(
                 sequence(0, CASE WHEN size(tk) <= chunk THEN 0
                          ELSE cast(ceil((size(tk) - chunk)
                                    / cast(chunk - overlap AS DOUBLE)) AS INT) END),
-                i -> array_join(slice(tk, i * (chunk - overlap) + 1, chunk), ' ')))[0]""",
+                i -> array_join(slice(tk, i * (chunk - overlap) + 1, chunk), ' ')))[0]
+            END""",
         ),
         # tick scalars (functions/scalars.py twins)
         "clamped_spread": (

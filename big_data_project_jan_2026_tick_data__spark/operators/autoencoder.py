@@ -257,10 +257,12 @@ class TrainedAutoencoder:
         blocks: list[tuple],
         models: dict[str, tuple[list, list]],
         history: dict[str, list[float]],
+        val_history: dict[str, list[float]] | None = None,
     ):
         self.blocks = blocks
         self.models = models
         self.history = history  # symbol -> per-epoch MSE (train.py loss curve)
+        self.val_history = val_history or {}
 
     def __call__(self, x: np.ndarray, symbol: str) -> np.ndarray:
         m = self.models.get(symbol)
@@ -394,13 +396,21 @@ def fit_autoencoder(
     b1, b2 = ADAM_BETAS
 
     for epoch in range(1, n_epochs + 1):
+        active = [s for s in symbols if not stopped[s]]
         bc = sc.broadcast(
             {
-                s: (v.copy(), *_flatten_running(running[s]))
-                for s, v in flat.items()
+                s: (flat[s].copy(), *_flatten_running(running[s]))
+                for s in active
             }
         )
         bc_val_ids = val_ids
+        # early-stopped symbols must stop costing executor time too, not
+        # just driver updates — filter their batches out of the job
+        job_input = (
+            batched
+            if len(active) == len(symbols)
+            else batched.filter(F.col("symbol").isin(active))
+        )
 
         def grad_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             sym = key[0]
@@ -445,7 +455,7 @@ def fit_autoencoder(
             )
 
         rows = (
-            batched.groupBy("symbol", "batch_id")
+            job_input.groupBy("symbol", "batch_id")
             .applyInPandas(grad_fn, schema=_grad_schema())
             .collect()
         )
@@ -550,9 +560,9 @@ def fit_autoencoder(
             models[s] = (unflatten_params(w, blocks), run)
         else:
             models[s] = (unflatten_params(flat[s], blocks), running[s])
-    model = TrainedAutoencoder(blocks=blocks, models=models, history=history)
-    model.val_history = val_history
-    return model
+    return TrainedAutoencoder(
+        blocks=blocks, models=models, history=history, val_history=val_history
+    )
 
 
 # ---------------------------------------------------------------------------

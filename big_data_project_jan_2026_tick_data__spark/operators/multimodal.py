@@ -373,7 +373,10 @@ RESIZED_SCHEMA = T.StructType(
 def _resize_payload(payload: bytes, codec: str, out_h: int, out_w: int):
     """(new_payload, resized?) for one media item — image PPM resized
     directly, PSEQ video resized frame-by-frame (demux → per-frame
-    nearest-neighbor → re-mux), other codecs passed through."""
+    nearest-neighbor → re-mux), audio passed through. Unknown visual
+    codecs raise at the decode boundary (same contract as
+    `_decode_features`): silently passing a wrong-sized jpeg through a
+    resize stage would poison the fixed-input featurizer downstream."""
     if codec == "ppm":
         px = codecs.resize_nearest(codecs.decode_ppm(payload), out_h, out_w)
         return codecs.encode_ppm(px), True
@@ -383,12 +386,15 @@ def _resize_payload(payload: bytes, codec: str, out_h: int, out_w: int):
             for f in codecs.demux_ppmseq(payload)
         ]
         return codecs.encode_ppmseq(frames), True
-    return payload, False
+    if codec == "pcm16":
+        return payload, False
+    raise NotImplementedError(
+        f"resize: codec {codec!r} needs an external decoder (this container "
+        "ships pure-numpy PPM/PSEQ/WAV only)"
+    )
 
 
-def resize_images(
-    df: DataFrame, out_h: int, out_w: int, allow_hash_fallback: bool = False
-) -> DataFrame:
+def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
     """Batch resize of the visual media in a table (the preprocessing
     step before any fixed-input-size vision featurizer): images and
     every frame of PSEQ videos go through the real nearest-neighbor

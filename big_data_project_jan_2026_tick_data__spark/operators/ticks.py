@@ -462,15 +462,28 @@ def winsorize(
     by = list(by)
     if by:
         bounds = df.groupBy(*by).agg(*aggs)
-        out = df.join(F.broadcast(bounds), by)
+        # LEFT join: a NULL group key never equi-matches its bounds row,
+        # and an inner join would silently DELETE those rows from a
+        # row-preserving cleaning transform — they pass through
+        # unclamped instead (their bounds stay NULL below)
+        out = df.join(F.broadcast(bounds), by, "left")
     else:
         bounds = df.agg(*aggs)
         out = df.crossJoin(F.broadcast(bounds))
     for c in value_cols:
         lo_c, hi_c = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        clampable = F.col(c).isNotNull() & lo_c.isNotNull() & hi_c.isNotNull()
         out = out.withColumn(
             f"{c}_clamped",
-            F.col(c).isNotNull() & ((F.col(c) < lo_c) | (F.col(c) > hi_c)),
-        ).withColumn(c, F.least(F.greatest(F.col(c), lo_c), hi_c))
+            clampable & ((F.col(c) < lo_c) | (F.col(c) > hi_c)),
+        ).withColumn(
+            c,
+            # guard NULLs explicitly: greatest/least SKIP null arguments,
+            # so the naive form rewrites a NULL value to the low bound —
+            # fabricating a price — with the audit flag saying nothing
+            F.when(clampable, F.least(F.greatest(F.col(c), lo_c), hi_c)).otherwise(
+                F.col(c)
+            ),
+        )
     drop = [f"__lo_{c}" for c in value_cols] + [f"__hi_{c}" for c in value_cols]
     return out.drop(*drop)

@@ -215,3 +215,19 @@ def test_resize_images_contract(spark):
     }
     for mid, r in out.items():
         assert twice[mid] == bytes(r["payload"])
+
+
+def test_resize_rejects_external_codec(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xff\xd8jpegdata"),
+          {"width": 4, "height": 4, "sample_rate": None,
+           "duration_ms": None, "codec": "jpeg"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    import pytest
+
+    with pytest.raises(Exception) as exc:
+        multimodal.resize_images(media, 8, 8).collect()
+    assert "external decoder" in str(exc.value)

@@ -82,9 +82,11 @@ def test_adjudication_priority_names_resolve():
     registered query — a typo would silently forfeit its adjudication
     slot (rank() treats unknown names as ordinary entries)."""
     import importlib.util
+    from pathlib import Path
 
+    entry = Path(__file__).resolve().parents[1] / "__spark_entry__.py"
     spec = importlib.util.spec_from_file_location(
-        "__spark_entry_check__", "/root/repo/__spark_entry__.py"
+        "__spark_entry_check__", str(entry)
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)

@@ -136,3 +136,16 @@ def test_chunk_text_macro_matches_operator(spark, sf_dir):
     for r in sql_rows:
         expected = [c for _, c in sorted(by_doc[r["doc_id"]])]
         assert list(r["chunks"]) == expected
+
+
+def test_chunk_text_macro_rejects_bad_window(spark, sf_dir):
+    """chunk==overlap used to DIVIDE_BY_ZERO mid-query and overlap>chunk
+    silently dropped trailing tokens — the macro now asserts like its
+    operator twin."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    _setup(spark, sf_dir)
+    with pytest.raises(Exception) as exc:
+        spark.sql("SELECT chunk_text(text, 3, 3) FROM documents LIMIT 1").collect()
+    assert "overlap" in str(exc.value)

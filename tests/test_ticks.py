@@ -169,3 +169,19 @@ def test_winsorize_contract(spark):
     # single-value group: both bounds equal the value, nothing clamps
     b = next(r for k, r in out.items() if k[0] == "B")
     assert b["value"] == 5.0 and not b["value_clamped"]
+
+
+def test_winsorize_null_value_and_null_group_key(spark):
+    """Review regressions: a NULL value must stay NULL and unflagged
+    (greatest/least skip NULLs and would fabricate the low bound), and a
+    NULL group key must not be dropped by the bounds join."""
+    from big_data_project_jan_2026_tick_data__spark.operators import ticks as tk
+
+    df = spark.createDataFrame(
+        [("A", 1, 1.0), ("A", 2, 2.0), ("A", 3, None), (None, 4, 9.0)],
+        "symbol string, tid long, value double",
+    )
+    out = {r["tid"]: r for r in tk.winsorize(df, value_cols=("value",), lo=0.25, hi=0.75).collect()}
+    assert len(out) == 4
+    assert out[3]["value"] is None and not out[3]["value_clamped"]
+    assert out[4]["value"] == 9.0 and not out[4]["value_clamped"]
