@@ -72,6 +72,7 @@ _ADJUDICATION_PRIORITY = [
     "multimodal_resize_digest",
     "events_data_contract",
     "ticks_winsorize",
+    "events_transition_matrix",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

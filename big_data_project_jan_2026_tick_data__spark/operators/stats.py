@@ -374,3 +374,41 @@ def retention_cohorts(
             ).alias("retention_q6"),
         )
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities between event
+    types (the path-analysis primitive behind funnel discovery): for
+    each user's time-ordered stream, count (state, next_state) steps and
+    normalize per source state.
+
+    One lead() window per user (narrow user-key shuffle of slim
+    (user, ts, type) rows) and one (state, next) hash agg — never a
+    self-join. Deterministic given a total order: pass ``tiebreak_cols``
+    (e.g. an event id) to break duplicate timestamps.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = (
+        df.select(F.col(user_col), F.col(ts_col), *tiebreak_cols, F.col(type_col))
+        .withColumn("__next", F.lead(type_col).over(w))
+        .filter(F.col("__next").isNotNull())
+    )
+    counts = steps.groupBy(
+        F.col(type_col).alias("state"), F.col("__next").alias("next_state")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = Window.partitionBy("state")
+    return counts.select(
+        "state",
+        "next_state",
+        "n",
+        (
+            F.floor(F.col("n") / F.sum("n").over(totals) * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("prob_q6"),
+    )

@@ -826,3 +826,25 @@ def events_date_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("ts").alias("date"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@_register(
+    "events_transition_matrix",
+    r"""
+    WITH s AS (
+      SELECT event_type AS state,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_state
+      FROM events),
+    c AS (SELECT state, next_state, count(*) AS n FROM s
+          WHERE next_state IS NOT NULL GROUP BY state, next_state)
+    SELECT state, next_state, n,
+           FLOOR(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY state) * 1e6 + 0.5) / 1e6 AS prob_q6
+    FROM c
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between event types per user
+    stream (path analysis), probabilities normalized per source state."""
+    ev = _td(spark, sf_dir, "events")
+    return stats.transition_matrix(ev, tiebreak_cols=("event_id",))

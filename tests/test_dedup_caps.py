@@ -448,3 +448,28 @@ def test_lm_perplexity_flags_out_of_distribution(spark):
     out = {r["doc_id"]: r["perplexity"] for r in t.lm_cross_entropy(docs).collect()}
     in_dist = max(v for k, v in out.items() if k != 100)
     assert out[100] > 3 * in_dist  # the outlier is clearly separable
+
+
+def test_transition_matrix_hand_case(spark):
+    import pytest
+
+    from big_data_project_jan_2026_tick_data__spark.operators import stats as s
+
+    rows = [
+        (1, 0, 10, "a"), (1, 1, 20, "b"), (1, 2, 30, "a"), (1, 3, 40, "b"),
+        (2, 4, 10, "a"), (2, 5, 20, "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, eid long, ts long, event_type string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["state"], r["next_state"]): r
+        for r in s.transition_matrix(df, tiebreak_cols=("eid",)).collect()
+    }
+    # user1: a->b, b->a, a->b ; user2: a->a
+    assert out[("a", "b")]["n"] == 2
+    assert out[("b", "a")]["n"] == 1
+    assert out[("a", "a")]["n"] == 1
+    assert out[("a", "b")]["prob_q6"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[("b", "a")]["prob_q6"] == 1.0
+    # last event of each user emits no transition
+    assert sum(r["n"] for r in out.values()) == 4
