@@ -388,6 +388,11 @@ def _resize_payload(payload: bytes, codec: str, out_h: int, out_w: int):
         return codecs.encode_ppmseq(frames), True
     if codec == "pcm16":
         return payload, False
+    if not codec:
+        raise ValueError(
+            "resize: media row has no codec metadata — cannot tell an "
+            "image payload from audio; populate meta.codec upstream"
+        )
     raise NotImplementedError(
         f"resize: codec {codec!r} needs an external decoder (this container "
         "ships pure-numpy PPM/PSEQ/WAV only)"
@@ -410,7 +415,12 @@ def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
         for pdf in batches:
             out_payloads, out_meta, flags = [], [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                codec = meta["codec"] if isinstance(meta, dict) else meta[4]
+                if meta is None:
+                    codec = ""
+                elif isinstance(meta, dict):
+                    codec = meta.get("codec") or ""
+                else:
+                    codec = meta[4] or ""
                 new_payload, did = _resize_payload(
                     bytes(payload), codec, out_h, out_w
                 )

@@ -419,8 +419,8 @@ def chunk_windows(
     evaluates once per row) followed by posexplode — zero shuffle; the
     output is chunk-granular and ready for embedding/packing stages.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     chunks_sql = f"""
     transform(array(split({normalize_sql(text_col)}, ' ')), tk ->

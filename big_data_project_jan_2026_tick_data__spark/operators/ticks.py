@@ -461,7 +461,9 @@ def winsorize(
         aggs.append(F.percentile(F.col(c), F.lit(hi)).alias(f"__hi_{c}"))
     by = list(by)
     if by:
-        bounds = df.groupBy(*by).agg(*aggs)
+        # NULL group keys can never equi-match the join below — skip
+        # computing their (unreachable) bounds entirely
+        bounds = df.na.drop(subset=by).groupBy(*by).agg(*aggs)
         # LEFT join: a NULL group key never equi-matches its bounds row,
         # and an inner join would silently DELETE those rows from a
         # row-preserving cleaning transform — they pass through

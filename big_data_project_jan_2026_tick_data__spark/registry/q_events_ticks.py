@@ -124,11 +124,17 @@ def ticks_symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     b AS (
       SELECT symbol, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
-      FROM t GROUP BY symbol)
+      FROM t WHERE symbol IS NOT NULL GROUP BY symbol)
+    -- LEFT join + clampable guard mirror the operator's NULL semantics:
+    -- NULL values/keys pass through unclamped (DuckDB GREATEST/LEAST
+    -- skip NULLs, which would otherwise fabricate the low bound)
     SELECT t.event_id, t.symbol,
-           FLOOR(LEAST(GREATEST(t.value, b.lo), b.hi) * 1e6 + 0.5) / 1e6 AS value_w,
-           (t.value IS NOT NULL AND (t.value < b.lo OR t.value > b.hi)) AS value_clamped
-    FROM t JOIN b USING (symbol)
+           CASE WHEN t.value IS NOT NULL AND b.lo IS NOT NULL AND b.hi IS NOT NULL
+                THEN FLOOR(LEAST(GREATEST(t.value, b.lo), b.hi) * 1e6 + 0.5) / 1e6
+                ELSE FLOOR(t.value * 1e6 + 0.5) / 1e6 END AS value_w,
+           (t.value IS NOT NULL AND b.lo IS NOT NULL AND b.hi IS NOT NULL
+            AND (t.value < b.lo OR t.value > b.hi)) AS value_clamped
+    FROM t LEFT JOIN b USING (symbol)
     """,
 )
 def ticks_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:

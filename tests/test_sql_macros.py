@@ -143,7 +143,6 @@ def test_chunk_text_macro_rejects_bad_window(spark, sf_dir):
     silently dropped trailing tokens — the macro now asserts like its
     operator twin."""
     import pytest
-    from py4j.protocol import Py4JJavaError
 
     _setup(spark, sf_dir)
     with pytest.raises(Exception) as exc:
