@@ -570,3 +570,76 @@ def test_lm_cross_entropy_matches_python_oracle_random(spark, corpus):
         assert got[i]["cross_entropy"] == pytest.approx(
             math.floor(h * 1e6 + 0.5) / 1e6, abs=2e-6
         )
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 27)),  # (user, day)
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(**SETTINGS)
+def test_retention_cohorts_matches_python_oracle(spark, events):
+    """Weekly retention vs a python oracle over random (user, day)
+    activity — cohort assignment, offsets, distinct counting, absent
+    cells, and per-cohort normalization."""
+    from big_data_project_jan_2026_tick_data__spark.operators import stats as s
+
+    day = 86400
+    base = 4 * day  # 1970-01-05, a Monday — aligns week truncation
+    df = spark.createDataFrame(
+        [(u, base + d * day) for u, d in events], "user_id long, ts long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): (
+            r["active_users"],
+            r["retention_q6"],
+        )
+        for r in s.retention_cohorts(df).collect()
+    }
+
+    import datetime as dt
+    from collections import defaultdict
+
+    week_of = {}
+    for u, d in events:
+        wk = (d // 7) * 7
+        week_of.setdefault(u, set()).add(wk)
+    cells = defaultdict(set)
+    for u, wks in week_of.items():
+        cohort = min(wks)
+        for wk in wks:
+            cells[(cohort, (wk - cohort) // 7)].add(u)
+    expected = {}
+    for (cohort, off), users in cells.items():
+        size = len(cells[(cohort, 0)])
+        date = (dt.date(1970, 1, 5) + dt.timedelta(days=cohort)).isoformat()
+        import math as m
+
+        expected[(date, off)] = (len(users), m.floor(len(users) / size * 1e6 + 0.5) / 1e6)
+    assert got == expected
+
+
+@given(
+    values=st.lists(st.floats(-1000, 1000), min_size=1, max_size=40),
+)
+@settings(**SETTINGS)
+def test_winsorize_matches_numpy_percentiles(spark, values):
+    """Clamping vs numpy's linear-interpolation percentiles (the same
+    definition Spark's exact percentile implements)."""
+    from big_data_project_jan_2026_tick_data__spark.operators import ticks as tk
+
+    df = spark.createDataFrame(
+        [("A", i, float(v)) for i, v in enumerate(values)],
+        "symbol string, tid long, value double",
+    )
+    out = {
+        r["tid"]: r
+        for r in tk.winsorize(df, value_cols=("value",), lo=0.1, hi=0.9).collect()
+    }
+    lo, hi = np.percentile(np.array(values), [10, 90])
+    for i, v in enumerate(values):
+        exp = min(max(v, lo), hi)
+        assert out[i]["value"] == pytest.approx(exp, abs=1e-9)
+        assert out[i]["value_clamped"] == (v < lo or v > hi)
