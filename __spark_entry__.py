@@ -73,6 +73,7 @@ _ADJUDICATION_PRIORITY = [
     "events_data_contract",
     "ticks_winsorize",
     "events_transition_matrix",
+    "ticks_drawdown",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

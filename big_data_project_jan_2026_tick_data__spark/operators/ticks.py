@@ -489,3 +489,88 @@ def winsorize(
         )
     drop = [f"__lo_{c}" for c in value_cols] + [f"__hi_{c}" for c in value_cols]
     return out.drop(*drop)
+
+
+def drawdown(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    partition_cols: Sequence[str] = ("symbol",),
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Running-peak drawdown per series — the risk metric a tick
+    platform's consumers compute over every cleaned price stream
+    (reference domain: per-symbol stats alongside the
+    ``symbol_statistics_generate.py`` report family).
+
+    Per tick: ``peak`` = running maximum so far, ``dd`` = peak − value
+    (absolute drawdown) and ``dd_pct`` = (peak − value) / peak (NULL
+    when the running peak is not strictly positive, so a non-positive
+    price series cannot fabricate a percentage). Summary consumers take
+    ``max(dd_pct)`` per series; this stays per-tick so the query layer
+    chooses the grain.
+
+    Scale shape: ONE sort per series partition (rows-frame running max
+    — no self-join, no global window); everything after is codegen
+    arithmetic. Deterministic under ties via ``tiebreak_cols``.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max(F.col(value_col)).over(w)
+    dd = peak - F.col(value_col)
+    return (
+        df.withColumn("peak", peak)
+        .withColumn("dd", dd)
+        .withColumn(
+            "dd_pct",
+            F.when(peak > 0, dd / peak),
+        )
+    )
+
+
+def max_drawdown_summary(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    partition_cols: Sequence[str] = ("symbol",),
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-series max-drawdown report over :func:`drawdown`: the deepest
+    percentage drawdown, its absolute size, the peak it fell from and
+    the timestamp of the trough. The trough row is picked with a
+    ``row_number`` over (dd_pct DESC, ts ASC, tiebreaks ASC) — the same
+    partition/order the running max already sorted by, so Spark plans
+    ONE sort + two window passes + no extra shuffle; ties (equal-depth
+    troughs) resolve to the earliest occurrence in any engine.
+    """
+    per_tick = drawdown(
+        df,
+        ts_col=ts_col,
+        value_col=value_col,
+        partition_cols=partition_cols,
+        tiebreak_cols=tiebreak_cols,
+    ).filter(F.col("dd_pct").isNotNull())
+    pick = Window.partitionBy(*partition_cols).orderBy(
+        F.col("dd_pct").desc(),
+        F.col(ts_col).asc(),
+        *[F.col(c).asc() for c in tiebreak_cols],
+    )
+    return (
+        per_tick.withColumn("__rn", F.row_number().over(pick))
+        .withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy(*partition_cols))
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            *partition_cols,
+            F.round(F.col("dd_pct"), 6).alias("max_dd_pct"),
+            F.round(F.col("dd"), 6).alias("max_dd_abs"),
+            F.col("peak").alias("peak_at_trough"),
+            F.col(ts_col).alias("trough_ts"),
+            F.col("__n").alias("n_ticks"),
+        )
+    )

@@ -854,3 +854,57 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (path analysis), probabilities normalized per source state."""
     ev = _td(spark, sf_dir, "events")
     return stats.transition_matrix(ev, tiebreak_cols=("event_id",))
+
+
+@_register(
+    "ticks_drawdown",
+    r"""
+    WITH t AS (
+      SELECT event_id, 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, value
+      FROM events),
+    d AS (
+      SELECT *, MAX(value) OVER (
+               PARTITION BY symbol ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM t),
+    p AS (
+      SELECT symbol, ts, peak, peak - value AS dd,
+             CASE WHEN peak > 0 THEN (peak - value) / peak END AS dd_pct,
+             event_id
+      FROM d),
+    r AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY symbol ORDER BY dd_pct DESC, ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY symbol) AS n
+      FROM p WHERE dd_pct IS NOT NULL)
+    SELECT symbol,
+           FLOOR(dd_pct * 1e6 + 0.5) / 1e6 AS max_dd_pct,
+           FLOOR(dd * 1e6 + 0.5) / 1e6 AS max_dd_abs,
+           peak AS peak_at_trough,
+           ts AS trough_ts,
+           n AS n_ticks
+    FROM r WHERE rn = 1
+    """,
+)
+def ticks_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol max-drawdown report (running-peak risk metric over the
+    events stand-in stream): deepest percentage fall from the running
+    high, its absolute size, the peak it fell from and the trough
+    timestamp — one sort per symbol partition, two window passes, no
+    self-join (reference domain: per-symbol stats family,
+    `Data Preprocessing and Cleaning/symbol_statistics_generate.py`)."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        "value",
+    )
+    return ticks.max_drawdown_summary(
+        t,
+        ts_col="ts",
+        value_col="value",
+        partition_cols=("symbol",),
+        tiebreak_cols=("event_id",),
+    )

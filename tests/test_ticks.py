@@ -185,3 +185,53 @@ def test_winsorize_null_value_and_null_group_key(spark):
     assert len(out) == 4
     assert out[3]["value"] is None and not out[3]["value_clamped"]
     assert out[4]["value"] == 9.0 and not out[4]["value_clamped"]
+
+
+def test_drawdown_running_peak_and_guard(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 5, 9, 0, 0)
+    rows = [
+        # symbol A: 100 -> 110 -> 99 -> 104: max dd = (110-99)/110
+        ("A", t0, 1, 100.0),
+        ("A", t0 + dt.timedelta(seconds=1), 2, 110.0),
+        ("A", t0 + dt.timedelta(seconds=2), 3, 99.0),
+        ("A", t0 + dt.timedelta(seconds=3), 4, 104.0),
+        # symbol B: non-positive peak -> dd_pct NULL everywhere
+        ("B", t0, 5, -5.0),
+        ("B", t0 + dt.timedelta(seconds=1), 6, -7.0),
+    ]
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, event_id long, value double")
+    per_tick = ticks.drawdown(
+        df, partition_cols=("symbol",), tiebreak_cols=("event_id",)
+    )
+    a = {r["event_id"]: r for r in per_tick.filter("symbol = 'A'").collect()}
+    assert a[2]["peak"] == 110.0 and a[2]["dd"] == 0.0
+    assert a[3]["peak"] == 110.0 and abs(a[3]["dd_pct"] - 11.0 / 110.0) < 1e-12
+    assert all(r["dd_pct"] is None for r in per_tick.filter("symbol = 'B'").collect())
+
+    summ = {r["symbol"]: r for r in ticks.max_drawdown_summary(
+        df, partition_cols=("symbol",), tiebreak_cols=("event_id",)
+    ).collect()}
+    assert abs(summ["A"]["max_dd_pct"] - round(11.0 / 110.0, 6)) < 1e-9
+    assert summ["A"]["trough_ts"] == t0 + dt.timedelta(seconds=2)
+    assert summ["A"]["n_ticks"] == 4
+    # B has no positive-peak tick at all -> no summary row
+    assert "B" not in summ
+
+
+def test_drawdown_tie_resolves_to_earliest_trough(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 5, 9, 0, 0)
+    rows = [
+        ("A", t0, 1, 100.0),
+        ("A", t0 + dt.timedelta(seconds=1), 2, 90.0),   # dd_pct 0.1
+        ("A", t0 + dt.timedelta(seconds=2), 3, 95.0),
+        ("A", t0 + dt.timedelta(seconds=3), 4, 90.0),   # same depth, later
+    ]
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, event_id long, value double")
+    row = ticks.max_drawdown_summary(
+        df, partition_cols=("symbol",), tiebreak_cols=("event_id",)
+    ).collect()[0]
+    assert row["trough_ts"] == t0 + dt.timedelta(seconds=1)
