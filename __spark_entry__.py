@@ -74,6 +74,8 @@ _ADJUDICATION_PRIORITY = [
     "ticks_winsorize",
     "events_transition_matrix",
     "ticks_drawdown",
+    "events_robust_outliers",
+    "events_moment_stats",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

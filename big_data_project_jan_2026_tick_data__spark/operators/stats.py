@@ -412,3 +412,97 @@ def transition_matrix(
             F.floor(F.col("n") / F.sum("n").over(totals) * 1e6 + F.lit(0.5)) / 1e6
         ).alias("prob_q6"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str = "value",
+    by: Sequence[str] = ("event_type",),
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier scoring via the modified z-score
+    0.6745·(x − median)/MAD (Iglewicz-Hoaglin) — the despike/winsorize
+    companion that does not assume normality and is immune to the
+    outliers it hunts (reference domain: the cleaner's bad-print
+    detection, `spark_data_cleaner_script.py`).
+
+    Two exact-percentile aggregates (median, then median of absolute
+    deviations) with the group-level results broadcast back onto the
+    stream — the tick stream itself never shuffles. Returns the input
+    plus ``med``/``mad``/``robust_z`` (NULL when the value is NULL or
+    the group's MAD is 0) and an ``is_outlier`` flag at
+    ``z_threshold``.
+    """
+    by = list(by)
+    med_tbl = (
+        df.na.drop(subset=by)
+        .groupBy(*by)
+        .agg(F.percentile(F.col(value_col), F.lit(0.5)).alias("med"))
+    )
+    with_med = df.join(F.broadcast(med_tbl), by, "left")
+    mad_tbl = (
+        with_med.na.drop(subset=by)
+        .groupBy(*by)
+        .agg(
+            F.percentile(F.abs(F.col(value_col) - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    out = with_med.join(F.broadcast(mad_tbl), by, "left")
+    z = F.when(
+        F.col(value_col).isNotNull() & (F.col("mad") > 0),
+        F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad"),
+    )
+    return out.withColumn("robust_z", z).withColumn(
+        "is_outlier",
+        F.when(z.isNotNull(), F.abs(z) > z_threshold).otherwise(F.lit(False)),
+    )
+
+
+def moment_stats(
+    df: DataFrame,
+    value_col: str = "value",
+    by: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Higher-moment distribution profile per group: population skewness
+    (m3/m2^1.5) and excess kurtosis (m4/m2² − 3) computed from raw power
+    sums in ONE hash aggregate — no second centering pass, no built-in
+    `skewness`/`kurtosis` (whose sample-correction conventions differ
+    across engines; the explicit raw-moment formula is portable to any
+    SQL oracle).
+
+    Central moments from raw sums: m2 = s2/n − μ², m3 = s3/n − 3μs2/n +
+    2μ³, m4 = s4/n − 4μs3/n + 6μ²s2/n − 3μ⁴. Single shuffle on the
+    group key, map-side partials; NULL values are excluded from n.
+    """
+    x = F.col(value_col).cast("double")
+    agg = (
+        df.groupBy(*[F.col(c) for c in by])
+        .agg(
+            F.count(x).alias("n"),
+            F.sum(x).alias("__s1"),
+            F.sum(x * x).alias("__s2"),
+            F.sum(x * x * x).alias("__s3"),
+            F.sum(x * x * x * x).alias("__s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("__s1") / n
+    m2 = F.col("__s2") / n - mu * mu
+    m3 = F.col("__s3") / n - 3 * mu * F.col("__s2") / n + 2 * mu * mu * mu
+    m4 = (
+        F.col("__s4") / n
+        - 4 * mu * F.col("__s3") / n
+        + 6 * mu * mu * F.col("__s2") / n
+        - 3 * mu * mu * mu * mu
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        *by,
+        "n",
+        q6(mu).alias("mean_q6"),
+        q6(F.sqrt(m2)).alias("std_q6"),
+        q6(F.when(m2 > 0, m3 / F.pow(F.sqrt(m2), F.lit(3.0)))).alias("skew_q6"),
+        q6(F.when(m2 > 0, m4 / (m2 * m2) - 3)).alias("kurt_q6"),
+    )

@@ -908,3 +908,83 @@ def ticks_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=("symbol",),
         tiebreak_cols=("event_id",),
     )
+
+
+@_register(
+    "events_robust_outliers",
+    r"""
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+    j AS (
+      SELECT e.event_type, e.value, m.med
+      FROM events e LEFT JOIN m USING (event_type)),
+    d AS (
+      SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      FROM j WHERE event_type IS NOT NULL GROUP BY 1),
+    z AS (
+      SELECT j.event_type, j.value, j.med, d.mad,
+             CASE WHEN j.value IS NOT NULL AND d.mad > 0
+                  THEN 0.6745 * (j.value - j.med) / d.mad END AS rz
+      FROM j LEFT JOIN d USING (event_type))
+    SELECT event_type,
+           count(value) AS n,
+           FLOOR(ANY_VALUE(med) * 1e6 + 0.5) / 1e6 AS med_q6,
+           FLOOR(ANY_VALUE(mad) * 1e6 + 0.5) / 1e6 AS mad_q6,
+           count(*) FILTER (WHERE abs(rz) > 3.5) AS n_outliers,
+           FLOOR(max(abs(rz)) * 1e6 + 0.5) / 1e6 AS max_abs_z_q6
+    FROM z GROUP BY event_type
+    """,
+)
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: Iglewicz-Hoaglin modified
+    z-scores (median/MAD, exact percentiles, broadcast bounds — the
+    stream never shuffles) aggregated to a per-group report with the
+    outlier count at |z| > 3.5."""
+    ev = _td(spark, sf_dir, "events")
+    scored = stats.robust_outliers(
+        ev, value_col="value", by=("event_type",), z_threshold=3.5
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return scored.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        q6(F.any_value("med")).alias("med_q6"),
+        q6(F.any_value("mad")).alias("mad_q6"),
+        F.count_if(F.abs(F.col("robust_z")) > 3.5).alias("n_outliers"),
+        q6(F.max(F.abs(F.col("robust_z")))).alias("max_abs_z_q6"),
+    )
+
+
+@_register(
+    "events_moment_stats",
+    r"""
+    WITH a AS (
+      SELECT event_type,
+             count(value) AS n,
+             sum(value) AS s1, sum(value * value) AS s2,
+             sum(value * value * value) AS s3,
+             sum(value * value * value * value) AS s4
+      FROM events GROUP BY event_type),
+    c AS (
+      SELECT event_type, n,
+             s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * s3 / n + 6 * (s1 / n) * (s1 / n) * s2 / n
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM a)
+    SELECT event_type, n,
+           FLOOR(mu * 1e6 + 0.5) / 1e6 AS mean_q6,
+           FLOOR(sqrt(m2) * 1e6 + 0.5) / 1e6 AS std_q6,
+           FLOOR(CASE WHEN m2 > 0 THEN m3 / power(sqrt(m2), 3) END * 1e6 + 0.5) / 1e6 AS skew_q6,
+           FLOOR(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END * 1e6 + 0.5) / 1e6 AS kurt_q6
+    FROM c
+    """,
+)
+def events_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profile per event type: population skewness and
+    excess kurtosis from raw power sums in one hash aggregate (portable
+    raw-moment formulas, not the engine-specific sample-corrected
+    built-ins)."""
+    ev = _td(spark, sf_dir, "events")
+    return stats.moment_stats(ev, value_col="value", by=("event_type",))

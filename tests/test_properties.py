@@ -643,3 +643,63 @@ def test_winsorize_matches_numpy_percentiles(spark, values):
         exp = min(max(v, lo), hi)
         assert out[i]["value"] == pytest.approx(exp, abs=1e-9)
         assert out[i]["value_clamped"] == (v < lo or v > hi)
+
+
+@given(
+    vals=st.lists(st.floats(-500, 500), min_size=2, max_size=40),
+)
+@settings(**SETTINGS)
+def test_moment_stats_matches_numpy(spark, vals):
+    """Raw-power-sum skewness/kurtosis vs numpy's central-moment
+    definitions (population, excess)."""
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "event_type string, value double"
+    )
+    row = stats.moment_stats(df, value_col="value", by=("event_type",)).collect()[0]
+    a = np.array(vals, dtype=float)
+    mu, m2 = a.mean(), ((a - a.mean()) ** 2).mean()
+    assert row["n"] == len(vals)
+    assert abs(row["mean_q6"] - mu) < 1e-4
+    assert abs(row["std_q6"] - np.sqrt(m2)) < 1e-4
+    if m2 > 1e-9:
+        m3 = ((a - mu) ** 3).mean()
+        m4 = ((a - mu) ** 4).mean()
+        assert abs(row["skew_q6"] - m3 / m2**1.5) < 1e-3
+        assert abs(row["kurt_q6"] - (m4 / m2**2 - 3)) < 1e-3
+    elif m2 == 0.0:
+        assert row["skew_q6"] is None and row["kurt_q6"] is None
+
+
+@given(
+    vals=st.lists(st.floats(-100, 100), min_size=3, max_size=30),
+    spike=st.floats(1e4, 1e5),
+)
+@settings(**SETTINGS)
+def test_robust_outliers_matches_python_oracle(spark, vals, spike):
+    """Modified z-scores vs a direct python median/MAD recomputation; an
+    injected spike must flag iff the group's MAD is positive."""
+    data = [float(v) for v in vals] + [float(spike)]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(data)],
+        "event_type string, event_id long, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in stats.robust_outliers(
+            df, value_col="value", by=("event_type",), z_threshold=3.5
+        ).collect()
+    }
+    med = float(np.median(data))
+    mad = float(np.median(np.abs(np.array(data) - med)))
+    for i, v in enumerate(data):
+        r = out[i]
+        assert abs(r["med"] - med) < 1e-9
+        assert abs(r["mad"] - mad) < 1e-9
+        if mad > 0:
+            z = 0.6745 * (v - med) / mad
+            assert abs(r["robust_z"] - z) < 1e-9
+            assert r["is_outlier"] == (abs(z) > 3.5)
+        else:
+            assert r["robust_z"] is None and r["is_outlier"] is False
+    if mad > 0:
+        assert out[len(data) - 1]["is_outlier"]
