@@ -76,6 +76,7 @@ _ADJUDICATION_PRIORITY = [
     "ticks_drawdown",
     "events_robust_outliers",
     "events_moment_stats",
+    "doc_vocab_coverage",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -545,3 +545,50 @@ def lm_cross_entropy(
             q6(F.pow(F.lit(2.0), F.col("__h"))).alias("perplexity"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 256,
+) -> DataFrame:
+    """Corpus vocabulary fit + per-document coverage: build the top-
+    ``vocab_size`` terms by corpus frequency (ties broken by term, so
+    the vocabulary is identical in any engine) and score every document
+    by its out-of-vocabulary token rate — the tokenizer-fit diagnostic a
+    training-data pipeline runs before committing a vocab/tokenizer to
+    a corpus (high OOV rate = the vocab was fit on different text).
+
+    Scale shape: one (term) hash agg over the exploded token stream
+    (map-side combined), the vocab cut via ``orderBy().limit()`` —
+    Catalyst plans TakeOrderedAndProject (per-partition top-k, merged),
+    never a single-partition global rank window — then one broadcast
+    join of the slim vocab back onto the per-doc token stream: the
+    corpus text itself never shuffles. Returns
+    (id, n_tokens, n_oov, oov_rate_q6).
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    stream = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(
+        F.length("term") > 0
+    )
+    freq = stream.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = (
+        freq.orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .select("term")
+    )
+    tagged = stream.join(
+        F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))), "term", "left"
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("__in_vocab").isNull()).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate_q6",
+            F.floor(F.col("n_oov") / F.col("n_tokens") * 1e6 + F.lit(0.5)) / 1e6,
+        )
+    )

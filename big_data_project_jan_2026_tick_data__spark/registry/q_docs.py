@@ -1212,3 +1212,34 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document in SQL."""
     docs = _td(spark, sf_dir, "documents")
     return text.lm_cross_entropy(docs)
+
+
+@_register(
+    "doc_vocab_coverage",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               UNNEST(string_split({_norm_sql('text')}, ' ')) AS w
+        FROM documents) t
+      WHERE length(w) > 0),
+    freq AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+    vocab AS (SELECT w FROM freq ORDER BY f DESC, w ASC LIMIT 256),
+    tagged AS (
+      SELECT t.doc_id, (v.w IS NOT NULL) AS iv
+      FROM tok t LEFT JOIN vocab v USING (w))
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           count(*) FILTER (WHERE NOT iv) AS n_oov,
+           FLOOR(count(*) FILTER (WHERE NOT iv) * 1.0 / count(*) * 1e6 + 0.5) / 1e6
+             AS oov_rate_q6
+    FROM tagged GROUP BY doc_id
+    """,
+)
+def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit diagnostic: fit a top-256 corpus vocabulary
+    (frequency-ranked, term tie-break) and score every document's
+    out-of-vocabulary token rate — TakeOrderedAndProject vocab cut +
+    broadcast join back; the corpus token stream never shuffles."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, vocab_size=256)

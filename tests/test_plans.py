@@ -352,3 +352,30 @@ def test_expectations_single_scan(spark, sf_dir):
     ]
     r = plan_report(validate(docs, rules))
     assert r["scans"] == 1 and r["python_row_udfs"] == 0
+
+
+def test_vocab_coverage_topk_and_broadcast(spark, sf_dir):
+    """The vocabulary cut must be a distributed top-k
+    (TakeOrderedAndProject), never a single-partition global sort or
+    rank window, and the vocab must come back via broadcast join."""
+    tree, _ = _explain(spark, "doc_vocab_coverage", sf_dir)
+    assert "TakeOrderedAndProject" in tree
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastHashJoin" in tree
+
+
+def test_drawdown_one_sort_no_join(spark, sf_dir):
+    """Running-peak drawdown + trough pick must stay window-only (no
+    self-join) with a single exchange on the series key."""
+    tree, _ = _explain(spark, "ticks_drawdown", sf_dir)
+    assert "Join" not in tree
+    assert _shuffles(tree) == 1
+
+
+def test_robust_outliers_broadcast_bounds(spark, sf_dir):
+    """Median/MAD tables must broadcast back onto the stream — the
+    stream itself never shuffles for the join."""
+    tree, _ = _explain(spark, "events_robust_outliers", sf_dir)
+    assert "SortMergeJoin" not in tree
+    # med onto stream, med onto the MAD aggregate's input, mad onto stream
+    assert tree.count("BroadcastHashJoin") == 3
