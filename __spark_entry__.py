@@ -77,6 +77,7 @@ _ADJUDICATION_PRIORITY = [
     "events_robust_outliers",
     "events_moment_stats",
     "doc_vocab_coverage",
+    "emb_semantic_dedup",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

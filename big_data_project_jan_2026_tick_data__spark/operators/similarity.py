@@ -274,6 +274,7 @@ def kmeans(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_vec: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column — the
     curation primitive behind topic bucketing / per-cluster sampling of
@@ -337,10 +338,76 @@ def kmeans(
         ]
 
     final = v.withColumn("a", assign_expr(centroids))
-    return final.select(
+    cols = [
         F.col(id_col),
         F.col("a").getField("cid").alias("cluster"),
         (F.floor(F.col("a").getField("dsq") * 1e6 + F.lit(0.5)) / 1e6).alias("dist_sq"),
+    ]
+    if return_vec:
+        # downstream consumers (semantic_dedup) keep the vector next to
+        # its assignment so no corpus-sized re-join is needed
+        cols.append(F.col("vec"))
+    return final.select(*cols)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    max_cluster_size: int | None = 1000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    cluster the embedding space with the deterministic distributed
+    :func:`kmeans`, then compare vectors ONLY within their cluster and
+    emit pairs with cosine ≥ ``threshold`` — the curation step that
+    removes semantically redundant training examples that no exact/
+    MinHash text dedup can see.
+
+    Scale shape: the k-means assignment is map-side (broadcast centroid
+    literals, zero shuffle) and keeps the vector attached
+    (``return_vec``) so there is NO corpus re-join; the pair join is an
+    equi-join on cluster id — never an all-pairs cross product — and a
+    ``max_cluster_size`` cap drops degenerate clusters before the
+    quadratic blow-up (same guard as the text/LSH dedup family; at real
+    scale you also grow ``k`` with the corpus so expected cluster sizes
+    stay bounded). Returns (id_a < id_b, cluster, cosine) with the
+    lower id the canonical keep candidate.
+    """
+    asn = kmeans(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, return_vec=True
+    ).select(F.col(id_col), "cluster", "vec")
+    if max_cluster_size is not None:
+        hot = (
+            asn.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("__csz"))
+            .filter(F.col("__csz") > max_cluster_size)
+            .select("cluster")
+        )
+        asn = asn.join(F.broadcast(hot), "cluster", "left_anti")
+    asn = asn.withColumn("n", norm(F.col("vec")))
+    return (
+        asn.alias("a")
+        .join(
+            asn.alias("b"),
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.n") * F.col("b.n")), 6
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.cluster").alias("cluster"),
+            "cosine",
+        )
     )
 
 

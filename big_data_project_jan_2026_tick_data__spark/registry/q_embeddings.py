@@ -265,13 +265,15 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, dim: int = 64) -> str:
-    """Chained-CTE DuckDB k-means (init → assign → update → assign), the
-    independent re-derivation of similarity.kmeans' two Lloyd
-    iterations. Distances are squared-L2 computed dimension-by-dimension
-    (same left-to-right fold as the Spark ``aggregate``); updated
-    centroids are quantized with the shared floor-half-up-1e-6 formula so
-    both engines iterate from identical literals."""
+def _kmeans_cte(k: int = 8, dim: int = 64) -> str:
+    """Shared chained-CTE DuckDB k-means body (init → assign → update ×2
+    → final distances ``afd`` carrying the vector), the independent
+    re-derivation of similarity.kmeans' two Lloyd iterations. Distances
+    are squared-L2 computed dimension-by-dimension (same left-to-right
+    fold as the Spark ``aggregate``); updated centroids are quantized
+    with the shared floor-half-up-1e-6 formula so both engines iterate
+    from identical literals. Used by the kmeans AND semantic-dedup
+    oracles."""
     d1 = dim + 1
     return rf"""
     WITH base AS (
@@ -315,16 +317,49 @@ def _kmeans_oracle(k: int = 8, dim: int = 64) -> str:
       SELECT i.cid, COALESCE(u.c, i.c) AS c
       FROM c1 i LEFT JOIN u2 u USING (cid)),
     afd AS (
-      SELECT b.vec_id, i.cid,
+      SELECT b.vec_id, b.v, i.cid,
              list_sum(list_transform(range(1, {d1}),
                j -> (b.v[j] - i.c[j]) * (b.v[j] - i.c[j]))) AS dsq
-      FROM base b CROSS JOIN c2 i)
+      FROM base b CROSS JOIN c2 i),
+    asn AS (
+      SELECT vec_id, v, cid, dsq FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid) AS rn
+        FROM afd) WHERE rn = 1)
+    """
+
+
+def _kmeans_oracle(k: int = 8, dim: int = 64) -> str:
+    return (
+        _kmeans_cte(k, dim)
+        + """
     SELECT vec_id, CAST(cid AS INT) AS cluster,
            floor(dsq * 1e6 + 0.5) / 1e6 AS dist_sq
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid) AS rn
-      FROM afd) WHERE rn = 1
+    FROM asn
     """
+    )
+
+
+def _semantic_dedup_oracle(
+    k: int = 8, dim: int = 64, threshold: float = 0.3, cap: int = 1000
+) -> str:
+    """Semantic-dedup oracle: the shared k-means chain's final
+    assignment, the operator's hot-cluster cap mirrored in SQL, then the
+    within-cluster cosine pair join."""
+    return (
+        _kmeans_cte(k, dim)
+        + f"""
+    , capped AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY cid) AS csz FROM asn)
+      WHERE csz <= {cap})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(a.cid AS INT) AS cluster,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM capped a JOIN capped b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+    """
+    )
 
 
 @_register("emb_kmeans", _kmeans_oracle())
@@ -454,3 +489,14 @@ def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.brute_force_topk(deq, queries, k=10)
+
+
+@_register("emb_semantic_dedup", _semantic_dedup_oracle())
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: deterministic k-means
+    topic clustering (k=8, 2 Lloyd iterations) then within-cluster
+    cosine pairs ≥ 0.3 — cluster equi-join with a hot-cluster cap,
+    never an all-pairs product; the oracle re-derives the identical
+    clustering and pair set in SQL."""
+    emb = _td(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, k=8, iters=2, threshold=0.3)

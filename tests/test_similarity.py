@@ -175,3 +175,34 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_semantic_dedup_finds_planted_duplicates(spark):
+    """Planted near-identical vectors must surface as a pair with
+    cosine ~1 regardless of which k-means cluster they land in; a
+    far-away orthogonal vector must not pair with them at a high
+    threshold."""
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [1.0, 0.001] + [0.0] * (dim - 2)
+    orth = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    rows = [(0, base), (1, near), (2, orth)] + [
+        (10 + i, [0.1 * (i + 1), 0.2, 0.3, 0.0, 0.0, 0.0, 0.0, 1.0])
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.semantic_dedup(df, k=2, iters=2, threshold=0.95).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.999
+    assert not any(2 in p for p in pairs)
+
+
+def test_semantic_dedup_hot_cluster_cap(spark):
+    """A degenerate corpus (every vector identical -> one giant cluster)
+    must be dropped by the cap instead of exploding quadratically."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(df, k=2, iters=1, threshold=0.5, max_cluster_size=10)
+    assert out.count() == 0
