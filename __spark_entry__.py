@@ -78,6 +78,7 @@ _ADJUDICATION_PRIORITY = [
     "events_moment_stats",
     "doc_vocab_coverage",
     "emb_semantic_dedup",
+    "orders_abc_pareto",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

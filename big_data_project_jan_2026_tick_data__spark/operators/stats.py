@@ -506,3 +506,105 @@ def moment_stats(
         q6(F.when(m2 > 0, m3 / F.pow(F.sqrt(m2), F.lit(3.0)))).alias("skew_q6"),
         q6(F.when(m2 > 0, m4 / (m2 * m2) - 3)).alias("kurt_q6"),
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence,
+    value_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Global running sum over a total order WITHOUT a single-partition
+    window — the scale-correct building block for Pareto/ABC curves,
+    global quantile ranks and cumulative-share reports.
+
+    The naive ``Window.orderBy(...)`` (no partitionBy) funnels the whole
+    dataset through ONE task; this instead:
+
+    1. ``repartitionByRange`` on the order (range exchange — the same
+       shuffle a global sort needs anyway),
+    2. per-partition prefix sums via a window PARTITIONED by
+       ``spark_partition_id()`` (parallel),
+    3. per-partition totals → exclusive offsets on the driver
+       (``num_partitions`` rows — metadata, corpus-size-independent),
+       broadcast-joined back.
+
+    Requires ``order_cols`` to be a TOTAL order (unique key) — range
+    partitioning may split equal keys across partition boundaries, which
+    would make the per-partition offset attribution ambiguous.
+    Returns the input plus ``cum_<value_col>``.
+    """
+    ordered = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ordered.withColumn("__local_cum", F.sum(F.col(value_col)).over(w))
+    totals = (
+        local.groupBy("__pid")
+        .agg(F.max("__local_cum").alias("__ptot"))
+        .orderBy("__pid")
+        .collect()
+    )
+    running = 0
+    offsets = []
+    for r in totals:
+        offsets.append((r["__pid"], running))
+        running += r["__ptot"]
+    off_df = df.sparkSession.createDataFrame(
+        offsets, f"__pid int, __offset {'bigint' if isinstance(running, int) else 'double'}"
+    )
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(f"cum_{value_col}", F.col("__local_cum") + F.col("__offset"))
+        .drop("__pid", "__local_cum", "__offset")
+    )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    a_share: float = 0.8,
+    b_share: float = 0.95,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Pareto/ABC analysis: rank keys by total ``value_col`` descending,
+    compute each key's cumulative share of the grand total, and classify
+    A (the head that covers ``a_share`` of the total), B (up to
+    ``b_share``), C (the tail) — the inventory/revenue-concentration
+    report every warehouse runs.
+
+    Values are quantized to integer cents BEFORE the cumulative pass so
+    the running sum is exact integer arithmetic — associative, engine-
+    independent, no float-order drift at partition boundaries. Uses
+    :func:`global_cumsum` (range-partitioned prefix sums), never a
+    single-partition global window. Share boundaries are half-open:
+    a key is 'A' while the cumulative share is ≤ ``a_share`` (the first
+    key is always 'A' even if it alone exceeds the threshold).
+    """
+    per_key = df.groupBy(*key_cols).agg(
+        F.floor(F.sum(value_col) * 100 + F.lit(0.5)).cast("long").alias("__cents")
+    )
+    order = [F.col("__cents").desc(), *[F.col(c).asc() for c in key_cols]]
+    cum = global_cumsum(
+        per_key, order_cols=order, value_col="__cents", num_partitions=num_partitions
+    )
+    total = per_key.agg(F.sum("__cents").alias("__total"))
+    share = F.col("cum___cents") / F.col("__total")
+    prev_share = (F.col("cum___cents") - F.col("__cents")) / F.col("__total")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            (F.col("__cents") / 100.0).alias("total_value"),
+            (F.floor(share * 1e6 + F.lit(0.5)) / 1e6).alias("cum_share_q6"),
+            F.when(prev_share < a_share, "A")
+            .when(prev_share < b_share, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )

@@ -1440,3 +1440,43 @@ def sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     register_testdata_views(spark, sf_dir)
     return spark.sql(_SQL_OVER_VIEWS)
+
+
+@_register(
+    "orders_abc_pareto",
+    r"""
+    WITH pk AS (
+      SELECT l_partkey,
+             CAST(FLOOR(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT sum(cents) AS total FROM pk),
+    c AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM pk)
+    SELECT l_partkey,
+           cents / 100.0 AS total_value,
+           FLOOR(cum * 1.0 / total * 1e6 + 0.5) / 1e6 AS cum_share_q6,
+           CASE WHEN (cum - cents) * 1.0 / total < 0.8 THEN 'A'
+                WHEN (cum - cents) * 1.0 / total < 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c CROSS JOIN t
+    """,
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC revenue-concentration report over parts: per-part
+    lineitem revenue quantized to integer cents, then a RANGE-
+    PARTITIONED global prefix sum (stats.global_cumsum — per-partition
+    prefix sums + broadcast offsets, never a single-partition global
+    window) classifies parts into A/≤80%, B/≤95%, C tail by cumulative
+    share. The oracle uses the plain windowed cumsum — same exact
+    integer arithmetic, so the distributed decomposition is provably
+    equivalent."""
+    li = _td(spark, sf_dir, "lineitem")
+    rev = li.withColumn("__rev", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return stats.abc_classification(
+        rev, key_cols=("l_partkey",), value_col="__rev"
+    )

@@ -379,3 +379,17 @@ def test_robust_outliers_broadcast_bounds(spark, sf_dir):
     assert "SortMergeJoin" not in tree
     # med onto stream, med onto the MAD aggregate's input, mad onto stream
     assert tree.count("BroadcastHashJoin") == 3
+
+
+def test_abc_pareto_no_single_partition_window(spark, sf_dir):
+    """The global cumulative share must run on a RANGE-partitioned
+    window (parallel prefix sums), never an Exchange SinglePartition
+    under the Window; the only single-partition exchange allowed is the
+    scalar grand-total aggregate."""
+    _, full = _explain(spark, "orders_abc_pareto", sf_dir)
+    assert re.search(r"rangepartitioning", full, re.IGNORECASE)
+    # no Window node may sit on a SinglePartition exchange
+    assert not re.search(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*Window", full
+    )
+    assert full.count("SinglePartition") <= 1

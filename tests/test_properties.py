@@ -703,3 +703,23 @@ def test_robust_outliers_matches_python_oracle(spark, vals, spike):
             assert r["robust_z"] is None and r["is_outlier"] is False
     if mad > 0:
         assert out[len(data) - 1]["is_outlier"]
+
+
+@given(
+    vals=st.lists(st.integers(0, 10**6), min_size=1, max_size=50),
+)
+@settings(**SETTINGS)
+def test_global_cumsum_matches_sequential(spark, vals):
+    """Range-partitioned prefix-sum decomposition vs a plain sequential
+    running total, across partition boundaries (num_partitions=4 over
+    tiny inputs forces empty/short partitions)."""
+    rows = [(i, int(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = stats.global_cumsum(
+        df, order_cols=[F.col("k").asc()], value_col="v", num_partitions=4
+    )
+    got = {r["k"]: r["cum_v"] for r in out.collect()}
+    running = 0
+    for i, v in enumerate(vals):
+        running += v
+        assert got[i] == running
