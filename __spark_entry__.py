@@ -79,6 +79,7 @@ _ADJUDICATION_PRIORITY = [
     "doc_vocab_coverage",
     "emb_semantic_dedup",
     "orders_abc_pareto",
+    "doc_quality_classifier",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

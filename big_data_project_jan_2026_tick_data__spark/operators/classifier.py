@@ -1,0 +1,132 @@
+"""Distributed quality-classifier training (logistic regression).
+
+The fastText-style step every training-data pipeline runs: fit a small
+linear classifier on cheap document features against a weak label, then
+score the whole corpus with it (CCNet/GPT-3-style quality filtering —
+the LM-perplexity scorer's discriminative sibling, cf.
+``text.lm_cross_entropy``).
+
+Spark-first design (reference has no classifier surface; this extends
+the ML layer the same way `operators/autoencoder.py` does for the
+reconstruction scorer, reference ``ML Model/Scripts/train.py``):
+
+- **Features are codegen expressions** over the text column — token
+  count, mean token length, digit ratio — computed JVM-side, never a
+  Python UDF.
+- **Training is full-batch gradient descent** driven from the driver:
+  one distributed aggregate per iteration produces the (dim+1)-float
+  gradient (map-side partials, a scalar-sized shuffle), the driver
+  updates the weight vector and broadcasts it back as literals in the
+  next iteration's expression. Nothing larger than the weight vector
+  ever leaves the cluster; the corpus is scanned once per iteration
+  (cache the slim feature frame in production — it is 4 doubles/doc).
+- **Deterministic across engines**: weights are quantized to 1e-9 after
+  every update (floor-half-up — the kmeans centroid discipline), so
+  float-sum ordering and libm ulp differences cannot compound across
+  iterations; an independent SQL engine re-running the same recipe
+  reproduces the weights bit-for-bit at quantization granularity.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+#: feature names in weight order (w[0] is the bias)
+FEATURES = ("bias", "tokens_x", "tok_len_x", "digit_x")
+
+
+def _q9(v: float) -> float:
+    return math.floor(v * 1e9 + 0.5) / 1e9
+
+
+def quality_features(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    pos_label: str = "en",
+) -> DataFrame:
+    """Slim per-doc training frame: weak label y = (lang == pos_label)
+    and three scaled scalar features —
+
+    - ``tokens_x``: normalized-token count, capped at 500, /100;
+    - ``tok_len_x``: mean token length /10 (0 for empty docs);
+    - ``digit_x``: digit fraction of the RAW text.
+
+    All plain column expressions (one projection, no shuffle, no UDF).
+    """
+    norm = normalize_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    n_tok = F.when(F.length(norm) > 0, F.size(toks)).otherwise(F.lit(0))
+    tok_chars = F.length(F.regexp_replace(norm, " ", ""))
+    digits = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+    return df.select(
+        F.col(id_col),
+        F.when(F.col(lang_col) == pos_label, 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("bias"),
+        (F.least(n_tok, F.lit(500)).cast("double") / 100).alias("tokens_x"),
+        (tok_chars / F.greatest(n_tok, F.lit(1)) / 10).alias("tok_len_x"),
+        (digits / F.greatest(F.length(F.col(text_col)), F.lit(1))).alias("digit_x"),
+    )
+
+
+def _z_expr(weights: list[float]) -> str:
+    return " + ".join(f"{w!r}D * {f}" for w, f in zip(weights, FEATURES))
+
+
+def train_logreg(
+    features: DataFrame, iters: int = 12, lr: float = 1.0
+) -> list[float]:
+    """Full-batch logistic-regression GD over a ``quality_features``
+    frame. Per iteration: ONE aggregate computes n and the summed
+    gradient Σ xⱼ·(σ(w·x) − y) for every feature (the sigmoid/dot is a
+    single codegen expression with the current weights inlined as
+    literals); the driver applies w ← q9(w − lr·g/n). Returns the final
+    quantized weights."""
+    w = [0.0] * len(FEATURES)
+    for _ in range(iters):
+        err = F.expr(f"1D / (1D + exp(-({_z_expr(w)}))) - y")
+        row = features.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col(f) * err).alias(f"g_{f}") for f in FEATURES],
+        ).collect()[0]
+        n = row["n"]
+        if n == 0:
+            break
+        w = [_q9(wj - lr * row[f"g_{f}"] / n) for wj, f in zip(w, FEATURES)]
+    return w
+
+
+def score(features: DataFrame, weights: list[float]) -> DataFrame:
+    """Score a feature frame with trained weights: σ(w·x) quantized q6,
+    plus the thresholded prediction — a pure projection."""
+    s = F.expr(f"1D / (1D + exp(-({_z_expr(weights)})))")
+    return features.select(
+        "doc_id",
+        F.col("y").cast("int").alias("y"),
+        (F.floor(s * 1e6 + F.lit(0.5)) / 1e6).alias("score_q6"),
+        (s >= 0.5).cast("int").alias("pred"),
+    )
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    pos_label: str = "en",
+    iters: int = 12,
+    lr: float = 1.0,
+) -> DataFrame:
+    """End-to-end: features → distributed GD fit → corpus scoring.
+    Returns (doc_id, y, score_q6, pred)."""
+    feats = quality_features(
+        df, text_col=text_col, lang_col=lang_col, id_col=id_col, pos_label=pos_label
+    )
+    weights = train_logreg(feats, iters=iters, lr=lr)
+    return score(feats, weights)

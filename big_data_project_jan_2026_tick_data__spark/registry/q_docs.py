@@ -1243,3 +1243,74 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join back; the corpus token stream never shuffles."""
     docs = _td(spark, sf_dir, "documents")
     return text.vocab_coverage(docs, vocab_size=256)
+
+
+def _quality_classifier_oracle(iters: int = 12, lr: float = 1.0) -> str:
+    """Generated chained-CTE oracle for doc_quality_classifier: re-runs
+    the IDENTICAL full-batch logistic-regression recipe in DuckDB — same
+    features, same weak label, one gradient CTE + one weight CTE per
+    iteration, weights quantized floor-half-up at 1e-9 exactly like the
+    driver loop (classifier.train_logreg), so cross-engine float-sum and
+    libm ulp differences cannot compound."""
+    z = "w.w0 * f.bias + w.w1 * f.tokens_x + w.w2 * f.tok_len_x + w.w3 * f.digit_x"
+    parts = [
+        rf"""
+    WITH feat AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS bias,
+             least(CASE WHEN length(nrm) > 0
+                        THEN len(string_split(nrm, ' ')) ELSE 0 END,
+                   500) / 100.0 AS tokens_x,
+             length(replace(nrm, ' ', '')) * 1.0
+               / greatest(CASE WHEN length(nrm) > 0
+                               THEN len(string_split(nrm, ' ')) ELSE 0 END, 1)
+               / 10.0 AS tok_len_x,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+               / greatest(length(text), 1) AS digit_x
+      FROM (SELECT doc_id, lang, text, {_norm_sql('text')} AS nrm
+            FROM documents) d),
+    it0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+                   CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"""
+    , g{i} AS MATERIALIZED (
+      SELECT count(*) AS n,
+             sum(e.bias * e.e) AS gb, sum(e.tokens_x * e.e) AS gt,
+             sum(e.tok_len_x * e.e) AS gl, sum(e.digit_x * e.e) AS gd
+      FROM (SELECT f.*, 1.0 / (1.0 + exp(-({z}))) - f.y AS e
+            FROM feat f CROSS JOIN it{p} w) e),
+    it{i} AS MATERIALIZED (
+      SELECT floor((w.w0 - {lr!r} * g.gb / g.n) * 1e9 + 0.5) / 1e9 AS w0,
+             floor((w.w1 - {lr!r} * g.gt / g.n) * 1e9 + 0.5) / 1e9 AS w1,
+             floor((w.w2 - {lr!r} * g.gl / g.n) * 1e9 + 0.5) / 1e9 AS w2,
+             floor((w.w3 - {lr!r} * g.gd / g.n) * 1e9 + 0.5) / 1e9 AS w3
+      FROM it{p} w CROSS JOIN g{i} g)"""
+        )
+    parts.append(
+        f"""
+    SELECT doc_id, CAST(y AS INT) AS y,
+           floor(sig * 1e6 + 0.5) / 1e6 AS score_q6,
+           CAST(sig >= 0.5 AS INT) AS pred
+    FROM (SELECT f.doc_id, f.y, 1.0 / (1.0 + exp(-({z}))) AS sig
+          FROM feat f CROSS JOIN it{iters} w) s"""
+    )
+    return "".join(parts)
+
+
+@_register("doc_quality_classifier", _quality_classifier_oracle())
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style corpus quality classifier, trained AND applied
+    in-engine: weak label = (lang == 'en'), three codegen features
+    (token count, mean token length, digit ratio), 12 full-batch GD
+    iterations — each ONE scalar-sized gradient aggregate — weights
+    q9-quantized per step; the oracle re-trains the identical recipe as
+    a generated CTE chain (classifier.py; discriminative sibling of
+    doc_lm_perplexity)."""
+    from ..operators import classifier
+
+    docs = _td(spark, sf_dir, "documents")
+    return classifier.quality_classifier(docs, iters=12, lr=1.0)

@@ -1,0 +1,55 @@
+"""Distributed logistic-regression trainer: learns a separable rule,
+stays deterministic, and degrades safely on empty input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_project_jan_2026_tick_data__spark.operators import classifier
+
+
+def _toy_docs(spark):
+    # 'en' docs are digit-free prose; 'xx' docs are digit-heavy — the
+    # digit_x feature alone separates them
+    rows = []
+    for i in range(30):
+        rows.append((i, "the quick brown fox jumps over the lazy dog", "en"))
+        rows.append((100 + i, "4587 99 123456 7 890 12 3456 78 90123", "xx"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_learns_separable_rule(spark):
+    out = classifier.quality_classifier(_toy_docs(spark), iters=40, lr=2.0)
+    rows = out.collect()
+    acc = sum(1 for r in rows if r["pred"] == r["y"]) / len(rows)
+    assert acc == 1.0
+    # scores must be on the right side of 0.5 with margin
+    pos = [r["score_q6"] for r in rows if r["y"] == 1]
+    neg = [r["score_q6"] for r in rows if r["y"] == 0]
+    assert min(pos) > 0.5 > max(neg)
+
+
+def test_training_is_deterministic(spark):
+    feats = classifier.quality_features(_toy_docs(spark))
+    w1 = classifier.train_logreg(feats, iters=5, lr=1.0)
+    w2 = classifier.train_logreg(feats, iters=5, lr=1.0)
+    assert w1 == w2
+    # q9 quantization: every weight is exactly representable at 1e-9
+    assert all(abs(w * 1e9 - round(w * 1e9)) < 1e-3 for w in w1)
+
+
+def test_empty_input_keeps_zero_weights(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    feats = classifier.quality_features(empty)
+    assert classifier.train_logreg(feats, iters=3) == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_empty_text_features_are_finite(spark):
+    df = spark.createDataFrame(
+        [(1, "", "en"), (2, "   ", "xx")], "doc_id long, text string, lang string"
+    )
+    rows = classifier.quality_features(df).collect()
+    for r in rows:
+        assert r["tokens_x"] == 0.0
+        assert r["tok_len_x"] == 0.0
+        assert r["digit_x"] == 0.0
