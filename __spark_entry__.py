@@ -80,6 +80,7 @@ _ADJUDICATION_PRIORITY = [
     "emb_semantic_dedup",
     "orders_abc_pareto",
     "doc_quality_classifier",
+    "events_pagerank",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -988,3 +988,77 @@ def events_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-ins)."""
     ev = _td(spark, sf_dir, "events")
     return stats.moment_stats(ev, value_col="value", by=("event_type",))
+
+
+def _pagerank_oracle(damping: float = 0.85, iters: int = 10) -> str:
+    """Generated chained-CTE PageRank oracle over the SAME transition
+    edge list as events_transition_matrix — one contribution CTE + one
+    dangling-mass CTE + one rank CTE per superstep (MATERIALIZED so the
+    chain stays linear), ranks quantized floor-half-up 1e-9 per
+    iteration exactly like graph.pagerank."""
+    parts = [
+        r"""
+    WITH s AS MATERIALIZED (
+      SELECT event_type AS state,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_state
+      FROM events),
+    e AS MATERIALIZED (
+      SELECT state AS src, next_state AS dst, count(*) AS w FROM s
+      WHERE next_state IS NOT NULL GROUP BY 1, 2),
+    ot AS (SELECT src, sum(w) AS out_w FROM e GROUP BY src),
+    f AS MATERIALIZED (
+      SELECT e.src, e.dst, e.w * 1.0 / ot.out_w AS p
+      FROM e JOIN ot USING (src)),
+    nd AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u),
+    nn AS (SELECT count(*) AS n FROM nd),
+    r0 AS MATERIALIZED (
+      SELECT node, floor(1.0 / nn.n * 1e9 + 0.5) / 1e9 AS rank
+      FROM nd CROSS JOIN nn)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"""
+    , c{i} AS MATERIALIZED (
+      SELECT f.dst AS node, sum(r.rank * f.p) AS c
+      FROM r{p} r JOIN f ON r.node = f.src GROUP BY f.dst),
+    dm{i} AS (
+      SELECT COALESCE(sum(r.rank), 0) AS dm
+      FROM r{p} r LEFT JOIN (SELECT DISTINCT src FROM e) o ON r.node = o.src
+      WHERE o.src IS NULL),
+    r{i} AS MATERIALIZED (
+      SELECT nd.node,
+             floor(((1.0 - {damping!r}) / nn.n
+                    + {damping!r} * (COALESCE(c.c, 0) + dm.dm / nn.n))
+                   * 1e9 + 0.5) / 1e9 AS rank
+      FROM nd CROSS JOIN nn CROSS JOIN dm{i} dm
+      LEFT JOIN c{i} c ON nd.node = c.node)"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS state, floor(rank * 1e6 + 0.5) / 1e6 AS rank_q6
+    FROM r{iters}"""
+    )
+    return "".join(parts)
+
+
+@_register("events_pagerank", _pagerank_oracle())
+def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank centrality over the event-type transition graph
+    (which states matter in user paths): per superstep ONE
+    edge-partitioned join + ONE destination hash agg with dangling-mass
+    redistribution, ranks q9-quantized per iteration; the oracle
+    re-derives the identical edge list and re-runs the identical
+    10-superstep recipe as a generated CTE chain (graph.pagerank)."""
+    from ..operators import graph
+
+    ev = _td(spark, sf_dir, "events")
+    edges = stats.transition_matrix(ev, tiebreak_cols=("event_id",)).select(
+        "state", "next_state", "n"
+    )
+    return graph.pagerank(
+        edges, src="state", dst="next_state", weight="n", damping=0.85, iters=10
+    ).withColumnRenamed("node", "state")

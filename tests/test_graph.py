@@ -1,0 +1,67 @@
+"""PageRank properties: conservation of mass, uniform-cycle symmetry,
+dangling-node redistribution, and parity with a numpy power iteration
+using the identical q9 quantization schedule."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from big_data_project_jan_2026_tick_data__spark.operators import graph
+
+
+def _q9(v: float) -> float:
+    return math.floor(v * 1e9 + 0.5) / 1e9
+
+
+def _numpy_pagerank(edges, damping=0.85, iters=10):
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    rank = {m: _q9(1.0 / n) for m in nodes}
+    for _ in range(iters):
+        contrib = {m: 0.0 for m in nodes}
+        for s, d, w in edges:
+            contrib[d] += rank[s] * (w / out_w[s])
+        dm = sum(rank[m] for m in nodes if m not in out_w)
+        base = (1.0 - damping) / n
+        rank = {
+            m: _q9(base + damping * (contrib[m] + dm / n)) for m in nodes
+        }
+    return {m: math.floor(r * 1e6 + 0.5) / 1e6 for m, r in rank.items()}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    return {
+        r["node"]: r["rank_q6"]
+        for r in graph.pagerank(df, weight="w", **kw).collect()
+    }
+
+
+def test_uniform_cycle_is_uniform(spark):
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)]
+    got = _run(spark, edges, iters=10)
+    assert len(set(got.values())) == 1
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_matches_numpy_power_iteration(spark):
+    edges = [
+        ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("c", "a", 1.0), ("d", "a", 3.0), ("d", "b", 1.0),
+    ]
+    assert _run(spark, edges, iters=10) == _numpy_pagerank(edges)
+
+
+def test_dangling_node_mass_redistributes(spark):
+    # 'sink' has no out-edges: its mass must spread, total stays ~1
+    edges = [("a", "sink", 1.0), ("b", "sink", 1.0), ("a", "b", 1.0)]
+    got = _run(spark, edges, iters=10)
+    assert got == _numpy_pagerank(edges)
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    assert got["sink"] == max(got.values())
