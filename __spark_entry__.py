@@ -81,6 +81,8 @@ _ADJUDICATION_PRIORITY = [
     "orders_abc_pareto",
     "doc_quality_classifier",
     "events_pagerank",
+    "events_type_affinity",
+    "orders_seasonality",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -608,3 +608,67 @@ def abc_classification(
             .alias("abc_class"),
         )
     )
+
+
+def type_affinity(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Market-basket affinity between event types: for every unordered
+    type pair, how many users did both, with support, confidence (a→b)
+    and lift — the co-occurrence report behind "users who X also Y".
+
+    Scale shape: the classic formulation self-joins the (user, type)
+    table on the user key — at 100 TB that shuffle carries the corpus
+    twice and hot users quadratically. Instead: ``collect_set`` per user
+    (bounded by the type alphabet, not by user activity), pairs
+    generated INSIDE the row via an expression over the sorted set, then
+    one hash agg per pair — the only shuffles are the user-key distinct
+    and alphabet²-sized aggregates; no self-join exists in the plan.
+    Returns (type_a < type_b, n_users_both, support_q6, conf_a_to_b_q6,
+    lift_q6).
+    """
+    ut = (
+        df.select(F.col(user_col).alias("u"), F.col(type_col).alias("t"))
+        .na.drop(subset=["u", "t"])
+    )
+    per_user = ut.groupBy("u").agg(F.sort_array(F.collect_set("t")).alias("types"))
+    pairs = per_user.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (x, i) -> "
+                "transform(slice(types, i + 2, size(types)), y -> "
+                "struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b"))
+    pair_n = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_users_both")
+    )
+    type_n = per_user.select(F.explode("types").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    total = per_user.agg(F.count(F.lit(1)).alias("nu"))
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        pair_n.join(
+            F.broadcast(type_n.withColumnRenamed("t", "type_a").withColumnRenamed("c", "ca")),
+            "type_a",
+        )
+        .join(
+            F.broadcast(type_n.withColumnRenamed("t", "type_b").withColumnRenamed("c", "cb")),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_both",
+            q6(F.col("n_users_both") / F.col("nu")).alias("support_q6"),
+            q6(F.col("n_users_both") / F.col("ca")).alias("conf_a_to_b_q6"),
+            q6(
+                F.col("n_users_both") * F.col("nu") / (F.col("ca") * F.col("cb"))
+            ).alias("lift_q6"),
+        )
+    )

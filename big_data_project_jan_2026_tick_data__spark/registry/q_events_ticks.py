@@ -1062,3 +1062,37 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(
         edges, src="state", dst="next_state", weight="n", damping=0.85, iters=10
     ).withColumnRenamed("node", "state")
+
+
+@_register(
+    "events_type_affinity",
+    r"""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    tc AS (SELECT event_type, count(*) AS c FROM ut GROUP BY 1),
+    n AS (SELECT count(DISTINCT user_id) AS nu FROM ut),
+    pc AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS pn
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, pn AS n_users_both,
+           FLOOR(pn * 1.0 / nu * 1e6 + 0.5) / 1e6 AS support_q6,
+           FLOOR(pn * 1.0 / ca.c * 1e6 + 0.5) / 1e6 AS conf_a_to_b_q6,
+           FLOOR(pn * 1.0 * nu / (ca.c * cb.c) * 1e6 + 0.5) / 1e6 AS lift_q6
+    FROM pc
+    JOIN tc ca ON pc.type_a = ca.event_type
+    JOIN tc cb ON pc.type_b = cb.event_type
+    CROSS JOIN n
+    """,
+)
+def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between event types (support, confidence,
+    lift per unordered pair) — computed WITHOUT the classic user-key
+    self-join: per-user sorted type sets (alphabet-bounded), pairs
+    expanded row-locally by a codegen expression, one alphabet²-sized
+    hash agg. The oracle uses the self-join formulation — an independent
+    derivation of the same counts."""
+    ev = _td(spark, sf_dir, "events")
+    return stats.type_affinity(ev)

@@ -1480,3 +1480,59 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.abc_classification(
         rev, key_cols=("l_partkey",), value_col="__rev"
     )
+
+
+@_register(
+    "orders_seasonality",
+    r"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(FLOOR(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT month,
+           cents / 100.0 AS revenue,
+           n_orders,
+           FLOOR(CASE WHEN lag(cents, 1) OVER w > 0
+                 THEN cents * 1.0 / (lag(cents, 1) OVER w) - 1 END
+                 * 1e6 + 0.5) / 1e6 AS mom_growth_q6,
+           FLOOR(CASE WHEN lag(cents, 12) OVER w > 0
+                 THEN cents * 1.0 / (lag(cents, 12) OVER w) - 1 END
+                 * 1e6 + 0.5) / 1e6 AS yoy_growth_q6,
+           FLOOR(AVG(cents) OVER (ORDER BY month
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0
+                 * 1e6 + 0.5) / 1e6 AS ma3_q6
+    FROM m WINDOW w AS (ORDER BY month)
+    """,
+)
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue seasonality: month-over-month and year-over-year
+    growth (lag-12) plus a 3-month moving average. Revenue is quantized
+    to integer cents BEFORE the ratios so both engines divide identical
+    longs. The global window here is CORRECT at scale — it runs over the
+    per-month aggregate (#months rows, corpus-size-independent), unlike
+    a per-row global window (cf. orders_abc_pareto's range-partitioned
+    prefix sums for the corpus-sized case)."""
+    o = _td(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    growth = lambda n: F.when(  # noqa: E731
+        F.lag("cents", n).over(w) > 0,
+        F.col("cents") / F.lag("cents", n).over(w) - 1,
+    )
+    return m.select(
+        "month",
+        (F.col("cents") / 100.0).alias("revenue"),
+        "n_orders",
+        q6(growth(1)).alias("mom_growth_q6"),
+        q6(growth(12)).alias("yoy_growth_q6"),
+        q6(F.avg("cents").over(w.rowsBetween(-2, 0)) / 100.0).alias("ma3_q6"),
+    )

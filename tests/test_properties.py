@@ -723,3 +723,45 @@ def test_global_cumsum_matches_sequential(spark, vals):
     for i, v in enumerate(vals):
         running += v
         assert got[i] == running
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 8), st.sampled_from(["a", "b", "c", "d"])),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(**SETTINGS)
+def test_type_affinity_matches_set_oracle(spark, pairs):
+    """Self-join-free affinity vs a direct python set computation:
+    support/confidence/lift over random (user, type) streams with
+    repeats."""
+    df = spark.createDataFrame(pairs, "user_id long, event_type string")
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in stats.type_affinity(df).collect()
+    }
+    by_user: dict[int, set] = {}
+    for u, t in pairs:
+        by_user.setdefault(u, set()).add(t)
+    nu = len(by_user)
+    tc: dict[str, int] = {}
+    pc: dict[tuple, int] = {}
+    for ts_ in by_user.values():
+        for t in ts_:
+            tc[t] = tc.get(t, 0) + 1
+        s = sorted(ts_)
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                pc[(a, b)] = pc.get((a, b), 0) + 1
+    assert set(got) == set(pc)
+    import math as _m
+
+    q6 = lambda v: _m.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    for (a, b), n in pc.items():
+        r = got[(a, b)]
+        assert r["n_users_both"] == n
+        assert r["support_q6"] == q6(n / nu)
+        assert r["conf_a_to_b_q6"] == q6(n / tc[a])
+        assert r["lift_q6"] == q6(n * nu / (tc[a] * tc[b]))
