@@ -83,6 +83,8 @@ _ADJUDICATION_PRIORITY = [
     "events_pagerank",
     "events_type_affinity",
     "orders_seasonality",
+    "doc_bm25_search",
+    "emb_rrf_fusion",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

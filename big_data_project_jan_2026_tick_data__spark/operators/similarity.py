@@ -611,3 +611,47 @@ def dequantize_int8(
         (F.col("dmin") + (F.col("q") + F.lit(128)) * scale).alias("__dq"),
     )
     return dq.groupBy(id_col).agg(_reassemble(dq, id_col, "__dq", vec_col))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N retrieval
+    systems: score(q, d) = Σ_systems 1/(k + rank) over the systems that
+    returned d for q — the standard way to ensemble lexical + semantic
+    (or several ANN) result lists without score calibration.
+
+    Input rankings are already top-k-per-query (slim: n_queries × k
+    rows each), so everything here is metadata-scale regardless of
+    corpus size: one union, one (query, id) hash agg, one per-query rank
+    window over ≤ N·k candidates. Ties (identical fused scores) break on
+    the candidate id. Returns (query, id, rrf_q6, n_systems, fused_rank
+    ≤ ``top_k``).
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    slim = [
+        r.select(F.col(query_col), F.col(id_col), F.col(rank_col)) for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), slim)
+    scored = u.groupBy(query_col, id_col).agg(
+        (
+            F.floor(F.sum(1.0 / (F.lit(float(k)) + F.col(rank_col))) * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("rrf_q6"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_q6").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= top_k)
+    )

@@ -592,3 +592,80 @@ def vocab_coverage(
             F.floor(F.col("n_oov") / F.col("n_tokens") * 1e6 + F.lit(0.5)) / 1e6,
         )
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_rank_lo: int = 10,
+    df_rank_hi: int = 12,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 ranking of the corpus against a deterministic query — the
+    lexical-retrieval half of a hybrid search stack (TF-IDF's ranked
+    sibling; Robertson/Sparck-Jones weights).
+
+    The query is the corpus's document-frequency ranks
+    [``df_rank_lo``, ``df_rank_hi``] (ties → term order): deriving the
+    terms FROM the data keeps the operator self-contained and its oracle
+    valid under any testdata regeneration. Scale shape: one (doc, term)
+    tf agg + one term df agg; the query-term table is cut with
+    ``orderBy().limit()`` (TakeOrderedAndProject) and re-ranked in a
+    window over ≤ ``df_rank_hi`` rows, then BROADCAST onto the tf
+    stream — the corpus never shuffles for the join; top-k output via
+    TakeOrderedAndProject, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    stream = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(
+        F.length("term") > 0
+    )
+    tf = stream.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = stream.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats_ = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avg_dl")
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    cand = docfreq.orderBy(F.col("df").desc(), F.col("term").asc()).limit(df_rank_hi)
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    qterms = (
+        cand.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") >= df_rank_lo)
+        .select("term", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats_))
+        .withColumn(
+            "__idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * F.col("tf")
+            * (k1 + 1)
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl"))),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        (F.floor(F.sum("__s") * 1e6 + F.lit(0.5)) / 1e6).alias("bm25_q6"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    return (
+        agg.orderBy(F.col("bm25_q6").desc(), F.col(id_col).asc())
+        .limit(top_k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25_q6").desc(), F.col(id_col).asc())
+            ),
+        )
+    )

@@ -1314,3 +1314,47 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _td(spark, sf_dir, "documents")
     return classifier.quality_classifier(docs, iters=12, lr=1.0)
+
+
+@_register(
+    "doc_bm25_search",
+    rf"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               UNNEST(string_split({_norm_sql('text')}, ' ')) AS w
+        FROM documents) t
+      WHERE length(w) > 0),
+    tf AS MATERIALIZED (
+      SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    st AS (SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM dl),
+    dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    q AS (
+      SELECT w, df FROM (
+        SELECT w, df, row_number() OVER (ORDER BY df DESC, w ASC) AS r
+        FROM dfq) WHERE r BETWEEN 10 AND 12),
+    sc AS (
+      SELECT t.doc_id,
+             ln((st.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+               * t.tf * (1.2 + 1)
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avg_dl)) AS s
+      FROM tf t JOIN q ON t.w = q.w JOIN dl ON t.doc_id = dl.doc_id
+      CROSS JOIN st),
+    agg AS (
+      SELECT doc_id, FLOOR(sum(s) * 1e6 + 0.5) / 1e6 AS bm25_q6,
+             count(*) AS n_terms_hit
+      FROM sc GROUP BY doc_id)
+    SELECT doc_id, bm25_q6, n_terms_hit, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25_q6 DESC, doc_id ASC) AS rank
+      FROM agg) WHERE rank <= 20
+    """,
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75) against a deterministic
+    corpus-derived query (document-frequency ranks 10-12): tf/df hash
+    aggs, broadcast query terms, TakeOrderedAndProject top-20 — the
+    lexical half of a hybrid search stack (text.bm25_search; TF-IDF's
+    ranked sibling)."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.bm25_search(docs)

@@ -500,3 +500,69 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering and pair set in SQL."""
     emb = _td(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(emb, k=8, iters=2, threshold=0.3)
+
+
+def _rrf_fusion_oracle(
+    dim: int = 64, num_planes: int = 4, seed: int = 42, k: int = 10, rrf_k: int = 60
+) -> str:
+    """Oracle for emb_rrf_fusion: re-derive BOTH systems' top-10 lists
+    in SQL (hyperplane-bucketed LSH ranks + exhaustive cosine ranks) and
+    fuse with 1/(60+rank) — tie-break on candidate id."""
+    from ..operators.similarity import _hyperplane
+
+    bucket_terms = []
+    for p in range(num_planes):
+        plane = ", ".join(repr(v) for v in _hyperplane(dim, p, seed))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(vec, [{plane}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "\n        + ".join(bucket_terms)
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    b AS MATERIALIZED (
+      SELECT vec_id, vec,
+        {bucket} AS bucket
+      FROM v),
+    q AS (SELECT vec_id AS query_id, vec AS qvec, bucket FROM b WHERE vec_id < 5),
+    lsh AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(c.vec, q.qvec), 6) DESC,
+                          c.vec_id) AS rank
+        FROM b c JOIN q ON c.bucket = q.bucket) r WHERE rank <= {k}),
+    ex AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(c.vec, q.qvec), 6) DESC,
+                          c.vec_id) AS rank
+        FROM v c CROSS JOIN q) r WHERE rank <= {k}),
+    u AS (SELECT * FROM lsh UNION ALL SELECT * FROM ex),
+    sc AS (
+      SELECT query_id, vec_id,
+             FLOOR(sum(1.0 / ({rrf_k} + rank)) * 1e6 + 0.5) / 1e6 AS rrf_q6,
+             count(*) AS n_systems
+      FROM u GROUP BY 1, 2)
+    SELECT query_id, vec_id, rrf_q6, n_systems, fused_rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_q6 DESC, vec_id ASC) AS fused_rank
+      FROM sc) f WHERE fused_rank <= {k}
+    """
+
+
+@_register("emb_rrf_fusion", _rrf_fusion_oracle())
+def emb_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval systems (hyperplane-LSH
+    ANN + exhaustive cosine) per query — the calibration-free ensemble
+    step of a hybrid search stack (similarity.rrf_fuse); everything
+    after the member systems is metadata-scale (n_queries × k rows)."""
+    emb = _td(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = similarity.lsh_bucket_topk(emb, queries, dim=64, k=10, num_planes=4)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    return similarity.rrf_fuse([lsh, exact], top_k=10)

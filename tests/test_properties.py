@@ -765,3 +765,63 @@ def test_type_affinity_matches_set_oracle(spark, pairs):
         assert r["support_q6"] == q6(n / nu)
         assert r["conf_a_to_b_q6"] == q6(n / tc[a])
         assert r["lift_q6"] == q6(n * nu / (tc[a] * tc[b]))
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=3, max_size=12
+    ),
+)
+@settings(**SETTINGS)
+def test_bm25_matches_python_oracle(spark, texts):
+    """BM25 vs a direct python recomputation with the same derived query
+    (df ranks 1-2 here so tiny corpora still have query terms)."""
+    import math
+
+    from big_data_project_jan_2026_tick_data__spark.operators import text as t
+
+    docs = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in t.bm25_search(df, df_rank_lo=1, df_rank_hi=2, top_k=100).collect()
+    }
+
+    # python oracle
+    tok = {
+        i: [w for w in " ".join(s.lower().split()).split(" ") if w]
+        for i, s in docs
+    }
+    tf: dict[tuple, int] = {}
+    for i, ws in tok.items():
+        for w in ws:
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    dfreq: dict[str, int] = {}
+    for (i, w) in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    docs_with_tokens = [i for i, ws in tok.items() if ws]
+    if not dfreq:
+        assert out == {}
+        return
+    n_docs = len(docs_with_tokens)
+    avg_dl = sum(len(ws) for ws in tok.values()) / n_docs
+    q = sorted(dfreq, key=lambda w: (-dfreq[w], w))[:2]
+    scores: dict[int, float] = {}
+    hits: dict[int, int] = {}
+    for i in docs_with_tokens:
+        s = 0.0
+        h = 0
+        for w in q:
+            f = tf.get((i, w), 0)
+            if not f:
+                continue
+            h += 1
+            idf = math.log((n_docs - dfreq[w] + 0.5) / (dfreq[w] + 0.5) + 1.0)
+            s += idf * f * 2.2 / (f + 1.2 * (1 - 0.75 + 0.75 * len(tok[i]) / avg_dl))
+        if h:
+            scores[i] = math.floor(s * 1e6 + 0.5) / 1e6
+            hits[i] = h
+    assert set(out) == set(scores)
+    for i, sc in scores.items():
+        assert out[i]["bm25_q6"] == sc
+        assert out[i]["n_terms_hit"] == hits[i]

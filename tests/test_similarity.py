@@ -206,3 +206,27 @@ def test_semantic_dedup_hot_cluster_cap(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = similarity.semantic_dedup(df, k=2, iters=1, threshold=0.5, max_cluster_size=10)
     assert out.count() == 0
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    import math
+
+    r1 = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, vec_id long, rank int"
+    )
+    r2 = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)], "query_id long, vec_id long, rank int"
+    )
+    got = {
+        r["vec_id"]: r
+        for r in similarity.rrf_fuse([r1, r2], top_k=10).collect()
+    }
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    # doc 11 appears in both systems -> highest fused score
+    assert got[11]["n_systems"] == 2
+    assert got[11]["rrf_q6"] == q6(1 / 62 + 1 / 61)
+    assert got[11]["fused_rank"] == 1
+    assert got[10]["rrf_q6"] == q6(1 / 61)
+    assert got[13]["rrf_q6"] == q6(1 / 62)
+    # tie between 12 (rank 3, sys1) and no one; ordering deterministic
+    assert sorted(got) == [10, 11, 12, 13]
