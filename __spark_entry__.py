@@ -85,6 +85,7 @@ _ADJUDICATION_PRIORITY = [
     "orders_seasonality",
     "doc_bm25_search",
     "emb_rrf_fusion",
+    "doc_survivorship",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -973,3 +973,43 @@ def cross_doc_overlap(
             / 1e6
         ).alias("overlap_frac"),
     )
+
+
+def survivorship(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Canonical-record selection over a near-dup clustering: per
+    cluster keep the highest-``score_col`` member (ties → lowest id),
+    flag the rest as drops — the survivorship policy step between
+    clustering (``dup_clusters``) and corpus export, so dedup removes
+    the WORST copy, not an arbitrary one.
+
+    One narrow id-keyed join of (id, cluster) with (id, score) slim
+    frames, then a rank window partitioned by cluster — cluster sizes
+    are bounded upstream by the pair-generation caps, so no window
+    partition can degenerate. Returns (id, cluster, score, is_kept,
+    n_in_cluster).
+    """
+    from pyspark.sql import Window
+
+    j = clusters.join(scores, id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_in_cluster", F.count(F.lit(1)).over(Window.partitionBy(cluster_col))
+        )
+        .select(
+            id_col,
+            cluster_col,
+            score_col,
+            (F.col("__rn") == 1).alias("is_kept"),
+            "n_in_cluster",
+        )
+    )

@@ -1358,3 +1358,64 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked sibling)."""
     docs = _td(spark, sf_dir, "documents")
     return text.bm25_search(docs)
+
+
+@_register(
+    "doc_survivorship",
+    rf"""
+    WITH RECURSIVE nrm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id AS id, g AS sh FROM nrm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS t(g)),
+    sh AS (
+      SELECT id, sh FROM (
+        SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh0)
+      WHERE df <= 1000),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id),
+    prs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM prs
+      UNION ALL SELECT id_b, id_a FROM prs),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    base AS (
+      SELECT doc_id, lower(text) AS txt FROM documents),
+    {_DOC_METRICS_CTE},
+    q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM m),
+    j AS (SELECT cl.doc_id, cl.cluster_id, q.quality
+          FROM cl JOIN q USING (doc_id)),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_in_cluster
+      FROM j)
+    SELECT doc_id, cluster_id, quality, (rn = 1) AS is_kept, n_in_cluster
+    FROM r
+    """,
+)
+def doc_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based survivorship over the near-dup clustering: the
+    3-gram-Jaccard connected components (doc_dup_clusters' edge set)
+    joined with the heuristic quality score; per cluster the best-
+    quality member is kept (ties → lowest doc_id) — dedup that drops
+    the WORST copies (dedup.survivorship)."""
+    docs = _td(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    clusters = dedup.dup_clusters(docs, pairs)
+    quality = text.with_quality_score(docs).select("doc_id", "quality")
+    return dedup.survivorship(clusters, quality)

@@ -473,3 +473,21 @@ def test_transition_matrix_hand_case(spark):
     assert out[("b", "a")]["prob_q6"] == 1.0
     # last event of each user emits no transition
     assert sum(r["n"] for r in out.values()) == 4
+
+
+def test_survivorship_keeps_best_per_cluster(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)], "doc_id long, cluster_id long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.7)],
+        "doc_id long, quality double",
+    )
+    out = {r["doc_id"]: r for r in dedup.survivorship(clusters, scores).collect()}
+    # cluster 1: docs 2 and 3 tie at 0.9 -> lowest id (2) survives
+    assert out[2]["is_kept"] and not out[3]["is_kept"] and not out[1]["is_kept"]
+    assert out[2]["n_in_cluster"] == 3
+    # singletons always survive
+    assert out[4]["is_kept"] and out[5]["is_kept"]
