@@ -86,6 +86,7 @@ _ADJUDICATION_PRIORITY = [
     "doc_bm25_search",
     "emb_rrf_fusion",
     "doc_survivorship",
+    "emb_ann_recall",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

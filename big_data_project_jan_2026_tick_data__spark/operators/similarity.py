@@ -655,3 +655,41 @@ def rrf_fuse(
         scored.withColumn("fused_rank", F.row_number().over(w))
         .filter(F.col("fused_rank") <= top_k)
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k evaluation of an approximate retrieval run against the
+    exact ranking — the quality gauge every ANN deployment needs next to
+    its latency numbers (pairs with lsh_bucket_topk/ivf_topk vs
+    brute_force_topk on a sampled query set).
+
+    Both inputs are top-k lists (n_queries × k rows — metadata-scale),
+    so this is a slim (query, id) semi-join + per-query count: recall =
+    |approx ∩ exact| / |exact|. Returns (query, n_exact, n_hit,
+    recall_q6).
+    """
+    a = approx.select(F.col(query_col), F.col(id_col))
+    e = exact.select(F.col(query_col), F.col(id_col))
+    hit = e.join(a, [query_col, id_col], "left_semi")
+    n_e = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    n_h = hit.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_e.join(n_h, query_col, "left")
+        .select(
+            query_col,
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("recall_q6"),
+        )
+    )

@@ -566,3 +566,63 @@ def emb_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = similarity.lsh_bucket_topk(emb, queries, dim=64, k=10, num_planes=4)
     exact = similarity.brute_force_topk(emb, queries, k=10)
     return similarity.rrf_fuse([lsh, exact], top_k=10)
+
+
+def _ann_recall_oracle(dim: int = 64, num_planes: int = 4, seed: int = 42, k: int = 10) -> str:
+    """Oracle for emb_ann_recall: re-derive the LSH and exact top-10
+    lists (same CTEs as the fusion oracle) and count the overlap."""
+    from ..operators.similarity import _hyperplane
+
+    bucket_terms = []
+    for p in range(num_planes):
+        plane = ", ".join(repr(v) for v in _hyperplane(dim, p, seed))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(vec, [{plane}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "\n        + ".join(bucket_terms)
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    b AS MATERIALIZED (
+      SELECT vec_id, vec,
+        {bucket} AS bucket
+      FROM v),
+    q AS (SELECT vec_id AS query_id, vec AS qvec, bucket FROM b WHERE vec_id < 5),
+    lsh AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(c.vec, q.qvec), 6) DESC,
+                          c.vec_id) AS rank
+        FROM b c JOIN q ON c.bucket = q.bucket) r WHERE rank <= {k}),
+    ex AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(c.vec, q.qvec), 6) DESC,
+                          c.vec_id) AS rank
+        FROM v c CROSS JOIN q) r WHERE rank <= {k})
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           count(l.vec_id) AS n_hit,
+           FLOOR(count(l.vec_id) * 1.0 / count(*) * 1e6 + 0.5) / 1e6 AS recall_q6
+    FROM ex e LEFT JOIN lsh l
+      ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+    GROUP BY e.query_id
+    """
+
+
+@_register("emb_ann_recall", _ann_recall_oracle())
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH ANN path against the exact cosine
+    ranking, per query — the in-engine ANN quality gauge
+    (similarity.ann_recall); everything downstream of the member
+    rankings is n_queries × k metadata."""
+    emb = _td(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = similarity.lsh_bucket_topk(emb, queries, dim=64, k=10, num_planes=4)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    return similarity.ann_recall(lsh, exact)

@@ -230,3 +230,20 @@ def test_rrf_fuse_matches_hand_computation(spark):
     assert got[13]["rrf_q6"] == q6(1 / 62)
     # tie between 12 (rank 3, sys1) and no one; ordering deterministic
     assert sorted(got) == [10, 11, 12, 13]
+
+
+def test_ann_recall_contract(spark):
+    approx = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 5)], "query_id long, vec_id long"
+    )
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 6), (1, 7)],
+        "query_id long, vec_id long",
+    )
+    got = {
+        r["query_id"]: r for r in similarity.ann_recall(approx, exact).collect()
+    }
+    assert got[0]["n_exact"] == 4 and got[0]["n_hit"] == 2
+    assert got[0]["recall_q6"] == 0.5
+    # query 1: approx found nothing from the exact set
+    assert got[1]["n_hit"] == 0 and got[1]["recall_q6"] == 0.0
