@@ -542,7 +542,15 @@ def global_cumsum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ordered.withColumn("__local_cum", F.sum(F.col(value_col)).over(w))
+    # PIN the range partitioning: repartitionByRange samples the data to
+    # pick boundaries, and a recompute between the offsets action below
+    # and the caller's final action may sample DIFFERENT boundaries —
+    # the per-partition offsets would then be attributed to the wrong
+    # rows (caught by the 1M-row scale smoke; invisible at toy sizes
+    # where the sample is exhaustive).
+    local = ordered.withColumn(
+        "__local_cum", F.sum(F.col(value_col)).over(w)
+    ).localCheckpoint()
     totals = (
         local.groupBy("__pid")
         .agg(F.max("__local_cum").alias("__ptot"))

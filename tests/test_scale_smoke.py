@@ -300,3 +300,85 @@ def test_quantize_scales(spark):
         F.min(F.col("within_bound").cast("int")).alias("ok"),
     ).first()
     assert agg["n"] == 32_000_000 and agg["ok"] == 1
+
+
+def test_drawdown_10m(spark, big_ticks):
+    from big_data_project_jan_2026_tick_data__spark.operators.ticks import (
+        max_drawdown_summary,
+    )
+
+    out = max_drawdown_summary(
+        big_ticks,
+        ts_col="ts",
+        value_col="bid",
+        partition_cols=("symbol",),
+        tiebreak_cols=("tid",),
+    )
+    rows = out.collect()
+    assert len(rows) == SYMBOLS
+    assert all(r["max_dd_pct"] is not None and r["n_ticks"] > 1_000_000 for r in rows)
+
+
+def test_global_cumsum_1m_keys(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators.stats import (
+        global_cumsum,
+    )
+
+    df = spark.range(1_000_000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("v")
+    )
+    out = global_cumsum(df, order_cols=[F.col("k").asc()], value_col="v")
+    last = out.orderBy(F.col("k").desc()).limit(1).collect()[0]
+    # sum of (i % 1000) over 1M ids = 1000 full cycles of 0..999
+    assert last["cum_v"] == 1000 * (999 * 1000 // 2)
+
+
+def test_quality_classifier_300k_docs(spark, big_docs):
+    from big_data_project_jan_2026_tick_data__spark.operators import classifier
+
+    docs = big_docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("xx")
+    )
+    feats = classifier.quality_features(docs)
+    w = classifier.train_logreg(feats, iters=3, lr=1.0)
+    assert len(w) == 4 and all(isinstance(x, float) for x in w)
+    scored = classifier.score(feats, w)
+    assert scored.count() == 300_000
+
+
+def test_pagerank_100k_nodes(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import graph
+
+    n = 100_000
+    # ring + random chords: every node has out-degree 2
+    edges = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    ).unionByName(
+        spark.range(n).select(
+            F.col("id").alias("src"),
+            (F.abs(F.xxhash64("id")) % n).alias("dst"),
+        )
+    )
+    out = graph.pagerank(edges, iters=3)
+    assert out.count() == n
+
+
+def test_type_affinity_10m_events(spark, big_ticks):
+    from big_data_project_jan_2026_tick_data__spark.operators.stats import (
+        type_affinity,
+    )
+
+    ev = big_ticks.select(
+        (F.col("tid") % 100_000).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("tid") % 7).cast("string")).alias("event_type"),
+    )
+    out = type_affinity(ev)
+    # 7 types -> 21 unordered pairs
+    assert out.count() == 21
+
+
+def test_bm25_300k_docs(spark, big_docs):
+    from big_data_project_jan_2026_tick_data__spark.operators import text as t
+
+    out = t.bm25_search(big_docs, top_k=20)
+    assert out.count() == 20
