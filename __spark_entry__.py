@@ -87,6 +87,7 @@ _ADJUDICATION_PRIORITY = [
     "emb_rrf_fusion",
     "doc_survivorship",
     "emb_ann_recall",
+    "doc_mixture_weights",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

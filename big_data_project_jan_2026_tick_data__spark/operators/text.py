@@ -669,3 +669,62 @@ def bm25_search(
             ),
         )
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    token_budget: int = 100_000,
+) -> DataFrame:
+    """Static data-mixture weighting per source — the step that decides
+    how much of each corpus slice a training run samples (power-law
+    tempering as in multilingual/LM sampling: weight ∝ tokens^alpha ×
+    mean quality, normalized; alpha < 1 upweights small sources).
+
+    One pass computes per-source token counts and mean quality (reusing
+    the heuristic quality signals), all alphabet-sized afterwards:
+    weights, normalized shares, and the per-source sampling rate that
+    hits ``token_budget`` (capped at 1 — you can't sample more than
+    exists). Returns (source, n_docs, n_tokens, mean_quality_q6,
+    weight_q6, sample_rate_q6).
+    """
+    scored = with_quality_score(df)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n_tok = F.when(
+        F.length(normalize_text(F.col(text_col))) > 0, F.size(toks)
+    ).otherwise(F.lit(0))
+    per_src = (
+        scored.withColumn("__nt", n_tok)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+            F.avg("quality").alias("__mq"),
+        )
+    )
+    raw_w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) * F.col("__mq")
+    tot = per_src.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) * F.col("__mq")).alias(
+            "__tw"
+        )
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            q6(F.col("__mq")).alias("mean_quality_q6"),
+            q6(raw_w / F.col("__tw")).alias("weight_q6"),
+            q6(
+                F.least(
+                    F.lit(float(token_budget)) * (raw_w / F.col("__tw"))
+                    / F.col("n_tokens"),
+                    F.lit(1.0),
+                )
+            ).alias("sample_rate_q6"),
+        )
+    )

@@ -1419,3 +1419,40 @@ def doc_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup.dup_clusters(docs, pairs)
     quality = text.with_quality_score(docs).select("doc_id", "quality")
     return dedup.survivorship(clusters, quality)
+
+
+@_register(
+    "doc_mixture_weights",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, lower(text) AS txt FROM documents),
+    {_DOC_METRICS_CTE},
+    q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM m),
+    nt AS (
+      SELECT doc_id,
+             CASE WHEN length(nrm) > 0
+                  THEN len(string_split(nrm, ' ')) ELSE 0 END AS n_tok
+      FROM (SELECT doc_id, {_norm_sql('text')} AS nrm FROM documents) x),
+    s AS (
+      SELECT d.source, count(*) AS n_docs,
+             sum(nt.n_tok) AS n_tokens,
+             avg(q.quality) AS mq
+      FROM documents d JOIN q USING (doc_id) JOIN nt USING (doc_id)
+      GROUP BY d.source),
+    t AS (SELECT sum(power(n_tokens, 0.5) * mq) AS tw FROM s)
+    SELECT source, n_docs, n_tokens,
+           FLOOR(mq * 1e6 + 0.5) / 1e6 AS mean_quality_q6,
+           FLOOR(power(n_tokens, 0.5) * mq / tw * 1e6 + 0.5) / 1e6 AS weight_q6,
+           FLOOR(LEAST(100000.0 * (power(n_tokens, 0.5) * mq / tw) / n_tokens, 1.0)
+                 * 1e6 + 0.5) / 1e6 AS sample_rate_q6
+    FROM s CROSS JOIN t
+    """,
+)
+def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static data-mixture weights per source (power-law tempering,
+    alpha=0.5, quality-weighted) plus the per-source sampling rate for a
+    100k-token budget — the corpus-mixing decision step
+    (text.mixture_weights); everything after the one corpus pass is
+    alphabet-sized."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.mixture_weights(docs, alpha=0.5, token_budget=100_000)

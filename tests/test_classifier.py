@@ -53,3 +53,25 @@ def test_empty_text_features_are_finite(spark):
         assert r["tokens_x"] == 0.0
         assert r["tok_len_x"] == 0.0
         assert r["digit_x"] == 0.0
+
+
+def test_mixture_weights_contract(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import text as t
+
+    rows = (
+        [(i, "the quick brown fox " * 10, "big") for i in range(20)]
+        + [(100 + i, "alpha beta gamma", "small") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in t.mixture_weights(df, token_budget=50).collect()}
+    assert set(out) == {"big", "small"}
+    # weights normalize (within q6 rounding)
+    assert abs(out["big"]["weight_q6"] + out["small"]["weight_q6"] - 1.0) < 1e-5
+    # alpha=0.5 tempering upweights the small source relative to its
+    # token share
+    tok_share_small = out["small"]["n_tokens"] / (
+        out["small"]["n_tokens"] + out["big"]["n_tokens"]
+    )
+    assert out["small"]["weight_q6"] > tok_share_small
+    # sampling rates never exceed 1
+    assert all(r["sample_rate_q6"] <= 1.0 for r in out.values())
