@@ -88,6 +88,7 @@ _ADJUDICATION_PRIORITY = [
     "doc_survivorship",
     "emb_ann_recall",
     "doc_mixture_weights",
+    "events_cusum_alarms",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -680,3 +680,77 @@ def type_affinity(
             ).alias("lift_q6"),
         )
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: Sequence[str] = ("symbol",),
+    tiebreak_cols: Sequence[str] = (),
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection per series (Page 1954):
+    the standard drift/level-shift monitor over a metric stream —
+    upward statistic S⁺ᵢ = max(0, S⁺ᵢ₋₁ + zᵢ − k) and the symmetric
+    downward S⁻, alarm when either exceeds ``h`` (both in σ units).
+
+    The recurrence looks inherently sequential, but the clamped form has
+    a closed window solution: with Pᵢ = Σ(zⱼ − k), S⁺ᵢ = Pᵢ −
+    min(0, min_{j≤i} Pⱼ) — ONE prefix-sum window plus ONE running-min
+    window over the same per-series sort, no recursion, no UDF, no
+    iteration. z-scores are q6-quantized before the prefix sums so both
+    engines accumulate identical doubles in identical order (windowed
+    sums are sequential within a partition) — the alarm set is then
+    bit-reproducible.
+
+    Scale shape: one stats aggregate broadcast back (the stream never
+    shuffles for it) + one sort per series partition with three window
+    passes over it. Returns the input plus ``cusum_up``/``cusum_dn``/
+    ``alarm_up``/``alarm_dn``.
+    """
+    by = list(by)
+    x = F.col(value_col).cast("double")
+    st = (
+        df.na.drop(subset=by)
+        .groupBy(*by)
+        .agg(
+            F.count(x).alias("__n"),
+            F.sum(x).alias("__s1"),
+            F.sum(x * x).alias("__s2"),
+        )
+        .select(
+            *by,
+            (F.col("__s1") / F.col("__n")).alias("__mu"),
+            F.sqrt(
+                F.col("__s2") / F.col("__n")
+                - (F.col("__s1") / F.col("__n")) * (F.col("__s1") / F.col("__n"))
+            ).alias("__sd"),
+        )
+    )
+    j = df.join(F.broadcast(st), by, "left")
+    z = F.when(
+        x.isNotNull() & (F.col("__sd") > 0), (x - F.col("__mu")) / F.col("__sd")
+    ).otherwise(F.lit(0.0))
+    zq = F.floor(z * 1e6 + F.lit(0.5)) / 1e6
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    wseq = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    up_p = F.sum(zq - F.lit(k)).over(wseq)
+    dn_p = F.sum(-zq - F.lit(k)).over(wseq)
+    out = (
+        j.withColumn("__zq", zq)
+        .withColumn("__pu", up_p)
+        .withColumn("__pd", dn_p)
+        .withColumn("cusum_up", F.col("__pu") - F.least(F.min("__pu").over(wseq), F.lit(0.0)))
+        .withColumn("cusum_dn", F.col("__pd") - F.least(F.min("__pd").over(wseq), F.lit(0.0)))
+    )
+    return (
+        out.withColumn("alarm_up", F.col("cusum_up") > h)
+        .withColumn("alarm_dn", F.col("cusum_dn") > h)
+        .drop("__mu", "__sd", "__zq", "__pu", "__pd")
+    )

@@ -1096,3 +1096,74 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation of the same counts."""
     ev = _td(spark, sf_dir, "events")
     return stats.type_affinity(ev)
+
+
+@_register(
+    "events_cusum_alarms",
+    r"""
+    WITH t AS (
+      SELECT event_id, 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, value
+      FROM events),
+    st AS (
+      SELECT symbol, count(value) AS n, sum(value) AS s1,
+             sum(value * value) AS s2
+      FROM t WHERE symbol IS NOT NULL GROUP BY symbol),
+    sd AS (
+      SELECT symbol, s1 / n AS mu,
+             sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sdv
+      FROM st),
+    z AS (
+      SELECT t.symbol, t.ts, t.event_id,
+             CASE WHEN t.value IS NOT NULL AND sd.sdv > 0
+                  THEN floor((t.value - sd.mu) / sd.sdv * 1e6 + 0.5) / 1e6
+                  ELSE 0.0 END AS zq
+      FROM t LEFT JOIN sd USING (symbol)),
+    p AS (
+      SELECT *,
+             sum(zq - 0.5) OVER w AS pu,
+             sum(-zq - 0.5) OVER w AS pd
+      FROM z
+      WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    c AS (
+      SELECT *,
+             pu - LEAST(min(pu) OVER w, 0) AS su,
+             pd - LEAST(min(pd) OVER w, 0) AS sdn
+      FROM p
+      WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT symbol,
+           count(*) FILTER (WHERE su > 3.0) AS n_alarms_up,
+           count(*) FILTER (WHERE sdn > 3.0) AS n_alarms_dn,
+           FLOOR(max(su) * 1e6 + 0.5) / 1e6 AS max_up_q6,
+           FLOOR(max(sdn) * 1e6 + 0.5) / 1e6 AS max_dn_q6,
+           min(ts) FILTER (WHERE su > 3.0 OR sdn > 3.0) AS first_alarm_ts
+    FROM c GROUP BY symbol
+    """,
+)
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift monitoring per symbol (Page's test, k=0.5σ, h=3σ):
+    the clamped recurrence solved as prefix-sum + running-min windows —
+    no recursion, no UDF (stats.cusum_changepoints); summarized to
+    per-symbol alarm counts, maxima and first alarm time."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        "value",
+    )
+    scored = stats.cusum_changepoints(
+        t, ts_col="ts", value_col="value", by=("symbol",),
+        tiebreak_cols=("event_id",), k=0.5, h=3.0,
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return scored.groupBy("symbol").agg(
+        F.count_if(F.col("alarm_up")).alias("n_alarms_up"),
+        F.count_if(F.col("alarm_dn")).alias("n_alarms_dn"),
+        q6(F.max("cusum_up")).alias("max_up_q6"),
+        q6(F.max("cusum_dn")).alias("max_dn_q6"),
+        F.min(F.when(F.col("alarm_up") | F.col("alarm_dn"), F.col("ts"))).alias(
+            "first_alarm_ts"
+        ),
+    )

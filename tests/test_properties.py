@@ -825,3 +825,47 @@ def test_bm25_matches_python_oracle(spark, texts):
     for i, sc in scores.items():
         assert out[i]["bm25_q6"] == sc
         assert out[i]["n_terms_hit"] == hits[i]
+
+
+@given(
+    vals=st.lists(st.floats(-10, 10), min_size=5, max_size=40),
+)
+@settings(**SETTINGS)
+def test_cusum_closed_form_matches_recurrence(spark, vals):
+    """The prefix-sum/running-min closed form must equal the textbook
+    sequential recurrence S_i = max(0, S_{i-1} + z_i - k) exactly."""
+    import math
+
+    rows = [("A", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "symbol string, ts long, value double")
+    out = {
+        r["ts"]: r
+        for r in stats.cusum_changepoints(
+            df, ts_col="ts", value_col="value", by=("symbol",), k=0.5, h=2.0
+        ).collect()
+    }
+    n = len(vals)
+    mu = sum(vals) / n
+    var = sum(v * v for v in vals) / n - mu * mu
+    sd = math.sqrt(var) if var > 0 else 0.0
+    su = sdn = 0.0
+    for i, v in enumerate(vals):
+        z = math.floor((v - mu) / sd * 1e6 + 0.5) / 1e6 if sd > 0 else 0.0
+        su = max(0.0, su + z - 0.5)
+        sdn = max(0.0, sdn + (-z) - 0.5)
+        assert abs(out[i]["cusum_up"] - su) < 1e-9, (i, out[i]["cusum_up"], su)
+        assert abs(out[i]["cusum_dn"] - sdn) < 1e-9
+        assert out[i]["alarm_up"] == (out[i]["cusum_up"] > 2.0)
+
+
+def test_cusum_detects_level_shift(spark):
+    """A clean +4σ level shift must raise the upward alarm after the
+    shift and never before it."""
+    vals = [0.0, 0.1, -0.1, 0.05, -0.05] * 10 + [5.0] * 10
+    rows = [("A", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "symbol string, ts long, value double")
+    out = stats.cusum_changepoints(
+        df, ts_col="ts", value_col="value", by=("symbol",), k=0.5, h=3.0
+    ).collect()
+    alarms = sorted(r["ts"] for r in out if r["alarm_up"])
+    assert alarms and min(alarms) >= 50
