@@ -89,6 +89,8 @@ _ADJUDICATION_PRIORITY = [
     "emb_ann_recall",
     "doc_mixture_weights",
     "events_cusum_alarms",
+    "doc_distinctive_terms",
+    "events_time_to_convert",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

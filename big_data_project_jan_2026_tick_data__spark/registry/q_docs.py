@@ -1456,3 +1456,43 @@ def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabet-sized."""
     docs = _td(spark, sf_dir, "documents")
     return text.mixture_weights(docs, alpha=0.5, token_budget=100_000)
+
+
+@_register(
+    "doc_distinctive_terms",
+    rf"""
+    WITH tok AS MATERIALIZED (
+      SELECT source AS grp, w AS term FROM (
+        SELECT source,
+               UNNEST(string_split({_norm_sql('text')}, ' ')) AS w
+        FROM documents) t
+      WHERE length(w) > 0),
+    gt AS (SELECT grp, term, count(*) AS y_st FROM tok GROUP BY 1, 2),
+    tm AS (SELECT term, sum(y_st) AS y_t FROM gt GROUP BY 1),
+    gm AS (SELECT grp, sum(y_st) AS n_s FROM gt GROUP BY 1),
+    tt AS (SELECT sum(y_st) AS n, count(DISTINCT term) AS v FROM gt),
+    sc AS (
+      SELECT gt.grp, gt.term, gt.y_st, tm.y_t,
+             ln((gt.y_st + 0.01) / (gm.n_s + 0.01 * tt.v - gt.y_st - 0.01))
+               - ln(((tm.y_t - gt.y_st) + 0.01)
+                    / ((tt.n - gm.n_s) + 0.01 * tt.v - (tm.y_t - gt.y_st) - 0.01))
+               AS delta,
+             1.0 / (gt.y_st + 0.01) + 1.0 / ((tm.y_t - gt.y_st) + 0.01) AS var
+      FROM gt JOIN tm USING (term) JOIN gm USING (grp) CROSS JOIN tt)
+    SELECT grp AS source, term, y_st, y_t, z_q6, rank FROM (
+      SELECT grp, term, y_st, y_t,
+             FLOOR(delta / sqrt(var) * 1e6 + 0.5) / 1e6 AS z_q6,
+             row_number() OVER (
+               PARTITION BY grp
+               ORDER BY FLOOR(delta / sqrt(var) * 1e6 + 0.5) / 1e6 DESC,
+                        term ASC) AS rank
+      FROM sc) r WHERE rank <= 5
+    """,
+)
+def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary: informative-Dirichlet-prior
+    log-odds z-scores (Monroe et al. 2008), top-5 per source — the
+    corpus-comparison statistic behind 'what makes this slice different'
+    (text.distinctive_terms)."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.distinctive_terms(docs, group_col="source", top_k=5)

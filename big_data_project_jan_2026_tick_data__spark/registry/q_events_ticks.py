@@ -1167,3 +1167,64 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_alarm_ts"
         ),
     )
+
+
+@_register(
+    "events_time_to_convert",
+    r"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t0
+      GROUP BY e.user_id),
+    d AS (
+      SELECT v.user_id,
+             date_diff('millisecond', v.t0, p.t1) / 1000.0 AS dur_s
+      FROM v JOIN p USING (user_id)),
+    nv AS (SELECT count(*) AS n_viewers FROM v)
+    SELECT count(*) AS n_converted,
+           nv.n_viewers,
+           FLOOR(count(*) * 1.0 / nv.n_viewers * 1e6 + 0.5) / 1e6 AS conversion_q6,
+           FLOOR(quantile_cont(dur_s, 0.5) * 1e6 + 0.5) / 1e6 AS p50_s_q6,
+           FLOOR(quantile_cont(dur_s, 0.9) * 1e6 + 0.5) / 1e6 AS p90_s_q6
+    FROM d CROSS JOIN nv GROUP BY nv.n_viewers
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel timing: per-user duration from first view to the first
+    subsequent purchase, summarized to conversion rate and exact
+    p50/p90 time-to-convert — two narrow user-key aggregates and one
+    scalar summary row (the latency companion of events_funnel_steps)."""
+    ev = _td(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    d = v.join(p, "user_id").select(
+        "user_id",
+        ((F.unix_millis("t1") - F.unix_millis("t0")) / 1000.0).alias("dur_s"),
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewers"))
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        d.crossJoin(F.broadcast(nv))
+        .groupBy("n_viewers")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            q6(F.count(F.lit(1)) / F.col("n_viewers")).alias("conversion_q6"),
+            q6(F.percentile("dur_s", F.lit(0.5))).alias("p50_s_q6"),
+            q6(F.percentile("dur_s", F.lit(0.9))).alias("p90_s_q6"),
+        )
+        .select("n_converted", "n_viewers", "conversion_q6", "p50_s_q6", "p90_s_q6")
+    )
