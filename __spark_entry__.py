@@ -91,6 +91,7 @@ _ADJUDICATION_PRIORITY = [
     "events_cusum_alarms",
     "doc_distinctive_terms",
     "events_time_to_convert",
+    "orders_rfm_segments",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

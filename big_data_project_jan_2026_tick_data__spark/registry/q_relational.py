@@ -1536,3 +1536,84 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(growth(12)).alias("yoy_growth_q6"),
         q6(F.avg("cents").over(w.rowsBetween(-2, 0)) / 100.0).alias("ma3_q6"),
     )
+
+
+@_register(
+    "orders_rfm_segments",
+    r"""
+    WITH ref AS (SELECT max(o_orderdate) AS mx FROM orders),
+    c AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), ref.mx) AS recency_days,
+             count(*) AS frequency,
+             CAST(FLOOR(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders CROSS JOIN ref GROUP BY o_custkey, ref.mx),
+    s AS (
+      SELECT *,
+             6 - ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+             6 - ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+             6 - ntile(5) OVER (ORDER BY cents DESC, o_custkey ASC) AS m_score
+      FROM c)
+    SELECT o_custkey, recency_days, frequency,
+           cents / 100.0 AS monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+                WHEN r_score >= 4 THEN 'recent'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM s
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary per
+    customer, quintile scores via deterministic NTILE (custkey
+    tie-break; 6−ntile so 5 = best), and the standard segment labels.
+    The quintile windows run over the per-CUSTOMER aggregate (one row
+    per customer, not per order); monetary quantized to integer cents
+    before ranking so both engines order identical longs."""
+    o = _td(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    ref = o.agg(F.max("o_orderdate").alias("mx"))
+    c = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey", "mx")
+        .agg(
+            F.datediff(F.col("mx"), F.max("o_orderdate")).alias("__neg"),
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mx"), F.col("__last")).alias("recency_days"),
+            "frequency",
+            "cents",
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    m_w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+    s = (
+        c.withColumn("r_score", 6 - F.ntile(5).over(r_w))
+        .withColumn("f_score", 6 - F.ntile(5).over(f_w))
+        .withColumn("m_score", 6 - F.ntile(5).over(m_w))
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champions")
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "at_risk")
+        .otherwise("regular")
+    )
+    return s.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        (F.col("cents") / 100.0).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )
