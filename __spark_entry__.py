@@ -92,6 +92,7 @@ _ADJUDICATION_PRIORITY = [
     "doc_distinctive_terms",
     "events_time_to_convert",
     "orders_rfm_segments",
+    "doc_lang_confusion",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -1496,3 +1496,59 @@ def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text.distinctive_terms)."""
     docs = _td(spark, sf_dir, "documents")
     return text.distinctive_terms(docs, group_col="source", top_k=5)
+
+
+@_register(
+    "doc_lang_confusion",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        GREATEST(len(regexp_extract_all(lower(text), '[A-Za-z0-9]+')), 1) AS nw,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|with)\b')) AS h_en,
+        len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|mit)\b')) AS h_de,
+        len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|que|pour)\b')) AS h_fr,
+        len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|como)\b')) AS h_es
+      FROM documents),
+    s2 AS (
+      SELECT doc_id, lang,
+             CAST(h_en AS DOUBLE)/nw AS s_en, CAST(h_de AS DOUBLE)/nw AS s_de,
+             CAST(h_fr AS DOUBLE)/nw AS s_fr, CAST(h_es AS DOUBLE)/nw AS s_es,
+             GREATEST(CAST(h_en AS DOUBLE)/nw, CAST(h_de AS DOUBLE)/nw,
+                      CAST(h_fr AS DOUBLE)/nw, CAST(h_es AS DOUBLE)/nw) AS best
+      FROM scored),
+    pred AS (
+      SELECT lang,
+             CASE WHEN best <= 0 THEN 'und'
+                  WHEN s_fr = best THEN 'fr'
+                  WHEN s_es = best THEN 'es'
+                  WHEN s_en = best THEN 'en'
+                  ELSE 'de' END AS lang_pred
+      FROM s2),
+    cm AS (SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(n) AS row_n FROM cm GROUP BY 1)
+    SELECT cm.lang, cm.lang_pred, cm.n,
+           FLOOR(cm.n * 1.0 / tot.row_n * 1e6 + 0.5) / 1e6 AS row_frac_q6,
+           (cm.lang = cm.lang_pred) AS is_correct
+    FROM cm JOIN tot USING (lang)
+    """,
+)
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID evaluation: confusion matrix of predicted
+    vs labeled language with per-true-label row fractions — the model-
+    quality report for the marker-based classifier (text.with_lang_id);
+    one prediction pass + one alphabet²-sized agg."""
+    docs = _td(spark, sf_dir, "documents")
+    pred = text.with_lang_id(docs).select("lang", "lang_pred")
+    cm = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "lang_pred",
+        "n",
+        (F.floor(F.col("n") / F.sum("n").over(tot) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "row_frac_q6"
+        ),
+        (F.col("lang") == F.col("lang_pred")).alias("is_correct"),
+    )
