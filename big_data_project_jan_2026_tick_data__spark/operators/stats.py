@@ -551,19 +551,24 @@ def global_cumsum(
     local = ordered.withColumn(
         "__local_cum", F.sum(F.col(value_col)).over(w)
     ).localCheckpoint()
+    # partition total = sum of the values, NOT max(prefix): with negative
+    # values the running prefix can peak before the last row
     totals = (
         local.groupBy("__pid")
-        .agg(F.max("__local_cum").alias("__ptot"))
+        .agg(F.sum(F.col(value_col)).alias("__ptot"))
         .orderBy("__pid")
         .collect()
     )
-    running = 0
+    # all-NULL partitions sum to None — they contribute 0 to the offset
+    ptots = [(r["__pid"], r["__ptot"] if r["__ptot"] is not None else 0) for r in totals]
+    integral = all(isinstance(t, int) for _, t in ptots)
+    running = 0 if integral else 0.0
     offsets = []
-    for r in totals:
-        offsets.append((r["__pid"], running))
-        running += r["__ptot"]
+    for pid, t in ptots:
+        offsets.append((pid, running))
+        running += t
     off_df = df.sparkSession.createDataFrame(
-        offsets, f"__pid int, __offset {'bigint' if isinstance(running, int) else 'double'}"
+        offsets, f"__pid int, __offset {'bigint' if integral else 'double'}"
     )
     return (
         local.join(F.broadcast(off_df), "__pid")

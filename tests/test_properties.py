@@ -869,3 +869,33 @@ def test_cusum_detects_level_shift(spark):
     ).collect()
     alarms = sorted(r["ts"] for r in out if r["alarm_up"])
     assert alarms and min(alarms) >= 50
+
+
+@given(
+    vals=st.lists(st.integers(-(10**6), 10**6), min_size=1, max_size=50),
+)
+@settings(**SETTINGS)
+def test_global_cumsum_negative_values(spark, vals):
+    """Partition totals must be the value sum, not max(prefix): negative
+    values make the running prefix peak before the partition end."""
+    rows = [(i, int(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = stats.global_cumsum(
+        df, order_cols=[F.col("k").asc()], value_col="v", num_partitions=4
+    )
+    got = {r["k"]: r["cum_v"] for r in out.collect()}
+    running = 0
+    for i, v in enumerate(vals):
+        running += v
+        assert got[i] == running
+
+
+def test_global_cumsum_double_values(spark):
+    df = spark.createDataFrame(
+        [(i, float(i) / 3.0 - 5.0) for i in range(20)], "k long, v double"
+    )
+    out = stats.global_cumsum(
+        df, order_cols=[F.col("k").asc()], value_col="v", num_partitions=3
+    )
+    got = {r["k"]: r["cum_v"] for r in out.collect()}
+    assert abs(got[19] - sum(float(i) / 3.0 - 5.0 for i in range(20))) < 1e-6
