@@ -93,6 +93,7 @@ _ADJUDICATION_PRIORITY = [
     "events_time_to_convert",
     "orders_rfm_segments",
     "doc_lang_confusion",
+    "streaming_cusum_alarms",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

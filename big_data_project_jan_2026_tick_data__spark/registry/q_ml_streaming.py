@@ -494,3 +494,103 @@ def ml_anomaly_scores_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("err") > F.col("p92")).alias("anomaly_p92"),
         (F.col("err") > F.col("p99_5")).alias("anomaly_p99_5"),
     )
+
+
+_STREAM_CUSUM_ORACLE = r"""
+WITH t AS (
+  SELECT event_id, 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, value
+  FROM events),
+st AS (
+  SELECT symbol, count(value) AS n, sum(value) AS s1, sum(value * value) AS s2
+  FROM t WHERE symbol IS NOT NULL GROUP BY symbol),
+sd AS (
+  SELECT symbol, s1 / n AS mu, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sdv
+  FROM st),
+z AS (
+  SELECT t.symbol, t.ts, t.event_id,
+         CASE WHEN t.value IS NOT NULL AND sd.sdv > 0
+              THEN floor((t.value - sd.mu) / sd.sdv * 1e6 + 0.5) / 1e6
+              ELSE 0.0 END AS zq
+  FROM t LEFT JOIN sd USING (symbol)),
+p AS (
+  SELECT *,
+         sum(zq - 0.5) OVER w AS pu,
+         sum(-zq - 0.5) OVER w AS pd
+  FROM z
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+c AS (
+  SELECT *,
+         pu - LEAST(min(pu) OVER w, 0) AS su,
+         pd - LEAST(min(pd) OVER w, 0) AS sdn
+  FROM p
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT symbol, ts, event_id,
+       FLOOR(su * 1e6 + 0.5) / 1e6 AS cusum_up_q6,
+       FLOOR(sdn * 1e6 + 0.5) / 1e6 AS cusum_dn_q6,
+       su > 3.0 AS alarm_up,
+       sdn > 3.0 AS alarm_dn
+FROM c WHERE su > 3.0 OR sdn > 3.0
+"""
+
+
+@_register("streaming_cusum_alarms", _STREAM_CUSUM_ORACLE)
+def streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming CUSUM (streaming/monitors.py): reference
+    mean/std fitted batch-side per symbol (the offline-fit/online-
+    monitor production split), the events table replayed as a file
+    stream, per-key O(1) state carrying the prefix sum and its running
+    minimum. VALUE-CHECKED: the availableNow single-file replay is one
+    micro-batch, whose np.cumsum prefix is the same left-to-right
+    accumulation as the oracle's windowed SUM — so the emitted alarm
+    set matches the batch closed form bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.io import events_stream_source
+    from ..streaming.monitors import cusum_monitor
+    from ..streaming.session_pipeline import run_stream_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        "value",
+    )
+    x = F.col("value").cast("double")
+    fit = (
+        t.na.drop(subset=["symbol"])
+        .groupBy("symbol")
+        .agg(F.count(x).alias("n"), F.sum(x).alias("s1"), F.sum(x * x).alias("s2"))
+        .collect()
+    )
+    ref = {}
+    for r in fit:
+        mu = r["s1"] / r["n"]
+        var = r["s2"] / r["n"] - mu * mu
+        ref[r["symbol"]] = (mu, var**0.5 if var > 0 else 0.0)
+
+    d = tempfile.mkdtemp(prefix="stream_cusum_")
+    try:
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(d, "events.parquet"),
+        )
+        stream = events_stream_source(spark, f"{sf_dir}/events.parquet", d).select(
+            F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+                "symbol"
+            ),
+            "ts",
+            "event_id",
+            "value",
+        )
+        alarms = cusum_monitor(stream, ref, k=0.5, h=3.0)
+        out = run_stream_to_memory(alarms, "reg_stream_cusum")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -522,3 +522,65 @@ def test_enforce_contract_on_stream(spark, tick_dir):
     # parity: the streaming gate keeps exactly the batch gate's rows
     batch = enforce(spark.read.parquet(str(tick_dir)), rules)
     assert len(rows) == batch.count()
+
+
+def test_cusum_monitor_multi_batch_state_continuity(spark, tmp_path):
+    """The monitor's (prefix, running-min) state must carry across
+    micro-batches: replaying the same rows as 1 file vs 2 files (one
+    file per trigger) must produce the same alarm set (values equal to
+    1e-6 — cross-batch float continuation is drift-equivalent, not
+    bit-identical)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_project_jan_2026_tick_data__spark.streaming.monitors import (
+        cusum_monitor,
+    )
+    from big_data_project_jan_2026_tick_data__spark.streaming.session_pipeline import (
+        run_stream_to_memory,
+    )
+
+    base = pd.Timestamp("2026-01-05 09:00:00")
+    # calm prefix then a level shift that must alarm in the SECOND half
+    vals = [0.0, 0.2, -0.2, 0.1, -0.1] * 6 + [4.0] * 10
+    rows = pd.DataFrame(
+        {
+            "symbol": "A",
+            "ts": [base + pd.Timedelta(seconds=i) for i in range(len(vals))],
+            "event_id": range(len(vals)),
+            "value": vals,
+        }
+    )
+    ref = {"A": (0.0, 1.0)}
+    schema = "symbol string, ts timestamp, event_id long, value double"
+
+    def run(n_files: int, name: str):
+        d = tmp_path / f"in_{n_files}"
+        d.mkdir()
+        half = len(rows) // 2
+        chunks = [rows] if n_files == 1 else [rows.iloc[:half], rows.iloc[half:]]
+        for i, ch in enumerate(chunks):
+            ch = ch.assign(ts=ch["ts"].astype("datetime64[us]"))
+            pq.write_table(
+                pa.Table.from_pandas(ch, preserve_index=False), d / f"f{i}.parquet"
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        out = run_stream_to_memory(
+            cusum_monitor(stream, ref, k=0.5, h=3.0), name
+        )
+        return {
+            r["event_id"]: (r["cusum_up_q6"], r["alarm_up"]) for r in out.collect()
+        }
+
+    one = run(1, "cusum_one")
+    two = run(2, "cusum_two")
+    assert set(one) == set(two) and one  # same alarm rows, non-empty
+    for eid in one:
+        assert abs(one[eid][0] - two[eid][0]) < 1e-6
+        assert one[eid][1] == two[eid][1]
+    # alarms only after the level shift
+    assert min(one) >= 30
