@@ -94,6 +94,7 @@ _ADJUDICATION_PRIORITY = [
     "orders_rfm_segments",
     "doc_lang_confusion",
     "streaming_cusum_alarms",
+    "events_threshold_islands",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

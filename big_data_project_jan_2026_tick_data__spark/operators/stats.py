@@ -759,3 +759,38 @@ def cusum_changepoints(
         .withColumn("alarm_dn", F.col("cusum_dn") > h)
         .drop("__mu", "__sd", "__zq", "__pu", "__pd")
     )
+
+
+def islands(
+    df: DataFrame,
+    flag_col: str,
+    ts_col: str = "ts",
+    by: Sequence[str] = ("symbol",),
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Gaps-and-islands: collapse CONSECUTIVE flagged rows (by the
+    series order) into intervals — the standard way to turn a per-row
+    anomaly/threshold flag into reportable episodes (outage windows,
+    alarm bursts, trading halts).
+
+    The island id is the classic double-row_number difference: rows are
+    numbered over the whole series and over the flagged subset; the
+    difference is constant within each contiguous flagged run. Both
+    windows share ONE partition/order — one sort per series, then a
+    per-island hash agg. Returns (by…, island_start, island_end,
+    n_rows).
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(*by).orderBy(*order)
+    wf = Window.partitionBy(*by, F.col(flag_col)).orderBy(*order)
+    runs = (
+        df.withColumn("__rn_all", F.row_number().over(w))
+        .withColumn("__rn_flag", F.row_number().over(wf))
+        .filter(F.col(flag_col))
+        .withColumn("__island", F.col("__rn_all") - F.col("__rn_flag"))
+    )
+    return runs.groupBy(*by, "__island").agg(
+        F.min(ts_col).alias("island_start"),
+        F.max(ts_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).drop("__island")

@@ -1228,3 +1228,37 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_converted", "n_viewers", "conversion_q6", "p50_s_q6", "p90_s_q6")
     )
+
+
+@_register(
+    "events_threshold_islands",
+    r"""
+    WITH t AS (
+      SELECT event_id, 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts,
+             (value > 30.0) AS hot
+      FROM events),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY symbol ORDER BY ts, event_id)
+               - row_number() OVER (PARTITION BY symbol, hot ORDER BY ts, event_id)
+               AS island
+      FROM t)
+    SELECT symbol, min(ts) AS island_start, max(ts) AS island_end,
+           count(*) AS n_rows
+    FROM r WHERE hot GROUP BY symbol, island
+    """,
+)
+def events_threshold_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over a per-row threshold flag: contiguous runs
+    of hot ticks (value > 30) collapsed into episodes per symbol —
+    double-row_number island ids, one sort per series (stats.islands)."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        (F.col("value") > 30.0).alias("hot"),
+    )
+    return stats.islands(
+        t, flag_col="hot", ts_col="ts", by=("symbol",), tiebreak_cols=("event_id",)
+    )

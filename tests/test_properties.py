@@ -899,3 +899,31 @@ def test_global_cumsum_double_values(spark):
     )
     got = {r["k"]: r["cum_v"] for r in out.collect()}
     assert abs(got[19] - sum(float(i) / 3.0 - 5.0 for i in range(20))) < 1e-6
+
+
+@given(
+    flags=st.lists(st.booleans(), min_size=1, max_size=40),
+)
+@settings(**SETTINGS)
+def test_islands_match_python_runs(spark, flags):
+    """Double-row_number islands vs a direct python run-length scan."""
+    rows = [("A", i, i, bool(f)) for i, f in enumerate(flags)]
+    df = spark.createDataFrame(rows, "symbol string, ts long, event_id long, hot boolean")
+    got = sorted(
+        (r["island_start"], r["island_end"], r["n_rows"])
+        for r in stats.islands(
+            df, flag_col="hot", ts_col="ts", by=("symbol",),
+            tiebreak_cols=("event_id",),
+        ).collect()
+    )
+    runs = []
+    start = None
+    for i, f in enumerate(flags):
+        if f and start is None:
+            start = i
+        elif not f and start is not None:
+            runs.append((start, i - 1, i - start))
+            start = None
+    if start is not None:
+        runs.append((start, len(flags) - 1, len(flags) - start))
+    assert got == sorted(runs)
