@@ -95,6 +95,7 @@ _ADJUDICATION_PRIORITY = [
     "doc_lang_confusion",
     "streaming_cusum_alarms",
     "events_threshold_islands",
+    "emb_centroid_outliers",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -626,3 +626,49 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = similarity.lsh_bucket_topk(emb, queries, dim=64, k=10, num_planes=4)
     exact = similarity.brute_force_topk(emb, queries, k=10)
     return similarity.ann_recall(lsh, exact)
+
+
+def _centroid_outliers_oracle(k: int = 8, dim: int = 64) -> str:
+    """Outliers = vectors whose squared distance to their cluster
+    centroid exceeds the cluster's own exact 95th percentile — the
+    shared k-means chain plus one quantile CTE."""
+    return (
+        _kmeans_cte(k, dim)
+        + """
+    , asq AS (
+      SELECT vec_id, cid, floor(dsq * 1e6 + 0.5) / 1e6 AS dq FROM asn),
+    q AS (
+      SELECT cid, quantile_cont(dq, 0.95) AS p95 FROM asq GROUP BY cid)
+    SELECT vec_id, CAST(a.cid AS INT) AS cluster,
+           a.dq AS dist_sq,
+           floor(q.p95 * 1e6 + 0.5) / 1e6 AS cluster_p95
+    FROM asq a JOIN q USING (cid)
+    WHERE a.dq > q.p95
+    """
+    )
+
+
+@_register("emb_centroid_outliers", _centroid_outliers_oracle())
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: vectors farther from their
+    k-means centroid than the cluster's exact 95th-percentile distance
+    (the data-curation step that surfaces corrupt/off-distribution
+    embeddings before they enter ANN shards). Per-cluster percentile is
+    a small agg broadcast back; the oracle re-derives the identical
+    clustering and quantile cut."""
+    emb = _td(spark, sf_dir, "embeddings")
+    # percentile runs over the q6-quantized dist_sq the operator
+    # returns; the oracle quantizes identically before its quantile
+    asn_raw = similarity.kmeans(emb, k=8, iters=2)
+    q = asn_raw.groupBy("cluster").agg(
+        F.expr("percentile(dist_sq, 0.95)").alias("p95")
+    )
+    out = asn_raw.join(F.broadcast(q), "cluster").filter(
+        F.col("dist_sq") > F.col("p95")
+    )
+    return out.select(
+        "vec_id",
+        "cluster",
+        F.col("dist_sq"),
+        (F.floor(F.col("p95") * 1e6 + F.lit(0.5)) / 1e6).alias("cluster_p95"),
+    )
