@@ -382,3 +382,31 @@ def test_bm25_300k_docs(spark, big_docs):
 
     out = t.bm25_search(big_docs, top_k=20)
     assert out.count() == 20
+
+
+def test_cusum_10m(spark, big_ticks):
+    from big_data_project_jan_2026_tick_data__spark.operators.stats import (
+        cusum_changepoints,
+    )
+
+    out = cusum_changepoints(
+        big_ticks, ts_col="ts", value_col="bid", by=("symbol",),
+        tiebreak_cols=("tid",), k=0.5, h=3.0,
+    )
+    # one aggregate over per-symbol alarm counts — no collect of the stream
+    agg = out.groupBy("symbol").agg(
+        F.count_if(F.col("alarm_up") | F.col("alarm_dn")).alias("n_alarms")
+    )
+    rows = agg.collect()
+    assert len(rows) == SYMBOLS
+
+
+def test_islands_10m(spark, big_ticks):
+    from big_data_project_jan_2026_tick_data__spark.operators.stats import islands
+
+    flagged = big_ticks.withColumn("hot", F.col("bid") > 100.0)
+    out = islands(
+        flagged, flag_col="hot", ts_col="ts", by=("symbol",),
+        tiebreak_cols=("tid",),
+    )
+    assert out.count() > 0
