@@ -96,6 +96,8 @@ _ADJUDICATION_PRIORITY = [
     "streaming_cusum_alarms",
     "events_threshold_islands",
     "emb_centroid_outliers",
+    "doc_token_entropy",
+    "events_inter_arrival",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

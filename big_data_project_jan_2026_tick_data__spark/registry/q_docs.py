@@ -1552,3 +1552,62 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("lang") == F.col("lang_pred")).alias("is_correct"),
     )
+
+
+@_register(
+    "doc_token_entropy",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               UNNEST(string_split({_norm_sql('text')}, ' ')) AS w
+        FROM documents) t
+      WHERE length(w) > 0),
+    tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    n AS (SELECT doc_id, sum(c) AS nt FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           n.nt AS n_tokens,
+           count(*) AS n_distinct,
+           FLOOR((-sum((c * 1.0 / nt) * log2(c * 1.0 / nt))) * 1e6 + 0.5) / 1e6
+             AS entropy_q6,
+           FLOOR(CASE WHEN count(*) > 1
+                 THEN (-sum((c * 1.0 / nt) * log2(c * 1.0 / nt))) / log2(count(*))
+                 ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS entropy_norm_q6
+    FROM tf JOIN n USING (doc_id) GROUP BY tf.doc_id, n.nt
+    """,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (+ normalized by
+    log2 of the distinct-token count) — the gibberish/template detector
+    that complements the repetition signals: low entropy = repetitive or
+    templated text, ~1 normalized = uniform word soup. One (doc, term)
+    hash agg, one per-doc agg — the text never shuffles twice."""
+    from pyspark.sql import Window
+
+    from ..operators.text import normalize_text
+
+    docs = _td(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    stream = docs.select("doc_id", F.explode(toks).alias("w")).filter(
+        F.length("w") > 0
+    )
+    tf = stream.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c") / F.col("nt")
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    agg = (
+        tf.withColumn("nt", F.sum("c").over(Window.partitionBy("doc_id")))
+        .groupBy("doc_id", "nt")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            (-F.sum(p * F.log2(p))).alias("__h"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        F.col("nt").alias("n_tokens"),
+        "n_distinct",
+        q6(F.col("__h")).alias("entropy_q6"),
+        q6(
+            F.when(F.col("n_distinct") > 1, F.col("__h") / F.log2(F.col("n_distinct"))).otherwise(0.0)
+        ).alias("entropy_norm_q6"),
+    )

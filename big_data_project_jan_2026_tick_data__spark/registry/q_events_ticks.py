@@ -1262,3 +1262,52 @@ def events_threshold_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.islands(
         t, flag_col="hot", ts_col="ts", by=("symbol",), tiebreak_cols=("event_id",)
     )
+
+
+@_register(
+    "events_inter_arrival",
+    r"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, event_id
+      FROM events),
+    g AS (
+      SELECT symbol,
+             date_diff('millisecond',
+                       lag(ts) OVER (PARTITION BY symbol ORDER BY ts, event_id),
+                       ts) / 1000.0 AS gap_s
+      FROM t)
+    SELECT symbol,
+           count(gap_s) AS n_gaps,
+           FLOOR(avg(gap_s) * 1e6 + 0.5) / 1e6 AS mean_gap_s_q6,
+           FLOOR(quantile_cont(gap_s, 0.5) * 1e6 + 0.5) / 1e6 AS p50_gap_s_q6,
+           FLOOR(quantile_cont(gap_s, 0.95) * 1e6 + 0.5) / 1e6 AS p95_gap_s_q6,
+           FLOOR(max(gap_s) * 1e6 + 0.5) / 1e6 AS max_gap_s_q6
+    FROM g WHERE gap_s IS NOT NULL GROUP BY symbol
+    """,
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per symbol (feed-health /
+    liquidity metric): lag-difference per series then one hash agg with
+    exact percentiles — the latency profile the gap_fill/despike
+    cleaning steps are tuned against."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("ts"), F.col("event_id"))
+    g = t.withColumn(
+        "gap_s",
+        (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))) / 1000.0,
+    ).filter(F.col("gap_s").isNotNull())
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return g.groupBy("symbol").agg(
+        F.count("gap_s").alias("n_gaps"),
+        q6(F.avg("gap_s")).alias("mean_gap_s_q6"),
+        q6(F.percentile("gap_s", F.lit(0.5))).alias("p50_gap_s_q6"),
+        q6(F.percentile("gap_s", F.lit(0.95))).alias("p95_gap_s_q6"),
+        q6(F.max("gap_s")).alias("max_gap_s_q6"),
+    )
