@@ -98,6 +98,7 @@ _ADJUDICATION_PRIORITY = [
     "emb_centroid_outliers",
     "doc_token_entropy",
     "events_inter_arrival",
+    "ticks_return_acf",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

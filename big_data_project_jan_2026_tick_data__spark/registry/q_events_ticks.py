@@ -1311,3 +1311,58 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.percentile("gap_s", F.lit(0.95))).alias("p95_gap_s_q6"),
         q6(F.max("gap_s")).alias("max_gap_s_q6"),
     )
+
+
+@_register(
+    "ticks_return_acf",
+    r"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, event_id, value
+      FROM events),
+    r AS (
+      SELECT symbol, ts, event_id,
+             value - lag(value, 1) OVER w AS r0
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+    rl AS (
+      SELECT symbol, r0,
+             lag(r0, 1) OVER w AS r1,
+             lag(r0, 2) OVER w AS r2,
+             lag(r0, 3) OVER w AS r3
+      FROM r WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id))
+    SELECT symbol,
+           count(r0) AS n_returns,
+           FLOOR(corr(r0, r1) * 1e6 + 0.5) / 1e6 AS acf1_q6,
+           FLOOR(corr(r0, r2) * 1e6 + 0.5) / 1e6 AS acf2_q6,
+           FLOOR(corr(r0, r3) * 1e6 + 0.5) / 1e6 AS acf3_q6
+    FROM rl GROUP BY symbol
+    """,
+)
+def ticks_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return autocorrelation at lags 1-3 per symbol (microstructure /
+    mean-reversion diagnostic): first-difference returns via one lag
+    window, lagged copies over the SAME partition order (one sort
+    total), Pearson corr per lag in one hash agg — NULL pairs at series
+    heads are skipped identically by both engines."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("ts"), F.col("event_id"))
+    r = t.withColumn("r0", F.col("value") - F.lag("value", 1).over(w))
+    rl = (
+        r.withColumn("r1", F.lag("r0", 1).over(w))
+        .withColumn("r2", F.lag("r0", 2).over(w))
+        .withColumn("r3", F.lag("r0", 3).over(w))
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return rl.groupBy("symbol").agg(
+        F.count("r0").alias("n_returns"),
+        q6(F.corr("r0", "r1")).alias("acf1_q6"),
+        q6(F.corr("r0", "r2")).alias("acf2_q6"),
+        q6(F.corr("r0", "r3")).alias("acf3_q6"),
+    )
