@@ -99,6 +99,7 @@ _ADJUDICATION_PRIORITY = [
     "doc_token_entropy",
     "events_inter_arrival",
     "ticks_return_acf",
+    "orders_cohort_ltv",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

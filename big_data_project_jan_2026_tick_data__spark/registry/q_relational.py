@@ -1617,3 +1617,81 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_score",
         seg.alias("segment"),
     )
+
+
+@_register(
+    "orders_cohort_ltv",
+    r"""
+    WITH fo AS (
+      SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT o.o_custkey, fo.cohort,
+             (year(o.o_orderdate) - year(fo.cohort)) * 12
+               + (month(o.o_orderdate) - month(fo.cohort)) AS offs,
+             o.o_totalprice
+      FROM orders o JOIN fo USING (o_custkey)),
+    cz AS (SELECT cohort, count(*) AS cohort_size FROM fo GROUP BY 1),
+    cell AS (
+      SELECT cohort, offs,
+             CAST(FLOOR(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents,
+             count(DISTINCT o_custkey) AS active
+      FROM r GROUP BY 1, 2)
+    SELECT CAST(cohort AS DATE) AS cohort_month,
+           offs AS month_offset,
+           active AS active_customers,
+           cents / 100.0 AS revenue,
+           FLOOR(sum(cents) OVER (PARTITION BY cell.cohort ORDER BY offs
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / 100.0 / cohort_size * 1e6 + 0.5) / 1e6 AS cum_ltv_q6
+    FROM cell JOIN cz USING (cohort)
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue per (cohort × month offset) cell, cumulative LTV per
+    cohort customer — the monetary twin of the retention matrix. The
+    cumulative window runs over the cohort×offset AGGREGATE (corpus-
+    size-independent); revenue quantized to integer cents before the
+    running sum."""
+    from pyspark.sql import Window
+
+    o = _td(spark, sf_dir, "orders")
+    fo = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    r = o.join(fo, "o_custkey").select(
+        "o_custkey",
+        "cohort",
+        (
+            (F.year("o_orderdate") - F.year("cohort")) * 12
+            + (F.month("o_orderdate") - F.month("cohort"))
+        ).alias("offs"),
+        "o_totalprice",
+    )
+    cz = fo.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cell = r.groupBy("cohort", "offs").agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.countDistinct("o_custkey").alias("active"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("offs")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cell.join(F.broadcast(cz), "cohort")
+        .select(
+            F.col("cohort").cast("date").alias("cohort_month"),
+            F.col("offs").alias("month_offset"),
+            F.col("active").alias("active_customers"),
+            (F.col("cents") / 100.0).alias("revenue"),
+            (
+                F.floor(
+                    F.sum("cents").over(w) / 100.0 / F.col("cohort_size") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("cum_ltv_q6"),
+        )
+    )
