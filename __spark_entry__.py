@@ -100,6 +100,7 @@ _ADJUDICATION_PRIORITY = [
     "events_inter_arrival",
     "ticks_return_acf",
     "orders_cohort_ltv",
+    "emb_mmr_rerank",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

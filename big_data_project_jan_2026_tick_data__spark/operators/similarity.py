@@ -693,3 +693,85 @@ def ann_recall(
             ).alias("recall_q6"),
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_candidates: int = 20,
+    n_select: int = 5,
+    lam: float = 0.7,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's exact top-``n_candidates``, greedily pick
+    ``n_select`` maximizing λ·sim(q, c) − (1−λ)·max_{s∈S} sim(c, s) —
+    the diversity step between retrieval and a RAG/context window.
+
+    Scale shape: candidate generation is the existing broadcast-query
+    retrieval; the greedy loop is inherently sequential but bounded by
+    ``n_candidates`` PER QUERY, so it runs as one Arrow-batched
+    ``applyInPandas`` per query group (parallel across queries, k²
+    numpy work inside — never a driver loop, never corpus-sized).
+    Similarities are q6-quantized BEFORE the greedy arithmetic and ties
+    break on the candidate id, so any engine replays the identical
+    selection. Returns (query, id, relevance (q6 cosine to the query),
+    mmr_score_q6, select_rank).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    cand = brute_force_topk(
+        corpus, queries, k=n_candidates,
+        corpus_id=corpus_id, query_id=query_id, vec_col=vec_col,
+    )
+    v = corpus.select(F.col(corpus_id), _to_double(F.col(vec_col)).alias("vec"))
+    withv = cand.join(v, corpus_id)
+
+    out_schema = (
+        f"{query_id} long, {corpus_id} long, relevance double, "
+        "mmr_score_q6 double, select_rank int"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rank").reset_index(drop=True)
+        qid = pdf[query_id].iloc[0]
+        ids = pdf[corpus_id].to_numpy()
+        rel = pdf["cosine"].to_numpy()  # already q6 from brute_force_topk
+        mat = np.stack(pdf["vec"].to_numpy())
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = mat @ mat.T / np.outer(norms, norms)
+        sims = np.floor(sims * 1e6 + 0.5) / 1e6
+        n = len(ids)
+        chosen: list[int] = []
+        rows = []
+        for step in range(min(n_select, n)):
+            best_i, best_score = -1, None
+            for i in range(n):
+                if i in chosen:
+                    continue
+                div = max(sims[i, j] for j in chosen) if chosen else 0.0
+                score = lam * rel[i] - (1 - lam) * div
+                if (
+                    best_score is None
+                    or score > best_score
+                    or (score == best_score and ids[i] < ids[best_i])
+                ):
+                    best_i, best_score = i, score
+            chosen.append(best_i)
+            rows.append(
+                {
+                    query_id: qid,
+                    corpus_id: ids[best_i],
+                    "relevance": rel[best_i],
+                    "mmr_score_q6": math.floor(best_score * 1e6 + 0.5) / 1e6,
+                    "select_rank": step + 1,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return withv.groupBy(query_id).applyInPandas(greedy, schema=out_schema)

@@ -672,3 +672,87 @@ def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist_sq"),
         (F.floor(F.col("p95") * 1e6 + F.lit(0.5)) / 1e6).alias("cluster_p95"),
     )
+
+
+def _mmr_oracle(
+    n_candidates: int = 20, n_select: int = 5, lam: float = 0.7
+) -> str:
+    """Generated greedy-CTE oracle for emb_mmr_rerank: exact top-20
+    candidates + q6 pairwise sims, then one selection CTE per greedy
+    step (anti-join exclusion, max-over-selected diversity term, ties →
+    candidate id). λ and (1−λ) are interpolated with repr() so the SQL
+    multiplies the SAME binary doubles python does."""
+    l_ = repr(float(lam))
+    ml = repr(1.0 - float(lam))
+    parts = [
+        f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 5),
+    cand AS MATERIALIZED (
+      SELECT query_id, vec_id, cosine, vec FROM (
+        SELECT q.query_id, c.vec_id,
+               ROUND(list_cosine_similarity(c.vec, q.qvec), 6) AS cosine, c.vec,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(c.vec, q.qvec), 6) DESC,
+                          c.vec_id) AS rnk
+        FROM v c CROSS JOIN q) r WHERE rnk <= {n_candidates}),
+    ps AS MATERIALIZED (
+      SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
+             FLOOR(list_cosine_similarity(a.vec, b.vec) * 1e6 + 0.5) / 1e6 AS s
+      FROM cand a JOIN cand b USING (query_id)),
+    sel1 AS MATERIALIZED (
+      SELECT query_id, vec_id, cosine AS relevance,
+             {l_} * cosine AS score, 1 AS select_rank
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY {l_} * cosine DESC, vec_id) AS r
+        FROM cand) x WHERE r = 1)"""
+    ]
+    for i in range(2, n_select + 1):
+        p_ = i - 1
+        parts.append(
+            f"""
+    , st{i} AS MATERIALIZED (
+      SELECT query_id, vec_id, relevance, score, {i} AS select_rank FROM (
+        SELECT x.*, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id) AS r
+        FROM (
+          SELECT c.query_id, c.vec_id, c.cosine AS relevance,
+                 {l_} * c.cosine - {ml} * max(p.s) AS score
+          FROM cand c
+          LEFT JOIN sel{p_} e
+            ON e.query_id = c.query_id AND e.vec_id = c.vec_id
+          JOIN sel{p_} s ON s.query_id = c.query_id
+          JOIN ps p ON p.query_id = c.query_id
+                   AND p.ia = c.vec_id AND p.ib = s.vec_id
+          WHERE e.vec_id IS NULL
+          GROUP BY c.query_id, c.vec_id, c.cosine) x) y
+      WHERE r = 1),
+    sel{i} AS MATERIALIZED (
+      SELECT * FROM sel{p_} UNION ALL SELECT * FROM st{i})"""
+        )
+    parts.append(
+        f"""
+    SELECT query_id, vec_id,
+           relevance,
+           FLOOR(score * 1e6 + 0.5) / 1e6 AS mmr_score_q6,
+           select_rank
+    FROM sel{n_select}"""
+    )
+    return "".join(parts)
+
+
+@_register("emb_mmr_rerank", _mmr_oracle())
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-ranking: exact top-20
+    per query, then the greedy λ·relevance − (1−λ)·redundancy selection
+    of 5 — per-query bounded applyInPandas (parallel across queries,
+    never a driver loop); the oracle replays the identical greedy as a
+    generated CTE chain over q6-quantized similarities
+    (similarity.mmr_rerank)."""
+    emb = _td(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.mmr_rerank(emb, queries, n_candidates=20, n_select=5, lam=0.7)

@@ -247,3 +247,31 @@ def test_ann_recall_contract(spark):
     assert got[0]["recall_q6"] == 0.5
     # query 1: approx found nothing from the exact set
     assert got[1]["n_hit"] == 0 and got[1]["recall_q6"] == 0.0
+
+
+def test_mmr_rerank_diversifies(spark):
+    """With near-duplicate top candidates, MMR must NOT pick both dups
+    early: the second pick should be the diverse candidate even though
+    the duplicate has higher raw relevance."""
+    import numpy as np
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    a = [0.99, 0.14, 0.0, 0.0]       # closest
+    a2 = [0.989, 0.148, 0.0, 0.0]    # near-dup of a, second-closest
+    b = [0.7, -0.71, 0.0, 0.0]       # diverse, third-closest
+    rows = [(0, q), (10, a), (11, a2), (12, b)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter("vec_id = 0").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    out = sorted(
+        (r["select_rank"], r["vec_id"])
+        for r in similarity.mmr_rerank(
+            corpus, queries, n_candidates=4, n_select=3, lam=0.5
+        ).collect()
+    )
+    picked = [vid for _, vid in out]
+    assert picked[0] == 0        # the query vector itself is most relevant
+    assert picked[1] == 10       # then the closest real candidate
+    # diversity: the near-dup 11 is deferred behind the diverse 12
+    assert picked[2] == 12
