@@ -101,6 +101,7 @@ _ADJUDICATION_PRIORITY = [
     "ticks_return_acf",
     "orders_cohort_ltv",
     "emb_mmr_rerank",
+    "events_top_paths",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

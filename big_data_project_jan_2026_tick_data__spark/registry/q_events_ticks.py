@@ -1366,3 +1366,66 @@ def ticks_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.corr("r0", "r2")).alias("acf2_q6"),
         q6(F.corr("r0", "r3")).alias("acf3_q6"),
     )
+
+
+@_register(
+    "events_top_paths",
+    r"""
+    WITH o AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    p AS (
+      SELECT user_id,
+             string_agg(event_type, ' > ' ORDER BY rn) AS path
+      FROM o WHERE rn <= 3 GROUP BY user_id),
+    c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path),
+    t AS (SELECT sum(n_users) AS total FROM c)
+    SELECT path, n_users,
+           FLOOR(n_users * 1.0 / total * 1e6 + 0.5) / 1e6 AS share_q6,
+           rank
+    FROM (
+      SELECT c.path, c.n_users, t.total,
+             row_number() OVER (ORDER BY c.n_users DESC, c.path ASC) AS rank
+      FROM c CROSS JOIN t) r
+    WHERE rank <= 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first three events (by time,
+    event-id tie-break) concatenated into a path string, ranked by user
+    count — the Sankey/path-analysis feed. One window + two hash aggs;
+    the top-20 cut is TakeOrderedAndProject-shaped, path tie-break
+    lexicographic."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    o = ev.select("user_id", "event_type", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 3
+    )
+    p = o.groupBy("user_id").agg(
+        F.concat_ws(
+            " > ", F.transform(F.array_sort(F.collect_list(F.struct("rn", "event_type"))), lambda s: s.getField("event_type"))
+        ).alias("path")
+    )
+    c = p.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    t = c.agg(F.sum("n_users").alias("total"))
+    ranked = (
+        c.crossJoin(F.broadcast(t))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
+            ),
+        )
+        .filter(F.col("rank") <= 20)
+    )
+    return ranked.select(
+        "path",
+        "n_users",
+        (F.floor(F.col("n_users") / F.col("total") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "share_q6"
+        ),
+        "rank",
+    )
