@@ -102,6 +102,7 @@ _ADJUDICATION_PRIORITY = [
     "orders_cohort_ltv",
     "emb_mmr_rerank",
     "events_top_paths",
+    "doc_source_divergence",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

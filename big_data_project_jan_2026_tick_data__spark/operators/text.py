@@ -788,3 +788,83 @@ def distinctive_terms(
             F.col("grp").alias(group_col), "term", "y_st", "y_t", "z_q6", "rank"
         )
     )
+
+
+def source_js_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    vocab_size: int = 64,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between groups' unigram
+    distributions — the corpus-drift / source-similarity matrix a
+    mixing pipeline consults before merging slices (symmetric, bounded
+    [0, 1] in log2).
+
+    Distributions are restricted to the corpus-wide top-``vocab_size``
+    terms plus one OOV bucket, so the per-group vector is FIXED-size
+    regardless of corpus scale: one token agg, a TakeOrderedAndProject
+    vocab cut, one (group, term) agg, then the pair join runs over
+    groups² × (vocab+1) rows — alphabet-sized, never corpus-sized.
+    Probabilities are q9-quantized before the divergence arithmetic so
+    both engines evaluate identical doubles. Returns
+    (source_a < source_b, jsd_q6).
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    stream = df.select(F.col(group_col).alias("grp"), F.explode(toks).alias("term")).filter(
+        F.length("term") > 0
+    )
+    freq = stream.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    vocab = (
+        freq.orderBy(F.col("f").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("__in_v"))
+    )
+    bucketed = stream.join(F.broadcast(vocab), "term", "left").select(
+        "grp",
+        F.when(F.col("__in_v").isNotNull(), F.col("term"))
+        .otherwise(F.lit("<oov>"))
+        .alias("term"),
+    )
+    gt = bucketed.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("c"))
+    gtot = gt.groupBy("grp").agg(F.sum("c").alias("nt"))
+    probs = gt.join(gtot, "grp").select(
+        "grp",
+        "term",
+        (F.floor(F.col("c") / F.col("nt") * 1e9 + F.lit(0.5)) / 1e9).alias("p"),
+    )
+    # pair × term scaffold keeps absent terms as p=0 on either side
+    # (a plain term equi-join would silently drop them)
+    pairs = (
+        probs.select(F.col("grp").alias("ga")).distinct()
+        .join(probs.select(F.col("grp").alias("gb")).distinct(), F.col("ga") < F.col("gb"))
+    )
+    terms = probs.select("term").distinct()
+    scaffold = pairs.crossJoin(F.broadcast(terms))
+    pa = probs.select(F.col("grp").alias("ga"), "term", F.col("p").alias("p_a"))
+    pb = probs.select(F.col("grp").alias("gb"), "term", F.col("p").alias("p_b"))
+    cells = (
+        scaffold.join(pa, ["ga", "term"], "left")
+        .join(pb, ["gb", "term"], "left")
+        .select(
+            "ga",
+            "gb",
+            F.coalesce(F.col("p_a"), F.lit(0.0)).alias("p"),
+            F.coalesce(F.col("p_b"), F.lit(0.0)).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term_kl = F.when(F.col("p") > 0, F.col("p") * F.log2(F.col("p") / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("q") > 0, F.col("q") * F.log2(F.col("q") / m)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        cells.groupBy(F.col("ga").alias("source_a"), F.col("gb").alias("source_b"))
+        .agg((F.sum(term_kl) / 2).alias("__jsd"))
+        .select(
+            "source_a",
+            "source_b",
+            (F.floor(F.col("__jsd") * 1e6 + F.lit(0.5)) / 1e6).alias("jsd_q6"),
+        )
+    )

@@ -1611,3 +1611,52 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_distinct") > 1, F.col("__h") / F.log2(F.col("n_distinct"))).otherwise(0.0)
         ).alias("entropy_norm_q6"),
     )
+
+
+@_register(
+    "doc_source_divergence",
+    rf"""
+    WITH tok AS MATERIALIZED (
+      SELECT source AS grp, w AS term FROM (
+        SELECT source,
+               UNNEST(string_split({_norm_sql('text')}, ' ')) AS w
+        FROM documents) t
+      WHERE length(w) > 0),
+    freq AS (SELECT term, count(*) AS f FROM tok GROUP BY 1),
+    vocab AS (SELECT term FROM freq ORDER BY f DESC, term ASC LIMIT 64),
+    bk AS (
+      SELECT grp,
+             CASE WHEN v.term IS NOT NULL THEN tok.term ELSE '<oov>' END AS term
+      FROM tok LEFT JOIN vocab v USING (term)),
+    gt AS (SELECT grp, term, count(*) AS c FROM bk GROUP BY 1, 2),
+    gtot AS (SELECT grp, sum(c) AS nt FROM gt GROUP BY 1),
+    probs AS (
+      SELECT gt.grp, gt.term,
+             floor(gt.c * 1.0 / gtot.nt * 1e9 + 0.5) / 1e9 AS p
+      FROM gt JOIN gtot USING (grp)),
+    prs AS (
+      SELECT a.grp AS ga, b.grp AS gb
+      FROM (SELECT DISTINCT grp FROM probs) a
+      JOIN (SELECT DISTINCT grp FROM probs) b ON a.grp < b.grp),
+    trm AS (SELECT DISTINCT term FROM probs),
+    cells AS (
+      SELECT s.ga, s.gb,
+             COALESCE(pa.p, 0.0) AS p, COALESCE(pb.p, 0.0) AS q
+      FROM (SELECT * FROM prs CROSS JOIN trm) s
+      LEFT JOIN probs pa ON pa.grp = s.ga AND pa.term = s.term
+      LEFT JOIN probs pb ON pb.grp = s.gb AND pb.term = s.term)
+    SELECT ga AS source_a, gb AS source_b,
+           FLOOR(sum(
+             CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2)) ELSE 0.0 END
+             + CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2)) ELSE 0.0 END
+           ) / 2 * 1e6 + 0.5) / 1e6 AS jsd_q6
+    FROM cells GROUP BY ga, gb
+    """,
+)
+def doc_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions over a fixed top-64 + OOV vocabulary — the corpus-
+    drift matrix (text.source_js_divergence); everything after the
+    token agg is alphabet-sized."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.source_js_divergence(docs, vocab_size=64)

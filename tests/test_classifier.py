@@ -75,3 +75,22 @@ def test_mixture_weights_contract(spark):
     assert out["small"]["weight_q6"] > tok_share_small
     # sampling rates never exceed 1
     assert all(r["sample_rate_q6"] <= 1.0 for r in out.values())
+
+
+def test_js_divergence_properties(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import text as t
+
+    rows = (
+        [(i, "alpha beta gamma delta", "s1") for i in range(5)]
+        + [(10 + i, "alpha beta gamma delta", "s2") for i in range(5)]  # identical dist
+        + [(20 + i, "zeta eta theta iota", "s3") for i in range(5)]     # disjoint dist
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["source_a"], r["source_b"]): r["jsd_q6"]
+        for r in t.source_js_divergence(df, vocab_size=16).collect()
+    }
+    # identical distributions -> 0; disjoint -> 1 (log2 JSD bound)
+    assert out[("s1", "s2")] == 0.0
+    assert abs(out[("s1", "s3")] - 1.0) < 1e-6
+    assert abs(out[("s2", "s3")] - 1.0) < 1e-6
