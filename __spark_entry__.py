@@ -103,6 +103,9 @@ _ADJUDICATION_PRIORITY = [
     "emb_mmr_rerank",
     "events_top_paths",
     "doc_source_divergence",
+    "ticks_parkinson_vol",
+    "events_dau_mau",
+    "supplier_return_rates",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

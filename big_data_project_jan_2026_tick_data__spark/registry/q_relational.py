@@ -1695,3 +1695,58 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_q6"),
         )
     )
+
+
+@_register(
+    "supplier_return_rates",
+    r"""
+    WITH s AS (
+      SELECT l_suppkey,
+             count(*) AS n_items,
+             count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+             CAST(FLOOR(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                  AS BIGINT) AS cents,
+             CAST(FLOOR(COALESCE(sum(l_extendedprice * (1 - l_discount))
+                                 FILTER (WHERE l_returnflag = 'R'), 0)
+                        * 100 + 0.5) AS BIGINT) AS ret_cents
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT l_suppkey, n_items, n_returned,
+           cents / 100.0 AS revenue,
+           FLOOR(n_returned * 1.0 / n_items * 1e6 + 0.5) / 1e6 AS return_rate_q6,
+           FLOOR(ret_cents * 1.0 / GREATEST(cents, 1) * 1e6 + 0.5) / 1e6
+             AS returned_value_share_q6
+    FROM s
+    """,
+)
+def supplier_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier reliability report: per-supplier item and revenue-
+    weighted return rates from the lineitem return flag — one
+    conditional hash aggregate, revenue quantized to integer cents
+    before the share ratios."""
+    li = _td(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ret = F.col("l_returnflag") == "R"
+    cents = F.floor(F.sum(rev) * 100 + F.lit(0.5)).cast("long")
+    ret_cents = F.floor(
+        F.coalesce(F.sum(F.when(ret, rev)), F.lit(0.0)) * 100 + F.lit(0.5)
+    ).cast("long")
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.count_if(ret).alias("n_returned"),
+            cents.alias("cents"),
+            ret_cents.alias("ret_cents"),
+        )
+        .select(
+            "l_suppkey",
+            "n_items",
+            "n_returned",
+            (F.col("cents") / 100.0).alias("revenue"),
+            q6(F.col("n_returned") / F.col("n_items")).alias("return_rate_q6"),
+            q6(
+                F.col("ret_cents") / F.greatest(F.col("cents"), F.lit(1))
+            ).alias("returned_value_share_q6"),
+        )
+    )
