@@ -85,6 +85,7 @@ _ADJUDICATION_PRIORITY = [
     "orders_seasonality",
     "doc_bm25_search",
     "emb_rrf_fusion",
+    "emb_mmr_rerank",
     "doc_survivorship",
     "emb_ann_recall",
     "doc_mixture_weights",
@@ -100,7 +101,6 @@ _ADJUDICATION_PRIORITY = [
     "events_inter_arrival",
     "ticks_return_acf",
     "orders_cohort_ltv",
-    "emb_mmr_rerank",
     "events_top_paths",
     "doc_source_divergence",
     "ticks_parkinson_vol",
