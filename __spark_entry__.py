@@ -24,15 +24,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver adjudicates a bounded window (~50) of queries per round, so
 # dict order is the scheduling lever. Round-4 ordering:
-# (a) the stale r2 FAIL (window_value_functions errored on the since-fixed
-#     events adapter and was left out of the r3 window — needs a green row),
-# (b) queries whose CODE or ORACLE changed this round (the multimodal raw
-#     pair now posexplodes to scalar rows with per-element VALUES oracles;
-#     approx_aggregates became self-checking; doc_hash_sample moved to the
-#     oracle-able md5 bucket; streaming_health now returns a deterministic
-#     surface; tracking/runs identity resolution and the dup_clusters
-#     convergence cadence changed; similarity literal-array rendering
-#     gained input validation),
+# (a) the stale r2 FAIL (window_value_functions — needs a green row),
+# (b) every query REGISTERED THIS ROUND, in build order (none has a
+#     driver verdict yet; the window covers roughly the first ~50, so
+#     the most distinctive new operators sit before the simpler
+#     metric reports), then queries whose code/oracle changed,
 # (c) green queries with the OLDEST verdicts (r1, then r2) so every row's
 #     proof stays fresh against regenerated testdata.
 # Deliberately absent: the four xxhash-based rows-only entries

@@ -927,3 +927,69 @@ def test_islands_match_python_runs(spark, flags):
     if start is not None:
         runs.append((start, len(flags) - 1, len(flags) - start))
     assert got == sorted(runs)
+
+
+@given(
+    vals=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=30
+    ),
+)
+@settings(**SETTINGS)
+def test_token_entropy_matches_python(spark, vals):
+    """Registry entropy formula vs a direct python Shannon entropy over
+    the same token multiset."""
+    import math
+    from collections import Counter
+
+    from big_data_project_jan_2026_tick_data__spark.registry import QUERIES  # noqa: F401
+
+    text_ = " ".join(vals)
+    df = spark.createDataFrame([(1, text_)], "doc_id long, text string")
+    from big_data_project_jan_2026_tick_data__spark.operators.text import (
+        normalize_text,
+    )
+
+    toks = F.split(normalize_text(F.col("text")), " ")
+    stream = df.select("doc_id", F.explode(toks).alias("w")).filter(
+        F.length("w") > 0
+    )
+    tf = stream.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    nt = Window.partitionBy("doc_id")
+    p = F.col("c") / F.col("ntt")
+    row = (
+        tf.withColumn("ntt", F.sum("c").over(nt))
+        .groupBy("doc_id")
+        .agg((-F.sum(p * F.log2(p))).alias("h"))
+        .collect()[0]
+    )
+    cnt = Counter(vals)
+    n = len(vals)
+    expect = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+    assert abs(row["h"] - expect) < 1e-9
+
+
+@given(
+    vals=st.lists(st.floats(-50, 50), min_size=6, max_size=40),
+)
+@settings(**SETTINGS)
+def test_return_acf_matches_numpy(spark, vals):
+    """Lag-1 return autocorrelation vs numpy corrcoef over the
+    first-difference series."""
+    rows = [("A", i, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts long, event_id long, value double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("symbol").orderBy(F.col("ts"), F.col("event_id"))
+    r = df.withColumn("r0", F.col("value") - F.lag("value", 1).over(w))
+    rl = r.withColumn("r1", F.lag("r0", 1).over(w))
+    got = rl.groupBy("symbol").agg(F.corr("r0", "r1").alias("acf1")).collect()[0]
+
+    d = np.diff(np.array(vals))
+    if len(d) >= 3 and np.std(d[1:]) > 1e-12 and np.std(d[:-1]) > 1e-12:
+        expect = np.corrcoef(d[1:], d[:-1])[0, 1]
+        if not np.isnan(expect) and got["acf1"] is not None:
+            assert abs(got["acf1"] - expect) < 1e-6
