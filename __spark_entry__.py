@@ -102,6 +102,8 @@ _ADJUDICATION_PRIORITY = [
     "ticks_parkinson_vol",
     "events_dau_mau",
     "supplier_return_rates",
+    "events_alarm_episodes",
+    "doc_pmi_collocations",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

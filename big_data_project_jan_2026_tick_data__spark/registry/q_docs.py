@@ -1660,3 +1660,102 @@ def doc_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     token agg is alphabet-sized."""
     docs = _td(spark, sf_dir, "documents")
     return text.source_js_divergence(docs, vocab_size=64)
+
+
+@_register(
+    "doc_pmi_collocations",
+    rf"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_norm_sql('text')}, ' ') AS tk
+      FROM documents),
+    tok AS (
+      SELECT doc_id, i, tk[i] AS w
+      FROM norm, UNNEST(range(1, len(tk) + 1)) AS t(i)
+      WHERE length(tk[i]) > 0),
+    big AS (
+      SELECT a.w AS wa, b.w AS wb, count(*) AS c_ab
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY 1, 2),
+    uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (
+      SELECT (SELECT sum(c) FROM uni) AS n_uni,
+             (SELECT sum(c_ab) FROM big) AS n_big)
+    SELECT wa, wb, c_ab, pmi_q6, rank FROM (
+      SELECT big.wa, big.wb, big.c_ab,
+             FLOOR(log2((big.c_ab * 1.0 / tot.n_big)
+                        / ((ua.c * 1.0 / tot.n_uni) * (ub.c * 1.0 / tot.n_uni)))
+                   * 1e6 + 0.5) / 1e6 AS pmi_q6,
+             row_number() OVER (
+               ORDER BY FLOOR(log2((big.c_ab * 1.0 / tot.n_big)
+                        / ((ua.c * 1.0 / tot.n_uni) * (ub.c * 1.0 / tot.n_uni)))
+                   * 1e6 + 0.5) / 1e6 DESC, big.wa ASC, big.wb ASC) AS rank
+      FROM big
+      JOIN uni ua ON big.wa = ua.w
+      JOIN uni ub ON big.wb = ub.w
+      CROSS JOIN tot
+      WHERE big.c_ab >= 5) r
+    WHERE rank <= 20
+    """,
+)
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 word bigrams by pointwise mutual
+    information (min count 5) — the phrase-detection primitive behind
+    tokenizer merges and stop-phrase lists. Bigrams derived row-locally
+    (zip_with on the shifted token array — no position self-join in the
+    engine; the ORACLE uses the position join as the independent
+    formulation), then unigram-margin broadcast joins and a top-k cut
+    over the filtered candidate set."""
+    from pyspark.sql import Window
+
+    from ..operators.text import normalize_text
+
+    docs = _td(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    # row-local bigrams over non-empty tokens (mirror: oracle filters
+    # empty tokens BEFORE pairing, so filter the array first too)
+    clean = F.filter(toks, lambda x: F.length(x) > 0)
+    bigrams = F.filter(
+        F.zip_with(
+            clean,
+            F.slice(clean, 2, 1 << 20),
+            lambda a, b: F.struct(a.alias("wa"), b.alias("wb")),
+        ),
+        lambda s: s.getField("wb").isNotNull(),
+    )
+    big = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.wa").alias("wa"), F.col("bg.wb").alias("wb"))
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    uni = (
+        docs.select(F.explode(clean).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot_uni = uni.agg(F.sum("c").alias("n_uni"))
+    tot_big = (
+        docs.select(F.size(bigrams).alias("nb")).agg(F.sum("nb").alias("n_big"))
+    )
+    j = (
+        big.join(F.broadcast(uni.withColumnRenamed("w", "wa").withColumnRenamed("c", "ca")), "wa")
+        .join(F.broadcast(uni.withColumnRenamed("w", "wb").withColumnRenamed("c", "cb")), "wb")
+        .crossJoin(F.broadcast(tot_uni))
+        .crossJoin(F.broadcast(tot_big))
+    )
+    pmi = F.floor(
+        F.log2(
+            (F.col("c_ab") / F.col("n_big"))
+            / ((F.col("ca") / F.col("n_uni")) * (F.col("cb") / F.col("n_uni")))
+        )
+        * 1e6
+        + F.lit(0.5)
+    ) / 1e6
+    w = Window.orderBy(F.col("pmi_q6").desc(), F.col("wa").asc(), F.col("wb").asc())
+    return (
+        j.withColumn("pmi_q6", pmi)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("wa", "wb", "c_ab", "pmi_q6", "rank")
+    )

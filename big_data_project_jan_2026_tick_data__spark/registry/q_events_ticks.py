@@ -1522,3 +1522,71 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("month", "mau", "n_days", "avg_dau_q6", "stickiness_q6")
     )
+
+
+@_register(
+    "events_alarm_episodes",
+    r"""
+    WITH t AS (
+      SELECT event_id, 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, value
+      FROM events),
+    st AS (
+      SELECT symbol, count(value) AS n, sum(value) AS s1,
+             sum(value * value) AS s2
+      FROM t WHERE symbol IS NOT NULL GROUP BY symbol),
+    sd AS (
+      SELECT symbol, s1 / n AS mu,
+             sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sdv
+      FROM st),
+    z AS (
+      SELECT t.symbol, t.ts, t.event_id,
+             CASE WHEN t.value IS NOT NULL AND sd.sdv > 0
+                  THEN floor((t.value - sd.mu) / sd.sdv * 1e6 + 0.5) / 1e6
+                  ELSE 0.0 END AS zq
+      FROM t LEFT JOIN sd USING (symbol)),
+    p AS (
+      SELECT *, sum(zq - 0.5) OVER w AS pu
+      FROM z
+      WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    c AS (
+      SELECT symbol, ts, event_id,
+             (pu - LEAST(min(pu) OVER w, 0)) > 3.0 AS alarm
+      FROM p
+      WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY symbol ORDER BY ts, event_id)
+               - row_number() OVER (PARTITION BY symbol, alarm
+                                    ORDER BY ts, event_id) AS island
+      FROM c)
+    SELECT symbol, min(ts) AS episode_start, max(ts) AS episode_end,
+           count(*) AS n_rows
+    FROM r WHERE alarm GROUP BY symbol, island
+    """,
+)
+def events_alarm_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator composition: CUSUM upward alarms (stats.
+    cusum_changepoints) collapsed into contiguous alert EPISODES
+    (stats.islands) — per-row drift flags become reportable incident
+    windows; the windows of both operators share one partition/order,
+    so the composition still plans a single sort per series."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        "value",
+    )
+    scored = stats.cusum_changepoints(
+        t, ts_col="ts", value_col="value", by=("symbol",),
+        tiebreak_cols=("event_id",), k=0.5, h=3.0,
+    )
+    return stats.islands(
+        scored.select("symbol", "ts", "event_id", F.col("alarm_up").alias("alarm")),
+        flag_col="alarm",
+        ts_col="ts",
+        by=("symbol",),
+        tiebreak_cols=("event_id",),
+    ).withColumnsRenamed({"island_start": "episode_start", "island_end": "episode_end"})
