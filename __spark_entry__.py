@@ -104,6 +104,7 @@ _ADJUDICATION_PRIORITY = [
     "supplier_return_rates",
     "events_alarm_episodes",
     "doc_pmi_collocations",
+    "emb_diversity_report",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -756,3 +756,74 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.mmr_rerank(emb, queries, n_candidates=20, n_select=5, lam=0.7)
+
+
+@_register(
+    "emb_diversity_report",
+    r"""
+    WITH e AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    d AS (
+      SELECT dim, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2
+      FROM e GROUP BY dim),
+    v AS (
+      SELECT dim, n, s2 / n - (s1 / n) * (s1 / n) AS var_pop FROM d),
+    nrm AS (
+      SELECT vec_id, sum(x * x) AS sq FROM e GROUP BY vec_id)
+    SELECT (SELECT max(n) FROM v) AS n_vecs,
+           FLOOR((SELECT sum(var_pop) FROM v) * 1e6 + 0.5) / 1e6 AS trace_var_q6,
+           FLOOR((SELECT 2 * sum(var_pop) FROM v) * 1e6 + 0.5) / 1e6
+             AS mean_pair_dist_sq_q6,
+           FLOOR((SELECT avg(sqrt(sq)) FROM nrm) * 1e6 + 0.5) / 1e6
+             AS mean_norm_q6,
+           FLOOR((SELECT 2 * sum(var_pop) FROM v)
+                 / (2 * (SELECT avg(sq) FROM nrm)) * 1e6 + 0.5) / 1e6
+             AS dispersion_ratio_q6
+    """,
+)
+def emb_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space diversity WITHOUT any pairwise work: the variance
+    identity E‖x−y‖² = 2·Σ_d var(d) turns the expected pairwise squared
+    distance (the SemDeDup-era collapse detector — a shrinking value
+    under training-data duplication means the space is folding) into ONE
+    per-dimension moment aggregate; dispersion ratio normalizes it by
+    the mean squared norm (1 ≈ isotropic, → 0 as vectors collapse onto
+    a point/ray). Scale: one posexplode + d-sized aggs — no pair join
+    exists at any corpus size."""
+    emb = _td(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    d = e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    v = d.select(
+        "n",
+        (F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))).alias(
+            "var_pop"
+        ),
+    )
+    nrm = e.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("sq"))
+    agg_v = v.agg(
+        F.max("n").alias("n_vecs"), F.sum("var_pop").alias("tv")
+    )
+    agg_n = nrm.agg(
+        F.avg(F.sqrt(F.col("sq"))).alias("mn"), F.avg("sq").alias("msq")
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        agg_v.crossJoin(F.broadcast(agg_n))
+        .select(
+            "n_vecs",
+            q6(F.col("tv")).alias("trace_var_q6"),
+            q6(2 * F.col("tv")).alias("mean_pair_dist_sq_q6"),
+            q6(F.col("mn")).alias("mean_norm_q6"),
+            q6(2 * F.col("tv") / (2 * F.col("msq"))).alias("dispersion_ratio_q6"),
+        )
+    )

@@ -275,3 +275,31 @@ def test_mmr_rerank_diversifies(spark):
     assert picked[1] == 10       # then the closest real candidate
     # diversity: the near-dup 11 is deferred behind the diverse 12
     assert picked[2] == 12
+
+
+def test_diversity_identity_matches_brute_force(spark):
+    """2·Σ var(dim) must equal the with-replacement expected pairwise
+    squared distance computed brute-force over a small corpus."""
+    import numpy as np
+
+    rng_rows = [
+        (i, [float((i * 7 + d * 3) % 5) - 2.0 for d in range(4)]) for i in range(12)
+    ]
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<float>")
+    e = df.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    d = e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    tv = d.select(
+        (F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) ** 2).alias("v")
+    ).agg(F.sum("v")).collect()[0][0]
+    mat = np.array([r[1] for r in rng_rows])
+    n = len(mat)
+    brute = np.mean([[((mat[i] - mat[j]) ** 2).sum() for j in range(n)] for i in range(n)])
+    assert abs(2 * tv - brute) < 1e-9
