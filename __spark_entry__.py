@@ -105,6 +105,7 @@ _ADJUDICATION_PRIORITY = [
     "events_alarm_episodes",
     "doc_pmi_collocations",
     "emb_diversity_report",
+    "part_fuzzy_link",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

@@ -191,3 +191,90 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("int"))
     out = l2.join(r2, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def fuzzy_string_link(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_str: str,
+    right_id: str,
+    right_str: str,
+    ngram: int = 3,
+    threshold: float = 0.4,
+    max_gram_df: int = 1000,
+    best_only: bool = True,
+) -> DataFrame:
+    """Record linkage by character-n-gram Jaccard — the entity-
+    resolution join for dirty string keys (catalog feeds with typos,
+    vendor name variants) where no equi-key exists.
+
+    Classic blocked similarity join, the cross-TABLE sibling of
+    ``dedup.ngram_jaccard_pairs``: each side explodes to its DISTINCT
+    character n-grams, candidates = pairs sharing a gram (equi-join on
+    the gram — never a cross product), intersections counted per pair,
+    exact Jaccard = i/(|A|+|B|−i) filtered at ``threshold``. Grams with
+    document frequency > ``max_gram_df`` across the UNION of both sides
+    are dropped first (stopword-gram guard — the family-standard cap
+    that kills the quadratic hot-block blowup). ``best_only`` keeps the
+    top match per left row (Jaccard desc, right id asc). Returns
+    (left_id, right_id, jaccard_q6[, match_rank]).
+    """
+    def grams(df: DataFrame, id_col: str, s_col: str, out_id: str) -> DataFrame:
+        # substring with a dynamic start needs the SQL form
+        gs = F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length({s_col}) - {ngram - 1}, 1)), "
+                f"i -> substr({s_col}, i, {ngram}))"
+            )
+        )
+        return df.select(F.col(id_col).alias(out_id), F.explode(gs).alias("g"))
+
+    lg = grams(left, left_id, left_str, "__lid")
+    rg = grams(right, right_id, right_str, "__rid")
+    if max_gram_df is not None:
+        hot = (
+            lg.select("g").unionAll(rg.select("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_gram_df)
+            .select("g")
+        )
+        lg = lg.join(F.broadcast(hot), "g", "left_anti")
+        rg = rg.join(F.broadcast(hot), "g", "left_anti")
+    ls = lg.groupBy("__lid").agg(F.count(F.lit(1)).alias("__la"))
+    rs = rg.groupBy("__rid").agg(F.count(F.lit(1)).alias("__ra"))
+    inter = (
+        lg.join(rg, "g")
+        .groupBy("__lid", "__rid")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    j = (
+        inter.join(ls, "__lid")
+        .join(rs, "__rid")
+        .withColumn(
+            "jaccard_q6",
+            F.floor(
+                F.col("__i")
+                / (F.col("__la") + F.col("__ra") - F.col("__i"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        )
+        .filter(F.col("jaccard_q6") >= threshold)
+    )
+    out = j.select(
+        F.col("__lid").alias(left_id),
+        F.col("__rid").alias(right_id),
+        "jaccard_q6",
+    )
+    if not best_only:
+        return out
+    w = Window.partitionBy(left_id).orderBy(
+        F.col("jaccard_q6").desc(), F.col(right_id).asc()
+    )
+    return (
+        out.withColumn("match_rank", F.row_number().over(w))
+        .filter(F.col("match_rank") == 1)
+    )

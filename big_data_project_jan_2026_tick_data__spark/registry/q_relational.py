@@ -1750,3 +1750,71 @@ def supplier_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("returned_value_share_q6"),
         )
     )
+
+
+@_register(
+    "part_fuzzy_link",
+    r"""
+    WITH clean AS (SELECT p_partkey, p_name FROM part),
+    dirty AS (
+      SELECT p_partkey AS d_key,
+             substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+               || substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)
+               AS d_name
+      FROM part),
+    lg AS (
+      SELECT DISTINCT d_key AS lid, g FROM dirty,
+        UNNEST(list_transform(range(1, GREATEST(length(d_name) - 2, 1) + 1),
+                              i -> substr(d_name, i, 3))) AS t(g)),
+    rg AS (
+      SELECT DISTINCT p_partkey AS rid, g FROM clean,
+        UNNEST(list_transform(range(1, GREATEST(length(p_name) - 2, 1) + 1),
+                              i -> substr(p_name, i, 3))) AS t(g)),
+    hot AS (
+      SELECT g FROM (
+        SELECT g, count(*) AS df FROM (
+          SELECT g FROM lg UNION ALL SELECT g FROM rg) u GROUP BY g)
+      WHERE df > 1000),
+    lgc AS (SELECT * FROM lg WHERE g NOT IN (SELECT g FROM hot)),
+    rgc AS (SELECT * FROM rg WHERE g NOT IN (SELECT g FROM hot)),
+    ls AS (SELECT lid, count(*) AS la FROM lgc GROUP BY lid),
+    rs AS (SELECT rid, count(*) AS ra FROM rgc GROUP BY rid),
+    inter AS (
+      SELECT lid, rid, count(*) AS i
+      FROM lgc JOIN rgc USING (g) GROUP BY lid, rid),
+    jac AS (
+      SELECT lid, rid,
+             FLOOR(i * 1.0 / (la + ra - i) * 1e6 + 0.5) / 1e6 AS jaccard_q6
+      FROM inter JOIN ls USING (lid) JOIN rs USING (rid))
+    SELECT lid AS d_key, rid AS p_partkey, jaccard_q6, match_rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY lid
+               ORDER BY jaccard_q6 DESC, rid ASC) AS match_rank
+      FROM jac WHERE jaccard_q6 >= 0.4) r
+    WHERE match_rank = 1
+    """,
+)
+def part_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution demo on a deterministic dirty feed: every part
+    name with one character deleted (position = partkey mod length) is
+    linked back to the clean catalog by trigram-blocked exact Jaccard
+    (joins.fuzzy_string_link — gram equi-join with the hot-gram cap,
+    never a cross product), best match per dirty record."""
+    part = _td(spark, sf_dir, "part")
+    pos = (F.col("p_partkey") % F.length("p_name")).cast("int")
+    dirty = part.select(
+        F.col("p_partkey").alias("d_key"),
+        F.concat(
+            F.expr("substr(p_name, 1, cast(p_partkey % length(p_name) as int))"),
+            F.expr("substr(p_name, cast(p_partkey % length(p_name) as int) + 2)"),
+        ).alias("d_name"),
+    )
+    return joins.fuzzy_string_link(
+        dirty,
+        part.select("p_partkey", "p_name"),
+        left_id="d_key",
+        left_str="d_name",
+        right_id="p_partkey",
+        right_str="p_name",
+        ngram=3,
+        threshold=0.4,
+    )

@@ -175,3 +175,25 @@ def test_asof_tolerance_matches_pandas(spark):
         ge = None if g.quote is None else g.quote
         ee = None if pd.isna(e.quote) else e.quote
         assert ge == ee, (g.ts, ge, ee)
+
+
+def test_fuzzy_string_link_recovers_typos(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import joins
+
+    clean = spark.createDataFrame(
+        [(1, "alpha widget"), (2, "beta gadget"), (3, "gamma sprocket")],
+        "rid long, name string",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "alpha wdget"), (20, "beta gadgt"), (30, "gamm sprocket"),
+         (40, "zzzzqqqq")],
+        "lid long, dname string",
+    )
+    out = {
+        r["lid"]: r["rid"]
+        for r in joins.fuzzy_string_link(
+            dirty, clean, left_id="lid", left_str="dname",
+            right_id="rid", right_str="name", threshold=0.4,
+        ).collect()
+    }
+    assert out == {10: 1, 20: 2, 30: 3}  # typos recovered, junk unmatched
