@@ -412,3 +412,37 @@ def test_abc_pareto_no_single_partition_window(spark, sf_dir):
     # the distributed decomposition still matches the sequential oracle
     out = stats.global_cumsum(li, order_cols=[F.col("k").asc()], value_col="v")
     assert out.count() == li.count()
+
+
+def test_cusum_single_sort_no_join_before_bounds(spark, sf_dir):
+    """CUSUM per-tick plan: the stream joins only the broadcast
+    stats table; the three windows share one series sort (no
+    SortMergeJoin, no cartesian)."""
+    tree, full = _explain(spark, "events_cusum_alarms", sf_dir)
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in full
+    assert "BroadcastHashJoin" in tree
+
+
+def test_islands_one_sort_no_join(spark, sf_dir):
+    tree, _ = _explain(spark, "events_threshold_islands", sf_dir)
+    assert "Join" not in tree
+    # both row_numbers + the island agg ride one series exchange
+    assert _shuffles(tree) <= 2
+
+
+def test_affinity_no_user_self_join(spark, sf_dir):
+    """Market-basket affinity must not self-join the (user, type)
+    stream — pairs come from row-local expansion of collect_set."""
+    tree, full = _explain(spark, "events_type_affinity", sf_dir)
+    assert "CartesianProduct" not in full
+    assert "SortMergeJoin" not in tree
+    assert "collect_set" in full
+
+
+def test_fuzzy_link_gram_equi_join_only(spark, sf_dir):
+    """Record linkage: candidates via the gram equi-join — no nested
+    loop / cartesian anywhere in the plan."""
+    _, full = _explain(spark, "part_fuzzy_link", sf_dir)
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
