@@ -106,6 +106,7 @@ _ADJUDICATION_PRIORITY = [
     "doc_pmi_collocations",
     "emb_diversity_report",
     "part_fuzzy_link",
+    "orders_segment_migration",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

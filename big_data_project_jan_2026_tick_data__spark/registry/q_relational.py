@@ -1818,3 +1818,113 @@ def part_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram=3,
         threshold=0.4,
     )
+
+
+def _rfm_half_cte(alias: str, pred: str) -> str:
+    """One half-period RFM scoring block for the migration oracle —
+    identical quintile logic to orders_rfm_segments, reference date =
+    the half's own max order date."""
+    return f"""
+    ref_{alias} AS (SELECT max(o_orderdate) AS mx FROM orders WHERE {pred}),
+    c_{alias} AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), ref_{alias}.mx) AS recency_days,
+             count(*) AS frequency,
+             CAST(FLOOR(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders CROSS JOIN ref_{alias}
+      WHERE {pred} GROUP BY o_custkey, ref_{alias}.mx),
+    s_{alias} AS (
+      SELECT o_custkey,
+             6 - ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+             6 - ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score
+      FROM c_{alias}),
+    seg_{alias} AS (
+      SELECT o_custkey,
+             CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+                  WHEN r_score >= 4 THEN 'recent'
+                  WHEN f_score >= 4 THEN 'loyal'
+                  WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+                  ELSE 'regular' END AS segment
+      FROM s_{alias})"""
+
+
+@_register(
+    "orders_segment_migration",
+    "WITH "
+    + _rfm_half_cte("a", "o_orderdate < TIMESTAMP '1998-07-01'")
+    + ","
+    + _rfm_half_cte("b", "o_orderdate >= TIMESTAMP '1998-07-01'")
+    + r"""
+    , cells AS (
+      SELECT a.segment AS segment_early, b.segment AS segment_late,
+             count(*) AS n_customers
+      FROM seg_a a JOIN seg_b b USING (o_custkey)
+      GROUP BY 1, 2),
+    tot AS (SELECT segment_early, sum(n_customers) AS row_n FROM cells GROUP BY 1)
+    SELECT c.segment_early, c.segment_late, c.n_customers,
+           FLOOR(c.n_customers * 1.0 / t.row_n * 1e6 + 0.5) / 1e6 AS row_frac_q6
+    FROM cells c JOIN tot t USING (segment_early)
+    """,
+)
+def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longitudinal RFM: customers scored in the early half (orders
+    before 1998-07-01) and the late half, joined into a segment
+    MIGRATION matrix (who moved champions → at_risk, etc.) with
+    per-early-segment row fractions — the churn-detection view on top of
+    orders_rfm_segments' scoring logic. Each half's quintile windows run
+    over that half's per-customer aggregate."""
+    from pyspark.sql import Window
+
+    o = _td(spark, sf_dir, "orders")
+    split = F.lit("1998-07-01").cast("timestamp")
+
+    def seg(part):
+        ref = part.agg(F.max("o_orderdate").alias("mx"))
+        c = (
+            part.crossJoin(F.broadcast(ref))
+            .groupBy("o_custkey", "mx")
+            .agg(
+                F.max("o_orderdate").alias("__last"),
+                F.count(F.lit(1)).alias("frequency"),
+            )
+            .select(
+                "o_custkey",
+                F.datediff(F.col("mx"), F.col("__last")).alias("recency_days"),
+                "frequency",
+            )
+        )
+        r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+        f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+        s = c.withColumn("r_score", 6 - F.ntile(5).over(r_w)).withColumn(
+            "f_score", 6 - F.ntile(5).over(f_w)
+        )
+        lab = (
+            F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champions")
+            .when(F.col("r_score") >= 4, "recent")
+            .when(F.col("f_score") >= 4, "loyal")
+            .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "at_risk")
+            .otherwise("regular")
+        )
+        return s.select("o_custkey", lab.alias("segment"))
+
+    early = seg(o.filter(F.col("o_orderdate") < split))
+    late = seg(o.filter(F.col("o_orderdate") >= split))
+    cells = (
+        early.withColumnRenamed("segment", "segment_early")
+        .join(late.withColumnRenamed("segment", "segment_late"), "o_custkey")
+        .groupBy("segment_early", "segment_late")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    tot = Window.partitionBy("segment_early")
+    return cells.select(
+        "segment_early",
+        "segment_late",
+        "n_customers",
+        (
+            F.floor(
+                F.col("n_customers") / F.sum("n_customers").over(tot) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("row_frac_q6"),
+    )
