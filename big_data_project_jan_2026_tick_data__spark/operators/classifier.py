@@ -102,12 +102,14 @@ def train_logreg(
     return w
 
 
-def score(features: DataFrame, weights: list[float]) -> DataFrame:
+def score(
+    features: DataFrame, weights: list[float], id_col: str = "doc_id"
+) -> DataFrame:
     """Score a feature frame with trained weights: σ(w·x) quantized q6,
     plus the thresholded prediction — a pure projection."""
     s = F.expr(f"1D / (1D + exp(-({_z_expr(weights)})))")
     return features.select(
-        "doc_id",
+        id_col,
         F.col("y").cast("int").alias("y"),
         (F.floor(s * 1e6 + F.lit(0.5)) / 1e6).alias("score_q6"),
         (s >= 0.5).cast("int").alias("pred"),
@@ -129,4 +131,4 @@ def quality_classifier(
         df, text_col=text_col, lang_col=lang_col, id_col=id_col, pos_label=pos_label
     )
     weights = train_logreg(feats, iters=iters, lr=lr)
-    return score(feats, weights)
+    return score(feats, weights, id_col=id_col)

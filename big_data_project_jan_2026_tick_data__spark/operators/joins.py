@@ -221,6 +221,9 @@ def fuzzy_string_link(
     (left_id, right_id, jaccard_q6[, match_rank]).
     """
     def grams(df: DataFrame, id_col: str, s_col: str, out_id: str) -> DataFrame:
+        # empty keys would emit a single '' gram and link any two empty
+        # records with jaccard 1.0 — drop them before gram generation
+        df = df.filter(F.length(F.col(s_col)) > 0)
         # substring with a dynamic start needs the SQL form
         gs = F.array_distinct(
             F.expr(

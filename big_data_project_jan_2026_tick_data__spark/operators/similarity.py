@@ -730,10 +730,14 @@ def mmr_rerank(
         corpus_id=corpus_id, query_id=query_id, vec_col=vec_col,
     )
     v = corpus.select(F.col(corpus_id), _to_double(F.col(vec_col)).alias("vec"))
-    withv = cand.join(v, corpus_id)
+    # the candidate list is n_queries × k rows: broadcast it so the
+    # corpus vector table is never shuffled for this attach
+    withv = v.join(F.broadcast(cand), corpus_id)
 
+    qid_t = dict(queries.dtypes).get(query_id, "bigint")
+    cid_t = dict(corpus.dtypes).get(corpus_id, "bigint")
     out_schema = (
-        f"{query_id} long, {corpus_id} long, relevance double, "
+        f"{query_id} {qid_t}, {corpus_id} {cid_t}, relevance double, "
         "mmr_score_q6 double, select_rank int"
     )
 

@@ -502,7 +502,9 @@ def moment_stats(
         *by,
         "n",
         q6(mu).alias("mean_q6"),
-        q6(F.sqrt(m2)).alias("std_q6"),
+        # m2 can cancel to a tiny negative for near-constant groups —
+        # clamp so std is 0, not NaN (oracle mirrors with GREATEST)
+        q6(F.sqrt(F.greatest(m2, F.lit(0.0)))).alias("std_q6"),
         q6(F.when(m2 > 0, m3 / F.pow(F.sqrt(m2), F.lit(3.0)))).alias("skew_q6"),
         q6(F.when(m2 > 0, m4 / (m2 * m2) - 3)).alias("kurt_q6"),
     )
@@ -562,6 +564,9 @@ def global_cumsum(
     # all-NULL partitions sum to None — they contribute 0 to the offset
     ptots = [(r["__pid"], r["__ptot"] if r["__ptot"] is not None else 0) for r in totals]
     integral = all(isinstance(t, int) for _, t in ptots)
+    if not integral:
+        # decimal totals (TPC-H money columns) must not hit float += Decimal
+        ptots = [(pid, float(t)) for pid, t in ptots]
     running = 0 if integral else 0.0
     offsets = []
     for pid, t in ptots:
@@ -729,8 +734,11 @@ def cusum_changepoints(
             *by,
             (F.col("__s1") / F.col("__n")).alias("__mu"),
             F.sqrt(
-                F.col("__s2") / F.col("__n")
-                - (F.col("__s1") / F.col("__n")) * (F.col("__s1") / F.col("__n"))
+                F.greatest(
+                    F.col("__s2") / F.col("__n")
+                    - (F.col("__s1") / F.col("__n")) * (F.col("__s1") / F.col("__n")),
+                    F.lit(0.0),
+                )
             ).alias("__sd"),
         )
     )
@@ -786,7 +794,7 @@ def islands(
     runs = (
         df.withColumn("__rn_all", F.row_number().over(w))
         .withColumn("__rn_flag", F.row_number().over(wf))
-        .filter(F.col(flag_col))
+        .filter(F.col(flag_col).cast("boolean"))
         .withColumn("__island", F.col("__rn_all") - F.col("__rn_flag"))
     )
     return runs.groupBy(*by, "__island").agg(

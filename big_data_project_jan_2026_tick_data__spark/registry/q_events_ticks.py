@@ -975,7 +975,7 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM a)
     SELECT event_type, n,
            FLOOR(mu * 1e6 + 0.5) / 1e6 AS mean_q6,
-           FLOOR(sqrt(m2) * 1e6 + 0.5) / 1e6 AS std_q6,
+           FLOOR(sqrt(GREATEST(m2, 0)) * 1e6 + 0.5) / 1e6 AS std_q6,
            FLOOR(CASE WHEN m2 > 0 THEN m3 / power(sqrt(m2), 3) END * 1e6 + 0.5) / 1e6 AS skew_q6,
            FLOOR(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END * 1e6 + 0.5) / 1e6 AS kurt_q6
     FROM c
@@ -1110,7 +1110,7 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t WHERE symbol IS NOT NULL GROUP BY symbol),
     sd AS (
       SELECT symbol, s1 / n AS mu,
-             sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sdv
+             sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS sdv
       FROM st),
     z AS (
       SELECT t.symbol, t.ts, t.event_id,
@@ -1536,7 +1536,7 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t WHERE symbol IS NOT NULL GROUP BY symbol),
     sd AS (
       SELECT symbol, s1 / n AS mu,
-             sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sdv
+             sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS sdv
       FROM st),
     z AS (
       SELECT t.symbol, t.ts, t.event_id,

@@ -504,7 +504,7 @@ st AS (
   SELECT symbol, count(value) AS n, sum(value) AS s1, sum(value * value) AS s2
   FROM t WHERE symbol IS NOT NULL GROUP BY symbol),
 sd AS (
-  SELECT symbol, s1 / n AS mu, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sdv
+  SELECT symbol, s1 / n AS mu, sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS sdv
   FROM st),
 z AS (
   SELECT t.symbol, t.ts, t.event_id,

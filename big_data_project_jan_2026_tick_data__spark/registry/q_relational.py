@@ -1485,11 +1485,23 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "orders_seasonality",
     r"""
-    WITH m AS (
-      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    WITH agg AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
              CAST(FLOOR(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents,
              count(*) AS n_orders
-      FROM orders GROUP BY 1)
+      FROM orders GROUP BY 1),
+    bounds AS (
+      SELECT min(mon) AS mn, max(mon) AS mx FROM agg),
+    -- complete month spine: a ROWS-based lag is only a calendar lag if
+    -- no month is missing, so scaffold the gaps with 0-revenue rows
+    spine AS (
+      SELECT unnest(range(mn, mx + INTERVAL 1 MONTH, INTERVAL 1 MONTH)) AS mon
+      FROM bounds),
+    m AS (
+      SELECT CAST(spine.mon AS DATE) AS month,
+             COALESCE(agg.cents, 0) AS cents,
+             COALESCE(agg.n_orders, 0) AS n_orders
+      FROM spine LEFT JOIN agg ON spine.mon = agg.mon)
     SELECT month,
            cents / 100.0 AS revenue,
            n_orders,
@@ -1509,18 +1521,31 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly revenue seasonality: month-over-month and year-over-year
     growth (lag-12) plus a 3-month moving average. Revenue is quantized
     to integer cents BEFORE the ratios so both engines divide identical
-    longs. The global window here is CORRECT at scale — it runs over the
-    per-month aggregate (#months rows, corpus-size-independent), unlike
-    a per-row global window (cf. orders_abc_pareto's range-partitioned
-    prefix sums for the corpus-sized case)."""
+    longs; a complete month SPINE scaffolds calendar gaps with 0-revenue
+    rows so the ROWS-based lags are true calendar lags (a gapped month
+    would otherwise silently misalign every later YoY). The global
+    window here is CORRECT at scale — it runs over the per-month
+    aggregate (#months rows, corpus-size-independent), unlike a per-row
+    global window (cf. orders_abc_pareto's range-partitioned prefix
+    sums for the corpus-sized case)."""
     o = _td(spark, sf_dir, "orders")
     from pyspark.sql import Window
 
-    m = o.groupBy(
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    agg = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon")
     ).agg(
         F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    spine = agg.agg(F.min("mon").alias("mn"), F.max("mon").alias("mx")).select(
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 MONTH"))
+        ).alias("mon")
+    )
+    m = spine.join(agg, "mon", "left").select(
+        F.col("mon").cast("date").alias("month"),
+        F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
     )
     w = Window.orderBy("month")
     q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
@@ -1580,7 +1605,6 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.crossJoin(F.broadcast(ref))
         .groupBy("o_custkey", "mx")
         .agg(
-            F.datediff(F.col("mx"), F.max("o_orderdate")).alias("__neg"),
             F.max("o_orderdate").alias("__last"),
             F.count(F.lit(1)).alias("frequency"),
             F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),

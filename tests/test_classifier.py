@@ -94,3 +94,13 @@ def test_js_divergence_properties(spark):
     assert out[("s1", "s2")] == 0.0
     assert abs(out[("s1", "s3")] - 1.0) < 1e-6
     assert abs(out[("s2", "s3")] - 1.0) < 1e-6
+
+
+def test_classifier_custom_id_col(spark):
+    df = spark.createDataFrame(
+        [(7, "the quick brown fox", "en"), (8, "1234 5678", "xx")],
+        "item_id long, text string, lang string",
+    )
+    out = classifier.quality_classifier(df, id_col="item_id", iters=2)
+    assert out.columns[0] == "item_id"
+    assert out.count() == 2

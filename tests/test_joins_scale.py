@@ -197,3 +197,23 @@ def test_fuzzy_string_link_recovers_typos(spark):
         ).collect()
     }
     assert out == {10: 1, 20: 2, 30: 3}  # typos recovered, junk unmatched
+
+
+def test_fuzzy_link_ignores_empty_keys(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import joins
+
+    clean = spark.createDataFrame(
+        [(1, "alpha widget"), (2, "")], "rid long, name string"
+    )
+    dirty = spark.createDataFrame(
+        [(10, ""), (20, "alpha wdget")], "lid long, dname string"
+    )
+    out = {
+        r["lid"]: r["rid"]
+        for r in joins.fuzzy_string_link(
+            dirty, clean, left_id="lid", left_str="dname",
+            right_id="rid", right_str="name", threshold=0.4,
+        ).collect()
+    }
+    # empty dirty key links to nothing; the typo still resolves
+    assert out == {20: 1}

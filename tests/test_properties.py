@@ -993,3 +993,35 @@ def test_return_acf_matches_numpy(spark, vals):
         expect = np.corrcoef(d[1:], d[:-1])[0, 1]
         if not np.isnan(expect) and got["acf1"] is not None:
             assert abs(got["acf1"] - expect) < 1e-6
+
+
+def test_moment_and_cusum_survive_constant_series(spark):
+    """Near-constant groups make m2 cancel to a tiny NEGATIVE double;
+    std must clamp to 0 (not NaN) and CUSUM must fall back to z=0."""
+    rows = [("g", i, i, 0.1) for i in range(5)]
+    df = spark.createDataFrame(rows, "event_type string, ts long, event_id long, value double")
+    m = stats.moment_stats(df, value_col="value", by=("event_type",)).collect()[0]
+    assert m["std_q6"] == 0.0
+    assert m["skew_q6"] is None and m["kurt_q6"] is None
+    c = stats.cusum_changepoints(
+        df.withColumnRenamed("event_type", "symbol"),
+        ts_col="ts", value_col="value", by=("symbol",),
+        tiebreak_cols=("event_id",),
+    ).collect()
+    # sd clamps to 0 -> z = 0 -> S decays along -k, clamped at 0
+    assert all(r["cusum_up"] == 0.0 and not r["alarm_up"] for r in c)
+
+
+def test_islands_accepts_int_flags(spark):
+    df = spark.createDataFrame(
+        [("A", 0, 0, 1), ("A", 1, 1, 1), ("A", 2, 2, 0), ("A", 3, 3, 1)],
+        "symbol string, ts long, event_id long, hot int",
+    )
+    out = sorted(
+        (r["island_start"], r["island_end"])
+        for r in stats.islands(
+            df, flag_col="hot", ts_col="ts", by=("symbol",),
+            tiebreak_cols=("event_id",),
+        ).collect()
+    )
+    assert out == [(0, 1), (3, 3)]

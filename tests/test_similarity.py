@@ -303,3 +303,18 @@ def test_diversity_identity_matches_brute_force(spark):
     n = len(mat)
     brute = np.mean([[((mat[i] - mat[j]) ** 2).sum() for j in range(n)] for i in range(n)])
     assert abs(2 * tv - brute) < 1e-9
+
+
+def test_mmr_rerank_string_ids(spark):
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    queries = corpus.filter("vec_id = 'a'").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    out = similarity.mmr_rerank(
+        corpus, queries, n_candidates=3, n_select=2, lam=0.5
+    ).collect()
+    assert {r["vec_id"] for r in out} <= {"a", "b", "c"}
+    assert len(out) == 2
