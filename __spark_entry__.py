@@ -107,6 +107,7 @@ _ADJUDICATION_PRIORITY = [
     "emb_diversity_report",
     "part_fuzzy_link",
     "orders_segment_migration",
+    "events_zipf_fit",
     # (b) changed this round
     "multimodal_features",
     "multimodal_frame_sample",

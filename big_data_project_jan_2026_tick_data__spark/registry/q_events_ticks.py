@@ -1590,3 +1590,64 @@ def events_alarm_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         by=("symbol",),
         tiebreak_cols=("event_id",),
     ).withColumnsRenamed({"island_start": "episode_start", "island_end": "episode_end"})
+
+
+@_register(
+    "events_zipf_fit",
+    r"""
+    WITH uc AS (
+      SELECT user_id, count(*) AS c FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id),
+    top AS (
+      SELECT c FROM uc ORDER BY c DESC, user_id ASC LIMIT 1000),
+    rk AS (
+      SELECT row_number() OVER (ORDER BY c DESC) AS r, c FROM top),
+    xy AS (
+      SELECT ln(r) AS x, ln(c) AS y FROM rk),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM xy)
+    SELECT n AS n_ranks,
+           FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+             AS zipf_slope_q6,
+           FLOOR((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                 * 1e6 + 0.5) / 1e6 AS intercept_q6
+    FROM s
+    """,
+)
+def events_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the user-activity distribution: log-log OLS slope
+    over the top-1000 rank/frequency head (slope ≈ −1 means classic
+    Zipf; the skew diagnostic that predicts hot-key behavior before a
+    shuffle does). TakeOrderedAndProject head cut, rank window over
+    ≤1000 rows, closed-form OLS from one sums aggregate."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    uc = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = uc.orderBy(F.col("c").desc(), F.col("user_id").asc()).limit(1000).select("c")
+    rk = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("c").desc()))
+    )
+    xy = rk.select(F.log("r").alias("x"), F.log("c").alias("y"))
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        q6(slope).alias("zipf_slope_q6"),
+        q6((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept_q6"),
+    )
