@@ -410,3 +410,31 @@ def test_islands_10m(spark, big_ticks):
         tiebreak_cols=("tid",),
     )
     assert out.count() > 0
+
+
+def test_mmr_rerank_500k_vectors(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators import similarity
+
+    n, dim = 500_000, 16
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.xxhash64("id") + i) % 1000 / 500.0 - 1.0).cast("float") for i in range(dim)]
+        ).alias("embedding"),
+    )
+    queries = corpus.filter(F.col("vec_id") < 3).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    out = similarity.mmr_rerank(corpus, queries, n_candidates=20, n_select=5)
+    assert out.count() == 15
+
+
+def test_source_divergence_300k_docs(spark, big_docs):
+    from big_data_project_jan_2026_tick_data__spark.operators import text as t
+
+    docs = big_docs.withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 6).cast("string"))
+    )
+    out = t.source_js_divergence(docs, vocab_size=32)
+    # 6 sources -> 15 pairs
+    assert out.count() == 15
