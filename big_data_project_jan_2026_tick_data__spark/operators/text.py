@@ -689,27 +689,37 @@ def mixture_weights(
     hits ``token_budget`` (capped at 1 — you can't sample more than
     exists). Returns (source, n_docs, n_tokens, mean_quality_q6,
     weight_q6, sample_rate_q6).
+
+    Determinism: per-doc quality is snapped to a 1e-9 integer grid and
+    summed as BIGINT (exact, partial-agg-order independent), and the
+    per-source weight contribution ``tokens^alpha · mq`` is snapped to a
+    1e-6 integer grid before the normalizing total — so every float the
+    two oracle engines compare is a pointwise function of exact integer
+    aggregates, never an unordered float sum (the r4 hash-FAIL class).
     """
     scored = with_quality_score(df)
     toks = F.split(normalize_text(F.col(text_col)), " ")
     n_tok = F.when(
         F.length(normalize_text(F.col(text_col))) > 0, F.size(toks)
     ).otherwise(F.lit(0))
+    q9int = F.floor(F.col("quality") * 1e9 + F.lit(0.5))
     per_src = (
         scored.withColumn("__nt", n_tok)
         .groupBy(source_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__nt").alias("n_tokens"),
-            F.avg("quality").alias("__mq"),
+            F.sum(q9int).alias("__sq9"),
         )
     )
-    raw_w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) * F.col("__mq")
-    tot = per_src.agg(
-        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) * F.col("__mq")).alias(
-            "__tw"
-        )
+    mq = (F.col("__sq9").cast("double") / F.col("n_docs")) / F.lit(1e9)
+    w6int = F.floor(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) * mq * 1e6 + F.lit(0.5)
     )
+    per_src = per_src.withColumn("__w6", w6int)
+    tot = per_src.agg(F.sum("__w6").alias("__tw6"))
+    wq = F.col("__w6").cast("double") / F.lit(1e6)
+    tw = F.col("__tw6").cast("double") / F.lit(1e6)
     q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return (
         per_src.crossJoin(F.broadcast(tot))
@@ -717,12 +727,11 @@ def mixture_weights(
             source_col,
             "n_docs",
             "n_tokens",
-            q6(F.col("__mq")).alias("mean_quality_q6"),
-            q6(raw_w / F.col("__tw")).alias("weight_q6"),
+            q6(mq).alias("mean_quality_q6"),
+            q6(wq / tw).alias("weight_q6"),
             q6(
                 F.least(
-                    F.lit(float(token_budget)) * (raw_w / F.col("__tw"))
-                    / F.col("n_tokens"),
+                    F.lit(float(token_budget)) * (wq / tw) / F.col("n_tokens"),
                     F.lit(1.0),
                 )
             ).alias("sample_rate_q6"),
@@ -745,8 +754,12 @@ def distinctive_terms(
 
     For term t in group s: δ = ln((y_st+α)/(n_s+α0−y_st−α)) −
     ln((y_t−y_st+α)/(n−n_s+α0−(y_t−y_st)−α)), z = δ/√(1/(y_st+α) +
-    1/(y_t−y_st+α)); the top-``top_k`` per group by z (q6-quantized
-    BEFORE ranking, ties → term).
+    1/(y_t−y_st+α)); the top-``top_k`` per group by z (q4-quantized
+    BEFORE ranking, ties → term). z is quantized at 1e-4 — coarser than
+    the usual q6 — because |z| reaches the thousands on frequent terms
+    and every aggregate feeding it is an exact integer, so the only
+    cross-engine noise is the ~1-ulp ln() difference; a 1e-4 grid makes
+    a boundary flip (the r4 hash-FAIL mode) vanishingly unlikely.
 
     Scale shape: one (group, term) hash agg, one term agg, one broadcast
     of scalar totals, one broadcast term-margin join, and a per-group
@@ -778,14 +791,14 @@ def distinctive_terms(
         (F.col("y_st") + a) / (F.col("n_s") + a0 - F.col("y_st") - a)
     ) - F.log((y_rest + a) / (n_rest + a0 - y_rest - a))
     var = 1.0 / (F.col("y_st") + a) + 1.0 / (y_rest + a)
-    z = F.floor(delta / F.sqrt(var) * 1e6 + F.lit(0.5)) / 1e6
-    w = Window.partitionBy("grp").orderBy(F.col("z_q6").desc(), F.col("term").asc())
+    z = F.floor(delta / F.sqrt(var) * 1e4 + F.lit(0.5)) / 1e4
+    w = Window.partitionBy("grp").orderBy(F.col("z_q4").desc(), F.col("term").asc())
     return (
-        j.withColumn("z_q6", z)
+        j.withColumn("z_q4", z)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select(
-            F.col("grp").alias(group_col), "term", "y_st", "y_t", "z_q6", "rank"
+            F.col("grp").alias(group_col), "term", "y_st", "y_t", "z_q4", "rank"
         )
     )
 

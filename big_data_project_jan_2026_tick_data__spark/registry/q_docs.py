@@ -1436,16 +1436,27 @@ def doc_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT d.source, count(*) AS n_docs,
              sum(nt.n_tok) AS n_tokens,
-             avg(q.quality) AS mq
+             sum(CAST(FLOOR(q.quality * 1e9 + 0.5) AS BIGINT)) AS sq9
       FROM documents d JOIN q USING (doc_id) JOIN nt USING (doc_id)
       GROUP BY d.source),
-    t AS (SELECT sum(power(n_tokens, 0.5) * mq) AS tw FROM s)
+    s2 AS (
+      SELECT source, n_docs, n_tokens,
+             (CAST(sq9 AS DOUBLE) / n_docs) / 1e9 AS mq
+      FROM s),
+    s3 AS (
+      SELECT *,
+             CAST(FLOOR(power(CAST(n_tokens AS DOUBLE), 0.5) * mq * 1e6 + 0.5)
+                  AS BIGINT) AS w6
+      FROM s2),
+    t AS (SELECT sum(w6) AS tw6 FROM s3)
     SELECT source, n_docs, n_tokens,
            FLOOR(mq * 1e6 + 0.5) / 1e6 AS mean_quality_q6,
-           FLOOR(power(n_tokens, 0.5) * mq / tw * 1e6 + 0.5) / 1e6 AS weight_q6,
-           FLOOR(LEAST(100000.0 * (power(n_tokens, 0.5) * mq / tw) / n_tokens, 1.0)
+           FLOOR((CAST(w6 AS DOUBLE) / 1e6) / (CAST(tw6 AS DOUBLE) / 1e6)
+                 * 1e6 + 0.5) / 1e6 AS weight_q6,
+           FLOOR(LEAST(100000.0 * ((CAST(w6 AS DOUBLE) / 1e6)
+                                   / (CAST(tw6 AS DOUBLE) / 1e6)) / n_tokens, 1.0)
                  * 1e6 + 0.5) / 1e6 AS sample_rate_q6
-    FROM s CROSS JOIN t
+    FROM s3 CROSS JOIN t
     """,
 )
 def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1479,12 +1490,12 @@ def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS delta,
              1.0 / (gt.y_st + 0.01) + 1.0 / ((tm.y_t - gt.y_st) + 0.01) AS var
       FROM gt JOIN tm USING (term) JOIN gm USING (grp) CROSS JOIN tt)
-    SELECT grp AS source, term, y_st, y_t, z_q6, rank FROM (
+    SELECT grp AS source, term, y_st, y_t, z_q4, rank FROM (
       SELECT grp, term, y_st, y_t,
-             FLOOR(delta / sqrt(var) * 1e6 + 0.5) / 1e6 AS z_q6,
+             FLOOR(delta / sqrt(var) * 1e4 + 0.5) / 1e4 AS z_q4,
              row_number() OVER (
                PARTITION BY grp
-               ORDER BY FLOOR(delta / sqrt(var) * 1e6 + 0.5) / 1e6 DESC,
+               ORDER BY FLOOR(delta / sqrt(var) * 1e4 + 0.5) / 1e4 DESC,
                         term ASC) AS rank
       FROM sc) r WHERE rank <= 5
     """,
@@ -1564,16 +1575,23 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents) t
       WHERE length(w) > 0),
     tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
-    n AS (SELECT doc_id, sum(c) AS nt FROM tf GROUP BY 1)
-    SELECT tf.doc_id,
-           n.nt AS n_tokens,
-           count(*) AS n_distinct,
-           FLOOR((-sum((c * 1.0 / nt) * log2(c * 1.0 / nt))) * 1e6 + 0.5) / 1e6
-             AS entropy_q6,
-           FLOOR(CASE WHEN count(*) > 1
-                 THEN (-sum((c * 1.0 / nt) * log2(c * 1.0 / nt))) / log2(count(*))
+    agg AS (
+      SELECT doc_id,
+             sum(c) AS nt,
+             count(*) AS n_distinct,
+             sum(CAST(FLOOR(c * log2(c) * 1e9 + 0.5) AS BIGINT)) AS s9
+      FROM tf GROUP BY 1),
+    h AS (
+      SELECT doc_id, nt, n_distinct,
+             log2(nt) - (CAST(s9 AS DOUBLE) / 1e9) / nt AS ent
+      FROM agg)
+    SELECT doc_id,
+           nt AS n_tokens,
+           n_distinct,
+           FLOOR(ent * 1e6 + 0.5) / 1e6 AS entropy_q6,
+           FLOOR(CASE WHEN n_distinct > 1 THEN ent / log2(n_distinct)
                  ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS entropy_norm_q6
-    FROM tf JOIN n USING (doc_id) GROUP BY tf.doc_id, n.nt
+    FROM h
     """,
 )
 def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1581,9 +1599,14 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2 of the distinct-token count) — the gibberish/template detector
     that complements the repetition signals: low entropy = repetitive or
     templated text, ~1 normalized = uniform word soup. One (doc, term)
-    hash agg, one per-doc agg — the text never shuffles twice."""
-    from pyspark.sql import Window
+    hash agg, one per-doc agg — the text never shuffles twice.
 
+    Determinism: uses H = log2(nt) − (Σ c·log2 c)/nt with each per-term
+    contribution snapped to a 1e-9 integer grid and summed as BIGINT, so
+    the aggregate is exact and independent of partial-agg order (the r4
+    hash-FAIL was an unordered float sum crossing the q6 boundary); a
+    grid flip from a 1-ulp log2 difference shifts H by only 1e-9/nt,
+    far below the q6 output resolution."""
     from ..operators.text import normalize_text
 
     docs = _td(spark, sf_dir, "documents")
@@ -1592,23 +1615,21 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("w") > 0
     )
     tf = stream.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
-    p = F.col("c") / F.col("nt")
     q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
-    agg = (
-        tf.withColumn("nt", F.sum("c").over(Window.partitionBy("doc_id")))
-        .groupBy("doc_id", "nt")
-        .agg(
-            F.count(F.lit(1)).alias("n_distinct"),
-            (-F.sum(p * F.log2(p))).alias("__h"),
-        )
+    contrib9 = F.floor(F.col("c") * F.log2("c") * 1e9 + F.lit(0.5))
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("nt"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(contrib9).alias("s9"),
     )
+    ent = F.log2("nt") - (F.col("s9").cast("double") / F.lit(1e9)) / F.col("nt")
     return agg.select(
         "doc_id",
         F.col("nt").alias("n_tokens"),
         "n_distinct",
-        q6(F.col("__h")).alias("entropy_q6"),
+        q6(ent).alias("entropy_q6"),
         q6(
-            F.when(F.col("n_distinct") > 1, F.col("__h") / F.log2(F.col("n_distinct"))).otherwise(0.0)
+            F.when(F.col("n_distinct") > 1, ent / F.log2(F.col("n_distinct"))).otherwise(0.0)
         ).alias("entropy_norm_q6"),
     )
 

@@ -30,8 +30,13 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # driver-style value canonicalization: fixed decimal repr
-        return f"{v:.9g}"
+        # Full-precision canonicalization (round-trip repr). The r4
+        # driver hash-FAIL on doc_distinctive_terms was invisible to the
+        # previous %.9g repr (q6 values with |z| >= 1000 carry 10
+        # significant digits) — the local mirror must be at least as
+        # strict as the driver, and every quantized output is an exact
+        # integer/1e6 ratio, so full precision adds no false alarms.
+        return repr(v)
     return str(v)
 
 
