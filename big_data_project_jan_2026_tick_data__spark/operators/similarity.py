@@ -747,8 +747,20 @@ def mmr_rerank(
         ids = pdf[corpus_id].to_numpy()
         rel = pdf["cosine"].to_numpy()  # already q6 from brute_force_topk
         mat = np.stack(pdf["vec"].to_numpy())
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        sims = mat @ mat.T / np.outer(norms, norms)
+        # Sequential left-to-right accumulation over components — NOT
+        # `mat @ mat.T` / axis-sum: BLAS blocked and numpy pairwise
+        # summation orders differ from the oracle engine's per-pair
+        # sequential fold, and q6 quantization after the fact cannot
+        # undo a boundary flip. k x k x d work on <= n_candidates rows.
+        n_rows, d = mat.shape
+        dots = np.zeros((n_rows, n_rows))
+        nrm2 = np.zeros(n_rows)
+        for t in range(d):
+            col = mat[:, t]
+            dots += np.outer(col, col)
+            nrm2 += col * col
+        norms = np.sqrt(nrm2)
+        sims = dots / np.outer(norms, norms)
         sims = np.floor(sims * 1e6 + 0.5) / 1e6
         n = len(ids)
         chosen: list[int] = []

@@ -207,6 +207,44 @@ def key_skew_report(
     )
 
 
+def exact_corr_sums(xi, yi, prefix: str) -> list:
+    """Aggregate expressions for an order-independent Pearson corr over
+    INTEGER-grid inputs ``xi``/``yi`` (pre-quantized long columns): pair
+    count + the five raw sums, with the squared/cross products summed as
+    decimal(38,0) so every partial aggregate is exact integer arithmetic
+    — no float-summation order for the two oracle engines to disagree
+    on. Rows where either side is NULL are excluded from all six, the
+    same pair-wise deletion SQL ``corr()`` applies. Bound: |x_int·y_int|
+    · n_rows must stay under 1e38 (at |x_int| ≤ 1e9 that allows 1e20
+    rows — never the binding constraint)."""
+    both = xi.isNotNull() & yi.isNotNull()
+    x = F.when(both, xi)
+    y = F.when(both, yi)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return [
+        F.count(F.when(both, F.lit(1))).alias(f"{prefix}_n"),
+        F.sum(x).alias(f"{prefix}_sx"),
+        F.sum(y).alias(f"{prefix}_sy"),
+        F.sum(dec(x) * dec(y)).alias(f"{prefix}_sxy"),
+        F.sum(dec(x) * dec(x)).alias(f"{prefix}_sxx"),
+        F.sum(dec(y) * dec(y)).alias(f"{prefix}_syy"),
+    ]
+
+
+def exact_corr_value(prefix: str):
+    """Pointwise Pearson corr from :func:`exact_corr_sums` columns —
+    (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²)), NULL when
+    either variance term is ≤ 0 (constant series). Every input is an
+    exact integer cast to double, so both engines combine identical
+    IEEE values; the oracle mirrors this expression verbatim."""
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d(f"{prefix}_n")
+    num = n * d(f"{prefix}_sxy") - d(f"{prefix}_sx") * d(f"{prefix}_sy")
+    dx = n * d(f"{prefix}_sxx") - d(f"{prefix}_sx") * d(f"{prefix}_sx")
+    dy = n * d(f"{prefix}_syy") - d(f"{prefix}_sy") * d(f"{prefix}_sy")
+    return F.when((dx > 0) & (dy > 0), num / (F.sqrt(dx) * F.sqrt(dy)))
+
+
 def symbol_correlation(
     df: DataFrame,
     ts_col: str = "ts",
@@ -226,38 +264,48 @@ def symbol_correlation(
     equi-join producing #buckets×#pairs rows, one pair agg. Quadratic
     ONLY in symbol count (a portfolio dimension, thousands at most),
     linear in data. Pairs with fewer than ``min_buckets`` aligned
-    buckets are dropped (corr undefined/meaningless).
+    buckets are dropped (corr undefined/meaningless, as are
+    zero-variance series — a halted ticker repeating one price).
+
+    Determinism: the bucket mean is computed from per-tick values on a
+    1e-6 integer grid (exact BIGINT sum / count), the mean is re-snapped
+    to the same grid, and the per-pair Pearson corr uses
+    :func:`exact_corr_sums` — every aggregate both engines compare is
+    exact integer arithmetic, so partial-agg order cannot move the q6
+    result (the r4 doc-query hash-FAIL class).
     """
     bucket = (F.col(ts_col).cast("long") / interval_sec).cast("long")
-    means = df.groupBy(
-        F.col(symbol_col).alias("sym"), bucket.alias("__b")
-    ).agg(F.avg(value_col).alias("__v"))
+    v6 = F.floor(F.col(value_col) * 1e6 + F.lit(0.5))
+    means = (
+        df.groupBy(F.col(symbol_col).alias("sym"), bucket.alias("__b"))
+        .agg(F.sum(v6).alias("__s6"), F.count(value_col).alias("__c"))
+        .select(
+            "sym",
+            "__b",
+            # __s6 is already in 1e-6 units, so the grid-snapped mean is
+            # one floor of the integer-over-count quotient
+            F.floor(
+                F.col("__s6").cast("double") / F.col("__c") + F.lit(0.5)
+            ).alias("__v6"),
+        )
+    )
     a, b = means.alias("a"), means.alias("b")
     joined = a.join(
         b,
         (F.col("a.__b") == F.col("b.__b")) & (F.col("a.sym") < F.col("b.sym")),
     )
+    agg = joined.groupBy(
+        F.col("a.sym").alias("sym_a"), F.col("b.sym").alias("sym_b")
+    ).agg(*exact_corr_sums(F.col("a.__v6"), F.col("b.__v6"), "c"))
+    c = exact_corr_value("c")
     return (
-        joined.groupBy(
-            F.col("a.sym").alias("sym_a"), F.col("b.sym").alias("sym_b")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.corr(F.col("a.__v"), F.col("b.__v")).alias("__c"),
-        )
-        .filter(
-            (F.col("n_buckets") >= min_buckets)
-            # zero-variance series (halted ticker repeating one price)
-            # make corr 0/0 — Spark yields NaN, SQL engines NULL; drop
-            # the pair in both formulations rather than emit either
-            & F.col("__c").isNotNull()
-            & ~F.isnan("__c")
-        )
+        agg.withColumn("__corr", c)
+        .filter((F.col("c_n") >= min_buckets) & F.col("__corr").isNotNull())
         .select(
             "sym_a",
             "sym_b",
-            "n_buckets",
-            (F.floor(F.col("__c") * 1e6 + F.lit(0.5)) / 1e6).alias("corr"),
+            F.col("c_n").alias("n_buckets"),
+            (F.floor(F.col("__corr") * 1e6 + F.lit(0.5)) / 1e6).alias("corr"),
         )
     )
 
@@ -430,8 +478,10 @@ def robust_outliers(
     deviations) with the group-level results broadcast back onto the
     stream — the tick stream itself never shuffles. Returns the input
     plus ``med``/``mad``/``robust_z`` (NULL when the value is NULL or
-    the group's MAD is 0) and an ``is_outlier`` flag at
-    ``z_threshold``.
+    the group's MAD is 0 or too small for a finite quotient — a
+    subnormal MAD overflows 0.6745·(x−med)/mad to ±inf, which is just
+    "MAD is effectively 0" and gets the same NULL) and an
+    ``is_outlier`` flag at ``z_threshold``.
     """
     by = list(by)
     med_tbl = (
@@ -450,9 +500,13 @@ def robust_outliers(
         )
     )
     out = with_med.join(F.broadcast(mad_tbl), by, "left")
+    z_raw = F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad")
     z = F.when(
-        F.col(value_col).isNotNull() & (F.col("mad") > 0),
-        F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad"),
+        F.col(value_col).isNotNull()
+        & (F.col("mad") > 0)
+        & ~F.isnan(z_raw)
+        & (F.abs(z_raw) < F.lit(float("inf"))),
+        z_raw,
     )
     return out.withColumn("robust_z", z).withColumn(
         "is_outlier",
@@ -464,6 +518,7 @@ def moment_stats(
     df: DataFrame,
     value_col: str = "value",
     by: Sequence[str] = ("event_type",),
+    input_grid: float = 1e4,
 ) -> DataFrame:
     """Higher-moment distribution profile per group: population skewness
     (m3/m2^1.5) and excess kurtosis (m4/m2² − 3) computed from raw power
@@ -475,26 +530,41 @@ def moment_stats(
     Central moments from raw sums: m2 = s2/n − μ², m3 = s3/n − 3μs2/n +
     2μ³, m4 = s4/n − 4μs3/n + 6μ²s2/n − 3μ⁴. Single shuffle on the
     group key, map-side partials; NULL values are excluded from n.
+
+    Determinism: values are snapped to a 1/``input_grid`` integer grid
+    (default 1e-4) and the four power sums accumulate decimal(38,0) —
+    exact integer arithmetic, so partial-agg order cannot move the q6
+    outputs (the r4 hash-FAIL class; power sums are its worst case,
+    |x⁴| dwarfs the final ratio). Bound: (|x|·grid)⁴·n_rows < 1e38,
+    i.e. |x| ≤ ~3e4 at the default grid with 1e12 rows — pick a coarser
+    grid for wider domains.
     """
-    x = F.col(value_col).cast("double")
+    xi = F.floor(F.col(value_col).cast("double") * F.lit(input_grid) + F.lit(0.5))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    xd = dec(xi)
     agg = (
         df.groupBy(*[F.col(c) for c in by])
         .agg(
-            F.count(x).alias("n"),
-            F.sum(x).alias("__s1"),
-            F.sum(x * x).alias("__s2"),
-            F.sum(x * x * x).alias("__s3"),
-            F.sum(x * x * x * x).alias("__s4"),
+            F.count(xi).alias("n"),
+            F.sum(xi).alias("__i1"),
+            F.sum(xd * xd).alias("__i2"),
+            F.sum(xd * xd * xd).alias("__i3"),
+            F.sum(xd * xd * xd * xd).alias("__i4"),
         )
     )
+    g = float(input_grid)
+    s1 = F.col("__i1").cast("double") / F.lit(g)
+    s2 = F.col("__i2").cast("double") / F.lit(g * g)
+    s3 = F.col("__i3").cast("double") / F.lit(g * g * g)
+    s4 = F.col("__i4").cast("double") / F.lit(g * g * g * g)
     n = F.col("n").cast("double")
-    mu = F.col("__s1") / n
-    m2 = F.col("__s2") / n - mu * mu
-    m3 = F.col("__s3") / n - 3 * mu * F.col("__s2") / n + 2 * mu * mu * mu
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu
     m4 = (
-        F.col("__s4") / n
-        - 4 * mu * F.col("__s3") / n
-        + 6 * mu * mu * F.col("__s2") / n
+        s4 / n
+        - 4 * mu * s3 / n
+        + 6 * mu * mu * s2 / n
         - 3 * mu * mu * mu * mu
     )
     q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731

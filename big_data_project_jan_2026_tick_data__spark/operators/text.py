@@ -872,9 +872,13 @@ def source_js_divergence(
     ) + F.when(F.col("q") > 0, F.col("q") * F.log2(F.col("q") / m)).otherwise(
         F.lit(0.0)
     )
+    # per-term contribution snapped to a 1e-12 integer grid, summed as
+    # BIGINT (vocab+1 terms per pair) — the sum is exact and order-
+    # independent, so engine partial-agg order can't move jsd_q6
+    kl12 = F.floor(term_kl * 1e12 + F.lit(0.5))
     return (
         cells.groupBy(F.col("ga").alias("source_a"), F.col("gb").alias("source_b"))
-        .agg((F.sum(term_kl) / 2).alias("__jsd"))
+        .agg(((F.sum(kl12).cast("double") / F.lit(1e12)) / 2).alias("__jsd"))
         .select(
             "source_a",
             "source_b",

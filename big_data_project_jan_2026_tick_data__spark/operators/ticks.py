@@ -567,8 +567,12 @@ def max_drawdown_summary(
         .filter(F.col("__rn") == 1)
         .select(
             *partition_cols,
-            F.round(F.col("dd_pct"), 6).alias("max_dd_pct"),
-            F.round(F.col("dd"), 6).alias("max_dd_abs"),
+            # shared floor-half-up q6 (NOT F.round, whose HALF_UP on the
+            # decimal string can disagree with FLOOR(x*1e6+0.5)/1e6 on
+            # the binary double at representation boundaries — the exact
+            # grid the DuckDB oracle uses)
+            (F.floor(F.col("dd_pct") * 1e6 + F.lit(0.5)) / 1e6).alias("max_dd_pct"),
+            (F.floor(F.col("dd") * 1e6 + F.lit(0.5)) / 1e6).alias("max_dd_abs"),
             F.col("peak").alias("peak_at_trough"),
             F.col(ts_col).alias("trough_ts"),
             F.col("__n").alias("n_ticks"),

@@ -1667,10 +1667,11 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN probs pa ON pa.grp = s.ga AND pa.term = s.term
       LEFT JOIN probs pb ON pb.grp = s.gb AND pb.term = s.term)
     SELECT ga AS source_a, gb AS source_b,
-           FLOOR(sum(
+           FLOOR(CAST(sum(CAST(FLOOR((
              CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2)) ELSE 0.0 END
              + CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2)) ELSE 0.0 END
-           ) / 2 * 1e6 + 0.5) / 1e6 AS jsd_q6
+           ) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 / 2 * 1e6 + 0.5) / 1e6
+             AS jsd_q6
     FROM cells GROUP BY ga, gb
     """,
 )

@@ -762,24 +762,38 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_diversity_report",
     r"""
     WITH e AS (
-      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      SELECT vec_id, i - 1 AS dim,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xi
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
     d AS (
-      SELECT dim, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2
+      SELECT dim, count(*) AS n, sum(xi) AS i1,
+             sum(CAST(xi AS HUGEINT) * xi) AS i2
       FROM e GROUP BY dim),
     v AS (
-      SELECT dim, n, s2 / n - (s1 / n) * (s1 / n) AS var_pop FROM d),
+      SELECT dim, n,
+             CAST(FLOOR((CAST(i2 AS DOUBLE) / 1e12 / n
+                   - (CAST(i1 AS DOUBLE) / 1e6 / n)
+                     * (CAST(i1 AS DOUBLE) / 1e6 / n)) * 1e12 + 0.5)
+                  AS BIGINT) AS vi
+      FROM d),
     nrm AS (
-      SELECT vec_id, sum(x * x) AS sq FROM e GROUP BY vec_id)
-    SELECT (SELECT max(n) FROM v) AS n_vecs,
-           FLOOR((SELECT sum(var_pop) FROM v) * 1e6 + 0.5) / 1e6 AS trace_var_q6,
-           FLOOR((SELECT 2 * sum(var_pop) FROM v) * 1e6 + 0.5) / 1e6
-             AS mean_pair_dist_sq_q6,
-           FLOOR((SELECT avg(sqrt(sq)) FROM nrm) * 1e6 + 0.5) / 1e6
+      SELECT vec_id, sum(CAST(xi AS HUGEINT) * xi) AS sq12 FROM e GROUP BY vec_id),
+    aggv AS (
+      SELECT max(n) AS n_vecs, CAST(sum(vi) AS DOUBLE) / 1e12 AS tv FROM v),
+    aggn AS (
+      SELECT count(*) AS nv,
+             sum(CAST(FLOOR(sqrt(CAST(sq12 AS DOUBLE) / 1e12) * 1e9 + 0.5)
+                      AS BIGINT)) AS sn,
+             sum(sq12) AS ssq
+      FROM nrm)
+    SELECT n_vecs,
+           FLOOR(tv * 1e6 + 0.5) / 1e6 AS trace_var_q6,
+           FLOOR(2 * tv * 1e6 + 0.5) / 1e6 AS mean_pair_dist_sq_q6,
+           FLOOR((CAST(sn AS DOUBLE) / nv) / 1e9 * 1e6 + 0.5) / 1e6
              AS mean_norm_q6,
-           FLOOR((SELECT 2 * sum(var_pop) FROM v)
-                 / (2 * (SELECT avg(sq) FROM nrm)) * 1e6 + 0.5) / 1e6
-             AS dispersion_ratio_q6
+           FLOOR(2 * tv / (2 * ((CAST(ssq AS DOUBLE) / nv) / 1e12))
+                 * 1e6 + 0.5) / 1e6 AS dispersion_ratio_q6
+    FROM aggv CROSS JOIN aggn
     """,
 )
 def emb_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,32 +804,54 @@ def emb_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dimension moment aggregate; dispersion ratio normalizes it by
     the mean squared norm (1 ≈ isotropic, → 0 as vectors collapse onto
     a point/ray). Scale: one posexplode + d-sized aggs — no pair join
-    exists at any corpus size."""
+    exists at any corpus size.
+
+    Determinism: components snapped to a 1e-6 integer grid; every
+    corpus-sized sum (per-dim moments, norm means) is exact integer
+    arithmetic (decimal(38,0) partials in Spark, HUGEINT in the
+    oracle), per-dim variances re-snapped to 1e-12 before the d-sized
+    trace sum — no float summation order anywhere (r4 hash-FAIL
+    class)."""
     emb = _td(spark, sf_dir, "embeddings")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     e = emb.select(
         "vec_id",
         F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
             "dim", "x"
         ),
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x") * 1e6 + F.lit(0.5)).alias("xi"),
     )
     d = e.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum("xi").alias("i1"),
+        F.sum(dec(F.col("xi")) * dec(F.col("xi"))).alias("i2"),
+    )
+    var_pop = (
+        F.col("i2").cast("double") / F.lit(1e12) / F.col("n")
+        - (F.col("i1").cast("double") / F.lit(1e6) / F.col("n"))
+        * (F.col("i1").cast("double") / F.lit(1e6) / F.col("n"))
     )
     v = d.select(
-        "n",
-        (F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))).alias(
-            "var_pop"
-        ),
+        "n", F.floor(var_pop * 1e12 + F.lit(0.5)).alias("vi")
     )
-    nrm = e.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("sq"))
+    nrm = e.groupBy("vec_id").agg(
+        F.sum(dec(F.col("xi")) * dec(F.col("xi"))).alias("sq12")
+    )
     agg_v = v.agg(
-        F.max("n").alias("n_vecs"), F.sum("var_pop").alias("tv")
+        F.max("n").alias("n_vecs"),
+        (F.sum("vi").cast("double") / F.lit(1e12)).alias("tv"),
     )
+    sq = F.col("sq12").cast("double") / F.lit(1e12)
     agg_n = nrm.agg(
-        F.avg(F.sqrt(F.col("sq"))).alias("mn"), F.avg("sq").alias("msq")
+        F.count(F.lit(1)).alias("nv"),
+        F.sum(F.floor(F.sqrt(sq) * 1e9 + F.lit(0.5))).alias("sn"),
+        F.sum("sq12").alias("ssq"),
     )
+    mn = (F.col("sn").cast("double") / F.col("nv")) / F.lit(1e9)
+    msq = (F.col("ssq").cast("double") / F.col("nv")) / F.lit(1e12)
     q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return (
         agg_v.crossJoin(F.broadcast(agg_n))
@@ -823,7 +859,7 @@ def emb_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
             q6(F.col("tv")).alias("trace_var_q6"),
             q6(2 * F.col("tv")).alias("mean_pair_dist_sq_q6"),
-            q6(F.col("mn")).alias("mean_norm_q6"),
-            q6(2 * F.col("tv") / (2 * F.col("msq"))).alias("dispersion_ratio_q6"),
+            q6(mn).alias("mean_norm_q6"),
+            q6(2 * F.col("tv") / (2 * msq)).alias("dispersion_ratio_q6"),
         )
     )

@@ -87,22 +87,40 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS sym,
              CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b,
-             avg(value) AS v
+             CAST(FLOOR(CAST(sum(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT))
+                             AS DOUBLE) / count(value) + 0.5) AS BIGINT) AS v6
       FROM events GROUP BY 1, 2),
     j AS (
-      SELECT a.sym AS sym_a, b.sym AS sym_b, a.v AS va, b.v AS vb
-      FROM m a JOIN m b ON a.b = b.b AND a.sym < b.sym)
-    SELECT sym_a, sym_b, count(*) AS n_buckets,
-           FLOOR(corr(va, vb) * 1e6 + 0.5) / 1e6 AS corr_q6
-    FROM j GROUP BY sym_a, sym_b
-    HAVING count(*) >= 2 AND corr(va, vb) IS NOT NULL
+      SELECT a.sym AS sym_a, b2.sym AS sym_b, a.v6 AS xa, b2.v6 AS xb
+      FROM m a JOIN m b2 ON a.b = b2.b AND a.sym < b2.sym),
+    s AS (
+      SELECT sym_a, sym_b, count(*) AS n,
+             sum(xa) AS sx, sum(xb) AS sy,
+             sum(CAST(xa AS HUGEINT) * xb) AS sxy,
+             sum(CAST(xa AS HUGEINT) * xa) AS sxx,
+             sum(CAST(xb AS HUGEINT) * xb) AS syy
+      FROM j GROUP BY 1, 2),
+    c AS (
+      SELECT sym_a, sym_b, n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+      FROM s)
+    SELECT sym_a, sym_b, n AS n_buckets,
+           FLOOR(num / (sqrt(dx) * sqrt(dy)) * 1e6 + 0.5) / 1e6 AS corr_q6
+    FROM c WHERE n >= 2 AND dx > 0 AND dy > 0
     """,
 )
 def ticks_symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-symbol Pearson correlation over hourly resampled series
     (the portfolio-level step downstream of the reference's per-symbol
     stats): bucket means → bucket-aligned self-join → per-pair corr.
-    Quadratic only in symbol count, linear in ticks."""
+    Quadratic only in symbol count, linear in ticks. Order-independent:
+    grid-snapped bucket means + exact integer Pearson sums on both
+    engines (stats.exact_corr_sums)."""
     ev = _td(spark, sf_dir, "events")
     t = ev.select(
         F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
@@ -960,11 +978,22 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH a AS (
       SELECT event_type,
-             count(value) AS n,
-             sum(value) AS s1, sum(value * value) AS s2,
-             sum(value * value * value) AS s3,
-             sum(value * value * value * value) AS s4
-      FROM events GROUP BY event_type),
+             count(xi) AS n,
+             sum(xi) AS i1,
+             sum(CAST(xi AS HUGEINT) * xi) AS i2,
+             sum(CAST(xi AS HUGEINT) * xi * xi) AS i3,
+             sum(CAST(xi AS HUGEINT) * xi * xi * xi) AS i4
+      FROM (SELECT event_type,
+                   CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS xi
+            FROM events) t
+      GROUP BY event_type),
+    b AS (
+      SELECT event_type, n,
+             CAST(i1 AS DOUBLE) / 1e4 AS s1,
+             CAST(i2 AS DOUBLE) / 1e8 AS s2,
+             CAST(i3 AS DOUBLE) / 1e12 AS s3,
+             CAST(i4 AS DOUBLE) / 1e16 AS s4
+      FROM a),
     c AS (
       SELECT event_type, n,
              s1 / n AS mu,
@@ -972,7 +1001,7 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
              s4 / n - 4 * (s1 / n) * s3 / n + 6 * (s1 / n) * (s1 / n) * s2 / n
                - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
-      FROM a)
+      FROM b)
     SELECT event_type, n,
            FLOOR(mu * 1e6 + 0.5) / 1e6 AS mean_q6,
            FLOOR(sqrt(GREATEST(m2, 0)) * 1e6 + 0.5) / 1e6 AS std_q6,
@@ -1313,36 +1342,84 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "ticks_return_acf",
-    r"""
+def _acf_oracle(lags: int = 3) -> str:
+    """Generated oracle for ticks_return_acf: cent-grid returns, then
+    per-lag exact integer Pearson sums (pairwise deletion mirrored with
+    explicit both-non-null guards) — the DuckDB twin of
+    stats.exact_corr_sums / exact_corr_value."""
+    guards = ",\n             ".join(
+        f"CASE WHEN r0 IS NOT NULL AND r{k} IS NOT NULL THEN r0 END AS x{k},\n"
+        f"             CASE WHEN r0 IS NOT NULL AND r{k} IS NOT NULL THEN r{k} END AS y{k}"
+        for k in range(1, lags + 1)
+    )
+    sums = ",\n             ".join(
+        f"count(x{k}) AS l{k}_n, sum(x{k}) AS l{k}_sx, sum(y{k}) AS l{k}_sy,\n"
+        f"             sum(CAST(x{k} AS HUGEINT) * y{k}) AS l{k}_sxy,\n"
+        f"             sum(CAST(x{k} AS HUGEINT) * x{k}) AS l{k}_sxx,\n"
+        f"             sum(CAST(y{k} AS HUGEINT) * y{k}) AS l{k}_syy"
+        for k in range(1, lags + 1)
+    )
+    combos = ",\n             ".join(
+        f"CAST(l{k}_n AS DOUBLE) * CAST(l{k}_sxy AS DOUBLE)\n"
+        f"               - CAST(l{k}_sx AS DOUBLE) * CAST(l{k}_sy AS DOUBLE) AS num{k},\n"
+        f"             CAST(l{k}_n AS DOUBLE) * CAST(l{k}_sxx AS DOUBLE)\n"
+        f"               - CAST(l{k}_sx AS DOUBLE) * CAST(l{k}_sx AS DOUBLE) AS dx{k},\n"
+        f"             CAST(l{k}_n AS DOUBLE) * CAST(l{k}_syy AS DOUBLE)\n"
+        f"               - CAST(l{k}_sy AS DOUBLE) * CAST(l{k}_sy AS DOUBLE) AS dy{k}"
+        for k in range(1, lags + 1)
+    )
+    outs = ",\n           ".join(
+        f"CASE WHEN dx{k} > 0 AND dy{k} > 0 THEN\n"
+        f"             FLOOR(num{k} / (sqrt(dx{k}) * sqrt(dy{k})) * 1e6 + 0.5) / 1e6\n"
+        f"           END AS acf{k}_q6"
+        for k in range(1, lags + 1)
+    )
+    lag_cols = ",\n             ".join(
+        f"lag(r0, {k}) OVER w AS r{k}" for k in range(1, lags + 1)
+    )
+    return f"""
     WITH t AS (
       SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, event_id, value
       FROM events),
     r AS (
       SELECT symbol, ts, event_id,
-             value - lag(value, 1) OVER w AS r0
+             CAST(FLOOR((value - lag(value, 1) OVER w) * 100 + 0.5) AS BIGINT) AS r0
       FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
     rl AS (
       SELECT symbol, r0,
-             lag(r0, 1) OVER w AS r1,
-             lag(r0, 2) OVER w AS r2,
-             lag(r0, 3) OVER w AS r3
-      FROM r WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id))
-    SELECT symbol,
-           count(r0) AS n_returns,
-           FLOOR(corr(r0, r1) * 1e6 + 0.5) / 1e6 AS acf1_q6,
-           FLOOR(corr(r0, r2) * 1e6 + 0.5) / 1e6 AS acf2_q6,
-           FLOOR(corr(r0, r3) * 1e6 + 0.5) / 1e6 AS acf3_q6
-    FROM rl GROUP BY symbol
-    """,
+             {lag_cols}
+      FROM r WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+    g AS (
+      SELECT symbol, r0,
+             {guards}
+      FROM rl),
+    s AS (
+      SELECT symbol, count(r0) AS n_returns,
+             {sums}
+      FROM g GROUP BY symbol),
+    c AS (
+      SELECT symbol, n_returns,
+             {combos}
+      FROM s)
+    SELECT symbol, n_returns,
+           {outs}
+    FROM c
+    """
+
+
+@_register(
+    "ticks_return_acf",
+    _acf_oracle(),
 )
 def ticks_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Return autocorrelation at lags 1-3 per symbol (microstructure /
     mean-reversion diagnostic): first-difference returns via one lag
     window, lagged copies over the SAME partition order (one sort
     total), Pearson corr per lag in one hash agg — NULL pairs at series
-    heads are skipped identically by both engines."""
+    heads are skipped identically by both engines. Order-independent:
+    returns are snapped to integer cents (exact — the feed carries two
+    decimals) and each lag's corr uses stats.exact_corr_sums, so no
+    float sum ever crosses engines."""
     from pyspark.sql import Window
 
     ev = _td(spark, sf_dir, "events")
@@ -1353,18 +1430,28 @@ def ticks_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     w = Window.partitionBy("symbol").orderBy(F.col("ts"), F.col("event_id"))
-    r = t.withColumn("r0", F.col("value") - F.lag("value", 1).over(w))
+    r = t.withColumn(
+        "r0",
+        F.floor((F.col("value") - F.lag("value", 1).over(w)) * 100 + F.lit(0.5)),
+    )
     rl = (
         r.withColumn("r1", F.lag("r0", 1).over(w))
         .withColumn("r2", F.lag("r0", 2).over(w))
         .withColumn("r3", F.lag("r0", 3).over(w))
     )
     q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
-    return rl.groupBy("symbol").agg(
+    agg = rl.groupBy("symbol").agg(
         F.count("r0").alias("n_returns"),
-        q6(F.corr("r0", "r1")).alias("acf1_q6"),
-        q6(F.corr("r0", "r2")).alias("acf2_q6"),
-        q6(F.corr("r0", "r3")).alias("acf3_q6"),
+        *stats.exact_corr_sums(F.col("r0"), F.col("r1"), "l1"),
+        *stats.exact_corr_sums(F.col("r0"), F.col("r2"), "l2"),
+        *stats.exact_corr_sums(F.col("r0"), F.col("r3"), "l3"),
+    )
+    return agg.select(
+        "symbol",
+        "n_returns",
+        q6(stats.exact_corr_value("l1")).alias("acf1_q6"),
+        q6(stats.exact_corr_value("l2")).alias("acf2_q6"),
+        q6(stats.exact_corr_value("l3")).alias("acf3_q6"),
     )
 
 
@@ -1603,11 +1690,19 @@ def events_alarm_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk AS (
       SELECT row_number() OVER (ORDER BY c DESC) AS r, c FROM top),
     xy AS (
-      SELECT ln(r) AS x, ln(c) AS y FROM rk),
+      SELECT CAST(FLOOR(ln(r) * 1e9 + 0.5) AS BIGINT) AS xi,
+             CAST(FLOOR(ln(c) * 1e9 + 0.5) AS BIGINT) AS yi
+      FROM rk),
+    si AS (
+      SELECT count(*) AS n, sum(xi) AS ix, sum(yi) AS iy,
+             sum(CAST(xi AS HUGEINT) * xi) AS ixx,
+             sum(CAST(xi AS HUGEINT) * yi) AS ixy
+      FROM xy),
     s AS (
-      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-             sum(x * x) AS sxx, sum(x * y) AS sxy
-      FROM xy)
+      SELECT n,
+             CAST(ix AS DOUBLE) / 1e9 AS sx, CAST(iy AS DOUBLE) / 1e9 AS sy,
+             CAST(ixx AS DOUBLE) / 1e18 AS sxx, CAST(ixy AS DOUBLE) / 1e18 AS sxy
+      FROM si)
     SELECT n AS n_ranks,
            FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
              AS zipf_slope_q6,
@@ -1621,7 +1716,12 @@ def events_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the top-1000 rank/frequency head (slope ≈ −1 means classic
     Zipf; the skew diagnostic that predicts hot-key behavior before a
     shuffle does). TakeOrderedAndProject head cut, rank window over
-    ≤1000 rows, closed-form OLS from one sums aggregate."""
+    ≤1000 rows, closed-form OLS from one sums aggregate.
+    Order-independent: ln(rank)/ln(count) contributions snapped to a
+    1e-9 integer grid and summed exactly, so the OLS sums (the r4
+    float-sum hash-FAIL class) combine identical integers on both
+    engines; a grid flip from a 1-ulp ln difference moves the slope by
+    ~1e-12, far below q6."""
     from pyspark.sql import Window
 
     ev = _td(spark, sf_dir, "events")
@@ -1634,13 +1734,24 @@ def events_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = top.withColumn(
         "r", F.row_number().over(Window.orderBy(F.col("c").desc()))
     )
-    xy = rk.select(F.log("r").alias("x"), F.log("c").alias("y"))
-    s = xy.agg(
+    xy = rk.select(
+        F.floor(F.log("r") * 1e9 + F.lit(0.5)).alias("xi"),
+        F.floor(F.log("c") * 1e9 + F.lit(0.5)).alias("yi"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    si = xy.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("xi").alias("ix"),
+        F.sum("yi").alias("iy"),
+        F.sum(dec(F.col("xi")) * dec(F.col("xi"))).alias("ixx"),
+        F.sum(dec(F.col("xi")) * dec(F.col("yi"))).alias("ixy"),
+    )
+    s = si.select(
+        "n",
+        (F.col("ix").cast("double") / F.lit(1e9)).alias("sx"),
+        (F.col("iy").cast("double") / F.lit(1e9)).alias("sy"),
+        (F.col("ixx").cast("double") / F.lit(1e18)).alias("sxx"),
+        (F.col("ixy").cast("double") / F.lit(1e18)).alias("sxy"),
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")

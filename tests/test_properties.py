@@ -4,6 +4,8 @@ np.linspace, MinHash Jaccard estimate vs exact Jaccard."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -519,11 +521,13 @@ def test_symbol_correlation_matches_numpy(spark, series):
     df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     out = stats.symbol_correlation(df, interval_sec=3600).collect()
 
-    xs = np.array([x for x, _ in series])
-    ys = np.array([y for _, y in series])
-    # near-degenerate variance: catastrophic cancellation makes Spark's
-    # single-pass co-moment and numpy's two-pass corrcoef legitimately
-    # diverge (or Spark yields NaN -> dropped row) — only assert the
+    # the operator snaps per-tick values (and bucket means) to a 1e-6
+    # integer grid before the exact-integer Pearson sums — mirror that
+    xs = np.floor(np.array([x for x, _ in series]) * 1e6 + 0.5) / 1e6
+    ys = np.floor(np.array([y for _, y in series]) * 1e6 + 0.5) / 1e6
+    # near-degenerate variance: catastrophic cancellation makes numpy's
+    # float corrcoef and the engine's exact-integer sums legitimately
+    # diverge (or the zero-variance pair is dropped) — only assert the
     # well-conditioned regime
     lo = 1e-6 * max(1.0, float(np.abs(xs).max()), float(np.abs(ys).max()))
     if np.std(xs) < lo or np.std(ys) < lo:
@@ -656,7 +660,8 @@ def test_moment_stats_matches_numpy(spark, vals):
         [("g", float(v)) for v in vals], "event_type string, value double"
     )
     row = stats.moment_stats(df, value_col="value", by=("event_type",)).collect()[0]
-    a = np.array(vals, dtype=float)
+    # mirror the operator's 1e-4 input grid (determinism contract)
+    a = np.floor(np.array(vals, dtype=float) * 1e4 + 0.5) / 1e4
     mu, m2 = a.mean(), ((a - a.mean()) ** 2).mean()
     assert row["n"] == len(vals)
     assert abs(row["mean_q6"] - mu) < 1e-4
@@ -695,13 +700,17 @@ def test_robust_outliers_matches_python_oracle(spark, vals, spike):
         r = out[i]
         assert abs(r["med"] - med) < 1e-9
         assert abs(r["mad"] - mad) < 1e-9
-        if mad > 0:
-            z = 0.6745 * (v - med) / mad
+        z = 0.6745 * (v - med) / mad if mad > 0 else math.inf
+        if mad > 0 and math.isfinite(z):
             assert abs(r["robust_z"] - z) < 1e-9
             assert r["is_outlier"] == (abs(z) > 3.5)
         else:
+            # MAD == 0, or subnormal MAD overflowing the quotient to
+            # ±inf (hypothesis: vals=[0.0, 0.0, 2.2e-309], spike=1e4):
+            # both mean "no usable scale" -> NULL z, not an outlier.
             assert r["robust_z"] is None and r["is_outlier"] is False
-    if mad > 0:
+    spike_z = 0.6745 * (data[-1] - med) / mad if mad > 0 else math.inf
+    if mad > 0 and math.isfinite(spike_z):
         assert out[len(data) - 1]["is_outlier"]
 
 
