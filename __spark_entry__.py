@@ -22,93 +22,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.entry_query(spark, "/root/testdata/sf0.001")
 
 
-# The driver adjudicates a bounded window (~50) of queries per round, so
-# dict order is the scheduling lever. Round-4 ordering:
-# (a) the stale r2 FAIL (window_value_functions — needs a green row),
-# (b) every query REGISTERED THIS ROUND, in build order (none has a
-#     driver verdict yet; the window covers roughly the first ~50, so
-#     the most distinctive new operators sit before the simpler
-#     metric reports), then queries whose code/oracle changed,
-# (c) green queries with the OLDEST verdicts (r1, then r2) so every row's
+# The driver adjudicates a bounded window (the first ~50 names) per
+# round, so dict order is the scheduling lever. Round-5 ordering, per
+# the r4 verdict: CHANGED-CODE RE-PROOF OUTRANKS NEW-QUERY PROOF — a
+# changed green is unproven, a new query is merely unknown.
+# (a) queries whose code/oracle changed THIS round (the 3 fixed r4
+#     hash-FAILs, the float-sum hardening family, the advisor's latent
+#     quantizer fixes) + the one new query,
+# (b) queries changed in r4 still carrying stale r3 verdicts,
+# (c) the never-adjudicated r4 registrations,
+# (d) green queries with the OLDEST verdicts (r1 set) so every row's
 #     proof stays fresh against regenerated testdata.
-# Deliberately absent: the four xxhash-based rows-only entries
-# (doc_minhash_pairs, doc_simhash_pairs, doc_fingerprints, ml_anomaly_*)
-# whose value proof lives in their md5/mean twins — a slot spent there
-# can never produce a hash verdict.
+# Deliberately absent: every rows-only entry (doc_minhash_pairs,
+# doc_simhash_pairs, doc_fingerprints, ml_anomaly_scores,
+# ml_anomaly_scores_ae, emb_ivf_topk, ...) — a slot spent there can
+# only ever say `no_oracle`; their value proofs live in md5/mean/
+# fixed-weight twins (ml_anomaly_scores_ae → ml_anomaly_scores_ae_fixedw).
 _ADJUDICATION_PRIORITY = [
-    # (a) stale FAIL
-    "window_value_functions",
-    # (b) NEW this round: CSV sink+scan roundtrip, tz/clamp/scrub
-    # pipeline, date-membership filter, incremental near-dup ingestion
-    # — first driver verdicts needed
-    "stats_csv_roundtrip",
-    "ticks_tz_spread_scrub",
-    "events_date_membership",
-    "doc_incremental_minhash",
-    "doc_incremental_simhash",
-    "emb_incremental_near_dup",
-    # (b) NEW: gradient-trained autoencoder lifecycle (rows-only by
-    # nature, but a first verdict beats none; value proof = the ★
-    # mean-model twin + finite-difference tests)
-    "ml_anomaly_scores_ae",
-    # (b) NEW: plain-SQL macro surface (SQL UDFs), full value oracle
-    "sql_function_surface",
-    # (b) NEW: corpus-wide line dedup, full value oracle
-    "doc_line_dedup",
-    # (b) NEW: overlap/TF-IDF/chunking/correlation, full value oracles
-    "doc_cross_overlap",
-    "doc_tfidf_top_terms",
-    "doc_chunk_windows",
+    # (a) fixed r4 hash-FAILs — order-independent integer sums now
+    "doc_token_entropy",
+    "doc_mixture_weights",
+    "doc_distinctive_terms",
+    # (a) float-sum hardening + advisor quantizer fixes (code changed)
     "ticks_symbol_correlation",
-    "events_funnel_steps",
-    "events_retention_cohorts",
-    "emb_quantize_int8",
-    "emb_quantized_topk",
-    "doc_lm_perplexity",
-    "multimodal_resize_digest",
-    "events_data_contract",
-    "ticks_winsorize",
-    "events_transition_matrix",
+    "ticks_return_acf",
+    "events_moment_stats",
+    "events_zipf_fit",
+    "emb_diversity_report",
+    "doc_source_divergence",
+    "emb_mmr_rerank",
     "ticks_drawdown",
     "events_robust_outliers",
-    "events_moment_stats",
-    "doc_vocab_coverage",
-    "emb_semantic_dedup",
-    "orders_abc_pareto",
-    "doc_quality_classifier",
-    "events_pagerank",
-    "events_type_affinity",
-    "orders_seasonality",
-    "doc_bm25_search",
-    "emb_rrf_fusion",
-    "emb_mmr_rerank",
-    "doc_survivorship",
-    "emb_ann_recall",
-    "doc_mixture_weights",
-    "events_cusum_alarms",
-    "doc_distinctive_terms",
-    "events_time_to_convert",
-    "orders_rfm_segments",
-    "doc_lang_confusion",
-    "streaming_cusum_alarms",
-    "events_threshold_islands",
-    "emb_centroid_outliers",
-    "doc_token_entropy",
-    "events_inter_arrival",
-    "ticks_return_acf",
-    "orders_cohort_ltv",
-    "events_top_paths",
-    "doc_source_divergence",
-    "ticks_parkinson_vol",
-    "events_dau_mau",
-    "supplier_return_rates",
-    "events_alarm_episodes",
-    "doc_pmi_collocations",
-    "emb_diversity_report",
-    "part_fuzzy_link",
-    "orders_segment_migration",
-    "events_zipf_fit",
-    # (b) changed this round
+    # (a) NEW: fixed-weight autoencoder scoring value proof
+    "ml_anomaly_scores_ae_fixedw",
+    # (b) changed in r4, verdict still stale r3
     "multimodal_features",
     "multimodal_frame_sample",
     "approx_aggregates",
@@ -122,7 +69,17 @@ _ADJUDICATION_PRIORITY = [
     "emb_ivf_exact",
     "emb_kmeans",
     "emb_near_dup_pairs",
-    # (c) oldest green verdicts first — r1 set
+    # (c) registered in r4, never adjudicated
+    "orders_cohort_ltv",
+    "events_top_paths",
+    "ticks_parkinson_vol",
+    "events_dau_mau",
+    "supplier_return_rates",
+    "events_alarm_episodes",
+    "doc_pmi_collocations",
+    "part_fuzzy_link",
+    "orders_segment_migration",
+    # (d) oldest green verdicts — r1 set, three testdata generations old
     "ticks_value_stats",
     "tpch_q1",
     "tpch_q3_top10",
@@ -138,6 +95,7 @@ _ADJUDICATION_PRIORITY = [
     "salted_join_skewed_users",
     "tpch_q6_forecast_revenue",
     "tpch_q4_priority_check",
+    # ---- ~50-slot window boundary; the rest queue for r6 ----
     "tpch_q14_promo_ratio",
     "tpch_q18_large_orders",
     "scalar_subquery_above_avg",

@@ -206,6 +206,151 @@ def ml_anomaly_scores_ae(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AE_FIXEDW = {"n_ticks": 8, "n_feats": 3, "hidden": (8,), "latent": 4, "n_windows": 24}
+
+
+def _ae_fixed_state(seed: int) -> dict:
+    """Deterministic torch-layout state dict for the fixed-weight AE
+    value proof: nn.Sequential key layout with BatchNorm (Linear at 0,
+    BN at 1, closing Linear at 4 — model.py:91-180 architecture), every
+    tensor quantized to 6dp so both the Spark executors and the oracle
+    generator multiply identical doubles."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    q = lambda a: np.floor(np.asarray(a, dtype=np.float64) * 1e6 + 0.5) / 1e6  # noqa: E731
+    d_in = _AE_FIXEDW["n_ticks"] * _AE_FIXEDW["n_feats"]
+    (h,) = _AE_FIXEDW["hidden"]
+    z = _AE_FIXEDW["latent"]
+    sd = {}
+    for side, a, b in (("encoder", d_in, h), ("decoder", z, h)):
+        sd[f"{side}.0.weight"] = q(rng.normal(scale=0.3, size=(b, a)))
+        sd[f"{side}.0.bias"] = q(rng.normal(scale=0.1, size=b))
+        sd[f"{side}.1.weight"] = q(rng.uniform(0.5, 1.5, size=b))
+        sd[f"{side}.1.bias"] = q(rng.normal(scale=0.1, size=b))
+        sd[f"{side}.1.running_mean"] = q(rng.normal(scale=0.2, size=b))
+        sd[f"{side}.1.running_var"] = q(rng.uniform(0.5, 1.5, size=b))
+    sd["encoder.4.weight"] = q(rng.normal(scale=0.3, size=(z, h)))
+    sd["encoder.4.bias"] = q(rng.normal(scale=0.1, size=z))
+    sd["decoder.4.weight"] = q(rng.normal(scale=0.3, size=(d_in, h)))
+    sd["decoder.4.bias"] = q(rng.normal(scale=0.1, size=d_in))
+    return sd
+
+
+_AE_SYMS = (("SYN_A", 7), ("SYN_B", 9))
+
+
+def _ae_fixed_window(sym_ix: int, wid: int):
+    """The synthetic window both engines rebuild bit-for-bit: integer
+    formula → /97.0 → float32 (mirrors the featurizer's ArrayType(Float)
+    storage) → float64."""
+    import numpy as np
+
+    nt, nf = _AE_FIXEDW["n_ticks"], _AE_FIXEDW["n_feats"]
+    x = np.empty((nt, nf), dtype=np.float64)
+    for i in range(nt):
+        for j in range(nf):
+            x[i, j] = np.float32(
+                ((sym_ix * 1009 + wid * 31 + i * 7 + j * 3) % 97) / 97.0
+            )
+    return x
+
+
+def _ae_fixedw_oracle() -> str:
+    """Recomputed-VALUES oracle (the multimodal_resize_digest pattern):
+    rebuild every synthetic window and score it through the identical
+    from_torch_state_dicts import + eval-mode forward locally, emit the
+    q6 errors as literals. Gradient inference is not SQL-expressible;
+    the recomputation shares only pure-numpy code with the query — the
+    distributed plumbing (Arrow nested arrays, applyInPandas grouping)
+    is what the comparison proves."""
+    import math
+
+    import numpy as np
+
+    from ..operators import autoencoder as ae
+
+    d_in = _AE_FIXEDW["n_ticks"] * _AE_FIXEDW["n_feats"]
+    rows = []
+    for sym_ix, (sym, seed) in enumerate(_AE_SYMS):
+        model = ae.from_torch_state_dicts(
+            {sym: _ae_fixed_state(seed)},
+            input_total=d_in,
+            hidden_dims=_AE_FIXEDW["hidden"],
+            latent_dim=_AE_FIXEDW["latent"],
+        )
+        for wid in range(_AE_FIXEDW["n_windows"]):
+            x = _ae_fixed_window(sym_ix, wid)
+            err = float(np.mean((x - model(x, sym)) ** 2))
+            rows.append((sym, f"w{wid:03d}", math.floor(err * 1e6 + 0.5) / 1e6))
+    vals = ", ".join(f"('{s}', '{w}', {e!r})" for s, w, e in rows)
+    return (
+        "SELECT symbol, window_id, CAST(err_q6 AS DOUBLE) AS err_q6 "
+        f"FROM (VALUES {vals}) AS t(symbol, window_id, err_q6)"
+    )
+
+
+@_register("ml_anomaly_scores_ae_fixedw", _ae_fixedw_oracle())
+def ml_anomaly_scores_ae_fixedw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified value proof for the gradient-autoencoder SCORING
+    lifecycle (the trainer itself is bit-deterministic and finite-
+    difference-verified in tests/test_autoencoder.py, but training is
+    not SQL-expressible — this pins the other half): a fixed torch-
+    layout weight set per symbol imported through
+    `autoencoder.from_torch_state_dicts` (the reference's model-weights
+    migration path, `ML Model/Scripts/model.py:91-180` architecture:
+    Linear→BN→LeakyReLU encoder/decoder), deterministic synthetic
+    windows built executor-side, scored by the real distributed
+    `mlfeat.reconstruction_errors` applyInPandas kernel, q6 MSE per
+    window. The oracle recomputes every error locally and compares as
+    VALUES — the ★ pattern of multimodal_resize_digest."""
+    from ..operators import autoencoder as ae
+
+    cfg = _AE_FIXEDW
+    d_in = cfg["n_ticks"] * cfg["n_feats"]
+    syms = None
+    for sym_ix, (sym, _) in enumerate(_AE_SYMS):
+        part = spark.range(cfg["n_windows"]).select(
+            F.lit(sym).alias("symbol"),
+            F.lit(sym_ix).alias("__six"),
+            F.col("id").alias("__wid"),
+        )
+        syms = part if syms is None else syms.unionByName(part)
+    i_seq = F.sequence(F.lit(0), F.lit(cfg["n_ticks"] - 1))
+    feats = F.transform(
+        i_seq,
+        lambda i: F.transform(
+            F.sequence(F.lit(0), F.lit(cfg["n_feats"] - 1)),
+            lambda j: (
+                (
+                    (F.col("__six") * 1009 + F.col("__wid") * 31 + i * 7 + j * 3)
+                    % 97
+                )
+                / F.lit(97.0)
+            ).cast("float"),
+        ),
+    )
+    tensors = syms.select(
+        "symbol",
+        F.concat(F.lit("w"), F.lpad(F.col("__wid").cast("string"), 3, "0")).alias(
+            "window_id"
+        ),
+        feats.alias("features"),
+    )
+    model = ae.from_torch_state_dicts(
+        {sym: _ae_fixed_state(seed) for sym, seed in _AE_SYMS},
+        input_total=d_in,
+        hidden_dims=cfg["hidden"],
+        latent_dim=cfg["latent"],
+    )
+    errs = mlfeat.reconstruction_errors(tensors, model_fn=model)
+    return errs.select(
+        "symbol",
+        "window_id",
+        (F.floor(F.col("err") * 1e6 + F.lit(0.5)) / 1e6).alias("err_q6"),
+    )
+
+
 _STREAM_SESS_ORACLE = """
 WITH f AS (
   SELECT 'EVENTS' AS symbol, ts, value AS bid, value * 1.01 AS ask
