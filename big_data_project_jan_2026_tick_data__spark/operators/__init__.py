@@ -1,1 +1,1 @@
-from . import ticks, stats, joins, dedup, similarity, text, mlfeat, multimodal, autoencoder, classifier, graph  # noqa: F401
+from . import ticks, stats, joins, dedup, similarity, text, mlfeat, multimodal, sketches, autoencoder, classifier, graph  # noqa: F401

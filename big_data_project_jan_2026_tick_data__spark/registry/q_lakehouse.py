@@ -262,3 +262,75 @@ def events_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"rule": "unique", "col": "event_id"},
     ]
     return validate(ev, rules)
+
+
+# Shared oracle: type-2 history of each customer's order priority from
+# the orders change log (reference keeps only current state — SURVEY
+# §4.4; this is the standard warehouse history the lakehouse layer
+# needs next to MERGE/time-travel). Rank logic only — no float sums,
+# so partition-layout-independent by construction.
+_SCD2_ORACLE = """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+      SELECT * FROM ordered WHERE prev IS DISTINCT FROM o_orderpriority
+    )
+    SELECT o_custkey, o_orderpriority,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER w2 AS effective_to,
+           (lead(o_orderdate) OVER w2 IS NULL) AS is_current,
+           CAST(row_number() OVER w2 AS INT) AS version
+    FROM runs
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+
+@_register("orders_scd2_priority", _SCD2_ORACLE)
+def orders_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 build (`plans/scd.py::scd2_history`): collapse the
+    orders change log into validity intervals of o_orderpriority per
+    customer — one shuffle, two shared-sort window passes; per-key
+    history is bounded so no window sees unbounded rows."""
+    from ..plans.scd import scd2_history
+
+    orders = _td(spark, sf_dir, "orders")
+    return scd2_history(
+        orders,
+        key_cols=("o_custkey",),
+        attr_cols=("o_orderpriority",),
+        ts_col="o_orderdate",
+        tiebreak_cols=("o_orderkey",),
+    )
+
+
+@_register("orders_scd2_apply", _SCD2_ORACLE)
+def orders_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 (`plans/scd.py::scd2_apply`): build the dimension
+    from pre-1995 orders, then merge the 1995+ orders as an update batch
+    — closing current rows, continuing version numbers, passing closed
+    history through untouched (the append-cheap path on a 100 TB
+    dimension). The oracle is the ONE-SHOT history over all orders: the
+    driver-checked invariant is incremental-apply ≡ one-shot rebuild."""
+    from ..plans.scd import scd2_apply, scd2_history
+
+    orders = _td(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-01-01").cast("timestamp")
+    hist0 = scd2_history(
+        orders.filter(F.col("o_orderdate") < cutoff),
+        key_cols=("o_custkey",),
+        attr_cols=("o_orderpriority",),
+        ts_col="o_orderdate",
+        tiebreak_cols=("o_orderkey",),
+    )
+    return scd2_apply(
+        hist0,
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        key_cols=("o_custkey",),
+        attr_cols=("o_orderpriority",),
+        ts_col="o_orderdate",
+        tiebreak_cols=("o_orderkey",),
+    )

@@ -739,3 +739,52 @@ def streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@_register(
+    "events_hll_user_reach",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_within_5pct,
+           TRUE AS global_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def events_hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct rollup (`operators/sketches.py`):
+    per-(event_type, day) HLL sketches are built once, then re-aggregated
+    to per-type user reach by unioning the STORED binary sketches — the
+    100 TB pattern where a persisted fine-grain sketch table answers any
+    coarser distinct-count grain without rescanning raw data. Raw HLL
+    estimates can't hash-match another engine, so the query is
+    SELF-CHECKING (the `approx_aggregates` pattern): it emits the exact
+    distinct counts plus booleans pinning both the sketch-union path and
+    the direct single-sketch path within 5 % (≈3 standard errors at
+    lgK=12) of exact; the oracle recomputes exact and asserts TRUE."""
+    from ..operators import sketches
+
+    ev = _td(spark, sf_dir, "events")
+    daily = sketches.hll_rollup(
+        ev.withColumn("d", F.to_date("ts")), ("event_type", "d"), "user_id"
+    )
+    merged = sketches.hll_reaggregate(
+        daily, ("event_type",), sketches.sketch_col_name("user_id"), "merged_users"
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(sketches.DEFAULT_LGK)))
+        .cast("bigint")
+        .alias("global_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    tol = 0.05 * F.greatest(F.col("exact_users"), F.lit(1))
+    return direct.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("merged_users") - F.col("exact_users")) <= tol).alias(
+            "merged_within_5pct"
+        ),
+        (F.abs(F.col("global_users") - F.col("exact_users")) <= tol).alias(
+            "global_within_5pct"
+        ),
+    )

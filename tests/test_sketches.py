@@ -1,0 +1,53 @@
+"""Mergeable HLL sketch rollups (`operators/sketches.py`): the stored
+fine-grain sketch table must re-aggregate to the same estimates as a
+direct pass, and estimates must be exact while sketches are in the
+sparse regime (the property that makes the registry query's 5 % bound
+trivially safe at test scales)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_jan_2026_tick_data__spark.operators import sketches
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    # 3 groups × 2 sub-grains, overlapping member sets across sub-grains
+    rows = [
+        (g, d, (g * 97 + i) % 50)
+        for g in range(3)
+        for d in range(2)
+        for i in range(d * 30, d * 30 + 40)  # 40 per sub-grain, 10 overlap
+    ]
+    return spark.createDataFrame(rows, "g int, d int, v int")
+
+
+def test_reaggregated_equals_exact_in_sparse_regime(df):
+    partials = sketches.hll_rollup(df, ("g", "d"), "v")
+    est = sketches.hll_reaggregate(partials, ("g",), "hll_v")
+    exact = df.groupBy("g").agg(F.count_distinct("v").alias("n"))
+    joined = {r.g: (r.approx_distinct, r.n) for r in est.join(exact, "g").collect()}
+    assert len(joined) == 3
+    for g, (approx, n) in joined.items():
+        # n=50 per group — far below lgK=12 promotion, sketch is exact
+        assert approx == n, (g, approx, n)
+
+
+def test_union_of_partials_matches_direct_sketch(df):
+    """Mergeability: estimate(union of per-sub-grain sketches) equals
+    estimate(single sketch over the raw rows) in the sparse regime."""
+    partials = sketches.hll_rollup(df, ("g", "d"), "v")
+    merged = sketches.hll_reaggregate(partials, ("g",), "hll_v", "merged")
+    direct = df.groupBy("g").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(sketches.DEFAULT_LGK)))
+        .cast("bigint")
+        .alias("direct")
+    )
+    for r in merged.join(direct, "g").collect():
+        assert r.merged == r.direct
+
+
+def test_rollup_row_count_is_grain_sized(df):
+    assert sketches.hll_rollup(df, ("g", "d"), "v").count() == 6
