@@ -79,6 +79,12 @@ _ADJUDICATION_PRIORITY = [
     "doc_pmi_collocations",
     "part_fuzzy_link",
     "orders_segment_migration",
+    # (c') registered in r5 (SCD2 dimension history, mergeable HLL,
+    # JSONL corpus roundtrip)
+    "orders_scd2_priority",
+    "orders_scd2_apply",
+    "events_hll_user_reach",
+    "doc_jsonl_roundtrip",
     # (d) oldest green verdicts — r1 set, three testdata generations old
     "ticks_value_stats",
     "tpch_q1",

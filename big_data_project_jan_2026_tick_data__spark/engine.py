@@ -31,6 +31,12 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom-filter pruning: a selective dim-side filter injects
+    # might_contain() into the fact-side scan before the join shuffle —
+    # at 100 TB that shrinks the shuffle to the matchable fraction.
+    # (Default-on in Spark 4; pinned so the engine never regresses if a
+    # deployment profile flips it. Pinned in tests/test_plans.py.)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Parquet: snappy + dictionary, matching the reference's storage
     # profile (csv_to_parquet_converter.py:89-95).
     "spark.sql.parquet.compression.codec": "snappy",

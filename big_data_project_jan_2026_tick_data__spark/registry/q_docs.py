@@ -1781,3 +1781,49 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("wa", "wb", "c_ab", "pmi_q6", "rank")
     )
+
+
+@_register(
+    "doc_jsonl_roundtrip",
+    """
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_md5
+    FROM documents GROUP BY lang, source
+    """,
+)
+def doc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus sink + source through the driver contract
+    (`sources/io.py::write_jsonl/read_jsonl`): the documents table is
+    written as gzip JSONL shards and read back with an explicit DDL
+    schema (inference would double the scan at corpus scale), then
+    digested per (lang, source) — row counts, character mass, and the
+    count of distinct md5(text). The oracle computes the same digest
+    from the ORIGINAL parquet, so any text mangled by the JSON
+    encode/decode (escapes, unicode, embedded newlines) or any dropped
+    row breaks the hash. Read-back is materialized before the temp dir
+    is removed."""
+    import shutil
+    import tempfile
+
+    from ..sources.io import read_jsonl, write_jsonl
+
+    docs = _td(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    try:
+        write_jsonl(docs, d)
+        back = read_jsonl(
+            spark,
+            d,
+            schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        out = back.groupBy("lang", "source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.count_distinct(F.md5("text")).alias("distinct_md5"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -152,6 +152,35 @@ def write_csv_report(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    max_records_per_file: int | None = None,
+) -> None:
+    """JSONL corpus sink — the interchange format LLM-training corpora
+    ship in (one JSON object per line, gzip-shardable). Spark's json
+    writer IS line-delimited; each task writes its own shard, so the
+    sink is embarrassingly parallel at any scale."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSONL corpus source. ``schema`` (DDL string) is REQUIRED: schema
+    inference on JSON is a full extra pass over the corpus — at 100 TB
+    that doubles the scan, and a drifting inferred type silently changes
+    downstream plans. Corrupt lines land in ``_corrupt_record``-free
+    PERMISSIVE nulls (the engine's null-on-bad-parse policy, matching
+    the reference's errors='coerce' loads)."""
+    return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+
 def zorder_value(
     df: DataFrame, cols: Sequence[str], bits: int = 16
 ) -> tuple[DataFrame, str]:

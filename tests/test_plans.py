@@ -446,3 +446,52 @@ def test_fuzzy_link_gram_equi_join_only(spark, sf_dir):
     _, full = _explain(spark, "part_fuzzy_link", sf_dir)
     assert "CartesianProduct" not in full
     assert "BroadcastNestedLoopJoin" not in full
+
+
+def test_runtime_bloom_filter_prunes_big_side(spark, sf_dir):
+    """Scale lever for selective-dimension shuffle joins: with the
+    runtime-filter optimizer on, a filtered orders side must inject a
+    bloom filter (`might_contain` over `bloom_filter_agg`) into the
+    lineitem scan, dropping non-qualifying rows BEFORE the join
+    shuffle. At 100 TB this is the difference between shuffling the
+    whole fact table and shuffling the ~20 % that can match; thresholds
+    here are forced only because test data is KB-scale."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        full = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "might_contain" in full, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in full
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
