@@ -438,3 +438,43 @@ def test_source_divergence_300k_docs(spark, big_docs):
     out = t.source_js_divergence(docs, vocab_size=32)
     # 6 sources -> 15 pairs
     assert out.count() == 15
+
+
+def test_scd2_history_10m_changes(spark, big_ticks):
+    """SCD2 over 10M change rows / 8 keys-of-attribute: windows are
+    partitioned by key so nothing is corpus-wide; run-collapse should
+    reduce the output to the actual attribute-flip count."""
+    from big_data_project_jan_2026_tick_data__spark.plans.scd import scd2_history
+
+    changes = big_ticks.select(
+        (F.col("tid") % 100_000).alias("k"),  # 100k dimension keys
+        (F.floor(F.col("bid")).cast("int") % 7).alias("attr"),
+        "ts",
+        "tid",
+    )
+    hist = scd2_history(
+        changes, key_cols=("k",), attr_cols=("attr",), ts_col="ts",
+        tiebreak_cols=("tid",),
+    )
+    agg = hist.agg(
+        F.count("*").alias("runs"),
+        F.sum(F.col("is_current").cast("long")).alias("open_rows"),
+    ).collect()[0]
+    assert agg.open_rows == 100_000  # exactly one current row per key
+    assert agg.runs >= 100_000
+
+
+def test_hll_rollup_10m_values(spark, big_ticks):
+    """Sketch build over 10M rows into an hour×symbol rollup, then
+    re-aggregation to per-symbol estimates: the rollup is grain-sized,
+    and estimates stay within 5% of exact at HLL scale (n >> sparse)."""
+    from big_data_project_jan_2026_tick_data__spark.operators import sketches
+
+    df = big_ticks.select(
+        "symbol", F.date_trunc("hour", "ts").alias("h"), (F.col("tid") % 1_000_000).alias("v")
+    )
+    partials = sketches.hll_rollup(df, ("symbol", "h"), "v")
+    est = sketches.hll_reaggregate(partials, ("symbol",), "hll_v")
+    exact = df.groupBy("symbol").agg(F.count_distinct("v").alias("n"))
+    for r in est.join(exact, "symbol").collect():
+        assert abs(r.approx_distinct - r.n) <= 0.05 * r.n, r
