@@ -1034,3 +1034,68 @@ def test_islands_accepts_int_flags(spark):
         ).collect()
     )
     assert out == [(0, 1), (3, 3)]
+
+
+def _scd2_python_oracle(rows):
+    """Pure-python SCD2: rows = [(k, attr, ts, id)] → {(k, version):
+    (attr, from, to, is_current)} with (ts, id) ordering and
+    run-collapse — independent derivation of plans/scd.py."""
+    out = {}
+    byk: dict = {}
+    for k, attr, ts, rid in rows:
+        byk.setdefault(k, []).append((ts, rid, attr))
+    for k, items in byk.items():
+        items.sort(key=lambda t: (t[0], t[1]))
+        runs = []
+        for ts, rid, attr in items:
+            if not runs or runs[-1][1] != attr:
+                runs.append((ts, attr))
+        for i, (ts, attr) in enumerate(runs):
+            nxt = runs[i + 1][0] if i + 1 < len(runs) else None
+            out[(k, i + 1)] = (attr, ts, nxt, nxt is None)
+    return out
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # key
+            st.sampled_from("ABC"),     # attr
+            st.integers(0, 20),         # ts (collisions likely)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    cut=st.integers(0, 21),
+)
+@settings(**SETTINGS)
+def test_scd2_history_and_apply_match_python_oracle(spark, data, cut):
+    """(1) scd2_history ≡ the python oracle on arbitrary change logs
+    with heavy ts collisions (id tiebreak), and (2) incremental
+    scd2_apply at ANY ts cut ≡ the one-shot history — the invariant
+    the driver adjudicates via orders_scd2_apply."""
+    from big_data_project_jan_2026_tick_data__spark.plans.scd import (
+        scd2_apply,
+        scd2_history,
+    )
+
+    rows = [(k, a, t, i) for i, (k, a, t) in enumerate(data)]
+    df = spark.createDataFrame(rows, "k int, attr string, ts long, id int")
+    kw = dict(key_cols=("k",), attr_cols=("attr",), ts_col="ts", tiebreak_cols=("id",))
+    want = _scd2_python_oracle(rows)
+
+    got = {
+        (r.k, r.version): (r.attr, r.effective_from, r.effective_to, r.is_current)
+        for r in scd2_history(df, **kw).collect()
+    }
+    assert got == want
+
+    # apply-vs-one-shot needs the contract "batch ts strictly after every
+    # seed effective_from": a cut on ts guarantees it
+    pre, post = df.filter(F.col("ts") < cut), df.filter(F.col("ts") >= cut)
+    merged = scd2_apply(scd2_history(pre, **kw), post, **kw)
+    got2 = {
+        (r.k, r.version): (r.attr, r.effective_from, r.effective_to, r.is_current)
+        for r in merged.collect()
+    }
+    assert got2 == want
