@@ -30,6 +30,40 @@ _PARAMS_DDL = "run_id string, key string, value string"
 _METRICS_DDL = "run_id string, key string, value double, step int"
 _ARTIFACTS_DDL = "run_id string, path string, kind string"
 
+_PA_TYPES = {"string": "string", "int": "int32", "long": "int64", "double": "float64"}
+
+
+def _pyarrow_shard_append(path: str, rows: list, ddl: str, seq: int) -> bool:
+    """Append one parquet shard driver-side for LOCAL roots; returns
+    False for remote (scheme-qualified) roots so the caller falls back
+    to the Spark writer. Types mirror Spark's DDL→parquet mapping
+    exactly (int→int32, long→int64) so mixed Spark/pyarrow shards in
+    one directory read back under a single merged schema."""
+    import uuid
+
+    if "://" in path and not path.startswith("file://"):
+        return False
+    local = path[len("file://"):] if path.startswith("file://") else path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = []
+    for col in ddl.split(","):
+        name, typ = col.strip().split()
+        fields.append(pa.field(name, getattr(pa, _PA_TYPES[typ])()))
+    schema = pa.schema(fields)
+    cols = list(zip(*rows)) if rows else [[] for _ in fields]
+    table = pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)], schema=schema
+    )
+    os.makedirs(local, exist_ok=True)
+    pq.write_table(
+        table,
+        os.path.join(local, f"part-{seq:05d}-{uuid.uuid4().hex}.snappy.parquet"),
+        compression="snappy",
+    )
+    return True
+
 
 class RunTracker:
     """Parquet-backed experiment tracker.
@@ -124,12 +158,22 @@ class RunTracker:
         for table, rows in self._buf.items():
             if not rows:
                 continue
-            (
-                self.spark.createDataFrame(rows, ddl[table])
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(os.path.join(self.root, table))
-            )
+            path = os.path.join(self.root, table)
+            # Tracking rows are metadata-scale BY DEFINITION (per-run,
+            # not per-record), so routing a 20-row buffer through a
+            # distributed write job pays ~1-2 s of job/committer fixed
+            # cost per flush for nothing. Local roots write the shard
+            # straight from the driver with pyarrow (~ms; Spark reads
+            # it back identically — schema parity pinned in
+            # test_tracking); remote roots (hdfs/s3a) keep the Spark
+            # writer, which speaks the Hadoop FileSystem API.
+            if not _pyarrow_shard_append(path, rows, ddl[table], self._seq):
+                (
+                    self.spark.createDataFrame(rows, ddl[table])
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(path)
+                )
             self._buf[table] = []
 
     # -- read side ----------------------------------------------------

@@ -114,3 +114,41 @@ def test_runs_identity_survives_status_only_row(spark, tmp_path):
     assert row.phase == "train"
     assert row.run_name == "named"
     assert row.status == "KILLED"
+
+
+def test_pyarrow_and_spark_shards_mix_in_one_table(spark, tmp_path):
+    """flush() writes local shards driver-side with pyarrow; the Spark
+    writer remains the remote-root fallback. Both must produce the SAME
+    parquet schema (int32/int64/utf8) so a directory holding a mix of
+    shard provenances reads back as one table."""
+    import os
+
+    from big_data_project_jan_2026_tick_data__spark.plans.tracking import (
+        _METRICS_DDL,
+        _pyarrow_shard_append,
+    )
+
+    root = str(tmp_path / "mix")
+    path = os.path.join(root, "metrics")
+    # pyarrow shard
+    assert _pyarrow_shard_append(path, [("r1", "loss", 0.5, 0)], _METRICS_DDL, 1)
+    # spark shard into the same dir
+    spark.createDataFrame([("r2", "loss", 0.25, 1)], _METRICS_DDL).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.schema.simpleString() == (
+        "struct<run_id:string,key:string,value:double,step:int>"
+    )
+    assert {(r.run_id, r.value) for r in back.collect()} == {("r1", 0.5), ("r2", 0.25)}
+
+
+def test_remote_scheme_falls_back(tmp_path):
+    from big_data_project_jan_2026_tick_data__spark.plans.tracking import (
+        _METRICS_DDL,
+        _pyarrow_shard_append,
+    )
+
+    assert not _pyarrow_shard_append(
+        "s3a://bucket/exp/metrics", [("r", "k", 1.0, 0)], _METRICS_DDL, 1
+    )
