@@ -85,6 +85,7 @@ _ADJUDICATION_PRIORITY = [
     "orders_scd2_apply",
     "events_hll_user_reach",
     "doc_jsonl_roundtrip",
+    "events_histogram_percentiles",
     # (d) oldest green verdicts — r1 set, three testdata generations old
     "ticks_value_stats",
     "tpch_q1",
@@ -96,12 +97,12 @@ _ADJUDICATION_PRIORITY = [
     "window_lag_lead_rank",
     "rollup_orders",
     "cube_orders",
+    # ---- 50-slot window boundary; the rest queue for r6 ----
     "pivot_user_event_values",
     "stats_min_max_metadata",
     "salted_join_skewed_users",
     "tpch_q6_forecast_revenue",
     "tpch_q4_priority_check",
-    # ---- ~50-slot window boundary; the rest queue for r6 ----
     "tpch_q14_promo_ratio",
     "tpch_q18_large_orders",
     "scalar_subquery_above_avg",

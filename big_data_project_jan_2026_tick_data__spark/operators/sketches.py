@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_LGK = 12
@@ -69,3 +69,76 @@ def hll_reaggregate(
         .cast("bigint")
         .alias(out_col)
     )
+
+
+def histogram_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 1000,
+) -> DataFrame:
+    """Fixed-bin histogram partials: one (group, bin, cnt) row per
+    occupied bin — the mergeable-percentile twin of :func:`hll_rollup`.
+    Merging partials to a coarser grain is an integer count sum
+    (associative, order-independent), so a persisted per-day histogram
+    table answers percentile questions at any grain without rescanning
+    raw data — and, unlike HLL estimates, the result is EXACTLY
+    reproducible cross-engine (integer counts + one closed-form
+    interpolation), so the registry query hash-matches its oracle.
+    Values outside [lo, hi) clamp to the edge bins."""
+    width = (hi - lo) / nbins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_percentiles(
+    partials: DataFrame,
+    group_cols: Sequence[str],
+    probs: Sequence[float],
+    lo: float,
+    hi: float,
+    nbins: int = 1000,
+) -> DataFrame:
+    """Percentile estimates from (merged) histogram partials: per group
+    and probability p, find the bin where the cumulative count first
+    reaches ceil(p·N) and interpolate uniformly inside it:
+    ``est = lo + (bin + (target − cum_before)/cnt) · width``.
+
+    Everything up to the final interpolation is integer arithmetic over
+    the rollup table (grain-sized, never corpus-sized); the single
+    float expression is computed identically by any IEEE engine, which
+    is what makes the result oracle-hashable. The window ordering is by
+    ``bin`` within each group — a total order, no tiebreak needed."""
+    width = (hi - lo) / nbins
+    merged = partials.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = merged.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*group_cols)).alias("n"),
+    )
+    pl = F.array(*[F.lit(float(p)) for p in probs])
+    probed = cum.select(
+        *group_cols, "bin", "cnt", "cum", "n", F.explode(pl).alias("p")
+    ).withColumn("target", F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("n"))))
+    hit = probed.filter(
+        (F.col("cum") >= F.col("target")) & (F.col("cum") - F.col("cnt") < F.col("target"))
+    )
+    est = (
+        F.lit(lo)
+        + (
+            F.col("bin")
+            + (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        )
+        * F.lit(width)
+    )
+    return hit.select(*group_cols, "p", est.alias("est"))

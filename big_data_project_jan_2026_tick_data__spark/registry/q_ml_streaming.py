@@ -788,3 +788,62 @@ def events_hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_within_5pct"
         ),
     )
+
+
+@_register(
+    "events_histogram_percentiles",
+    """
+    WITH hist AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(FLOOR(value / 0.5) AS INT), 0), 999) AS bin,
+             COUNT(*) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    probe AS (
+      SELECT c.*, CAST(p.p AS DOUBLE) AS p,
+             GREATEST(1, CAST(CEIL(CAST(p.p AS DOUBLE) * c.n) AS BIGINT)) AS target
+      FROM cum c CROSS JOIN (VALUES (0.5), (0.95), (0.99)) p(p)
+    )
+    SELECT event_type, p,
+           FLOOR((0.0 + (bin + (target - (cum - cnt)) * 1.0 / cnt) * 0.5) * 1e6 + 0.5) / 1e6 AS est
+    FROM probe
+    WHERE cum >= target AND cum - cnt < target
+    """,
+)
+def events_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-percentile rollup (`operators/sketches.py::
+    histogram_rollup/histogram_percentiles`): per-(event_type, day)
+    fixed-bin histogram partials are merged to per-type p50/p95/p99 by
+    integer count sums + one closed-form interpolation. Unlike the HLL
+    twin, this path is EXACTLY hash-matchable — the oracle computes the
+    single-pass histogram directly, so the green row simultaneously
+    proves the estimate formula AND that merge-of-partials ≡ one-shot
+    (integer sums are associative). percentile_approx's GK sketch can't
+    offer either: its state isn't reusable across grains and its
+    estimates aren't engine-portable."""
+    from ..operators import sketches
+
+    ev = _td(spark, sf_dir, "events")
+    partials = sketches.histogram_rollup(
+        ev.withColumn("d", F.to_date("ts")),
+        ("event_type", "d"),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        nbins=1000,
+    )
+    out = sketches.histogram_percentiles(
+        partials, ("event_type",), (0.5, 0.95, 0.99), lo=0.0, hi=500.0, nbins=1000
+    )
+    return out.select(
+        "event_type",
+        "p",
+        (F.floor(F.col("est") * 1e6 + F.lit(0.5)) / 1e6).alias("est"),
+    )

@@ -51,3 +51,52 @@ def test_union_of_partials_matches_direct_sketch(df):
 
 def test_rollup_row_count_is_grain_sized(df):
     assert sketches.hll_rollup(df, ("g", "d"), "v").count() == 6
+
+
+def test_histogram_percentiles_near_exact(spark):
+    """Histogram p50/p95 must land within one bin width of the exact
+    interpolated percentile, and merging per-sub-grain partials must
+    equal the single-pass histogram exactly (integer sums)."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i % 4, i % 2, rnd.uniform(0, 100)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g int, d int, v double")
+    lo, hi, nbins = 0.0, 100.0, 200
+    width = (hi - lo) / nbins
+
+    part_fine = sketches.histogram_rollup(df, ("g", "d"), "v", lo, hi, nbins)
+    est_merged = sketches.histogram_percentiles(
+        part_fine, ("g",), (0.5, 0.95), lo, hi, nbins
+    )
+    part_direct = sketches.histogram_rollup(df, ("g",), "v", lo, hi, nbins)
+    est_direct = sketches.histogram_percentiles(
+        part_direct, ("g",), (0.5, 0.95), lo, hi, nbins
+    )
+    merged = {(r.g, r.p): r.est for r in est_merged.collect()}
+    direct = {(r.g, r.p): r.est for r in est_direct.collect()}
+    assert merged == direct  # merge-of-partials ≡ one-shot, bit-for-bit
+
+    exact = {
+        (r.g, p): r[f"q{int(p*100)}"]
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile("v", 0.5).alias("q50"),
+            F.percentile("v", 0.95).alias("q95"),
+        )
+        .collect()
+        for p in (0.5, 0.95)
+    }
+    for k, est in merged.items():
+        assert abs(est - exact[k]) <= width + 1e-9, (k, est, exact[k])
+
+
+def test_histogram_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(1, -50.0), (1, 10.0), (1, 999.0)], "g int, v double"
+    )
+    bins = {
+        r.bin: r.cnt
+        for r in sketches.histogram_rollup(df, ("g",), "v", 0.0, 100.0, 10).collect()
+    }
+    assert bins == {0: 1, 1: 1, 9: 1}
