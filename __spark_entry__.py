@@ -86,6 +86,7 @@ _ADJUDICATION_PRIORITY = [
     "events_hll_user_reach",
     "doc_jsonl_roundtrip",
     "events_histogram_percentiles",
+    "ticks_vwap_twap",
     # (d) oldest green verdicts — r1 set, three testdata generations old
     "ticks_value_stats",
     "tpch_q1",
@@ -96,8 +97,8 @@ _ADJUDICATION_PRIORITY = [
     "topk_orders_per_priority",
     "window_lag_lead_rank",
     "rollup_orders",
-    "cube_orders",
     # ---- 50-slot window boundary; the rest queue for r6 ----
+    "cube_orders",
     "pivot_user_event_values",
     "stats_min_max_metadata",
     "salted_join_skewed_users",

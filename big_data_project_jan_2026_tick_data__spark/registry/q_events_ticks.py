@@ -1762,3 +1762,46 @@ def events_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(slope).alias("zipf_slope_q6"),
         q6((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept_q6"),
     )
+
+
+@_register(
+    "ticks_vwap_twap",
+    """
+    WITH t AS (
+      SELECT user_id, ts, event_id,
+             date_trunc('minute', ts) AS bar_start,
+             epoch_ms(ts) AS tms,
+             epoch_ms(date_trunc('minute', ts)) + 60000 AS bar_end,
+             lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+             CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS p4,
+             (event_id % 100 + 1) AS sz
+      FROM events
+    ),
+    d AS (
+      SELECT *, LEAST(COALESCE(nxt, bar_end), bar_end) - tms AS dur FROM t
+    )
+    SELECT user_id, bar_start,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(sz) AS BIGINT) AS volume,
+           FLOOR(((SUM(p4 * sz) * 1.0 / SUM(sz)) / 1e4) * 1e6 + 0.5) / 1e6 AS vwap,
+           FLOOR(((SUM(p4 * dur) * 1.0 / SUM(dur)) / 1e4) * 1e6 + 0.5) / 1e6 AS twap
+    FROM d GROUP BY 1, 2
+    """,
+)
+def ticks_vwap_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VWAP/TWAP minute bars (`ticks.vwap_twap_bars`) over the events
+    stand-in (value = price; deterministic synthetic size event_id%100+1
+    on both sides). The classic unordered-float-sum hazard is absent by
+    construction: integer-grid prices × integer sizes/durations sum as
+    exact BIGINTs — partition-layout-independent per the playbook."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.withColumn("sz", (F.col("event_id") % 100 + 1))
+    return ticks.vwap_twap_bars(
+        t,
+        ts_col="ts",
+        price_col="value",
+        size_col="sz",
+        interval_ms=60_000,
+        partition_cols=("user_id",),
+        tiebreak_cols=("event_id",),
+    )

@@ -235,3 +235,48 @@ def test_drawdown_tie_resolves_to_earliest_trough(spark):
         df, partition_cols=("symbol",), tiebreak_cols=("event_id",)
     ).collect()[0]
     assert row["trough_ts"] == t0 + dt.timedelta(seconds=1)
+
+
+def test_vwap_twap_hand_computed(spark):
+    """3 ticks in one minute bar with known sizes and holding times:
+    vwap = Σp·v/Σv, twap holds each price to the next tick (last one to
+    the bar end), excluding the span before the first tick."""
+    import datetime as dt
+
+    from big_data_project_jan_2026_tick_data__spark.operators.ticks import (
+        vwap_twap_bars,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 30, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        ("A", at(10), 100.0, 1, 1),   # holds 20 s
+        ("A", at(30), 102.0, 3, 2),   # holds 15 s
+        ("A", at(45), 101.0, 1, 3),   # holds to bar end: 15 s
+        ("B", at(59), 50.0, 2, 4),    # single tick: holds 1 s
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, price double, sz int, tid int"
+    )
+    out = {
+        r.symbol: r
+        for r in vwap_twap_bars(
+            df,
+            ts_col="ts",
+            price_col="price",
+            size_col="sz",
+            interval_ms=60_000,
+            partition_cols=("symbol",),
+            tiebreak_cols=("tid",),
+        ).collect()
+    }
+    a = out["A"]
+    assert a.bar_start == t0.replace(second=0)
+    assert a.n_ticks == 3 and a.volume == 5
+    assert a.vwap == round((100 * 1 + 102 * 3 + 101 * 1) / 5, 6)
+    assert a.twap == round((100 * 20 + 102 * 15 + 101 * 15) / 50, 6)
+    b = out["B"]
+    assert b.n_ticks == 1 and b.vwap == 50.0 and b.twap == 50.0
