@@ -98,6 +98,7 @@ _ADJUDICATION_PRIORITY = [
     "window_lag_lead_rank",
     "rollup_orders",
     # ---- 50-slot window boundary; the rest queue for r6 ----
+    "orders_scd2_asof_state",
     "cube_orders",
     "pivot_user_event_values",
     "stats_min_max_metadata",

@@ -334,3 +334,50 @@ def orders_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="o_orderdate",
         tiebreak_cols=("o_orderkey",),
     )
+
+
+@_register(
+    "orders_scd2_asof_state",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+      SELECT * FROM ordered WHERE prev IS DISTINCT FROM o_orderpriority
+    ),
+    hist AS (
+      SELECT o_custkey, o_orderpriority,
+             o_orderdate AS effective_from,
+             lead(o_orderdate) OVER w2 AS effective_to,
+             CAST(row_number() OVER w2 AS INT) AS version
+      FROM runs
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderpriority, effective_from, version
+    FROM hist
+    WHERE effective_from <= TIMESTAMP '1996-06-30 00:00:00'
+      AND (effective_to IS NULL OR TIMESTAMP '1996-06-30 00:00:00' < effective_to)
+    """,
+)
+def orders_scd2_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension reconstruction (`plans/scd.py::scd2_as_of`):
+    the one covering interval per customer at a literal timestamp — a
+    pure filter over the history table (partition-prunable, shuffle-free
+    beyond the history build). Exactly one row per customer active by
+    the as-of date; the oracle re-derives the same interval algebra."""
+    from ..plans.scd import scd2_as_of, scd2_history
+
+    orders = _td(spark, sf_dir, "orders")
+    hist = scd2_history(
+        orders,
+        key_cols=("o_custkey",),
+        attr_cols=("o_orderpriority",),
+        ts_col="o_orderdate",
+        tiebreak_cols=("o_orderkey",),
+    )
+    return scd2_as_of(hist, "1996-06-30 00:00:00").select(
+        "o_custkey", "o_orderpriority", "effective_from", "version"
+    )
