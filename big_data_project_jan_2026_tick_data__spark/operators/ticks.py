@@ -612,10 +612,15 @@ def vwap_twap_bars(
     same partitioning. Returns (partitions…, bar_start, n_ticks,
     volume, vwap, twap).
     """
+    if interval_ms <= 0:
+        raise ValueError(f"interval_ms must be positive, got {interval_ms}")
     order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
     w = Window.partitionBy(*partition_cols).orderBy(*order)
     tms = (F.unix_micros(F.col(ts_col)) / 1000).cast("long")
-    bar_start = F.window(F.col(ts_col), f"{interval_ms // 1000} seconds").getField(
+    # millisecond window duration so bar bucketing and __bar_end agree
+    # for ANY interval_ms (sub-second bars included) — a seconds-floored
+    # duration here would mis-clamp the last tick's holding time
+    bar_start = F.window(F.col(ts_col), f"{interval_ms} milliseconds").getField(
         "start"
     )
     p4 = F.floor(F.col(price_col) * F.lit(price_grid) + F.lit(0.5)).cast("bigint")

@@ -93,6 +93,7 @@ class MLPipelineService:
         self.model_kind = model_kind
         self.tracker = RunTracker(spark, f"{self.work_dir}/runs", experiment)
         self._status = {p: "idle" for p in self.PHASES}
+        self._phase_ckpt_ids: set[int] = set()
         self._last_run: dict[str, str | None] = {p: None for p in self.PHASES}
         self._model = None
 
@@ -146,6 +147,8 @@ class MLPipelineService:
         except Exception:
             self._fail("train_val", run_id)
             raise
+        finally:
+            self._release_phase_checkpoints()
 
     # -- /test -----------------------------------------------------------
 
@@ -158,32 +161,49 @@ class MLPipelineService:
             raise RuntimeError("train_val must complete before test")
         parent = self._last_run["train_val"]
         run_id = self._begin("test", parent_run_id=parent)
+        errs = None
         try:
             lo, hi = self.parameters["percentile_thresholds"]
             tensors = self._featurize(ticks)
-            errs = mlfeat.reconstruction_errors(tensors, model_fn=self._model)
-            thresholds = errs.groupBy("symbol").agg(
-                F.percentile(F.col("err"), F.lit(lo / 100.0)).alias("p_lo"),
-                F.percentile(F.col("err"), F.lit(hi / 100.0)).alias("p_hi"),
+            errs = mlfeat.reconstruction_errors(tensors, model_fn=self._model).cache()
+            # Collect the per-symbol thresholds ONCE (symbol-count rows —
+            # metadata-scale) and rejoin them as a literal frame: the
+            # expensive applyInPandas scoring then runs exactly one
+            # distributed pass (the flagged write), instead of re-scoring
+            # for the threshold agg, the join probe, and the metric log.
+            thr_rows = sorted(
+                errs.groupBy("symbol")
+                .agg(
+                    F.percentile(F.col("err"), F.lit(lo / 100.0)).alias("p_lo"),
+                    F.percentile(F.col("err"), F.lit(hi / 100.0)).alias("p_hi"),
+                )
+                .collect(),
+                key=lambda r: r["symbol"],
             )
+            thresholds = self.spark.createDataFrame(
+                [(r["symbol"], r["p_lo"], r["p_hi"]) for r in thr_rows],
+                "symbol string, p_lo double, p_hi double",
+            )
+            # "99.5" would put a dot in a column name (breaks dotted-path
+            # references and backtick-free SQL forever after) — sanitize
+            lo_tag = f"{lo:g}".replace(".", "_")
+            hi_tag = f"{hi:g}".replace(".", "_")
             flagged = errs.join(F.broadcast(thresholds), "symbol").select(
                 "symbol",
                 "window_id",
                 "err",
-                (F.col("err") > F.col("p_lo")).alias(f"anomaly_p{lo:g}"),
-                (F.col("err") > F.col("p_hi")).alias(f"anomaly_p{hi:g}"),
+                (F.col("err") > F.col("p_lo")).alias(f"anomaly_p{lo_tag}"),
+                (F.col("err") > F.col("p_hi")).alias(f"anomaly_p{hi_tag}"),
             )
             out_path = f"{self.work_dir}/window_errors/{run_id.replace('/', '_')}"
             flagged.write.mode("overwrite").parquet(out_path)
             self.tracker.log_artifact(run_id, out_path, kind="table")
-            for row in sorted(
-                thresholds.collect(), key=lambda r: r["symbol"]
-            ):  # symbol-count rows — metadata-scale
+            for row in thr_rows:
                 self.tracker.log_metrics(
                     run_id,
                     {
-                        f"p{lo:g}_{row['symbol']}": row["p_lo"],
-                        f"p{hi:g}_{row['symbol']}": row["p_hi"],
+                        f"p{lo_tag}_{row['symbol']}": row["p_lo"],
+                        f"p{hi_tag}_{row['symbol']}": row["p_hi"],
                     },
                 )
             self._finish("test", run_id)
@@ -191,6 +211,10 @@ class MLPipelineService:
         except Exception:
             self._fail("test", run_id)
             raise
+        finally:
+            if errs is not None:
+                errs.unpersist()
+            self._release_phase_checkpoints()
 
     # -- /status + poller --------------------------------------------------
 
@@ -231,9 +255,37 @@ class MLPipelineService:
 
             t = ticks_ops.with_spread(t)
         t = mlfeat.scale_features(t, list(feats))
-        return mlfeat.window_tensors(
+        # localCheckpoint pins the windowed tensors for the phase's many
+        # passes (training epochs / scoring + thresholds) AND truncates
+        # lineage, but Dataset.unpersist() does NOT release checkpoint
+        # blocks — so track exactly the RDD ids this call creates and
+        # free them in the phase's finally (otherwise a long-lived
+        # service leaks one tensor copy per train/test call).
+        before = self._persistent_rdd_ids()
+        out = mlfeat.window_tensors(
             t, feature_cols=feats, n_target=p["window_size"]
         ).localCheckpoint()
+        self._phase_ckpt_ids.update(self._persistent_rdd_ids() - before)
+        return out
+
+    def _persistent_rdd_ids(self) -> set[int]:
+        sc = self.spark.sparkContext._jsc.sc()
+        it = sc.getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    def _release_phase_checkpoints(self) -> None:
+        if not self._phase_ckpt_ids:
+            return
+        sc = self.spark.sparkContext._jsc.sc()
+        it = sc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() in self._phase_ckpt_ids:
+                kv._2().unpersist(False)
+        self._phase_ckpt_ids.clear()
 
     def _begin(self, phase: str, parent_run_id: str | None = None) -> str:
         self._status[phase] = "running"

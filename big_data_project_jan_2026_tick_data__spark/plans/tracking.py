@@ -39,11 +39,17 @@ def _pyarrow_shard_append(path: str, rows: list, ddl: str, seq: int) -> bool:
     to the Spark writer. Types mirror Spark's DDL→parquet mapping
     exactly (int→int32, long→int64) so mixed Spark/pyarrow shards in
     one directory read back under a single merged schema."""
+    import re
     import uuid
 
-    if "://" in path and not path.startswith("file://"):
-        return False
-    local = path[len("file://"):] if path.startswith("file://") else path
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", path):
+        if not path.startswith("file:"):
+            return False  # hdfs:// s3a:// etc → Spark writer (Hadoop FS API)
+        # Hadoop accepts file:/p, file:///p and file://host/p — collapse
+        # the scheme + any slash run to a single absolute root
+        local = re.sub(r"^file:/+", "/", path)
+    else:
+        local = path
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -57,11 +63,15 @@ def _pyarrow_shard_append(path: str, rows: list, ddl: str, seq: int) -> bool:
         [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)], schema=schema
     )
     os.makedirs(local, exist_ok=True)
-    pq.write_table(
-        table,
-        os.path.join(local, f"part-{seq:05d}-{uuid.uuid4().hex}.snappy.parquet"),
-        compression="snappy",
-    )
+    # Stage + atomic rename: a crash mid-write must never leave a
+    # footerless parquet file visible, or every later read of the table
+    # (including RunTracker.__init__'s resume scan) would throw. The
+    # dot-prefixed temp name is additionally ignored by Spark's file
+    # listing even in the rename window.
+    final = f"part-{seq:05d}-{uuid.uuid4().hex}.snappy.parquet"
+    tmp = os.path.join(local, f".{final}.tmp")
+    pq.write_table(table, tmp, compression="snappy")
+    os.rename(tmp, os.path.join(local, final))
     return True
 
 

@@ -272,12 +272,18 @@ def events_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_ORACLE = """
     WITH ordered AS (
       SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
-             lag(o_orderpriority) OVER w AS prev
+             lag(o_orderpriority) OVER w AS prev,
+             row_number() OVER w AS rn
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ),
     runs AS (
-      SELECT * FROM ordered WHERE prev IS DISTINCT FROM o_orderpriority
+      -- rn = 1 keeps a key's first row even when its attribute is NULL
+      -- (NULL IS DISTINCT FROM NULL = false) — matches scd2_history's
+      -- explicit first-row clause; o_orderpriority happens to be
+      -- non-null in this data, but the shared-oracle pattern must not
+      -- depend on that
+      SELECT * FROM ordered WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
     )
     SELECT o_custkey, o_orderpriority,
            o_orderdate AS effective_from,
@@ -341,12 +347,18 @@ def orders_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ordered AS (
       SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
-             lag(o_orderpriority) OVER w AS prev
+             lag(o_orderpriority) OVER w AS prev,
+             row_number() OVER w AS rn
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ),
     runs AS (
-      SELECT * FROM ordered WHERE prev IS DISTINCT FROM o_orderpriority
+      -- rn = 1 keeps a key's first row even when its attribute is NULL
+      -- (NULL IS DISTINCT FROM NULL = false) — matches scd2_history's
+      -- explicit first-row clause; o_orderpriority happens to be
+      -- non-null in this data, but the shared-oracle pattern must not
+      -- depend on that
+      SELECT * FROM ordered WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
     ),
     hist AS (
       SELECT o_custkey, o_orderpriority,

@@ -67,14 +67,16 @@ def test_run_all_lifecycle(spark, tmp_path, params):
     # window_errors table: every (symbol, window) scored, flags present
     we = svc.window_errors()
     assert set(we.columns) == {
-        "symbol", "window_id", "err", "anomaly_p92", "anomaly_p99.5",
+        # dots are sanitized out of column names: "anomaly_p99.5" would
+        # break dotted-path references in every downstream consumer
+        "symbol", "window_id", "err", "anomaly_p92", "anomaly_p99_5",
     }
     n_rows = we.count()
     assert n_rows == 2 * 3  # 2 symbols x 3 morning windows
     assert we.filter(we["err"] < 0).count() == 0
     # thresholds logged per symbol
     m = {r["key"] for r in svc.tracker.metrics().collect()}
-    assert {"p92_AAA", "p99.5_AAA", "p92_BBB", "p99.5_BBB"} <= m
+    assert {"p92_AAA", "p99_5_AAA", "p92_BBB", "p99_5_BBB"} <= m
 
 
 def test_test_before_train_raises(spark, tmp_path, params):
@@ -113,3 +115,30 @@ def test_parameters_merge_is_deep():
     assert m["training"]["learning_rate"] == 5e-3
     assert m["model"]["latent_dim"] == 8
     assert DEFAULT_PARAMETERS["training"]["n_epochs"] == 12  # no mutation
+
+
+def test_checkpoint_blocks_released_after_run_all(spark, tmp_path):
+    """A long-lived service must not accumulate localCheckpoint blocks
+    across calls: after run_all, every tensor checkpoint created by the
+    phases is unpersisted (Dataset.unpersist alone can't do this — the
+    service tracks the RDD ids it creates)."""
+    from big_data_project_jan_2026_tick_data__spark.plans.serving import (
+        MLPipelineService,
+    )
+
+    def persistent_ids():
+        sc = spark.sparkContext._jsc.sc()
+        it = sc.getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = persistent_ids()
+    svc = MLPipelineService(
+        spark, str(tmp_path / "svc_ckpt"), model_kind="pca",
+        parameters={"training": {"n_epochs": 2}, "window_size": 16},
+    )
+    svc.run_all(_ticks(spark))
+    leaked = persistent_ids() - before
+    assert not leaked, f"leaked persistent RDD ids: {leaked}"

@@ -152,3 +152,24 @@ def test_remote_scheme_falls_back(tmp_path):
     assert not _pyarrow_shard_append(
         "s3a://bucket/exp/metrics", [("r", "k", 1.0, 0)], _METRICS_DDL, 1
     )
+
+
+def test_single_slash_file_scheme_routes_locally(spark, tmp_path):
+    """Hadoop-style 'file:/abs/path' (single slash) must resolve to the
+    local filesystem path — not a literal './file:' directory."""
+    import os
+
+    from big_data_project_jan_2026_tick_data__spark.plans.tracking import (
+        _METRICS_DDL,
+        _pyarrow_shard_append,
+    )
+
+    real = str(tmp_path / "sched")
+    assert _pyarrow_shard_append(
+        f"file:{real}/metrics", [("r", "k", 1.0, 0)], _METRICS_DDL, 1
+    )
+    assert os.path.isdir(f"{real}/metrics")
+    assert not os.path.exists("file:")
+    files = os.listdir(f"{real}/metrics")
+    # atomic publish: no .tmp staging file left behind
+    assert files and all(f.endswith(".parquet") for f in files)
