@@ -99,6 +99,7 @@ _ADJUDICATION_PRIORITY = [
     "rollup_orders",
     # ---- 50-slot window boundary; the rest queue for r6 ----
     "orders_scd2_asof_state",
+    "ticks_market_beta",
     "cube_orders",
     "pivot_user_event_values",
     "stats_min_max_metadata",

@@ -872,3 +872,68 @@ def islands(
         F.max(ts_col).alias("island_end"),
         F.count(F.lit(1)).alias("n_rows"),
     ).drop("__island")
+
+
+def market_beta(
+    df: DataFrame,
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    value_col: str = "value",
+    interval_sec: int = 3600,
+    min_buckets: int = 2,
+) -> DataFrame:
+    """Per-symbol beta and correlation against the equal-weight market —
+    the single-factor exposure readout next to
+    :func:`symbol_correlation` (same resample-and-align skeleton, one
+    market join instead of a pair self-join, so LINEAR in symbols).
+
+    The market series is the equal-weight mean of the symbols' bucket
+    means, symbol itself included (documented convention — with
+    portfolio-sized symbol counts the self-term is 1/n_symbols of the
+    weight). beta = cov(sym, mkt)/var(mkt) from the same exact-integer
+    Pearson sums as everywhere else (:func:`exact_corr_sums`): bucket
+    means and the market mean are grid-snapped BIGINTs, so the q6
+    result is partition-layout-independent. NULL-variance symbols (or
+    a flat market) drop out, as does any symbol with fewer than
+    ``min_buckets`` aligned buckets.
+    """
+    bucket = (F.col(ts_col).cast("long") / interval_sec).cast("long")
+    v6 = F.floor(F.col(value_col) * 1e6 + F.lit(0.5))
+    means = (
+        df.groupBy(F.col(symbol_col).alias("sym"), bucket.alias("__b"))
+        .agg(F.sum(v6).alias("__s6"), F.count(value_col).alias("__c"))
+        .select(
+            "sym",
+            "__b",
+            F.floor(
+                F.col("__s6").cast("double") / F.col("__c") + F.lit(0.5)
+            ).alias("__v6"),
+        )
+    )
+    mkt = means.groupBy("__b").agg(
+        F.floor(
+            F.sum("__v6").cast("double") / F.count("__v6") + F.lit(0.5)
+        ).alias("__m6")
+    )
+    joined = means.join(mkt, "__b")
+    agg = joined.groupBy("sym").agg(
+        *exact_corr_sums(F.col("__v6"), F.col("__m6"), "c")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d("c_n")
+    num = n * d("c_sxy") - d("c_sx") * d("c_sy")
+    dm = n * d("c_syy") - d("c_sy") * d("c_sy")
+    beta = F.when(dm > 0, num / dm)
+    corr = exact_corr_value("c")
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        agg.withColumn("__beta", beta)
+        .withColumn("__corr", corr)
+        .filter((F.col("c_n") >= min_buckets) & F.col("__beta").isNotNull())
+        .select(
+            "sym",
+            F.col("c_n").alias("n_buckets"),
+            q6(F.col("__beta")).alias("beta"),
+            q6(F.col("__corr")).alias("mkt_corr"),
+        )
+    )

@@ -1805,3 +1805,57 @@ def ticks_vwap_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=("user_id",),
         tiebreak_cols=("event_id",),
     )
+
+
+@_register(
+    "ticks_market_beta",
+    r"""
+    WITH m AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS sym,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b,
+             CAST(FLOOR(CAST(sum(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT))
+                             AS DOUBLE) / count(value) + 0.5) AS BIGINT) AS v6
+      FROM events GROUP BY 1, 2),
+    mk AS (
+      SELECT b, CAST(FLOOR(CAST(sum(v6) AS DOUBLE) / count(v6) + 0.5) AS BIGINT) AS m6
+      FROM m GROUP BY b),
+    j AS (SELECT m.sym, m.v6 AS x, mk.m6 AS y FROM m JOIN mk USING (b)),
+    s AS (
+      SELECT sym, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM j GROUP BY sym),
+    c AS (
+      SELECT sym, n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+      FROM s)
+    SELECT sym, n AS n_buckets,
+           FLOOR(num / dy * 1e6 + 0.5) / 1e6 AS beta,
+           -- NULL for a flat symbol series (dx = 0): corr undefined even
+           -- though beta is fine — mirrors exact_corr_value's guard
+           CASE WHEN dx > 0
+                THEN FLOOR(num / (sqrt(dx) * sqrt(dy)) * 1e6 + 0.5) / 1e6
+                END AS mkt_corr
+    FROM c WHERE n >= 2 AND dy > 0
+    """,
+)
+def ticks_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-factor market exposure (`stats.market_beta`): hourly
+    bucket means per symbol vs the equal-weight market series —
+    beta = cov/var(market) and the market correlation, from the same
+    exact-integer Pearson sums as `ticks_symbol_correlation` (linear in
+    symbols; one market join instead of a pair self-join)."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        "value",
+    )
+    return stats.market_beta(t, interval_sec=3600)

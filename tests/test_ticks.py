@@ -280,3 +280,28 @@ def test_vwap_twap_hand_computed(spark):
     assert a.twap == round((100 * 20 + 102 * 15 + 101 * 15) / 50, 6)
     b = out["B"]
     assert b.n_ticks == 1 and b.vwap == 50.0 and b.twap == 50.0
+
+
+def test_market_beta_identities(spark):
+    """Equal-weight market beta: a flat symbol has beta 0 (and NULL
+    corr — no own variance), trend/anti-trend symbols get signed betas,
+    and the cross-symbol beta average is exactly 1 (the equal-weight
+    identity: Σcov(sym_i, mkt) = n·var(mkt))."""
+    import datetime as dt
+
+    from big_data_project_jan_2026_tick_data__spark.operators import stats
+
+    rows = []
+    for h in range(6):
+        ts = dt.datetime(2024, 1, 1, h)
+        rows += [
+            ("FLAT", ts, 100.0),
+            ("UP", ts, 100.0 + 2 * h),
+            ("DOWN", ts, 100.0 - h),
+        ]
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, value double")
+    out = {r.sym: r for r in stats.market_beta(df).collect()}
+    assert out["FLAT"].beta == 0.0 and out["FLAT"].mkt_corr is None
+    assert out["UP"].beta > 0 and out["UP"].mkt_corr == 1.0
+    assert out["DOWN"].beta < 0 and out["DOWN"].mkt_corr == -1.0
+    assert abs(sum(r.beta for r in out.values()) / 3 - 1.0) < 1e-5
