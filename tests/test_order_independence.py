@@ -45,6 +45,12 @@ HARDENED = [
     "doc_source_divergence",
     "emb_mmr_rerank",
     "ml_anomaly_scores_ae_fixedw",
+    # r5 additions — same exact-integer-sum discipline by construction
+    "ticks_vwap_twap",
+    "ticks_market_beta",
+    "events_histogram_percentiles",
+    "events_hll_user_reach",
+    "orders_scd2_apply",
 ]
 
 
