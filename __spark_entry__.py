@@ -100,6 +100,7 @@ _ADJUDICATION_PRIORITY = [
     # ---- 50-slot window boundary; the rest queue for r6 ----
     "orders_scd2_asof_state",
     "ticks_market_beta",
+    "streaming_vwap_bars",
     "cube_orders",
     "pivot_user_event_values",
     "stats_min_max_metadata",

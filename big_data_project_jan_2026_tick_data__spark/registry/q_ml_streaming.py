@@ -847,3 +847,57 @@ def events_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         (F.floor(F.col("est") * 1e6 + F.lit(0.5)) / 1e6).alias("est"),
     )
+
+
+@_register(
+    "streaming_vwap_bars",
+    """
+    -- append-mode semantics: a bar emits once the watermark
+    -- (max event time - 10 min) passes its end; bars still open at end
+    -- of replay are exactly the ones the HAVING clause excludes
+    SELECT user_id AS symbol,
+           date_trunc('minute', ts) AS bar_start,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(event_id % 100 + 1) AS BIGINT) AS volume,
+           FLOOR((SUM(CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) * (event_id % 100 + 1))
+                  * 1.0 / SUM(event_id % 100 + 1)) / 1e4 * 1e6 + 0.5) / 1e6 AS vwap
+    FROM events GROUP BY 1, 2
+    HAVING epoch_ms(date_trunc('minute', ts)) + 60000
+           <= (SELECT epoch_ms(max(ts)) - 600000 FROM events)
+    """,
+)
+def streaming_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming VWAP bars (`streaming/bars.py::vwap_bars_stream`): the
+    events file replayed as a watermarked stream, per-(user, minute)
+    bars from a built-in windowed aggregation whose state is three
+    integers per open bar. VALUE-CHECKED against the batch SQL: exact
+    integer sums make any replay — any batch slicing, any parallelism —
+    bit-identical to the one-shot computation, which is the exactly-once
+    contract an append-mode bar sink needs."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.io import events_stream_source
+    from ..streaming.bars import vwap_bars_stream
+    from ..streaming.session_pipeline import run_stream_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = tempfile.mkdtemp(prefix="stream_vwap_")
+    try:
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(d, "events.parquet"),
+        )
+        stream = events_stream_source(spark, f"{sf_dir}/events.parquet", d).select(
+            F.col("user_id").alias("symbol"),
+            "ts",
+            "value",
+            (F.col("event_id") % 100 + 1).alias("size"),
+        )
+        bars = vwap_bars_stream(stream)
+        out = run_stream_to_memory(bars, "reg_stream_vwap")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

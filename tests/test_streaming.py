@@ -584,3 +584,60 @@ def test_cusum_monitor_multi_batch_state_continuity(spark, tmp_path):
         assert one[eid][1] == two[eid][1]
     # alarms only after the level shift
     assert min(one) >= 30
+
+
+def test_vwap_bars_multi_batch_equals_batch(spark, tmp_path):
+    """Streaming VWAP over a 3-file replay (one file per micro-batch,
+    including an in-watermark late tick arriving in batch 2 for a bar
+    opened in batch 1) must equal the batch vwap computation for every
+    finalized bar — the exactly-once integer-sum contract."""
+    import pandas as pd
+
+    from big_data_project_jan_2026_tick_data__spark.streaming.bars import (
+        vwap_bars_stream,
+    )
+
+    d = tmp_path / "vwap_stream"
+    d.mkdir()
+    t0 = pd.Timestamp(2026, 1, 5, 9, 0, 0)
+
+    def mk(name, rows):
+        df = pd.DataFrame(
+            rows, columns=["symbol", "ts", "value", "size"]
+        ).assign(ts=lambda x: x.ts.astype("datetime64[us]"))
+        df.to_parquet(d / name, index=False)
+
+    mk("a.parquet", [
+        ("X", t0, 100.0, 2),
+        ("X", t0 + pd.Timedelta(seconds=30), 102.0, 1),
+    ])
+    mk("b.parquet", [
+        ("X", t0 + pd.Timedelta(seconds=45), 104.0, 1),  # LATE for minute 0
+        ("X", t0 + pd.Timedelta(minutes=2), 110.0, 1),
+    ])
+    mk("c.parquet", [
+        ("X", t0 + pd.Timedelta(minutes=30), 120.0, 1),  # pushes watermark past all
+    ])
+    schema = "symbol string, ts timestamp, value double, size long"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    bars = vwap_bars_stream(stream, watermark="5 minutes")
+    q = (
+        bars.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("vwap_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.symbol, r.bar_start): (r.n_ticks, r.volume, r.vwap)
+        for r in spark.sql("SELECT * FROM vwap_mb").collect()
+    }
+    # minute 0: (100*2 + 102*1 + 104*1)/4 — the late tick counted
+    assert got[("X", t0.to_pydatetime())] == (3, 4, 101.5)
+    assert got[("X", (t0 + pd.Timedelta(minutes=2)).to_pydatetime())] == (1, 1, 110.0)
+    # minute 30 still open behind the watermark → not emitted
+    assert ("X", (t0 + pd.Timedelta(minutes=30)).to_pydatetime()) not in got
