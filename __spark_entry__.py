@@ -101,6 +101,7 @@ _ADJUDICATION_PRIORITY = [
     "orders_scd2_asof_state",
     "ticks_market_beta",
     "streaming_vwap_bars",
+    "part_copurchase_triangles",
     "cube_orders",
     "pivot_user_event_values",
     "stats_min_max_metadata",

@@ -1952,3 +1952,70 @@ def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("row_frac_q6"),
     )
+
+
+@_register(
+    "part_copurchase_triangles",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey % 7 = 0 AND b.l_partkey % 7 = 0
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg
+      FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+      GROUP BY node
+    ),
+    wd AS (
+      SELECT e0.a, e0.b, dga.deg AS da, dgb.deg AS db
+      FROM e0
+      JOIN deg dga ON dga.node = e0.a
+      JOIN deg dgb ON dgb.node = e0.b
+    ),
+    o AS (
+      SELECT CASE WHEN (da < db) OR (da = db AND a < b) THEN a ELSE b END AS u,
+             CASE WHEN (da < db) OR (da = db AND a < b) THEN b ELSE a END AS v,
+             CASE WHEN (da < db) OR (da = db AND a < b) THEN db ELSE da END AS dv
+      FROM wd
+    ),
+    w AS (
+      SELECT o1.u AS apex, o1.v AS x, o2.v AS y
+      FROM o o1
+      JOIN o o2 ON o1.u = o2.u
+              AND ((o1.dv < o2.dv) OR (o1.dv = o2.dv AND o1.v < o2.v))
+    ),
+    t AS (SELECT w.* FROM w WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.x AND o.v = w.y)),
+    n AS (
+      SELECT apex AS node FROM t
+      UNION ALL SELECT x FROM t
+      UNION ALL SELECT y FROM t
+    )
+    SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM n GROUP BY node
+    """,
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts on the co-purchase graph
+    (`operators/graph.py::triangle_counts`): parts are adjacent when
+    they appear in the same order (pair expansion bounded by items per
+    order — the market-basket blocking), sliced to one part category
+    (l_partkey % 7 = 0, mirrored in the oracle) so the registry run
+    stays sweep-sized; the operator itself is degree-oriented with the
+    O(m^1.5) wedge bound. The oracle independently re-derives the same
+    orientation algebra in SQL."""
+    from ..operators.graph import triangle_counts
+
+    li = _td(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 7 == 0)
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("part_key"), "triangles"
+    )

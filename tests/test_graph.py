@@ -65,3 +65,30 @@ def test_dangling_node_mass_redistributes(spark):
     assert got == _numpy_pagerank(edges)
     assert abs(sum(got.values()) - 1.0) < 1e-4
     assert got["sink"] == max(got.values())
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant node and a duplicate/reversed edge: every K4
+    node sits in exactly 3 triangles, the pendant in none; dedupe and
+    canonicalization must absorb the noise."""
+    from big_data_project_jan_2026_tick_data__spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    edges += [(5, 1), (2, 1), (3, 3)]  # pendant, reversed dup, self-loop
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_triangle_free(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # C4 cycle — no triangles
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    assert triangle_counts(df).count() == 0
