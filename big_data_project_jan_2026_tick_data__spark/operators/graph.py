@@ -134,11 +134,15 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # referenced three times below (both wedge sides + the closing
+    # semi-join); localCheckpoint materializes the edge+degree pipeline
+    # once instead of replicating it per branch — the dup_clusters/
+    # pagerank lineage-truncation discipline (edge-list-sized, m rows)
     oriented = with_deg.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint()
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,

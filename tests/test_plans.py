@@ -495,3 +495,34 @@ def test_runtime_bloom_filter_prunes_big_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scd2_history_single_shuffle_single_sort(spark, sf_dir):
+    """Both window passes of the SCD2 build (lag/row_number, then
+    lead/row_number over the surviving runs) must share ONE key
+    exchange and ONE sort — identical partitioning + ordering lets
+    Spark plan them back-to-back."""
+    tree, _ = _explain(spark, "orders_scd2_priority", sf_dir)
+    assert _shuffles(tree) <= 1
+    assert len(re.findall(r"\bSort \[", tree)) <= 1
+
+
+def test_vwap_twap_one_sort_reused_partitioning(spark, sf_dir):
+    """The lead window's per-series sort and the bar aggregation must
+    reuse one partitioning — no second data-wide exchange, no join."""
+    tree, _ = _explain(spark, "ticks_vwap_twap", sf_dir)
+    assert _shuffles(tree) <= 2
+    assert len(re.findall(r"\bSort \[", tree)) <= 1
+    assert "Join" not in tree
+
+
+def test_triangles_no_cartesian_bounded_plan(spark, sf_dir):
+    """Degree-oriented triangle counting: equi-joins only (the wedge
+    join is an equi-join on the apex), and the oriented edge list is
+    checkpointed so the plan doesn't replicate the edge+degree pipeline
+    per reference."""
+    tree, full = _explain(spark, "part_copurchase_triangles", sf_dir)
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
+    # 3 references to the oriented list → scans of one checkpointed RDD
+    assert tree.count("Scan ExistingRDD") >= 2
