@@ -102,6 +102,7 @@ _ADJUDICATION_PRIORITY = [
     "ticks_market_beta",
     "streaming_vwap_bars",
     "part_copurchase_triangles",
+    "part_copurchase_communities",
     "cube_orders",
     "pivot_user_event_values",
     "stats_min_max_metadata",

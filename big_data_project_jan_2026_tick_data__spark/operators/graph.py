@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -164,3 +164,51 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .unionByName(tris.select(F.col("y").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 4
+) -> DataFrame:
+    """Community detection by synchronous label propagation with a
+    fully deterministic update rule: every node adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label, isolated nodes keep their own. A fixed iteration count (not
+    convergence detection) makes the result a pure function of the
+    edge list — the same determinism contract as :func:`pagerank`, and
+    what lets the oracle re-derive every superstep as a chained CTE.
+
+    Per superstep: one neighbor-label equi-join + one (node, label)
+    count + one row_number pick — all key-partitioned shuffles, state
+    is one label per node. Labels start as node ids, so a community's
+    final label is itself meaningful (a member id). localCheckpoint per
+    superstep truncates the doubling lineage (pagerank discipline).
+    """
+    a = F.col(src).alias("a")
+    b = F.col(dst).alias("b")
+    e = edges.select(a, b).filter(F.col("a") != F.col("b")).na.drop().distinct()
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    for _ in range(iters):
+        nbr = (
+            und.join(labels.select(F.col("node").alias("b"), "label"), "b")
+            .select(F.col("a").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            nbr.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("node", F.col("label").alias("__best"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node", F.coalesce("__best", F.col("label")).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels

@@ -2019,3 +2019,66 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges).select(
         F.col("node").alias("part_key"), "triangles"
     )
+
+
+def _lpa_oracle(iters: int = 4) -> str:
+    """Chained-CTE mirror of graph.label_propagation on the co-purchase
+    slice: one (neighbor-count → row_number pick → relabel) block per
+    superstep, MATERIALIZED so DuckDB doesn't inline the chain
+    exponentially (the pagerank/kmeans oracle discipline)."""
+    parts = [
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey % 7 = 0 AND b.l_partkey % 7 = 0
+    )""",
+        "ed AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM ed)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""n{i} AS MATERIALIZED (
+      SELECT e.a AS node, l.label, COUNT(*) AS cnt
+      FROM ed e JOIN l{i-1} l ON l.node = e.b GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+      SELECT node, label AS best FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rk
+        FROM n{i}) WHERE rk = 1
+    )"""
+        )
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT l.node, COALESCE(b.best, l.label) AS label
+      FROM l{i-1} l LEFT JOIN b{i} b ON b.node = l.node
+    )"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node AS part_key, CAST(label AS BIGINT) AS community FROM l{iters}"
+    )
+
+
+@_register("part_copurchase_communities", _lpa_oracle(4))
+def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (`graph.label_propagation`, 4 synchronous
+    min-mode supersteps) on the same co-purchase slice as the triangle
+    query — the oracle re-derives every superstep as a chained CTE, so
+    the green row proves the full iterative update rule, not just the
+    final partition."""
+    from ..operators.graph import label_propagation
+
+    li = _td(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 7 == 0)
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    return label_propagation(edges, iters=4).select(
+        F.col("node").alias("part_key"), F.col("label").alias("community")
+    )

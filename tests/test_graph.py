@@ -92,3 +92,38 @@ def test_triangle_counts_triangle_free(spark):
         [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
     )
     assert triangle_counts(df).count() == 0
+
+
+def test_label_propagation_matches_python_oracle(spark):
+    """Two triangles joined by a bridge plus an isolated pair: the
+    Spark supersteps must match an independent python implementation of
+    the same min-mode update, iteration for iteration (including the
+    classic 2-node synchronous oscillation, which the fixed iteration
+    count makes deterministic)."""
+    from collections import Counter
+
+    from big_data_project_jan_2026_tick_data__spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10), (20, 21)]
+
+    def py_lpa(edges, iters):
+        und = {}
+        for s, d in edges:
+            und.setdefault(s, set()).add(d)
+            und.setdefault(d, set()).add(s)
+        lab = {n: n for n in und}
+        for _ in range(iters):
+            new = {}
+            for n, nbrs in und.items():
+                cnt = Counter(lab[m] for m in nbrs)
+                top = max(cnt.values())
+                new[n] = min(l for l, c in cnt.items() if c == top)
+            lab = new
+        return lab
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 2, 4):
+        got = {r.node: r.label for r in label_propagation(df, iters=iters).collect()}
+        assert got == py_lpa(edges, iters), iters
