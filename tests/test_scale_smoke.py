@@ -478,3 +478,55 @@ def test_hll_rollup_10m_values(spark, big_ticks):
     exact = df.groupBy("symbol").agg(F.count_distinct("v").alias("n"))
     for r in est.join(exact, "symbol").collect():
         assert abs(r.approx_distinct - r.n) <= 0.05 * r.n, r
+
+
+def test_triangles_1m_node_circulant(spark):
+    """Triangle counting on a 1M-node circulant graph (offsets 1,2,3 →
+    3M edges, out-degree ≤ 3 after orientation): wedge work stays
+    linear-ish, and the closed-form triangle total (3 per interior
+    node) verifies the count exactly."""
+    from big_data_project_jan_2026_tick_data__spark.operators.graph import (
+        triangle_counts,
+    )
+
+    n = 1_000_000
+    base = spark.range(n)
+    edges = None
+    for off in (1, 2, 3):
+        e = base.filter(F.col("id") < n - off).select(
+            F.col("id").alias("src"), (F.col("id") + off).alias("dst")
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    total = (
+        triangle_counts(edges)
+        .agg(F.sum("triangles").alias("t"))
+        .collect()[0]["t"]
+    )
+    # triangles anchored at i: (i,i+1,i+2), (i,i+1,i+3), (i,i+2,i+3)
+    # → 3 per node with full reach; each counted once per member (×3)
+    expected_triangles = 3 * (n - 2) - 2  # boundary: i=n-3 loses 2 of 3
+    assert total == 3 * expected_triangles
+
+
+def test_label_propagation_1m_nodes(spark):
+    """LPA over 1M nodes in 1000 disjoint 1000-node paths: communities
+    never leak across components, per-superstep state stays one label
+    per node."""
+    from big_data_project_jan_2026_tick_data__spark.operators.graph import (
+        label_propagation,
+    )
+
+    n = 1_000_000
+    edges = (
+        spark.range(n)
+        .filter((F.col("id") % 1000) != 999)  # break into 1000-node paths
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    out = label_propagation(edges, iters=3)
+    # a node's label can never leave its path component
+    leaked = out.filter(
+        (F.col("label") < (F.col("node") / 1000).cast("long") * 1000)
+        | (F.col("label") >= ((F.col("node") / 1000).cast("long") + 1) * 1000)
+    ).count()
+    assert leaked == 0
+    assert out.count() == n
