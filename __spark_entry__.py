@@ -103,6 +103,7 @@ _ADJUDICATION_PRIORITY = [
     "streaming_vwap_bars",
     "part_copurchase_triangles",
     "part_copurchase_communities",
+    "doc_weighted_sample",
     "cube_orders",
     "pivot_user_event_values",
     "stats_min_max_metadata",

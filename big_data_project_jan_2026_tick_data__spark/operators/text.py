@@ -885,3 +885,53 @@ def source_js_divergence(
             (F.floor(F.col("__jsd") * 1e6 + F.lit(0.5)) / 1e6).alias("jsd_q6"),
         )
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    n_target: int,
+    id_col: str = "doc_id",
+    offset_num: int = 1,
+    offset_den: int = 2,
+) -> DataFrame:
+    """Probability-proportional-to-size systematic sample: ~``n_target``
+    rows drawn with inclusion probability ∝ integer ``weight_col`` —
+    the weighted counterpart of the hash sampler (quality- or
+    length-weighted corpus draws for mixture construction).
+
+    Method (classic systematic PPS): lay every row's weight on a line
+    in ``id_col`` order, walk it with a fixed stride T = W/n and pick
+    each row whose span covers a grid point. A row is selected iff
+    ⌊(n·cum − off)/W⌋ > ⌊(n·cum_before − off)/W⌋ with all five terms
+    INTEGERS (off = W·offset_num/offset_den, the deterministic
+    start-phase) — no float appears anywhere, so both engines agree
+    exactly and the draw is layout-independent by construction (the
+    Efraimidis–Spirakis exp-trick alternative rides on libm pow/log,
+    a cross-engine ulp hazard this scheme designs out). Rows heavier
+    than the stride are selected with certainty (may cover >1 grid
+    point but are emitted once).
+
+    Scale: the cumulative line comes from ``stats.global_cumsum``
+    (range-partitioned prefix sums — never a single-partition window);
+    everything after is a per-row filter.
+    """
+    from .stats import global_cumsum
+
+    w = F.col(weight_col).cast("bigint")
+    base = df.filter(w.isNotNull() & (w > 0))
+    cum = global_cumsum(base, [F.col(id_col)], weight_col, num_partitions=32)
+    # W is one driver scalar (metadata-scale collect, the kmeans-centroid
+    # precedent); off <= W keeps the shifted numerators strictly positive
+    # so BIGINT `div` (truncation) IS floor on both engines. Bound:
+    # n_target * W must stay under 2^63 — n=10^4 over a 10^14-char
+    # corpus is 10^18, documented headroom.
+    wtot = int(base.agg(F.sum(w).alias("W")).collect()[0]["W"])
+    off = (wtot * offset_num) // offset_den
+    c = F.col(f"cum_{weight_col}").cast("bigint")
+    n = F.lit(n_target).cast("bigint")
+    tmp = cum.withColumn("__hi", n * c - F.lit(off) + F.lit(wtot)).withColumn(
+        "__lo", n * (c - w) - F.lit(off) + F.lit(wtot)
+    )
+    sel = F.expr(f"__hi div {wtot}") > F.expr(f"__lo div {wtot}")
+    return tmp.filter(sel).drop(f"cum_{weight_col}", "__hi", "__lo")

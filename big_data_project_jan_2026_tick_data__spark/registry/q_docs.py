@@ -1827,3 +1827,36 @@ def doc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@_register(
+    "doc_weighted_sample",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, source, n_chars
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    tot AS (SELECT SUM(n_chars) AS W FROM base),
+    c AS (
+      SELECT b.*, SUM(n_chars) OVER (ORDER BY doc_id) AS cum FROM base b
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM c, tot
+    WHERE (60 * cum - (W * 1) // 2 + W) // W
+        > (60 * (cum - n_chars) - (W * 1) // 2 + W) // W
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted PPS systematic sample of the corpus
+    (`text.pps_systematic_sample`, ~60 docs with inclusion probability
+    ∝ n_chars): the weighted counterpart of `doc_hash_sample` for
+    mixture construction. Every selection decision is BIGINT
+    arithmetic over a `stats.global_cumsum` line — no float and no
+    libm anywhere (the Efraimidis-Spirakis exp-trick alternative rides
+    on cross-engine pow/log ulps), so the drawn SET is identical under
+    any layout and any engine, which is what lets a sample be
+    hash-adjudicated at all."""
+    docs = _td(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return text.pps_systematic_sample(docs, "n_chars", 60)

@@ -100,3 +100,27 @@ def test_histogram_clamps_out_of_range(spark):
         for r in sketches.histogram_rollup(df, ("g",), "v", 0.0, 100.0, 10).collect()
     }
     assert bins == {0: 1, 1: 1, 9: 1}
+
+
+def test_pps_sample_exact_count_and_certainty(spark):
+    """Systematic PPS: exactly n rows drawn when every weight is below
+    the stride; rows heavier than the stride are selected with
+    certainty (and emitted once); zero/NULL weights never selected."""
+    from big_data_project_jan_2026_tick_data__spark.operators.text import (
+        pps_systematic_sample,
+    )
+
+    light = spark.createDataFrame(
+        [(i, 5 + (i % 7)) for i in range(200)], "doc_id long, wt long"
+    )
+    out = pps_systematic_sample(light, "wt", 20).collect()
+    assert len(out) == 20
+
+    mixed = spark.createDataFrame(
+        [(i, 1) for i in range(50)] + [(999, 1000), (0, None), (1000, 0)],
+        "doc_id long, wt long",
+    )
+    ids = {r.doc_id for r in pps_systematic_sample(mixed, "wt", 5).collect()}
+    assert 999 in ids  # heavier than stride → certain
+    assert 1000 not in ids  # zero weight
+    assert sum(1 for r in ids if r == 999) == 1  # emitted once
