@@ -98,6 +98,11 @@ _ADJUDICATION_PRIORITY = [
     "window_lag_lead_rank",
     "rollup_orders",
     # ---- 50-slot window boundary; the rest queue for r6 ----
+    # r6 head: harness-refactored this round (shared replay helper) —
+    # changed-code re-proof outranks the rest of the queue
+    "streaming_session_agg",
+    "streaming_cusum_alarms",
+    # r5 registrations that missed the r5 window
     "orders_scd2_asof_state",
     "ticks_market_beta",
     "streaming_vwap_bars",

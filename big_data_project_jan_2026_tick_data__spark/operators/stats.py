@@ -231,17 +231,25 @@ def exact_corr_sums(xi, yi, prefix: str) -> list:
     ]
 
 
-def exact_corr_value(prefix: str):
-    """Pointwise Pearson corr from :func:`exact_corr_sums` columns —
-    (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²)), NULL when
-    either variance term is ≤ 0 (constant series). Every input is an
-    exact integer cast to double, so both engines combine identical
-    IEEE values; the oracle mirrors this expression verbatim."""
+def corr_terms(prefix: str):
+    """(numerator, x-variance term, y-variance term) over
+    :func:`exact_corr_sums` columns — shared by the correlation and
+    beta readouts so the two can never drift algebraically. Every input
+    is an exact integer cast to double, so both engines combine
+    identical IEEE values; oracles mirror these expressions verbatim."""
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     n = d(f"{prefix}_n")
     num = n * d(f"{prefix}_sxy") - d(f"{prefix}_sx") * d(f"{prefix}_sy")
     dx = n * d(f"{prefix}_sxx") - d(f"{prefix}_sx") * d(f"{prefix}_sx")
     dy = n * d(f"{prefix}_syy") - d(f"{prefix}_sy") * d(f"{prefix}_sy")
+    return num, dx, dy
+
+
+def exact_corr_value(prefix: str):
+    """Pointwise Pearson corr from :func:`exact_corr_sums` columns —
+    (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²)), NULL when
+    either variance term is ≤ 0 (constant series)."""
+    num, dx, dy = corr_terms(prefix)
     return F.when((dx > 0) & (dy > 0), num / (F.sqrt(dx) * F.sqrt(dy)))
 
 
@@ -919,10 +927,7 @@ def market_beta(
     agg = joined.groupBy("sym").agg(
         *exact_corr_sums(F.col("__v6"), F.col("__m6"), "c")
     )
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    n = d("c_n")
-    num = n * d("c_sxy") - d("c_sx") * d("c_sy")
-    dm = n * d("c_syy") - d("c_sy") * d("c_sy")
+    num, _dx, dm = corr_terms("c")
     beta = F.when(dm > 0, num / dm)
     corr = exact_corr_value("c")
     q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731

@@ -916,17 +916,37 @@ def pps_systematic_sample(
     (range-partitioned prefix sums — never a single-partition window);
     everything after is a per-row filter.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     from .stats import global_cumsum
 
+    if not isinstance(
+        df.schema[weight_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        # a fractional weight would be truncated per-row here but summed
+        # un-truncated by global_cumsum — a silent mis-selection, so
+        # refuse instead (quantize to an integer grid upstream)
+        raise TypeError(
+            f"weight_col {weight_col!r} must be an integral type, got "
+            f"{df.schema[weight_col].dataType}"
+        )
+    if not (0 <= offset_num < offset_den):
+        # off > W would make the shifted numerators negative, where
+        # truncating `div` stops being floor
+        raise ValueError("offset_num/offset_den must lie in [0, 1)")
     w = F.col(weight_col).cast("bigint")
     base = df.filter(w.isNotNull() & (w > 0))
     cum = global_cumsum(base, [F.col(id_col)], weight_col, num_partitions=32)
-    # W is one driver scalar (metadata-scale collect, the kmeans-centroid
-    # precedent); off <= W keeps the shifted numerators strictly positive
-    # so BIGINT `div` (truncation) IS floor on both engines. Bound:
-    # n_target * W must stay under 2^63 — n=10^4 over a 10^14-char
-    # corpus is 10^18, documented headroom.
-    wtot = int(base.agg(F.sum(w).alias("W")).collect()[0]["W"])
+    # W is one driver scalar — read it as max(cum) off the checkpointed
+    # cumsum frame (metadata-cost; a fresh base.agg would re-scan the
+    # whole input lineage). off <= W keeps the shifted numerators
+    # strictly positive so BIGINT `div` (truncation) IS floor on both
+    # engines. Bound: n_target * W must stay under 2^63 — n=10^4 over a
+    # 10^14-char corpus is 10^18, documented headroom.
+    wrow = cum.agg(F.max(F.col(f"cum_{weight_col}")).alias("W")).collect()[0]["W"]
+    if wrow is None:
+        return cum.drop(f"cum_{weight_col}")  # empty/all-null input
+    wtot = int(wrow)
     off = (wtot * offset_num) // offset_den
     c = F.col(f"cum_{weight_col}").cast("bigint")
     n = F.lit(n_target).cast("bigint")

@@ -1819,7 +1819,10 @@ def ticks_vwap_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     mk AS (
       SELECT b, CAST(FLOOR(CAST(sum(v6) AS DOUBLE) / count(v6) + 0.5) AS BIGINT) AS m6
       FROM m GROUP BY b),
-    j AS (SELECT m.sym, m.v6 AS x, mk.m6 AS y FROM m JOIN mk USING (b)),
+    -- pairwise deletion mirrors exact_corr_sums: a bucket whose values
+    -- are all NULL yields v6/m6 NULL and must not count toward n
+    j AS (SELECT m.sym, m.v6 AS x, mk.m6 AS y FROM m JOIN mk USING (b)
+          WHERE m.v6 IS NOT NULL AND mk.m6 IS NOT NULL),
     s AS (
       SELECT sym, count(*) AS n,
              sum(x) AS sx, sum(y) AS sy,

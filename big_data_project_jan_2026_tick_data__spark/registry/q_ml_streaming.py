@@ -18,6 +18,44 @@ from ..operators import (  # noqa: F401
 from ._base import _register, _td
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _replayed_events(spark: SparkSession, sf_dir: str, prefix: str = "stream_replay_"):
+    """Shared replay harness for every streaming registry query: a temp
+    directory with the events table symlinked in (file-stream sources
+    want a directory of their own), yielding the schema-normalized
+    streaming source; the directory is removed on exit, so callers must
+    materialize results before leaving the block."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.io import events_stream_source
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = tempfile.mkdtemp(prefix=prefix)
+    try:
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(d, "events.parquet"),
+        )
+        yield events_stream_source(spark, f"{sf_dir}/events.parquet", d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _materialized(spark: SparkSession, streaming_df: DataFrame, name: str) -> DataFrame:
+    """Run a streaming aggregate to the memory sink and pin the result
+    as a local batch frame (safe to return after the replay dir dies)."""
+    from ..streaming.session_pipeline import run_stream_to_memory
+
+    out = run_stream_to_memory(streaming_df, name)
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 _TENSOR_ROWS_SQL = """
         WITH base AS (
           SELECT CAST(ts AS TIMESTAMP) AS ts,
@@ -394,52 +432,28 @@ def streaming_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose end equals the watermark IS emitted). The oracle recomputes
     that emitted prefix in SQL; floats quantized half-up 6dp on both
     sides so distributed vs serial summation order can't flip a bit."""
-    from ..streaming.session_pipeline import (
-        run_stream_to_memory,
-        session_window_aggregate,
-    )
+    from ..streaming.session_pipeline import session_window_aggregate
 
-    import os
-    import shutil
-    import tempfile
-
-    from ..sources.io import events_stream_source
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # the file-stream source wants a directory of its own; symlink
-    # the single table file into a temp dir for the replay
-    d = tempfile.mkdtemp(prefix="stream_events_")
-    try:
-        os.symlink(
-            os.path.abspath(f"{sf_dir}/events.parquet"),
-            os.path.join(d, "events.parquet"),
-        )
-        stream = (
-            events_stream_source(spark, f"{sf_dir}/events.parquet", d)
-            .select(
-                F.lit("EVENTS").alias("symbol"),
-                "ts",
-                F.col("value").alias("bid"),
-                (F.col("value") * 1.01).alias("ask"),
-            )
+    with _replayed_events(spark, sf_dir, "stream_events_") as src:
+        stream = src.select(
+            F.lit("EVENTS").alias("symbol"),
+            "ts",
+            F.col("value").alias("bid"),
+            (F.col("value") * 1.01).alias("ask"),
         )
         agg = session_window_aggregate(
             stream, windows=((7, 0, 12, 0), (13, 0, 18, 0))
         )
-        out = run_stream_to_memory(agg, "reg_stream_sess")
-        rows = out.collect()
-        df = spark.createDataFrame(rows, out.schema)
+        df = _materialized(spark, agg, "reg_stream_sess")
 
-        def q6(c: str):
-            return (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6).alias(c)
+    def q6(c: str):
+        return (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6).alias(c)
 
-        return df.select(
-            "symbol", "window_start", "window_end", "n_ticks",
-            q6("min_bid"), q6("max_bid"), q6("avg_bid"),
-            q6("min_ask"), q6("max_ask"), q6("avg_ask"),
-        )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    return df.select(
+        "symbol", "window_start", "window_end", "n_ticks",
+        q6("min_bid"), q6("max_bid"), q6("avg_bid"),
+        q6("min_ask"), q6("max_ask"), q6("avg_ask"),
+    )
 
 
 _STREAM_HEALTH_ORACLE = """
@@ -475,36 +489,23 @@ def streaming_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics the streaming_session_agg oracle pins). Wall-clock rate/
     latency counters stay on the health_check operator surface but are
     excluded here — nondeterministic by nature."""
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming.session_pipeline import (
         health_check,
         session_window_aggregate,
     )
 
-    from ..sources.io import events_stream_source
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    d = tempfile.mkdtemp(prefix="stream_health_")
-    try:
-        os.symlink(
-            os.path.abspath(f"{sf_dir}/events.parquet"),
-            os.path.join(d, "events.parquet"),
-        )
-        stream = (
-            events_stream_source(spark, f"{sf_dir}/events.parquet", d)
-            .select(
-                F.lit("EVENTS").alias("symbol"),
-                "ts",
-                F.col("value").alias("bid"),
-                (F.col("value") * 1.01).alias("ask"),
-            )
+    with _replayed_events(spark, sf_dir, "stream_health_") as src:
+        stream = src.select(
+            F.lit("EVENTS").alias("symbol"),
+            "ts",
+            F.col("value").alias("bid"),
+            (F.col("value") * 1.01).alias("ask"),
         )
         agg = session_window_aggregate(
             stream, windows=((7, 0, 12, 0), (13, 0, 18, 0))
         )
+        # health_check needs the LIVE query, so this site drives its own
+        # memory sink instead of _materialized
         q = (
             agg.writeStream.outputMode("append")
             .format("memory")
@@ -526,8 +527,6 @@ def streaming_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name string, healthy boolean, exception string, "
             "total_input_rows long, emitted_rows long",
         )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
 
 
 _APPROX_AGG_ORACLE = """
@@ -690,13 +689,7 @@ def streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch, whose np.cumsum prefix is the same left-to-right
     accumulation as the oracle's windowed SUM — so the emitted alarm
     set matches the batch closed form bit-for-bit."""
-    import os
-    import shutil
-    import tempfile
-
-    from ..sources.io import events_stream_source
     from ..streaming.monitors import cusum_monitor
-    from ..streaming.session_pipeline import run_stream_to_memory
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _td(spark, sf_dir, "events")
@@ -719,13 +712,8 @@ def streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         var = r["s2"] / r["n"] - mu * mu
         ref[r["symbol"]] = (mu, var**0.5 if var > 0 else 0.0)
 
-    d = tempfile.mkdtemp(prefix="stream_cusum_")
-    try:
-        os.symlink(
-            os.path.abspath(f"{sf_dir}/events.parquet"),
-            os.path.join(d, "events.parquet"),
-        )
-        stream = events_stream_source(spark, f"{sf_dir}/events.parquet", d).select(
+    with _replayed_events(spark, sf_dir, "stream_cusum_") as src:
+        stream = src.select(
             F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
                 "symbol"
             ),
@@ -734,11 +722,7 @@ def streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         alarms = cusum_monitor(stream, ref, k=0.5, h=3.0)
-        out = run_stream_to_memory(alarms, "reg_stream_cusum")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+        return _materialized(spark, alarms, "reg_stream_cusum")
 
 
 @_register(
@@ -874,30 +858,13 @@ def streaming_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums make any replay — any batch slicing, any parallelism —
     bit-identical to the one-shot computation, which is the exactly-once
     contract an append-mode bar sink needs."""
-    import os
-    import shutil
-    import tempfile
-
-    from ..sources.io import events_stream_source
     from ..streaming.bars import vwap_bars_stream
-    from ..streaming.session_pipeline import run_stream_to_memory
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    d = tempfile.mkdtemp(prefix="stream_vwap_")
-    try:
-        os.symlink(
-            os.path.abspath(f"{sf_dir}/events.parquet"),
-            os.path.join(d, "events.parquet"),
-        )
-        stream = events_stream_source(spark, f"{sf_dir}/events.parquet", d).select(
+    with _replayed_events(spark, sf_dir, "stream_vwap_") as src:
+        stream = src.select(
             F.col("user_id").alias("symbol"),
             "ts",
             "value",
             (F.col("event_id") % 100 + 1).alias("size"),
         )
-        bars = vwap_bars_stream(stream)
-        out = run_stream_to_memory(bars, "reg_stream_vwap")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+        return _materialized(spark, vwap_bars_stream(stream), "reg_stream_vwap")

@@ -120,7 +120,8 @@ def test_pps_sample_exact_count_and_certainty(spark):
         [(i, 1) for i in range(50)] + [(999, 1000), (0, None), (1000, 0)],
         "doc_id long, wt long",
     )
-    ids = {r.doc_id for r in pps_systematic_sample(mixed, "wt", 5).collect()}
+    rows = pps_systematic_sample(mixed, "wt", 5).collect()
+    ids = [r.doc_id for r in rows]
     assert 999 in ids  # heavier than stride → certain
     assert 1000 not in ids  # zero weight
-    assert sum(1 for r in ids if r == 999) == 1  # emitted once
+    assert ids.count(999) == 1  # covers >1 grid point but emitted once
