@@ -103,6 +103,7 @@ _ADJUDICATION_PRIORITY = [
     "streaming_session_agg",
     "streaming_cusum_alarms",
     # r5 registrations that missed the r5 window
+    "events_psi_drift",
     "orders_scd2_asof_state",
     "ticks_market_beta",
     "streaming_vwap_bars",

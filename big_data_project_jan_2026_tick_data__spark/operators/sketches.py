@@ -142,3 +142,58 @@ def histogram_percentiles(
         * F.lit(width)
     )
     return hit.select(*group_cols, "p", est.alias("est"))
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+    grid: float = 1e9,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    window of the same metric — the standard drift monitor a serving
+    pipeline runs per feature (PSI < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 shifted). Both sides histogram through
+    :func:`histogram_rollup` (so at scale the inputs can be PERSISTED
+    rollup tables — drift checks then never rescan raw data), bins are
+    Laplace-smoothed by one count so empty bins stay finite, and
+    PSI = Σ (p_i − q_i)·ln(p_i/q_i) over ≤ ``nbins`` bins.
+
+    Determinism: the only transcendental is ln over smoothed count
+    ratios; each bin's contribution snaps to a 1/``grid`` integer grid
+    and the ≤ nbins BIGINT terms sum exactly, so partial-agg order
+    cannot move the q6 result (scale-separation rule: a 1-ulp ln flip
+    moves the sum by 1e-9, three orders under the q6 resolution).
+    Returns (group_cols…, psi_q6).
+    """
+    hr = histogram_rollup(ref, group_cols, value_col, lo, hi, nbins)
+    hc = histogram_rollup(cur, group_cols, value_col, lo, hi, nbins)
+    keys = [*group_cols, "bin"]
+    joined = (
+        hr.selectExpr(*keys, "cnt AS rc")
+        .join(hc.selectExpr(*keys, "cnt AS cc"), keys, "full")
+        .fillna({"rc": 0, "cc": 0})
+    )
+    tot = joined.groupBy(*group_cols).agg(
+        F.sum("rc").alias("rn"), F.sum("cc").alias("cn")
+    )
+    j = joined.join(tot, list(group_cols))
+    # Laplace smoothing: +1 per bin, denominator + nbins
+    p = (F.col("rc") + 1).cast("double") / (F.col("rn") + nbins).cast("double")
+    q = (F.col("cc") + 1).cast("double") / (F.col("cn") + nbins).cast("double")
+    contrib = F.floor((p - q) * F.log(p / q) * F.lit(grid) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    out = j.select(*group_cols, contrib.alias("__c")).groupBy(*group_cols).agg(
+        F.sum("__c").alias("__s")
+    )
+    return out.select(
+        *group_cols,
+        (F.floor(F.col("__s").cast("double") / F.lit(grid) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "psi_q6"
+        ),
+    )

@@ -868,3 +868,61 @@ def streaming_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_id") % 100 + 1).alias("size"),
         )
         return _materialized(spark, vwap_bars_stream(stream), "reg_stream_vwap")
+
+
+@_register(
+    "events_psi_drift",
+    """
+    WITH r AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS INT), 0), 19) AS bin,
+             COUNT(*) AS rc
+      FROM events
+      WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-08 00:00:00'
+      GROUP BY 1, 2),
+    c AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS INT), 0), 19) AS bin,
+             COUNT(*) AS cc
+      FROM events
+      WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      GROUP BY 1, 2),
+    f AS (
+      SELECT COALESCE(r.event_type, c.event_type) AS event_type,
+             COALESCE(r.bin, c.bin) AS bin,
+             COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
+      FROM r FULL JOIN c ON r.event_type = c.event_type AND r.bin = c.bin),
+    t AS (SELECT event_type, SUM(rc) AS rn, SUM(cc) AS cn FROM f GROUP BY 1),
+    s AS (
+      SELECT f.event_type,
+             CAST(FLOOR(
+               ((rc + 1) * 1.0 / (rn + 20) - (cc + 1) * 1.0 / (cn + 20))
+               * ln(((rc + 1) * 1.0 / (rn + 20)) / ((cc + 1) * 1.0 / (cn + 20)))
+               * 1e9 + 0.5) AS BIGINT) AS c9
+      FROM f JOIN t USING (event_type))
+    SELECT event_type,
+           FLOOR(SUM(c9) * 1.0 / 1e9 * 1e6 + 0.5) / 1e6 AS psi_q6
+    FROM s GROUP BY 1
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability drift monitor (`operators/sketches.py::
+    psi_drift`): per-event-type PSI between the first and second halves
+    of the stream's date range, over the same 20-bin fixed histogram
+    the percentile rollup uses — at scale both sides read PERSISTED
+    rollup tables, never raw data. Bin contributions snap to a 1e-9
+    integer grid before the ≤ 20-term sum (the doc_token_entropy
+    scale-separation rule), so the q6 PSI is layout-independent."""
+    from ..operators import sketches
+
+    ev = _td(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cut = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    return sketches.psi_drift(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        ("event_type",),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        nbins=20,
+    )

@@ -125,3 +125,21 @@ def test_pps_sample_exact_count_and_certainty(spark):
     assert 999 in ids  # heavier than stride → certain
     assert 1000 not in ids  # zero weight
     assert ids.count(999) == 1  # covers >1 grid point but emitted once
+
+
+def test_psi_drift_zero_for_identical_and_large_for_shift(spark):
+    from big_data_project_jan_2026_tick_data__spark.operators.sketches import (
+        psi_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(1, float(i % 50)) for i in range(2000)], "g int, v double"
+    )
+    same = {r.g: r.psi_q6 for r in psi_drift(a, a, ("g",), "v", 0.0, 100.0).collect()}
+    assert same[1] == 0.0  # identical histograms → every contribution 0
+
+    shifted = spark.createDataFrame(
+        [(1, 50.0 + float(i % 50)) for i in range(2000)], "g int, v double"
+    )
+    far = {r.g: r.psi_q6 for r in psi_drift(a, shifted, ("g",), "v", 0.0, 100.0).collect()}
+    assert far[1] > 1.0  # disjoint supports → strongly shifted
