@@ -104,6 +104,7 @@ _ADJUDICATION_PRIORITY = [
     "streaming_cusum_alarms",
     # r5 registrations that missed the r5 window
     "events_psi_drift",
+    "orders_seasonal_decompose",
     "orders_scd2_asof_state",
     "ticks_market_beta",
     "streaming_vwap_bars",

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import (  # noqa: F401
@@ -2081,4 +2081,94 @@ def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     return label_propagation(edges, iters=4).select(
         F.col("node").alias("part_key"), F.col("label").alias("community")
+    )
+
+
+@_register(
+    "orders_seasonal_decompose",
+    """
+    WITH m AS (
+      -- DuckDB's month-grain date_trunc yields DATE; cast back so the
+      -- column hashes identically to Spark's TIMESTAMP month
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT month, rev_cents,
+             SUM(rev_cents) OVER w AS t12,
+             COUNT(*) OVER w AS wn,
+             month(month) AS moy
+      FROM m
+      WINDOW w AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)),
+    d AS (
+      SELECT *, CASE WHEN wn = 12 THEN 12 * rev_cents - t12 END AS dev12 FROM t),
+    s AS (
+      SELECT moy,
+             CAST(SUM(dev12) AS BIGINT) AS ds, COUNT(dev12) AS dn
+      FROM d WHERE dev12 IS NOT NULL GROUP BY moy)
+    SELECT d.month,
+           FLOOR(d.rev_cents * 1.0 / 100 * 1e6 + 0.5) / 1e6 AS revenue,
+           CASE WHEN d.wn = 12
+                THEN FLOOR(d.t12 * 1.0 / 12 / 100 * 1e6 + 0.5) / 1e6 END AS trend,
+           CASE WHEN s.dn > 0
+                THEN FLOOR(s.ds * 1.0 / s.dn / 12 / 100 * 1e6 + 0.5) / 1e6
+                END AS seasonal,
+           CASE WHEN d.wn = 12 AND s.dn > 0
+                THEN FLOOR((d.dev12 * 1.0 / 12 / 100 - s.ds * 1.0 / s.dn / 12 / 100)
+                           * 1e6 + 0.5) / 1e6 END AS residual
+    FROM d LEFT JOIN s ON s.moy = d.moy
+    """,
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of monthly revenue — trend =
+    centered 12-month moving average (NULL at the edges where the
+    window is short), seasonal = per-calendar-month mean deviation,
+    residual = remainder. Window math runs over the MONTHLY aggregate
+    (corpus-size-independent, the orders_seasonality precedent); every
+    cross-engine aggregate is integer cents — deviations are kept in
+    cents×12 (12·rev − Σ12) so no division happens before the bounded
+    per-month mean, making the q6 outputs layout-independent."""
+    orders = _td(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(cents).alias("rev_cents")
+    )
+    w = Window.orderBy("month").rowsBetween(-6, 5)
+    t = m.select(
+        "month",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("t12"),
+        F.count("*").over(w).alias("wn"),
+        F.month("month").alias("moy"),
+    ).withColumn(
+        "dev12",
+        F.when(F.col("wn") == 12, 12 * F.col("rev_cents") - F.col("t12")),
+    )
+    s = (
+        t.filter(F.col("dev12").isNotNull())
+        .groupBy("moy")
+        .agg(F.sum("dev12").alias("ds"), F.count("dev12").alias("dn"))
+    )
+
+    def q6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    j = t.join(s, "moy", "left")
+    return j.select(
+        "month",
+        q6(F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        F.when(
+            F.col("wn") == 12, q6(F.col("t12").cast("double") / 12 / 100)
+        ).alias("trend"),
+        F.when(
+            F.col("dn") > 0, q6(F.col("ds").cast("double") / F.col("dn") / 12 / 100)
+        ).alias("seasonal"),
+        F.when(
+            (F.col("wn") == 12) & (F.col("dn") > 0),
+            q6(
+                F.col("dev12").cast("double") / 12 / 100
+                - F.col("ds").cast("double") / F.col("dn") / 12 / 100
+            ),
+        ).alias("residual"),
     )
