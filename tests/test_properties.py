@@ -1099,3 +1099,72 @@ def test_scd2_history_and_apply_match_python_oracle(spark, data, cut):
         for r in merged.collect()
     }
     assert got2 == want
+
+
+@given(
+    weights=st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    n_target=st.integers(1, 8),
+    offs=st.tuples(st.integers(0, 4), st.integers(5, 8)),
+)
+@settings(**SETTINGS)
+def test_pps_sample_matches_python_oracle(spark, weights, n_target, offs):
+    """Systematic PPS selection must equal the integer reference
+    implementation for any weights (zeros included), target size, and
+    start phase — the grid-crossing rule is pure integer arithmetic,
+    so there is exactly one right answer."""
+    from big_data_project_jan_2026_tick_data__spark.operators.text import (
+        pps_systematic_sample,
+    )
+
+    off_num, off_den = offs
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    got = sorted(
+        r.doc_id
+        for r in pps_systematic_sample(
+            df, "wt", n_target, offset_num=off_num, offset_den=off_den
+        ).collect()
+    )
+
+    pos = [(i, w) for i, w in rows if w and w > 0]
+    W = sum(w for _, w in pos)
+    want = []
+    if W:
+        off = (W * off_num) // off_den
+        cum = 0
+        for i, w in pos:
+            prev, cum = cum, cum + w
+            if (n_target * cum - off + W) // W > (n_target * prev - off + W) // W:
+                want.append(i)
+    assert got == sorted(want)
+
+
+@given(
+    vals=st.lists(
+        st.floats(0.0, 99.999, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=60,
+    ),
+    p=st.sampled_from([0.1, 0.5, 0.9, 0.99]),
+)
+@settings(**SETTINGS)
+def test_histogram_percentile_within_bin_width(spark, vals, p):
+    """Histogram percentile estimates stay within one bin width of the
+    exact order statistic at rank ceil(p·n) for arbitrary data."""
+    import math as _math
+
+    from big_data_project_jan_2026_tick_data__spark.operators import sketches
+
+    df = spark.createDataFrame([(1, float(v)) for v in vals], "g int, v double")
+    lo, hi, nbins = 0.0, 100.0, 50
+    width = (hi - lo) / nbins
+    partials = sketches.histogram_rollup(df, ("g",), "v", lo, hi, nbins)
+    est = {
+        r.p: r.est
+        for r in sketches.histogram_percentiles(
+            partials, ("g",), (p,), lo, hi, nbins
+        ).collect()
+    }[p]
+    target = max(1, _math.ceil(p * len(vals)))
+    exact = sorted(vals)[target - 1]
+    assert abs(est - exact) <= width + 1e-9, (est, exact, vals, p)
