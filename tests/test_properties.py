@@ -1168,3 +1168,99 @@ def test_histogram_percentile_within_bin_width(spark, vals, p):
     target = max(1, _math.ceil(p * len(vals)))
     exact = sorted(vals)[target - 1]
     assert abs(est - exact) <= width + 1e-9, (est, exact, vals, p)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=30
+    ),
+)
+@settings(**SETTINGS)
+def test_triangle_counts_match_python_oracle(spark, edges):
+    """Degree-oriented triangle counting equals brute-force triple
+    enumeration on arbitrary small graphs (self-loops and duplicate /
+    reversed edges included)."""
+    from itertools import combinations
+
+    from big_data_project_jan_2026_tick_data__spark.operators.graph import (
+        triangle_counts,
+    )
+
+    simple = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in simple for n in e}
+    want: dict[int, int] = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (a, c), (b, c)} <= simple:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == want
+
+
+@given(
+    ticks=st.lists(
+        st.tuples(
+            st.integers(0, 299),                 # seconds offset inside 5 min
+            st.floats(1.0, 999.0, allow_nan=False, allow_infinity=False),
+            st.integers(1, 9),                   # size
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_vwap_twap_match_python_oracle(spark, ticks):
+    """VWAP/TWAP bars equal a sequential python walk for arbitrary tick
+    patterns — duplicate timestamps, bar-boundary ticks, single-tick
+    bars."""
+    import datetime as dt
+    import math as _math
+
+    from big_data_project_jan_2026_tick_data__spark.operators.ticks import (
+        vwap_twap_bars,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        ("S", t0 + dt.timedelta(seconds=s), float(p), int(v), i)
+        for i, (s, p, v) in enumerate(ticks)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, price double, sz int, tid int"
+    )
+    got = {
+        r.bar_start: (r.n_ticks, r.volume, r.vwap, r.twap)
+        for r in vwap_twap_bars(
+            df, ts_col="ts", price_col="price", size_col="sz",
+            interval_ms=60_000, partition_cols=("symbol",),
+            tiebreak_cols=("tid",),
+        ).collect()
+    }
+
+    def q6(x):
+        return _math.floor(x * 1e6 + 0.5) / 1e6
+
+    srt = sorted(rows, key=lambda r: (r[1], r[4]))
+    bars: dict = {}
+    for i, (_, ts, p, v, _tid) in enumerate(srt):
+        bar = ts.replace(second=0)
+        tms = ts.timestamp() * 1000
+        bar_end = bar.timestamp() * 1000 + 60_000
+        nxt = srt[i + 1][1].timestamp() * 1000 if i + 1 < len(srt) else None
+        dur = min(nxt, bar_end) - tms if nxt is not None else bar_end - tms
+        p4 = _math.floor(p * 1e4 + 0.5)
+        b = bars.setdefault(bar, [0, 0, 0, 0, 0])  # n, sv, spv, sd, spd
+        b[0] += 1
+        b[1] += v
+        b[2] += p4 * v
+        b[3] += int(dur)
+        b[4] += p4 * int(dur)
+    want = {
+        bar: (n, sv, q6(spv / sv / 1e4), q6(spd / sd / 1e4))
+        for bar, (n, sv, spv, sd, spd) in bars.items()
+    }
+    assert got == want
