@@ -94,8 +94,10 @@ def scd2_history(
 
 def scd2_as_of(history: DataFrame, ts) -> DataFrame:
     """Dimension state as of ``ts``: the one interval per key covering
-    it. Pure filter — prunable, shuffle-free."""
-    t = F.lit(ts).cast("timestamp")
+    it. Pure filter — prunable, shuffle-free. The literal is cast to
+    whatever type the history's interval columns carry (timestamp,
+    date, epoch long, ...), matching scd2_history's ts genericity."""
+    t = F.lit(ts).cast(history.schema[EFFECTIVE_FROM].dataType)
     return history.filter(
         (F.col(EFFECTIVE_FROM) <= t)
         & (F.col(EFFECTIVE_TO).isNull() | (t < F.col(EFFECTIVE_TO)))

@@ -1264,3 +1264,36 @@ def test_vwap_twap_match_python_oracle(spark, ticks):
         for bar, (n, sv, spv, sd, spd) in bars.items()
     }
     assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from("AB"), st.integers(0, 12)),
+        min_size=1,
+        max_size=15,
+    ),
+    at=st.integers(0, 13),
+)
+@settings(**SETTINGS)
+def test_scd2_as_of_matches_python_state(spark, data, at):
+    """Point-in-time reconstruction: for an arbitrary change log and
+    any as-of instant, scd2_as_of returns exactly the python-derived
+    state — one row per key whose first change is at or before the
+    instant, carrying the latest attribute."""
+    from big_data_project_jan_2026_tick_data__spark.plans.scd import (
+        scd2_as_of,
+        scd2_history,
+    )
+
+    rows = [(k, a, t, i) for i, (k, a, t) in enumerate(data)]
+    df = spark.createDataFrame(rows, "k int, attr string, ts long, id int")
+    hist = scd2_history(
+        df, key_cols=("k",), attr_cols=("attr",), ts_col="ts", tiebreak_cols=("id",)
+    )
+    got = {r.k: r.attr for r in scd2_as_of(hist, at).collect()}
+
+    want: dict[int, str] = {}
+    for k, a, t, i in sorted(rows, key=lambda r: (r[2], r[3])):
+        if t <= at:
+            want[k] = a
+    assert got == want
