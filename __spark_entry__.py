@@ -23,86 +23,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates a bounded window (the first ~50 names) per
-# round, so dict order is the scheduling lever. Round-5 ordering, per
-# the r4 verdict: CHANGED-CODE RE-PROOF OUTRANKS NEW-QUERY PROOF — a
-# changed green is unproven, a new query is merely unknown.
-# (a) queries whose code/oracle changed THIS round (the 3 fixed r4
-#     hash-FAILs, the float-sum hardening family, the advisor's latent
-#     quantizer fixes) + the one new query,
-# (b) queries changed in r4 still carrying stale r3 verdicts,
-# (c) the never-adjudicated r4 registrations,
-# (d) green queries with the OLDEST verdicts (r1 set) so every row's
-#     proof stays fresh against regenerated testdata.
+# round, so dict order is the scheduling lever. Round-6 ordering, per
+# the standing rule: CHANGED-CODE RE-PROOF OUTRANKS NEW-QUERY PROOF —
+# a changed green is unproven, a new query is merely unknown.
+# (a) the 3 r5 hash-FAILs, rebuilt this round on functions.detmath
+#     (bit-identical cross-engine log2/ln; libm was the residual
+#     mismatch) — the only changed-code rows,
+# (b) r4/r5-refactored streaming rows still carrying stale verdicts,
+# (c) the r5 registrations that missed the r5 window (never
+#     adjudicated),
+# (d) green queries with the OLDEST verdicts (r1 then r2 sets — three
+#     to four testdata generations old) so no proof goes stale.
 # Deliberately absent: every rows-only entry (doc_minhash_pairs,
 # doc_simhash_pairs, doc_fingerprints, ml_anomaly_scores,
 # ml_anomaly_scores_ae, emb_ivf_topk, ...) — a slot spent there can
 # only ever say `no_oracle`; their value proofs live in md5/mean/
 # fixed-weight twins (ml_anomaly_scores_ae → ml_anomaly_scores_ae_fixedw).
 _ADJUDICATION_PRIORITY = [
-    # (a) fixed r4 hash-FAILs — order-independent integer sums now
+    # (a) r5 hash-FAILs rewritten on detmath (code + oracle changed)
     "doc_token_entropy",
     "doc_mixture_weights",
     "doc_distinctive_terms",
-    # (a) float-sum hardening + advisor quantizer fixes (code changed)
-    "ticks_symbol_correlation",
-    "ticks_return_acf",
-    "events_moment_stats",
-    "events_zipf_fit",
-    "emb_diversity_report",
-    "doc_source_divergence",
-    "emb_mmr_rerank",
-    "ticks_drawdown",
-    "events_robust_outliers",
-    # (a) NEW: fixed-weight autoencoder scoring value proof
-    "ml_anomaly_scores_ae_fixedw",
-    # (b) changed in r4, verdict still stale r3
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "approx_aggregates",
-    "doc_hash_sample",
-    "streaming_health",
-    "tracking_best_run",
-    "doc_dup_clusters",
-    "doc_leakage_safe_split",
-    "emb_dup_clusters",
-    "emb_lsh_topk",
-    "emb_ivf_exact",
-    "emb_kmeans",
-    "emb_near_dup_pairs",
-    # (c) registered in r4, never adjudicated
-    "orders_cohort_ltv",
-    "events_top_paths",
-    "ticks_parkinson_vol",
-    "events_dau_mau",
-    "supplier_return_rates",
-    "events_alarm_episodes",
-    "doc_pmi_collocations",
-    "part_fuzzy_link",
-    "orders_segment_migration",
-    # (c') registered in r5 (SCD2 dimension history, mergeable HLL,
-    # JSONL corpus roundtrip)
-    "orders_scd2_priority",
-    "orders_scd2_apply",
-    "events_hll_user_reach",
-    "doc_jsonl_roundtrip",
-    "events_histogram_percentiles",
-    "ticks_vwap_twap",
-    # (d) oldest green verdicts — r1 set, three testdata generations old
-    "ticks_value_stats",
-    "tpch_q1",
-    "tpch_q3_top10",
-    "tpch_q5_region_revenue",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "topk_orders_per_priority",
-    "window_lag_lead_rank",
-    "rollup_orders",
-    # ---- 50-slot window boundary; the rest queue for r6 ----
-    # r6 head: harness-refactored this round (shared replay helper) —
-    # changed-code re-proof outranks the rest of the queue
+    # (b) shared-replay-harness refactor in r5, verdicts stale r3/r4
     "streaming_session_agg",
     "streaming_cusum_alarms",
-    # r5 registrations that missed the r5 window
+    # (c) registered in r5, never adjudicated
     "events_psi_drift",
     "orders_seasonal_decompose",
     "orders_scd2_asof_state",
@@ -111,6 +56,7 @@ _ADJUDICATION_PRIORITY = [
     "part_copurchase_triangles",
     "part_copurchase_communities",
     "doc_weighted_sample",
+    # (d) r1-stale greens — oldest proofs in the registry
     "cube_orders",
     "pivot_user_event_values",
     "stats_min_max_metadata",
@@ -130,10 +76,11 @@ _ADJUDICATION_PRIORITY = [
     "doc_exact_dedup",
     "doc_lang_id",
     "emb_cosine_topk",
-    # (c) r2 set, as window room permits
+    # (d) r2-stale greens
     "tpch_q2_min_acctbal_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
+    "tpch_q9_product_profit",
     "tpch_q10_returned_items",
     "tpch_q11_important_parts",
     "tpch_q13_customer_distribution",
@@ -142,11 +89,13 @@ _ADJUDICATION_PRIORITY = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_predicate",
     "tpch_q20_part_promotion",
+    "tpch_q21_sole_fault_supplier",
     "tpch_q22_global_sales_opportunity",
     "doc_ngram_jaccard",
     "doc_quality_scores",
     "doc_pack_sequences",
     "doc_scrub_pii",
+    # ---- ~50-slot window boundary; the rest queue for r7 ----
     "doc_strip_boilerplate",
     "emb_label_centroids",
     "orders_unpivot",

@@ -696,6 +696,11 @@ def mixture_weights(
     1e-6 integer grid before the normalizing total — so every float the
     two oracle engines compare is a pointwise function of exact integer
     aggregates, never an unordered float sum (the r4 hash-FAIL class).
+    For the default ``alpha=0.5`` the tempering uses ``sqrt`` — IEEE-754
+    requires sqrt to be correctly rounded, so it is bit-identical across
+    engines; libm ``pow(x, 0.5)`` is NOT and was the r5 residual
+    hash-FAIL.  Non-0.5 alphas fall back to ``pow`` and are only
+    ulp-deterministic within one engine.
     """
     scored = with_quality_score(df)
     toks = F.split(normalize_text(F.col(text_col)), " ")
@@ -713,9 +718,12 @@ def mixture_weights(
         )
     )
     mq = (F.col("__sq9").cast("double") / F.col("n_docs")) / F.lit(1e9)
-    w6int = F.floor(
-        F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) * mq * 1e6 + F.lit(0.5)
+    tempered = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
     )
+    w6int = F.floor(tempered * mq * 1e6 + F.lit(0.5))
     per_src = per_src.withColumn("__w6", w6int)
     tot = per_src.agg(F.sum("__w6").alias("__tw6"))
     wq = F.col("__w6").cast("double") / F.lit(1e6)
@@ -755,11 +763,14 @@ def distinctive_terms(
     For term t in group s: δ = ln((y_st+α)/(n_s+α0−y_st−α)) −
     ln((y_t−y_st+α)/(n−n_s+α0−(y_t−y_st)−α)), z = δ/√(1/(y_st+α) +
     1/(y_t−y_st+α)); the top-``top_k`` per group by z (q4-quantized
-    BEFORE ranking, ties → term). z is quantized at 1e-4 — coarser than
-    the usual q6 — because |z| reaches the thousands on frequent terms
-    and every aggregate feeding it is an exact integer, so the only
-    cross-engine noise is the ~1-ulp ln() difference; a 1e-4 grid makes
-    a boundary flip (the r4 hash-FAIL mode) vanishingly unlikely.
+    BEFORE ranking, ties → term).
+
+    Determinism: every ln() is functions.detmath's shift-and-series
+    evaluation (bit-identical across Spark and DuckDB — libm ln was the
+    r5 residual hash-FAIL), the four ln arguments are staged as columns
+    built from exact double ops on integer aggregates, and √ is IEEE
+    correctly-rounded — so z is the same double on both engines and the
+    q4 snap can never flip.
 
     Scale shape: one (group, term) hash agg, one term agg, one broadcast
     of scalar totals, one broadcast term-margin join, and a per-group
@@ -767,6 +778,8 @@ def distinctive_terms(
     shuffles twice. α0 = α·V where V is the vocabulary size.
     """
     from pyspark.sql import Window
+
+    from ..functions import detmath
 
     toks = F.split(normalize_text(F.col(text_col)), " ")
     stream = df.select(F.col(group_col).alias("grp"), F.explode(toks).alias("term")).filter(
@@ -787,14 +800,29 @@ def distinctive_terms(
     a0 = a * F.col("v")
     y_rest = F.col("y_t") - F.col("y_st")
     n_rest = F.col("n") - F.col("n_s")
-    delta = F.log(
-        (F.col("y_st") + a) / (F.col("n_s") + a0 - F.col("y_st") - a)
-    ) - F.log((y_rest + a) / (n_rest + a0 - y_rest - a))
-    var = 1.0 / (F.col("y_st") + a) + 1.0 / (y_rest + a)
-    z = F.floor(delta / F.sqrt(var) * 1e4 + F.lit(0.5)) / 1e4
+    # Stage the ln arguments as short-named columns: the detmath
+    # expansion repeats its argument textually, and both engines must
+    # see the identical arithmetic producing them.
+    staged = j.select(
+        "grp",
+        "term",
+        "y_st",
+        "y_t",
+        (F.col("y_st") + a).alias("__na"),
+        (F.col("n_s") + a0 - F.col("y_st") - a).alias("__da"),
+        (y_rest + a).alias("__nb"),
+        (n_rest + a0 - y_rest - a).alias("__db"),
+        (1.0 / (F.col("y_st") + a) + 1.0 / (y_rest + a)).alias("__var"),
+    )
+    # __na >= 1 + alpha always (y_st >= 1); the others can dip below 1
+    # on rare terms, so they keep the 1/q inversion branch.
+    delta = (
+        detmath.det_ln_pos("__na", assume_ge_1=True) - detmath.det_ln_pos("__da")
+    ) - (detmath.det_ln_pos("__nb") - detmath.det_ln_pos("__db"))
+    z = F.floor(delta / F.sqrt("__var") * 1e4 + F.lit(0.5)) / 1e4
     w = Window.partitionBy("grp").orderBy(F.col("z_q4").desc(), F.col("term").asc())
     return (
-        j.withColumn("z_q4", z)
+        staged.withColumn("z_q4", z)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select(

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import detmath
 from ..operators import (  # noqa: F401
     dedup,
     joins,
@@ -1445,7 +1446,7 @@ def doc_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s),
     s3 AS (
       SELECT *,
-             CAST(FLOOR(power(CAST(n_tokens AS DOUBLE), 0.5) * mq * 1e6 + 0.5)
+             CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * mq * 1e6 + 0.5)
                   AS BIGINT) AS w6
       FROM s2),
     t AS (SELECT sum(w6) AS tw6 FROM s3)
@@ -1482,14 +1483,25 @@ def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tm AS (SELECT term, sum(y_st) AS y_t FROM gt GROUP BY 1),
     gm AS (SELECT grp, sum(y_st) AS n_s FROM gt GROUP BY 1),
     tt AS (SELECT sum(y_st) AS n, count(DISTINCT term) AS v FROM gt),
-    sc AS (
+    sc0 AS (
       SELECT gt.grp, gt.term, gt.y_st, tm.y_t,
-             ln((gt.y_st + 0.01) / (gm.n_s + 0.01 * tt.v - gt.y_st - 0.01))
-               - ln(((tm.y_t - gt.y_st) + 0.01)
-                    / ((tt.n - gm.n_s) + 0.01 * tt.v - (tm.y_t - gt.y_st) - 0.01))
-               AS delta,
-             1.0 / (gt.y_st + 0.01) + 1.0 / ((tm.y_t - gt.y_st) + 0.01) AS var
-      FROM gt JOIN tm USING (term) JOIN gm USING (grp) CROSS JOIN tt)
+             gt.y_st + {detmath.dlit(0.01)} AS na,
+             gm.n_s + {detmath.dlit(0.01)} * tt.v
+               - gt.y_st - {detmath.dlit(0.01)} AS da,
+             (tm.y_t - gt.y_st) + {detmath.dlit(0.01)} AS nb,
+             (tt.n - gm.n_s) + {detmath.dlit(0.01)} * tt.v
+               - (tm.y_t - gt.y_st) - {detmath.dlit(0.01)} AS db,
+             1.0 / (gt.y_st + {detmath.dlit(0.01)})
+               + 1.0 / ((tm.y_t - gt.y_st) + {detmath.dlit(0.01)}) AS var
+      FROM gt JOIN tm USING (term) JOIN gm USING (grp) CROSS JOIN tt),
+    sc AS (
+      SELECT grp, term, y_st, y_t,
+             (({detmath.det_ln_pos_sql('na', 'duckdb', assume_ge_1=True)}
+               - {detmath.det_ln_pos_sql('da', 'duckdb')})
+              - ({detmath.det_ln_pos_sql('nb', 'duckdb')}
+                 - {detmath.det_ln_pos_sql('db', 'duckdb')})) AS delta,
+             var
+      FROM sc0)
     SELECT grp AS source, term, y_st, y_t, z_q4, rank FROM (
       SELECT grp, term, y_st, y_t,
              FLOOR(delta / sqrt(var) * 1e4 + 0.5) / 1e4 AS z_q4,
@@ -1504,7 +1516,10 @@ def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinctive vocabulary: informative-Dirichlet-prior
     log-odds z-scores (Monroe et al. 2008), top-5 per source — the
     corpus-comparison statistic behind 'what makes this slice different'
-    (text.distinctive_terms)."""
+    (text.distinctive_terms).  All ln() via functions.detmath, ln args
+    staged as double columns — bit-identical across engines; libm ln
+    plus DuckDB's exact-DECIMAL literal arithmetic was the r5 residual
+    hash-FAIL."""
     docs = _td(spark, sf_dir, "documents")
     return text.distinctive_terms(docs, group_col="source", top_k=5)
 
@@ -1575,23 +1590,30 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents) t
       WHERE length(w) > 0),
     tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    l AS (SELECT doc_id, c, {detmath.det_log2_int_sql('c', 'duckdb')} AS l2c
+          FROM tf),
     agg AS (
       SELECT doc_id,
              sum(c) AS nt,
              count(*) AS n_distinct,
-             sum(CAST(FLOOR(c * log2(c) * 1e9 + 0.5) AS BIGINT)) AS s9
-      FROM tf GROUP BY 1),
+             sum(CAST(FLOOR(CAST(c AS DOUBLE) * l2c * 1e9 + 0.5) AS BIGINT)) AS s9
+      FROM l GROUP BY 1),
     h AS (
-      SELECT doc_id, nt, n_distinct,
-             log2(nt) - (CAST(s9 AS DOUBLE) / 1e9) / nt AS ent
-      FROM agg)
+      SELECT doc_id, nt, n_distinct, s9,
+             {detmath.det_log2_int_sql('nt', 'duckdb')} AS l2nt,
+             {detmath.det_log2_int_sql('n_distinct', 'duckdb')} AS l2nd
+      FROM agg),
+    h2 AS (
+      SELECT doc_id, nt, n_distinct, l2nd,
+             l2nt - (CAST(s9 AS DOUBLE) / 1e9) / CAST(nt AS DOUBLE) AS ent
+      FROM h)
     SELECT doc_id,
            nt AS n_tokens,
            n_distinct,
            FLOOR(ent * 1e6 + 0.5) / 1e6 AS entropy_q6,
-           FLOOR(CASE WHEN n_distinct > 1 THEN ent / log2(n_distinct)
-                 ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS entropy_norm_q6
-    FROM h
+           FLOOR((CASE WHEN n_distinct > 1 THEN ent / l2nd
+                  ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS entropy_norm_q6
+    FROM h2
     """,
 )
 def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1601,12 +1623,12 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     templated text, ~1 normalized = uniform word soup. One (doc, term)
     hash agg, one per-doc agg — the text never shuffles twice.
 
-    Determinism: uses H = log2(nt) − (Σ c·log2 c)/nt with each per-term
-    contribution snapped to a 1e-9 integer grid and summed as BIGINT, so
-    the aggregate is exact and independent of partial-agg order (the r4
-    hash-FAIL was an unordered float sum crossing the q6 boundary); a
-    grid flip from a 1-ulp log2 difference shifts H by only 1e-9/nt,
-    far below the q6 output resolution."""
+    Determinism: H = log2(nt) − (Σ c·log2 c)/nt with every log2 taken
+    from functions.detmath (bit-identical across Spark and DuckDB — the
+    r5 residual hash-FAIL was libm log2 differing by 1 ulp between the
+    engines and flipping a FLOOR grid cell), each per-term contribution
+    snapped to a 1e-9 integer grid, and the per-doc total summed as
+    BIGINT — exact and partial-agg-order independent."""
     from ..operators.text import normalize_text
 
     docs = _td(spark, sf_dir, "documents")
@@ -1615,21 +1637,28 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("w") > 0
     )
     tf = stream.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    lg = tf.withColumn("l2c", detmath.det_log2_int("c"))
     q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
-    contrib9 = F.floor(F.col("c") * F.log2("c") * 1e9 + F.lit(0.5))
-    agg = tf.groupBy("doc_id").agg(
+    contrib9 = F.floor(F.col("c").cast("double") * F.col("l2c") * 1e9 + F.lit(0.5))
+    agg = lg.groupBy("doc_id").agg(
         F.sum("c").alias("nt"),
         F.count(F.lit(1)).alias("n_distinct"),
         F.sum(contrib9).alias("s9"),
     )
-    ent = F.log2("nt") - (F.col("s9").cast("double") / F.lit(1e9)) / F.col("nt")
-    return agg.select(
+    h = agg.withColumn("l2nt", detmath.det_log2_int("nt")).withColumn(
+        "l2nd", detmath.det_log2_int("n_distinct")
+    )
+    ent = (
+        F.col("l2nt")
+        - (F.col("s9").cast("double") / F.lit(1e9)) / F.col("nt").cast("double")
+    )
+    return h.select(
         "doc_id",
         F.col("nt").alias("n_tokens"),
         "n_distinct",
         q6(ent).alias("entropy_q6"),
         q6(
-            F.when(F.col("n_distinct") > 1, ent / F.log2(F.col("n_distinct"))).otherwise(0.0)
+            F.when(F.col("n_distinct") > 1, ent / F.col("l2nd")).otherwise(0.0)
         ).alias("entropy_norm_q6"),
     )
 
