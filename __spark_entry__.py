@@ -44,6 +44,10 @@ _ADJUDICATION_PRIORITY = [
     "doc_token_entropy",
     "doc_mixture_weights",
     "doc_distinctive_terms",
+    # (a') advisor fixes this round touched their operators
+    # (scd2_apply seed tiebreak, tracking URI routing)
+    "orders_scd2_apply",
+    "tracking_best_run",
     # (b) shared-replay-harness refactor in r5, verdicts stale r3/r4
     "streaming_session_agg",
     "streaming_cusum_alarms",

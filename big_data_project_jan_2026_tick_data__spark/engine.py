@@ -93,3 +93,84 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of the JVM's currently persisted RDDs. ``localCheckpoint``
+    registers its blocks here, and ``Dataset.unpersist()`` does NOT
+    release them — checkpoint cleanup must go through these ids
+    (see ``release_rdd_ids``)."""
+    sc = spark.sparkContext._jsc.sc()
+    it = sc.getPersistentRDDs().keysIterator()
+    ids: set[int] = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def release_rdd_ids(spark: SparkSession, ids: set[int]) -> None:
+    """Unpersist the given RDD ids (non-blocking). The only way to free
+    ``localCheckpoint`` storage: iterative operators (graph supersteps,
+    serving phases) track the ids each checkpoint creates and release
+    superseded ones, or a long-lived driver leaks one edge-list-sized
+    copy per iteration per call."""
+    if not ids:
+        return
+    sc = spark.sparkContext._jsc.sc()
+    it = sc.getPersistentRDDs().iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() in ids:
+            kv._2().unpersist(False)
+
+
+class CheckpointTracker:
+    """Rolling ``localCheckpoint`` manager for iterative operators.
+
+    ``ckpt(df)`` checkpoints eagerly and records the RDD ids it
+    created; ``release_superseded()`` frees every tracked id except
+    those of the LAST checkpoint (whose blocks back the frames still in
+    use). Callers that fully consume the final result can free that too
+    with ``release_all()``.
+    """
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self._generations: list[set[int]] = []
+        self._pinned: set[int] = set()
+
+    def ckpt(self, df, pin: bool = False):
+        """Checkpoint ``df``; ``pin=True`` marks ids that must survive
+        ``release_superseded`` for the whole operator run (loop-
+        invariant frames re-read every iteration)."""
+        before = persistent_rdd_ids(self.spark)
+        out = df.localCheckpoint()
+        created = persistent_rdd_ids(self.spark) - before
+        if pin:
+            self._pinned |= created
+        else:
+            self._generations.append(created)
+        return out
+
+    def release_superseded(self) -> None:
+        """Free all but the newest checkpoint generation (+ pins)."""
+        dead: set[int] = set()
+        while len(self._generations) > 1:
+            dead |= self._generations.pop(0)
+        release_rdd_ids(self.spark, dead)
+
+    def release_all_but_last(self) -> None:
+        """End-of-operator cleanup: free pins and every superseded
+        generation; only the final result's checkpoint stays.  Freed
+        localCheckpoint blocks are unrecoverable (lineage is truncated),
+        so pins are released only when a later generation exists to be
+        the self-contained result — with zero generations (e.g. a
+        0-iteration loop) the result may still read the pinned frames
+        and they are kept."""
+        if not self._generations:
+            return
+        dead: set[int] = set(self._pinned)
+        while len(self._generations) > 1:
+            dead |= self._generations.pop(0)
+        self._pinned = set()
+        release_rdd_ids(self.spark, dead)

@@ -44,8 +44,15 @@ def pagerank(
     Each superstep ends in ``localCheckpoint`` (cf. dedup.dup_clusters):
     the rank frame is referenced twice next round (contributions AND the
     dangling-mass scalar), so without lineage truncation the lazy plan
-    doubles per iteration. Returns (node, rank_q6).
+    doubles per iteration. Superseded checkpoints are unpersisted as the
+    loop advances (engine.CheckpointTracker — Dataset.unpersist() does
+    NOT free localCheckpoint blocks); exactly ONE node-sized checkpoint
+    (the returned ranks) stays pinned until the caller drops the
+    session or frees it. Returns (node, rank_q6).
     """
+    from ..engine import CheckpointTracker
+
+    ckpts = CheckpointTracker(edges.sparkSession)
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
     out_tot = e.groupBy("src").agg(F.sum("w").alias("out_w"))
@@ -64,9 +71,9 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
     init = math.floor(1.0 / n_nodes * 1e9 + 0.5) / 1e9
     ranks = nodes.withColumn("rank", F.lit(init))
-    # frac/nodes are re-read every superstep — pin them once
-    frac = frac.localCheckpoint()
-    nodes = nodes.localCheckpoint()
+    # frac/nodes are re-read every superstep — pin them for the run
+    frac = ckpts.ckpt(frac, pin=True)
+    nodes = ckpts.ckpt(nodes, pin=True)
     has_out = out_tot.select(F.col("src").alias("node"))
     for _ in range(iters):
         contrib = (
@@ -79,7 +86,7 @@ def pagerank(
             ranks.join(has_out, "node", "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
-        ranks = (
+        ranks = ckpts.ckpt(
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -90,8 +97,9 @@ def pagerank(
                     * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / n_nodes)
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        ckpts.release_superseded()
+    ckpts.release_all_but_last()
     return ranks.select(
         "node", (F.floor(F.col("rank") * 1e6 + F.lit(0.5)) / 1e6).alias("rank_q6")
     )
@@ -137,7 +145,11 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     # referenced three times below (both wedge sides + the closing
     # semi-join); localCheckpoint materializes the edge+degree pipeline
     # once instead of replicating it per branch — the dup_clusters/
-    # pagerank lineage-truncation discipline (edge-list-sized, m rows)
+    # pagerank lineage-truncation discipline (edge-list-sized, m rows).
+    # The returned frame reads this checkpoint, so it cannot be freed
+    # here; each call retains exactly one edge-list-sized checkpoint —
+    # long-lived drivers that loop over calls should release consumed
+    # results via engine.release_rdd_ids/persistent_rdd_ids.
     oriented = with_deg.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
@@ -181,8 +193,14 @@ def label_propagation(
     count + one row_number pick — all key-partitioned shuffles, state
     is one label per node. Labels start as node ids, so a community's
     final label is itself meaningful (a member id). localCheckpoint per
-    superstep truncates the doubling lineage (pagerank discipline).
+    superstep truncates the doubling lineage (pagerank discipline);
+    superseded checkpoints are unpersisted as the loop advances
+    (engine.CheckpointTracker) so a long-lived driver retains exactly
+    one node-sized checkpoint per call, not one per superstep.
     """
+    from ..engine import CheckpointTracker
+
+    ckpts = CheckpointTracker(edges.sparkSession)
     a = F.col(src).alias("a")
     b = F.col(dst).alias("b")
     e = edges.select(a, b).filter(F.col("a") != F.col("b")).na.drop().distinct()
@@ -190,7 +208,7 @@ def label_propagation(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     nodes = und.select(F.col("a").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    labels = ckpts.ckpt(nodes.select("node", F.col("node").alias("label")))
     w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
     for _ in range(iters):
         nbr = (
@@ -204,11 +222,11 @@ def label_propagation(
             .filter(F.col("__rk") == 1)
             .select("node", F.col("label").alias("__best"))
         )
-        labels = (
-            labels.join(best, "node", "left")
-            .select(
+        labels = ckpts.ckpt(
+            labels.join(best, "node", "left").select(
                 "node", F.coalesce("__best", F.col("label")).alias("label")
             )
-            .localCheckpoint()
         )
+        ckpts.release_superseded()
+    ckpts.release_all_but_last()
     return labels

@@ -975,6 +975,18 @@ def pps_systematic_sample(
     if wrow is None:
         return cum.drop(f"cum_{weight_col}")  # empty/all-null input
     wtot = int(wrow)
+    if n_target <= 0:
+        raise ValueError(f"n_target must be positive, got {n_target}")
+    # The selection arithmetic is n*cum ± ... on BIGINTs; in non-ANSI
+    # Spark an overflow WRAPS silently and mis-selects rather than
+    # failing, so enforce the documented bound here (W is already on
+    # the driver — the check is free).
+    if (n_target + 1) * wtot >= 2**63:  # max |term| is n*W + W
+        raise ValueError(
+            f"n_target * total_weight = {n_target * wtot} overflows the "
+            "BIGINT selection arithmetic (must stay under 2^63); reduce "
+            "n_target or coarsen the integer weights"
+        )
     off = (wtot * offset_num) // offset_den
     c = F.col(f"cum_{weight_col}").cast("bigint")
     n = F.lit(n_target).cast("bigint")

@@ -138,7 +138,7 @@ def scd2_apply(
         *attr_cols,
         F.col(EFFECTIVE_FROM).alias(ts_col),
         *[F.lit(None).cast(updates.schema[c].dataType).alias(c) for c in tiebreak_cols],
-        F.lit(True).alias("__seed"),
+        F.lit(0).alias("__seed"),
         F.col(VERSION).alias("__base_version"),
     )
     batch = updates.select(
@@ -146,12 +146,20 @@ def scd2_apply(
         *attr_cols,
         ts_col,
         *tiebreak_cols,
-        F.lit(False).alias("__seed"),
+        F.lit(1).alias("__seed"),
         F.lit(None).cast("int").alias("__base_version"),
     )
     merged = seed.unionByName(batch)
+    # __seed (0 = seed, 1 = batch) is the FIRST tiebreak: a batch update
+    # whose ts equals the seed's effective_from must order AFTER the
+    # seed, or the batch value would become the key's first run and
+    # corrupt effective_from/version numbering. (A trailing boolean
+    # tiebreak had this exactly backwards — False(batch) < True(seed) —
+    # whenever a batch violated the "strictly later timestamps"
+    # contract; ties now degrade to "same-instant change", not
+    # corruption.)
     hist = scd2_history(
-        merged, key_cols, attr_cols, ts_col, tiebreak_cols=(*tiebreak_cols, "__seed")
+        merged, key_cols, attr_cols, ts_col, tiebreak_cols=("__seed", *tiebreak_cols)
     )
     # The seed re-emerges as the key's first run (it carries the
     # ORIGINAL effective_from; batch timestamps are strictly later by

@@ -45,9 +45,17 @@ def _pyarrow_shard_append(path: str, rows: list, ddl: str, seq: int) -> bool:
     if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", path):
         if not path.startswith("file:"):
             return False  # hdfs:// s3a:// etc → Spark writer (Hadoop FS API)
-        # Hadoop accepts file:/p, file:///p and file://host/p — collapse
-        # the scheme + any slash run to a single absolute root
-        local = re.sub(r"^file:/+", "/", path)
+        # Hadoop accepts file:/p and file:///p for local paths, but
+        # file://somehost/p names a REMOTE host: collapsing its slashes
+        # would silently write shards to the bogus local dir /somehost/p.
+        # Parse properly and hand host-qualified URIs to the Spark
+        # writer instead.
+        from urllib.parse import urlparse
+
+        parsed = urlparse(path)
+        if parsed.netloc and parsed.netloc != "localhost":
+            return False
+        local = parsed.path or "/"
     else:
         local = path
     import pyarrow as pa

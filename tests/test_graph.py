@@ -127,3 +127,37 @@ def test_label_propagation_matches_python_oracle(spark):
     for iters in (1, 2, 4):
         got = {r.node: r.label for r in label_propagation(df, iters=iters).collect()}
         assert got == py_lpa(edges, iters), iters
+
+
+def test_iterative_operators_do_not_accumulate_checkpoints(spark):
+    """pagerank/label_propagation localCheckpoint every superstep;
+    superseded generations must be unpersisted as the loop advances
+    (Dataset.unpersist() can't free them), leaving O(1) — not O(iters)
+    — persistent RDDs per call in a long-lived driver."""
+    from big_data_project_jan_2026_tick_data__spark.engine import (
+        persistent_rdd_ids,
+        release_rdd_ids,
+    )
+    from big_data_project_jan_2026_tick_data__spark.operators.graph import (
+        label_propagation,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)] + [(0, 6), (3, 9)],
+        "src int, dst int",
+    )
+    before = persistent_rdd_ids(spark)
+    pr = pagerank(edges, iters=6)
+    assert pr.count() == 12
+    after_pr = persistent_rdd_ids(spark) - before
+    # one retained checkpoint = one RDD id (6 iters would leak ≥ 8)
+    assert len(after_pr) <= 2, f"pagerank retained {len(after_pr)} RDDs"
+    lp = label_propagation(edges, iters=5)
+    assert lp.count() == 12
+    after_lp = persistent_rdd_ids(spark) - before - after_pr
+    assert len(after_lp) <= 2, f"label_propagation retained {len(after_lp)} RDDs"
+    # results stay readable after the cleanup (blocks they depend on live)
+    assert pr.count() == 12 and lp.count() == 12
+    release_rdd_ids(spark, after_pr | after_lp)
+    assert not (persistent_rdd_ids(spark) - before)

@@ -114,3 +114,34 @@ def test_apply_noop_batch_keeps_current_rows(changes):
     assert sorted(map(tuple, merged.select(*hist0.columns).collect()), key=key) == (
         sorted(map(tuple, hist0.collect()), key=key)
     )
+
+
+def test_apply_ts_tie_with_seed_keeps_seed_first(spark):
+    """A batch update whose ts EQUALS the seed's effective_from (a
+    violation of the 'strictly later' contract) must degrade to a
+    same-instant change — the seed stays the key's first run — not
+    corrupt effective_from/version numbering by ordering the batch
+    value before the seed (the trailing-boolean-tiebreak bug: booleans
+    sort False<True, so batch rows ordered BEFORE the seed)."""
+    base = spark.createDataFrame(
+        [(1, "A", _ts(1), 10)], "k int, attr string, ts timestamp, id int"
+    )
+    hist0 = _hist(base)
+    batch = spark.createDataFrame(
+        [(1, "B", _ts(1), 11)], "k int, attr string, ts timestamp, id int"
+    )
+    merged = scd2_apply(
+        hist0, batch, key_cols=("k",), attr_cols=("attr",), ts_col="ts",
+        tiebreak_cols=("id",),
+    )
+    rows = {r["version"]: r for r in merged.collect()}
+    assert rows[1]["attr"] == "A" and rows[1]["effective_from"] == _ts(1)
+    assert rows[2]["attr"] == "B" and rows[2]["is_current"]
+    # same assertion with NO user tiebreaks — the exact advisor case,
+    # where __seed was the only (and inverted) tiebreak
+    hist0_nt = scd2_history(base, key_cols=("k",), attr_cols=("attr",), ts_col="ts")
+    merged_nt = scd2_apply(
+        hist0_nt, batch.drop("id"), key_cols=("k",), attr_cols=("attr",), ts_col="ts",
+    )
+    rows_nt = {r["version"]: r for r in merged_nt.collect()}
+    assert rows_nt[1]["attr"] == "A" and rows_nt[2]["attr"] == "B"

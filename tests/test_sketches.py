@@ -143,3 +143,22 @@ def test_psi_drift_zero_for_identical_and_large_for_shift(spark):
     )
     far = {r.g: r.psi_q6 for r in psi_drift(a, shifted, ("g",), "v", 0.0, 100.0).collect()}
     assert far[1] > 1.0  # disjoint supports → strongly shifted
+
+
+def test_pps_rejects_overflowing_selection_arithmetic(spark):
+    """The BIGINT selection terms reach (n+1)*W; non-ANSI Spark would
+    wrap silently and mis-select, so the documented 2^63 bound must be
+    enforced up front (W is already a driver scalar)."""
+    import pytest as _pytest
+
+    from big_data_project_jan_2026_tick_data__spark.operators.text import (
+        pps_systematic_sample,
+    )
+
+    heavy = spark.createDataFrame(
+        [("a", 2**40), ("b", 2**40)], "doc_id string, wt long"
+    )
+    with _pytest.raises(ValueError, match="overflows"):
+        pps_systematic_sample(heavy, "wt", 2**23)
+    with _pytest.raises(ValueError, match="positive"):
+        pps_systematic_sample(heavy, "wt", 0)

@@ -173,3 +173,32 @@ def test_single_slash_file_scheme_routes_locally(spark, tmp_path):
     files = os.listdir(f"{real}/metrics")
     # atomic publish: no .tmp staging file left behind
     assert files and all(f.endswith(".parquet") for f in files)
+
+
+def test_host_qualified_file_uri_falls_back(tmp_path):
+    """'file://somehost/p' names a remote host: slash-collapsing it
+    would silently shard into the bogus local dir /somehost/p. It must
+    route to the Spark writer (return False); the 'localhost' and
+    empty-authority forms stay local."""
+    import os
+
+    from big_data_project_jan_2026_tick_data__spark.plans.tracking import (
+        _METRICS_DDL,
+        _pyarrow_shard_append,
+    )
+
+    assert not _pyarrow_shard_append(
+        "file://somehost/exp/metrics", [("r", "k", 1.0, 0)], _METRICS_DDL, 1
+    )
+    assert not os.path.exists("/somehost")
+    local = str(tmp_path / "m1")
+    assert _pyarrow_shard_append(
+        f"file://localhost{local}", [("r", "k", 1.0, 0)], _METRICS_DDL, 1
+    )
+    assert os.listdir(local)
+    local2 = str(tmp_path / "m2")
+    # local2 is absolute, so this is the empty-authority file:///p form
+    assert _pyarrow_shard_append(
+        f"file://{local2}", [("r", "k", 1.0, 0)], _METRICS_DDL, 1
+    )
+    assert os.listdir(local2)
