@@ -154,3 +154,60 @@ def det_log2_int(col_name: str) -> Column:
 def det_ln_pos(col_name: str, assume_ge_1: bool = False) -> Column:
     """Spark Column: deterministic ln of a positive double column."""
     return F.expr(det_ln_pos_sql(col_name, "spark", assume_ge_1=assume_ge_1))
+
+
+# Terms of exp(r) = sum_n r^n / n!, r in [0, ln2): r^17/17! < 6e-18,
+# so 17 terms reach double precision with margin.
+EXP_TERMS = 17
+
+
+def _exp_reduced(r_sql: str) -> str:
+    """exp(r) for r in [0, ln 2) as a Horner factorial series."""
+    coeffs = []
+    fact = 1.0
+    for n in range(EXP_TERMS):
+        coeffs.append(1.0 / fact)
+        fact *= n + 1
+    expr = _dlit(coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        expr = f"({_dlit(c)} + {r_sql} * {expr})"
+    return expr
+
+
+def det_exp2_sql(h_sql: str, engine: str) -> str:
+    """SQL text for 2^h where ``h_sql`` is a DOUBLE expression with
+    |h| <= 60 (the integer part is materialized via exact bit shifts;
+    callers with wider domains clamp first — by 2^±60 every consumer
+    here has saturated anyway).  h = k + f with k = FLOOR(h) and
+    f in [0, 1): 2^h = 2^k * exp(f * ln 2) — shift, multiply, and a
+    factorial Horner series, all IEEE-exact-or-identically-written ops.
+
+    Keep ``h_sql`` a short column reference — it is textually repeated
+    ~40 times by the expansion."""
+    if engine not in _ENGINES:
+        raise ValueError(f"engine must be one of {_ENGINES}, got {engine!r}")
+    k = f"(CAST(FLOOR({h_sql}) AS BIGINT))"
+    # 2^k for k in [-60, 60]: exact shifts; negative k divides (powers
+    # of two divide exactly in binary floating point)
+    p2k = (
+        f"(CASE WHEN {k} >= 0 THEN CAST({_shl1(k, engine)} AS DOUBLE) "
+        f"ELSE 1.0 / CAST({_shl1(f'(0 - {k})', engine)} AS DOUBLE) END)"
+    )
+    r = f"(({h_sql} - CAST({k} AS DOUBLE)) * {_dlit(LN2)})"
+    return f"({p2k} * {_exp_reduced(r)})"
+
+
+def det_exp_sql(x_sql: str, engine: str) -> str:
+    """SQL text for e^x via 2^(x / ln 2); |x| <= 41 (consumers clamp —
+    the logistic sigmoid saturates to 0/1 far before that)."""
+    return det_exp2_sql(f"({x_sql} * {_dlit(INV_LN2)})", engine)
+
+
+def det_exp2(col_name: str) -> Column:
+    """Spark Column: deterministic 2^h of a double column, |h| <= 60."""
+    return F.expr(det_exp2_sql(col_name, "spark"))
+
+
+def det_exp(col_name: str) -> Column:
+    """Spark Column: deterministic e^x of a double column, |x| <= 41."""
+    return F.expr(det_exp_sql(col_name, "spark"))

@@ -120,3 +120,42 @@ def test_engine_validation():
         det_log2_int_sql("x", "postgres")
     with pytest.raises(ValueError):
         det_ln_pos_sql("q", "sqlite")
+
+
+@pytest.mark.parametrize("fn", ["exp2", "exp"])
+def test_det_exp_bit_identical_and_accurate(spark, fn):
+    from big_data_project_jan_2026_tick_data__spark.functions.detmath import (
+        det_exp2_sql,
+        det_exp_sql,
+    )
+
+    rng = random.Random(44)
+    if fn == "exp2":
+        hs = [rng.uniform(-59, 59) for _ in range(3000)]
+        hs += [0.0, 1.0, -1.0, 0.5, -0.5, 59.9, -59.9,
+               math.nextafter(1.0, 0.0), math.nextafter(-1.0, 0.0)]
+        sql = det_exp2_sql
+        ref = lambda h: 2.0**h  # noqa: E731
+    else:
+        hs = [rng.uniform(-40, 40) for _ in range(3000)] + [0.0, 1.0, -1.0]
+        sql = det_exp_sql
+        ref = math.exp
+    sdf = spark.createDataFrame([(h,) for h in hs], "h double")
+    s_val = {
+        _bits(r["h"]): r["v"]
+        for r in sdf.select("h", F.expr(sql("h", "spark")).alias("v")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(h DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(h,) for h in hs])
+    d_val = {
+        _bits(h): v
+        for h, v in con.execute(f"SELECT h, {sql('h', 'duckdb')} FROM t").fetchall()
+    }
+    mismatched = [
+        struct.unpack("<d", k)[0] for k in s_val if _bits(s_val[k]) != _bits(d_val[k])
+    ]
+    assert not mismatched, f"bit mismatches at {mismatched[:10]}"
+    for h in hs:
+        want = ref(h)
+        assert abs(d_val[_bits(h)] - want) <= 5e-15 * abs(want), (h, d_val[_bits(h)])
