@@ -48,6 +48,20 @@ _ADJUDICATION_PRIORITY = [
     # (scd2_apply seed tiebreak, tracking URI routing)
     "orders_scd2_apply",
     "tracking_best_run",
+    # (a'') whole-registry libm sweep this round: every remaining
+    # ln/log2/exp/pow under a quantizer moved to detmath (and unordered
+    # float sums to integer-grid sums) in these queries' operators AND
+    # oracles — changed-code re-proof
+    "doc_lm_perplexity",
+    "doc_quality_classifier",
+    "doc_bm25_search",
+    "doc_tfidf_top_terms",
+    "doc_source_divergence",
+    "doc_pmi_collocations",
+    "ticks_indicators",
+    "events_zipf_fit",
+    "ticks_parkinson_vol",
+    "events_moment_stats",
     # (b) shared-replay-harness refactor in r5, verdicts stale r3/r4
     "streaming_session_agg",
     "streaming_cusum_alarms",

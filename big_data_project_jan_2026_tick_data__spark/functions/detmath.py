@@ -211,3 +211,15 @@ def det_exp2(col_name: str) -> Column:
 def det_exp(col_name: str) -> Column:
     """Spark Column: deterministic e^x of a double column, |x| <= 41."""
     return F.expr(det_exp_sql(col_name, "spark"))
+
+
+def det_log2_pos_sql(q_sql: str, engine: str, assume_ge_1: bool = False) -> str:
+    """SQL text for log2(q) of a strictly positive DOUBLE expression:
+    detmath ln(q) scaled by the 1/ln2 literal (same domain/caveats as
+    ``det_ln_pos_sql``)."""
+    return f"({det_ln_pos_sql(q_sql, engine, assume_ge_1=assume_ge_1)} * {_dlit(INV_LN2)})"
+
+
+def det_log2_pos(col_name: str, assume_ge_1: bool = False) -> Column:
+    """Spark Column: deterministic log2 of a positive double column."""
+    return F.expr(det_log2_pos_sql(col_name, "spark", assume_ge_1=assume_ge_1))

@@ -79,6 +79,24 @@ def _z_expr(weights: list[float]) -> str:
     return " + ".join(f"{w!r}D * {f}" for w, f in zip(weights, FEATURES))
 
 
+def _with_sigmoid(features: DataFrame, weights: list[float]) -> DataFrame:
+    """Stage ``__sig`` = σ(w·x) with the current weights inlined as
+    literals.  The margin is clamped to ±40 (the sigmoid is exactly
+    0.0/1.0 in double well before that) so detmath's exp — bit-identical
+    across engines, unlike libm exp — stays in its shift domain."""
+    from ..functions import detmath
+
+    z = F.expr(_z_expr(weights))
+    zc = (
+        F.when(z > 40.0, F.lit(40.0))
+        .when(z < -40.0, F.lit(-40.0))
+        .otherwise(z)
+    )
+    return features.withColumn("__mz", F.lit(0.0) - zc).withColumn(
+        "__sig", F.lit(1.0) / (F.lit(1.0) + detmath.det_exp("__mz"))
+    )
+
+
 def train_logreg(
     features: DataFrame, iters: int = 12, lr: float = 1.0
 ) -> list[float]:
@@ -87,18 +105,31 @@ def train_logreg(
     gradient Σ xⱼ·(σ(w·x) − y) for every feature (the sigmoid/dot is a
     single codegen expression with the current weights inlined as
     literals); the driver applies w ← q9(w − lr·g/n). Returns the final
-    quantized weights."""
+    quantized weights.
+
+    Determinism: the sigmoid is detmath exp (libm exp differs by ulps
+    across engines) and each per-row gradient term xⱼ·(σ−y) is snapped
+    to a 1e-9 integer grid and summed as BIGINT — exact and partial-agg-
+    order independent, so the q9 weight snaps can never flip between
+    engines or partitionings."""
     w = [0.0] * len(FEATURES)
     for _ in range(iters):
-        err = F.expr(f"1D / (1D + exp(-({_z_expr(w)}))) - y")
-        row = features.agg(
+        staged = _with_sigmoid(features, w)
+        err = F.col("__sig") - F.col("y")
+        row = staged.agg(
             F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.col(f) * err).alias(f"g_{f}") for f in FEATURES],
+            *[
+                F.sum(F.floor(F.col(f) * err * 1e9 + F.lit(0.5))).alias(f"g_{f}")
+                for f in FEATURES
+            ],
         ).collect()[0]
         n = row["n"]
         if n == 0:
             break
-        w = [_q9(wj - lr * row[f"g_{f}"] / n) for wj, f in zip(w, FEATURES)]
+        w = [
+            _q9(wj - lr * (row[f"g_{f}"] / 1e9) / n)
+            for wj, f in zip(w, FEATURES)
+        ]
     return w
 
 
@@ -106,9 +137,11 @@ def score(
     features: DataFrame, weights: list[float], id_col: str = "doc_id"
 ) -> DataFrame:
     """Score a feature frame with trained weights: σ(w·x) quantized q6,
-    plus the thresholded prediction — a pure projection."""
-    s = F.expr(f"1D / (1D + exp(-({_z_expr(weights)})))")
-    return features.select(
+    plus the thresholded prediction — a pure projection (sigmoid via
+    detmath exp, bit-identical across engines)."""
+    staged = _with_sigmoid(features, weights)
+    s = F.col("__sig")
+    return staged.select(
         id_col,
         F.col("y").cast("int").alias("y"),
         (F.floor(s * 1e6 + F.lit(0.5)) / 1e6).alias("score_q6"),

@@ -164,12 +164,13 @@ def psi_drift(
     PSI = Σ (p_i − q_i)·ln(p_i/q_i) over ≤ ``nbins`` bins.
 
     Determinism: the only transcendental is ln over smoothed count
-    ratios; each bin's contribution snaps to a 1/``grid`` integer grid
-    and the ≤ nbins BIGINT terms sum exactly, so partial-agg order
-    cannot move the q6 result (scale-separation rule: a 1-ulp ln flip
-    moves the sum by 1e-9, three orders under the q6 resolution).
-    Returns (group_cols…, psi_q6).
+    ratios, evaluated via functions.detmath (bit-identical across
+    engines — libm ln is a grid-flip hazard); each bin's contribution
+    snaps to a 1/``grid`` integer grid and the ≤ nbins BIGINT terms sum
+    exactly, so neither partial-agg order nor libm can move the q6
+    result. Returns (group_cols…, psi_q6).
     """
+    from ..functions import detmath
     hr = histogram_rollup(ref, group_cols, value_col, lo, hi, nbins)
     hc = histogram_rollup(cur, group_cols, value_col, lo, hi, nbins)
     keys = [*group_cols, "bin"]
@@ -185,9 +186,15 @@ def psi_drift(
     # Laplace smoothing: +1 per bin, denominator + nbins
     p = (F.col("rc") + 1).cast("double") / (F.col("rn") + nbins).cast("double")
     q = (F.col("cc") + 1).cast("double") / (F.col("cn") + nbins).cast("double")
-    contrib = F.floor((p - q) * F.log(p / q) * F.lit(grid) + F.lit(0.5)).cast(
-        "bigint"
+    j = j.withColumn("__p", p).withColumn("__q", q).withColumn(
+        "__pr", F.col("__p") / F.col("__q")
     )
+    contrib = F.floor(
+        (F.col("__p") - F.col("__q"))
+        * detmath.det_ln_pos("__pr")
+        * F.lit(grid)
+        + F.lit(0.5)
+    ).cast("bigint")
     out = j.select(*group_cols, contrib.alias("__c")).groupBy(*group_cols).agg(
         F.sum("__c").alias("__s")
     )

@@ -583,7 +583,10 @@ def moment_stats(
         # m2 can cancel to a tiny negative for near-constant groups —
         # clamp so std is 0, not NaN (oracle mirrors with GREATEST)
         q6(F.sqrt(F.greatest(m2, F.lit(0.0)))).alias("std_q6"),
-        q6(F.when(m2 > 0, m3 / F.pow(F.sqrt(m2), F.lit(3.0)))).alias("skew_q6"),
+        # sqrt(m2)^3 as sqrt*m2 products — sqrt is IEEE correctly-rounded
+        # and multiplies are exact ops, so both engines agree bit-for-bit
+        # (libm pow(x, 3) is not correctly rounded and can differ)
+        q6(F.when(m2 > 0, m3 / (F.sqrt(m2) * m2))).alias("skew_q6"),
         q6(F.when(m2 > 0, m4 / (m2 * m2) - 3)).alias("kurt_q6"),
     )
 

@@ -359,9 +359,9 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-k TF-IDF terms per document (corpus keyword extraction /
     doc-signature primitive). idf is the smoothed sklearn form
-    ``ln((1+N)/(1+df)) + 1``; scores are q6-quantized BEFORE ranking so
-    rank order is reproducible across engines (raw doubles differ in the
-    last ulp between libm implementations), ties broken by term.
+    ``ln((1+N)/(1+df)) + 1`` evaluated as detmath ln(1+N) − ln(1+df)
+    (bit-identical across engines — libm ln is a grid-flip hazard);
+    scores are q6-quantized BEFORE ranking, ties broken by term.
 
     Scale shape: one (doc, term) hash agg for tf (map-side combined), a
     term-level agg for df, a broadcast of the scalar N, and one term
@@ -379,18 +379,30 @@ def tfidf_top_terms(
     )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    from ..functions import detmath
+
     scored = (
         tf.join(docfreq, "term")
         .crossJoin(F.broadcast(n_docs))
+        .withColumn("__nn", F.lit(1.0) + F.col("n"))
+        .withColumn("__dd", F.lit(1.0) + F.col("df"))
         .withColumn(
             "tfidf",
             F.floor(
                 F.col("tf")
-                * (F.log((1 + F.col("n")) / (1 + F.col("df"))) + 1) * 1e6
+                * (
+                    (
+                        detmath.det_ln_pos("__nn", assume_ge_1=True)
+                        - detmath.det_ln_pos("__dd", assume_ge_1=True)
+                    )
+                    + 1.0
+                )
+                * 1e6
                 + F.lit(0.5)
             )
             / 1e6,
         )
+        .drop("__nn", "__dd")
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
@@ -519,30 +531,42 @@ def lm_cross_entropy(
         .join(big, ["w_prev", "w"], "left")
         .join(F.broadcast(totals))
     )
-    logp = F.when(
-        F.col("w_prev").isNull(),
-        F.log2(
-            (F.coalesce(F.col("c1"), F.lit(0)) + 1)
-            / (F.col("n") + F.col("v")).cast("double")
+    from ..functions import detmath
+
+    # Determinism: every probability is a ratio of INTEGER counts, so
+    # log2 P = detmath log2(num) − log2(den) — bit-identical across
+    # engines; each position's logprob is snapped to a 1e-9 integer
+    # grid and the per-doc reduction sums BIGINTs (exact, order-free);
+    # perplexity = detmath 2^H, not libm pow.
+    staged = scored.withColumn(
+        "__pnum",
+        F.when(
+            F.col("w_prev").isNull(), F.coalesce(F.col("c1"), F.lit(0)) + 1
+        ).otherwise(F.coalesce(F.col("c12"), F.lit(0)) + 1),
+    ).withColumn(
+        "__pden",
+        F.when(F.col("w_prev").isNull(), F.col("n") + F.col("v")).otherwise(
+            F.coalesce(F.col("c_prev"), F.lit(0)) + F.col("v")
         ),
-    ).otherwise(
-        F.log2(
-            (F.coalesce(F.col("c12"), F.lit(0)) + 1)
-            / (F.coalesce(F.col("c_prev"), F.lit(0)) + F.col("v")).cast("double")
-        )
     )
+    lp = detmath.det_log2_int("__pnum") - detmath.det_log2_int("__pden")
+    lp9 = F.floor(lp * 1e9 + F.lit(0.5))
     q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    h = -(F.col("__s9").cast("double") / F.lit(1e9)) / F.col("n_tokens").cast(
+        "double"
+    )
     return (
-        scored.groupBy(id_col)
+        staged.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            (-F.sum(logp) / F.count(F.lit(1))).alias("__h"),
+            F.sum(lp9).alias("__s9"),
         )
+        .withColumn("__h", h)
         .select(
             F.col(id_col),
             "n_tokens",
             q6(F.col("__h")).alias("cross_entropy"),
-            q6(F.pow(F.lit(2.0), F.col("__h"))).alias("perplexity"),
+            q6(detmath.det_exp2("__h")).alias("perplexity"),
         )
     )
 
@@ -637,26 +661,40 @@ def bm25_search(
         .filter(F.col("__r") >= df_rank_lo)
         .select("term", "df")
     )
+    from ..functions import detmath
+
+    # Determinism: the idf log is detmath (libm ln is a cross-engine
+    # grid-flip hazard) over a staged arg column; each (doc, term) score
+    # is snapped to a 1e-9 integer grid and summed as BIGINT so the
+    # per-doc reduction is exact and partial-agg-order independent.
     scored = (
         tf.join(F.broadcast(qterms), "term")
         .join(doclen, id_col)
         .crossJoin(F.broadcast(stats_))
         .withColumn(
-            "__idf",
-            F.log(
-                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-            ),
+            "__qa",
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0,
         )
+        .withColumn("__idf", detmath.det_ln_pos("__qa", assume_ge_1=True))
         .withColumn(
-            "__s",
-            F.col("__idf")
-            * F.col("tf")
-            * (k1 + 1)
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl"))),
+            "__s9",
+            F.floor(
+                F.col("__idf")
+                * F.col("tf")
+                * (k1 + 1)
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl")))
+                * 1e9
+                + F.lit(0.5)
+            ),
         )
     )
     agg = scored.groupBy(id_col).agg(
-        (F.floor(F.sum("__s") * 1e6 + F.lit(0.5)) / 1e6).alias("bm25_q6"),
+        (
+            F.floor(
+                (F.sum("__s9").cast("double") / F.lit(1e9)) * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("bm25_q6"),
         F.count(F.lit(1)).alias("n_terms_hit"),
     )
     return (
@@ -894,12 +932,23 @@ def source_js_divergence(
             F.coalesce(F.col("p_b"), F.lit(0.0)).alias("q"),
         )
     )
+    from ..functions import detmath
+
+    # log ratios staged as guarded columns (ratio forced to 1 on the
+    # zero branch so detmath's ln never sees 0 even if an engine
+    # evaluates both CASE arms), logs via detmath — bit-identical across
+    # engines, not libm
     m = (F.col("p") + F.col("q")) / 2
-    term_kl = F.when(F.col("p") > 0, F.col("p") * F.log2(F.col("p") / m)).otherwise(
-        F.lit(0.0)
-    ) + F.when(F.col("q") > 0, F.col("q") * F.log2(F.col("q") / m)).otherwise(
-        F.lit(0.0)
+    cells = cells.withColumn(
+        "__rp", F.when(F.col("p") > 0, F.col("p") / m).otherwise(F.lit(1.0))
+    ).withColumn(
+        "__rq", F.when(F.col("q") > 0, F.col("q") / m).otherwise(F.lit(1.0))
     )
+    term_kl = F.when(
+        F.col("p") > 0, F.col("p") * detmath.det_log2_pos("__rp")
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("q") > 0, F.col("q") * detmath.det_log2_pos("__rq")
+    ).otherwise(F.lit(0.0))
     # per-term contribution snapped to a 1e-12 integer grid, summed as
     # BIGINT (vocab+1 terms per pair) — the sum is exact and order-
     # independent, so engine partial-agg order can't move jsd_q6

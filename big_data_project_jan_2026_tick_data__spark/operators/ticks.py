@@ -279,39 +279,64 @@ def indicators(
     """
     from pyspark.sql import Window
 
+    from ..functions import detmath
+
     order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
     w1 = Window.partitionBy(*partition_cols).orderBy(*order)
     wN = w1.rowsBetween(-(window_rows - 1), 0)
     wE = w1.rowsBetween(-(ema_span - 1), 0)
     a = 2.0 / (ema_span + 1)
 
-    ret = F.log(F.col(value_col) / F.lag(value_col, 1).over(w1))
-    out = df.withColumn("ret", F.round(ret, 6))
+    # Determinism (cross-engine): the log return is detmath ln over a
+    # staged positive ratio (libm ln differs by ulps between engines);
+    # the EMA decay powers are a PRECOMPUTED literal table, not runtime
+    # libm pow; and every sliding-frame float reduction (rvol, the
+    # Bollinger mean/std) runs over 1e-6/1e-12-grid integer snaps
+    # summed as BIGINT — engines disagree on window-sum ORDER (running
+    # accumulation vs segment tree), and integer sums are order-free.
+    r0 = F.col(value_col) / F.lag(value_col, 1).over(w1)
+    out = df.withColumn("__ratio", F.when(r0 > 0, r0))
+    ret = detmath.det_ln_pos("__ratio")
+    out = out.withColumn("__ret_raw", ret).withColumn(
+        "ret", F.round(F.col("__ret_raw"), 6)
+    )
     # trailing frame as a bounded array; EMA = Σ w_k x_{-k} / Σ w_k with
     # w_k = (1-a)^k counted from the newest element (end of the list)
     vals = F.collect_list(F.col(value_col).cast("double")).over(wE)
-    n = F.size(vals)
+    decay_tbl = ", ".join(detmath.dlit((1 - a) ** k) for k in range(ema_span))
     weighted = F.expr(
         f"aggregate(zip_with(__vals, sequence(size(__vals) - 1, 0), "
-        f"(x, k) -> x * pow({1 - a!r}D, k)), 0D, (acc, v) -> acc + v)"
+        f"(x, k) -> x * element_at(array({decay_tbl}), k + 1)), "
+        f"0D, (acc, v) -> acc + v)"
     )
     wsum = F.expr(
-        f"aggregate(transform(sequence(0, size(__vals) - 1), "
-        f"k -> pow({1 - a!r}D, k)), 0D, (acc, v) -> acc + v)"
+        f"aggregate(transform(sequence(size(__vals) - 1, 0), "
+        f"k -> element_at(array({decay_tbl}), k + 1)), 0D, (acc, v) -> acc + v)"
     )
     out = (
         out.withColumn("__vals", vals)
         .withColumn("ema", F.round(weighted / wsum, 6))
         .drop("__vals")
     )
-    sq = F.col("__ret_raw") * F.col("__ret_raw")
-    out = (
-        out.withColumn("__ret_raw", ret)
-        .withColumn("rvol", F.round(F.sqrt(F.sum(sq).over(wN)), 6))
-        .drop("__ret_raw")
+    sq12 = F.floor(
+        F.col("__ret_raw") * F.col("__ret_raw") * 1e12 + F.lit(0.5)
     )
-    mid = F.avg(value_col).over(wN)
-    sd = F.stddev_pop(value_col).over(wN)
+    out = (
+        out.withColumn(
+            "rvol",
+            F.round(
+                F.sqrt(F.sum(sq12).over(wN).cast("double") / F.lit(1e12)), 6
+            ),
+        )
+        .drop("__ret_raw", "__ratio")
+    )
+    v6 = F.floor(F.col(value_col) * 1e6 + F.lit(0.5))
+    v2_6 = F.floor(F.col(value_col) * F.col(value_col) * 1e6 + F.lit(0.5))
+    cnt = F.count(F.col(value_col)).over(wN)
+    s1 = F.sum(v6).over(wN).cast("double") / F.lit(1e6)
+    s2 = F.sum(v2_6).over(wN).cast("double") / F.lit(1e6)
+    mid = s1 / cnt
+    sd = F.sqrt(F.greatest(s2 / cnt - mid * mid, F.lit(0.0)))
     return (
         out.withColumn("boll_mid", F.round(mid, 6))
         .withColumn("boll_up", F.round(mid + 2 * sd, 6))

@@ -280,7 +280,7 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "doc_tfidf_top_terms",
-    r"""
+    rf"""
     WITH toks AS (
       SELECT doc_id, t AS term
       FROM (SELECT doc_id,
@@ -290,10 +290,17 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
-    scored AS (
+    staged AS (
       SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-             FLOOR(tf.tf * (ln((1.0 + n.n) / (1.0 + dfreq.df)) + 1) * 1e6 + 0.5) / 1e6 AS tfidf
+             {detmath.dlit(1.0)} + n.n AS nn,
+             {detmath.dlit(1.0)} + dfreq.df AS dd
       FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             FLOOR(tf * (({detmath.det_ln_pos_sql('nn', 'duckdb', assume_ge_1=True)}
+                          - {detmath.det_ln_pos_sql('dd', 'duckdb', assume_ge_1=True)})
+                         + 1.0) * 1e6 + 0.5) / 1e6 AS tfidf
+      FROM staged),
     ranked AS (
       SELECT *, row_number() OVER (
                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
@@ -1189,21 +1196,35 @@ def doc_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     big AS (SELECT w_prev, w, count(*) AS c12 FROM tok
             WHERE w_prev IS NOT NULL AND length(w_prev) > 0 GROUP BY w_prev, w),
     tot AS (SELECT count(*) AS v, sum(c1) AS n FROM uni),
-    sc AS (
+    sc0 AS (
       SELECT t.doc_id,
-             CASE WHEN t.w_prev IS NULL
-               THEN log2((COALESCE(u.c1, 0) + 1) / CAST(tot.n + tot.v AS DOUBLE))
-               ELSE log2((COALESCE(b.c12, 0) + 1) / CAST(COALESCE(up.c1, 0) + tot.v AS DOUBLE))
-             END AS lp
+             CASE WHEN t.w_prev IS NULL THEN COALESCE(u.c1, 0) + 1
+                  ELSE COALESCE(b.c12, 0) + 1 END AS pnum,
+             CASE WHEN t.w_prev IS NULL THEN tot.n + tot.v
+                  ELSE COALESCE(up.c1, 0) + tot.v END AS pden
       FROM tok t
       LEFT JOIN uni u ON t.w = u.w
       LEFT JOIN uni up ON t.w_prev = up.w
       LEFT JOIN big b ON t.w_prev = b.w_prev AND t.w = b.w
-      CROSS JOIN tot)
-    SELECT doc_id, count(*) AS n_tokens,
-           FLOOR(-sum(lp) / count(*) * 1e6 + 0.5) / 1e6 AS cross_entropy,
-           FLOOR(power(2.0, -sum(lp) / count(*)) * 1e6 + 0.5) / 1e6 AS perplexity
-    FROM sc GROUP BY doc_id
+      CROSS JOIN tot),
+    sc AS (
+      SELECT doc_id,
+             ({detmath.det_log2_int_sql('pnum', 'duckdb')}
+              - {detmath.det_log2_int_sql('pden', 'duckdb')}) AS lp
+      FROM sc0),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(CAST(FLOOR(lp * 1e9 + 0.5) AS BIGINT)) AS s9
+      FROM sc GROUP BY doc_id),
+    h AS (
+      SELECT doc_id, n_tokens,
+             -(CAST(s9 AS DOUBLE) / 1e9) / CAST(n_tokens AS DOUBLE) AS hh
+      FROM agg)
+    SELECT doc_id, n_tokens,
+           FLOOR(hh * 1e6 + 0.5) / 1e6 AS cross_entropy,
+           FLOOR({detmath.det_exp2_sql('hh', 'duckdb')} * 1e6 + 0.5) / 1e6
+             AS perplexity
+    FROM h
     """,
 )
 def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1251,9 +1272,16 @@ def _quality_classifier_oracle(iters: int = 12, lr: float = 1.0) -> str:
     the IDENTICAL full-batch logistic-regression recipe in DuckDB — same
     features, same weak label, one gradient CTE + one weight CTE per
     iteration, weights quantized floor-half-up at 1e-9 exactly like the
-    driver loop (classifier.train_logreg), so cross-engine float-sum and
-    libm ulp differences cannot compound."""
+    driver loop (classifier.train_logreg).  The sigmoid is detmath exp
+    (bit-identical across engines) over a ±40-clamped margin, and each
+    per-row gradient term is snapped to a 1e-9 integer grid and summed
+    as BIGINT — so neither float-sum order nor libm can move a weight."""
     z = "w.w0 * f.bias + w.w1 * f.tokens_x + w.w2 * f.tok_len_x + w.w3 * f.digit_x"
+    sig = f"1.0 / (1.0 + {detmath.det_exp_sql('mz', 'duckdb')})"
+    clamp = (
+        f"CASE WHEN ({z}) > 40.0 THEN 40.0 "
+        f"WHEN ({z}) < -40.0 THEN -40.0 ELSE ({z}) END"
+    )
     parts = [
         rf"""
     WITH feat AS MATERIALIZED (
@@ -1280,15 +1308,22 @@ def _quality_classifier_oracle(iters: int = 12, lr: float = 1.0) -> str:
             f"""
     , g{i} AS MATERIALIZED (
       SELECT count(*) AS n,
-             sum(e.bias * e.e) AS gb, sum(e.tokens_x * e.e) AS gt,
-             sum(e.tok_len_x * e.e) AS gl, sum(e.digit_x * e.e) AS gd
-      FROM (SELECT f.*, 1.0 / (1.0 + exp(-({z}))) - f.y AS e
-            FROM feat f CROSS JOIN it{p} w) e),
+             sum(CAST(FLOOR(e.bias * e.e * 1e9 + 0.5) AS BIGINT)) AS gb,
+             sum(CAST(FLOOR(e.tokens_x * e.e * 1e9 + 0.5) AS BIGINT)) AS gt,
+             sum(CAST(FLOOR(e.tok_len_x * e.e * 1e9 + 0.5) AS BIGINT)) AS gl,
+             sum(CAST(FLOOR(e.digit_x * e.e * 1e9 + 0.5) AS BIGINT)) AS gd
+      FROM (SELECT t.*, {sig} - t.y AS e
+            FROM (SELECT f.*, 0.0 - ({clamp}) AS mz
+                  FROM feat f CROSS JOIN it{p} w) t) e),
     it{i} AS MATERIALIZED (
-      SELECT floor((w.w0 - {lr!r} * g.gb / g.n) * 1e9 + 0.5) / 1e9 AS w0,
-             floor((w.w1 - {lr!r} * g.gt / g.n) * 1e9 + 0.5) / 1e9 AS w1,
-             floor((w.w2 - {lr!r} * g.gl / g.n) * 1e9 + 0.5) / 1e9 AS w2,
-             floor((w.w3 - {lr!r} * g.gd / g.n) * 1e9 + 0.5) / 1e9 AS w3
+      SELECT floor((w.w0 - {detmath.dlit(lr)} * (CAST(g.gb AS DOUBLE) / 1e9)
+                    / g.n) * 1e9 + 0.5) / 1e9 AS w0,
+             floor((w.w1 - {detmath.dlit(lr)} * (CAST(g.gt AS DOUBLE) / 1e9)
+                    / g.n) * 1e9 + 0.5) / 1e9 AS w1,
+             floor((w.w2 - {detmath.dlit(lr)} * (CAST(g.gl AS DOUBLE) / 1e9)
+                    / g.n) * 1e9 + 0.5) / 1e9 AS w2,
+             floor((w.w3 - {detmath.dlit(lr)} * (CAST(g.gd AS DOUBLE) / 1e9)
+                    / g.n) * 1e9 + 0.5) / 1e9 AS w3
       FROM it{p} w CROSS JOIN g{i} g)"""
         )
     parts.append(
@@ -1296,8 +1331,9 @@ def _quality_classifier_oracle(iters: int = 12, lr: float = 1.0) -> str:
     SELECT doc_id, CAST(y AS INT) AS y,
            floor(sig * 1e6 + 0.5) / 1e6 AS score_q6,
            CAST(sig >= 0.5 AS INT) AS pred
-    FROM (SELECT f.doc_id, f.y, 1.0 / (1.0 + exp(-({z}))) AS sig
-          FROM feat f CROSS JOIN it{iters} w) s"""
+    FROM (SELECT t.doc_id, t.y, {sig} AS sig
+          FROM (SELECT f.doc_id, f.y, 0.0 - ({clamp}) AS mz
+                FROM feat f CROSS JOIN it{iters} w) t) s"""
     )
     return "".join(parts)
 
@@ -1335,15 +1371,23 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w, df FROM (
         SELECT w, df, row_number() OVER (ORDER BY df DESC, w ASC) AS r
         FROM dfq) WHERE r BETWEEN 10 AND 12),
-    sc AS (
-      SELECT t.doc_id,
-             ln((st.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
-               * t.tf * (1.2 + 1)
-               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avg_dl)) AS s
+    sc0 AS (
+      SELECT t.doc_id, t.tf, dl.dl, st.avg_dl,
+             (st.n_docs - q.df + {detmath.dlit(0.5)})
+               / (q.df + {detmath.dlit(0.5)}) + {detmath.dlit(1.0)} AS qa
       FROM tf t JOIN q ON t.w = q.w JOIN dl ON t.doc_id = dl.doc_id
       CROSS JOIN st),
+    sc AS (
+      SELECT doc_id,
+             CAST(FLOOR({detmath.det_ln_pos_sql('qa', 'duckdb', assume_ge_1=True)}
+               * tf * {detmath.dlit(2.2)}
+               / (tf + {detmath.dlit(1.2)} * ({detmath.dlit(0.25)}
+                  + {detmath.dlit(0.75)} * dl / avg_dl))
+               * 1e9 + 0.5) AS BIGINT) AS s9
+      FROM sc0),
     agg AS (
-      SELECT doc_id, FLOOR(sum(s) * 1e6 + 0.5) / 1e6 AS bm25_q6,
+      SELECT doc_id,
+             FLOOR((CAST(sum(s9) AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS bm25_q6,
              count(*) AS n_terms_hit
       FROM sc GROUP BY doc_id)
     SELECT doc_id, bm25_q6, n_terms_hit, rank FROM (
@@ -1694,14 +1738,21 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(pa.p, 0.0) AS p, COALESCE(pb.p, 0.0) AS q
       FROM (SELECT * FROM prs CROSS JOIN trm) s
       LEFT JOIN probs pa ON pa.grp = s.ga AND pa.term = s.term
-      LEFT JOIN probs pb ON pb.grp = s.gb AND pb.term = s.term)
+      LEFT JOIN probs pb ON pb.grp = s.gb AND pb.term = s.term),
+    rat AS (
+      SELECT ga, gb, p, q,
+             CASE WHEN p > 0 THEN p / ((p + q) / 2) ELSE 1.0 END AS rp,
+             CASE WHEN q > 0 THEN q / ((p + q) / 2) ELSE 1.0 END AS rq
+      FROM cells)
     SELECT ga AS source_a, gb AS source_b,
            FLOOR(CAST(sum(CAST(FLOOR((
-             CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2)) ELSE 0.0 END
-             + CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2)) ELSE 0.0 END
+             CASE WHEN p > 0
+               THEN p * {detmath.det_log2_pos_sql('rp', 'duckdb')} ELSE 0.0 END
+             + CASE WHEN q > 0
+               THEN q * {detmath.det_log2_pos_sql('rq', 'duckdb')} ELSE 0.0 END
            ) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 / 2 * 1e6 + 0.5) / 1e6
              AS jsd_q6
-    FROM cells GROUP BY ga, gb
+    FROM rat GROUP BY ga, gb
     """,
 )
 def doc_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1730,21 +1781,24 @@ def doc_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
     tot AS (
       SELECT (SELECT sum(c) FROM uni) AS n_uni,
-             (SELECT sum(c_ab) FROM big) AS n_big)
-    SELECT wa, wb, c_ab, pmi_q6, rank FROM (
+             (SELECT sum(c_ab) FROM big) AS n_big),
+    rat AS (
       SELECT big.wa, big.wb, big.c_ab,
-             FLOOR(log2((big.c_ab * 1.0 / tot.n_big)
-                        / ((ua.c * 1.0 / tot.n_uni) * (ub.c * 1.0 / tot.n_uni)))
-                   * 1e6 + 0.5) / 1e6 AS pmi_q6,
-             row_number() OVER (
-               ORDER BY FLOOR(log2((big.c_ab * 1.0 / tot.n_big)
-                        / ((ua.c * 1.0 / tot.n_uni) * (ub.c * 1.0 / tot.n_uni)))
-                   * 1e6 + 0.5) / 1e6 DESC, big.wa ASC, big.wb ASC) AS rank
+             (big.c_ab / tot.n_big)
+               / ((ua.c / tot.n_uni) * (ub.c / tot.n_uni)) AS pr
       FROM big
       JOIN uni ua ON big.wa = ua.w
       JOIN uni ub ON big.wb = ub.w
       CROSS JOIN tot
-      WHERE big.c_ab >= 5) r
+      WHERE big.c_ab >= 5)
+    SELECT wa, wb, c_ab, pmi_q6, rank FROM (
+      SELECT wa, wb, c_ab,
+             FLOOR({detmath.det_log2_pos_sql('pr', 'duckdb')}
+                   * 1e6 + 0.5) / 1e6 AS pmi_q6,
+             row_number() OVER (
+               ORDER BY FLOOR({detmath.det_log2_pos_sql('pr', 'duckdb')}
+                   * 1e6 + 0.5) / 1e6 DESC, wa ASC, wb ASC) AS rank
+      FROM rat) r
     WHERE rank <= 20
     """,
 )
@@ -1795,14 +1849,12 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot_uni))
         .crossJoin(F.broadcast(tot_big))
     )
-    pmi = F.floor(
-        F.log2(
-            (F.col("c_ab") / F.col("n_big"))
-            / ((F.col("ca") / F.col("n_uni")) * (F.col("cb") / F.col("n_uni")))
-        )
-        * 1e6
-        + F.lit(0.5)
-    ) / 1e6
+    j = j.withColumn(
+        "__pr",
+        (F.col("c_ab") / F.col("n_big"))
+        / ((F.col("ca") / F.col("n_uni")) * (F.col("cb") / F.col("n_uni"))),
+    )
+    pmi = F.floor(detmath.det_log2_pos("__pr") * 1e6 + F.lit(0.5)) / 1e6
     w = Window.orderBy(F.col("pmi_q6").desc(), F.col("wa").asc(), F.col("wb").asc())
     return (
         j.withColumn("pmi_q6", pmi)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -15,6 +17,7 @@ from ..operators import (  # noqa: F401
     text,
     ticks,
 )
+from ..functions import detmath
 from ._base import _register, _td
 
 
@@ -684,34 +687,51 @@ def ticks_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(value) OVER w IS NULL
                     OR lag(value) OVER w = 0
                     OR value / lag(value) OVER w <= 0 THEN NULL
-                  ELSE ln(value / lag(value) OVER w) END AS ret_raw,
+                  ELSE value / lag(value) OVER w END AS ratio,
              list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS l,
-             avg(value) OVER w20 AS mid,
-             stddev_pop(value) OVER w20 AS sd
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v6,
+             CAST(FLOOR(value * value * 1e6 + 0.5) AS BIGINT) AS v26
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-             w20 AS (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r0 AS (
+      SELECT *, {DET_LN_RATIO} AS ret_raw FROM base),
     r AS (
       SELECT *,
-             sqrt(sum(ret_raw * ret_raw) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS rvol_raw,
+             sum(CAST(FLOOR(ret_raw * ret_raw * 1e12 + 0.5) AS BIGINT))
+               OVER w20 AS sq12,
+             sum(v6) OVER w20 AS s1i,
+             sum(v26) OVER w20 AS s2i,
+             count(value) OVER w20 AS cnt,
              list_sum(list_transform(range(1, len(l) + 1),
-               i -> l[i] * pow({decay}, len(l) - i))) AS wsum_x,
+               i -> l[i] * ({DECAY_TBL})[len(l) - i + 1])) AS wsum_x,
              list_sum(list_transform(range(1, len(l) + 1),
-               i -> pow({decay}, len(l) - i))) AS wsum
-      FROM base)
+               i -> ({DECAY_TBL})[len(l) - i + 1])) AS wsum
+      FROM r0
+      WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    fin AS (
+      SELECT *,
+             (CAST(s1i AS DOUBLE) / 1e6) / cnt AS mid,
+             sqrt(GREATEST((CAST(s2i AS DOUBLE) / 1e6) / cnt
+                           - ((CAST(s1i AS DOUBLE) / 1e6) / cnt)
+                             * ((CAST(s1i AS DOUBLE) / 1e6) / cnt),
+                           0.0)) AS sd
+      FROM r)
     SELECT event_id, user_id, ts,
            ROUND(ret_raw, 6) AS ret,
            ROUND(wsum_x / wsum, 6) AS ema,
-           ROUND(rvol_raw, 6) AS rvol,
+           ROUND(sqrt(CAST(sq12 AS DOUBLE) / 1e12), 6) AS rvol,
            ROUND(mid, 6) AS boll_mid,
            ROUND(mid + 2 * sd, 6) AS boll_up,
            ROUND(mid - 2 * sd, 6) AS boll_dn
-    FROM r
-    """.format(decay=repr(1 - 2.0 / 13)),
+    FROM fin
+    """.format(
+        DET_LN_RATIO=detmath.det_ln_pos_sql("ratio", "duckdb"),
+        DECAY_TBL="["
+        + ", ".join(detmath.dlit((1 - 2.0 / 13) ** k) for k in range(12))
+        + "]",
+    ),
 )
 def ticks_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Technical-indicator pack over the events stream (per-user price
@@ -1005,7 +1025,7 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n,
            FLOOR(mu * 1e6 + 0.5) / 1e6 AS mean_q6,
            FLOOR(sqrt(GREATEST(m2, 0)) * 1e6 + 0.5) / 1e6 AS std_q6,
-           FLOOR(CASE WHEN m2 > 0 THEN m3 / power(sqrt(m2), 3) END * 1e6 + 0.5) / 1e6 AS skew_q6,
+           FLOOR(CASE WHEN m2 > 0 THEN m3 / (sqrt(m2) * m2) END * 1e6 + 0.5) / 1e6 AS skew_q6,
            FLOOR(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END * 1e6 + 0.5) / 1e6 AS kurt_q6
     FROM c
     """,
@@ -1520,19 +1540,27 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ticks_parkinson_vol",
-    r"""
+    rf"""
     WITH bars AS (
       SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
              CAST(ts AS DATE) AS day,
              date_trunc('minute', ts) AS bar,
              max(value) AS high, min(value) AS low
-      FROM events GROUP BY 1, 2, 3)
+      FROM events GROUP BY 1, 2, 3),
+    hb AS (
+      SELECT symbol, day, high / low AS hl
+      FROM bars WHERE low > 0 AND high >= low),
+    lr AS (
+      SELECT symbol, day,
+             {detmath.det_ln_pos_sql('hl', 'duckdb', assume_ge_1=True)} AS lr
+      FROM hb)
     SELECT symbol, day,
            count(*) AS n_bars,
-           FLOOR(sqrt(avg(pow(ln(high / low), 2)) / (4 * ln(2))) * 1e6 + 0.5) / 1e6
-             AS parkinson_vol_q6
-    FROM bars WHERE low > 0 AND high >= low
-    GROUP BY symbol, day
+           FLOOR(sqrt(((CAST(sum(CAST(FLOOR(lr * lr * 1e12 + 0.5) AS BIGINT))
+                              AS DOUBLE) / 1e12) / count(*))
+                      / {detmath.dlit(4 * math.log(2.0))})
+                 * 1e6 + 0.5) / 1e6 AS parkinson_vol_q6
+    FROM lr GROUP BY symbol, day
     """,
 )
 def ticks_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1555,12 +1583,28 @@ def ticks_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("high"), F.min("value").alias("low"))
         .filter((F.col("low") > 0) & (F.col("high") >= F.col("low")))
     )
-    lhl = F.pow(F.log(F.col("high") / F.col("low")), F.lit(2.0))
-    return bars.groupBy("symbol", "day").agg(
+    import math
+
+    from ..functions import detmath
+
+    # detmath ln over the staged ratio (libm-free), per-bar ln² snapped
+    # to a 1e-12 integer grid and summed as BIGINT — the per-day mean is
+    # exact and order-free, so both engines quantize identical doubles
+    staged = bars.withColumn("__hl", F.col("high") / F.col("low")).withColumn(
+        "__lr", detmath.det_ln_pos("__hl", assume_ge_1=True)
+    )
+    t12 = F.floor(F.col("__lr") * F.col("__lr") * 1e12 + F.lit(0.5))
+    c4ln2 = F.lit(4 * math.log(2.0))
+    return staged.groupBy("symbol", "day").agg(
         F.count(F.lit(1)).alias("n_bars"),
         (
             F.floor(
-                F.sqrt(F.avg(lhl) / (4 * F.log(F.lit(2.0)))) * 1e6 + F.lit(0.5)
+                F.sqrt(
+                    ((F.sum(t12).cast("double") / F.lit(1e12)) / F.count(F.lit(1)))
+                    / c4ln2
+                )
+                * 1e6
+                + F.lit(0.5)
             )
             / 1e6
         ).alias("parkinson_vol_q6"),
@@ -1681,7 +1725,7 @@ def events_alarm_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "events_zipf_fit",
-    r"""
+    rf"""
     WITH uc AS (
       SELECT user_id, count(*) AS c FROM events
       WHERE user_id IS NOT NULL GROUP BY user_id),
@@ -1690,8 +1734,10 @@ def events_alarm_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk AS (
       SELECT row_number() OVER (ORDER BY c DESC) AS r, c FROM top),
     xy AS (
-      SELECT CAST(FLOOR(ln(r) * 1e9 + 0.5) AS BIGINT) AS xi,
-             CAST(FLOOR(ln(c) * 1e9 + 0.5) AS BIGINT) AS yi
+      SELECT CAST(FLOOR({detmath.det_ln_pos_sql('r', 'duckdb', assume_ge_1=True)}
+                        * 1e9 + 0.5) AS BIGINT) AS xi,
+             CAST(FLOOR({detmath.det_ln_pos_sql('c', 'duckdb', assume_ge_1=True)}
+                        * 1e9 + 0.5) AS BIGINT) AS yi
       FROM rk),
     si AS (
       SELECT count(*) AS n, sum(xi) AS ix, sum(yi) AS iy,
@@ -1717,11 +1763,10 @@ def events_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf; the skew diagnostic that predicts hot-key behavior before a
     shuffle does). TakeOrderedAndProject head cut, rank window over
     ≤1000 rows, closed-form OLS from one sums aggregate.
-    Order-independent: ln(rank)/ln(count) contributions snapped to a
-    1e-9 integer grid and summed exactly, so the OLS sums (the r4
-    float-sum hash-FAIL class) combine identical integers on both
-    engines; a grid flip from a 1-ulp ln difference moves the slope by
-    ~1e-12, far below q6."""
+    Order-independent AND libm-free: detmath ln(rank)/ln(count)
+    contributions (bit-identical across engines) snapped to a 1e-9
+    integer grid and summed exactly, so the OLS sums combine identical
+    integers on both engines and no grid flip is possible."""
     from pyspark.sql import Window
 
     ev = _td(spark, sf_dir, "events")
@@ -1735,8 +1780,12 @@ def events_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r", F.row_number().over(Window.orderBy(F.col("c").desc()))
     )
     xy = rk.select(
-        F.floor(F.log("r") * 1e9 + F.lit(0.5)).alias("xi"),
-        F.floor(F.log("c") * 1e9 + F.lit(0.5)).alias("yi"),
+        F.floor(
+            detmath.det_ln_pos("r", assume_ge_1=True) * 1e9 + F.lit(0.5)
+        ).alias("xi"),
+        F.floor(
+            detmath.det_ln_pos("c", assume_ge_1=True) * 1e9 + F.lit(0.5)
+        ).alias("yi"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     si = xy.agg(

@@ -15,6 +15,7 @@ from ..operators import (  # noqa: F401
     text,
     ticks,
 )
+from ..functions import detmath
 from ._base import _register, _td
 
 
@@ -872,7 +873,7 @@ def streaming_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "events_psi_drift",
-    """
+    f"""
     WITH r AS (
       SELECT event_type,
              LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS INT), 0), 19) AS bin,
@@ -893,15 +894,17 @@ def streaming_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
       FROM r FULL JOIN c ON r.event_type = c.event_type AND r.bin = c.bin),
     t AS (SELECT event_type, SUM(rc) AS rn, SUM(cc) AS cn FROM f GROUP BY 1),
-    s AS (
+    s0 AS (
       SELECT f.event_type,
-             CAST(FLOOR(
-               ((rc + 1) * 1.0 / (rn + 20) - (cc + 1) * 1.0 / (cn + 20))
-               * ln(((rc + 1) * 1.0 / (rn + 20)) / ((cc + 1) * 1.0 / (cn + 20)))
-               * 1e9 + 0.5) AS BIGINT) AS c9
-      FROM f JOIN t USING (event_type))
+             CAST(rc + 1 AS DOUBLE) / CAST(rn + 20 AS DOUBLE) AS p,
+             CAST(cc + 1 AS DOUBLE) / CAST(cn + 20 AS DOUBLE) AS q
+      FROM f JOIN t USING (event_type)),
+    s AS (
+      SELECT event_type,
+             CAST(FLOOR((p - q) * {detmath.det_ln_pos_sql('pr', 'duckdb')} * 1e9 + 0.5) AS BIGINT) AS c9
+      FROM (SELECT event_type, p, q, p / q AS pr FROM s0))
     SELECT event_type,
-           FLOOR(SUM(c9) * 1.0 / 1e9 * 1e6 + 0.5) / 1e6 AS psi_q6
+           FLOOR(CAST(SUM(c9) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS psi_q6
     FROM s GROUP BY 1
     """,
 )
