@@ -791,3 +791,177 @@ def mmr_rerank(
         return pd.DataFrame(rows)
 
     return withv.groupBy(query_id).applyInPandas(greedy, schema=out_schema)
+
+
+def pq_codes(
+    df: DataFrame,
+    m: int = 2,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011): split each vector
+    into ``m`` contiguous subspaces, run the :func:`kmeans` recipe per
+    subspace (deterministic lowest-id init, argmin over broadcast
+    centroid literals, q6-snapped mean updates), and emit one row per
+    (vector, subspace) with the assigned codebook entry — the memory
+    side of IVF-PQ: ``m * log2(ksub)`` bits per vector instead of
+    ``dim * 32``.
+
+    Scale shape: all ``m`` subspace assignments are map-side expressions
+    in the SAME projection, and each update iteration is ONE shuffle of
+    (subspace, cluster, dim) partial means (≤ m·ksub·dsub rows after
+    map-side combine) + a metadata-scale collect — the corpus is
+    scanned once per iteration regardless of m, never joined.
+
+    Returns (id_col, subspace, code, dist_q6) — long/scalar form so the
+    value oracle hashes it directly.
+    """
+    import math as _math
+
+    v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
+    first = v.select(F.size("vec").alias("d")).first()
+    if first is None:
+        return v.select(
+            F.col(id_col),
+            F.lit(0).alias("subspace"),
+            F.lit(0).alias("code"),
+            F.lit(0.0).alias("dist_q6"),
+        ).limit(0)
+    dim = first["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    init_rows = v.orderBy(id_col).limit(ksub).collect()
+    cents: list[list[list[float]]] = [
+        [[float(x) for x in r.vec[s * dsub : (s + 1) * dsub]] for r in init_rows]
+        for s in range(m)
+    ]
+
+    def assign(s: int) -> Column:
+        entries = []
+        for cid, cent in enumerate(cents[s]):
+            arr = ", ".join(f"{x!r}D" for x in cent)
+            sub = f"slice(vec, {s * dsub + 1}, {dsub})"
+            dsq = (
+                f"aggregate(zip_with({sub}, array({arr}), "
+                f"(x, c) -> (x - c) * (x - c)), 0D, (a, x) -> a + x)"
+            )
+            entries.append(f"struct({dsq} AS dsq, {cid} AS cid)")
+        return F.expr(f"array_min(array({', '.join(entries)}))")
+
+    for _ in range(iters):
+        a = v.select(
+            "vec", *[assign(s).getField("cid").alias(f"c{s}") for s in range(m)]
+        )
+        stacked = None
+        for s in range(m):
+            part = a.select(
+                F.lit(s).alias("s"),
+                F.col(f"c{s}").alias("cl"),
+                F.posexplode(F.slice("vec", s * dsub + 1, dsub)).alias("pos", "x"),
+            )
+            stacked = part if stacked is None else stacked.unionByName(part)
+        upd = stacked.groupBy("s", "cl", "pos").agg(F.avg("x").alias("mn")).collect()
+        fresh: dict[tuple[int, int], dict[int, float]] = {}
+        for r in upd:
+            fresh.setdefault((r.s, r.cl), {})[r.pos] = _math.floor(
+                r.mn * 1e6 + 0.5
+            ) / 1e6
+        for s in range(m):
+            cents[s] = [
+                [fresh[(s, cid)][p] for p in range(dsub)]
+                if (s, cid) in fresh
+                else cents[s][cid]
+                for cid in range(ksub)
+            ]
+
+    final = v.select(
+        F.col(id_col), *[assign(s).alias(f"a{s}") for s in range(m)]
+    )
+    out = None
+    for s in range(m):
+        part = final.select(
+            F.col(id_col),
+            F.lit(s).alias("subspace"),
+            F.col(f"a{s}").getField("cid").alias("code"),
+            (
+                F.floor(F.col(f"a{s}").getField("dsq") * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("dist_q6"),
+        )
+        out = part if out is None else out.unionByName(part)
+    # expose the trained codebooks for ADC consumers (pq_topk)
+    out._pq_centroids = cents  # type: ignore[attr-defined]
+    return out
+
+
+def pq_topk(
+    df: DataFrame,
+    m: int = 2,
+    ksub: int = 8,
+    iters: int = 2,
+    n_queries: int = 5,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: queries are the
+    ``n_queries`` lowest-id vectors (the registry's deterministic query
+    convention); per query the m×ksub distance table is computed once
+    driver-side from the trained codebooks (metadata-scale, q6-snapped)
+    and the corpus-side cost is ONE scan of the codes with per-row
+    table lookups — the approximate-search shape that scales to 100 TB
+    because the scan touches `m` small ints per vector, never the
+    original floats.
+
+    Returns (query_id, id_col, adist_q6, rank), query excluded.
+    """
+    import math as _math
+
+    from pyspark.sql import Window
+
+    codes = pq_codes(df, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
+    cents = codes._pq_centroids  # type: ignore[attr-defined]
+    dsub = len(cents[0][0])
+    v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
+    qrows = v.orderBy(id_col).limit(n_queries).collect()
+    wide = (
+        codes.groupBy(id_col)
+        .pivot("subspace", list(range(m)))
+        .agg(F.first("code"))
+    )
+    out = None
+    for qr in qrows:
+        qid = qr[id_col]
+        adist = None
+        for s in range(m):
+            qsub = [float(x) for x in qr.vec[s * dsub : (s + 1) * dsub]]
+            # per-centroid squared L2, same sequential fold as the SQL
+            # oracle's list_sum, snapped to q6 so a fold-order ulp can't
+            # leak into the ranking
+            tbl = [
+                _math.floor(
+                    sum((qx - cx) * (qx - cx) for qx, cx in zip(qsub, cent))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+                for cent in cents[s]
+            ]
+            arr = ", ".join(f"{x!r}D" for x in tbl)
+            term = F.expr(f"element_at(array({arr}), `{s}` + 1)")
+            adist = term if adist is None else adist + term
+        part = wide.select(
+            F.lit(qid).alias("query_id"),
+            F.col(id_col),
+            adist.alias("adist_q6"),
+        ).filter(F.col(id_col) != qid)
+        out = part if out is None else out.unionByName(part)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_q6").asc(), F.col(id_col).asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
