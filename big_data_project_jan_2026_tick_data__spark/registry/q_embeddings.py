@@ -863,3 +863,144 @@ def emb_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             q6(2 * F.col("tv") / (2 * msq)).alias("dispersion_ratio_q6"),
         )
     )
+
+
+def _pq_chain(s: int, k: int, dsub: int) -> str:
+    """One subspace's k-means chain for the PQ oracles: the
+    `_kmeans_cte` recipe (init -> assign -> q6-snapped mean update x2 ->
+    final assignment) over the sliced sub-vector, CTE names prefixed
+    `s{s}_` so m chains compose in one WITH clause."""
+    p = f"s{s}_"
+    lo, hi = s * dsub + 1, (s + 1) * dsub
+    d1 = dsub + 1
+    return rf"""{p}base AS (
+      SELECT vec_id,
+             list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    {p}init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM (SELECT * FROM {p}base ORDER BY vec_id LIMIT {k})),
+    {p}a1d AS (
+      SELECT b.vec_id, b.v, i.cid,
+             list_sum(list_transform(range(1, {d1}),
+               j -> (b.v[j] - i.c[j]) * (b.v[j] - i.c[j]))) AS dsq
+      FROM {p}base b CROSS JOIN {p}init i),
+    {p}a1 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid) AS rn
+        FROM {p}a1d) WHERE rn = 1),
+    {p}u1 AS (
+      SELECT cid, list(q ORDER BY j) AS c FROM (
+        SELECT a.cid, t.j, floor(avg(a.v[t.j]) * 1e6 + 0.5) / 1e6 AS q
+        FROM {p}a1 a CROSS JOIN range(1, {d1}) t(j)
+        GROUP BY a.cid, t.j) GROUP BY cid),
+    {p}c1 AS (
+      SELECT i.cid, COALESCE(u.c, i.c) AS c
+      FROM {p}init i LEFT JOIN {p}u1 u USING (cid)),
+    {p}a2d AS (
+      SELECT b.vec_id, b.v, i.cid,
+             list_sum(list_transform(range(1, {d1}),
+               j -> (b.v[j] - i.c[j]) * (b.v[j] - i.c[j]))) AS dsq
+      FROM {p}base b CROSS JOIN {p}c1 i),
+    {p}a2 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid) AS rn
+        FROM {p}a2d) WHERE rn = 1),
+    {p}u2 AS (
+      SELECT cid, list(q ORDER BY j) AS c FROM (
+        SELECT a.cid, t.j, floor(avg(a.v[t.j]) * 1e6 + 0.5) / 1e6 AS q
+        FROM {p}a2 a CROSS JOIN range(1, {d1}) t(j)
+        GROUP BY a.cid, t.j) GROUP BY cid),
+    {p}c2 AS (
+      SELECT i.cid, COALESCE(u.c, i.c) AS c
+      FROM {p}c1 i LEFT JOIN {p}u2 u USING (cid)),
+    {p}afd AS (
+      SELECT b.vec_id, b.v, i.cid,
+             list_sum(list_transform(range(1, {d1}),
+               j -> (b.v[j] - i.c[j]) * (b.v[j] - i.c[j]))) AS dsq
+      FROM {p}base b CROSS JOIN {p}c2 i),
+    {p}asn AS (
+      SELECT vec_id, v, cid, dsq FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid) AS rn
+        FROM {p}afd) WHERE rn = 1)"""
+
+
+def _pq_codes_oracle(m: int = 2, ksub: int = 8, dim: int = 64) -> str:
+    dsub = dim // m
+    chains = ",\n    ".join(_pq_chain(s, ksub, dsub) for s in range(m))
+    unions = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {s} AS subspace, CAST(cid AS INT) AS code, "
+        f"floor(dsq * 1e6 + 0.5) / 1e6 AS dist_q6 FROM s{s}_asn"
+        for s in range(m)
+    )
+    return f"WITH {chains}\n    {unions}"
+
+
+def _pq_topk_oracle(
+    m: int = 2, ksub: int = 8, dim: int = 64, n_queries: int = 5, top_k: int = 5
+) -> str:
+    dsub = dim // m
+    d1 = dsub + 1
+    chains = ",\n    ".join(_pq_chain(s, ksub, dsub) for s in range(m))
+    dts = ",\n    ".join(
+        f"""q{s} AS (
+      SELECT vec_id AS qid, v FROM s{s}_base ORDER BY vec_id LIMIT {n_queries}),
+    dt{s} AS (
+      SELECT q.qid, c.cid,
+             floor(list_sum(list_transform(range(1, {d1}),
+               j -> (q.v[j] - c.c[j]) * (q.v[j] - c.c[j]))) * 1e6 + 0.5) / 1e6
+               AS d6
+      FROM q{s} q CROSS JOIN s{s}_c2 c)"""
+        for s in range(m)
+    )
+    asn_joins = " ".join(
+        f"JOIN s{s}_asn a{s} ON a{s}.vec_id = a0.vec_id" for s in range(1, m)
+    )
+    dt_joins = " ".join(
+        f"JOIN dt{s} ON dt{s}.qid = q.qid AND dt{s}.cid = a{s}.cid"
+        for s in range(m)
+    )
+    adist = " + ".join(f"dt{s}.d6" for s in range(m))
+    return f"""WITH {chains},
+    {dts},
+    qs AS (SELECT DISTINCT qid FROM dt0),
+    ad AS (
+      SELECT q.qid, a0.vec_id, {adist} AS adist_q6
+      FROM qs q
+      CROSS JOIN s0_asn a0
+      {asn_joins}
+      {dt_joins}
+      WHERE a0.vec_id <> q.qid)
+    SELECT qid AS query_id, vec_id, adist_q6, rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY qid ORDER BY adist_q6 ASC, vec_id ASC) AS rank
+      FROM ad) WHERE rank <= {top_k}
+    """
+
+
+@_register("emb_pq_codes", _pq_codes_oracle())
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training + encoding
+    (similarity.pq_codes): m=2 subspaces × 8 centroids, the
+    deterministic k-means recipe per subspace (lowest-id init,
+    q6-snapped mean updates), corpus scanned once per iteration with
+    ALL subspace assignments in one projection; one (subspace, cluster,
+    dim) partial-agg shuffle per iteration. Long/scalar output so the
+    oracle value-hashes codes AND quantization error directly; the
+    oracle re-trains both subspace codebooks as chained CTEs
+    (the emb_kmeans recipe sliced per subspace)."""
+    emb = _td(spark, sf_dir, "embeddings")
+    return similarity.pq_codes(emb, m=2, ksub=8, iters=2)
+
+
+@_register("emb_pq_topk", _pq_topk_oracle())
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search (similarity.pq_topk): top-5
+    neighbours for the 5 lowest-id query vectors using only the m
+    codebook lookups per corpus vector — the 100 TB-shape ANN scan
+    (m small ints per row, never the raw floats). Distance tables are
+    metadata-scale driver literals, q6-snapped; ranking ties break on
+    vec_id. The oracle re-derives codebooks, codes, distance tables,
+    and the ranked join entirely in SQL."""
+    emb = _td(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, m=2, ksub=8, iters=2, n_queries=5, top_k=5)

@@ -10,6 +10,14 @@ from pyspark.sql import functions as F
 from big_data_project_jan_2026_tick_data__spark.operators import similarity
 
 
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb_small(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
 def _load(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -318,3 +326,55 @@ def test_mmr_rerank_string_ids(spark):
     ).collect()
     assert {r["vec_id"] for r in out} <= {"a", "b", "c"}
     assert len(out) == 2
+
+
+def test_pq_codes_partition_independent(spark, emb_small):
+    """PQ training is deterministic by construction: identical codes and
+    quantization error at 1 vs 7 shuffle partitions."""
+    from big_data_project_jan_2026_tick_data__spark.operators.similarity import pq_codes
+
+    a = sorted(map(tuple, pq_codes(emb_small.coalesce(1), m=2, ksub=4).collect()))
+    b = sorted(map(tuple, pq_codes(emb_small.repartition(7), m=2, ksub=4).collect()))
+    assert a == b
+    assert len(a) == emb_small.count() * 2  # one row per (vector, subspace)
+
+
+def test_pq_quantization_reduces_distance_vs_single_centroid(spark, emb_small):
+    """With ksub > 1 the per-subspace quantization error must not exceed
+    the trivial 1-centroid codebook's (sanity: k-means actually helps)."""
+    from big_data_project_jan_2026_tick_data__spark.operators.similarity import pq_codes
+    from pyspark.sql import functions as F
+
+    multi = pq_codes(emb_small, m=2, ksub=4, iters=2)
+    single = pq_codes(emb_small, m=2, ksub=1, iters=2)
+    tot_multi = multi.agg(F.sum("dist_q6")).first()[0]
+    tot_single = single.agg(F.sum("dist_q6")).first()[0]
+    assert tot_multi <= tot_single + 1e-9
+
+
+def test_pq_topk_reasonable_recall_vs_brute_force(spark, emb_small):
+    """ADC over 2x8 codebooks is approximate, and the synthetic
+    embeddings are near-uniform in 64-d where pairwise distances
+    concentrate (top-5 is intrinsically unstable under ANY quantizer) —
+    so the honest bar is 'clearly above chance', which is ~1%
+    (5 of ~500) per query."""
+    from big_data_project_jan_2026_tick_data__spark.operators.similarity import pq_topk
+
+    rows = pq_topk(emb_small, m=2, ksub=8, iters=2, n_queries=3, top_k=5).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    data = {r["vec_id"]: list(map(float, r["embedding"])) for r in emb_small.collect()}
+    hits = total = 0
+    for qid, approx in got.items():
+        q = data[qid]
+        exact = sorted(
+            (vid for vid in data if vid != qid),
+            key=lambda vid: (
+                sum((a - b) ** 2 for a, b in zip(data[vid], q)),
+                vid,
+            ),
+        )[:5]
+        hits += len(approx & set(exact))
+        total += 5
+    assert hits / total >= 0.1, f"PQ recall {hits}/{total} not above chance"
