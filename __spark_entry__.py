@@ -65,9 +65,10 @@ _ADJUDICATION_PRIORITY = [
     # (b) shared-replay-harness refactor in r5, verdicts stale r3/r4
     "streaming_session_agg",
     "streaming_cusum_alarms",
-    # (c) registered in r6: product quantization (codes + ADC search)
+    # (c) registered in r6: product quantization, CMS heavy hitters
     "emb_pq_codes",
     "emb_pq_topk",
+    "events_cms_heavy_hitters",
     # (c) registered in r5, never adjudicated
     "events_psi_drift",
     "orders_seasonal_decompose",

@@ -204,3 +204,67 @@ def psi_drift(
             "psi_q6"
         ),
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-min-sketch heavy hitters with a built-in exactness audit —
+    the mergeable frequency sketch next to the HLL rollup: d×w integer
+    cells, each update touching ``depth`` cells picked by independent
+    md5-derived hashes (the repo's cross-engine hash: identical in
+    Spark's ``conv(substr(md5(...)))`` and DuckDB's hex cast).
+
+    Scale story: the SKETCH build is one explode(depth) + hash agg to
+    ≤ depth·width cells — mergeable across partitions, files, or days
+    by cell-wise addition, so a 100 TB stream reduces to a few KB
+    without ever shuffling keys. The estimate is min over the key's
+    depth cells; CMS guarantees estimate >= true count, which this
+    operator SURFACES by also computing the exact per-key counts (the
+    approx_aggregates self-check pattern — at production scale you keep
+    only the sketch side). Returns the top-``top_k`` keys by estimate
+    (ties → key) with (key, cms_est, exact_count, overcount, rank);
+    every column is an exact integer, so the oracle hash cannot drift.
+    """
+    from pyspark.sql import Window
+
+    keys = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("k")
+    )
+    lanes = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i")
+    h = F.pmod(
+        F.expr(
+            "cast(conv(substr(md5(concat(k, '|', cast(i as string))), 1, 15), "
+            "16, 10) as bigint)"
+        ),
+        F.lit(width),
+    )
+    cells = (
+        keys.select("k", lanes)
+        .withColumn("h", h)
+        .groupBy("i", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = keys.groupBy("k").agg(F.count(F.lit(1)).alias("exact_count"))
+    cand = exact.select("k", "exact_count", lanes).withColumn("h", h)
+    est = (
+        cand.join(F.broadcast(cells), ["i", "h"])
+        .groupBy("k", "exact_count")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    w = Window.orderBy(F.col("cms_est").desc(), F.col("k").asc())
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("k").alias("key"),
+            "cms_est",
+            "exact_count",
+            (F.col("cms_est") - F.col("exact_count")).alias("overcount"),
+            "rank",
+        )
+    )

@@ -929,3 +929,47 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi=500.0,
         nbins=20,
     )
+
+
+@_register(
+    "events_cms_heavy_hitters",
+    """
+    WITH keys AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE user_id IS NOT NULL),
+    ri AS (SELECT k, i FROM keys CROSS JOIN range(4) t(i)),
+    hh AS (
+      SELECT k, i,
+             CAST(('0x' || substr(md5(k || '|' || CAST(i AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 256 AS h
+      FROM ri),
+    cells AS (SELECT i, h, count(*) AS c FROM hh GROUP BY 1, 2),
+    ex AS (SELECT k, count(*) AS exact_count FROM keys GROUP BY k),
+    cand AS (
+      SELECT e.k, e.exact_count, t.i,
+             CAST(('0x' || substr(md5(e.k || '|' || CAST(t.i AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 256 AS h
+      FROM ex e CROSS JOIN range(4) t(i)),
+    est AS (
+      SELECT k, exact_count, min(c) AS cms_est
+      FROM cand JOIN cells USING (i, h) GROUP BY k, exact_count)
+    SELECT k AS key, cms_est, exact_count,
+           cms_est - exact_count AS overcount, rank
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY cms_est DESC, k ASC) AS rank FROM est)
+    WHERE rank <= 20
+    """,
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over event user ids
+    (sketches.cms_heavy_hitters, depth 4 × width 256): the mergeable
+    frequency sketch next to the HLL reach rollup — the sketch build
+    reduces any stream to ≤ 1024 integer cells mergeable by addition,
+    and the registry row carries the exact counts beside the estimates
+    so the CMS overestimate guarantee (est >= exact, both integers) is
+    value-hashed, not asserted. Oracle re-derives the md5 lanes, cells,
+    min-estimates and ranking in SQL."""
+    from ..operators import sketches
+
+    ev = _td(spark, sf_dir, "events")
+    return sketches.cms_heavy_hitters(ev, "user_id", depth=4, width=256, top_k=20)

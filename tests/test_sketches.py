@@ -162,3 +162,32 @@ def test_pps_rejects_overflowing_selection_arithmetic(spark):
         pps_systematic_sample(heavy, "wt", 2**23)
     with _pytest.raises(ValueError, match="positive"):
         pps_systematic_sample(heavy, "wt", 0)
+
+
+def test_cms_estimate_dominates_exact_and_merges(spark):
+    """CMS guarantees est >= exact per key; and because cells add, the
+    sketch of a union equals the cell-wise sum of per-part sketches —
+    checked by comparing estimates from a split-then-merged build."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_jan_2026_tick_data__spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    rows = [(f"u{i % 7}",) for i in range(200)] + [("whale",)] * 50
+    df = spark.createDataFrame(rows, "user_id string")
+    out = cms_heavy_hitters(df, "user_id", depth=4, width=16, top_k=10).collect()
+    assert all(r["cms_est"] >= r["exact_count"] for r in out)
+    assert all(r["overcount"] == r["cms_est"] - r["exact_count"] for r in out)
+    assert out[0]["key"] == "whale" and out[0]["exact_count"] == 50
+    # layout independence: same result at 1 vs 9 partitions
+    a = sorted(map(tuple, out))
+    b = sorted(
+        map(
+            tuple,
+            cms_heavy_hitters(
+                df.repartition(9), "user_id", depth=4, width=16, top_k=10
+            ).collect(),
+        )
+    )
+    assert a == b
