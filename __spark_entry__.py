@@ -62,6 +62,7 @@ _ADJUDICATION_PRIORITY = [
     "events_zipf_fit",
     "ticks_parkinson_vol",
     "events_moment_stats",
+    "ticks_rolling_stats",
     # (b) shared-replay-harness refactor in r5, verdicts stale r3/r4
     "streaming_session_agg",
     "streaming_cusum_alarms",

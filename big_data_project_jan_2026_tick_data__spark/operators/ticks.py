@@ -358,6 +358,12 @@ def rolling_stats(
     RANGE (not ROWS): tick density varies, so a row-count frame would be
     wrong. The frame is computed within partitions after one sort — no
     self-join, no explosion.
+
+    Determinism: the moving average runs over 1e-6-grid integer snaps
+    summed as BIGINT — engines disagree on SLIDING-frame float-sum
+    order (Spark re-accumulates the frame, DuckDB uses a segment tree),
+    and integer window sums are order-free; min/max/count are exact
+    anyway.
     """
     from pyspark.sql import Window
 
@@ -366,8 +372,12 @@ def rolling_stats(
         .orderBy(F.unix_millis(F.col(ts_col)))
         .rangeBetween(-window_ms, 0)
     )
+    v6 = F.floor(F.col(value_col) * 1e6 + F.lit(0.5))
+    avg6 = (F.sum(v6).over(w).cast("double") / F.lit(1e6)) / F.count(
+        F.col(value_col)
+    ).over(w)
     return (
-        df.withColumn("roll_avg", F.round(F.avg(value_col).over(w), 6))
+        df.withColumn("roll_avg", F.round(avg6, 6))
         .withColumn("roll_min", F.min(value_col).over(w))
         .withColumn("roll_max", F.max(value_col).over(w))
         .withColumn("roll_n", F.count(F.lit(1)).over(w))

@@ -654,7 +654,8 @@ def ticks_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ticks_rolling_stats",
     """
     SELECT event_id, user_id, ts, value,
-           ROUND(AVG(value) OVER w, 6) AS roll_avg,
+           ROUND((CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) OVER w
+                       AS DOUBLE) / 1e6) / COUNT(value) OVER w, 6) AS roll_avg,
            MIN(value) OVER w AS roll_min,
            MAX(value) OVER w AS roll_max,
            COUNT(*) OVER w AS roll_n
