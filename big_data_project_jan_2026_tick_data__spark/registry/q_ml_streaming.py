@@ -973,3 +973,44 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _td(spark, sf_dir, "events")
     return sketches.cms_heavy_hitters(ev, "user_id", depth=4, width=256, top_k=20)
+
+
+@_register(
+    "streaming_dedup_replay",
+    """
+    SELECT DISTINCT user_id,
+           date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute_start
+    FROM events WHERE user_id IS NOT NULL
+    """,
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact streaming deduplication through the driver contract:
+    replay the events table as a file-source stream and collapse it to
+    first-arrival-per-(user, minute) with
+    ``dropDuplicatesWithinWatermark`` (streaming.streaming_dedup) —
+    bounded O(rate × watermark) state, the only dedup shape that
+    survives an unbounded feed. Dedup emits first-seen rows immediately
+    (append mode, no window-close wait), and which physical row
+    survives within a microbatch is not deterministic — so the query
+    projects the KEY columns only, making the result exactly the
+    distinct key set and the oracle a plain SELECT DISTINCT."""
+    from ..streaming.session_pipeline import streaming_dedup
+
+    with _replayed_events(spark, sf_dir, "stream_dedup_") as src:
+        keyed = (
+            src.filter(F.col("user_id").isNotNull())
+            .select(
+                "user_id",
+                F.date_trunc("minute", F.col("ts")).alias("minute_start"),
+                "ts",
+            )
+        )
+        dd = streaming_dedup(
+            keyed,
+            id_cols=("user_id", "minute_start"),
+            ts_col="ts",
+            watermark="10 minutes",
+        )
+        return _materialized(
+            spark, dd.select("user_id", "minute_start"), "reg_stream_dedup"
+        )
