@@ -71,6 +71,7 @@ _ADJUDICATION_PRIORITY = [
     "emb_pq_topk",
     "events_cms_heavy_hitters",
     "streaming_dedup_replay",
+    "doc_bpe_merges",
     # (c) registered in r5, never adjudicated
     "events_psi_drift",
     "orders_seasonal_decompose",

@@ -1044,3 +1044,107 @@ def pps_systematic_sample(
     )
     sel = F.expr(f"__hi div {wtot}") > F.expr(f"__lo div {wtot}")
     return tmp.filter(sel).drop(f"cum_{weight_col}", "__hi", "__lo")
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the first
+    ``num_merges`` byte-pair-encoding merge rules from the corpus — the
+    tokenizer-construction step of an LLM data pipeline (Sennrich et
+    al. 2016; the subword algorithm behind GPT-2/RoBERTa vocabularies).
+
+    Classic BPE shape: ONE corpus pass builds the (word, freq) table;
+    everything after runs on that vocab-sized table, so training cost
+    is corpus-size-independent (the 100 TB story — a trillion-token
+    corpus still reduces to a few million distinct words). Per merge
+    step: adjacent-pair counts weighted by word frequency (one
+    vocab-sized window + hash agg), argmax pair with a total tie-break
+    (count desc, left asc, right asc), then the merge applied with the
+    canonical greedy-left rule. Overlapping self-pairs ("aaa" merging
+    (a,a)) are resolved CLOSED-FORM instead of sequentially: within
+    each maximal run of equal symbols, merge at even offsets — exactly
+    what the greedy left-to-right scan produces, but expressible as
+    window arithmetic in any engine (the oracle replays the identical
+    rule in SQL). Symbol state is localCheckpoint'd per step with
+    superseded generations released (engine.CheckpointTracker).
+
+    Words are restricted to ^[a-z0-9]+$ so symbolization is one
+    codepoint per char in every regex engine (Java UTF-16 vs RE2 UTF-8
+    disagree on astral chars). Returns (step, left_sym, right_sym,
+    merged, pair_count) — the ordered merge table, all exact values.
+    """
+    from pyspark.sql import Window
+
+    from ..engine import CheckpointTracker
+
+    ckpts = CheckpointTracker(df.sparkSession)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    words = (
+        df.select(F.explode(toks).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    state = ckpts.ckpt(
+        words.select(
+            "word",
+            "freq",
+            F.posexplode(F.expr("regexp_extract_all(word, '.', 0)")).alias(
+                "pos", "sym"
+            ),
+        )
+    )
+    wo = Window.partitionBy("word").orderBy("pos")
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        pairs = state.withColumn("nxt", F.lead("sym").over(wo)).filter(
+            F.col("nxt").isNotNull()
+        )
+        best = (
+            pairs.groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("sym").asc(), F.col("nxt").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["sym"], best[0]["nxt"], int(best[0]["c"])
+        merges.append((step, a, b, a + b, c))
+        st = state.withColumn("nxt", F.lead("sym").over(wo)).withColumn(
+            "chg",
+            (
+                (F.col("sym") != F.lag("sym").over(wo))
+                | F.lag("sym").over(wo).isNull()
+            ).cast("int"),
+        )
+        st = st.withColumn("run_id", F.sum("chg").over(wo))
+        woff = Window.partitionBy("word", "run_id").orderBy("pos")
+        st = st.withColumn("off", F.row_number().over(woff) - 1)
+        is_m = F.coalesce(
+            (F.col("sym") == a)
+            & (F.col("nxt") == b)
+            & (F.lit(a != b) | (F.col("off") % 2 == 0)),
+            F.lit(False),
+        )
+        st = st.withColumn("m", is_m).withColumn(
+            "consumed", F.coalesce(F.lag("m").over(wo), F.lit(False))
+        )
+        state = ckpts.ckpt(
+            st.filter(~F.col("consumed")).select(
+                "word",
+                "freq",
+                F.row_number().over(wo).alias("pos"),
+                F.when(F.col("m"), F.lit(a + b)).otherwise(F.col("sym")).alias(
+                    "sym"
+                ),
+            )
+        )
+        ckpts.release_superseded()
+    ckpts.release_all_but_last()
+    return df.sparkSession.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, merged string, pair_count bigint"
+    )

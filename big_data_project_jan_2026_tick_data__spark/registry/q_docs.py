@@ -1941,3 +1941,81 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars"
     )
     return text.pps_systematic_sample(docs, "n_chars", 60)
+
+
+def _bpe_oracle(num_merges: int = 8) -> str:
+    """Generated chained-CTE oracle for doc_bpe_merges: re-learns the
+    identical merge sequence in DuckDB — per step one pair-count CTE,
+    one argmax CTE (count desc, left asc, right asc), and the
+    closed-form greedy-left merge application (equal-symbol runs merge
+    at even offsets) — every value an exact integer/string, nothing to
+    drift."""
+    parts = [
+        rf"""
+    WITH tok AS (
+      SELECT w AS word FROM (
+        SELECT UNNEST(string_split({_norm_sql('text')}, ' ')) AS w
+        FROM documents) t
+      WHERE regexp_matches(w, '^[a-z0-9]+$')),
+    wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY word),
+    ch AS (SELECT word, freq, regexp_extract_all(word, '.') AS cs FROM wf),
+    st0 AS (
+      SELECT word, freq, CAST(i AS INT) AS pos, cs[i] AS sym
+      FROM ch, UNNEST(range(1, len(cs) + 1)) t(i))"""
+    ]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        parts.append(
+            f"""
+    , p{i} AS (
+      SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b,
+             freq
+      FROM st{p}),
+    c{i} AS (SELECT a, b, sum(freq) AS c FROM p{i}
+             WHERE b IS NOT NULL GROUP BY a, b),
+    b{i} AS (SELECT a, b, c FROM c{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    m{i} AS (
+      SELECT word, freq, pos, sym,
+             lead(sym) OVER wo AS nxt,
+             CASE WHEN lag(sym) OVER wo IS NULL OR sym != lag(sym) OVER wo
+                  THEN 1 ELSE 0 END AS chg
+      FROM st{p} WINDOW wo AS (PARTITION BY word ORDER BY pos)),
+    r{i} AS (SELECT *, sum(chg) OVER (PARTITION BY word ORDER BY pos) AS run_id
+             FROM m{i}),
+    o{i} AS (SELECT *, row_number() OVER (
+               PARTITION BY word, run_id ORDER BY pos) - 1 AS off FROM r{i}),
+    f{i} AS (
+      SELECT o.*, b.a AS ba, b.b AS bb,
+             COALESCE(o.sym = b.a AND o.nxt = b.b
+                      AND (b.a != b.b OR o.off % 2 = 0), false) AS m
+      FROM o{i} o CROSS JOIN b{i} b),
+    g{i} AS (SELECT *, COALESCE(lag(m) OVER (PARTITION BY word ORDER BY pos),
+                                false) AS consumed FROM f{i}),
+    st{i} AS (
+      SELECT word, freq,
+             CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS INT)
+               AS pos,
+             CASE WHEN m THEN ba || bb ELSE sym END AS sym
+      FROM g{i} WHERE NOT consumed)"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {i} AS step, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, c AS pair_count FROM b{i}"
+        for i in range(1, num_merges + 1)
+    )
+    parts.append(f"\n    {unions}")
+    return "".join(parts)
+
+
+@_register("doc_bpe_merges", _bpe_oracle())
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (text.bpe_merges): the first
+    8 merge rules learned from the corpus — classic BPE shape where ONE
+    corpus pass builds the word-frequency table and every merge step
+    runs on that vocab-sized table (corpus-size-independent training);
+    overlapping self-pairs resolved with the closed-form
+    even-offset-in-run rule so the greedy-left scan is expressible as
+    window arithmetic in both engines. The oracle re-learns the
+    identical merge sequence as a generated CTE chain."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.bpe_merges(docs, num_merges=8)

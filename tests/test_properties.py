@@ -1304,3 +1304,49 @@ def test_scd2_as_of_matches_python_state(spark, data, at):
         if t <= at:
             want[k] = a
     assert got == want
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc01", min_size=1, max_size=8), min_size=1, max_size=25
+    ),
+)
+@settings(**SETTINGS)
+def test_bpe_merges_match_canonical_python(spark, words):
+    """The closed-form merge rule (equal-symbol runs merge at even
+    offsets) must reproduce the canonical sequential greedy-left BPE
+    scan exactly, including naive overlapping pair counts and the
+    (count desc, left, right) tie-break."""
+    from collections import Counter
+
+    from big_data_project_jan_2026_tick_data__spark.operators.text import bpe_merges
+
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in bpe_merges(df, num_merges=5).collect()
+    ]
+
+    freq = Counter(words)
+    state = {w: list(w) for w in freq}
+    want = []
+    for step in range(1, 6):
+        counts = Counter()
+        for w, syms in state.items():
+            for x, y in zip(syms, syms[1:]):
+                counts[(x, y)] += freq[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((step, a, b, a + b, c))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    assert got == want
