@@ -63,6 +63,9 @@ _ADJUDICATION_PRIORITY = [
     "ticks_parkinson_vol",
     "events_moment_stats",
     "ticks_rolling_stats",
+    "emb_kmeans",
+    "emb_semantic_dedup",
+    "emb_centroid_outliers",
     # (b) shared-replay-harness refactor in r5, verdicts stale r3/r4
     "streaming_session_agg",
     "streaming_cusum_alarms",

@@ -321,15 +321,22 @@ def kmeans(
 
     for _ in range(iters):
         assigned = v.withColumn("cluster", assign_expr(centroids).getField("cid"))
+        # per-(cluster, dim) mean over 1e-9-grid integer snaps summed as
+        # BIGINT: the raw float avg is partial-agg-order sensitive, and a
+        # q6 boundary flip in an early iteration cascades into different
+        # assignments (the cross-engine hash-FAIL class)
         upd = (
             assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(F.floor(F.col("x") * 1e9 + F.lit(0.5))).alias("s9"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         new_c: dict[int, dict[int, float]] = {}
         for r in upd:
-            new_c.setdefault(r.cluster, {})[r.pos] = _q6(r.m)
+            new_c.setdefault(r.cluster, {})[r.pos] = _q6((r.s9 / 1e9) / r.n)
         centroids = [
             [new_c[cid][p] for p in range(len(centroids[cid]))]
             if cid in new_c
@@ -863,11 +870,18 @@ def pq_codes(
                 F.posexplode(F.slice("vec", s * dsub + 1, dsub)).alias("pos", "x"),
             )
             stacked = part if stacked is None else stacked.unionByName(part)
-        upd = stacked.groupBy("s", "cl", "pos").agg(F.avg("x").alias("mn")).collect()
+        upd = (
+            stacked.groupBy("s", "cl", "pos")
+            .agg(
+                F.sum(F.floor(F.col("x") * 1e9 + F.lit(0.5))).alias("s9"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
         fresh: dict[tuple[int, int], dict[int, float]] = {}
         for r in upd:
             fresh.setdefault((r.s, r.cl), {})[r.pos] = _math.floor(
-                r.mn * 1e6 + 0.5
+                ((r.s9 / 1e9) / r.n) * 1e6 + 0.5
             ) / 1e6
         for s in range(m):
             cents[s] = [

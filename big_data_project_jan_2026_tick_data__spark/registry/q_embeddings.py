@@ -293,7 +293,7 @@ def _kmeans_cte(k: int = 8, dim: int = 64) -> str:
         FROM a1d) WHERE rn = 1),
     u1 AS (
       SELECT cid, list(q ORDER BY j) AS c FROM (
-        SELECT a.cid, t.j, floor(avg(a.v[t.j]) * 1e6 + 0.5) / 1e6 AS q
+        SELECT a.cid, t.j, floor(((CAST(sum(CAST(FLOOR(a.v[t.j] * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9) / count(*)) * 1e6 + 0.5) / 1e6 AS q
         FROM a1 a CROSS JOIN range(1, {d1}) t(j)
         GROUP BY a.cid, t.j) GROUP BY cid),
     c1 AS (
@@ -310,7 +310,7 @@ def _kmeans_cte(k: int = 8, dim: int = 64) -> str:
         FROM a2d) WHERE rn = 1),
     u2 AS (
       SELECT cid, list(q ORDER BY j) AS c FROM (
-        SELECT a.cid, t.j, floor(avg(a.v[t.j]) * 1e6 + 0.5) / 1e6 AS q
+        SELECT a.cid, t.j, floor(((CAST(sum(CAST(FLOOR(a.v[t.j] * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9) / count(*)) * 1e6 + 0.5) / 1e6 AS q
         FROM a2 a CROSS JOIN range(1, {d1}) t(j)
         GROUP BY a.cid, t.j) GROUP BY cid),
     c2 AS (
@@ -891,7 +891,7 @@ def _pq_chain(s: int, k: int, dsub: int) -> str:
         FROM {p}a1d) WHERE rn = 1),
     {p}u1 AS (
       SELECT cid, list(q ORDER BY j) AS c FROM (
-        SELECT a.cid, t.j, floor(avg(a.v[t.j]) * 1e6 + 0.5) / 1e6 AS q
+        SELECT a.cid, t.j, floor(((CAST(sum(CAST(FLOOR(a.v[t.j] * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9) / count(*)) * 1e6 + 0.5) / 1e6 AS q
         FROM {p}a1 a CROSS JOIN range(1, {d1}) t(j)
         GROUP BY a.cid, t.j) GROUP BY cid),
     {p}c1 AS (
@@ -908,7 +908,7 @@ def _pq_chain(s: int, k: int, dsub: int) -> str:
         FROM {p}a2d) WHERE rn = 1),
     {p}u2 AS (
       SELECT cid, list(q ORDER BY j) AS c FROM (
-        SELECT a.cid, t.j, floor(avg(a.v[t.j]) * 1e6 + 0.5) / 1e6 AS q
+        SELECT a.cid, t.j, floor(((CAST(sum(CAST(FLOOR(a.v[t.j] * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9) / count(*)) * 1e6 + 0.5) / 1e6 AS q
         FROM {p}a2 a CROSS JOIN range(1, {d1}) t(j)
         GROUP BY a.cid, t.j) GROUP BY cid),
     {p}c2 AS (
