@@ -25,33 +25,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver adjudicates a bounded window (the first ~50 names) per
 # round, so dict order is the scheduling lever. Round-6 ordering, per
 # the standing rule: CHANGED-CODE RE-PROOF OUTRANKS NEW-QUERY PROOF —
-# a changed green is unproven, a new query is merely unknown.
-# (a) the 3 r5 hash-FAILs, rebuilt this round on functions.detmath
-#     (bit-identical cross-engine log2/ln; libm was the residual
-#     mismatch) — the only changed-code rows,
-# (b) r4/r5-refactored streaming rows still carrying stale verdicts,
-# (c) the r5 registrations that missed the r5 window (never
-#     adjudicated),
-# (d) green queries with the OLDEST verdicts (r1 then r2 sets — three
-#     to four testdata generations old) so no proof goes stale.
-# Deliberately absent: every rows-only entry (doc_minhash_pairs,
-# doc_simhash_pairs, doc_fingerprints, ml_anomaly_scores,
-# ml_anomaly_scores_ae, emb_ivf_topk, ...) — a slot spent there can
-# only ever say `no_oracle`; their value proofs live in md5/mean/
-# fixed-weight twins (ml_anomaly_scores_ae → ml_anomaly_scores_ae_fixedw).
+# a changed green is unproven, a new query is merely unknown. This
+# round changed a LOT of rows (the detmath/libm elimination, the
+# exact-integer money/value-sum sweep, and the advisor fixes), so the
+# window is: (a) the 3 r5 hash-FAILs rebuilt on detmath, (b) every
+# other query whose operator or oracle changed this round (libm sweep,
+# window-frame hardening, exact money sums, scd2/tracking fixes),
+# (c) the 5 r6 registrations, (d) the 7 never-adjudicated r5 rows,
+# (e) greens by ascending verdict age. Slots past the window queue
+# for r7. Rows-only entries deliberately absent (they can only say
+# no_oracle; their value proofs live in md5/mean/fixed-weight twins).
 _ADJUDICATION_PRIORITY = [
-    # (a) r5 hash-FAILs rewritten on detmath (code + oracle changed)
     "doc_token_entropy",
     "doc_mixture_weights",
     "doc_distinctive_terms",
-    # (a') advisor fixes this round touched their operators
-    # (scd2_apply seed tiebreak, tracking URI routing)
     "orders_scd2_apply",
     "tracking_best_run",
-    # (a'') whole-registry libm sweep this round: every remaining
-    # ln/log2/exp/pow under a quantizer moved to detmath (and unordered
-    # float sums to integer-grid sums) in these queries' operators AND
-    # oracles — changed-code re-proof
     "doc_lm_perplexity",
     "doc_quality_classifier",
     "doc_bm25_search",
@@ -62,76 +51,180 @@ _ADJUDICATION_PRIORITY = [
     "events_zipf_fit",
     "ticks_parkinson_vol",
     "events_moment_stats",
+    "events_psi_drift",
     "ticks_rolling_stats",
     "emb_kmeans",
     "emb_semantic_dedup",
     "emb_centroid_outliers",
-    # (b) shared-replay-harness refactor in r5, verdicts stale r3/r4
-    "streaming_session_agg",
-    "streaming_cusum_alarms",
-    # (c) registered in r6: product quantization, CMS heavy hitters
-    "emb_pq_codes",
-    "emb_pq_topk",
-    "events_cms_heavy_hitters",
-    "streaming_dedup_replay",
-    "doc_bpe_merges",
-    # (c) registered in r5, never adjudicated
-    "events_psi_drift",
-    "orders_seasonal_decompose",
-    "orders_scd2_asof_state",
-    "ticks_market_beta",
-    "streaming_vwap_bars",
-    "part_copurchase_triangles",
-    "part_copurchase_communities",
-    "doc_weighted_sample",
-    # (d) r1-stale greens — oldest proofs in the registry
-    "cube_orders",
-    "pivot_user_event_values",
-    "stats_min_max_metadata",
-    "salted_join_skewed_users",
+    "tpch_q1",
+    "tpch_q3_top10",
+    "tpch_q5_region_revenue",
     "tpch_q6_forecast_revenue",
-    "tpch_q4_priority_check",
-    "tpch_q14_promo_ratio",
-    "tpch_q18_large_orders",
-    "scalar_subquery_above_avg",
-    "distinct_agg_per_status",
-    "grouping_sets_orders",
-    "union_all_orders_split",
-    "minmax_by_priority",
-    "string_funcs_part_names",
-    "ntile_percentile_orders",
-    "doc_token_stats",
-    "doc_exact_dedup",
-    "doc_lang_id",
-    "emb_cosine_topk",
-    # (d) r2-stale greens
-    "tpch_q2_min_acctbal_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
     "tpch_q11_important_parts",
-    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_ratio",
     "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
     "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
     "tpch_q19_disjunctive_predicate",
     "tpch_q20_part_promotion",
-    "tpch_q21_sole_fault_supplier",
     "tpch_q22_global_sales_opportunity",
+    "rollup_orders",
+    "orders_unpivot",
+    "pivot_user_event_values",
+    "scalar_subquery_above_avg",
+    "sql_over_views",
+    "supplier_return_rates",
+    "orders_abc_pareto",
+    "orders_seasonality",
+    "orders_rfm_segments",
+    "orders_cohort_ltv",
+    "orders_segment_migration",
+    "ticks_value_stats",
+    "events_inter_arrival",
+    "streaming_session_agg",
+    "streaming_health",
+    "streaming_cusum_alarms",
+    "emb_pq_codes",
+    "emb_pq_topk",
+    "events_cms_heavy_hitters",
+    "streaming_dedup_replay",
+    "doc_bpe_merges",
+    "doc_weighted_sample",
+    "orders_scd2_asof_state",
+    "orders_seasonal_decompose",
+    "part_copurchase_communities",
+    "part_copurchase_triangles",
+    "streaming_vwap_bars",
+    "ticks_market_beta",
+    "cube_orders",
+    "distinct_agg_per_status",
+    "doc_exact_dedup",
+    "doc_lang_id",
+    "doc_token_stats",
+    "emb_cosine_topk",
+    "grouping_sets_orders",
+    "minmax_by_priority",
+    "ntile_percentile_orders",
+    "salted_join_skewed_users",
+    "stats_min_max_metadata",
+    "string_funcs_part_names",
+    "tpch_q4_priority_check",
+    "union_all_orders_split",
+    "doc_curation_pipeline",
+    "doc_decontaminate",
     "doc_ngram_jaccard",
-    "doc_quality_scores",
     "doc_pack_sequences",
+    "doc_quality_scores",
+    "doc_repetition_signals",
     "doc_scrub_pii",
-    # ---- ~50-slot window boundary; the rest queue for r7 ----
     "doc_strip_boilerplate",
     "emb_label_centroids",
-    "orders_unpivot",
     "part_name_tokens",
     "tpch_q12_shipmode_buckets",
-    "doc_repetition_signals",
-    "doc_decontaminate",
-    "doc_curation_pipeline",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_count",
+    "tpch_q21_sole_fault_supplier",
+    "tpch_q2_min_acctbal_supplier",
+    "asof_purchase_last_click",
+    "asof_with_tolerance",
+    "doc_export_shards",
+    "doc_md5_fingerprints",
+    "doc_md5_minhash_pairs",
+    "doc_md5_simhash_pairs",
+    "doc_source_report",
+    "doc_stratified_sample",
+    "events_funnel",
+    "events_key_skew_report",
+    "events_value_histogram",
+    "events_weekly_retention",
+    "incremental_dedup",
+    "json_props_extract",
+    "ml_anomaly_scores_mean",
+    "ml_window_tensors",
+    "multimodal_features_digest",
+    "multimodal_frame_digest",
+    "multimodal_image_dedup",
+    "range_join_events_in_order_windows",
+    "set_ops_multiset",
+    "set_users_click_and_purchase",
+    "set_users_click_not_purchase",
+    "snapshot_merge_upsert",
+    "snapshot_time_travel",
+    "ticks_daily_outer_join",
+    "ticks_daily_window_counts",
+    "ticks_despike",
+    "ticks_downsample_1min",
+    "ticks_ffill",
+    "ticks_gap_fill",
+    "ticks_ohlc_bars",
+    "ticks_quality_scan",
+    "ticks_resample_even",
+    "ticks_session_filter",
+    "ticks_sessionize",
+    "ticks_threshold_exceed",
+    "doc_chunk_windows",
+    "doc_cross_overlap",
+    "doc_incremental_minhash",
+    "doc_incremental_simhash",
+    "doc_lang_confusion",
+    "doc_line_dedup",
+    "doc_survivorship",
+    "doc_vocab_coverage",
+    "emb_ann_recall",
+    "emb_incremental_near_dup",
+    "emb_quantize_int8",
+    "emb_quantized_topk",
+    "emb_rrf_fusion",
+    "events_cusum_alarms",
+    "events_data_contract",
+    "events_date_membership",
+    "events_funnel_steps",
+    "events_pagerank",
+    "events_retention_cohorts",
+    "events_threshold_islands",
+    "events_time_to_convert",
+    "events_transition_matrix",
+    "events_type_affinity",
+    "multimodal_resize_digest",
+    "sql_function_surface",
+    "stats_csv_roundtrip",
+    "ticks_tz_spread_scrub",
+    "ticks_winsorize",
+    "window_value_functions",
+    "approx_aggregates",
+    "doc_dup_clusters",
+    "doc_hash_sample",
+    "doc_jsonl_roundtrip",
+    "doc_leakage_safe_split",
+    "emb_diversity_report",
+    "emb_dup_clusters",
+    "emb_ivf_exact",
+    "emb_lsh_topk",
+    "emb_mmr_rerank",
+    "emb_near_dup_pairs",
+    "events_alarm_episodes",
+    "events_dau_mau",
+    "events_histogram_percentiles",
+    "events_hll_user_reach",
+    "events_robust_outliers",
+    "events_top_paths",
+    "join_anti_customers_without_orders",
+    "join_semi_customers_with_orders",
+    "ml_anomaly_scores_ae_fixedw",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "orders_scd2_priority",
+    "part_fuzzy_link",
+    "ticks_drawdown",
+    "ticks_return_acf",
+    "ticks_symbol_correlation",
+    "ticks_vwap_twap",
+    "topk_orders_per_priority",
+    "window_lag_lead_rank",
 ]
 
 

@@ -74,6 +74,7 @@ def error_stats(
     err_col: str = "err",
     group_cols: Sequence[str] = (),
     percentiles: Sequence[float] = (92.0, 99.5),
+    decimals: int | None = None,
 ) -> DataFrame:
     """Mean/std/min/max/median + percentile thresholds over an error column
     (A6, test.py:333-358; thresholds from parameters.json).
@@ -81,7 +82,41 @@ def error_stats(
     Exact ``percentile`` (linear interpolation, matches numpy/DuckDB
     quantile_cont); swap to percentile_approx at the 100 TB scale where an
     exact global sort of errors is not worth it.
+
+    ``decimals``: when the column is exact at that decimal precision
+    (e.g. the 2-dp events feed), mean/std are computed from integer-grid
+    power sums (values at 10^d, squares at 10^2d — both exact) so the
+    large-group reductions are order-independent across engines; None
+    keeps the engine's float mean/stddev for arbitrary-precision data.
     """
+    if decimals is not None:
+        g1, g2 = float(10**decimals), float(10 ** (2 * decimals))
+        c = F.col(err_col)
+        s1 = F.sum(
+            F.floor(c * F.lit(g1) + F.lit(0.5)).cast("decimal(38,0)")
+        ).cast("double")
+        s2 = F.sum(
+            F.floor(c * c * F.lit(g2) + F.lit(0.5)).cast("decimal(38,0)")
+        ).cast("double")
+        n = F.count(c)
+        mean = (s1 / F.lit(g1)) / n
+        var = (s2 / F.lit(g2) - n.cast("double") * mean * mean) / (n - 1)
+        aggs = [
+            mean.alias("mean_err"),
+            F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("std_err"),
+            F.min(err_col).alias("min_err"),
+            F.max(err_col).alias("max_err"),
+            F.expr(f"percentile({err_col}, 0.5)").alias("median_err"),
+        ]
+        for p in percentiles:
+            aggs.append(
+                F.expr(f"percentile({err_col}, {p / 100.0})").alias(
+                    f"p{str(p).replace('.', '_')}"
+                )
+            )
+        if group_cols:
+            return df.groupBy(*group_cols).agg(*aggs)
+        return df.agg(*aggs)
     aggs = [
         F.mean(err_col).alias("mean_err"),
         F.stddev(err_col).alias("std_err"),
@@ -670,6 +705,7 @@ def abc_classification(
     a_share: float = 0.8,
     b_share: float = 0.95,
     num_partitions: int = 32,
+    decimals: int = 4,
 ) -> DataFrame:
     """Pareto/ABC analysis: rank keys by total ``value_col`` descending,
     compute each key's cumulative share of the grand total, and classify
@@ -677,16 +713,32 @@ def abc_classification(
     ``b_share``), C (the tail) — the inventory/revenue-concentration
     report every warehouse runs.
 
-    Values are quantized to integer cents BEFORE the cumulative pass so
-    the running sum is exact integer arithmetic — associative, engine-
-    independent, no float-order drift at partition boundaries. Uses
+    Values are quantized to an exact integer grid PER ROW (``decimals``
+    matches the data's decimal precision), summed as decimal(38,0), and
+    only then converted to cents — both the per-key totals and the
+    cumulative pass are exact integer arithmetic, associative and
+    engine-independent (a cents snap AFTER a float sum can flip on the
+    engines' different partial-agg orders). Uses
     :func:`global_cumsum` (range-partitioned prefix sums), never a
     single-partition global window. Share boundaries are half-open:
     a key is 'A' while the cumulative share is ≤ ``a_share`` (the first
     key is always 'A' even if it alone exceeds the threshold).
     """
+    grid = float(10**decimals)
     per_key = df.groupBy(*key_cols).agg(
-        F.floor(F.sum(value_col) * 100 + F.lit(0.5)).cast("long").alias("__cents")
+        F.sum(
+            F.floor(F.col(value_col) * F.lit(grid) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("__vg")
+    )
+    per_key = per_key.select(
+        *key_cols,
+        F.floor(F.col("__vg") / F.lit(grid) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("__cents"),
     )
     order = [F.col("__cents").desc(), *[F.col(c).asc() for c in key_cols]]
     cum = global_cumsum(

@@ -347,15 +347,29 @@ def ticks_resample_even(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ticks_value_stats",
     """
+    WITH g AS (
+      SELECT event_type,
+             count(value) AS n,
+             CAST(SUM(CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(FLOOR(value * value * 1e4 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS s2,
+             MIN(value) AS mn, MAX(value) AS mx,
+             quantile_cont(value, 0.5) AS med,
+             quantile_cont(value, 0.92) AS p92,
+             quantile_cont(value, 0.995) AS p995
+      FROM events GROUP BY event_type),
+    m AS (SELECT *, (s1 / 1e2) / n AS mean FROM g)
     SELECT event_type,
-           ROUND(AVG(value), 4) AS mean_err,
-           ROUND(STDDEV_SAMP(value), 4) AS std_err,
-           ROUND(MIN(value), 4) AS min_err,
-           ROUND(MAX(value), 4) AS max_err,
-           ROUND(quantile_cont(value, 0.5), 4) AS median_err,
-           ROUND(quantile_cont(value, 0.92), 4) AS p92_0,
-           ROUND(quantile_cont(value, 0.995), 4) AS p99_5
-    FROM events GROUP BY event_type
+           ROUND(mean, 4) AS mean_err,
+           ROUND(CASE WHEN n > 1 THEN
+                   sqrt(GREATEST((s2 / 1e4 - n * mean * mean) / (n - 1), 0.0))
+                 END, 4) AS std_err,
+           ROUND(mn, 4) AS min_err,
+           ROUND(mx, 4) AS max_err,
+           ROUND(med, 4) AS median_err,
+           ROUND(p92, 4) AS p92_0,
+           ROUND(p995, 4) AS p99_5
+    FROM m
     """,
 )
 def ticks_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,7 +377,11 @@ def ticks_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test.py:333-358; parameters.json percentile_thresholds)."""
     ev = _td(spark, sf_dir, "events")
     out = stats.error_stats(
-        ev, err_col="value", group_cols=("event_type",), percentiles=(92.0, 99.5)
+        ev,
+        err_col="value",
+        group_cols=("event_type",),
+        percentiles=(92.0, 99.5),
+        decimals=2,
     )
     rounded = [F.col("event_type")] + [
         F.round(F.col(c), 4).alias(c) for c in out.columns if c != "event_type"
@@ -1328,7 +1346,9 @@ def events_threshold_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t)
     SELECT symbol,
            count(gap_s) AS n_gaps,
-           FLOOR(avg(gap_s) * 1e6 + 0.5) / 1e6 AS mean_gap_s_q6,
+           FLOOR((CAST(SUM(CAST(FLOOR(gap_s * 1e3 + 0.5) AS BIGINT))
+                       AS DOUBLE) / 1e3) / count(gap_s) * 1e6 + 0.5) / 1e6
+             AS mean_gap_s_q6,
            FLOOR(quantile_cont(gap_s, 0.5) * 1e6 + 0.5) / 1e6 AS p50_gap_s_q6,
            FLOOR(quantile_cont(gap_s, 0.95) * 1e6 + 0.5) / 1e6 AS p95_gap_s_q6,
            FLOOR(max(gap_s) * 1e6 + 0.5) / 1e6 AS max_gap_s_q6
@@ -1356,7 +1376,17 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return g.groupBy("symbol").agg(
         F.count("gap_s").alias("n_gaps"),
-        q6(F.avg("gap_s")).alias("mean_gap_s_q6"),
+        q6(
+            (
+                F.sum(
+                    F.floor(F.col("gap_s") * 1e3 + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(1e3)
+            )
+            / F.count("gap_s")
+        ).alias("mean_gap_s_q6"),
         q6(F.percentile("gap_s", F.lit(0.5))).alias("p50_gap_s_q6"),
         q6(F.percentile("gap_s", F.lit(0.95))).alias("p95_gap_s_q6"),
         q6(F.max("gap_s")).alias("max_gap_s_q6"),

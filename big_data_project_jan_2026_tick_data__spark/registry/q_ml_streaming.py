@@ -407,8 +407,12 @@ agg AS (
          time_bucket(INTERVAL '10 minutes', ts) AS window_start,
          time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE AS window_end,
          count(*) AS n_ticks,
-         min(bid) AS min_bid, max(bid) AS max_bid, avg(bid) AS avg_bid,
-         min(ask) AS min_ask, max(ask) AS max_ask, avg(ask) AS avg_ask
+         min(bid) AS min_bid, max(bid) AS max_bid,
+         CAST(SUM(CAST(FLOOR(bid * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1e6 / count(bid) AS avg_bid,
+         min(ask) AS min_ask, max(ask) AS max_ask,
+         CAST(SUM(CAST(FLOOR(ask * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1e6 / count(ask) AS avg_ask
   FROM f GROUP BY 1, 2)
 SELECT symbol, window_start, window_end, n_ticks,
        floor(min_bid*1000000 + 0.5)/1000000 AS min_bid,

@@ -15,7 +15,16 @@ from ..operators import (  # noqa: F401
     text,
     ticks,
 )
+from ..functions.exactagg import exact_avg, exact_avg_sql, exact_sum, exact_sum_sql
 from ._base import _register, _td
+
+# Shorthand for the oracle f-strings: exact integer-grid sums/means of
+# fixed-decimal columns (see functions/exactagg.py) — revenue terms are
+# exact at 4 dp (price 2dp x discount 2dp), charge at 6 dp (x tax 2dp).
+_S = exact_sum_sql
+_A = exact_avg_sql
+_REV = "l_extendedprice * (1 - l_discount)"
+
 
 
 # ---------------------------------------------------------------------------
@@ -25,15 +34,15 @@ from ._base import _register, _td
 
 @_register(
     "tpch_q1",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           ROUND({_S("l_quantity", 2)}, 2) AS sum_qty,
+           ROUND({_S("l_extendedprice", 2)}, 2) AS sum_base_price,
+           ROUND({_S(_REV, 4)}, 2) AS sum_disc_price,
+           ROUND({_S(_REV + " * (1 + l_tax)", 6)}, 2) AS sum_charge,
+           ROUND({_A("l_quantity", 2)}, 4) AS avg_qty,
+           ROUND({_A("l_extendedprice", 2)}, 4) AS avg_price,
+           ROUND({_A("l_discount", 2)}, 4) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -49,13 +58,15 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(exact_sum(F.col("l_quantity"), 2), 2).alias("sum_qty"),
+            F.round(exact_sum(F.col("l_extendedprice"), 2), 2).alias("sum_base_price"),
+            F.round(exact_sum(disc_price, 4), 2).alias("sum_disc_price"),
+            F.round(exact_sum(disc_price * (1 + F.col("l_tax")), 6), 2).alias(
+                "sum_charge"
+            ),
+            F.round(exact_avg(F.col("l_quantity"), 2), 4).alias("avg_qty"),
+            F.round(exact_avg(F.col("l_extendedprice"), 2), 4).alias("avg_price"),
+            F.round(exact_avg(F.col("l_discount"), 2), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -63,9 +74,9 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "tpch_q3_top10",
-    """
+    f"""
     SELECT o_orderkey, o_orderdate, o_orderpriority,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ROUND({_S(_REV, 4)}, 2) AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
@@ -85,7 +96,7 @@ def tpch_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
@@ -95,9 +106,9 @@ def tpch_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "tpch_q5_region_revenue",
-    """
+    f"""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ROUND({_S(_REV, 4)}, 2) AS revenue
     FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -129,7 +140,7 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
             ).alias("revenue")
         )
     )
@@ -219,9 +230,9 @@ def window_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "rollup_orders",
-    """
+    f"""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
+           ROUND({_S("o_totalprice", 4)}, 2) AS total
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
 )
@@ -230,7 +241,8 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface; no rollup in the reference — built-in here)."""
     o = _td(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count(F.lit(1)).alias("n"),
+        F.round(exact_sum(F.col("o_totalprice"), 4), 2).alias("total"),
     )
 
 
@@ -250,11 +262,11 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "pivot_user_event_values",
-    """
+    f"""
     SELECT user_id,
-           ROUND(COALESCE(SUM(CASE WHEN event_type='click' THEN value END), 0), 2) AS click,
-           ROUND(COALESCE(SUM(CASE WHEN event_type='view' THEN value END), 0), 2) AS view,
-           ROUND(COALESCE(SUM(CASE WHEN event_type='purchase' THEN value END), 0), 2) AS purchase
+           ROUND(COALESCE({_S("CASE WHEN event_type='click' THEN value END", 2)}, 0), 2) AS click,
+           ROUND(COALESCE({_S("CASE WHEN event_type='view' THEN value END", 2)}, 0), 2) AS view,
+           ROUND(COALESCE({_S("CASE WHEN event_type='purchase' THEN value END", 2)}, 0), 2) AS purchase
     FROM events GROUP BY user_id
     """,
 )
@@ -264,7 +276,7 @@ def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         ev.groupBy("user_id")
         .pivot("event_type", ["click", "view", "purchase"])
-        .agg(F.sum("value"))
+        .agg(exact_sum(F.col("value"), 2))
     )
     return out.select(
         "user_id",
@@ -425,8 +437,8 @@ def salted_join_skewed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "tpch_q6_forecast_revenue",
-    """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    f"""
+    SELECT ROUND({_S("l_extendedprice * l_discount", 4)}, 2) AS revenue
     FROM lineitem
     WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
     """,
@@ -440,9 +452,9 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        )
+        F.round(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 4), 2
+        ).alias("revenue")
     )
 
 
@@ -506,10 +518,11 @@ def tpch_q12_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "tpch_q14_promo_ratio",
-    """
-    SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
-                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-               / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    f"""
+    SELECT ROUND(100.0 * {_S("CASE WHEN p_type LIKE 'PROMO%' THEN "
+                             "l_extendedprice * (1 - l_discount) "
+                             "ELSE 0 END", 4)}
+               / {_S(_REV, 4)}, 4) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
 )
@@ -523,16 +536,18 @@ def tpch_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+            F.round(
+                100.0 * exact_sum(promo, 4) / exact_sum(rev, 4), 4
+            ).alias("promo_revenue_pct")
         )
     )
 
 
 @_register(
     "tpch_q18_large_orders",
-    """
+    f"""
     SELECT o_orderkey, ROUND(total_qty, 2) AS total_qty
-    FROM (SELECT l_orderkey AS o_orderkey, SUM(l_quantity) AS total_qty
+    FROM (SELECT l_orderkey AS o_orderkey, {_S("l_quantity", 2)} AS total_qty
           FROM lineitem GROUP BY l_orderkey)
     WHERE total_qty > 30
     """,
@@ -542,7 +557,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _td(spark, sf_dir, "lineitem")
     return (
         li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        .agg(exact_sum(F.col("l_quantity"), 2).alias("total_qty"))
         .filter(F.col("total_qty") > 30)
         .select("o_orderkey", F.round("total_qty", 2).alias("total_qty"))
     )
@@ -550,9 +565,9 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "scalar_subquery_above_avg",
-    """
+    f"""
     SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
-    FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    FROM orders WHERE o_totalprice > (SELECT {_A("o_totalprice", 4)} FROM orders)
     """,
 )
 def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,7 +578,11 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
         FROM orders_v
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v)
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 1e4 + 0.5)
+                               AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1e4 / COUNT(o_totalprice)
+          FROM orders_v)
         """
     )
 
@@ -778,8 +797,8 @@ def tpch_q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "tpch_q7_volume_shipping",
-    """
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    f"""
+    SELECT supp_nation, cust_nation, l_year, ROUND({_S("volume", 4)}, 2) AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(year(l_shipdate) AS INTEGER) AS l_year,
                  l_extendedprice * (1 - l_discount) AS volume
@@ -824,7 +843,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
             ).alias("revenue")
         )
     )
@@ -832,10 +851,10 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "tpch_q8_market_share",
-    """
+    f"""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share
+           ROUND({_S("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END", 4)}
+                 / {_S("volume", 4)}, 6) AS mkt_share
     FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
                  l_extendedprice * (1 - l_discount) AS volume,
                  n2.n_name AS nation
@@ -881,8 +900,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
+                exact_sum(
+                    F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0), 4
+                )
+                / exact_sum(vol, 4),
                 6,
             ).alias("mkt_share")
         )
@@ -891,8 +912,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "tpch_q9_product_profit",
-    """
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    f"""
+    SELECT nation, o_year, ROUND({_S("amount", 6)}, 2) AS sum_profit
     FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
                  l_extendedprice * (1 - l_discount)
                    - 0.5 * p_retailprice * l_quantity AS amount
@@ -924,14 +945,14 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(F.round(exact_sum(amount, 6), 2).alias("sum_profit"))
     )
 
 
 @_register(
     "tpch_q10_returned_items",
-    """
-    SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+    f"""
+    SELECT c_custkey, c_name, ROUND({_S(_REV, 4)}, 2)
              AS revenue, c_acctbal, n_name
     FROM customer JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -959,7 +980,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -970,15 +991,15 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "tpch_q11_important_parts",
-    """
+    f"""
     WITH pv AS (
-      SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS value
+      SELECT l_partkey, {_S("l_extendedprice * l_quantity", 4)} AS value
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_19'
       GROUP BY l_partkey)
     SELECT l_partkey AS partkey, ROUND(value, 2) AS value FROM pv
-    WHERE value > (SELECT SUM(value) * 0.0015 FROM pv)
+    WHERE value > (SELECT {_S("value", 4)} * 0.0015 FROM pv)
     """,
 )
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,9 +1015,13 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_suppkey == F.col("s_suppkey"),
         )
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * F.col("l_quantity"), 4
+            ).alias("value")
+        )
     )
-    thresh = pv.agg((F.sum("value") * 0.0015).alias("threshold"))
+    thresh = pv.agg((exact_sum(F.col("value"), 4) * 0.0015).alias("threshold"))
     return (
         pv.join(F.broadcast(thresh))
         .filter(F.col("value") > F.col("threshold"))
@@ -1037,10 +1062,10 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 @_register(
     "tpch_q15_top_supplier",
-    """
+    f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+             {_S(_REV, 4)} AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -1058,7 +1083,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _td(spark, sf_dir, "supplier")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
             "total_revenue"
         )
     )
@@ -1102,11 +1127,11 @@ def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "tpch_q17_small_quantity_revenue",
-    """
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    f"""
+    SELECT ROUND({_S("l_extendedprice", 2)} / 7.0, 2) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3' AND l_quantity < (
-      SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+      SELECT 0.5 * {_A("l2.l_quantity", 2)} FROM lineitem l2
       WHERE l2.l_partkey = part.p_partkey)
     """,
 )
@@ -1116,20 +1141,24 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     li = _td(spark, sf_dir, "lineitem")
     p = _td(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     half_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+        (F.lit(0.5) * exact_avg(F.col("l_quantity"), 2)).alias("half_avg_qty")
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(half_avg), li.l_partkey == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(exact_sum(F.col("l_extendedprice"), 2) / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
     )
 
 
 @_register(
     "tpch_q19_disjunctive_predicate",
-    """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    f"""
+    SELECT ROUND({_S(_REV, 4)}, 2) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
            AND p_size BETWEEN 1 AND 5)
@@ -1167,7 +1196,7 @@ def tpch_q19_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(cond)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
             ).alias("revenue")
         )
     )
@@ -1175,14 +1204,14 @@ def tpch_q19_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFram
 
 @_register(
     "tpch_q20_part_promotion",
-    """
+    f"""
     SELECT s_suppkey, s_name FROM supplier
     WHERE s_suppkey IN (
       SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE p_name LIKE 'red%'
         AND l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate < TIMESTAMP '1998-01-01'
-      GROUP BY l_suppkey HAVING SUM(l_quantity) > 100)
+      GROUP BY l_suppkey HAVING {_S("l_quantity", 2)} > 100)
     """,
 )
 def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,7 +1226,7 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
-        .agg(F.sum("l_quantity").alias("qty"))
+        .agg(exact_sum(F.col("l_quantity"), 2).alias("qty"))
         .filter(F.col("qty") > 100)
     )
     return s.join(
@@ -1258,11 +1287,12 @@ def tpch_q21_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "tpch_q22_global_sales_opportunity",
-    """
-    SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+    f"""
+    SELECT cntrycode, COUNT(*) AS numcust,
+           ROUND({_S("c_acctbal", 2)}, 2) AS totacctbal
     FROM (SELECT c_nationkey % 5 AS cntrycode, c_acctbal FROM customer
           WHERE c_nationkey IN (1, 2, 3, 8, 9, 11, 17)
-            AND c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+            AND c_acctbal > (SELECT {_A("c2.c_acctbal", 2)} FROM customer c2
                              WHERE c2.c_acctbal > 0.0
                                AND c2.c_nationkey IN (1, 2, 3, 8, 9, 11, 17))
             AND NOT EXISTS (SELECT 1 FROM orders
@@ -1281,7 +1311,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     c = _td(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(keys))
     o = _td(spark, sf_dir, "orders")
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        exact_avg(F.col("c_acctbal"), 2).alias("avg_bal")
     )
     return (
         c.join(F.broadcast(avg_bal))
@@ -1294,7 +1324,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(exact_sum(F.col("c_acctbal"), 2), 2).alias("totacctbal"),
         )
     )
 
@@ -1338,11 +1368,11 @@ def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "orders_unpivot",
-    """
+    f"""
     SELECT o_orderpriority, metric, ROUND(val, 2) AS val
     FROM (SELECT o_orderpriority,
-                 SUM(o_totalprice) AS total_price,
-                 AVG(o_totalprice) AS avg_price,
+                 {_S("o_totalprice", 4)} AS total_price,
+                 {_A("o_totalprice", 4)} AS avg_price,
                  CAST(COUNT(*) AS DOUBLE) AS n_orders
           FROM orders GROUP BY o_orderpriority) w
     UNPIVOT (val FOR metric IN (total_price, avg_price, n_orders))
@@ -1353,8 +1383,8 @@ def orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverse of the pivot query already covered."""
     o = _td(spark, sf_dir, "orders")
     wide = o.groupBy("o_orderpriority").agg(
-        F.sum("o_totalprice").alias("total_price"),
-        F.avg("o_totalprice").alias("avg_price"),
+        exact_sum(F.col("o_totalprice"), 4).alias("total_price"),
+        exact_avg(F.col("o_totalprice"), 4).alias("avg_price"),
         F.count(F.lit(1)).cast("double").alias("n_orders"),
     )
     return wide.select(
@@ -1419,10 +1449,15 @@ def part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Engine-neutral exact revenue sum: DECIMAL(38,0) accumulation parses
+# and sums exactly in BOTH Spark SQL and DuckDB, so the one string
+# stays valid on the two engines AND order-independent.
 _SQL_OVER_VIEWS = """
     SELECT c.c_mktsegment AS mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS revenue
+           ROUND(CAST(SUM(CAST(FLOOR(o.o_totalprice * 1e4 + 0.5)
+                               AS DECIMAL(38,0))) AS DOUBLE) / 1e4, 2)
+             AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE o.o_orderstatus = 'F'
     GROUP BY c.c_mktsegment
@@ -1444,10 +1479,10 @@ def sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "orders_abc_pareto",
-    r"""
+    rf"""
     WITH pk AS (
       SELECT l_partkey,
-             CAST(FLOOR(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+             CAST(FLOOR({_S(_REV, 4)} * 100 + 0.5)
                   AS BIGINT) AS cents
       FROM lineitem GROUP BY l_partkey),
     t AS (SELECT sum(cents) AS total FROM pk),
@@ -1484,10 +1519,10 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "orders_seasonality",
-    r"""
+    rf"""
     WITH agg AS (
       SELECT date_trunc('month', o_orderdate) AS mon,
-             CAST(FLOOR(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(FLOOR({_S("o_totalprice", 4)} * 100 + 0.5) AS BIGINT) AS cents,
              count(*) AS n_orders
       FROM orders GROUP BY 1),
     bounds AS (
@@ -1534,7 +1569,8 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = o.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("mon")
     ).agg(
-        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.floor(exact_sum(F.col("o_totalprice"), 4) * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     spine = agg.agg(F.min("mon").alias("mn"), F.max("mon").alias("mx")).select(
@@ -1565,13 +1601,13 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "orders_rfm_segments",
-    r"""
+    rf"""
     WITH ref AS (SELECT max(o_orderdate) AS mx FROM orders),
     c AS (
       SELECT o_custkey,
              date_diff('day', max(o_orderdate), ref.mx) AS recency_days,
              count(*) AS frequency,
-             CAST(FLOOR(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+             CAST(FLOOR({_S("o_totalprice", 4)} * 100 + 0.5) AS BIGINT) AS cents
       FROM orders CROSS JOIN ref GROUP BY o_custkey, ref.mx),
     s AS (
       SELECT *,
@@ -1607,7 +1643,8 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("__last"),
             F.count(F.lit(1)).alias("frequency"),
-            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            F.floor(exact_sum(F.col("o_totalprice"), 4) * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"),
         )
         .select(
             "o_custkey",
@@ -1645,7 +1682,7 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "orders_cohort_ltv",
-    r"""
+    rf"""
     WITH fo AS (
       SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
       FROM orders GROUP BY 1),
@@ -1658,7 +1695,7 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cz AS (SELECT cohort, count(*) AS cohort_size FROM fo GROUP BY 1),
     cell AS (
       SELECT cohort, offs,
-             CAST(FLOOR(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(FLOOR({_S("o_totalprice", 4)} * 100 + 0.5) AS BIGINT) AS cents,
              count(DISTINCT o_custkey) AS active
       FROM r GROUP BY 1, 2)
     SELECT CAST(cohort AS DATE) AS cohort_month,
@@ -1695,7 +1732,8 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cz = fo.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
     cell = r.groupBy("cohort", "offs").agg(
-        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.floor(exact_sum(F.col("o_totalprice"), 4) * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"),
         F.countDistinct("o_custkey").alias("active"),
     )
     w = (
@@ -1723,15 +1761,13 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "supplier_return_rates",
-    r"""
+    rf"""
     WITH s AS (
       SELECT l_suppkey,
              count(*) AS n_items,
              count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
-             CAST(FLOOR(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
-                  AS BIGINT) AS cents,
-             CAST(FLOOR(COALESCE(sum(l_extendedprice * (1 - l_discount))
-                                 FILTER (WHERE l_returnflag = 'R'), 0)
+             CAST(FLOOR({_S(_REV, 4)} * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(FLOOR(COALESCE({_S("CASE WHEN l_returnflag = 'R' THEN " + _REV + " END", 4)}, 0)
                         * 100 + 0.5) AS BIGINT) AS ret_cents
       FROM lineitem GROUP BY l_suppkey)
     SELECT l_suppkey, n_items, n_returned,
@@ -1750,9 +1786,9 @@ def supplier_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _td(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     ret = F.col("l_returnflag") == "R"
-    cents = F.floor(F.sum(rev) * 100 + F.lit(0.5)).cast("long")
+    cents = F.floor(exact_sum(rev, 4) * 100 + F.lit(0.5)).cast("long")
     ret_cents = F.floor(
-        F.coalesce(F.sum(F.when(ret, rev)), F.lit(0.0)) * 100 + F.lit(0.5)
+        F.coalesce(exact_sum(F.when(ret, rev), 4), F.lit(0.0)) * 100 + F.lit(0.5)
     ).cast("long")
     q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return (
@@ -1854,7 +1890,7 @@ def _rfm_half_cte(alias: str, pred: str) -> str:
       SELECT o_custkey,
              date_diff('day', max(o_orderdate), ref_{alias}.mx) AS recency_days,
              count(*) AS frequency,
-             CAST(FLOOR(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+             CAST(FLOOR({_S("o_totalprice", 4)} * 100 + 0.5) AS BIGINT) AS cents
       FROM orders CROSS JOIN ref_{alias}
       WHERE {pred} GROUP BY o_custkey, ref_{alias}.mx),
     s_{alias} AS (

@@ -57,11 +57,18 @@ def session_window_aggregate(
 
     aggs = [F.count(F.lit(1)).alias("n_ticks")]
     for c in value_cols:
+        # mean over 1e-6-grid integer snaps summed as decimal(38,0):
+        # the feed's values are exact at <= 6 dp, so this is the same
+        # mean — but order-independent (a float AVG differs between
+        # engines/partitionings in the last ulp, the q6 flip class)
+        s6 = F.sum(
+            F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+        ).cast("double")
         aggs.extend(
             [
                 F.min(c).alias(f"min_{c}"),
                 F.max(c).alias(f"max_{c}"),
-                F.avg(c).alias(f"avg_{c}"),
+                ((s6 / F.lit(1e6)) / F.count(F.col(c))).alias(f"avg_{c}"),
             ]
         )
     return (
