@@ -560,7 +560,11 @@ def dup_clusters(
     converges in O(component diameter) joins, which for near-dup graphs
     (tiny, dense components) is a handful of iterations. Each iteration
     is one shuffle on the edge key; ``localCheckpoint`` truncates the
-    growing lineage. The driver-side convergence ``count()`` runs every
+    growing lineage, and superseded checkpoints are unpersisted as the
+    loop advances (engine.CheckpointTracker — ``Dataset.unpersist``
+    cannot free checkpoint blocks, so without this a long-lived driver
+    leaks one label-frame copy per iteration per call). The
+    driver-side convergence ``count()`` runs every
     SECOND iteration only (it exists purely to stop the loop; propagation
     itself is label-monotone, so overshooting by one iteration is a no-op
     on the result) — halves the scheduler-job overhead on deep
@@ -568,6 +572,9 @@ def dup_clusters(
     alternating large/small-star halves the iteration count but the
     per-iteration plan is identical).
     """
+    from ..engine import CheckpointTracker
+
+    ckpts = CheckpointTracker(df.sparkSession)
     e_fwd = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     e_rev = pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
     edges = e_fwd.union(e_rev)
@@ -578,15 +585,13 @@ def dup_clusters(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr, labels.id == nbr.a, "left")
-            .select(
+        new_labels = ckpts.ckpt(
+            labels.join(nbr, labels.id == nbr.a, "left").select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         check_now = it % 2 == 1 or it == max_iter - 1
         if check_now:
@@ -597,8 +602,10 @@ def dup_clusters(
                 .count()
             )
         labels = new_labels
+        ckpts.release_superseded()
         if check_now and changed == 0:
             break
+    ckpts.release_all_but_last()
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )
