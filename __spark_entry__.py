@@ -88,6 +88,10 @@ _ADJUDICATION_PRIORITY = [
     "streaming_session_agg",
     "streaming_health",
     "streaming_cusum_alarms",
+    "doc_dup_clusters",
+    "emb_dup_clusters",
+    "doc_survivorship",
+    "doc_leakage_safe_split",
     "emb_pq_codes",
     "emb_pq_topk",
     "events_cms_heavy_hitters",
@@ -172,7 +176,6 @@ _ADJUDICATION_PRIORITY = [
     "doc_incremental_simhash",
     "doc_lang_confusion",
     "doc_line_dedup",
-    "doc_survivorship",
     "doc_vocab_coverage",
     "emb_ann_recall",
     "emb_incremental_near_dup",
@@ -196,12 +199,9 @@ _ADJUDICATION_PRIORITY = [
     "ticks_winsorize",
     "window_value_functions",
     "approx_aggregates",
-    "doc_dup_clusters",
     "doc_hash_sample",
     "doc_jsonl_roundtrip",
-    "doc_leakage_safe_split",
     "emb_diversity_report",
-    "emb_dup_clusters",
     "emb_ivf_exact",
     "emb_lsh_topk",
     "emb_mmr_rerank",
