@@ -97,6 +97,7 @@ _ADJUDICATION_PRIORITY = [
     "events_cms_heavy_hitters",
     "streaming_dedup_replay",
     "doc_bpe_merges",
+    "doc_bpe_token_counts",
     "doc_weighted_sample",
     "orders_scd2_asof_state",
     "orders_seasonal_decompose",

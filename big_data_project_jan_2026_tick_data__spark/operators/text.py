@@ -1046,36 +1046,10 @@ def pps_systematic_sample(
     return tmp.filter(sel).drop(f"cum_{weight_col}", "__hi", "__lo")
 
 
-def bpe_merges(
-    df: DataFrame,
-    text_col: str = "text",
-    num_merges: int = 8,
-) -> DataFrame:
-    """Distributed BPE tokenizer training: learn the first
-    ``num_merges`` byte-pair-encoding merge rules from the corpus — the
-    tokenizer-construction step of an LLM data pipeline (Sennrich et
-    al. 2016; the subword algorithm behind GPT-2/RoBERTa vocabularies).
-
-    Classic BPE shape: ONE corpus pass builds the (word, freq) table;
-    everything after runs on that vocab-sized table, so training cost
-    is corpus-size-independent (the 100 TB story — a trillion-token
-    corpus still reduces to a few million distinct words). Per merge
-    step: adjacent-pair counts weighted by word frequency (one
-    vocab-sized window + hash agg), argmax pair with a total tie-break
-    (count desc, left asc, right asc), then the merge applied with the
-    canonical greedy-left rule. Overlapping self-pairs ("aaa" merging
-    (a,a)) are resolved CLOSED-FORM instead of sequentially: within
-    each maximal run of equal symbols, merge at even offsets — exactly
-    what the greedy left-to-right scan produces, but expressible as
-    window arithmetic in any engine (the oracle replays the identical
-    rule in SQL). Symbol state is localCheckpoint'd per step with
-    superseded generations released (engine.CheckpointTracker).
-
-    Words are restricted to ^[a-z0-9]+$ so symbolization is one
-    codepoint per char in every regex engine (Java UTF-16 vs RE2 UTF-8
-    disagree on astral chars). Returns (step, left_sym, right_sym,
-    merged, pair_count) — the ordered merge table, all exact values.
-    """
+def _bpe_train(df: DataFrame, text_col: str, num_merges: int):
+    """Shared BPE trainer: returns (merge_list, words_df, final symbol
+    state, CheckpointTracker) — see :func:`bpe_merges` for semantics.
+    Callers own the tracker's final checkpoint."""
     from pyspark.sql import Window
 
     from ..engine import CheckpointTracker
@@ -1144,7 +1118,83 @@ def bpe_merges(
             )
         )
         ckpts.release_superseded()
+    return merges, words, state, ckpts
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the first
+    ``num_merges`` byte-pair-encoding merge rules from the corpus — the
+    tokenizer-construction step of an LLM data pipeline (Sennrich et
+    al. 2016; the subword algorithm behind GPT-2/RoBERTa vocabularies).
+
+    Classic BPE shape: ONE corpus pass builds the (word, freq) table;
+    everything after runs on that vocab-sized table, so training cost
+    is corpus-size-independent (the 100 TB story — a trillion-token
+    corpus still reduces to a few million distinct words). Per merge
+    step: adjacent-pair counts weighted by word frequency (one
+    vocab-sized window + hash agg), argmax pair with a total tie-break
+    (count desc, left asc, right asc), then the merge applied with the
+    canonical greedy-left rule. Overlapping self-pairs ("aaa" merging
+    (a,a)) are resolved CLOSED-FORM instead of sequentially: within
+    each maximal run of equal symbols, merge at even offsets — exactly
+    what the greedy left-to-right scan produces, but expressible as
+    window arithmetic in any engine (the oracle replays the identical
+    rule in SQL). Symbol state is localCheckpoint'd per step with
+    superseded generations released (engine.CheckpointTracker).
+
+    Words are restricted to ^[a-z0-9]+$ so symbolization is one
+    codepoint per char in every regex engine (Java UTF-16 vs RE2 UTF-8
+    disagree on astral chars). Returns (step, left_sym, right_sym,
+    merged, pair_count) — the ordered merge table, all exact values.
+    """
+    merges, _words, _state, ckpts = _bpe_train(df, text_col, num_merges)
     ckpts.release_all_but_last()
     return df.sparkSession.createDataFrame(
         merges, "step int, left_sym string, right_sym string, merged string, pair_count bigint"
     )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 8,
+) -> DataFrame:
+    """Per-document token counts under the LEARNED BPE vocabulary: train
+    the ``num_merges`` merge rules (:func:`_bpe_train`), count each
+    word's post-merge symbol count from the final state table (one
+    vocab-sized agg), and join those counts back onto the document word
+    stream — the budget estimator a pipeline runs with its real
+    tokenizer instead of the whitespace heuristic.
+
+    Scale shape: training is vocab-sized per step (see
+    :func:`bpe_merges`); the per-doc pass explodes words once and joins
+    the BROADCAST word→count table — integer sums only, trivially
+    order-independent. Only ^[a-z0-9]+$ words count (the trained
+    domain). Returns (id_col, n_words, bpe_tokens).
+    """
+    merges, words, state, ckpts = _bpe_train(df, text_col, num_merges)
+    per_word = state.groupBy("word").agg(F.count(F.lit(1)).alias("n_sym"))
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    doc_words = (
+        df.select(F.col(id_col), F.explode(toks).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+    )
+    out = (
+        doc_words.join(F.broadcast(per_word), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("bpe_tokens"),
+        )
+    )
+    # materialize through the tracker: the result becomes the newest
+    # generation, so release_all_but_last frees every training frame
+    # and keeps exactly this checkpoint
+    rows = ckpts.ckpt(out)
+    ckpts.release_all_but_last()
+    return rows

@@ -2007,6 +2007,30 @@ def _bpe_oracle(num_merges: int = 8) -> str:
     return "".join(parts)
 
 
+def _bpe_token_counts_oracle(num_merges: int = 8) -> str:
+    """doc_bpe_token_counts oracle: the shared training chain, then one
+    word→symbol-count agg and the document join — integer sums only."""
+    chain = _bpe_oracle(num_merges)
+    # cut the merge-table UNION tail off the shared generator, keep CTEs
+    tail = chain.rindex("\n    SELECT 1 AS step")
+    ctes = chain[:tail]
+    return (
+        ctes
+        + rf"""
+    , wsym AS (SELECT word, count(*) AS n_sym FROM st{num_merges}
+               GROUP BY word),
+    dw AS (
+      SELECT doc_id, w AS word FROM (
+        SELECT doc_id, UNNEST(string_split({_norm_sql('text')}, ' ')) AS w
+        FROM documents) t
+      WHERE regexp_matches(w, '^[a-z0-9]+$'))
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS bpe_tokens
+    FROM dw JOIN wsym USING (word) GROUP BY doc_id
+    """
+    )
+
+
 @_register("doc_bpe_merges", _bpe_oracle())
 def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (text.bpe_merges): the first
@@ -2019,3 +2043,15 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical merge sequence as a generated CTE chain."""
     docs = _td(spark, sf_dir, "documents")
     return text.bpe_merges(docs, num_merges=8)
+
+
+@_register("doc_bpe_token_counts", _bpe_token_counts_oracle())
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the LEARNED 8-merge BPE
+    vocabulary (text.bpe_token_counts) — the budget estimate a pipeline
+    runs with its actual tokenizer rather than the whitespace
+    heuristic; word→symbol-count table broadcast onto one document word
+    explosion, integer sums only. The oracle re-trains the identical
+    merge sequence and re-counts in SQL."""
+    docs = _td(spark, sf_dir, "documents")
+    return text.bpe_token_counts(docs, num_merges=8)
