@@ -88,6 +88,8 @@ _ADJUDICATION_PRIORITY = [
     "streaming_session_agg",
     "streaming_health",
     "streaming_cusum_alarms",
+    "events_cusum_alarms",
+    "events_alarm_episodes",
     "doc_dup_clusters",
     "emb_dup_clusters",
     "doc_survivorship",
@@ -183,7 +185,6 @@ _ADJUDICATION_PRIORITY = [
     "emb_quantize_int8",
     "emb_quantized_topk",
     "emb_rrf_fusion",
-    "events_cusum_alarms",
     "events_data_contract",
     "events_date_membership",
     "events_funnel_steps",
@@ -207,7 +208,6 @@ _ADJUDICATION_PRIORITY = [
     "emb_lsh_topk",
     "emb_mmr_rerank",
     "emb_near_dup_pairs",
-    "events_alarm_episodes",
     "events_dau_mau",
     "events_histogram_percentiles",
     "events_hll_user_reach",

@@ -853,24 +853,26 @@ def cusum_changepoints(
     passes over it. Returns the input plus ``cusum_up``/``cusum_dn``/
     ``alarm_up``/``alarm_dn``.
     """
+    from ..functions.exactagg import exact_avg
+
     by = list(by)
     x = F.col(value_col).cast("double")
+    # reference moments from exact integer-grid sums (the feed is exact
+    # at 2 dp): a float-sum ulp in mu/sd would flip the q6 z-scores and
+    # cascade through every downstream CUSUM decision
     st = (
         df.na.drop(subset=by)
         .groupBy(*by)
         .agg(
-            F.count(x).alias("__n"),
-            F.sum(x).alias("__s1"),
-            F.sum(x * x).alias("__s2"),
+            exact_avg(x, 2).alias("__mu"),
+            exact_avg(x * x, 4).alias("__m2"),
         )
         .select(
             *by,
-            (F.col("__s1") / F.col("__n")).alias("__mu"),
+            "__mu",
             F.sqrt(
                 F.greatest(
-                    F.col("__s2") / F.col("__n")
-                    - (F.col("__s1") / F.col("__n")) * (F.col("__s1") / F.col("__n")),
-                    F.lit(0.0),
+                    F.col("__m2") - F.col("__mu") * F.col("__mu"), F.lit(0.0)
                 )
             ).alias("__sd"),
         )

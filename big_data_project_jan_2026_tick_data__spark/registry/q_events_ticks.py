@@ -1173,12 +1173,12 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, value
       FROM events),
     st AS (
-      SELECT symbol, count(value) AS n, sum(value) AS s1,
-             sum(value * value) AS s2
+      SELECT symbol,
+             (CAST(SUM(CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 / COUNT(value)) AS mu,
+             (CAST(SUM(CAST(FLOOR(value * value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 / COUNT(value * value)) AS m2
       FROM t WHERE symbol IS NOT NULL GROUP BY symbol),
     sd AS (
-      SELECT symbol, s1 / n AS mu,
-             sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS sdv
+      SELECT symbol, mu, sqrt(GREATEST(m2 - mu * mu, 0.0)) AS sdv
       FROM st),
     z AS (
       SELECT t.symbol, t.ts, t.event_id,
@@ -1693,12 +1693,12 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, value
       FROM events),
     st AS (
-      SELECT symbol, count(value) AS n, sum(value) AS s1,
-             sum(value * value) AS s2
+      SELECT symbol,
+             (CAST(SUM(CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 / COUNT(value)) AS mu,
+             (CAST(SUM(CAST(FLOOR(value * value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 / COUNT(value * value)) AS m2
       FROM t WHERE symbol IS NOT NULL GROUP BY symbol),
     sd AS (
-      SELECT symbol, s1 / n AS mu,
-             sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS sdv
+      SELECT symbol, mu, sqrt(GREATEST(m2 - mu * mu, 0.0)) AS sdv
       FROM st),
     z AS (
       SELECT t.symbol, t.ts, t.event_id,
