@@ -90,6 +90,7 @@ _ADJUDICATION_PRIORITY = [
     "streaming_cusum_alarms",
     "events_cusum_alarms",
     "events_alarm_episodes",
+    "ml_anomaly_scores_mean",
     "doc_dup_clusters",
     "emb_dup_clusters",
     "doc_survivorship",
@@ -150,7 +151,6 @@ _ADJUDICATION_PRIORITY = [
     "events_weekly_retention",
     "incremental_dedup",
     "json_props_extract",
-    "ml_anomaly_scores_mean",
     "ml_window_tensors",
     "multimodal_features_digest",
     "multimodal_frame_digest",

@@ -215,7 +215,18 @@ def reconstruction_errors(
     def default_model(x: np.ndarray, symbol: str) -> np.ndarray:
         return np.broadcast_to(x.mean(axis=0), x.shape)
 
-    fn = model_fn or default_model
+    def _mean_model_err(x: np.ndarray) -> float:
+        """Mean-model MSE == mean of per-feature population variances,
+        computed from 1e-6-grid integer sums so the value is a pure
+        function of the f32 tensor cells — bit-reproducible by the SQL
+        oracle (numpy's pairwise mean/var and an engine's var_pop
+        otherwise disagree in the last ulp)."""
+        n = x.shape[0]
+        s1 = np.floor(x * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+        s2 = np.floor(x * x * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+        mean = (s1 / 1e6) / n
+        m2 = np.maximum((s2 / 1e6) / n - mean * mean, 0.0)
+        return float(m2.mean())
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         errs = []
@@ -223,7 +234,10 @@ def reconstruction_errors(
             # Arrow hands nested arrays as an object sequence of per-row
             # arrays — stack explicitly.
             x = np.stack([np.asarray(row, dtype=np.float64) for row in feats])
-            errs.append(float(np.mean((x - fn(x, sym)) ** 2)))
+            if model_fn is None:
+                errs.append(_mean_model_err(x))
+            else:
+                errs.append(float(np.mean((x - model_fn(x, sym)) ** 2)))
         return pd.DataFrame(
             {"symbol": pdf["symbol"], "window_id": pdf["window_id"], "err": errs}
         )

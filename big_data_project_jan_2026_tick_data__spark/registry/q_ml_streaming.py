@@ -599,7 +599,9 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tensor_rows AS ({_TENSOR_ROWS_SQL}),
     werr AS (
       SELECT symbol, window_id,
-             (var_pop(bid) + var_pop(ask) + var_pop(spread)) / 3.0 AS err
+             (GREATEST(CAST(SUM(CAST(FLOOR(bid * bid * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / count(bid) - (CAST(SUM(CAST(FLOOR(bid * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / count(bid)) * (CAST(SUM(CAST(FLOOR(bid * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / count(bid)), 0.0)
+              + GREATEST(CAST(SUM(CAST(FLOOR(ask * ask * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / count(ask) - (CAST(SUM(CAST(FLOOR(ask * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / count(ask)) * (CAST(SUM(CAST(FLOOR(ask * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / count(ask)), 0.0)
+              + GREATEST(CAST(SUM(CAST(FLOOR(spread * spread * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / count(spread) - (CAST(SUM(CAST(FLOOR(spread * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / count(spread)) * (CAST(SUM(CAST(FLOOR(spread * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / count(spread)), 0.0)) / 3.0 AS err
       FROM tensor_rows GROUP BY symbol, window_id),
     thr AS (
       SELECT symbol, quantile_cont(err, 0.92) AS p92,
