@@ -861,8 +861,11 @@ def test_cusum_closed_form_matches_recurrence(spark, vals):
         ).collect()
     }
     n = len(vals)
-    mu = sum(vals) / n
-    var = sum(v * v for v in vals) / n - mu * mu
+    # mirror the operator's exact integer-grid reference moments
+    # (exactagg.exact_avg: value on the 1e-2 grid, square on 1e-4)
+    mu = sum(math.floor(v * 1e2 + 0.5) for v in vals) / 1e2 / n
+    m2 = sum(math.floor(v * v * 1e4 + 0.5) for v in vals) / 1e4 / n
+    var = m2 - mu * mu
     sd = math.sqrt(var) if var > 0 else 0.0
     su = sdn = 0.0
     for i, v in enumerate(vals):
