@@ -23,18 +23,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates a bounded window (the first ~50 names) per
-# round, so dict order is the scheduling lever. Round-6 ordering, per
-# the standing rule: CHANGED-CODE RE-PROOF OUTRANKS NEW-QUERY PROOF —
-# a changed green is unproven, a new query is merely unknown. This
-# round changed a LOT of rows (the detmath/libm elimination, the
-# exact-integer money/value-sum sweep, and the advisor fixes), so the
-# window is: (a) the 3 r5 hash-FAILs rebuilt on detmath, (b) every
-# other query whose operator or oracle changed this round (libm sweep,
-# window-frame hardening, exact money sums, scd2/tracking fixes),
-# (c) the 5 r6 registrations, (d) the 7 never-adjudicated r5 rows,
-# (e) greens by ascending verdict age. Slots past the window queue
-# for r7. Rows-only entries deliberately absent (they can only say
-# no_oracle; their value proofs live in md5/mean/fixed-weight twins).
+# round, so dict order is the scheduling lever. Round-6 final ordering
+# (recomposed after the late determinism campaign; the standing rule:
+# CHANGED-CODE RE-PROOF OUTRANKS NEW-QUERY PROOF, and within changed
+# code, residual-risk class outranks provably-exact class):
+# (a) the 3 r5 hash-FAILs, rebuilt on functions.detmath — slots 1-3;
+# (b) the advisor-fix rows (scd2 seed ordering, tracking URI) — 4-5;
+# (c) every other log-family row swept onto detmath/exact grids this
+#     round — the only class where a driver-side libm/DECIMAL quirk
+#     could still differ from the local mirror — 6-20;
+# (d) ALL 14 never-adjudicated rows (6 r6 registrations: PQ codes/topk,
+#     CMS heavy hitters, streaming exact dedup, BPE merges/token
+#     counts; 8 r5 leftovers) — their first-ever verdict is worth more
+#     than a re-proof of an exact-integer row — 21-34;
+# (e) the late-campaign changed rows (CUSUM grid moments, mean-model
+#     recon, dedup convergence cadence, streaming harness) — 35-43;
+# (f) exact-integer money-sum representatives + the oldest (r1) stale
+#     greens of that family — the mechanism is shared exactagg
+#     arithmetic, so three fresh rows + the stalest proofs cover it;
+#     the rest of the changed-but-exact TPC-H block heads the r7 queue
+#     (it cannot flip from engine environment by construction) — 44-50.
+# Rows-only entries deliberately absent (they can only say no_oracle;
+# their value proofs live in md5/mean/fixed-weight twins).
 _ADJUDICATION_PRIORITY = [
     "doc_token_entropy",
     "doc_mixture_weights",
@@ -47,34 +57,57 @@ _ADJUDICATION_PRIORITY = [
     "doc_tfidf_top_terms",
     "doc_source_divergence",
     "doc_pmi_collocations",
+    "doc_survivorship",
     "ticks_indicators",
     "events_zipf_fit",
     "ticks_parkinson_vol",
     "events_moment_stats",
-    "events_psi_drift",
     "ticks_rolling_stats",
     "emb_kmeans",
     "emb_semantic_dedup",
     "emb_centroid_outliers",
+    "emb_pq_codes",
+    "emb_pq_topk",
+    "events_cms_heavy_hitters",
+    "streaming_dedup_replay",
+    "doc_bpe_merges",
+    "doc_bpe_token_counts",
+    "events_psi_drift",
+    "doc_weighted_sample",
+    "orders_scd2_asof_state",
+    "orders_seasonal_decompose",
+    "part_copurchase_triangles",
+    "part_copurchase_communities",
+    "streaming_vwap_bars",
+    "ticks_market_beta",
+    "streaming_cusum_alarms",
+    "events_cusum_alarms",
+    "events_alarm_episodes",
+    "ml_anomaly_scores_mean",
+    "doc_dup_clusters",
+    "emb_dup_clusters",
+    "doc_leakage_safe_split",
+    "streaming_health",
+    "streaming_session_agg",
     "tpch_q1",
     "tpch_q3_top10",
     "tpch_q5_region_revenue",
     "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_ratio",
+    "tpch_q18_large_orders",
+    "pivot_user_event_values",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
     "tpch_q11_important_parts",
-    "tpch_q14_promo_ratio",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
     "tpch_q19_disjunctive_predicate",
     "tpch_q20_part_promotion",
     "tpch_q22_global_sales_opportunity",
     "rollup_orders",
     "orders_unpivot",
-    "pivot_user_event_values",
     "scalar_subquery_above_avg",
     "sql_over_views",
     "supplier_return_rates",
@@ -85,29 +118,6 @@ _ADJUDICATION_PRIORITY = [
     "orders_segment_migration",
     "ticks_value_stats",
     "events_inter_arrival",
-    "streaming_session_agg",
-    "streaming_health",
-    "streaming_cusum_alarms",
-    "events_cusum_alarms",
-    "events_alarm_episodes",
-    "ml_anomaly_scores_mean",
-    "doc_dup_clusters",
-    "emb_dup_clusters",
-    "doc_survivorship",
-    "doc_leakage_safe_split",
-    "emb_pq_codes",
-    "emb_pq_topk",
-    "events_cms_heavy_hitters",
-    "streaming_dedup_replay",
-    "doc_bpe_merges",
-    "doc_bpe_token_counts",
-    "doc_weighted_sample",
-    "orders_scd2_asof_state",
-    "orders_seasonal_decompose",
-    "part_copurchase_communities",
-    "part_copurchase_triangles",
-    "streaming_vwap_bars",
-    "ticks_market_beta",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
