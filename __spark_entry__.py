@@ -96,6 +96,8 @@ _ADJUDICATION_PRIORITY = [
     "tpch_q14_promo_ratio",
     "tpch_q18_large_orders",
     "pivot_user_event_values",
+    # ---- ~50-slot window boundary; r7 queue from here ----
+    "ticks_lead_lag_corr",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -353,6 +353,95 @@ def symbol_correlation(
     )
 
 
+def lead_lag_correlation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    value_col: str = "value",
+    interval_sec: int = 3600,
+    max_lag: int = 3,
+    min_buckets: int = 2,
+) -> DataFrame:
+    """Directional lead-lag correlation between symbols: Pearson corr of
+    symbol A's bucket-mean CHANGE at bucket b against symbol B's change
+    at bucket b+k, for every ordered pair A≠B and lag k = 1..``max_lag``
+    — the cross-symbol predictive-structure scan (does gold move before
+    the index?) that complements :func:`symbol_correlation`'s
+    contemporaneous, level-based matrix.
+
+    Changes (first differences of CONSECUTIVE bucket means, gaps
+    dropped) rather than levels: two trending series correlate near ±1
+    at every lag, so level lead-lag is uninformative; differencing is
+    the standard pre-whitening step.
+
+    Scale: the same one hash agg to bucket means as
+    :func:`symbol_correlation` (map-side combined — raw ticks never
+    reach a join), one window-lag pass over #buckets×#symbols rows for
+    the diffs, the lead side exploded ×``max_lag``, ONE bucket-key
+    equi-join (``a.b + k = g.b`` is an equi-key), one (pair, lag) agg.
+    Output rows: #pairs×``max_lag``; join input stays linear in buckets.
+
+    Determinism: bucket means snapped to the 1e-6 integer grid, diffs
+    are exact BIGINT subtraction, and the per-(pair, lag) Pearson uses
+    :func:`exact_corr_sums` — every compared aggregate is exact integer
+    arithmetic; partial-agg order cannot move the q6 output.
+    """
+    bucket = (F.col(ts_col).cast("long") / interval_sec).cast("long")
+    v6 = F.floor(F.col(value_col) * 1e6 + F.lit(0.5))
+    means = (
+        df.groupBy(F.col(symbol_col).alias("sym"), bucket.alias("__b"))
+        .agg(F.sum(v6).alias("__s6"), F.count(value_col).alias("__c"))
+        .select(
+            "sym",
+            "__b",
+            F.floor(
+                F.col("__s6").cast("double") / F.col("__c") + F.lit(0.5)
+            ).alias("__v6"),
+        )
+    )
+    w = Window.partitionBy("sym").orderBy("__b")
+    diffs = (
+        means.withColumn("__pv", F.lag("__v6").over(w))
+        .withColumn("__pb", F.lag("__b").over(w))
+        .filter(F.col("__pb") == F.col("__b") - 1)
+        .select("sym", "__b", (F.col("__v6") - F.col("__pv")).alias("__d6"))
+    )
+    lead = diffs.select(
+        F.col("sym").alias("sym_lead"),
+        F.col("__b").alias("__lb"),
+        F.col("__d6").alias("__da"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+        ).alias("lag_buckets"),
+    )
+    lagg = diffs.select(
+        F.col("sym").alias("sym_lag"),
+        F.col("__b").alias("__gb"),
+        F.col("__d6").alias("__db"),
+    )
+    joined = lead.join(
+        lagg,
+        (F.col("__lb") + F.col("lag_buckets") == F.col("__gb"))
+        & (F.col("sym_lead") != F.col("sym_lag")),
+    )
+    agg = joined.groupBy("sym_lead", "sym_lag", "lag_buckets").agg(
+        *exact_corr_sums(F.col("__da"), F.col("__db"), "c")
+    )
+    return (
+        agg.withColumn("__corr", exact_corr_value("c"))
+        .filter((F.col("c_n") >= min_buckets) & F.col("__corr").isNotNull())
+        .select(
+            "sym_lead",
+            "sym_lag",
+            "lag_buckets",
+            F.col("c_n").alias("n_buckets"),
+            (F.floor(F.col("__corr") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "corr_q6"
+            ),
+        )
+    )
+
+
 def funnel(
     df: DataFrame,
     steps: Sequence[str],

@@ -138,6 +138,67 @@ def ticks_symbol_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ticks_lead_lag_corr",
+    r"""
+    WITH m AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS sym,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b,
+             CAST(FLOOR(CAST(sum(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT))
+                             AS DOUBLE) / count(value) + 0.5) AS BIGINT) AS v6
+      FROM events GROUP BY 1, 2),
+    d0 AS (
+      SELECT sym, b, v6,
+             lag(v6) OVER (PARTITION BY sym ORDER BY b) AS pv,
+             lag(b) OVER (PARTITION BY sym ORDER BY b) AS pb
+      FROM m),
+    d AS (SELECT sym, b, v6 - pv AS d6 FROM d0 WHERE pb = b - 1),
+    l AS (SELECT k FROM (VALUES (1), (2), (3)) t(k)),
+    j AS (
+      SELECT a.sym AS sym_lead, g.sym AS sym_lag, l.k AS lag_buckets,
+             a.d6 AS xa, g.d6 AS xb
+      FROM d a CROSS JOIN l
+      JOIN d g ON a.b + l.k = g.b AND a.sym <> g.sym),
+    s AS (
+      SELECT sym_lead, sym_lag, lag_buckets, count(*) AS n,
+             sum(xa) AS sx, sum(xb) AS sy,
+             sum(CAST(xa AS HUGEINT) * xb) AS sxy,
+             sum(CAST(xa AS HUGEINT) * xa) AS sxx,
+             sum(CAST(xb AS HUGEINT) * xb) AS syy
+      FROM j GROUP BY 1, 2, 3),
+    c AS (
+      SELECT sym_lead, sym_lag, lag_buckets, n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+      FROM s)
+    SELECT sym_lead, sym_lag, lag_buckets, n AS n_buckets,
+           FLOOR(num / (sqrt(dx) * sqrt(dy)) * 1e6 + 0.5) / 1e6 AS corr_q6
+    FROM c WHERE n >= 2 AND dx > 0 AND dy > 0
+    """,
+)
+def ticks_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional lead-lag correlation: corr of symbol A's hourly
+    bucket-mean CHANGE at bucket b vs symbol B's change at b+k, ordered
+    pairs, k = 1..3 (stats.lead_lag_correlation) — the predictive-
+    structure complement to ticks_symbol_correlation's contemporaneous
+    matrix. Differenced series (trending levels correlate at every lag);
+    bucket means on the 1e-6 grid, diffs exact BIGINT, Pearson via
+    exact integer sums — order-independent on both engines."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        "ts",
+        "value",
+    )
+    return stats.lead_lag_correlation(t, interval_sec=3600, max_lag=3)
+
+
+@_register(
     "ticks_winsorize",
     r"""
     WITH t AS (

@@ -395,6 +395,29 @@ def test_line_dedup_literal_separator_and_null_text(spark):
     assert out[3]["text"] == "" and out[3]["n_lines"] == 1
 
 
+def test_lead_lag_correlation_detects_shifted_series(spark):
+    """B = A shifted one bucket later → the (A leads B, k=1) diff
+    correlation is exactly 1; the reverse direction is not — the scan
+    must be directional."""
+    from big_data_project_jan_2026_tick_data__spark.operators import stats as s
+
+    sig = [0.0, 5.0, 1.0, 8.0, 2.0, 9.0, 3.0, 7.0, 4.0, 6.0, 0.0, 8.0]
+    rows = []
+    for b, v in enumerate(sig):
+        rows.append(("A", b * 3600, v))
+        rows.append(("B", (b + 1) * 3600, v))  # B lags A by one bucket
+    df = spark.createDataFrame(rows, "symbol string, ts long, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["sym_lead"], r["sym_lag"], r["lag_buckets"]): r
+        for r in s.lead_lag_correlation(df, interval_sec=3600, max_lag=2).collect()
+    }
+    assert out[("A", "B", 1)]["corr_q6"] == 1.0
+    assert out[("B", "A", 1)]["corr_q6"] < 1.0
+    # diffs span buckets 1..11 for A, 2..12 for B; k=1 aligns all 11
+    assert out[("A", "B", 1)]["n_buckets"] == 11
+
+
 def test_symbol_correlation_drops_zero_variance_series(spark):
     from big_data_project_jan_2026_tick_data__spark.operators import stats as s
 
