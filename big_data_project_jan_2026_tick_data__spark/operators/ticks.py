@@ -169,6 +169,66 @@ def scrub_inf_nan(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return out
 
 
+def tick_rule_flow(
+    df: DataFrame,
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    price_col: str = "value",
+    tiebreak_cols: Sequence[str] = (),
+    interval_sec: int = 3600,
+) -> DataFrame:
+    """Tick-rule trade classification + order-flow imbalance bars: each
+    tick is signed buyer-initiated (+1) when its price is above the
+    previous tick, seller-initiated (−1) when below, and INHERITS the
+    previous non-zero direction on zero ticks (the classic tick rule —
+    the standard proxy for aggressor side when quote data is absent);
+    ticks before the first price change stay unclassified. Per
+    (symbol, ``interval_sec`` bucket): up/down/unclassified counts and
+    the signed imbalance (up−down)/(up+down), q6.
+
+    Scale: ONE sort per symbol partition reused by both window passes
+    (lag for the sign, last-ignorenulls for the carry-forward — same
+    machinery as :func:`ffill`), then one hash agg to bars. No joins,
+    no shuffle beyond the per-symbol sort and the bar agg.
+
+    Determinism: the sign comes from IEEE comparisons (exact), the
+    carry-forward is order-totalized by ``tiebreak_cols``, and every
+    bar output is integer counts plus a pointwise integer-ratio q6 —
+    nothing for partial-agg order to move.
+    """
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w1 = Window.partitionBy(symbol_col).orderBy(*order)
+    wc = w1.rowsBetween(Window.unboundedPreceding, 0)
+    dp = F.col(price_col) - F.lag(price_col, 1).over(w1)
+    raw_sign = F.when(dp > 0, F.lit(1)).when(dp < 0, F.lit(-1))
+    bucket = (F.col(ts_col).cast("long") / interval_sec).cast("long")
+    side = F.last(raw_sign, ignorenulls=True).over(wc)
+    out = (
+        df.withColumn("__side", side)
+        .withColumn("__b", bucket)
+        .groupBy(F.col(symbol_col).alias("symbol"), F.col("__b"))
+        .agg(
+            F.count(F.when(F.col("__side") == 1, F.lit(1))).alias("n_up"),
+            F.count(F.when(F.col("__side") == -1, F.lit(1))).alias("n_dn"),
+            F.count(F.when(F.col("__side").isNull(), F.lit(1))).alias(
+                "n_unclassified"
+            ),
+        )
+    )
+    tot = F.col("n_up") + F.col("n_dn")
+    imb = (F.col("n_up") - F.col("n_dn")).cast("double") / tot
+    return out.select(
+        "symbol",
+        (F.col("__b") * interval_sec).alias("bucket_start_epoch"),
+        "n_up",
+        "n_dn",
+        "n_unclassified",
+        F.when(
+            tot > 0, F.floor(imb * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("imbalance_q6"),
+    )
+
+
 def ffill(
     df: DataFrame,
     cols: Sequence[str],

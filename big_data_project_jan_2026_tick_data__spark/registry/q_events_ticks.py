@@ -199,6 +199,62 @@ def ticks_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ticks_tick_rule_flow",
+    r"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events),
+    d AS (
+      SELECT symbol, es, event_id, value,
+             value - lag(value) OVER w AS dp
+      FROM t
+      WINDOW w AS (PARTITION BY symbol ORDER BY es, event_id)),
+    s AS (
+      SELECT symbol, es,
+             last_value(CASE WHEN dp > 0 THEN 1
+                             WHEN dp < 0 THEN -1 END IGNORE NULLS)
+               OVER (PARTITION BY symbol ORDER BY es, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS side
+      FROM d),
+    bars AS (
+      SELECT symbol, es // 3600 AS b,
+             count(CASE WHEN side = 1 THEN 1 END) AS n_up,
+             count(CASE WHEN side = -1 THEN 1 END) AS n_dn,
+             count(CASE WHEN side IS NULL THEN 1 END) AS n_unclassified
+      FROM s GROUP BY 1, 2)
+    SELECT symbol, b * 3600 AS bucket_start_epoch, n_up, n_dn,
+           n_unclassified,
+           CASE WHEN n_up + n_dn > 0 THEN
+             FLOOR(CAST(n_up - n_dn AS DOUBLE) / (n_up + n_dn) * 1e6 + 0.5)
+               / 1e6 END AS imbalance_q6
+    FROM bars
+    """,
+)
+def ticks_tick_rule_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-rule order-flow bars (ticks.tick_rule_flow): sign each tick
+    buyer/seller-initiated by price change with zero-tick carry-forward
+    (the classic aggressor-side proxy), then hourly up/down counts and
+    signed imbalance per symbol. One per-symbol sort reused by both
+    window passes, one hash agg — integer outputs + a pointwise ratio,
+    order-independent on both engines."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        F.col("ts").cast("long").alias("es"),
+        "event_id",
+        "value",
+    )
+    return ticks.tick_rule_flow(
+        t, ts_col="es", price_col="value", tiebreak_cols=("event_id",)
+    )
+
+
+@_register(
     "ticks_winsorize",
     r"""
     WITH t AS (

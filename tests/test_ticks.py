@@ -305,3 +305,24 @@ def test_market_beta_identities(spark):
     assert out["UP"].beta > 0 and out["UP"].mkt_corr == 1.0
     assert out["DOWN"].beta < 0 and out["DOWN"].mkt_corr == -1.0
     assert abs(sum(r.beta for r in out.values()) / 3 - 1.0) < 1e-5
+
+
+def test_tick_rule_flow_carry_forward_and_unclassified(spark):
+    """Zero ticks inherit the previous direction; ticks before the
+    first price change stay unclassified; the imbalance is the signed
+    integer ratio."""
+    from big_data_project_jan_2026_tick_data__spark.operators import ticks as tk
+
+    # prices: 5 5 6 6 4 4 -> sides: null null +1 +1 -1 -1
+    prices = [5.0, 5.0, 6.0, 6.0, 4.0, 4.0]
+    rows = [("A", i, i, p) for i, p in enumerate(prices)]
+    df = spark.createDataFrame(rows, "symbol string, es long, eid long, value double")
+    out = tk.tick_rule_flow(
+        df, ts_col="es", price_col="value", tiebreak_cols=("eid",),
+        interval_sec=3600,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_up"], r["n_dn"], r["n_unclassified"]) == (2, 2, 2)
+    assert r["imbalance_q6"] == 0.0
+    assert r["bucket_start_epoch"] == 0
