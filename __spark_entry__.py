@@ -99,6 +99,7 @@ _ADJUDICATION_PRIORITY = [
     # ---- ~50-slot window boundary; r7 queue from here ----
     "ticks_lead_lag_corr",
     "ticks_tick_rule_flow",
+    "ticks_roll_spread",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

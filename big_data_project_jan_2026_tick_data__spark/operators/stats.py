@@ -353,6 +353,61 @@ def symbol_correlation(
     )
 
 
+def roll_spread(
+    df: DataFrame,
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    price_col: str = "value",
+    tiebreak_cols: Sequence[str] = (),
+    min_ticks: int = 3,
+) -> DataFrame:
+    """Roll (1984) effective-spread estimator per symbol: s =
+    2·√(−cov(Δp_t, Δp_{t−1})) — bid-ask bounce makes consecutive trade-
+    price changes negatively serially correlated, and the covariance
+    recovers the implicit spread from trade prices alone (no quote
+    data). When the serial covariance is non-negative (trending or
+    too-sparse series) the estimator is undefined and the spread is
+    NULL — the standard convention.
+
+    Scale: one per-symbol sort (two lags over the same window), one
+    hash agg of six integer sums — raw ticks never join or re-shuffle.
+
+    Determinism: prices snap to the 1e-6 integer grid, so Δp and the
+    lagged Δp are exact BIGINT differences and :func:`exact_corr_sums`
+    accumulates exact integers; cov and the final √ are pointwise IEEE
+    ops on identical doubles in both engines. Output ``roll_spread_q6``
+    is in price units (the 1e-6 grid divides back out).
+    """
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w1 = Window.partitionBy(symbol_col).orderBy(*order)
+    p6 = F.floor(F.col(price_col) * 1e6 + F.lit(0.5))
+    d = df.withColumn("__p6", p6).withColumn(
+        "__dp", F.col("__p6") - F.lag("__p6", 1).over(w1)
+    )
+    d = d.withColumn("__dpl", F.lag("__dp", 1).over(w1))
+    agg = d.groupBy(F.col(symbol_col).alias("symbol")).agg(
+        *exact_corr_sums(F.col("__dp"), F.col("__dpl"), "c")
+    )
+    n = F.col("c_n").cast("double")
+    cov6sq = (
+        n * F.col("c_sxy").cast("double")
+        - F.col("c_sx").cast("double") * F.col("c_sy").cast("double")
+    ) / (n * n)
+    # cov6sq is in (1e-6 price units)^2; √ converts back to 1e-6 units,
+    # the final /1e6 to price units
+    spread = F.lit(2.0) * F.sqrt(F.greatest(-cov6sq, F.lit(0.0))) / F.lit(1e6)
+    return (
+        agg.filter(F.col("c_n") >= min_ticks)
+        .select(
+            "symbol",
+            F.col("c_n").alias("n_pairs"),
+            F.when(
+                cov6sq < 0, F.floor(spread * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("roll_spread_q6"),
+        )
+    )
+
+
 def lead_lag_correlation(
     df: DataFrame,
     ts_col: str = "ts",

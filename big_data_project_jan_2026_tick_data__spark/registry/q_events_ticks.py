@@ -199,6 +199,63 @@ def ticks_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ticks_roll_spread",
+    r"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS p6
+      FROM events),
+    d0 AS (
+      SELECT symbol, es, event_id,
+             p6 - lag(p6) OVER w AS dp
+      FROM t
+      WINDOW w AS (PARTITION BY symbol ORDER BY es, event_id)),
+    d AS (
+      SELECT symbol, dp,
+             lag(dp) OVER (PARTITION BY symbol ORDER BY es, event_id) AS dpl
+      FROM d0),
+    s AS (
+      SELECT symbol,
+             count(CASE WHEN dp IS NOT NULL AND dpl IS NOT NULL THEN 1 END) AS n,
+             sum(CASE WHEN dpl IS NOT NULL THEN dp END) AS sx,
+             sum(CASE WHEN dp IS NOT NULL THEN dpl END) AS sy,
+             sum(CAST(dp AS HUGEINT) * dpl) AS sxy
+      FROM d GROUP BY 1),
+    c AS (
+      SELECT symbol, n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov6sq
+      FROM s WHERE n >= 3)
+    SELECT symbol, n AS n_pairs,
+           CASE WHEN cov6sq < 0 THEN
+             FLOOR(2.0 * sqrt(GREATEST(-cov6sq, 0.0)) / 1e6 * 1e6 + 0.5) / 1e6
+           END AS roll_spread_q6
+    FROM c
+    """,
+)
+def ticks_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll (1984) implicit effective spread per symbol from trade
+    prices alone (stats.roll_spread): 2·√(−serial-cov of consecutive
+    price changes); NULL when the covariance is non-negative. Prices on
+    the 1e-6 grid, Δp exact BIGINT, covariance from exact integer sums
+    — order-independent on both engines."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        F.col("ts").cast("long").alias("es"),
+        "event_id",
+        "value",
+    )
+    return stats.roll_spread(
+        t, ts_col="es", price_col="value", tiebreak_cols=("event_id",)
+    )
+
+
+@_register(
     "ticks_tick_rule_flow",
     r"""
     WITH t AS (

@@ -326,3 +326,27 @@ def test_tick_rule_flow_carry_forward_and_unclassified(spark):
     assert (r["n_up"], r["n_dn"], r["n_unclassified"]) == (2, 2, 2)
     assert r["imbalance_q6"] == 0.0
     assert r["bucket_start_epoch"] == 0
+
+
+def test_roll_spread_bounce_and_trend(spark):
+    """A pure bid-ask bounce series yields the hand-computed estimate;
+    a trending series has positive serial covariance -> NULL spread."""
+    from big_data_project_jan_2026_tick_data__spark.operators import stats
+
+    rows = []
+    # alternating 101/99: dp = ±2, n_pairs = 4, cov = -4 -> spread 4.0
+    for i, p in enumerate([101.0, 99.0, 101.0, 99.0, 101.0, 99.0]):
+        rows.append(("BOUNCE", i, i, p))
+    # monotone trend: dp = +1 always -> cov >= 0 -> NULL
+    for i, p in enumerate([1.0, 2.0, 3.0, 4.0, 5.0]):
+        rows.append(("TREND", i, i, p))
+    df = spark.createDataFrame(rows, "symbol string, es long, eid long, value double")
+    out = {
+        r["symbol"]: r
+        for r in stats.roll_spread(
+            df, ts_col="es", price_col="value", tiebreak_cols=("eid",)
+        ).collect()
+    }
+    assert out["BOUNCE"]["n_pairs"] == 4
+    assert out["BOUNCE"]["roll_spread_q6"] == 4.0
+    assert out["TREND"]["roll_spread_q6"] is None
