@@ -199,6 +199,61 @@ def ticks_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ticks_rv_signature",
+    r"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS p6
+      FROM events),
+    b AS (
+      SELECT symbol, es // 60 AS b0,
+             arg_max(p6, lpad(CAST(es AS VARCHAR), 12, '0')
+                         || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS l6
+      FROM t GROUP BY 1, 2),
+    wdn AS (
+      SELECT symbol, b0, l6, d.interval_sec
+      FROM b CROSS JOIN (VALUES (60), (300), (900), (3600)) d(interval_sec)),
+    c AS (
+      SELECT symbol, interval_sec, (b0 * 60) // interval_sec AS bk,
+             arg_max(l6, b0) AS s6
+      FROM wdn GROUP BY 1, 2, 3),
+    dd AS (
+      SELECT symbol, interval_sec,
+             s6 - lag(s6) OVER (PARTITION BY symbol, interval_sec
+                                ORDER BY bk) AS dp
+      FROM c),
+    s AS (
+      SELECT symbol, interval_sec, count(dp) AS n_returns,
+             sum(CAST(dp AS HUGEINT) * dp) AS ss
+      FROM dd GROUP BY 1, 2)
+    SELECT symbol, interval_sec, n_returns,
+           FLOOR(CAST(ss AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS rv_q6
+    FROM s WHERE n_returns >= 2
+    """,
+)
+def ticks_rv_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized-variance signature plot (stats.rv_signature): RV of
+    previous-tick-sampled prices at 1/5/15/60-minute intervals per
+    symbol — the microstructure-noise diagnostic (RV inflation at fine
+    sampling reveals bid-ask bounce). Ticks reduce ONCE to minute
+    last-prices; coarser intervals derive from that table. All sums are
+    exact integers — order-independent on both engines."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        F.col("ts").cast("long").alias("es"),
+        "event_id",
+        "value",
+    )
+    return stats.rv_signature(
+        t, ts_col="es", price_col="value", tiebreak_cols=("event_id",)
+    )
+
+
+@_register(
     "ticks_roll_spread",
     r"""
     WITH t AS (

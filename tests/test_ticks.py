@@ -350,3 +350,26 @@ def test_roll_spread_bounce_and_trend(spark):
     assert out["BOUNCE"]["n_pairs"] == 4
     assert out["BOUNCE"]["roll_spread_q6"] == 4.0
     assert out["TREND"]["roll_spread_q6"] is None
+
+
+def test_rv_signature_bounce_inflates_fine_sampling(spark):
+    """Minute-alternating 101/99 over 3 hours: RV at 1-minute sampling
+    sees every bounce (179 diffs of squared size 4); hourly sampling
+    sees none (hour-end prices all equal)."""
+    from big_data_project_jan_2026_tick_data__spark.operators import stats
+
+    rows = [
+        ("A", m * 60, m, 101.0 if m % 2 == 0 else 99.0) for m in range(180)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, es long, eid long, value double")
+    out = {
+        r["interval_sec"]: r
+        for r in stats.rv_signature(
+            df, ts_col="es", price_col="value", tiebreak_cols=("eid",)
+        ).collect()
+    }
+    assert out[60]["n_returns"] == 179 and out[60]["rv_q6"] == 716.0
+    # hour-end samples: minutes 59, 119, 179 are all odd -> all 99
+    assert out[3600]["n_returns"] == 2 and out[3600]["rv_q6"] == 0.0
+    # 15-minute samples alternate -> 11 diffs of 4
+    assert out[900]["rv_q6"] == 44.0
