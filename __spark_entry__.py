@@ -101,6 +101,7 @@ _ADJUDICATION_PRIORITY = [
     "ticks_tick_rule_flow",
     "ticks_roll_spread",
     "ticks_rv_signature",
+    "ticks_kyle_lambda",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -485,6 +485,84 @@ def roll_spread(
     )
 
 
+def kyle_lambda(
+    df: DataFrame,
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    price_col: str = "value",
+    size_col: str = "size",
+    tiebreak_cols: Sequence[str] = (),
+    interval_sec: int = 3600,
+    min_buckets: int = 3,
+) -> DataFrame:
+    """Kyle (1985) price-impact lambda per symbol: the OLS slope of the
+    interval price change on the interval's net signed volume, Δp_b =
+    λ·q_b + ε — the standard adverse-selection/impact readout that
+    completes the trade-prices-only microstructure set next to
+    :func:`roll_spread` (cost) and :func:`rv_signature` (noise). Signs
+    come from the tick rule with zero-tick carry-forward (the same
+    aggressor-side proxy as ``ticks.tick_rule_flow``; unclassified
+    leading ticks contribute zero signed volume), q_b = Σ side·size over
+    the bucket, Δp_b = close − previous bucket's close (previous-tick
+    sampling across empty buckets). Also emits the regression R².
+
+    Scale: one per-symbol sort (lag sign + carry-forward windows), ONE
+    hash agg reducing raw ticks to (symbol, bucket) rows — map-side
+    combined, the 100 TB reduction step — then a bucket-count-sized lag
+    pass and a six-integer-sum agg per symbol. No joins, nothing
+    quadratic.
+
+    Determinism: prices snap to the 1e-6 grid at the tick, sides and
+    sizes are integers, so q_b and Δp6_b are exact BIGINTs and
+    :func:`exact_corr_sums` accumulates exact integer sums — the slope
+    and R² are pointwise IEEE ops on identical doubles in both engines
+    (the r4 unordered-float-sum hazard is absent by construction).
+    ``lambda_q9`` is in price units per unit size (the 1e-6 grid
+    divides back out); symbols with constant signed volume (dx ≤ 0) are
+    dropped, a flat price series yields λ = 0 with NULL R².
+    """
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w1 = Window.partitionBy(symbol_col).orderBy(*order)
+    wc = w1.rowsBetween(Window.unboundedPreceding, 0)
+    d = df.withColumn(
+        "__p6", F.floor(F.col(price_col) * 1e6 + F.lit(0.5))
+    )
+    dp = F.col("__p6") - F.lag("__p6", 1).over(w1)
+    raw_sign = F.when(dp > 0, F.lit(1)).when(dp < 0, F.lit(-1))
+    bucket = (F.col(ts_col).cast("long") / interval_sec).cast("long")
+    okey = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+    bars = (
+        d.withColumn("__side", F.last(raw_sign, ignorenulls=True).over(wc))
+        .groupBy(F.col(symbol_col).alias("symbol"), bucket.alias("__b"))
+        .agg(
+            F.sum(
+                F.coalesce(F.col("__side"), F.lit(0)) * F.col(size_col)
+            ).alias("__q"),
+            F.max_by("__p6", okey).alias("__l6"),
+        )
+    )
+    wb = Window.partitionBy("symbol").orderBy("__b")
+    diffs = bars.withColumn(
+        "__dp6", F.col("__l6") - F.lag("__l6", 1).over(wb)
+    )
+    agg = diffs.groupBy("symbol").agg(
+        *exact_corr_sums(F.col("__q"), F.col("__dp6"), "c")
+    )
+    num, dx, dy = corr_terms("c")
+    # slope is in 1e-6 price units per unit size; /1e6 restores price
+    lam = (num / dx) / F.lit(1e6)
+    r2 = F.when(dy > 0, (num * num) / (dx * dy))
+    return (
+        agg.filter((F.col("c_n") >= min_buckets) & (dx > 0))
+        .select(
+            "symbol",
+            F.col("c_n").alias("n_buckets"),
+            (F.floor(lam * 1e9 + F.lit(0.5)) / 1e9).alias("lambda_q9"),
+            (F.floor(r2 * 1e6 + F.lit(0.5)) / 1e6).alias("r2_q6"),
+        )
+    )
+
+
 def lead_lag_correlation(
     df: DataFrame,
     ts_col: str = "ts",

@@ -311,6 +311,91 @@ def ticks_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ticks_kyle_lambda",
+    r"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS p6,
+             (event_id % 100 + 1) AS sz
+      FROM events),
+    d AS (
+      SELECT *, p6 - lag(p6) OVER w AS dp
+      FROM t
+      WINDOW w AS (PARTITION BY symbol ORDER BY es, event_id)),
+    s AS (
+      SELECT symbol, es, event_id, p6, sz,
+             last_value(CASE WHEN dp > 0 THEN 1
+                             WHEN dp < 0 THEN -1 END IGNORE NULLS)
+               OVER (PARTITION BY symbol ORDER BY es, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS side
+      FROM d),
+    bars AS (
+      SELECT symbol, es // 3600 AS b,
+             sum(COALESCE(side, 0) * sz) AS q,
+             arg_max(p6, lpad(CAST(es AS VARCHAR), 12, '0')
+                         || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS l6
+      FROM s GROUP BY 1, 2),
+    dd AS (
+      SELECT symbol, q,
+             l6 - lag(l6) OVER (PARTITION BY symbol ORDER BY b) AS dp6
+      FROM bars),
+    g AS (
+      SELECT symbol,
+             count(CASE WHEN dp6 IS NOT NULL THEN 1 END) AS n,
+             sum(CASE WHEN dp6 IS NOT NULL THEN q END) AS sx,
+             sum(CASE WHEN dp6 IS NOT NULL THEN dp6 END) AS sy,
+             sum(CASE WHEN dp6 IS NOT NULL
+                      THEN CAST(q AS HUGEINT) * dp6 END) AS sxy,
+             sum(CASE WHEN dp6 IS NOT NULL
+                      THEN CAST(q AS HUGEINT) * q END) AS sxx,
+             sum(CASE WHEN dp6 IS NOT NULL
+                      THEN CAST(dp6 AS HUGEINT) * dp6 END) AS syy
+      FROM dd GROUP BY 1),
+    c AS (
+      SELECT symbol, n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+      FROM g)
+    SELECT symbol, n AS n_buckets,
+           FLOOR(num / dx / 1e6 * 1e9 + 0.5) / 1e9 AS lambda_q9,
+           CASE WHEN dy > 0 THEN
+             FLOOR(num * num / (dx * dy) * 1e6 + 0.5) / 1e6 END AS r2_q6
+    FROM c WHERE n >= 3 AND dx > 0
+    """,
+)
+def ticks_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle-lambda price impact per symbol (stats.kyle_lambda): hourly
+    close-to-close price change regressed on tick-rule-signed net volume
+    (deterministic synthetic size event_id%100+1 as in ticks_vwap_twap),
+    emitting the OLS slope in price units per unit size plus R². Exact
+    integer sums feed the regression on both engines — the unordered-
+    float-sum hazard is absent by construction."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        F.col("ts").cast("long").alias("es"),
+        "event_id",
+        "value",
+        (F.col("event_id") % 100 + 1).alias("sz"),
+    )
+    return stats.kyle_lambda(
+        t,
+        ts_col="es",
+        price_col="value",
+        size_col="sz",
+        tiebreak_cols=("event_id",),
+    )
+
+
+@_register(
     "ticks_tick_rule_flow",
     r"""
     WITH t AS (

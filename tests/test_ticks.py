@@ -352,6 +352,45 @@ def test_roll_spread_bounce_and_trend(spark):
     assert out["TREND"]["roll_spread_q6"] is None
 
 
+def test_kyle_lambda_perfect_linear_impact(spark):
+    """Hourly closes engineered so dp = 0.01 * signed volume exactly
+    (size 10 per tick, tick-rule signs by construction): lambda = 0.01
+    with R^2 = 1. A never-moving symbol has constant (zero) signed
+    volume -> dx = 0 -> dropped."""
+    from big_data_project_jan_2026_tick_data__spark.operators import stats
+
+    buckets = [  # per bucket: list of prices; sign pattern hand-checked
+        [100.0, 100.1, 100.2],          # q=+20 (first tick unclassified)
+        [100.3, 100.4],                 # q=+20, dp=+0.2
+        [100.3, 100.2, 100.1, 100.0],   # q=-40, dp=-0.4
+        [100.1],                        # q=+10, dp=+0.1
+        [100.2, 100.3, 100.4],          # q=+30, dp=+0.3
+    ]
+    rows, eid = [], 0
+    for b, prices in enumerate(buckets):
+        for i, p in enumerate(prices):
+            rows.append(("IMP", b * 3600 + i * 10, eid, p, 10))
+            eid += 1
+    for b in range(5):
+        rows.append(("FLAT", b * 3600, eid, 50.0, 10))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "symbol string, es long, eid long, value double, sz long"
+    )
+    out = {
+        r["symbol"]: r
+        for r in stats.kyle_lambda(
+            df, ts_col="es", price_col="value", size_col="sz",
+            tiebreak_cols=("eid",),
+        ).collect()
+    }
+    assert "FLAT" not in out
+    r = out["IMP"]
+    assert r["n_buckets"] == 4
+    assert r["lambda_q9"] == 0.01
+    assert r["r2_q6"] == 1.0
+
+
 def test_rv_signature_bounce_inflates_fine_sampling(spark):
     """Minute-alternating 101/99 over 3 hours: RV at 1-minute sampling
     sees every bounce (179 diffs of squared size 4); hourly sampling
