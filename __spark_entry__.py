@@ -102,6 +102,7 @@ _ADJUDICATION_PRIORITY = [
     "ticks_roll_spread",
     "ticks_rv_signature",
     "ticks_kyle_lambda",
+    "ticks_volume_bars",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -675,6 +675,100 @@ def max_drawdown_summary(
     )
 
 
+def volume_bars(
+    df: DataFrame,
+    ts_col: str,
+    price_col: str,
+    size_col: str,
+    bar_volume: int,
+    symbol_col: str = "symbol",
+    tiebreak_cols: Sequence[str] = (),
+    price_grid: float = 1e6,
+) -> DataFrame:
+    """Equal-volume bars (information-driven bars): each bar closes when
+    the per-symbol CUMULATIVE traded size crosses the next multiple of
+    ``bar_volume`` — the event-time alternative to clock bars that
+    samples more when trading is active (the standard pre-processing for
+    microstructure ML next to :func:`vwap_twap_bars`/:func:`ohlc_bars`).
+    Tick with running volume v (inclusive) lands in bar ``(v-1) //
+    bar_volume``, so bar b holds ticks with cumulative size in
+    (b·V, (b+1)·V]. Per (symbol, bar): OHLC, volume, tick count, VWAP,
+    and the bar's time span. The final bar is emitted even when still
+    short of V — ``complete`` marks whether it closed (mirrors the
+    oracle; callers doing bar-level learning filter on it).
+
+    Scale: ONE per-symbol sort for the prefix sum (integer running
+    total — sequential in both engines, exact), then one hash agg to
+    #total_volume/V bar rows. No joins; the sort partitioning is reused
+    by the agg. Per-symbol history is a single window partition — the
+    same per-series-sort posture as every bar operator here; symbols are
+    the parallel unit.
+
+    Determinism: sizes are integers, so cumulative volume and the bar id
+    are exact; prices snap to the 1/price_grid grid, so OHLC picks and
+    the VWAP numerator are exact integers — partition layout cannot
+    move any output (the r4 unordered-float-sum hazard class).
+    """
+    if bar_volume <= 0:
+        raise ValueError(f"bar_volume must be positive, got {bar_volume}")
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w = (
+        Window.partitionBy(symbol_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    okey = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+    p = F.floor(F.col(price_col) * F.lit(price_grid) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    sz = F.col(size_col).cast("bigint")
+    t = df.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("__ts"),
+        okey.alias("__k"),
+        p.alias("__p"),
+        sz.alias("__sz"),
+        F.sum(sz).over(w).alias("__cum"),
+    )
+    bar = F.floor((F.col("__cum") - 1) / F.lit(int(bar_volume))).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = F.lit(float(price_grid))
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    agg = (
+        t.groupBy("symbol", bar.alias("bar_id"))
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.sum("__sz").alias("volume"),
+            F.min_by("__p", F.col("__k")).alias("__o"),
+            F.max("__p").alias("__h"),
+            F.min("__p").alias("__l"),
+            F.max_by("__p", F.col("__k")).alias("__c"),
+            F.sum(dec(F.col("__p")) * dec(F.col("__sz"))).alias("__pv"),
+            F.min("__ts").alias("bar_start"),
+            F.max("__ts").alias("bar_end"),
+            F.max("__cum").alias("__cmax"),
+        )
+    )
+    vwap = (F.col("__pv").cast("double") / F.col("volume")) / g
+    return agg.select(
+        "symbol",
+        "bar_id",
+        "bar_start",
+        "bar_end",
+        "n_ticks",
+        "volume",
+        (F.col("__o") / g).alias("open"),
+        (F.col("__h") / g).alias("high"),
+        (F.col("__l") / g).alias("low"),
+        (F.col("__c") / g).alias("close"),
+        q6(vwap).alias("vwap_q6"),
+        (
+            F.col("__cmax")
+            >= (F.col("bar_id") + 1) * F.lit(int(bar_volume))
+        ).alias("complete"),
+    )
+
+
 def vwap_twap_bars(
     df: DataFrame,
     ts_col: str,

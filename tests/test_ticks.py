@@ -352,6 +352,38 @@ def test_roll_spread_bounce_and_trend(spark):
     assert out["TREND"]["roll_spread_q6"] is None
 
 
+def test_volume_bars_boundary_and_partial(spark):
+    """Cumulative size hitting exactly k*V closes bar k-1 (the tick
+    belongs to the bar it completes); the trailing short bar is emitted
+    with complete=False; OHLC/VWAP hand-checked."""
+    from big_data_project_jan_2026_tick_data__spark.operators import ticks as tk
+
+    rows = [
+        ("A", 0, 0, 10.0, 60),  # cum 60  -> bar 0
+        ("A", 1, 1, 11.0, 40),  # cum 100 -> bar 0, closes it exactly
+        ("A", 2, 2, 9.0, 30),   # cum 130 -> bar 1
+        ("A", 3, 3, 12.0, 50),  # cum 180 -> bar 1, short of 200
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, es long, eid long, value double, sz long"
+    )
+    out = {
+        r["bar_id"]: r
+        for r in tk.volume_bars(
+            df, ts_col="es", price_col="value", size_col="sz",
+            bar_volume=100, tiebreak_cols=("eid",),
+        ).collect()
+    }
+    b0, b1 = out[0], out[1]
+    assert (b0["n_ticks"], b0["volume"], b0["complete"]) == (2, 100, True)
+    assert (b0["open"], b0["high"], b0["low"], b0["close"]) == (10.0, 11.0, 10.0, 11.0)
+    assert b0["vwap_q6"] == 10.4
+    assert (b0["bar_start"], b0["bar_end"]) == (0, 1)
+    assert (b1["n_ticks"], b1["volume"], b1["complete"]) == (2, 80, False)
+    assert (b1["open"], b1["close"]) == (9.0, 12.0)
+    assert b1["vwap_q6"] == 10.875
+
+
 def test_kyle_lambda_perfect_linear_impact(spark):
     """Hourly closes engineered so dp = 0.01 * signed volume exactly
     (size 10 per tick, tick-rule signs by construction): lambda = 0.01
