@@ -690,12 +690,15 @@ def volume_bars(
     ``bar_volume`` — the event-time alternative to clock bars that
     samples more when trading is active (the standard pre-processing for
     microstructure ML next to :func:`vwap_twap_bars`/:func:`ohlc_bars`).
-    Tick with running volume v (inclusive) lands in bar ``(v-1) //
-    bar_volume``, so bar b holds ticks with cumulative size in
-    (b·V, (b+1)·V]. Per (symbol, bar): OHLC, volume, tick count, VWAP,
-    and the bar's time span. The final bar is emitted even when still
-    short of V — ``complete`` marks whether it closed (mirrors the
-    oracle; callers doing bar-level learning filter on it).
+    A tick whose PRE-tick cumulative size is c lands in bar ``c //
+    bar_volume``, so the tick that crosses a V-boundary still belongs to
+    the bar it completes and a bar's volume is V plus the closing tick's
+    overshoot (bounded by the max tick size; a single tick larger than V
+    absorbs the skipped boundaries and later bar ids jump — documented).
+    Per (symbol, bar): OHLC, volume, tick count, VWAP, and the bar's
+    time span. The final bar is emitted even when still short of V —
+    ``complete`` marks whether it closed (mirrors the oracle; callers
+    doing bar-level learning filter on it).
 
     Scale: ONE per-symbol sort for the prefix sum (integer running
     total — sequential in both engines, exact), then one hash agg to
@@ -730,7 +733,9 @@ def volume_bars(
         sz.alias("__sz"),
         F.sum(sz).over(w).alias("__cum"),
     )
-    bar = F.floor((F.col("__cum") - 1) / F.lit(int(bar_volume))).cast("long")
+    bar = F.floor(
+        (F.col("__cum") - F.col("__sz")) / F.lit(int(bar_volume))
+    ).cast("long")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     g = F.lit(float(price_grid))
     q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731

@@ -311,6 +311,71 @@ def ticks_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ticks_vpin",
+    r"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS p6,
+             (event_id % 100 + 1) AS sz
+      FROM events),
+    d AS (
+      SELECT *, p6 - lag(p6) OVER w AS dp
+      FROM t
+      WINDOW w AS (PARTITION BY symbol ORDER BY es, event_id)),
+    s AS (
+      SELECT symbol, sz,
+             last_value(CASE WHEN dp > 0 THEN 1
+                             WHEN dp < 0 THEN -1 END IGNORE NULLS)
+               OVER w2 AS side,
+             sum(sz) OVER w2 AS cum
+      FROM d
+      WINDOW w2 AS (PARTITION BY symbol ORDER BY es, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    b AS (
+      SELECT symbol, CAST((cum - sz) // 10000 AS BIGINT) AS bk,
+             sum(CASE WHEN side = 1 THEN sz ELSE 0 END) AS buy,
+             sum(CASE WHEN side = -1 THEN sz ELSE 0 END) AS sell,
+             CAST(max(cum) AS BIGINT) AS cmax
+      FROM s GROUP BY 1, 2),
+    g AS (
+      SELECT symbol, CAST(count(*) AS BIGINT) AS n_buckets,
+             sum(abs(buy - sell)) AS imb
+      FROM b WHERE cmax >= (bk + 1) * 10000 GROUP BY 1)
+    SELECT symbol, n_buckets,
+           FLOOR(CAST(imb AS DOUBLE)
+                 / CAST(n_buckets * 10000 AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS vpin_q6
+    FROM g WHERE n_buckets >= 1
+    """,
+)
+def ticks_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN flow toxicity per symbol (stats.vpin): tick-rule-signed
+    buy/sell volume imbalance averaged over complete 10,000-unit
+    equal-volume buckets (same synthetic size and bucket assignment as
+    ticks_volume_bars). Integer buckets and imbalance sums; one
+    pointwise division — order-independent on both engines."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        F.col("ts").cast("long").alias("es"),
+        "event_id",
+        "value",
+        (F.col("event_id") % 100 + 1).alias("sz"),
+    )
+    return stats.vpin(
+        t,
+        ts_col="es",
+        price_col="value",
+        size_col="sz",
+        bucket_volume=10_000,
+        tiebreak_cols=("event_id",),
+    )
+
+
+@_register(
     "ticks_volume_bars",
     r"""
     WITH t AS (
@@ -328,7 +393,7 @@ def ticks_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
       FROM t),
     g AS (
-      SELECT symbol, CAST((cum - 1) // 10000 AS BIGINT) AS bar_id,
+      SELECT symbol, CAST((cum - sz) // 10000 AS BIGINT) AS bar_id,
              CAST(count(*) AS BIGINT) AS n_ticks,
              CAST(sum(sz) AS BIGINT) AS volume,
              arg_min(p6, ord) AS o, max(p6) AS h,

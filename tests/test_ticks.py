@@ -352,6 +352,31 @@ def test_roll_spread_bounce_and_trend(spark):
     assert out["TREND"]["roll_spread_q6"] is None
 
 
+def test_vpin_hand_computed_buckets(spark):
+    """Two complete 100-unit buckets: |B-S| = 50 (half unclassified)
+    then 100 (all sells) -> VPIN = 150/200 = 0.75; the partial third
+    bucket is excluded."""
+    from big_data_project_jan_2026_tick_data__spark.operators import stats
+
+    rows = [
+        ("A", 0, 0, 10.0, 50),  # first tick: unclassified
+        ("A", 1, 1, 10.5, 50),  # +1, closes bucket 0: buy 50, sell 0
+        ("A", 2, 2, 10.4, 60),  # -1
+        ("A", 3, 3, 10.3, 40),  # -1, closes bucket 1: buy 0, sell 100
+        ("A", 4, 4, 10.4, 30),  # +1, partial bucket 2 -> excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, es long, eid long, value double, sz long"
+    )
+    out = stats.vpin(
+        df, ts_col="es", price_col="value", size_col="sz",
+        bucket_volume=100, tiebreak_cols=("eid",),
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_buckets"] == 2
+    assert out[0]["vpin_q6"] == 0.75
+
+
 def test_volume_bars_boundary_and_partial(spark):
     """Cumulative size hitting exactly k*V closes bar k-1 (the tick
     belongs to the bar it completes); the trailing short bar is emitted
