@@ -516,6 +516,27 @@ def test_vwap_twap_one_sort_reused_partitioning(spark, sf_dir):
     assert "Join" not in tree
 
 
+def test_microstructure_bars_single_exchange(spark, sf_dir):
+    """kyle_lambda / volume_bars / vpin: ONE symbol-partitioned exchange
+    feeds ONE sort shared by every window pass, and the downstream
+    grouped aggregates reuse that partitioning (HashPartitioning(symbol)
+    satisfies the (symbol, bar) clustering) — no joins, no second
+    data-wide shuffle at any scale."""
+    # extra sorts beyond the shared window sort: the struct-keyed
+    # min_by/max_by OHLC picks aggregate as SortAggregate (same shape as
+    # ticks_ohlc_bars) and kyle's bar-level lag re-sorts the reduced
+    # (symbol, hour) table — all reuse the one exchange
+    for name, n_sorts in (
+        ("ticks_kyle_lambda", 2),
+        ("ticks_volume_bars", 2),
+        ("ticks_vpin", 1),
+    ):
+        tree, _ = _explain(spark, name, sf_dir)
+        assert _shuffles(tree) == 1, name
+        assert len(re.findall(r"\bSort \(", tree)) == n_sorts, name
+        assert "Join" not in tree, name
+
+
 def test_triangles_no_cartesian_bounded_plan(spark, sf_dir):
     """Degree-oriented triangle counting: equi-joins only (the wedge
     join is an equi-join on the apex), and the oriented edge list is
