@@ -104,6 +104,7 @@ _ADJUDICATION_PRIORITY = [
     "ticks_kyle_lambda",
     "ticks_volume_bars",
     "ticks_vpin",
+    "ticks_amihud_illiq",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -640,6 +640,70 @@ def vpin(
     )
 
 
+def amihud_illiquidity(
+    df: DataFrame,
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    price_col: str = "value",
+    size_col: str = "size",
+    tiebreak_cols: Sequence[str] = (),
+    interval_sec: int = 86_400,
+    min_periods: int = 2,
+) -> DataFrame:
+    """Amihud (2002) illiquidity per symbol: the average over periods
+    (days by default) of |close-to-close return| / dollar volume — the
+    standard price-impact-per-traded-dollar liquidity proxy next to
+    :func:`kyle_lambda` (which needs signed flow; Amihud needs only
+    absolute return and turnover). Reported ×1e9 (``illiq_e9_q6``), the
+    usual scaling.
+
+    Scale: ONE hash agg reduces raw ticks to (symbol, period) rows
+    carrying the exact-grid close and the exact dollar-volume integer
+    (map-side combined — the 100 TB reduction), then a period-count
+    lag pass and one per-symbol agg. No joins.
+
+    Determinism: the per-period ratio |Δp|/DV is pointwise IEEE on
+    exact integers, and each period's contribution snaps to a 1e-15
+    grid (BIGINT) BEFORE the cross-period average — the unordered
+    float-sum hazard is absent by construction even over years of
+    periods. Periods without a previous close are excluded; DV > 0
+    always (every tick has positive size).
+    """
+    okey = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+    p6 = F.floor(F.col(price_col) * 1e6 + F.lit(0.5))
+    sz = F.col(size_col).cast("bigint")
+    period = (F.col(ts_col).cast("long") / interval_sec).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    bars = (
+        df.withColumn("__p6", p6)
+        .groupBy(F.col(symbol_col).alias("symbol"), period.alias("__d"))
+        .agg(
+            F.max_by("__p6", okey).alias("__c6"),
+            F.sum(dec(F.col("__p6")) * dec(sz)).alias("__pv"),
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy("__d")
+    d = bars.withColumn("__prev", F.lag("__c6", 1).over(wd))
+    # |r| = |Δp6|/prev6 (grid divides out); DV = pv/1e6 in price units
+    absr = F.abs(F.col("__c6") - F.col("__prev")) / F.col("__prev")
+    dv = F.col("__pv").cast("double") / F.lit(1e6)
+    contrib = F.floor(absr / dv * F.lit(1e15) + F.lit(0.5))
+    agg = d.withColumn("__c", contrib).groupBy("symbol").agg(
+        F.count("__c").alias("n_periods"),
+        F.sum("__c").alias("__s"),
+    )
+    # __c is |r|/DV in 1e-15 units = (|r|/DV × 1e9) in 1e-6 units
+    out_q6 = (
+        F.floor(F.col("__s").cast("double") / F.col("n_periods") + F.lit(0.5))
+        / 1e6
+    )
+    return agg.filter(F.col("n_periods") >= min_periods).select(
+        "symbol",
+        "n_periods",
+        out_q6.alias("illiq_e9_q6"),
+    )
+
+
 def lead_lag_correlation(
     df: DataFrame,
     ts_col: str = "ts",

@@ -311,6 +311,61 @@ def ticks_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ticks_amihud_illiq",
+    r"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS p6,
+             (event_id % 100 + 1) AS sz
+      FROM events),
+    b AS (
+      SELECT symbol, es // 86400 AS d,
+             arg_max(p6, lpad(CAST(es AS VARCHAR), 12, '0')
+                         || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS c6,
+             sum(CAST(p6 AS HUGEINT) * sz) AS pv
+      FROM t GROUP BY 1, 2),
+    l AS (
+      SELECT symbol, c6, pv,
+             lag(c6) OVER (PARTITION BY symbol ORDER BY d) AS prev
+      FROM b),
+    c AS (
+      SELECT symbol,
+             CAST(FLOOR(abs(c6 - prev) / prev / (CAST(pv AS DOUBLE) / 1e6)
+                        * 1e15 + 0.5) AS BIGINT) AS contrib
+      FROM l WHERE prev IS NOT NULL)
+    SELECT symbol, CAST(count(*) AS BIGINT) AS n_periods,
+           FLOOR(CAST(sum(contrib) AS DOUBLE) / count(*) + 0.5) / 1e6
+             AS illiq_e9_q6
+    FROM c GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def ticks_amihud_illiq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud illiquidity per symbol (stats.amihud_illiquidity): daily
+    |close-to-close return| over dollar volume, averaged and reported
+    ×1e9 (synthetic size event_id%100+1 as in ticks_vwap_twap). Each
+    day's ratio snaps to a 1e-15 integer grid BEFORE the cross-day
+    average, so the sum is exact on both engines."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        F.col("ts").cast("long").alias("es"),
+        "event_id",
+        "value",
+        (F.col("event_id") % 100 + 1).alias("sz"),
+    )
+    return stats.amihud_illiquidity(
+        t,
+        ts_col="es",
+        price_col="value",
+        size_col="sz",
+        tiebreak_cols=("event_id",),
+    )
+
+
+@_register(
     "ticks_vpin",
     r"""
     WITH t AS (

@@ -352,6 +352,29 @@ def test_roll_spread_bounce_and_trend(spark):
     assert out["TREND"]["roll_spread_q6"] is None
 
 
+def test_amihud_illiquidity_hand_computed(spark):
+    """Three daily closes 100 -> 125 -> 150: contributions
+    (0.25/1000)*1e15 and (0.2/1500)*1e15, averaged on the integer grid."""
+    from big_data_project_jan_2026_tick_data__spark.operators import stats
+
+    rows = [
+        ("A", 0, 0, 90.0, 10),        # day 0: DV irrelevant (no prev)
+        ("A", 10, 1, 100.0, 10),      # day 0 close 100
+        ("A", 86400, 2, 125.0, 8),    # day 1: close 125, DV 1000, r .25
+        ("A", 172800, 3, 150.0, 10),  # day 2: close 150, DV 1500, r .2
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, es long, eid long, value double, sz long"
+    )
+    out = stats.amihud_illiquidity(
+        df, ts_col="es", price_col="value", size_col="sz",
+        tiebreak_cols=("eid",),
+    ).collect()
+    assert len(out) == 1 and out[0]["n_periods"] == 2
+    # floor((250000000000 + 133333333333) / 2 + 0.5) / 1e6
+    assert out[0]["illiq_e9_q6"] == 191666666667 / 1e6
+
+
 def test_vpin_hand_computed_buckets(spark):
     """Two complete 100-unit buckets: |B-S| = 50 (half unclassified)
     then 100 (all sells) -> VPIN = 150/200 = 0.75; the partial third
