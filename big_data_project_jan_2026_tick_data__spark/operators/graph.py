@@ -230,3 +230,108 @@ def label_propagation(
         ckpts.release_superseded()
     ckpts.release_all_but_last()
     return labels
+
+
+def association_rules(
+    items: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    min_count: int = 2,
+    min_pair_count: int = 2,
+    top_k: int = 30,
+) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift) —
+    the recommendation-side readout of the co-purchase graph the
+    triangle/community queries analyze structurally.
+
+    Apriori-pruned at scale: item supports are counted FIRST (one
+    hash agg over the (basket, item) stream) and only items with
+    ``count >= min_count`` enter the pair expansion — the classic
+    downward-closure lever, applied as a join against the frequent-item
+    set BEFORE the basket self-join, so infrequent long-tail items
+    never pay the quadratic-in-basket-size cost. The self-join is
+    keyed on the basket id (bounded fan-out per basket, never a
+    cartesian), pairs are ordered ``item_a < item_b`` and re-expanded
+    to both rule directions only after the pair agg.
+
+    Determinism: every metric derives from exact BIGINT counts by a
+    fixed two/three-division sequence of correctly-rounded IEEE ops
+    written identically in the DuckDB oracle, then q6-snapped — no
+    float sums anywhere (oracle-parity playbook: quantize before
+    ranking, tiebreak ranks on the full key).
+
+    Returns (antecedent, consequent, n_ab, n_a, n_b, support_q6,
+    confidence_q6, lift_q6, rank) with rank = top_k by lift
+    (ties → confidence desc, antecedent asc, consequent asc).
+    """
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    it = (
+        items.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
+        )
+        .na.drop()
+        .distinct()
+    )
+    n_baskets = it.groupBy().agg(
+        F.countDistinct("bk").alias("n_baskets")
+    )
+    counts = (
+        it.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .filter(F.col("n_item") >= min_count)
+    )
+    freq = it.join(counts, "item")  # pruned stream, keeps n_item
+    a = freq.select(
+        F.col("bk"),
+        F.col("item").alias("item_a"),
+        F.col("n_item").alias("n_a"),
+    )
+    b = freq.select(
+        F.col("bk"),
+        F.col("item").alias("item_b"),
+        F.col("n_item").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    fwd = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_ab",
+        F.col("n_a").alias("n_ante"),
+        F.col("n_b").alias("n_cons"),
+    )
+    rev = pairs.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        "n_ab",
+        F.col("n_b").alias("n_ante"),
+        F.col("n_a").alias("n_cons"),
+    )
+    rules = fwd.unionByName(rev).crossJoin(F.broadcast(n_baskets))
+    conf = F.col("n_ab") / F.col("n_ante")
+    lift = conf / (F.col("n_cons") / F.col("n_baskets"))
+    scored = rules.select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        F.col("n_ante").alias("n_a"),
+        F.col("n_cons").alias("n_b"),
+        q6(F.col("n_ab") / F.col("n_baskets")).alias("support_q6"),
+        q6(conf).alias("confidence_q6"),
+        q6(lift).alias("lift_q6"),
+    )
+    w = Window.orderBy(
+        F.col("lift_q6").desc(),
+        F.col("confidence_q6").desc(),
+        F.col("antecedent").asc(),
+        F.col("consequent").asc(),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )

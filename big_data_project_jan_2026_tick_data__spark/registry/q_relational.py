@@ -2121,6 +2121,67 @@ def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "part_association_rules",
+    """
+    WITH it AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+      FROM lineitem WHERE l_partkey % 7 = 0),
+    nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM it),
+    c AS (SELECT item, count(*) AS n_item FROM it
+          GROUP BY 1 HAVING count(*) >= 2),
+    f AS (SELECT it.bk, it.item, c.n_item FROM it JOIN c USING (item)),
+    p AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             a.n_item AS n_a, b.n_item AS n_b, count(*) AS n_ab
+      FROM f a JOIN f b ON a.bk = b.bk AND a.item < b.item
+      GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+    r AS (
+      SELECT item_a AS antecedent, item_b AS consequent,
+             n_ab, n_a AS n_ante, n_b AS n_cons FROM p
+      UNION ALL
+      SELECT item_b, item_a, n_ab, n_b, n_a FROM p),
+    s AS (
+      SELECT antecedent, consequent, n_ab,
+             n_ante AS n_a, n_cons AS n_b,
+             FLOOR(CAST(n_ab AS DOUBLE) / n_baskets * 1e6 + 0.5) / 1e6
+               AS support_q6,
+             FLOOR(CAST(n_ab AS DOUBLE) / n_ante * 1e6 + 0.5) / 1e6
+               AS confidence_q6,
+             FLOOR((CAST(n_ab AS DOUBLE) / n_ante)
+                   / (CAST(n_cons AS DOUBLE) / n_baskets) * 1e6 + 0.5) / 1e6
+               AS lift_q6
+      FROM r CROSS JOIN nb)
+    SELECT * FROM (
+      SELECT *, row_number() OVER (
+               ORDER BY lift_q6 DESC, confidence_q6 DESC,
+                        antecedent ASC, consequent ASC) AS rank
+      FROM s) WHERE rank <= 30
+    """,
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (`graph.association_rules`) on
+    the same co-purchase slice as the triangle/community queries: item
+    supports counted first, the apriori downward-closure prune applied
+    BEFORE the basket self-join (infrequent items never enter the pair
+    expansion), pairs thresholded, then both rule directions scored
+    with exact-integer-count support/confidence/lift and ranked by
+    lift. Every metric is a fixed sequence of correctly-rounded IEEE
+    divisions over BIGINT counts, q6-snapped before ranking — written
+    identically in the oracle."""
+    from ..operators.graph import association_rules
+
+    li = _td(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 7 == 0)
+    return association_rules(
+        li,
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_count=2,
+        min_pair_count=2,
+        top_k=30,
+    )
+
+
+@_register(
     "orders_seasonal_decompose",
     """
     WITH m AS (

@@ -161,3 +161,64 @@ def test_iterative_operators_do_not_accumulate_checkpoints(spark):
     assert pr.count() == 12 and lp.count() == 12
     release_rdd_ids(spark, after_pr | after_lp)
     assert not (persistent_rdd_ids(spark) - before)
+
+
+def test_association_rules_hand_computed(spark):
+    """4 baskets: {A,B,C}, {A,B}, {A,C}, {B,D}. min counts 1 so nothing
+    prunes; supports A=3 B=3 C=2 D=1; pairs AB=2 AC=2 BC=1 BD=1.
+    conf(A->B)=2/3, lift = (2/3)/(3/4) = 8/9; conf(C->A)=1, lift
+    (1)/(3/4)=4/3 — the top rule by lift ties C->A with A? no: lift
+    symmetric per pair: AC lift = (2/2)/(3/4) only for C->A."""
+    rows = [
+        (1, "A"), (1, "B"), (1, "C"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"),
+        (4, "B"), (4, "D"),
+    ]
+    items = spark.createDataFrame(rows, "basket_id int, item string")
+    out = graph.association_rules(
+        items, min_count=1, min_pair_count=1, top_k=100
+    )
+    got = {(r.antecedent, r.consequent): r for r in out.collect()}
+    # pair AC: n_ab=2, n_A=3, n_C=2, n_baskets=4
+    ca = got[("C", "A")]
+    assert ca.n_ab == 2 and ca.n_a == 2 and ca.n_b == 3
+    assert ca.confidence_q6 == 1.0
+    assert ca.lift_q6 == math.floor((2 / 2) / (3 / 4) * 1e6 + 0.5) / 1e6
+    assert ca.support_q6 == 0.5
+    ab = got[("A", "B")]
+    assert ab.confidence_q6 == math.floor(2 / 3 * 1e6 + 0.5) / 1e6
+    assert ab.lift_q6 == math.floor((2 / 3) / (3 / 4) * 1e6 + 0.5) / 1e6
+    # both directions of every surviving pair are present
+    assert ("B", "A") in got and ("D", "B") in got
+    # lift ranking: C->A (4/3) and A->C tie at 4/3? A->C conf=2/3,
+    # lift=(2/3)/(2/4)=4/3 too; D->B conf 1, lift (1)/(3/4)=4/3.
+    top = min(got.values(), key=lambda r: r.rank)
+    assert top.lift_q6 == math.floor(4 / 3 * 1e6 + 0.5) / 1e6
+
+
+def test_association_rules_apriori_prune(spark):
+    """min_count=2 removes item D (support 1) before the pair join, so
+    no rule mentions D even though the pair (B, D) co-occurs."""
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "B"), (3, "D"),
+    ]
+    items = spark.createDataFrame(rows, "basket_id int, item string")
+    out = graph.association_rules(
+        items, min_count=2, min_pair_count=2, top_k=100
+    ).collect()
+    names = {r.antecedent for r in out} | {r.consequent for r in out}
+    assert "D" not in names
+    assert {("A", "B"), ("B", "A")} == {
+        (r.antecedent, r.consequent) for r in out
+    }
+    # duplicate (basket, item) rows collapse before counting
+    dup = spark.createDataFrame(rows + rows, "basket_id int, item string")
+    out2 = graph.association_rules(
+        dup, min_count=2, min_pair_count=2, top_k=100
+    ).collect()
+    assert sorted((r.antecedent, r.consequent, r.n_ab) for r in out2) == sorted(
+        (r.antecedent, r.consequent, r.n_ab) for r in out
+    )
