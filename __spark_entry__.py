@@ -105,6 +105,9 @@ _ADJUDICATION_PRIORITY = [
     "ticks_volume_bars",
     "ticks_vpin",
     "ticks_amihud_illiq",
+    "part_association_rules",
+    "streaming_interval_join",
+    "streaming_upsert_replay",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

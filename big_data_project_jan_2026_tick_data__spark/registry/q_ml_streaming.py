@@ -984,6 +984,121 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_interval_join",
+    """
+    -- inner stream-stream join: with both watermarks >= the lookback
+    -- the replay emits exactly the batch interval join, pair for pair
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           epoch_us(CAST(p.ts AS TIMESTAMP))
+             - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join through the driver
+    contract (streaming.stream_stream_interval_join): the events feed
+    replayed once and self-joined — each purchase matched to the same
+    user's clicks in the preceding 6 hours. Both sides carry
+    watermarks and the time condition is two-sided, so the join state
+    is bounded (O(rate × lookback) rows per key) and Spark expires it
+    as the watermark advances — the only stream-stream join shape that
+    survives an unbounded feed. VALUE-CHECKED: an inner interval join
+    emits each qualifying pair exactly once regardless of batch
+    slicing, so the replay equals the batch join the oracle runs; the
+    exact integer gap_us column pins the event-time arithmetic."""
+    from ..streaming.session_pipeline import stream_stream_interval_join
+
+    with _replayed_events(spark, sf_dir, "stream_join_") as src:
+        left = src.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id")
+        )
+        right = src.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        joined = stream_stream_interval_join(
+            left,
+            right,
+            key="user_id",
+            left_ts="ts",
+            right_ts="r_ts",
+            lookback="6 hours",
+            watermark="12 hours",
+        )
+        out = joined.select(
+            "user_id",
+            "purchase_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_id",
+            F.col("r_ts").alias("click_ts"),
+            (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("gap_us"),
+        )
+        return _materialized(spark, out, "reg_stream_ijoin")
+
+
+@_register(
+    "streaming_upsert_replay",
+    """
+    -- final table state = per-key argmax over the whole feed: the
+    -- ordered merge is batch-slicing-independent by construction
+    SELECT user_id,
+           CAST(ts AS TIMESTAMP) AS last_ts,
+           event_id AS last_event_id,
+           value AS last_value
+    FROM (SELECT user_id, ts, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE user_id IS NOT NULL) t
+    WHERE rn = 1
+    """,
+)
+def streaming_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ordered UPSERT into the snapshot-log lakehouse table
+    (streaming.stream_ordered_merge_snapshots): the events feed
+    replayed through foreachBatch, each batch collapsed to the per-user
+    row with the max (ts, event_id) and MERGEd last-write-wins BY EVENT
+    TIME — a current row is only replaced by a strictly newer one, so
+    the final state is the global per-key argmax no matter how the
+    replay slices into batches or how late rows arrive. The oracle is
+    the batch argmax over the raw feed; last_value passes through
+    untouched, so the row hash pins the full upsert lifecycle."""
+    import tempfile
+
+    from ..plans.snapshots import SnapshotTable
+    from ..streaming.session_pipeline import stream_ordered_merge_snapshots
+
+    with _replayed_events(spark, sf_dir, "stream_upsert_") as src:
+        keyed = src.filter(F.col("user_id").isNotNull()).select(
+            "user_id", "ts", "event_id", "value"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            q = stream_ordered_merge_snapshots(
+                keyed,
+                f"{d}/tbl",
+                f"{d}/ckpt",
+                key_cols=["user_id"],
+                order_cols=["ts", "event_id"],
+            )
+            q.awaitTermination()
+            out = SnapshotTable(spark, f"{d}/tbl").read().select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"),
+            )
+            rows = out.collect()  # materialize before tmpdir cleanup
+    return spark.createDataFrame(rows, out.schema)
+
+
+@_register(
     "streaming_dedup_replay",
     """
     SELECT DISTINCT user_id,

@@ -374,6 +374,73 @@ def stream_merge_snapshots(
     )
 
 
+def stream_ordered_merge_snapshots(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    order_cols: list[str],
+):
+    """Streaming ordered UPSERT (last-write-wins by EVENT order, not
+    arrival order): each micro-batch collapses to the per-key row with
+    the max ``order_cols`` tuple, and the MERGE only replaces a current
+    row when the update's tuple is strictly greater — so the final
+    table state is the global per-key argmax over the whole feed,
+    identical under ANY batch slicing, replay, or late re-delivery.
+    This is the deterministic twin of :func:`stream_merge_snapshots`
+    (whose arrival-order collapse is what you want for true CDC feeds
+    that are already per-key ordered); ``order_cols`` must be a total
+    order per key (e.g. ``(ts, event_id)``) or ties pick the larger
+    remaining column lexicographically. Returns the started
+    StreamingQuery."""
+    from pyspark.sql import Window
+
+    from ..plans.snapshots import SnapshotTable
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = SnapshotTable(batch_df.sparkSession, table_path)
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        last = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            cur = t.read()
+        except ValueError:
+            t.write(last, mode="append")  # first batch: empty table
+            return
+        ord_struct = F.struct(*[F.col(c) for c in order_cols])
+        # pre-shrink the current side to the touched keys (broadcast
+        # semi — update batches are small next to the table), so the
+        # compare join broadcasts batch-sized rows, never the table
+        keys = last.select(*key_cols).distinct()
+        existing = (
+            cur.join(F.broadcast(keys), key_cols, "left_semi")
+            .select(*key_cols, ord_struct.alias("__cur_ord"))
+        )
+        upd = (
+            last.join(F.broadcast(existing), key_cols, "left")
+            .filter(
+                F.col("__cur_ord").isNull() | (ord_struct > F.col("__cur_ord"))
+            )
+            .drop("__cur_ord")
+        )
+        if not upd.isEmpty():
+            t.merge(upd, key_cols=key_cols)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def health_check(queries, spark: SparkSession | None = None) -> DataFrame:
     """Live-endpoint health surface (reference `main.py:407-439`
     ``health_check()`` + the PDF's monitoring spec): one row per

@@ -641,3 +641,78 @@ def test_vwap_bars_multi_batch_equals_batch(spark, tmp_path):
     assert got[("X", (t0 + pd.Timedelta(minutes=2)).to_pydatetime())] == (1, 1, 110.0)
     # minute 30 still open behind the watermark → not emitted
     assert ("X", (t0 + pd.Timedelta(minutes=30)).to_pydatetime()) not in got
+
+
+def test_stream_ordered_merge_out_of_order_batches(spark, tmp_path):
+    """Ordered upsert is batch-slicing-independent: batch 2 delivers an
+    OLDER row for key A (must lose) and a newer row for key B (must
+    win); the final state is the global per-key (ts, seq) argmax, and
+    each effective merge is one snapshot."""
+    from big_data_project_jan_2026_tick_data__spark.plans.snapshots import SnapshotTable
+    from big_data_project_jan_2026_tick_data__spark.streaming.session_pipeline import (
+        stream_ordered_merge_snapshots,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    t0 = pd.Timestamp(2026, 1, 5, 7, 50, 0)
+    b1 = pd.DataFrame(
+        {
+            "k": ["A", "B"],
+            "ts": [t0 + pd.Timedelta(seconds=100), t0],
+            "seq": [2, 1],
+            "v": [10.0, 20.0],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            # A: older ts (loses); B: same-second later seq (wins)
+            "k": ["A", "B"],
+            "ts": [t0, t0],
+            "seq": [1, 2],
+            "v": [99.0, 21.0],
+        }
+    )
+    # file order drives batch order with maxFilesPerTrigger=1
+    b1.assign(ts=b1.ts.astype("datetime64[us]")).to_parquet(d / "1.parquet", index=False)
+    b2.assign(ts=b2.ts.astype("datetime64[us]")).to_parquet(d / "2.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, seq long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = stream_ordered_merge_snapshots(
+        stream,
+        str(tmp_path / "tbl"),
+        str(tmp_path / "ckpt"),
+        key_cols=["k"],
+        order_cols=["ts", "seq"],
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.k: (r.seq, r.v)
+        for r in SnapshotTable(spark, str(tmp_path / "tbl")).read().collect()
+    }
+    assert got == {"A": (2, 10.0), "B": (2, 21.0)}
+
+    # replaying the same feed into a fresh table in ONE batch gives the
+    # identical final state (slicing independence)
+    one = (
+        spark.readStream.schema("k string, ts timestamp, seq long, v double")
+        .parquet(str(d))
+    )
+    q2 = stream_ordered_merge_snapshots(
+        one,
+        str(tmp_path / "tbl2"),
+        str(tmp_path / "ckpt2"),
+        key_cols=["k"],
+        order_cols=["ts", "seq"],
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r.k: (r.seq, r.v)
+        for r in SnapshotTable(spark, str(tmp_path / "tbl2")).read().collect()
+    }
+    assert got2 == got
