@@ -979,3 +979,147 @@ def pq_topk(
         out.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    nlist: int = 8,
+    nprobe: int = 3,
+    m: int = 2,
+    ksub: int = 8,
+    iters: int = 2,
+    n_queries: int = 5,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN search (Jégou et al. 2011, the FAISS `IVFxx,PQyy`
+    architecture): a coarse quantizer partitions the corpus into
+    ``nlist`` cells, each vector stores only its cell id plus the PQ
+    codes of its RESIDUAL (vector − cell centroid), and a query scans
+    just its ``nprobe`` nearest cells with asymmetric-distance table
+    lookups — the memory/IO shape that actually serves billion-vector
+    (100 TB) indexes: ``log2(nlist) + m·log2(ksub)`` bits per vector,
+    one int-keyed cell join, no raw floats on the search path.
+
+    Deterministic recipe (every stage re-derivable in SQL by the
+    registry oracle):
+    - coarse centroids = the ``nlist`` lowest-id vectors verbatim
+      (full-precision literals, so residuals are bit-identical);
+    - residual PQ codebooks = the :func:`pq_codes` k-means recipe run
+      on the residual vectors (lowest-id init, q6-snapped mean
+      updates), codebooks SHARED across cells (classic IVF-PQ);
+    - per query: the ``nprobe`` nearest cells (ties → cell id), one
+      m×ksub distance table per probed cell built driver-side from
+      (query − centroid) against the residual codebooks, each entry
+      snapped to a 1e-6 INTEGER grid;
+    - search = codes ⋈ broadcast(distance-table rows) on
+      (cell, subspace, code), then an exact BIGINT sum per
+      (query, vector) — integer arithmetic end-to-end, so the ranking
+      cannot move with partial-agg order.
+
+    Scale shape: the distance table is queries × nprobe × m × ksub
+    rows (metadata — broadcast), the corpus-side cost is ONE scan of
+    the code table; the ADC aggregate shuffles (query, vector) pairs
+    only for vectors inside probed cells. Returns
+    (query_id, id_col, adist_q6, rank), the query itself excluded.
+    """
+    import math as _math
+
+    v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
+    first = v.select(F.size("vec").alias("d")).first()
+    if first is None:
+        return v.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col),
+            F.lit(0.0).alias("adist_q6"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
+    dim = first["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    # --- coarse quantizer: nlist lowest-id vectors, full precision ---
+    crows = v.orderBy(id_col).limit(nlist).collect()
+    coarse = [[float(x) for x in r.vec] for r in crows]
+    cents_sql = "array(" + ", ".join(_sql_arr(c) for c in coarse) + ")"
+    # argmin squared-L2 cell id, one parsed expression (py4j discipline)
+    cell_expr = F.expr(
+        f"array_min(transform({cents_sql}, (c, i) -> struct("
+        f"aggregate(zip_with(vec, c, (x, y) -> (x - y) * (x - y)), 0D, "
+        f"(a, x) -> a + x) AS dsq, i AS cid))).cid"
+    )
+    asn = v.withColumn("cell", cell_expr)
+    resid = asn.select(
+        F.col(id_col),
+        F.expr(
+            f"zip_with(vec, element_at({cents_sql}, cell + 1), "
+            f"(x, y) -> x - y)"
+        ).alias("embedding"),
+        "cell",
+    )
+
+    # --- residual PQ codebooks + codes (shared across cells) ---
+    codes = pq_codes(
+        resid.select(id_col, "embedding"),
+        m=m,
+        ksub=ksub,
+        iters=iters,
+        id_col=id_col,
+        vec_col="embedding",
+    )
+    cb = codes._pq_centroids  # type: ignore[attr-defined]
+
+    # --- queries: n_queries lowest-id vectors; probe + distance table
+    # built driver-side (metadata-scale), snapped to the 1e-6 grid ---
+    qrows = v.orderBy(id_col).limit(n_queries).collect()
+    dt_rows = []
+    for qr in qrows:
+        qid = qr[id_col]
+        qv = [float(x) for x in qr.vec]
+        cd = sorted(
+            (
+                (sum((a - b) * (a - b) for a, b in zip(qv, c)), cid)
+                for cid, c in enumerate(coarse)
+            )
+        )[:nprobe]
+        for _, cid in cd:
+            t = [a - b for a, b in zip(qv, coarse[cid])]
+            for s in range(m):
+                ts = t[s * dsub : (s + 1) * dsub]
+                for code, cent in enumerate(cb[s]):
+                    d6i = _math.floor(
+                        sum((a - b) * (a - b) for a, b in zip(ts, cent)) * 1e6
+                        + 0.5
+                    )
+                    dt_rows.append((qid, cid, s, code, d6i))
+    spark = df.sparkSession
+    dt = spark.createDataFrame(
+        dt_rows, "query_id long, cell int, subspace int, code int, d6i long"
+    )
+
+    long_codes = codes.select(id_col, "subspace", "code").join(
+        resid.select(id_col, "cell"), id_col
+    )
+    ad = (
+        long_codes.join(
+            F.broadcast(dt), ["cell", "subspace", "code"]
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d6i").alias("ai"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ai").asc(), F.col(id_col).asc()
+    )
+    return (
+        ad.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            id_col,
+            (F.col("ai").cast("double") / 1e6).alias("adist_q6"),
+            "rank",
+        )
+    )

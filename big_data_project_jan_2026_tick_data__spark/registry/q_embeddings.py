@@ -865,18 +865,22 @@ def emb_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_chain(s: int, k: int, dsub: int) -> str:
+def _pq_chain(
+    s: int, k: int, dsub: int, src: str = "embeddings", vec: str = "embedding"
+) -> str:
     """One subspace's k-means chain for the PQ oracles: the
     `_kmeans_cte` recipe (init -> assign -> q6-snapped mean update x2 ->
     final assignment) over the sliced sub-vector, CTE names prefixed
-    `s{s}_` so m chains compose in one WITH clause."""
+    `s{s}_` so m chains compose in one WITH clause. ``src``/``vec``
+    re-point the chain at a derived vector CTE (the IVF-PQ residual
+    base) instead of the raw embeddings table."""
     p = f"s{s}_"
     lo, hi = s * dsub + 1, (s + 1) * dsub
     d1 = dsub + 1
     return rf"""{p}base AS (
       SELECT vec_id,
-             list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings),
+             list_transform({vec}[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v
+      FROM {src}),
     {p}init AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
       FROM (SELECT * FROM {p}base ORDER BY vec_id LIMIT {k})),
@@ -976,6 +980,120 @@ def _pq_topk_oracle(
                PARTITION BY qid ORDER BY adist_q6 ASC, vec_id ASC) AS rank
       FROM ad) WHERE rank <= {top_k}
     """
+
+
+def _ivfpq_topk_oracle(
+    nlist: int = 8,
+    nprobe: int = 3,
+    m: int = 2,
+    ksub: int = 8,
+    dim: int = 64,
+    n_queries: int = 5,
+    top_k: int = 5,
+) -> str:
+    """Full SQL re-derivation of similarity.ivfpq_topk: coarse Voronoi
+    assignment, residual base, the per-subspace PQ k-means chains run
+    ON THE RESIDUALS, per-(query, probed-cell) distance tables on the
+    1e-6 integer grid, and the exact-BIGINT ADC sum + ranking."""
+    dsub = dim // m
+    d1 = dim + 1
+    chains = ",\n    ".join(
+        _pq_chain(s, ksub, dsub, src="rb", vec="v") for s in range(m)
+    )
+    dts = ",\n    ".join(
+        f"""dt{s} AS (
+      SELECT qt.qid, qt.cell, c.cid AS code,
+             CAST(FLOOR(list_sum(list_transform(range(1, {dsub + 1}),
+               j -> (qt.t[{s * dsub} + j] - c.c[j])
+                    * (qt.t[{s * dsub} + j] - c.c[j]))) * 1e6 + 0.5)
+                  AS BIGINT) AS d6i
+      FROM qt CROSS JOIN s{s}_c2 c)"""
+        for s in range(m)
+    )
+    code_union = "\n      UNION ALL ".join(
+        f"SELECT a.vec_id, n.cell, {s} AS subspace, a.cid AS code "
+        f"FROM s{s}_asn a JOIN asn0 n USING (vec_id)"
+        for s in range(m)
+    )
+    dt_union = "\n      UNION ALL ".join(
+        f"SELECT qid, cell, {s} AS subspace, code, d6i FROM dt{s}"
+        for s in range(m)
+    )
+    return rf"""
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    cc AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM (SELECT * FROM base ORDER BY vec_id LIMIT {nlist})),
+    ad0 AS (
+      SELECT b.vec_id, b.v, i.cid,
+             list_sum(list_transform(range(1, {d1}),
+               j -> (b.v[j] - i.c[j]) * (b.v[j] - i.c[j]))) AS dsq
+      FROM base b CROSS JOIN cc i),
+    asn0 AS MATERIALIZED (
+      SELECT vec_id, v, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dsq, cid) AS rn
+        FROM ad0) WHERE rn = 1),
+    rb AS MATERIALIZED (
+      SELECT a.vec_id,
+             list_transform(range(1, {d1}), j -> a.v[j] - c.c[j]) AS v,
+             a.cell
+      FROM asn0 a JOIN cc c ON c.cid = a.cell),
+    {chains},
+    q AS (SELECT vec_id AS qid, v FROM base ORDER BY vec_id LIMIT {n_queries}),
+    qd AS (
+      SELECT q.qid, q.v, i.cid,
+             list_sum(list_transform(range(1, {d1}),
+               j -> (q.v[j] - i.c[j]) * (q.v[j] - i.c[j]))) AS dsq
+      FROM q CROSS JOIN cc i),
+    qp AS (
+      SELECT qid, v, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY dsq, cid) AS rn
+        FROM qd) WHERE rn <= {nprobe}),
+    qt AS MATERIALIZED (
+      SELECT qp.qid, qp.cell,
+             list_transform(range(1, {d1}), j -> qp.v[j] - c.c[j]) AS t
+      FROM qp JOIN cc c ON c.cid = qp.cell),
+    {dts},
+    codes AS (
+      {code_union}),
+    dt AS (
+      {dt_union}),
+    ad AS (
+      SELECT d.qid, c.vec_id, sum(d6i) AS ai
+      FROM codes c
+      JOIN dt d ON d.cell = c.cell AND d.subspace = c.subspace
+               AND d.code = c.code
+      WHERE c.vec_id <> d.qid
+      GROUP BY 1, 2)
+    SELECT qid AS query_id, vec_id,
+           CAST(ai AS DOUBLE) / 1e6 AS adist_q6, rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY ai ASC, vec_id ASC) AS rank
+          FROM ad)
+    WHERE rank <= {top_k}
+    """
+
+
+@_register("emb_ivfpq_topk", _ivfpq_topk_oracle())
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN search (similarity.ivfpq_topk — the FAISS
+    `IVF8,PQ2x8`-shape index): coarse Voronoi cells over the 8
+    lowest-id centroids, residual product quantization (the pq_codes
+    k-means recipe on vector − centroid), and per-query ADC over the 3
+    probed cells with 1e-6-integer-grid distance tables joined
+    broadcast on (cell, subspace, code) — the billion-vector search
+    architecture where the scan path touches one cell int + m code
+    ints per vector, never raw floats. The oracle re-derives coarse
+    assignment, residuals, both residual codebooks, the distance
+    tables, and the exact-BIGINT ADC ranking entirely in SQL."""
+    emb = _td(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, nlist=8, nprobe=3, m=2, ksub=8, iters=2, n_queries=5, top_k=5
+    )
 
 
 @_register("emb_pq_codes", _pq_codes_oracle())

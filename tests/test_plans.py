@@ -547,3 +547,14 @@ def test_triangles_no_cartesian_bounded_plan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in full
     # 3 references to the oriented list → scans of one checkpointed RDD
     assert tree.count("Scan ExistingRDD") >= 2
+
+
+def test_ivfpq_adc_join_broadcasts_distance_table(spark, sf_dir):
+    """IVF-PQ search path: the ADC join must broadcast the metadata-
+    sized distance table (never shuffle the code table against it) and
+    contain no cartesian; the final per-query top-k window gets the
+    map-side WindowGroupLimit pushdown."""
+    tree, full = _explain(spark, "emb_ivfpq_topk", sf_dir)
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    assert "WindowGroupLimit" in tree  # rank <= k pushed map-side
