@@ -108,6 +108,8 @@ _ADJUDICATION_PRIORITY = [
     "part_association_rules",
     "streaming_interval_join",
     "streaming_upsert_replay",
+    "emb_ivfpq_topk",
+    "snapshot_delete_purge",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

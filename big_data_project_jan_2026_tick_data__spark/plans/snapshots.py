@@ -253,6 +253,32 @@ class SnapshotTable:
             keep.unionByName(updates, allowMissingColumns=True), mode="overwrite"
         )
 
+    def delete_where(self, condition) -> Snapshot:
+        """Row-level DELETE (copy-on-write): rewrite the table WITHOUT
+        the rows matching ``condition`` (a SQL predicate string or a
+        Column), committed as one overwrite snapshot — old versions
+        stay time-travelable until expired. Chased with
+        ``expire_snapshots(keep_last=1)`` this is the GDPR
+        right-to-be-forgotten primitive: the data files that held the
+        purged rows are physically removed, so no snapshot — current or
+        historical — can resurface them. Same COW scaling note as
+        :meth:`merge`: at 100 TB, partition-scoped rewrites or a
+        merge-on-read delete-file design (Iceberg v2 positional
+        deletes) are the upgrade; the log/commit protocol is
+        unchanged by either."""
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        if not isinstance(cond, Column):
+            raise TypeError(
+                f"condition must be a SQL string or Column, got {type(condition)}"
+            )
+        # SQL DELETE semantics: only rows where the predicate is TRUE
+        # are deleted — NULL-valued predicates keep their rows
+        kept = self.read().filter(~F.coalesce(cond, F.lit(False)))
+        return self.write(kept, mode="overwrite")
+
     def rollback_to(self, snapshot_id: int) -> Snapshot:
         """Roll back to an earlier snapshot — appended as a NEW snapshot
         whose manifest is the target's (lineage preserved,

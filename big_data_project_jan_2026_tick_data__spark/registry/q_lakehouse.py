@@ -180,6 +180,68 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "snapshot_delete_purge",
+    """
+    -- surviving per-user aggregate after the row-level DELETE, plus
+    -- the purge invariants (single surviving snapshot, history gone)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_i4,
+           1 AS snapshots_remaining,
+           TRUE AS history_purged
+    FROM events
+    WHERE user_id IS NOT NULL AND user_id % 10 <> 3
+    GROUP BY user_id
+    """,
+)
+def snapshot_delete_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-be-forgotten on the snapshot-log table
+    (SnapshotTable.delete_where + expire_snapshots): seed with the
+    events feed, row-level DELETE every user with ``user_id % 10 = 3``
+    (copy-on-write — the pre-delete snapshot stays time-travelable),
+    then expire history down to the surviving snapshot so the data
+    files holding the purged rows are physically removed. The output
+    is the surviving per-user aggregate plus two value-hashed
+    invariants: exactly one snapshot remains, and time travel to the
+    pre-delete version now FAILS (history_purged) — deleted rows can
+    not resurface through any read path."""
+    import tempfile
+
+    from ..plans.snapshots import SnapshotTable
+
+    ev = _td(spark, sf_dir, "events").filter(F.col("user_id").isNotNull()).select(
+        "user_id", "event_id", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(spark, f"{d}/tbl")
+        t.write(ev, mode="append")
+        pre_delete_version = t.current_snapshot_id()
+        t.delete_where("user_id % 10 = 3")
+        t.expire_snapshots(keep_last=1)
+        try:
+            t.read(version=pre_delete_version).collect()
+            purged = False  # old files still readable — purge failed
+        except Exception:
+            purged = True
+        n_snaps = t.snapshots().count()
+        out = (
+            t.read()
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("bigint")
+                ).alias("value_i4"),
+            )
+            .withColumn("snapshots_remaining", F.lit(int(n_snaps)))
+            .withColumn("history_purged", F.lit(bool(purged)))
+        )
+        rows = out.collect()  # materialize before tmpdir cleanup
+    return spark.createDataFrame(rows, out.schema)
+
+
+@_register(
     "incremental_dedup",
     """
     SELECT doc_id, lang, source FROM (

@@ -341,3 +341,35 @@ def test_merge_upsert_replaces_and_inserts(spark, tmp_path, sf_dir):
     assert all(cur[k] == 1.5 for k in upd_keys)    # replace
     assert t.read().count() == 101
     assert t.read(version=v1).count() == 100       # history intact
+
+
+def test_delete_where_cow_and_null_semantics(spark, tmp_path):
+    """Row-level DELETE: matching rows go, NULL-predicate rows STAY
+    (SQL DELETE semantics); the pre-delete snapshot remains readable
+    until expired, after which time travel to it fails and its files
+    are gone."""
+    import pytest as _pytest
+
+    from big_data_project_jan_2026_tick_data__spark.plans.snapshots import SnapshotTable
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], "k int, v double"
+    )
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.write(df, mode="append")
+    v1 = t.current_snapshot_id()
+    t.delete_where("v > 15")  # deletes k=2,4; k=3 (NULL) must survive
+    assert sorted(r.k for r in t.read().collect()) == [1, 3]
+    # history intact pre-expire
+    assert sorted(r.k for r in t.read(version=v1).collect()) == [1, 2, 3, 4]
+    gone = t.expire_snapshots(keep_last=1)
+    assert gone["expired_snapshots"] >= 1
+    with _pytest.raises(Exception):
+        t.read(version=v1).collect()
+    # Column-typed predicate and bad-type rejection
+    from pyspark.sql import functions as F
+
+    t.delete_where(F.col("k") == 1)
+    assert [r.k for r in t.read().collect()] == [3]
+    with _pytest.raises(TypeError):
+        t.delete_where(123)
