@@ -110,6 +110,7 @@ _ADJUDICATION_PRIORITY = [
     "streaming_upsert_replay",
     "emb_ivfpq_topk",
     "snapshot_delete_purge",
+    "orders_forecast_yoy",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

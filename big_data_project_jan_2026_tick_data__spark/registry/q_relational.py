@@ -2182,6 +2182,100 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orders_forecast_yoy",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1),
+    y AS (
+      SELECT a.month, a.rev_cents - b.rev_cents AS d
+      FROM m a JOIN m b
+        ON a.month = CAST(b.month + INTERVAL 12 MONTH AS TIMESTAMP)),
+    st AS (SELECT CAST(SUM(d) AS BIGINT) AS s, COUNT(*) AS n FROM y),
+    t AS (SELECT max(month) AS tmax FROM m),
+    basis AS (
+      SELECT m.month AS basis_month, m.rev_cents,
+             CAST(date_diff('month',
+                  CAST(t.tmax - INTERVAL 12 MONTH AS TIMESTAMP), m.month)
+                  AS INT) AS horizon
+      FROM m CROSS JOIN t
+      WHERE m.month > CAST(t.tmax - INTERVAL 12 MONTH AS TIMESTAMP))
+    SELECT CAST(basis_month + INTERVAL 12 MONTH AS TIMESTAMP) AS month,
+           horizon,
+           FLOOR(rev_cents * 1.0 / 100 * 1e6 + 0.5) / 1e6 AS basis_revenue,
+           FLOOR((CAST(s AS DOUBLE) / n) / 100 * 1e6 + 0.5) / 1e6
+             AS mean_yoy,
+           FLOOR((CAST(rev_cents AS DOUBLE) + CAST(s AS DOUBLE) / n) / 100
+                 * 1e6 + 0.5) / 1e6 AS forecast
+    FROM basis CROSS JOIN st
+    WHERE horizon BETWEEN 1 AND 6
+    """,
+)
+def orders_forecast_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive + drift revenue forecast: ŷ(T+h) = y(T+h−12) +
+    mean year-over-year increment, for horizons 1-6 months past the
+    last observed month — the standing baseline every fancier model
+    must beat (Hyndman & Athanasopoulos). Everything reduces over the
+    MONTHLY aggregate (corpus-size-independent, the decomposition
+    precedent): the YoY increments and their sum are exact integer
+    cents, so the one division (mean increment) happens once on the
+    driver-shaped 1-row frame and the q6 outputs are
+    layout-independent."""
+    orders = _td(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(cents).alias("rev_cents")
+    )
+    prev = m.select(
+        F.to_timestamp(F.add_months("month", 12)).alias("month"),
+        F.col("rev_cents").alias("prev_cents"),
+    )
+    st = (
+        m.join(prev, "month")
+        .agg(
+            F.sum(F.col("rev_cents") - F.col("prev_cents")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    t = m.agg(F.max("month").alias("tmax"))
+    basis = (
+        m.crossJoin(F.broadcast(t))
+        .filter(
+            F.col("month") > F.to_timestamp(F.add_months("tmax", -12))
+        )
+        .select(
+            F.col("month").alias("basis_month"),
+            "rev_cents",
+            F.months_between(
+                F.col("month"), F.to_timestamp(F.add_months("tmax", -12))
+            )
+            .cast("int")
+            .alias("horizon"),
+        )
+    )
+
+    def q6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    mean_yoy = F.col("s").cast("double") / F.col("n")
+    return (
+        basis.crossJoin(F.broadcast(st))
+        .filter(F.col("horizon").between(1, 6))
+        .select(
+            F.to_timestamp(F.add_months("basis_month", 12)).alias("month"),
+            "horizon",
+            q6(F.col("rev_cents").cast("double") / 100).alias("basis_revenue"),
+            q6(mean_yoy / 100).alias("mean_yoy"),
+            q6(
+                (F.col("rev_cents").cast("double") + mean_yoy) / 100
+            ).alias("forecast"),
+        )
+    )
+
+
+@_register(
     "orders_seasonal_decompose",
     """
     WITH m AS (
