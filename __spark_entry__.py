@@ -111,6 +111,7 @@ _ADJUDICATION_PRIORITY = [
     "emb_ivfpq_topk",
     "snapshot_delete_purge",
     "orders_forecast_yoy",
+    "ml_purged_cv_folds",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -250,3 +250,63 @@ def reconstruction_errors(
         ]
     )
     return tensors.groupBy("symbol").applyInPandas(score, schema=out_schema)
+
+
+def purged_cv_folds(
+    df: DataFrame,
+    ts_col: str = "ts",
+    k: int = 5,
+    purge: int = 1,
+    embargo: int = 1,
+) -> DataFrame:
+    """Purged k-fold cross-validation plan for time-series ML (López de
+    Prado 2018, ch. 7): the observed trading days split into ``k``
+    contiguous test blocks, and for each fold every day within
+    ``purge`` days BEFORE or ``embargo`` days AFTER the test block is
+    excluded from training — the leakage control serial-correlated
+    financial labels need (a plain random k-fold leaks through
+    overlapping label horizons).
+
+    Day positions are ranks over the OBSERVED days (gap-robust: a
+    weekend/halt doesn't silently shrink the margins), and every
+    boundary is integer arithmetic — nothing float-typed exists in the
+    output, so the plan is trivially layout-independent.
+
+    Scale shape: one hash agg reduces the corpus to (day, n_rows) —
+    everything after is calendar-sized (the seasonal-decompose
+    precedent). The fold grid is k × #days rows; joining the plan back
+    to the corpus is a broadcast on the day key.
+
+    Returns (fold, day, role, n_rows) with role ∈
+    {'test', 'purged', 'train'}.
+    """
+    from pyspark.sql import Window
+
+    days = (
+        df.select(F.to_date(F.col(ts_col)).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    n = days.agg(F.count(F.lit(1)).alias("n_days"))
+    ranked = (
+        days.crossJoin(F.broadcast(n))
+        .withColumn("r", F.row_number().over(Window.orderBy("day")))
+        .withColumn(
+            "day_fold",
+            F.floor((F.col("r") - 1) * k / F.col("n_days")).cast("int"),
+        )
+    )
+    bounds = ranked.groupBy(F.col("day_fold").alias("fold")).agg(
+        F.min("r").alias("lo"), F.max("r").alias("hi")
+    )
+    grid = ranked.crossJoin(F.broadcast(bounds))
+    role = (
+        F.when(F.col("day_fold") == F.col("fold"), F.lit("test"))
+        .when(
+            (F.col("r") >= F.col("lo") - purge)
+            & (F.col("r") <= F.col("hi") + embargo),
+            F.lit("purged"),
+        )
+        .otherwise(F.lit("train"))
+    )
+    return grid.select("fold", "day", role.alias("role"), "n_rows")

@@ -984,6 +984,44 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ml_purged_cv_folds",
+    """
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
+      FROM events GROUP BY 1),
+    n AS (SELECT count(*) AS n_days FROM days),
+    ranked AS (
+      SELECT day, n_rows,
+             row_number() OVER (ORDER BY day) AS r,
+             CAST(FLOOR((row_number() OVER (ORDER BY day) - 1) * 5
+                        / n_days) AS INT) AS day_fold
+      FROM days CROSS JOIN n),
+    bounds AS (
+      SELECT day_fold AS fold, min(r) AS lo, max(r) AS hi
+      FROM ranked GROUP BY 1)
+    SELECT b.fold, rk.day,
+           CASE WHEN rk.day_fold = b.fold THEN 'test'
+                WHEN rk.r >= b.lo - 2 AND rk.r <= b.hi + 2 THEN 'purged'
+                ELSE 'train' END AS role,
+           rk.n_rows
+    FROM ranked rk CROSS JOIN bounds b
+    """,
+)
+def ml_purged_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged k-fold CV plan with embargo (mlfeat.purged_cv_folds,
+    k=5, purge=embargo=2 days) over the event feed's trading days —
+    the López de Prado leakage control for serially-correlated labels:
+    each fold's training set excludes a margin of days around its test
+    block. One corpus-sized hash agg to (day, n_rows); the fold grid is
+    calendar-sized and pure integer arithmetic, hence value-hashed
+    exactly."""
+    from ..operators.mlfeat import purged_cv_folds
+
+    ev = _td(spark, sf_dir, "events")
+    return purged_cv_folds(ev, ts_col="ts", k=5, purge=2, embargo=2)
+
+
+@_register(
     "streaming_interval_join",
     """
     -- inner stream-stream join: with both watermarks >= the lookback

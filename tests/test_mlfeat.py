@@ -176,3 +176,49 @@ def test_spaced_indices_properties():
                 frac_half = np.isclose(ls % 1, 0.5)
                 agree = ls.round().astype(int)[~frac_half]
                 assert (np.asarray(idx)[~frac_half] == agree).all()
+
+
+def test_purged_cv_folds_invariants(spark):
+    """30 synthetic days, k=3, purge=2, embargo=1: test blocks are
+    contiguous and exhaustive; the purge margin sits strictly before
+    each block and the embargo strictly after; every (fold, day) cell
+    has exactly one role; and train+purged+test covers all days."""
+    import datetime as dt
+
+    from big_data_project_jan_2026_tick_data__spark.operators.mlfeat import (
+        purged_cv_folds,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (base + dt.timedelta(days=d, hours=h),)
+        for d in range(30)
+        for h in (9, 15)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = purged_cv_folds(df, k=3, purge=2, embargo=1).collect()
+    assert len(out) == 3 * 30
+    days = sorted({r.day for r in out})
+    pos = {d: i + 1 for i, d in enumerate(days)}  # rank like the operator
+    by_fold = {}
+    for r in out:
+        by_fold.setdefault(r.fold, {})[pos[r.day]] = r.role
+        assert r.n_rows == 2
+    assert sorted(by_fold) == [0, 1, 2]
+    for f, roles in by_fold.items():
+        test_pos = sorted(p for p, role in roles.items() if role == "test")
+        lo, hi = test_pos[0], test_pos[-1]
+        assert test_pos == list(range(lo, hi + 1))  # contiguous block
+        assert len(test_pos) == 10  # 30 days / 3 folds
+        for p, role in roles.items():
+            if lo - 2 <= p <= hi + 1 and not (lo <= p <= hi):
+                assert role == "purged", (f, p)
+            elif p < lo - 2 or p > hi + 1:
+                assert role == "train", (f, p)
+    # each day is test in exactly one fold
+    test_count = {}
+    for f, roles in by_fold.items():
+        for p, role in roles.items():
+            if role == "test":
+                test_count[p] = test_count.get(p, 0) + 1
+    assert all(v == 1 for v in test_count.values()) and len(test_count) == 30
