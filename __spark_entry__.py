@@ -112,6 +112,7 @@ _ADJUDICATION_PRIORITY = [
     "snapshot_delete_purge",
     "orders_forecast_yoy",
     "ml_purged_cv_folds",
+    "ml_triple_barrier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

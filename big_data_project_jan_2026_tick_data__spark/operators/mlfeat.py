@@ -310,3 +310,102 @@ def purged_cv_folds(
         .otherwise(F.lit("train"))
     )
     return grid.select("fold", "day", role.alias("role"), "n_rows")
+
+
+def triple_barrier_labels(
+    bars: DataFrame,
+    entries: DataFrame,
+    horizon_minutes: int = 120,
+    up_mult: float = 1.002,
+    dn_mult: float = 0.998,
+    symbol_col: str = "symbol",
+    bar_ts_col: str = "bar_ts",
+    close_col: str = "close_i4",
+    entry_ts_col: str = "entry_ts",
+    entry_close_col: str = "entry_close_i4",
+) -> DataFrame:
+    """Triple-barrier labeling (López de Prado 2018, ch. 3): each entry
+    point is labeled by WHICH barrier its price path touches first —
+    the profit-take level (``up_mult`` × entry), the stop-loss level
+    (``dn_mult`` × entry), or the vertical time barrier
+    (``horizon_minutes`` with neither touched → 'timeout'). This is the
+    supervised-label generator the purged-CV plan exists to protect:
+    labels spanning ``horizon_minutes`` are exactly the overlapping,
+    serially-correlated targets that leak through naive k-folds.
+
+    Prices ride an integer grid (``close_i4`` = price snapped to 1e-4);
+    barrier levels are one correctly-rounded double product + floor per
+    entry, and first-touch times are MIN aggregates over timestamps —
+    nothing in the output can move with layout or partial-agg order.
+
+    Scale shape: ONE equi-join on the symbol key with a two-sided time
+    bound (entry < bar ≤ entry + horizon — the stream-stream interval
+    join's batch shape), so the fan-out per entry is bounded by the
+    horizon's bar count, never the tape; the label reduction is a
+    conditional-MIN hash agg on (symbol, entry). At 100 TB, pre-bucket
+    both sides by (symbol, coarse time) to co-locate the join.
+
+    Returns (symbol, entry_ts, entry_close_i4, up_i4, dn_i4, t_up,
+    t_dn, label).
+    """
+    e = entries.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(entry_ts_col).alias("entry_ts"),
+        F.col(entry_close_col).alias("entry_close_i4"),
+    ).withColumns(
+        {
+            "up_i4": F.floor(
+                F.col("entry_close_i4").cast("double") * up_mult + F.lit(0.5)
+            ),
+            "dn_i4": F.floor(
+                F.col("entry_close_i4").cast("double") * dn_mult + F.lit(0.5)
+            ),
+        }
+    )
+    b = bars.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(bar_ts_col).alias("bar_ts"),
+        F.col(close_col).alias("close_i4"),
+    )
+    j = e.join(b, "symbol").filter(
+        (F.col("bar_ts") > F.col("entry_ts"))
+        & (
+            F.col("bar_ts")
+            <= F.col("entry_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTE")
+        )
+    )
+    agg = j.groupBy(
+        "symbol", "entry_ts", "entry_close_i4", "up_i4", "dn_i4"
+    ).agg(
+        F.min(
+            F.when(F.col("close_i4") >= F.col("up_i4"), F.col("bar_ts"))
+        ).alias("t_up"),
+        F.min(
+            F.when(F.col("close_i4") <= F.col("dn_i4"), F.col("bar_ts"))
+        ).alias("t_dn"),
+    )
+    # entries with NO forward bars at all (end of tape) are timeouts too
+    full = e.join(
+        agg.select("symbol", "entry_ts", "t_up", "t_dn"),
+        ["symbol", "entry_ts"],
+        "left",
+    )
+    label = (
+        F.when(F.col("t_up").isNull() & F.col("t_dn").isNull(), "timeout")
+        .when(
+            F.col("t_dn").isNull()
+            | (F.col("t_up").isNotNull() & (F.col("t_up") < F.col("t_dn"))),
+            "profit",
+        )
+        .otherwise("stop")
+    )
+    return full.select(
+        "symbol",
+        "entry_ts",
+        "entry_close_i4",
+        "up_i4",
+        "dn_i4",
+        "t_up",
+        "t_dn",
+        label.alias("label"),
+    )

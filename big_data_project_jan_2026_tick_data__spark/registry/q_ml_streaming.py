@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import (  # noqa: F401
@@ -981,6 +981,95 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _td(spark, sf_dir, "events")
     return sketches.cms_heavy_hitters(ev, "user_id", depth=4, width=256, top_k=20)
+
+
+@_register(
+    "ml_triple_barrier",
+    f"""
+    WITH src AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             ts, event_id, value
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    bars AS (
+      SELECT symbol, bar_ts,
+             CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS close_i4
+      FROM (SELECT symbol, date_trunc('minute', ts) AS bar_ts, value,
+                   row_number() OVER (
+                     PARTITION BY symbol, date_trunc('minute', ts)
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM src) t WHERE rn = 1),
+    e AS (
+      SELECT symbol, bar_ts AS entry_ts, close_i4 AS entry_close_i4,
+             CAST(FLOOR(CAST(close_i4 AS DOUBLE) * {detmath.dlit(1.002)}
+                        + 0.5) AS BIGINT) AS up_i4,
+             CAST(FLOOR(CAST(close_i4 AS DOUBLE) * {detmath.dlit(0.998)}
+                        + 0.5) AS BIGINT) AS dn_i4
+      FROM bars WHERE date_part('minute', bar_ts) = 0),
+    agg AS (
+      SELECT e.symbol, e.entry_ts,
+             min(CASE WHEN b.close_i4 >= e.up_i4 THEN b.bar_ts END) AS t_up,
+             min(CASE WHEN b.close_i4 <= e.dn_i4 THEN b.bar_ts END) AS t_dn
+      FROM e JOIN bars b ON b.symbol = e.symbol
+       AND b.bar_ts > e.entry_ts
+       AND b.bar_ts <= e.entry_ts + INTERVAL 120 MINUTE
+      GROUP BY 1, 2)
+    SELECT e.symbol, e.entry_ts, e.entry_close_i4, e.up_i4, e.dn_i4,
+           a.t_up, a.t_dn,
+           CASE WHEN a.t_up IS NULL AND a.t_dn IS NULL THEN 'timeout'
+                WHEN a.t_dn IS NULL
+                     OR (a.t_up IS NOT NULL AND a.t_up < a.t_dn)
+                  THEN 'profit'
+                ELSE 'stop' END AS label
+    FROM e LEFT JOIN agg a ON a.symbol = e.symbol AND a.entry_ts = e.entry_ts
+    """,
+)
+def ml_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-barrier labels (mlfeat.triple_barrier_labels) over the
+    synthetic tape: minute-bar closes on the 1e-4 integer grid,
+    top-of-hour entries, ±0.2% horizontal barriers, 120-minute vertical
+    barrier — each entry labeled profit/stop/timeout by FIRST touch.
+    The label generator the purged-CV plan protects; one symbol-keyed
+    interval join (horizon-bounded fan-out) + conditional-MIN aggs,
+    barrier levels a single correctly-rounded product per entry."""
+    from ..operators.mlfeat import triple_barrier_labels
+
+    ev = _td(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    src = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("symbol", F.date_trunc("minute", "ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    bars = (
+        src.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "symbol",
+            F.date_trunc("minute", "ts").alias("bar_ts"),
+            F.floor(F.col("value") * 1e4 + F.lit(0.5))
+            .cast("bigint")
+            .alias("close_i4"),
+        )
+    )
+    entries = bars.filter(F.minute("bar_ts") == 0).select(
+        "symbol",
+        F.col("bar_ts").alias("entry_ts"),
+        F.col("close_i4").alias("entry_close_i4"),
+    )
+    return triple_barrier_labels(
+        bars,
+        entries,
+        horizon_minutes=120,
+        up_mult=1.002,
+        dn_mult=0.998,
+    )
 
 
 @_register(

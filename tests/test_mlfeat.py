@@ -222,3 +222,56 @@ def test_purged_cv_folds_invariants(spark):
             if role == "test":
                 test_count[p] = test_count.get(p, 0) + 1
     assert all(v == 1 for v in test_count.values()) and len(test_count) == 30
+
+
+def test_triple_barrier_hand_computed(spark):
+    """Four entries on one symbol: profit-first, stop-first, timeout
+    (neither barrier within horizon), and end-of-tape (no forward bars
+    at all -> timeout via the left join)."""
+    import datetime as dt
+
+    from big_data_project_jan_2026_tick_data__spark.operators.mlfeat import (
+        triple_barrier_labels,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 9, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # close_i4 = price * 1e4; entry at 10000 -> up 10020, dn 9980
+    bars = spark.createDataFrame(
+        [
+            ("A", m(0), 10000),
+            ("A", m(1), 10010),   # inside barriers
+            ("A", m(2), 10025),   # profit touch for entry@0
+            ("A", m(3), 9970),    # stop touch (later than profit)
+            ("A", m(60), 10000),  # entry 2
+            ("A", m(61), 9975),   # stop touch first for entry@60
+            ("A", m(62), 1030 * 10),  # 10300: profit later
+            ("A", m(120), 10000),  # entry 3: only flat bars follow
+            ("A", m(121), 10005),
+            ("A", m(300), 10000),  # entry 4: nothing after
+        ],
+        "symbol string, bar_ts timestamp, close_i4 long",
+    )
+    entries = bars.filter("minute(bar_ts) = 0").select(
+        "symbol",
+        F.col("bar_ts").alias("entry_ts"),
+        F.col("close_i4").alias("entry_close_i4"),
+    )
+    out = {
+        r.entry_ts: r
+        for r in triple_barrier_labels(
+            bars, entries, horizon_minutes=120, up_mult=1.002, dn_mult=0.998
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[m(0)].label == "profit" and out[m(0)].t_up == m(2)
+    assert out[m(0)].t_dn == m(3)  # stop WAS touched, just later
+    assert out[m(60)].label == "stop" and out[m(60)].t_dn == m(61)
+    assert out[m(120)].label == "timeout"
+    assert out[m(120)].t_up is None and out[m(120)].t_dn is None
+    assert out[m(300)].label == "timeout"  # no forward bars at all
+    # barrier levels: one correctly-rounded product + floor
+    assert out[m(0)].up_i4 == 10020 and out[m(0)].dn_i4 == 9980
