@@ -113,6 +113,8 @@ _ADJUDICATION_PRIORITY = [
     "orders_forecast_yoy",
     "ml_purged_cv_folds",
     "ml_triple_barrier",
+    "ml_label_uniqueness",
+    "streaming_static_enrich",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -409,3 +409,67 @@ def triple_barrier_labels(
         "t_dn",
         label.alias("label"),
     )
+
+
+def label_uniqueness_weights(
+    bars: DataFrame,
+    labels: DataFrame,
+    horizon_minutes: int = 120,
+    symbol_col: str = "symbol",
+    bar_ts_col: str = "bar_ts",
+) -> DataFrame:
+    """Average-uniqueness sample weights for overlapping labels (López
+    de Prado 2018, ch. 4): a triple-barrier label spans the bars from
+    its entry to its first touch (or the vertical barrier), concurrent
+    labels share credit — each bar contributes 1/c(bar) where c is the
+    number of labels spanning it — and the label's weight is the mean
+    contribution over its span. Downweighting overlap is what keeps a
+    bagged/boosted model from triple-counting the same move.
+
+    Determinism: per-bar contributions snap to a 1e-9 integer grid
+    BEFORE the (≤ horizon-bar) sum (the scale-separation rule), so the
+    q6 weight cannot move with join or partial-agg order.
+
+    Scale shape: the span expansion is the same horizon-bounded
+    symbol-key interval join as the labeler; concurrency is one hash
+    agg on (symbol, bar); everything else is label-sized. Returns
+    (symbol, entry_ts, label, n_bars, avg_uniqueness_q6).
+    """
+    lab = labels.withColumn(
+        "t_end",
+        F.coalesce(
+            F.least(
+                F.coalesce("t_up", "t_dn"), F.coalesce("t_dn", "t_up")
+            ),
+            F.col("entry_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTE"),
+        ),
+    )
+    b = bars.select(
+        F.col(symbol_col).alias("symbol"), F.col(bar_ts_col).alias("bar_ts")
+    )
+    pairs = lab.select("symbol", "entry_ts", "t_end").join(b, "symbol").filter(
+        (F.col("bar_ts") > F.col("entry_ts"))
+        & (F.col("bar_ts") <= F.col("t_end"))
+    )
+    conc = pairs.groupBy("symbol", "bar_ts").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    contrib = pairs.join(conc, ["symbol", "bar_ts"]).select(
+        "symbol",
+        "entry_ts",
+        F.floor(F.lit(1e9) / F.col("c") + F.lit(0.5)).alias("u9"),
+    )
+    w = contrib.groupBy("symbol", "entry_ts").agg(
+        F.count(F.lit(1)).alias("n_bars"), F.sum("u9").alias("s9")
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return lab.join(w, ["symbol", "entry_ts"], "left").select(
+        "symbol",
+        "entry_ts",
+        "label",
+        F.coalesce("n_bars", F.lit(0)).alias("n_bars"),
+        F.when(
+            F.col("n_bars") > 0,
+            q6(F.col("s9").cast("double") / F.lit(1e9) / F.col("n_bars")),
+        ).alias("avg_uniqueness_q6"),
+    )

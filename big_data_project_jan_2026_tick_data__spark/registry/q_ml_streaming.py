@@ -983,14 +983,15 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_heavy_hitters(ev, "user_id", depth=4, width=256, top_k=20)
 
 
-@_register(
-    "ml_triple_barrier",
-    f"""
-    WITH src AS (
+# Shared CTE block for the triple-barrier family: synthetic tape ->
+# integer-grid minute bars -> top-of-hour entries with barrier levels
+# -> first-touch times -> labeled events with their effective end time
+# (first touch, or the vertical barrier for timeouts).
+_TB_CTES = f"""src AS (
       SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
              ts, event_id, value
       FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
-    bars AS (
+    bars AS MATERIALIZED (
       SELECT symbol, bar_ts,
              CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS close_i4
       FROM (SELECT symbol, date_trunc('minute', ts) AS bar_ts, value,
@@ -1012,15 +1013,29 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e JOIN bars b ON b.symbol = e.symbol
        AND b.bar_ts > e.entry_ts
        AND b.bar_ts <= e.entry_ts + INTERVAL 120 MINUTE
-      GROUP BY 1, 2)
-    SELECT e.symbol, e.entry_ts, e.entry_close_i4, e.up_i4, e.dn_i4,
-           a.t_up, a.t_dn,
-           CASE WHEN a.t_up IS NULL AND a.t_dn IS NULL THEN 'timeout'
-                WHEN a.t_dn IS NULL
-                     OR (a.t_up IS NOT NULL AND a.t_up < a.t_dn)
-                  THEN 'profit'
-                ELSE 'stop' END AS label
-    FROM e LEFT JOIN agg a ON a.symbol = e.symbol AND a.entry_ts = e.entry_ts
+      GROUP BY 1, 2),
+    lab AS MATERIALIZED (
+      SELECT e.symbol, e.entry_ts, e.entry_close_i4, e.up_i4, e.dn_i4,
+             a.t_up, a.t_dn,
+             CASE WHEN a.t_up IS NULL AND a.t_dn IS NULL THEN 'timeout'
+                  WHEN a.t_dn IS NULL
+                       OR (a.t_up IS NOT NULL AND a.t_up < a.t_dn)
+                    THEN 'profit'
+                  ELSE 'stop' END AS label,
+             COALESCE(LEAST(COALESCE(a.t_up, a.t_dn),
+                            COALESCE(a.t_dn, a.t_up)),
+                      e.entry_ts + INTERVAL 120 MINUTE) AS t_end
+      FROM e LEFT JOIN agg a
+        ON a.symbol = e.symbol AND a.entry_ts = e.entry_ts)"""
+
+
+@_register(
+    "ml_triple_barrier",
+    f"""
+    WITH {_TB_CTES}
+    SELECT symbol, entry_ts, entry_close_i4, up_i4, dn_i4,
+           t_up, t_dn, label
+    FROM lab
     """,
 )
 def ml_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1070,6 +1085,78 @@ def ml_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
         up_mult=1.002,
         dn_mult=0.998,
     )
+
+
+@_register(
+    "ml_label_uniqueness",
+    f"""
+    WITH {_TB_CTES},
+    pairs AS (
+      SELECT l.symbol, l.entry_ts, b.bar_ts
+      FROM lab l JOIN bars b ON b.symbol = l.symbol
+       AND b.bar_ts > l.entry_ts AND b.bar_ts <= l.t_end),
+    conc AS (
+      SELECT symbol, bar_ts, count(*) AS c FROM pairs GROUP BY 1, 2),
+    contrib AS (
+      SELECT p.symbol, p.entry_ts,
+             CAST(FLOOR(1e9 / c.c + 0.5) AS BIGINT) AS u9
+      FROM pairs p JOIN conc c USING (symbol, bar_ts)),
+    w AS (
+      SELECT symbol, entry_ts, count(*) AS n_bars,
+             CAST(SUM(u9) AS BIGINT) AS s9
+      FROM contrib GROUP BY 1, 2)
+    SELECT l.symbol, l.entry_ts, l.label,
+           COALESCE(w.n_bars, 0) AS n_bars,
+           CASE WHEN w.n_bars > 0
+                THEN FLOOR((CAST(s9 AS DOUBLE) / 1e9 / w.n_bars) * 1e6 + 0.5)
+                     / 1e6 END AS avg_uniqueness_q6
+    FROM lab l LEFT JOIN w USING (symbol, entry_ts)
+    """,
+)
+def ml_label_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-uniqueness sample weights
+    (mlfeat.label_uniqueness_weights) for the triple-barrier labels:
+    overlapping labels share per-bar credit 1/concurrency, each
+    contribution snapped to a 1e-9 integer grid before the span mean —
+    the ch.4 companion that downweights the serially-overlapping
+    events the purged CV also guards against. Same horizon-bounded
+    interval join as the labeler + one (symbol, bar) hash agg."""
+    from ..operators.mlfeat import label_uniqueness_weights, triple_barrier_labels
+
+    ev = _td(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    src = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("symbol", F.date_trunc("minute", "ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    bars = (
+        src.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "symbol",
+            F.date_trunc("minute", "ts").alias("bar_ts"),
+            F.floor(F.col("value") * 1e4 + F.lit(0.5))
+            .cast("bigint")
+            .alias("close_i4"),
+        )
+    )
+    entries = bars.filter(F.minute("bar_ts") == 0).select(
+        "symbol",
+        F.col("bar_ts").alias("entry_ts"),
+        F.col("close_i4").alias("entry_close_i4"),
+    )
+    labels = triple_barrier_labels(
+        bars, entries, horizon_minutes=120, up_mult=1.002, dn_mult=0.998
+    )
+    return label_uniqueness_weights(bars, labels, horizon_minutes=120)
 
 
 @_register(
@@ -1223,6 +1310,64 @@ def streaming_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             rows = out.collect()  # materialize before tmpdir cleanup
     return spark.createDataFrame(rows, out.schema)
+
+
+@_register(
+    "streaming_static_enrich",
+    """
+    -- stream-static join: the static dimension is re-read per
+    -- micro-batch, no watermark needed on the static side; the
+    -- windowed aggregate closes once the watermark passes the day end
+    SELECT c.c_mktsegment AS segment,
+           CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_i4
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    WHERE e.user_id IS NOT NULL AND e.value IS NOT NULL
+    GROUP BY 1, 2
+    HAVING epoch_ms(CAST(date_trunc('day', e.ts) AS TIMESTAMP)) + 86400000
+           <= (SELECT epoch_ms(max(ts)) - 600000 FROM events)
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join through the driver contract: the
+    replayed event stream joined (broadcast) to the static customer
+    dimension — the lookup-table join every streaming pipeline needs,
+    which unlike stream-stream requires no watermark on the static
+    side — then a watermarked per-(segment, day) windowed aggregate in
+    append mode. Exact integer value sums make the replay bit-equal to
+    the batch join+agg; bars still open at end of replay (watermark =
+    max event time − 10 min) are exactly the oracle's HAVING
+    exclusions."""
+    dim = _td(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
+    )
+    with _replayed_events(spark, sf_dir, "stream_enrich_") as src:
+        stream = (
+            src.filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+            .join(F.broadcast(dim), "user_id")
+            .withWatermark("ts", "10 minutes")
+        )
+        agg = (
+            stream.groupBy(
+                F.col("c_mktsegment").alias("segment"),
+                F.window("ts", "1 day").alias("w"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("bigint")
+                ).alias("value_i4"),
+            )
+            .select(
+                "segment",
+                F.col("w.start").alias("day_start"),
+                "n_events",
+                "value_i4",
+            )
+        )
+        return _materialized(spark, agg, "reg_stream_enrich")
 
 
 @_register(

@@ -275,3 +275,44 @@ def test_triple_barrier_hand_computed(spark):
     assert out[m(300)].label == "timeout"  # no forward bars at all
     # barrier levels: one correctly-rounded product + floor
     assert out[m(0)].up_i4 == 10020 and out[m(0)].dn_i4 == 9980
+
+
+def test_label_uniqueness_hand_computed(spark):
+    """Two overlapping labels on one symbol: label 1 spans bars {1,2},
+    label 2 spans bars {2,3}; bar 2 has concurrency 2, so both weights
+    are mean(1, 1/2) = 0.75; an isolated label gets weight 1.0."""
+    import datetime as dt
+
+    from big_data_project_jan_2026_tick_data__spark.operators.mlfeat import (
+        label_uniqueness_weights,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 9, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    bars = spark.createDataFrame(
+        [("A", m(i), 10000) for i in range(8)]
+        + [("A", m(60), 10000), ("A", m(61), 10000)],
+        "symbol string, bar_ts timestamp, close_i4 long",
+    )
+    # labels: spans are (entry, t_end] with t_end = first touch
+    labels = spark.createDataFrame(
+        [
+            ("A", m(0), m(2), None, "stop"),    # spans bars m1, m2
+            ("A", m(1), None, m(3), "profit"),  # spans bars m2, m3
+            ("A", m(59), m(61), None, "stop"),  # isolated: m60, m61
+        ],
+        "symbol string, entry_ts timestamp, t_dn timestamp, "
+        "t_up timestamp, label string",
+    )
+    out = {
+        r.entry_ts: r
+        for r in label_uniqueness_weights(bars, labels).collect()
+    }
+    assert out[m(0)].n_bars == 2 and out[m(1)].n_bars == 2
+    # mean(1/1, 1/2) = 0.75 exactly on the 1e-9 grid
+    assert out[m(0)].avg_uniqueness_q6 == 0.75
+    assert out[m(1)].avg_uniqueness_q6 == 0.75
+    assert out[m(59)].avg_uniqueness_q6 == 1.0
