@@ -115,6 +115,7 @@ _ADJUDICATION_PRIORITY = [
     "ml_triple_barrier",
     "ml_label_uniqueness",
     "streaming_static_enrich",
+    "ticks_frac_diff",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -1439,3 +1439,72 @@ def market_beta(
             q6(F.col("__corr")).alias("mkt_corr"),
         )
     )
+
+
+def frac_diff_weights(d: float, window: int) -> list[float]:
+    """Fixed-width fractional-differentiation weights (López de Prado
+    2018, ch. 5 FFD): w_0 = 1, w_k = -w_{k-1}·(d - k + 1)/k, truncated
+    at ``window`` terms. Computed driver-side (a ``window``-length
+    python recurrence — metadata scale) and shipped as literals, so
+    both engines consume the identical doubles."""
+    w = [1.0]
+    for k in range(1, window):
+        w.append(-w[-1] * (d - k + 1) / k)
+    return w
+
+
+def frac_diff(
+    bars: DataFrame,
+    d: float = 0.4,
+    window: int = 20,
+    symbol_col: str = "symbol",
+    ts_col: str = "bar_ts",
+    price_i4_col: str = "close_i4",
+) -> DataFrame:
+    """Fixed-width fractional differentiation of an integer-grid price
+    series (López de Prado 2018, ch. 5): x̃_t = Σ_{k<window} w_k·x_{t−k}
+    — the stationarity transform that, unlike first differences
+    (d = 1), preserves long-range memory; d is tuned to the smallest
+    value passing an ADF test and 0.3-0.6 is typical for prices.
+
+    Rows without a full ``window`` of history emit NULL (the
+    fixed-width variant's contract — no expanding-window drift).
+
+    Determinism: each w_k·x_{t−k} term is ONE correctly-rounded double
+    product snapped to a 1e-9-relative integer grid, and the ≤ window
+    terms sum as exact BIGINT (scale-separation rule) — identical lag
+    algebra in the SQL oracle.
+
+    Scale shape: one window sort per symbol partition computes all
+    ``window`` lags in a single pass; no joins, no explode. The same
+    sort is shared with every other per-symbol bar operator.
+
+    Returns (symbol, ts, price_i4, ffd_q6).
+    """
+    from pyspark.sql import Window as W
+
+    wts = frac_diff_weights(d, window)
+    w = W.partitionBy(symbol_col).orderBy(ts_col)
+    terms = [
+        F.floor(
+            F.lag(F.col(price_i4_col), k).over(w).cast("double")
+            * F.lit(wk)
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        for k, wk in enumerate(wts)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    q6 = F.floor(
+        (total.cast("double") / F.lit(1e9) / F.lit(1e4)) * 1e6 + F.lit(0.5)
+    ) / 1e6
+    return bars.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("ts"),
+        F.col(price_i4_col).alias("price_i4"),
+        F.when(
+            F.lag(F.col(price_i4_col), window - 1).over(w).isNotNull(), q6
+        ).alias("ffd_q6"),
+    )

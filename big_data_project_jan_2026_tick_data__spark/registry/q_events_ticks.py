@@ -310,6 +310,85 @@ def ticks_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frac_diff_oracle(d: float = 0.4, window: int = 20) -> str:
+    """Mirror of stats.frac_diff over the shared minute-bar recipe:
+    identical weight literals (dlit-rendered), identical per-term
+    product order ((lag AS DOUBLE) * w_k * 1e9, floor half-up), exact
+    BIGINT term sum."""
+    from ..operators.stats import frac_diff_weights
+
+    wts = frac_diff_weights(d, window)
+    terms = []
+    for k, wk in enumerate(wts):
+        src = "CAST(close_i4 AS DOUBLE)" if k == 0 else (
+            f"CAST(lag(close_i4, {k}) OVER w AS DOUBLE)"
+        )
+        terms.append(
+            f"CAST(FLOOR({src} * {detmath.dlit(wk)} * 1e9 + 0.5) AS BIGINT)"
+        )
+    total = "\n               + ".join(terms)
+    return rf"""
+    WITH src AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             ts, event_id, value
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    bars AS (
+      SELECT symbol, bar_ts,
+             CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS close_i4
+      FROM (SELECT symbol, date_trunc('minute', ts) AS bar_ts, value,
+                   row_number() OVER (
+                     PARTITION BY symbol, date_trunc('minute', ts)
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM src) t WHERE rn = 1)
+    SELECT symbol, bar_ts AS ts, close_i4 AS price_i4,
+           CASE WHEN lag(close_i4, {window - 1}) OVER w IS NOT NULL THEN
+             FLOOR((CAST(({total}) AS DOUBLE) / 1e9 / 1e4) * 1e6 + 0.5) / 1e6
+           END AS ffd_q6
+    FROM bars
+    WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+    """
+
+
+@_register("ticks_frac_diff", _frac_diff_oracle())
+def ticks_frac_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width fractional differentiation (stats.frac_diff, d=0.4,
+    window=20) of the integer-grid minute closes — the López de Prado
+    ch.5 stationarity transform that keeps long-range memory where
+    first differences destroy it. One window sort per symbol computes
+    all 20 lags in a single pass; each w_k·x_{t−k} term is one
+    correctly-rounded product snapped to a 1e-9-relative grid, summed
+    as exact BIGINT (scale-separation rule), so the q6 output is
+    layout-independent."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    src = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("symbol", F.date_trunc("minute", "ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    bars = (
+        src.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "symbol",
+            F.date_trunc("minute", "ts").alias("bar_ts"),
+            F.floor(F.col("value") * 1e4 + F.lit(0.5))
+            .cast("bigint")
+            .alias("close_i4"),
+        )
+    )
+    return stats.frac_diff(bars, d=0.4, window=20)
+
+
 @_register(
     "ticks_amihud_illiq",
     r"""

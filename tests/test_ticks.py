@@ -492,3 +492,49 @@ def test_rv_signature_bounce_inflates_fine_sampling(spark):
     assert out[3600]["n_returns"] == 2 and out[3600]["rv_q6"] == 0.0
     # 15-minute samples alternate -> 11 diffs of 4
     assert out[900]["rv_q6"] == 44.0
+
+
+def test_frac_diff_weights_and_known_cases(spark):
+    """d=1 reproduces first differences exactly (w = [1, -1, 0, ...]);
+    a constant series fractionally-differences to (Σw)·x; rows without
+    full history are NULL."""
+    import datetime as dt
+
+    from big_data_project_jan_2026_tick_data__spark.operators.stats import (
+        frac_diff,
+        frac_diff_weights,
+    )
+
+    w = frac_diff_weights(1.0, 5)
+    assert w[0] == 1.0 and w[1] == -1.0 and all(x == 0.0 for x in w[2:])
+    t0 = dt.datetime(2024, 5, 1, 9, 0)
+    bars = spark.createDataFrame(
+        [
+            ("A", t0 + dt.timedelta(minutes=i), c)
+            for i, c in enumerate([10000, 10100, 10050, 10200, 9900])
+        ],
+        "symbol string, bar_ts timestamp, close_i4 long",
+    )
+    out = sorted(
+        frac_diff(bars, d=1.0, window=3).collect(), key=lambda r: r.ts
+    )
+    assert [r.ffd_q6 for r in out[:2]] == [None, None]
+    # x_t - x_{t-1} in price units (close_i4 / 1e4)
+    assert [r.ffd_q6 for r in out[2:]] == [-0.005, 0.015, -0.03]
+
+    # constant series, fractional d: ffd = sum(w) * x everywhere
+    const = spark.createDataFrame(
+        [("B", t0 + dt.timedelta(minutes=i), 20000) for i in range(6)],
+        "symbol string, bar_ts timestamp, close_i4 long",
+    )
+    wsum = sum(
+        __import__("math").floor(20000.0 * wk * 1e9 + 0.5)
+        for wk in frac_diff_weights(0.4, 4)
+    )
+    expect = __import__("math").floor(wsum / 1e9 / 1e4 * 1e6 + 0.5) / 1e6
+    outc = [
+        r.ffd_q6
+        for r in frac_diff(const, d=0.4, window=4).collect()
+        if r.ffd_q6 is not None
+    ]
+    assert len(outc) == 3 and all(v == expect for v in outc)
