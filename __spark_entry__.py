@@ -116,6 +116,7 @@ _ADJUDICATION_PRIORITY = [
     "ml_label_uniqueness",
     "streaming_static_enrich",
     "ticks_frac_diff",
+    "snapshot_schema_evolution",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -180,6 +180,50 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "snapshot_schema_evolution",
+    """
+    -- rows committed before the column existed surface NULL for it
+    SELECT event_id, value,
+           CASE WHEN event_id % 2 = 1
+                THEN CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT)
+           END AS value_i4
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the snapshot-log table (the Iceberg
+    capability SURVEY §1.3 notes the reference had but never used):
+    the first commit carries (event_id, value), a later commit ADDS a
+    value_i4 column, and the unified read (mergeSchema) surfaces NULL
+    for pre-evolution rows — value-hashed so the NULL fill, the new
+    column's values, and the union are all pinned. Time travel to the
+    first snapshot still serves the narrow schema."""
+    import tempfile
+
+    from ..plans.snapshots import SnapshotTable
+
+    ev = _td(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "event_id", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(spark, f"{d}/tbl")
+        t.write(ev.filter(F.col("event_id") % 2 == 0), mode="append")
+        v1 = t.current_snapshot_id()
+        t.write(
+            ev.filter(F.col("event_id") % 2 == 1).withColumn(
+                "value_i4",
+                F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("bigint"),
+            ),
+            mode="append",
+        )
+        # pre-evolution snapshot still serves the narrow schema
+        assert t.read(version=v1).columns == ["event_id", "value"]
+        out = t.read().select("event_id", "value", "value_i4")
+        rows = out.collect()  # materialize before tmpdir cleanup
+    return spark.createDataFrame(rows, out.schema)
+
+
+@_register(
     "snapshot_delete_purge",
     """
     -- surviving per-user aggregate after the row-level DELETE, plus
