@@ -117,6 +117,7 @@ _ADJUDICATION_PRIORITY = [
     "streaming_static_enrich",
     "ticks_frac_diff",
     "snapshot_schema_evolution",
+    "doc_hybrid_near_dup",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -158,6 +158,111 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_near_dup_oracle(
+    dim: int = 64, num_planes: int = 4, seed: int = 42
+) -> str:
+    """Compose the emb_near_dup_pairs oracle (hyperplane LSH buckets +
+    cosine filter over embeddings) with the doc_ngram_jaccard oracle
+    restricted to the candidate documents — the staged
+    ANN-prefilter → exact-text-verify pipeline re-derived end to end in
+    SQL."""
+    from ..operators.similarity import _hyperplane
+
+    bucket_terms = []
+    for p in range(num_planes):
+        plane = ", ".join(repr(v) for v in _hyperplane(dim, p, seed))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(vec, [{plane}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "\n        + ".join(bucket_terms)
+    return rf"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    b0 AS (
+      SELECT vec_id, vec,
+        {bucket} AS bucket
+      FROM v),
+    b AS (
+      SELECT vec_id, vec, bucket FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b0)
+      WHERE bsz <= 1000),
+    cand AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             ROUND(list_cosine_similarity(a.vec, b2.vec), 6) AS cosine
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      WHERE ROUND(list_cosine_similarity(a.vec, b2.vec), 6) >= 0.2),
+    cids AS (
+      SELECT id_a AS doc_id FROM cand UNION SELECT id_b FROM cand),
+    norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents JOIN cids USING (doc_id)),
+    sh0 AS (
+      SELECT DISTINCT doc_id AS id, g AS sh FROM norm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS t(g)),
+    sh AS (
+      SELECT id, sh FROM (
+        SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh0)
+      WHERE df <= 1000),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id),
+    j AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+      FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id)
+    SELECT c.id_a, c.id_b, c.cosine,
+           COALESCE(j.jaccard, 0.0) AS jaccard,
+           COALESCE(j.jaccard, 0.0) >= 0.2 AS text_confirmed
+    FROM cand c LEFT JOIN j ON j.id_a = c.id_a AND j.id_b = c.id_b
+    """
+
+
+@_register("doc_hybrid_near_dup", _hybrid_near_dup_oracle())
+def doc_hybrid_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged cross-modal near-dup: the embedding LSH+cosine candidate
+    pairs (cheap semantic prefilter, emb_near_dup_pairs' exact recipe)
+    verified by exact word-3-gram Jaccard on the candidate documents'
+    TEXT — the two-stage shape production dedup actually runs (ANN
+    recall stage, exact precision stage), here value-proving the
+    composition end to end. The Jaccard stage only ever tokenizes the
+    candidate id set (broadcast semi-join), so its cost scales with
+    candidates, not the corpus; pairs sharing no shingle verify at
+    jaccard 0."""
+    emb = _td(spark, sf_dir, "embeddings")
+    docs = _td(spark, sf_dir, "documents")
+    cands = similarity.embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.2, num_planes=4
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sub = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    jac = dedup.ngram_jaccard_pairs(
+        sub, shingle_n=3, threshold=0.0
+    ).withColumnsRenamed({"id_a": "j_a", "id_b": "j_b"})
+    return (
+        cands.join(
+            jac,
+            (F.col("id_a") == F.col("j_a")) & (F.col("id_b") == F.col("j_b")),
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "cosine",
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+            (F.coalesce("jaccard", F.lit(0.0)) >= 0.2).alias("text_confirmed"),
+        )
+    )
+
+
 @_register(
     "doc_ngram_jaccard",
     r"""
