@@ -38,11 +38,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     than a re-proof of an exact-integer row — 21-34;
 # (e) the late-campaign changed rows (CUSUM grid moments, mean-model
 #     recon, dedup convergence cadence, streaming harness) — 35-43;
-# (f) exact-integer money-sum representatives + the oldest (r1) stale
-#     greens of that family — the mechanism is shared exactagg
-#     arithmetic, so three fresh rows + the stalest proofs cover it;
-#     the rest of the changed-but-exact TPC-H block heads the r7 queue
-#     (it cannot flip from engine environment by construction) — 44-50.
+# (f) exact-integer money-sum representatives — the mechanism is
+#     shared exactagg arithmetic, so three SHAPE representatives
+#     (heaviest agg, having-join, pivot) cover it and the rest of the
+#     changed-but-exact TPC-H block heads the r7 queue (it cannot flip
+#     from engine environment by construction) — 44-46;
+# (g) four flagship never-adjudicated r6 additions (IVF-PQ, basket
+#     rules, ordered streaming upsert, triple-barrier) — first-ever
+#     verdicts on new operator families are worth more than a fourth
+#     re-proof of the same exactagg mechanism — 47-50. The remaining
+#     r6 additions head the r7 queue.
 # Rows-only entries deliberately absent (they can only say no_oracle;
 # their value proofs live in md5/mean/fixed-weight twins).
 _ADJUDICATION_PRIORITY = [
@@ -90,13 +95,17 @@ _ADJUDICATION_PRIORITY = [
     "streaming_health",
     "streaming_session_agg",
     "tpch_q1",
+    "tpch_q18_large_orders",
+    "pivot_user_event_values",
+    "emb_ivfpq_topk",
+    "part_association_rules",
+    "streaming_upsert_replay",
+    "ml_triple_barrier",
+    # ---- ~50-slot window boundary; r7 queue from here ----
     "tpch_q3_top10",
     "tpch_q5_region_revenue",
     "tpch_q6_forecast_revenue",
     "tpch_q14_promo_ratio",
-    "tpch_q18_large_orders",
-    "pivot_user_event_values",
-    # ---- ~50-slot window boundary; r7 queue from here ----
     "ticks_lead_lag_corr",
     "ticks_tick_rule_flow",
     "ticks_roll_spread",
@@ -105,14 +114,10 @@ _ADJUDICATION_PRIORITY = [
     "ticks_volume_bars",
     "ticks_vpin",
     "ticks_amihud_illiq",
-    "part_association_rules",
     "streaming_interval_join",
-    "streaming_upsert_replay",
-    "emb_ivfpq_topk",
     "snapshot_delete_purge",
     "orders_forecast_yoy",
     "ml_purged_cv_folds",
-    "ml_triple_barrier",
     "ml_label_uniqueness",
     "streaming_static_enrich",
     "ticks_frac_diff",
