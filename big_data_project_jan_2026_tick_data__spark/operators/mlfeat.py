@@ -272,21 +272,26 @@ def purged_cv_folds(
     boundary is integer arithmetic — nothing float-typed exists in the
     output, so the plan is trivially layout-independent.
 
-    Scale shape: one hash agg reduces the corpus to (day, n_rows) —
-    everything after is calendar-sized (the seasonal-decompose
-    precedent). The fold grid is k × #days rows; joining the plan back
-    to the corpus is a broadcast on the day key.
+    Scale shape: ONE hash agg reduces the corpus to (day, n_rows) and
+    that calendar-sized frame (≈ 10⁴ rows for decades of days — the
+    centroid-collect precedent) is pinned on the driver, so the corpus
+    is scanned exactly once no matter how many plan branches reuse the
+    calendar (lineage recompute would otherwise re-scan it per branch).
+    The fold grid is k × #days rows; joining the plan back to the
+    corpus is a broadcast on the day key.
 
     Returns (fold, day, role, n_rows) with role ∈
     {'test', 'purged', 'train'}.
     """
     from pyspark.sql import Window
 
-    days = (
+    days_agg = (
         df.select(F.to_date(F.col(ts_col)).alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+    spark = df.sparkSession
+    days = spark.createDataFrame(days_agg.collect(), days_agg.schema)
     n = days.agg(F.count(F.lit(1)).alias("n_days"))
     ranked = (
         days.crossJoin(F.broadcast(n))

@@ -558,3 +558,35 @@ def test_ivfpq_adc_join_broadcasts_distance_table(spark, sf_dir):
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in tree
     assert "WindowGroupLimit" in tree  # rank <= k pushed map-side
+
+
+def test_association_rules_no_smj_no_cartesian(spark, sf_dir):
+    """Apriori path: the basket self-join and all count joins stay
+    broadcast/hash — a SortMergeJoin or cartesian here means the
+    downward-closure prune or the bk-keyed equi-join broke. The one
+    BroadcastNestedLoopJoin is the 1-row n_baskets attach (by design)."""
+    tree, full = _explain(spark, "part_association_rules", sf_dir)
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_triple_barrier_symbol_keyed_interval_join(spark, sf_dir):
+    """The label join must be a symbol-keyed equi-join with the time
+    bound as a post-filter (SMJ or BHJ both fine) — never a cartesian
+    or a nested-loop over the tape."""
+    tree, full = _explain(spark, "ml_triple_barrier", sf_dir)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_purged_cv_reduces_before_calendar_grid(spark, sf_dir):
+    """The corpus reduces to the driver-pinned (day, n_rows) calendar
+    in ONE eager hash agg (centroid-collect precedent), so the returned
+    plan must be entirely local — zero parquet scans (lineage recompute
+    would otherwise re-scan the corpus once per plan branch) — and the
+    cross-joins are 1-row/k-row broadcast attaches."""
+    tree, full = _explain(spark, "ml_purged_cv_folds", sf_dir)
+    assert tree.count("Scan parquet") == 0
+    assert "CartesianProduct" not in tree
+    assert "SortMergeJoin" not in tree
