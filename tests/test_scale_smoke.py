@@ -530,3 +530,76 @@ def test_label_propagation_1m_nodes(spark):
     ).count()
     assert leaked == 0
     assert out.count() == n
+
+
+def test_association_rules_1m_baskets(spark):
+    """1M baskets × ~4 items over a 2000-item catalog with a hot head:
+    the apriori prune + bk-keyed self-join must stay linear-ish (the
+    pair space is bounded by basket size, never item-count²)."""
+    from big_data_project_jan_2026_tick_data__spark.operators.graph import (
+        association_rules,
+    )
+
+    items = spark.range(4_000_000).select(
+        (F.col("id") % 1_000_000).alias("basket_id"),
+        # skewed catalog: low ids appear far more often
+        (F.xxhash64("id") % 2000).cast("int").alias("h"),
+    ).select(
+        "basket_id",
+        F.when(F.col("h") < 0, -F.col("h")).otherwise(F.col("h")).alias("item"),
+    )
+    out = association_rules(
+        items, min_count=1000, min_pair_count=5, top_k=50
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= 50
+    assert all(r.lift_q6 is not None for r in rows)
+
+
+def test_triple_barrier_1m_bars(spark):
+    """1M minute bars / 8 symbols with hourly entries: the label join's
+    fan-out is horizon-bounded (120 bars per entry), so ~17k entries
+    cost ~2M joined rows — not tape²."""
+    from big_data_project_jan_2026_tick_data__spark.operators.mlfeat import (
+        triple_barrier_labels,
+    )
+
+    bars = spark.range(1_000_000).select(
+        F.concat(F.lit("S"), (F.col("id") % 8).cast("string")).alias("symbol"),
+        F.timestamp_millis(
+            F.lit(1767225600000) + (F.col("id") / 8).cast("long") * 60_000
+        ).alias("bar_ts"),
+        (1_000_000 + F.xxhash64("id") % 5_000).alias("close_i4"),
+    )
+    entries = bars.filter(F.minute("bar_ts") == 0).select(
+        "symbol",
+        F.col("bar_ts").alias("entry_ts"),
+        F.col("close_i4").alias("entry_close_i4"),
+    )
+    out = triple_barrier_labels(bars, entries, horizon_minutes=120)
+    counts = {r["label"]: r["n"] for r in
+              out.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) > 10_000
+    assert set(counts) <= {"profit", "stop", "timeout"}
+
+
+def test_ivfpq_200k_vectors(spark):
+    """200k 32-d vectors through the full IVF-PQ train+search path: the
+    ADC scan touches codes only; centroid/distance-table collects are
+    metadata-scale."""
+    from big_data_project_jan_2026_tick_data__spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    vecs = spark.range(200_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 32), j -> "
+            "cast(pmod(xxhash64(id * 37 + j), 1000) as double) / 1000.0)"
+        ).alias("embedding"),
+    )
+    out = ivfpq_topk(
+        vecs, nlist=16, nprobe=4, m=4, ksub=16, iters=1,
+        n_queries=3, top_k=10,
+    ).collect()
+    assert len(out) == 30
