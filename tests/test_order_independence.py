@@ -51,6 +51,12 @@ HARDENED = [
     "events_histogram_percentiles",
     "events_hll_user_reach",
     "orders_scd2_apply",
+    # r6-continuation additions with float-bearing outputs — all on the
+    # grid-snap / exact-count-division discipline by construction
+    "ticks_frac_diff",
+    "ml_label_uniqueness",
+    "part_association_rules",
+    "orders_forecast_yoy",
 ]
 
 
