@@ -1353,3 +1353,103 @@ def test_bpe_merges_match_canonical_python(spark, words):
                     i += 1
             state[w] = out
     assert got == want
+
+
+@given(
+    items=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 5)),  # (basket, item)
+        max_size=60,
+    ),
+    min_count=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_association_rules_match_python_oracle(spark, items, min_count):
+    """Support/confidence/lift equal a brute-force python recomputation
+    for arbitrary small basket sets — duplicates, empty input, and
+    aggressive pruning included."""
+    import math as _math
+    from itertools import combinations
+
+    from big_data_project_jan_2026_tick_data__spark.operators.graph import (
+        association_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(int(b), f"i{i}") for b, i in items] or [(0, "x")],
+        "basket_id long, item string",
+    ).limit(0 if not items else len(items))
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(
+            df, min_count=min_count, min_pair_count=1, top_k=1000
+        ).collect()
+    }
+
+    baskets: dict[int, set[str]] = {}
+    for b, i in items:
+        baskets.setdefault(b, set()).add(f"i{i}")
+    n = len(baskets)
+    cnt: dict[str, int] = {}
+    for s in baskets.values():
+        for it in s:
+            cnt[it] = cnt.get(it, 0) + 1
+    freq = {it for it, c in cnt.items() if c >= min_count}
+    pair: dict[tuple[str, str], int] = {}
+    for s in baskets.values():
+        for a, b2 in combinations(sorted(s & freq), 2):
+            pair[(a, b2)] = pair.get((a, b2), 0) + 1
+    want = {}
+    for (a, b2), c_ab in pair.items():
+        for ante, cons in ((a, b2), (b2, a)):
+            conf = c_ab / cnt[ante]
+            lift = conf / (cnt[cons] / n)
+            q6 = lambda x: _math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+            want[(ante, cons)] = (
+                c_ab, cnt[ante], cnt[cons], q6(c_ab / n), q6(conf), q6(lift)
+            )
+    assert {
+        k: (v.n_ab, v.n_a, v.n_b, v.support_q6, v.confidence_q6, v.lift_q6)
+        for k, v in got.items()
+    } == want
+
+
+@given(
+    prices=st.lists(st.integers(9_000, 11_000), min_size=1, max_size=25),
+    d10=st.integers(1, 10),
+    window=st.integers(2, 6),
+)
+@settings(**SETTINGS)
+def test_frac_diff_matches_python_oracle(spark, prices, d10, window):
+    """frac_diff equals a python walk with the identical grid snaps for
+    arbitrary short series and d in (0.1 .. 1.0]."""
+    import datetime as dt
+    import math as _math
+
+    from big_data_project_jan_2026_tick_data__spark.operators.stats import (
+        frac_diff,
+        frac_diff_weights,
+    )
+
+    d = d10 / 10.0
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("X", t0 + dt.timedelta(minutes=i), int(p))
+        for i, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, bar_ts timestamp, close_i4 long"
+    )
+    got = {
+        r.ts: r.ffd_q6
+        for r in frac_diff(df, d=d, window=window).collect()
+    }
+    wts = frac_diff_weights(d, window)
+    for i, (_, ts, _) in enumerate(rows):
+        if i < window - 1:
+            assert got[ts] is None
+        else:
+            s = sum(
+                _math.floor(float(prices[i - k]) * wk * 1e9 + 0.5)
+                for k, wk in enumerate(wts)
+            )
+            assert got[ts] == _math.floor(s / 1e9 / 1e4 * 1e6 + 0.5) / 1e6
