@@ -123,6 +123,7 @@ _ADJUDICATION_PRIORITY = [
     "ticks_frac_diff",
     "snapshot_schema_evolution",
     "doc_hybrid_near_dup",
+    "events_attribution",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

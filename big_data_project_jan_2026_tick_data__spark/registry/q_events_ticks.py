@@ -1814,6 +1814,73 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_attribution",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events WHERE user_id IS NOT NULL),
+    conv AS (
+      SELECT COALESCE(first_touch, 'direct') AS first_touch,
+             COALESCE(last_touch, 'direct') AS last_touch
+      FROM seq WHERE event_type = 'purchase')
+    SELECT model, channel, CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM (
+      SELECT 'first_touch' AS model, first_touch AS channel FROM conv
+      UNION ALL
+      SELECT 'last_touch', last_touch FROM conv) t
+    GROUP BY model, channel
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch conversion attribution: each purchase
+    credits (a) the user's first and (b) the most recent preceding
+    non-purchase event type; purchases with no prior touch credit
+    'direct'. One window pass over the per-user ordered stream (the
+    sessionize sort, shared frame for both models) + one
+    channel-sized agg — counts only, trivially layout-independent."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    seq = ev.select(
+        "event_type",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    conv = seq.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("first_touch", F.lit("direct")).alias("first_touch"),
+        F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
+    )
+    stacked = conv.select(
+        F.lit("first_touch").alias("model"),
+        F.col("first_touch").alias("channel"),
+    ).unionByName(
+        conv.select(
+            F.lit("last_touch").alias("model"),
+            F.col("last_touch").alias("channel"),
+        )
+    )
+    return stacked.groupBy("model", "channel").agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+
+
+@_register(
     "events_time_to_convert",
     r"""
     WITH v AS (
