@@ -124,6 +124,7 @@ _ADJUDICATION_PRIORITY = [
     "snapshot_schema_evolution",
     "doc_hybrid_near_dup",
     "events_attribution",
+    "ticks_dollar_bars",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

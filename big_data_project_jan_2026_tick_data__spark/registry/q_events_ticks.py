@@ -573,6 +573,73 @@ def ticks_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ticks_dollar_bars",
+    r"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS p6,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               * (event_id % 100 + 1) AS sz
+      FROM events),
+    c AS (
+      SELECT *,
+             sum(sz) OVER (PARTITION BY symbol ORDER BY es, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             lpad(CAST(es AS VARCHAR), 12, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+      FROM t),
+    g AS (
+      SELECT symbol, CAST((cum - sz) // 10000000 AS BIGINT) AS bar_id,
+             CAST(count(*) AS BIGINT) AS n_ticks,
+             CAST(sum(sz) AS BIGINT) AS volume,
+             arg_min(p6, ord) AS o, max(p6) AS h,
+             min(p6) AS l, arg_max(p6, ord) AS cl,
+             sum(CAST(p6 AS HUGEINT) * sz) AS pv,
+             min(es) AS bar_start, max(es) AS bar_end,
+             CAST(max(cum) AS BIGINT) AS cmax
+      FROM c GROUP BY 1, 2)
+    SELECT symbol, bar_id, bar_start, bar_end, n_ticks, volume,
+           o / 1e6 AS open, h / 1e6 AS high, l / 1e6 AS low,
+           cl / 1e6 AS close,
+           FLOOR(CAST(pv AS DOUBLE) / volume / 1e6 * 1e6 + 0.5) / 1e6
+             AS vwap_q6,
+           cmax >= (bar_id + 1) * 10000000 AS complete
+    FROM g
+    """,
+)
+def ticks_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dollar bars (López de Prado ch.2's preferred information-driven
+    sampling): the same exact-prefix-sum bar machinery as
+    ticks_volume_bars, but cumulating the traded DOLLAR value (integer
+    cents × size) and closing every $100k — robust to price-level
+    drift where tick/volume bars aren't. One per-symbol sort + one
+    hash agg; all integers, layout-independent."""
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        F.col("ts").cast("long").alias("es"),
+        "event_id",
+        "value",
+        (
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            * (F.col("event_id") % 100 + 1)
+        ).alias("sz"),
+    )
+    return ticks.volume_bars(
+        t,
+        ts_col="es",
+        price_col="value",
+        size_col="sz",
+        bar_volume=10_000_000,
+        tiebreak_cols=("event_id",),
+    )
+
+
+@_register(
     "ticks_kyle_lambda",
     r"""
     WITH t AS (
