@@ -125,6 +125,7 @@ _ADJUDICATION_PRIORITY = [
     "doc_hybrid_near_dup",
     "events_attribution",
     "ticks_dollar_bars",
+    "ml_cpcv_folds",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

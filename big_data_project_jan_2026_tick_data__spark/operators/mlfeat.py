@@ -478,3 +478,78 @@ def label_uniqueness_weights(
             q6(F.col("s9").cast("double") / F.lit(1e9) / F.col("n_bars")),
         ).alias("avg_uniqueness_q6"),
     )
+
+
+def cpcv_folds(
+    df: DataFrame,
+    ts_col: str = "ts",
+    n_groups: int = 5,
+    k_test: int = 2,
+    purge: int = 1,
+    embargo: int = 1,
+) -> DataFrame:
+    """Combinatorial purged cross-validation (López de Prado 2018,
+    ch. 12): the observed days split into ``n_groups`` contiguous
+    blocks and EVERY size-``k_test`` combination of blocks serves as
+    one fold's test set — C(n, k) folds whose test sets jointly visit
+    each group C(n−1, k−1) times, which is what lets CPCV assemble
+    multiple independent backtest PATHS instead of the single path
+    plain walk-forward gives. Purge/embargo margins around every test
+    block are excluded from that fold's training days, exactly as in
+    :func:`purged_cv_folds`.
+
+    Scale shape: the corpus reduces once to the driver-pinned
+    (day, n_rows) calendar; the combination list is C(n, k) × k rows of
+    driver-side literals; the role grid is folds × days — calendar
+    arithmetic end to end, all integers. Returns
+    (fold, day, role, n_rows) with role ∈ {'test', 'purged', 'train'}.
+    """
+    from itertools import combinations
+
+    from pyspark.sql import Window
+
+    days_agg = (
+        df.select(F.to_date(F.col(ts_col)).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    spark = df.sparkSession
+    days = spark.createDataFrame(days_agg.collect(), days_agg.schema)
+    n = days.agg(F.count(F.lit(1)).alias("n_days"))
+    ranked = (
+        days.crossJoin(F.broadcast(n))
+        .withColumn("r", F.row_number().over(Window.orderBy("day")))
+        .withColumn(
+            "grp",
+            F.floor((F.col("r") - 1) * n_groups / F.col("n_days")).cast(
+                "int"
+            ),
+        )
+    )
+    bounds = ranked.groupBy(F.col("grp").alias("g")).agg(
+        F.min("r").alias("lo"), F.max("r").alias("hi")
+    )
+    combos = [
+        (f, g)
+        for f, gs in enumerate(combinations(range(n_groups), k_test))
+        for g in gs
+    ]
+    fg = spark.createDataFrame(combos, "fold int, g int").join(
+        F.broadcast(bounds), "g"
+    )
+    grid = ranked.crossJoin(F.broadcast(fg))
+    cell = grid.groupBy("fold", "day", "n_rows").agg(
+        F.max((F.col("grp") == F.col("g")).cast("int")).alias("is_test"),
+        F.max(
+            (
+                (F.col("r") >= F.col("lo") - purge)
+                & (F.col("r") <= F.col("hi") + embargo)
+            ).cast("int")
+        ).alias("in_margin"),
+    )
+    role = (
+        F.when(F.col("is_test") == 1, F.lit("test"))
+        .when(F.col("in_margin") == 1, F.lit("purged"))
+        .otherwise(F.lit("train"))
+    )
+    return cell.select("fold", "day", role.alias("role"), "n_rows")

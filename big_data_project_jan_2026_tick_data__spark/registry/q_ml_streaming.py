@@ -1312,6 +1312,65 @@ def streaming_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def _cpcv_oracle(
+    n_groups: int = 5, k_test: int = 2, purge: int = 1, embargo: int = 1
+) -> str:
+    """Mirror of mlfeat.cpcv_folds: the C(n, k) combination list is the
+    same driver-side literal set, rendered as a VALUES table."""
+    from itertools import combinations
+
+    vals = ", ".join(
+        f"({f}, {g})"
+        for f, gs in enumerate(combinations(range(n_groups), k_test))
+        for g in gs
+    )
+    return f"""
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
+      FROM events GROUP BY 1),
+    n AS (SELECT count(*) AS n_days FROM days),
+    ranked AS (
+      SELECT day, n_rows,
+             row_number() OVER (ORDER BY day) AS r,
+             CAST(FLOOR((row_number() OVER (ORDER BY day) - 1) * {n_groups}
+                        / n_days) AS INT) AS grp
+      FROM days CROSS JOIN n),
+    bounds AS (
+      SELECT grp AS g, min(r) AS lo, max(r) AS hi FROM ranked GROUP BY 1),
+    fgl AS (SELECT * FROM (VALUES {vals}) AS t(fold, g)),
+    fg AS (SELECT fold, fgl.g, lo, hi FROM fgl JOIN bounds ON bounds.g = fgl.g),
+    cell AS (
+      SELECT f.fold, rk.day, rk.n_rows,
+             max(CASE WHEN rk.grp = f.g THEN 1 ELSE 0 END) AS is_test,
+             max(CASE WHEN rk.r >= f.lo - {purge}
+                       AND rk.r <= f.hi + {embargo}
+                      THEN 1 ELSE 0 END) AS in_margin
+      FROM ranked rk CROSS JOIN fg f GROUP BY 1, 2, 3)
+    SELECT fold, day,
+           CASE WHEN is_test = 1 THEN 'test'
+                WHEN in_margin = 1 THEN 'purged'
+                ELSE 'train' END AS role,
+           n_rows
+    FROM cell
+    """
+
+
+@_register("ml_cpcv_folds", _cpcv_oracle())
+def ml_cpcv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combinatorial purged CV (mlfeat.cpcv_folds, 5 groups choose 2
+    test, purge=embargo=1 day): every pair of day blocks serves as one
+    of the C(5,2)=10 folds' test sets, each with purge/embargo margins
+    — the LdP ch.12 scheme whose test sets jointly assemble multiple
+    independent backtest paths. Calendar-sized integer arithmetic over
+    the driver-pinned day table; exact value hash."""
+    from ..operators.mlfeat import cpcv_folds
+
+    ev = _td(spark, sf_dir, "events")
+    return cpcv_folds(
+        ev, ts_col="ts", n_groups=5, k_test=2, purge=1, embargo=1
+    )
+
+
 @_register(
     "streaming_static_enrich",
     """

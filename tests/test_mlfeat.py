@@ -316,3 +316,50 @@ def test_label_uniqueness_hand_computed(spark):
     assert out[m(0)].avg_uniqueness_q6 == 0.75
     assert out[m(1)].avg_uniqueness_q6 == 0.75
     assert out[m(59)].avg_uniqueness_q6 == 1.0
+
+
+def test_cpcv_folds_invariants(spark):
+    """20 days, 5 groups choose 2: 10 folds; each group is in-test in
+    exactly C(4,1)=4 folds; per fold the test days are the union of two
+    4-day blocks; margins hug each block; roles partition the days."""
+    import datetime as dt
+    from itertools import combinations
+
+    from big_data_project_jan_2026_tick_data__spark.operators.mlfeat import (
+        cpcv_folds,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(base + dt.timedelta(days=d),) for d in range(20)], "ts timestamp"
+    )
+    out = cpcv_folds(df, n_groups=5, k_test=2, purge=1, embargo=1).collect()
+    assert len(out) == 10 * 20
+    days = sorted({r.day for r in out})
+    pos = {d: i for i, d in enumerate(days)}  # 0-based; group = pos // 4
+    combos = list(combinations(range(5), 2))
+    by_fold = {}
+    for r in out:
+        by_fold.setdefault(r.fold, {})[pos[r.day]] = r.role
+    assert sorted(by_fold) == list(range(10))
+    for f, roles in by_fold.items():
+        gs = set(combos[f])
+        for p, role in roles.items():
+            g = p // 4
+            if g in gs:
+                assert role == "test", (f, p)
+            else:
+                near = any(
+                    4 * tg - 1 <= p <= 4 * tg + 4 for tg in gs
+                )  # purge 1 before block start, embargo 1 after block end
+                assert role == ("purged" if near else "train"), (f, p)
+    # each group serves as test in exactly 4 of the 10 folds
+    from collections import Counter
+
+    c = Counter(
+        p // 4
+        for roles in by_fold.values()
+        for p, role in roles.items()
+        if role == "test"
+    )
+    assert all(v == 4 * 4 for v in c.values())  # 4 folds × 4 days
