@@ -280,7 +280,12 @@ def association_rules(
         .agg(F.count(F.lit(1)).alias("n_item"))
         .filter(F.col("n_item") >= min_count)
     )
-    freq = it.join(counts, "item")  # pruned stream, keeps n_item
+    # The pruned stream feeds BOTH sides of the basket self-join;
+    # materialize it once (localCheckpoint) so lineage recompute does
+    # not re-scan + re-count the corpus per side. It is the post-prune
+    # stream — the small end of the funnel by design; the one retained
+    # checkpoint is the documented cost (graph-module convention).
+    freq = it.join(counts, "item").localCheckpoint()
     a = freq.select(
         F.col("bk"),
         F.col("item").alias("item_a"),

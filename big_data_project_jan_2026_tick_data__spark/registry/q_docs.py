@@ -235,15 +235,26 @@ def doc_hybrid_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard 0."""
     emb = _td(spark, sf_dir, "embeddings")
     docs = _td(spark, sf_dir, "documents")
+    # Materialize the candidate set once: it feeds THREE consumers (two
+    # id projections + the final join) and recomputing the LSH
+    # self-join per consumer re-scanned the corpus 70+ times via
+    # lineage (caught by the scan audit). Candidates are the SMALL
+    # stage-1 output by design, so one localCheckpoint is bounded.
     cands = similarity.embedding_near_dup_pairs(
         emb, dim=64, threshold=0.2, num_planes=4
-    )
+    ).localCheckpoint()
     cand_ids = (
         cands.select(F.col("id_a").alias("doc_id"))
         .unionByName(cands.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    sub = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    # candidate docs are the small verify set — materialize them so the
+    # Jaccard machinery's four lineage branches (hot-shingle prune,
+    # sizes, both self-join sides) re-read the checkpoint, not the
+    # corpus (a broadcast-semi filter does not prune the parquet scan)
+    sub = docs.join(
+        F.broadcast(cand_ids), "doc_id", "left_semi"
+    ).localCheckpoint()
     jac = dedup.ngram_jaccard_pairs(
         sub, shingle_n=3, threshold=0.0
     ).withColumnsRenamed({"id_a": "j_a", "id_b": "j_b"})

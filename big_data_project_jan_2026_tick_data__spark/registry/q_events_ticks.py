@@ -1933,15 +1933,24 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("first_touch", F.lit("direct")).alias("first_touch"),
         F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
     )
+    # both models from ONE pass: explode the (model, channel) pair
+    # per conversion instead of unioning two recomputations of the
+    # window (caught by the scan audit — union lineage re-scanned the
+    # stream per model)
     stacked = conv.select(
-        F.lit("first_touch").alias("model"),
-        F.col("first_touch").alias("channel"),
-    ).unionByName(
-        conv.select(
-            F.lit("last_touch").alias("model"),
-            F.col("last_touch").alias("channel"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("first_touch").alias("channel"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("last_touch").alias("channel"),
+                ),
+            )
+        ).alias("mc")
+    ).select("mc.model", "mc.channel")
     return stacked.groupBy("model", "channel").agg(
         F.count(F.lit(1)).alias("n_conversions")
     )

@@ -1072,6 +1072,9 @@ def ml_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("close_i4"),
         )
+        # minute-scale (tape/60); feeds entries AND the interval join —
+        # materialize once instead of re-scanning the tape per consumer
+        .localCheckpoint()
     )
     entries = bars.filter(F.minute("bar_ts") == 0).select(
         "symbol",
@@ -1147,6 +1150,9 @@ def ml_label_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("close_i4"),
         )
+        # minute-scale (tape/60); feeds entries AND the interval join —
+        # materialize once instead of re-scanning the tape per consumer
+        .localCheckpoint()
     )
     entries = bars.filter(F.minute("bar_ts") == 0).select(
         "symbol",
@@ -1155,7 +1161,7 @@ def ml_label_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = triple_barrier_labels(
         bars, entries, horizon_minutes=120, up_mult=1.002, dn_mult=0.998
-    )
+    ).localCheckpoint()  # label-sized; feeds the span join AND the final join
     return label_uniqueness_weights(bars, labels, horizon_minutes=120)
 
 

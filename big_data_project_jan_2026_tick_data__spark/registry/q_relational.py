@@ -2225,9 +2225,13 @@ def orders_forecast_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout-independent."""
     orders = _td(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
-    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        F.sum(cents).alias("rev_cents")
-    )
+    m_agg = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum(cents).alias("rev_cents"))
+    # calendar-sized — pin on the driver so the four consumers (prev,
+    # increment stats, max month, basis) cost ONE corpus scan, not four
+    # (purged-CV precedent, caught by the scan audit)
+    m = spark.createDataFrame(m_agg.collect(), m_agg.schema)
     prev = m.select(
         F.to_timestamp(F.add_months("month", 12)).alias("month"),
         F.col("rev_cents").alias("prev_cents"),
