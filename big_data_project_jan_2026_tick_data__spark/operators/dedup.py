@@ -223,7 +223,15 @@ def minhash_lsh_pairs(
     docs in a dropped bucket still pair through their other bands.
     ``None`` disables the cap."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # Materialize signatures once: they feed five plan branches (both
+    # band-join sides, the hot-bucket count, and both signature
+    # join-backs), and lineage recompute would re-run the corpus-sized
+    # shingle explode + 64-way agg per branch (scan-audit finding; no
+    # ReusedExchange fires because the branch projections differ). The
+    # signature table is #docs × num_hashes longs — tiny next to text.
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint()
     # variadic fixed-width hash of each band's signature slice — no
     # string materialization per band; one SQL string, not 8×4 py4j ops
     band_arr = ", ".join(
@@ -400,7 +408,10 @@ def md5_minhash_lsh_pairs(
     exists so the FULL LSH pipeline (signature → band → candidate pair →
     similarity estimate) gets an independent value-hash oracle, not a
     rows-only check. Same hot-bucket cap and slim-join shape."""
-    sigs = md5_minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # same five-branch reuse as minhash_lsh_pairs — materialize once
+    sigs = md5_minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint()
     band_entries = _md5_band_entries(sigs, id_col, num_hashes, bands)
     if max_bucket_size is not None:
         hot = (
@@ -474,6 +485,12 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    # the pruned shingle stream feeds three branches (sizes + both
+    # intersection-join sides); materialize it once — the storage is
+    # one (id, shingle) row per distinct shingle occurrence, the same
+    # volume the intersection join shuffles anyway, vs re-running the
+    # corpus normalize + explode per branch (scan-audit finding)
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("a")
@@ -847,7 +864,10 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash — :func:`hamming_pairs` over
     :func:`simhash` fingerprints."""
     return hamming_pairs(
-        simhash(df, text_col, id_col),
+        # fingerprints feed the segment explode's three consumers (hot
+        # count + both join sides); materialize the #docs × 1-long
+        # table once instead of re-running the corpus simhash per branch
+        simhash(df, text_col, id_col).localCheckpoint(),
         fp_col="simhash",
         id_col=id_col,
         max_hamming=max_hamming,

@@ -245,6 +245,13 @@ def fuzzy_string_link(
         )
         lg = lg.join(F.broadcast(hot), "g", "left_anti")
         rg = rg.join(F.broadcast(hot), "g", "left_anti")
+    # each pruned gram stream feeds its size agg AND the intersection
+    # join (and fed the hot-gram count upstream) — materialize once so
+    # lineage recompute doesn't re-explode the source strings per
+    # branch (scan-audit finding); volume = one (id, gram) row per
+    # distinct gram, the same rows the intersection join shuffles
+    lg = lg.localCheckpoint()
+    rg = rg.localCheckpoint()
     ls = lg.groupBy("__lid").agg(F.count(F.lit(1)).alias("__la"))
     rs = rg.groupBy("__rid").agg(F.count(F.lit(1)).alias("__ra"))
     inter = (

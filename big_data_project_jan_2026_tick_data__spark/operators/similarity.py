@@ -940,11 +940,15 @@ def pq_topk(
     dsub = len(cents[0][0])
     v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
     qrows = v.orderBy(id_col).limit(n_queries).collect()
+    # the wide code table is consumed once PER QUERY branch below —
+    # materialize it once (m ints per vector; the at-rest form a real
+    # deployment persists anyway) instead of re-encoding the corpus
+    # n_queries times via lineage recompute (scan-audit finding)
     wide = (
         codes.groupBy(id_col)
         .pivot("subspace", list(range(m)))
         .agg(F.first("code"))
-    )
+    ).localCheckpoint()
     out = None
     for qr in qrows:
         qid = qr[id_col]
@@ -1099,8 +1103,14 @@ def ivfpq_topk(
         dt_rows, "query_id long, cell int, subspace int, code int, d6i long"
     )
 
-    long_codes = codes.select(id_col, "subspace", "code").join(
-        resid.select(id_col, "cell"), id_col
+    # materialize the slim at-rest index once (cell int + m code ints
+    # per vector — what a deployment persists as the index table), so
+    # the ADC join below reads it instead of re-deriving assignments
+    # through lineage (scan-audit discipline)
+    long_codes = (
+        codes.select(id_col, "subspace", "code")
+        .join(resid.select(id_col, "cell"), id_col)
+        .localCheckpoint()
     )
     ad = (
         long_codes.join(

@@ -912,6 +912,11 @@ def source_js_divergence(
         "term",
         (F.floor(F.col("c") / F.col("nt") * 1e9 + F.lit(0.5)) / 1e9).alias("p"),
     )
+    # alphabet-sized (groups × (vocab+1)) but consumed by FIVE plan
+    # branches (both pair sides, the term scaffold, pa, pb) — pin it on
+    # the driver so the corpus token stream is aggregated once, not per
+    # branch (scan-audit finding; the centroid-collect precedent)
+    probs = df.sparkSession.createDataFrame(probs.collect(), probs.schema)
     # pair × term scaffold keeps absent terms as p=0 on either side
     # (a plain term equi-join would silently drop them)
     pairs = (

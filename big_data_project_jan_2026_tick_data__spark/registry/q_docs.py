@@ -852,7 +852,9 @@ def doc_md5_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole join (doc_simhash_pairs' xxhash64 fast path stays
     rows-only by nature)."""
     docs = _td(spark, sf_dir, "documents")
-    fps = dedup.md5_simhash(docs)
+    # #docs × 1 long — materialize once so the segment join's three
+    # branches don't re-run the corpus md5-simhash (scan-audit rule)
+    fps = dedup.md5_simhash(docs).localCheckpoint()
     return dedup.hamming_pairs(
         fps, fp_col="simhash", id_col="doc_id", max_hamming=6, blocks=4
     )
