@@ -590,3 +590,40 @@ def test_purged_cv_reduces_before_calendar_grid(spark, sf_dir):
     assert tree.count("Scan parquet") == 0
     assert "CartesianProduct" not in tree
     assert "SortMergeJoin" not in tree
+
+
+import pytest as _pytest  # noqa: E402  (scan-budget parametrize below)
+
+# -- lineage-recompute scan audit (round-6 finding) -----------------------
+# A DataFrame consumed by k plan branches re-executes its whole lineage
+# per branch unless materialized; these budgets pin the fixed queries'
+# corpus-scan counts so a refactor can't silently reintroduce the
+# multiplier. Numbers are the audited post-fix plan shapes (0 = the
+# corpus is read once eagerly at build time).
+_SCAN_BUDGETS = {
+    "doc_hybrid_near_dup": 0,
+    "doc_minhash_pairs": 0,
+    "doc_md5_minhash_pairs": 0,
+    "doc_simhash_pairs": 0,
+    "doc_md5_simhash_pairs": 0,
+    "doc_ngram_jaccard": 0,
+    "doc_source_divergence": 0,
+    "part_fuzzy_link": 0,
+    "emb_pq_topk": 0,
+    "emb_ivfpq_topk": 0,
+    "ml_label_uniqueness": 0,
+    "ml_triple_barrier": 0,
+    "orders_forecast_yoy": 0,
+    "part_association_rules": 1,
+    "events_attribution": 1,
+}
+
+
+@_pytest.mark.parametrize("name", sorted(_SCAN_BUDGETS))
+def test_scan_budget(spark, sf_dir, name):
+    tree, full = _explain(spark, name, sf_dir)
+    scans = tree.count("Scan parquet")
+    assert scans <= _SCAN_BUDGETS[name], (
+        f"{name}: {scans} parquet scans (budget {_SCAN_BUDGETS[name]}) — "
+        "a multiply-consumed intermediate lost its materialization"
+    )
