@@ -126,6 +126,7 @@ _ADJUDICATION_PRIORITY = [
     "events_attribution",
     "ticks_dollar_bars",
     "ml_cpcv_folds",
+    "incremental_ohlc_view",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

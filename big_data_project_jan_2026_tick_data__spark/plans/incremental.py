@@ -53,3 +53,101 @@ def dedup_append(
     if existing is not None:
         b = b.join(existing, HASH_COL, "left_anti")
     table.write(b, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized aggregate view (OHLC rollup)
+# ---------------------------------------------------------------------------
+# The batch/streaming-unification piece next to dedup_append: a daily
+# per-symbol OHLC view maintained from append batches WITHOUT ever
+# re-reading history. The stored state is MERGEABLE PARTIALS — first/
+# last picks as (ts, tiebreak, price) structs (min/max over structs is
+# associative), extreme prices, exact integer volume/count sums — so
+# refresh(batch) = merge(stored, partials(batch)), and any batch
+# slicing yields the identical view (the mergeable-rollup discipline
+# sketches.py uses for HLL/histograms, applied to an OHLC aggregate).
+
+OHLC_STATE_COLS = ("o_s", "c_s", "l6", "h6", "vol", "n_ticks")
+
+
+def ohlc_partials(
+    ticks: DataFrame,
+    ts_col: str = "es",
+    price6_col: str = "p6",
+    size_col: str = "sz",
+    symbol_col: str = "symbol",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """One batch reduced to per-(symbol, day) mergeable OHLC state.
+    Prices arrive on the 1e-6 integer grid; open/close ride
+    min/max-over-struct (associative, exact), volume and tick count are
+    exact integer sums — every column re-merges without error, which is
+    what makes the view incrementally maintainable."""
+    day = (F.col(ts_col) / 86400).cast("long")
+    pick = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col(tiebreak_col).alias("tb"),
+        F.col(price6_col).alias("p6"),
+    )
+    return ticks.groupBy(
+        F.col(symbol_col).alias("symbol"), day.alias("day")
+    ).agg(
+        F.min(pick).alias("o_s"),
+        F.max(pick).alias("c_s"),
+        F.min(price6_col).alias("l6"),
+        F.max(price6_col).alias("h6"),
+        F.sum(size_col).alias("vol"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+def merge_ohlc_state(stored: DataFrame, batch_partials: DataFrame) -> DataFrame:
+    """Merge two partial-state tables: union + the SAME associative
+    aggregates — the algebra that makes refresh order-independent."""
+    return (
+        stored.unionByName(batch_partials)
+        .groupBy("symbol", "day")
+        .agg(
+            F.min("o_s").alias("o_s"),
+            F.max("c_s").alias("c_s"),
+            F.min("l6").alias("l6"),
+            F.max("h6").alias("h6"),
+            F.sum("vol").alias("vol"),
+            F.sum("n_ticks").alias("n_ticks"),
+        )
+    )
+
+
+def refresh_ohlc_view(table, batch: DataFrame, **partial_kwargs) -> None:
+    """Ingest one tick batch into the materialized view: reduce the
+    batch to partials (the only corpus-sized work — history is never
+    re-read), merge with the stored state of the TOUCHED (symbol, day)
+    keys only, and MERGE the refreshed rows back (one copy-on-write
+    snapshot per refresh — the view's history is time-travelable like
+    any other table)."""
+    parts = ohlc_partials(batch, **partial_kwargs)
+    try:
+        stored = table.read()
+    except ValueError:
+        table.write(parts, mode="append")  # first batch seeds the view
+        return
+    keys = parts.select("symbol", "day").distinct()
+    touched = stored.join(F.broadcast(keys), ["symbol", "day"], "left_semi")
+    refreshed = merge_ohlc_state(touched, parts)
+    table.merge(refreshed, key_cols=["symbol", "day"])
+
+
+def finalize_ohlc_view(state: DataFrame) -> DataFrame:
+    """Render the partial state as the user-facing OHLC view — a pure
+    projection (the stored form IS the aggregate; finalize costs no
+    shuffle)."""
+    return state.select(
+        "symbol",
+        "day",
+        (F.col("o_s.p6") / F.lit(1e6)).alias("open"),
+        (F.col("h6") / F.lit(1e6)).alias("high"),
+        (F.col("l6") / F.lit(1e6)).alias("low"),
+        (F.col("c_s.p6") / F.lit(1e6)).alias("close"),
+        F.col("vol").alias("volume"),
+        "n_ticks",
+    )

@@ -180,6 +180,74 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_ohlc_view",
+    r"""
+    -- invariant: any batch slicing of the feed refreshes to the same
+    -- view as one-shot aggregation (mergeable partials)
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS p6,
+             (event_id % 100 + 1) AS sz
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    g AS (
+      SELECT symbol, es // 86400 AS day,
+             arg_min(p6, lpad(CAST(es AS VARCHAR), 12, '0')
+                         || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS o6,
+             max(p6) AS h6, min(p6) AS l6,
+             arg_max(p6, lpad(CAST(es AS VARCHAR), 12, '0')
+                         || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS c6,
+             CAST(sum(sz) AS BIGINT) AS volume,
+             CAST(count(*) AS BIGINT) AS n_ticks
+      FROM t GROUP BY 1, 2)
+    SELECT symbol, day,
+           o6 / 1e6 AS open, h6 / 1e6 AS high, l6 / 1e6 AS low,
+           c6 / 1e6 AS close, volume, n_ticks,
+           3 AS n_snapshots
+    FROM g
+    """,
+)
+def incremental_ohlc_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (plans/incremental.py::refresh_ohlc_view): the tick feed arrives as
+    THREE interleaved batches (event_id mod 3 — every batch touches
+    every (symbol, day) key, the hard case), each refresh reduces ONLY
+    its batch to mergeable OHLC partials (struct-min/max opens/closes,
+    exact integer sums) and MERGEs the touched keys — history is never
+    re-read, and each refresh is one time-travelable snapshot. The
+    oracle is the one-shot aggregation over the whole feed: the
+    value-hash proves refresh ≡ recompute under batch slicing, plus the
+    3-snapshot commit trail."""
+    import tempfile
+
+    from ..plans.incremental import finalize_ohlc_view, refresh_ohlc_view
+    from ..plans.snapshots import SnapshotTable
+
+    ev = _td(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        F.col("ts").cast("long").alias("es"),
+        "event_id",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint").alias("p6"),
+        (F.col("event_id") % 100 + 1).alias("sz"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        tbl = SnapshotTable(spark, f"{d}/view")
+        for i in range(3):
+            refresh_ohlc_view(tbl, t.filter(F.col("event_id") % 3 == i))
+        n_snaps = tbl.snapshots().count()
+        out = finalize_ohlc_view(tbl.read()).withColumn(
+            "n_snapshots", F.lit(int(n_snaps))
+        )
+        rows = out.collect()  # materialize before tmpdir cleanup
+    return spark.createDataFrame(rows, out.schema)
+
+
+@_register(
     "snapshot_schema_evolution",
     """
     -- rows committed before the column existed surface NULL for it

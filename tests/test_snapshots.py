@@ -373,3 +373,48 @@ def test_delete_where_cow_and_null_semantics(spark, tmp_path):
     assert [r.k for r in t.read().collect()] == [3]
     with _pytest.raises(TypeError):
         t.delete_where(123)
+
+
+def test_incremental_ohlc_view_merge_algebra(spark, tmp_path):
+    """Hand-computed refresh: two batches touching the same (symbol,
+    day) — batch 2 carries the new close (later ts), a new low, and
+    more volume; the merged view equals the one-shot aggregate, and a
+    singleton-batch refresh leaves untouched keys alone."""
+    from big_data_project_jan_2026_tick_data__spark.plans.incremental import (
+        finalize_ohlc_view,
+        ohlc_partials,
+        merge_ohlc_state,
+        refresh_ohlc_view,
+    )
+    from big_data_project_jan_2026_tick_data__spark.plans.snapshots import (
+        SnapshotTable,
+    )
+
+    rows1 = [("A", 100, 1, 5_000_000, 10), ("A", 200, 2, 6_000_000, 5)]
+    rows2 = [("A", 150, 3, 4_000_000, 7), ("A", 300, 4, 5_500_000, 8)]
+    schema = "symbol string, es long, event_id long, p6 long, sz long"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+
+    t = SnapshotTable(spark, str(tmp_path / "view"))
+    refresh_ohlc_view(t, b1)
+    refresh_ohlc_view(t, b2)
+    got = finalize_ohlc_view(t.read()).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.open, r.high, r.low, r.close) == (5.0, 6.0, 4.0, 5.5)
+    assert r.volume == 30 and r.n_ticks == 4
+    # merge algebra == one-shot partials
+    oneshot = finalize_ohlc_view(
+        ohlc_partials(b1.unionByName(b2))
+    ).collect()[0]
+    assert (oneshot.open, oneshot.high, oneshot.low, oneshot.close,
+            oneshot.volume) == (r.open, r.high, r.low, r.close, r.volume)
+    # a batch for a DIFFERENT day must not touch day 0's row
+    b3 = spark.createDataFrame(
+        [("A", 100_000, 5, 9_000_000, 1)], schema
+    )
+    refresh_ohlc_view(t, b3)
+    final = {x.day: x for x in finalize_ohlc_view(t.read()).collect()}
+    assert final[0].close == 5.5 and final[1].close == 9.0
+    assert t.snapshots().count() == 3
