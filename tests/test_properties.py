@@ -1453,3 +1453,50 @@ def test_frac_diff_matches_python_oracle(spark, prices, d10, window):
                 for k, wk in enumerate(wts)
             )
             assert got[ts] == _math.floor(s / 1e9 / 1e4 * 1e6 + 0.5) / 1e6
+
+
+@given(
+    ticks=st.lists(
+        st.tuples(
+            st.integers(0, 1),          # symbol id
+            st.integers(0, 200_000),    # epoch seconds (spans 3 days)
+            st.integers(1, 9_999_999),  # p6
+            st.integers(1, 50),         # sz
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 2), min_size=30, max_size=30),
+)
+@settings(**SETTINGS)
+def test_incremental_ohlc_refresh_equals_oneshot(spark, ticks, cuts):
+    """Any 3-way slicing of the feed refreshes to the identical view as
+    one-shot aggregation — the mergeable-partials invariant, including
+    duplicate timestamps (tiebreak on event_id) and empty batches."""
+    from big_data_project_jan_2026_tick_data__spark.plans.incremental import (
+        finalize_ohlc_view,
+        ohlc_partials,
+        refresh_ohlc_view,
+    )
+    from big_data_project_jan_2026_tick_data__spark.plans.snapshots import (
+        SnapshotTable,
+    )
+    import tempfile
+
+    rows = [
+        (f"S{s}", es, i, p6, sz)
+        for i, (s, es, p6, sz) in enumerate(ticks)
+    ]
+    schema = "symbol string, es long, event_id long, p6 long, sz long"
+    df = spark.createDataFrame(rows, schema)
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(spark, f"{d}/v")
+        for b in range(3):
+            batch_rows = [r for i, r in enumerate(rows) if cuts[i] == b]
+            if batch_rows:
+                refresh_ohlc_view(t, spark.createDataFrame(batch_rows, schema))
+        got = sorted(
+            map(tuple, finalize_ohlc_view(t.read()).collect())
+        )
+    want = sorted(map(tuple, finalize_ohlc_view(ohlc_partials(df)).collect()))
+    assert got == want
