@@ -127,6 +127,7 @@ _ADJUDICATION_PRIORITY = [
     "ticks_dollar_bars",
     "ml_cpcv_folds",
     "incremental_ohlc_view",
+    "snapshot_compact_roundtrip",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -180,6 +180,67 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "snapshot_compact_roundtrip",
+    """
+    -- per-type aggregate must survive compaction bit-for-bit; the
+    -- lifecycle invariants ride as value-hashed columns
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_i4,
+           3 AS compacted_dirs,
+           TRUE AS manifest_is_single_dir,
+           TRUE AS history_still_readable
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def snapshot_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end to end: three append commits (three
+    data dirs — the long-append-history shape that fragments tasks at
+    scale), one `compact()` rewriting the manifest to a single dir, and
+    the value hash pins (a) the per-type aggregate unchanged through
+    the rewrite, (b) the compacted-dirs count from the commit summary,
+    (c) the new manifest being one dir, and (d) the PRE-compaction
+    snapshot still readable with identical row count (data dirs are
+    immutable; the log only grows)."""
+    import tempfile
+
+    from ..plans.snapshots import SnapshotTable
+
+    ev = _td(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "event_id", "event_type", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(spark, f"{d}/tbl")
+        for i in range(3):
+            t.write(ev.filter(F.col("event_id") % 3 == i), mode="append")
+        pre = t.current_snapshot_id()
+        n_pre = t.read().count()
+        snap = t.compact()
+        single = len(snap.manifest) == 1
+        readable = t.read(version=pre).count() == n_pre == t.read().count()
+        out = (
+            t.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("bigint")
+                ).alias("value_i4"),
+            )
+            .withColumn(
+                "compacted_dirs",
+                F.lit(int(snap.summary["compacted-dirs"])),
+            )
+            .withColumn("manifest_is_single_dir", F.lit(bool(single)))
+            .withColumn("history_still_readable", F.lit(bool(readable)))
+        )
+        rows = out.collect()  # materialize before tmpdir cleanup
+    return spark.createDataFrame(rows, out.schema)
+
+
+@_register(
     "incremental_ohlc_view",
     r"""
     -- invariant: any batch slicing of the feed refreshes to the same
