@@ -1500,3 +1500,60 @@ def test_incremental_ohlc_refresh_equals_oneshot(spark, ticks, cuts):
         )
     want = sorted(map(tuple, finalize_ohlc_view(ohlc_partials(df)).collect()))
     assert got == want
+
+
+@given(
+    closes=st.lists(st.integers(9_500, 10_500), min_size=1, max_size=40),
+    entry_idx=st.lists(st.integers(0, 39), min_size=1, max_size=5),
+    horizon=st.integers(1, 15),
+)
+@settings(**SETTINGS)
+def test_triple_barrier_matches_python_oracle(
+    spark, closes, entry_idx, horizon
+):
+    """First-touch labels equal a sequential python walk for arbitrary
+    integer-grid paths, entry positions and horizons."""
+    import datetime as dt
+    import math as _math
+
+    from big_data_project_jan_2026_tick_data__spark.operators.mlfeat import (
+        triple_barrier_labels,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    bars = [
+        ("X", t0 + dt.timedelta(minutes=i), int(c))
+        for i, c in enumerate(closes)
+    ]
+    entries = sorted({i for i in entry_idx if i < len(closes)})
+    bdf = spark.createDataFrame(
+        bars, "symbol string, bar_ts timestamp, close_i4 long"
+    )
+    edf = spark.createDataFrame(
+        [("X", bars[i][1], bars[i][2]) for i in entries],
+        "symbol string, entry_ts timestamp, entry_close_i4 long",
+    )
+    got = {
+        r.entry_ts: (r.label, r.t_up, r.t_dn)
+        for r in triple_barrier_labels(
+            bdf, edf, horizon_minutes=horizon, up_mult=1.002, dn_mult=0.998
+        ).collect()
+    }
+    assert len(got) == len(entries)
+    for i in entries:
+        up = _math.floor(float(closes[i]) * 1.002 + 0.5)
+        dn = _math.floor(float(closes[i]) * 0.998 + 0.5)
+        t_up = t_dn = None
+        for j in range(i + 1, min(i + horizon + 1, len(closes))):
+            ts = bars[j][1]
+            if t_up is None and closes[j] >= up:
+                t_up = ts
+            if t_dn is None and closes[j] <= dn:
+                t_dn = ts
+        if t_up is None and t_dn is None:
+            label = "timeout"
+        elif t_dn is None or (t_up is not None and t_up < t_dn):
+            label = "profit"
+        else:
+            label = "stop"
+        assert got[bars[i][1]] == (label, t_up, t_dn), (i, closes)
