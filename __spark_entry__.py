@@ -128,6 +128,7 @@ _ADJUDICATION_PRIORITY = [
     "ml_cpcv_folds",
     "incremental_ohlc_view",
     "snapshot_compact_roundtrip",
+    "events_k_anonymity",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -116,3 +116,50 @@ def enforce(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
         v = _violation_pred(r)
         pred = v if pred is None else (pred | v)
     return df if pred is None else df.filter(~F.coalesce(pred, F.lit(False)))
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    re-identification-risk check a governed dataset runs BEFORE
+    release, completing the privacy lifecycle next to the PII scrub
+    (text.scrub_pii) and the GDPR delete (SnapshotTable.delete_where):
+    a row is at risk when its quasi-identifier equivalence class holds
+    fewer than ``k`` rows (it narrows the subject to < k candidates).
+
+    One hash agg to equivalence classes, one class-sized agg to the
+    report — the corpus never shuffles twice. ``by`` adds report
+    grouping (e.g. per event_type). Returns per ``by``-group:
+    (n_rows, n_classes, n_risky_classes, n_risky_rows,
+    risky_row_frac_q6, k_anonymous) — all exact integers plus one
+    count-ratio division, layout-independent.
+    """
+    classes = df.groupBy(*by, *quasi_cols).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    risky = F.col("__n") < k
+    rep = classes.groupBy(*by).agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(risky.cast("long")).alias("n_risky_classes"),
+        F.sum(F.when(risky, F.col("__n")).otherwise(0)).alias("n_risky_rows"),
+    )
+    frac = (
+        F.floor(
+            F.col("n_risky_rows") / F.col("n_rows") * 1e6 + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return rep.select(
+        *by,
+        "n_rows",
+        "n_classes",
+        "n_risky_classes",
+        "n_risky_rows",
+        frac.alias("risky_row_frac_q6"),
+        (F.col("n_risky_classes") == 0).alias("k_anonymous"),
+    )

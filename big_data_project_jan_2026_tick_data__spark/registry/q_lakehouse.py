@@ -180,6 +180,51 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_k_anonymity",
+    """
+    WITH cl AS (
+      SELECT event_type,
+             user_id % 10 AS user_bucket,
+             CAST(ts AS DATE) AS day,
+             count(*) AS n
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2, 3)
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_classes,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_risky_rows,
+           FLOOR(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0
+                 / SUM(n) * 1e6 + 0.5) / 1e6 AS risky_row_frac_q6,
+           SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0 AS k_anonymous
+    FROM cl GROUP BY event_type
+    """,
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (expectations.k_anonymity_report, k=5) over
+    the (user bucket, day) quasi-identifier pair, reported per event
+    type — the re-identification-risk gate before a governed release,
+    completing the privacy lifecycle next to the PII scrub and the
+    GDPR delete+purge. Two hash aggs, exact integer counts."""
+    from ..plans.expectations import k_anonymity_report
+
+    ev = (
+        _td(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            (F.col("user_id") % 10).alias("user_bucket"),
+            F.to_date("ts").alias("day"),
+        )
+    )
+    return k_anonymity_report(
+        ev, quasi_cols=("user_bucket", "day"), k=5, by=("event_type",)
+    )
+
+
+@_register(
     "snapshot_compact_roundtrip",
     """
     -- per-type aggregate must survive compaction bit-for-bit; the

@@ -154,3 +154,39 @@ def test_daily_stats_report_artifacts(spark, tmp_path, sf_dir):
         assert len(out["plots"]) == 2
     except ImportError:
         assert out["plots"] == []
+
+
+def test_k_anonymity_report_hand_computed(spark):
+    """3-row class is risky at k=5 but safe at k=3; suppressing the
+    risky class makes the slice k-anonymous."""
+    from big_data_project_jan_2026_tick_data__spark.plans.expectations import (
+        k_anonymity_report,
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("a", 1, "d1")] * 6      # class of 6: safe
+        + [("a", 2, "d1")] * 3    # class of 3: risky at k=5
+        + [("b", 1, "d1")] * 5    # exactly k: safe
+    )
+    df = spark.createDataFrame(rows, "grp string, qa int, qb string")
+    rep = {
+        r.grp: r
+        for r in k_anonymity_report(
+            df, quasi_cols=("qa", "qb"), k=5, by=("grp",)
+        ).collect()
+    }
+    a, b = rep["a"], rep["b"]
+    assert (a.n_rows, a.n_classes, a.n_risky_classes, a.n_risky_rows) == (
+        9, 2, 1, 3,
+    )
+    assert a.risky_row_frac_q6 == 0.333333 and not a.k_anonymous
+    assert b.k_anonymous and b.n_risky_rows == 0
+    # k=3: the 3-row class is no longer risky
+    rep3 = {
+        r.grp: r
+        for r in k_anonymity_report(
+            df, quasi_cols=("qa", "qb"), k=3, by=("grp",)
+        ).collect()
+    }
+    assert rep3["a"].k_anonymous
