@@ -129,6 +129,7 @@ _ADJUDICATION_PRIORITY = [
     "incremental_ohlc_view",
     "snapshot_compact_roundtrip",
     "events_k_anonymity",
+    "events_l_diversity",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

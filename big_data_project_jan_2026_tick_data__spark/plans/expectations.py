@@ -163,3 +163,46 @@ def k_anonymity_report(
         frac.alias("risky_row_frac_q6"),
         (F.col("n_risky_classes") == 0).alias("k_anonymous"),
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,  # noqa: E741 — the criterion's canonical name
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    homogeneity-attack check k-anonymity misses: an equivalence class
+    whose rows all share one SENSITIVE value leaks it even when the
+    class is large, so a class is risky when it holds fewer than ``l``
+    distinct sensitive values. Same two-agg shape as
+    :func:`k_anonymity_report` (class agg carries a count-distinct).
+    Returns per ``by``-group: (n_rows, n_classes, n_risky_classes,
+    n_risky_rows, risky_row_frac_q6, l_diverse)."""
+    classes = df.groupBy(*by, *quasi_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct(sensitive_col).alias("__d"),
+    )
+    risky = F.col("__d") < l
+    rep = classes.groupBy(*by).agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(risky.cast("long")).alias("n_risky_classes"),
+        F.sum(F.when(risky, F.col("__n")).otherwise(0)).alias("n_risky_rows"),
+    )
+    frac = (
+        F.floor(
+            F.col("n_risky_rows") / F.col("n_rows") * 1e6 + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return rep.select(
+        *by,
+        "n_rows",
+        "n_classes",
+        "n_risky_classes",
+        "n_risky_rows",
+        frac.alias("risky_row_frac_q6"),
+        (F.col("n_risky_classes") == 0).alias("l_diverse"),
+    )

@@ -225,6 +225,51 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_l_diversity",
+    """
+    WITH cl AS (
+      SELECT user_id % 10 AS user_bucket,
+             CAST(ts AS DATE) AS day,
+             count(*) AS n,
+             count(DISTINCT event_type) AS d
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN d < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_classes,
+           CAST(SUM(CASE WHEN d < 2 THEN n ELSE 0 END) AS BIGINT)
+             AS n_risky_rows,
+           FLOOR(SUM(CASE WHEN d < 2 THEN n ELSE 0 END) * 1.0
+                 / SUM(n) * 1e6 + 0.5) / 1e6 AS risky_row_frac_q6,
+           SUM(CASE WHEN d < 2 THEN 1 ELSE 0 END) = 0 AS l_diverse
+    FROM cl
+    """,
+)
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (expectations.l_diversity_report,
+    l=2) over the same (user bucket, day) quasi-identifiers with
+    event_type as the sensitive attribute — the homogeneity-attack
+    check k-anonymity misses: a large class whose rows all share one
+    sensitive value still leaks it. Two hash aggs (class agg carries a
+    count-distinct), exact integers."""
+    from ..plans.expectations import l_diversity_report
+
+    ev = (
+        _td(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            (F.col("user_id") % 10).alias("user_bucket"),
+            F.to_date("ts").alias("day"),
+        )
+    )
+    return l_diversity_report(
+        ev, quasi_cols=("user_bucket", "day"), sensitive_col="event_type", l=2
+    )
+
+
+@_register(
     "snapshot_compact_roundtrip",
     """
     -- per-type aggregate must survive compaction bit-for-bit; the

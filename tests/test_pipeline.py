@@ -190,3 +190,28 @@ def test_k_anonymity_report_hand_computed(spark):
         ).collect()
     }
     assert rep3["a"].k_anonymous
+
+
+def test_l_diversity_report_hand_computed(spark):
+    """A 6-row class with ONE sensitive value is l-risky even though it
+    is k-safe; a 2-value class passes at l=2 and fails at l=3."""
+    from big_data_project_jan_2026_tick_data__spark.plans.expectations import (
+        l_diversity_report,
+    )
+
+    rows = (
+        [(1, "d1", "s1")] * 6                      # homogeneous: risky
+        + [(2, "d1", "s1"), (2, "d1", "s2")] * 3   # 2 values: ok at l=2
+    )
+    df = spark.createDataFrame(rows, "qa int, qb string, sens string")
+    r = l_diversity_report(
+        df, quasi_cols=("qa", "qb"), sensitive_col="sens", l=2
+    ).collect()[0]
+    assert (r.n_rows, r.n_classes, r.n_risky_classes, r.n_risky_rows) == (
+        12, 2, 1, 6,
+    )
+    assert r.risky_row_frac_q6 == 0.5 and not r.l_diverse
+    r3 = l_diversity_report(
+        df, quasi_cols=("qa", "qb"), sensitive_col="sens", l=3
+    ).collect()[0]
+    assert r3.n_risky_classes == 2 and not r3.l_diverse
