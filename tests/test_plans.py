@@ -627,3 +627,37 @@ def test_scan_budget(spark, sf_dir, name):
         f"{name}: {scans} parquet scans (budget {_SCAN_BUDGETS[name]}) — "
         "a multiply-consumed intermediate lost its materialization"
     )
+
+
+@_pytest.mark.skipif(
+    __import__("os").environ.get("SPARK_GRAFT_PLAN_AUDIT") != "1",
+    reason="registry-wide plan audit only runs with SPARK_GRAFT_PLAN_AUDIT=1",
+)
+def test_registry_wide_scan_audit(spark, sf_dir):
+    """Every registry query's returned plan stays under a generous
+    corpus-scan cap (multi-table TPC-H tops out at 8 tables; the funnel
+    legitimately scans once per step with pushed predicates). A new
+    query exceeding the cap is the lineage-recompute smell — fix it
+    with the materialization rules in SCALE.md, then (if legitimate)
+    whitelist it here with a reason."""
+    legit = {
+        # per-step pushed-down scans (greedy funnel semantics): k scans
+        # of ONE step's rows each beats unbounded per-user arrays
+        "events_funnel_steps",
+        # lifecycle queries re-read their own freshly written tables
+        "incremental_dedup", "doc_incremental_minhash",
+        "doc_incremental_simhash", "emb_incremental_near_dup",
+        "doc_export_shards", "doc_jsonl_roundtrip", "stats_csv_roundtrip",
+    }
+    over = {}
+    for name in sorted(QUERIES):
+        if name in legit:
+            continue
+        try:
+            tree, _ = _explain(spark, name, sf_dir)
+        except Exception as e:  # streaming/lifecycle harness queries
+            continue
+        n = tree.count("Scan parquet")
+        if n > 8:
+            over[name] = n
+    assert not over, f"scan-cap offenders: {over}"
