@@ -130,6 +130,7 @@ _ADJUDICATION_PRIORITY = [
     "snapshot_compact_roundtrip",
     "events_k_anonymity",
     "events_l_diversity",
+    "doc_dataset_card",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -72,6 +72,115 @@ def _norm_sql(col: str) -> str:
 
 
 @_register(
+    "doc_dataset_card",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, lower(text) AS txt FROM documents),
+    {_DOC_METRICS_CTE},
+    q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM m),
+    t AS (
+      SELECT doc_id, source, nrm,
+             CASE WHEN length(nrm) > 0
+                  THEN len(string_split(nrm, ' ')) ELSE 0 END AS n_tok
+      FROM (SELECT doc_id, source, {_norm_sql('text')} AS nrm
+            FROM documents) x),
+    scored AS (
+      SELECT doc_id,
+        GREATEST(len(regexp_extract_all(lower(text), '[A-Za-z0-9]+')), 1) AS nw,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|with)\b')) AS h_en,
+        len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|mit)\b')) AS h_de,
+        len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|que|pour)\b')) AS h_fr,
+        len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|como)\b')) AS h_es
+      FROM documents),
+    pred AS (
+      SELECT doc_id,
+             CASE WHEN best <= 0 THEN 'und'
+                  WHEN s_fr = best THEN 'fr'
+                  WHEN s_es = best THEN 'es'
+                  WHEN s_en = best THEN 'en'
+                  ELSE 'de' END AS lang_pred
+      FROM (
+        SELECT doc_id,
+               CAST(h_en AS DOUBLE)/nw AS s_en, CAST(h_de AS DOUBLE)/nw AS s_de,
+               CAST(h_fr AS DOUBLE)/nw AS s_fr, CAST(h_es AS DOUBLE)/nw AS s_es,
+               GREATEST(CAST(h_en AS DOUBLE)/nw, CAST(h_de AS DOUBLE)/nw,
+                        CAST(h_fr AS DOUBLE)/nw, CAST(h_es AS DOUBLE)/nw) AS best
+        FROM scored) s2),
+    agg AS (
+      SELECT t.source,
+             count(*) AS n_docs,
+             CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
+             count(DISTINCT md5(t.nrm)) AS n_unique_md5,
+             CAST(sum(CAST(FLOOR(q.quality * 1e9 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sq9,
+             CAST(sum(CASE WHEN p.lang_pred = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_en
+      FROM t JOIN q USING (doc_id) JOIN pred p USING (doc_id)
+      GROUP BY 1)
+    SELECT source, n_docs, n_tokens, n_unique_md5,
+           FLOOR(CAST(n_docs - n_unique_md5 AS DOUBLE) / n_docs * 1e6 + 0.5)
+             / 1e6 AS dup_frac_q6,
+           FLOOR(CAST(n_en AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6
+             AS en_frac_q6,
+           FLOOR((CAST(sq9 AS DOUBLE) / n_docs) / 1e9 * 1e6 + 0.5) / 1e6
+             AS mean_quality_q6
+    FROM agg
+    """,
+)
+def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the per-source release summary a training-data
+    drop ships with — doc/token counts, exact-dup rate (portable md5
+    of the normalized text, the exact_dedup key), language mix
+    (marker-based lang-ID), and mean quality (per-doc q6 scores summed
+    on a 1e-9 integer grid — the mixture_weights discipline). One
+    corpus pass per signal joined on doc_id, one source-sized agg;
+    every fraction is an exact-count division, q6 before the hash."""
+    from ..operators.text import normalize_text
+
+    docs = _td(spark, sf_dir, "documents")
+    q = text.with_quality_score(docs).select("doc_id", "quality")
+    lang = text.with_lang_id(docs).select("doc_id", "lang_pred")
+    nrm = normalize_text(F.col("text"))
+    t = docs.select(
+        "doc_id",
+        "source",
+        nrm.alias("nrm"),
+        F.when(F.length(nrm) > 0, F.size(F.split(nrm, " ")))
+        .otherwise(0)
+        .alias("n_tok"),
+    )
+    agg = (
+        t.join(q, "doc_id")
+        .join(lang, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.countDistinct(F.md5("nrm")).alias("n_unique_md5"),
+            F.sum(
+                F.floor(F.col("quality") * 1e9 + F.lit(0.5)).cast("bigint")
+            ).alias("sq9"),
+            F.sum((F.col("lang_pred") == "en").cast("bigint")).alias("n_en"),
+        )
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_unique_md5",
+        q6(
+            (F.col("n_docs") - F.col("n_unique_md5")).cast("double")
+            / F.col("n_docs")
+        ).alias("dup_frac_q6"),
+        q6(F.col("n_en").cast("double") / F.col("n_docs")).alias("en_frac_q6"),
+        q6(
+            (F.col("sq9").cast("double") / F.col("n_docs")) / F.lit(1e9)
+        ).alias("mean_quality_q6"),
+    )
+
+
+@_register(
     "doc_token_stats",
     r"""
     SELECT doc_id,
