@@ -1557,3 +1557,60 @@ def test_triple_barrier_matches_python_oracle(
         else:
             label = "stop"
         assert got[bars[i][1]] == (label, t_up, t_dn), (i, closes)
+
+
+@given(
+    n_days=st.integers(5, 40),
+    n_groups=st.integers(2, 6),
+    k_test=st.integers(1, 3),
+    purge=st.integers(0, 3),
+    embargo=st.integers(0, 3),
+)
+@settings(**SETTINGS)
+def test_cpcv_folds_match_python_oracle(
+    spark, n_days, n_groups, k_test, purge, embargo
+):
+    """Fold roles equal a direct python recomputation for arbitrary
+    calendar sizes, group counts, combination widths and margins."""
+    import datetime as dt
+    from itertools import combinations
+
+    from big_data_project_jan_2026_tick_data__spark.operators.mlfeat import (
+        cpcv_folds,
+    )
+
+    if k_test > n_groups:
+        k_test = n_groups
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(base + dt.timedelta(days=d),) for d in range(n_days)],
+        "ts timestamp",
+    )
+    got = {
+        (r.fold, r.day): r.role
+        for r in cpcv_folds(
+            df, n_groups=n_groups, k_test=k_test, purge=purge, embargo=embargo
+        ).collect()
+    }
+    combos = list(combinations(range(n_groups), k_test))
+    days = sorted({d for _, d in got})
+    # python mirror: rank r is 1-based; group = floor((r-1)*G/n)
+    grp = {d: ((i) * n_groups) // n_days for i, d in enumerate(days)}
+    lo, hi = {}, {}
+    for i, d in enumerate(days):
+        g = grp[d]
+        lo.setdefault(g, i + 1)
+        hi[g] = i + 1
+    assert len(got) == len(combos) * len(days)
+    for f, gs in enumerate(combos):
+        for i, d in enumerate(days):
+            r = i + 1
+            if grp[d] in gs:
+                want = "test"
+            elif any(
+                lo[g] - purge <= r <= hi[g] + embargo for g in gs if g in lo
+            ):
+                want = "purged"
+            else:
+                want = "train"
+            assert got[(f, d)] == want, (f, d, n_days, n_groups, k_test)
