@@ -1614,3 +1614,61 @@ def test_cpcv_folds_match_python_oracle(
             else:
                 want = "train"
             assert got[(f, d)] == want, (f, d, n_days, n_groups, k_test)
+
+
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(1, 8)),  # (entry, len)
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    n_bars=st.integers(10, 30),
+)
+@settings(**SETTINGS)
+def test_label_uniqueness_matches_python_oracle(spark, spans, n_bars):
+    """Average uniqueness equals a python recomputation with the same
+    1e-9 grid snaps, for arbitrary overlapping spans (including spans
+    truncated by the end of the tape and empty spans)."""
+    import datetime as dt
+    import math as _math
+
+    from big_data_project_jan_2026_tick_data__spark.operators.mlfeat import (
+        label_uniqueness_weights,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def m(i):
+        return t0 + dt.timedelta(minutes=i)
+
+    bars = spark.createDataFrame(
+        [("A", m(i), 10000) for i in range(n_bars)],
+        "symbol string, bar_ts timestamp, close_i4 long",
+    )
+    labels = spark.createDataFrame(
+        [("A", m(e), m(e + ln), None, "profit") for e, ln in spans],
+        "symbol string, entry_ts timestamp, t_up timestamp, "
+        "t_dn timestamp, label string",
+    )
+    got = {
+        r.entry_ts: (r.n_bars, r.avg_uniqueness_q6)
+        for r in label_uniqueness_weights(bars, labels).collect()
+    }
+    # python mirror
+    span_bars = {
+        e: [i for i in range(e + 1, min(e + ln, n_bars - 1) + 1)]
+        for e, ln in spans
+    }
+    conc = {}
+    for e, bs in span_bars.items():
+        for b in bs:
+            conc[b] = conc.get(b, 0) + 1
+    for e, ln in spans:
+        bs = span_bars[e]
+        if not bs:
+            assert got[m(e)] == (0, None)
+            continue
+        s9 = sum(_math.floor(1e9 / conc[b] + 0.5) for b in bs)
+        want = _math.floor(s9 / 1e9 / len(bs) * 1e6 + 0.5) / 1e6
+        assert got[m(e)] == (len(bs), want), (e, spans)
