@@ -98,3 +98,38 @@ def assert_scale_safe(
     if problems:
         raise ScaleSafetyError("; ".join(problems))
     return r
+
+
+def registry_plan_audit(
+    spark,
+    sf_dir: str,
+    names: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """Fleet-wide plan audit: run :func:`plan_report` over every (or the
+    given) registry query and return one row per query — the ops
+    surface behind the round-6 lineage-recompute finding (SCALE.md):
+    a periodic sweep of this table is how a deploy catches a lost
+    broadcast, a new cartesian, or a multiply-consumed intermediate
+    BEFORE it ships to the 1000-executor cluster. Queries whose build
+    requires side effects that fail in the audit context are reported
+    with error=<type> instead of aborting the sweep."""
+    from ..registry import QUERIES
+
+    rows = []
+    for name in sorted(names or QUERIES):
+        try:
+            r = plan_report(QUERIES[name](spark, sf_dir))
+            rows.append((name, None, *r.values()))
+            keys = list(r)
+        except Exception as e:  # lifecycle/streaming harness queries
+            rows.append((name, type(e).__name__, *([None] * 11)))
+    keys = [
+        "shuffles", "broadcast_joins", "sort_merge_joins",
+        "shuffled_hash_joins", "cartesian_products",
+        "broadcast_nested_loop_joins", "python_row_udfs", "pandas_udfs",
+        "codegen_stages", "scans", "pushed_filter_scans",
+    ]
+    schema = "query string, error string, " + ", ".join(
+        f"{k} int" for k in keys
+    )
+    return spark.createDataFrame(rows, schema)

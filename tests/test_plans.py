@@ -661,3 +661,22 @@ def test_registry_wide_scan_audit(spark, sf_dir):
         if n > 8:
             over[name] = n
     assert not over, f"scan-cap offenders: {over}"
+
+
+def test_registry_plan_audit_surface(spark, sf_dir):
+    """The fleet-audit table reports one row per query with the
+    plan_report counters, and survives queries whose build fails in
+    the audit context (error column instead of an aborted sweep)."""
+    from big_data_project_jan_2026_tick_data__spark.plans.doctor import (
+        registry_plan_audit,
+    )
+
+    out = registry_plan_audit(
+        spark, sf_dir, names=["tpch_q9_product_profit", "tpch_q1"]
+    ).collect()
+    rows = {r.query: r for r in out}
+    assert set(rows) == {"tpch_q9_product_profit", "tpch_q1"}
+    q9 = rows["tpch_q9_product_profit"]
+    assert q9.error is None
+    assert q9.broadcast_joins == 4 and q9.shuffles == 1
+    assert q9.cartesian_products == 0 and q9.python_row_udfs == 0
