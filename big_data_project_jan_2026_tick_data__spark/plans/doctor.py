@@ -120,7 +120,6 @@ def registry_plan_audit(
         try:
             r = plan_report(QUERIES[name](spark, sf_dir))
             rows.append((name, None, *r.values()))
-            keys = list(r)
         except Exception as e:  # lifecycle/streaming harness queries
             rows.append((name, type(e).__name__, *([None] * 11)))
     keys = [
