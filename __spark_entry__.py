@@ -131,6 +131,7 @@ _ADJUDICATION_PRIORITY = [
     "events_k_anonymity",
     "events_l_diversity",
     "doc_dataset_card",
+    "doc_ccnet_buckets",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -1407,10 +1407,12 @@ def doc_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "doc_lm_perplexity",
-    rf"""
-    WITH norm AS (
+# Shared CTE chain for the bigram-LM family: corpus tokenization,
+# Laplace-smoothed unigram/bigram training, per-position detmath
+# log-probs, and the per-doc entropy reduction. doc_lm_perplexity and
+# doc_ccnet_buckets render it identically — change only in lockstep
+# with text.lm_cross_entropy.
+_LM_CTES = rf"""norm AS (
       SELECT doc_id,
              string_split({_norm_sql('text')}, ' ') AS tk
       FROM documents),
@@ -1446,7 +1448,13 @@ def doc_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     h AS (
       SELECT doc_id, n_tokens,
              -(CAST(s9 AS DOUBLE) / 1e9) / CAST(n_tokens AS DOUBLE) AS hh
-      FROM agg)
+      FROM agg)"""
+
+
+@_register(
+    "doc_lm_perplexity",
+    rf"""
+    WITH {_LM_CTES}
     SELECT doc_id, n_tokens,
            FLOOR(hh * 1e6 + 0.5) / 1e6 AS cross_entropy,
            FLOOR({detmath.det_exp2_sql('hh', 'duckdb')} * 1e6 + 0.5) / 1e6
@@ -1461,6 +1469,51 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document in SQL."""
     docs = _td(spark, sf_dir, "documents")
     return text.lm_cross_entropy(docs)
+
+
+@_register(
+    "doc_ccnet_buckets",
+    rf"""
+    WITH {_LM_CTES},
+    p AS (
+      SELECT doc_id, n_tokens,
+             FLOOR({detmath.det_exp2_sql('hh', 'duckdb')} * 1e6 + 0.5) / 1e6
+               AS ppl
+      FROM h),
+    b AS (
+      SELECT *, ntile(3) OVER (ORDER BY ppl, doc_id) AS bucket FROM p)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           min(ppl) AS min_ppl_q6,
+           max(ppl) AS max_ppl_q6
+    FROM b GROUP BY bucket
+    """,
+)
+def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partition: documents ntile(3)-bucketed by
+    bigram-LM perplexity (bucket 1 = lowest perplexity = 'head', the
+    slice CCNet keeps for training) — the corpus-filtering decision the
+    LM score exists to drive. Deterministic: perplexity is q6-quantized
+    BEFORE ranking (playbook rule) with doc_id tiebreak, and ntile over
+    a total order is identical across engines. One bucket-sized agg on
+    top of the shared LM chain."""
+    from pyspark.sql import Window
+
+    docs = _td(spark, sf_dir, "documents")
+    scored = text.lm_cross_entropy(docs).select(
+        "doc_id", "n_tokens", "perplexity"
+    )
+    b = scored.withColumn(
+        "bucket",
+        F.ntile(3).over(Window.orderBy(F.col("perplexity"), F.col("doc_id"))),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("perplexity").alias("min_ppl_q6"),
+        F.max("perplexity").alias("max_ppl_q6"),
+    )
 
 
 @_register(
