@@ -132,6 +132,7 @@ _ADJUDICATION_PRIORITY = [
     "events_l_diversity",
     "doc_dataset_card",
     "doc_ccnet_buckets",
+    "ml_purged_backtest",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -1378,6 +1378,106 @@ def ml_cpcv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ml_purged_backtest",
+    """
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
+      FROM events GROUP BY 1),
+    n AS (SELECT count(*) AS n_days FROM days),
+    ranked AS (
+      SELECT day,
+             row_number() OVER (ORDER BY day) AS r,
+             CAST(FLOOR((row_number() OVER (ORDER BY day) - 1) * 5
+                        / n_days) AS INT) AS day_fold
+      FROM days CROSS JOIN n),
+    bounds AS (
+      SELECT day_fold AS fold, min(r) AS lo, max(r) AS hi
+      FROM ranked GROUP BY 1),
+    roles AS (
+      SELECT b.fold, rk.day,
+             CASE WHEN rk.day_fold = b.fold THEN 'test'
+                  WHEN rk.r >= b.lo - 2 AND rk.r <= b.hi + 2 THEN 'purged'
+                  ELSE 'train' END AS role
+      FROM ranked rk CROSS JOIN bounds b),
+    ev AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS v4
+      FROM events WHERE value IS NOT NULL),
+    j AS (SELECT r.fold, r.role, e.v4 FROM ev e JOIN roles r USING (day)),
+    tr AS (
+      SELECT fold, count(*) AS n_train,
+             CAST(FLOOR(CAST(sum(v4) AS DOUBLE) / count(*) + 0.5)
+                  AS BIGINT) AS mu4
+      FROM j WHERE role = 'train' GROUP BY fold),
+    te AS (
+      SELECT j.fold, count(*) AS n_test,
+             CAST(sum(abs(j.v4 - tr.mu4)) AS BIGINT) AS serr
+      FROM j JOIN tr USING (fold) WHERE j.role = 'test'
+      GROUP BY j.fold)
+    SELECT tr.fold, CAST(tr.n_train AS BIGINT) AS n_train,
+           CAST(te.n_test AS BIGINT) AS n_test,
+           FLOOR(CAST(tr.mu4 AS DOUBLE) / 1e4 * 1e6 + 0.5) / 1e6
+             AS train_mean_q6,
+           FLOOR((CAST(te.serr AS DOUBLE) / te.n_test) / 1e4 * 1e6 + 0.5)
+             / 1e6 AS test_mae_q6
+    FROM tr JOIN te USING (fold)
+    """,
+)
+def ml_purged_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward evaluation THROUGH the purged-CV plan: per fold,
+    a mean model fits on the TRAIN days only (exact 1e-4-grid integer
+    sums) and scores the TEST days' absolute error — the leakage-safe
+    backtest readout the fold plan exists to enable; purged margin days
+    enter neither side. Two fold-keyed aggregates over one
+    events-joined-calendar pass; everything integer until the final q6
+    renders."""
+    from pyspark.sql import Window
+
+    from ..operators.mlfeat import purged_cv_folds
+
+    ev = _td(spark, sf_dir, "events")
+    roles = purged_cv_folds(ev, ts_col="ts", k=5, purge=2, embargo=2).select(
+        "fold", "day", "role"
+    )
+    rows = ev.filter(F.col("value").isNotNull()).select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("bigint").alias("v4"),
+    )
+    j = rows.join(F.broadcast(roles), "day")
+    tr = (
+        j.filter(F.col("role") == "train")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.floor(
+                F.sum("v4").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mu4"),
+        )
+    )
+    te = (
+        j.filter(F.col("role") == "test")
+        .join(F.broadcast(tr), "fold")
+        .groupBy("fold", "n_train", "mu4")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.abs(F.col("v4") - F.col("mu4"))).alias("serr"),
+        )
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return te.select(
+        "fold",
+        "n_train",
+        "n_test",
+        q6(F.col("mu4").cast("double") / 1e4).alias("train_mean_q6"),
+        q6(
+            (F.col("serr").cast("double") / F.col("n_test")) / F.lit(1e4)
+        ).alias("test_mae_q6"),
+    )
+
+
+@_register(
     "streaming_static_enrich",
     """
     -- stream-static join: the static dimension is re-read per
