@@ -1672,3 +1672,52 @@ def test_label_uniqueness_matches_python_oracle(spark, spans, n_bars):
         s9 = sum(_math.floor(1e9 / conc[b] + 0.5) for b in bs)
         want = _math.floor(s9 / 1e9 / len(bs) * 1e6 + 0.5) / 1e6
         assert got[m(e)] == (len(bs), want), (e, spans)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2), st.integers(0, 1)),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(1, 6),
+    l=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_privacy_reports_match_python_oracle(spark, rows, k, l):
+    """k-anonymity and l-diversity counters equal a python
+    recomputation for arbitrary class shapes (singletons, homogeneous
+    classes, k=1 trivially anonymous)."""
+    import math as _math
+
+    from big_data_project_jan_2026_tick_data__spark.plans.expectations import (
+        k_anonymity_report,
+        l_diversity_report,
+    )
+
+    df = spark.createDataFrame(
+        [(f"q{a}", b, f"s{c}") for a, b, c in rows],
+        "qa string, qb int, sens string",
+    )
+    classes = {}
+    for a, b, c in rows:
+        classes.setdefault((f"q{a}", b), []).append(f"s{c}")
+    n = len(rows)
+
+    kr = k_anonymity_report(df, quasi_cols=("qa", "qb"), k=k).collect()[0]
+    risky = [v for v in classes.values() if len(v) < k]
+    assert (kr.n_rows, kr.n_classes) == (n, len(classes))
+    assert kr.n_risky_classes == len(risky)
+    assert kr.n_risky_rows == sum(map(len, risky))
+    assert kr.k_anonymous == (not risky)
+    assert kr.risky_row_frac_q6 == _math.floor(
+        sum(map(len, risky)) / n * 1e6 + 0.5
+    ) / 1e6
+
+    lr = l_diversity_report(
+        df, quasi_cols=("qa", "qb"), sensitive_col="sens", l=l
+    ).collect()[0]
+    lrisky = [v for v in classes.values() if len(set(v)) < l]
+    assert lr.n_risky_classes == len(lrisky)
+    assert lr.n_risky_rows == sum(map(len, lrisky))
+    assert lr.l_diverse == (not lrisky)
