@@ -133,6 +133,7 @@ _ADJUDICATION_PRIORITY = [
     "doc_dataset_card",
     "doc_ccnet_buckets",
     "ml_purged_backtest",
+    "ticks_intraday_seasonality",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -573,6 +573,68 @@ def ticks_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ticks_intraday_seasonality",
+    """
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             date_part('hour', ts) AS hod,
+             (event_id % 100 + 1) AS sz
+      FROM events WHERE user_id IS NOT NULL),
+    g AS (
+      SELECT symbol, CAST(hod AS INT) AS hour_of_day,
+             CAST(count(*) AS BIGINT) AS n_ticks,
+             CAST(sum(sz) AS BIGINT) AS volume
+      FROM t GROUP BY 1, 2),
+    s AS (SELECT symbol, sum(n_ticks) AS tot_ticks,
+                 sum(volume) AS tot_vol FROM g GROUP BY 1)
+    SELECT g.symbol, g.hour_of_day, g.n_ticks, g.volume,
+           FLOOR(CAST(g.n_ticks AS DOUBLE) / s.tot_ticks * 1e6 + 0.5) / 1e6
+             AS tick_share_q6,
+           FLOOR(CAST(g.volume AS DOUBLE) / s.tot_vol * 1e6 + 0.5) / 1e6
+             AS volume_share_q6
+    FROM g JOIN s USING (symbol)
+    """,
+)
+def ticks_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday activity seasonality per symbol: tick-count and volume
+    share by hour of day — the U-shape profile that calibrates VWAP
+    schedules and volume-bar thresholds. One hash agg to the 24-row
+    per-symbol profile + one alphabet-sized share window; exact-count
+    divisions only."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    g = (
+        ev.select(
+            F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+                "symbol"
+            ),
+            F.hour("ts").alias("hour_of_day"),
+            (F.col("event_id") % 100 + 1).alias("sz"),
+        )
+        .groupBy("symbol", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("sz").alias("volume"),
+        )
+    )
+    w = Window.partitionBy("symbol")
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return g.select(
+        "symbol",
+        "hour_of_day",
+        "n_ticks",
+        "volume",
+        q6(
+            F.col("n_ticks").cast("double") / F.sum("n_ticks").over(w)
+        ).alias("tick_share_q6"),
+        q6(
+            F.col("volume").cast("double") / F.sum("volume").over(w)
+        ).alias("volume_share_q6"),
+    )
+
+
+@_register(
     "ticks_dollar_bars",
     r"""
     WITH t AS (
