@@ -134,6 +134,7 @@ _ADJUDICATION_PRIORITY = [
     "doc_ccnet_buckets",
     "ml_purged_backtest",
     "ticks_intraday_seasonality",
+    "doc_length_histogram",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

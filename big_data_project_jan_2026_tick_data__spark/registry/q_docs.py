@@ -181,6 +181,76 @@ def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_length_histogram",
+    """
+    WITH b AS (
+      SELECT source,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE length(bin(CAST(length(text) AS BIGINT))) END
+               AS bucket,
+             length(text) AS n_chars
+      FROM documents),
+    g AS (
+      SELECT source, CAST(bucket AS INT) AS log2_bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(min(n_chars) AS BIGINT) AS min_chars,
+             CAST(max(n_chars) AS BIGINT) AS max_chars
+      FROM b GROUP BY 1, 2),
+    t AS (SELECT source, sum(n_docs) AS tot FROM g GROUP BY 1)
+    SELECT g.source, g.log2_bucket, g.n_docs, g.sum_chars,
+           g.min_chars, g.max_chars,
+           FLOOR(CAST(g.n_docs AS DOUBLE) / t.tot * 1e6 + 0.5) / 1e6
+             AS doc_frac_q6
+    FROM g JOIN t USING (source)
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram per source (bucket =
+    bit length of the char count — EXACT integer bucketing via
+    length(bin(n)), the detmath exponent trick, so the same shape the
+    chunking/packing operators consume is value-hashable with no float
+    anywhere). The dataset-card companion that shows whether a source
+    is boilerplate-short or book-long; one hash agg + one
+    alphabet-sized share join."""
+    from pyspark.sql import Window
+
+    docs = _td(spark, sf_dir, "documents")
+    n = F.length("text")
+    bucket = F.when(n == 0, 0).otherwise(
+        F.length(F.bin(n.cast("bigint")))
+    )
+    g = (
+        docs.select(
+            "source", bucket.cast("int").alias("log2_bucket"), n.alias("n_chars")
+        )
+        .groupBy("source", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+    w = Window.partitionBy("source")
+    return g.select(
+        "source",
+        "log2_bucket",
+        "n_docs",
+        "sum_chars",
+        "min_chars",
+        "max_chars",
+        (
+            F.floor(
+                F.col("n_docs").cast("double") / F.sum("n_docs").over(w) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("doc_frac_q6"),
+    )
+
+
+@_register(
     "doc_token_stats",
     r"""
     SELECT doc_id,
