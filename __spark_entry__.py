@@ -135,6 +135,7 @@ _ADJUDICATION_PRIORITY = [
     "ml_purged_backtest",
     "ticks_intraday_seasonality",
     "doc_length_histogram",
+    "events_funnel_time_bounded",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -799,10 +799,16 @@ def funnel(
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
+    max_gap: str | None = None,
 ) -> DataFrame:
     """Greedy ordered funnel: a user's step-k timestamp is the earliest
     step-k event STRICTLY after their step-(k-1) timestamp (the standard
     product-analytics funnel — order matters, revisits don't).
+    ``max_gap`` (an INTERVAL string, e.g. ``"24 hours"``) additionally
+    bounds each step's gap — the time-bounded funnel that separates a
+    conversion from a coincidence; greedy stays correct under the bound
+    because taking the EARLIEST qualifying step-k event maximizes every
+    later step's window.
 
     One hash agg for step 0, then per later step one filtered
     user-key equi-join + min-agg — k-1 narrow shuffles keyed by user,
@@ -822,9 +828,15 @@ def funnel(
         ev = df.filter(F.col(type_col) == s).select(
             F.col(user_col), F.col(ts_col).alias("__ts")
         )
+        within = F.col("__ts") > F.col(f"t{k-1}")
+        if max_gap is not None:
+            within = within & (
+                F.col("__ts")
+                <= F.col(f"t{k-1}") + F.expr(f"INTERVAL {max_gap}")
+            )
         nxt = (
             ev.join(cur.select(user_col, f"t{k-1}"), user_col)
-            .filter(F.col("__ts") > F.col(f"t{k-1}"))
+            .filter(within)
             .groupBy(user_col)
             .agg(F.min("__ts").alias(f"t{k}"))
         )

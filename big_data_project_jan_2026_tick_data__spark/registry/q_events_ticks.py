@@ -61,6 +61,50 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_funnel_time_bounded",
+    """
+    WITH t0 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+      FROM events GROUP BY user_id HAVING t0 IS NOT NULL),
+    t1 AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN t0 ON e.user_id = t0.user_id
+      WHERE e.event_type = 'click' AND e.ts > t0.t0
+        AND e.ts <= t0.t0 + INTERVAL 24 HOUR
+      GROUP BY e.user_id),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t1.t1
+        AND e.ts <= t1.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id),
+    c AS (
+      SELECT (SELECT count(*) FROM t0) AS c0,
+             (SELECT count(*) FROM t1) AS c1,
+             (SELECT count(*) FROM t2) AS c2)
+    SELECT step_idx, step, users,
+           FLOOR(CAST(users AS DOUBLE) / GREATEST(c0, 1) * 1e6 + 0.5) / 1e6
+             AS conversion_q6
+    FROM (
+      SELECT 0 AS step_idx, 'view' AS step, c0 AS users, c0 FROM c
+      UNION ALL SELECT 1, 'click', c1, c0 FROM c
+      UNION ALL SELECT 2, 'purchase', c2, c0 FROM c) s
+    """,
+)
+def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel (stats.funnel max_gap='24 hours'):
+    view→click→purchase where each step must follow the previous within
+    24 h — the conversion-window variant that separates a funnel from a
+    coincidence; greedy earliest-qualifying stays optimal under the
+    bound. Same k-1 narrow user-key joins as the unbounded funnel."""
+    ev = _td(spark, sf_dir, "events")
+    return stats.funnel(
+        ev, steps=("view", "click", "purchase"), max_gap="24 hours"
+    )
+
+
+@_register(
     "events_retention_cohorts",
     r"""
     WITH wk AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),

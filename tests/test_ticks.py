@@ -538,3 +538,39 @@ def test_frac_diff_weights_and_known_cases(spark):
         if r.ffd_q6 is not None
     ]
     assert len(outc) == 3 and all(v == expect for v in outc)
+
+
+def test_funnel_max_gap_semantics(spark):
+    """A click 25h after the view converts in the unbounded funnel but
+    not in the 24h-bounded one; a click 1h after does both; greedy
+    picks the EARLIEST qualifying event so a later in-window purchase
+    still counts."""
+    import datetime as dt
+
+    from big_data_project_jan_2026_tick_data__spark.operators.stats import funnel
+
+    t0 = dt.datetime(2024, 6, 1, 9, 0)
+
+    def h(hours):
+        return t0 + dt.timedelta(hours=hours)
+
+    rows = [
+        # user 1: view -> click(+1h) -> purchase(+2h): converts both
+        (1, "view", h(0)), (1, "click", h(1)), (1, "purchase", h(3)),
+        # user 2: view -> click(+25h): only the unbounded funnel counts
+        (2, "view", h(0)), (2, "click", h(25)),
+        # user 3: two clicks, first out of window, second inside —
+        # bounded funnel must use the in-window one
+        (3, "view", h(0)), (3, "click", h(30)), (3, "click", h(5)),
+        (3, "purchase", h(6)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    unb = {r.step: r.users for r in funnel(df, ("view", "click", "purchase")).collect()}
+    bnd = {
+        r.step: r.users
+        for r in funnel(
+            df, ("view", "click", "purchase"), max_gap="24 hours"
+        ).collect()
+    }
+    assert unb == {"view": 3, "click": 3, "purchase": 2}
+    assert bnd == {"view": 3, "click": 2, "purchase": 2}
