@@ -136,6 +136,7 @@ _ADJUDICATION_PRIORITY = [
     "ticks_intraday_seasonality",
     "doc_length_histogram",
     "events_funnel_time_bounded",
+    "doc_bpe_fertility",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -2381,6 +2381,69 @@ def _bpe_token_counts_oracle(num_merges: int = 8) -> str:
     )
 
 
+def _bpe_fertility_oracle(num_merges: int = 8) -> str:
+    """doc_bpe_fertility oracle: the shared BPE training chain, the
+    per-doc token counts, then one source-sized fertility agg."""
+    chain = _bpe_oracle(num_merges)
+    tail = chain.rindex("\n    SELECT 1 AS step")
+    ctes = chain[:tail]
+    return (
+        ctes
+        + rf"""
+    , wsym AS (SELECT word, count(*) AS n_sym FROM st{num_merges}
+               GROUP BY word),
+    dw AS (
+      SELECT doc_id, source, w AS word FROM (
+        SELECT doc_id, source,
+               UNNEST(string_split({_norm_sql('text')}, ' ')) AS w
+        FROM documents) t
+      WHERE regexp_matches(w, '^[a-z0-9]+$')),
+    pd AS (
+      SELECT doc_id, source, count(*) AS n_words,
+             CAST(sum(n_sym) AS BIGINT) AS bpe_tokens
+      FROM dw JOIN wsym USING (word) GROUP BY 1, 2)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+           FLOOR(CAST(sum(bpe_tokens) AS DOUBLE) / sum(n_words) * 1e6 + 0.5)
+             / 1e6 AS fertility_q6
+    FROM pd GROUP BY source
+    """
+    )
+
+
+@_register("doc_bpe_fertility", _bpe_fertility_oracle())
+def doc_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by source (BPE tokens per word under the
+    learned 8-merge vocabulary) — THE tokenizer-fit metric: fertility
+    near 1 means the vocab compresses the slice well, high fertility
+    flags a slice the tokenizer fragments (and whose token budget
+    explodes). Rides the trained-BPE chain; exact integer sums, one
+    source-sized division."""
+    docs = _td(spark, sf_dir, "documents")
+    tc = text.bpe_token_counts(docs, num_merges=8)
+    j = tc.join(docs.select("doc_id", "source"), "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("bpe_tokens").alias("bpe_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "bpe_tokens",
+        (
+            F.floor(
+                F.col("bpe_tokens").cast("double") / F.col("n_words") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("fertility_q6"),
+    )
+
+
 @_register("doc_bpe_merges", _bpe_oracle())
 def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (text.bpe_merges): the first
