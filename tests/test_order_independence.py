@@ -57,6 +57,12 @@ HARDENED = [
     "ml_label_uniqueness",
     "part_association_rules",
     "orders_forecast_yoy",
+    "ml_purged_backtest",
+    "doc_dataset_card",
+    "doc_ccnet_buckets",
+    "ticks_intraday_seasonality",
+    "doc_bpe_fertility",
+    "events_funnel_time_bounded",
 ]
 
 
