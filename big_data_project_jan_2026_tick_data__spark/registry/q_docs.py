@@ -138,21 +138,23 @@ def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import normalize_text
 
     docs = _td(spark, sf_dir, "documents")
-    q = text.with_quality_score(docs).select("doc_id", "quality")
-    lang = text.with_lang_id(docs).select("doc_id", "lang_pred")
+    # every signal is ROW-LOCAL (quality, lang-ID, token count, md5 of
+    # the normalized text), so the whole card is ONE corpus scan with
+    # zero joins — with_quality_score / with_lang_id chain as added
+    # columns on the same frame (scan-audit discipline)
+    scored = text.with_lang_id(text.with_quality_score(docs))
     nrm = normalize_text(F.col("text"))
-    t = docs.select(
-        "doc_id",
+    t = scored.select(
         "source",
+        "quality",
+        "lang_pred",
         nrm.alias("nrm"),
         F.when(F.length(nrm) > 0, F.size(F.split(nrm, " ")))
         .otherwise(0)
         .alias("n_tok"),
     )
     agg = (
-        t.join(q, "doc_id")
-        .join(lang, "doc_id")
-        .groupBy("source")
+        t.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("n_tokens"),

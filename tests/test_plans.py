@@ -616,6 +616,13 @@ _SCAN_BUDGETS = {
     "orders_forecast_yoy": 0,
     "part_association_rules": 1,
     "events_attribution": 1,
+    "doc_dataset_card": 1,
+    "ticks_intraday_seasonality": 1,
+    "doc_length_histogram": 1,
+    "doc_bpe_fertility": 1,
+    "events_k_anonymity": 1,
+    "events_l_diversity": 1,
+    "ml_purged_backtest": 2,
 }
 
 
