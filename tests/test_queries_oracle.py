@@ -102,3 +102,19 @@ def test_adjudication_priority_names_resolve():
         if mod._ADJUDICATION_PRIORITY.count(n) > 1
     }
     assert dupes == set(), dupes
+
+
+def test_adjudication_window_size():
+    """The driver adjudicates ~the first 50 names; the pre-boundary
+    window must stay exactly 50 so a priority edit can't silently push
+    an intended row out of this round's verdicts."""
+    import importlib.util
+    from pathlib import Path
+
+    entry = Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+    src = entry.read_text()
+    head = src.split("window boundary")[0]
+    # count quoted names inside the priority list's pre-boundary span
+    lst = head.split("_ADJUDICATION_PRIORITY = [")[1]
+    n = lst.count('",')
+    assert n == 50, f"pre-boundary window holds {n} names, expected 50"
