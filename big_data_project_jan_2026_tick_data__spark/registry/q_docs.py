@@ -321,18 +321,29 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("doc_minhash_pairs")
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast-path MinHash+LSH near-dup pairs (xxhash64 shingles, 32
+    hashes × 8 bands) — the headline-bench dedup slot; rows-only by
+    design (xxhash64 has no SQL twin — the full pipeline's value proof
+    is the md5 twin doc_md5_minhash_pairs)."""
     docs = _td(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8)
 
 
 @_register("doc_simhash_pairs")
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast-path SimHash near-dup pairs (xxhash64 token hashing,
+    pigeonhole segment join, Hamming ≤ 8) — rows-only by design; the
+    value-proved twin is doc_md5_simhash_pairs."""
     docs = _td(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, max_hamming=8, blocks=4)
 
 
 @_register("doc_fingerprints")
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rolling-hash fingerprints (full-text + min shingle
+    fingerprint) — the cheap identity keys incremental dedup persists;
+    xxhash64-based, rows-only by design (md5 twin:
+    doc_md5_fingerprints)."""
     docs = _td(spark, sf_dir, "documents")
     return text.with_fingerprint(docs).select(
         "doc_id", "fingerprint", "shingle_min_fp"

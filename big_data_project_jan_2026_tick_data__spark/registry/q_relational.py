@@ -254,6 +254,9 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (status, priority) — all 2² grouping-set
+    combinations in one pass (the Expand-based sibling of
+    grouping_sets_orders / rollup_orders)."""
     o = _td(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n")
