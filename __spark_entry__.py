@@ -137,6 +137,7 @@ _ADJUDICATION_PRIORITY = [
     "doc_length_histogram",
     "events_funnel_time_bounded",
     "doc_bpe_fertility",
+    "orders_concentration_hhi",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

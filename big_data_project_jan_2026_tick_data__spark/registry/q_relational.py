@@ -2185,6 +2185,62 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orders_concentration_hhi",
+    """
+    WITH c AS (
+      SELECT date_part('year', o_orderdate) AS year, o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2),
+    t AS (SELECT year, sum(cents) AS tot FROM c GROUP BY 1),
+    s AS (
+      SELECT c.year,
+             CAST(FLOOR((CAST(c.cents AS DOUBLE) / t.tot)
+                        * (CAST(c.cents AS DOUBLE) / t.tot) * 1e12
+                        + 0.5) AS BIGINT) AS sh12
+      FROM c JOIN t USING (year))
+    SELECT CAST(year AS INT) AS year,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           FLOOR(CAST(sum(sh12) AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6
+             AS hhi_q6
+    FROM s GROUP BY year
+    """,
+)
+def orders_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Herfindahl index per year (Σ share² over
+    customers; 1/n = perfectly even, → 1 as one buyer dominates) — the
+    concentration-risk readout next to ABC/Pareto. Per-customer revenue
+    is exact integer cents; each squared share (one correctly-rounded
+    division + one multiply, written as an explicit x*x — never libm
+    pow) snaps
+    to a 1e-12 integer grid BEFORE the customer-sized sum (the grid
+    rule: the sum is corpus-scale, so no float accumulation may touch
+    it)."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    o = _td(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.year("o_orderdate").alias("year"), "o_custkey"
+    ).agg(F.sum(cents).alias("cents"))
+    t = c.groupBy("year").agg(F.sum("cents").alias("tot"))
+    share = F.col("cents").cast("double") / F.col("tot")
+    s = c.join(t, "year").select(
+        "year",
+        F.floor(share * share * 1e12 + F.lit(0.5))
+        .cast("bigint")
+        .alias("sh12"),
+    )
+    return s.groupBy("year").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            F.floor(
+                F.sum("sh12").cast("double") / F.lit(1e12) * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("hhi_q6"),
+    ).select(F.col("year").cast("int").alias("year"), "n_customers", "hhi_q6")
+
+
+@_register(
     "orders_forecast_yoy",
     """
     WITH m AS (
