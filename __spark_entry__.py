@@ -138,6 +138,7 @@ _ADJUDICATION_PRIORITY = [
     "events_funnel_time_bounded",
     "doc_bpe_fertility",
     "orders_concentration_hhi",
+    "events_markov_entropy",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -1641,6 +1641,97 @@ def events_date_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_markov_entropy",
+    rf"""
+    WITH s AS (
+      SELECT event_type AS state,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_state
+      FROM events),
+    c AS (SELECT state, next_state, count(*) AS cab FROM s
+          WHERE next_state IS NOT NULL GROUP BY state, next_state),
+    ca AS (SELECT state, sum(cab) AS ct FROM c GROUP BY state),
+    n AS (SELECT sum(cab) AS nt, count(DISTINCT c.state) AS n_states FROM c),
+    terms AS (
+      SELECT CAST(FLOOR((CAST(cab AS DOUBLE) / nt)
+                        * ({detmath.det_log2_int_sql('cab', 'duckdb')}
+                           - {detmath.det_log2_int_sql('ct', 'duckdb')})
+                        * 1e9 + 0.5) AS BIGINT) AS t9,
+             nt, n_states
+      FROM c JOIN ca USING (state) CROSS JOIN n),
+    agg AS (
+      SELECT max(nt) AS n_transitions, max(n_states) AS n_states,
+             -(CAST(sum(t9) AS DOUBLE) / 1e9) AS h
+      FROM terms),
+    fin AS (
+      SELECT n_transitions, n_states, h,
+             {detmath.det_log2_int_sql('n_states', 'duckdb')} AS hmax
+      FROM agg)
+    SELECT CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST(n_states AS INT) AS n_states,
+           FLOOR(h * 1e6 + 0.5) / 1e6 AS entropy_rate_q6,
+           FLOOR((CASE WHEN n_states > 1 THEN 1.0 - h / hmax ELSE 1.0 END)
+                 * 1e6 + 0.5) / 1e6 AS predictability_q6
+    FROM fin
+    """,
+)
+def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey Markov chain (empirical-weight
+    H = −Σ_ab (c_ab/N)·log2(c_ab/c_a)) plus the predictability index
+    1 − H/log2(#states) — the single-number 'how habitual is behavior'
+    readout over the same transitions the matrix query exposes. Every
+    log2 is detmath over INTEGER counts, each term snaps to a 1e-9 grid
+    before the alphabet²-sized sum — the doc_token_entropy discipline."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("state"),
+        F.lead("event_type").over(w).alias("next_state"),
+    ).filter(F.col("next_state").isNotNull())
+    c = s.groupBy("state", "next_state").agg(F.count(F.lit(1)).alias("cab"))
+    ca = c.groupBy("state").agg(F.sum("cab").alias("ct"))
+    n = c.agg(
+        F.sum("cab").alias("nt"),
+        F.countDistinct("state").alias("n_states"),
+    )
+    terms = (
+        c.join(ca, "state")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.floor(
+                (F.col("cab").cast("double") / F.col("nt"))
+                * (detmath.det_log2_int("cab") - detmath.det_log2_int("ct"))
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("t9"),
+            "nt",
+            "n_states",
+        )
+    )
+    agg = terms.agg(
+        F.max("nt").alias("n_transitions"),
+        F.max("n_states").alias("n_states"),
+        (-(F.sum("t9").cast("double") / F.lit(1e9))).alias("h"),
+    )
+    fin = agg.withColumn("hmax", detmath.det_log2_int("n_states"))
+    q6 = lambda col: F.floor(col * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return fin.select(
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.col("n_states").cast("int").alias("n_states"),
+        q6(F.col("h")).alias("entropy_rate_q6"),
+        q6(
+            F.when(
+                F.col("n_states") > 1, 1.0 - F.col("h") / F.col("hmax")
+            ).otherwise(1.0)
+        ).alias("predictability_q6"),
+    )
+
+
+@_register(
     "events_transition_matrix",
     r"""
     WITH s AS (
