@@ -63,6 +63,8 @@ HARDENED = [
     "ticks_intraday_seasonality",
     "doc_bpe_fertility",
     "events_funnel_time_bounded",
+    "orders_concentration_hhi",
+    "events_markov_entropy",
 ]
 
 
