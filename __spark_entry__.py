@@ -23,40 +23,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates a bounded window (the first ~50 names) per
-# round, so dict order is the scheduling lever. Round-6 final ordering
-# (recomposed after the late determinism campaign; the standing rule:
-# CHANGED-CODE RE-PROOF OUTRANKS NEW-QUERY PROOF, and within changed
-# code, residual-risk class outranks provably-exact class):
-# (a) the 3 r5 hash-FAILs, rebuilt on functions.detmath — slots 1-3;
-# (b) the advisor-fix rows (scd2 seed ordering, tracking URI) — 4-5;
-# (c) every other log-family row swept onto detmath/exact grids this
-#     round — the only class where a driver-side libm/DECIMAL quirk
-#     could still differ from the local mirror — 6-20;
-# (d) ALL 14 never-adjudicated rows (6 r6 registrations: PQ codes/topk,
-#     CMS heavy hitters, streaming exact dedup, BPE merges/token
-#     counts; 8 r5 leftovers) — their first-ever verdict is worth more
-#     than a re-proof of an exact-integer row — 21-34;
-# (e) the late-campaign changed rows (CUSUM grid moments, mean-model
-#     recon, dedup convergence cadence, streaming harness) — 35-43;
-# (f) exact-integer money-sum representatives — the mechanism is
-#     shared exactagg arithmetic, so three SHAPE representatives
-#     (heaviest agg, having-join, pivot) cover it and the rest of the
-#     changed-but-exact TPC-H block heads the r7 queue (it cannot flip
-#     from engine environment by construction) — 44-46;
-# (g) four flagship never-adjudicated r6 additions (IVF-PQ, basket
-#     rules, ordered streaming upsert, triple-barrier) — first-ever
-#     verdicts on new operator families are worth more than a fourth
-#     re-proof of the same exactagg mechanism — 47-50. The remaining
-#     r6 additions head the r7 queue.
+# round, so dict order is the scheduling lever. Round-7 ordering
+# (the standing rule: CHANGED-CODE RE-PROOF OUTRANKS NEW-QUERY PROOF):
+# (a) the 4 persistent hash-FAILs, root-caused this round (their
+#     oracles emitted un-cast SUM(<int>) = HUGEINT output columns —
+#     decimal128 through Arrow — the only 4 such oracles out of 227;
+#     now CAST AS BIGINT) — slots 1-4;
+# (b) the diagnostic probes that prove/refute the mechanism in the
+#     driver environment (see registry/q_probes.py;
+#     probe_hugeint_render is the deliberate instrument whose
+#     EXPECTED confirming outcome is a hash-FAIL) — 5-8;
+# (c) the exactagg-changed TPC-H block never re-proven after the r6
+#     migration (changed code shipped on 3 shape representatives) —
+#     9-12;
+# (d) the 33 r6 registrations awaiting their first-ever verdict, in
+#     the r6-verdict's priority: microstructure octet, lakehouse
+#     lifecycle, financial-ML folds, governance, text leftovers —
+#     13-45;
+# (e) re-proofs of rows whose code changed THIS round: lm_perplexity
+#     (single-scan materialization), bpe_token_counts (shares the BPE
+#     chain with the advisor-fixed bpe_merges tracker release),
+#     PQ codes/topk (advisor codebook-plumbing fix), events_funnel
+#     (advisor max_gap validation) — 46-50.
 # Rows-only entries deliberately absent (they can only say no_oracle;
 # their value proofs live in md5/mean/fixed-weight twins).
 _ADJUDICATION_PRIORITY = [
     "doc_token_entropy",
     "doc_mixture_weights",
     "doc_distinctive_terms",
+    "doc_bpe_merges",
+    "probe_hugeint_render",
+    "probe_bigint_render",
+    "probe_norm_wordfreq",
+    "probe_detmath_log2",
+    "tpch_q3_top10",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_ratio",
+    "ticks_vpin",
+    "ticks_kyle_lambda",
+    "ticks_volume_bars",
+    "ticks_roll_spread",
+    "ticks_rv_signature",
+    "ticks_tick_rule_flow",
+    "ticks_lead_lag_corr",
+    "ticks_amihud_illiq",
+    "snapshot_delete_purge",
+    "snapshot_schema_evolution",
+    "snapshot_compact_roundtrip",
+    "incremental_ohlc_view",
+    "ml_purged_cv_folds",
+    "ml_cpcv_folds",
+    "ml_label_uniqueness",
+    "ml_purged_backtest",
+    "events_k_anonymity",
+    "events_l_diversity",
+    "streaming_interval_join",
+    "streaming_static_enrich",
+    "orders_forecast_yoy",
+    "ticks_frac_diff",
+    "doc_hybrid_near_dup",
+    "events_attribution",
+    "ticks_dollar_bars",
+    "doc_dataset_card",
+    "doc_ccnet_buckets",
+    "ticks_intraday_seasonality",
+    "doc_length_histogram",
+    "events_funnel_time_bounded",
+    "doc_bpe_fertility",
+    "orders_concentration_hhi",
+    "events_markov_entropy",
+    "doc_lm_perplexity",
+    "doc_bpe_token_counts",
+    "emb_pq_codes",
+    "emb_pq_topk",
+    "events_funnel",
+    # ---- ~50-slot window boundary; r8 queue from here ----
     "orders_scd2_apply",
     "tracking_best_run",
-    "doc_lm_perplexity",
     "doc_quality_classifier",
     "doc_bm25_search",
     "doc_tfidf_top_terms",
@@ -71,12 +115,8 @@ _ADJUDICATION_PRIORITY = [
     "emb_kmeans",
     "emb_semantic_dedup",
     "emb_centroid_outliers",
-    "emb_pq_codes",
-    "emb_pq_topk",
     "events_cms_heavy_hitters",
     "streaming_dedup_replay",
-    "doc_bpe_merges",
-    "doc_bpe_token_counts",
     "events_psi_drift",
     "doc_weighted_sample",
     "orders_scd2_asof_state",
@@ -101,44 +141,6 @@ _ADJUDICATION_PRIORITY = [
     "part_association_rules",
     "streaming_upsert_replay",
     "ml_triple_barrier",
-    # ---- ~50-slot window boundary; r7 queue from here ----
-    "tpch_q3_top10",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_ratio",
-    "ticks_lead_lag_corr",
-    "ticks_tick_rule_flow",
-    "ticks_roll_spread",
-    "ticks_rv_signature",
-    "ticks_kyle_lambda",
-    "ticks_volume_bars",
-    "ticks_vpin",
-    "ticks_amihud_illiq",
-    "streaming_interval_join",
-    "snapshot_delete_purge",
-    "orders_forecast_yoy",
-    "ml_purged_cv_folds",
-    "ml_label_uniqueness",
-    "streaming_static_enrich",
-    "ticks_frac_diff",
-    "snapshot_schema_evolution",
-    "doc_hybrid_near_dup",
-    "events_attribution",
-    "ticks_dollar_bars",
-    "ml_cpcv_folds",
-    "incremental_ohlc_view",
-    "snapshot_compact_roundtrip",
-    "events_k_anonymity",
-    "events_l_diversity",
-    "doc_dataset_card",
-    "doc_ccnet_buckets",
-    "ml_purged_backtest",
-    "ticks_intraday_seasonality",
-    "doc_length_histogram",
-    "events_funnel_time_bounded",
-    "doc_bpe_fertility",
-    "orders_concentration_hhi",
-    "events_markov_entropy",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
@@ -198,7 +200,6 @@ _ADJUDICATION_PRIORITY = [
     "doc_md5_simhash_pairs",
     "doc_source_report",
     "doc_stratified_sample",
-    "events_funnel",
     "events_key_skew_report",
     "events_value_histogram",
     "events_weekly_retention",

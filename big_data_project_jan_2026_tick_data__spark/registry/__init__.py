@@ -35,6 +35,7 @@ from . import (  # noqa: E402, F401  (side-effect registration)
     q_lakehouse,
     q_ml_streaming,
     q_multimodal,
+    q_probes,
     q_relational,
 )
 

@@ -1857,7 +1857,7 @@ def doc_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS w6
       FROM s2),
     t AS (SELECT sum(w6) AS tw6 FROM s3)
-    SELECT source, n_docs, n_tokens,
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
            FLOOR(mq * 1e6 + 0.5) / 1e6 AS mean_quality_q6,
            FLOOR((CAST(w6 AS DOUBLE) / 1e6) / (CAST(tw6 AS DOUBLE) / 1e6)
                  * 1e6 + 0.5) / 1e6 AS weight_q6,
@@ -1872,7 +1872,9 @@ def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha=0.5, quality-weighted) plus the per-source sampling rate for a
     100k-token budget — the corpus-mixing decision step
     (text.mixture_weights); everything after the one corpus pass is
-    alphabet-sized."""
+    alphabet-sized.  r4–r6 hash-FAIL root cause (found r7): ``n_tokens``
+    emitted as un-cast SUM(BIGINT) → HUGEINT → decimal128 rendering
+    mismatch, now CAST AS BIGINT (see doc_token_entropy)."""
     docs = _td(spark, sf_dir, "documents")
     return text.mixture_weights(docs, alpha=0.5, token_budget=100_000)
 
@@ -1909,7 +1911,8 @@ def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - {detmath.det_ln_pos_sql('db', 'duckdb')})) AS delta,
              var
       FROM sc0)
-    SELECT grp AS source, term, y_st, y_t, z_q4, rank FROM (
+    SELECT grp AS source, term, y_st, CAST(y_t AS BIGINT) AS y_t, z_q4, rank
+    FROM (
       SELECT grp, term, y_st, y_t,
              FLOOR(delta / sqrt(var) * 1e4 + 0.5) / 1e4 AS z_q4,
              row_number() OVER (
@@ -1924,9 +1927,10 @@ def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-odds z-scores (Monroe et al. 2008), top-5 per source — the
     corpus-comparison statistic behind 'what makes this slice different'
     (text.distinctive_terms).  All ln() via functions.detmath, ln args
-    staged as double columns — bit-identical across engines; libm ln
-    plus DuckDB's exact-DECIMAL literal arithmetic was the r5 residual
-    hash-FAIL."""
+    staged as double columns — bit-identical across engines.  Actual
+    r4–r6 hash-FAIL root cause (found r7): ``y_t`` emitted as un-cast
+    SUM(BIGINT) → HUGEINT → decimal128 rendering mismatch, now CAST AS
+    BIGINT (see doc_token_entropy's docstring for the full account)."""
     docs = _td(spark, sf_dir, "documents")
     return text.distinctive_terms(docs, group_col="source", top_k=5)
 
@@ -2015,7 +2019,7 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
              l2nt - (CAST(s9 AS DOUBLE) / 1e9) / CAST(nt AS DOUBLE) AS ent
       FROM h)
     SELECT doc_id,
-           nt AS n_tokens,
+           CAST(nt AS BIGINT) AS n_tokens,
            n_distinct,
            FLOOR(ent * 1e6 + 0.5) / 1e6 AS entropy_q6,
            FLOOR((CASE WHEN n_distinct > 1 THEN ent / l2nd
@@ -2031,11 +2035,20 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash agg, one per-doc agg — the text never shuffles twice.
 
     Determinism: H = log2(nt) − (Σ c·log2 c)/nt with every log2 taken
-    from functions.detmath (bit-identical across Spark and DuckDB — the
-    r5 residual hash-FAIL was libm log2 differing by 1 ulp between the
-    engines and flipping a FLOOR grid cell), each per-term contribution
-    snapped to a 1e-9 integer grid, and the per-doc total summed as
-    BIGINT — exact and partial-agg-order independent."""
+    from functions.detmath (bit-identical across Spark and DuckDB),
+    each per-term contribution snapped to a 1e-9 integer grid, and the
+    per-doc total summed as BIGINT — exact and partial-agg-order
+    independent.
+
+    r4–r6 hash-FAIL root cause (found r7): the oracle emitted
+    ``sum(c) AS n_tokens`` un-cast — DuckDB types SUM(BIGINT) as
+    HUGEINT (int128), which converts through Arrow as decimal128, so a
+    comparator that renders Decimal("59") differently from int 59
+    hash-mismatches on values that are numerically identical. Exactly
+    the 4 persistently-failing queries (and only those, out of 227
+    oracles) had a HUGEINT output column; every oracle now casts
+    integer sums to BIGINT (guarded by
+    tests/test_queries_oracle.py::test_no_hugeint_oracle_outputs)."""
     from ..operators.text import normalize_text
 
     docs = _td(spark, sf_dir, "documents")
@@ -2363,7 +2376,7 @@ def _bpe_oracle(num_merges: int = 8) -> str:
         )
     unions = "\n      UNION ALL ".join(
         f"SELECT {i} AS step, a AS left_sym, b AS right_sym, "
-        f"a || b AS merged, c AS pair_count FROM b{i}"
+        f"a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM b{i}"
         for i in range(1, num_merges + 1)
     )
     parts.append(f"\n    {unions}")
@@ -2466,7 +2479,14 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping self-pairs resolved with the closed-form
     even-offset-in-run rule so the greedy-left scan is expressible as
     window arithmetic in both engines. The oracle re-learns the
-    identical merge sequence as a generated CTE chain."""
+    identical merge sequence as a generated CTE chain.
+
+    r6 hash-FAIL root cause (found r7): ``pair_count`` was emitted as
+    raw ``sum(freq)`` — HUGEINT in DuckDB (decimal128 via Arrow) vs
+    Spark's BIGINT; integer/string-only output proving the failure was
+    value *rendering*, never math. Now CAST AS BIGINT (the passing
+    sibling doc_bpe_token_counts always had this cast — the
+    counter-diagnostic that localized the bug)."""
     docs = _td(spark, sf_dir, "documents")
     return text.bpe_merges(docs, num_merges=8)
 

@@ -104,6 +104,41 @@ def test_adjudication_priority_names_resolve():
     assert dupes == set(), dupes
 
 
+def test_no_hugeint_oracle_outputs(sf_dir):
+    """No oracle may emit a HUGEINT/UHUGEINT/DECIMAL output column.
+
+    DuckDB types SUM(<any integer>) as HUGEINT (int128); HUGEINT comes
+    back from ``fetchall()`` as a plain Python int (so this file's value
+    mirror cannot see the difference) but converts through Arrow/pandas
+    as decimal128/object — a driver-side canonicalization then renders
+    it differently from BIGINT and the hash mismatches on numerically
+    identical values.  This was the root cause of the r4-r6 persistent
+    hash-fails (doc_token_entropy, doc_mixture_weights,
+    doc_distinctive_terms, doc_bpe_merges): exactly those 4 queries, and
+    only those, emitted an un-cast integer-sum output.  Rule: CAST every
+    integer SUM in a final SELECT to BIGINT (floats: keep the
+    FLOOR(..)/1e6 double convention).
+
+    ``probe_hugeint_render`` is exempt — it is the deliberate diagnostic
+    instrument for this exact mechanism (see registry/q_probes.py).
+    Binding (`con.sql`) resolves types without executing, so this scans
+    all ~230 oracles in seconds."""
+    con = _duck(sf_dir)
+    offenders = {}
+    for name, sql in ORACLE.items():
+        if name == "probe_hugeint_render":
+            continue
+        rel = con.sql(sql)
+        bad = {
+            c: str(t)
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")
+        }
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, offenders
+
+
 def test_adjudication_window_size():
     """The driver adjudicates ~the first 50 names; the pre-boundary
     window must stay exactly 50 so a priority edit can't silently push
