@@ -132,6 +132,24 @@ class CheckpointTracker:
     those of the LAST checkpoint (whose blocks back the frames still in
     use). Callers that fully consume the final result can free that too
     with ``release_all()``.
+
+    Concurrency contract (advisor r6): created ids are attributed by
+    diffing the session-global persistent-RDD set before/after the
+    checkpoint, because ``Dataset.localCheckpoint`` persists an
+    *internal* mapped RDD the returned plan does not expose (the
+    returned frame's ``toRdd`` id is a fresh wrapper, not the persisted
+    id — reading it would mis-release on every Spark version bump).
+    The diff is only correct when no OTHER thread persists RDDs on the
+    same SparkSession between the two snapshots: a tracker must be
+    created, used, and released on a single driver thread, the model
+    this engine (and the adjudication driver, which runs queries
+    sequentially) follows.  The persistent-RDD registry is
+    per-SparkContext (``spark.newSession()`` does NOT isolate it), so a
+    multi-threaded driver must serialize calls into tracker-using
+    operators — mis-attributed ids would later be unpersisted by
+    ``release_superseded``/``release_all_but_last``, and freeing a live
+    localCheckpoint (truncated lineage) is unrecoverable for the other
+    job.
     """
 
     def __init__(self, spark: SparkSession) -> None:
@@ -171,6 +189,18 @@ class CheckpointTracker:
             return
         dead: set[int] = set(self._pinned)
         while len(self._generations) > 1:
+            dead |= self._generations.pop(0)
+        self._pinned = set()
+        release_rdd_ids(self.spark, dead)
+
+    def release_all(self) -> None:
+        """Free EVERY tracked id, including the newest generation — for
+        callers that fully consumed the final checkpoint driver-side
+        (e.g. ``text.bpe_merges`` collects the merge list and returns a
+        createDataFrame; keeping the last vocab-sized symbol table
+        alive would leak one checkpoint per call — advisor r6)."""
+        dead: set[int] = set(self._pinned)
+        while self._generations:
             dead |= self._generations.pop(0)
         self._pinned = set()
         release_rdd_ids(self.spark, dead)

@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.scalars import interval_expr
 from pyspark.sql import types as T
 
 from .ticks import SESSION_WINDOWS, session_filter, with_spread
@@ -376,7 +378,7 @@ def triple_barrier_labels(
         (F.col("bar_ts") > F.col("entry_ts"))
         & (
             F.col("bar_ts")
-            <= F.col("entry_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTE")
+            <= F.col("entry_ts") + interval_expr(horizon_minutes, "minute")
         )
     )
     agg = j.groupBy(
@@ -446,7 +448,7 @@ def label_uniqueness_weights(
             F.least(
                 F.coalesce("t_up", "t_dn"), F.coalesce("t_dn", "t_up")
             ),
-            F.col("entry_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTE"),
+            F.col("entry_ts") + interval_expr(horizon_minutes, "minute"),
         ),
     )
     b = bars.select(

@@ -800,47 +800,43 @@ def mmr_rerank(
     return withv.groupBy(query_id).applyInPandas(greedy, schema=out_schema)
 
 
-def pq_codes(
+def _pq_train(
     df: DataFrame,
     m: int = 2,
     ksub: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Product-quantization codes (Jégou et al. 2011): split each vector
-    into ``m`` contiguous subspaces, run the :func:`kmeans` recipe per
-    subspace (deterministic lowest-id init, argmin over broadcast
-    centroid literals, q6-snapped mean updates), and emit one row per
-    (vector, subspace) with the assigned codebook entry — the memory
-    side of IVF-PQ: ``m * log2(ksub)`` bits per vector instead of
-    ``dim * 32``.
+) -> tuple[DataFrame, list | None]:
+    """Shared PQ trainer behind :func:`pq_codes` / :func:`pq_topk` /
+    :func:`ivfpq_topk`: returns ``(codes_df, codebooks)`` explicitly
+    (codebooks ``None`` on empty input) instead of smuggling the
+    trained centroids on a dynamic DataFrame attribute — the attribute
+    was dropped by the empty-input early return, so ADC consumers
+    raised AttributeError on an empty corpus.  ``ksub`` is clamped to
+    the corpus size: with fewer than ``ksub`` vectors the lowest-id
+    init produces a shorter codebook (every vector still gets an exact
+    centroid) rather than an IndexError in the update loop.
 
-    Scale shape: all ``m`` subspace assignments are map-side expressions
-    in the SAME projection, and each update iteration is ONE shuffle of
-    (subspace, cluster, dim) partial means (≤ m·ksub·dsub rows after
-    map-side combine) + a metadata-scale collect — the corpus is
-    scanned once per iteration regardless of m, never joined.
-
-    Returns (id_col, subspace, code, dist_q6) — long/scalar form so the
-    value oracle hashes it directly.
-    """
+    Body documented at :func:`pq_codes`."""
     import math as _math
 
     v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
     first = v.select(F.size("vec").alias("d")).first()
     if first is None:
-        return v.select(
+        empty = v.select(
             F.col(id_col),
             F.lit(0).alias("subspace"),
             F.lit(0).alias("code"),
             F.lit(0.0).alias("dist_q6"),
         ).limit(0)
+        return empty, None
     dim = first["d"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     init_rows = v.orderBy(id_col).limit(ksub).collect()
+    ksub = min(ksub, len(init_rows))
     cents: list[list[list[float]]] = [
         [[float(x) for x in r.vec[s * dsub : (s + 1) * dsub]] for r in init_rows]
         for s in range(m)
@@ -905,9 +901,39 @@ def pq_codes(
             ).alias("dist_q6"),
         )
         out = part if out is None else out.unionByName(part)
-    # expose the trained codebooks for ADC consumers (pq_topk)
-    out._pq_centroids = cents  # type: ignore[attr-defined]
-    return out
+    return out, cents
+
+
+def pq_codes(
+    df: DataFrame,
+    m: int = 2,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011): split each vector
+    into ``m`` contiguous subspaces, run the :func:`kmeans` recipe per
+    subspace (deterministic lowest-id init, argmin over broadcast
+    centroid literals, q6-snapped mean updates), and emit one row per
+    (vector, subspace) with the assigned codebook entry — the memory
+    side of IVF-PQ: ``m * log2(ksub)`` bits per vector instead of
+    ``dim * 32``.
+
+    Scale shape: all ``m`` subspace assignments are map-side expressions
+    in the SAME projection, and each update iteration is ONE shuffle of
+    (subspace, cluster, dim) partial means (≤ m·ksub·dsub rows after
+    map-side combine) + a metadata-scale collect — the corpus is
+    scanned once per iteration regardless of m, never joined.
+
+    Returns (id_col, subspace, code, dist_q6) — long/scalar form so the
+    value oracle hashes it directly.  ADC consumers needing the trained
+    codebooks use :func:`_pq_train` directly (explicit tuple return).
+    """
+    codes, _ = _pq_train(
+        df, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    return codes
 
 
 def pq_topk(
@@ -935,8 +961,16 @@ def pq_topk(
 
     from pyspark.sql import Window
 
-    codes = pq_codes(df, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
-    cents = codes._pq_centroids  # type: ignore[attr-defined]
+    codes, cents = _pq_train(
+        df, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    if cents is None:  # empty corpus: propagate an empty, schema-stable frame
+        return codes.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col),
+            F.lit(0.0).alias("adist_q6"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
     dsub = len(cents[0][0])
     v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
     qrows = v.orderBy(id_col).limit(n_queries).collect()
@@ -1064,8 +1098,10 @@ def ivfpq_topk(
         "cell",
     )
 
-    # --- residual PQ codebooks + codes (shared across cells) ---
-    codes = pq_codes(
+    # --- residual PQ codebooks + codes (shared across cells); corpus
+    # is non-empty here (the `first is None` early return above), so
+    # the trained codebooks are always present ---
+    codes, cb = _pq_train(
         resid.select(id_col, "embedding"),
         m=m,
         ksub=ksub,
@@ -1073,7 +1109,6 @@ def ivfpq_topk(
         id_col=id_col,
         vec_col="embedding",
     )
-    cb = codes._pq_centroids  # type: ignore[attr-defined]
 
     # --- queries: n_queries lowest-id vectors; probe + distance table
     # built driver-side (metadata-scale), snapped to the 1e-6 grid ---

@@ -815,6 +815,13 @@ def funnel(
     each over only that step's events. Output: one row per step with
     reached-user counts and conversion vs step 0 (q6).
     """
+    from ..functions.scalars import interval_expr
+
+    # validate the caller-supplied gap eagerly (advisor r6: raw string
+    # interpolation into F.expr gave opaque Catalyst parse errors — or
+    # expression injection — on malformed input); accepts '<n> <unit>'
+    # or datetime.timedelta
+    gap_expr = interval_expr(max_gap) if max_gap is not None else None
     steps = list(steps)
     cur = df.groupBy(user_col).agg(
         F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias("t0")
@@ -829,11 +836,8 @@ def funnel(
             F.col(user_col), F.col(ts_col).alias("__ts")
         )
         within = F.col("__ts") > F.col(f"t{k-1}")
-        if max_gap is not None:
-            within = within & (
-                F.col("__ts")
-                <= F.col(f"t{k-1}") + F.expr(f"INTERVAL {max_gap}")
-            )
+        if gap_expr is not None:
+            within = within & (F.col("__ts") <= F.col(f"t{k-1}") + gap_expr)
         nxt = (
             ev.join(cur.select(user_col, f"t{k-1}"), user_col)
             .filter(within)

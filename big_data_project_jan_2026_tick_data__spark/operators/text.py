@@ -481,28 +481,51 @@ def lm_cross_entropy(
     first token scored by the unigram P(w) = (c(w) + 1) / (N + V).
     Per-doc cross-entropy H = -(1/n)*sum(log2 P); perplexity = 2^H.
 
-    Scale shape: LM training is two hash aggs over per-row-derived
-    token/bigram explosions (zip_with, no position self-join; shuffle is
-    vocab-sized after map-side combine). Scoring explodes each doc once
-    (previous token fetched per row with ``get``, no join) and joins
-    against the count tables on token keys, then reduces per doc. V and
-    N are a broadcast scalar row. No Python, no collects.
+    Scale shape: ONE corpus scan — the per-document token arrays are
+    materialized once (``localCheckpoint``; the tokenize-once-reuse
+    pipeline shape) and the unigram table, bigram table, and scoring
+    stream all derive from the checkpointed frame.  The r6 plan audit
+    found the previous formulation re-read the parquet 5× (the unigram
+    agg's lineage re-executed once per consumer — see
+    tests/test_plans.py::_SCAN_BUDGETS); ``uni`` is additionally
+    checkpointed (vocab-sized) because three branches consume it.
+    Retention: the checkpoints stay pinned for the result's lifetime —
+    the accepted one-pinned-checkpoint-per-call convention; at corpus
+    scale this trades executor storage (≈ the token stream, spillable)
+    for four full corpus re-reads.  LM training is two hash aggs over
+    per-row-derived token/bigram explosions (zip_with, no position
+    self-join; shuffle is vocab-sized after map-side combine). Scoring
+    explodes each doc once (previous token fetched per row with
+    ``get``, no join) and joins against the count tables on token keys,
+    then reduces per doc. V and N are a broadcast scalar row. No
+    Python, no collects.
     """
-    lm = lm_corpus if lm_corpus is not None else df
     toks = F.split(normalize_text(F.col(text_col)), " ")
+    if lm_corpus is None:
+        doc_arr = df.select(F.col(id_col), toks.alias("__t")).localCheckpoint()
+        lm_arr = doc_arr.select("__t")
+    else:
+        lm_arr = lm_corpus.select(toks.alias("__t")).localCheckpoint()
+        doc_arr = df.select(F.col(id_col), toks.alias("__t")).localCheckpoint()
 
-    lm_tok = lm.select(F.explode(toks).alias("w")).filter(F.length("w") > 0)
-    uni = lm_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    lm_big = lm.select(
+    lm_tok = lm_arr.select(F.explode("__t").alias("w")).filter(F.length("w") > 0)
+    uni = (
+        lm_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1")).localCheckpoint()
+    )
+    lm_big = lm_arr.select(
         F.explode(
             F.filter(
                 F.zip_with(
-                    toks,
+                    F.col("__t"),
                     # exact tail length, not a fixed cap: a capped slice
                     # would silently drop training bigrams past the cap
                     # on very long documents while scoring (and the
                     # oracle) count every position
-                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+                    F.slice(
+                        F.col("__t"),
+                        2,
+                        F.greatest(F.size("__t") - 1, F.lit(1)),
+                    ),
                     lambda a, b: F.struct(a.alias("w_prev"), b.alias("w")),
                 ),
                 lambda s: s.getField("w").isNotNull()
@@ -514,8 +537,7 @@ def lm_cross_entropy(
     totals = uni.agg(F.count(F.lit(1)).alias("v"), F.sum("c1").alias("n"))
 
     doc_pos = (
-        df.select(F.col(id_col), toks.alias("__t"))
-        .select(F.col(id_col), "__t", F.posexplode("__t").alias("pos", "w"))
+        doc_arr.select(F.col(id_col), "__t", F.posexplode("__t").alias("pos", "w"))
         .filter(F.length("w") > 0)
         # get() returns NULL at index -1 (pos 0): the doc's first token
         .withColumn("w_prev", F.get("__t", F.col("pos") - 1))
@@ -1155,9 +1177,27 @@ def bpe_merges(
     codepoint per char in every regex engine (Java UTF-16 vs RE2 UTF-8
     disagree on astral chars). Returns (step, left_sym, right_sym,
     merged, pair_count) — the ordered merge table, all exact values.
+
+    SCALE BOUND: one Spark job per merge step.  That is the right
+    shape for the demo-sized ``num_merges=8`` (and for any m small
+    enough that m sequential vocab-sized jobs are cheap), but it does
+    NOT extrapolate to a production 30k-merge vocabulary — 30k
+    sequential jobs of driver latency would dominate.  The production
+    path is: run the ONE corpus-sized pass here (the (word, freq)
+    table is vocab-sized — a trillion-token corpus still reduces to a
+    few million distinct words), then either train the merges
+    driver-side on the collected table (classic; it fits) or batch
+    non-overlapping merges per distributed pass.  Corpus cost is
+    identical; only the vocab-sized loop moves.
     """
     merges, _words, _state, ckpts = _bpe_train(df, text_col, num_merges)
-    ckpts.release_all_but_last()
+    # the merge list is already collected driver-side: release EVERY
+    # checkpoint generation (advisor r6 — release_all_but_last kept the
+    # newest vocab-sized symbol table alive although this result never
+    # reads it, leaking one checkpoint per call; bpe_token_counts, which
+    # returns a frame reading the final state, keeps the last-checkpoint
+    # convention)
+    ckpts.release_all()
     return df.sparkSession.createDataFrame(
         merges, "step int, left_sym string, right_sym string, merged string, pair_count bigint"
     )

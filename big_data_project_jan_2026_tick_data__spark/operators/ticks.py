@@ -25,6 +25,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import interval_expr
+
 from ..schemas import TICKS_TS_FORMAT
 
 # The reference's two fixed daily trading session windows
@@ -276,7 +278,7 @@ def bfill(
 
 def shift_timezone(df: DataFrame, ts_col: str = "ts", hours: int = 2) -> DataFrame:
     """Broker-timezone normalization (+2h, reference data_loader.py:50)."""
-    return df.withColumn(ts_col, F.col(ts_col) + F.expr(f"INTERVAL {hours} HOURS"))
+    return df.withColumn(ts_col, F.col(ts_col) + interval_expr(hours, "hour"))
 
 
 def ohlc_bars(
@@ -526,7 +528,7 @@ def gap_fill(
         .select(
             *partition_cols,
             F.explode(
-                F.sequence(F.col("__t0"), F.col("__t1"), F.expr(f"INTERVAL {step}"))
+                F.sequence(F.col("__t0"), F.col("__t1"), interval_expr(step))
             ).alias(ts_col),
         )
     )

@@ -453,3 +453,33 @@ def test_ivfpq_recall_above_chance(spark, emb_small):
         hits += len(approx & set(exact))
         total += 5
     assert hits / total >= 0.1, f"IVF-PQ recall {hits}/{total} not above chance"
+
+
+def test_pq_empty_corpus_returns_empty_frames(spark, emb_small):
+    """Advisor r6: the trained codebooks used to ride a dynamic
+    DataFrame attribute the empty-input early-return path omitted, so
+    pq_topk on an empty corpus raised AttributeError. Both surfaces now
+    return empty frames with the documented schemas."""
+    empty = emb_small.filter(F.col("vec_id") < 0)
+    codes = similarity.pq_codes(empty, m=2, ksub=8)
+    assert codes.count() == 0
+    assert codes.columns == ["vec_id", "subspace", "code", "dist_q6"]
+    topk = similarity.pq_topk(empty, m=2, ksub=8, n_queries=3, top_k=5)
+    assert topk.count() == 0
+    assert topk.columns == ["query_id", "vec_id", "adist_q6", "rank"]
+
+
+def test_pq_corpus_smaller_than_ksub_clamps(spark, emb_small):
+    """Advisor r6: fewer vectors than ksub made the lowest-id init
+    produce a short codebook and the centroid rebuild raised
+    IndexError. ksub now clamps to the corpus size: every vector is
+    coded (its own centroid exists) and ADC still ranks."""
+    tiny = emb_small.filter(F.col("vec_id") < 3)  # 3 vectors, ksub=8
+    codes = similarity.pq_codes(tiny, m=2, ksub=8, iters=2)
+    rows = codes.collect()
+    assert len(rows) == 3 * 2
+    assert all(0 <= r["code"] < 3 for r in rows)
+    topk = similarity.pq_topk(tiny, m=2, ksub=8, n_queries=2, top_k=5)
+    got = topk.collect()
+    # 2 queries x (3 - 1 self-excluded) candidates, all ranked
+    assert len(got) == 4

@@ -574,3 +574,46 @@ def test_funnel_max_gap_semantics(spark):
     }
     assert unb == {"view": 3, "click": 3, "purchase": 2}
     assert bnd == {"view": 3, "click": 2, "purchase": 2}
+
+
+def test_interval_expr_validates_and_renders(spark):
+    """Advisor r6: raw interpolation of caller strings into
+    F.expr(f"INTERVAL {..}") gave opaque Catalyst errors (or expression
+    injection) on malformed input — interval_expr validates eagerly."""
+    import datetime
+
+    import pytest
+
+    from big_data_project_jan_2026_tick_data__spark.functions.scalars import (
+        interval_expr,
+    )
+
+    df = spark.sql("SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts")
+    got = df.select(
+        (F.col("ts") + interval_expr("24 hours")).alias("a"),
+        (F.col("ts") + interval_expr(90, "minute")).alias("b"),
+        (F.col("ts") + interval_expr(datetime.timedelta(minutes=90))).alias("c"),
+        (F.col("ts") + interval_expr(-2, "hour")).alias("d"),
+    ).first()
+    assert got.a == datetime.datetime(2024, 1, 2, 0, 0)
+    assert got.b == got.c == datetime.datetime(2024, 1, 1, 1, 30)
+    assert got.d == datetime.datetime(2023, 12, 31, 22, 0)
+    for bad in ("24 fortnights", "1; DROP TABLE x", "abc", "24 hours OR 1=1"):
+        with pytest.raises(ValueError, match="invalid interval"):
+            interval_expr(bad)
+    with pytest.raises(ValueError):
+        interval_expr(5)  # int requires a unit
+    with pytest.raises(ValueError):
+        interval_expr(5, "parsec")
+    with pytest.raises(ValueError):
+        interval_expr(True, "hour")
+
+
+def test_funnel_rejects_malformed_max_gap(spark, sf_dir):
+    import pytest
+
+    from big_data_project_jan_2026_tick_data__spark.operators import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(10)
+    with pytest.raises(ValueError, match="invalid interval"):
+        stats.funnel(ev, ["click", "purchase"], max_gap="1) OR (1=1")
