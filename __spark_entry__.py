@@ -33,18 +33,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #     driver environment (see registry/q_probes.py;
 #     probe_hugeint_render is the deliberate instrument whose
 #     EXPECTED confirming outcome is a hash-FAIL) — 5-8;
-# (c) the exactagg-changed TPC-H block never re-proven after the r6
-#     migration (changed code shipped on 3 shape representatives) —
-#     9-12;
-# (d) the 33 r6 registrations awaiting their first-ever verdict, in
-#     the r6-verdict's priority: microstructure octet, lakehouse
+# (c) the exactagg block: q3/q5/q6/q14 were never re-proven after the
+#     r6 decimal migration, and exactagg changed AGAIN this round
+#     (decimal(38,0) → overflow-safe two-BIGINT whole/frac split, the
+#     judge's A/B: 0.65 s → 0.40 s warm q1) — so the r6 shape
+#     representatives (q1 heaviest agg, q18 having-join, pivot) and
+#     the exact_avg consumer (events_moment_stats) re-enter too —
+#     9-16;
+# (d) the r6 registrations awaiting their first-ever verdict, in the
+#     r6-verdict's priority: microstructure octet, lakehouse
 #     lifecycle, financial-ML folds, governance, text leftovers —
-#     13-45;
+#     17-47 (orders_concentration_hhi / events_markov_entropy yield
+#     to the exactagg re-proofs and head the r8 queue);
 # (e) re-proofs of rows whose code changed THIS round: lm_perplexity
-#     (single-scan materialization), bpe_token_counts (shares the BPE
-#     chain with the advisor-fixed bpe_merges tracker release),
-#     PQ codes/topk (advisor codebook-plumbing fix), events_funnel
-#     (advisor max_gap validation) — 46-50.
+#     (single-scan materialization), PQ codes/topk (advisor
+#     codebook-plumbing refactor) — 48-50.  bpe_token_counts and
+#     events_funnel dropped to r8: their r7 diffs are value-neutral
+#     (checkpoint release / input validation) and funnel's max_gap
+#     lane is covered by events_funnel_time_bounded in-window.
 # Rows-only entries deliberately absent (they can only say no_oracle;
 # their value proofs live in md5/mean/fixed-weight twins).
 _ADJUDICATION_PRIORITY = [
@@ -60,6 +66,10 @@ _ADJUDICATION_PRIORITY = [
     "tpch_q5_region_revenue",
     "tpch_q6_forecast_revenue",
     "tpch_q14_promo_ratio",
+    "tpch_q1",
+    "tpch_q18_large_orders",
+    "pivot_user_event_values",
+    "events_moment_stats",
     "ticks_vpin",
     "ticks_kyle_lambda",
     "ticks_volume_bars",
@@ -91,14 +101,14 @@ _ADJUDICATION_PRIORITY = [
     "doc_length_histogram",
     "events_funnel_time_bounded",
     "doc_bpe_fertility",
-    "orders_concentration_hhi",
-    "events_markov_entropy",
     "doc_lm_perplexity",
-    "doc_bpe_token_counts",
     "emb_pq_codes",
     "emb_pq_topk",
-    "events_funnel",
     # ---- ~50-slot window boundary; r8 queue from here ----
+    "orders_concentration_hhi",
+    "events_markov_entropy",
+    "doc_bpe_token_counts",
+    "events_funnel",
     "orders_scd2_apply",
     "tracking_best_run",
     "doc_quality_classifier",
@@ -110,7 +120,6 @@ _ADJUDICATION_PRIORITY = [
     "ticks_indicators",
     "events_zipf_fit",
     "ticks_parkinson_vol",
-    "events_moment_stats",
     "ticks_rolling_stats",
     "emb_kmeans",
     "emb_semantic_dedup",
@@ -134,9 +143,6 @@ _ADJUDICATION_PRIORITY = [
     "doc_leakage_safe_split",
     "streaming_health",
     "streaming_session_agg",
-    "tpch_q1",
-    "tpch_q18_large_orders",
-    "pivot_user_event_values",
     "emb_ivfpq_topk",
     "part_association_rules",
     "streaming_upsert_replay",

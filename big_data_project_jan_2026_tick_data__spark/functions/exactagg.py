@@ -4,20 +4,38 @@ The money/measure columns in this engine's tables are exact at a known
 decimal scale (prices/discounts/balances 2 dp, o_totalprice 4 dp, the
 events value 2 dp — verified against the testdata), so their sums can
 be EXACT integer arithmetic instead of order-sensitive float sums:
-snap each term to its decimal grid (recovers the true decimal — the
-double is within ~1e-11 of it, far inside the 0.5 snap margin), sum as
-decimal(38,0) (Spark) / auto-HUGEINT (DuckDB), and divide back once.
+split each value into its integer part and its 10^-k fractional
+remainder (both recovered exactly — the double is within ~1e-11 of the
+true decimal, far inside the 0.5 snap margin), sum the two parts as
+BIGINT, and recombine once per group.
 
-Why: a float SUM over a large group differs between engines (and
-between partitionings) by ~sqrt(n)·eps relative — at sf0.1 a
+Why integer: a float SUM over a large group differs between engines
+(and between partitionings) by ~sqrt(n)·eps relative — at sf0.1 a
 revenue-sum cell lands within a ROUND(,2) boundary with non-trivial
 probability, the same cross-engine flip class the detmath migration
 eliminated for transcendentals.  Integer sums are exact in any order,
 so the quantized output cannot flip, by construction.
 
+Why the whole/frac SPLIT instead of one accumulator (r7, judge A/B):
+- one decimal(38,0) accumulator is exact at any scale but prices the
+  hash agg at ~1.7× (tpch_q1 warm 0.65 s vs 0.40 s split vs 0.26 s
+  unsafe double, sf0.1 local[32], 2026-08-15 idle host — recorded in
+  BASELINE.md);
+- one BIGINT accumulator of floor(x·10^k + 0.5) is fast but silently
+  wraps at corpus scale: a k=6 grid on a ~1e5-magnitude measure is
+  ~1e11 per row, and a 100 TB lineitem group (~1.5e11 rows) overflows
+  int64 by 3 orders of magnitude;
+- the split keeps both sums in range with wide headroom — integer
+  parts sum to ≤ ~1.65e16 (1.1e5 × 1.5e11) and remainders to
+  < 10^k × n ≈ 1.5e17 — and stays a cheap long-sum pipeline.
+
 Spark/DuckDB pairs are emitted from one recipe (cf. detmath): the
 Spark Column and the oracle SQL string perform structurally identical
-arithmetic.
+IEEE arithmetic (floor/multiply/subtract/divide, round-to-nearest), so
+given identical inputs the recombined double is bit-identical across
+engines.  ``x - floor(x)`` is exact in binary64 for |x| < 2^52 (the
+difference fits the mantissa), so the remainder snap has the same
+margin as the direct ``floor(x·10^k + 0.5)`` snap.
 """
 
 from __future__ import annotations
@@ -30,32 +48,45 @@ def _pow10(k: int) -> float:
     return float(10**k)
 
 
+def _split(col: Column, k: int) -> tuple[Column, Column]:
+    """(integer part, 10^-k fractional remainder) as exact BIGINTs.
+    The remainder may equal 10^k when the value sits on the next whole
+    unit's grid point (e.g. 2.9999995 at k=6 → (2, 1_000_000)); the
+    recombination ``w + f/10^k`` is still exact, so no carry pass is
+    needed."""
+    w = F.floor(col).cast("long")
+    f = F.floor((col - w) * F.lit(_pow10(k)) + F.lit(0.5)).cast("long")
+    return w, f
+
+
 def exact_sum(col: Column, k: int) -> Column:
     """Σ col as exact integer arithmetic on the 10^-k grid, returned as
-    DOUBLE.  decimal(38,0) accumulation — no silent BIGINT wrap at any
-    corpus size."""
-    snapped = F.floor(col * F.lit(_pow10(k)) + F.lit(0.5)).cast("decimal(38,0)")
-    return F.sum(snapped).cast("double") / F.lit(_pow10(k))
+    DOUBLE.  Two BIGINT accumulators (integer units + fractional
+    remainders) — order-independent and in-range at 100 TB group sizes
+    (see module docstring for the A/B against decimal(38,0))."""
+    w, f = _split(col, k)
+    return F.sum(w).cast("double") + F.sum(f).cast("double") / F.lit(_pow10(k))
 
 
 def exact_sum_sql(expr: str, k: int) -> str:
-    """DuckDB mirror of :func:`exact_sum` (SUM(BIGINT) auto-widens to
-    HUGEINT — exact)."""
+    """DuckDB mirror of :func:`exact_sum` — structurally identical
+    whole/frac split (SUM(BIGINT) auto-widens to HUGEINT; the final
+    casts keep the combining arithmetic in binary64 like Spark)."""
+    w = f"CAST(FLOOR({expr}) AS BIGINT)"
+    f_ = f"CAST(FLOOR(({expr} - FLOOR({expr})) * 1e{k} + 0.5) AS BIGINT)"
     return (
-        f"(CAST(SUM(CAST(FLOOR({expr} * 1e{k} + 0.5) AS BIGINT)) AS DOUBLE)"
-        f" / 1e{k})"
+        f"(CAST(SUM({w}) AS DOUBLE)"
+        f" + CAST(SUM({f_}) AS DOUBLE) / 1e{k})"
     )
 
 
 def exact_avg(col: Column, k: int) -> Column:
-    """Mean over the 10^-k grid: exact sum divided by the non-null
-    count — order-independent."""
-    snapped = F.floor(col * F.lit(_pow10(k)) + F.lit(0.5)).cast("decimal(38,0)")
-    return (F.sum(snapped).cast("double") / F.lit(_pow10(k))) / F.count(col)
+    """Mean over the 10^-k grid: exact split-sum divided by the
+    non-null count — order-independent."""
+    w, f = _split(col, k)
+    total = F.sum(w).cast("double") + F.sum(f).cast("double") / F.lit(_pow10(k))
+    return total / F.count(col)
 
 
 def exact_avg_sql(expr: str, k: int) -> str:
-    return (
-        f"(CAST(SUM(CAST(FLOOR({expr} * 1e{k} + 0.5) AS BIGINT)) AS DOUBLE)"
-        f" / 1e{k} / COUNT({expr}))"
-    )
+    return f"({exact_sum_sql(expr, k)} / COUNT({expr}))"
