@@ -105,6 +105,9 @@ _ADJUDICATION_PRIORITY = [
     "emb_pq_codes",
     "emb_pq_topk",
     # ---- ~50-slot window boundary; r8 queue from here ----
+    "events_t_closeness",
+    "ticks_corwin_schultz",
+    "emb_mrl_recall",
     "orders_concentration_hhi",
     "events_markov_entropy",
     "doc_bpe_token_counts",

@@ -206,3 +206,106 @@ def l_diversity_report(
         frac.alias("risky_row_frac_q6"),
         (F.col("n_risky_classes") == 0).alias("l_diverse"),
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t: float = 0.2,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    skewness/similarity-attack check l-diversity misses: a class can
+    hold ``l`` distinct sensitive values yet still leak if its
+    DISTRIBUTION differs sharply from the table's (e.g. 90% of one rare
+    value). A class is risky when the total-variation distance (the
+    equal-ground-distance EMD for a categorical sensitive attribute)
+    between its sensitive-value distribution and the global one exceeds
+    ``t``:  TVD = ½ Σ_v |n_cv/n_c − N_v/N|.
+
+    Completes the governance trio next to :func:`k_anonymity_report`
+    and :func:`l_diversity_report`.
+
+    Scale shape: one (class, value) hash agg over the corpus, then
+    everything is value-table-sized — the class×value support grid is
+    built by joining the class list against the BROADCAST per-group
+    value distribution (missing combinations enter as n_cv = 0, which
+    the |0 − N_v/N| term requires). Determinism: each probability is a
+    correctly-rounded ratio of exact counts, per-value terms snap to a
+    1e-12 integer grid and sum as BIGINT within the class, and the
+    per-class TVD is q6-quantized before the max/threshold — identical
+    in any engine and under any partial-agg order.
+
+    Returns per ``by``-group: (n_rows, n_classes, max_tvd_q6,
+    n_risky_classes, n_risky_rows, risky_row_frac_q6, t_close)."""
+    by = list(by)
+    # ONE corpus scan: the (class, value) count table is the narrowest
+    # complete statistic — the class totals AND the global distribution
+    # both re-aggregate it, so it is materialized once (scan-audit
+    # discipline; class-count × value-count rows, metadata-scale)
+    cv = (
+        df.groupBy(*by, *quasi_cols, sensitive_col)
+        .agg(F.count(F.lit(1)).alias("__n_cv"))
+        .localCheckpoint()
+    )
+    classes = cv.groupBy(*by, *quasi_cols).agg(F.sum("__n_cv").alias("__n_c"))
+    gv = cv.groupBy(*by, sensitive_col).agg(F.sum("__n_cv").alias("__n_v"))
+    gt = (
+        gv.groupBy(*by).agg(F.sum("__n_v").alias("__n_tot"))
+        if by
+        else gv.agg(F.sum("__n_v").alias("__n_tot"))
+    )
+    gdist = (
+        gv.join(gt, by) if by else gv.crossJoin(gt)
+    )  # per-group value distribution — values × groups rows, broadcast
+    grid = (
+        classes.join(F.broadcast(gdist), by)
+        if by
+        else classes.crossJoin(F.broadcast(gdist))
+    ).join(cv, [*by, *quasi_cols, sensitive_col], "left")
+    term12 = F.floor(
+        F.abs(
+            F.coalesce(F.col("__n_cv"), F.lit(0)) / F.col("__n_c")
+            - F.col("__n_v") / F.col("__n_tot")
+        )
+        * 1e12
+        + F.lit(0.5)
+    ).cast("long")
+    cl = grid.groupBy(*by, *quasi_cols).agg(
+        F.min("__n_c").alias("__n"),
+        (
+            F.floor(
+                (F.sum(term12).cast("double") / F.lit(1e12))
+                / 2
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("__tvd_q6"),
+    )
+    risky = F.col("__tvd_q6") > t
+    rep = (
+        cl.groupBy(*by)
+        if by
+        else cl.groupBy()
+    ).agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.max("__tvd_q6").alias("max_tvd_q6"),
+        F.sum(risky.cast("long")).alias("n_risky_classes"),
+        F.sum(F.when(risky, F.col("__n")).otherwise(0)).alias("n_risky_rows"),
+    )
+    frac = (
+        F.floor(F.col("n_risky_rows") / F.col("n_rows") * 1e6 + F.lit(0.5)) / 1e6
+    )
+    return rep.select(
+        *by,
+        "n_rows",
+        "n_classes",
+        "max_tvd_q6",
+        "n_risky_classes",
+        "n_risky_rows",
+        frac.alias("risky_row_frac_q6"),
+        (F.col("n_risky_classes") == 0).alias("t_close"),
+    )

@@ -44,6 +44,89 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=10)
 
 
+@_register(
+    "emb_mrl_recall",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec
+               FROM embeddings),
+    full_rank AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(c.cvec, q.qvec), 6)
+                            DESC,
+                          c.vec_id) AS rank
+        FROM c, q)
+      WHERE rank <= 10),
+    trunc_rank AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(c.cvec[1:32],
+                                                       q.qvec[1:32]), 6)
+                            DESC,
+                          c.vec_id) AS rank
+        FROM c, q)
+      WHERE rank <= 10),
+    ov AS (
+      SELECT f.query_id, count(*) AS n_overlap
+      FROM full_rank f JOIN trunc_rank t
+        ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+      GROUP BY f.query_id)
+    SELECT q.query_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           FLOOR(COALESCE(ov.n_overlap, 0) * 1.0 / 10 * 1e6 + 0.5) / 1e6
+             AS recall_q6
+    FROM (SELECT DISTINCT query_id FROM q) q
+    LEFT JOIN ov USING (query_id)
+    """,
+)
+def emb_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval evaluation (Kusupati et al.
+    2022): exact cosine top-10 under the FULL 64-d embedding vs under
+    its first-32-dims truncation, per-query overlap recall — the
+    dimension-selection study an embedding pipeline runs before
+    shipping a cheaper index (half the dims = half the ANN memory/IO
+    if recall holds). Both rankings quantize cosine to 6 dp with vec_id
+    tie-breaks (the emb_cosine_topk convention), so the two top-k SETS
+    are deterministic and the overlap count is exact. Query side is
+    5 broadcast rows; corpus-side cost is two pruned scans (full +
+    sliced columns), quadratic-by-intent like its brute-force
+    companion — the production path swaps in the LSH/IVF-PQ variants."""
+    emb = _td(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    half = F.slice("embedding", 1, 32)
+    emb_t = emb.select("vec_id", half.alias("embedding"))
+    queries_t = queries.select("query_id", half.alias("embedding"))
+    full = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    trunc = similarity.brute_force_topk(emb_t, queries_t, k=10).select(
+        "query_id", "vec_id"
+    )
+    ov = full.join(trunc, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    base = queries.select("query_id").distinct()
+    return base.join(ov, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        (
+            F.floor(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(10) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("recall_q6"),
+    )
+
+
 def _lsh_topk_oracle(
     dim: int = 64, num_planes: int = 4, seed: int = 42, k: int = 10
 ) -> str:

@@ -20,6 +20,10 @@ from ..operators import (  # noqa: F401
 from ..functions import detmath
 from ._base import _register, _td
 
+_CS_DEN = 3.0 - 2.0 * math.sqrt(2.0)  # Corwin-Schultz denominator
+
+
+
 
 # ---------------------------------------------------------------------------
 # Tick-domain operators (SURVEY §2.2-§2.4) mapped onto the `events` table
@@ -2482,6 +2486,144 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_q6"
         ),
         "rank",
+    )
+
+
+@_register(
+    "ticks_corwin_schultz",
+    rf"""
+    WITH daily AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             CAST(ts AS DATE) AS day,
+             max(value) AS hi, min(value) AS lo
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT symbol, day, hi, lo,
+             lead(day) OVER w AS day_next,
+             lead(hi) OVER w AS hi1,
+             lead(lo) OVER w AS lo1
+      FROM daily WHERE lo > 0
+      WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+    staged AS (
+      SELECT symbol, day, day_next,
+             hi / lo AS hl0,
+             hi1 / lo1 AS hl1,
+             GREATEST(hi, hi1) / LEAST(lo, lo1) AS hl2
+      FROM pairs WHERE day_next IS NOT NULL AND lo1 > 0),
+    lr AS (
+      SELECT symbol, day, day_next,
+             {detmath.det_ln_pos_sql('hl0', 'duckdb', assume_ge_1=True)} AS l0,
+             {detmath.det_ln_pos_sql('hl1', 'duckdb', assume_ge_1=True)} AS l1,
+             {detmath.det_ln_pos_sql('hl2', 'duckdb', assume_ge_1=True)} AS l2
+      FROM staged),
+    ab AS (
+      SELECT symbol, day, day_next,
+             l0 * l0 + l1 * l1 AS beta,
+             l2 * l2 AS gamma
+      FROM lr),
+    al AS (
+      SELECT symbol, day, day_next, beta, gamma,
+             LEAST(GREATEST(
+               (sqrt(2.0 * beta) - sqrt(beta)) / {detmath.dlit(_CS_DEN)}
+                 - sqrt(gamma / {detmath.dlit(_CS_DEN)}), -41.0), 41.0)
+               AS alpha
+      FROM ab),
+    ex AS (
+      SELECT symbol, day, day_next, beta, gamma, alpha,
+             {detmath.det_exp_sql('alpha', 'duckdb')} AS ea
+      FROM al)
+    SELECT symbol, day, day_next,
+           FLOOR(beta * 1e6 + 0.5) / 1e6 AS beta_q6,
+           FLOOR(gamma * 1e6 + 0.5) / 1e6 AS gamma_q6,
+           FLOOR(2.0 * (ea - 1.0) / (1.0 + ea) * 1e6 + 0.5) / 1e6
+             AS spread_q6,
+           FLOOR(GREATEST(2.0 * (ea - 1.0) / (1.0 + ea), 0.0) * 1e6 + 0.5)
+             / 1e6 AS spread_pos_q6
+    FROM ex
+    """,
+)
+def ticks_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corwin-Schultz (2012) bid-ask spread estimator from daily
+    high/low ranges: two-day β = ln(H0/L0)² + ln(H1/L1)², two-day-range
+    γ = ln(H01/L01)², α = (√(2β) − √β)/(3−2√2) − √(γ/(3−2√2)),
+    S = 2(e^α − 1)/(1 + e^α) — THE liquidity estimator for markets
+    where only OHLC survives (completing the microstructure family next
+    to the Roll covariance estimator, ticks_roll_spread). Negative
+    estimates are kept raw AND clamped (spread_pos_q6), the paper's
+    two reported conventions.  (On this synthetic events table the
+    daily ranges are enormous relative to a real price series, so the
+    estimate saturates toward the sigmoid's bound — the VALUES are
+    formula-exact; real tick data yields basis-point spreads.)
+
+    One corpus hash agg to daily highs/lows, one lead window over the
+    calendar-sized table — corpus never shuffles twice. Determinism:
+    hi/lo are exact parquet doubles; every ln/exp is functions.detmath;
+    sqrt is IEEE-correctly-rounded; all term combinations are
+    fixed-order single-row expressions (no float re-aggregation), so
+    both engines quantize identical doubles."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+                "symbol"
+            ),
+            F.to_date("ts").alias("day"),
+            "value",
+        )
+        .groupBy("symbol", "day")
+        .agg(F.max("value").alias("hi"), F.min("value").alias("lo"))
+        .filter(F.col("lo") > 0)
+    )
+    w = Window.partitionBy("symbol").orderBy("day")
+    pairs = (
+        daily.withColumn("day_next", F.lead("day").over(w))
+        .withColumn("hi1", F.lead("hi").over(w))
+        .withColumn("lo1", F.lead("lo").over(w))
+        .filter(F.col("day_next").isNotNull() & (F.col("lo1") > 0))
+    )
+    staged = (
+        pairs.withColumn("__hl0", F.col("hi") / F.col("lo"))
+        .withColumn("__hl1", F.col("hi1") / F.col("lo1"))
+        .withColumn(
+            "__hl2",
+            F.greatest("hi", "hi1") / F.least("lo", "lo1"),
+        )
+        .withColumn("__l0", detmath.det_ln_pos("__hl0", assume_ge_1=True))
+        .withColumn("__l1", detmath.det_ln_pos("__hl1", assume_ge_1=True))
+        .withColumn("__l2", detmath.det_ln_pos("__hl2", assume_ge_1=True))
+        .withColumn(
+            "__beta", F.col("__l0") * F.col("__l0") + F.col("__l1") * F.col("__l1")
+        )
+        .withColumn("__gamma", F.col("__l2") * F.col("__l2"))
+        .withColumn(
+            "__alpha",
+            # clamp to det_exp's |x| <= 41 domain (identical clamp in the
+            # oracle — parity preserved); the sigmoid-shaped S saturates
+            # to ±2 far before the bound anyway
+            F.least(
+                F.greatest(
+                    (F.sqrt(2.0 * F.col("__beta")) - F.sqrt("__beta"))
+                    / F.lit(_CS_DEN)
+                    - F.sqrt(F.col("__gamma") / F.lit(_CS_DEN)),
+                    F.lit(-41.0),
+                ),
+                F.lit(41.0),
+            ),
+        )
+        .withColumn("__ea", detmath.det_exp("__alpha"))
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    spread = 2.0 * (F.col("__ea") - 1.0) / (1.0 + F.col("__ea"))
+    return staged.select(
+        "symbol",
+        "day",
+        "day_next",
+        q6(F.col("__beta")).alias("beta_q6"),
+        q6(F.col("__gamma")).alias("gamma_q6"),
+        q6(spread).alias("spread_q6"),
+        q6(F.greatest(spread, F.lit(0.0))).alias("spread_pos_q6"),
     )
 
 

@@ -270,6 +270,69 @@ def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_t_closeness",
+    """
+    WITH cv AS (
+      SELECT user_id % 10 AS user_bucket, CAST(ts AS DATE) AS day,
+             event_type, count(*) AS n_cv
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
+    cls AS (SELECT user_bucket, day, SUM(n_cv) AS n_c FROM cv GROUP BY 1, 2),
+    gv AS (SELECT event_type, SUM(n_cv) AS n_v FROM cv GROUP BY 1),
+    g AS (SELECT SUM(n_v) AS n_tot FROM gv),
+    grid AS (
+      SELECT c.user_bucket, c.day, c.n_c, v.event_type, v.n_v, g.n_tot,
+             COALESCE(x.n_cv, 0) AS n_cv
+      FROM cls c CROSS JOIN gv v CROSS JOIN g
+      LEFT JOIN cv x ON x.user_bucket = c.user_bucket AND x.day = c.day
+                    AND x.event_type = v.event_type),
+    cl AS (
+      SELECT user_bucket, day, MIN(n_c) AS n,
+             FLOOR((CAST(SUM(CAST(FLOOR(ABS(n_cv * 1.0 / n_c
+                                           - n_v * 1.0 / n_tot)
+                                       * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / 1e12) / 2 * 1e6 + 0.5) / 1e6 AS tvd_q6
+      FROM grid GROUP BY 1, 2)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           MAX(tvd_q6) AS max_tvd_q6,
+           CAST(SUM(CASE WHEN tvd_q6 > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_classes,
+           CAST(SUM(CASE WHEN tvd_q6 > 0.2 THEN n ELSE 0 END) AS BIGINT)
+             AS n_risky_rows,
+           FLOOR(SUM(CASE WHEN tvd_q6 > 0.2 THEN n ELSE 0 END) * 1.0
+                 / SUM(n) * 1e6 + 0.5) / 1e6 AS risky_row_frac_q6,
+           SUM(CASE WHEN tvd_q6 > 0.2 THEN 1 ELSE 0 END) = 0 AS t_close
+    FROM cl
+    """,
+)
+def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (expectations.t_closeness_report, t=0.2,
+    total-variation distance) over the same (user bucket, day)
+    quasi-identifiers with event_type sensitive — the skewness-attack
+    check l-diversity misses: a class can be l-diverse yet leak by
+    DISTRIBUTION (90% of one rare value). Completes the governance trio
+    (k-anonymity → l-diversity → t-closeness). One corpus hash agg to
+    the materialized (class, value) table; the support grid (missing
+    combinations count as n_cv = 0) is class-list ⋈ broadcast global
+    distribution; per-value |p_c − p_g| terms snap to a 1e-12 grid,
+    per-class TVD is q6-quantized before the threshold/max."""
+    from ..plans.expectations import t_closeness_report
+
+    ev = (
+        _td(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            (F.col("user_id") % 10).alias("user_bucket"),
+            F.to_date("ts").alias("day"),
+        )
+    )
+    return t_closeness_report(
+        ev, quasi_cols=("user_bucket", "day"), sensitive_col="event_type", t=0.2
+    )
+
+
+@_register(
     "snapshot_compact_roundtrip",
     """
     -- per-type aggregate must survive compaction bit-for-bit; the

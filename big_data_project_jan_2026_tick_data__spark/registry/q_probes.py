@@ -124,6 +124,10 @@ def probe_detmath_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's DuckDB build, with zero float output columns.  Covers every
     exponent/mantissa bucket the text-family queries hit (token counts
     at sf0.01 are < 5000)."""
+    # every other registry query pins session conf via _td; this one
+    # reads no table, so pin explicitly (Spark 4 defaults ANSI on)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     n = spark.range(1, 5001).select(F.col("id").alias("n"))
     l2 = detmath.det_log2_int("n")
     return n.select(

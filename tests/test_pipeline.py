@@ -215,3 +215,39 @@ def test_l_diversity_report_hand_computed(spark):
         df, quasi_cols=("qa", "qb"), sensitive_col="sens", l=3
     ).collect()[0]
     assert r3.n_risky_classes == 2 and not r3.l_diverse
+
+
+def test_t_closeness_report_hand_computed(spark):
+    """Two classes skewed 3:1 in opposite directions around a uniform
+    global distribution: TVD = 0.25 each — t=0.3 passes, t=0.2 flags
+    both; a missing value contributes its full global mass."""
+    from big_data_project_jan_2026_tick_data__spark.plans.expectations import (
+        t_closeness_report,
+    )
+
+    rows = (
+        [(1, "x")] * 3 + [(1, "y")] * 1   # class 1: p = (.75, .25)
+        + [(2, "x")] * 1 + [(2, "y")] * 3  # class 2: p = (.25, .75)
+    )
+    df = spark.createDataFrame(rows, "qa int, s string")
+    rep = t_closeness_report(df, quasi_cols=("qa",), sensitive_col="s", t=0.3)
+    r = rep.first()
+    # global p = (.5, .5); TVD = 0.5*(|.75-.5| + |.25-.5|) = 0.25
+    assert (r.n_rows, r.n_classes, r.max_tvd_q6) == (8, 2, 0.25)
+    assert r.t_close and r.n_risky_classes == 0
+    r2 = t_closeness_report(
+        df, quasi_cols=("qa",), sensitive_col="s", t=0.2
+    ).first()
+    assert not r2.t_close
+    assert (r2.n_risky_classes, r2.n_risky_rows, r2.risky_row_frac_q6) == (
+        2, 8, 1.0,
+    )
+    # a class missing a value entirely: TVD counts the absent mass
+    rows3 = [(1, "x")] * 4 + [(2, "x")] * 2 + [(2, "y")] * 2
+    df3 = spark.createDataFrame(rows3, "qa int, s string")
+    r3 = t_closeness_report(
+        df3, quasi_cols=("qa",), sensitive_col="s", t=0.5
+    ).first()
+    # global p = (.75, .25); class 1 = (1, 0) -> TVD .25; class 2 =
+    # (.5, .5) -> TVD .25
+    assert r3.max_tvd_q6 == 0.25 and r3.t_close
