@@ -1721,3 +1721,45 @@ def test_privacy_reports_match_python_oracle(spark, rows, k, l):
     assert lr.n_risky_classes == len(lrisky)
     assert lr.n_risky_rows == sum(map(len, lrisky))
     assert lr.l_diverse == (not lrisky)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        # fixed-decimal doubles at <= 4 dp, mixed signs and magnitudes
+        st.integers(min_value=-10**9, max_value=10**9).map(lambda i: i / 1e4),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.sampled_from([2, 4, 6]),
+)
+def test_exactagg_split_matches_decimal_reference(spark, vals, k):
+    """The r7 whole/frac two-BIGINT split must equal the exact Decimal
+    reference on the 10^-k grid for any fixed-decimal input mix (signs,
+    magnitudes, boundary fractions) — the invariant the decimal(38,0)
+    accumulator used to provide by construction."""
+    from decimal import Decimal
+
+    from big_data_project_jan_2026_tick_data__spark.functions.exactagg import (
+        exact_avg,
+        exact_sum,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = df.agg(
+        exact_sum(F.col("x"), k).alias("s"), exact_avg(F.col("x"), k).alias("a")
+    ).first()
+    grid = Decimal(10) ** k
+    ref_units = sum(
+        int(math.floor(Decimal(repr(v)) * grid + Decimal("0.5"))) for v in vals
+    )
+    ref_s = float(Decimal(ref_units) / grid)
+    assert got.s == pytest.approx(ref_s, abs=1e-9), (vals, k, got.s, ref_s)
+    assert got.a == pytest.approx(ref_s / len(vals), abs=1e-9)
+    # order independence: a different partitioning yields the identical double
+    got7 = df.repartition(7).agg(exact_sum(F.col("x"), k).alias("s")).first()
+    assert got7.s == got.s
