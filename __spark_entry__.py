@@ -106,6 +106,8 @@ _ADJUDICATION_PRIORITY = [
     "emb_pq_topk",
     # ---- ~50-slot window boundary; r8 queue from here ----
     "events_t_closeness",
+    "doc_dup_spans",
+    "emb_hamming_topk",
     "ticks_corwin_schultz",
     "emb_mrl_recall",
     "orders_concentration_hhi",

@@ -1830,6 +1830,129 @@ def doc_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_dup_spans",
+    rf"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split({_norm_sql('text')}, ' '),
+                                 w -> length(w) > 0) AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(toks[i + 1:i + 8], ' ')) AS gh
+      FROM tk, UNNEST(range(0, GREATEST(len(toks) - 7, 0))) t(i)),
+    c AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY gh) > 1 AS dup
+      FROM g),
+    sp AS (
+      SELECT doc_id, pos, dup,
+             MAX(CASE WHEN dup THEN pos END) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_dup
+      FROM c)
+    SELECT doc_id,
+           CAST(COUNT(*) + 7 AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           CAST(SUM(CASE WHEN dup
+                    THEN LEAST(8, pos - COALESCE(prev_dup, pos - 8))
+                    ELSE 0 END) AS BIGINT) AS dup_tokens,
+           FLOOR(SUM(CASE WHEN dup
+                     THEN LEAST(8, pos - COALESCE(prev_dup, pos - 8))
+                     ELSE 0 END) * 1.0 / (COUNT(*) + 7) * 1e6 + 0.5) / 1e6
+             AS dup_token_frac_q6
+    FROM sp GROUP BY doc_id
+    """,
+)
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    8-token gram occurring more than once ANYWHERE in the corpus marks
+    its 8-token span, and each document reports how much of its text
+    the union of those spans covers — the signal behind
+    exact-substring dedup, which catches boilerplate repeated INSIDE
+    otherwise-unique pages that doc/line-level dedup misses. Docs
+    shorter than one gram are out of the trained domain and excluded
+    (the oracle applies the same cut).
+
+    Scale shape: one corpus scan explodes positional grams (md5 keys —
+    the 128-bit shuffle-slim convention), ONE gram-key shuffle for the
+    corpus-wide window count (no count-table join-back — the window
+    avoids re-deriving the stream), one doc-key shuffle for the span
+    union, whose per-doc window MAX(dup pos) algebra turns greedy
+    interval merging into exact integer arithmetic: covered +=
+    min(8, pos − prev_dup_pos). Integer outputs + one exact-count
+    division."""
+    from pyspark.sql import Window
+
+    from ..operators.text import normalize_text
+
+    docs = _td(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(normalize_text(F.col("text")), " "),
+        lambda w: F.length(w) > 0,
+    )
+    tk = docs.select("doc_id", toks.alias("toks"))
+    grams = tk.select(
+        "doc_id",
+        F.posexplode(
+            # guard the short-doc case explicitly: sequence(0, n) with
+            # n < 0 yields a DESCENDING sequence in Spark (not empty),
+            # which would fabricate negative-index grams
+            F.expr(
+                "CASE WHEN size(toks) >= 8 THEN "
+                "transform(sequence(0, size(toks) - 8), "
+                "i -> md5(array_join(slice(toks, i + 1, 8), ' '))) "
+                "ELSE array() END"
+            )
+        ).alias("pos", "gh"),
+    )
+    cnt_w = Window.partitionBy("gh")
+    c = grams.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        (F.count(F.lit(1)).over(cnt_w) > 1).alias("dup"),
+    )
+    prev_w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sp = c.withColumn(
+        "prev_dup",
+        F.max(F.when(F.col("dup"), F.col("pos"))).over(prev_w),
+    )
+    contrib = F.when(
+        F.col("dup"),
+        F.least(
+            F.lit(8),
+            F.col("pos") - F.coalesce(F.col("prev_dup"), F.col("pos") - 8),
+        ),
+    ).otherwise(0)
+    agg = sp.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) + 7).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("dup").cast("long")).alias("n_dup_grams"),
+        F.sum(contrib).cast("long").alias("dup_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_grams",
+        "n_dup_grams",
+        "dup_tokens",
+        (
+            F.floor(
+                F.col("dup_tokens") / F.col("n_tokens") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("dup_token_frac_q6"),
+    )
+
+
+@_register(
     "doc_mixture_weights",
     rf"""
     WITH base AS (

@@ -127,6 +127,85 @@ def emb_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "emb_hamming_topk",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    b AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(vec[1:32],
+                    (x, i) -> CASE WHEN x >= 0
+                              THEN 1::BIGINT << (i - 1)
+                              ELSE 0::BIGINT END)) AS BIGINT) AS sig_lo,
+             CAST(list_sum(list_transform(vec[33:64],
+                    (x, i) -> CASE WHEN x >= 0
+                              THEN 1::BIGINT << (i - 1)
+                              ELSE 0::BIGINT END)) AS BIGINT) AS sig_hi
+      FROM v),
+    q AS (SELECT vec_id AS query_id, sig_lo AS qlo, sig_hi AS qhi
+          FROM b WHERE vec_id < 5)
+    SELECT query_id, vec_id, hamming, rank FROM (
+      SELECT q.query_id, b.vec_id,
+             CAST(bit_count(xor(b.sig_lo, q.qlo))
+                  + bit_count(xor(b.sig_hi, q.qhi)) AS BIGINT) AS hamming,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY bit_count(xor(b.sig_lo, q.qlo))
+                          + bit_count(xor(b.sig_hi, q.qhi)) ASC,
+                        b.vec_id ASC) AS rank
+      FROM b, q)
+    WHERE rank <= 10
+    """,
+)
+def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-signature retrieval: each 64-d embedding sign-binarized
+    into two 32-bit words (bit i set iff dim i >= 0; split keeps every
+    shift below DuckDB's checked 1<<63 bound) and ranked by Hamming
+    distance — the 32x-compression baseline real vector stores ship
+    (binarized MRL / bit-vector prefilters): at 100 TB the index is 8
+    bytes/vector, the scan is xor+popcount (SIMD-trivial, no floats),
+    and the shuffle carries (query, id, small-int) only. Integer-exact
+    end-to-end — nothing to quantize, both engines rank identically
+    (distance ASC, vec_id tie-break)."""
+    emb = _td(spark, sf_dir, "embeddings")
+
+    def pack(lo: int) -> F.Column:
+        # 32 dims -> bits 0..31 of one long; no shift past 31, so both
+        # engines stay inside checked-shift range (DuckDB rejects 1<<63)
+        return F.expr(
+            f"aggregate(transform(slice(embedding, {lo}, 32), "
+            "(x, i) -> CASE WHEN x >= 0 THEN shiftleft(1L, i) ELSE 0L END), "
+            "0L, (a, b) -> a + b)"
+        )
+
+    b = emb.select("vec_id", pack(1).alias("sig_lo"), pack(33).alias("sig_hi"))
+    q = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("qlo"),
+        F.col("sig_hi").alias("qhi"),
+    )
+    from pyspark.sql import Window
+
+    scored = b.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (
+            F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("qlo")))
+            + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("qhi")))
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
 def _lsh_topk_oracle(
     dim: int = 64, num_planes: int = 4, seed: int = 42, k: int = 10
 ) -> str:
