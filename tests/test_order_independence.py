@@ -65,6 +65,13 @@ HARDENED = [
     "events_funnel_time_bounded",
     "orders_concentration_hhi",
     "events_markov_entropy",
+    # r7 additions: the exactagg whole/frac-split representatives, and
+    # the new float-bearing queries (grid-snap / exact-count divisions)
+    "tpch_q1",
+    "events_t_closeness",
+    "ticks_corwin_schultz",
+    "emb_mrl_recall",
+    "doc_dup_spans",
 ]
 
 
