@@ -51,6 +51,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     events_funnel dropped to r8: their r7 diffs are value-neutral
 #     (checkpoint release / input validation) and funnel's max_gap
 #     lane is covered by events_funnel_time_bounded in-window.
+# The late-r7 snapshots.py refactor (write() commit loop factored into
+# _attach for WAP) is pure code motion; its driver proof rides the four
+# in-window lifecycle first-verdicts (delete_purge, schema_evolution,
+# compact_roundtrip, incremental_ohlc_view) which all commit through
+# _attach — the r3-proven time-travel/merge rows re-queue behind them.
 # Rows-only entries deliberately absent (they can only say no_oracle;
 # their value proofs live in md5/mean/fixed-weight twins).
 _ADJUDICATION_PRIORITY = [
@@ -106,6 +111,7 @@ _ADJUDICATION_PRIORITY = [
     "emb_pq_topk",
     # ---- ~50-slot window boundary; r8 queue from here ----
     "events_t_closeness",
+    "snapshot_wap_publish",
     "doc_dup_spans",
     "emb_hamming_topk",
     "ticks_corwin_schultz",

@@ -39,6 +39,7 @@ off the Hadoop FS, not the local disk).
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -48,6 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _LOG_DIR = "_snapshots"
+_WAP_DIR = "_wap"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -96,6 +98,11 @@ class _HadoopFS:
 
     def delete(self, p: str, recursive: bool = False) -> None:
         self.fs.delete(self.path(p), recursive)
+
+    def rename(self, src: str, dst: str) -> bool:
+        """Metadata move (no data rewrite on HDFS; object stores map it
+        to their server-side copy) — the WAP publish primitive."""
+        return bool(self.fs.rename(self.path(src), self.path(dst)))
 
     def parquet_row_count(self, dirpath: str) -> int:
         """Sum parquet footer num_rows over a data dir — metadata-only,
@@ -180,23 +187,21 @@ class SnapshotTable:
 
     # -- writes -------------------------------------------------------------
 
-    def write(self, df: DataFrame, mode: str = "append", retries: int = 3) -> Snapshot:
-        """Commit ``df`` as a new snapshot. ``mode``: append | overwrite.
-        ``retries``: optimistic-concurrency attempts — on a commit race
-        the metadata attach is recomputed against the winner's log tail
-        and retried; raises :class:`ConcurrentCommitError` when all
-        attempts lose."""
-        if mode not in ("append", "overwrite"):
-            raise ValueError("mode must be append|overwrite")
-        commit_dir = f"data/{uuid.uuid4().hex}"
-        out_path = f"{self.root}/{commit_dir}"
-        df.write.mode("errorifexists").parquet(out_path)
-        added = self._hfs.parquet_row_count(out_path)
-
-        # the data files are written once; only the metadata attach is
-        # retried — on a commit race, re-read the log (so the winner
-        # becomes the parent and, for append, its manifest is included)
-        # and try the next snapshot id. Iceberg's optimistic commit loop.
+    def _attach(
+        self,
+        commit_dir: str,
+        added: int,
+        mode: str,
+        operation: str,
+        extra_summary: dict[str, str] | None = None,
+        retries: int = 3,
+    ) -> Snapshot:
+        """Optimistic metadata attach of an already-written data dir —
+        shared by :meth:`write` and :meth:`wap_publish`. The data files
+        are written once; only this attach is retried: on a commit race,
+        re-read the log (so the winner becomes the parent and, for
+        append, its manifest is included) and try the next snapshot id.
+        Iceberg's optimistic commit loop."""
         last_err: Exception | None = None
         for _ in range(max(1, retries)):
             log = self._read_log()
@@ -216,12 +221,13 @@ class SnapshotTable:
                 snapshot_id=(parent.snapshot_id + 1) if parent else 1,
                 parent_snapshot_id=parent.snapshot_id if parent else None,
                 committed_at_ms=int(time.time() * 1000),
-                operation=mode,
+                operation=operation,
                 manifest=manifest,
                 summary={
                     "added-records": str(added),
                     "deleted-records": str(deleted),
                     "total-records": str(total),
+                    **(extra_summary or {}),
                 },
             )
             try:
@@ -230,6 +236,91 @@ class SnapshotTable:
             except ConcurrentCommitError as e:
                 last_err = e
         raise last_err
+
+    def write(self, df: DataFrame, mode: str = "append", retries: int = 3) -> Snapshot:
+        """Commit ``df`` as a new snapshot. ``mode``: append | overwrite.
+        ``retries``: optimistic-concurrency attempts — on a commit race
+        the metadata attach is recomputed against the winner's log tail
+        and retried; raises :class:`ConcurrentCommitError` when all
+        attempts lose."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError("mode must be append|overwrite")
+        commit_dir = f"data/{uuid.uuid4().hex}"
+        out_path = f"{self.root}/{commit_dir}"
+        df.write.mode("errorifexists").parquet(out_path)
+        added = self._hfs.parquet_row_count(out_path)
+        return self._attach(commit_dir, added, mode, mode, retries=retries)
+
+    # -- write-audit-publish (WAP) ----------------------------------------
+
+    def _wap_dir(self, audit_id: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9_\-]{1,64}", audit_id):
+            raise ValueError(
+                f"audit_id must be [A-Za-z0-9_-]{{1,64}}, got {audit_id!r}"
+            )
+        return f"{_WAP_DIR}/{audit_id}"
+
+    def wap_stage(
+        self, df: DataFrame, audit_id: str, mode: str = "append"
+    ) -> None:
+        """Write-Audit-Publish stage (the Iceberg/Netflix WAP pattern):
+        write ``df``'s files ONCE into an unpublished staging area,
+        INVISIBLE to ``read()``/time travel/concurrent readers, so the
+        batch can be audited on real files before anyone sees it.
+        ``wap_publish`` later attaches the directory by metadata rename
+        (no data rewrite); ``wap_abandon`` drops it. At 100 TB this is
+        the difference between auditing a copy and auditing the actual
+        bytes that will serve."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError("mode must be append|overwrite")
+        stage = self._wap_dir(audit_id)
+        if self._hfs.exists(f"{self.root}/{stage}"):
+            raise ValueError(f"audit_id {audit_id!r} is already staged")
+        df.write.mode("errorifexists").parquet(f"{self.root}/{stage}/data")
+        self._hfs.create_text(
+            f"{self.root}/{stage}/meta.json", json.dumps({"mode": mode})
+        )
+
+    def wap_read(self, audit_id: str) -> DataFrame:
+        """The staged batch alone — what the audit gate runs its
+        expectations against (e.g. plans/expectations.py contracts)."""
+        return self.spark.read.parquet(
+            f"{self.root}/{self._wap_dir(audit_id)}/data"
+        )
+
+    def wap_publish(self, audit_id: str, retries: int = 3) -> Snapshot:
+        """Atomically make a staged batch visible: one filesystem rename
+        of the staged data dir into the table's data area + the standard
+        optimistic metadata attach (operation ``wap-publish``, summary
+        carries the audit id). The files written at stage time ARE the
+        published files — audit-what-you-publish."""
+        stage = self._wap_dir(audit_id)
+        meta_path = f"{self.root}/{stage}/meta.json"
+        if not self._hfs.exists(meta_path):
+            raise ValueError(f"no staged batch for audit_id {audit_id!r}")
+        mode = json.loads(self._hfs.read_text(meta_path))["mode"]
+        commit_dir = f"data/wap-{audit_id}-{uuid.uuid4().hex[:8]}"
+        if not self._hfs.rename(f"{self.root}/{stage}/data", f"{self.root}/{commit_dir}"):
+            raise RuntimeError(f"rename of staged batch {audit_id!r} failed")
+        added = self._hfs.parquet_row_count(f"{self.root}/{commit_dir}")
+        snap = self._attach(
+            commit_dir,
+            added,
+            mode,
+            "wap-publish",
+            extra_summary={"wap-id": audit_id},
+            retries=retries,
+        )
+        self._hfs.delete(f"{self.root}/{stage}", recursive=True)
+        return snap
+
+    def wap_abandon(self, audit_id: str) -> None:
+        """Drop a staged batch that failed its audit — nothing was ever
+        visible, so this is a pure staging-area delete."""
+        stage = self._wap_dir(audit_id)
+        if not self._hfs.exists(f"{self.root}/{stage}"):
+            raise ValueError(f"no staged batch for audit_id {audit_id!r}")
+        self._hfs.delete(f"{self.root}/{stage}", recursive=True)
 
     def merge(self, updates: DataFrame, key_cols: list[str]) -> Snapshot:
         """MERGE INTO (upsert): rows in ``updates`` replace current rows

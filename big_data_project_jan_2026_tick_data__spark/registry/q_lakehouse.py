@@ -333,6 +333,99 @@ def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "snapshot_wap_publish",
+    """
+    WITH pub AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id % 3 IN (0, 1) AND value IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_i4_sum,
+           TRUE AS staged_invisible,
+           TRUE AS published_via_wap,
+           TRUE AS abandoned_invisible
+    FROM pub GROUP BY event_type
+    """,
+)
+def snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish lifecycle end to end (SnapshotTable.wap_*,
+    the Iceberg/Netflix staging pattern): a good batch is staged,
+    audited on its actual files (data-contract: no null values), and
+    published by metadata rename; a poisoned batch (nulls injected)
+    is staged, FAILS the audit, and is abandoned without ever being
+    visible. The value hash pins the final table content (= base ∪
+    published batch, exactly) and three audited invariants ride as
+    boolean columns the oracle asserts TRUE: staged batches invisible
+    before publish, the publish recorded as a wap-publish snapshot
+    carrying its audit id, the abandoned batch absent from the final
+    state."""
+    import tempfile
+
+    from ..plans.snapshots import SnapshotTable
+
+    ev = _td(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "event_id", "event_type", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(spark, f"{d}/tbl")
+        t.write(ev.filter(F.col("event_id") % 3 == 0), mode="append")
+        n_base = t.read().count()
+        # good batch: stage -> audit (no nulls) -> publish
+        t.wap_stage(ev.filter(F.col("event_id") % 3 == 1), "good")
+        staged_invisible = t.read().count() == n_base
+        audit_ok = (
+            t.wap_read("good").filter(F.col("value").isNull()).count() == 0
+        )
+        snap = t.wap_publish("good") if audit_ok else None
+        published_via_wap = (
+            snap is not None
+            and snap.operation == "wap-publish"
+            and snap.summary.get("wap-id") == "good"
+        )
+        n_published = t.read().count()
+        # poisoned batch: stage -> audit fails -> abandon
+        bad = ev.filter(F.col("event_id") % 3 == 2).withColumn(
+            "value",
+            F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+                F.col("value")
+            ),
+        )
+        t.wap_stage(bad, "bad")
+        bad_audit_ok = (
+            t.wap_read("bad").filter(F.col("value").isNull()).count() == 0
+        )
+        if not bad_audit_ok:
+            t.wap_abandon("bad")
+        abandoned_invisible = t.read().count() == n_published
+        out = (
+            t.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("event_id").cast("long").alias("id_sum"),
+                F.sum(
+                    F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long")
+                )
+                .cast("long")
+                .alias("value_i4_sum"),
+            )
+            .select(
+                "event_type",
+                "n_events",
+                "id_sum",
+                "value_i4_sum",
+                F.lit(bool(staged_invisible)).alias("staged_invisible"),
+                F.lit(bool(published_via_wap)).alias("published_via_wap"),
+                F.lit(bool(abandoned_invisible)).alias("abandoned_invisible"),
+            )
+        )
+        rows = out.collect()  # materialize before tmpdir cleanup
+    return spark.createDataFrame(rows, out.schema)
+
+
+@_register(
     "snapshot_compact_roundtrip",
     """
     -- per-type aggregate must survive compaction bit-for-bit; the

@@ -481,3 +481,49 @@ def test_iceberg_runtime_lifecycle(tmp_path):
 
         with contextlib.suppress(Exception):  # skip-path: catalog absent
             spark.sql("DROP TABLE IF EXISTS lake.db.smoke")
+
+
+def test_wap_stage_audit_publish_abandon(spark, tmp_path):
+    """Write-Audit-Publish lifecycle: staged batches are invisible until
+    published; publish is a metadata rename (same rows, new snapshot
+    with the audit id in its summary); abandoned batches never appear;
+    time travel spans the publish."""
+    import pytest
+
+    from big_data_project_jan_2026_tick_data__spark.plans.snapshots import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    t.write(base, mode="append")
+    t.wap_stage(
+        spark.range(10, 15).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        "good",
+    )
+    assert t.read().count() == 10  # staged != visible
+    assert t.wap_read("good").count() == 5  # the audit surface
+    with pytest.raises(ValueError, match="already staged"):
+        t.wap_stage(base, "good")
+    snap = t.wap_publish("good")
+    assert t.read().count() == 15
+    assert snap.operation == "wap-publish"
+    assert snap.summary["wap-id"] == "good"
+    # staging area cleaned up; double-publish is a clear error
+    with pytest.raises(ValueError, match="no staged batch"):
+        t.wap_publish("good")
+    # failed-audit path: stage, audit finds nulls, abandon
+    bad = spark.range(100, 103).select(
+        F.col("id"), F.lit(None).cast("long").alias("v")
+    )
+    t.wap_stage(bad, "bad")
+    assert t.wap_read("bad").filter(F.col("v").isNull()).count() == 3
+    t.wap_abandon("bad")
+    assert t.read().count() == 15
+    with pytest.raises(ValueError, match="no staged batch"):
+        t.wap_abandon("bad")
+    # history: publish is one snapshot; time travel crosses it
+    assert t.read(version=1).count() == 10
+    assert [s.operation for s in t._read_log()] == ["append", "wap-publish"]
+    with pytest.raises(ValueError, match="audit_id"):
+        t.wap_stage(base, "../escape")
