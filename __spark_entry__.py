@@ -115,6 +115,7 @@ _ADJUDICATION_PRIORITY = [
     "doc_dup_spans",
     "emb_hamming_topk",
     "ticks_corwin_schultz",
+    "ticks_hurst_exponent",
     "emb_mrl_recall",
     "orders_concentration_hhi",
     "events_markov_entropy",

@@ -2489,6 +2489,193 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hurst_oracle() -> str:
+    """Generated DuckDB oracle for ticks_hurst_exponent — one CTE per
+    stage so every detmath/exactagg expansion references a short staged
+    column (the expansion discipline), lags and formulas emitted from
+    the same K list as the Spark side."""
+    from ..functions import exactagg
+
+    ks = [1, 2, 4, 8, 16]
+    lags = ",\n             ".join(
+        f"lag(p, {k}) OVER w AS pl{k}" for k in ks
+    )
+    hls = ",\n             ".join(f"p / pl{k} AS hl{k}" for k in ks)
+    lns = ",\n             ".join(
+        f"{detmath.det_ln_pos_sql(f'hl{k}', 'duckdb')} AS r{k}" for k in ks
+    )
+    aggs = ",\n             ".join(
+        f"count(r{k}) AS n{k},\n             "
+        f"{exactagg.exact_sum_sql(f'r{k}', 9)} AS s1_{k},\n             "
+        f"{exactagg.exact_sum_sql(f'(r{k} * r{k})', 12)} AS s2_{k}"
+        for k in ks
+    )
+    vars_ = ",\n             ".join(
+        f"CASE WHEN n{k} > 1 THEN s2_{k} / n{k}"
+        f" - (s1_{k} / n{k}) * (s1_{k} / n{k}) END AS v{k}"
+        for k in ks
+    )
+    ys = ",\n             ".join(
+        f"CASE WHEN v{k} > 0 THEN "
+        f"{detmath.det_ln_pos_sql(f'v{k}', 'duckdb')} END AS y{k}"
+        for k in ks
+    )
+    den = detmath.dlit(20.0 * math.log(2.0))
+    return rf"""
+    WITH ticks AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             ts, event_id, value AS p
+      FROM events WHERE value > 0),
+    lagged AS (
+      SELECT symbol, p,
+             {lags}
+      FROM ticks
+      WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+    ratios AS (
+      SELECT symbol,
+             {hls}
+      FROM lagged),
+    lnr AS (
+      SELECT symbol,
+             {lns}
+      FROM ratios),
+    agg AS (
+      SELECT symbol,
+             {aggs}
+      FROM lnr GROUP BY symbol),
+    v AS (
+      SELECT symbol, n1,
+             {vars_}
+      FROM agg),
+    y AS (
+      SELECT symbol, n1, v1, v16,
+             {ys}
+      FROM v)
+    SELECT symbol,
+           CAST(n1 AS BIGINT) AS n_returns,
+           FLOOR(v1 * 1e6 + 0.5) / 1e6 AS var_lag1_q6,
+           FLOOR(v16 * 1e6 + 0.5) / 1e6 AS var_lag16_q6,
+           FLOOR(CASE WHEN y1 IS NOT NULL AND y2 IS NOT NULL
+                       AND y4 IS NOT NULL AND y8 IS NOT NULL
+                       AND y16 IS NOT NULL
+                  THEN (2.0 * (y16 - y1) + (y8 - y2)) / {den} END
+                 * 1e6 + 0.5) / 1e6 AS hurst_q6
+    FROM y
+    """
+
+
+@_register("ticks_hurst_exponent", _hurst_oracle())
+def ticks_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per symbol by the variance-ratio method: the
+    k-lag log-return variance of a fractal process scales as k^2H, so
+    H is half the log-log slope of Var(r_k) over k ∈ {{1,2,4,8,16}} —
+    H < 0.5 mean-reverting, 0.5 random walk, > 0.5 trending: the
+    regime diagnostic behind the frac-diff and momentum features. With
+    power-of-two lags x_j = j·ln2, the least-squares slope collapses
+    to the closed form (2(y₁₆−y₁) + (y₈−y₂))/(10·ln2) — fixed-order,
+    no float re-aggregation; H is half that.
+
+    One window pass computes ALL five lags (one symbol shuffle), one
+    hash agg the five exact moment-sum sets (detmath ln returns,
+    exactagg split sums at 1e-9/1e-12 grids) — the corpus never
+    shuffles twice. Lags are ROW lags over the (ts, event_id) total
+    order, the tick-time (not calendar-time) convention.  (The
+    synthetic events value is i.i.d., not a random walk, so lag
+    variance is flat in k and H ≈ 0 — the stationary-levels limit;
+    a real price series lands near 0.5.)"""
+    import math as _math
+
+    from pyspark.sql import Window
+
+    from ..functions.exactagg import exact_sum
+
+    ks = [1, 2, 4, 8, 16]
+    ev = _td(spark, sf_dir, "events")
+    ticks_df = ev.filter(F.col("value") > 0).select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        "ts",
+        "event_id",
+        F.col("value").alias("p"),
+    )
+    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
+    lagged = ticks_df.select(
+        "symbol",
+        "p",
+        *[F.lag("p", k).over(w).alias(f"pl{k}") for k in ks],
+    )
+    # LONG format: one (symbol, k, ratio) row per lag, so the hot
+    # corpus stage carries exactly ONE det_ln expansion — the wide
+    # 5-column formulation fused 10 expansions into a single generated
+    # aggregate function and blew janino's 64 KB method limit
+    pairs = ", ".join(
+        f"struct({k} AS k, p / pl{k} AS hl)" for k in ks
+    )
+    long_df = (
+        lagged.select(
+            "symbol",
+            F.explode(F.expr(f"array({pairs})")).alias("kv"),
+        )
+        .select("symbol", F.col("kv.k").alias("k"), F.col("kv.hl").alias("hl"))
+        .filter(F.col("hl").isNotNull())
+        .withColumn("r", detmath.det_ln_pos("hl"))
+    )
+    agg_df = long_df.groupBy("symbol", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("r"), 9).alias("s1"),
+        exact_sum(F.col("r") * F.col("r"), 12).alias("s2"),
+    )
+    # symbols × lags rows (20): materialize driver-side — breaks codegen
+    # fusion with the detmath tail AND makes the pivot metadata-scale
+    agg = spark.createDataFrame(agg_df.collect(), agg_df.schema)
+    # the tail stays LONG too: ln(var) over (symbol, k, v) rows keeps
+    # every codegen stage at exactly ONE det_ln expansion — the wide
+    # 5-column formulation put 5 expansions in one collapsed Project
+    # and exceeded janino's 64 KB method limit (interpreted fallback)
+    var_long = agg.withColumn(
+        "v",
+        F.when(
+            F.col("n") > 1,
+            F.col("s2") / F.col("n")
+            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")),
+        ),
+    )
+    var_long = spark.createDataFrame(var_long.collect(), var_long.schema)
+    y_long = var_long.withColumn(
+        "y", F.when(F.col("v") > 0, detmath.det_ln_pos("v"))
+    )
+    y_long = spark.createDataFrame(y_long.collect(), y_long.schema)
+    v = y_long.groupBy("symbol").agg(
+        F.max(F.when(F.col("k") == 1, F.col("n"))).alias("n1"),
+        *[
+            F.max(F.when(F.col("k") == k, F.col("v"))).alias(f"__v{k}")
+            for k in ks
+        ],
+        *[
+            F.max(F.when(F.col("k") == k, F.col("y"))).alias(f"__y{k}")
+            for k in ks
+        ],
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    hurst = F.when(
+        F.col("__y1").isNotNull()
+        & F.col("__y2").isNotNull()
+        & F.col("__y4").isNotNull()
+        & F.col("__y8").isNotNull()
+        & F.col("__y16").isNotNull(),
+        (2.0 * (F.col("__y16") - F.col("__y1")) + (F.col("__y8") - F.col("__y2")))
+        / F.lit(20.0 * _math.log(2.0)),
+    )
+    return v.select(
+        "symbol",
+        F.col("n1").cast("long").alias("n_returns"),
+        q6(F.col("__v1")).alias("var_lag1_q6"),
+        q6(F.col("__v16")).alias("var_lag16_q6"),
+        q6(hurst).alias("hurst_q6"),
+    )
+
+
 @_register(
     "ticks_corwin_schultz",
     rf"""
