@@ -117,6 +117,7 @@ _ADJUDICATION_PRIORITY = [
     "ticks_corwin_schultz",
     "ticks_hurst_exponent",
     "emb_mrl_recall",
+    "orders_semi_additive_balance",
     "orders_concentration_hhi",
     "events_markov_entropy",
     "doc_bpe_token_counts",

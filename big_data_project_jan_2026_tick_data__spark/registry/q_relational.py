@@ -229,6 +229,119 @@ def window_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orders_semi_additive_balance",
+    """
+    WITH cents AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders),
+    cum AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, month,
+             SUM(c) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS bal
+      FROM cents),
+    closing AS (
+      SELECT o_custkey, month, bal FROM (
+        SELECT o_custkey, month, bal,
+               row_number() OVER (PARTITION BY o_custkey, month
+                                  ORDER BY o_orderdate DESC,
+                                           o_orderkey DESC) AS rn
+        FROM cum) t
+      WHERE rn = 1),
+    months AS (SELECT DISTINCT month FROM cents),
+    custs AS (SELECT DISTINCT o_custkey FROM cents),
+    grid AS (
+      SELECT c.o_custkey, m.month, cl.bal
+      FROM custs c CROSS JOIN months m
+      LEFT JOIN closing cl
+        ON cl.o_custkey = c.o_custkey AND cl.month = m.month),
+    carried AS (
+      SELECT o_custkey, month,
+             last_value(bal IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+      FROM grid)
+    SELECT month,
+           CAST(COUNT(bal) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(bal) AS DOUBLE) / 100 AS DOUBLE)
+             AS total_closing_balance,
+           FLOOR(CAST(SUM(bal) AS DOUBLE) / 100 / COUNT(bal) * 1e6 + 0.5)
+             / 1e6 AS avg_closing_balance_q6
+    FROM carried GROUP BY month
+    """,
+)
+def orders_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive measure handling — THE warehouse fact-table
+    subtlety: a balance is additive across CUSTOMERS but not across
+    TIME, and a customer with no orders in a month still carries a
+    balance. Per customer: exact integer-cent running balance (prefix
+    sums are sequential within the window partition — bit-identical in
+    both engines); per (customer, month): the closing balance by total
+    order; the month grid is densified (distinct months × customers)
+    and balances CARRY FORWARD with last-value-ignore-nulls; per month:
+    count + sum over customers of the carried closing balance.
+
+    Scale shape: one orders scan, one customer-key window, one
+    (customer, month) agg, a broadcast months grid, one carry-forward
+    window, one month agg — the fact table never shuffles twice on the
+    same key. Exact integer cents end to end; the single /100 cast is
+    the only float op."""
+    from pyspark.sql import Window
+
+    o = _td(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    )
+    wcum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cents.withColumn("bal", F.sum("c").over(wcum))
+    wlast = Window.partitionBy("o_custkey", "month").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    closing = (
+        cum.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "month", "bal")
+    )
+    months = cents.select("month").distinct()
+    custs = cents.select("o_custkey").distinct()
+    grid = custs.crossJoin(F.broadcast(months)).join(
+        closing, ["o_custkey", "month"], "left"
+    )
+    wff = (
+        Window.partitionBy("o_custkey")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = grid.withColumn(
+        "bal", F.last("bal", ignorenulls=True).over(wff)
+    )
+    return carried.groupBy("month").agg(
+        F.count("bal").alias("n_customers"),
+        (F.sum("bal").cast("double") / 100)
+        .cast("double")
+        .alias("total_closing_balance"),
+        (
+            F.floor(
+                F.sum("bal").cast("double") / 100 / F.count("bal") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("avg_closing_balance_q6"),
+    )
+
+
+@_register(
     "rollup_orders",
     f"""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

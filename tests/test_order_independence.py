@@ -72,6 +72,7 @@ HARDENED = [
     "ticks_corwin_schultz",
     "emb_mrl_recall",
     "doc_dup_spans",
+    "orders_semi_additive_balance",
 ]
 
 
