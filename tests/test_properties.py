@@ -1722,6 +1722,35 @@ def test_privacy_reports_match_python_oracle(spark, rows, k, l):
     assert lr.n_risky_rows == sum(map(len, lrisky))
     assert lr.l_diverse == (not lrisky)
 
+    # t-closeness (r7): per-class TVD vs the global distribution,
+    # recomputed in python with the same 1e-12 term / q6 TVD grids
+    from collections import Counter
+
+    from big_data_project_jan_2026_tick_data__spark.plans.expectations import (
+        t_closeness_report,
+    )
+
+    t = 0.25
+    tr = t_closeness_report(
+        df, quasi_cols=("qa", "qb"), sensitive_col="sens", t=t
+    ).collect()[0]
+    gl = Counter(f"s{c}" for _, _, c in rows)
+    tvds = {}
+    for cls, vals in classes.items():
+        cc = Counter(vals)
+        n_c = len(vals)
+        s12 = sum(
+            _math.floor(abs(cc.get(v, 0) / n_c - gl[v] / n) * 1e12 + 0.5)
+            for v in gl
+        )
+        tvds[cls] = _math.floor((s12 / 1e12) / 2 * 1e6 + 0.5) / 1e6
+    trisky = [classes[c] for c, d in tvds.items() if d > t]
+    assert tr.n_classes == len(classes)
+    assert tr.max_tvd_q6 == max(tvds.values())
+    assert tr.n_risky_classes == len(trisky)
+    assert tr.n_risky_rows == sum(map(len, trisky))
+    assert tr.t_close == (not trisky)
+
 
 @settings(
     max_examples=25,
@@ -1763,3 +1792,93 @@ def test_exactagg_split_matches_decimal_reference(spark, vals, k):
     # order independence: a different partitioning yields the identical double
     got7 = df.repartition(7).agg(exact_sum(F.col("x"), k).alias("s")).first()
     assert got7.s == got.s
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            # tiny alphabet + short grams force heavy cross-doc overlap
+            st.sampled_from(["a", "b", "c"]),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dup_spans_matches_python_interval_oracle(spark, docs):
+    """doc_dup_spans' window interval-merge algebra (covered +=
+    min(K, pos - prev_dup_pos)) equals a python union-of-intervals
+    recomputation for arbitrary corpora — overlapping spans, repeats
+    WITHIN one doc, docs shorter than one gram (excluded)."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    K = 3  # small gram size so tiny random docs actually collide
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(docs)], "doc_id int, toks array<string>"
+    )
+    grams = df.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {K} THEN "
+                f"transform(sequence(0, size(toks) - {K}), "
+                f"i -> md5(array_join(slice(toks, i + 1, {K}), ' '))) "
+                "ELSE array() END"
+            )
+        ).alias("pos", "gh"),
+    )
+    c = grams.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        (F.count(F.lit(1)).over(Window.partitionBy("gh")) > 1).alias("dup"),
+    )
+    prev_w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sp = c.withColumn(
+        "prev_dup", F.max(F.when(F.col("dup"), F.col("pos"))).over(prev_w)
+    )
+    contrib = F.when(
+        F.col("dup"),
+        F.least(
+            F.lit(K),
+            F.col("pos") - F.coalesce(F.col("prev_dup"), F.col("pos") - K),
+        ),
+    ).otherwise(0)
+    got = {
+        r.doc_id: r.covered
+        for r in sp.groupBy("doc_id")
+        .agg(F.sum(contrib).cast("long").alias("covered"))
+        .collect()
+    }
+
+    # python oracle: corpus-wide gram counts -> union of [p, p+K) spans
+    cnt = Counter()
+    for toks in docs:
+        for i in range(max(len(toks) - K + 1, 0)):
+            cnt[tuple(toks[i : i + K])] += 1
+    for i, toks in enumerate(docs):
+        spans = [
+            (p, p + K)
+            for p in range(max(len(toks) - K + 1, 0))
+            if cnt[tuple(toks[p : p + K])] > 1
+        ]
+        covered = 0
+        end = -1
+        for a, b in spans:
+            covered += b - max(a, end)
+            end = b
+        if len(toks) >= K:
+            assert got.get(i, 0) == covered, (i, toks, got.get(i), covered)
+        else:
+            assert i not in got
