@@ -1243,3 +1243,89 @@ def bpe_token_counts(
     rows = ckpts.ckpt(out)
     ckpts.release_all_but_last()
     return rows
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_tokens: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring coverage (Lee et al. 2022): every
+    ``gram_tokens``-token gram occurring more than once ANYWHERE in the
+    corpus marks its span; per document, report how much of the text
+    the UNION of those spans covers — the exact-substring-dedup signal
+    that catches boilerplate repeated inside otherwise-unique pages.
+    Documents shorter than one gram are out of the trained domain and
+    excluded.
+
+    Scale shape: one corpus scan explodes positional grams (md5 keys —
+    the 128-bit shuffle-slim convention), ONE gram-key shuffle for the
+    corpus-wide window count (no count-table join-back), one doc-key
+    shuffle whose window MAX(dup pos) turns greedy interval merging
+    into exact integer arithmetic: covered += min(K, pos − prev_dup).
+    Returns (id_col, n_tokens, n_grams, n_dup_grams, dup_tokens,
+    dup_token_frac_q6) — integer outputs + one exact-count division.
+    """
+    from pyspark.sql import Window
+
+    k = int(gram_tokens)
+    if k < 2:
+        raise ValueError("gram_tokens must be >= 2")
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda w: F.length(w) > 0,
+    )
+    tk = df.select(F.col(id_col), toks.alias("toks"))
+    grams = tk.select(
+        id_col,
+        F.posexplode(
+            # guard the short-doc case explicitly: sequence(0, n) with
+            # n < 0 yields a DESCENDING sequence in Spark (not empty),
+            # which would fabricate negative-index grams
+            F.expr(
+                f"CASE WHEN size(toks) >= {k} THEN "
+                f"transform(sequence(0, size(toks) - {k}), "
+                f"i -> md5(array_join(slice(toks, i + 1, {k}), ' '))) "
+                "ELSE array() END"
+            )
+        ).alias("pos", "gh"),
+    )
+    c = grams.select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        (F.count(F.lit(1)).over(Window.partitionBy("gh")) > 1).alias("dup"),
+    )
+    prev_w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sp = c.withColumn(
+        "prev_dup",
+        F.max(F.when(F.col("dup"), F.col("pos"))).over(prev_w),
+    )
+    contrib = F.when(
+        F.col("dup"),
+        F.least(
+            F.lit(k),
+            F.col("pos") - F.coalesce(F.col("prev_dup"), F.col("pos") - k),
+        ),
+    ).otherwise(0)
+    agg = sp.groupBy(id_col).agg(
+        (F.count(F.lit(1)) + (k - 1)).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("dup").cast("long")).alias("n_dup_grams"),
+        F.sum(contrib).cast("long").alias("dup_tokens"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_grams",
+        "n_dup_grams",
+        "dup_tokens",
+        (
+            F.floor(F.col("dup_tokens") / F.col("n_tokens") * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("dup_token_frac_q6"),
+    )

@@ -1885,71 +1885,8 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval merging into exact integer arithmetic: covered +=
     min(8, pos − prev_dup_pos). Integer outputs + one exact-count
     division."""
-    from pyspark.sql import Window
-
-    from ..operators.text import normalize_text
-
     docs = _td(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(normalize_text(F.col("text")), " "),
-        lambda w: F.length(w) > 0,
-    )
-    tk = docs.select("doc_id", toks.alias("toks"))
-    grams = tk.select(
-        "doc_id",
-        F.posexplode(
-            # guard the short-doc case explicitly: sequence(0, n) with
-            # n < 0 yields a DESCENDING sequence in Spark (not empty),
-            # which would fabricate negative-index grams
-            F.expr(
-                "CASE WHEN size(toks) >= 8 THEN "
-                "transform(sequence(0, size(toks) - 8), "
-                "i -> md5(array_join(slice(toks, i + 1, 8), ' '))) "
-                "ELSE array() END"
-            )
-        ).alias("pos", "gh"),
-    )
-    cnt_w = Window.partitionBy("gh")
-    c = grams.select(
-        "doc_id",
-        F.col("pos").cast("long").alias("pos"),
-        (F.count(F.lit(1)).over(cnt_w) > 1).alias("dup"),
-    )
-    prev_w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    sp = c.withColumn(
-        "prev_dup",
-        F.max(F.when(F.col("dup"), F.col("pos"))).over(prev_w),
-    )
-    contrib = F.when(
-        F.col("dup"),
-        F.least(
-            F.lit(8),
-            F.col("pos") - F.coalesce(F.col("prev_dup"), F.col("pos") - 8),
-        ),
-    ).otherwise(0)
-    agg = sp.groupBy("doc_id").agg(
-        (F.count(F.lit(1)) + 7).alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum(F.col("dup").cast("long")).alias("n_dup_grams"),
-        F.sum(contrib).cast("long").alias("dup_tokens"),
-    )
-    return agg.select(
-        "doc_id",
-        "n_tokens",
-        "n_grams",
-        "n_dup_grams",
-        "dup_tokens",
-        (
-            F.floor(
-                F.col("dup_tokens") / F.col("n_tokens") * 1e6 + F.lit(0.5)
-            )
-            / 1e6
-        ).alias("dup_token_frac_q6"),
-    )
+    return text.dup_span_coverage(docs, gram_tokens=8)
 
 
 @_register(

@@ -603,3 +603,47 @@ def test_ivfpq_200k_vectors(spark):
         n_queries=3, top_k=10,
     ).collect()
     assert len(out) == 30
+
+
+def test_dup_spans_300k_docs(spark, big_docs):
+    """Exact-substring span coverage at 300k docs (~10M positional
+    grams): two narrow shuffles, finishes, and the planted every-10th
+    exact duplicates are fully covered (frac 1.0) while coverage never
+    exceeds the doc."""
+    from big_data_project_jan_2026_tick_data__spark.operators.text import (
+        dup_span_coverage,
+    )
+
+    out = dup_span_coverage(big_docs, gram_tokens=8)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("dup_tokens") > F.col("n_tokens")).cast("long")).alias(
+            "over"
+        ),
+        F.sum((F.col("dup_token_frac_q6") == 1.0).cast("long")).alias("full"),
+    ).first()
+    assert agg.n == 300_000
+    assert agg.over == 0
+    # every doc body repeats across its 10-doc duplicate group, so all
+    # docs are fully covered by duplicated spans in this corpus
+    assert agg.full == agg.n
+
+
+def test_t_closeness_10m_rows(spark, big_ticks):
+    """Privacy audit at 10M rows: one corpus agg to the (class, value)
+    table, everything after metadata-scale; report invariants hold."""
+    from big_data_project_jan_2026_tick_data__spark.plans.expectations import (
+        t_closeness_report,
+    )
+
+    df = big_ticks.select(
+        F.col("symbol"),
+        (F.col("tid") % 100).alias("bucket"),
+        F.to_date("ts").alias("day"),
+    )
+    r = t_closeness_report(
+        df, quasi_cols=("bucket", "day"), sensitive_col="symbol", t=0.05
+    ).first()
+    assert r.n_rows == 10_000_000
+    assert 0.0 <= r.max_tvd_q6 <= 1.0
+    assert r.n_risky_rows <= r.n_rows
