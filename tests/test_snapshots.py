@@ -527,3 +527,28 @@ def test_wap_stage_audit_publish_abandon(spark, tmp_path):
     assert [s.operation for s in t._read_log()] == ["append", "wap-publish"]
     with pytest.raises(ValueError, match="audit_id"):
         t.wap_stage(base, "../escape")
+
+
+def test_wap_publish_survives_concurrent_write(spark, tmp_path):
+    """A batch staged BEFORE another writer commits must still publish
+    correctly: the rename happens once, the metadata attach re-reads
+    the log (the winner becomes the parent) and the published snapshot
+    includes the winner's rows in its total - the same optimistic loop
+    write() uses, exercised through wap_publish."""
+    from big_data_project_jan_2026_tick_data__spark.plans.snapshots import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "wapcc")
+    w1 = SnapshotTable(spark, root)
+    w2 = SnapshotTable(spark, root)
+    w1.write(_df(spark, 0, 10), mode="append")        # snapshot 1
+    w1.wap_stage(_df(spark, 100, 105), "batch")
+    w2.write(_df(spark, 10, 13), mode="append")       # snapshot 2 wins
+    snap = w1.wap_publish("batch")                    # must attach as 3
+    assert snap.snapshot_id == 3
+    assert snap.parent_snapshot_id == 2
+    assert snap.operation == "wap-publish"
+    assert snap.summary["total-records"] == "18"      # 10 + 3 + 5
+    assert w1.read().count() == 18
+    assert w2.read().count() == 18
