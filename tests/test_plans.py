@@ -680,8 +680,8 @@ def test_scan_budget(spark, sf_dir, name):
 
 
 @_pytest.mark.skipif(
-    __import__("os").environ.get("SPARK_GRAFT_PLAN_AUDIT") != "1",
-    reason="registry-wide plan audit only runs with SPARK_GRAFT_PLAN_AUDIT=1",
+    __import__("os").environ.get("SPARK_GRAFT_SKIP_PLAN_AUDIT") == "1",
+    reason="registry-wide plan audit skipped by SPARK_GRAFT_SKIP_PLAN_AUDIT=1",
 )
 def test_registry_wide_scan_audit(spark, sf_dir):
     """Every registry query's returned plan stays under a generous
