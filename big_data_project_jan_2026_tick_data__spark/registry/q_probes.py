@@ -52,10 +52,15 @@ from .q_docs import _norm_sql
 def probe_hugeint_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diagnostic: the oracle intentionally emits ``sum(INTEGER)`` un-cast
     (HUGEINT in DuckDB) against Spark's BIGINT.  Expected driver verdict:
-    hash-FAIL iff the driver canonicalizes HUGEINT (decimal128 via Arrow)
-    differently from BIGINT — which is the r7 root-cause theory for the
-    four persistent text-family hash-fails.  Twin control:
-    probe_bigint_render (same values, cast) must be green."""
+    hash-FAIL iff the driver canonicalizes HUGEINT differently from
+    BIGINT — the r7 root-cause finding for the four persistent
+    text-family hash-fails.  Demonstrated in-sandbox per fetch path:
+    ``fetchall()`` → Python int "50" (matches — why the local mirror
+    never saw it); ``.arrow()`` → decimal128(38,0) whose str() is still
+    "50"; ``.fetchdf()`` → float64 rendering "50.0" ≠ "50" — the exact
+    rows-green/schema-green/hash-red signature the driver reported for
+    three rounds.  Twin control: probe_bigint_render (same values,
+    cast) must be green under every fetch path."""
     nation = _td(spark, sf_dir, "nation")
     return nation.groupBy("n_regionkey").agg(
         F.sum("n_nationkey").cast("long").alias("key_sum")
