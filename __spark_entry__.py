@@ -118,6 +118,8 @@ _ADJUDICATION_PRIORITY = [
     "ticks_hurst_exponent",
     "emb_mrl_recall",
     "orders_semi_additive_balance",
+    "events_decay_engagement",
+    "doc_containment_pairs",
     "orders_concentration_hhi",
     "events_markov_entropy",
     "doc_bpe_token_counts",

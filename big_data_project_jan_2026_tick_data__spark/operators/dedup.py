@@ -1040,3 +1040,69 @@ def survivorship(
             "n_in_cluster",
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric n-gram SET containment C(A→B) = |A∩B| / |A| — the
+    near-SUPERSET detector Jaccard misses: a short document quoted
+    whole inside a long one has tiny Jaccard (the union is huge) but
+    containment ≈ 1 for the short side. The standard quote/wrapper/
+    boilerplate-envelope signal (Broder's containment, the other half
+    of the resemblance/containment pair).
+
+    Same distributed shape as :func:`ngram_jaccard_pairs` — DISTINCT
+    shingles per doc (containment is set semantics), hot-shingle cap
+    with broadcast anti-join, one materialized shingle stream feeding
+    the sizes and both intersection sides, shingle-keyed equi-join —
+    and a pair survives when EITHER direction reaches ``threshold``.
+    Returns (id_a, id_b, inter, sz_a, sz_b, cont_a_q6, cont_b_q6) with
+    id_a < id_b; cont_a is the fraction of A's shingles found in B.
+    """
+    # shingles() is already DISTINCT per document, so the exploded
+    # stream is set-semantic without an extra shuffle
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sh = sh.localCheckpoint()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    out = (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .withColumn("cont_a_q6", q6(F.col("inter") / F.col("sz_a")))
+        .withColumn("cont_b_q6", q6(F.col("inter") / F.col("sz_b")))
+    )
+    return out.filter(
+        (F.col("cont_a_q6") >= threshold) | (F.col("cont_b_q6") >= threshold)
+    ).select("id_a", "id_b", "inter", "sz_a", "sz_b", "cont_a_q6", "cont_b_q6")

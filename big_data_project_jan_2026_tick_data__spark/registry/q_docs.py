@@ -467,6 +467,47 @@ def doc_hybrid_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_containment_pairs",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id AS id, g AS sh FROM norm,
+        UNNEST(list_transform(range(1, GREATEST(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS t(g)),
+    sh AS (
+      SELECT id, sh FROM (
+        SELECT id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh0)
+      WHERE df <= 1000),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id),
+    sc AS (
+      SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+             CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+             FLOOR(CAST(i AS DOUBLE) / sa.sz * 1e6 + 0.5) / 1e6 AS cont_a_q6,
+             FLOOR(CAST(i AS DOUBLE) / sb.sz * 1e6 + 0.5) / 1e6 AS cont_b_q6
+      FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id)
+    SELECT * FROM sc WHERE cont_a_q6 >= 0.8 OR cont_b_q6 >= 0.8
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram set-containment pairs ≥ 0.8 in either
+    direction (dedup.containment_pairs) — the near-SUPERSET detector
+    Jaccard misses: a short doc quoted whole inside a long one has
+    tiny Jaccard but containment ≈ 1 for the short side (Broder's
+    resemblance/containment pair, the quote/wrapper/boilerplate-envelope
+    dedup signal). Same scale shape as the Jaccard operator: hot-shingle
+    cap, materialized shingle stream, shingle-keyed equi-join only."""
+    docs = _td(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, shingle_n=3, threshold=0.8)
+
+
+@_register(
     "doc_ngram_jaccard",
     r"""
     WITH norm AS (

@@ -2888,6 +2888,75 @@ def ticks_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_decay_engagement",
+    rf"""
+    WITH anchor AS (SELECT MAX(ts) AS t_max FROM events),
+    staged AS (
+      SELECT user_id,
+             GREATEST(-(CAST(epoch_ms(a.t_max) - epoch_ms(ts) AS DOUBLE)
+               / 86400000.0) * {detmath.dlit(0.1)}, -41.0) AS x,
+             ts
+      FROM events CROSS JOIN anchor a
+      WHERE user_id IS NOT NULL),
+    term AS (
+      SELECT user_id, ts,
+             CAST(FLOOR({detmath.det_exp_sql('x', 'duckdb')} * 1e9 + 0.5)
+                  AS BIGINT) AS w9
+      FROM staged)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR(CAST(SUM(w9) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
+             AS decay_score_q6,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_seen
+    FROM term GROUP BY user_id
+    """,
+)
+def events_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user — the
+    feature-store recency pattern (each event contributes e^(−λ·Δdays)
+    against the corpus max-timestamp anchor, λ = 0.1 ≈ one-week
+    half-life): ranks 'active now' above 'active once, long ago' with
+    one number, the standard churn/propensity feature.
+
+    Determinism: Δdays is exact integer-epoch-millis arithmetic, the
+    decay weight is detmath e^x (bit-identical across engines) snapped
+    per event to a 1e-9 integer grid, and the per-user total is a
+    BIGINT sum — partial-agg-order free. One corpus scan (the anchor is
+    a broadcast scalar), one user-keyed hash agg."""
+    ev = _td(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    anchor = ev.agg(F.max("ts").alias("t_max"))
+    lam = 0.1
+    staged = ev.crossJoin(F.broadcast(anchor)).withColumn(
+        "__x",
+        # clamp to det_exp's |x| <= 41 domain (identical clamp in the
+        # oracle): e^-41 already underflows the 1e-9 weight grid to 0,
+        # so ancient events contribute 0 either way
+        F.greatest(
+            -(
+                (
+                    F.unix_millis(F.col("t_max")) - F.unix_millis(F.col("ts"))
+                ).cast("double")
+                / F.lit(86400000.0)
+            )
+            * F.lit(lam),
+            F.lit(-41.0),
+        ),
+    )
+    term = staged.withColumn(
+        "__w9",
+        F.floor(detmath.det_exp("__x") * 1e9 + F.lit(0.5)).cast("long"),
+    )
+    return term.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.floor(F.sum("__w9").cast("double") / 1e9 * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("decay_score_q6"),
+        F.max("ts").alias("last_seen"),
+    )
+
+
+@_register(
     "events_dau_mau",
     r"""
     WITH d AS (
