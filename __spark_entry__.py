@@ -120,6 +120,7 @@ _ADJUDICATION_PRIORITY = [
     "orders_semi_additive_balance",
     "events_decay_engagement",
     "doc_containment_pairs",
+    "emb_lsh_ndcg",
     "orders_concentration_hhi",
     "events_markov_entropy",
     "doc_bpe_token_counts",

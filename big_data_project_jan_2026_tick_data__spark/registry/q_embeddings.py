@@ -255,6 +255,122 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_topk(emb, queries, dim=64, k=10, num_planes=4)
 
 
+def _ndcg_oracle(dim: int = 64, num_planes: int = 4, seed: int = 42) -> str:
+    """emb_lsh_ndcg oracle: the LSH bucket ranking (identical planes as
+    the Spark operator, cf. _lsh_topk_oracle) graded against the exact
+    cosine top-10 — rel = 11 − exact_rank, DCG terms on detmath log2
+    with a 1e-9 grid, IDCG a shared literal."""
+    from ..functions import detmath
+    from ..operators.similarity import _hyperplane
+
+    bucket_terms = []
+    for p_ in range(num_planes):
+        plane = ", ".join(repr(v) for v in _hyperplane(dim, p_, seed))
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(vec, [{plane}]) >= 0 "
+            f"THEN {1 << p_} ELSE 0 END)"
+        )
+    bucket = "\n        + ".join(bucket_terms)
+    return rf"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    b AS (
+      SELECT vec_id, vec,
+        {bucket} AS bucket
+      FROM v),
+    q AS (SELECT vec_id AS query_id, vec AS qvec, bucket FROM b
+          WHERE vec_id < 5),
+    sysr AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY ROUND(list_cosine_similarity(c.vec, q.qvec), 6) DESC,
+                                           c.vec_id) AS rank
+        FROM b c JOIN q ON c.bucket = q.bucket)
+      WHERE rank <= 10),
+    exact AS (
+      SELECT query_id, vec_id, rank AS erank FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY ROUND(list_cosine_similarity(c.vec, q.qvec), 6) DESC,
+                                           c.vec_id) AS rank
+        FROM v c, q)
+      WHERE rank <= 10),
+    graded AS (
+      SELECT s.query_id, s.rank,
+             CAST(COALESCE(11 - e.erank, 0) AS DOUBLE) AS rel,
+             s.rank + 1 AS d
+      FROM sysr s LEFT JOIN exact e
+        ON s.query_id = e.query_id AND s.vec_id = e.vec_id),
+    terms AS (
+      SELECT query_id,
+             CAST(FLOOR(rel / {detmath.det_log2_int_sql('d', 'duckdb')}
+                        * 1e9 + 0.5) AS BIGINT) AS t9
+      FROM graded),
+    dcg AS (
+      SELECT query_id, CAST(SUM(t9) AS DOUBLE) / 1e9 AS dcg
+      FROM terms GROUP BY query_id)
+    SELECT query_id,
+           FLOOR(dcg * 1e6 + 0.5) / 1e6 AS dcg_q6,
+           FLOOR(dcg / {detmath.dlit(29.966109248940597)} * 1e6 + 0.5) / 1e6
+             AS ndcg_q6
+    FROM dcg
+    """
+
+
+@_register("emb_lsh_ndcg", _ndcg_oracle())
+def emb_lsh_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking quality of the LSH index: NDCG@10 of the bucketed
+    ranking against the exact cosine top-10 (rel = 11 − exact rank, 0
+    for non-relevant) — the eval metric that, unlike overlap recall
+    (emb_ann_recall / emb_mrl_recall), rewards putting the BEST
+    neighbors first. Completes the ANN evaluation kit
+    (recall → RRF → MMR → NDCG).
+
+    Determinism: both rankings quantize cosine at 6 dp with vec_id
+    tie-breaks (the emb_cosine_topk convention); DCG discounts are
+    detmath log2 of small integers, per-position terms snap to a 1e-9
+    grid and sum as BIGINT; IDCG is a shared cross-engine literal
+    (Σ (11−j)/log2(j+1), j=1..10)."""
+    from pyspark.sql import Window
+
+    from ..functions import detmath
+
+    emb = _td(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sysr = similarity.lsh_bucket_topk(
+        emb, queries, dim=64, k=10, num_planes=4
+    ).select("query_id", "vec_id", "rank")
+    exact = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "vec_id", F.col("rank").alias("erank")
+    )
+    graded = (
+        sysr.join(exact, ["query_id", "vec_id"], "left")
+        .withColumn(
+            "rel",
+            F.coalesce(F.lit(11) - F.col("erank"), F.lit(0)).cast("double"),
+        )
+        .withColumn("d", F.col("rank") + 1)
+        .withColumn(
+            "t9",
+            F.floor(
+                F.col("rel") / detmath.det_log2_int("d") * 1e9 + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    dcg = graded.groupBy("query_id").agg(
+        (F.sum("t9").cast("double") / 1e9).alias("dcg")
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return dcg.select(
+        "query_id",
+        q6(F.col("dcg")).alias("dcg_q6"),
+        q6(F.col("dcg") / F.lit(29.966109248940597)).alias("ndcg_q6"),
+    )
+
+
 @_register(
     "emb_ivf_exact",
     """
