@@ -121,6 +121,7 @@ _ADJUDICATION_PRIORITY = [
     "events_decay_engagement",
     "doc_containment_pairs",
     "emb_lsh_ndcg",
+    "emb_top_component",
     "orders_concentration_hhi",
     "events_markov_entropy",
     "doc_bpe_token_counts",

@@ -543,6 +543,148 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _top_component_oracle(dim: int = 64, iters: int = 3) -> str:
+    """Generated chained-CTE oracle for emb_top_component: the same
+    power iteration re-derived in SQL — per iteration one per-row dot
+    against the previous (single-row list) state, q6-snapped; one
+    per-dimension exact split-sum mean, q6-snapped — so both engines
+    iterate from identical 1e-6-grid literals (the kmeans recipe).
+    CTEs are MATERIALIZED (DuckDB otherwise inlines the chain
+    exponentially — the playbook's 114 s → 0.1 s lesson)."""
+    from ..functions import exactagg
+
+    d1 = dim + 1
+    parts = [
+        rf"""
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    v0 AS (
+      SELECT list_transform(v, x -> FLOOR(x * 1e6 + 0.5) / 1e6) AS c
+      FROM (SELECT v FROM base ORDER BY vec_id LIMIT 1))"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"v{t - 1}"
+        parts.append(
+            f"""
+    , s{t} AS MATERIALIZED (
+      SELECT b.vec_id, b.v,
+             FLOOR(list_sum(list_transform(range(1, {d1}),
+                     j -> b.v[j] * k.c[j])) * 1e6 + 0.5) / 1e6 AS s6
+      FROM base b CROSS JOIN {prev} k),
+    u{t} AS MATERIALIZED (
+      SELECT t.j,
+             FLOOR(({exactagg.exact_sum_sql('(s.s6 * s.v[t.j])', 9)}
+                    / COUNT(*)) * 1e6 + 0.5) / 1e6 AS q
+      FROM s{t} s CROSS JOIN range(1, {d1}) t(j)
+      GROUP BY t.j),
+    v{t} AS (SELECT list(q ORDER BY j) AS c FROM u{t})"""
+        )
+    last, prev = iters, iters - 1
+    parts.append(
+        f"""
+    , n_last AS (
+      SELECT CAST(SUM(CAST(FLOOR(q * 1e6 + 0.5) AS BIGINT)
+                      * CAST(FLOOR(q * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             AS s
+      FROM u{last}),
+    n_prev AS (
+      SELECT CAST(SUM(CAST(FLOOR(q * 1e6 + 0.5) AS BIGINT)
+                      * CAST(FLOOR(q * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             AS s
+      FROM u{prev})
+    SELECT CAST(u.j - 1 AS BIGINT) AS dim,
+           FLOOR(CAST(CAST(FLOOR(u.q * 1e6 + 0.5) AS BIGINT) AS DOUBLE)
+                 / sqrt(nl.s) * 1e6 + 0.5) / 1e6 AS loading_q6,
+           FLOOR(sqrt(nl.s) / sqrt(np.s) * 1e4 + 0.5) / 1e4
+             AS eigenvalue_q4
+    FROM u{last} u CROSS JOIN n_last nl CROSS JOIN n_prev np"""
+    )
+    return "".join(parts)
+
+
+@_register("emb_top_component", _top_component_oracle())
+def emb_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by distributed
+    power iteration on (1/N)·XᵀX — the first step of 'all-but-the-top'
+    embedding post-processing (Mu & Viswanath 2018: removing the
+    dominant common direction improves retrieval isotropy) and of PCA
+    whitening. Three iterations, each ONE corpus pass: the per-row dot
+    against the broadcast literal state (q6-snapped — a dot-order ulp
+    cannot cross the grid by scale separation), then a per-dimension
+    exact split-sum MEAN (dim-sized shuffle after map-side combine;
+    the mean, not the sum, keeps state magnitude corpus-size-free) that
+    is q6-snapped into the next state. Driver holds only dim-sized
+    vectors (the kmeans centroid precedent). Returns one row per
+    dimension: the unit-normalized loading (norms via exact integer
+    sums of the 1e-6-grid components) and the Rayleigh-quotient
+    eigenvalue estimate ‖u_T‖/‖u_{T−1}‖ as a constant column."""
+    import math as _math
+
+    from ..functions.exactagg import exact_sum
+
+    iters = 3
+    emb = _td(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", similarity._to_double(F.col("embedding")).alias("v")
+    )
+    first = base.orderBy("vec_id").limit(1).collect()[0]
+    state = [_math.floor(float(x) * 1e6 + 0.5) / 1e6 for x in first.v]
+    prev_state = state
+    for _ in range(iters):
+        lits = ", ".join(f"{x!r}D" for x in state)
+        s6 = (
+            F.floor(
+                F.expr(
+                    f"aggregate(zip_with(v, array({lits}), "
+                    "(x, c) -> x * c), 0D, (a, b) -> a + b)"
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        )
+        terms = base.select(
+            s6.alias("s6"), F.posexplode("v").alias("pos", "x")
+        )
+        rows = (
+            terms.groupBy("pos")
+            .agg(
+                (
+                    F.floor(
+                        (
+                            exact_sum(F.col("s6") * F.col("x"), 9)
+                            / F.count(F.lit(1))
+                        )
+                        * 1e6
+                        + F.lit(0.5)
+                    )
+                    / 1e6
+                ).alias("q")
+            )
+            .collect()
+        )
+        prev_state = state
+        state = [r.q for r in sorted(rows, key=lambda r: r.pos)]
+    u_last = [int(_math.floor(q * 1e6 + 0.5)) for q in state]
+    u_prev = [int(_math.floor(q * 1e6 + 0.5)) for q in prev_state]
+    n_last = float(sum(u * u for u in u_last))
+    n_prev = float(sum(u * u for u in u_prev))
+    eig = _math.floor(_math.sqrt(n_last) / _math.sqrt(n_prev) * 1e4 + 0.5) / 1e4
+    out_rows = [
+        (
+            d,
+            _math.floor(float(u) / _math.sqrt(n_last) * 1e6 + 0.5) / 1e6,
+            eig,
+        )
+        for d, u in enumerate(u_last)
+    ]
+    return spark.createDataFrame(
+        out_rows, "dim long, loading_q6 double, eigenvalue_q4 double"
+    )
+
+
 def _kmeans_cte(k: int = 8, dim: int = 64) -> str:
     """Shared chained-CTE DuckDB k-means body (init → assign → update ×2
     → final distances ``afd`` carrying the vector), the independent
