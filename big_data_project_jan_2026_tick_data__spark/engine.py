@@ -149,18 +149,36 @@ class CheckpointTracker:
     operators — mis-attributed ids would later be unpersisted by
     ``release_superseded``/``release_all_but_last``, and freeing a live
     localCheckpoint (truncated lineage) is unrecoverable for the other
-    job.
+    job.  The contract is ENFORCED, not just documented (advisor r7
+    carry): every method asserts it runs on the construction thread, so
+    a concurrent-driver deployment fails loudly at the call site instead
+    of corrupting another job's checkpoints later.
     """
 
     def __init__(self, spark: SparkSession) -> None:
+        import threading
+
         self.spark = spark
         self._generations: list[set[int]] = []
         self._pinned: set[int] = set()
+        self._owner_thread = threading.get_ident()
+
+    def _assert_owner(self) -> None:
+        import threading
+
+        if threading.get_ident() != self._owner_thread:
+            raise RuntimeError(
+                "CheckpointTracker is single-threaded by contract: id "
+                "attribution diffs the SparkContext-global persistent-RDD "
+                "registry, which a concurrent persist would corrupt. "
+                "Create one tracker per driver thread."
+            )
 
     def ckpt(self, df, pin: bool = False):
         """Checkpoint ``df``; ``pin=True`` marks ids that must survive
         ``release_superseded`` for the whole operator run (loop-
         invariant frames re-read every iteration)."""
+        self._assert_owner()
         before = persistent_rdd_ids(self.spark)
         out = df.localCheckpoint()
         created = persistent_rdd_ids(self.spark) - before

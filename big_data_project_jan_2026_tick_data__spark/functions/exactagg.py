@@ -25,9 +25,14 @@ Why the whole/frac SPLIT instead of one accumulator (r7, judge A/B):
   wraps at corpus scale: a k=6 grid on a ~1e5-magnitude measure is
   ~1e11 per row, and a 100 TB lineitem group (~1.5e11 rows) overflows
   int64 by 3 orders of magnitude;
-- the split keeps both sums in range with wide headroom — integer
-  parts sum to ≤ ~1.65e16 (1.1e5 × 1.5e11) and remainders to
-  < 10^k × n ≈ 1.5e17 — and stays a cheap long-sum pipeline.
+- the split keeps both sums in range with wide headroom FOR k<=6 —
+  integer parts sum to ≤ ~1.65e16 (1.1e5 × 1.5e11) and remainders to
+  < 10^k × n ≈ 1.5e17 — and stays a cheap long-sum pipeline.  Above
+  k=6 the remainder headroom evaporates (k=9 wraps at ~9.2e9 rows per
+  group, k=12 at ~9.2e6), so ``_frac_sum`` switches the fractional
+  accumulator to decimal(38,0) there: fine-grid consumers (log-return
+  moments, unit-vector components) pay the decimal premium, the money
+  columns never do.
 
 Spark/DuckDB pairs are emitted from one recipe (cf. detmath): the
 Spark Column and the oracle SQL string perform structurally identical
@@ -59,13 +64,30 @@ def _split(col: Column, k: int) -> tuple[Column, Column]:
     return w, f
 
 
+def _frac_sum(f: Column, k: int) -> Column:
+    """Fractional-remainder accumulator with per-k overflow headroom.
+
+    Each remainder is < 10^k, so a BIGINT sum wraps at ~9.2e18/10^k rows
+    per group: ample at k<=6 (>9.2e11 rows — beyond a 100 TB lineitem
+    group), but only ~9.2e9 rows at k=9 and ~9.2e6 at k=12 (advisor r7:
+    with ANSI off Spark wraps SILENTLY while DuckDB widens to HUGEINT —
+    the exact cross-engine divergence this module exists to kill).  For
+    k>6 accumulate in decimal(38,0) instead — exact at any group size;
+    the ~1.7x hash-agg premium (r7 A/B) is paid only by the fine-grid
+    analytics consumers, never the k<=6 money-column hot path."""
+    return F.sum(f) if k <= 6 else F.sum(f.cast("decimal(38,0)"))
+
+
 def exact_sum(col: Column, k: int) -> Column:
     """Σ col as exact integer arithmetic on the 10^-k grid, returned as
-    DOUBLE.  Two BIGINT accumulators (integer units + fractional
-    remainders) — order-independent and in-range at 100 TB group sizes
-    (see module docstring for the A/B against decimal(38,0))."""
+    DOUBLE.  BIGINT whole-part accumulator (in range at 100 TB group
+    sizes for any k: |whole| sums are value-magnitude-bounded) plus a
+    per-k fractional accumulator — BIGINT for k<=6, decimal(38,0) above
+    (see :func:`_frac_sum`).  Order-independent at every k."""
     w, f = _split(col, k)
-    return F.sum(w).cast("double") + F.sum(f).cast("double") / F.lit(_pow10(k))
+    return F.sum(w).cast("double") + _frac_sum(f, k).cast("double") / F.lit(
+        _pow10(k)
+    )
 
 
 def exact_sum_sql(expr: str, k: int) -> str:
@@ -83,9 +105,7 @@ def exact_sum_sql(expr: str, k: int) -> str:
 def exact_avg(col: Column, k: int) -> Column:
     """Mean over the 10^-k grid: exact split-sum divided by the
     non-null count — order-independent."""
-    w, f = _split(col, k)
-    total = F.sum(w).cast("double") + F.sum(f).cast("double") / F.lit(_pow10(k))
-    return total / F.count(col)
+    return exact_sum(col, k) / F.count(col)
 
 
 def exact_avg_sql(expr: str, k: int) -> str:

@@ -303,14 +303,30 @@ class SnapshotTable:
         if not self._hfs.rename(f"{self.root}/{stage}/data", f"{self.root}/{commit_dir}"):
             raise RuntimeError(f"rename of staged batch {audit_id!r} failed")
         added = self._hfs.parquet_row_count(f"{self.root}/{commit_dir}")
-        snap = self._attach(
-            commit_dir,
-            added,
-            mode,
-            "wap-publish",
-            extra_summary={"wap-id": audit_id},
-            retries=retries,
-        )
+        try:
+            snap = self._attach(
+                commit_dir,
+                added,
+                mode,
+                "wap-publish",
+                extra_summary={"wap-id": audit_id},
+                retries=retries,
+            )
+        except ConcurrentCommitError:
+            # Lost every optimistic-commit attempt: the renamed files are
+            # attached to NO snapshot — without this rollback they'd be
+            # orphaned under data/ (invisible but undeletable via the
+            # API) and the stage dir would be left dataless, making the
+            # batch unrecoverable (advisor r7). Move the data back so
+            # wap_publish is simply retryable.
+            if not self._hfs.rename(
+                f"{self.root}/{commit_dir}", f"{self.root}/{stage}/data"
+            ):
+                raise RuntimeError(
+                    f"commit race lost AND rollback rename failed for "
+                    f"{audit_id!r}: staged files stranded at {commit_dir}"
+                ) from None
+            raise
         self._hfs.delete(f"{self.root}/{stage}", recursive=True)
         return snap
 

@@ -50,14 +50,21 @@ def _register(name: str, oracle: str | None = None):
 _TD_CACHE: dict = {}
 
 
-def _td(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    # Pin session TZ so wall-clock extraction (hour/minute) matches the
-    # TZ-naive DuckDB oracle regardless of the host session's default.
+def _pin_session(spark: SparkSession) -> None:
+    """Pin the two session confs every registry query depends on.
+
+    TZ: wall-clock extraction (hour/minute) must match the TZ-naive
+    DuckDB oracle regardless of the host session's default.  ANSI:
+    registry queries must behave identically under any caller session;
+    ANSI mode (Spark 4 default) turns intentional wraparound hash math
+    into ARITHMETIC_OVERFLOW.  Lives here (not per-query) so table-free
+    probes pin through the same code path as ``_td`` (advisor r7)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Registry queries must behave identically under any caller session;
-    # ANSI mode (Spark 4 default) turns intentional wraparound hash math
-    # into ARITHMETIC_OVERFLOW, so pin it off like timeZone above.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def _td(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _pin_session(spark)
     key = (spark, sf_dir, table)
     if key in _TD_CACHE:
         return _TD_CACHE[key]

@@ -2618,11 +2618,16 @@ def ticks_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr(f"array({pairs})")).alias("kv"),
         )
         .select("symbol", F.col("kv.k").alias("k"), F.col("kv.hl").alias("hl"))
-        .filter(F.col("hl").isNotNull())
+        # NO isNotNull filter here: aggregating the unfiltered stream
+        # with null-skipping count(r) keeps a symbol with <2 qualifying
+        # ticks PRESENT in the output (n_returns=0, NULL metrics) exactly
+        # like the oracle's GROUP BY over lagged NULLs — a filtered
+        # stream would drop the symbol's rows entirely and row-count
+        # mismatch on sparse keys (advisor r8)
         .withColumn("r", detmath.det_ln_pos("hl"))
     )
     agg_df = long_df.groupBy("symbol", "k").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.col("r")).alias("n"),
         exact_sum(F.col("r"), 9).alias("s1"),
         exact_sum(F.col("r") * F.col("r"), 12).alias("s2"),
     )

@@ -33,38 +33,42 @@ probes prove (or refute) the mechanism *in the driver environment*:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import detmath
 from ..operators.text import normalize_text
-from ._base import _register, _td
+from ._base import _pin_session, _register, _td
 from .q_docs import _norm_sql
 
 
-@_register(
-    "probe_hugeint_render",
-    """
-    SELECT n_regionkey, sum(n_nationkey) AS key_sum
-    FROM nation GROUP BY n_regionkey
-    """,
-)
-def probe_hugeint_render(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diagnostic: the oracle intentionally emits ``sum(INTEGER)`` un-cast
-    (HUGEINT in DuckDB) against Spark's BIGINT.  Expected driver verdict:
-    hash-FAIL iff the driver canonicalizes HUGEINT differently from
-    BIGINT — the r7 root-cause finding for the four persistent
-    text-family hash-fails.  Demonstrated in-sandbox per fetch path:
-    ``fetchall()`` → Python int "50" (matches — why the local mirror
-    never saw it); ``.arrow()`` → decimal128(38,0) whose str() is still
-    "50"; ``.fetchdf()`` → float64 rendering "50.0" ≠ "50" — the exact
-    rows-green/schema-green/hash-red signature the driver reported for
-    three rounds.  Twin control: probe_bigint_render (same values,
-    cast) must be green under every fetch path."""
+def _probe_hugeint_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETIRED instrument (r7 → r8): the oracle intentionally emits
+    ``sum(INTEGER)`` un-cast (HUGEINT in DuckDB) against Spark's BIGINT,
+    so a driver hash-FAIL was the *expected confirming* outcome.  The r7
+    driver run delivered exactly that (hash-FAIL here, PASS on the cast
+    twin probe_bigint_render) — the HUGEINT-rendering root cause of the
+    r4-r6 text-family hash-fails is proven, q.e.d.  Leaving it
+    registered would burn an adjudication slot every round re-proving a
+    settled fact and show a permanent cosmetic red, so it is registered
+    only under ``SPARK_GRAFT_PROBES=1``; the standing protection is the
+    guard test ``test_no_hugeint_oracle_outputs``."""
     nation = _td(spark, sf_dir, "nation")
     return nation.groupBy("n_regionkey").agg(
         F.sum("n_nationkey").cast("long").alias("key_sum")
     )
+
+
+if os.environ.get("SPARK_GRAFT_PROBES") == "1":
+    _register(
+        "probe_hugeint_render",
+        """
+        SELECT n_regionkey, sum(n_nationkey) AS key_sum
+        FROM nation GROUP BY n_regionkey
+        """,
+    )(_probe_hugeint_render)
 
 
 @_register(
@@ -130,9 +134,9 @@ def probe_detmath_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
     exponent/mantissa bucket the text-family queries hit (token counts
     at sf0.01 are < 5000)."""
     # every other registry query pins session conf via _td; this one
-    # reads no table, so pin explicitly (Spark 4 defaults ANSI on)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    # reads no table, so pin through the same shared helper (advisor r7:
+    # the convention lives in one place, registry/_base._pin_session)
+    _pin_session(spark)
     n = spark.range(1, 5001).select(F.col("id").alias("n"))
     l2 = detmath.det_log2_int("n")
     return n.select(

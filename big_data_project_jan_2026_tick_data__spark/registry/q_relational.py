@@ -286,7 +286,17 @@ def orders_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customer, month) agg, a broadcast months grid, one carry-forward
     window, one month agg — the fact table never shuffles twice on the
     same key. Exact integer cents end to end; the single /100 cast is
-    the only float op."""
+    the only float op.
+
+    DELIBERATE per-order cent snap (advisor r8 note): o_totalprice is
+    exact at 4 dp, so FLOOR(x*100+0.5) rounds each order by up to half
+    a cent BEFORE the running balance — that is the ledger convention
+    being modeled (balances post at currency precision, like a bank
+    statement), not a loss of exactness: the arithmetic downstream of
+    the snap is exact integer cents, and both engines snap identically
+    so cross-engine parity is unaffected. Accumulating at the 1e4 grid
+    would instead model sub-cent carry — a different (valid) semantic,
+    exercised elsewhere by the exact_sum(..., 4) consumers."""
     from pyspark.sql import Window
 
     o = _td(spark, sf_dir, "orders")

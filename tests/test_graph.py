@@ -163,6 +163,36 @@ def test_iterative_operators_do_not_accumulate_checkpoints(spark):
     assert not (persistent_rdd_ids(spark) - before)
 
 
+def test_checkpoint_tracker_rejects_cross_thread_use(spark):
+    """The tracker attributes ids by diffing the SparkContext-global
+    persistent-RDD registry, which is only sound single-threaded; the
+    contract is enforced (advisor r7 carry) — ckpt from a thread other
+    than the construction thread must raise, not silently misattribute
+    ids it would later unpersist out from under the other job."""
+    import threading
+
+    from big_data_project_jan_2026_tick_data__spark.engine import CheckpointTracker
+
+    tr = CheckpointTracker(spark)
+    df = spark.range(10)
+    errs: list[Exception] = []
+
+    def use_from_other_thread():
+        try:
+            tr.ckpt(df)
+        except Exception as e:  # noqa: BLE001 — asserting the type below
+            errs.append(e)
+
+    t = threading.Thread(target=use_from_other_thread)
+    t.start()
+    t.join()
+    assert len(errs) == 1 and isinstance(errs[0], RuntimeError)
+    # same-thread use still works and cleans up
+    out = tr.ckpt(df)
+    assert out.count() == 10
+    tr.release_all()
+
+
 def test_association_rules_hand_computed(spark):
     """4 baskets: {A,B,C}, {A,B}, {A,C}, {B,D}. min counts 1 so nothing
     prunes; supports A=3 B=3 C=2 D=1; pairs AB=2 AC=2 BC=1 BD=1.

@@ -1764,7 +1764,7 @@ def test_privacy_reports_match_python_oracle(spark, rows, k, l):
         min_size=1,
         max_size=60,
     ),
-    k=st.sampled_from([2, 4, 6]),
+    k=st.sampled_from([2, 4, 6, 9, 12]),
 )
 def test_exactagg_split_matches_decimal_reference(spark, vals, k):
     """The r7 whole/frac two-BIGINT split must equal the exact Decimal
@@ -1792,6 +1792,27 @@ def test_exactagg_split_matches_decimal_reference(spark, vals, k):
     # order independence: a different partitioning yields the identical double
     got7 = df.repartition(7).agg(exact_sum(F.col("x"), k).alias("s")).first()
     assert got7.s == got.s
+
+
+def test_exactagg_fine_grid_no_int64_wrap(spark):
+    """Advisor r8 regression: at k=12 each fractional remainder is just
+    under 10^12, so a BIGINT accumulator wraps at ~9.2e6 rows per group
+    (silently, with ANSI off — while DuckDB widens to HUGEINT and the
+    engines diverge).  10M rows of 0.999999999999 overflow the old
+    BIGINT path by ~8%; the decimal(38,0) fractional accumulator must
+    return the exact grid sum."""
+    from big_data_project_jan_2026_tick_data__spark.functions.exactagg import (
+        exact_sum,
+    )
+
+    n = 10_000_000
+    df = spark.range(n).select(F.lit(0.999999999999).alias("x"))
+    got = df.agg(exact_sum(F.col("x"), 12).alias("s")).first().s
+    # exact: n * 999_999_999_999 units on the 1e-12 grid, then one
+    # binary64 rounding at the end — compute the reference the same way
+    ref = float(n * 999_999_999_999) / 1e12
+    assert got == ref, (got, ref)
+    assert got > 0  # the wrapped BIGINT path returned a negative sum
 
 
 @settings(

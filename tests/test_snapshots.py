@@ -552,3 +552,36 @@ def test_wap_publish_survives_concurrent_write(spark, tmp_path):
     assert snap.summary["total-records"] == "18"      # 10 + 3 + 5
     assert w1.read().count() == 18
     assert w2.read().count() == 18
+
+
+def test_wap_publish_retryable_after_lost_commit_race(spark, tmp_path, monkeypatch):
+    """Advisor r8 regression: when the optimistic attach exhausts its
+    retries, the already-renamed data dir must be moved BACK into the
+    staging area — otherwise the batch's files are orphaned under data/
+    (invisible but undeletable) and a re-publish dies at the rename.
+    After the rollback, the same audit_id publishes cleanly."""
+    from big_data_project_jan_2026_tick_data__spark.plans.snapshots import (
+        ConcurrentCommitError,
+        SnapshotTable,
+    )
+
+    root = str(tmp_path / "wapretry")
+    t = SnapshotTable(spark, root)
+    t.write(_df(spark, 0, 10), mode="append")
+    t.wap_stage(_df(spark, 100, 104), "b1")
+
+    orig_attach = SnapshotTable._attach
+
+    def lose_every_attempt(self, *a, **kw):
+        raise ConcurrentCommitError("simulated: lost all commit attempts")
+
+    monkeypatch.setattr(SnapshotTable, "_attach", lose_every_attempt)
+    with pytest.raises(ConcurrentCommitError):
+        t.wap_publish("b1")
+    # the stage is intact (meta + data) and NO orphan remains in data/
+    assert t.wap_read("b1").count() == 4
+    assert t.read().count() == 10
+    monkeypatch.setattr(SnapshotTable, "_attach", orig_attach)
+    snap = t.wap_publish("b1")
+    assert snap.operation == "wap-publish"
+    assert t.read().count() == 14
