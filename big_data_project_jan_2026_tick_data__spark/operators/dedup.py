@@ -69,7 +69,9 @@ def shingles(col: Column, n: int = 3) -> Column:
 _P31 = (1 << 31) - 1  # Mersenne prime: 31-bit operands keep products < 2^62
 
 
-def shingle_hashes(col_name: str, n: int = 3) -> Column:
+def shingle_hashes(
+    col_name: str, n: int = 3, token_hash: str = "xxhash64"
+) -> Column:
     """Distinct 31-bit hashes of the word n-gram shingles of a text
     column — WITHOUT materializing shingle strings. Per-token xxhash64
     (one string hash per token, not per n-gram), then n-grams combine
@@ -84,17 +86,38 @@ def shingle_hashes(col_name: str, n: int = 3) -> Column:
     per query — a parsed SQL string is a single round trip. Takes the
     column NAME for that reason. The token-hash array appears several
     times in the tree; whole-stage codegen's common-subexpression
-    elimination evaluates it once per row."""
-    return F.expr(_shingle_hashes_sql(col_name, n))
+    elimination evaluates it once per row.
+
+    ``token_hash``: 'xxhash64' (default — fastest JVM intrinsic, but no
+    SQL twin outside Spark) or 'md5' (28-bit md5 hex prefix — any SQL
+    engine recomputes it, the hash the value-oracled registry queries
+    use). Everything downstream of the token hash (polynomial n-gram
+    combine, Carter-Wegman permutations, banding) is engine-portable
+    long arithmetic either way."""
+    return F.expr(_shingle_hashes_sql(col_name, n, token_hash))
 
 
-def _shingle_hashes_sql(col_name: str, n: int) -> str:
+def _token_hash_sql(token_hash: str) -> str:
+    """Per-token 31-bit-ranged hash expression (Spark SQL) for lambda
+    variable ``t``.  'md5' takes the first 7 hex digits (28 bits < p) —
+    bit-identical to DuckDB's ``CAST(concat('0x', substr(md5(t), 1, 7))
+    AS BIGINT)``."""
+    if token_hash == "xxhash64":
+        return f"pmod(xxhash64(t), {_P31}L)"
+    if token_hash == "md5":
+        return "cast(conv(substr(md5(t), 1, 7), 16, 10) as bigint)"
+    raise ValueError(f"token_hash must be xxhash64|md5, got {token_hash!r}")
+
+
+def _shingle_hashes_sql(
+    col_name: str, n: int, token_hash: str = "xxhash64"
+) -> str:
     """The SQL text behind :func:`shingle_hashes` (reused verbatim by
     per-row signature builders)."""
     from .text import normalize_sql
 
     norm = normalize_sql(col_name)
-    th = f"transform(split({norm}, ' '), t -> pmod(xxhash64(t), {_P31}L))"
+    th = f"transform(split({norm}, ' '), t -> {_token_hash_sql(token_hash)})"
     g = th
     for k in range(1, n):
         g = (
@@ -127,6 +150,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of a
     Carter-Wegman universal hash ``(a_i·h + b_i) mod p``.
@@ -146,7 +170,7 @@ def minhash_signatures(
     """
     sh = df.select(
         F.col(id_col),
-        F.explode(shingle_hashes(text_col, shingle_n)).alias("__h"),
+        F.explode(shingle_hashes(text_col, shingle_n, token_hash)).alias("__h"),
     )
     return _signatures_from_hashes(sh, id_col, num_hashes)
 
@@ -207,11 +231,18 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: int | None = 1000,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: split the signature
     into ``bands`` bands of ``num_hashes//bands`` rows, hash each band,
     self-join on (band_idx, band_hash). Output: (id_a, id_b) with a < b,
     plus the estimated Jaccard from full-signature agreement.
+
+    ``token_hash='md5'`` makes the ENTIRE pair set re-derivable by any
+    SQL engine (the registry oracle banding buckets on the signature
+    slice TUPLE, which partitions docs identically to the xxhash64 band
+    key here short of a 2^-64 collision); 'xxhash64' is the fastest
+    non-portable path.
 
     ``max_bucket_size`` is the hot-bucket safety valve for real corpora:
     a degenerate band bucket holding m documents (boilerplate, empty
@@ -230,7 +261,7 @@ def minhash_lsh_pairs(
     # ReusedExchange fires because the branch projections differ). The
     # signature table is #docs × num_hashes longs — tiny next to text.
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_n
+        df, text_col, id_col, num_hashes, shingle_n, token_hash
     ).localCheckpoint()
     # variadic fixed-width hash of each band's signature slice — no
     # string materialization per band; one SQL string, not 8×4 py4j ops
@@ -860,14 +891,22 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     blocks: int = 4,
     max_bucket_size: int | None = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash — :func:`hamming_pairs` over
-    :func:`simhash` fingerprints."""
+    :func:`simhash` fingerprints (``portable=True``: the 60-bit
+    :func:`md5_simhash` fingerprints instead, so any SQL engine
+    re-derives the identical pair set — the registry/oracle path)."""
+    fps = (
+        md5_simhash(df, text_col, id_col)
+        if portable
+        else simhash(df, text_col, id_col)
+    )
     return hamming_pairs(
         # fingerprints feed the segment explode's three consumers (hot
         # count + both join sides); materialize the #docs × 1-long
         # table once instead of re-running the corpus simhash per branch
-        simhash(df, text_col, id_col).localCheckpoint(),
+        fps.localCheckpoint(),
         fp_col="simhash",
         id_col=id_col,
         max_hamming=max_hamming,

@@ -111,19 +111,36 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("lang_score", F.round(best.getField("score"), 6))
 
 
-def with_fingerprint(df: DataFrame, text_col: str = "text", ngram: int = 8) -> DataFrame:
-    """Document fingerprint: xxhash64 of the normalized text (exact) plus a
-    winnowing-style min-hash over character n-grams (robust to small
-    edits) — both JVM-side."""
+def with_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Document fingerprint: a hash of the normalized text (exact
+    content key) plus a winnowing-style min-hash over character n-grams
+    (robust to small edits) — both JVM-side.
+
+    ``portable=False``: xxhash64 (fastest, Spark-only).
+    ``portable=True``: 60-bit md5 hex-prefix hashes — bit-identical to
+    ``CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)`` in DuckDB,
+    so the whole output is value-oracle-able (the registry path). Same
+    plan shape either way: one per-row projection, zero shuffle."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    exact_fp = F.xxhash64(norm)
+
+    def h(col: Column) -> Column:
+        if portable:
+            return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+        return F.xxhash64(col)
+
+    exact_fp = h(norm)
     # character n-gram min-hash: split to chars, sliding windows via
     # transform over index sequence, hash each, take min.
     chars = F.split(norm, "")
     n = F.size(chars)
     idx = F.sequence(F.lit(0), F.greatest(n - ngram, F.lit(0)))
     grams = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws("", F.slice(chars, i + 1, ngram)))
+        idx, lambda i: h(F.concat_ws("", F.slice(chars, i + 1, ngram)))
     )
     return df.withColumn("fingerprint", exact_fp).withColumn(
         "shingle_min_fp", F.array_min(grams)

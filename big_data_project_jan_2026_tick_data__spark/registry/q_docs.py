@@ -319,33 +319,172 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.with_lang_id(docs).select("doc_id", "lang", "lang_pred", "lang_score")
 
 
-@_register("doc_minhash_pairs")
+def _md5_simhash_oracle(bits: int = 60, max_hamming: int = 3, cap: int = 1000) -> str:
+    """Full SimHash re-derivation in DuckDB: md5-derived 60-bit token
+    hashes → per-bit ±1 sums → sign fingerprint → 16-bit pigeonhole
+    segments (the same scheme as dedup.hamming_pairs) → capped self-join
+    → exact bit_count(xor) Hamming filter."""
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = "\n             | ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM norm, UNNEST(toks) AS u(t)),
+    b AS (
+      SELECT doc_id,
+             {sums}
+      FROM h GROUP BY doc_id),
+    fp AS (
+      SELECT doc_id,
+             {fp} AS fp
+      FROM b),
+    segs0 AS (
+      SELECT doc_id, fp, s AS seg_idx, (fp >> (s * 16)) & 65535 AS seg
+      FROM fp, UNNEST([0, 1, 2, 3]) AS t(s)),
+    segs AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY seg_idx, seg) AS bsz
+        FROM segs0) WHERE bsz <= {cap})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM segs a JOIN segs b
+      ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+def _portable_minhash_oracle(
+    num_hashes: int = 32, bands: int = 8, cap: int = 1000
+) -> str:
+    """Full re-derivation of the FAST-PATH MinHash pipeline in DuckDB:
+    per-TOKEN 28-bit md5-prefix hashes combined into word-3-gram hashes
+    by modular polynomial mixing (h*1000003 + h' mod p — dedup's
+    ``_shingle_hashes_sql`` with token_hash='md5', NO shingle strings
+    materialized), the shared Carter-Wegman signature mins, banding on
+    the signature slice TUPLE (the same doc partition the Spark side's
+    variadic xxhash64 band key induces, short of a 2^-64 collision),
+    the hot-bucket cap, and the fraction-of-equal-minima estimate."""
+    from ..operators.dedup import _P31, _mh_consts
+
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"MIN((h * {a} + {b}) % {_P31}) AS h{i}"
+        for i, (a, b) in ((i, _mh_consts(i)) for i in range(num_hashes))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {idx} AS band_idx, concat_ws('-', {cols}) AS band_key, "
+        "[{allc}] AS sig FROM sigs".format(
+            idx=b,
+            cols=", ".join(f"h{b * rows + r}" for r in range(rows)),
+            allc=", ".join(f"h{i}" for i in range(num_hashes)),
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    K = 1000003
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array({_norm_sql('text')}, ' ') AS toks
+      FROM documents),
+    th AS (
+      SELECT doc_id,
+             list_transform(toks,
+               t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th
+      FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT doc_id,
+               CASE WHEN len(th) < 3
+                    THEN [list_reduce(th, (a, b) -> (a * {K} + b) % {_P31})]
+                    ELSE list_transform(range(1, len(th) - 1),
+                      i -> ((th[i] * {K} + th[i + 1]) % {_P31} * {K}
+                            + th[i + 2]) % {_P31})
+               END AS hs
+        FROM th) t, UNNEST(t.hs) AS u(h)),
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands0 AS (
+      {band_rows}),
+    bands AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bsz
+        FROM bands0) WHERE bsz <= {cap})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(({eq}) / CAST({num_hashes} AS DOUBLE), 6) AS est_jaccard
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """
+
+
+@_register("doc_minhash_pairs", _portable_minhash_oracle())
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fast-path MinHash+LSH near-dup pairs (xxhash64 shingles, 32
-    hashes × 8 bands) — the headline-bench dedup slot; rows-only by
-    design (xxhash64 has no SQL twin — the full pipeline's value proof
-    is the md5 twin doc_md5_minhash_pairs)."""
+    """Fast-path MinHash+LSH near-dup pairs — the headline-bench dedup
+    slot, VALUE-ORACLED since r8: per-token hashes + polynomial 3-gram
+    mixing (no shingle strings materialized), 32 Carter-Wegman
+    permutations × 8 bands, hot-bucket cap. ``token_hash='md5'`` swaps
+    only the per-token hash (28-bit md5 prefix, bit-identical in any
+    SQL engine) for the default xxhash64 — everything else (the actual
+    fast-path machinery) is engine-portable long arithmetic that the
+    oracle re-derives end to end, pairs included."""
     docs = _td(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, token_hash="md5"
+    )
 
 
-@_register("doc_simhash_pairs")
+@_register("doc_simhash_pairs", _md5_simhash_oracle(max_hamming=8))
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fast-path SimHash near-dup pairs (xxhash64 token hashing,
-    pigeonhole segment join, Hamming ≤ 8) — rows-only by design; the
-    value-proved twin is doc_md5_simhash_pairs."""
+    """SimHash near-dup pairs at the WIDE Hamming radius (≤ 8 over a
+    4-block pigeonhole join — recall by blocking, not guarantee, the
+    production dedup setting), VALUE-ORACLED since r8 via the portable
+    60-bit md5-prefix token hashes (the narrow-radius md5 twin
+    doc_md5_simhash_pairs proves Hamming ≤ 6 independently)."""
     docs = _td(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=8, blocks=4)
+    return dedup.simhash_near_pairs(
+        docs, max_hamming=8, blocks=4, portable=True
+    )
 
 
-@_register("doc_fingerprints")
+@_register(
+    "doc_fingerprints",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '\s+', ' ', 'g') AS n
+      FROM documents)
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(n), 1, 15)) AS BIGINT)
+             AS fingerprint,
+           list_min(list_transform(
+             range(0, GREATEST(length(n) - 8, 0) + 1),
+             i -> CAST(concat('0x', substr(md5(substr(n, i + 1, 8)), 1, 15))
+                       AS BIGINT))) AS shingle_min_fp
+    FROM norm
+    """,
+)
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document rolling-hash fingerprints (full-text + min shingle
-    fingerprint) — the cheap identity keys incremental dedup persists;
-    xxhash64-based, rows-only by design (md5 twin:
-    doc_md5_fingerprints)."""
+    """Per-document fingerprints (full-text content key + min char-8-gram
+    fingerprint — the cheap identity keys incremental dedup persists),
+    VALUE-ORACLED since r8: portable 60-bit md5-prefix hashes replace
+    xxhash64; the whitespace-only normalization, sliding char windows,
+    and array_min are re-derived verbatim in SQL. Zero shuffle — one
+    per-row projection."""
     docs = _td(spark, sf_dir, "documents")
-    return text.with_fingerprint(docs).select(
+    return text.with_fingerprint(docs, portable=True).select(
         "doc_id", "fingerprint", "shingle_min_fp"
     )
 
@@ -1031,50 +1170,6 @@ def _md5_minhash_oracle(
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
      AND a.doc_id < b.doc_id
-    """
-
-
-def _md5_simhash_oracle(bits: int = 60, max_hamming: int = 3, cap: int = 1000) -> str:
-    """Full SimHash re-derivation in DuckDB: md5-derived 60-bit token
-    hashes → per-bit ±1 sums → sign fingerprint → 16-bit pigeonhole
-    segments (the same scheme as dedup.hamming_pairs) → capped self-join
-    → exact bit_count(xor) Hamming filter."""
-    sums = ",\n             ".join(
-        f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS b{i}"
-        for i in range(bits)
-    )
-    fp = "\n             | ".join(
-        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
-        for i in range(bits)
-    )
-    return rf"""
-    WITH norm AS (
-      SELECT doc_id,
-             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS toks
-      FROM documents),
-    h AS (
-      SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
-      FROM norm, UNNEST(toks) AS u(t)),
-    b AS (
-      SELECT doc_id,
-             {sums}
-      FROM h GROUP BY doc_id),
-    fp AS (
-      SELECT doc_id,
-             {fp} AS fp
-      FROM b),
-    segs0 AS (
-      SELECT doc_id, fp, s AS seg_idx, (fp >> (s * 16)) & 65535 AS seg
-      FROM fp, UNNEST([0, 1, 2, 3]) AS t(s)),
-    segs AS (
-      SELECT * FROM (
-        SELECT *, COUNT(*) OVER (PARTITION BY seg_idx, seg) AS bsz
-        FROM segs0) WHERE bsz <= {cap})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
-    FROM segs a JOIN segs b
-      ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
     """
 
 
