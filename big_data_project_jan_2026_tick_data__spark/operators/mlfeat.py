@@ -205,6 +205,136 @@ def fit_pca_reconstructor(
     return PCAReconstructor(models)
 
 
+def fit_pca_power_det(
+    tensors: DataFrame, dim: int = 3, iters: int = 16
+) -> dict[str, tuple[list[float], list[float]]]:
+    """Per-symbol (mean, top principal component) fitted so that EVERY
+    arithmetic step is reproducible by a SQL engine — the oracle-able
+    twin of :func:`fit_pca_reconstructor` (whose ``np.linalg.eigh`` no
+    SQL engine reproduces bit-for-bit):
+
+    - moments are EXACT integer sums on the 1e-6 grid (floor(x·1e6+0.5)
+      per cell / per product), accumulated in decimal(38,0) — order-
+      independent, and immune to the int64 wrap a 1e10-per-row grid
+      value hits at ~1e9 rows per group (DuckDB widens to HUGEINT; the
+      decimal accumulator keeps Spark exact too — the exactagg k>6
+      lesson);
+    - covariance and the component come from plain binary64 arithmetic
+      in a FIXED evaluation order (left-to-right dot terms, one
+      normalize per power-iteration step from v₀ = (1,…,1)), which a
+      generated SQL CTE chain replays operation for operation.
+
+    The power method's convergence to the eigh component is irrelevant
+    to parity: both engines run the SAME ``iters`` steps, so scores
+    agree bit-for-bit regardless of the spectrum. Sign is pinned by v₀
+    (and cancels in v·vᵀ anyway). Shuffle volume: #symbols × dim²
+    decimals — metadata-scale, the centroid-collect precedent."""
+    fv = tensors.select("symbol", F.explode("features").alias("fv"))
+    cells = fv.select(
+        "symbol",
+        *[F.col("fv")[i].cast("double").alias(f"x{i}") for i in range(dim)],
+    )
+    aggs: list = [F.count(F.lit(1)).alias("n")]
+    for i in range(dim):
+        aggs.append(
+            F.sum(
+                F.floor(F.col(f"x{i}") * 1e6 + F.lit(0.5)).cast("decimal(38,0)")
+            ).alias(f"s{i}")
+        )
+    for i in range(dim):
+        for j in range(i, dim):
+            aggs.append(
+                F.sum(
+                    F.floor(
+                        F.col(f"x{i}") * F.col(f"x{j}") * 1e6 + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                ).alias(f"s{i}_{j}")
+            )
+    rows = cells.groupBy("symbol").agg(*aggs).collect()
+
+    import math
+
+    models: dict[str, tuple[list[float], list[float]]] = {}
+    for r in rows:
+        n = r["n"]
+        mean = [float(r[f"s{i}"]) / 1e6 / n for i in range(dim)]
+        cov = [[0.0] * dim for _ in range(dim)]
+        for i in range(dim):
+            for j in range(i, dim):
+                cij = float(r[f"s{i}_{j}"]) / 1e6 / n - mean[i] * mean[j]
+                cov[i][j] = cov[j][i] = cij
+        v = [1.0] * dim
+        for _ in range(iters):
+            u = []
+            for i in range(dim):
+                acc = cov[i][0] * v[0]
+                for j in range(1, dim):
+                    acc = acc + cov[i][j] * v[j]
+                u.append(acc)
+            nrm_sq = u[0] * u[0]
+            for i in range(1, dim):
+                nrm_sq = nrm_sq + u[i] * u[i]
+            nrm = math.sqrt(nrm_sq)
+            if nrm != 0.0:
+                v = [u[i] / nrm for i in range(dim)]
+        models[r["symbol"]] = (mean, v)
+    return models
+
+
+def pca_anomaly_errors_det(
+    tensors: DataFrame,
+    models: dict[str, tuple[list[float], list[float]]],
+    dim: int = 3,
+) -> DataFrame:
+    """Per-window top-1-PC reconstruction MSE, entirely JVM-side (the
+    scoring twin of :func:`reconstruction_errors` with zero Python in
+    the hot path): explode the tensor cells, broadcast-join the
+    (symbol → mean, component) table, and reduce each window with an
+    EXACT 1e-9-grid integer sum of squared residuals —
+    order-independent and bit-reproducible in SQL.
+
+    Residual math per row: c = x − mean, t = c·v, d = c − t·v,
+    err = Σ floor(d²·1e9 + 0.5) / 1e9 / (rows·dim)."""
+    spark = tensors.sparkSession
+    model_rows = [
+        (sym, *mean, *v) for sym, (mean, v) in sorted(models.items())
+    ]
+    schema = "symbol string, " + ", ".join(
+        f"m{i} double" for i in range(dim)
+    ) + ", " + ", ".join(f"v{i} double" for i in range(dim))
+    mdf = spark.createDataFrame(model_rows, schema)
+    fv = tensors.select(
+        "symbol", "window_id", F.explode("features").alias("fv")
+    ).join(F.broadcast(mdf), "symbol")
+    cs = [
+        (F.col("fv")[i].cast("double") - F.col(f"m{i}")).alias(f"c{i}")
+        for i in range(dim)
+    ]
+    staged = fv.select(
+        "symbol",
+        "window_id",
+        *cs,
+        *[F.col(f"v{i}") for i in range(dim)],
+    )
+    t = F.col("c0") * F.col("v0")
+    for i in range(1, dim):
+        t = t + F.col(f"c{i}") * F.col(f"v{i}")
+    staged = staged.withColumn("t", t)
+    q = None
+    for i in range(dim):
+        d = F.col(f"c{i}") - F.col("t") * F.col(f"v{i}")
+        qi = F.floor(d * d * 1e9 + F.lit(0.5)).cast("long")
+        q = qi if q is None else q + qi
+    staged = staged.withColumn("q", q)
+    return staged.groupBy("symbol", "window_id").agg(
+        (
+            F.sum("q").cast("double")
+            / 1e9
+            / (F.count(F.lit(1)) * F.lit(dim))
+        ).alias("err")
+    )
+
+
 def reconstruction_errors(
     tensors: DataFrame,
     model_fn=None,

@@ -186,6 +186,7 @@ def ivf_topk(
     corpus_id: str = "vec_id",
     query_id: str = "query_id",
     vec_col: str = "embedding",
+    sample: str = "hash",
 ) -> DataFrame:
     """IVF-style ANN top-k: coarse quantizer (``nlist`` centroids sampled
     deterministically from the corpus) → corpus partitioned by nearest
@@ -197,12 +198,24 @@ def ivf_topk(
     metadata-scale (nlist × dim floats) regardless of corpus size; at
     100 TB the corpus is scanned once to assign cells (narrow, no
     shuffle), and the candidate join shuffles only on a 1-int cell key.
-    """
+
+    ``sample``: how the ``nlist`` seed vectors are drawn — 'hash' (the
+    nlist smallest ``xxhash64(id)``, a uniform pseudo-random sample) or
+    'lowest_id' (the nlist smallest ids — the emb_ivfpq_topk recipe,
+    re-derivable by any SQL engine via ``ORDER BY id LIMIT nlist``, so
+    the whole index becomes value-oracle-able). Both are stable across
+    runs/partitionings with no RNG state; sampling quality is
+    equivalent when ids are assignment-order ints uncorrelated with
+    embedding geometry."""
     c = corpus.select(F.col(corpus_id), _to_double(F.col(vec_col)).alias("cvec"))
-    # Deterministic sample: the nlist corpus vectors with smallest
-    # xxhash64(id) — stable across runs/partitionings, no RNG state.
+    if sample == "hash":
+        seed_key = F.xxhash64(F.col(corpus_id))
+    elif sample == "lowest_id":
+        seed_key = F.col(corpus_id)
+    else:
+        raise ValueError(f"sample must be hash|lowest_id, got {sample!r}")
     cent_rows = (
-        c.withColumn("h", F.xxhash64(F.col(corpus_id)))
+        c.withColumn("h", seed_key)
         .orderBy("h")
         .limit(nlist)
         .select("cvec")

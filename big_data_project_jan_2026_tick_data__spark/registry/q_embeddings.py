@@ -406,16 +406,79 @@ def emb_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared by the ml_window_tensors and ml_anomaly_scores_mean oracles.
 
 
-@_register("emb_ivf_topk")
+def _ivf_topk_oracle(
+    nlist: int = 16, nprobe: int = 4, k: int = 10, dim: int = 64
+) -> str:
+    """Full SQL re-derivation of similarity.ivf_topk with the
+    'lowest_id' coarse sample: centroids are the nlist lowest-id corpus
+    vectors 6dp-quantized (mirroring the operator's literal rendering),
+    cells assign by max cosine-to-centroid with the (score, cid)-max tie
+    rule (array_max over structs prefers the larger cid), queries probe
+    their nprobe best cells under the same ordering, and the rerank is
+    exact rounded cosine over the probed cells' REAL vectors."""
+    d1 = dim + 1
+    return rf"""
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    cc AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             list_transform(v, x -> FLOOR(x * 1e6 + 0.5) / 1e6) AS c
+      FROM (SELECT * FROM base ORDER BY vec_id LIMIT {nlist})),
+    ccn AS (
+      SELECT cid, c,
+             sqrt(list_sum(list_transform(c, x -> x * x))) AS cn
+      FROM cc),
+    cscore AS (
+      SELECT b.vec_id, b.v, i.cid,
+             list_sum(list_transform(range(1, {d1}), j -> b.v[j] * i.c[j]))
+               / (i.cn * sqrt(list_sum(list_transform(b.v, x -> x * x))))
+               AS score
+      FROM base b CROSS JOIN ccn i),
+    asn AS MATERIALIZED (
+      SELECT vec_id, v, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY score DESC, cid DESC) AS rn
+        FROM cscore) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5),
+    qscore AS (
+      SELECT q.query_id, q.qv, i.cid,
+             list_sum(list_transform(range(1, {d1}), j -> q.qv[j] * i.c[j]))
+               / (i.cn * sqrt(list_sum(list_transform(q.qv, x -> x * x))))
+               AS score
+      FROM q CROSS JOIN ccn i),
+    probes AS (
+      SELECT query_id, qv, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, cid DESC) AS rn
+        FROM qscore) WHERE rn <= {nprobe})
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT p.query_id, a.vec_id,
+             ROUND(list_cosine_similarity(a.v, p.qv), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY ROUND(list_cosine_similarity(a.v, p.qv), 6) DESC,
+                        a.vec_id) AS rank
+      FROM probes p JOIN asn a ON a.cell = p.cell)
+    WHERE rank <= {k}
+    """
+
+
+@_register("emb_ivf_topk", _ivf_topk_oracle())
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style cluster-pruned ANN (recall < 1 by design at
-    nprobe < nlist — rows-only; exactness at nprobe == nlist is
-    property-tested in tests/test_similarity.py)."""
+    nprobe < nlist), VALUE-ORACLED since r8 via the 'lowest_id' coarse
+    sample (the emb_ivfpq_topk recipe): the oracle re-derives centroid
+    quantization, cell assignment, probe selection, and the in-cell
+    cosine rerank entirely in SQL. Exactness at nprobe == nlist is
+    additionally property-tested in tests/test_similarity.py."""
     emb = _td(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+    return similarity.ivf_topk(
+        emb, queries, k=10, nlist=16, nprobe=4, sample="lowest_id"
+    )
 
 
 def _near_dup_oracle(dim: int = 64, num_planes: int = 4, seed: int = 42) -> str:

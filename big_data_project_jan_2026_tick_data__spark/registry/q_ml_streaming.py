@@ -157,15 +157,116 @@ def ml_window_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("ml_anomaly_scores")
+def _pca_anomaly_oracle(dim: int = 3, iters: int = 16) -> str:
+    """Full SQL re-derivation of the PCA anomaly lifecycle: tensor rows
+    (the ml_window_tensors oracle), exact 1e-6-grid per-symbol moments,
+    covariance + the SAME fixed-order power iteration the Spark fit
+    runs driver-side (one CTE per step — every +, ×, /, sqrt in the
+    identical left-to-right order, so the component is bit-identical),
+    per-window 1e-9-grid squared-residual sums, interpolated percentile
+    thresholds, flags."""
+    feats = ["bid", "ask", "spread"][:dim]
+    s1 = ",\n             ".join(
+        f"SUM(CAST(FLOOR({f} * 1e6 + 0.5) AS BIGINT)) AS s{i}"
+        for i, f in enumerate(feats)
+    )
+    s2 = ",\n             ".join(
+        f"SUM(CAST(FLOOR({feats[i]} * {feats[j]} * 1e6 + 0.5) AS BIGINT)) "
+        f"AS s{i}_{j}"
+        for i in range(dim)
+        for j in range(i, dim)
+    )
+    means = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / 1e6 / n AS m{i}" for i in range(dim)
+    )
+    covs = ", ".join(
+        f"CAST(s{i}_{j} AS DOUBLE) / 1e6 / n - m{i} * m{j} AS c{i}{j}"
+        for i in range(dim)
+        for j in range(i, dim)
+    )
+
+    def cref(i: int, j: int) -> str:
+        return f"c{min(i, j)}{max(i, j)}"
+
+    ccols = ", ".join(f"c{i}{j}" for i in range(dim) for j in range(i, dim))
+    scols = ", ".join(f"s{i}_{j}" for i in range(dim) for j in range(i, dim))
+    mcols = ", ".join(f"m{i}" for i in range(dim))
+    v_init = ", ".join(f"1.0 AS v{i}" for i in range(dim))
+    its = []
+    for step in range(1, iters + 1):
+        us = ", ".join(
+            " + ".join(f"{cref(i, j)} * v{j}" for j in range(dim))
+            + f" AS u{i}"
+            for i in range(dim)
+        )
+        nrm = " + ".join(f"u{i} * u{i}" for i in range(dim))
+        vs = ", ".join(
+            f"CASE WHEN nrm != 0 THEN u{i} / nrm ELSE v{i} END AS v{i}"
+            for i in range(dim)
+        )
+        its.append(
+            f"""it{step} AS (
+      SELECT symbol, {mcols}, {ccols}, {vs}
+      FROM (SELECT *, sqrt({nrm}) AS nrm
+            FROM (SELECT *, {us} FROM it{step - 1}) a) b)"""
+        )
+    it_chain = ",\n    ".join(its)
+    cs = ", ".join(
+        f"tr.{f} - m.m{i} AS c{i}" for i, f in enumerate(feats)
+    )
+    vcols = ", ".join(f"m.v{i}" for i in range(dim))
+    t_expr = " + ".join(f"c{i} * v{i}" for i in range(dim))
+    q_expr = "\n            + ".join(
+        f"CAST(FLOOR((c{i} - t * v{i}) * (c{i} - t * v{i}) * 1e9 + 0.5) "
+        f"AS BIGINT)"
+        for i in range(dim)
+    )
+    return f"""
+    WITH tensor_rows AS ({_TENSOR_ROWS_SQL}),
+    mom AS (
+      SELECT symbol, COUNT(*) AS n,
+             {s1},
+             {s2}
+      FROM tensor_rows GROUP BY symbol),
+    mm AS (SELECT symbol, n, {scols}, {means} FROM mom),
+    cv AS (SELECT symbol, {mcols}, {covs} FROM mm),
+    it0 AS (SELECT symbol, {mcols}, {ccols}, {v_init} FROM cv),
+    {it_chain},
+    cw AS (
+      SELECT tr.symbol, tr.window_id, {cs}, {vcols}
+      FROM tensor_rows tr JOIN it{iters} m USING (symbol)),
+    tw AS (SELECT *, {t_expr} AS t FROM cw),
+    qw AS (
+      SELECT symbol, window_id,
+             {q_expr} AS q
+      FROM tw),
+    werr AS (
+      SELECT symbol, window_id,
+             CAST(SUM(q) AS DOUBLE) / 1e9 / (COUNT(*) * {dim}) AS err
+      FROM qw GROUP BY symbol, window_id),
+    thr AS (
+      SELECT symbol, quantile_cont(err, 0.92) AS p92,
+             quantile_cont(err, 0.995) AS p99_5
+      FROM werr GROUP BY symbol)
+    SELECT w.symbol, w.window_id, ROUND(w.err, 6) AS err,
+           w.err > t.p92 AS anomaly_p92,
+           w.err > t.p99_5 AS anomaly_p99_5
+    FROM werr w JOIN thr t ON w.symbol = t.symbol
+    """
+
+
+@_register("ml_anomaly_scores", _pca_anomaly_oracle())
 def ml_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full ML lifecycle (SURVEY §3.3) as one plan:
     featurize (window tensors via applyInPandas) → train (per-symbol
-    closed-form PCA linear autoencoder, distributed moment agg) →
-    score (reconstruction MSE) → percentile thresholds (92 / 99.5,
-    parameters.json) → per-window anomaly flags. Rows-only
-    (pandas-UDF tensors); the PCA math is unit-tested against a
-    numpy oracle in test_mlfeat."""
+    top-PC linear autoencoder — exact-grid distributed moments + a
+    fixed-order power iteration, mlfeat.fit_pca_power_det) → score
+    (per-window reconstruction MSE on a 1e-9 integer grid, entirely
+    JVM-side) → percentile thresholds (92 / 99.5, parameters.json) →
+    per-window anomaly flags. VALUE-ORACLED since r8: every arithmetic
+    step is replayed in SQL (generated CTE chain), so the PCA lifecycle
+    carries a full DuckDB verdict — the eigh-based generic fit remains
+    in mlfeat with its numpy-oracle tests."""
     ev = _td(spark, sf_dir, "events")
     t = ev.select(
         F.lit("EVENTS").alias("symbol"),
@@ -176,8 +277,10 @@ def ml_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tensors = mlfeat.window_tensors(
         t, n_target=32, windows=((7, 0, 12, 0), (13, 0, 18, 0))
     ).localCheckpoint()  # reused by fit AND score — one featurize pass
-    model = mlfeat.fit_pca_reconstructor(tensors, dim=3, n_components=1)
-    errs = mlfeat.reconstruction_errors(tensors, model_fn=model)
+    models = mlfeat.fit_pca_power_det(tensors, dim=3, iters=16)
+    errs = mlfeat.pca_anomaly_errors_det(
+        tensors, models, dim=3
+    ).localCheckpoint()  # feeds thresholds AND the final join
     thresholds = errs.groupBy("symbol").agg(
         F.percentile(F.col("err"), 0.92).alias("p92"),
         F.percentile(F.col("err"), 0.995).alias("p99_5"),
@@ -187,7 +290,7 @@ def ml_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "symbol",
             "window_id",
-            F.round("err", 9).alias("err"),
+            F.round("err", 6).alias("err"),
             (F.col("err") > F.col("p92")).alias("anomaly_p92"),
             (F.col("err") > F.col("p99_5")).alias("anomaly_p99_5"),
         )
