@@ -23,50 +23,93 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates a bounded window (the first ~50 names) per
-# round, so dict order is the scheduling lever. Round-7 ordering
-# (the standing rule: CHANGED-CODE RE-PROOF OUTRANKS NEW-QUERY PROOF):
-# (a) the 4 persistent hash-FAILs, root-caused this round (their
-#     oracles emitted un-cast SUM(<int>) = HUGEINT output columns —
-#     decimal128 through Arrow — the only 4 such oracles out of 227;
-#     now CAST AS BIGINT) — slots 1-4;
-# (b) the diagnostic probes that prove/refute the mechanism in the
-#     driver environment (see registry/q_probes.py;
-#     probe_hugeint_render is the deliberate instrument whose
-#     EXPECTED confirming outcome is a hash-FAIL) — 5-8;
-# (c) the exactagg block: q3/q5/q6/q14 were never re-proven after the
-#     r6 decimal migration, and exactagg changed AGAIN this round
-#     (decimal(38,0) → overflow-safe two-BIGINT whole/frac split, the
-#     judge's A/B: 0.65 s → 0.40 s warm q1) — so the r6 shape
-#     representatives (q1 heaviest agg, q18 having-join, pivot) and
-#     the exact_avg consumer (events_moment_stats) re-enter too —
-#     9-16;
-# (d) the r6 registrations awaiting their first-ever verdict, in the
-#     r6-verdict's priority: microstructure octet, lakehouse
-#     lifecycle, financial-ML folds, governance, text leftovers —
-#     17-47 (orders_concentration_hhi / events_markov_entropy yield
-#     to the exactagg re-proofs and head the r8 queue);
-# (e) re-proofs of rows whose code changed THIS round: lm_perplexity
-#     (single-scan materialization), PQ codes/topk (advisor
-#     codebook-plumbing refactor) — 48-50.  bpe_token_counts and
-#     events_funnel dropped to r8: their r7 diffs are value-neutral
-#     (checkpoint release / input validation) and funnel's max_gap
-#     lane is covered by events_funnel_time_bounded in-window.
-# The late-r7 snapshots.py refactor (write() commit loop factored into
-# _attach for WAP) is pure code motion; its driver proof rides the four
-# in-window lifecycle first-verdicts (delete_purge, schema_evolution,
-# compact_roundtrip, incremental_ohlc_view) which all commit through
-# _attach — the r3-proven time-travel/merge rows re-queue behind them.
-# Rows-only entries deliberately absent (they can only say no_oracle;
-# their value proofs live in md5/mean/fixed-weight twins).
+# round, so dict order is the scheduling lever. Round-8 ordering
+# (standing rule: CHANGED-CODE RE-PROOF OUTRANKS NEW-QUERY PROOF; the
+# r7 window went 49/50 green + the deliberate probe red, so no fix
+# re-proofs carry over):
+# (a) first-ever VALUE verdicts for the five ex-rows-only entries that
+#     gained real oracles this round — headline doc_minhash_pairs
+#     (portable md5 token hash + full LSH re-derivation; never
+#     value-proven in 7 rounds), doc_simhash_pairs, doc_fingerprints,
+#     emb_ivf_topk (lowest-id coarse sample), ml_anomaly_scores
+#     (fixed-order power-iteration PCA, fully SQL-replayed) — 1-5;
+# (b) changed-code re-proofs: the BPE trio (trainer rewritten around
+#     the symbol-disjoint batch loop; batch_size=1 is property-tested
+#     equal to the old sequential rule but the code path is new),
+#     ticks_hurst_exponent (sparse-symbol row-presence fix + exactagg
+#     k>6 decimal accumulator), emb_top_component (exactagg k=9),
+#     snapshot_wap_publish (publish rollback on lost commit race),
+#     events_moment_stats (exact_avg now routes through exact_sum),
+#     probe_bigint_render / probe_detmath_log2 (_pin_session
+#     refactor; probe_hugeint_render itself is RETIRED behind
+#     SPARK_GRAFT_PROBES — its r7 hash-FAIL answered the HUGEINT
+#     question, 49/50+designed-red, q.e.d.) — 6-10, 23-25;
+# (c) the 13 remaining r7-final registrations still awaiting their
+#     first driver verdict (green locally at sf0.001+sf0.01 both
+#     rounds) — 11-22, 26;
+# (d) oldest-verdict rotation: the head of the r7 tail queue
+#     (scd2/tracking/classifier/bm25/text-stat/sketch/streaming rows
+#     last verdicted r2-r3) fills 27-50.
+# Rows-only entries deliberately absent (they can only say no_oracle):
+# that set is now ml_anomaly_scores_ae ALONE — gradient training is
+# not SQL-expressible; its proof is finite-difference + numpy parity
+# tests and the ★ lifecycle twins (ml_anomaly_scores, _mean).
 _ADJUDICATION_PRIORITY = [
+    "doc_minhash_pairs",
+    "doc_simhash_pairs",
+    "doc_fingerprints",
+    "emb_ivf_topk",
+    "ml_anomaly_scores",
+    "doc_bpe_merges",
+    "doc_bpe_token_counts",
+    "doc_bpe_fertility",
+    "ticks_hurst_exponent",
+    "emb_top_component",
+    "snapshot_wap_publish",
+    "events_t_closeness",
+    "doc_dup_spans",
+    "emb_hamming_topk",
+    "ticks_corwin_schultz",
+    "emb_mrl_recall",
+    "orders_semi_additive_balance",
+    "events_decay_engagement",
+    "doc_containment_pairs",
+    "emb_lsh_ndcg",
+    "orders_concentration_hhi",
+    "events_markov_entropy",
+    "events_moment_stats",
+    "probe_bigint_render",
+    "probe_detmath_log2",
+    "events_funnel",
+    "orders_scd2_apply",
+    "tracking_best_run",
+    "doc_quality_classifier",
+    "doc_bm25_search",
+    "doc_tfidf_top_terms",
+    "doc_source_divergence",
+    "doc_pmi_collocations",
+    "doc_survivorship",
+    "ticks_indicators",
+    "events_zipf_fit",
+    "ticks_parkinson_vol",
+    "ticks_rolling_stats",
+    "emb_kmeans",
+    "emb_semantic_dedup",
+    "emb_centroid_outliers",
+    "events_cms_heavy_hitters",
+    "streaming_dedup_replay",
+    "events_psi_drift",
+    "doc_weighted_sample",
+    "orders_scd2_asof_state",
+    "orders_seasonal_decompose",
+    "part_copurchase_triangles",
+    "part_copurchase_communities",
+    "streaming_vwap_bars",
+    # ---- ~50-slot window boundary; r9 queue from here ----
     "doc_token_entropy",
     "doc_mixture_weights",
     "doc_distinctive_terms",
-    "doc_bpe_merges",
-    "probe_hugeint_render",
-    "probe_bigint_render",
     "probe_norm_wordfreq",
-    "probe_detmath_log2",
     "tpch_q3_top10",
     "tpch_q5_region_revenue",
     "tpch_q6_forecast_revenue",
@@ -74,7 +117,6 @@ _ADJUDICATION_PRIORITY = [
     "tpch_q1",
     "tpch_q18_large_orders",
     "pivot_user_event_values",
-    "events_moment_stats",
     "ticks_vpin",
     "ticks_kyle_lambda",
     "ticks_volume_bars",
@@ -105,51 +147,9 @@ _ADJUDICATION_PRIORITY = [
     "ticks_intraday_seasonality",
     "doc_length_histogram",
     "events_funnel_time_bounded",
-    "doc_bpe_fertility",
     "doc_lm_perplexity",
     "emb_pq_codes",
     "emb_pq_topk",
-    # ---- ~50-slot window boundary; r8 queue from here ----
-    "events_t_closeness",
-    "snapshot_wap_publish",
-    "doc_dup_spans",
-    "emb_hamming_topk",
-    "ticks_corwin_schultz",
-    "ticks_hurst_exponent",
-    "emb_mrl_recall",
-    "orders_semi_additive_balance",
-    "events_decay_engagement",
-    "doc_containment_pairs",
-    "emb_lsh_ndcg",
-    "emb_top_component",
-    "orders_concentration_hhi",
-    "events_markov_entropy",
-    "doc_bpe_token_counts",
-    "events_funnel",
-    "orders_scd2_apply",
-    "tracking_best_run",
-    "doc_quality_classifier",
-    "doc_bm25_search",
-    "doc_tfidf_top_terms",
-    "doc_source_divergence",
-    "doc_pmi_collocations",
-    "doc_survivorship",
-    "ticks_indicators",
-    "events_zipf_fit",
-    "ticks_parkinson_vol",
-    "ticks_rolling_stats",
-    "emb_kmeans",
-    "emb_semantic_dedup",
-    "emb_centroid_outliers",
-    "events_cms_heavy_hitters",
-    "streaming_dedup_replay",
-    "events_psi_drift",
-    "doc_weighted_sample",
-    "orders_scd2_asof_state",
-    "orders_seasonal_decompose",
-    "part_copurchase_triangles",
-    "part_copurchase_communities",
-    "streaming_vwap_bars",
     "ticks_market_beta",
     "streaming_cusum_alarms",
     "events_cusum_alarms",

@@ -1355,6 +1355,74 @@ def test_bpe_merges_match_canonical_python(spark, words):
     assert got == want
 
 
+def _py_bpe_batched(words: list[str], num_merges: int, m: int):
+    """Python reference of the symbol-disjoint batched trainer: per
+    pass, rank pairs by (count desc, left, right), greedily pick up to
+    ``m`` pairs with pairwise-disjoint symbols, apply them all with the
+    greedy-left scan, record pass-start counts."""
+    from collections import Counter
+
+    freq = Counter(words)
+    state = {w: list(w) for w in freq}
+    merges = []
+    while len(merges) < num_merges:
+        counts = Counter()
+        for w, syms in state.items():
+            for x, y in zip(syms, syms[1:]):
+                counts[(x, y)] += freq[w]
+        if not counts:
+            break
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want = min(m, num_merges - len(merges))
+        # the trainer only collects the top (want*4+16) candidates per
+        # pass (metadata-bounded driver traffic); mirror that cutoff
+        ranked = ranked[: (1 if want == 1 else want * 4 + 16)]
+        picked, used = [], set()
+        for (a, b), c in ranked:
+            if a in used or b in used:
+                continue
+            picked.append((a, b, c))
+            used |= {a, b}
+            if len(picked) == want:
+                break
+        sel = {(a, b) for a, b, _ in picked}
+        for a, b, c in picked:
+            merges.append((len(merges) + 1, a, b, a + b, c))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) in sel:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc01", min_size=1, max_size=8), min_size=1, max_size=25
+    ),
+    m=st.sampled_from([2, 3, 5]),
+)
+@settings(**SETTINGS)
+def test_bpe_batched_matches_python_reference(spark, words, m):
+    """The symbol-disjoint batched trainer (the vocab-scale path: top-m
+    disjoint pairs per distributed pass) must reproduce its Python
+    reference exactly — including conflict skips, pass-start counts,
+    and new pairs created by a previous pass's merges."""
+    from big_data_project_jan_2026_tick_data__spark.operators.text import bpe_merges
+
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in bpe_merges(df, num_merges=7, batch_size=m).collect()
+    ]
+    assert got == _py_bpe_batched(words, 7, m)
+
+
 @given(
     items=st.lists(
         st.tuples(st.integers(0, 9), st.integers(0, 5)),  # (basket, item)
