@@ -104,6 +104,28 @@ def test_adjudication_priority_names_resolve():
     assert dupes == set(), dupes
 
 
+def test_recorded_counts_match_registry():
+    """Judge r7 item 7: the round documents must match ``queries()``
+    exactly — the r7 parting commit claimed 250/244 while the imported
+    registry held 249/243.  Rule, enforced by construction: the LAST
+    '**N queries, M full-value oracles**' claim in BASELINE.md must
+    equal the imported counts (update the doc WITH the registry, never
+    from memory)."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parents[1] / "BASELINE.md").read_text()
+    claims = re.findall(
+        r"\*\*(\d+) queries[,/ ]+(\d+) full-value oracles\*\*", text
+    )
+    assert claims, "BASELINE.md no longer records a queries/oracles claim"
+    n_q, n_o = map(int, claims[-1])
+    assert (n_q, n_o) == (len(QUERIES), len(ORACLE)), (
+        f"BASELINE.md records {n_q}/{n_o} but the registry imports "
+        f"{len(QUERIES)}/{len(ORACLE)}"
+    )
+
+
 def test_no_hugeint_oracle_outputs(sf_dir):
     """No oracle may emit a HUGEINT/UHUGEINT/DECIMAL output column.
 
