@@ -627,6 +627,10 @@ _SCAN_BUDGETS = {
     # verdict's one perf-weak item; the token arrays checkpoint eagerly
     # at build time so the returned plan reads parquet 0 times)
     "doc_lm_perplexity": 0,
+    # r8: the PCA lifecycle — tensors checkpoint once (featurize pass
+    # shared by fit AND score), errs checkpoint once (thresholds AND
+    # the final join), so the returned plan reads parquet 0 times
+    "ml_anomaly_scores": 0,
     # r7 (judge item: pin EVERY bench.py headline row, not just the
     # audited fixes): budgets are the audited plan shapes — TPC-H reads
     # one scan per joined table, single-table ops read once, the ANN
