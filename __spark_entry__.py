@@ -32,7 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (portable md5 token hash + full LSH re-derivation; never
 #     value-proven in 7 rounds), doc_simhash_pairs, doc_fingerprints,
 #     emb_ivf_topk (lowest-id coarse sample), ml_anomaly_scores
-#     (fixed-order power-iteration PCA, fully SQL-replayed) — 1-5;
+#     (fixed-order power-iteration PCA, fully SQL-replayed) — 1-5 —
+#     plus the two r8 breadth additions doc_domain_caps /
+#     emb_kmeanspp_init (new queries, no verdict yet) — 6-7;
 # (b) changed-code re-proofs: the BPE trio (trainer rewritten around
 #     the symbol-disjoint batch loop; batch_size=1 is property-tested
 #     equal to the old sequential rule but the code path is new),
@@ -60,6 +62,8 @@ _ADJUDICATION_PRIORITY = [
     "doc_fingerprints",
     "emb_ivf_topk",
     "ml_anomaly_scores",
+    "doc_domain_caps",
+    "emb_kmeanspp_init",
     "doc_bpe_merges",
     "doc_bpe_token_counts",
     "doc_bpe_fertility",
@@ -103,9 +107,9 @@ _ADJUDICATION_PRIORITY = [
     "orders_scd2_asof_state",
     "orders_seasonal_decompose",
     "part_copurchase_triangles",
+    # ---- ~50-slot window boundary; r9 queue from here ----
     "part_copurchase_communities",
     "streaming_vwap_bars",
-    # ---- ~50-slot window boundary; r9 queue from here ----
     "doc_token_entropy",
     "doc_mixture_weights",
     "doc_distinctive_terms",

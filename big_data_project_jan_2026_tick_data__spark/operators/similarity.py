@@ -370,6 +370,64 @@ def kmeans(
     return final.select(*cols)
 
 
+def kmeanspp_init(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means++-style seeding by farthest-point traversal
+    (greedy k-center, Gonzalez 1985 — the derandomized D² seeding):
+    start from the lowest-id vector, then repeatedly pick the vector
+    with the LARGEST squared L2 distance to its nearest already-chosen
+    seed (snapped to a 1e-6 integer grid; ties → lowest id). Spread-out
+    seeds fix the pathological same-neighborhood inits the lowest-id
+    rule of :func:`kmeans` can produce on clustered corpora.
+
+    Inherently sequential in k (each pick depends on all previous), so
+    the shape is k−1 corpus passes with the chosen seeds as broadcast
+    6dp literals — no shuffle at all (each pass is a map + top-1
+    TakeOrdered); driver state is k×dim floats. At 100 TB this is the
+    same cost class as ``kmeans``' per-iteration scan. Chosen vectors
+    are quantized to 6dp when they become literals (the IVF/centroid
+    rendering convention) — distances are computed against the snapped
+    seeds in BOTH engines, so the traversal is bit-reproducible.
+
+    Returns (sel_step 1..k, id_col, dmin_q6) — dmin_q6 is the picked
+    vector's min-distance-to-prior-seeds (NULL for step 1)."""
+    v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
+    first = v.orderBy(id_col).limit(1).collect()[0]
+    chosen: list[tuple[int, object, float | None]] = [(1, first[id_col], None)]
+    seeds = [[_q6(float(x)) for x in first.vec]]
+    for step in range(2, k + 1):
+        dmins = ", ".join(
+            f"aggregate(zip_with(vec, {_sql_arr(s)}, "
+            f"(x, c) -> (x - c) * (x - c)), 0D, (a, x) -> a + x)"
+            for s in seeds
+        )
+        dq = F.expr(
+            f"cast(floor(least({dmins}) * 1e6 + 0.5) as bigint)"
+            if len(seeds) > 1
+            else f"cast(floor(({dmins}) * 1e6 + 0.5) as bigint)"
+        )
+        pick = (
+            v.filter(~F.col(id_col).isin([c[1] for c in chosen]))
+            .withColumn("__dq", dq)
+            .orderBy(F.col("__dq").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        r = pick[0]
+        chosen.append((step, r[id_col], r["__dq"] / 1e6))
+        seeds.append([_q6(float(x)) for x in r.vec])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        chosen, f"sel_step int, {id_col} long, dmin_q6 double"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     k: int = 8,

@@ -857,6 +857,52 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "doc_domain_caps",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, lower(text) AS txt FROM documents),
+    {_DOC_METRICS_CTE},
+    q AS (
+      SELECT b.doc_id, b.source, {_QUALITY_EXPR} AS quality
+      FROM m JOIN base b USING (doc_id)),
+    r AS (
+      SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id ASC)
+               AS source_rank
+      FROM q)
+    SELECT doc_id, source, quality, CAST(source_rank AS INT) AS source_rank,
+           source_rank <= 10 AS kept
+    FROM r
+    """,
+)
+def doc_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps (the RefinedWeb/C4 anti-domination
+    step): rank every document within its source by quality (ties →
+    lowest doc_id) and keep the top 10 per source, so no single domain
+    floods the training mix regardless of its crawl volume. One
+    source-keyed window over the one-pass quality projection — a single
+    narrow shuffle at any corpus size, and the per-domain cap bounds
+    every domain's contribution by construction (hot domains cost the
+    same as cold ones downstream)."""
+    from pyspark.sql import Window
+
+    docs = _td(spark, sf_dir, "documents")
+    q = text.with_quality_score(docs).select("doc_id", "source", "quality")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = q.withColumn("source_rank", F.row_number().over(w).cast("int"))
+    return ranked.select(
+        "doc_id",
+        "source",
+        "quality",
+        "source_rank",
+        (F.col("source_rank") <= 10).alias("kept"),
+    )
+
+
 _SQL_SURFACE_QUERY = """
     SELECT doc_id,
            token_count(text) AS ws_tokens,

@@ -464,6 +464,65 @@ def _ivf_topk_oracle(
     """
 
 
+def _kmeanspp_oracle(k: int = 8, dim: int = 64) -> str:
+    """Chained-CTE re-derivation of similarity.kmeanspp_init: the same
+    farthest-point traversal, one CTE pair per pick — candidate dmin is
+    MIN over prior seeds of the RAW squared L2 (identical fold order),
+    snapped ONCE to the 1e-6 grid, ties to the lowest id; chosen seeds
+    are 6dp-snapped exactly like the operator's broadcast literals."""
+    d1 = dim + 1
+    parts = [
+        """c1 AS (
+      SELECT 1 AS sel_step, vec_id, CAST(NULL AS BIGINT) AS dq,
+             list_transform(v, x -> FLOOR(x * 1e6 + 0.5) / 1e6) AS s
+      FROM (SELECT * FROM base ORDER BY vec_id LIMIT 1)),
+    ch1 AS MATERIALIZED (SELECT * FROM c1)"""
+    ]
+    for step in range(2, k + 1):
+        prev = f"ch{step - 1}"
+        # CROSS JOIN (not a correlated scalar subquery): DuckDB lambda
+        # bodies may reference current-row columns of a join but not
+        # correlated outer columns — the ivfpq-oracle pattern
+        parts.append(
+            f"""c{step} AS (
+      SELECT {step} AS sel_step, vec_id, dq,
+             list_transform(v, x -> FLOOR(x * 1e6 + 0.5) / 1e6) AS s
+      FROM (
+        SELECT d.vec_id, b2.v, d.dq FROM (
+          SELECT b.vec_id,
+                 CAST(FLOOR(MIN(list_sum(list_transform(range(1, {d1}),
+                      j -> (b.v[j] - c.s[j]) * (b.v[j] - c.s[j]))))
+                      * 1e6 + 0.5) AS BIGINT) AS dq
+          FROM base b CROSS JOIN {prev} c
+          WHERE b.vec_id NOT IN (SELECT vec_id FROM {prev})
+          GROUP BY b.vec_id) d
+        JOIN base b2 ON b2.vec_id = d.vec_id
+        ORDER BY d.dq DESC, d.vec_id LIMIT 1)),
+    ch{step} AS MATERIALIZED (SELECT * FROM ch{step - 1} UNION ALL SELECT * FROM c{step})"""
+        )
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    {chain}
+    SELECT sel_step, vec_id, CAST(dq AS DOUBLE) / 1e6 AS dmin_q6
+    FROM ch{k}
+    """
+
+
+@_register("emb_kmeanspp_init", _kmeanspp_oracle())
+def emb_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means++-style seeding (greedy farthest-point /
+    derandomized D² — similarity.kmeanspp_init): 8 seeds spread across
+    the corpus, k−1 shuffle-free corpus passes against broadcast seed
+    literals. The curation upgrade over lowest-id init when clusters
+    seed sampling weights; the oracle replays the full traversal as a
+    chained-CTE sequence."""
+    emb = _td(spark, sf_dir, "embeddings")
+    return similarity.kmeanspp_init(emb, k=8)
+
+
 @_register("emb_ivf_topk", _ivf_topk_oracle())
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style cluster-pruned ANN (recall < 1 by design at
