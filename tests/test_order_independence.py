@@ -73,6 +73,18 @@ HARDENED = [
     "emb_mrl_recall",
     "doc_dup_spans",
     "orders_semi_additive_balance",
+    # r8 additions: the oracle-completion queries (portable-hash dedup
+    # trio ride their integer hashes; ml_anomaly_scores' moments are
+    # exact-grid decimal sums; kmeanspp snaps min-distances; the est/
+    # quality floats are exact-count divisions or grid snaps)
+    "doc_minhash_pairs",
+    "doc_simhash_pairs",
+    "doc_fingerprints",
+    "emb_ivf_topk",
+    "ml_anomaly_scores",
+    "doc_domain_caps",
+    "emb_kmeanspp_init",
+    "ticks_hurst_exponent",
 ]
 
 
