@@ -1812,7 +1812,9 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_coverage(docs, vocab_size=256)
 
 
-def _quality_classifier_oracle(iters: int = 12, lr: float = 1.0) -> str:
+def _quality_classifier_oracle(
+    iters: int = 12, lr: float = 1.0, calibration: bool = False
+) -> str:
     """Generated chained-CTE oracle for doc_quality_classifier: re-runs
     the IDENTICAL full-batch logistic-regression recipe in DuckDB — same
     features, same weak label, one gradient CTE + one weight CTE per
@@ -1820,7 +1822,12 @@ def _quality_classifier_oracle(iters: int = 12, lr: float = 1.0) -> str:
     driver loop (classifier.train_logreg).  The sigmoid is detmath exp
     (bit-identical across engines) over a ±40-clamped margin, and each
     per-row gradient term is snapped to a 1e-9 integer grid and summed
-    as BIGINT — so neither float-sum order nor libm can move a weight."""
+    as BIGINT — so neither float-sum order nor libm can move a weight.
+
+    ``calibration=True`` swaps the per-doc final SELECT for the
+    reliability-diagram roll-up (doc_classifier_calibration): decile
+    buckets of the 1e-6-snapped score, per-bucket exact mean score /
+    empirical positive rate / gap."""
     z = "w.w0 * f.bias + w.w1 * f.tokens_x + w.w2 * f.tok_len_x + w.w3 * f.digit_x"
     sig = f"1.0 / (1.0 + {detmath.det_exp_sql('mz', 'duckdb')})"
     clamp = (
@@ -1871,15 +1878,36 @@ def _quality_classifier_oracle(iters: int = 12, lr: float = 1.0) -> str:
                     / g.n) * 1e9 + 0.5) / 1e9 AS w3
       FROM it{p} w CROSS JOIN g{i} g)"""
         )
-    parts.append(
-        f"""
+    if calibration:
+        parts.append(
+            f"""
+    , scored AS (
+      SELECT doc_id, y, floor(sig * 1e6 + 0.5) / 1e6 AS sq,
+             CAST(FLOOR(sig * 1e6 + 0.5) AS BIGINT) AS s6
+      FROM (SELECT t.doc_id, t.y, {sig} AS sig
+            FROM (SELECT f.doc_id, f.y, 0.0 - ({clamp}) AS mz
+                  FROM feat f CROSS JOIN it{iters} w) t) s)
+    SELECT CAST(LEAST(CAST(FLOOR(sq * 10) AS INT), 9) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(CAST(SUM(s6) AS DOUBLE) / 1e6 / COUNT(*) * 1e6 + 0.5) / 1e6
+             AS mean_score_q6,
+           FLOOR(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+             AS pos_rate_q6,
+           FLOOR(ABS(CAST(SUM(s6) AS DOUBLE) / 1e6 / COUNT(*)
+                     - CAST(SUM(y) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6
+             AS gap_q6
+    FROM scored GROUP BY 1"""
+        )
+    else:
+        parts.append(
+            f"""
     SELECT doc_id, CAST(y AS INT) AS y,
            floor(sig * 1e6 + 0.5) / 1e6 AS score_q6,
            CAST(sig >= 0.5 AS INT) AS pred
     FROM (SELECT t.doc_id, t.y, {sig} AS sig
           FROM (SELECT f.doc_id, f.y, 0.0 - ({clamp}) AS mz
                 FROM feat f CROSS JOIN it{iters} w) t) s"""
-    )
+        )
     return "".join(parts)
 
 
@@ -1896,6 +1924,46 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _td(spark, sf_dir, "documents")
     return classifier.quality_classifier(docs, iters=12, lr=1.0)
+
+
+@_register(
+    "doc_classifier_calibration",
+    _quality_classifier_oracle(calibration=True),
+)
+def doc_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the in-engine quality classifier
+    (doc_quality_classifier's model, r8): decile buckets of the
+    1e-6-snapped predicted probability vs the empirical positive rate
+    per bucket — the calibration check that decides whether classifier
+    scores can gate a corpus directly or need temperature scaling
+    first. One extra hash agg over the scored frame (bucket count is
+    fixed at 10 regardless of corpus size); the oracle re-trains the
+    identical 12-step recipe and rolls up the same snapped scores."""
+    from ..operators import classifier
+
+    docs = _td(spark, sf_dir, "documents")
+    scored = classifier.quality_classifier(docs, iters=12, lr=1.0)
+    s6 = F.floor(F.col("score_q6") * 1e6 + F.lit(0.5)).cast("long")
+    b = F.least(F.floor(F.col("score_q6") * 10).cast("int"), F.lit(9))
+    agg = (
+        scored.select(b.alias("bucket"), s6.alias("s6"), "y")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s6").alias("ss"),
+            F.sum("y").alias("sy"),
+        )
+    )
+    mean_score = F.col("ss").cast("double") / 1e6 / F.col("n")
+    pos_rate = F.col("sy").cast("double") / F.col("n")
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n").cast("long").alias("n_docs"),
+        q6(mean_score).alias("mean_score_q6"),
+        q6(pos_rate).alias("pos_rate_q6"),
+        q6(F.abs(mean_score - pos_rate)).alias("gap_q6"),
+    )
 
 
 @_register(

@@ -2892,6 +2892,190 @@ def ticks_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _yang_zhang_oracle() -> str:
+    """Generated DuckDB oracle for ticks_yang_zhang — staged CTEs per
+    arithmetic stage (detmath expansion discipline), the same grid sums
+    and the same left-to-right combination formulas as the Spark side."""
+    ln = lambda e: detmath.det_ln_pos_sql(e, "duckdb")  # noqa: E731
+    return rf"""
+    WITH daily AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             CAST(ts AS DATE) AS day,
+             arg_min(value, lpad(CAST(epoch_ms(ts) AS VARCHAR), 14, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+             MAX(value) AS high,
+             MIN(value) AS low,
+             arg_max(value, lpad(CAST(epoch_ms(ts) AS VARCHAR), 14, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close
+      FROM events WHERE value > 0 GROUP BY 1, 2),
+    lagged AS (
+      SELECT symbol, day, open, high, low, close,
+             lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev_close
+      FROM daily),
+    ratios AS (
+      SELECT symbol,
+             open / prev_close AS r_o, close / open AS r_c,
+             high / open AS r_u, low / open AS r_d
+      FROM lagged WHERE prev_close IS NOT NULL AND prev_close > 0),
+    lo AS (SELECT symbol, {ln('r_o')} AS o, r_c, r_u, r_d FROM ratios),
+    lc AS (SELECT symbol, o, {ln('r_c')} AS c, r_u, r_d FROM lo),
+    lu AS (SELECT symbol, o, c, {ln('r_u')} AS u, r_d FROM lc),
+    ld AS (SELECT symbol, o, c, u, {ln('r_d')} AS d FROM lu),
+    terms AS (
+      SELECT symbol, o, c,
+             u * (u - c) + d * (d - c) AS rs
+      FROM ld),
+    agg AS (
+      SELECT symbol, COUNT(*) AS n,
+             SUM(CAST(FLOOR(o * 1e9 + 0.5) AS BIGINT)) AS so1,
+             SUM(CAST(FLOOR(o * o * 1e12 + 0.5) AS BIGINT)) AS so2,
+             SUM(CAST(FLOOR(c * 1e9 + 0.5) AS BIGINT)) AS sc1,
+             SUM(CAST(FLOOR(c * c * 1e12 + 0.5) AS BIGINT)) AS sc2,
+             SUM(CAST(FLOOR(rs * 1e12 + 0.5) AS BIGINT)) AS srs
+      FROM terms GROUP BY symbol HAVING COUNT(*) > 1),
+    m AS (
+      SELECT symbol, n,
+             CAST(so1 AS DOUBLE) / 1e9 / n AS mo,
+             CAST(sc1 AS DOUBLE) / 1e9 / n AS mc,
+             CAST(so2 AS DOUBLE) / 1e12 / n AS qo,
+             CAST(sc2 AS DOUBLE) / 1e12 / n AS qc,
+             CAST(srs AS DOUBLE) / 1e12 / n AS vrs
+      FROM agg),
+    v AS (
+      SELECT symbol, n, vrs,
+             (qo - mo * mo) * n / (n - 1) AS vo,
+             (qc - mc * mc) * n / (n - 1) AS vc,
+             0.34 / (1.34 + (n + 1) / (n - 1)) AS k
+      FROM m)
+    SELECT symbol,
+           CAST(n AS BIGINT) AS n_days,
+           FLOOR(vo * 1e6 + 0.5) / 1e6 AS overnight_var_q6,
+           FLOOR(vc * 1e6 + 0.5) / 1e6 AS openclose_var_q6,
+           FLOOR(vrs * 1e6 + 0.5) / 1e6 AS rs_var_q6,
+           FLOOR(sqrt(GREATEST(vo + k * vc + (1 - k) * vrs, 0.0)) * 1e6 + 0.5)
+             / 1e6 AS yz_vol_q6
+    FROM v
+    """
+
+
+@_register("ticks_yang_zhang", _yang_zhang_oracle())
+def ticks_yang_zhang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yang-Zhang (2000) volatility per symbol — the drift-independent,
+    jump-robust estimator that combines overnight variance (close→open),
+    open-to-close variance, and the Rogers-Satchell range term with the
+    variance-minimizing weight k = 0.34/(1.34 + (n+1)/(n−1)); the
+    standard desk upgrade over both close-to-close and Parkinson when
+    sessions gap overnight.
+
+    Scale shape: ONE hash agg reduces ticks to daily OHLC (min_by/
+    max_by on the (ts, event_id) total order — map-side partials), one
+    symbol-keyed lag for the previous close, one moment agg on exact
+    1e-9/1e-12 integer grids — the corpus is scanned once and nothing
+    after the first agg exceeds #symbols × #days rows. detmath lns,
+    fixed-order combination, sample-variance (n−1) scaling mirrored
+    term for term in the oracle."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    ordk = F.struct("ts", "event_id")
+    daily = (
+        ev.filter(F.col("value") > 0)
+        .select(
+            F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+                "symbol"
+            ),
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("symbol", "day")
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+        )
+    )
+    w = Window.partitionBy("symbol").orderBy("day")
+    lagged = daily.withColumn("prev_close", F.lag("close").over(w)).filter(
+        F.col("prev_close").isNotNull() & (F.col("prev_close") > 0)
+    )
+    ratios = lagged.select(
+        "symbol",
+        (F.col("open") / F.col("prev_close")).alias("r_o"),
+        (F.col("close") / F.col("open")).alias("r_c"),
+        (F.col("high") / F.col("open")).alias("r_u"),
+        (F.col("low") / F.col("open")).alias("r_d"),
+    )
+    # one det_ln expansion per projection stage (the 64 KB-janino
+    # codegen discipline — see detmath memory note)
+    lo = ratios.withColumn("o", detmath.det_ln_pos("r_o"))
+    lc = lo.withColumn("c", detmath.det_ln_pos("r_c"))
+    lu = lc.withColumn("u", detmath.det_ln_pos("r_u"))
+    ld = lu.withColumn("d", detmath.det_ln_pos("r_d"))
+    terms = ld.select(
+        "symbol",
+        "o",
+        "c",
+        (
+            F.col("u") * (F.col("u") - F.col("c"))
+            + F.col("d") * (F.col("d") - F.col("c"))
+        ).alias("rs"),
+    )
+    g = lambda col, s: F.sum(  # noqa: E731
+        F.floor(col * F.lit(s) + F.lit(0.5)).cast("long")
+    )
+    agg = (
+        terms.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            g(F.col("o"), 1e9).alias("so1"),
+            g(F.col("o") * F.col("o"), 1e12).alias("so2"),
+            g(F.col("c"), 1e9).alias("sc1"),
+            g(F.col("c") * F.col("c"), 1e12).alias("sc2"),
+            g(F.col("rs"), 1e12).alias("srs"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    n = F.col("n")
+    m = agg.select(
+        "symbol",
+        "n",
+        (F.col("so1").cast("double") / 1e9 / n).alias("mo"),
+        (F.col("sc1").cast("double") / 1e9 / n).alias("mc"),
+        (F.col("so2").cast("double") / 1e12 / n).alias("qo"),
+        (F.col("sc2").cast("double") / 1e12 / n).alias("qc"),
+        (F.col("srs").cast("double") / 1e12 / n).alias("vrs"),
+    )
+    v = m.select(
+        "symbol",
+        "n",
+        "vrs",
+        ((F.col("qo") - F.col("mo") * F.col("mo")) * n / (n - 1)).alias("vo"),
+        ((F.col("qc") - F.col("mc") * F.col("mc")) * n / (n - 1)).alias("vc"),
+        (F.lit(0.34) / (F.lit(1.34) + (n + 1) / (n - 1))).alias("k"),
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return v.select(
+        "symbol",
+        F.col("n").cast("long").alias("n_days"),
+        q6(F.col("vo")).alias("overnight_var_q6"),
+        q6(F.col("vc")).alias("openclose_var_q6"),
+        q6(F.col("vrs")).alias("rs_var_q6"),
+        q6(
+            F.sqrt(
+                F.greatest(
+                    F.col("vo")
+                    + F.col("k") * F.col("vc")
+                    + (F.lit(1) - F.col("k")) * F.col("vrs"),
+                    F.lit(0.0),
+                )
+            )
+        ).alias("yz_vol_q6"),
+    )
+
+
 @_register(
     "events_decay_engagement",
     rf"""

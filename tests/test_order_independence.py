@@ -85,6 +85,8 @@ HARDENED = [
     "doc_domain_caps",
     "emb_kmeanspp_init",
     "ticks_hurst_exponent",
+    "ticks_yang_zhang",
+    "doc_classifier_calibration",
 ]
 
 
