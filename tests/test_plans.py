@@ -631,6 +631,11 @@ _SCAN_BUDGETS = {
     # shared by fit AND score), errs checkpoint once (thresholds AND
     # the final join), so the returned plan reads parquet 0 times
     "ml_anomaly_scores": 0,
+    # r8 breadth additions (audited at registration)
+    "doc_domain_caps": 1,
+    "emb_kmeanspp_init": 0,  # driver-collected seeds; result is k rows
+    "ticks_yang_zhang": 1,
+    "doc_classifier_calibration": 1,
     # r7 (judge item: pin EVERY bench.py headline row, not just the
     # audited fixes): budgets are the audited plan shapes — TPC-H reads
     # one scan per joined table, single-table ops read once, the ANN
