@@ -288,6 +288,7 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     return_vec: bool = False,
+    init: str = "lowest_id",
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column — the
     curation primitive behind topic bucketing / per-cluster sampling of
@@ -297,8 +298,11 @@ def kmeans(
     Deterministic by construction (no RNG, no partition-order
     sensitivity), so two independent engines reproduce it exactly:
 
-    - **init**: the ``k`` vectors with the smallest ``id_col`` (collect is
-      k×dim metadata, corpus-size-independent);
+    - **init**: ``init='lowest_id'`` — the ``k`` vectors with the
+      smallest ``id_col`` (collect is k×dim metadata, corpus-size-
+      independent); ``init='kmeanspp'`` — the :func:`kmeanspp_init`
+      farthest-point seeds (k−1 extra corpus passes, spread-out
+      starting cells on clustered corpora, equally deterministic);
     - **assign**: argmin of squared L2 distance over the ``k`` broadcast
       centroid literals — pure map-side expression, zero shuffle, ties
       broken by lowest cluster id (array_min over struct<dist,cid>);
@@ -316,7 +320,17 @@ def kmeans(
     Returns (id_col, cluster, dist_sq) for the final assignment.
     """
     v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
-    init_rows = v.orderBy(id_col).limit(k).collect()
+    if init == "lowest_id":
+        init_rows = v.orderBy(id_col).limit(k).collect()
+    elif init == "kmeanspp":
+        seed_ids = [
+            r[id_col] for r in kmeanspp_init(df, k, id_col, vec_col).collect()
+        ]
+        init_rows = (
+            v.filter(F.col(id_col).isin(seed_ids)).orderBy(id_col).collect()
+        )
+    else:
+        raise ValueError(f"init must be lowest_id|kmeanspp, got {init!r}")
     centroids: list[list[float]] = [[float(x) for x in r.vec] for r in init_rows]
 
     def assign_expr(cents: list[list[float]]) -> Column:

@@ -108,6 +108,48 @@ def test_kmeans_final_assignment_is_nearest(spark, sf_dir):
     assert out.count() == emb.count()
 
 
+def test_kmeanspp_init_spreads_seeds(spark):
+    """Farthest-point seeding on a crafted 3-blob corpus: lowest-id
+    init would take all seeds from blob A (ids 0..2 are co-located);
+    kmeanspp must pick one point from EACH blob (the whole point of
+    spread seeding), deterministically, with step-1 dmin NULL and
+    dmins non-increasing... (greedy k-center's max-min distance is
+    monotonically non-increasing by construction)."""
+    import itertools
+
+    # blob A at origin (ids 0-3), blob B at ~(10,0,..), blob C at ~(0,10,..)
+    rows = []
+    for i, base in zip(range(4), itertools.repeat([0.0, 0.0])):
+        rows.append((i, [base[0] + i * 0.01, base[1], 0.0, 0.0]))
+    for i in range(4, 7):
+        rows.append((i, [10.0 + (i - 4) * 0.01, 0.0, 0.0, 0.0]))
+    for i in range(7, 10):
+        rows.append((i, [0.0, 10.0 + (i - 7) * 0.01, 0.0, 0.0]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = sorted(
+        similarity.kmeanspp_init(emb, k=3).collect(),
+        key=lambda r: r.sel_step,
+    )
+    assert [r.sel_step for r in out] == [1, 2, 3]
+    assert out[0].vec_id == 0 and out[0].dmin_q6 is None
+    blobs = {0: "A", 1: "A", 2: "A", 3: "A",
+             4: "B", 5: "B", 6: "B", 7: "C", 8: "C", 9: "C"}
+    assert {blobs[r.vec_id] for r in out} == {"A", "B", "C"}
+    assert out[1].dmin_q6 >= out[2].dmin_q6 > 0
+    # and the kmeans init='kmeanspp' wiring clusters each blob purely
+    got = {
+        r.vec_id: r.cluster
+        for r in similarity.kmeans(emb, k=3, iters=2, init="kmeanspp").collect()
+    }
+    by_blob = {}
+    for vid, cl in got.items():
+        by_blob.setdefault(blobs[vid], set()).add(cl)
+    assert all(len(cls) == 1 for cls in by_blob.values()), by_blob
+    assert len(set().union(*by_blob.values())) == 3
+
+
 def test_sql_arr_rejects_non_finite():
     """NaN/Inf in a vector must fail fast with a named error, not leak
     'nan' into a SQL literal and die later at analysis."""
