@@ -34,6 +34,16 @@ Why the whole/frac SPLIT instead of one accumulator (r7, judge A/B):
   moments, unit-vector components) pay the decimal premium, the money
   columns never do.
 
+Magnitude bound for the fine grids: the per-value snap recovers the
+true decimal only while the double's representation error stays inside
+half a grid unit — |x|·2^-53·10^k < 0.5, i.e. |x| < ~4.5e(15-k).
+Unbounded in practice at k<=6; at k=12 it means |x| < ~4.5e3. Every
+k>6 consumer here is log-return-scale (|x| <= ~10, 400x inside the
+bound). CROSS-ENGINE PARITY is magnitude-independent either way (both
+engines snap the same binary64 identically); the bound concerns only
+agreement with the ideal decimal value
+(test_exactagg_split_matches_decimal_reference).
+
 Spark/DuckDB pairs are emitted from one recipe (cf. detmath): the
 Spark Column and the oracle SQL string perform structurally identical
 IEEE arithmetic (floor/multiply/subtract/divide, round-to-nearest), so

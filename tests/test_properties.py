@@ -1826,19 +1826,24 @@ def test_privacy_reports_match_python_oracle(spark, rows, k, l):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
-    vals=st.lists(
-        # fixed-decimal doubles at <= 4 dp, mixed signs and magnitudes
-        st.integers(min_value=-10**9, max_value=10**9).map(lambda i: i / 1e4),
-        min_size=1,
-        max_size=60,
-    ),
+    data=st.data(),
     k=st.sampled_from([2, 4, 6, 9, 12]),
 )
-def test_exactagg_split_matches_decimal_reference(spark, vals, k):
-    """The r7 whole/frac two-BIGINT split must equal the exact Decimal
-    reference on the 10^-k grid for any fixed-decimal input mix (signs,
-    magnitudes, boundary fractions) — the invariant the decimal(38,0)
-    accumulator used to provide by construction."""
+def test_exactagg_split_matches_decimal_reference(spark, data, k):
+    """The whole/frac split must equal the exact Decimal reference on
+    the 10^-k grid for any fixed-decimal input mix (signs, magnitudes,
+    boundary fractions) — the invariant the decimal(38,0) accumulator
+    used to provide by construction.
+
+    Magnitude bound per k (exactagg module docstring): the per-value
+    snap is decimal-exact only while the double's representation error
+    stays inside half a grid unit, |x|·2^-53·10^k < 0.5 — unbounded in
+    practice at k<=6 (|x| < 4.5e9), but |x| < ~4.5e3 at k=12. The fine
+    grids exist for log-return-scale measures (|x| <= ~10), so the
+    test draws magnitudes ~100x beyond the consumers' range yet inside
+    the documented bound. (Cross-engine hash parity never depends on
+    this: both engines snap the SAME double identically at any
+    magnitude; this test checks decimal-truth, the stronger claim.)"""
     from decimal import Decimal
 
     from big_data_project_jan_2026_tick_data__spark.functions.exactagg import (
@@ -1846,6 +1851,17 @@ def test_exactagg_split_matches_decimal_reference(spark, vals, k):
         exact_sum,
     )
 
+    # fixed-decimal doubles at <= 4 dp
+    max_units = 10**9 if k <= 6 else 10**7  # |x| <= 1e5 / 1e3
+    vals = data.draw(
+        st.lists(
+            st.integers(min_value=-max_units, max_value=max_units).map(
+                lambda i: i / 1e4
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
     df = spark.createDataFrame([(float(v),) for v in vals], "x double")
     got = df.agg(
         exact_sum(F.col("x"), k).alias("s"), exact_avg(F.col("x"), k).alias("a")
