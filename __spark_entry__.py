@@ -35,7 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (fixed-order power-iteration PCA, fully SQL-replayed) — 1-5 —
 #     plus the four r8 breadth additions doc_domain_caps /
 #     emb_kmeanspp_init / ticks_yang_zhang /
-#     doc_classifier_calibration (new queries, no verdict yet) — 6-9;
+#     doc_classifier_calibration / doc_dsir_weights (new queries,
+#     no verdict yet) — 6-10;
 # (b) changed-code re-proofs: the BPE trio (trainer rewritten around
 #     the symbol-disjoint batch loop; batch_size=1 is property-tested
 #     equal to the old sequential rule but the code path is new),
@@ -46,13 +47,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     probe_bigint_render / probe_detmath_log2 (_pin_session
 #     refactor; probe_hugeint_render itself is RETIRED behind
 #     SPARK_GRAFT_PROBES — its r7 hash-FAIL answered the HUGEINT
-#     question, 49/50+designed-red, q.e.d.) — 10-14, 27-29;
+#     question, 49/50+designed-red, q.e.d.) — 11-15, 28-30;
 # (c) the 13 remaining r7-final registrations still awaiting their
 #     first driver verdict (green locally at sf0.001+sf0.01 both
-#     rounds) — 15-26, 30;
+#     rounds) — 16-27, 31;
 # (d) oldest-verdict rotation: the head of the r7 tail queue
 #     (scd2/tracking/classifier/bm25/text-stat/sketch/streaming rows
-#     last verdicted r2-r3) fills 31-50.
+#     last verdicted r2-r3) fills 32-50.
 # Rows-only entries deliberately absent (they can only say no_oracle):
 # that set is now ml_anomaly_scores_ae ALONE — gradient training is
 # not SQL-expressible; its proof is finite-difference + numpy parity
@@ -67,6 +68,7 @@ _ADJUDICATION_PRIORITY = [
     "emb_kmeanspp_init",
     "ticks_yang_zhang",
     "doc_classifier_calibration",
+    "doc_dsir_weights",
     "doc_bpe_merges",
     "doc_bpe_token_counts",
     "doc_bpe_fertility",
@@ -107,8 +109,8 @@ _ADJUDICATION_PRIORITY = [
     "streaming_dedup_replay",
     "events_psi_drift",
     "doc_weighted_sample",
-    "orders_scd2_asof_state",
     # ---- ~50-slot window boundary; r9 queue from here ----
+    "orders_scd2_asof_state",
     "orders_seasonal_decompose",
     "part_copurchase_triangles",
     "part_copurchase_communities",

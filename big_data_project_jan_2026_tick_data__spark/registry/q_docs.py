@@ -1736,6 +1736,113 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lm_cross_entropy(docs)
 
 
+def _dsir_oracle(target_where: str = "lang = 'en'") -> str:
+    """Generated oracle for doc_dsir_weights: the _LM_CTES recipe twice
+    — one bigram LM trained on the full corpus (source) and one on the
+    target slice — scoring EVERY document under both, then the per-token
+    log2 ratio h_source − h_target (positive = closer to target)."""
+    chains = []
+    for sfx, flt in (("s", ""), ("t", f"WHERE {target_where}")):
+        chains.append(
+            rf"""uni_{sfx} AS (
+      SELECT w, count(*) AS c1 FROM tok {flt} GROUP BY w),
+    big_{sfx} AS (
+      SELECT w_prev, w, count(*) AS c12 FROM tok
+      {flt + (' AND' if flt else 'WHERE')} w_prev IS NOT NULL
+        AND length(w_prev) > 0
+      GROUP BY w_prev, w),
+    tot_{sfx} AS (SELECT count(*) AS v, sum(c1) AS n FROM uni_{sfx}),
+    sc0_{sfx} AS (
+      SELECT t.doc_id,
+             CASE WHEN t.w_prev IS NULL THEN COALESCE(u.c1, 0) + 1
+                  ELSE COALESCE(b.c12, 0) + 1 END AS pnum,
+             CASE WHEN t.w_prev IS NULL THEN tot.n + tot.v
+                  ELSE COALESCE(up.c1, 0) + tot.v END AS pden
+      FROM tok t
+      LEFT JOIN uni_{sfx} u ON t.w = u.w
+      LEFT JOIN uni_{sfx} up ON t.w_prev = up.w
+      LEFT JOIN big_{sfx} b ON t.w_prev = b.w_prev AND t.w = b.w
+      CROSS JOIN tot_{sfx} tot),
+    sc_{sfx} AS (
+      SELECT doc_id,
+             ({detmath.det_log2_int_sql('pnum', 'duckdb')}
+              - {detmath.det_log2_int_sql('pden', 'duckdb')}) AS lp
+      FROM sc0_{sfx}),
+    agg_{sfx} AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(CAST(FLOOR(lp * 1e9 + 0.5) AS BIGINT)) AS s9
+      FROM sc_{sfx} GROUP BY doc_id),
+    h_{sfx} AS (
+      SELECT doc_id, n_tokens,
+             -(CAST(s9 AS DOUBLE) / 1e9) / CAST(n_tokens AS DOUBLE) AS hh
+      FROM agg_{sfx})"""
+        )
+    chain_sql = ",\n    ".join(chains)
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             string_split({_norm_sql('text')}, ' ') AS tk
+      FROM documents),
+    tok AS MATERIALIZED (
+      SELECT doc_id, lang, i - 1 AS pos, tk[i] AS w,
+             CASE WHEN i >= 2 THEN tk[i-1] END AS w_prev
+      FROM norm, UNNEST(range(1, len(tk) + 1)) AS t(i)
+      WHERE length(tk[i]) > 0),
+    {chain_sql}
+    SELECT s.doc_id,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           FLOOR(s.hh * 1e6 + 0.5) / 1e6 AS h_source_q6,
+           FLOOR(t.hh * 1e6 + 0.5) / 1e6 AS h_target_q6,
+           FLOOR((FLOOR(s.hh * 1e6 + 0.5) / 1e6
+                  - FLOOR(t.hh * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6
+             AS dsir_logratio_q6,
+           (FLOOR(s.hh * 1e6 + 0.5) / 1e6
+            - FLOOR(t.hh * 1e6 + 0.5) / 1e6) > 0 AS keep
+    FROM h_s s JOIN h_t t USING (doc_id)
+    """
+
+
+@_register("doc_dsir_weights", _dsir_oracle())
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, Data Selection
+    via Importance Resampling, adapted to the engine's bigram LMs):
+    train one LM on the TARGET slice (lang='en' — the distribution you
+    want more of) and one on the full SOURCE corpus, score every
+    document under both, and report the per-token log2 likelihood
+    ratio h_source − h_target (positive = the target model explains
+    the document better than the source average — upweight it). The
+    resampling knob of a pretraining-mix pipeline, on the same
+    oracle-proven LM machinery as doc_lm_perplexity.
+
+    Scale shape: two runs of the tokenize-once LM chain (each: two
+    vocab-sized hash aggs to train, token-keyed joins to score, exact
+    1e-9-grid per-doc reductions) joined on doc_id — corpus text never
+    shuffles, and both LMs' tables are token-vocabulary-sized."""
+    docs = _td(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    src = text.lm_cross_entropy(docs).select(
+        "doc_id",
+        "n_tokens",
+        F.col("cross_entropy").alias("h_source_q6"),
+    )
+    tgt = text.lm_cross_entropy(docs, lm_corpus=target).select(
+        "doc_id", F.col("cross_entropy").alias("h_target_q6")
+    )
+    ratio = F.col("h_source_q6") - F.col("h_target_q6")
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        src.join(tgt, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "h_source_q6",
+            "h_target_q6",
+            q6(ratio).alias("dsir_logratio_q6"),
+            (ratio > 0).alias("keep"),
+        )
+    )
+
+
 @_register(
     "doc_ccnet_buckets",
     rf"""

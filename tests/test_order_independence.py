@@ -87,6 +87,7 @@ HARDENED = [
     "ticks_hurst_exponent",
     "ticks_yang_zhang",
     "doc_classifier_calibration",
+    "doc_dsir_weights",
 ]
 
 

@@ -636,6 +636,7 @@ _SCAN_BUDGETS = {
     "emb_kmeanspp_init": 0,  # driver-collected seeds; result is k rows
     "ticks_yang_zhang": 1,
     "doc_classifier_calibration": 1,
+    "doc_dsir_weights": 0,  # both LM chains checkpoint at build
     # r7 (judge item: pin EVERY bench.py headline row, not just the
     # audited fixes): budgets are the audited plan shapes — TPC-H reads
     # one scan per joined table, single-table ops read once, the ANN
