@@ -347,6 +347,108 @@ def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthetic_scene_video_item(mid: int, seed: int = 7) -> bytes:
+    """Pure per-id SCENE-STRUCTURED video payload: 2-4 scenes, each a
+    random base frame repeated with small per-frame pixel noise (±2),
+    so consecutive dHashes are near-identical WITHIN a scene and far
+    apart ACROSS scene boundaries — the structure a shot-boundary
+    detector exists to find (plain ``synthetic_media_item`` videos are
+    i.i.d. random frames: every transition looks like a cut). Pure
+    function of (mid, seed) — the oracle regenerates it locally."""
+    rng = np.random.default_rng(seed * 7_368_787 + int(mid))
+    n_scenes = 2 + int(mid) % 3
+    frames_per_scene = 2 + int(mid) % 2
+    frames = []
+    for _ in range(n_scenes):
+        base = rng.integers(0, 256, size=(12, 16, 3), dtype=np.int16)
+        for _ in range(frames_per_scene):
+            noise = rng.integers(-2, 3, size=base.shape, dtype=np.int16)
+            frames.append(np.clip(base + noise, 0, 255).astype(np.uint8))
+    return codecs.encode_ppmseq(frames)
+
+
+def synthetic_scene_videos(spark, n: int = 32, seed: int = 7) -> DataFrame:
+    """(media_id, payload) table of scene-structured PSEQ videos,
+    generated distributively (payload bytes never touch the driver)."""
+    base = spark.range(n).select(F.col("id").alias("media_id"))
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(mid), synthetic_scene_video_item(int(mid), seed))
+                for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return base.mapInPandas(gen, schema=out_schema)
+
+
+def scene_cut_rows(
+    payload: bytes, threshold: int
+) -> list[tuple[int, int | None, bool]]:
+    """(frame_idx, hamming-to-previous-frame-dHash, is_cut) per frame of
+    one PSEQ payload — pure function shared by the mapInPandas kernel
+    and the driver-side oracle recomputation. Frame 0 opens the first
+    scene (hamming NULL, cut True); later frames cut when the dHash
+    Hamming distance to the previous frame exceeds ``threshold``."""
+    out: list[tuple[int, int | None, bool]] = []
+    prev: int | None = None
+    for i, fr in enumerate(codecs.demux_ppmseq(payload or b"")):
+        h = _dhash(codecs.decode_ppm(fr))
+        if prev is None:
+            out.append((i, None, True))
+        else:
+            d = bin((h ^ prev) & 0xFFFFFFFFFFFFFFFF).count("1")
+            out.append((i, d, d > threshold))
+        prev = h
+    return out
+
+
+_SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("hamming_prev", T.IntegerType(), True),
+        T.StructField("is_cut", T.BooleanType(), False),
+    ]
+)
+
+
+def scene_cuts(
+    df: DataFrame, threshold: int = 16, payload_col: str = "payload"
+) -> DataFrame:
+    """Shot-boundary detection over PSEQ video payloads: demux, dHash
+    every frame, flag frames whose perceptual distance to the previous
+    frame exceeds ``threshold`` bits — the scene segmentation step a
+    video-pretraining pipeline runs before per-scene frame sampling
+    (sampling per SCENE beats sampling per fixed tick when shots have
+    very different lengths). Cardinality-increasing mapInPandas (one
+    row per frame); at 100 TB only (media_id, frame_idx, int, bool)
+    rows ever leave the decode site — payload bytes stay put."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                for i, d, cut in scene_cut_rows(payload, threshold):
+                    rows.append((int(mid), i, d, cut))
+            out = pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "hamming_prev", "is_cut"]
+            )
+            out["media_id"] = out["media_id"].astype("int64")
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            out["hamming_prev"] = out["hamming_prev"].astype("object")
+            yield out
+
+    return df.mapInPandas(kernel, schema=_SCENE_SCHEMA)
+
+
 def local_phash(payload: bytes, codec: str) -> int | None:
     """Driver-side recomputation of one perceptual hash (no Spark) —
     oracle companion to :func:`perceptual_hashes`."""

@@ -324,3 +324,38 @@ def multimodal_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resized",
         F.md5("payload").alias("payload_md5"),
     )
+
+
+def _multimodal_scene_cuts_oracle(n: int = 32, threshold: int = 16) -> str:
+    """Driver-side regeneration of the scene-structured videos + the
+    per-frame dHash/Hamming/cut rows (multimodal.scene_cut_rows — the
+    same pure function the kernel runs), emitted as a VALUES table."""
+    from ..operators.multimodal import scene_cut_rows, synthetic_scene_video_item
+
+    rows = []
+    for mid in range(n):
+        payload = synthetic_scene_video_item(mid)
+        for i, d, cut in scene_cut_rows(payload, threshold):
+            rows.append((mid, i, "NULL" if d is None else d, str(cut).lower()))
+    vals = ", ".join(f"({m}, {i}, {d}, {c})" for m, i, d, c in rows)
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(frame_idx AS INT) AS frame_idx, "
+        "CAST(hamming_prev AS INT) AS hamming_prev, "
+        f"CAST(is_cut AS BOOLEAN) AS is_cut FROM (VALUES {vals}) "
+        "AS t(media_id, frame_idx, hamming_prev, is_cut)"
+    )
+
+
+@_register("multimodal_scene_cuts", _multimodal_scene_cuts_oracle())
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection (r8): scene-structured synthetic PSEQ
+    videos (repeated base frame + small noise per scene, new base per
+    scene) through the real demux → per-frame dHash → consecutive
+    Hamming kernel; frames past the 16-bit threshold open a new scene.
+    Within-scene transitions must stay BELOW threshold and boundaries
+    above it — both branches value-checked, the oracle regenerating
+    every payload and hash locally (tests/test_multimodal also asserts
+    the semantic split)."""
+    media = multimodal.synthetic_scene_videos(spark, n=32)
+    return multimodal.scene_cuts(media, threshold=16)

@@ -231,3 +231,29 @@ def test_resize_rejects_external_codec(spark):
     with pytest.raises(Exception) as exc:
         multimodal.resize_images(media, 8, 8).collect()
     assert "external decoder" in str(exc.value)
+
+
+def test_scene_cuts_detect_boundaries_not_noise(spark):
+    """Semantic check the value-hash can't express: in the
+    scene-structured corpus, EVERY scene boundary must cut and
+    within-scene jitter must not — i.e. both branches of the threshold
+    are exercised and land exactly on the generator's scene layout."""
+    from big_data_project_jan_2026_tick_data__spark.operators import multimodal
+
+    media = multimodal.synthetic_scene_videos(spark, n=32)
+    rows = multimodal.scene_cuts(media, threshold=16).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == set(range(32))
+    for mid, frs in by_media.items():
+        frs.sort(key=lambda r: r.frame_idx)
+        n_scenes = 2 + mid % 3
+        fps = 2 + mid % 2
+        assert len(frs) == n_scenes * fps
+        expected_cuts = {s * fps for s in range(n_scenes)}
+        got_cuts = {r.frame_idx for r in frs if r.is_cut}
+        assert got_cuts == expected_cuts, (mid, got_cuts, expected_cuts)
+        # hamming populated for every non-first frame, NULL for frame 0
+        assert frs[0].hamming_prev is None
+        assert all(r.hamming_prev is not None for r in frs[1:])
