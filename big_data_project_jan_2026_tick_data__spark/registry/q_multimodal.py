@@ -359,3 +359,44 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the semantic split)."""
     media = multimodal.synthetic_scene_videos(spark, n=32)
     return multimodal.scene_cuts(media, threshold=16)
+
+
+def _multimodal_scene_samples_oracle(
+    n: int = 32, threshold: int = 16, per_scene: int = 2
+) -> str:
+    """Driver-side regeneration of the per-scene sampled frames
+    (multimodal.scene_sample_rows — the same pure function the kernel
+    runs) as a VALUES table."""
+    from ..operators.multimodal import (
+        scene_sample_rows,
+        synthetic_scene_video_item,
+    )
+
+    rows = []
+    for mid in range(n):
+        payload = synthetic_scene_video_item(mid)
+        for s_idx, fi, sl, dig in scene_sample_rows(payload, threshold, per_scene):
+            rows.append((mid, s_idx, fi, sl, dig))
+    vals = ", ".join(f"({m}, {s}, {f}, {L}, {d!r})" for m, s, f, L, d in rows)
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(scene_idx AS INT) AS scene_idx, "
+        "CAST(frame_idx AS INT) AS frame_idx, "
+        "CAST(scene_len AS INT) AS scene_len, "
+        f"CAST(feat_digest AS DOUBLE) AS feat_digest FROM (VALUES {vals}) "
+        "AS t(media_id, scene_idx, frame_idx, scene_len, feat_digest)"
+    )
+
+
+@_register("multimodal_scene_samples", _multimodal_scene_samples_oracle())
+def multimodal_scene_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-scene frame sampling (r8): shot boundaries from the dHash
+    scene detector, then up to 2 evenly-spaced frames per scene
+    (exact-integer round-half-up spacing — the mlfeat._spaced_indices
+    convention), each decoded and reduced to the quantized feature
+    digest. The sampling policy a video-pretraining pipeline uses so a
+    1 s cutaway and a 40 s monologue both contribute representative
+    frames; every emitted row value-checked against the driver-side
+    regeneration."""
+    media = multimodal.synthetic_scene_videos(spark, n=32)
+    return multimodal.scene_frame_samples(media, threshold=16, per_scene=2)
