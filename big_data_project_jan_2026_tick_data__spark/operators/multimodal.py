@@ -541,6 +541,150 @@ def scene_frame_samples(
     return df.mapInPandas(kernel, schema=_SCENE_SAMPLE_SCHEMA)
 
 
+def synthetic_speech_audio_item(mid: int, seed: int = 7) -> bytes:
+    """Pure per-id SPEECH-SHAPED audio payload: alternating voiced
+    bursts (loud sine + noise) and near-silence gaps (tiny noise), so
+    an energy-based activity detector has real segments to find (the
+    plain ``synthetic_media_item`` audio is one continuous tone). Pure
+    function of (mid, seed) for oracle-side regeneration."""
+    rng = np.random.default_rng(seed * 9_227_465 + int(mid))
+    sr = 16000
+    n_bursts = 2 + int(mid) % 3
+    chunks = []
+    for b in range(n_bursts):
+        gap_ms = 40 + int((mid + b) % 4) * 20
+        talk_ms = 60 + int((mid + 2 * b) % 5) * 30
+        gap = rng.normal(0, 40, int(sr * gap_ms / 1000))
+        t = np.arange(int(sr * talk_ms / 1000))
+        talk = (
+            np.sin(2 * np.pi * (150 + 40 * b + int(mid) % 90) * t / sr) * 11000
+            + rng.normal(0, 600, len(t))
+        )
+        chunks.extend([gap, talk])
+    chunks.append(rng.normal(0, 40, int(sr * 50 / 1000)))  # trailing gap
+    samples = np.clip(np.concatenate(chunks), -32768, 32767).astype(np.int16)
+    return codecs.encode_wav(samples, sr)
+
+
+def synthetic_speech_audio(spark, n: int = 32, seed: int = 7) -> DataFrame:
+    """(media_id, payload) table of speech-shaped WAV payloads,
+    generated distributively."""
+    base = spark.range(n).select(F.col("id").alias("media_id"))
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(mid), synthetic_speech_audio_item(int(mid), seed))
+                for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return base.mapInPandas(gen, schema=out_schema)
+
+
+def active_segment_rows(
+    payload: bytes, win_ms: int, k_mult: float
+) -> list[tuple[int, int, int, int]]:
+    """(segment_idx, start_ms, end_ms, n_windows) of the voice-active
+    segments of one WAV payload — pure function shared by the kernel
+    and the oracle. A window is ACTIVE when its integer mean-square
+    energy exceeds ``k_mult`` × the payload's global integer
+    mean-square (exact int arithmetic end to end: int16 squares summed
+    as Python ints, the threshold compare cross-multiplied so no
+    division or float ever happens); consecutive active windows merge
+    into segments."""
+    samples, sr = codecs.decode_wav(payload or b"")
+    if len(samples) == 0:
+        return []
+    # decode_wav hands back int16/32768.0 floats (exact binary
+    # fractions) — multiply back to recover the EXACT int16 values so
+    # the whole detector stays integer arithmetic
+    x = np.round(samples * 32768.0).astype(np.int64)
+    sq = x * x
+    total_e = int(sq.sum())
+    n = len(x)
+    win = max(int(sr * win_ms / 1000), 1)
+    k_num, k_den = int(round(k_mult * 1000)), 1000
+    flags = []
+    for w0 in range(0, n, win):
+        w = sq[w0 : w0 + win]
+        # active iff (sum_w / len_w) > k * (total_e / n)  — compared as
+        # sum_w * n * k_den > k_num * total_e * len_w (exact ints)
+        flags.append(int(w.sum()) * n * k_den > k_num * total_e * len(w))
+    out = []
+    seg = None
+    for i, a in enumerate(flags):
+        if a and seg is None:
+            seg = [i, i]
+        elif a:
+            seg[1] = i
+        elif seg is not None:
+            out.append(seg)
+            seg = None
+    if seg is not None:
+        out.append(seg)
+    rows = []
+    for s_idx, (w_start, w_end) in enumerate(out):
+        start_ms = w_start * win * 1000 // sr
+        end_ms = min((w_end + 1) * win, n) * 1000 // sr
+        rows.append((s_idx, start_ms, end_ms, w_end - w_start + 1))
+    return rows
+
+
+_AUDIO_SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("segment_idx", T.IntegerType(), False),
+        T.StructField("start_ms", T.LongType(), False),
+        T.StructField("end_ms", T.LongType(), False),
+        T.StructField("n_windows", T.IntegerType(), False),
+    ]
+)
+
+
+def active_audio_segments(
+    df: DataFrame,
+    win_ms: int = 20,
+    k_mult: float = 0.5,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Energy-based voice-activity segmentation (VAD-lite): decode WAV,
+    window the int16 stream, flag windows whose mean-square energy
+    exceeds ``k_mult`` × the global mean-square, merge runs into
+    (start_ms, end_ms) segments — the trim/segment step an audio
+    pretraining pipeline runs before transcription or chunking (drop
+    silence, bound segment length). All-integer arithmetic (no float
+    thresholds), so the segmentation is bit-identical everywhere.
+    Cardinality-increasing mapInPandas; only (id, idx, ms, ms, int)
+    rows leave the decode site."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                for s, a, b, nw in active_segment_rows(payload, win_ms, k_mult):
+                    rows.append((int(mid), s, a, b, nw))
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "segment_idx", "start_ms", "end_ms",
+                         "n_windows"],
+            )
+            out["media_id"] = out["media_id"].astype("int64")
+            out["segment_idx"] = out["segment_idx"].astype("int32")
+            out["start_ms"] = out["start_ms"].astype("int64")
+            out["end_ms"] = out["end_ms"].astype("int64")
+            out["n_windows"] = out["n_windows"].astype("int32")
+            yield out
+
+    return df.mapInPandas(kernel, schema=_AUDIO_SEG_SCHEMA)
+
+
 def local_phash(payload: bytes, codec: str) -> int | None:
     """Driver-side recomputation of one perceptual hash (no Spark) —
     oracle companion to :func:`perceptual_hashes`."""

@@ -400,3 +400,43 @@ def multimodal_scene_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     regeneration."""
     media = multimodal.synthetic_scene_videos(spark, n=32)
     return multimodal.scene_frame_samples(media, threshold=16, per_scene=2)
+
+
+def _multimodal_audio_segments_oracle(
+    n: int = 32, win_ms: int = 20, k_mult: float = 0.5
+) -> str:
+    """Driver-side regeneration of the VAD segments
+    (multimodal.active_segment_rows, all-integer arithmetic) as a
+    VALUES table."""
+    from ..operators.multimodal import (
+        active_segment_rows,
+        synthetic_speech_audio_item,
+    )
+
+    rows = []
+    for mid in range(n):
+        payload = synthetic_speech_audio_item(mid)
+        for s, a, b, nw in active_segment_rows(payload, win_ms, k_mult):
+            rows.append((mid, s, a, b, nw))
+    vals = ", ".join(f"({m}, {s}, {a}, {b}, {nw})" for m, s, a, b, nw in rows)
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(segment_idx AS INT) AS segment_idx, "
+        "CAST(start_ms AS BIGINT) AS start_ms, "
+        "CAST(end_ms AS BIGINT) AS end_ms, "
+        f"CAST(n_windows AS INT) AS n_windows FROM (VALUES {vals}) "
+        "AS t(media_id, segment_idx, start_ms, end_ms, n_windows)"
+    )
+
+
+@_register("multimodal_audio_segments", _multimodal_audio_segments_oracle())
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity segmentation (r8): speech-shaped
+    synthetic WAV (voiced bursts between near-silence gaps) through
+    the real decode → 20 ms windows → integer mean-square threshold →
+    run-merge kernel. Exact int arithmetic end to end (the active
+    test is cross-multiplied — no division, no floats), so both
+    engines segment identically; tests/test_multimodal asserts the
+    segments land on the generator's burst layout."""
+    media = multimodal.synthetic_speech_audio(spark, n=32)
+    return multimodal.active_audio_segments(media, win_ms=20, k_mult=0.5)

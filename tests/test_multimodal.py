@@ -257,3 +257,23 @@ def test_scene_cuts_detect_boundaries_not_noise(spark):
         # hamming populated for every non-first frame, NULL for frame 0
         assert frs[0].hamming_prev is None
         assert all(r.hamming_prev is not None for r in frs[1:])
+
+
+def test_audio_segments_match_burst_layout(spark):
+    """Semantic check: the VAD segments must land on the generator's
+    voiced-burst layout — one segment per burst, ordered, non-
+    overlapping, and every segment shorter than the payload."""
+    from big_data_project_jan_2026_tick_data__spark.operators import multimodal
+
+    media = multimodal.synthetic_speech_audio(spark, n=32)
+    rows = multimodal.active_audio_segments(media, win_ms=20, k_mult=0.5).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == set(range(32))
+    for mid, segs in by_media.items():
+        segs.sort(key=lambda r: r.segment_idx)
+        assert len(segs) == 2 + mid % 3, (mid, len(segs))  # one per burst
+        for a, b in zip(segs, segs[1:]):
+            assert a.end_ms <= b.start_ms  # ordered, non-overlapping
+        assert all(s.end_ms > s.start_ms and s.n_windows >= 1 for s in segs)
