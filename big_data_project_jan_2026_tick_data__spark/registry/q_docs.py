@@ -396,7 +396,40 @@ def _portable_minhash_oracle(
     )
     K = 1000003
     return rf"""
-    WITH norm AS (
+    WITH {_portable_minhash_ctes(num_hashes, bands, cap)}
+    SELECT id_a, id_b, est_jaccard FROM mh_pairs
+    """
+
+
+def _portable_minhash_ctes(
+    num_hashes: int = 32, bands: int = 8, cap: int = 1000
+) -> str:
+    """The WITH-body of the portable MinHash re-derivation up through
+    the candidate-pair CTE ``mh_pairs`` (and the per-doc shingle-hash
+    CTE ``sh``) — shared by the doc_minhash_pairs oracle and the
+    calibration roll-up, which extends it with exact Jaccard."""
+    from ..operators.dedup import _P31, _mh_consts
+
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"MIN((h * {a} + {b}) % {_P31}) AS h{i}"
+        for i, (a, b) in ((i, _mh_consts(i)) for i in range(num_hashes))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {idx} AS band_idx, concat_ws('-', {cols}) AS band_key, "
+        "[{allc}] AS sig FROM sigs".format(
+            idx=b,
+            cols=", ".join(f"h{b * rows + r}" for r in range(rows)),
+            allc=", ".join(f"h{i}" for i in range(num_hashes)),
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    K = 1000003
+    return rf"""norm AS (
       SELECT doc_id,
              regexp_split_to_array({_norm_sql('text')}, ' ') AS toks
       FROM documents),
@@ -405,7 +438,7 @@ def _portable_minhash_oracle(
              list_transform(toks,
                t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th
       FROM norm),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id, h FROM (
         SELECT doc_id,
                CASE WHEN len(th) < 3
@@ -422,12 +455,12 @@ def _portable_minhash_oracle(
       SELECT * FROM (
         SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bsz
         FROM bands0) WHERE bsz <= {cap})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(({eq}) / CAST({num_hashes} AS DOUBLE), 6) AS est_jaccard
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-     AND a.doc_id < b.doc_id
-    """
+    , mh_pairs AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(({eq}) / CAST({num_hashes} AS DOUBLE), 6) AS est_jaccard
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id)"""
 
 
 @_register("doc_minhash_pairs", _portable_minhash_oracle())
@@ -443,6 +476,118 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _td(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         docs, num_hashes=32, bands=8, token_hash="md5"
+    )
+
+
+def _minhash_calibration_oracle(
+    num_hashes: int = 32, bands: int = 8, cap: int = 1000
+) -> str:
+    """Calibration roll-up over the portable MinHash CTEs: exact 3-gram
+    Jaccard per candidate pair (intersection via the shared shingle-hash
+    CTE, |A∪B| = |A|+|B|−|A∩B|), est-vs-true bucketed at eighths, all
+    means/MAE from 1e-6 integer snaps."""
+    return rf"""
+    WITH {_portable_minhash_ctes(num_hashes, bands, cap)},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS i
+      FROM mh_pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.h = a.h
+      GROUP BY p.id_a, p.id_b),
+    pp AS (
+      SELECT CAST(LEAST(CAST(FLOOR(p.est_jaccard * 8) AS INT), 7) AS INT)
+               AS bucket,
+             CAST(FLOOR(p.est_jaccard * 1e6 + 0.5) AS BIGINT) AS est6,
+             CAST(FLOOR(COALESCE(i.i, 0)
+                        / (sa.sz + sb.sz - COALESCE(i.i, 0)) * 1e6 + 0.5)
+                  AS BIGINT) AS true6
+      FROM mh_pairs p
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(CAST(SUM(est6) AS DOUBLE) / 1e6 / COUNT(*) * 1e6 + 0.5) / 1e6
+             AS mean_est_q6,
+           FLOOR(CAST(SUM(true6) AS DOUBLE) / 1e6 / COUNT(*) * 1e6 + 0.5) / 1e6
+             AS mean_true_q6,
+           FLOOR(CAST(SUM(ABS(est6 - true6)) AS DOUBLE) / 1e6 / COUNT(*)
+                 * 1e6 + 0.5) / 1e6 AS mae_q6
+    FROM pp GROUP BY bucket
+    """
+
+
+@_register("doc_minhash_calibration", _minhash_calibration_oracle())
+def doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy audit of the headline MinHash estimator (r8): for every
+    LSH candidate pair, the EXACT word-3-gram Jaccard (intersection via
+    one shingle-hash equi-join, union by inclusion-exclusion) next to
+    the signature estimate, rolled up into eighth-buckets of the
+    estimate — per bucket the pair count, mean estimate, mean true
+    Jaccard, and mean absolute error. The reliability diagram for the
+    dedup estimator itself: it shows how trustworthy est_jaccard
+    thresholds are before anyone tunes a dedup cutoff on them.
+
+    Scale shape: the exact-Jaccard join touches only CANDIDATE pairs
+    (LSH-bounded, not all pairs) and the shingle stream is the same
+    hash-slim (doc_id, 31-bit) table the signatures were built from —
+    one extra shingle-keyed equi-join and a fixed-8-bucket roll-up on
+    top of the headline plan."""
+    docs = _td(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, token_hash="md5"
+    ).localCheckpoint()  # feeds sizes-join, inter-join, and the roll-up
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(dedup.shingle_hashes("text", 3, "md5")).alias("h"),
+        )
+    ).localCheckpoint()  # consumed by sizes AND both sides of inter
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(sh.select(F.col("doc_id").alias("id_a"), "h"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    pp = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb")),
+            "id_b",
+        )
+        .join(inter, ["id_a", "id_b"], "left")
+        .select(
+            F.least(F.floor(F.col("est_jaccard") * 8).cast("int"), F.lit(7))
+            .cast("int")
+            .alias("bucket"),
+            F.floor(F.col("est_jaccard") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("est6"),
+            F.floor(
+                F.coalesce(F.col("i"), F.lit(0))
+                / (F.col("sa") + F.col("sb") - F.coalesce(F.col("i"), F.lit(0)))
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("true6"),
+        )
+    )
+    q6m = lambda s, n: (  # noqa: E731
+        F.floor(s.cast("double") / 1e6 / n * 1e6 + F.lit(0.5)) / 1e6
+    )
+    n = F.count(F.lit(1))
+    return pp.groupBy("bucket").agg(
+        n.cast("long").alias("n_pairs"),
+        q6m(F.sum("est6"), n).alias("mean_est_q6"),
+        q6m(F.sum("true6"), n).alias("mean_true_q6"),
+        q6m(F.sum(F.abs(F.col("est6") - F.col("true6"))), n).alias("mae_q6"),
     )
 
 

@@ -88,6 +88,7 @@ HARDENED = [
     "ticks_yang_zhang",
     "doc_classifier_calibration",
     "doc_dsir_weights",
+    "doc_minhash_calibration",
 ]
 
 

@@ -637,6 +637,7 @@ _SCAN_BUDGETS = {
     "ticks_yang_zhang": 1,
     "doc_classifier_calibration": 1,
     "doc_dsir_weights": 0,  # both LM chains checkpoint at build
+    "doc_minhash_calibration": 0,  # pairs + shingles checkpoint at build
     # r7 (judge item: pin EVERY bench.py headline row, not just the
     # audited fixes): budgets are the audited plan shapes — TPC-H reads
     # one scan per joined table, single-table ops read once, the ANN
