@@ -37,8 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     emb_kmeanspp_init / ticks_yang_zhang /
 #     doc_classifier_calibration / doc_dsir_weights /
 #     multimodal_scene_cuts / multimodal_scene_samples /
-#     multimodal_audio_segments / doc_minhash_calibration (new
-#     queries, no verdict yet) — 6-14;
+#     multimodal_audio_segments / doc_minhash_calibration /
+#     ticks_tsrv (new queries, no verdict yet) — 6-15;
 # (b) changed-code re-proofs: the BPE trio (trainer rewritten around
 #     the symbol-disjoint batch loop; batch_size=1 is property-tested
 #     equal to the old sequential rule but the code path is new),
@@ -49,13 +49,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     probe_bigint_render / probe_detmath_log2 (_pin_session
 #     refactor; probe_hugeint_render itself is RETIRED behind
 #     SPARK_GRAFT_PROBES — its r7 hash-FAIL answered the HUGEINT
-#     question, 49/50+designed-red, q.e.d.) — 15-19, 32-34;
+#     question, 49/50+designed-red, q.e.d.) — 16-20, 33-35;
 # (c) the 13 remaining r7-final registrations still awaiting their
 #     first driver verdict (green locally at sf0.001+sf0.01 both
-#     rounds) — 20-31, 35;
+#     rounds) — 21-32, 36;
 # (d) oldest-verdict rotation: the head of the r7 tail queue
 #     (scd2/tracking/classifier/bm25/text-stat/sketch/streaming rows
-#     last verdicted r2-r3) fills 36-50.
+#     last verdicted r2-r3) fills 37-50.
 # Rows-only entries deliberately absent (they can only say no_oracle):
 # that set is now ml_anomaly_scores_ae ALONE — gradient training is
 # not SQL-expressible; its proof is finite-difference + numpy parity
@@ -75,6 +75,7 @@ _ADJUDICATION_PRIORITY = [
     "multimodal_scene_samples",
     "multimodal_audio_segments",
     "doc_minhash_calibration",
+    "ticks_tsrv",
     "doc_bpe_merges",
     "doc_bpe_token_counts",
     "doc_bpe_fertility",
@@ -110,8 +111,8 @@ _ADJUDICATION_PRIORITY = [
     "ticks_rolling_stats",
     "emb_kmeans",
     "emb_semantic_dedup",
-    "emb_centroid_outliers",
     # ---- ~50-slot window boundary; r9 queue from here ----
+    "emb_centroid_outliers",
     "events_cms_heavy_hitters",
     "streaming_dedup_replay",
     "events_psi_drift",

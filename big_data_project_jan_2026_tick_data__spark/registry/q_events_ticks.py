@@ -2892,6 +2892,133 @@ def ticks_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tsrv_oracle() -> str:
+    """Generated oracle for ticks_tsrv — the hurst long-format recipe at
+    lags {1, 5}: staged detmath lns, exact split-sums of squared
+    returns, closed-form two-scale combination."""
+    from ..functions import exactagg
+
+    ks = [1, 5]
+    lags = ",\n             ".join(f"lag(p, {k}) OVER w AS pl{k}" for k in ks)
+    hls = ",\n             ".join(f"p / pl{k} AS hl{k}" for k in ks)
+    lns = ",\n             ".join(
+        f"{detmath.det_ln_pos_sql(f'hl{k}', 'duckdb')} AS r{k}" for k in ks
+    )
+    aggs = ",\n             ".join(
+        f"count(r{k}) AS n{k},\n             "
+        f"{exactagg.exact_sum_sql(f'(r{k} * r{k})', 12)} AS s2_{k}"
+        for k in ks
+    )
+    return rf"""
+    WITH ticks AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             ts, event_id, value AS p
+      FROM events WHERE value > 0),
+    lagged AS (
+      SELECT symbol, p,
+             {lags}
+      FROM ticks
+      WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+    ratios AS (
+      SELECT symbol,
+             {hls}
+      FROM lagged),
+    lnr AS (
+      SELECT symbol,
+             {lns}
+      FROM ratios),
+    agg AS (
+      SELECT symbol,
+             {aggs}
+      FROM lnr GROUP BY symbol),
+    c AS (
+      SELECT symbol, n1, s2_1 AS rv_all, s2_5 / 5.0 AS rv_avg
+      FROM agg)
+    SELECT symbol,
+           CAST(n1 AS BIGINT) AS n_returns,
+           FLOOR(rv_all * 1e6 + 0.5) / 1e6 AS rv_all_q6,
+           FLOOR(rv_avg * 1e6 + 0.5) / 1e6 AS rv_avg5_q6,
+           FLOOR(CASE WHEN n1 > 4
+                  THEN rv_avg - (n1 - 4) / 5.0 / n1 * rv_all END
+                 * 1e6 + 0.5) / 1e6 AS tsrv_q6
+    FROM c
+    """
+
+
+@_register("ticks_tsrv", _tsrv_oracle())
+def ticks_tsrv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-scale realized variance (Zhang, Mykland & Aït-Sahalia 2005)
+    per symbol: the microstructure-noise-robust RV estimator — average
+    the K=5 subsample-grid RVs (≡ the all-offsets 5-lag squared-return
+    sum / 5) and subtract the noise bias (n̄/n)·RV_all with
+    n̄ = (n−K+1)/K. Complements rv_signature (which SHOWS the noise via
+    the signature plot) with the estimator that CORRECTS it.
+
+    One window pass carries both lags (one symbol shuffle), one hash
+    agg the exact squared-return split-sums (1e-12 grid, decimal
+    accumulators per the exactagg k>6 rule), closed-form combine —
+    corpus scanned once. The long explode keeps exactly ONE det_ln
+    expansion per codegen stage (the hurst 64 KB-janino discipline)."""
+    from pyspark.sql import Window
+
+    from ..functions.exactagg import exact_sum
+
+    ks = [1, 5]
+    ev = _td(spark, sf_dir, "events")
+    ticks_df = ev.filter(F.col("value") > 0).select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        "ts",
+        "event_id",
+        F.col("value").alias("p"),
+    )
+    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
+    lagged = ticks_df.select(
+        "symbol",
+        "p",
+        *[F.lag("p", k).over(w).alias(f"pl{k}") for k in ks],
+    )
+    pairs = ", ".join(f"struct({k} AS k, p / pl{k} AS hl)" for k in ks)
+    long_df = (
+        lagged.select(
+            "symbol",
+            F.explode(F.expr(f"array({pairs})")).alias("kv"),
+        )
+        .select("symbol", F.col("kv.k").alias("k"), F.col("kv.hl").alias("hl"))
+        # unfiltered stream + null-skipping count: sparse symbols stay
+        # present (the hurst row-presence rule)
+        .withColumn("r", detmath.det_ln_pos("hl"))
+    )
+    agg_df = long_df.groupBy("symbol", "k").agg(
+        F.count(F.col("r")).alias("n"),
+        exact_sum(F.col("r") * F.col("r"), 12).alias("s2"),
+    )
+    # 8-row pivot: materialize driver-side (breaks codegen fusion with
+    # the arithmetic tail AND keeps the combine metadata-scale)
+    agg = spark.createDataFrame(agg_df.collect(), agg_df.schema)
+    v = agg.groupBy("symbol").agg(
+        F.max(F.when(F.col("k") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("k") == 1, F.col("s2"))).alias("rv_all"),
+        (F.max(F.when(F.col("k") == 5, F.col("s2"))) / F.lit(5.0)).alias(
+            "rv_avg"
+        ),
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    n1 = F.col("n1")
+    tsrv = F.when(
+        n1 > 4,
+        F.col("rv_avg") - (n1 - 4) / F.lit(5.0) / n1 * F.col("rv_all"),
+    )
+    return v.select(
+        "symbol",
+        n1.cast("long").alias("n_returns"),
+        q6(F.col("rv_all")).alias("rv_all_q6"),
+        q6(F.col("rv_avg")).alias("rv_avg5_q6"),
+        q6(tsrv).alias("tsrv_q6"),
+    )
+
+
 def _yang_zhang_oracle() -> str:
     """Generated DuckDB oracle for ticks_yang_zhang — staged CTEs per
     arithmetic stage (detmath expansion discipline), the same grid sums

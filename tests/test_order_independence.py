@@ -89,6 +89,7 @@ HARDENED = [
     "doc_classifier_calibration",
     "doc_dsir_weights",
     "doc_minhash_calibration",
+    "ticks_tsrv",
 ]
 
 
