@@ -190,6 +190,7 @@ class CheckpointTracker:
 
     def release_superseded(self) -> None:
         """Free all but the newest checkpoint generation (+ pins)."""
+        self._assert_owner()
         dead: set[int] = set()
         while len(self._generations) > 1:
             dead |= self._generations.pop(0)
@@ -203,6 +204,7 @@ class CheckpointTracker:
         the self-contained result — with zero generations (e.g. a
         0-iteration loop) the result may still read the pinned frames
         and they are kept."""
+        self._assert_owner()
         if not self._generations:
             return
         dead: set[int] = set(self._pinned)
@@ -217,6 +219,7 @@ class CheckpointTracker:
         (e.g. ``text.bpe_merges`` collects the merge list and returns a
         createDataFrame; keeping the last vocab-sized symbol table
         alive would leak one checkpoint per call — advisor r6)."""
+        self._assert_owner()
         dead: set[int] = set(self._pinned)
         while self._generations:
             dead |= self._generations.pop(0)

@@ -109,15 +109,24 @@ def _token_hash_sql(token_hash: str) -> str:
     raise ValueError(f"token_hash must be xxhash64|md5, got {token_hash!r}")
 
 
-def _shingle_hashes_sql(
-    col_name: str, n: int, token_hash: str = "xxhash64"
-) -> str:
-    """The SQL text behind :func:`shingle_hashes` (reused verbatim by
-    per-row signature builders)."""
+def _token_hashes_sql(col_name: str, token_hash: str = "xxhash64") -> str:
+    """array<long> of per-token 31-bit hashes over the normalized text —
+    the ONE place the per-token hash (md5 on the portable path) runs."""
     from .text import normalize_sql
 
     norm = normalize_sql(col_name)
-    th = f"transform(split({norm}, ' '), t -> {_token_hash_sql(token_hash)})"
+    return f"transform(split({norm}, ' '), t -> {_token_hash_sql(token_hash)})"
+
+
+def _shingles_from_tokens_sql(th: str, n: int) -> str:
+    """Shingle-hash array from a token-hash array expression ``th`` by
+    modular polynomial mixing.  ``th`` appears ~2n times in the output
+    tree and higher-order functions get no common-subexpression
+    elimination, so CALLERS ON THE BATCH PATH must pass a COLUMN
+    REFERENCE to a pre-projected token-hash array (advisor r8: the
+    md5-portable headline was paying per-occurrence md5 several times
+    over) — a raw ``transform(...)`` argument re-hashes every token at
+    every occurrence."""
     g = th
     for k in range(1, n):
         g = (
@@ -131,6 +140,16 @@ def _shingle_hashes_sql(
         f"array_distinct(CASE WHEN size({th}) < {n} THEN {partial} "
         f"ELSE filter({g}, x -> x IS NOT NULL) END)"
     )
+
+
+def _shingle_hashes_sql(
+    col_name: str, n: int, token_hash: str = "xxhash64"
+) -> str:
+    """The SQL text behind :func:`shingle_hashes` (reused verbatim by
+    per-row signature builders). Single-expression form — fine for the
+    cheap xxhash64 default; the batch md5 path goes through
+    :func:`_token_hashes_sql` + a materializing projection instead."""
+    return _shingles_from_tokens_sql(_token_hashes_sql(col_name, token_hash), n)
 
 
 def _mh_consts(i: int) -> tuple[int, int]:
@@ -167,10 +186,21 @@ def minhash_signatures(
     Partial (map-side) aggregation collapses each partition to one
     num_hashes-long row per doc before the shuffle, so shuffle volume is
     O(#docs), not O(#shingles).
+
+    The token-hash array is projected in its OWN select so each token is
+    hashed exactly once: the shingle expression references the array
+    ~2·shingle_n times, HOFs get no subexpression elimination, and
+    Catalyst's CollapseProject keeps a non-cheap multiply-referenced
+    alias un-inlined — without the split the md5-portable path re-hashed
+    every token occurrence per reference (advisor r8 headline cost).
     """
-    sh = df.select(
+    tokens = df.select(
         F.col(id_col),
-        F.explode(shingle_hashes(text_col, shingle_n, token_hash)).alias("__h"),
+        F.expr(_token_hashes_sql(text_col, token_hash)).alias("__th"),
+    )
+    sh = tokens.select(
+        F.col(id_col),
+        F.explode(F.expr(_shingles_from_tokens_sql("__th", shingle_n))).alias("__h"),
     )
     return _signatures_from_hashes(sh, id_col, num_hashes)
 

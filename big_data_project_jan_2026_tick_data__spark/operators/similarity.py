@@ -302,7 +302,12 @@ def kmeans(
       smallest ``id_col`` (collect is k×dim metadata, corpus-size-
       independent); ``init='kmeanspp'`` — the :func:`kmeanspp_init`
       farthest-point seeds (k−1 extra corpus passes, spread-out
-      starting cells on clustered corpora, equally deterministic);
+      starting cells on clustered corpora, equally deterministic;
+      small k only); ``init='kmeansparallel'`` — the
+      :func:`kmeans_parallel_init` k-means‖ seeds (O(log k) corpus
+      passes — the IVF-scale path for k in the hundreds-to-thousands).
+      For the seeded inits, the initial cluster index is the seeder's
+      SELECTION order (seed 1 → cluster 0);
     - **assign**: argmin of squared L2 distance over the ``k`` broadcast
       centroid literals — pure map-side expression, zero shuffle, ties
       broken by lowest cluster id (array_min over struct<dist,cid>);
@@ -322,15 +327,28 @@ def kmeans(
     v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
     if init == "lowest_id":
         init_rows = v.orderBy(id_col).limit(k).collect()
-    elif init == "kmeanspp":
+    elif init in ("kmeanspp", "kmeansparallel"):
+        seeder = kmeanspp_init if init == "kmeanspp" else kmeans_parallel_init
         seed_ids = [
-            r[id_col] for r in kmeanspp_init(df, k, id_col, vec_col).collect()
+            r[id_col]
+            for r in sorted(
+                seeder(df, k, id_col, vec_col).collect(),
+                key=lambda r: r["sel_step"],
+            )
         ]
-        init_rows = (
-            v.filter(F.col(id_col).isin(seed_ids)).orderBy(id_col).collect()
-        )
+        # initial cluster index = SEED-SELECTION order (advisor r8: a
+        # re-sort by id made cluster numbering follow id order, which
+        # was deterministic but surprising) — fetch the k rows in one
+        # filter, then restore the seeder's pick order driver-side
+        by_id = {
+            r[id_col]: r
+            for r in v.filter(F.col(id_col).isin(seed_ids)).collect()
+        }
+        init_rows = [by_id[i] for i in seed_ids]
     else:
-        raise ValueError(f"init must be lowest_id|kmeanspp, got {init!r}")
+        raise ValueError(
+            f"init must be lowest_id|kmeanspp|kmeansparallel, got {init!r}"
+        )
     centroids: list[list[float]] = [[float(x) for x in r.vec] for r in init_rows]
 
     def assign_expr(cents: list[list[float]]) -> Column:
@@ -401,8 +419,12 @@ def kmeanspp_init(
     Inherently sequential in k (each pick depends on all previous), so
     the shape is k−1 corpus passes with the chosen seeds as broadcast
     6dp literals — no shuffle at all (each pass is a map + top-1
-    TakeOrdered); driver state is k×dim floats. At 100 TB this is the
-    same cost class as ``kmeans``' per-iteration scan. Chosen vectors
+    TakeOrdered); driver state is k×dim floats. SMALL-k ONLY: the
+    sequential shape is k−1 corpus passes, and the ``least()``-of-k
+    literal distance expression hits the janino 64 KB codegen wall as k
+    approaches the hundreds — IVF-scale nlist (10²–10⁴) goes through
+    :func:`kmeans_parallel_init` (O(log k) passes, no per-seed codegen).
+    This function stays as the exact small-k oracle path. Chosen vectors
     are quantized to 6dp when they become literals (the IVF/centroid
     rendering convention) — distances are computed against the snapped
     seeds in BOTH engines, so the traversal is bit-reproducible.
@@ -437,8 +459,229 @@ def kmeanspp_init(
         chosen.append((step, r[id_col], r["__dq"] / 1e6))
         seeds.append([_q6(float(x)) for x in r.vec])
     spark = df.sparkSession
+    # id field type follows the input schema (advisor r8: a hardcoded
+    # 'long' failed createDataFrame for string/int id corpora)
+    id_t = dict(df.dtypes)[id_col]
     return spark.createDataFrame(
-        chosen, f"sel_step int, {id_col} long, dmin_q6 double"
+        chosen, f"sel_step int, {id_col} {id_t}, dmin_q6 double"
+    )
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    k: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: int | None = None,
+    rounds: int | None = None,
+) -> DataFrame:
+    """Deterministic k-means‖ seeding (Bahmani et al., "Scalable
+    k-means++", VLDB 2012) — the LARGE-k replacement for
+    :func:`kmeanspp_init`'s sequential farthest-point traversal: an IVF
+    coarse quantizer at 100 TB needs nlist ≈ 10³–10⁴, where k−1
+    sequential corpus passes (and a ``least()``-of-thousands literal
+    expression, the janino 64 KB codegen wall) are non-starters.
+
+    Derandomized: where the paper samples each point with probability
+    ℓ·d²/φ, each round here picks the ℓ points with the LARGEST
+    min-squared-distance to the current candidate set (ties → lowest
+    id) — the same derandomization-by-extremal-pick as
+    :func:`kmeanspp_init`, so the result is reproducible run-to-run
+    with no RNG.
+
+    Shape per round (``rounds`` = ceil(log2 k) by default, the paper's
+    O(log n·φ) bound collapsed to its practical 5-8): one corpus map
+    computing distance to the ~ℓ NEW candidates only (Arrow-batched
+    pandas UDF over a broadcast ℓ×dim numpy matrix — BLAS, not an
+    interpreted HOF over thousands of literals), a ``least()`` merge
+    with the running min (1e-6-grid longs, so the merge is exact), one
+    localCheckpoint to cut lineage, and a top-ℓ TakeOrdered (ℓ×dim to
+    the driver). Total: O(log k) corpus scans, zero shuffles, driver
+    state ≤ (ℓ·rounds)×dim ≈ 2k·log₂k×dim floats.
+
+    Finish (paper §3.3): weight every candidate by the number of corpus
+    points nearest to it (one more scan + a candidate-count agg), then
+    run derandomized WEIGHTED k-means++ on the driver-sized candidate
+    set with numpy — pick argmax weight·d²(min over chosen), ties →
+    lowest id; first seed = max weight.
+
+    Returns (sel_step 1..k, id_col, weight) — weight is the candidate's
+    attraction count from the weighting pass (the k chosen seeds are a
+    subset of the ~ℓ·rounds candidates).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    from ..engine import CheckpointTracker
+
+    ell = oversample if oversample is not None else max(2 * k, 8)
+    # the paper's O(log ψ) bound collapses to ~5 rounds in practice
+    # (Bahmani §5); below 5 a single all-extremal round can exhaust its
+    # picks on one far region and never see another
+    n_rounds = (
+        rounds
+        if rounds is not None
+        else max(5, min(10, int(math.ceil(math.log2(max(k, 2))))))
+    )
+
+    v = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("vec"))
+    first = v.orderBy(id_col).limit(1).collect()
+    if not first:
+        id_t = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [], f"sel_step int, {id_col} {id_t}, weight long"
+        )
+    cand_ids: list = [first[0][id_col]]
+    cand_vecs: list[list[float]] = [[_q6(float(x)) for x in first[0].vec]]
+    cand_seen: set = {cand_ids[0]}
+
+    def dmin6_to(new_mat: np.ndarray):
+        """Scalar pandas UDF: min squared L2 distance from each vector
+        to the rows of ``new_mat``, snapped to the 1e-6 grid as int64.
+        |x|²+|c|²−2x·c via one BLAS matmul per Arrow batch — the only
+        shape that stays fast at ℓ in the thousands (an interpreted
+        higher-order function over per-seed literals is 10-100× slower
+        and re-opens the codegen wall)."""
+        cn = (new_mat * new_mat).sum(axis=1)  # (ℓ,)
+
+        def _f(vecs):
+            x = np.stack(vecs.to_numpy())  # (b, dim)
+            d = (
+                (x * x).sum(axis=1)[:, None]
+                + cn[None, :]
+                - 2.0 * (x @ new_mat.T)
+            )
+            dmin = np.maximum(d.min(axis=1), 0.0)  # clamp BLAS −ε
+            return pd.Series(np.floor(dmin * 1e6 + 0.5).astype(np.int64))
+
+        # explicit returnType form: `from __future__ import annotations`
+        # stringifies hints, which breaks pandas_udf hint inference
+        return F.pandas_udf(_f, LongType())
+
+    tracker = CheckpointTracker(df.sparkSession)
+    try:
+        state = tracker.ckpt(
+            v.withColumn(
+                "__dmin6", dmin6_to(np.array(cand_vecs, dtype=np.float64))("vec")
+            )
+        )
+        for _ in range(n_rounds - 1):
+            # pool = top-2ℓ by distance-to-current-candidates; the ℓ
+            # actual picks are then spread WITHIN the pool by driver-side
+            # greedy farthest-point (intra-round dmin updates in numpy) —
+            # ℓ all-extremal picks land in one far region otherwise
+            pool = (
+                state.filter(F.col("__dmin6") > 0)
+                .orderBy(F.col("__dmin6").desc(), F.col(id_col).asc())
+                .limit(2 * ell)
+                .collect()
+            )
+            pool = [r for r in pool if r[id_col] not in cand_seen]
+            if not pool:
+                break  # corpus exhausted / all remaining points coincide
+            pmat = np.array(
+                [[_q6(float(x)) for x in r.vec] for r in pool], dtype=np.float64
+            )
+            pdmin = np.array([float(r["__dmin6"]) for r in pool])
+            pool_id_order = sorted(range(len(pool)), key=lambda j: pool[j][id_col])
+            picked: list[int] = []
+            pset: set[int] = set()
+            for _pick in range(min(ell, len(pool))):
+                best = pdmin.max()
+                if best <= 0:
+                    break
+                j = next(
+                    j for j in pool_id_order
+                    if j not in pset and pdmin[j] == best
+                )
+                picked.append(j)
+                pset.add(j)
+                dnew = np.floor(
+                    np.maximum(((pmat - pmat[j]) ** 2).sum(axis=1), 0.0) * 1e6
+                    + 0.5
+                )
+                pdmin = np.minimum(pdmin, dnew)
+            if not picked:
+                break
+            new = [pool[j] for j in picked]
+            new_mat = pmat[picked]
+            for r, q in zip(new, new_mat):
+                cand_ids.append(r[id_col])
+                cand_vecs.append([float(x) for x in q])
+                cand_seen.add(r[id_col])
+            state = tracker.ckpt(
+                state.withColumn(
+                    "__dmin6",
+                    F.least(F.col("__dmin6"), dmin6_to(new_mat)("vec")),
+                )
+            )
+            tracker.release_superseded()
+
+        # weighting pass: nearest-candidate index per point (ties →
+        # lowest candidate index), then a tiny candidate-count agg
+        cmat = np.array(cand_vecs, dtype=np.float64)
+        cn_all = (cmat * cmat).sum(axis=1)
+
+        def _nearest(vecs):
+            x = np.stack(vecs.to_numpy())
+            d = (x * x).sum(axis=1)[:, None] + cn_all[None, :] - 2.0 * (x @ cmat.T)
+            d6 = np.floor(np.maximum(d, 0.0) * 1e6 + 0.5)
+            return pd.Series(np.argmin(d6, axis=1).astype(np.int64))
+
+        nearest_idx = F.pandas_udf(_nearest, LongType())
+
+        wrows = (
+            state.select(nearest_idx("vec").alias("__ci"))
+            .groupBy("__ci")
+            .agg(F.count(F.lit(1)).alias("__w"))
+            .collect()
+        )
+    finally:
+        tracker.release_all()
+    weights = np.zeros(len(cand_ids), dtype=np.int64)
+    for r in wrows:
+        weights[r["__ci"]] = r["__w"]
+
+    # driver finish: derandomized weighted k-means++ over the candidate
+    # set (≤ ℓ·rounds rows — numpy, microseconds at IVF scale)
+    ids_arr = np.array(cand_ids)
+    order = np.argsort(ids_arr, kind="stable")  # lowest-id tie-break helper
+    chosen_idx: list[int] = []
+    # first seed: max weight, ties → lowest id
+    best_w = weights.max()
+    tied = [i for i in order if weights[i] == best_w]
+    chosen_idx.append(int(tied[0]))
+    dmin = np.floor(
+        np.maximum(((cmat - cmat[chosen_idx[0]]) ** 2).sum(axis=1), 0.0) * 1e6
+        + 0.5
+    )
+    while len(chosen_idx) < min(k, len(cand_ids)):
+        score = weights * dmin  # int64 × grid-long: exact
+        best = score.max()
+        if best <= 0:
+            # remaining candidates coincide with chosen seeds (or carry
+            # zero weight AND zero distance) — fill by lowest id
+            rest = [i for i in order if i not in chosen_idx]
+            chosen_idx.extend(int(i) for i in rest[: k - len(chosen_idx)])
+            break
+        tied = [i for i in order if score[i] == best]
+        nxt = int(tied[0])
+        chosen_idx.append(nxt)
+        dnew = np.floor(
+            np.maximum(((cmat - cmat[nxt]) ** 2).sum(axis=1), 0.0) * 1e6 + 0.5
+        )
+        dmin = np.minimum(dmin, dnew)
+
+    id_t = dict(df.dtypes)[id_col]
+    out = [
+        (step + 1, cand_ids[i], int(weights[i]))
+        for step, i in enumerate(chosen_idx)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, f"sel_step int, {id_col} {id_t}, weight long"
     )
 
 

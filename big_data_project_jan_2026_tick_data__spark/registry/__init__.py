@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import stats, ticks
-from ._base import ORACLE, QUERIES, QueryFn, _register, _td  # noqa: F401
+from ._base import ENV_GATED, ORACLE, QUERIES, QueryFn, _register, _td  # noqa: F401
 from . import (  # noqa: E402, F401  (side-effect registration)
     q_docs,
     q_embeddings,

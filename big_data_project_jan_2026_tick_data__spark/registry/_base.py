@@ -26,6 +26,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Names registered only under an env flag (e.g. the retired
+# probe_hugeint_render instrument under SPARK_GRAFT_PROBES=1).  The
+# documented registry counts (BASELINE/README/COVERAGE) and the test
+# that pins them exclude these, so the counts are invariant to the
+# environment the suite happens to run in (advisor r8).
+ENV_GATED: set[str] = set()
+
 
 def _register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:

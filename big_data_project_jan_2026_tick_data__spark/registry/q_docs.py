@@ -373,28 +373,9 @@ def _portable_minhash_oracle(
     materialized), the shared Carter-Wegman signature mins, banding on
     the signature slice TUPLE (the same doc partition the Spark side's
     variadic xxhash64 band key induces, short of a 2^-64 collision),
-    the hot-bucket cap, and the fraction-of-equal-minima estimate."""
-    from ..operators.dedup import _P31, _mh_consts
-
-    rows = num_hashes // bands
-    mins = ", ".join(
-        f"MIN((h * {a} + {b}) % {_P31}) AS h{i}"
-        for i, (a, b) in ((i, _mh_consts(i)) for i in range(num_hashes))
-    )
-    band_rows = "\n      UNION ALL ".join(
-        "SELECT doc_id, {idx} AS band_idx, concat_ws('-', {cols}) AS band_key, "
-        "[{allc}] AS sig FROM sigs".format(
-            idx=b,
-            cols=", ".join(f"h{b * rows + r}" for r in range(rows)),
-            allc=", ".join(f"h{i}" for i in range(num_hashes)),
-        )
-        for b in range(bands)
-    )
-    eq = " + ".join(
-        f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)"
-        for i in range(num_hashes)
-    )
-    K = 1000003
+    the hot-bucket cap, and the fraction-of-equal-minima estimate.
+    (Body factored into ``_portable_minhash_ctes``, shared with the
+    calibration roll-up — this wrapper only adds the final SELECT.)"""
     return rf"""
     WITH {_portable_minhash_ctes(num_hashes, bands, cap)}
     SELECT id_a, id_b, est_jaccard FROM mh_pairs

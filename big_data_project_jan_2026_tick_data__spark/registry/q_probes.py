@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..functions import detmath
 from ..operators.text import normalize_text
-from ._base import _pin_session, _register, _td
+from ._base import ENV_GATED, _pin_session, _register, _td
 from .q_docs import _norm_sql
 
 
@@ -62,6 +62,7 @@ def _probe_hugeint_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 if os.environ.get("SPARK_GRAFT_PROBES") == "1":
+    ENV_GATED.add("probe_hugeint_render")
     _register(
         "probe_hugeint_render",
         """

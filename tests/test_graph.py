@@ -178,15 +178,24 @@ def test_checkpoint_tracker_rejects_cross_thread_use(spark):
     errs: list[Exception] = []
 
     def use_from_other_thread():
-        try:
-            tr.ckpt(df)
-        except Exception as e:  # noqa: BLE001 — asserting the type below
-            errs.append(e)
+        # release methods must be guarded too (advisor r8): a
+        # cross-thread release would unpersist live localCheckpoints —
+        # the exact unrecoverable corruption the contract prevents.
+        for call in (
+            lambda: tr.ckpt(df),
+            tr.release_superseded,
+            tr.release_all_but_last,
+            tr.release_all,
+        ):
+            try:
+                call()
+            except Exception as e:  # noqa: BLE001 — asserting the type below
+                errs.append(e)
 
     t = threading.Thread(target=use_from_other_thread)
     t.start()
     t.join()
-    assert len(errs) == 1 and isinstance(errs[0], RuntimeError)
+    assert len(errs) == 4 and all(isinstance(e, RuntimeError) for e in errs)
     # same-thread use still works and cleans up
     out = tr.ckpt(df)
     assert out.count() == 10
