@@ -90,6 +90,11 @@ HARDENED = [
     "doc_dsir_weights",
     "doc_minhash_calibration",
     "ticks_tsrv",
+    # r9: the gradient-AE lifecycle — training sorts every (symbol,
+    # batch) group by window_id before the order-sensitive float
+    # reductions and scoring runs the sequential-order kernel, so ANY
+    # partition layout must land on the frozen-weight oracle's doubles
+    "ml_anomaly_scores_ae",
 ]
 
 
