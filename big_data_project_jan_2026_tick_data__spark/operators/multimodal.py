@@ -390,17 +390,16 @@ def synthetic_scene_videos(spark, n: int = 32, seed: int = 7) -> DataFrame:
     return base.mapInPandas(gen, schema=out_schema)
 
 
-def scene_cut_rows(
-    payload: bytes, threshold: int
+def _scene_cuts_from_frames(
+    frames: list[bytes], threshold: int
 ) -> list[tuple[int, int | None, bool]]:
-    """(frame_idx, hamming-to-previous-frame-dHash, is_cut) per frame of
-    one PSEQ payload — pure function shared by the mapInPandas kernel
-    and the driver-side oracle recomputation. Frame 0 opens the first
-    scene (hamming NULL, cut True); later frames cut when the dHash
-    Hamming distance to the previous frame exceeds ``threshold``."""
+    """Cut detection over an ALREADY-DEMUXED frame list — lets callers
+    that also need the frames (per-scene sampling) demux the payload
+    exactly once (advisor r8: the sampler was demuxing twice). Each
+    frame is decoded once here for its dHash."""
     out: list[tuple[int, int | None, bool]] = []
     prev: int | None = None
-    for i, fr in enumerate(codecs.demux_ppmseq(payload or b"")):
+    for i, fr in enumerate(frames):
         h = _dhash(codecs.decode_ppm(fr))
         if prev is None:
             out.append((i, None, True))
@@ -409,6 +408,17 @@ def scene_cut_rows(
             out.append((i, d, d > threshold))
         prev = h
     return out
+
+
+def scene_cut_rows(
+    payload: bytes, threshold: int
+) -> list[tuple[int, int | None, bool]]:
+    """(frame_idx, hamming-to-previous-frame-dHash, is_cut) per frame of
+    one PSEQ payload — pure function shared by the mapInPandas kernel
+    and the driver-side oracle recomputation. Frame 0 opens the first
+    scene (hamming NULL, cut True); later frames cut when the dHash
+    Hamming distance to the previous frame exceeds ``threshold``."""
+    return _scene_cuts_from_frames(codecs.demux_ppmseq(payload or b""), threshold)
 
 
 _SCENE_SCHEMA = T.StructType(
@@ -458,9 +468,10 @@ def scene_sample_rows(
     function shared by the kernel and the oracle. Spacing uses the
     exact-integer round-half-up index formula (mlfeat._spaced_indices
     convention): pick positions (2·i·(L−1) + (k−1)) // (2·(k−1)) for
-    k>1, else position 0."""
-    cuts = scene_cut_rows(payload, threshold)
+    k>1, else position 0. One demux per payload: the frame list feeds
+    BOTH the cut pass and the emitted-frame decode (advisor r8)."""
     frames = codecs.demux_ppmseq(payload or b"")
+    cuts = _scene_cuts_from_frames(frames, threshold)
     # group frame indices into scenes
     scenes: list[list[int]] = []
     for i, _d, cut in cuts:
@@ -513,9 +524,10 @@ def scene_frame_samples(
     beats fixed-tick sampling when shots have very different lengths
     (a 1 s cutaway and a 40 s monologue both contribute representative
     frames instead of the tick grid oversampling the monologue).
-    Cardinality-increasing mapInPandas; one demux + one dHash pass +
-    one decode per EMITTED frame, payload bytes never leave the
-    executor."""
+    Cardinality-increasing mapInPandas; ONE demux per payload, one
+    decode per frame for the dHash pass (cut detection needs every
+    frame's pixels by definition), plus one decode per EMITTED frame;
+    payload bytes never leave the executor."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
