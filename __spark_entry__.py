@@ -23,58 +23,123 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates a bounded window (the first ~50 names) per
-# round, so dict order is the scheduling lever. Round-8 ordering
+# round, so dict order is the scheduling lever. Round-9 ordering
 # (standing rule: CHANGED-CODE RE-PROOF OUTRANKS NEW-QUERY PROOF; the
-# r7 window went 49/50 green + the deliberate probe red, so no fix
-# re-proofs carry over):
-# (a) first-ever VALUE verdicts for the five ex-rows-only entries that
-#     gained real oracles this round — headline doc_minhash_pairs
-#     (portable md5 token hash + full LSH re-derivation; never
-#     value-proven in 7 rounds), doc_simhash_pairs, doc_fingerprints,
-#     emb_ivf_topk (lowest-id coarse sample), ml_anomaly_scores
-#     (fixed-order power-iteration PCA, fully SQL-replayed) — 1-5 —
-#     plus the four r8 breadth additions doc_domain_caps /
-#     emb_kmeanspp_init / ticks_yang_zhang /
-#     doc_classifier_calibration / doc_dsir_weights /
-#     multimodal_scene_cuts / multimodal_scene_samples /
-#     multimodal_audio_segments / doc_minhash_calibration /
-#     ticks_tsrv (new queries, no verdict yet) — 6-15;
-# (b) changed-code re-proofs: the BPE trio (trainer rewritten around
-#     the symbol-disjoint batch loop; batch_size=1 is property-tested
-#     equal to the old sequential rule but the code path is new),
-#     ticks_hurst_exponent (sparse-symbol row-presence fix + exactagg
-#     k>6 decimal accumulator), emb_top_component (exactagg k=9),
-#     snapshot_wap_publish (publish rollback on lost commit race),
-#     events_moment_stats (exact_avg now routes through exact_sum),
-#     probe_bigint_render / probe_detmath_log2 (_pin_session
-#     refactor; probe_hugeint_render itself is RETIRED behind
-#     SPARK_GRAFT_PROBES — its r7 hash-FAIL answered the HUGEINT
-#     question, 49/50+designed-red, q.e.d.) — 16-20, 33-35;
-# (c) the 13 remaining r7-final registrations still awaiting their
-#     first driver verdict (green locally at sf0.001+sf0.01 both
-#     rounds) — 21-32, 36;
-# (d) oldest-verdict rotation: the head of the r7 tail queue
-#     (scd2/tracking/classifier/bm25/text-stat/sketch/streaming rows
-#     last verdicted r2-r3) fills 37-50.
-# Rows-only entries deliberately absent (they can only say no_oracle):
-# that set is now ml_anomaly_scores_ae ALONE — gradient training is
-# not SQL-expressible; its proof is finite-difference + numpy parity
-# tests and the ★ lifecycle twins (ml_anomaly_scores, _mean).
+# r8 window went 50/50 green, so no fix re-proofs carry over):
+# (a) changed-code re-proofs, slots 1-8: ml_anomaly_scores_ae (FIRST
+#     value verdict ever — the last rows-only entry gained a
+#     frozen-weight oracle this round: numpy-twin-trained weights as
+#     exact float64 literals + SQL forward replay, one branch per sf),
+#     doc_minhash_pairs + doc_minhash_calibration (token-hash array now
+#     projected once before shingle mixing — the r8 perf item),
+#     emb_kmeanspp_init (id-type schema derivation),
+#     ml_anomaly_scores_ae_fixedw (autoencoder module refactored around
+#     the shared _train core), multimodal_scene_cuts / _samples
+#     (single-demux sampler), emb_kmeans (init block touched; its
+#     lowest_id path is unchanged — cheap insurance);
+# (b) oldest-verdict rotation fills 9-50: every r1-verdicted row (15),
+#     every r2-verdicted row (26), and the alphabetical head of the
+#     r3-era tail — after this window no verdict predates r2, and the
+#     35 remaining r3-era rows are queued immediately after the
+#     boundary as the ready-made r10 window.
+# Rows-only entries: NONE — all 258 queries now carry value oracles.
 _ADJUDICATION_PRIORITY = [
+    "ml_anomaly_scores_ae",
     "doc_minhash_pairs",
+    "doc_minhash_calibration",
+    "emb_kmeanspp_init",
+    "ml_anomaly_scores_ae_fixedw",
+    "multimodal_scene_cuts",
+    "multimodal_scene_samples",
+    "emb_kmeans",
+    "cube_orders",
+    "distinct_agg_per_status",
+    "doc_exact_dedup",
+    "doc_lang_id",
+    "doc_token_stats",
+    "emb_cosine_topk",
+    "grouping_sets_orders",
+    "minmax_by_priority",
+    "ntile_percentile_orders",
+    "salted_join_skewed_users",
+    "scalar_subquery_above_avg",
+    "stats_min_max_metadata",
+    "string_funcs_part_names",
+    "tpch_q4_priority_check",
+    "union_all_orders_split",
+    "doc_curation_pipeline",
+    "doc_decontaminate",
+    "doc_ngram_jaccard",
+    "doc_pack_sequences",
+    "doc_quality_scores",
+    "doc_repetition_signals",
+    "doc_scrub_pii",
+    "doc_strip_boilerplate",
+    "emb_label_centroids",
+    "orders_unpivot",
+    "part_name_tokens",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_shipmode_buckets",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_predicate",
+    "tpch_q20_part_promotion",
+    "tpch_q21_sole_fault_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_acctbal_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "asof_purchase_last_click",
+    # ---- ~50-slot window boundary; r10 queue from here (r3-era tail) ----
+    "asof_with_tolerance",
+    "doc_export_shards",
+    "doc_md5_fingerprints",
+    "doc_md5_minhash_pairs",
+    "doc_md5_simhash_pairs",
+    "doc_source_report",
+    "doc_stratified_sample",
+    "events_key_skew_report",
+    "events_value_histogram",
+    "events_weekly_retention",
+    "incremental_dedup",
+    "json_props_extract",
+    "ml_window_tensors",
+    "multimodal_features_digest",
+    "multimodal_frame_digest",
+    "multimodal_image_dedup",
+    "range_join_events_in_order_windows",
+    "set_ops_multiset",
+    "set_users_click_and_purchase",
+    "set_users_click_not_purchase",
+    "snapshot_merge_upsert",
+    "snapshot_time_travel",
+    "sql_over_views",
+    "ticks_daily_outer_join",
+    "ticks_daily_window_counts",
+    "ticks_despike",
+    "ticks_downsample_1min",
+    "ticks_ffill",
+    "ticks_gap_fill",
+    "ticks_ohlc_bars",
+    "ticks_quality_scan",
+    "ticks_resample_even",
+    "ticks_session_filter",
+    "ticks_sessionize",
+    "ticks_threshold_exceed",
+    # ---- previously adjudicated r4+ rows, prior relative order ----
     "doc_simhash_pairs",
     "doc_fingerprints",
     "emb_ivf_topk",
     "ml_anomaly_scores",
     "doc_domain_caps",
-    "emb_kmeanspp_init",
     "ticks_yang_zhang",
     "doc_classifier_calibration",
     "doc_dsir_weights",
-    "multimodal_scene_cuts",
-    "multimodal_scene_samples",
     "multimodal_audio_segments",
-    "doc_minhash_calibration",
     "ticks_tsrv",
     "doc_bpe_merges",
     "doc_bpe_token_counts",
@@ -109,9 +174,7 @@ _ADJUDICATION_PRIORITY = [
     "events_zipf_fit",
     "ticks_parkinson_vol",
     "ticks_rolling_stats",
-    "emb_kmeans",
     "emb_semantic_dedup",
-    # ---- ~50-slot window boundary; r9 queue from here ----
     "emb_centroid_outliers",
     "events_cms_heavy_hitters",
     "streaming_dedup_replay",
@@ -180,20 +243,7 @@ _ADJUDICATION_PRIORITY = [
     "part_association_rules",
     "streaming_upsert_replay",
     "ml_triple_barrier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_predicate",
-    "tpch_q20_part_promotion",
-    "tpch_q22_global_sales_opportunity",
     "rollup_orders",
-    "orders_unpivot",
-    "scalar_subquery_above_avg",
-    "sql_over_views",
     "supplier_return_rates",
     "orders_abc_pareto",
     "orders_seasonality",
@@ -202,70 +252,6 @@ _ADJUDICATION_PRIORITY = [
     "orders_segment_migration",
     "ticks_value_stats",
     "events_inter_arrival",
-    "cube_orders",
-    "distinct_agg_per_status",
-    "doc_exact_dedup",
-    "doc_lang_id",
-    "doc_token_stats",
-    "emb_cosine_topk",
-    "grouping_sets_orders",
-    "minmax_by_priority",
-    "ntile_percentile_orders",
-    "salted_join_skewed_users",
-    "stats_min_max_metadata",
-    "string_funcs_part_names",
-    "tpch_q4_priority_check",
-    "union_all_orders_split",
-    "doc_curation_pipeline",
-    "doc_decontaminate",
-    "doc_ngram_jaccard",
-    "doc_pack_sequences",
-    "doc_quality_scores",
-    "doc_repetition_signals",
-    "doc_scrub_pii",
-    "doc_strip_boilerplate",
-    "emb_label_centroids",
-    "part_name_tokens",
-    "tpch_q12_shipmode_buckets",
-    "tpch_q13_customer_distribution",
-    "tpch_q16_supplier_count",
-    "tpch_q21_sole_fault_supplier",
-    "tpch_q2_min_acctbal_supplier",
-    "asof_purchase_last_click",
-    "asof_with_tolerance",
-    "doc_export_shards",
-    "doc_md5_fingerprints",
-    "doc_md5_minhash_pairs",
-    "doc_md5_simhash_pairs",
-    "doc_source_report",
-    "doc_stratified_sample",
-    "events_key_skew_report",
-    "events_value_histogram",
-    "events_weekly_retention",
-    "incremental_dedup",
-    "json_props_extract",
-    "ml_window_tensors",
-    "multimodal_features_digest",
-    "multimodal_frame_digest",
-    "multimodal_image_dedup",
-    "range_join_events_in_order_windows",
-    "set_ops_multiset",
-    "set_users_click_and_purchase",
-    "set_users_click_not_purchase",
-    "snapshot_merge_upsert",
-    "snapshot_time_travel",
-    "ticks_daily_outer_join",
-    "ticks_daily_window_counts",
-    "ticks_despike",
-    "ticks_downsample_1min",
-    "ticks_ffill",
-    "ticks_gap_fill",
-    "ticks_ohlc_bars",
-    "ticks_quality_scan",
-    "ticks_resample_even",
-    "ticks_session_filter",
-    "ticks_sessionize",
-    "ticks_threshold_exceed",
     "doc_chunk_windows",
     "doc_cross_overlap",
     "doc_incremental_minhash",
@@ -308,7 +294,6 @@ _ADJUDICATION_PRIORITY = [
     "events_top_paths",
     "join_anti_customers_without_orders",
     "join_semi_customers_with_orders",
-    "ml_anomaly_scores_ae_fixedw",
     "multimodal_features",
     "multimodal_frame_sample",
     "orders_scd2_priority",
