@@ -37,11 +37,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the shared _train core), multimodal_scene_cuts / _samples
 #     (single-demux sampler), emb_kmeans (init block touched; its
 #     lowest_id path is unchanged — cheap insurance);
-# (b) oldest-verdict rotation fills 9-50: every r1-verdicted row (15),
-#     every r2-verdicted row (26), and the alphabetical head of the
-#     r3-era tail — after this window no verdict predates r2, and the
-#     35 remaining r3-era rows are queued immediately after the
-#     boundary as the ready-made r10 window.
+# (b) first-ever verdicts for the two r9 breadth queries
+#     (events_ljung_box, ticks_ou_half_life) — slots 9-10;
+# (c) oldest-verdict rotation fills 11-50: every r1-verdicted row (15)
+#     and the r2-verdicted rows (24 of 26 — tpch_q9/q21 defer past the
+#     boundary: both are bench headlines, continuously exercised and
+#     plan-pinned every round) — after this window no adjudicated
+#     verdict predates r2, and the deferred pair + the r3-era tail are
+#     queued immediately after the boundary as the ready-made r10
+#     window.
 # Rows-only entries: NONE — all 258 queries now carry value oracles.
 _ADJUDICATION_PRIORITY = [
     "ml_anomaly_scores_ae",
@@ -52,6 +56,8 @@ _ADJUDICATION_PRIORITY = [
     "multimodal_scene_cuts",
     "multimodal_scene_samples",
     "emb_kmeans",
+    "events_ljung_box",
+    "ticks_ou_half_life",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
@@ -87,14 +93,14 @@ _ADJUDICATION_PRIORITY = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_predicate",
     "tpch_q20_part_promotion",
-    "tpch_q21_sole_fault_supplier",
     "tpch_q22_global_sales_opportunity",
     "tpch_q2_min_acctbal_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    "tpch_q9_product_profit",
     "asof_purchase_last_click",
     # ---- ~50-slot window boundary; r10 queue from here (r3-era tail) ----
+    "tpch_q21_sole_fault_supplier",
+    "tpch_q9_product_profit",
     "asof_with_tolerance",
     "doc_export_shards",
     "doc_md5_fingerprints",

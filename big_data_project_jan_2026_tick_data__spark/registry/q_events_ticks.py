@@ -3572,3 +3572,256 @@ def ticks_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return stats.market_beta(t, interval_sec=3600)
+
+
+def _ljung_box_oracle(lags: int = 5) -> str:
+    """Generated oracle for events_ljung_box: the proven _acf_oracle
+    machinery (cent-grid returns, exact integer Pearson sums per lag)
+    extended with the Ljung-Box portmanteau statistic over the
+    q6-SNAPPED autocorrelations — every input to the Q arithmetic is an
+    identical IEEE double on both engines, and the +/×/÷ chain is
+    written in the same left-to-right order as the Spark expression."""
+    guards = ",\n             ".join(
+        f"CASE WHEN r0 IS NOT NULL AND r{k} IS NOT NULL THEN r0 END AS x{k},\n"
+        f"             CASE WHEN r0 IS NOT NULL AND r{k} IS NOT NULL THEN r{k} END AS y{k}"
+        for k in range(1, lags + 1)
+    )
+    sums = ",\n             ".join(
+        f"count(x{k}) AS l{k}_n, sum(x{k}) AS l{k}_sx, sum(y{k}) AS l{k}_sy,\n"
+        f"             sum(CAST(x{k} AS HUGEINT) * y{k}) AS l{k}_sxy,\n"
+        f"             sum(CAST(x{k} AS HUGEINT) * x{k}) AS l{k}_sxx,\n"
+        f"             sum(CAST(y{k} AS HUGEINT) * y{k}) AS l{k}_syy"
+        for k in range(1, lags + 1)
+    )
+    combos = ",\n             ".join(
+        f"CAST(l{k}_n AS DOUBLE) * CAST(l{k}_sxy AS DOUBLE)\n"
+        f"               - CAST(l{k}_sx AS DOUBLE) * CAST(l{k}_sy AS DOUBLE) AS num{k},\n"
+        f"             CAST(l{k}_n AS DOUBLE) * CAST(l{k}_sxx AS DOUBLE)\n"
+        f"               - CAST(l{k}_sx AS DOUBLE) * CAST(l{k}_sx AS DOUBLE) AS dx{k},\n"
+        f"             CAST(l{k}_n AS DOUBLE) * CAST(l{k}_syy AS DOUBLE)\n"
+        f"               - CAST(l{k}_sy AS DOUBLE) * CAST(l{k}_sy AS DOUBLE) AS dy{k}"
+        for k in range(1, lags + 1)
+    )
+    rhos = ",\n           ".join(
+        f"CASE WHEN dx{k} > 0 AND dy{k} > 0 THEN\n"
+        f"             FLOOR(num{k} / (sqrt(dx{k}) * sqrt(dy{k})) * 1e6 + 0.5) / 1e6\n"
+        f"           END AS rho{k}"
+        for k in range(1, lags + 1)
+    )
+    lag_cols = ",\n             ".join(
+        f"lag(r0, {k}) OVER w AS r{k}" for k in range(1, lags + 1)
+    )
+    q_terms = " + ".join(
+        f"(rho{k} * rho{k}) / (n_returns - {k})" for k in range(1, lags + 1)
+    )
+    q_expr = (
+        f"CAST(n_returns AS DOUBLE) * (CAST(n_returns AS DOUBLE) "
+        f"+ CAST(2 AS DOUBLE)) * ({q_terms})"
+    )
+    return f"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, event_id, value
+      FROM events),
+    r AS (
+      SELECT symbol, ts, event_id,
+             CAST(FLOOR((value - lag(value, 1) OVER w) * 100 + 0.5) AS BIGINT) AS r0
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+    rl AS (
+      SELECT symbol, r0,
+             {lag_cols}
+      FROM r WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+    g AS (
+      SELECT symbol, r0,
+             {guards}
+      FROM rl),
+    s AS (
+      SELECT symbol, count(r0) AS n_returns,
+             {sums}
+      FROM g GROUP BY symbol),
+    c AS (
+      SELECT symbol, n_returns,
+             {combos}
+      FROM s),
+    rh AS (
+      SELECT symbol, n_returns,
+           {rhos}
+      FROM c),
+    q AS (
+      SELECT symbol, n_returns, {q_expr} AS q_raw FROM rh)
+    SELECT symbol, CAST(n_returns AS BIGINT) AS n_returns,
+           FLOOR(q_raw * 1e4 + 0.5) / 1e4 AS q_stat_q4,
+           q_raw > 11.070497693516351e0 AS reject_white_noise
+    FROM q
+    """
+
+
+@_register("events_ljung_box", _ljung_box_oracle())
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test over the per-symbol return
+    series (lags 1-5): Q = n(n+2)·Σ ρ̂ₖ²/(n−k) against the χ²₅ 95%
+    critical value — the standard pre-modeling diagnostic before fitting
+    AR/vol models to tick returns. Built entirely on the proven
+    ticks_return_acf machinery: cent-grid returns, one window sort, one
+    hash agg of exact integer Pearson sums per lag (pairwise deletion),
+    ρ̂ₖ q6-snapped BEFORE the Q arithmetic so both engines combine
+    identical doubles in the same left-to-right order (n here is the
+    return count; ρ̂ₖ is the pairwise-deletion estimate — documented
+    deviation from the textbook full-series ρ̂). Q is q4-quantized
+    (values can exceed 1000, where q6 carries 10+ significant digits —
+    the compare-precision rule). NULL at any undefined lag (constant
+    series) propagates to a NULL Q and NULL flag identically in both
+    engines."""
+    from pyspark.sql import Window
+
+    lags = 5
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("ts"), F.col("event_id"))
+    r = t.withColumn(
+        "r0",
+        F.floor((F.col("value") - F.lag("value", 1).over(w)) * 100 + F.lit(0.5)),
+    )
+    rl = r.select(
+        "symbol",
+        "r0",
+        *[F.lag("r0", k).over(w).alias(f"r{k}") for k in range(1, lags + 1)],
+    )
+    agg = rl.groupBy("symbol").agg(
+        F.count("r0").alias("n_returns"),
+        *[
+            e
+            for k in range(1, lags + 1)
+            for e in stats.exact_corr_sums(F.col("r0"), F.col(f"r{k}"), f"l{k}")
+        ],
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    rh = agg.select(
+        "symbol",
+        "n_returns",
+        *[
+            q6(stats.exact_corr_value(f"l{k}")).alias(f"rho{k}")
+            for k in range(1, lags + 1)
+        ],
+    )
+    q_terms = " + ".join(
+        f"(rho{k} * rho{k}) / (n_returns - {k})" for k in range(1, lags + 1)
+    )
+    q_raw = F.expr(
+        f"CAST(n_returns AS DOUBLE) * (CAST(n_returns AS DOUBLE) "
+        f"+ CAST(2 AS DOUBLE)) * ({q_terms})"
+    )
+    return rh.select(
+        "symbol",
+        "n_returns",
+        (F.floor(q_raw * 1e4 + F.lit(0.5)) / 1e4).alias("q_stat_q4"),
+        (q_raw > F.lit(11.070497693516351)).alias("reject_white_noise"),
+    )
+
+
+def _ou_half_life_oracle() -> str:
+    """Generated oracle for ticks_ou_half_life: cent-grid series, AR(1)
+    slope from exact integer regression sums, q9-snapped slope through
+    the detmath ln (bit-identical polynomial on both engines), half-life
+    = ln2 / (−ln b). The slope guard (0 < b_q9 < 1, and b_q9 ≥ 1e-9 so
+    1/b floors into BIGINT — the det_ln_pos domain) is mirrored
+    verbatim."""
+    ln_b = detmath.det_ln_pos_sql("b_q9", "duckdb")
+    return f"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events),
+    l AS (
+      SELECT symbol, v AS y, lag(v, 1) OVER w AS x
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+    g AS (
+      SELECT symbol,
+             CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END AS xg,
+             CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END AS yg
+      FROM l),
+    s AS (
+      SELECT symbol, count(xg) AS n_pairs,
+             sum(xg) AS sx, sum(yg) AS sy,
+             sum(CAST(xg AS HUGEINT) * yg) AS sxy,
+             sum(CAST(xg AS HUGEINT) * xg) AS sxx
+      FROM g GROUP BY symbol),
+    c AS (
+      SELECT symbol, n_pairs,
+             CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx
+      FROM s),
+    b AS (
+      SELECT symbol, n_pairs,
+             CASE WHEN dx > 0
+                  THEN FLOOR(num / dx * 1e9 + 0.5) / 1e9 END AS b_q9
+      FROM c),
+    h AS (
+      SELECT symbol, n_pairs, b_q9,
+             CASE WHEN b_q9 >= 1e-9 AND b_q9 < 1.0
+                  THEN {detmath.dlit(detmath.LN2)} / (0.0 - {ln_b}) END AS hl
+      FROM b)
+    SELECT symbol, CAST(n_pairs AS BIGINT) AS n_pairs,
+           FLOOR(b_q9 * 1e6 + 0.5) / 1e6 AS ar1_slope_q6,
+           FLOOR(hl * 1e4 + 0.5) / 1e4 AS half_life_q4,
+           b_q9 >= 1e-9 AND b_q9 < 1.0 AS mean_reverting
+    FROM h
+    """
+
+
+@_register("ticks_ou_half_life", _ou_half_life_oracle())
+def ticks_ou_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ornstein-Uhlenbeck mean-reversion half-life per symbol — the
+    stat-arb sizing number (how many ticks until a deviation decays by
+    half): AR(1) slope b from the lag-1 regression of the cent-grid
+    series (exact integer sums — no float crosses engines), half-life =
+    ln2 / (−ln b) when 0 < b < 1, NULL otherwise (explosive or
+    anti-persistent series have no OU half-life). ln runs through
+    functions.detmath (bit-identical polynomial both engines) over the
+    q9-SNAPPED slope — exactly ONE detmath expansion in the plan, on a
+    #symbols-sized aggregate (the hurst 64 KB-codegen discipline). The
+    b ≥ 1e-9 guard keeps 1/b inside det_ln_pos's BIGINT-floor domain."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("ts"), F.col("event_id"))
+    lagd = t.select(
+        "symbol", F.col("v").alias("y"), F.lag("v", 1).over(w).alias("x")
+    )
+    agg = lagd.groupBy("symbol").agg(
+        *stats.exact_corr_sums(F.col("x"), F.col("y"), "l1")
+    )
+    num, dx, _dy = stats.corr_terms("l1")
+    b = agg.select(
+        "symbol",
+        F.col("l1_n").alias("n_pairs"),
+        F.when(dx > 0, F.floor(num / dx * 1e9 + F.lit(0.5)) / 1e9).alias("b_q9"),
+    )
+    ln_b = F.expr(detmath.det_ln_pos_sql("b_q9", "spark"))
+    in_domain = (F.col("b_q9") >= 1e-9) & (F.col("b_q9") < 1.0)
+    h = b.select(
+        "symbol",
+        "n_pairs",
+        "b_q9",
+        F.when(in_domain, F.lit(detmath.LN2) / (F.lit(0.0) - ln_b)).alias("hl"),
+        in_domain.alias("mean_reverting"),
+    )
+    return h.select(
+        "symbol",
+        "n_pairs",
+        (F.floor(F.col("b_q9") * 1e6 + F.lit(0.5)) / 1e6).alias("ar1_slope_q6"),
+        (F.floor(F.col("hl") * 1e4 + F.lit(0.5)) / 1e4).alias("half_life_q4"),
+        "mean_reverting",
+    )

@@ -95,6 +95,10 @@ HARDENED = [
     # reductions and scoring runs the sequential-order kernel, so ANY
     # partition layout must land on the frozen-weight oracle's doubles
     "ml_anomaly_scores_ae",
+    # r9 breadth: both ride exact integer regression/Pearson sums with
+    # q-snapped inputs to the (detmath) transcendental tail
+    "events_ljung_box",
+    "ticks_ou_half_life",
 ]
 
 
