@@ -37,15 +37,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the shared _train core), multimodal_scene_cuts / _samples
 #     (single-demux sampler), emb_kmeans (init block touched; its
 #     lowest_id path is unchanged — cheap insurance);
-# (b) first-ever verdicts for the two r9 breadth queries
-#     (events_ljung_box, ticks_ou_half_life) — slots 9-10;
-# (c) oldest-verdict rotation fills 11-50: every r1-verdicted row (15)
-#     and the r2-verdicted rows (24 of 26 — tpch_q9/q21 defer past the
-#     boundary: both are bench headlines, continuously exercised and
-#     plan-pinned every round) — after this window no adjudicated
-#     verdict predates r2, and the deferred pair + the r3-era tail are
-#     queued immediately after the boundary as the ready-made r10
-#     window.
+# (b) first-ever verdicts for the four r9 breadth queries
+#     (events_ljung_box, ticks_ou_half_life, ticks_realized_kernel,
+#     events_benford_test) — slots 9-12;
+# (c) oldest-verdict rotation fills 13-50: every r1-verdicted row (15)
+#     and the r2-verdicted rows (22 of 26 — tpch_q7/q8/q9/q21 defer
+#     past the boundary; q9/q21 are bench headlines exercised and
+#     plan-pinned every round, q7/q8 are plain SQL-shape rows green in
+#     every local sweep) — after this window no adjudicated verdict
+#     predates r2, and the deferred rows + the r3-era tail are queued
+#     immediately after the boundary as the ready-made r10 window.
 # Rows-only entries: NONE — all 258 queries now carry value oracles.
 _ADJUDICATION_PRIORITY = [
     "ml_anomaly_scores_ae",
@@ -58,6 +59,8 @@ _ADJUDICATION_PRIORITY = [
     "emb_kmeans",
     "events_ljung_box",
     "ticks_ou_half_life",
+    "ticks_realized_kernel",
+    "events_benford_test",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
@@ -95,10 +98,10 @@ _ADJUDICATION_PRIORITY = [
     "tpch_q20_part_promotion",
     "tpch_q22_global_sales_opportunity",
     "tpch_q2_min_acctbal_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
     "asof_purchase_last_click",
     # ---- ~50-slot window boundary; r10 queue from here (r3-era tail) ----
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
     "tpch_q21_sole_fault_supplier",
     "tpch_q9_product_profit",
     "asof_with_tolerance",

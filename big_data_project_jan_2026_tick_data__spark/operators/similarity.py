@@ -200,27 +200,42 @@ def ivf_topk(
     shuffle), and the candidate join shuffles only on a 1-int cell key.
 
     ``sample``: how the ``nlist`` seed vectors are drawn — 'hash' (the
-    nlist smallest ``xxhash64(id)``, a uniform pseudo-random sample) or
+    nlist smallest ``xxhash64(id)``, a uniform pseudo-random sample),
     'lowest_id' (the nlist smallest ids — the emb_ivfpq_topk recipe,
     re-derivable by any SQL engine via ``ORDER BY id LIMIT nlist``, so
-    the whole index becomes value-oracle-able). Both are stable across
-    runs/partitionings with no RNG state; sampling quality is
-    equivalent when ids are assignment-order ints uncorrelated with
-    embedding geometry."""
+    the whole index becomes value-oracle-able), or 'kmeansparallel'
+    (:func:`kmeans_parallel_init` k-means‖ seeds — spread-out,
+    density-weighted cells; the quantizer for IVF-scale nlist in the
+    10²–10⁴ range, O(log nlist) extra corpus passes). All are stable
+    across runs/partitionings with no RNG state; the cheap samplers'
+    quality is equivalent only when ids are assignment-order ints
+    uncorrelated with embedding geometry."""
     c = corpus.select(F.col(corpus_id), _to_double(F.col(vec_col)).alias("cvec"))
-    if sample == "hash":
-        seed_key = F.xxhash64(F.col(corpus_id))
-    elif sample == "lowest_id":
-        seed_key = F.col(corpus_id)
+    if sample in ("hash", "lowest_id"):
+        seed_key = (
+            F.xxhash64(F.col(corpus_id)) if sample == "hash" else F.col(corpus_id)
+        )
+        cent_rows = (
+            c.withColumn("h", seed_key)
+            .orderBy("h")
+            .limit(nlist)
+            .select("cvec")
+            .collect()
+        )
+    elif sample == "kmeansparallel":
+        seeds = kmeans_parallel_init(
+            corpus, k=nlist, id_col=corpus_id, vec_col=vec_col
+        ).collect()
+        seed_ids = [r[corpus_id] for r in sorted(seeds, key=lambda r: r["sel_step"])]
+        by_id = {
+            r[corpus_id]: r
+            for r in c.filter(F.col(corpus_id).isin(seed_ids)).collect()
+        }
+        cent_rows = [by_id[i] for i in seed_ids]
     else:
-        raise ValueError(f"sample must be hash|lowest_id, got {sample!r}")
-    cent_rows = (
-        c.withColumn("h", seed_key)
-        .orderBy("h")
-        .limit(nlist)
-        .select("cvec")
-        .collect()
-    )
+        raise ValueError(
+            f"sample must be hash|lowest_id|kmeansparallel, got {sample!r}"
+        )
     import math
 
     # Centroid literals are quantized to 6dp before rendering: a coarse

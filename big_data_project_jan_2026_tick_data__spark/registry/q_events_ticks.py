@@ -3825,3 +3825,185 @@ def ticks_ou_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("hl") * 1e4 + F.lit(0.5)) / 1e4).alias("half_life_q4"),
         "mean_reverting",
     )
+
+
+_RK_H = 4
+# Parzen kernel weights k((h-1)/H) for h=1..H, H=4: x in {0, .25, .5,
+# .75} -> {1, 0.71875, 0.25, 0.03125} — all dyadic rationals, hence
+# EXACTLY representable doubles; both engines multiply identical values.
+_RK_W = (1.0, 0.71875, 0.25, 0.03125)
+
+
+def _realized_kernel_oracle() -> str:
+    """Generated oracle for ticks_realized_kernel: cent-grid returns,
+    exact integer autocovariance sums gamma_0..gamma_H (HUGEINT
+    products), flat-top Parzen combine with dyadic literal weights in
+    the same left-to-right order as the Spark expression."""
+    lag_cols = ",\n             ".join(
+        f"lag(r0, {h}) OVER w AS r{h}" for h in range(1, _RK_H + 1)
+    )
+    gammas = ",\n             ".join(
+        f"CAST(sum(CAST(r0 AS HUGEINT) * r{h}) AS DOUBLE) AS g{h}"
+        for h in range(1, _RK_H + 1)
+    )
+    combine = " + ".join(
+        f"{w!r} * g{h}" for h, w in zip(range(1, _RK_H + 1), _RK_W)
+    )
+    return f"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, event_id, value
+      FROM events),
+    r AS (
+      SELECT symbol, ts, event_id,
+             CAST(FLOOR((value - lag(value, 1) OVER w) * 100 + 0.5) AS BIGINT) AS r0
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+    rl AS (
+      SELECT symbol, r0,
+             {lag_cols}
+      FROM r WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+    s AS (
+      SELECT symbol, count(r0) AS n_returns,
+             CAST(sum(CAST(r0 AS HUGEINT) * r0) AS DOUBLE) AS g0,
+             {gammas}
+      FROM rl GROUP BY symbol)
+    SELECT symbol, CAST(n_returns AS BIGINT) AS n_returns,
+           FLOOR((g0 + 2.0 * ({combine})) / 1e4 * 1e6 + 0.5) / 1e6 AS rk_q6,
+           FLOOR(g0 / 1e4 * 1e6 + 0.5) / 1e6 AS rv_q6
+    FROM s
+    """
+
+
+@_register("ticks_realized_kernel", _realized_kernel_oracle())
+def ticks_realized_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-top realized kernel (Barndorff-Nielsen, Hansen, Lunde &
+    Shephard 2008) with a Parzen kernel at H=4 — the noise-robust
+    realized-variance estimator that corrects RV with kernel-weighted
+    return autocovariances: RK = γ₀ + 2·Σₕ k((h−1)/H)·γₕ. Complements
+    ticks_tsrv (subsample averaging) with the kernel approach. One
+    window sort produces the return and its H lags, one hash agg takes
+    the exact integer autocovariance sums (cent-grid returns, HUGEINT/
+    decimal products — no float sum crosses engines), and the combine
+    multiplies by DYADIC kernel weights (exactly representable doubles)
+    in a fixed left-to-right order. Emits RK and plain RV (γ₀) per
+    symbol, both q6 in value² units (cents² / 1e4)."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("ts"), F.col("event_id"))
+    r = t.withColumn(
+        "r0",
+        F.floor((F.col("value") - F.lag("value", 1).over(w)) * 100 + F.lit(0.5)),
+    )
+    rl = r.select(
+        "symbol",
+        "r0",
+        *[F.lag("r0", h).over(w).alias(f"r{h}") for h in range(1, _RK_H + 1)],
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = rl.groupBy("symbol").agg(
+        F.count("r0").alias("n_returns"),
+        F.sum(dec(F.col("r0")) * dec(F.col("r0"))).cast("double").alias("g0"),
+        *[
+            F.sum(dec(F.col("r0")) * dec(F.col(f"r{h}")))
+            .cast("double")
+            .alias(f"g{h}")
+            for h in range(1, _RK_H + 1)
+        ],
+    )
+    combine = " + ".join(
+        f"{w_!r} * g{h}" for h, w_ in zip(range(1, _RK_H + 1), _RK_W)
+    )
+    return agg.select(
+        "symbol",
+        "n_returns",
+        (
+            F.floor(F.expr(f"(g0 + 2.0 * ({combine}))") / 1e4 * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("rk_q6"),
+        (F.floor(F.col("g0") / 1e4 * 1e6 + F.lit(0.5)) / 1e6).alias("rv_q6"),
+    )
+
+
+def _benford_oracle() -> str:
+    """Generated oracle for events_benford_test: first significant digit
+    of the positive cent-grid value via VARCHAR slicing (identical for
+    positive BIGINTs in both engines), exact integer digit counts, chi2
+    against frozen log10(1+1/d) expectation literals in a fixed
+    left-to-right order."""
+    import math
+
+    counts = ",\n             ".join(
+        f"CAST(sum(CASE WHEN d = {k} THEN 1 ELSE 0 END) AS BIGINT) AS d{k}"
+        for k in range(1, 10)
+    )
+    chi2 = " + ".join(
+        f"(CAST(d{k} AS DOUBLE) - CAST(n AS DOUBLE) * {math.log10(1 + 1 / k)!r}) "
+        f"* (CAST(d{k} AS DOUBLE) - CAST(n AS DOUBLE) * {math.log10(1 + 1 / k)!r}) "
+        f"/ (CAST(n AS DOUBLE) * {math.log10(1 + 1 / k)!r})"
+        for k in range(1, 10)
+    )
+    return f"""
+    WITH v AS (
+      SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value > 0),
+    d AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS d
+      FROM v WHERE cents > 0),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {counts}
+      FROM d)
+    SELECT n, d1, d2, d3, d4, d5, d6, d7, d8, d9,
+           FLOOR(({chi2}) * 1e4 + 0.5) / 1e4 AS chi2_q4,
+           ({chi2}) < 15.50731305586545e0 AS benford_consistent
+    FROM s
+    """
+
+
+@_register("events_benford_test", _benford_oracle())
+def events_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance test over the event values — the
+    classic data-quality / fraud screen for a numeric feed: first
+    significant digit of each positive cent-grid value, observed counts
+    vs n·log10(1+1/d), chi² against the χ²₈ 95% critical value. Digit
+    extraction slices the VARCHAR of a positive BIGINT (engine-identical
+    — no float log10 per row), counts are exact integers, and the chi²
+    chain multiplies frozen expectation literals in one fixed
+    left-to-right order, so the q4 statistic is bit-identical. Single
+    global row (counts + chi² + verdict)."""
+    import math
+
+    ev = _td(spark, sf_dir, "events")
+    cents = ev.filter(F.col("value") > 0).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    d = cents.filter(F.col("cents") > 0).select(
+        F.expr("CAST(substr(CAST(cents AS STRING), 1, 1) AS INT)").alias("d")
+    )
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col("d") == k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"d{k}")
+            for k in range(1, 10)
+        ],
+    )
+    chi2 = " + ".join(
+        f"(CAST(d{k} AS DOUBLE) - CAST(n AS DOUBLE) * {math.log10(1 + 1 / k)!r}) "
+        f"* (CAST(d{k} AS DOUBLE) - CAST(n AS DOUBLE) * {math.log10(1 + 1 / k)!r}) "
+        f"/ (CAST(n AS DOUBLE) * {math.log10(1 + 1 / k)!r})"
+        for k in range(1, 10)
+    )
+    return s.select(
+        "n",
+        *[f"d{k}" for k in range(1, 10)],
+        (F.floor(F.expr(chi2) * 1e4 + F.lit(0.5)) / 1e4).alias("chi2_q4"),
+        (F.expr(chi2) < F.lit(15.50731305586545)).alias("benford_consistent"),
+    )

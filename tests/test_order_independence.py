@@ -95,10 +95,12 @@ HARDENED = [
     # reductions and scoring runs the sequential-order kernel, so ANY
     # partition layout must land on the frozen-weight oracle's doubles
     "ml_anomaly_scores_ae",
-    # r9 breadth: both ride exact integer regression/Pearson sums with
-    # q-snapped inputs to the (detmath) transcendental tail
+    # r9 breadth: all ride exact integer regression/Pearson/
+    # autocovariance sums with q-snapped or dyadic-literal combine tails
     "events_ljung_box",
     "ticks_ou_half_life",
+    "ticks_realized_kernel",
+    "events_benford_test",
 ]
 
 

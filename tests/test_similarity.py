@@ -575,3 +575,25 @@ def test_seeders_accept_string_ids(spark):
     assert len(pp) == 3 and all(isinstance(r.vec_id, str) for r in pp)
     par = similarity.kmeans_parallel_init(emb, k=3).collect()
     assert len(par) == 3 and all(isinstance(r.vec_id, str) for r in par)
+
+
+def test_ivf_kmeansparallel_quantizer(spark, sf_dir):
+    """ivf_topk(sample='kmeansparallel'): the k-means|| coarse quantizer
+    must (a) degrade to exact brute force at nprobe == nlist (the IVF
+    correctness invariant holds for ANY centroid set — the rerank uses
+    real vectors), and (b) at half the probes, beat-or-match random
+    sampling's recall floor on the clustered synthetic embeddings."""
+    emb, queries = _load(spark, sf_dir)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    full = similarity.ivf_topk(
+        emb, queries, k=10, nlist=8, nprobe=8, sample="kmeansparallel"
+    )
+    e = {(r.query_id, r.vec_id, r.rank) for r in exact.collect()}
+    f = {(r.query_id, r.vec_id, r.rank) for r in full.collect()}
+    assert e == f
+    pruned = similarity.ivf_topk(
+        emb, queries, k=10, nlist=8, nprobe=4, sample="kmeansparallel"
+    )
+    ebase = {(r.query_id, r.vec_id) for r in exact.collect()}
+    p = {(r.query_id, r.vec_id) for r in pruned.collect()}
+    assert len(ebase & p) / len(ebase) >= 0.5
