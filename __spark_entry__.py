@@ -39,9 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     lowest_id path is unchanged — cheap insurance);
 # (b) first-ever verdicts for the four r9 breadth queries
 #     (events_ljung_box, ticks_ou_half_life, ticks_realized_kernel,
-#     events_benford_test) — slots 9-12;
-# (c) oldest-verdict rotation fills 13-50: every r1-verdicted row (15)
-#     and the r2-verdicted rows (22 of 26 — tpch_q7/q8/q9/q21 defer
+#     events_benford_test, snapshot_branching) — slots 9-13;
+# (c) oldest-verdict rotation fills 14-50: every r1-verdicted row (15)
+#     and the r2-verdicted rows (21 of 26 — tpch_q2/q7/q8/q9/q21 defer
 #     past the boundary; q9/q21 are bench headlines exercised and
 #     plan-pinned every round, q7/q8 are plain SQL-shape rows green in
 #     every local sweep) — after this window no adjudicated verdict
@@ -61,6 +61,7 @@ _ADJUDICATION_PRIORITY = [
     "ticks_ou_half_life",
     "ticks_realized_kernel",
     "events_benford_test",
+    "snapshot_branching",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
@@ -97,9 +98,9 @@ _ADJUDICATION_PRIORITY = [
     "tpch_q19_disjunctive_predicate",
     "tpch_q20_part_promotion",
     "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_acctbal_supplier",
     "asof_purchase_last_click",
     # ---- ~50-slot window boundary; r10 queue from here (r3-era tail) ----
+    "tpch_q2_min_acctbal_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q21_sole_fault_supplier",

@@ -201,11 +201,24 @@ class SnapshotTable:
         are written once; only this attach is retried: on a commit race,
         re-read the log (so the winner becomes the parent and, for
         append, its manifest is included) and try the next snapshot id.
-        Iceberg's optimistic commit loop."""
+        Iceberg's optimistic commit loop.
+
+        ``extra_summary={"ref": <branch>}`` commits onto that branch:
+        the parent is the BRANCH head instead of the main tail, and the
+        snapshot is excluded from the main lineage (``_main_log``).
+        Snapshot ids stay globally allocated (max id + 1) so the
+        exclusive-create commit point arbitrates races across ALL
+        lineages with one mechanism."""
+        ref = (extra_summary or {}).get("ref")
         last_err: Exception | None = None
         for _ in range(max(1, retries)):
             log = self._read_log()
-            parent = log[-1] if log else None
+            if ref is None:
+                main = [s for s in log if "ref" not in s.summary]
+                parent = main[-1] if main else None
+            else:
+                head_id = self._ref_head(ref)["snapshot_id"]
+                parent = next(s for s in log if s.snapshot_id == head_id)
             if mode == "append" and parent is not None:
                 manifest = [*parent.manifest, commit_dir]
                 deleted = 0
@@ -218,7 +231,7 @@ class SnapshotTable:
                 else added
             )
             snap = Snapshot(
-                snapshot_id=(parent.snapshot_id + 1) if parent else 1,
+                snapshot_id=(log[-1].snapshot_id + 1) if log else 1,
                 parent_snapshot_id=parent.snapshot_id if parent else None,
                 committed_at_ms=int(time.time() * 1000),
                 operation=operation,
@@ -394,9 +407,9 @@ class SnapshotTable:
         target = next((s for s in log if s.snapshot_id == snapshot_id), None)
         if target is None:
             raise ValueError(f"snapshot {snapshot_id} not found")
-        head = log[-1]
+        head = self._resolve(None, None)  # main tail, branch-aware
         snap = Snapshot(
-            snapshot_id=head.snapshot_id + 1,
+            snapshot_id=log[-1].snapshot_id + 1,
             parent_snapshot_id=head.snapshot_id,
             committed_at_ms=int(time.time() * 1000),
             operation="rollback",
@@ -410,6 +423,125 @@ class SnapshotTable:
         )
         self._append_log(snap)
         return snap
+
+    # -- branches / tags (Iceberg refs) -------------------------------------
+
+    def _ref_dir(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9_\-]{1,64}", name) or name == "main":
+            raise ValueError(
+                f"ref name must be [A-Za-z0-9_-]{{1,64}} and not 'main', "
+                f"got {name!r}"
+            )
+        return f"{self.root}/refs/{name}"
+
+    def _ref_names(self) -> list[str]:
+        if not self._hfs.exists(f"{self.root}/refs"):
+            return []
+        return sorted(self._hfs.list_names(f"{self.root}/refs"))
+
+    def _ref_head(self, name: str) -> dict:
+        """Current state of a ref: the lexicographically LAST bump file
+        (fixed-width names, so listing order == bump order)."""
+        d = self._ref_dir(name)
+        bumps = sorted(
+            n
+            for n in (self._hfs.list_names(d) if self._hfs.exists(d) else [])
+            if n.startswith("ref-") and n.endswith(".json")
+        )
+        if not bumps:
+            raise ValueError(f"ref {name!r} does not exist")
+        return json.loads(self._hfs.read_text(f"{d}/{bumps[-1]}"))
+
+    def _bump_ref(self, name: str, snapshot_id: int, rtype: str, seq: int) -> None:
+        """Advance a ref by EXCLUSIVE CREATE of the next fixed-width bump
+        file — the same atomic commit point as the snapshot log, so two
+        concurrent branch writers race on one filesystem primitive and
+        the loser retries with the winner as parent."""
+        self._hfs.mkdirs(self._ref_dir(name))
+        try:
+            self._hfs.create_text(
+                f"{self._ref_dir(name)}/ref-{seq:09d}.json",
+                json.dumps({"snapshot_id": snapshot_id, "type": rtype}),
+                overwrite=False,
+            )
+        except Exception as e:
+            if "exists" in str(e).lower():
+                raise ConcurrentCommitError(
+                    f"ref {name!r} was advanced concurrently; retry"
+                ) from e
+            raise
+
+    def create_branch(self, name: str, at_snapshot_id: int | None = None) -> dict:
+        """Create a BRANCH ref at ``at_snapshot_id`` (default: current
+        main head) — Iceberg's ``CREATE BRANCH``. Branch writes go
+        through :meth:`write_to_branch`; ``read(ref=name)`` follows the
+        branch head; main's lineage and reads are untouched (the WAP
+        pattern generalized to long-lived audit/experiment lines)."""
+        target = self._resolve(at_snapshot_id, None)
+        if name in self._ref_names():
+            raise ValueError(f"ref {name!r} already exists")
+        self._bump_ref(name, target.snapshot_id, "branch", seq=1)
+        return {"name": name, "type": "branch", "snapshot_id": target.snapshot_id}
+
+    def create_tag(self, name: str, at_snapshot_id: int | None = None) -> dict:
+        """Create an immutable TAG ref (Iceberg ``CREATE TAG``) — a
+        named, expiry-protected snapshot pin (release audits,
+        reproducible training-set versions)."""
+        target = self._resolve(at_snapshot_id, None)
+        if name in self._ref_names():
+            raise ValueError(f"ref {name!r} already exists")
+        self._bump_ref(name, target.snapshot_id, "tag", seq=1)
+        return {"name": name, "type": "tag", "snapshot_id": target.snapshot_id}
+
+    def write_to_branch(
+        self, df: DataFrame, branch: str, mode: str = "append", retries: int = 3
+    ) -> Snapshot:
+        """Commit ``df`` onto a branch: data files written once, snapshot
+        attached with the BRANCH head as parent (summary carries
+        ``ref=<branch>`` so main's lineage never sees it), then the ref
+        advances by exclusive create. Tags refuse writes."""
+        head = self._ref_head(branch)
+        if head["type"] != "branch":
+            raise ValueError(f"ref {branch!r} is a tag — tags are immutable")
+        if mode not in ("append", "overwrite"):
+            raise ValueError("mode must be append|overwrite")
+        commit_dir = f"data/{uuid.uuid4().hex}"
+        out_path = f"{self.root}/{commit_dir}"
+        df.write.mode("errorifexists").parquet(out_path)
+        added = self._hfs.parquet_row_count(out_path)
+        last_err: Exception | None = None
+        for _ in range(max(1, retries)):
+            snap = self._attach(
+                commit_dir, added, mode, f"branch-{mode}",
+                extra_summary={"ref": branch}, retries=1,
+            )
+            d = self._ref_dir(branch)
+            seq = len(
+                [n for n in self._hfs.list_names(d) if n.startswith("ref-")]
+            ) + 1
+            try:
+                self._bump_ref(branch, snap.snapshot_id, "branch", seq=seq)
+                return snap
+            except ConcurrentCommitError as e:
+                last_err = e  # loser: re-attach against the new head
+        raise last_err
+
+    def refs(self) -> DataFrame:
+        """The ``$refs`` metadata relation (name, type, snapshot_id)."""
+        rows = [
+            (n, self._ref_head(n)["type"], self._ref_head(n)["snapshot_id"])
+            for n in self._ref_names()
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+
+    def drop_ref(self, name: str) -> None:
+        """Remove a branch/tag ref. Its snapshots stay in the log (and
+        expire like any other non-head history)."""
+        if name not in self._ref_names():
+            raise ValueError(f"ref {name!r} does not exist")
+        self._hfs.delete(self._ref_dir(name), recursive=True)
 
     def compact(self, num_files: int | None = None) -> Snapshot:
         """Small-file compaction: rewrite the current snapshot's data as
@@ -427,7 +559,7 @@ class SnapshotTable:
         df.write.mode("errorifexists").parquet(out_path)
         total = self._hfs.parquet_row_count(out_path)
         snap = Snapshot(
-            snapshot_id=current.snapshot_id + 1,
+            snapshot_id=self._read_log()[-1].snapshot_id + 1,
             parent_snapshot_id=current.snapshot_id,
             committed_at_ms=int(time.time() * 1000),
             operation="compact",
@@ -452,10 +584,18 @@ class SnapshotTable:
         log = self._read_log()
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        if len(log) <= keep_last:
+        main = [s for s in log if "ref" not in s.summary]
+        # protect every live ref's head (branch/tag targets stay
+        # readable after an expiry — Iceberg's retained-ref semantics);
+        # non-head branch history expires like old main history
+        protected = {
+            self._ref_head(name)["snapshot_id"] for name in self._ref_names()
+        }
+        keep_ids = {s.snapshot_id for s in main[-keep_last:]} | protected
+        keep = [s for s in log if s.snapshot_id in keep_ids]
+        expired = [s for s in log if s.snapshot_id not in keep_ids]
+        if not expired:
             return {"expired_snapshots": 0, "deleted_dirs": 0}
-        keep = log[-keep_last:]
-        expired = log[:-keep_last]
         live_dirs = {d for s in keep for d in s.manifest}
         dead_dirs = {
             d for s in expired for d in s.manifest if d not in live_dirs
@@ -474,7 +614,18 @@ class SnapshotTable:
 
     # -- reads --------------------------------------------------------------
 
-    def _resolve(self, version: int | None, as_of_ms: int | None) -> Snapshot:
+    def _main_log(self) -> list[Snapshot]:
+        """Main-lineage snapshots: branch commits carry summary['ref']
+        and are excluded — a branch write must never become main's
+        'latest'."""
+        return [s for s in self._read_log() if "ref" not in s.summary]
+
+    def _resolve(
+        self,
+        version: int | None,
+        as_of_ms: int | None,
+        ref: str | None = None,
+    ) -> Snapshot:
         log = self._read_log()
         if not log:
             raise ValueError(f"table {self.root} has no snapshots")
@@ -483,24 +634,34 @@ class SnapshotTable:
                 if s.snapshot_id == version:
                     return s
             raise ValueError(f"snapshot {version} not found")
+        if ref is not None:
+            head_id = self._ref_head(ref)["snapshot_id"]
+            return next(s for s in log if s.snapshot_id == head_id)
+        main = [s for s in log if "ref" not in s.summary]
+        if not main:
+            raise ValueError(f"table {self.root} has no main-lineage snapshots")
         if as_of_ms is not None:
-            eligible = [s for s in log if s.committed_at_ms <= as_of_ms]
+            eligible = [s for s in main if s.committed_at_ms <= as_of_ms]
             if not eligible:
                 raise ValueError(f"no snapshot at or before {as_of_ms}")
             return eligible[-1]
-        return log[-1]
+        return main[-1]
 
     def read(
-        self, version: int | None = None, as_of_ms: int | None = None
+        self,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Read the table — latest, ``FOR VERSION AS OF`` (version=) or
-        ``FOR TIMESTAMP AS OF`` (as_of_ms=).
+        """Read the table — latest, ``FOR VERSION AS OF`` (version=),
+        ``FOR TIMESTAMP AS OF`` (as_of_ms=), or a branch/tag head
+        (ref= — Iceberg's ``VERSION AS OF 'branch'`` surface).
 
         ``mergeSchema`` is on: commits may add columns over time
         (schema evolution — the Iceberg capability the reference had but
         never used, SURVEY §1.3); older files surface NULL for columns
         they predate."""
-        snap = self._resolve(version, as_of_ms)
+        snap = self._resolve(version, as_of_ms, ref=ref)
         if not snap.manifest:
             raise ValueError("empty snapshot")
         paths = [f"{self.root}/{d}" for d in snap.manifest]

@@ -874,3 +874,59 @@ def orders_scd2_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_as_of(hist, "1996-06-30 00:00:00").select(
         "o_custkey", "o_orderpriority", "effective_from", "version"
     )
+
+
+@_register(
+    "snapshot_branching",
+    """
+    WITH m AS (
+      SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS key_sum
+      FROM events WHERE event_id % 3 IN (0, 1)),
+    b AS (
+      SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS key_sum
+      FROM events WHERE event_id % 3 IN (0, 1, 2)),
+    t AS (
+      SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS key_sum
+      FROM events WHERE event_id % 3 = 0)
+    SELECT 'main' AS scope, n, key_sum FROM m
+    UNION ALL SELECT 'branch' AS scope, n, key_sum FROM b
+    UNION ALL SELECT 'tag' AS scope, n, key_sum FROM t
+    """,
+)
+def snapshot_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch/tag refs on the snapshot table (Iceberg `CREATE BRANCH` /
+    `CREATE TAG` semantics, r9): seed main with the %3==0 slice, tag it,
+    append the %3==1 slice to main, fork a branch and commit the %3==2
+    slice there. Main must read the two main slices, the branch its
+    fork point plus the branch commit, the tag the frozen first slice —
+    the oracle recomputes all three (count, key sum) straight from the
+    events table. Proves branch isolation (a branch write never leaks
+    into main's lineage), fork-point inheritance, and tag immutability
+    bookkeeping end to end through the real commit protocol."""
+    import tempfile
+
+    from ..plans.snapshots import SnapshotTable
+
+    ev = _td(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(spark, f"{d}/tbl")
+        t.write(ev.filter(F.col("event_id") % 3 == 0), mode="append")
+        t.create_tag("v1")
+        t.write(ev.filter(F.col("event_id") % 3 == 1), mode="append")
+        t.create_branch("exp", at_snapshot_id=2)
+        t.write_to_branch(ev.filter(F.col("event_id") % 3 == 2), "exp")
+
+        def digest(df: DataFrame, scope: str) -> DataFrame:
+            return df.agg(
+                F.lit(scope).alias("scope"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("event_id").cast("long").alias("key_sum"),
+            )
+
+        out = (
+            digest(t.read(), "main")
+            .unionByName(digest(t.read(ref="exp"), "branch"))
+            .unionByName(digest(t.read(ref="v1"), "tag"))
+        )
+        rows = out.collect()  # materialize before tmpdir cleanup
+    return spark.createDataFrame(rows, out.schema)

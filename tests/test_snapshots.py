@@ -585,3 +585,75 @@ def test_wap_publish_retryable_after_lost_commit_race(spark, tmp_path, monkeypat
     snap = t.wap_publish("b1")
     assert snap.operation == "wap-publish"
     assert t.read().count() == 14
+
+
+def test_branch_lifecycle(spark, table):
+    """Iceberg-style refs: a branch forks from a main snapshot, branch
+    writes advance only the branch (main reads untouched), read(ref=)
+    follows the branch head, and main commits after the fork never leak
+    into the branch lineage."""
+    table.write(_df(spark, 0, 10), mode="append")          # main snap 1
+    table.write(_df(spark, 10, 15), mode="append")         # main snap 2
+    ref = table.create_branch("audit")
+    assert ref == {"name": "audit", "type": "branch", "snapshot_id": 2}
+
+    b1 = table.write_to_branch(_df(spark, 100, 104), "audit")
+    assert b1.summary["ref"] == "audit"
+    assert b1.parent_snapshot_id == 2
+    # branch sees fork + its own commit; main is untouched
+    assert table.read(ref="audit").count() == 19
+    assert table.read().count() == 15
+    assert table.current_snapshot_id() == 2
+
+    # main advances; branch lineage does not see it
+    table.write(_df(spark, 15, 18), mode="append")
+    assert table.read().count() == 18
+    assert table.read(ref="audit").count() == 19
+    # and a second branch commit chains on the branch head
+    b2 = table.write_to_branch(_df(spark, 104, 106), "audit")
+    assert b2.parent_snapshot_id == b1.snapshot_id
+    assert table.read(ref="audit").count() == 21
+
+    # refs listing
+    refs = {(r["name"], r["type"]) for r in table.refs().collect()}
+    assert refs == {("audit", "branch")}
+
+    # branch overwrite resets only the branch
+    table.write_to_branch(_df(spark, 0, 2), "audit", mode="overwrite")
+    assert table.read(ref="audit").count() == 2
+    assert table.read().count() == 18
+
+    table.drop_ref("audit")
+    with pytest.raises(ValueError, match="does not exist"):
+        table.read(ref="audit")
+
+
+def test_tag_is_immutable_and_survives_expiry(spark, table):
+    table.write(_df(spark, 0, 10), mode="append")           # snap 1
+    table.write(_df(spark, 0, 5), mode="overwrite")         # snap 2
+    table.create_tag("release-1", at_snapshot_id=1)
+    with pytest.raises(ValueError, match="immutable"):
+        table.write_to_branch(_df(spark, 0, 1), "release-1")
+    table.write(_df(spark, 5, 8), mode="append")            # snap 3
+    # expire everything but the newest main snapshot: the tagged
+    # snapshot (and its data dirs) must survive
+    res = table.expire_snapshots(keep_last=1)
+    assert res["expired_snapshots"] >= 1
+    assert table.read(ref="release-1").count() == 10
+    assert table.read().count() == 8
+    # snap 2 is gone from time travel
+    with pytest.raises(ValueError, match="not found"):
+        table.read(version=2)
+
+
+def test_branch_name_validation_and_duplicates(spark, table):
+    table.write(_df(spark, 0, 3), mode="append")
+    with pytest.raises(ValueError, match="ref name"):
+        table.create_branch("main")
+    with pytest.raises(ValueError, match="ref name"):
+        table.create_branch("bad/name")
+    table.create_branch("b1")
+    with pytest.raises(ValueError, match="already exists"):
+        table.create_branch("b1")
+    with pytest.raises(ValueError, match="already exists"):
+        table.create_tag("b1")
