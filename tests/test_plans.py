@@ -638,6 +638,15 @@ _SCAN_BUDGETS = {
     "doc_classifier_calibration": 1,
     "doc_dsir_weights": 0,  # both LM chains checkpoint at build
     "doc_minhash_calibration": 0,  # pairs + shingles checkpoint at build
+    # r9 breadth additions (audited at registration): the four analytic
+    # queries are one-window-one-agg shapes over a single events scan;
+    # the AE lifecycle checkpoints tensors at build (featurize shared by
+    # train AND score) so the returned plan reads parquet 0 times
+    "events_ljung_box": 1,
+    "ticks_ou_half_life": 1,
+    "ticks_realized_kernel": 1,
+    "events_benford_test": 1,
+    "ml_anomaly_scores_ae": 0,
     # r7 (judge item: pin EVERY bench.py headline row, not just the
     # audited fixes): budgets are the audited plan shapes — TPC-H reads
     # one scan per joined table, single-table ops read once, the ANN
