@@ -526,6 +526,47 @@ class SnapshotTable:
                 last_err = e  # loser: re-attach against the new head
         raise last_err
 
+    def publish_branch(self, branch: str, retries: int = 3) -> Snapshot:
+        """Publish a branch's state to MAIN — metadata only, no data
+        rewrite (the WAP promote generalized to branches / Iceberg's
+        fast-forward when main hasn't advanced): append a main snapshot
+        adopting the branch head's manifest verbatim. When main HAS
+        advanced since the fork this is last-writer-wins REPLACE
+        semantics (the branch state becomes the table), same as
+        publishing any overwrite — callers wanting a row-level merge
+        union-read both sides and :meth:`merge` instead."""
+        head = self._ref_head(branch)
+        if head["type"] != "branch":
+            raise ValueError(f"ref {branch!r} is a tag — publish a branch")
+        last_err: Exception | None = None
+        for _ in range(max(1, retries)):
+            log = self._read_log()
+            src = next(s for s in log if s.snapshot_id == head["snapshot_id"])
+            main = [s for s in log if "ref" not in s.summary]
+            parent = main[-1] if main else None
+            snap = Snapshot(
+                snapshot_id=(log[-1].snapshot_id + 1) if log else 1,
+                parent_snapshot_id=parent.snapshot_id if parent else None,
+                committed_at_ms=int(time.time() * 1000),
+                operation="publish-branch",
+                manifest=list(src.manifest),
+                summary={
+                    "added-records": src.summary["total-records"],
+                    "deleted-records": (
+                        parent.summary["total-records"] if parent else "0"
+                    ),
+                    "total-records": src.summary["total-records"],
+                    "published-from": branch,
+                    "published-snapshot": str(src.snapshot_id),
+                },
+            )
+            try:
+                self._append_log(snap)
+                return snap
+            except ConcurrentCommitError as e:
+                last_err = e
+        raise last_err
+
     def refs(self) -> DataFrame:
         """The ``$refs`` metadata relation (name, type, snapshot_id)."""
         rows = [

@@ -657,3 +657,27 @@ def test_branch_name_validation_and_duplicates(spark, table):
         table.create_branch("b1")
     with pytest.raises(ValueError, match="already exists"):
         table.create_tag("b1")
+
+
+def test_publish_branch_fast_forwards_main(spark, table):
+    """publish_branch: metadata-only promote of a branch state to main
+    (no data rewrite) — the audited-experiment merge path. Main's
+    history stays time-travelable; tags refuse."""
+    table.write(_df(spark, 0, 10), mode="append")      # main snap 1
+    table.create_branch("exp")
+    table.write_to_branch(_df(spark, 100, 105), "exp")  # branch: 15 rows
+    pre = table.current_snapshot_id()
+    snap = table.publish_branch("exp")
+    assert snap.operation == "publish-branch"
+    assert snap.summary["published-from"] == "exp"
+    assert table.read().count() == 15
+    # the publish adopted the branch manifest verbatim — same rows
+    assert (
+        {r.id for r in table.read().select("id").collect()}
+        == set(range(10)) | set(range(100, 105))
+    )
+    # pre-publish main still readable
+    assert table.read(version=pre).count() == 10
+    table.create_tag("t1")
+    with pytest.raises(ValueError, match="publish a branch"):
+        table.publish_branch("t1")
