@@ -3044,3 +3044,94 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge sequence and re-counts in SQL."""
     docs = _td(spark, sf_dir, "documents")
     return text.bpe_token_counts(docs, num_merges=8)
+
+
+def _ngram_novelty_oracle(n: int = 3, ref_cut: int = 100) -> str:
+    """Generated oracle for doc_ngram_novelty: the portable md5-prefix
+    token hashes + polynomial 3-gram mixing (the shared minhash CTE
+    recipe) build each doc's DISTINCT shingle-hash set; the reference
+    set is the union over doc_id < ref_cut; novelty = fraction of a
+    doc's distinct shingles absent from the reference (exact integer
+    counts, one division)."""
+    from ..operators.dedup import _P31
+
+    K = 1000003
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array({_norm_sql('text')}, ' ') AS toks
+      FROM documents),
+    th AS (
+      SELECT doc_id,
+             list_transform(toks,
+               t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th
+      FROM norm),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT doc_id,
+               CASE WHEN len(th) < {n}
+                    THEN [list_reduce(th, (a, b) -> (a * {K} + b) % {_P31})]
+                    ELSE list_transform(range(1, len(th) - 1),
+                      i -> ((th[i] * {K} + th[i + 1]) % {_P31} * {K}
+                            + th[i + 2]) % {_P31})
+               END AS hs
+        FROM th) t, UNNEST(t.hs) AS u(h)),
+    ref AS MATERIALIZED (
+      SELECT DISTINCT h FROM sh WHERE doc_id < {ref_cut}),
+    scored AS (
+      SELECT s.doc_id,
+             count(*) AS n_shingles,
+             CAST(sum(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM sh s LEFT JOIN ref r ON s.h = r.h
+      WHERE s.doc_id >= {ref_cut}
+      GROUP BY s.doc_id)
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_novel,
+           FLOOR(n_novel * 1.0 / n_shingles * 1e6 + 0.5) / 1e6
+             AS novelty_q6
+    FROM scored
+    """
+
+
+@_register("doc_ngram_novelty", _ngram_novelty_oracle())
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus — the
+    pretraining-data metric behind memorization/contamination audits
+    (fraction of a doc's distinct word-3-grams never seen in the
+    reference slice; low novelty = near-boilerplate or leaked reference
+    content). Reference = docs with doc_id < 100 (in production: the
+    already-trained-on corpus). Shingles ride the shared portable
+    md5-token + polynomial-mixing path (no shingle strings
+    materialized); the reference set is distinct-deduped BEFORE the
+    join (broadcast — reference vocab is the small side at any corpus
+    scale where it fits; at 100 TB swap to a shuffle join on the hash,
+    same semantics); novelty is an exact integer ratio."""
+    docs = _td(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(dedup.shingle_hashes("text", 3, token_hash="md5")).alias("h"),
+    ).distinct()
+    ref = (
+        sh.filter(F.col("doc_id") < 100).select("h").distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    scored = (
+        sh.filter(F.col("doc_id") >= 100)
+        .join(F.broadcast(ref), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (
+            F.floor(F.col("n_novel") * 1.0 / F.col("n_shingles") * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("novelty_q6"),
+    )

@@ -4007,3 +4007,98 @@ def events_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.expr(chi2) * 1e4 + F.lit(0.5)) / 1e4).alias("chi2_q4"),
         (F.expr(chi2) < F.lit(15.50731305586545)).alias("benford_consistent"),
     )
+
+
+def _bipower_oracle() -> str:
+    """Generated oracle for ticks_bipower_variation: cent-grid returns,
+    exact integer sums of r², |r·r₋₁| and the counts, then the
+    (π/2)-scaled bipower variation and the relative jump statistic with
+    every float op on identical doubles in fixed order. π/2 is a frozen
+    literal — both engines multiply the same IEEE double."""
+    half_pi = 1.5707963267948966
+    return f"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, event_id, value
+      FROM events),
+    r AS (
+      SELECT symbol, ts, event_id,
+             CAST(FLOOR((value - lag(value, 1) OVER w) * 100 + 0.5) AS BIGINT) AS r0
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+    rl AS (
+      SELECT symbol, r0, lag(r0, 1) OVER w AS r1
+      FROM r WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+    s AS (
+      SELECT symbol,
+             count(r0) AS n_returns,
+             CAST(sum(CAST(r0 AS HUGEINT) * r0) AS DOUBLE) AS srr,
+             CAST(sum(abs(CAST(r0 AS HUGEINT) * r1)) AS DOUBLE) AS sabs
+      FROM rl GROUP BY symbol),
+    m AS (
+      SELECT symbol, n_returns,
+             srr / 1e4 AS rv,
+             ({half_pi!r} * sabs) / 1e4 AS bv
+      FROM s)
+    SELECT symbol, CAST(n_returns AS BIGINT) AS n_returns,
+           FLOOR(rv * 1e6 + 0.5) / 1e6 AS rv_q6,
+           FLOOR(bv * 1e6 + 0.5) / 1e6 AS bv_q6,
+           CASE WHEN rv > 0
+                THEN FLOOR((rv - bv) / rv * 1e6 + 0.5) / 1e6 END
+             AS rel_jump_q6,
+           rv - bv > 0 AS jump_positive
+    FROM m
+    """
+
+
+@_register("ticks_bipower_variation", _bipower_oracle())
+def ticks_bipower_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipower variation (Barndorff-Nielsen & Shephard 2004) — the
+    jump-robust integrated-variance estimator BV = (π/2)·Σ|rₜ||rₜ₋₁|,
+    and the relative jump statistic (RV−BV)/RV that separates the jump
+    component from diffusive variance (the third leg of the vol family
+    next to ticks_tsrv and ticks_realized_kernel). One window sort, one
+    hash agg of exact integer sums: Σ|rₜ·rₜ₋₁| is exact because the
+    cent-grid product is integer and |·| commutes with the integer
+    product; only the final (π/2)-scale and ratio are float ops, on
+    identical doubles in fixed order."""
+    from pyspark.sql import Window
+
+    half_pi = 1.5707963267948966
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("ts"), F.col("event_id"))
+    r = t.withColumn(
+        "r0",
+        F.floor((F.col("value") - F.lag("value", 1).over(w)) * 100 + F.lit(0.5)),
+    )
+    rl = r.select("symbol", "r0", F.lag("r0", 1).over(w).alias("r1"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = rl.groupBy("symbol").agg(
+        F.count("r0").alias("n_returns"),
+        F.sum(dec(F.col("r0")) * dec(F.col("r0"))).cast("double").alias("srr"),
+        F.sum(F.abs(dec(F.col("r0")) * dec(F.col("r1"))))
+        .cast("double")
+        .alias("sabs"),
+    )
+    m = s.select(
+        "symbol",
+        "n_returns",
+        (F.col("srr") / 1e4).alias("rv"),
+        ((F.lit(half_pi) * F.col("sabs")) / 1e4).alias("bv"),
+    )
+    return m.select(
+        "symbol",
+        "n_returns",
+        (F.floor(F.col("rv") * 1e6 + F.lit(0.5)) / 1e6).alias("rv_q6"),
+        (F.floor(F.col("bv") * 1e6 + F.lit(0.5)) / 1e6).alias("bv_q6"),
+        F.when(
+            F.col("rv") > 0,
+            F.floor((F.col("rv") - F.col("bv")) / F.col("rv") * 1e6 + F.lit(0.5))
+            / 1e6,
+        ).alias("rel_jump_q6"),
+        (F.col("rv") - F.col("bv") > 0).alias("jump_positive"),
+    )

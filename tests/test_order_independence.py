@@ -101,6 +101,8 @@ HARDENED = [
     "ticks_ou_half_life",
     "ticks_realized_kernel",
     "events_benford_test",
+    "ticks_bipower_variation",
+    "doc_ngram_novelty",
 ]
 
 

@@ -647,6 +647,9 @@ _SCAN_BUDGETS = {
     "ticks_realized_kernel": 1,
     "events_benford_test": 1,
     "ml_anomaly_scores_ae": 0,
+    "ticks_bipower_variation": 1,
+    "doc_ngram_novelty": 2,  # shingle stream feeds doc side + distinct ref side
+
     # r7 (judge item: pin EVERY bench.py headline row, not just the
     # audited fixes): budgets are the audited plan shapes — TPC-H reads
     # one scan per joined table, single-table ops read once, the ANN
