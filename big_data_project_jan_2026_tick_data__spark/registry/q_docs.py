@@ -3103,9 +3103,10 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-trained-on corpus). Shingles ride the shared portable
     md5-token + polynomial-mixing path (no shingle strings
     materialized); the reference set is distinct-deduped BEFORE the
-    join (broadcast — reference vocab is the small side at any corpus
-    scale where it fits; at 100 TB swap to a shuffle join on the hash,
-    same semantics); novelty is an exact integer ratio."""
+    join and the strategy is left to AQE — it broadcasts while the
+    reference fits and falls back to a shuffle hash join on the shingle
+    key when a 100 TB reference doesn't (a forced broadcast hint would
+    OOM the driver there); novelty is an exact integer ratio."""
     docs = _td(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
@@ -3117,7 +3118,7 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         sh.filter(F.col("doc_id") >= 100)
-        .join(F.broadcast(ref), "h", "left")
+        .join(ref, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
