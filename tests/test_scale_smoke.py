@@ -816,3 +816,47 @@ def test_streaming_session_pipeline_throughput(spark):
     print(f"SCALE scorer median {median2:,.0f} rows/s")
     assert median2 >= 50_000, f"stateful scorer fell to {median2:,.0f} rows/s"
     assert state2 and max(state2) <= 2_000, state2
+
+
+def test_ngram_novelty_300k_docs(spark, big_docs):
+    """Novelty scoring at 300k docs: the distinct-shingle stream + the
+    AQE-chosen reference join must stay join-shaped (no cartesian, no
+    driver collect) and finish in bounded wall time. big_docs shares one
+    text across each run of 10 consecutive ids, so reference = the FIRST
+    member of every EVEN group makes the remaining even-group members
+    ZERO-novel while odd-group docs (500-word vocab, ~1e8 possible
+    3-grams, reference covers ~1e5) stay essentially fully novel — both
+    ends of the ratio are exercised at scale."""
+    import time
+
+    from big_data_project_jan_2026_tick_data__spark.operators import dedup
+
+    sh = big_docs.select(
+        "doc_id",
+        F.explode(dedup.shingle_hashes("text", 3)).alias("h"),
+    ).distinct()
+    ref = (
+        sh.filter(F.col("doc_id") % 20 == 0).select("h").distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    t0 = time.time()
+    scored = (
+        sh.filter(F.col("doc_id") % 20 != 0)
+        .join(ref, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).alias("n_novel"),
+        )
+        .localCheckpoint()
+    )
+    n = scored.count()
+    dt = time.time() - t0
+    assert n == 285_000
+    assert dt < 180, f"novelty at 300k docs took {dt:.0f}s"
+    # even-group non-reference members duplicate a reference doc: zero novel
+    evens = scored.filter((F.col("doc_id") / 10).cast("long") % 2 == 0)
+    assert evens.filter(F.col("n_novel") > 0).count() == 0
+    # odd-group docs never appear in the reference: almost all shingles novel
+    odds = scored.filter((F.col("doc_id") / 10).cast("long") % 2 == 1)
+    assert odds.filter(F.col("n_novel") == 0).count() == 0

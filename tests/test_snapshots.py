@@ -681,3 +681,35 @@ def test_publish_branch_fast_forwards_main(spark, table):
     table.create_tag("t1")
     with pytest.raises(ValueError, match="publish a branch"):
         table.publish_branch("t1")
+
+
+def test_branch_write_retries_after_ref_race(spark, tmp_path):
+    """write_to_branch's optimistic loop: when another writer advances
+    the branch ref between this writer's snapshot attach and its ref
+    bump, the loser re-attaches against the NEW branch head and retries
+    — the winner's rows are included in the loser's final branch state
+    (the same commit-loop contract as main writes, arbitrated by the
+    exclusive-create ref bump)."""
+    root = str(tmp_path / "bretry")
+    w1 = SnapshotTable(spark, root)
+    w2 = SnapshotTable(spark, root)
+    w1.write(_df(spark, 0, 5), mode="append")
+    w1.create_branch("exp")
+
+    orig = w1._bump_ref
+    state = {"raced": False}
+
+    def racy(name, snapshot_id, rtype, seq):
+        if not state["raced"]:
+            state["raced"] = True
+            w2.write_to_branch(_df(spark, 100, 104), "exp")  # winner
+        orig(name, snapshot_id, rtype, seq)
+
+    w1._bump_ref = racy
+    snap = w1.write_to_branch(_df(spark, 5, 8), "exp")
+    # loser chained on the winner's head: fork(5) + winner(4) + loser(3)
+    assert snap.summary["ref"] == "exp"
+    assert w1.read(ref="exp").count() == 12
+    assert snap.summary["total-records"] == "12"
+    # main untouched throughout
+    assert w1.read().count() == 5
