@@ -3136,3 +3136,103 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("novelty_q6"),
     )
+
+
+def _ngram_coverage_oracle(n: int = 3) -> str:
+    """Generated oracle for doc_ngram_coverage: each distinct shingle
+    hash is attributed to its FIRST document (min doc_id), per-doc new
+    counts, plain window cumsum (DuckDB is single-node — the Spark side
+    uses the range-partitioned global_cumsum, same values), Heaps-law
+    coverage ratio as an exact integer division."""
+    from ..operators.dedup import _P31
+
+    K = 1000003
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array({_norm_sql('text')}, ' ') AS toks
+      FROM documents),
+    th AS (
+      SELECT doc_id,
+             list_transform(toks,
+               t -> CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT)) AS th
+      FROM norm),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT doc_id,
+               CASE WHEN len(th) < {n}
+                    THEN [list_reduce(th, (a, b) -> (a * {K} + b) % {_P31})]
+                    ELSE list_transform(range(1, len(th) - 1),
+                      i -> ((th[i] * {K} + th[i + 1]) % {_P31} * {K}
+                            + th[i + 2]) % {_P31})
+               END AS hs
+        FROM th) t, UNNEST(t.hs) AS u(h)),
+    firsts AS (
+      SELECT h, min(doc_id) AS doc_id FROM sh GROUP BY h),
+    per_doc AS (
+      SELECT s.doc_id,
+             count(*) AS n_shingles,
+             CAST(sum(CASE WHEN f.doc_id = s.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new
+      FROM sh s JOIN firsts f ON s.h = f.h
+      GROUP BY s.doc_id),
+    cum AS (
+      SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_new,
+             CAST(sum(n_new) OVER (ORDER BY doc_id) AS BIGINT)
+               AS cum_distinct,
+             CAST(sum(n_shingles) OVER (ORDER BY doc_id) AS BIGINT)
+               AS cum_total
+      FROM per_doc)
+    SELECT doc_id, n_shingles, n_new, cum_distinct,
+           FLOOR(cum_distinct * 1.0 / cum_total * 1e6 + 0.5) / 1e6
+             AS coverage_q6
+    FROM cum
+    """
+
+
+@_register("doc_ngram_coverage", _ngram_coverage_oracle())
+def doc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve over the corpus in doc_id
+    order: per document, how many of its distinct word-3-grams are NEW
+    to the corpus so far, the running distinct total, and the
+    distinct/total coverage ratio — the scaling-law diagnostic behind
+    dedup planning (a flattening curve says additional data is mostly
+    repeats) and tokenizer-vocab sizing. First-occurrence attribution is
+    one min-aggregate over the shared portable shingle-hash stream; the
+    running totals use ``stats.global_cumsum`` (range-partitioned prefix
+    sums + driver-side offsets — NEVER a single-partition window over
+    the corpus-sized per-doc table); the ratio is an exact integer
+    division."""
+    from ..operators import stats as stats_ops
+
+    docs = _td(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(dedup.shingle_hashes("text", 3, token_hash="md5")).alias("h"),
+    ).distinct()
+    firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    cum1 = stats_ops.global_cumsum(per_doc, ["doc_id"], "n_new")
+    cum2 = stats_ops.global_cumsum(cum1, ["doc_id"], "n_shingles")
+    return cum2.select(
+        "doc_id",
+        "n_shingles",
+        "n_new",
+        F.col("cum_n_new").cast("long").alias("cum_distinct"),
+        (
+            F.floor(
+                F.col("cum_n_new") * 1.0 / F.col("cum_n_shingles") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("coverage_q6"),
+    )

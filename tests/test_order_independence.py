@@ -103,6 +103,7 @@ HARDENED = [
     "events_benford_test",
     "ticks_bipower_variation",
     "doc_ngram_novelty",
+    "doc_ngram_coverage",
 ]
 
 

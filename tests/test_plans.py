@@ -649,6 +649,7 @@ _SCAN_BUDGETS = {
     "ml_anomaly_scores_ae": 0,
     "ticks_bipower_variation": 1,
     "doc_ngram_novelty": 2,  # shingle stream feeds doc side + distinct ref side
+    "doc_ngram_coverage": 2,  # shingle stream feeds per-doc side + first-occurrence agg
 
     # r7 (judge item: pin EVERY bench.py headline row, not just the
     # audited fixes): budgets are the audited plan shapes — TPC-H reads
