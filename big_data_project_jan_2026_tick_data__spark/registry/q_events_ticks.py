@@ -4102,3 +4102,195 @@ def ticks_bipower_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rel_jump_q6"),
         (F.col("rv") - F.col("bv") > 0).alias("jump_positive"),
     )
+
+
+@_register(
+    "events_runs_test",
+    """
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, event_id, value
+      FROM events),
+    r AS (
+      SELECT symbol, ts, event_id,
+             CAST(FLOOR((value - lag(value, 1) OVER w) * 100 + 0.5) AS BIGINT) AS r0
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+    s AS (
+      SELECT symbol, ts, event_id,
+             CASE WHEN r0 > 0 THEN 1 WHEN r0 < 0 THEN -1 END AS sgn
+      FROM r WHERE r0 IS NOT NULL AND r0 != 0),
+    runs AS (
+      SELECT symbol, sgn,
+             CASE WHEN lag(sgn) OVER w IS NULL OR lag(sgn) OVER w != sgn
+                  THEN 1 ELSE 0 END AS new_run
+      FROM s WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+    agg AS (
+      SELECT symbol,
+             CAST(sum(new_run) AS BIGINT) AS n_runs,
+             CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+             CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+      FROM runs GROUP BY symbol),
+    z AS (
+      SELECT symbol, n_runs, n_up, n_down,
+             CAST(n_up + n_down AS DOUBLE) AS n,
+             2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+               / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) + 1.0 AS e_runs
+      FROM agg WHERE n_up > 0 AND n_down > 0),
+    v AS (
+      SELECT symbol, n_runs, n_up, n_down, e_runs,
+             (e_runs - 1.0) * (e_runs - 2.0) / (n - 1.0) AS var_runs
+      FROM z)
+    SELECT symbol, n_runs, n_up, n_down,
+           FLOOR(e_runs * 1e6 + 0.5) / 1e6 AS e_runs_q6,
+           CASE WHEN var_runs > 0
+                THEN FLOOR((CAST(n_runs AS DOUBLE) - e_runs) / sqrt(var_runs)
+                           * 1e6 + 0.5) / 1e6 END AS z_q6,
+           CASE WHEN var_runs > 0
+                THEN abs((CAST(n_runs AS DOUBLE) - e_runs) / sqrt(var_runs))
+                     > 1.959963984540054e0 END AS reject_random
+    FROM v
+    """,
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the sign sequence of per-symbol
+    returns — the nonparametric randomness screen (too FEW runs =
+    trending, too MANY = mean-reverting beyond chance): runs counted by
+    sign-change boundaries (one window pass over the cent-grid return
+    signs, zero returns excluded as in the classic two-sample form),
+    E[R] = 2n₊n₋/(n₊+n₋)+1, Var[R] = (E−1)(E−2)/(n−1), z against the
+    two-sided 95% normal critical value. Counts are exact integers;
+    E/Var/z are fixed-order float chains on identical doubles (the
+    critical value is a frozen literal)."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("ts"), F.col("event_id"))
+    r = t.withColumn(
+        "r0",
+        F.floor((F.col("value") - F.lag("value", 1).over(w)) * 100 + F.lit(0.5)),
+    )
+    s = r.filter(F.col("r0").isNotNull() & (F.col("r0") != 0)).withColumn(
+        "sgn", F.when(F.col("r0") > 0, 1).otherwise(-1)
+    )
+    runs = s.withColumn(
+        "new_run",
+        F.when(
+            F.lag("sgn").over(w).isNull() | (F.lag("sgn").over(w) != F.col("sgn")),
+            1,
+        ).otherwise(0),
+    )
+    agg = runs.groupBy("symbol").agg(
+        F.sum("new_run").cast("long").alias("n_runs"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).cast("long").alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+    ).filter((F.col("n_up") > 0) & (F.col("n_down") > 0))
+    z = agg.select(
+        "symbol",
+        "n_runs",
+        "n_up",
+        "n_down",
+        (F.col("n_up") + F.col("n_down")).cast("double").alias("n"),
+        (
+            F.lit(2.0)
+            * F.col("n_up").cast("double")
+            * F.col("n_down").cast("double")
+            / (F.col("n_up").cast("double") + F.col("n_down").cast("double"))
+            + F.lit(1.0)
+        ).alias("e_runs"),
+    )
+    v = z.withColumn(
+        "var_runs",
+        (F.col("e_runs") - 1.0) * (F.col("e_runs") - 2.0) / (F.col("n") - 1.0),
+    )
+    zexpr = (F.col("n_runs").cast("double") - F.col("e_runs")) / F.sqrt(
+        F.col("var_runs")
+    )
+    return v.select(
+        "symbol",
+        "n_runs",
+        "n_up",
+        "n_down",
+        (F.floor(F.col("e_runs") * 1e6 + F.lit(0.5)) / 1e6).alias("e_runs_q6"),
+        F.when(
+            F.col("var_runs") > 0, F.floor(zexpr * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("z_q6"),
+        F.when(
+            F.col("var_runs") > 0,
+            F.abs(zexpr) > F.lit(1.959963984540054),
+        ).alias("reject_random"),
+    )
+
+
+@_register(
+    "events_gini_engagement",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id),
+    r AS (
+      SELECT user_id, n_events,
+             row_number() OVER (ORDER BY n_events ASC, user_id ASC) AS rk
+      FROM u),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_events) AS BIGINT) AS total,
+             CAST(sum(CAST(rk AS HUGEINT) * n_events) AS BIGINT) AS rank_mass
+      FROM r)
+    SELECT n, total,
+           FLOOR((2.0 * CAST(rank_mass AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS gini_q6
+    FROM s
+    """,
+)
+def events_gini_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event activity — the
+    inequality-of-engagement metric behind power-user concentration and
+    data-source skew audits (and, over per-document token counts, the
+    corpus-contribution version): G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n over
+    values sorted ascending with a unique (count, user_id) total order.
+    The rank-mass Σ i·xᵢ is exact integer arithmetic (rank via one
+    global-sort window over the per-user AGGREGATE — #users rows; at
+    100 TB swap the row_number for the global_cumsum rank, same
+    algebra); the final formula is one fixed-order float chain on two
+    exact integers."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    # window without partitionBy: over the per-USER aggregate, whose
+    # cardinality is the user dimension, not the event stream — the
+    # accepted aggregate-table exception (see playbook); the 100 TB
+    # upgrade is stats.global_cumsum on the same total order
+    rk = u.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("n_events").asc(), F.col("user_id").asc())
+        ),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").cast("long").alias("total"),
+        F.sum(dec(F.col("rk")) * dec(F.col("n_events")))
+        .cast("long")
+        .alias("rank_mass"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("rank_mass").cast("double")
+        / (F.col("n").cast("double") * F.col("total").cast("double"))
+        - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n").cast("double")
+    )
+    return s.select(
+        "n",
+        "total",
+        (F.floor(gini * 1e6 + F.lit(0.5)) / 1e6).alias("gini_q6"),
+    )

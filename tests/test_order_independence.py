@@ -104,6 +104,8 @@ HARDENED = [
     "ticks_bipower_variation",
     "doc_ngram_novelty",
     "doc_ngram_coverage",
+    "events_runs_test",
+    "events_gini_engagement",
 ]
 
 

@@ -650,6 +650,8 @@ _SCAN_BUDGETS = {
     "ticks_bipower_variation": 1,
     "doc_ngram_novelty": 2,  # shingle stream feeds doc side + distinct ref side
     "doc_ngram_coverage": 2,  # shingle stream feeds per-doc side + first-occurrence agg
+    "events_runs_test": 1,
+    "events_gini_engagement": 1,
 
     # r7 (judge item: pin EVERY bench.py headline row, not just the
     # audited fixes): budgets are the audited plan shapes — TPC-H reads
