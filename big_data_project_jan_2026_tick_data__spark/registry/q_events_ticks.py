@@ -4294,3 +4294,134 @@ def events_gini_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         (F.floor(gini * 1e6 + F.lit(0.5)) / 1e6).alias("gini_q6"),
     )
+
+
+def _variance_ratio_oracle(qs=(2, 4)) -> str:
+    """Generated oracle for ticks_variance_ratio: cent-grid returns,
+    OVERLAPPING q-period sums via rolling windows (integer), exact
+    integer first/second moments per horizon, population variances and
+    VR(q) as fixed-order float chains on identical doubles."""
+    outs = ",\n           ".join(
+        f"CASE WHEN v1 > 0 THEN FLOOR(v{q} / ({q} * v1) * 1e6 + 0.5) / 1e6 END"
+        f" AS vr{q}_q6"
+        for q in qs if q != 1
+    )
+    all_qs = sorted({1, *qs})
+    roll_all = ",\n             ".join(
+        f"CAST(sum(r0) OVER (PARTITION BY symbol ORDER BY ts, event_id "
+        f"ROWS BETWEEN {q - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS rq{q},\n"
+        f"             CASE WHEN row_number() OVER (PARTITION BY symbol "
+        f"ORDER BY ts, event_id) >= {q} THEN 1 ELSE 0 END AS ok{q}"
+        for q in all_qs
+    )
+    sums_all = ",\n             ".join(
+        f"CAST(sum(CASE WHEN ok{q} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n{q},\n"
+        f"             CAST(sum(CASE WHEN ok{q} = 1 THEN rq{q} END) AS BIGINT) AS s{q},\n"
+        f"             CAST(sum(CASE WHEN ok{q} = 1 "
+        f"THEN CAST(rq{q} AS HUGEINT) * rq{q} END) AS BIGINT) AS ss{q}"
+        for q in all_qs
+    )
+    vars_all = ",\n             ".join(
+        f"(CAST(n{q} AS DOUBLE) * CAST(ss{q} AS DOUBLE)"
+        f" - CAST(s{q} AS DOUBLE) * CAST(s{q} AS DOUBLE))"
+        f" / (CAST(n{q} AS DOUBLE) * CAST(n{q} AS DOUBLE)) AS v{q}"
+        for q in all_qs
+    )
+    return f"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, event_id, value
+      FROM events),
+    r AS (
+      SELECT symbol, ts, event_id,
+             CAST(FLOOR((value - lag(value, 1) OVER w) * 100 + 0.5) AS BIGINT) AS r0
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+    rr AS (SELECT * FROM r WHERE r0 IS NOT NULL),
+    q AS (
+      SELECT symbol, ts, event_id,
+             {roll_all}
+      FROM rr),
+    s AS (
+      SELECT symbol,
+             {sums_all}
+      FROM q GROUP BY symbol),
+    v AS (
+      SELECT symbol, n1 AS n_returns,
+             {vars_all}
+      FROM s)
+    SELECT symbol, n_returns,
+           FLOOR(v1 * 1e6 + 0.5) / 1e6 AS var1_q6,
+           {outs}
+    FROM v
+    """
+
+
+@_register("ticks_variance_ratio", _variance_ratio_oracle())
+def ticks_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (1988) at horizons q=2,4 — the
+    random-walk diagnostic (VR≈1 random walk, VR>1 trending/momentum,
+    VR<1 mean reversion) complementing the runs test and Ljung-Box in
+    the market-efficiency battery. Overlapping q-period returns are
+    ROLLING WINDOW SUMS of the cent-grid 1-period returns (integers —
+    exact), each horizon's population variance comes from exact integer
+    first/second moments (decimal/HUGEINT accumulators), and
+    VR(q) = Var_q / (q·Var₁) is one fixed-order float chain. One window
+    sort carries all horizons; one hash agg."""
+    from pyspark.sql import Window
+
+    qs = (2, 4)
+    all_qs = sorted({1, *qs})
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("ts"), F.col("event_id"))
+    r = t.withColumn(
+        "r0",
+        F.floor((F.col("value") - F.lag("value", 1).over(w)) * 100 + F.lit(0.5)),
+    ).filter(F.col("r0").isNotNull())
+    cols = [F.col("symbol")]
+    for q in all_qs:
+        wq = w.rowsBetween(-(q - 1), 0)
+        cols.append(F.sum("r0").over(wq).cast("long").alias(f"rq{q}"))
+        cols.append(
+            F.when(F.row_number().over(w) >= q, 1).otherwise(0).alias(f"ok{q}")
+        )
+    qdf = r.select(*cols)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = []
+    for q in all_qs:
+        ok = F.col(f"ok{q}") == 1
+        rq = F.when(ok, F.col(f"rq{q}"))
+        aggs += [
+            F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias(f"n{q}"),
+            F.sum(rq).cast("long").alias(f"s{q}"),
+            F.sum(dec(rq) * dec(rq)).cast("long").alias(f"ss{q}"),
+        ]
+    s = qdf.groupBy("symbol").agg(*aggs)
+    vcols = [F.col("symbol"), F.col("n1").alias("n_returns")]
+    for q in all_qs:
+        d = lambda c: F.col(c).cast("double")  # noqa: E731
+        vcols.append(
+            (
+                (d(f"n{q}") * d(f"ss{q}") - d(f"s{q}") * d(f"s{q}"))
+                / (d(f"n{q}") * d(f"n{q}"))
+            ).alias(f"v{q}")
+        )
+    v = s.select(*vcols)
+    out = [
+        F.col("symbol"),
+        F.col("n_returns"),
+        (F.floor(F.col("v1") * 1e6 + F.lit(0.5)) / 1e6).alias("var1_q6"),
+    ]
+    for q in qs:
+        out.append(
+            F.when(
+                F.col("v1") > 0,
+                F.floor(F.col(f"v{q}") / (q * F.col("v1")) * 1e6 + F.lit(0.5))
+                / 1e6,
+            ).alias(f"vr{q}_q6")
+        )
+    return v.select(*out)

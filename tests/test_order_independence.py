@@ -106,6 +106,7 @@ HARDENED = [
     "doc_ngram_coverage",
     "events_runs_test",
     "events_gini_engagement",
+    "ticks_variance_ratio",
 ]
 
 

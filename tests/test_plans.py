@@ -652,6 +652,7 @@ _SCAN_BUDGETS = {
     "doc_ngram_coverage": 2,  # shingle stream feeds per-doc side + first-occurrence agg
     "events_runs_test": 1,
     "events_gini_engagement": 1,
+    "ticks_variance_ratio": 1,
 
     # r7 (judge item: pin EVERY bench.py headline row, not just the
     # audited fixes): budgets are the audited plan shapes — TPC-H reads
