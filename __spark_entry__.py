@@ -41,10 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     (events_ljung_box, ticks_ou_half_life, ticks_realized_kernel,
 #     events_benford_test, snapshot_branching, doc_ngram_novelty,
 #     ticks_bipower_variation, doc_ngram_coverage, events_runs_test,
-#     events_gini_engagement, ticks_variance_ratio) — slots 9-19;
-# (c) oldest-verdict rotation fills 20-50: every r1-verdicted row (15)
-#     and the r2-verdicted rows (15 of 26 — tpch_q2/q7/q8/q9/q15/q16/
-#     q17/q19/q20/q21/q22 defer past the boundary; q9/q21 are bench
+#     events_gini_engagement, ticks_variance_ratio,
+#     emb_intrinsic_dim) — slots 9-20;
+# (c) oldest-verdict rotation fills 21-50: every r1-verdicted row (15)
+#     and the r2-verdicted rows (14 of 26 — tpch_q2/q7/q8/q9/q13/q15/
+#     q16/q17/q19/q20/q21/q22 defer past the boundary; q9/q21 are bench
 #     headlines exercised and plan-pinned every round, the rest are
 #     SQL-shape rows
 #     green in every local sweep including today's hostile-layout
@@ -73,6 +74,7 @@ _ADJUDICATION_PRIORITY = [
     "events_runs_test",
     "events_gini_engagement",
     "ticks_variance_ratio",
+    "emb_intrinsic_dim",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
@@ -102,9 +104,9 @@ _ADJUDICATION_PRIORITY = [
     "tpch_q10_returned_items",
     "tpch_q11_important_parts",
     "tpch_q12_shipmode_buckets",
-    "tpch_q13_customer_distribution",
     "asof_purchase_last_click",
     # ---- ~50-slot window boundary; r10 queue from here (r3-era tail) ----
+    "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_count",
     "tpch_q17_small_quantity_revenue",

@@ -1664,3 +1664,110 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the ranked join entirely in SQL."""
     emb = _td(spark, sf_dir, "embeddings")
     return similarity.pq_topk(emb, m=2, ksub=8, iters=2, n_queries=5, top_k=5)
+
+
+def _twonn_oracle(n_queries: int = 50) -> str:
+    """Generated oracle for emb_intrinsic_dim: brute-force q6 cosine
+    ranks (the proven emb_cosine_topk recipe), per-query μ = (1−c₂)/
+    (1−c₁) snapped to 1e-9, detmath ln summed on an exact integer grid,
+    MLE d̂ = n/Σln μ as one fixed-order division."""
+    from ..functions import detmath
+
+    ln_mu = detmath.det_ln_pos_sql("mu_q9", "duckdb", assume_ge_1=True)
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < {n_queries}),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+    ranked AS (
+      SELECT q.query_id, c.vec_id,
+             ROUND(list_cosine_similarity(c.cvec, q.qvec), 6) AS cosine,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY ROUND(list_cosine_similarity(c.cvec, q.qvec), 6) DESC,
+                                         c.vec_id) AS rank
+      FROM c, q),
+    piv AS (
+      SELECT query_id,
+             MAX(CASE WHEN rank = 2 THEN cosine END) AS c1,
+             MAX(CASE WHEN rank = 3 THEN cosine END) AS c2
+      FROM ranked WHERE rank IN (2, 3) GROUP BY query_id),
+    mu AS (
+      SELECT query_id,
+             CASE WHEN 1.0 - c1 > 0
+                  THEN FLOOR((1.0 - c2) / (1.0 - c1) * 1e9 + 0.5) / 1e9 END
+               AS mu_q9
+      FROM piv),
+    l AS (
+      SELECT query_id,
+             CAST(FLOOR({ln_mu} * 1e9 + 0.5) AS BIGINT) AS l9
+      FROM mu WHERE mu_q9 IS NOT NULL AND mu_q9 > 1.0),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_used,
+             CAST(sum(l9) AS BIGINT) AS s9
+      FROM l)
+    SELECT n_used,
+           FLOOR(CAST(s9 AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS sum_ln_mu_q6,
+           FLOOR(CAST(n_used AS DOUBLE) / (CAST(s9 AS DOUBLE) / 1e9)
+                 * 1e4 + 0.5) / 1e4 AS intrinsic_dim_q4
+    FROM s
+    """
+
+
+@_register("emb_intrinsic_dim", _twonn_oracle())
+def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) over the
+    embedding corpus — the manifold-dimension diagnostic a curation
+    pipeline runs before choosing ANN parameters or PCA/PQ budgets
+    (embeddings that live on a d≪D manifold index far more cheaply).
+    For each of the first 50 vectors, μ = (1−cos₂)/(1−cos₁) over its two
+    nearest non-self neighbors (q6 cosines from the proven brute-force
+    rank recipe; exact-duplicate queries with cos₁ = 1 are excluded as
+    μ-undefined, and μ snaps to 1e-9 before the detmath ln so both
+    engines feed the transcendental identical doubles); MLE
+    d̂ = n/Σ ln μ with the per-query log-likelihoods summed on an exact
+    1e-9 integer grid (order-free). Probe side broadcasts; the corpus is
+    scanned once — the emb_cosine_topk plan shape with a 3-deep rank
+    cut."""
+    from ..functions import detmath
+
+    emb = _td(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = similarity.brute_force_topk(emb, queries, k=3)
+    piv = (
+        topk.filter(F.col("rank").isin(2, 3))
+        .groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rank") == 2, F.col("cosine"))).alias("c1"),
+            F.max(F.when(F.col("rank") == 3, F.col("cosine"))).alias("c2"),
+        )
+    )
+    mu = piv.select(
+        "query_id",
+        F.when(
+            F.lit(1.0) - F.col("c1") > 0,
+            F.floor((F.lit(1.0) - F.col("c2")) / (F.lit(1.0) - F.col("c1")) * 1e9 + F.lit(0.5))
+            / 1e9,
+        ).alias("mu_q9"),
+    ).filter(F.col("mu_q9").isNotNull() & (F.col("mu_q9") > 1.0))
+    lnmu = F.expr(detmath.det_ln_pos_sql("mu_q9", "spark", assume_ge_1=True))
+    l = mu.select(F.floor(lnmu * 1e9 + F.lit(0.5)).cast("long").alias("l9"))
+    s = l.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum("l9").cast("long").alias("s9"),
+    )
+    return s.select(
+        "n_used",
+        (F.floor(F.col("s9").cast("double") / 1e9 * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "sum_ln_mu_q6"
+        ),
+        (
+            F.floor(
+                F.col("n_used").cast("double")
+                / (F.col("s9").cast("double") / 1e9)
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("intrinsic_dim_q4"),
+    )

@@ -107,6 +107,7 @@ HARDENED = [
     "events_runs_test",
     "events_gini_engagement",
     "ticks_variance_ratio",
+    "emb_intrinsic_dim",
 ]
 
 
