@@ -42,12 +42,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     events_benford_test, snapshot_branching, doc_ngram_novelty,
 #     ticks_bipower_variation, doc_ngram_coverage, events_runs_test,
 #     events_gini_engagement, ticks_variance_ratio,
-#     emb_intrinsic_dim) — slots 9-20;
-# (c) oldest-verdict rotation fills 21-50: every r1-verdicted row (15)
-#     and the r2-verdicted rows (14 of 26 — tpch_q2/q7/q8/q9/q13/q15/
-#     q16/q17/q19/q20/q21/q22 defer past the boundary; q9/q21 are bench
-#     headlines exercised and plan-pinned every round, the rest are
-#     SQL-shape rows
+#     emb_intrinsic_dim, stats_orc_roundtrip) — slots 9-21;
+# (c) oldest-verdict rotation fills 22-50: every r1-verdicted row (15)
+#     and the r2-verdicted rows (13 of 26 — tpch_q2/q7/q8/q9/q12/q13/
+#     q15/q16/q17/q19/q20/q21/q22 defer past the boundary; q9/q21 are
+#     bench headlines exercised and plan-pinned every round, the rest
+#     are SQL-shape rows
 #     green in every local sweep including today's hostile-layout
 #     3-partition/1MB sf0.01 sweep) — after this window no adjudicated
 #     verdict predates r2, and the deferred rows + the r3-era tail are
@@ -75,6 +75,7 @@ _ADJUDICATION_PRIORITY = [
     "events_gini_engagement",
     "ticks_variance_ratio",
     "emb_intrinsic_dim",
+    "stats_orc_roundtrip",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
@@ -103,9 +104,9 @@ _ADJUDICATION_PRIORITY = [
     "part_name_tokens",
     "tpch_q10_returned_items",
     "tpch_q11_important_parts",
-    "tpch_q12_shipmode_buckets",
     "asof_purchase_last_click",
     # ---- ~50-slot window boundary; r10 queue from here (r3-era tail) ----
+    "tpch_q12_shipmode_buckets",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_count",

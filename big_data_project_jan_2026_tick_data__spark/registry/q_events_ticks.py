@@ -4425,3 +4425,50 @@ def ticks_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"vr{q}_q6")
         )
     return v.select(*out)
+
+
+@_register(
+    "stats_orc_roundtrip",
+    """
+    WITH f AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE value > 50.0)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_sum
+    FROM f GROUP BY event_type
+    """,
+)
+def stats_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source through the driver contract (r9 — the
+    warehouse-interchange columnar format next to parquet): write the
+    events projection through io.write_orc (zstd), read it back with
+    io.read_orc, push a value filter down to the ORC scan, and digest
+    per event_type (exact integer counts / key sums / cent sums). The
+    oracle recomputes the digests straight from the parquet events
+    table, so any value mangled by the ORC encode/decode or a broken
+    pushdown breaks the hash. Read-back is materialized before the temp
+    dir is removed."""
+    import shutil
+    import tempfile
+
+    from ..sources.io import read_orc, write_orc
+
+    ev = _td(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    try:
+        write_orc(ev.select("event_id", "event_type", "value"), d)
+        back = read_orc(spark, d).filter(F.col("value") > 50.0)
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("key_sum"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -77,3 +77,31 @@ def test_wrong_typed_field_nulls_only_that_row(spark, tmpdir):
         f.write('{"doc_id": 7, "text": "fine"}\n')
     rows = read_jsonl(spark, path, SCHEMA).collect()
     assert {r.doc_id for r in rows} == {None, 7}
+
+
+def test_avro_env_gated(spark, tmp_path):
+    """Avro sink (r9): with the spark-avro package (SPARK_GRAFT_AVRO=1
+    rigs) a write/read roundtrip must preserve values; WITHOUT the jar —
+    this sandbox — the missing-datasource failure must surface as the
+    actionable RuntimeError. Either branch asserts, so the error
+    contract is proven while the integration stays a recorded skip."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from big_data_project_jan_2026_tick_data__spark.sources.io import write_avro
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    if os.environ.get("SPARK_GRAFT_AVRO") == "1":
+        write_avro(df, str(tmp_path / "a"))
+        back = spark.read.format("avro").load(str(tmp_path / "a"))
+        assert back.count() == 10
+    else:
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            write_avro(df, str(tmp_path / "a"))
+        _pytest.skip(
+            "recorded skip: no spark-avro jar in this environment — "
+            "missing-jar error contract asserted; set SPARK_GRAFT_AVRO=1 "
+            "on a rig with the package for the roundtrip"
+        )
