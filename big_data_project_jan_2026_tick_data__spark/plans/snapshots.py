@@ -708,6 +708,78 @@ class SnapshotTable:
         paths = [f"{self.root}/{d}" for d in snap.manifest]
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def read_incremental(self, from_id: int, to_id: int) -> DataFrame:
+        """Rows ADDED between two snapshots (exclusive, inclusive] — the
+        append-only incremental-consumption primitive (CDC-lite: a
+        downstream job reads only the new data dirs instead of diffing
+        full table states). Valid only when every snapshot on the walk
+        from ``from_id`` to ``to_id`` is an append on the same lineage —
+        an intervening overwrite/compact/rollback rewrites membership,
+        so the manifest difference would NOT equal the added rows; that
+        case raises and the caller falls back to a full diff."""
+        log = self._read_log()
+        by_id = {s.snapshot_id: s for s in log}
+        if from_id not in by_id or to_id not in by_id:
+            raise ValueError(f"unknown snapshot in ({from_id}, {to_id}]")
+        # walk parents from to_id back to from_id, asserting append-only
+        cur = by_id[to_id]
+        new_dirs: list[str] = []
+        while cur.snapshot_id != from_id:
+            if cur.operation not in ("append", "branch-append"):
+                raise ValueError(
+                    f"snapshot {cur.snapshot_id} is {cur.operation!r} — "
+                    "incremental read requires an append-only walk; read "
+                    "both versions and diff instead"
+                )
+            parent_manifest = (
+                set(by_id[cur.parent_snapshot_id].manifest)
+                if cur.parent_snapshot_id is not None
+                else set()
+            )
+            new_dirs.extend(d for d in cur.manifest if d not in parent_manifest)
+            if cur.parent_snapshot_id is None:
+                raise ValueError(
+                    f"snapshot {from_id} is not an ancestor of {to_id}"
+                )
+            cur = by_id[cur.parent_snapshot_id]
+        if not new_dirs:
+            return self.read(version=to_id).limit(0)
+        paths = [f"{self.root}/{d}" for d in new_dirs]
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def remove_orphaned_files(self, older_than_ms: int | None = None) -> dict:
+        """Storage hygiene (Iceberg ``remove_orphan_files``): delete
+        ``data/`` dirs no snapshot references and no WAP stage owns —
+        the debris of crashed writes and lost commit races (a loser's
+        data dir is written before its metadata attach). ``older_than_ms``
+        (epoch millis) protects dirs newer than the cutoff: an IN-FLIGHT
+        writer has written files whose commit hasn't landed yet —
+        deleting those corrupts its commit. Default: only dirs older
+        than 1 hour. Returns counts."""
+        import time as _time
+
+        cutoff = (
+            older_than_ms
+            if older_than_ms is not None
+            else int(_time.time() * 1000) - 3_600_000
+        )
+        live = {d for s in self._read_log() for d in s.manifest}
+        deleted = 0
+        kept_young = 0
+        data_root = f"{self.root}/data"
+        for name in self._hfs.list_names(data_root):
+            rel = f"data/{name}"
+            if rel in live:
+                continue
+            st = self._hfs.path(f"{data_root}/{name}")
+            mtime = self._hfs.fs.getFileStatus(st).getModificationTime()
+            if mtime >= cutoff:
+                kept_young += 1
+                continue
+            self._hfs.delete(f"{data_root}/{name}", recursive=True)
+            deleted += 1
+        return {"deleted_dirs": deleted, "kept_young_dirs": kept_young}
+
     def snapshots(self) -> DataFrame:
         """The ``$snapshots`` metadata relation (snapshot_id, parent,
         committed_at, operation, summary MAP) —

@@ -713,3 +713,41 @@ def test_branch_write_retries_after_ref_race(spark, tmp_path):
     assert snap.summary["total-records"] == "12"
     # main untouched throughout
     assert w1.read().count() == 5
+
+
+def test_read_incremental_appends_only(spark, table):
+    """read_incremental returns exactly the rows added on the append
+    walk (from, to]; an intervening overwrite refuses (membership was
+    rewritten, a manifest diff would lie)."""
+    s1 = table.write(_df(spark, 0, 5), mode="append")
+    s2 = table.write(_df(spark, 5, 12), mode="append")
+    s3 = table.write(_df(spark, 12, 15), mode="append")
+    inc = table.read_incremental(s1.snapshot_id, s3.snapshot_id)
+    assert {r.id for r in inc.select("id").collect()} == set(range(5, 15))
+    inc2 = table.read_incremental(s2.snapshot_id, s3.snapshot_id)
+    assert {r.id for r in inc2.select("id").collect()} == set(range(12, 15))
+    # same-snapshot window is empty
+    assert table.read_incremental(s3.snapshot_id, s3.snapshot_id).count() == 0
+    table.write(_df(spark, 0, 2), mode="overwrite")
+    s5 = table.write(_df(spark, 2, 4), mode="append")
+    with pytest.raises(ValueError, match="append-only"):
+        table.read_incremental(s1.snapshot_id, s5.snapshot_id)
+
+
+def test_remove_orphaned_files(spark, table, tmp_path):
+    """Orphan vacuum: a data dir written but never attached (crashed
+    write / lost race debris) is deleted once past the age cutoff; live
+    dirs and young orphans survive."""
+    table.write(_df(spark, 0, 10), mode="append")
+    # fabricate an orphan the way a crashed write would leave one
+    orphan = f"{table.root}/data/deadbeefcafe"
+    _df(spark, 100, 105).write.parquet(orphan)
+    import time as _t
+
+    res_young = table.remove_orphaned_files()  # default 1h cutoff
+    assert res_young == {"deleted_dirs": 0, "kept_young_dirs": 1}
+    res = table.remove_orphaned_files(older_than_ms=int(_t.time() * 1000) + 1000)
+    assert res["deleted_dirs"] == 1
+    # live data untouched, table still reads
+    assert table.read().count() == 10
+    assert not table._hfs.exists(orphan)
