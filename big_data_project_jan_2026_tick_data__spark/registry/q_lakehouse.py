@@ -930,3 +930,40 @@ def snapshot_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()  # materialize before tmpdir cleanup
     return spark.createDataFrame(rows, out.schema)
+
+
+@_register(
+    "snapshot_incremental_read",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS key_sum
+    FROM events WHERE event_id % 3 IN (1, 2)
+    GROUP BY event_type
+    """,
+)
+def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (append-diff) consumption (r9): three appends of the
+    %3-slices of events, then ``read_incremental(snap1, snap3)`` must
+    surface EXACTLY the rows of appends 2 and 3 — the CDC-lite contract
+    a downstream job relies on to avoid re-reading the whole table. The
+    oracle recomputes the expected slice digest straight from events;
+    any manifest-diff bug (missing dir, double-counted dir, parent-walk
+    error) breaks the hash."""
+    import tempfile
+
+    from ..plans.snapshots import SnapshotTable
+
+    ev = _td(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(spark, f"{d}/tbl")
+        s1 = t.write(ev.filter(F.col("event_id") % 3 == 0), mode="append")
+        t.write(ev.filter(F.col("event_id") % 3 == 1), mode="append")
+        s3 = t.write(ev.filter(F.col("event_id") % 3 == 2), mode="append")
+        inc = t.read_incremental(s1.snapshot_id, s3.snapshot_id)
+        out = inc.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("key_sum"),
+        )
+        rows = out.collect()  # materialize before tmpdir cleanup
+    return spark.createDataFrame(rows, out.schema)
