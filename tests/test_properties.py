@@ -1987,3 +1987,35 @@ def test_dup_spans_matches_python_interval_oracle(spark, docs):
             assert got.get(i, 0) == covered, (i, toks, got.get(i), covered)
         else:
             assert i not in got
+
+
+@given(
+    n=st.integers(min_value=3, max_value=40),
+    k=st.integers(min_value=2, max_value=6),
+    dim=st.integers(min_value=2, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@settings(**SETTINGS)
+def test_kmeans_parallel_init_invariants(spark, n, k, dim, seed):
+    """k-means|| seeding invariants under fuzzed corpora: returns
+    min(k, #distinct-enough points) seeds with DISTINCT ids, contiguous
+    sel_steps from 1, non-negative weights bounded by the corpus size,
+    and bit-identical output on a second run (no RNG by construction)."""
+    import random
+
+    from big_data_project_jan_2026_tick_data__spark.operators import similarity
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [round(rng.uniform(-5, 5), 3) for _ in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.kmeans_parallel_init(emb, k=k).collect()
+    assert 1 <= len(out) <= k
+    ids = [r.vec_id for r in out]
+    assert len(ids) == len(set(ids))
+    assert [r.sel_step for r in out] == list(range(1, len(out) + 1))
+    assert all(0 <= r.weight <= n for r in out)
+    again = similarity.kmeans_parallel_init(emb, k=k).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
