@@ -107,6 +107,7 @@ _ADJUDICATION_PRIORITY = [
     "asof_purchase_last_click",
     # ---- ~50-slot window boundary; r10 queue from here (r3-era tail) ----
     "snapshot_incremental_read",
+    "ticks_garman_klass",
     "tpch_q12_shipmode_buckets",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",

@@ -4472,3 +4472,144 @@ def stats_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _garman_klass_oracle() -> str:
+    """Generated oracle for ticks_garman_klass: the minute-bar OHLC
+    recipe (arg_min/arg_max on the padded ts||event_id string key — the
+    yang_zhang convention), LONG-format ratios so each stage carries ONE
+    detmath ln, per-bar GK terms snapped to 1e-12 and summed exactly,
+    daily sqrt guarded non-negative."""
+    ln = detmath.det_ln_pos_sql("ratio", "duckdb")
+    c_gk = detmath.dlit(2 * math.log(2.0) - 1.0)
+    return rf"""
+    WITH bars AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             CAST(ts AS DATE) AS day,
+             date_trunc('minute', ts) AS bar,
+             arg_min(value, lpad(CAST(epoch_ms(ts) AS VARCHAR), 14, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+             MAX(value) AS high,
+             MIN(value) AS low,
+             arg_max(value, lpad(CAST(epoch_ms(ts) AS VARCHAR), 14, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close
+      FROM events WHERE value > 0 GROUP BY 1, 2, 3),
+    ok AS (
+      SELECT * FROM bars
+      WHERE low > 0 AND open > 0 AND high >= low),
+    long AS (
+      SELECT symbol, day, bar, u.which, u.ratio
+      FROM ok, UNNEST([struct_pack(which := 'hl', ratio := high / low),
+                       struct_pack(which := 'co', ratio := close / open)])
+             AS t(u)),
+    lr AS (
+      SELECT symbol, day, bar, which, {ln} AS lnv
+      FROM long),
+    piv AS (
+      SELECT symbol, day, bar,
+             MAX(CASE WHEN which = 'hl' THEN lnv END) AS u,
+             MAX(CASE WHEN which = 'co' THEN lnv END) AS c
+      FROM lr GROUP BY symbol, day, bar),
+    terms AS (
+      SELECT symbol, day,
+             CAST(FLOOR((0.5e0 * (u * u) - {c_gk} * (c * c)) * 1e12 + 0.5)
+                  AS BIGINT) AS t12
+      FROM piv),
+    agg AS (
+      SELECT symbol, day, CAST(count(*) AS BIGINT) AS n_bars,
+             CAST(sum(t12) AS BIGINT) AS s12
+      FROM terms GROUP BY symbol, day)
+    SELECT symbol, day, n_bars,
+           CASE WHEN s12 >= 0
+                THEN FLOOR(sqrt((CAST(s12 AS DOUBLE) / 1e12) / n_bars)
+                           * 1e6 + 0.5) / 1e6 END AS gk_vol_q6
+    FROM agg
+    """
+
+
+@_register("ticks_garman_klass", _garman_klass_oracle())
+def ticks_garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Garman-Klass range-based volatility per (symbol, day) — the
+    OHLC estimator between Parkinson (range only) and Yang-Zhang
+    (drift+overnight): σ²_GK-bar = 0.5·ln²(H/L) − (2ln2−1)·ln²(C/O),
+    daily σ = √(mean of bar terms). Minute-bar OHLC uses the proven
+    arg_min/arg_max padded string key (deterministic first/last tick);
+    the two log-ratios go through the LONG format so each codegen stage
+    carries exactly ONE detmath ln expansion (the hurst 64 KB
+    discipline); per-bar terms snap to a 1e-12 integer grid and sum
+    exactly, so the daily mean is order-free. Negative daily sums (the
+    GK term can be negative bar-by-bar) yield NULL rather than a NaN
+    sqrt — mirrored in the oracle."""
+    ev = _td(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad((F.col("ts").cast("double") * 1000).cast("long").cast("string"), 14, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    bars = (
+        ev.filter(F.col("value") > 0)
+        .select(
+            F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+                "symbol"
+            ),
+            F.to_date("ts").alias("day"),
+            F.date_trunc("minute", F.col("ts")).alias("bar"),
+            "value",
+            key.alias("__k"),
+        )
+        .groupBy("symbol", "day", "bar")
+        .agg(
+            F.min_by("value", "__k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "__k").alias("close"),
+        )
+        .filter((F.col("low") > 0) & (F.col("open") > 0) & (F.col("high") >= F.col("low")))
+    )
+    long_df = bars.select(
+        "symbol",
+        "day",
+        "bar",
+        F.explode(
+            F.expr(
+                "array(struct('hl' AS which, high / low AS ratio), "
+                "struct('co' AS which, close / open AS ratio))"
+            )
+        ).alias("u"),
+    ).select(
+        "symbol", "day", "bar", F.col("u.which").alias("which"),
+        F.col("u.ratio").alias("ratio"),
+    ).withColumn("lnv", detmath.det_ln_pos("ratio"))
+    piv = long_df.groupBy("symbol", "day", "bar").agg(
+        F.max(F.when(F.col("which") == "hl", F.col("lnv"))).alias("u"),
+        F.max(F.when(F.col("which") == "co", F.col("lnv"))).alias("c"),
+    )
+    c_gk = F.lit(2 * math.log(2.0) - 1.0)
+    terms = piv.select(
+        "symbol",
+        "day",
+        F.floor(
+            (F.lit(0.5) * (F.col("u") * F.col("u")) - c_gk * (F.col("c") * F.col("c")))
+            * 1e12
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("t12"),
+    )
+    agg = terms.groupBy("symbol", "day").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.sum("t12").cast("long").alias("s12"),
+    )
+    return agg.select(
+        "symbol",
+        "day",
+        "n_bars",
+        F.when(
+            F.col("s12") >= 0,
+            F.floor(
+                F.sqrt((F.col("s12").cast("double") / 1e12) / F.col("n_bars"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        ).alias("gk_vol_q6"),
+    )

@@ -108,6 +108,7 @@ HARDENED = [
     "events_gini_engagement",
     "ticks_variance_ratio",
     "emb_intrinsic_dim",
+    "ticks_garman_klass",
 ]
 
 
