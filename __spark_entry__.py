@@ -108,6 +108,7 @@ _ADJUDICATION_PRIORITY = [
     # ---- ~50-slot window boundary; r10 queue from here (r3-era tail) ----
     "snapshot_incremental_read",
     "ticks_garman_klass",
+    "doc_flesch_reading_ease",
     "tpch_q12_shipmode_buckets",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",

@@ -3236,3 +3236,64 @@ def doc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("coverage_q6"),
     )
+
+
+@_register(
+    "doc_flesch_reading_ease",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words,
+             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS syllables
+      FROM documents),
+    ok AS (SELECT * FROM c WHERE words > 0)
+    SELECT doc_id,
+           CAST(sentences AS BIGINT) AS sentences,
+           CAST(words AS BIGINT) AS words,
+           CAST(syllables AS BIGINT) AS syllables,
+           FLOOR((206.835e0
+                  - 1.015e0 * (CAST(words AS DOUBLE) / sentences)
+                  - 84.6e0 * (CAST(syllables AS DOUBLE) / words))
+                 * 1e4 + 0.5) / 1e4 AS flesch_q4
+    FROM ok
+    """,
+)
+def doc_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score per document — the readability half of
+    a quality-filter stack (very low scores flag legalese/garbled text,
+    implausibly high ones flag word-soup): sentences = [.!?]+ groups,
+    words = [a-z0-9]+ tokens, syllables ≈ vowel-group count (the
+    standard regex approximation), 206.835 − 1.015·W/S − 84.6·Y/W. All
+    three counts are exact integers from ONE regexp pass each (no
+    tokenizer state), so the q4 score is a fixed-order float chain on
+    identical values — zero-sentence docs floor at 1 sentence, and the
+    (negative-capable) score quantizes at q4 per the magnitude rule."""
+    docs = _td(spark, sf_dir, "documents")
+    sentences = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    words = F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+    syllables = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    )
+    c = docs.select(
+        "doc_id",
+        sentences.cast("long").alias("sentences"),
+        words.cast("long").alias("words"),
+        syllables.cast("long").alias("syllables"),
+    ).filter(F.col("words") > 0)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences"))
+        - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words"))
+    )
+    return c.select(
+        "doc_id",
+        "sentences",
+        "words",
+        "syllables",
+        (F.floor(score * 1e4 + F.lit(0.5)) / 1e4).alias("flesch_q4"),
+    )

@@ -109,6 +109,7 @@ HARDENED = [
     "ticks_variance_ratio",
     "emb_intrinsic_dim",
     "ticks_garman_klass",
+    "doc_flesch_reading_ease",
 ]
 
 
