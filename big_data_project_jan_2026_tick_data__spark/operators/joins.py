@@ -288,3 +288,77 @@ def fuzzy_string_link(
         out.withColumn("match_rank", F.row_number().over(w))
         .filter(F.col("match_rank") == 1)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    extra: str = "true",
+    bucket_width: int = 3600_000_000,
+) -> DataFrame:
+    """Interval × interval overlap join, each overlapping pair exactly once.
+
+    Semantics: half-open intervals ``(start, end]`` on an integer axis
+    (epoch micros by convention); a pair matches iff
+    ``l.start < r.end AND r.start < l.end`` (plus ``extra``, a SQL
+    predicate over aliases ``l``/``r``).
+
+    A naive theta-join is O(n·m).  Scale shape: both sides explode over
+    the ``bucket_width`` epoch buckets their interval covers and
+    equi-join on the bucket, so Catalyst gets a shuffled hash join
+    partitioned by time bucket — the 100 TB plan, since tick intervals
+    are short relative to any sane bucket and each side's per-bucket
+    slice is bounded by per-hour tick arrival.  De-dup is positional,
+    not DISTINCT: an overlapping pair is kept only in the bucket that
+    contains ``greatest(l.start, r.start)`` — the overlap's left edge —
+    which both exploded sides necessarily cover, so each pair survives
+    in exactly one bucket and no post-join dedup shuffle is needed.
+
+    No counterpart in the reference (its joins are single-key pandas
+    merges); motivated by its tick-alignment chain
+    (spark_session_window_tick_cleaner.py:59-88) which this generalizes
+    to asynchronous two-stream alignment (Hayashi-Yoshida).
+    """
+    b = int(bucket_width)
+    # `div` = exact integer division (axis values are non-negative epoch
+    # micros by contract); a double floor(x / b) could flip a bucket on
+    # a quotient that lands within an ulp of an integer.
+    l2 = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST({left_start} AS BIGINT) div {b}"),
+                F.expr(f"CAST({left_end} AS BIGINT) div {b}"),
+            )
+        ),
+    )
+    r2 = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST({right_start} AS BIGINT) div {b}"),
+                F.expr(f"CAST({right_end} AS BIGINT) div {b}"),
+            )
+        ),
+    )
+    joined = l2.alias("l").join(
+        r2.alias("r"),
+        F.expr(
+            " AND ".join(
+                [
+                    "l.__bucket = r.__bucket",
+                    f"l.{left_start} < r.{right_end}",
+                    f"r.{right_start} < l.{left_end}",
+                    f"l.__bucket = (greatest(l.{left_start},"
+                    f" r.{right_start}) div {b})",
+                    f"({extra})",
+                ]
+            )
+        ),
+        "inner",
+    )
+    return joined.drop(F.col("l.__bucket")).drop(F.col("r.__bucket"))

@@ -4613,3 +4613,142 @@ def ticks_garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6,
         ).alias("gk_vol_q6"),
     )
+
+
+@_register(
+    "ticks_hayashi_yoshida",
+    r"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             epoch_us(ts) AS us,
+             arg_max(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), event_id)
+               AS cents
+      FROM events WHERE value > 0 GROUP BY 1, 2),
+    iv AS (
+      SELECT symbol,
+             lag(us) OVER w AS start_us,
+             us AS end_us,
+             cents - lag(cents) OVER w AS r
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY us)),
+    iv2 AS (SELECT * FROM iv WHERE start_us IS NOT NULL),
+    rv AS (
+      SELECT symbol, CAST(sum(r * r) AS BIGINT) AS rv
+      FROM iv2 GROUP BY symbol),
+    ov AS (
+      SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+             CAST(count(*) AS BIGINT) AS n_overlaps,
+             CAST(sum(a.r * b.r) AS BIGINT) AS hy_cov_c2
+      FROM iv2 a JOIN iv2 b
+        ON a.symbol < b.symbol
+       AND a.start_us < b.end_us AND b.start_us < a.end_us
+      GROUP BY 1, 2)
+    SELECT sym_a, sym_b, n_overlaps, hy_cov_c2,
+           CASE WHEN ra.rv > 0 AND rb.rv > 0
+                THEN FLOOR(CAST(hy_cov_c2 AS DOUBLE)
+                           / sqrt(CAST(ra.rv AS DOUBLE)
+                                  * CAST(rb.rv AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6 END AS hy_corr_q6
+    FROM ov
+    JOIN rv ra ON ov.sym_a = ra.symbol
+    JOIN rv rb ON ov.sym_b = rb.symbol
+    """,
+)
+def ticks_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hayashi-Yoshida covariance/correlation between asynchronous tick
+    streams — the estimator that needs NO common sampling grid (Hayashi
+    & Yoshida 2005): HY-cov(A,B) = Σ over return-interval pairs
+    (i, j) with overlapping (t_{i-1}, t_i] ∩ (s_{j-1}, s_j] ≠ ∅ of
+    rA_i · rB_j.  Unlike grid-sampled realized covariance it is
+    unbiased under non-synchronous trading (no Epps-effect shrinkage).
+
+    Plan: simultaneous same-symbol ticks collapse to the last by
+    event_id (max_by — deterministic, makes intervals strictly
+    positive-length), one lag window builds cent-return intervals, and
+    the pairwise overlap set comes from ``joins.interval_overlap_join``
+    — hour-bucketized equi-join with exactly-once positional dedup, so
+    the 100 TB shape is a shuffle partitioned by time bucket, never an
+    O(n·m) theta join.  Returns are exact integer cents, so HY-cov is
+    an exact BIGINT both engines agree on; the correlation normalizes
+    by the two (exact) realized variances in one fixed-order double
+    formula (rv products can exceed int64, so the sqrt runs on the
+    DOUBLE product — written identically in the oracle).
+
+    No counterpart in the reference (its correlation is grid-aligned
+    pandas, symbol_statistics_generate.py:76-79); this is the
+    asynchronous-microstructure upgrade of that alignment."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    t = (
+        ev.filter(F.col("value") > 0)
+        .select(
+            F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+                "symbol"
+            ),
+            F.unix_micros("ts").alias("us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            "event_id",
+        )
+        .groupBy("symbol", "us")
+        .agg(F.max_by("cents", "event_id").alias("cents"))
+    )
+    w = Window.partitionBy("symbol").orderBy("us")
+    iv = (
+        t.select(
+            "symbol",
+            F.lag("us").over(w).alias("start_us"),
+            F.col("us").alias("end_us"),
+            (F.col("cents") - F.lag("cents").over(w)).alias("r"),
+        )
+        .filter(F.col("start_us").isNotNull())
+    )
+    rv = iv.groupBy("symbol").agg(
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("rv")
+    )
+    a = iv.select(
+        F.col("symbol").alias("sym_a"),
+        F.col("start_us").alias("a_start"),
+        F.col("end_us").alias("a_end"),
+        F.col("r").alias("ra"),
+    )
+    b = iv.select(
+        F.col("symbol").alias("sym_b"),
+        F.col("start_us").alias("b_start"),
+        F.col("end_us").alias("b_end"),
+        F.col("r").alias("rb"),
+    )
+    ov = (
+        joins.interval_overlap_join(
+            a, b, "a_start", "a_end", "b_start", "b_end",
+            extra="l.sym_a < r.sym_b",
+        )
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum(F.col("ra") * F.col("rb")).cast("long").alias("hy_cov_c2"),
+        )
+    )
+    rva = rv.select(F.col("symbol").alias("sym_a"), F.col("rv").alias("rv_a"))
+    rvb = rv.select(F.col("symbol").alias("sym_b"), F.col("rv").alias("rv_b"))
+    return (
+        ov.join(F.broadcast(rva), "sym_a")
+        .join(F.broadcast(rvb), "sym_b")
+        .select(
+            "sym_a",
+            "sym_b",
+            "n_overlaps",
+            "hy_cov_c2",
+            F.when(
+                (F.col("rv_a") > 0) & (F.col("rv_b") > 0),
+                F.floor(
+                    F.col("hy_cov_c2").cast("double")
+                    / F.sqrt(
+                        F.col("rv_a").cast("double") * F.col("rv_b").cast("double")
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6,
+            ).alias("hy_corr_q6"),
+        )
+    )

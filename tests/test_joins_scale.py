@@ -217,3 +217,39 @@ def test_fuzzy_link_ignores_empty_keys(spark):
     }
     # empty dirty key links to nothing; the typo still resolves
     assert out == {20: 1}
+
+
+def test_interval_overlap_join_exactly_once_and_half_open(spark):
+    """Brute-force parity for interval_overlap_join: every overlapping
+    pair appears EXACTLY once regardless of how many buckets the two
+    intervals span (positional dedup, no DISTINCT), touching (s, e]
+    intervals that merely share an endpoint do NOT match, and a tiny
+    bucket width (forcing heavy bucket replication) changes nothing."""
+    from itertools import product
+
+    from big_data_project_jan_2026_tick_data__spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    # axis in "micros" with intervals spanning 1..40 buckets at width 10
+    left_rows = [(i, s, e) for i, (s, e) in enumerate(
+        [(0, 5), (5, 100), (100, 101), (90, 400), (395, 405)]
+    )]
+    right_rows = [(j, s, e) for j, (s, e) in enumerate(
+        [(3, 5), (5, 90), (99, 100), (100, 390), (404, 500)]
+    )]
+    left = spark.createDataFrame(left_rows, "lid long, ls long, le long")
+    right = spark.createDataFrame(right_rows, "rid long, rs long, re long")
+
+    expect = sorted(
+        (li, rj)
+        for (li, ls, le), (rj, rs, re) in product(left_rows, right_rows)
+        if ls < re and rs < le
+    )
+    for width in (10, 1000):
+        got = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_width=width
+        ).select("lid", "rid").collect()
+        assert sorted((r.lid, r.rid) for r in got) == expect, width
+    # half-open: (0,5] vs (5,90] share only the endpoint 5 -> no match
+    assert (0, 1) not in expect

@@ -110,6 +110,9 @@ HARDENED = [
     "emb_intrinsic_dim",
     "ticks_garman_klass",
     "doc_flesch_reading_ease",
+    # r9 continuation: HY-cov is an exact BIGINT (integer cent-return
+    # products); the correlation tail is one fixed-order double formula
+    "ticks_hayashi_yoshida",
 ]
 
 
