@@ -53,7 +53,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     verdict predates r2, and the deferred rows + the r3-era tail are
 #     queued immediately after the boundary as the ready-made r10
 #     window.
-# Rows-only entries: NONE — all 258 queries now carry value oracles.
+# (b continued, late r9): the 8 post-ORC additions (incremental read,
+#     Garman-Klass, Flesch, Hayashi-Yoshida, information coefficient,
+#     A/B readout, Poisson-bootstrap CI, Kaplan-Meier) take first-ever
+#     slots; 8 rotation rows (r2-verdicted, locally green) defer to the
+#     head of the r10 queue.
+# Rows-only entries: NONE — all registry queries carry value oracles.
 _ADJUDICATION_PRIORITY = [
     "ml_anomaly_scores_ae",
     "doc_minhash_pairs",
@@ -76,6 +81,18 @@ _ADJUDICATION_PRIORITY = [
     "ticks_variance_ratio",
     "emb_intrinsic_dim",
     "stats_orc_roundtrip",
+    # (b continued) first-ever verdicts for the late-r9 additions: the
+    # three that previously sat just past the boundary, then the
+    # r9-continuation batch (HY interval-overlap covariance, Spearman
+    # IC, hash-split A/B readout, Poisson-bootstrap CI, Kaplan-Meier)
+    "snapshot_incremental_read",
+    "ticks_garman_klass",
+    "doc_flesch_reading_ease",
+    "ticks_hayashi_yoshida",
+    "ml_information_coefficient",
+    "events_ab_test",
+    "events_poisson_bootstrap_ci",
+    "events_kaplan_meier",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
@@ -97,6 +114,9 @@ _ADJUDICATION_PRIORITY = [
     "doc_pack_sequences",
     "doc_quality_scores",
     "doc_repetition_signals",
+    # ---- ~50-slot window boundary; r10 queue from here: the 8
+    # rotation rows displaced by the late-r9 first-evers (all green in
+    # every local sweep), then the r3-era tail ----
     "doc_scrub_pii",
     "doc_strip_boilerplate",
     "emb_label_centroids",
@@ -105,10 +125,6 @@ _ADJUDICATION_PRIORITY = [
     "tpch_q10_returned_items",
     "tpch_q11_important_parts",
     "asof_purchase_last_click",
-    # ---- ~50-slot window boundary; r10 queue from here (r3-era tail) ----
-    "snapshot_incremental_read",
-    "ticks_garman_klass",
-    "doc_flesch_reading_ease",
     "tpch_q12_shipmode_buckets",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",

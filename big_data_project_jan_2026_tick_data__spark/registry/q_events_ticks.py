@@ -4752,3 +4752,479 @@ def ticks_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hy_corr_q6"),
         )
     )
+
+
+@_register(
+    "events_ab_test",
+    r"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS n_b,
+             CAST(sum(conv) FILTER (arm = 'A') AS BIGINT) AS x_a,
+             CAST(sum(conv) FILTER (arm = 'B') AS BIGINT) AS x_b
+      FROM u),
+    f AS (
+      SELECT n_a, n_b, x_a, x_b,
+             CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+             CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+             CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp,
+             CAST(n_a + n_b AS DOUBLE) / 2.0 AS e
+      FROM g WHERE n_a > 0 AND n_b > 0),
+    s AS (
+      SELECT n_a, n_b, x_a, x_b,
+             ((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e)
+             + ((CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e)
+               AS srm_chi2,
+             (pa - pb)
+             / sqrt((pp * (1.0 - pp))
+                    * (1.0 / CAST(n_a AS DOUBLE)
+                       + 1.0 / CAST(n_b AS DOUBLE))) AS z
+      FROM f WHERE pp > 0.0 AND pp < 1.0)
+    SELECT n_a, n_b, x_a, x_b,
+           FLOOR(srm_chi2 * 1e6 + 0.5) / 1e6 AS srm_chi2_q6,
+           FLOOR(z * 1e6 + 0.5) / 1e6 AS z_q6,
+           FLOOR(srm_chi2 * 1e6 + 0.5) / 1e6 < 3.841459 AS srm_ok,
+           abs(FLOOR(z * 1e6 + 0.5) / 1e6) >= 1.959964 AS significant
+    FROM s
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over a deterministic hash split — the
+    two canonical gates run together: a sample-ratio-mismatch (SRM)
+    χ²₁ check on the arm sizes (the assignment-health gate every
+    experimentation platform runs before looking at the metric) and a
+    pooled two-proportion z-test on user-level purchase conversion.
+
+    Arms come from the portable 28-bit md5 prefix of the user id
+    (the doc_md5_* convention — bit-identical in both engines), so the
+    split is reproducible under retries/re-execution, not a sampled
+    state.  Counts are exact BIGINTs from ONE user-level aggregate; the
+    χ² and z statistics are each one fixed-order double formula over
+    those integers, snapped to q6, and the boolean verdicts compare the
+    SNAPPED values against frozen 95% critical-value literals so a grid
+    cell is the smallest unit of disagreement.  Scale: two hash aggs
+    (events→users→one row); nothing else.
+
+    No counterpart in the reference (no experimentation surface);
+    motivated by its health-check posture (PDF §monitoring)."""
+    ev = _td(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("conv")
+        )
+        .select(
+            F.when(
+                F.expr(
+                    "cast(conv(substr(md5(cast(user_id as string)), 1, 7),"
+                    " 16, 10) as bigint) % 2"
+                )
+                == 0,
+                F.lit("A"),
+            )
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+            "conv",
+        )
+    )
+    g = u.agg(
+        F.count(F.when(F.col("arm") == "A", F.lit(1))).cast("long").alias("n_a"),
+        F.count(F.when(F.col("arm") == "B", F.lit(1))).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("conv")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("conv")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x_b"),
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    f = g.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        (F.col("x_a").cast("double") / F.col("n_a").cast("double")).alias("pa"),
+        (F.col("x_b").cast("double") / F.col("n_b").cast("double")).alias("pb"),
+        (
+            (F.col("x_a") + F.col("x_b")).cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double")
+        ).alias("pp"),
+        ((F.col("n_a") + F.col("n_b")).cast("double") / F.lit(2.0)).alias("e"),
+    )
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    s = f.filter((F.col("pp") > 0.0) & (F.col("pp") < 1.0)).select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        (
+            ((na_d - F.col("e")) * (na_d - F.col("e")) / F.col("e"))
+            + ((nb_d - F.col("e")) * (nb_d - F.col("e")) / F.col("e"))
+        ).alias("srm_chi2"),
+        (
+            (F.col("pa") - F.col("pb"))
+            / F.sqrt(
+                (F.col("pp") * (F.lit(1.0) - F.col("pp")))
+                * (F.lit(1.0) / na_d + F.lit(1.0) / nb_d)
+            )
+        ).alias("z"),
+    )
+    chi_q6 = F.floor(F.col("srm_chi2") * 1e6 + F.lit(0.5)) / 1e6
+    z_q6 = F.floor(F.col("z") * 1e6 + F.lit(0.5)) / 1e6
+    return s.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        chi_q6.alias("srm_chi2_q6"),
+        z_q6.alias("z_q6"),
+        (chi_q6 < F.lit(3.841459)).alias("srm_ok"),
+        (F.abs(z_q6) >= F.lit(1.959964)).alias("significant"),
+    )
+
+
+# Poisson(1) CDF thresholds on the 2^52 grid (u = 13-hex-digit md5
+# prefix, uniform on [0, 2^52)): w = #thresholds <= u, truncated at 6
+# (P[X > 6] ~ 8e-5).  floor(cum_k * 2^52) frozen as exact BIGINTs.
+_POIS1_T52 = (
+    1656781714176974,
+    3313563428353948,
+    4141954285442435,
+    4418084571138597,
+    4487117142562638,
+    4500923656847446,
+)
+_BOOT_R = 40  # replicates; CI = order stats 1 and 39 (~95%)
+
+
+def _poisson_bootstrap_oracle() -> str:
+    w_case = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS1_T52)
+    )
+    return rf"""
+    WITH base AS (
+      SELECT event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value > 0),
+    rep AS (
+      SELECT b.event_id, b.cents, k.k,
+             CAST(concat('0x', substr(md5(CAST(b.event_id AS VARCHAR)
+                                          || '_' || CAST(k.k AS VARCHAR)),
+                                      1, 13)) AS BIGINT) AS u
+      FROM base b, (SELECT unnest(range(1, {_BOOT_R + 1})) AS k) k),
+    wtd AS (
+      SELECT k, CASE {w_case} ELSE 6 END AS w, cents FROM rep),
+    means AS (
+      SELECT k,
+             CAST(sum(w) AS BIGINT) AS wn,
+             CAST(sum(w * cents) AS BIGINT) AS wsum
+      FROM wtd GROUP BY k),
+    mq AS (
+      SELECT k,
+             CAST(FLOOR(CAST(wsum AS DOUBLE) / CAST(wn AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS m6
+      FROM means WHERE wn > 0),
+    ranked AS (
+      SELECT m6, row_number() OVER (ORDER BY m6, k) AS pos,
+             count(*) OVER () AS r_used
+      FROM mq),
+    pick AS (
+      SELECT CAST(max(r_used) AS BIGINT) AS r_used,
+             CAST(sum(m6) AS BIGINT) AS s6,
+             max(CASE WHEN pos = 1 THEN m6 END) AS lo6,
+             max(CASE WHEN pos = r_used - 1 THEN m6 END) AS hi6
+      FROM ranked),
+    allm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS csum
+      FROM base)
+    SELECT allm.n, pick.r_used,
+           FLOOR(CAST(allm.csum AS DOUBLE) / allm.n * 1e4 + 0.5) / 1e4
+             AS mean_cents_q4,
+           FLOOR(CAST(pick.s6 AS DOUBLE) / pick.r_used * 1e-2 + 0.5) / 1e4
+             AS boot_mean_cents_q4,
+           CAST(pick.lo6 AS DOUBLE) / 1e6 AS ci_lo_cents_q6,
+           CAST(pick.hi6 AS DOUBLE) / 1e6 AS ci_hi_cents_q6
+    FROM allm, pick
+    """
+
+
+@_register("events_poisson_bootstrap_ci", _poisson_bootstrap_oracle())
+def events_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap confidence interval for the mean purchase
+    value — via the POISSON bootstrap (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", the MapReduce-native
+    resample): instead of drawing n rows with replacement (impossible
+    without global coordination), each row independently receives a
+    Poisson(1) multiplicity per replicate, which converges to the
+    multinomial bootstrap and needs only map-side state.
+
+    Everything is derandomized: the per-(row, replicate) uniform is the
+    13-hex md5 prefix (52 bits) of ``event_id || '_' || k``, and the
+    Poisson inverse-CDF is a CASE ladder over frozen 2^52-grid BIGINT
+    thresholds (truncated at w = 6, P ~ 8e-5, documented) — so a retried
+    task resamples identically, and the oracle replays the exact weights.
+    Replicate means are exact-integer weighted sums snapped to q6; the
+    CI is the (1st, 39th) order statistics of the 40 replicate means
+    (~95%, tie-broken by replicate id).  Scale: the explode is map-side
+    and partial aggregation collapses it to 40 partial sums per
+    partition before the one tiny shuffle — the canonical 100 TB
+    uncertainty plan.  No counterpart in the reference (point estimates
+    only, symbol_statistics_generate.py)."""
+    ev = _td(spark, sf_dir, "events")
+    base = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    ).select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    rep = base.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_R))).alias("k"),
+    ).withColumn(
+        "u",
+        F.expr(
+            "cast(conv(substr(md5(concat(cast(event_id as string), '_',"
+            " cast(k as string))), 1, 13), 16, 10) as bigint)"
+        ),
+    )
+    w = F.lit(6)
+    for k, t in reversed(list(enumerate(_POIS1_T52))):
+        w = F.when(F.col("u") < F.lit(t), F.lit(k)).otherwise(w)
+    means = (
+        rep.select("k", w.alias("w"), "cents")
+        .groupBy("k")
+        .agg(
+            F.sum("w").cast("long").alias("wn"),
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("wsum"),
+        )
+        .filter(F.col("wn") > 0)
+        .select(
+            "k",
+            F.floor(
+                F.col("wsum").cast("double") / F.col("wn").cast("double") * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("m6"),
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = means.select(
+        "m6",
+        F.row_number().over(Window.orderBy("m6", "k")).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("r_used"),
+    )
+    pick = ranked.agg(
+        F.max("r_used").cast("long").alias("r_used"),
+        F.sum("m6").cast("long").alias("s6"),
+        F.max(F.when(F.col("pos") == 1, F.col("m6"))).alias("lo6"),
+        F.max(F.when(F.col("pos") == F.col("r_used") - 1, F.col("m6"))).alias(
+            "hi6"
+        ),
+    )
+    allm = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("csum"),
+    )
+    return allm.crossJoin(F.broadcast(pick)).select(
+        "n",
+        "r_used",
+        (
+            F.floor(F.col("csum").cast("double") / F.col("n") * 1e4 + F.lit(0.5))
+            / 1e4
+        ).alias("mean_cents_q4"),
+        (
+            F.floor(
+                F.col("s6").cast("double") / F.col("r_used") * 1e-2 + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("boot_mean_cents_q4"),
+        (F.col("lo6").cast("double") / 1e6).alias("ci_lo_cents_q6"),
+        (F.col("hi6").cast("double") / 1e6).alias("ci_hi_cents_q6"),
+    )
+
+
+def _kaplan_meier_oracle() -> str:
+    """Generated oracle for events_kaplan_meier: identical duration /
+    risk-set construction, detmath ln on the per-event-time factor
+    (1e-12 grid, exact cumulative integer sum), detmath exp on the
+    clamped cumulative log-survival, q6 snap."""
+    ln = detmath.det_ln_pos_sql("term", "duckdb")
+    ex = detmath.det_exp_sql("cumd", "duckdb")
+    return rf"""
+    WITH clicks AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'click' GROUP BY user_id),
+    pur AS (
+      SELECT c.user_id, min(e.ts) AS tp
+      FROM clicks c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.t0
+      GROUP BY c.user_id),
+    lastev AS (
+      SELECT user_id, max(ts) AS tl FROM events GROUP BY user_id),
+    u AS (
+      SELECT c.user_id,
+             CASE WHEN p.tp IS NOT NULL
+                  THEN (epoch_us(p.tp) - epoch_us(c.t0)) // 1000000
+                  ELSE (epoch_us(l.tl) - epoch_us(c.t0)) // 1000000
+             END AS d_sec,
+             CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS c
+      FROM clicks c
+      LEFT JOIN pur p ON p.user_id = c.user_id
+      JOIN lastev l ON l.user_id = c.user_id),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM u),
+    grp AS (
+      SELECT d_sec, CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(c) AS BIGINT) AS d_events
+      FROM u GROUP BY d_sec),
+    ord AS (
+      SELECT d_sec, total, d_events,
+             CAST(sum(total) OVER (ORDER BY d_sec) AS BIGINT) AS cumtot
+      FROM grp),
+    ev AS (
+      SELECT d_sec, d_events,
+             n.n_total - cumtot + total AS n_risk
+      FROM ord, n WHERE d_events > 0),
+    t AS (
+      SELECT d_sec, d_events, n_risk,
+             CAST(n_risk - d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+               AS term
+      FROM ev),
+    l AS (
+      SELECT d_sec, d_events, n_risk,
+             CASE WHEN d_events < n_risk
+                  THEN CAST(FLOOR({ln} * 1e12 + 0.5) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS l12
+      FROM t),
+    cum AS (
+      SELECT d_sec, d_events, n_risk,
+             greatest(CAST(sum(l12) OVER (ORDER BY d_sec) AS DOUBLE) / 1e12,
+                      -20.0) AS cumd
+      FROM l)
+    SELECT d_sec, n_risk, d_events,
+           CASE WHEN d_events = n_risk THEN 0.0
+                ELSE FLOOR({ex} * 1e6 + 0.5) / 1e6 END AS km_q6
+    FROM cum
+    """
+
+
+@_register("events_kaplan_meier", _kaplan_meier_oracle())
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for click→purchase conversion — the
+    right-censoring-aware time-to-convert estimate (events_time_to_convert
+    reports only COMPLETED conversions, which biases fast): users enter
+    at their first click, convert at their first later purchase, and are
+    censored at their last observed event otherwise.  S(t) =
+    Π_{t_i <= t} (1 - d_i / n_i) over event times, with censored users
+    leaving the risk set without an event.
+
+    Determinism: durations are exact integer seconds; per-event-time
+    factors go through detmath ln (the only cross-engine-safe log),
+    snap to a 1e-12 integer grid, and the PRODUCT becomes an exact
+    integer cumulative sum — then ONE detmath exp per output row on the
+    clamped (≥ −20, i.e. S < 2e-9 ≈ q6 zero) log-survival.  A
+    zero-survival terminal time (d = n: the whole remaining risk set
+    converts) short-circuits to 0 — it is provably the last event row.
+    Scale: risk sets and the log-survival both ride
+    ``stats.global_cumsum`` (range-exchange prefix sums), never a
+    single-partition window.  No counterpart in the reference;
+    upgrades its funnel timing (PDF §KPIs) to censoring-aware."""
+    ev = _td(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pur = (
+        clicks.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("tp")
+            ),
+            "user_id",
+        )
+        .filter(F.col("tp") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    lastev = ev.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    u = (
+        clicks.join(pur, "user_id", "left")
+        .join(lastev, "user_id")
+        .select(
+            F.when(
+                F.col("tp").isNotNull(),
+                F.expr("(unix_micros(tp) - unix_micros(t0)) div 1000000"),
+            )
+            .otherwise(F.expr("(unix_micros(tl) - unix_micros(t0)) div 1000000"))
+            .alias("d_sec"),
+            F.when(F.col("tp").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("c"),
+        )
+    )
+    n_total = u.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    grp = u.groupBy("d_sec").agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum("c").cast("long").alias("d_events"),
+    )
+    ord_df = stats.global_cumsum(grp, ["d_sec"], "total").withColumnRenamed(
+        "cum_total", "cumtot"
+    )
+    evt = (
+        ord_df.crossJoin(F.broadcast(n_total))
+        .filter(F.col("d_events") > 0)
+        .select(
+            "d_sec",
+            "d_events",
+            (F.col("n_total") - F.col("cumtot") + F.col("total")).alias("n_risk"),
+        )
+    )
+    t = evt.withColumn(
+        "term",
+        (F.col("n_risk") - F.col("d_events")).cast("double")
+        / F.col("n_risk").cast("double"),
+    )
+    l = t.select(
+        "d_sec",
+        "d_events",
+        "n_risk",
+        F.when(
+            F.col("d_events") < F.col("n_risk"),
+            F.floor(detmath.det_ln_pos("term") * 1e12 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("l12"),
+    )
+    cum = stats.global_cumsum(l, ["d_sec"], "l12").select(
+        "d_sec",
+        "d_events",
+        "n_risk",
+        F.greatest(F.col("cum_l12").cast("double") / 1e12, F.lit(-20.0)).alias(
+            "cumd"
+        ),
+    )
+    return cum.select(
+        "d_sec",
+        "n_risk",
+        "d_events",
+        F.when(F.col("d_events") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(
+            F.floor(detmath.det_exp("cumd") * 1e6 + F.lit(0.5)) / 1e6
+        )
+        .alias("km_q6"),
+    )

@@ -1848,3 +1848,130 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialized(
             spark, dd.select("user_id", "minute_start"), "reg_stream_dedup"
         )
+
+
+@_register(
+    "ml_information_coefficient",
+    r"""
+    WITH closes AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             CAST(ts AS DATE) AS day,
+             arg_max(CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                     lpad(CAST(epoch_ms(ts) AS VARCHAR), 14, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close
+      FROM events WHERE value > 0 GROUP BY 1, 2),
+    rets AS (
+      SELECT symbol, day,
+             close - lag(close) OVER w AS r
+      FROM closes WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+    xy AS (
+      SELECT symbol, day,
+             lag(r) OVER w AS x, r AS y
+      FROM rets WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+    ok AS (SELECT * FROM xy WHERE x IS NOT NULL AND y IS NOT NULL),
+    ranked AS (
+      SELECT symbol,
+             CAST(row_number() OVER (PARTITION BY symbol ORDER BY x, day)
+                  AS BIGINT) AS rx,
+             CAST(row_number() OVER (PARTITION BY symbol ORDER BY y, day)
+                  AS BIGINT) AS ry,
+             day
+      FROM ok),
+    m AS (
+      SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy,
+             CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(ry * ry) AS BIGINT) AS syy
+      FROM ranked GROUP BY symbol)
+    SELECT symbol, n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6 END AS ic_q6
+    FROM m
+    """,
+)
+def ml_information_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information coefficient — the rank correlation between a signal
+    and the forward return, the standard cross-sectional alpha-research
+    diagnostic (Grinold & Kahn).  Signal here: 1-day momentum (yesterday's
+    close-to-close cent return) vs today's return, per symbol over daily
+    closes.
+
+    Spearman-by-permutation: both series rank via row_number with the
+    DAY as the deterministic tiebreaker (a documented deviation from
+    average-rank Spearman under ties — ties in integer cent returns are
+    real), so the ranks are an exact integer permutation and the Pearson
+    moments n/Σx/Σy/Σxy/Σx²/Σy² are exact BIGINTs both engines agree on;
+    the correlation itself is ONE fixed-order double formula over those
+    integers (degenerate zero-variance symbols yield NULL).  Daily close
+    = last tick by the padded (epoch_ms, event_id) key — the proven
+    arg_max convention.
+
+    Scale: one hash agg to daily closes collapses the corpus to
+    #symbols × #days rows; every window after that runs on the tiny
+    aggregate.  No counterpart in the reference (its ML evaluation is
+    accuracy-only, ML Model/Scripts/train.py); this is the signal-quality
+    metric its tick features feed at a real desk."""
+    key = F.concat(
+        F.lpad((F.col("ts").cast("double") * 1000).cast("long").cast("string"), 14, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    ev = _td(spark, sf_dir, "events")
+    closes = (
+        ev.filter(F.col("value") > 0)
+        .select(
+            F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+                "symbol"
+            ),
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            key.alias("__k"),
+        )
+        .groupBy("symbol", "day")
+        .agg(F.max_by("cents", "__k").alias("close"))
+    )
+    w = Window.partitionBy("symbol").orderBy("day")
+    rets = closes.select(
+        "symbol", "day", (F.col("close") - F.lag("close").over(w)).alias("r")
+    )
+    xy = rets.select(
+        "symbol", "day", F.lag("r").over(w).alias("x"), F.col("r").alias("y")
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    ranked = xy.select(
+        "symbol",
+        F.row_number()
+        .over(Window.partitionBy("symbol").orderBy("x", "day"))
+        .cast("long")
+        .alias("rx"),
+        F.row_number()
+        .over(Window.partitionBy("symbol").orderBy("y", "day"))
+        .cast("long")
+        .alias("ry"),
+    )
+    m = ranked.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "symbol",
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.floor(
+                num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        ).alias("ic_q6"),
+    )

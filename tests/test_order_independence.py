@@ -113,6 +113,13 @@ HARDENED = [
     # r9 continuation: HY-cov is an exact BIGINT (integer cent-return
     # products); the correlation tail is one fixed-order double formula
     "ticks_hayashi_yoshida",
+    # r9 continuation: exact integer rank/count/weight sums with one
+    # fixed-order double tail each; KM rides detmath ln/exp on exact
+    # integer grids
+    "ml_information_coefficient",
+    "events_ab_test",
+    "events_poisson_bootstrap_ci",
+    "events_kaplan_meier",
 ]
 
 
