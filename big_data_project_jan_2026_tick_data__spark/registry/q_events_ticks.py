@@ -4693,6 +4693,10 @@ def ticks_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max_by("cents", "event_id").alias("cents"))
     )
     w = Window.partitionBy("symbol").orderBy("us")
+    # Materialize the interval table once: it feeds THREE consumers
+    # (the RV aggregate and both self-join sides), and each would
+    # otherwise re-run the scan + collapse + lag chain via lineage
+    # (4 parquet scans, caught by the scan audit).
     iv = (
         t.select(
             "symbol",
@@ -4701,6 +4705,7 @@ def ticks_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") - F.lag("cents").over(w)).alias("r"),
         )
         .filter(F.col("start_us").isNotNull())
+        .localCheckpoint()
     )
     rv = iv.groupBy("symbol").agg(
         F.sum(F.col("r") * F.col("r")).cast("long").alias("rv")

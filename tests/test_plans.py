@@ -656,6 +656,16 @@ _SCAN_BUDGETS = {
     "emb_intrinsic_dim": 2,  # corpus scan + filtered probe scan
     "ticks_garman_klass": 1,
     "doc_flesch_reading_ease": 1,
+    # r9 continuation (audited at registration): HY checkpoints the
+    # interval table (RV + both self-join sides re-read it, not the
+    # corpus); the bootstrap's base projection feeds the replicate
+    # explode AND the all-rows mean (map-side, 2 scans beat a
+    # checkpoint); KM's global_cumsum pins its range exchange
+    "ticks_hayashi_yoshida": 0,
+    "ml_information_coefficient": 1,
+    "events_ab_test": 1,
+    "events_poisson_bootstrap_ci": 2,
+    "events_kaplan_meier": 0,
 
     # r7 (judge item: pin EVERY bench.py headline row, not just the
     # audited fixes): budgets are the audited plan shapes — TPC-H reads
