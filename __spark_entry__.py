@@ -93,6 +93,8 @@ _ADJUDICATION_PRIORITY = [
     "events_ab_test",
     "events_poisson_bootstrap_ci",
     "events_kaplan_meier",
+    "ticks_epps_effect",
+    "events_diff_in_diff",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
@@ -112,11 +114,11 @@ _ADJUDICATION_PRIORITY = [
     "doc_decontaminate",
     "doc_ngram_jaccard",
     "doc_pack_sequences",
-    "doc_quality_scores",
-    "doc_repetition_signals",
-    # ---- ~50-slot window boundary; r10 queue from here: the 8
+    # ---- ~50-slot window boundary; r10 queue from here: the 10
     # rotation rows displaced by the late-r9 first-evers (all green in
     # every local sweep), then the r3-era tail ----
+    "doc_quality_scores",
+    "doc_repetition_signals",
     "doc_scrub_pii",
     "doc_strip_boilerplate",
     "emb_label_centroids",

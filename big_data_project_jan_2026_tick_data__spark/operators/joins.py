@@ -310,9 +310,12 @@ def interval_overlap_join(
     A naive theta-join is O(n·m).  Scale shape: both sides explode over
     the ``bucket_width`` epoch buckets their interval covers and
     equi-join on the bucket, so Catalyst gets a shuffled hash join
-    partitioned by time bucket — the 100 TB plan, since tick intervals
-    are short relative to any sane bucket and each side's per-bucket
-    slice is bounded by per-hour tick arrival.  De-dup is positional,
+    partitioned by time bucket — the 100 TB plan.  Choose
+    ``bucket_width`` within ~1-100x the typical interval length: too
+    narrow replicates long intervals across many buckets, too wide
+    funnels many intervals into one bucket where the residual overlap
+    filter degenerates quadratic (the scale smoke demonstrates both
+    regimes).  De-dup is positional,
     not DISTINCT: an overlapping pair is kept only in the bucket that
     contains ``greatest(l.start, r.start)`` — the overlap's left edge —
     which both exploded sides necessarily cover, so each pair survives

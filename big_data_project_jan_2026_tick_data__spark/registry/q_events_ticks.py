@@ -5233,3 +5233,334 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("km_q6"),
     )
+
+
+@_register(
+    "ticks_epps_effect",
+    r"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             epoch_us(ts) AS us,
+             arg_max(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), event_id)
+               AS cents
+      FROM events WHERE value > 0 GROUP BY 1, 2),
+    fr AS (SELECT unnest([60, 300, 900]) AS freq_s),
+    lastpx AS (
+      SELECT fr.freq_s, t.symbol,
+             t.us // (fr.freq_s * 1000000) AS bucket,
+             arg_max(t.cents, t.us) AS px
+      FROM t, fr GROUP BY 1, 2, 3),
+    bounds AS (
+      SELECT fr.freq_s,
+             min(t.us) // (fr.freq_s * 1000000) AS b_lo,
+             max(t.us) // (fr.freq_s * 1000000) AS b_hi
+      FROM t, fr GROUP BY 1),
+    grid AS (
+      SELECT b.freq_s, s.symbol, g.bucket
+      FROM bounds b,
+           (SELECT DISTINCT symbol FROM t) s,
+           LATERAL (SELECT unnest(range(b.b_lo, b.b_hi + 1)) AS bucket) g),
+    filled AS (
+      SELECT g.freq_s, g.symbol, g.bucket,
+             last_value(l.px IGNORE NULLS)
+               OVER (PARTITION BY g.freq_s, g.symbol ORDER BY g.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM grid g
+      LEFT JOIN lastpx l
+        ON l.freq_s = g.freq_s AND l.symbol = g.symbol
+       AND l.bucket = g.bucket),
+    rets AS (
+      SELECT freq_s, symbol, bucket,
+             p - lag(p) OVER (PARTITION BY freq_s, symbol ORDER BY bucket)
+               AS r
+      FROM filled),
+    pairs AS (
+      SELECT a.freq_s, a.symbol AS sym_a, b.symbol AS sym_b,
+             a.r AS ra, b.r AS rb
+      FROM rets a JOIN rets b
+        ON a.freq_s = b.freq_s AND a.bucket = b.bucket
+       AND a.symbol < b.symbol
+      WHERE a.r IS NOT NULL AND b.r IS NOT NULL),
+    m AS (
+      SELECT freq_s, sym_a, sym_b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ra) AS BIGINT) AS sa, CAST(sum(rb) AS BIGINT) AS sb,
+             CAST(sum(ra * rb) AS BIGINT) AS sab,
+             CAST(sum(ra * ra) AS BIGINT) AS saa,
+             CAST(sum(rb * rb) AS BIGINT) AS sbb
+      FROM pairs GROUP BY 1, 2, 3)
+    SELECT freq_s, sym_a, sym_b, n,
+           CASE WHEN (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0
+                THEN FLOOR(CAST(n * sab - sa * sb AS DOUBLE)
+                           / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                                  * CAST(n * sbb - sb * sb AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6 END AS corr_q6
+    FROM m
+    """,
+)
+def ticks_epps_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epps-effect curve: grid-sampled realized correlation per symbol
+    pair at 60 s / 300 s / 900 s sampling — the classic demonstration
+    that correlation estimated on a common grid SHRINKS as the grid
+    tightens under asynchronous trading (Epps 1979), i.e. exactly the
+    bias ``ticks_hayashi_yoshida`` avoids.  Previous-tick sampling:
+    last trade price at-or-before each grid point, forward-filled.
+
+    Determinism: same-microsecond ticks collapse by event_id (the HY
+    convention); per-(freq, symbol, bucket) last price is
+    arg_max-by-time over the collapsed stream (time now unique); the
+    forward fill is Spark's ``last(ignorenulls)`` / DuckDB's
+    ``last_value IGNORE NULLS`` over the SAME total bucket order;
+    returns are exact integer cents, so every Pearson moment is an
+    exact BIGINT and the correlation is one fixed-order double tail
+    (the IC formula).  Scale: the freq explode is map-side (×3 before
+    the one shuffle), the grid is time-range/freq rows per series —
+    independent of tick count — and each series' ffill window is a
+    bounded partition; the pair join is an equi-join on (freq, bucket).
+    Grid table is checkpointed once (it feeds both self-join sides).
+
+    No counterpart in the reference (grid-aligned daily stats only,
+    symbol_statistics_generate.py:76-79)."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    t = (
+        ev.filter(F.col("value") > 0)
+        .select(
+            F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+                "symbol"
+            ),
+            F.unix_micros("ts").alias("us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            "event_id",
+        )
+        .groupBy("symbol", "us")
+        .agg(F.max_by("cents", "event_id").alias("cents"))
+        .localCheckpoint()  # feeds lastpx, bounds, and the symbol list
+    )
+    freqs = spark.range(1).select(
+        F.explode(F.array(F.lit(60), F.lit(300), F.lit(900))).alias("freq_s")
+    )
+    lastpx = (
+        t.crossJoin(F.broadcast(freqs))
+        .select(
+            "freq_s",
+            "symbol",
+            F.expr("us div (freq_s * 1000000)").alias("bucket"),
+            "cents",
+            "us",
+        )
+        .groupBy("freq_s", "symbol", "bucket")
+        .agg(F.max_by("cents", "us").alias("px"))
+    )
+    bounds = (
+        t.crossJoin(F.broadcast(freqs))
+        .groupBy("freq_s")
+        .agg(
+            F.expr("min(us) div (freq_s * 1000000)").alias("b_lo"),
+            F.expr("max(us) div (freq_s * 1000000)").alias("b_hi"),
+        )
+    )
+    syms = t.select("symbol").distinct()
+    grid = (
+        bounds.crossJoin(F.broadcast(syms))
+        .select(
+            "freq_s",
+            "symbol",
+            F.explode(F.sequence(F.col("b_lo"), F.col("b_hi"))).alias("bucket"),
+        )
+    )
+    wf = (
+        Window.partitionBy("freq_s", "symbol")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        grid.join(lastpx, ["freq_s", "symbol", "bucket"], "left")
+        .withColumn("p", F.last("px", ignorenulls=True).over(wf))
+    )
+    wl = Window.partitionBy("freq_s", "symbol").orderBy("bucket")
+    rets = filled.select(
+        "freq_s",
+        "symbol",
+        "bucket",
+        (F.col("p") - F.lag("p").over(wl)).alias("r"),
+    ).filter(F.col("r").isNotNull()).localCheckpoint()
+    a = rets.select(
+        "freq_s", F.col("symbol").alias("sym_a"), "bucket", F.col("r").alias("ra")
+    )
+    b = rets.select(
+        "freq_s", F.col("symbol").alias("sym_b"), "bucket", F.col("r").alias("rb")
+    )
+    m = (
+        a.join(b, ["freq_s", "bucket"])
+        .filter(F.col("sym_a") < F.col("sym_b"))
+        .groupBy("freq_s", "sym_a", "sym_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ra").cast("long").alias("sa"),
+            F.sum("rb").cast("long").alias("sb"),
+            F.sum(F.col("ra") * F.col("rb")).cast("long").alias("sab"),
+            F.sum(F.col("ra") * F.col("ra")).cast("long").alias("saa"),
+            F.sum(F.col("rb") * F.col("rb")).cast("long").alias("sbb"),
+        )
+    )
+    va = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    return m.select(
+        "freq_s",
+        "sym_a",
+        "sym_b",
+        "n",
+        F.when(
+            (va > 0) & (vb > 0),
+            F.floor(
+                num.cast("double") / F.sqrt(va.cast("double") * vb.cast("double"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        ).alias("corr_q6"),
+    )
+
+
+@_register(
+    "events_diff_in_diff",
+    r"""
+    WITH cut AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut_us
+      FROM events),
+    up AS (
+      SELECT e.user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(e.user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'T' ELSE 'C' END AS arm,
+             CASE WHEN epoch_us(e.ts) < c.cut_us THEN 'pre' ELSE 'post' END
+               AS period,
+             CAST(sum(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events e, cut c WHERE e.value > 0
+      GROUP BY 1, 2, 3),
+    cells AS (
+      SELECT arm, period,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(cents) AS BIGINT) AS csum
+      FROM up GROUP BY 1, 2),
+    wide AS (
+      SELECT
+        max(CASE WHEN arm = 'T' AND period = 'pre' THEN n_users END) AS n_t_pre,
+        max(CASE WHEN arm = 'T' AND period = 'post' THEN n_users END) AS n_t_post,
+        max(CASE WHEN arm = 'C' AND period = 'pre' THEN n_users END) AS n_c_pre,
+        max(CASE WHEN arm = 'C' AND period = 'post' THEN n_users END) AS n_c_post,
+        CAST(max(CASE WHEN arm = 'T' AND period = 'pre' THEN csum END) AS DOUBLE)
+          / max(CASE WHEN arm = 'T' AND period = 'pre' THEN n_users END) AS mtpre,
+        CAST(max(CASE WHEN arm = 'T' AND period = 'post' THEN csum END) AS DOUBLE)
+          / max(CASE WHEN arm = 'T' AND period = 'post' THEN n_users END) AS mtpost,
+        CAST(max(CASE WHEN arm = 'C' AND period = 'pre' THEN csum END) AS DOUBLE)
+          / max(CASE WHEN arm = 'C' AND period = 'pre' THEN n_users END) AS mcpre,
+        CAST(max(CASE WHEN arm = 'C' AND period = 'post' THEN csum END) AS DOUBLE)
+          / max(CASE WHEN arm = 'C' AND period = 'post' THEN n_users END) AS mcpost
+      FROM cells)
+    SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+           FLOOR(mtpre * 1e6 + 0.5) / 1e6 AS mean_t_pre_q6,
+           FLOOR(mtpost * 1e6 + 0.5) / 1e6 AS mean_t_post_q6,
+           FLOOR(mcpre * 1e6 + 0.5) / 1e6 AS mean_c_pre_q6,
+           FLOOR(mcpost * 1e6 + 0.5) / 1e6 AS mean_c_post_q6,
+           FLOOR(((mtpost - mtpre) - (mcpost - mcpre)) * 1e6 + 0.5) / 1e6
+             AS did_q6
+    FROM wide
+    WHERE n_t_pre IS NOT NULL AND n_t_post IS NOT NULL
+      AND n_c_pre IS NOT NULL AND n_c_post IS NOT NULL
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout — the quasi-experimental
+    effect estimate when assignment isn't randomized per-exposure:
+    (treated post − treated pre) − (control post − control pre) on
+    user-period engagement spend, differencing out both the stable
+    group gap and the common time trend.
+
+    Arms ride the portable md5 user-hash (the events_ab_test split);
+    the pre/post cut is the integer MIDPOINT of the observed time range
+    (data-derived, so both engines compute the identical BIGINT cut —
+    no frozen calendar literal to drift from the generator).  Per-cell
+    sums and user counts are exact BIGINTs from two hash aggs; the four
+    cell means and the DiD contrast are one fixed-order double tail,
+    all snapped to q6.  Scale: events→user-period→4 cells; the time-cut
+    scalar broadcasts.  No counterpart in the reference (no
+    experimentation surface)."""
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cut = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias(
+            "cut_us"
+        )
+    )
+    up = (
+        ev.crossJoin(F.broadcast(cut))
+        .select(
+            "user_id",
+            F.when(
+                F.expr(
+                    "cast(conv(substr(md5(cast(user_id as string)), 1, 7),"
+                    " 16, 10) as bigint) % 2"
+                )
+                == 0,
+                F.lit("T"),
+            )
+            .otherwise(F.lit("C"))
+            .alias("arm"),
+            F.when(F.unix_micros("ts") < F.col("cut_us"), F.lit("pre"))
+            .otherwise(F.lit("post"))
+            .alias("period"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c1"),
+        )
+        .groupBy("user_id", "arm", "period")
+        .agg(F.sum("c1").cast("long").alias("cents"))
+    )
+    cells = up.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("csum"),
+    )
+
+    def cell(a: str, p: str, col: str):
+        return F.max(
+            F.when((F.col("arm") == a) & (F.col("period") == p), F.col(col))
+        )
+
+    wide = cells.agg(
+        cell("T", "pre", "n_users").alias("n_t_pre"),
+        cell("T", "post", "n_users").alias("n_t_post"),
+        cell("C", "pre", "n_users").alias("n_c_pre"),
+        cell("C", "post", "n_users").alias("n_c_post"),
+        (cell("T", "pre", "csum").cast("double") / cell("T", "pre", "n_users"))
+        .alias("mtpre"),
+        (cell("T", "post", "csum").cast("double") / cell("T", "post", "n_users"))
+        .alias("mtpost"),
+        (cell("C", "pre", "csum").cast("double") / cell("C", "pre", "n_users"))
+        .alias("mcpre"),
+        (cell("C", "post", "csum").cast("double") / cell("C", "post", "n_users"))
+        .alias("mcpost"),
+    ).filter(
+        F.col("n_t_pre").isNotNull()
+        & F.col("n_t_post").isNotNull()
+        & F.col("n_c_pre").isNotNull()
+        & F.col("n_c_post").isNotNull()
+    )
+
+    def q6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return wide.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        q6(F.col("mtpre")).alias("mean_t_pre_q6"),
+        q6(F.col("mtpost")).alias("mean_t_post_q6"),
+        q6(F.col("mcpre")).alias("mean_c_pre_q6"),
+        q6(F.col("mcpost")).alias("mean_c_post_q6"),
+        q6(
+            (F.col("mtpost") - F.col("mtpre")) - (F.col("mcpost") - F.col("mcpre"))
+        ).alias("did_q6"),
+    )

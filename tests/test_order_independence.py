@@ -120,6 +120,8 @@ HARDENED = [
     "events_ab_test",
     "events_poisson_bootstrap_ci",
     "events_kaplan_meier",
+    "ticks_epps_effect",
+    "events_diff_in_diff",
 ]
 
 

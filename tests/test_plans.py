@@ -666,6 +666,8 @@ _SCAN_BUDGETS = {
     "events_ab_test": 1,
     "events_poisson_bootstrap_ci": 2,
     "events_kaplan_meier": 0,
+    "ticks_epps_effect": 0,  # collapsed tick table checkpoints at build
+    "events_diff_in_diff": 2,  # time-cut scalar + the user-period agg
 
     # r7 (judge item: pin EVERY bench.py headline row, not just the
     # audited fixes): budgets are the audited plan shapes — TPC-H reads

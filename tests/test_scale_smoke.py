@@ -860,3 +860,50 @@ def test_ngram_novelty_300k_docs(spark, big_docs):
     # odd-group docs never appear in the reference: almost all shingles novel
     odds = scored.filter((F.col("doc_id") / 10).cast("long") % 2 == 1)
     assert odds.filter(F.col("n_novel") == 0).count() == 0
+
+
+def test_interval_overlap_join_4m_intervals(spark):
+    """Two asynchronous multi-million-interval streams through
+    interval_overlap_join: the count must match an independent exact
+    closed-form count, and the plan must stay an equi-join on the time
+    bucket (never a cartesian/theta fallback).
+
+    Streams on an integer micro axis: stream A ticks every 7 units
+    (2M intervals), stream B every 11 (1.27M) — coprime periods so the
+    overlap structure never degenerates.  The expected count is derived
+    arithmetically per B-interval (i-range with strict half-open
+    overlap), not by re-running the join."""
+    from big_data_project_jan_2026_tick_data__spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    n_a, n_b = 2_000_000, 1_272_727
+    a = spark.range(n_a).select(
+        (F.col("id") * 7).alias("a_start"),
+        ((F.col("id") + 1) * 7).alias("a_end"),
+    )
+    b = spark.range(n_b).select(
+        (F.col("id") * 11).alias("b_start"),
+        ((F.col("id") + 1) * 11).alias("b_end"),
+    )
+    # bucket width ~10x the interval length — the operator's contract
+    # says "choose near the typical interval": a width 10^5x the
+    # intervals would funnel ~10^5 intervals per side into each bucket
+    # and the per-bucket residual filter degenerates quadratic
+    out = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", bucket_width=100
+    )
+    plan = out._jdf.queryExecution().executedPlan().treeString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    got = out.count()
+    # overlap of A_i=(7i, 7i+7] and B_j=(11j, 11j+11]: 7i < 11j+11 and
+    # 11j < 7i+7  ->  i_min(j) = (11 j) // 7 (strictness works out for
+    # both divisibility cases), i_max(j) = (11 (j + 1) - 1) // 7,
+    # clipped to [0, n_a).
+    expect = 0
+    for j in range(n_b):
+        i_min = (11 * j) // 7
+        i_max = min((11 * (j + 1) - 1) // 7, n_a - 1)
+        if i_max >= i_min:
+            expect += i_max - i_min + 1
+    assert got == expect
