@@ -95,6 +95,8 @@ _ADJUDICATION_PRIORITY = [
     "events_kaplan_meier",
     "ticks_epps_effect",
     "events_diff_in_diff",
+    "orders_price_elasticity",
+    "doc_rake_keywords",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
@@ -112,11 +114,11 @@ _ADJUDICATION_PRIORITY = [
     "union_all_orders_split",
     "doc_curation_pipeline",
     "doc_decontaminate",
-    "doc_ngram_jaccard",
-    "doc_pack_sequences",
-    # ---- ~50-slot window boundary; r10 queue from here: the 10
+    # ---- ~50-slot window boundary; r10 queue from here: the 12
     # rotation rows displaced by the late-r9 first-evers (all green in
     # every local sweep), then the r3-era tail ----
+    "doc_ngram_jaccard",
+    "doc_pack_sequences",
     "doc_quality_scores",
     "doc_repetition_signals",
     "doc_scrub_pii",

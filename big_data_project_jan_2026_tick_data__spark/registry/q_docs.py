@@ -3297,3 +3297,158 @@ def doc_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
         "syllables",
         (F.floor(score * 1e4 + F.lit(0.5)) / 1e4).alias("flesch_q4"),
     )
+
+
+_RAKE_STOPS = (
+    "a", "an", "and", "as", "at", "by", "for", "in", "is",
+    "it", "of", "on", "the", "to", "with",
+)
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS l
+      FROM documents),
+    words AS (
+      SELECT t.doc_id, p.pos, t.l[p.pos + 1] AS w,
+             CASE WHEN t.l[p.pos + 1] IN ({stops}) THEN 1 ELSE 0 END
+               AS is_stop
+      FROM toks t,
+           LATERAL (SELECT unnest(range(len(t.l))) AS pos) p),
+    wp AS (
+      SELECT doc_id, pos, w, is_stop,
+             CAST(sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS BIGINT) AS pid
+      FROM words),
+    occ AS (
+      SELECT doc_id, pid, pos, w FROM wp WHERE is_stop = 0 AND w <> ''),
+    ph AS (
+      SELECT doc_id, pid,
+             CAST(count(*) AS BIGINT) AS n_words,
+             string_agg(w, ' ' ORDER BY pos) AS phrase
+      FROM occ GROUP BY doc_id, pid
+      HAVING count(*) BETWEEN 1 AND 4),
+    wstats AS (
+      SELECT o.w,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(p.n_words) AS BIGINT) AS deg
+      FROM occ o JOIN ph p ON p.doc_id = o.doc_id AND p.pid = o.pid
+      GROUP BY o.w),
+    ws AS (SELECT w, (deg * 1000000) // freq AS s6 FROM wstats),
+    scored AS (
+      SELECT o.doc_id, o.pid, p.phrase,
+             CAST(sum(ws.s6) AS BIGINT) AS score6
+      FROM occ o
+      JOIN ph p ON p.doc_id = o.doc_id AND p.pid = o.pid
+      JOIN ws ON ws.w = o.w
+      GROUP BY o.doc_id, o.pid, p.phrase),
+    dedup AS (
+      SELECT DISTINCT doc_id, phrase, score6 FROM scored),
+    ranked AS (
+      SELECT doc_id, phrase, score6,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score6 DESC, phrase) AS rank
+      FROM dedup)
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase,
+           CAST(score6 AS DOUBLE) / 1e6 AS rake_q6
+    FROM ranked WHERE rank <= 2
+    """
+
+
+@_register("doc_rake_keywords", _rake_oracle())
+def doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the stopword-
+    delimited phrase scorer that needs no model: candidate phrases are
+    maximal stopword-free word runs (capped at 4 words), each word
+    scores deg(w)/freq(w) over the whole corpus (deg = summed length of
+    the phrases its occurrences sit in — rewards words that co-occur in
+    long multiword terms), and a phrase scores the sum of its word
+    scores.  Top-2 phrases per document, ties broken by phrase text.
+
+    Determinism: phrase segmentation is positional (posexplode + a
+    per-doc running stopword count — bounded windows), word scores are
+    EXACT integer division (deg·10⁶ div freq), so phrase scores are
+    exact BIGINT sums — no float ordering anywhere; the phrase string
+    itself is position-sorted on both engines.  Scale: one corpus
+    tokenize feeding phrase table + word stats (both checkpointed),
+    everything else is hash aggs/joins keyed by word or (doc, phrase).
+
+    No counterpart in the reference; the unsupervised-keyword
+    complement to doc_tfidf_top_terms (tf-idf needs document frequency
+    only; RAKE sees multiword structure)."""
+    from pyspark.sql import Window
+
+    docs = _td(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias(
+            "pos", "w"
+        ),
+    ).withColumn(
+        "is_stop",
+        F.when(F.col("w").isin(*_RAKE_STOPS), F.lit(1)).otherwise(F.lit(0)),
+    )
+    wp = words.withColumn(
+        "pid",
+        F.sum("is_stop")
+        .over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long"),
+    )
+    occ = (
+        wp.filter((F.col("is_stop") == 0) & (F.col("w") != ""))
+        .select("doc_id", "pid", "pos", "w")
+        .localCheckpoint()  # feeds ph, wstats, and the scorer
+    )
+    ph = (
+        occ.groupBy("doc_id", "pid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+        .filter((F.col("n_words") >= 1) & (F.col("n_words") <= 4))
+        .localCheckpoint()  # feeds wstats and the scorer
+    )
+    wstats = (
+        occ.join(ph.select("doc_id", "pid", "n_words"), ["doc_id", "pid"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("n_words").cast("long").alias("deg"),
+        )
+    )
+    ws = wstats.select("w", F.expr("(deg * 1000000) div freq").alias("s6"))
+    scored = (
+        occ.join(ph.select("doc_id", "pid", "phrase"), ["doc_id", "pid"])
+        .join(ws, "w")
+        .groupBy("doc_id", "pid", "phrase")
+        .agg(F.sum("s6").cast("long").alias("score6"))
+    )
+    dedup = scored.select("doc_id", "phrase", "score6").distinct()
+    ranked = dedup.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("score6").desc(), F.col("phrase")
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rank") <= 2).select(
+        "doc_id",
+        "rank",
+        "phrase",
+        (F.col("score6").cast("double") / 1e6).alias("rake_q6"),
+    )

@@ -15,6 +15,7 @@ from ..operators import (  # noqa: F401
     text,
     ticks,
 )
+from ..functions import detmath
 from ..functions.exactagg import exact_avg, exact_avg_sql, exact_sum, exact_sum_sql
 from ._base import _register, _td
 
@@ -2548,4 +2549,148 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("ds").cast("double") / F.col("dn") / 12 / 100
             ),
         ).alias("residual"),
+    )
+
+
+def _price_elasticity_oracle() -> str:
+    """Generated oracle for orders_price_elasticity: identical per-part
+    aggregation, detmath ln on the exact unit-price ratio and on the
+    exact quantity, q4 snaps, and the same HUGEINT→DOUBLE moment casts
+    (Spark accumulates the q4 products in decimal(38,0) — both reach
+    the slope formula as identically-rounded binary64)."""
+    lnp = detmath.det_ln_pos_sql("u", "duckdb")
+    lnq = detmath.det_ln_pos_sql("qd", "duckdb", assume_ge_1=True)
+    return rf"""
+    WITH pp AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q,
+             CAST(sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS pc
+      FROM lineitem GROUP BY l_partkey),
+    uq AS (
+      SELECT p.p_brand AS brand,
+             CAST(pp.pc AS DOUBLE) / CAST(pp.q AS DOUBLE) AS u,
+             CAST(pp.q AS DOUBLE) AS qd
+      FROM pp JOIN part p ON p.p_partkey = pp.l_partkey
+      WHERE pp.q > 0 AND pp.pc > 0),
+    l AS (
+      SELECT brand,
+             CAST(FLOOR({lnp} * 1e4 + 0.5) AS BIGINT) AS lx,
+             CAST(FLOOR({lnq} * 1e4 + 0.5) AS BIGINT) AS ly
+      FROM uq),
+    m AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+             CAST(sum(lx * ly) AS DOUBLE) AS sxy,
+             CAST(sum(lx * lx) AS DOUBLE) AS sxx,
+             CAST(sum(ly * ly) AS DOUBLE) AS syy
+      FROM l GROUP BY brand)
+    SELECT brand, n_parts,
+           CASE WHEN n_parts >= 2
+                 AND (CAST(n_parts AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+                THEN FLOOR((CAST(n_parts AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n_parts AS DOUBLE) * sxx
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6 END AS elasticity_q6,
+           CASE WHEN n_parts >= 2
+                 AND (CAST(n_parts AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+                 AND (CAST(n_parts AS DOUBLE) * syy
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+                THEN FLOOR(((CAST(n_parts AS DOUBLE) * sxy
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            * (CAST(n_parts AS DOUBLE) * sxy
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                           / ((CAST(n_parts AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n_parts AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6 END AS r2_q6
+    FROM m
+    """
+
+
+@_register("orders_price_elasticity", _price_elasticity_oracle())
+def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per brand — the log-log regression
+    slope of quantity on unit price across a brand's parts (the pricing
+    team's first-cut demand curve): elasticity = d ln Q / d ln P.
+
+    Determinism: per-part sold quantity and revenue cents are exact
+    BIGINTs; the unit price is their double ratio (identical division
+    both engines); both logs go through detmath ln and snap to a q4
+    integer grid, so the regression moments are exact integers — the
+    cross products accumulate in decimal(38,0) on the Spark side and
+    HUGEINT on the DuckDB side, and BOTH convert once to binary64
+    (correctly-rounded by spec) before the one fixed-order slope/R²
+    tail.  Slope is invariant to the common q4 scaling of both axes.
+    Scale: lineitem collapses per part in one hash agg, the part dim
+    broadcasts, brands are a 25-row output.  No counterpart in the
+    reference (no price analytics); extends its per-symbol daily stats
+    posture to the demand side."""
+    li = _td(spark, sf_dir, "lineitem")
+    pt = _td(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pp = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("q"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("pc"),
+    )
+    uq = (
+        pp.filter((F.col("q") > 0) & (F.col("pc") > 0))
+        .join(F.broadcast(pt), pp.l_partkey == pt.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            (F.col("pc").cast("double") / F.col("q").cast("double")).alias("u"),
+            F.col("q").cast("double").alias("qd"),
+        )
+    )
+    l = uq.select(
+        "brand",
+        F.floor(detmath.det_ln_pos("u") * 1e4 + F.lit(0.5))
+        .cast("long")
+        .alias("lx"),
+        F.floor(
+            detmath.det_ln_pos("qd", assume_ge_1=True) * 1e4 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ly"),
+    )
+    m = l.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("ly") * F.col("ly")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    nd = F.col("n_parts").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    vx = nd * F.col("sxx") - sxd * sxd
+    vy = nd * F.col("syy") - syd * syd
+    cov = nd * F.col("sxy") - sxd * syd
+    return m.select(
+        "brand",
+        "n_parts",
+        F.when(
+            (F.col("n_parts") >= 2) & (vx > 0.0),
+            F.floor(cov / vx * 1e6 + F.lit(0.5)) / 1e6,
+        ).alias("elasticity_q6"),
+        F.when(
+            (F.col("n_parts") >= 2) & (vx > 0.0) & (vy > 0.0),
+            F.floor((cov * cov) / (vx * vy) * 1e6 + F.lit(0.5)) / 1e6,
+        ).alias("r2_q6"),
     )

@@ -122,6 +122,9 @@ HARDENED = [
     "events_kaplan_meier",
     "ticks_epps_effect",
     "events_diff_in_diff",
+    # exact integer division scores / decimal-accumulated q4 moments
+    "orders_price_elasticity",
+    "doc_rake_keywords",
 ]
 
 

@@ -668,6 +668,8 @@ _SCAN_BUDGETS = {
     "events_kaplan_meier": 0,
     "ticks_epps_effect": 0,  # collapsed tick table checkpoints at build
     "events_diff_in_diff": 2,  # time-cut scalar + the user-period agg
+    "orders_price_elasticity": 2,  # lineitem agg + broadcast part dim
+    "doc_rake_keywords": 0,  # occurrence + phrase tables checkpoint
 
     # r7 (judge item: pin EVERY bench.py headline row, not just the
     # audited fixes): budgets are the audited plan shapes — TPC-H reads
