@@ -97,6 +97,7 @@ _ADJUDICATION_PRIORITY = [
     "events_diff_in_diff",
     "orders_price_elasticity",
     "doc_rake_keywords",
+    "events_cuped",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
@@ -113,10 +114,10 @@ _ADJUDICATION_PRIORITY = [
     "tpch_q4_priority_check",
     "union_all_orders_split",
     "doc_curation_pipeline",
-    "doc_decontaminate",
-    # ---- ~50-slot window boundary; r10 queue from here: the 12
+    # ---- ~50-slot window boundary; r10 queue from here: the 13
     # rotation rows displaced by the late-r9 first-evers (all green in
     # every local sweep), then the r3-era tail ----
+    "doc_decontaminate",
     "doc_ngram_jaccard",
     "doc_pack_sequences",
     "doc_quality_scores",

@@ -5564,3 +5564,186 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mtpost") - F.col("mtpre")) - (F.col("mcpost") - F.col("mcpre"))
         ).alias("did_q6"),
     )
+
+
+@_register(
+    "events_cuped",
+    r"""
+    WITH cut AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut_us
+      FROM events),
+    u AS (
+      SELECT e.user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(e.user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'T' ELSE 'C' END AS arm,
+             CAST(sum(CASE WHEN epoch_us(e.ts) < c.cut_us
+                           THEN CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN epoch_us(e.ts) >= c.cut_us
+                           THEN CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events e, cut c WHERE e.value > 0
+      GROUP BY 1, 2),
+    pool AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM u),
+    arms AS (
+      SELECT
+        CAST(count(*) FILTER (arm = 'T') AS BIGINT) AS n_t,
+        CAST(count(*) FILTER (arm = 'C') AS BIGINT) AS n_c,
+        CAST(sum(x) FILTER (arm = 'T') AS BIGINT) AS sx_t,
+        CAST(sum(x) FILTER (arm = 'C') AS BIGINT) AS sx_c,
+        CAST(sum(y) FILTER (arm = 'T') AS BIGINT) AS sy_t,
+        CAST(sum(y) FILTER (arm = 'C') AS BIGINT) AS sy_c
+      FROM u),
+    f AS (
+      SELECT n_t, n_c,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * sxx
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+             ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * sxx
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * syy
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho2,
+             CAST(sy_t AS DOUBLE) / n_t - CAST(sy_c AS DOUBLE) / n_c AS rawd,
+             CAST(sx_t AS DOUBLE) / n_t - CAST(sx_c AS DOUBLE) / n_c AS xd
+      FROM pool, arms
+      WHERE n_t > 0 AND n_c > 0
+        AND (CAST(n AS DOUBLE) * sxx
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+        AND (CAST(n AS DOUBLE) * syy
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0)
+    SELECT n_t, n_c,
+           FLOOR(theta * 1e6 + 0.5) / 1e6 AS theta_q6,
+           FLOOR(rho2 * 1e6 + 0.5) / 1e6 AS rho2_q6,
+           FLOOR(rawd * 1e6 + 0.5) / 1e6 AS diff_raw_q6,
+           FLOOR((rawd - theta * xd) * 1e6 + 0.5) / 1e6 AS diff_cuped_q6
+    FROM f
+    """,
+)
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B contrast (Deng et al. 2013, "Improving the
+    Sensitivity of Online Controlled Experiments") — the
+    industry-standard variance-reduction trick: regress the experiment
+    metric on its own PRE-period value (θ = cov(x,y)/var(x), pooled)
+    and difference out the predictable component; the adjusted arm
+    contrast is algebraically (ȳ_T − ȳ_C) − θ(x̄_T − x̄_C), so no
+    per-user re-pass is needed.  Reports θ, the achieved variance
+    reduction ρ² (var drops by exactly ρ²), and the raw vs adjusted
+    treatment effects.
+
+    Arms ride the portable md5 user split (events_ab_test); the
+    pre/post cut is the data-derived integer midpoint
+    (events_diff_in_diff).  User pre/post cent sums are exact BIGINTs;
+    cross-moments accumulate in decimal(38,0)/HUGEINT (the
+    price-elasticity pattern) and reach the θ/ρ² formulas as
+    identically-rounded binary64.  Scale: one user-level hash agg, two
+    one-row roll-ups.  No counterpart in the reference."""
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cut = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias(
+            "cut_us"
+        )
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    u = (
+        ev.crossJoin(F.broadcast(cut))
+        .select(
+            "user_id",
+            F.when(
+                F.expr(
+                    "cast(conv(substr(md5(cast(user_id as string)), 1, 7),"
+                    " 16, 10) as bigint) % 2"
+                )
+                == 0,
+                F.lit("T"),
+            )
+            .otherwise(F.lit("C"))
+            .alias("arm"),
+            F.when(F.unix_micros("ts") < F.col("cut_us"), cents)
+            .otherwise(F.lit(0))
+            .alias("xc"),
+            F.when(F.unix_micros("ts") >= F.col("cut_us"), cents)
+            .otherwise(F.lit(0))
+            .alias("yc"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum("xc").cast("long").alias("x"),
+            F.sum("yc").cast("long").alias("y"),
+        )
+        .localCheckpoint()  # feeds the pooled and the per-arm roll-up
+    )
+    pool = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    arms = u.agg(
+        F.count(F.when(F.col("arm") == "T", F.lit(1))).cast("long").alias("n_t"),
+        F.count(F.when(F.col("arm") == "C", F.lit(1))).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("arm") == "T", F.col("x")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sx_t"),
+        F.sum(F.when(F.col("arm") == "C", F.col("x")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sx_c"),
+        F.sum(F.when(F.col("arm") == "T", F.col("y")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sy_t"),
+        F.sum(F.when(F.col("arm") == "C", F.col("y")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sy_c"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    vx = nd * F.col("sxx") - sxd * sxd
+    vy = nd * F.col("syy") - syd * syd
+    cov = nd * F.col("sxy") - sxd * syd
+    f = (
+        pool.crossJoin(F.broadcast(arms))
+        .filter((F.col("n_t") > 0) & (F.col("n_c") > 0) & (vx > 0.0) & (vy > 0.0))
+        .select(
+            "n_t",
+            "n_c",
+            (cov / vx).alias("theta"),
+            ((cov * cov) / (vx * vy)).alias("rho2"),
+            (
+                F.col("sy_t").cast("double") / F.col("n_t")
+                - F.col("sy_c").cast("double") / F.col("n_c")
+            ).alias("rawd"),
+            (
+                F.col("sx_t").cast("double") / F.col("n_t")
+                - F.col("sx_c").cast("double") / F.col("n_c")
+            ).alias("xd"),
+        )
+    )
+
+    def q6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return f.select(
+        "n_t",
+        "n_c",
+        q6(F.col("theta")).alias("theta_q6"),
+        q6(F.col("rho2")).alias("rho2_q6"),
+        q6(F.col("rawd")).alias("diff_raw_q6"),
+        q6(F.col("rawd") - F.col("theta") * F.col("xd")).alias("diff_cuped_q6"),
+    )

@@ -125,6 +125,7 @@ HARDENED = [
     # exact integer division scores / decimal-accumulated q4 moments
     "orders_price_elasticity",
     "doc_rake_keywords",
+    "events_cuped",
 ]
 
 

@@ -670,6 +670,7 @@ _SCAN_BUDGETS = {
     "events_diff_in_diff": 2,  # time-cut scalar + the user-period agg
     "orders_price_elasticity": 2,  # lineitem agg + broadcast part dim
     "doc_rake_keywords": 0,  # occurrence + phrase tables checkpoint
+    "events_cuped": 2,  # time-cut scalar + the user-level agg (checkpointed)
 
     # r7 (judge item: pin EVERY bench.py headline row, not just the
     # audited fixes): budgets are the audited plan shapes — TPC-H reads

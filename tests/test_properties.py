@@ -2019,3 +2019,38 @@ def test_kmeans_parallel_init_invariants(spark, n, k, dim, seed):
     assert all(0 <= r.weight <= n for r in out)
     again = similarity.kmeans_parallel_init(emb, k=k).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+@given(
+    a_iv=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 60)),
+        min_size=1,
+        max_size=15,
+    ),
+    b_iv=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 60)),
+        min_size=1,
+        max_size=15,
+    ),
+    width=st.sampled_from([1, 7, 50, 1000]),
+)
+@settings(**SETTINGS)
+def test_interval_overlap_join_matches_bruteforce(spark, a_iv, b_iv, width):
+    """interval_overlap_join == the O(n·m) brute force for ANY interval
+    layout (nested, duplicated, bucket-spanning, point-adjacent) at ANY
+    bucket width — each overlapping pair exactly once, half-open
+    (s, e] semantics."""
+    a_rows = [(i, s, s + d) for i, (s, d) in enumerate(a_iv)]
+    b_rows = [(j, s, s + d) for j, (s, d) in enumerate(b_iv)]
+    expect = sorted(
+        (ai, bj)
+        for ai, as_, ae in a_rows
+        for bj, bs, be in b_rows
+        if as_ < be and bs < ae
+    )
+    a = spark.createDataFrame(a_rows, "aid long, a_start long, a_end long")
+    b = spark.createDataFrame(b_rows, "bid long, b_start long, b_end long")
+    got = joins.interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", bucket_width=width
+    ).select("aid", "bid").collect()
+    assert sorted((r.aid, r.bid) for r in got) == expect
