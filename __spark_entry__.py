@@ -98,6 +98,7 @@ _ADJUDICATION_PRIORITY = [
     "orders_price_elasticity",
     "doc_rake_keywords",
     "events_cuped",
+    "doc_gopher_rules",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
@@ -113,10 +114,10 @@ _ADJUDICATION_PRIORITY = [
     "string_funcs_part_names",
     "tpch_q4_priority_check",
     "union_all_orders_split",
-    "doc_curation_pipeline",
-    # ---- ~50-slot window boundary; r10 queue from here: the 13
+    # ---- ~50-slot window boundary; r10 queue from here: the 14
     # rotation rows displaced by the late-r9 first-evers (all green in
     # every local sweep), then the r3-era tail ----
+    "doc_curation_pipeline",
     "doc_decontaminate",
     "doc_ngram_jaccard",
     "doc_pack_sequences",

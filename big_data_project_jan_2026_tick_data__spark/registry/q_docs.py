@@ -3452,3 +3452,103 @@ def doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phrase",
         (F.col("score6").cast("double") / 1e6).alias("rake_q6"),
     )
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS l
+      FROM documents),
+    w AS (
+      SELECT t.doc_id, t.l[p.pos + 1] AS word
+      FROM toks t,
+           LATERAL (SELECT unnest(range(len(t.l))) AS pos) p
+      WHERE t.l[p.pos + 1] <> ''),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(length(word)) AS BIGINT) AS n_chars,
+             CAST(sum(CASE WHEN regexp_matches(word, '[a-z]')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+             CAST(count(DISTINCT CASE WHEN word IN ({stops})
+                                      THEN word END) AS BIGINT)
+               AS n_stop_distinct
+      FROM w GROUP BY doc_id)
+    SELECT doc_id, n_words,
+           FLOOR(CAST(n_chars AS DOUBLE) / n_words * 1e4 + 0.5) / 1e4
+             AS mean_wlen_q4,
+           n_words BETWEEN 50 AND 100000 AS pass_word_count,
+           n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+             AS pass_word_length,
+           alpha_words * 5 >= n_words * 4 AS pass_alpha,
+           n_stop_distinct,
+           n_stop_distinct >= 2 AS pass_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+             AND alpha_words * 5 >= n_words * 4
+             AND n_stop_distinct >= 2 AS pass_gopher
+    FROM agg
+    """
+
+
+@_register("doc_gopher_rules", _gopher_oracle())
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule table (Rae et al. 2021, App. A — the named
+    rule battery most open-data pipelines start from), restricted to
+    the rules meaningful on a single-line corpus: word count in
+    [50, 100k], mean word length in [3, 10], ≥80% alphabetic words, and
+    ≥2 distinct frozen stopwords present.  Emits the per-doc signals,
+    each rule's verdict, and the conjunction.
+
+    Determinism: every threshold compares CROSS-MULTIPLIED exact
+    integers (chars ≥ 3·words, alpha·5 ≥ words·4) — no float ever
+    decides a verdict; the reported mean word length is display-only
+    (one identical double division + q4 snap).  Scale: one tokenize →
+    one hash agg.  Complements doc_quality_scores (continuous score)
+    with the named-rule boolean surface a curation audit wants."""
+    docs = _td(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("word"),
+    ).filter(F.col("word") != "")
+    agg = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+        F.sum(
+            F.when(F.col("word").rlike("[a-z]"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("alpha_words"),
+        F.countDistinct(
+            F.when(F.col("word").isin(*_GOPHER_STOPS), F.col("word"))
+        )
+        .cast("long")
+        .alias("n_stop_distinct"),
+    )
+    pass_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    pass_wl = (F.col("n_chars") >= 3 * F.col("n_words")) & (
+        F.col("n_chars") <= 10 * F.col("n_words")
+    )
+    pass_al = F.col("alpha_words") * 5 >= F.col("n_words") * 4
+    pass_st = F.col("n_stop_distinct") >= 2
+    return agg.select(
+        "doc_id",
+        "n_words",
+        (
+            F.floor(
+                F.col("n_chars").cast("double") / F.col("n_words") * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("mean_wlen_q4"),
+        pass_wc.alias("pass_word_count"),
+        pass_wl.alias("pass_word_length"),
+        pass_al.alias("pass_alpha"),
+        "n_stop_distinct",
+        pass_st.alias("pass_stopwords"),
+        (pass_wc & pass_wl & pass_al & pass_st).alias("pass_gopher"),
+    )

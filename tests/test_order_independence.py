@@ -126,6 +126,7 @@ HARDENED = [
     "orders_price_elasticity",
     "doc_rake_keywords",
     "events_cuped",
+    "doc_gopher_rules",
 ]
 
 

@@ -671,6 +671,7 @@ _SCAN_BUDGETS = {
     "orders_price_elasticity": 2,  # lineitem agg + broadcast part dim
     "doc_rake_keywords": 0,  # occurrence + phrase tables checkpoint
     "events_cuped": 2,  # time-cut scalar + the user-level agg (checkpointed)
+    "doc_gopher_rules": 1,  # one tokenize -> one hash agg
 
     # r7 (judge item: pin EVERY bench.py headline row, not just the
     # audited fixes): budgets are the audited plan shapes — TPC-H reads
