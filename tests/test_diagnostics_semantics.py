@@ -196,3 +196,219 @@ def test_benford_consistent_on_benford_sample(spark, tmp_path):
     assert bool(b["benford_consistent"]) is True
     # and the digit counts decay from d1 to d9 in aggregate
     assert b["d1"] > b["d9"]
+
+
+# ---------------------------------------------------------------------------
+# r9-continuation estimators: planted-structure semantics
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: (doc_id, text, lang, source)."""
+    df = spark.createDataFrame(
+        [(i, t, la, s, len(t)) for (i, t, la, s) in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sfsynth")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _md5_arm(uid: int) -> str:
+    """The registry's portable md5 split: 28-bit hex prefix, even -> A/T."""
+    import hashlib
+
+    h = int(hashlib.md5(str(uid).encode()).hexdigest()[:7], 16)
+    return "A" if h % 2 == 0 else "B"
+
+
+def test_hayashi_yoshida_synchronized_equals_realized_cov(spark, tmp_path):
+    """Two streams ticking at IDENTICAL times: HY degenerates to the
+    grid realized covariance.  S1 == S0 + const -> identical returns ->
+    hy_cov = sum(r^2) exactly and corr = +1; S2 = const - S0 -> corr -1
+    against both."""
+    rows, eid = [], 0
+    prices = [100.00 + (i % 7) + 0.25 * (i % 3) for i in range(50)]
+    for i, p in enumerate(prices):
+        rows.append((eid, _ts(10 * i), 0, "t", round(p, 2), "{}")); eid += 1
+        rows.append((eid, _ts(10 * i), 1, "t", round(p + 50, 2), "{}")); eid += 1
+        rows.append((eid, _ts(10 * i), 2, "t", round(300 - p, 2), "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        (r["sym_a"], r["sym_b"]): r
+        for r in QUERIES["ticks_hayashi_yoshida"](spark, sf).collect()
+    }
+    cents = [round(p * 100) for p in prices]
+    rv = sum((b - a) ** 2 for a, b in zip(cents, cents[1:]))
+    assert out[("S0", "S1")]["hy_cov_c2"] == rv
+    assert out[("S0", "S1")]["hy_corr_q6"] == 1.0
+    assert out[("S0", "S2")]["hy_corr_q6"] == -1.0
+    assert out[("S1", "S2")]["hy_corr_q6"] == -1.0
+
+
+def test_epps_synchronized_identical_moves_corr_one(spark, tmp_path):
+    """Identically-moving synchronized symbols: previous-tick sampling
+    yields identical grid returns at EVERY frequency -> corr exactly 1
+    (no Epps shrinkage without asynchrony)."""
+    rows, eid = [], 0
+    for i in range(240):  # 240 ticks x 60 s apart = 4 h, covers 900 s grid
+        p = 100.0 + (i % 11) + 0.5 * (i % 2)
+        rows.append((eid, _ts(60 * i), 0, "t", round(p, 2), "{}")); eid += 1
+        rows.append((eid, _ts(60 * i), 1, "t", round(p + 10, 2), "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = QUERIES["ticks_epps_effect"](spark, sf).collect()
+    got = {r["freq_s"]: r["corr_q6"] for r in out if (r["sym_a"], r["sym_b"]) == ("S0", "S1")}
+    assert got == {60: 1.0, 300: 1.0, 900: 1.0}
+
+
+def test_information_coefficient_monotone_momentum(spark, tmp_path):
+    """Daily closes 100 + d^2 dollars: both yesterday's and today's
+    returns are strictly increasing in d, so the rank permutations are
+    identical -> IC exactly +1."""
+    rows = []
+    for d in range(12):
+        ts = f"2024-01-{d + 1:02d} 12:00:00"
+        rows.append((d, ts, 0, "t", round(100.0 + d * d, 2), "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["symbol"]: r for r in QUERIES["ml_information_coefficient"](spark, sf).collect()}
+    assert out["S0"]["ic_q6"] == 1.0
+    assert out["S0"]["n"] == 10  # 12 closes -> 11 returns -> 10 (x, y) pairs
+
+
+def test_kaplan_meier_no_censoring_matches_ecdf(spark, tmp_path):
+    """Every user converts at a distinct duration: KM(t_k) must equal
+    the empirical survival (n-k)/n at the k-th event time (within the
+    q6 grid of the ln/exp round-trip)."""
+    n = 20
+    rows, eid = [], 0
+    for u in range(n):
+        rows.append((eid, _ts(0), u, "click", 1.0, "{}")); eid += 1
+        d = 10 * (u + 1)  # distinct durations 10..200 s
+        rows.append((eid, _ts(d), u, "purchase", 1.0, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = sorted(
+        QUERIES["events_kaplan_meier"](spark, sf).collect(),
+        key=lambda r: r["d_sec"],
+    )
+    assert len(out) == n
+    for k, r in enumerate(out, start=1):
+        assert r["n_risk"] == n - k + 1 and r["d_events"] == 1
+        assert abs(r["km_q6"] - (n - k) / n) <= 2e-6, (k, r["km_q6"])
+    assert out[-1]["km_q6"] == 0.0  # last at-risk converts -> S = 0
+
+
+def test_kaplan_meier_censoring_shrinks_risk_not_survival(spark, tmp_path):
+    """A user censored between two event times leaves the risk set but
+    multiplies no factor: S drops by (n-d)/n only at EVENT times."""
+    rows, eid = [], 0
+    # converters at 10 s and 30 s; censored user last seen at 20 s
+    for u, (typ, d) in enumerate([("purchase", 10), (None, 20), ("purchase", 30)]):
+        rows.append((eid, _ts(0), u, "click", 1.0, "{}")); eid += 1
+        if typ:
+            rows.append((eid, _ts(d), u, typ, 1.0, "{}")); eid += 1
+        else:
+            rows.append((eid, _ts(d), u, "view", 1.0, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["d_sec"]: r for r in QUERIES["events_kaplan_meier"](spark, sf).collect()}
+    assert set(out) == {10, 30}
+    assert out[10]["n_risk"] == 3 and abs(out[10]["km_q6"] - 2 / 3) <= 2e-6
+    # censored user gone by t=30: risk set is 1, the last converter
+    assert out[30]["n_risk"] == 1 and out[30]["km_q6"] == 0.0
+
+
+def test_ab_test_planted_effect_is_significant(spark, tmp_path):
+    """Give EVERY even-md5 (arm A) user a purchase and no arm-B user
+    one: z must blow past the critical value, SRM must pass (the md5
+    split of 400 sequential ids is near-balanced)."""
+    rows, eid = [], 0
+    for u in range(400):
+        rows.append((eid, _ts(u % 3600), u, "view", 1.0, "{}")); eid += 1
+        if _md5_arm(u) == "A":
+            rows.append((eid, _ts(u % 3600 + 1), u, "purchase", 1.0, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["events_ab_test"](spark, sf).collect()[0]
+    assert r["n_a"] + r["n_b"] == 400
+    assert r["x_a"] == r["n_a"] and r["x_b"] == 0
+    assert bool(r["significant"]) is True and r["z_q6"] > 10
+    assert bool(r["srm_ok"]) is True
+
+
+def test_cuped_perfect_covariate_zeroes_the_contrast(spark, tmp_path):
+    """Post metric y = 2x exactly (x = pre metric): theta = 2, rho^2 = 1,
+    and the CUPED-adjusted contrast is exactly 0 — the raw arm gap is
+    fully explained by the pre-period imbalance."""
+    rows, eid = [], 0
+    for u in range(100):
+        x = 10.0 + u  # exact cents, varies across users and arms
+        rows.append((eid, _ts(u), u, "view", x, "{}")); eid += 1          # pre
+        rows.append((eid, f"2024-01-02 00:{u // 60:02d}:{u % 60:02d}", u,
+                     "view", 2 * x, "{}")); eid += 1                      # post
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["events_cuped"](spark, sf).collect()[0]
+    assert r["theta_q6"] == 2.0
+    assert r["rho2_q6"] == 1.0
+    assert abs(r["diff_cuped_q6"]) <= 1e-5
+    assert abs(r["diff_raw_q6"]) > 0  # arms ARE imbalanced pre-adjustment
+
+
+def test_diff_in_diff_recovers_planted_effect(spark, tmp_path):
+    """Control: 100 -> 110 (common trend +10); treated: 100 -> 135.
+    DiD must report exactly +2500 cents = the planted 25.00 effect."""
+    rows, eid = [], 0
+    for u in range(100):
+        arm_t = _md5_arm(u) == "A"
+        rows.append((eid, _ts(u), u, "view", 100.00, "{}")); eid += 1
+        post_v = 135.00 if arm_t else 110.00
+        rows.append((eid, f"2024-01-02 00:{u // 60:02d}:{u % 60:02d}", u,
+                     "view", post_v, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["events_diff_in_diff"](spark, sf).collect()[0]
+    assert r["did_q6"] == 2500.0  # cents
+    assert r["mean_c_pre_q6"] == 10000.0 and r["mean_t_pre_q6"] == 10000.0
+
+
+def test_poisson_bootstrap_ci_brackets_the_mean(spark, tmp_path):
+    """A well-behaved 500-row purchase sample: the 95% bootstrap CI must
+    bracket the exact mean and the bagged mean must sit close to it."""
+    rows = []
+    for i in range(500):
+        rows.append((i, _ts(i % 3600), i % 50, "purchase",
+                     round(1.0 + (i % 80) * 0.05, 2), "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["events_poisson_bootstrap_ci"](spark, sf).collect()[0]
+    assert r["n"] == 500 and r["r_used"] == 40
+    assert r["ci_lo_cents_q6"] <= r["mean_cents_q4"] <= r["ci_hi_cents_q6"]
+    assert abs(r["boot_mean_cents_q4"] - r["mean_cents_q4"]) < 10  # cents
+    assert r["ci_hi_cents_q6"] > r["ci_lo_cents_q6"]
+
+
+def test_rake_hand_derived_scores(spark, tmp_path):
+    """'red apple and red apple of banana': phrases {red apple x2,
+    banana}; deg/freq = 2 for red and apple, 1 for banana -> phrase
+    scores 4.0 and 1.0, in that rank order."""
+    sf = _write_docs(
+        spark, tmp_path, [(1, "red apple and red apple of banana", "en", "s")]
+    )
+    out = sorted(
+        QUERIES["doc_rake_keywords"](spark, sf).collect(), key=lambda r: r["rank"]
+    )
+    assert [(r["phrase"], r["rake_q6"]) for r in out] == [
+        ("red apple", 4.0),
+        ("banana", 1.0),
+    ]
+
+
+def test_gopher_rules_verdicts(spark, tmp_path):
+    """10 words -> word-count rule fails (and the conjunction); 60
+    well-formed words with two stopwords -> every rule passes."""
+    short = " ".join(["word"] * 10)
+    good = " ".join(["word"] * 58 + ["the", "of"])
+    sf = _write_docs(spark, tmp_path, [(1, short, "en", "s"), (2, good, "en", "s")])
+    out = {r["doc_id"]: r for r in QUERIES["doc_gopher_rules"](spark, sf).collect()}
+    assert bool(out[1]["pass_word_count"]) is False
+    assert bool(out[1]["pass_gopher"]) is False
+    assert bool(out[2]["pass_word_count"]) is True
+    assert bool(out[2]["pass_word_length"]) is True
+    assert bool(out[2]["pass_alpha"]) is True
+    assert out[2]["n_stop_distinct"] == 2
+    assert bool(out[2]["pass_gopher"]) is True
