@@ -99,6 +99,8 @@ _ADJUDICATION_PRIORITY = [
     "doc_rake_keywords",
     "events_cuped",
     "doc_gopher_rules",
+    "part_link_prediction",
+    "ticks_hy_lead_lag",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
@@ -112,11 +114,11 @@ _ADJUDICATION_PRIORITY = [
     "scalar_subquery_above_avg",
     "stats_min_max_metadata",
     "string_funcs_part_names",
-    "tpch_q4_priority_check",
-    "union_all_orders_split",
-    # ---- ~50-slot window boundary; r10 queue from here: the 14
+    # ---- ~50-slot window boundary; r10 queue from here: the 16
     # rotation rows displaced by the late-r9 first-evers (all green in
     # every local sweep), then the r3-era tail ----
+    "tpch_q4_priority_check",
+    "union_all_orders_split",
     "doc_curation_pipeline",
     "doc_decontaminate",
     "doc_ngram_jaccard",

@@ -5747,3 +5747,160 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.col("rawd")).alias("diff_raw_q6"),
         q6(F.col("rawd") - F.col("theta") * F.col("xd")).alias("diff_cuped_q6"),
     )
+
+
+_HY_LAGS_US = (-1800_000_000, -300_000_000, 0, 300_000_000, 1800_000_000)
+
+
+def _hy_lead_lag_oracle() -> str:
+    lags = ", ".join(str(x) for x in _HY_LAGS_US)
+    return rf"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
+             epoch_us(ts) AS us,
+             arg_max(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), event_id)
+               AS cents
+      FROM events WHERE value > 0 GROUP BY 1, 2),
+    iv AS (
+      SELECT symbol,
+             lag(us) OVER w AS start_us,
+             us AS end_us,
+             cents - lag(cents) OVER w AS r
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY us)),
+    iv2 AS (SELECT * FROM iv WHERE start_us IS NOT NULL),
+    rv AS (
+      SELECT symbol, CAST(sum(r * r) AS BIGINT) AS rv
+      FROM iv2 GROUP BY symbol),
+    lg AS (SELECT unnest([{lags}]) AS lag_us),
+    bsh AS (
+      SELECT b.symbol, b.start_us - l.lag_us AS start_us,
+             b.end_us - l.lag_us AS end_us, b.r, l.lag_us
+      FROM iv2 b, lg l),
+    ov AS (
+      SELECT a.symbol AS sym_a, b.symbol AS sym_b, b.lag_us,
+             CAST(count(*) AS BIGINT) AS n_overlaps,
+             CAST(sum(a.r * b.r) AS BIGINT) AS hy_cov_c2
+      FROM iv2 a JOIN bsh b
+        ON a.symbol < b.symbol
+       AND a.start_us < b.end_us AND b.start_us < a.end_us
+      GROUP BY 1, 2, 3)
+    SELECT ov.sym_a, ov.sym_b, ov.lag_us, ov.n_overlaps, ov.hy_cov_c2,
+           CASE WHEN ra.rv > 0 AND rb.rv > 0
+                THEN FLOOR(CAST(ov.hy_cov_c2 AS DOUBLE)
+                           / sqrt(CAST(ra.rv AS DOUBLE)
+                                  * CAST(rb.rv AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6 END AS hy_corr_q6
+    FROM ov
+    JOIN rv ra ON ov.sym_a = ra.symbol
+    JOIN rv rb ON ov.sym_b = rb.symbol
+    """
+
+
+@_register("ticks_hy_lead_lag", _hy_lead_lag_oracle())
+def ticks_hy_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hayashi-Yoshida LEAD-LAG curve (Hoffmann, Rosenbaum & Yoshida
+    2013): the HY cross-covariance recomputed with one stream's return
+    intervals time-shifted by each lag ℓ — corr(ℓ) peaks at the lag by
+    which the second stream FOLLOWS the first (shift-by-−ℓ aligns a
+    follower delayed by ℓ, proven in the semantic test with a planted
+    5-minute echo).  The asynchronous-data answer to "which symbol
+    leads?" that grid-based ticks_lead_lag_corr approximates.
+
+    Plan: the SAME collapsed-interval table as ticks_hayashi_yoshida
+    (checkpointed once); the lag explode is MAP-SIDE (×5 on the shifted
+    side only — the unshifted side's buckets are lag-invariant, so ONE
+    bucketized equi-join carries all lags and pairs, grouped by
+    (pair, lag) after).  Epoch micros stay positive under every lag, so
+    integer bucket division is exact; covariances are exact BIGINTs;
+    the normalization reuses the lag-invariant realized variances."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    t = (
+        ev.filter(F.col("value") > 0)
+        .select(
+            F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+                "symbol"
+            ),
+            F.unix_micros("ts").alias("us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            "event_id",
+        )
+        .groupBy("symbol", "us")
+        .agg(F.max_by("cents", "event_id").alias("cents"))
+    )
+    w = Window.partitionBy("symbol").orderBy("us")
+    iv = (
+        t.select(
+            "symbol",
+            F.lag("us").over(w).alias("start_us"),
+            F.col("us").alias("end_us"),
+            (F.col("cents") - F.lag("cents").over(w)).alias("r"),
+        )
+        .filter(F.col("start_us").isNotNull())
+        .localCheckpoint()  # feeds RV, the unshifted side, the lag fan-out
+    )
+    rv = iv.groupBy("symbol").agg(
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("rv")
+    )
+    a = iv.select(
+        F.col("symbol").alias("sym_a"),
+        F.col("start_us").alias("a_start"),
+        F.col("end_us").alias("a_end"),
+        F.col("r").alias("ra"),
+    )
+    b = (
+        iv.select(
+            F.col("symbol").alias("sym_b"),
+            "start_us",
+            "end_us",
+            F.col("r").alias("rb"),
+        )
+        .withColumn(
+            "lag_us",
+            F.explode(F.array(*[F.lit(x) for x in _HY_LAGS_US])),
+        )
+        .select(
+            "sym_b",
+            (F.col("start_us") - F.col("lag_us")).alias("b_start"),
+            (F.col("end_us") - F.col("lag_us")).alias("b_end"),
+            "rb",
+            "lag_us",
+        )
+    )
+    ov = (
+        joins.interval_overlap_join(
+            a, b, "a_start", "a_end", "b_start", "b_end",
+            extra="l.sym_a < r.sym_b",
+        )
+        .groupBy("sym_a", "sym_b", "lag_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum(F.col("ra") * F.col("rb")).cast("long").alias("hy_cov_c2"),
+        )
+    )
+    rva = rv.select(F.col("symbol").alias("sym_a"), F.col("rv").alias("rv_a"))
+    rvb = rv.select(F.col("symbol").alias("sym_b"), F.col("rv").alias("rv_b"))
+    return (
+        ov.join(F.broadcast(rva), "sym_a")
+        .join(F.broadcast(rvb), "sym_b")
+        .select(
+            "sym_a",
+            "sym_b",
+            "lag_us",
+            "n_overlaps",
+            "hy_cov_c2",
+            F.when(
+                (F.col("rv_a") > 0) & (F.col("rv_b") > 0),
+                F.floor(
+                    F.col("hy_cov_c2").cast("double")
+                    / F.sqrt(
+                        F.col("rv_a").cast("double") * F.col("rv_b").cast("double")
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6,
+            ).alias("hy_corr_q6"),
+        )
+    )

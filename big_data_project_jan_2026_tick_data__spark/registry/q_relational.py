@@ -2694,3 +2694,129 @@ def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((cov * cov) / (vx * vy) * 1e6 + F.lit(0.5)) / 1e6,
         ).alias("r2_q6"),
     )
+
+
+def _link_prediction_oracle() -> str:
+    """Generated oracle for part_link_prediction: same slice/orientation,
+    detmath ln on the center degree (1e-9 inverse-log grid, exact sums),
+    exact integer-division Jaccard."""
+    ln = detmath.det_ln_pos_sql("degd", "duckdb", assume_ge_1=True)
+    return rf"""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey % 7 = 0 AND b.l_partkey % 7 = 0),
+    adj AS (
+      SELECT a AS c, b AS n FROM e0
+      UNION ALL SELECT b AS c, a AS n FROM e0),
+    deg AS (
+      SELECT c AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY c),
+    ct AS (
+      SELECT d.node, CAST(d.deg AS DOUBLE) AS degd FROM deg d),
+    cinv AS (
+      SELECT node, CAST(FLOOR((1.0 / {ln}) * 1e9 + 0.5) AS BIGINT) AS t9
+      FROM ct),
+    wedges AS (
+      SELECT a1.n AS x, a2.n AS y, a1.c AS c
+      FROM adj a1 JOIN adj a2 ON a1.c = a2.c AND a1.n < a2.n),
+    cand AS (
+      SELECT w.x, w.y,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(ci.t9) AS BIGINT) AS aa9
+      FROM wedges w JOIN cinv ci ON ci.node = w.c
+      GROUP BY w.x, w.y),
+    nonedge AS (
+      SELECT cand.* FROM cand
+      WHERE NOT EXISTS (SELECT 1 FROM e0
+                        WHERE e0.a = cand.x AND e0.b = cand.y))
+    SELECT n.x AS part_a, n.y AS part_b, n.common_neighbors,
+           CAST((n.common_neighbors * 1000000)
+                // (dx.deg + dy.deg - n.common_neighbors) AS BIGINT)
+             AS jaccard_e6,
+           CAST(n.aa9 AS DOUBLE) / 1e9 AS adamic_adar_q9
+    FROM nonedge n
+    JOIN deg dx ON dx.node = n.x
+    JOIN deg dy ON dy.node = n.y
+    """
+
+
+@_register("part_link_prediction", _link_prediction_oracle())
+def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph — the three classical
+    neighborhood scores (Liben-Nowell & Kleinberg 2003) for every
+    NON-adjacent part pair at distance 2: common-neighbor count,
+    Jaccard overlap of neighborhoods, and Adamic-Adar (Σ 1/ln deg(c) —
+    rare shared neighbors weigh more).  The "customers who bought these
+    also bought..." candidate generator.
+
+    Same %7 category slice and distinct-edge construction as the
+    triangle/community queries (bounded by items-per-order).  Exactness:
+    common-neighbor counts and degrees are exact BIGINTs; Jaccard is an
+    exact integer division on the 1e6 grid; each center's 1/ln(deg)
+    goes through detmath ln (deg ≥ 2 for any wedge center) and snaps to
+    a 1e-9 integer grid so the Adamic-Adar SUM is exact.  Scale: wedge
+    generation is the adjacency self-join keyed by center (the O(m·d̄)
+    market-basket shape), candidates anti-join the edge set, degrees
+    broadcast.  No counterpart in the reference."""
+    li = _td(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 7 == 0)
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .distinct()
+        .localCheckpoint()  # feeds adjacency, the anti-join, and degrees
+    )
+    adj = e0.select(F.col("a").alias("c"), F.col("b").alias("n")).unionByName(
+        e0.select(F.col("b").alias("c"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy(F.col("c").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).localCheckpoint()  # feeds the inverse-log weights and both ends
+    cinv = deg.select(
+        "node", F.col("deg").cast("double").alias("degd")
+    ).select(
+        "node",
+        F.floor((F.lit(1.0) / detmath.det_ln_pos("degd", assume_ge_1=True)) * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("t9"),
+    )
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    wedges = a1.join(
+        a2,
+        (F.col("a1.c") == F.col("a2.c")) & (F.col("a1.n") < F.col("a2.n")),
+    ).select(
+        F.col("a1.n").alias("x"), F.col("a2.n").alias("y"), F.col("a1.c").alias("c")
+    )
+    cand = (
+        wedges.join(cinv, wedges.c == cinv.node)
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum("t9").cast("long").alias("aa9"),
+        )
+    )
+    nonedge = cand.join(
+        e0, (cand.x == e0.a) & (cand.y == e0.b), "left_anti"
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("dy"))
+    return (
+        nonedge.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            "common_neighbors",
+            F.expr(
+                "cast((common_neighbors * 1000000)"
+                " div (dx + dy - common_neighbors) as bigint)"
+            ).alias("jaccard_e6"),
+            (F.col("aa9").cast("double") / 1e9).alias("adamic_adar_q9"),
+        )
+    )

@@ -412,3 +412,73 @@ def test_gopher_rules_verdicts(spark, tmp_path):
     assert bool(out[2]["pass_alpha"]) is True
     assert out[2]["n_stop_distinct"] == 2
     assert bool(out[2]["pass_gopher"]) is True
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    """rows: (l_orderkey, l_partkey)."""
+    df = spark.createDataFrame(
+        [(o, p, 1.0, 1.0) for (o, p) in rows],
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double",
+    )
+    d = str(tmp_path / "sfsynth")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    return d
+
+
+def test_hy_lead_lag_finds_planted_echo(spark, tmp_path):
+    """S1 repeats S0's price path delayed by exactly 1800 s — LONGER
+    than the 1000 s inter-tick interval, so the misaligned lags carry
+    no diagonal term (an echo shorter than the interval would leave the
+    lag-0 overlap containing the full aligned product and corr(0) ~
+    1 + rho1): corr must be EXACTLY 1 at lag = +1800 s and small at
+    lag 0; the argmax identifies the follower delay."""
+    from datetime import datetime, timedelta
+
+    def ts(sec: int) -> str:  # _ts() only renders < 3600 s correctly
+        return (datetime(2024, 1, 1) + timedelta(seconds=sec)).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+
+    rows, eid, price = [], 0, 100.0
+    prices = []
+    for i in range(60):  # md5-coin walk: no autocorrelation structure,
+        price += 0.5 if _md5_bit(i) else -0.5  # so misaligned lags can't
+        prices.append(round(price, 2))  # inflate past the aligned one
+    for i, p in enumerate(prices):
+        t0 = 1000 * i
+        rows.append((eid, ts(t0), 0, "t", p, "{}")); eid += 1
+        rows.append((eid, ts(t0 + 1800), 1, "t", p, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        r["lag_us"]: r
+        for r in QUERIES["ticks_hy_lead_lag"](spark, sf).collect()
+        if (r["sym_a"], r["sym_b"]) == ("S0", "S1")
+    }
+    assert out[1800_000_000]["hy_corr_q6"] == 1.0
+    assert abs(out[0]["hy_corr_q6"]) < 0.9
+    best = max(out.values(), key=lambda r: r["hy_corr_q6"])
+    assert best["lag_us"] == 1800_000_000
+
+
+def test_link_prediction_hand_derived_star(spark, tmp_path):
+    """Graph 7-14, 14-21, 14-28, 7-21 (all part keys % 7 == 0): the only
+    distance-2 non-edges are (7,28) and (21,28), each with one common
+    neighbor (14, degree 3) -> Jaccard = 1/(deg_x + deg_y - 1) exactly
+    and Adamic-Adar = 1/ln 3."""
+    import math as m
+
+    sf = _write_lineitem(
+        spark, tmp_path, [(1, 7), (1, 14), (2, 14), (2, 21), (3, 14), (3, 28),
+                          (4, 7), (4, 21)]
+    )
+    out = {
+        (r["part_a"], r["part_b"]): r
+        for r in QUERIES["part_link_prediction"](spark, sf).collect()
+    }
+    assert set(out) == {(7, 28), (21, 28)}
+    for pair in [(7, 28), (21, 28)]:
+        r = out[pair]
+        assert r["common_neighbors"] == 1
+        assert r["jaccard_e6"] == 1000000 // (2 + 1 - 1)  # 1/2 on the e6 grid
+        assert abs(r["adamic_adar_q9"] - 1.0 / m.log(3.0)) <= 1e-6

@@ -127,6 +127,8 @@ HARDENED = [
     "doc_rake_keywords",
     "events_cuped",
     "doc_gopher_rules",
+    "part_link_prediction",
+    "ticks_hy_lead_lag",
 ]
 
 
