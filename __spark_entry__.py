@@ -101,6 +101,7 @@ _ADJUDICATION_PRIORITY = [
     "doc_gopher_rules",
     "part_link_prediction",
     "ticks_hy_lead_lag",
+    "events_bandit_replay",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
@@ -113,10 +114,10 @@ _ADJUDICATION_PRIORITY = [
     "salted_join_skewed_users",
     "scalar_subquery_above_avg",
     "stats_min_max_metadata",
-    "string_funcs_part_names",
-    # ---- ~50-slot window boundary; r10 queue from here: the 16
+    # ---- ~50-slot window boundary; r10 queue from here: the 17
     # rotation rows displaced by the late-r9 first-evers (all green in
     # every local sweep), then the r3-era tail ----
+    "string_funcs_part_names",
     "tpch_q4_priority_check",
     "union_all_orders_split",
     "doc_curation_pipeline",

@@ -5904,3 +5904,144 @@ def ticks_hy_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hy_corr_q6"),
         )
     )
+
+
+@_register(
+    "events_bandit_replay",
+    r"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE value > 0 GROUP BY 1, 2),
+    cum AS (
+      SELECT day, event_type,
+             CAST(sum(n) OVER w AS BIGINT) AS cn,
+             CAST(sum(cents) OVER w AS BIGINT) AS cs
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    nextday AS (
+      SELECT d.day AS decision_day, c.event_type,
+             (c.cs * 1000000) // c.cn AS mean6
+      FROM (SELECT DISTINCT day FROM daily) d
+      JOIN cum c
+        ON c.day = (SELECT max(c2.day) FROM cum c2
+                    WHERE c2.event_type = c.event_type AND c2.day < d.day)),
+    policy AS (
+      SELECT decision_day AS day, event_type AS chosen_type
+      FROM (SELECT decision_day, event_type, mean6,
+                   row_number() OVER (PARTITION BY decision_day
+                                      ORDER BY mean6 DESC, event_type)
+                     AS rk
+            FROM nextday)
+      WHERE rk = 1),
+    matched AS (
+      SELECT p.day, p.chosen_type, d.n, d.cents
+      FROM policy p
+      LEFT JOIN daily d ON d.day = p.day AND d.event_type = p.chosen_type)
+    SELECT day, chosen_type,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_matched,
+           CASE WHEN n > 0
+                THEN FLOOR(CAST(cents AS DOUBLE) / n * 1e4 + 0.5) / 1e4
+           END AS est_value_q4
+    FROM matched
+    """,
+)
+def events_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline bandit-policy replay (Li et al. 2011, the unbiased
+    replay evaluator): a daily-updated greedy policy — each day play
+    the event type with the highest CUMULATIVE mean value through the
+    previous day — is evaluated on the logged stream by keeping only
+    the day's events whose type matches the policy's choice and
+    averaging their reward.  The standard way to score a
+    recommendation policy on logs without an online experiment.
+
+    Determinism: per-(day, type) counts and cent sums are exact
+    BIGINTs; cumulative means compare on an exact q6 integer-division
+    grid with the type name as tiebreaker (a raw double comparison
+    could tie-flip across engines on 1-ulp rational disagreements);
+    per-day estimates are one identical double division + q4 snap.
+    The "latest cumulative state strictly before day d" lookup is an
+    as-of self-reference (correlated max in the oracle, a lag window
+    on the dense Spark side — both total-ordered).  Scale: the corpus
+    collapses to #days × #types rows in ONE hash agg; everything after
+    runs on that tiny table.  No counterpart in the reference."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c1"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c1").cast("long").alias("cents"),
+        )
+        .localCheckpoint()  # feeds cum-state, the day list, and the eval join
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "day",
+        "event_type",
+        F.sum("n").over(wt).cast("long").alias("cn"),
+        F.sum("cents").over(wt).cast("long").alias("cs"),
+    )
+    days = daily.select("day").distinct()
+    # latest cumulative state strictly before each decision day: join
+    # states to later days, keep the max state-day per (day, type)
+    nextday = (
+        days.alias("d")
+        .join(cum.alias("c"), F.col("c.day") < F.col("d.day"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(F.col("d.day"), F.col("c.event_type")).orderBy(
+                    F.col("c.day").desc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("d.day").alias("day"),
+            F.col("c.event_type").alias("event_type"),
+            F.expr("(cs * 1000000) div cn").alias("mean6"),
+        )
+    )
+    policy = (
+        nextday.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("day").orderBy(
+                    F.col("mean6").desc(), F.col("event_type")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("day", F.col("event_type").alias("chosen_type"))
+    )
+    matched = policy.join(
+        daily.select(
+            "day", F.col("event_type").alias("chosen_type"), "n", "cents"
+        ),
+        ["day", "chosen_type"],
+        "left",
+    )
+    return matched.select(
+        "day",
+        "chosen_type",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_matched"),
+        F.when(
+            F.col("n") > 0,
+            F.floor(F.col("cents").cast("double") / F.col("n") * 1e4 + F.lit(0.5))
+            / 1e4,
+        ).alias("est_value_q4"),
+    )

@@ -482,3 +482,33 @@ def test_link_prediction_hand_derived_star(spark, tmp_path):
         assert r["common_neighbors"] == 1
         assert r["jaccard_e6"] == 1000000 // (2 + 1 - 1)  # 1/2 on the e6 grid
         assert abs(r["adamic_adar_q9"] - 1.0 / m.log(3.0)) <= 1e-6
+
+
+def test_bandit_replay_greedy_tracks_the_hot_arm(spark, tmp_path):
+    """Arm A pays ~10x arm B from day 1: the daily greedy policy must
+    choose A on every later day; a day where A logged no events scores
+    n_matched = 0 with a NULL estimate (the replay estimator's
+    propensity hole, surfaced honestly)."""
+    rows, eid = [], 0
+
+    def day(d, typ, vals):
+        nonlocal eid
+        for j, v in enumerate(vals):
+            rows.append((eid, f"2024-01-{d:02d} 01:00:{j:02d}", j, typ, v, "{}"))
+            eid += 1
+
+    day(1, "A", [10.0, 10.0]); day(1, "B", [1.0, 1.0])
+    day(2, "A", [9.0, 9.0]);   day(2, "B", [1.0, 1.0])
+    day(3, "A", [8.0, 8.0]);   day(3, "B", [1.0, 1.0])
+    day(4, "B", [1.0, 1.0])  # A silent: policy still picks A, matches 0
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        str(r["day"]): r for r in QUERIES["events_bandit_replay"](spark, sf).collect()
+    }
+    assert set(out) == {"2024-01-02", "2024-01-03", "2024-01-04"}  # day 1 has no prior state
+    assert all(r["chosen_type"] == "A" for r in out.values())
+    assert out["2024-01-02"]["n_matched"] == 2
+    assert out["2024-01-02"]["est_value_q4"] == 900.0  # cents
+    assert out["2024-01-03"]["est_value_q4"] == 800.0
+    assert out["2024-01-04"]["n_matched"] == 0
+    assert out["2024-01-04"]["est_value_q4"] is None

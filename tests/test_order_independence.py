@@ -129,6 +129,7 @@ HARDENED = [
     "doc_gopher_rules",
     "part_link_prediction",
     "ticks_hy_lead_lag",
+    "events_bandit_replay",
 ]
 
 

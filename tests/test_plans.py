@@ -674,6 +674,7 @@ _SCAN_BUDGETS = {
     "doc_gopher_rules": 1,  # one tokenize -> one hash agg
     "part_link_prediction": 0,  # edge set + degrees checkpoint at build
     "ticks_hy_lead_lag": 0,  # interval table checkpoints at build
+    "events_bandit_replay": 0,  # daily agg checkpoints at build
 
     # r7 (judge item: pin EVERY bench.py headline row, not just the
     # audited fixes): budgets are the audited plan shapes — TPC-H reads
