@@ -4615,10 +4615,10 @@ def ticks_garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "ticks_hayashi_yoshida",
-    r"""
-    WITH t AS (
+# Shared by the Hayashi-Yoshida family (ticks_hayashi_yoshida,
+# ticks_hy_lead_lag): the collapse-and-difference convention is the
+# estimator's identity, so it lives in ONE place on each engine side.
+_HY_IV_CTES = r"""t AS (
       SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
              epoch_us(ts) AS us,
              arg_max(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), event_id)
@@ -4633,7 +4633,78 @@ def ticks_garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv2 AS (SELECT * FROM iv WHERE start_us IS NOT NULL),
     rv AS (
       SELECT symbol, CAST(sum(r * r) AS BIGINT) AS rv
-      FROM iv2 GROUP BY symbol),
+      FROM iv2 GROUP BY symbol)"""
+
+
+def _hy_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cent-return interval table for the HY estimators: simultaneous
+    same-symbol ticks collapse to the last by event_id (deterministic,
+    strictly positive-length intervals), one lag window builds
+    (start_us, end_us, r].  Checkpointed — every HY consumer feeds it
+    to at least three lineage branches (RV + both join sides)."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    t = (
+        ev.filter(F.col("value") > 0)
+        .select(
+            F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+                "symbol"
+            ),
+            F.unix_micros("ts").alias("us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            "event_id",
+        )
+        .groupBy("symbol", "us")
+        .agg(F.max_by("cents", "event_id").alias("cents"))
+    )
+    w = Window.partitionBy("symbol").orderBy("us")
+    return (
+        t.select(
+            "symbol",
+            F.lag("us").over(w).alias("start_us"),
+            F.col("us").alias("end_us"),
+            (F.col("cents") - F.lag("cents").over(w)).alias("r"),
+        )
+        .filter(F.col("start_us").isNotNull())
+        .localCheckpoint()
+    )
+
+
+def _hy_normalized(ov: DataFrame, rv: DataFrame, keys: list) -> DataFrame:
+    """Join the (lag-invariant) per-symbol realized variances and emit
+    the normalized HY correlation — one fixed-order double tail (rv
+    products can exceed int64, so the sqrt runs on the DOUBLE product,
+    written identically in the oracles)."""
+    rva = rv.select(F.col("symbol").alias("sym_a"), F.col("rv").alias("rv_a"))
+    rvb = rv.select(F.col("symbol").alias("sym_b"), F.col("rv").alias("rv_b"))
+    return (
+        ov.join(F.broadcast(rva), "sym_a")
+        .join(F.broadcast(rvb), "sym_b")
+        .select(
+            *keys,
+            "n_overlaps",
+            "hy_cov_c2",
+            F.when(
+                (F.col("rv_a") > 0) & (F.col("rv_b") > 0),
+                F.floor(
+                    F.col("hy_cov_c2").cast("double")
+                    / F.sqrt(
+                        F.col("rv_a").cast("double") * F.col("rv_b").cast("double")
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6,
+            ).alias("hy_corr_q6"),
+        )
+    )
+
+
+@_register(
+    "ticks_hayashi_yoshida",
+    rf"""
+    WITH {_HY_IV_CTES},
     ov AS (
       SELECT a.symbol AS sym_a, b.symbol AS sym_b,
              CAST(count(*) AS BIGINT) AS n_overlaps,
@@ -4676,37 +4747,7 @@ def ticks_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
     No counterpart in the reference (its correlation is grid-aligned
     pandas, symbol_statistics_generate.py:76-79); this is the
     asynchronous-microstructure upgrade of that alignment."""
-    from pyspark.sql import Window
-
-    ev = _td(spark, sf_dir, "events")
-    t = (
-        ev.filter(F.col("value") > 0)
-        .select(
-            F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
-                "symbol"
-            ),
-            F.unix_micros("ts").alias("us"),
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
-            "event_id",
-        )
-        .groupBy("symbol", "us")
-        .agg(F.max_by("cents", "event_id").alias("cents"))
-    )
-    w = Window.partitionBy("symbol").orderBy("us")
-    # Materialize the interval table once: it feeds THREE consumers
-    # (the RV aggregate and both self-join sides), and each would
-    # otherwise re-run the scan + collapse + lag chain via lineage
-    # (4 parquet scans, caught by the scan audit).
-    iv = (
-        t.select(
-            "symbol",
-            F.lag("us").over(w).alias("start_us"),
-            F.col("us").alias("end_us"),
-            (F.col("cents") - F.lag("cents").over(w)).alias("r"),
-        )
-        .filter(F.col("start_us").isNotNull())
-        .localCheckpoint()
-    )
+    iv = _hy_intervals(spark, sf_dir)
     rv = iv.groupBy("symbol").agg(
         F.sum(F.col("r") * F.col("r")).cast("long").alias("rv")
     )
@@ -4733,28 +4774,31 @@ def ticks_hayashi_yoshida(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ra") * F.col("rb")).cast("long").alias("hy_cov_c2"),
         )
     )
-    rva = rv.select(F.col("symbol").alias("sym_a"), F.col("rv").alias("rv_a"))
-    rvb = rv.select(F.col("symbol").alias("sym_b"), F.col("rv").alias("rv_b"))
+    return _hy_normalized(ov, rv, ["sym_a", "sym_b"])
+
+
+# Shared by the experimentation trio (events_ab_test, events_diff_in_diff,
+# events_cuped) on the Spark side; each oracle spells the same portable
+# 28-bit md5 split inline against its own table alias.
+def _md5_even() -> "F.Column":
+    """True for users in the even md5 half (arm A / treated) — the
+    doc_md5_* portable-hash convention, bit-identical in both engines."""
     return (
-        ov.join(F.broadcast(rva), "sym_a")
-        .join(F.broadcast(rvb), "sym_b")
-        .select(
-            "sym_a",
-            "sym_b",
-            "n_overlaps",
-            "hy_cov_c2",
-            F.when(
-                (F.col("rv_a") > 0) & (F.col("rv_b") > 0),
-                F.floor(
-                    F.col("hy_cov_c2").cast("double")
-                    / F.sqrt(
-                        F.col("rv_a").cast("double") * F.col("rv_b").cast("double")
-                    )
-                    * 1e6
-                    + F.lit(0.5)
-                )
-                / 1e6,
-            ).alias("hy_corr_q6"),
+        F.expr(
+            "cast(conv(substr(md5(cast(user_id as string)), 1, 7),"
+            " 16, 10) as bigint) % 2"
+        )
+        == 0
+    )
+
+
+def _mid_cut(ev: DataFrame) -> DataFrame:
+    """One-row (cut_us) frame: the integer midpoint of the observed
+    time range — both engines compute the identical BIGINT, no frozen
+    calendar literal to drift from the generator."""
+    return ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias(
+            "cut_us"
         )
     )
 
@@ -4831,11 +4875,7 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.when(
-                F.expr(
-                    "cast(conv(substr(md5(cast(user_id as string)), 1, 7),"
-                    " 16, 10) as bigint) % 2"
-                )
-                == 0,
+                _md5_even(),
                 F.lit("A"),
             )
             .otherwise(F.lit("B"))
@@ -5353,13 +5393,14 @@ def ticks_epps_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("freq_s", "symbol", "bucket")
         .agg(F.max_by("cents", "us").alias("px"))
     )
-    bounds = (
-        t.crossJoin(F.broadcast(freqs))
-        .groupBy("freq_s")
-        .agg(
-            F.expr("min(us) div (freq_s * 1000000)").alias("b_lo"),
-            F.expr("max(us) div (freq_s * 1000000)").alias("b_hi"),
-        )
+    # one global min/max agg; per-freq bounds derive arithmetically
+    # (min(us) div k — division is monotonic, matching the oracle)
+    # instead of re-aggregating the tick table once per frequency
+    gx = t.agg(F.min("us").alias("gmin"), F.max("us").alias("gmax"))
+    bounds = freqs.crossJoin(F.broadcast(gx)).select(
+        "freq_s",
+        F.expr("gmin div (freq_s * 1000000)").alias("b_lo"),
+        F.expr("gmax div (freq_s * 1000000)").alias("b_hi"),
     )
     syms = t.select("symbol").distinct()
     grid = (
@@ -5491,21 +5532,13 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar broadcasts.  No counterpart in the reference (no
     experimentation surface)."""
     ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
-    cut = ev.agg(
-        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias(
-            "cut_us"
-        )
-    )
+    cut = _mid_cut(ev)
     up = (
         ev.crossJoin(F.broadcast(cut))
         .select(
             "user_id",
             F.when(
-                F.expr(
-                    "cast(conv(substr(md5(cast(user_id as string)), 1, 7),"
-                    " 16, 10) as bigint) % 2"
-                )
-                == 0,
+                _md5_even(),
                 F.lit("T"),
             )
             .otherwise(F.lit("C"))
@@ -5647,22 +5680,14 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically-rounded binary64.  Scale: one user-level hash agg, two
     one-row roll-ups.  No counterpart in the reference."""
     ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
-    cut = ev.agg(
-        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias(
-            "cut_us"
-        )
-    )
+    cut = _mid_cut(ev)
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     u = (
         ev.crossJoin(F.broadcast(cut))
         .select(
             "user_id",
             F.when(
-                F.expr(
-                    "cast(conv(substr(md5(cast(user_id as string)), 1, 7),"
-                    " 16, 10) as bigint) % 2"
-                )
-                == 0,
+                _md5_even(),
                 F.lit("T"),
             )
             .otherwise(F.lit("C"))
@@ -5755,22 +5780,7 @@ _HY_LAGS_US = (-1800_000_000, -300_000_000, 0, 300_000_000, 1800_000_000)
 def _hy_lead_lag_oracle() -> str:
     lags = ", ".join(str(x) for x in _HY_LAGS_US)
     return rf"""
-    WITH t AS (
-      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol,
-             epoch_us(ts) AS us,
-             arg_max(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), event_id)
-               AS cents
-      FROM events WHERE value > 0 GROUP BY 1, 2),
-    iv AS (
-      SELECT symbol,
-             lag(us) OVER w AS start_us,
-             us AS end_us,
-             cents - lag(cents) OVER w AS r
-      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY us)),
-    iv2 AS (SELECT * FROM iv WHERE start_us IS NOT NULL),
-    rv AS (
-      SELECT symbol, CAST(sum(r * r) AS BIGINT) AS rv
-      FROM iv2 GROUP BY symbol),
+    WITH {_HY_IV_CTES},
     lg AS (SELECT unnest([{lags}]) AS lag_us),
     bsh AS (
       SELECT b.symbol, b.start_us - l.lag_us AS start_us,
@@ -5813,33 +5823,7 @@ def ticks_hy_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pair, lag) after).  Epoch micros stay positive under every lag, so
     integer bucket division is exact; covariances are exact BIGINTs;
     the normalization reuses the lag-invariant realized variances."""
-    from pyspark.sql import Window
-
-    ev = _td(spark, sf_dir, "events")
-    t = (
-        ev.filter(F.col("value") > 0)
-        .select(
-            F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
-                "symbol"
-            ),
-            F.unix_micros("ts").alias("us"),
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
-            "event_id",
-        )
-        .groupBy("symbol", "us")
-        .agg(F.max_by("cents", "event_id").alias("cents"))
-    )
-    w = Window.partitionBy("symbol").orderBy("us")
-    iv = (
-        t.select(
-            "symbol",
-            F.lag("us").over(w).alias("start_us"),
-            F.col("us").alias("end_us"),
-            (F.col("cents") - F.lag("cents").over(w)).alias("r"),
-        )
-        .filter(F.col("start_us").isNotNull())
-        .localCheckpoint()  # feeds RV, the unshifted side, the lag fan-out
-    )
+    iv = _hy_intervals(spark, sf_dir)
     rv = iv.groupBy("symbol").agg(
         F.sum(F.col("r") * F.col("r")).cast("long").alias("rv")
     )
@@ -5879,31 +5863,7 @@ def ticks_hy_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ra") * F.col("rb")).cast("long").alias("hy_cov_c2"),
         )
     )
-    rva = rv.select(F.col("symbol").alias("sym_a"), F.col("rv").alias("rv_a"))
-    rvb = rv.select(F.col("symbol").alias("sym_b"), F.col("rv").alias("rv_b"))
-    return (
-        ov.join(F.broadcast(rva), "sym_a")
-        .join(F.broadcast(rvb), "sym_b")
-        .select(
-            "sym_a",
-            "sym_b",
-            "lag_us",
-            "n_overlaps",
-            "hy_cov_c2",
-            F.when(
-                (F.col("rv_a") > 0) & (F.col("rv_b") > 0),
-                F.floor(
-                    F.col("hy_cov_c2").cast("double")
-                    / F.sqrt(
-                        F.col("rv_a").cast("double") * F.col("rv_b").cast("double")
-                    )
-                    * 1e6
-                    + F.lit(0.5)
-                )
-                / 1e6,
-            ).alias("hy_corr_q6"),
-        )
-    )
+    return _hy_normalized(ov, rv, ["sym_a", "sym_b", "lag_us"])
 
 
 @_register(

@@ -37,7 +37,15 @@ def _write_events(spark, tmp_path, rows):
 
 
 def _ts(i: int) -> str:
-    return f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}"
+    """2024-01-01 plus i seconds — datetime-based so offsets past one
+    hour render as valid timestamps (a plain mm:ss format string
+    silently produced uncastable strings at i >= 3600, which Spark
+    casts to NULL and drops)."""
+    from datetime import datetime, timedelta
+
+    return (datetime(2024, 1, 1) + timedelta(seconds=i)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
 
 
 def _md5_bit(i: int) -> bool:
@@ -433,13 +441,6 @@ def test_hy_lead_lag_finds_planted_echo(spark, tmp_path):
     lag-0 overlap containing the full aligned product and corr(0) ~
     1 + rho1): corr must be EXACTLY 1 at lag = +1800 s and small at
     lag 0; the argmax identifies the follower delay."""
-    from datetime import datetime, timedelta
-
-    def ts(sec: int) -> str:  # _ts() only renders < 3600 s correctly
-        return (datetime(2024, 1, 1) + timedelta(seconds=sec)).strftime(
-            "%Y-%m-%d %H:%M:%S"
-        )
-
     rows, eid, price = [], 0, 100.0
     prices = []
     for i in range(60):  # md5-coin walk: no autocorrelation structure,
@@ -447,8 +448,8 @@ def test_hy_lead_lag_finds_planted_echo(spark, tmp_path):
         prices.append(round(price, 2))  # inflate past the aligned one
     for i, p in enumerate(prices):
         t0 = 1000 * i
-        rows.append((eid, ts(t0), 0, "t", p, "{}")); eid += 1
-        rows.append((eid, ts(t0 + 1800), 1, "t", p, "{}")); eid += 1
+        rows.append((eid, _ts(t0), 0, "t", p, "{}")); eid += 1
+        rows.append((eid, _ts(t0 + 1800), 1, "t", p, "{}")); eid += 1
     sf = _write_events(spark, tmp_path, rows)
     out = {
         r["lag_us"]: r
