@@ -6005,3 +6005,63 @@ def events_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4,
         ).alias("est_value_q4"),
     )
+
+
+@_register(
+    "stats_zorder_roundtrip",
+    r"""
+    WITH f AS (
+      SELECT event_id, user_id, value
+      FROM events
+      WHERE user_id BETWEEN 100 AND 400 AND value BETWEEN 20.0 AND 80.0)
+    SELECT user_id % 10 AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_sum
+    FROM f GROUP BY 1
+    """,
+)
+def stats_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write + multi-dimensional range read through
+    the driver contract (the data-layout optimization next to the
+    ORC/CSV roundtrips): write the events projection through
+    io.write_zordered on (user_id, value) — Morton-interleaved range
+    layout, the OPTIMIZE ZORDER BY of the lakehouse world — read it
+    back with a TWO-dimensional range predicate (exactly the shape
+    z-ordering exists to prune; the companion unit test proves per-file
+    min/max spans shrink on BOTH dimensions), and digest per user
+    bucket with exact integer counts/sums.  The oracle recomputes the
+    digests straight from the parquet events table, so any row lost,
+    duplicated, or mangled by the interleave/write/read chain breaks
+    the hash.  Read-back is materialized before the temp dir is
+    removed."""
+    import shutil
+    import tempfile
+
+    from ..sources.io import write_zordered
+
+    ev = _td(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="zorder_roundtrip_")
+    try:
+        write_zordered(
+            ev.select("event_id", "user_id", "value"),
+            d,
+            zorder_by=("user_id", "value"),
+            num_files=8,
+        )
+        back = spark.read.parquet(d).filter(
+            F.col("user_id").between(100, 400)
+            & F.col("value").between(20.0, 80.0)
+        )
+        out = back.groupBy((F.col("user_id") % 10).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("long").alias("key_sum"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
