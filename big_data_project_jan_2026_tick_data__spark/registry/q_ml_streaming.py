@@ -1975,3 +1975,102 @@ def ml_information_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6,
         ).alias("ic_q6"),
     )
+
+
+_STREAM_SRM_ORACLE = r"""
+WITH wm AS (
+  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE AS w
+  FROM events),
+g AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+         time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY AS window_end,
+         CAST(count(*) FILTER (
+           CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 7))
+                AS BIGINT) % 2 = 0) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (
+           CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 7))
+                AS BIGINT) % 2 = 1) AS BIGINT) AS n_b
+  FROM events GROUP BY 1, 2),
+emitted AS (
+  SELECT g.* FROM g, wm WHERE g.window_end <= wm.w),
+f AS (
+  SELECT *, CAST(n_a + n_b AS DOUBLE) / 2.0 AS e FROM emitted
+  WHERE n_a + n_b > 0)
+SELECT window_start, window_end, n_a, n_b,
+       FLOOR((((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e)
+              + ((CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e))
+             * 1e6 + 0.5) / 1e6 AS srm_chi2_q6,
+       FLOOR((((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e)
+              + ((CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e))
+             * 1e6 + 0.5) / 1e6 >= 3.841459 AS srm_breach
+FROM f
+"""
+
+
+@_register("streaming_srm_monitor", _STREAM_SRM_ORACLE)
+def streaming_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming assignment-health monitor: the SRM χ²₁ check
+    (events_ab_test's gate) run CONTINUOUSLY over watermarked daily
+    event-time windows — the shape an experimentation platform actually
+    deploys, where a traffic-split regression must page before the
+    readout, not after.  Arms ride the portable md5 user split inside
+    the streaming aggregate; per-(window, arm) counts drain append-mode
+    to the memory sink (single-batch availableNow replay: emitted
+    prefix = window_end ≤ max(ts) − delay, the pinned boundary
+    semantics of streaming_session_agg), and the χ² + breach verdict
+    are a batch projection over the drained counts — exact integers
+    into one fixed-order double tail, verdict compared on the q6 grid
+    against the frozen 95% critical literal.  Scale: state is O(open
+    windows × 2 arms); the monitor tail touches only emitted rows.
+    Reference analogue: its monitoring posture (PDF §health checks) —
+    no streaming statistics exist there."""
+    with _replayed_events(spark, sf_dir, "stream_srm_") as src:
+        arm = F.when(
+            F.expr(
+                "cast(conv(substr(md5(cast(user_id as string)), 1, 7),"
+                " 16, 10) as bigint) % 2"
+            )
+            == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B"))
+        agg = (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 day").alias("w"), arm.alias("arm"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "arm",
+                "n",
+            )
+        )
+        df = _materialized(spark, agg, "reg_stream_srm")
+    wide = (
+        df.groupBy("window_start", "window_end")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("arm") == "A", F.col("n"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_a"),
+            F.coalesce(
+                F.max(F.when(F.col("arm") == "B", F.col("n"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_b"),
+        )
+        .filter(F.col("n_a") + F.col("n_b") > 0)
+    )
+    e = (F.col("n_a") + F.col("n_b")).cast("double") / F.lit(2.0)
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    chi = ((na_d - e) * (na_d - e) / e) + ((nb_d - e) * (nb_d - e) / e)
+    chi_q6 = F.floor(chi * 1e6 + F.lit(0.5)) / 1e6
+    return wide.select(
+        "window_start",
+        "window_end",
+        "n_a",
+        "n_b",
+        chi_q6.alias("srm_chi2_q6"),
+        (chi_q6 >= F.lit(3.841459)).alias("srm_breach"),
+    )
