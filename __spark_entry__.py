@@ -104,6 +104,7 @@ _ADJUDICATION_PRIORITY = [
     "events_bandit_replay",
     "stats_zorder_roundtrip",
     "streaming_srm_monitor",
+    "events_holm_multiple_tests",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
@@ -113,10 +114,10 @@ _ADJUDICATION_PRIORITY = [
     "grouping_sets_orders",
     "minmax_by_priority",
     "ntile_percentile_orders",
-    "salted_join_skewed_users",
-    # ---- ~50-slot window boundary; r10 queue from here: the 19
+    # ---- ~50-slot window boundary; r10 queue from here: the 20
     # rotation rows displaced by the late-r9 first-evers (all green in
     # every local sweep), then the r3-era tail ----
+    "salted_join_skewed_users",
     "scalar_subquery_above_avg",
     "stats_min_max_metadata",
     "string_funcs_part_names",

@@ -6065,3 +6065,189 @@ def stats_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# Two-sided z critical values for alpha/k, alpha = 0.05, k = 1..64
+# (Holm step-down denominators; bisected offline from erfc, frozen).
+# Metric families beyond 64 clamp to the k=64 value — documented,
+# slightly anti-conservative for the top-ranked rows of an absurdly
+# wide family, and never a silently dropped metric.
+_HOLM_ZCRIT = (
+    (1, 1.959964), (2, 2.241403), (3, 2.39398), (4, 2.497705),
+    (5, 2.575829), (6, 2.638257), (7, 2.69011), (8, 2.734369),
+    (9, 2.772921), (10, 2.807034), (11, 2.837597), (12, 2.86526),
+    (13, 2.890512), (14, 2.913726), (15, 2.935199), (16, 2.955167),
+    (17, 2.97382), (18, 2.991316), (19, 3.007787), (20, 3.023341),
+    (21, 3.038074), (22, 3.052065), (23, 3.065383), (24, 3.078088),
+    (25, 3.090232), (26, 3.101862), (27, 3.113017), (28, 3.123735),
+    (29, 3.134046), (30, 3.14398), (31, 3.153563), (32, 3.162818),
+    (33, 3.171766), (34, 3.180426), (35, 3.188815), (36, 3.19695),
+    (37, 3.204845), (38, 3.212514), (39, 3.219968), (40, 3.227218),
+    (41, 3.234277), (42, 3.241152), (43, 3.247854), (44, 3.254389),
+    (45, 3.260767), (46, 3.266995), (47, 3.273078), (48, 3.279024),
+    (49, 3.284839), (50, 3.290527), (51, 3.296094), (52, 3.301545),
+    (53, 3.306885), (54, 3.312118), (55, 3.317247), (56, 3.322278),
+    (57, 3.327213), (58, 3.332056), (59, 3.33681), (60, 3.341479),
+    (61, 3.346065), (62, 3.350571), (63, 3.355), (64, 3.359354),
+)
+
+
+def _holm_oracle() -> str:
+    zrows = ", ".join(f"({k}, {z})" for k, z in _HOLM_ZCRIT)
+    return rf"""
+    WITH u AS (
+      SELECT user_id,
+             arg_min(event_type,
+                     lpad(CAST(epoch_ms(ts) AS VARCHAR), 14, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+               AS event_type,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events GROUP BY user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END),
+    pop AS (
+      SELECT CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS n_b
+      FROM u),
+    x AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS x_a,
+             CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS x_b
+      FROM u GROUP BY event_type),
+    z AS (
+      SELECT x.event_type, x.x_a, x.x_b, pop.n_a, pop.n_b,
+             (CAST(x.x_a AS DOUBLE) / CAST(pop.n_a AS DOUBLE)
+              - CAST(x.x_b AS DOUBLE) / CAST(pop.n_b AS DOUBLE))
+             / sqrt((CAST(x.x_a + x.x_b AS DOUBLE)
+                     / CAST(pop.n_a + pop.n_b AS DOUBLE))
+                    * (1.0 - CAST(x.x_a + x.x_b AS DOUBLE)
+                             / CAST(pop.n_a + pop.n_b AS DOUBLE))
+                    * (1.0 / CAST(pop.n_a AS DOUBLE)
+                       + 1.0 / CAST(pop.n_b AS DOUBLE))) AS zval
+      FROM x, pop
+      WHERE x.x_a + x.x_b > 0 AND x.x_a + x.x_b < pop.n_a + pop.n_b),
+    zq AS (
+      SELECT event_type, x_a, x_b,
+             FLOOR(zval * 1e6 + 0.5) / 1e6 AS z_q6
+      FROM z),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY abs(z_q6) DESC, event_type)
+                     AS BIGINT) AS rank,
+             count(*) OVER () AS m
+      FROM zq),
+    crit AS (SELECT * FROM (VALUES {zrows}) AS c(k, zcrit)),
+    tested AS (
+      SELECT r.event_type, r.x_a, r.x_b, r.z_q6, r.rank,
+             CASE WHEN abs(r.z_q6) >= c.zcrit THEN 1 ELSE 0 END AS raw_sig
+      FROM ranked r JOIN crit c ON c.k = least(r.m - r.rank + 1, 64))
+    SELECT event_type, x_a, x_b, z_q6, rank,
+           CAST(min(raw_sig) OVER (ORDER BY rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BOOLEAN)
+             AS significant_holm
+    FROM tested
+    """
+
+
+@_register("events_holm_multiple_tests", _holm_oracle())
+def events_holm_multiple_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down multiple-testing correction over the A/B metric
+    family — one two-proportion z per event type on the portable md5
+    arm split, metric = FIRST-TOUCH share (which type was the user's
+    first event, by the padded (epoch_ms, event_id) key): every user
+    contributes exactly one metric, so no metric can degenerate to a
+    0%/100% conversion at any scale (an any-touch metric saturates as
+    activity grows and the whole family drops out of the test).  Then
+    the Holm 1979 procedure:
+    order |z| descending, compare the i-th to the α/(m−i+1) critical
+    value, and STOP at the first failure (everything after is not
+    significant, however large its raw z).  The multiple-comparisons
+    gate every metrics platform needs once an experiment ships more
+    than one readout.
+
+    Determinism: per-type conversion counts and the user populations
+    are exact BIGINTs; each z is one fixed-order double snapped to q6
+    BEFORE ranking (so the rank order compares grid values, never raw
+    doubles); the critical values are frozen literals (offline erfc
+    bisection, k = 1..8); the step-down "all previous passed" chain is
+    a running MIN over the rank order — emitted per metric with its
+    rank so the full decision trace is auditable.  Scale: two hash
+    aggs over the user-type table; the test table is #metrics rows.
+    No counterpart in the reference."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad((F.col("ts").cast("double") * 1000).cast("long").cast("string"), 14, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    u = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.when(_md5_even(), F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+            key.alias("__k"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(F.min_by("event_type", "__k").alias("event_type"))
+        .localCheckpoint()  # feeds the population count and per-type counts
+    )
+    pop = u.agg(
+        F.count(F.when(F.col("arm") == "A", F.lit(1))).cast("long").alias("n_a"),
+        F.count(F.when(F.col("arm") == "B", F.lit(1))).cast("long").alias("n_b"),
+    )
+    x = u.groupBy("event_type").agg(
+        F.count(F.when(F.col("arm") == "A", F.lit(1))).cast("long").alias("x_a"),
+        F.count(F.when(F.col("arm") == "B", F.lit(1))).cast("long").alias("x_b"),
+    )
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    zval = (
+        F.col("x_a").cast("double") / na_d - F.col("x_b").cast("double") / nb_d
+    ) / F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na_d + F.lit(1.0) / nb_d))
+    zq = (
+        x.crossJoin(F.broadcast(pop))
+        .filter(
+            (F.col("x_a") + F.col("x_b") > 0)
+            & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b"))
+        )
+        .select(
+            "event_type",
+            "x_a",
+            "x_b",
+            (F.floor(zval * 1e6 + F.lit(0.5)) / 1e6).alias("z_q6"),
+        )
+    )
+    wr = Window.orderBy(F.abs(F.col("z_q6")).desc(), F.col("event_type"))
+    ranked = zq.select(
+        "*",
+        F.row_number().over(wr).cast("long").alias("rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    crit = spark.createDataFrame(list(_HOLM_ZCRIT), "k long, zcrit double")
+    tested = ranked.join(
+        F.broadcast(crit), F.least(ranked.m - ranked.rank + 1, F.lit(64)) == crit.k
+    ).select(
+        "event_type",
+        "x_a",
+        "x_b",
+        "z_q6",
+        "rank",
+        F.when(F.abs(F.col("z_q6")) >= F.col("zcrit"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("raw_sig"),
+    )
+    chain = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return tested.select(
+        "event_type",
+        "x_a",
+        "x_b",
+        "z_q6",
+        "rank",
+        (F.min("raw_sig").over(chain) == 1).alias("significant_holm"),
+    )

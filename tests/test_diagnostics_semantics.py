@@ -513,3 +513,68 @@ def test_bandit_replay_greedy_tracks_the_hot_arm(spark, tmp_path):
     assert out["2024-01-03"]["est_value_q4"] == 800.0
     assert out["2024-01-04"]["n_matched"] == 0
     assert out["2024-01-04"]["est_value_q4"] is None
+
+
+def test_holm_step_down_blocks_after_first_failure(spark, tmp_path):
+    """The step-down property, not just per-metric thresholds.  First-
+    touch shares are ZERO-SUM across metrics, so the planted positive
+    excesses (m_big z ~ 31.7, m2 z ~ 2.314, m3 z ~ 2.245) are absorbed
+    by a hugely NEGATIVE counterweight metric that ranks first — it
+    passes, it does not block.  With m = 5: m2 at rank 3 raw-FAILS its
+    alpha/3 critical (2.393980); m3 at rank 4 raw-PASSES its own
+    alpha/2 critical (2.241403) but Holm must still reject it because
+    the procedure stopped at m2.  A per-rank threshold check without
+    the stop would pass m3."""
+    import hashlib
+
+    users = list(range(20000))
+    a_users = [
+        u for u in users
+        if int(hashlib.md5(str(u).encode()).hexdigest()[:7], 16) % 2 == 0
+    ]
+    b_users = [u for u in users if u not in set(a_users)]
+    assert (len(a_users), len(b_users)) == (10063, 9937)  # split is frozen
+
+    def slices(arr, sizes):
+        out, i = [], 0
+        for n in sizes:
+            out.append(arr[i:i + n]); i += n
+        out.append(arr[i:])
+        return out
+
+    # A: m_big 2000, m2 2159, m3 2155, base 1800, m_neg rest (1949)
+    a_big, a_m2, a_m3, a_base, a_neg = slices(a_users, [2000, 2159, 2155, 1800])
+    # B: m_big 500, m2 2000, m3 2000, base 1777 (share-matched to A's
+    # 1800/10063 so base z ~ 0), m_neg rest (3660)
+    b_big, b_m2, b_m3, b_base, b_neg = slices(b_users, [500, 2000, 2000, 1777])
+
+    plan = (
+        [("m_big", u) for u in a_big + b_big]
+        + [("m2", u) for u in a_m2 + b_m2]
+        + [("m3", u) for u in a_m3 + b_m3]
+        + [("base", u) for u in a_base + b_base]
+        + [("m_neg", u) for u in a_neg + b_neg]
+    )
+    # each user gets exactly ONE event, so its type IS the first touch
+    rows = [
+        (eid, _ts(eid % 86000), uid, typ, 1.0, "{}")
+        for eid, (typ, uid) in enumerate(plan)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["events_holm_multiple_tests"](spark, sf).collect()
+    }
+    assert set(out) == {"m_big", "m2", "m3", "base", "m_neg"}
+    assert sorted([out["m_big"]["rank"], out["m_neg"]["rank"]]) == [1, 2]
+    assert [out[m]["rank"] for m in ("m2", "m3", "base")] == [3, 4, 5]
+    # planted z magnitudes landed where the construction put them
+    assert out["m_big"]["z_q6"] > 2.575829
+    assert out["m_neg"]["z_q6"] < -2.575829
+    assert 2.241403 <= abs(out["m3"]["z_q6"]) < abs(out["m2"]["z_q6"]) < 2.393980
+    assert abs(out["base"]["z_q6"]) < 1.959964
+    assert bool(out["m_big"]["significant_holm"]) is True
+    assert bool(out["m_neg"]["significant_holm"]) is True
+    assert bool(out["m2"]["significant_holm"]) is False  # raw failure
+    assert bool(out["m3"]["significant_holm"]) is False  # blocked by m2
+    assert bool(out["base"]["significant_holm"]) is False

@@ -130,6 +130,7 @@ HARDENED = [
     "part_link_prediction",
     "ticks_hy_lead_lag",
     "events_bandit_replay",
+    "events_holm_multiple_tests",
 ]
 
 
