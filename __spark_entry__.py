@@ -105,6 +105,7 @@ _ADJUDICATION_PRIORITY = [
     "stats_zorder_roundtrip",
     "streaming_srm_monitor",
     "events_holm_multiple_tests",
+    "doc_classifier_auc",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
@@ -113,10 +114,10 @@ _ADJUDICATION_PRIORITY = [
     "emb_cosine_topk",
     "grouping_sets_orders",
     "minmax_by_priority",
-    "ntile_percentile_orders",
-    # ---- ~50-slot window boundary; r10 queue from here: the 20
+    # ---- ~50-slot window boundary; r10 queue from here: the 21
     # rotation rows displaced by the late-r9 first-evers (all green in
     # every local sweep), then the r3-era tail ----
+    "ntile_percentile_orders",
     "salted_join_skewed_users",
     "scalar_subquery_above_avg",
     "stats_min_max_metadata",

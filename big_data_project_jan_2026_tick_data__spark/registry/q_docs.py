@@ -2046,7 +2046,8 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_classifier_oracle(
-    iters: int = 12, lr: float = 1.0, calibration: bool = False
+    iters: int = 12, lr: float = 1.0, calibration: bool = False,
+    auc: bool = False,
 ) -> str:
     """Generated chained-CTE oracle for doc_quality_classifier: re-runs
     the IDENTICAL full-batch logistic-regression recipe in DuckDB — same
@@ -2060,7 +2061,11 @@ def _quality_classifier_oracle(
     ``calibration=True`` swaps the per-doc final SELECT for the
     reliability-diagram roll-up (doc_classifier_calibration): decile
     buckets of the 1e-6-snapped score, per-bucket exact mean score /
-    empirical positive rate / gap."""
+    empirical positive rate / gap.  ``auc=True`` swaps it for the
+    ranking-quality roll-up (doc_classifier_auc): per-s6-bucket
+    positive/negative counts, a cumulative-negative sweep, and the
+    exact midrank AUC numerator 2·num = Σ pos·(2·cum_neg_below + neg)
+    — all BIGINT until one double division."""
     z = "w.w0 * f.bias + w.w1 * f.tokens_x + w.w2 * f.tok_len_x + w.w3 * f.digit_x"
     sig = f"1.0 / (1.0 + {detmath.det_exp_sql('mz', 'duckdb')})"
     clamp = (
@@ -2111,7 +2116,48 @@ def _quality_classifier_oracle(
                     / g.n) * 1e9 + 0.5) / 1e9 AS w3
       FROM it{p} w CROSS JOIN g{i} g)"""
         )
-    if calibration:
+    if auc:
+        sig_expr = f"1.0 / (1.0 + {detmath.det_exp_sql('mz', 'duckdb')})"
+        parts.append(
+            f"""
+    , scored AS (
+      SELECT doc_id, y,
+             CAST(FLOOR(sig * 1e6 + 0.5) AS BIGINT) AS s6,
+             CAST(sig >= 0.5 AS INT) AS pred
+      FROM (SELECT t.doc_id, t.y, {sig_expr} AS sig
+            FROM (SELECT f.doc_id, f.y, 0.0 - ({clamp}) AS mz
+                  FROM feat f CROSS JOIN it{iters} w) t) s),
+    g AS (
+      SELECT s6,
+             CAST(count(*) FILTER (y = 1.0) AS BIGINT) AS pos_c,
+             CAST(count(*) FILTER (y = 0.0) AS BIGINT) AS neg_c
+      FROM scored GROUP BY s6),
+    sw AS (
+      SELECT s6, pos_c, neg_c,
+             CAST(sum(neg_c) OVER (ORDER BY s6) AS BIGINT) - neg_c
+               AS neg_below
+      FROM g),
+    num AS (
+      SELECT CAST(sum(pos_c * (2 * neg_below + neg_c)) AS DOUBLE)
+               AS two_num
+      FROM sw),
+    cm AS (
+      SELECT CAST(count(*) FILTER (y = 1.0) AS BIGINT) AS n_pos,
+             CAST(count(*) FILTER (y = 0.0) AS BIGINT) AS n_neg,
+             CAST(count(*) FILTER (y = 1.0 AND pred = 1) AS BIGINT) AS tp,
+             CAST(count(*) FILTER (y = 0.0 AND pred = 1) AS BIGINT) AS fp,
+             CAST(count(*) FILTER (y = 1.0 AND pred = 0) AS BIGINT) AS fn,
+             CAST(count(*) FILTER (y = 0.0 AND pred = 0) AS BIGINT) AS tn
+      FROM scored)
+    SELECT n_pos, n_neg, tp, fp, fn, tn,
+           FLOOR(num.two_num
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS auc_q6,
+           FLOOR(CAST(tp + tn AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS accuracy_q6
+    FROM cm, num WHERE n_pos > 0 AND n_neg > 0"""
+        )
+    elif calibration:
         parts.append(
             f"""
     , scored AS (
@@ -3551,4 +3597,99 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_stop_distinct",
         pass_st.alias("pass_stopwords"),
         (pass_wc & pass_wl & pass_al & pass_st).alias("pass_gopher"),
+    )
+
+
+@_register("doc_classifier_auc", _quality_classifier_oracle(auc=True))
+def doc_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking quality of the in-engine classifier: exact AUC plus the
+    0.5-threshold confusion matrix and accuracy — the evaluation row
+    the reference's ML loop reports (ML Model/Scripts/train.py prints
+    accuracy only; AUC is the threshold-free upgrade).
+
+    AUC is computed in its SCALABLE shape, not by globally ranking
+    rows: scores are already on the 1e-6 grid, so group by the s6
+    bucket (≤ 1e6 + 1 distinct), sweep cumulative negatives below each
+    bucket via ``stats.global_cumsum`` (range-exchange prefix sums),
+    and the midrank-tie numerator is the exact integer
+    2·num = Σ pos(s)·(2·neg_below(s) + neg(s)) — decimal(38,0)/HUGEINT
+    accumulated, one double division at the end.  This equals
+    rank-based AUC with midrank ties by construction.  The oracle
+    re-trains the identical 12-step chain and runs the same sweep."""
+    from ..operators import classifier
+
+    docs = _td(spark, sf_dir, "documents")
+    scored = classifier.quality_classifier(docs, iters=12, lr=1.0).select(
+        F.floor(F.col("score_q6") * 1e6 + F.lit(0.5)).cast("long").alias("s6"),
+        F.col("y").cast("double").alias("y"),
+        F.col("pred").cast("int").alias("pred"),
+    ).localCheckpoint()  # feeds the bucket sweep and the confusion matrix
+    g = scored.groupBy("s6").agg(
+        F.count(F.when(F.col("y") == 1.0, F.lit(1))).cast("long").alias("pos_c"),
+        F.count(F.when(F.col("y") == 0.0, F.lit(1))).cast("long").alias("neg_c"),
+    )
+    sw = stats.global_cumsum(g, ["s6"], "neg_c").select(
+        "s6",
+        "pos_c",
+        "neg_c",
+        (F.col("cum_neg_c") - F.col("neg_c")).alias("neg_below"),
+    )
+    num = sw.agg(
+        F.sum(
+            (
+                F.col("pos_c") * (2 * F.col("neg_below") + F.col("neg_c"))
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("two_num")
+    )
+    cm = scored.agg(
+        F.count(F.when(F.col("y") == 1.0, F.lit(1))).cast("long").alias("n_pos"),
+        F.count(F.when(F.col("y") == 0.0, F.lit(1))).cast("long").alias("n_neg"),
+        F.count(F.when((F.col("y") == 1.0) & (F.col("pred") == 1), F.lit(1)))
+        .cast("long")
+        .alias("tp"),
+        F.count(F.when((F.col("y") == 0.0) & (F.col("pred") == 1), F.lit(1)))
+        .cast("long")
+        .alias("fp"),
+        F.count(F.when((F.col("y") == 1.0) & (F.col("pred") == 0), F.lit(1)))
+        .cast("long")
+        .alias("fn"),
+        F.count(F.when((F.col("y") == 0.0) & (F.col("pred") == 0), F.lit(1)))
+        .cast("long")
+        .alias("tn"),
+    )
+    return (
+        cm.crossJoin(F.broadcast(num))
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "n_pos",
+            "n_neg",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            (
+                F.floor(
+                    F.col("two_num")
+                    / (
+                        F.lit(2.0)
+                        * F.col("n_pos").cast("double")
+                        * F.col("n_neg").cast("double")
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("auc_q6"),
+            (
+                F.floor(
+                    (F.col("tp") + F.col("tn")).cast("double")
+                    / (F.col("n_pos") + F.col("n_neg")).cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("accuracy_q6"),
+        )
     )

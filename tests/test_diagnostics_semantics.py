@@ -578,3 +578,23 @@ def test_holm_step_down_blocks_after_first_failure(spark, tmp_path):
     assert bool(out["m2"]["significant_holm"]) is False  # raw failure
     assert bool(out["m3"]["significant_holm"]) is False  # blocked by m2
     assert bool(out["base"]["significant_holm"]) is False
+
+
+def test_classifier_auc_separable_corpus(spark, tmp_path):
+    """A corpus where the weak label is trivially separable by the
+    token-count feature (en docs long, others short): the trained
+    classifier's AUC must be ~1 and the confusion matrix must be
+    internally consistent."""
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            rows.append((i, " ".join(["word"] * 40), "en", "s"))
+        else:
+            rows.append((i, " ".join(["mot"] * 5), "fr", "s"))
+    sf = _write_docs(spark, tmp_path, rows)
+    r = QUERIES["doc_classifier_auc"](spark, sf).collect()[0]
+    assert r["n_pos"] == 30 and r["n_neg"] == 30
+    assert r["tp"] + r["fn"] == r["n_pos"]
+    assert r["fp"] + r["tn"] == r["n_neg"]
+    assert r["auc_q6"] >= 0.99
+    assert r["accuracy_q6"] >= 0.9

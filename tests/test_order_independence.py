@@ -131,6 +131,7 @@ HARDENED = [
     "ticks_hy_lead_lag",
     "events_bandit_replay",
     "events_holm_multiple_tests",
+    "doc_classifier_auc",
 ]
 
 
