@@ -106,6 +106,7 @@ _ADJUDICATION_PRIORITY = [
     "streaming_srm_monitor",
     "events_holm_multiple_tests",
     "doc_classifier_auc",
+    "emb_davies_bouldin",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
@@ -113,10 +114,10 @@ _ADJUDICATION_PRIORITY = [
     "doc_token_stats",
     "emb_cosine_topk",
     "grouping_sets_orders",
-    "minmax_by_priority",
-    # ---- ~50-slot window boundary; r10 queue from here: the 21
+    # ---- ~50-slot window boundary; r10 queue from here: the 22
     # rotation rows displaced by the late-r9 first-evers (all green in
     # every local sweep), then the r3-era tail ----
+    "minmax_by_priority",
     "ntile_percentile_orders",
     "salted_join_skewed_users",
     "scalar_subquery_above_avg",

@@ -304,7 +304,8 @@ def kmeans(
     vec_col: str = "embedding",
     return_vec: bool = False,
     init: str = "lowest_id",
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """Distributed Lloyd's k-means over an embedding column — the
     curation primitive behind topic bucketing / per-cluster sampling of
     training corpora (and the honest version of :func:`ivf_topk`'s coarse
@@ -414,7 +415,12 @@ def kmeans(
         # downstream consumers (semantic_dedup) keep the vector next to
         # its assignment so no corpus-sized re-join is needed
         cols.append(F.col("vec"))
-    return final.select(*cols)
+    out = final.select(*cols)
+    if return_centroids:
+        # cluster-quality consumers (Davies-Bouldin) need the q6
+        # centroid literals the final assignment ran against
+        return out, centroids
+    return out
 
 
 def kmeanspp_init(

@@ -1771,3 +1771,132 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("intrinsic_dim_q4"),
     )
+
+
+def _davies_bouldin_oracle(k: int = 8, dim: int = 64) -> str:
+    d1 = dim + 1
+    return (
+        _kmeans_cte(k, dim)
+        + rf"""
+    , aq AS (SELECT cid, floor(dsq * 1e6 + 0.5) / 1e6 AS dq FROM asn),
+    sc AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(FLOOR(sqrt(dq) * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s9
+      FROM aq GROUP BY cid),
+    sv AS (SELECT cid, n, (CAST(s9 AS DOUBLE) / 1e9) / n AS s FROM sc),
+    ce AS (SELECT cid, t.j AS pos, c[t.j] AS x
+           FROM c2, range(1, {d1}) t(j)),
+    m AS (
+      SELECT a.cid AS ci, b.cid AS cj,
+             CAST(sum(CAST(FLOOR((a.x - b.x) * (a.x - b.x) * 1e12 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS m12
+      FROM ce a JOIN ce b ON a.pos = b.pos AND a.cid <> b.cid
+      GROUP BY 1, 2),
+    r AS (
+      SELECT m.ci,
+             CAST(FLOOR((sa.s + sb.s)
+                        / sqrt(CAST(m.m12 AS DOUBLE) / 1e12)
+                        * 1e6 + 0.5) AS BIGINT) AS r6
+      FROM m
+      JOIN sv sa ON sa.cid = m.ci
+      JOIN sv sb ON sb.cid = m.cj
+      WHERE m.m12 > 0),
+    db AS (SELECT ci AS cid, max(r6) AS db6 FROM r GROUP BY ci)
+    SELECT CAST(sv.cid AS INT) AS cluster, sv.n AS n_members,
+           FLOOR(sv.s * 1e6 + 0.5) / 1e6 AS s_q6,
+           CAST(db.db6 AS DOUBLE) / 1e6 AS db_c_q6
+    FROM sv LEFT JOIN db ON db.cid = sv.cid
+    """
+    )
+
+
+@_register("emb_davies_bouldin", _davies_bouldin_oracle())
+def emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster-quality index over the k-means assignment
+    (Davies & Bouldin 1979) — per cluster: the mean member distance to
+    its centroid S_c, and DB_c = max over other clusters of
+    (S_c + S_j) / M_cj with M the centroid separation; low = tight,
+    well-separated clusters.  The diagnostic that tells a curation
+    pipeline whether its topic buckets are real before sampling by
+    them.
+
+    Exactness: member distances start from the already-q6-snapped
+    assignment distance (sqrt is IEEE-exact), snap to 1e-9 and sum as
+    BIGINT per cluster; centroid separations are exact 1e-12-grid
+    integer sums over the q6 centroid LITERALS the final assignment
+    ran against (kmeans(return_centroids=True)); each ratio snaps to
+    q6 before the max, so the argmax compares integers.  Empty
+    clusters never enter (no members → no S).  Scale: one corpus pass
+    for the per-cluster sums; everything else is k×dim metadata.  The
+    oracle re-derives the identical Lloyd chain (the shared kmeans
+    CTE) and the identical index."""
+    emb = _td(spark, sf_dir, "embeddings")
+    asn, cents = similarity.kmeans(emb, k=8, iters=2, return_centroids=True)
+    sc = (
+        asn.select("cluster", F.col("dist_sq").alias("dq"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.floor(F.sqrt(F.col("dq")) * 1e9 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("s9"),
+        )
+    )
+    sv = sc.select(
+        "cluster",
+        "n",
+        ((F.col("s9").cast("double") / 1e9) / F.col("n")).alias("s"),
+    ).localCheckpoint()  # feeds both sides of the ratio join and the output
+    ce = spark.createDataFrame(
+        [
+            (cid, pos, float(x))
+            for cid, cent in enumerate(cents)
+            for pos, x in enumerate(cent)
+        ],
+        "cid int, pos int, x double",
+    )
+    a, b = ce.alias("a"), ce.alias("b")
+    m = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.cid") != F.col("b.cid")))
+        .groupBy(F.col("a.cid").alias("ci"), F.col("b.cid").alias("cj"))
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("a.x") - F.col("b.x"))
+                    * (F.col("a.x") - F.col("b.x"))
+                    * 1e12
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("m12")
+        )
+    )
+    sa = sv.select(F.col("cluster").alias("ci"), F.col("s").alias("s_a"))
+    sb = sv.select(F.col("cluster").alias("cj"), F.col("s").alias("s_b"))
+    r = (
+        m.filter(F.col("m12") > 0)
+        .join(sa, "ci")
+        .join(sb, "cj")
+        .select(
+            "ci",
+            F.floor(
+                (F.col("s_a") + F.col("s_b"))
+                / F.sqrt(F.col("m12").cast("double") / 1e12)
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("r6"),
+        )
+    )
+    db = r.groupBy(F.col("ci").alias("cluster")).agg(F.max("r6").alias("db6"))
+    return sv.join(db, "cluster", "left").select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("n").alias("n_members"),
+        (F.floor(F.col("s") * 1e6 + F.lit(0.5)) / 1e6).alias("s_q6"),
+        (F.col("db6").cast("double") / 1e6).alias("db_c_q6"),
+    )

@@ -598,3 +598,38 @@ def test_classifier_auc_separable_corpus(spark, tmp_path):
     assert r["fp"] + r["tn"] == r["n_neg"]
     assert r["auc_q6"] >= 0.99
     assert r["accuracy_q6"] >= 0.9
+
+
+def test_davies_bouldin_hand_computable_sites(spark, tmp_path):
+    """8 sites on a line at spacing 100, each with symmetric members at
+    site ± 0.5 on a second axis: every cluster's centroid collapses to
+    its site, S_c = 0.5 exactly, nearest-centroid separation = 100, so
+    DB_c = (0.5 + 0.5) / 100 = 0.01 exactly for every cluster."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+    )
+
+    rows = []
+    vid = 0
+    for rep in range(6):  # ids interleave sites so lowest-id init
+        for site in range(8):  # picks one seed per site
+            vec = [0.0] * 64
+            vec[0] = site * 100.0
+            vec[1] = 0.5 if rep % 2 == 0 else -0.5
+            rows.append((vid, [float(x) for x in vec], site))
+            vid += 1
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    d = str(tmp_path / "sfsynth")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    out = QUERIES["emb_davies_bouldin"](spark, d).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["n_members"] == 6
+        assert r["s_q6"] == 0.5
+        assert r["db_c_q6"] == 0.01

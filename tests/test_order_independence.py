@@ -132,6 +132,7 @@ HARDENED = [
     "events_bandit_replay",
     "events_holm_multiple_tests",
     "doc_classifier_auc",
+    "emb_davies_bouldin",
 ]
 
 
