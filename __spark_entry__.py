@@ -107,16 +107,18 @@ _ADJUDICATION_PRIORITY = [
     "events_holm_multiple_tests",
     "doc_classifier_auc",
     "emb_davies_bouldin",
+    "events_quantile_treatment_effect",
+    "emb_silhouette",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
     "doc_lang_id",
     "doc_token_stats",
-    "emb_cosine_topk",
-    "grouping_sets_orders",
-    # ---- ~50-slot window boundary; r10 queue from here: the 22
+    # ---- ~50-slot window boundary; r10 queue from here: the 24
     # rotation rows displaced by the late-r9 first-evers (all green in
     # every local sweep), then the r3-era tail ----
+    "emb_cosine_topk",
+    "grouping_sets_orders",
     "minmax_by_priority",
     "ntile_percentile_orders",
     "salted_join_skewed_users",

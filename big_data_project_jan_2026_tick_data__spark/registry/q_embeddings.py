@@ -1900,3 +1900,108 @@ def emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("s") * 1e6 + F.lit(0.5)) / 1e6).alias("s_q6"),
         (F.col("db6").cast("double") / 1e6).alias("db_c_q6"),
     )
+
+
+def _silhouette_oracle(k: int = 8, dim: int = 64) -> str:
+    return (
+        _kmeans_cte(k, dim)
+        + r"""
+    , two AS (
+      SELECT vec_id, cid, dsq, rn FROM (
+        SELECT vec_id, cid, dsq,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cid)
+                 AS rn
+        FROM afd) WHERE rn <= 2),
+    ab AS (
+      SELECT o.vec_id, o.cid,
+             floor(o.dsq * 1e6 + 0.5) / 1e6 AS aq,
+             floor(s.dsq * 1e6 + 0.5) / 1e6 AS bq
+      FROM (SELECT * FROM two WHERE rn = 1) o
+      JOIN (SELECT * FROM two WHERE rn = 2) s USING (vec_id)),
+    sil AS (
+      SELECT cid,
+             CASE WHEN greatest(sqrt(aq), sqrt(bq)) > 0.0
+                  THEN CAST(FLOOR((sqrt(bq) - sqrt(aq))
+                                  / greatest(sqrt(aq), sqrt(bq))
+                                  * 1e6 + 0.5) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS s6
+      FROM ab)
+    SELECT CAST(cid AS INT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           FLOOR(CAST(sum(s6) AS DOUBLE) / 1e6 / count(*) * 1e6 + 0.5) / 1e6
+             AS mean_sil_q6
+    FROM sil GROUP BY cid
+    """
+    )
+
+
+@_register("emb_silhouette", _silhouette_oracle())
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the
+    member-level companion to emb_davies_bouldin: for each vector,
+    a = distance to its own centroid, b = distance to the nearest
+    OTHER centroid, s = (b − a) / max(a, b) ∈ [−1, 1]; the per-cluster
+    mean says how confidently members sit inside their bucket.  The
+    O(n·k) variant (Hruschka et al.) — the classical O(n²) silhouette
+    cannot exist at corpus scale.
+
+    Plan: ONE map-side expression computes the sorted (distance,
+    cluster) array against the k broadcast centroid literals — own
+    centroid is element 1, nearest-other is element 2; both distances
+    snap to the q6 grid (the assignment convention), the ratio is one
+    fixed-order double formula snapped to q6, and per-cluster means
+    are exact integer sums over those snaps.  Zero shuffles before the
+    k-row aggregate.  Ties in the distance sort break by cluster id in
+    both engines.  The oracle re-derives the shared Lloyd chain and
+    takes rows 1-2 of the per-vector distance ranking."""
+    emb = _td(spark, sf_dir, "embeddings")
+    _, cents = similarity.kmeans(emb, k=8, iters=2, return_centroids=True)
+    v = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(x as double))"
+        ).alias("vec"),
+    )
+    entries = []
+    for cid, cent in enumerate(cents):
+        arr = ", ".join(f"{x!r}D" for x in cent)
+        dsq = (
+            f"aggregate(zip_with(vec, array({arr}), "
+            f"(x, c) -> (x - c) * (x - c)), 0D, (a, x) -> a + x)"
+        )
+        entries.append(f"struct({dsq} AS dsq, {cid} AS cid)")
+    sorted_arr = f"array_sort(array({', '.join(entries)}))"
+    two = v.select(
+        "vec_id",
+        F.expr(f"{sorted_arr}[0]").alias("own"),
+        F.expr(f"{sorted_arr}[1]").alias("sec"),
+    ).select(
+        F.col("own.cid").alias("cid"),
+        (F.floor(F.col("own.dsq") * 1e6 + F.lit(0.5)) / 1e6).alias("aq"),
+        (F.floor(F.col("sec.dsq") * 1e6 + F.lit(0.5)) / 1e6).alias("bq"),
+    )
+    sa = F.sqrt(F.col("aq"))
+    sb = F.sqrt(F.col("bq"))
+    sil = two.select(
+        "cid",
+        F.when(
+            F.greatest(sa, sb) > 0.0,
+            F.floor((sb - sa) / F.greatest(sa, sb) * 1e6 + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("s6"),
+    )
+    return sil.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.floor(
+            F.sum("s6").cast("double") / 1e6 / F.count(F.lit(1)) * 1e6
+            + F.lit(0.5)
+        )
+        .alias("__m6"),
+    ).select(
+        F.col("cid").cast("int").alias("cluster"),
+        "n_members",
+        (F.col("__m6") / 1e6).alias("mean_sil_q6"),
+    )

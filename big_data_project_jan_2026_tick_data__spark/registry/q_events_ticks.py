@@ -6251,3 +6251,114 @@ def events_holm_multiple_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         (F.min("raw_sig").over(chain) == 1).alias("significant_holm"),
     )
+
+
+@_register(
+    "events_quantile_treatment_effect",
+    r"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'T' ELSE 'C' END AS arm,
+             CAST(sum(CASE WHEN event_type = 'purchase' AND value > 0
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    n AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY arm),
+    h AS (
+      SELECT arm, cents, CAST(count(*) AS BIGINT) AS c
+      FROM u GROUP BY arm, cents),
+    cum AS (
+      SELECT arm, cents,
+             CAST(sum(c) OVER (PARTITION BY arm ORDER BY cents) AS BIGINT)
+               AS cc
+      FROM h),
+    ps AS (SELECT unnest([0.25e0, 0.5e0, 0.75e0]) AS p),
+    k AS (
+      SELECT n.arm, ps.p,
+             CAST(CEIL(ps.p * n.n) AS BIGINT) AS kk, n.n
+      FROM n, ps),
+    q AS (
+      SELECT k.arm, k.p, k.n,
+             min(cum.cents) AS qv
+      FROM k JOIN cum ON cum.arm = k.arm AND cum.cc >= k.kk
+      GROUP BY k.arm, k.p, k.n)
+    SELECT t.p,
+           t.n AS n_t, c.n AS n_c,
+           t.qv AS q_t_cents, c.qv AS q_c_cents,
+           t.qv - c.qv AS qte_cents
+    FROM (SELECT * FROM q WHERE arm = 'T') t
+    JOIN (SELECT * FROM q WHERE arm = 'C') c ON c.p = t.p
+    """,
+)
+def events_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — the DISTRIBUTIONAL A/B readout
+    (Firpo 2007): the difference of the two arms' 25th/50th/75th
+    percentile of per-user purchase spend.  Means (events_ab_test /
+    events_cuped) hide effects that only move the tails; QTE shows
+    WHERE in the distribution the treatment acts.
+
+    Exactness: per-user spend is an exact BIGINT; each arm quantile is
+    a TYPE-1 order statistic (smallest value whose cumulative count
+    reaches ceil(p·n)) computed in the SCALABLE histogram shape —
+    group by spend value, cumulative counts over the value order,
+    first-crossing pick — never a per-row global rank.  Every output
+    is an exact integer difference of exact integers; no float beyond
+    the three p literals.  Scale: events→users→value histogram (≤
+    distinct spend values per arm), the cumulative sweep runs on the
+    histogram.  No counterpart in the reference."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 0),
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .select(
+            F.when(_md5_even(), F.lit("T")).otherwise(F.lit("C")).alias("arm"),
+            "cents",
+        )
+        .localCheckpoint()  # feeds the arm sizes and the histogram
+    )
+    n = u.groupBy("arm").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    h = u.groupBy("arm", "cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.partitionBy("arm").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = h.select("arm", "cents", F.sum("c").over(wc).cast("long").alias("cc"))
+    ps = spark.range(1).select(
+        F.explode(F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("p")
+    )
+    k = n.crossJoin(F.broadcast(ps)).select(
+        "arm", "p", F.ceil(F.col("p") * F.col("n")).cast("long").alias("kk"), "n"
+    )
+    q = (
+        k.join(cum, "arm")
+        .filter(F.col("cc") >= F.col("kk"))
+        .groupBy("arm", "p", "n")
+        .agg(F.min("cents").alias("qv"))
+    )
+    t = q.filter(F.col("arm") == "T").select(
+        "p", F.col("n").alias("n_t"), F.col("qv").alias("q_t_cents")
+    )
+    c = q.filter(F.col("arm") == "C").select(
+        "p", F.col("n").alias("n_c"), F.col("qv").alias("q_c_cents")
+    )
+    return t.join(c, "p").select(
+        "p",
+        "n_t",
+        "n_c",
+        "q_t_cents",
+        "q_c_cents",
+        (F.col("q_t_cents") - F.col("q_c_cents")).alias("qte_cents"),
+    )

@@ -633,3 +633,41 @@ def test_davies_bouldin_hand_computable_sites(spark, tmp_path):
         assert r["n_members"] == 6
         assert r["s_q6"] == 0.5
         assert r["db_c_q6"] == 0.01
+
+
+def test_silhouette_hand_computable_sites(spark, tmp_path):
+    """Same 8-site configuration as the Davies-Bouldin test: every
+    member has a² = 0.25 (own site) and b² = 100² + 0.5² (nearest
+    other site), so the silhouette is the same hand-computable value
+    (b − a)/b ≈ 0.995 for every cluster."""
+    import math as m
+
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+    )
+
+    rows = []
+    vid = 0
+    for rep in range(6):
+        for site in range(8):
+            vec = [0.0] * 64
+            vec[0] = site * 100.0
+            vec[1] = 0.5 if rep % 2 == 0 else -0.5
+            rows.append((vid, [float(x) for x in vec], site))
+            vid += 1
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    d = str(tmp_path / "sfsynth")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    sa, sb = m.sqrt(0.25), m.sqrt(10000.25)
+    expect = m.floor((sb - sa) / sb * 1e6 + 0.5) / 1e6
+    out = QUERIES["emb_silhouette"](spark, d).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["n_members"] == 6
+        assert r["mean_sil_q6"] == expect

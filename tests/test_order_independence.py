@@ -133,6 +133,8 @@ HARDENED = [
     "events_holm_multiple_tests",
     "doc_classifier_auc",
     "emb_davies_bouldin",
+    "events_quantile_treatment_effect",
+    "emb_silhouette",
 ]
 
 
