@@ -6362,3 +6362,130 @@ def events_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFr
         "q_c_cents",
         (F.col("q_t_cents") - F.col("q_c_cents")).alias("qte_cents"),
     )
+
+
+@_register(
+    "events_power_analysis",
+    r"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE 0 END AS is_a,
+             CASE WHEN arg_min(event_type,
+                               lpad(CAST(epoch_ms(ts) AS VARCHAR), 14, '0')
+                               || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                       = 'purchase'
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE 0 END),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(conv) AS BIGINT) AS x_conv,
+             CAST(sum(is_a) AS BIGINT) AS n_a,
+             CAST(count(*) - sum(is_a) AS BIGINT) AS n_b
+      FROM u),
+    f AS (
+      SELECT n_users, x_conv, n_a, n_b,
+             CAST(x_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p1
+      FROM g WHERE n_users > 0 AND x_conv > 0 AND x_conv < n_users),
+    c AS (
+      SELECT *,
+             CASE WHEN p1 + 0.02e0 > 1.0 THEN 1.0 ELSE p1 + 0.02e0 END AS p2
+      FROM f)
+    SELECT n_users, x_conv, n_a, n_b,
+           FLOOR(p1 * 1e6 + 0.5) / 1e6 AS p_base_q6,
+           0.02e0 AS mde_abs,
+           CAST(CEIL(((1.959964e0 + 0.841621e0) * (1.959964e0 + 0.841621e0))
+                     * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+                     / ((p2 - p1) * (p2 - p1))) AS BIGINT)
+             AS required_n_per_arm,
+           least(n_a, n_b)
+             >= CAST(CEIL(((1.959964e0 + 0.841621e0)
+                           * (1.959964e0 + 0.841621e0))
+                          * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+                          / ((p2 - p1) * (p2 - p1))) AS BIGINT)
+             AS powered
+    FROM c WHERE p2 > p1
+    """,
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size / power calculator — the DESIGN side of the
+    experimentation suite (ab_test/cuped/QTE are the readout side):
+    from the observed baseline conversion rate, the per-arm n required
+    to detect a +2-point absolute lift at α = 0.05 two-sided with 80%
+    power — n = (z_{α/2} + z_β)² · (p₁(1−p₁) + p₂(1−p₂)) / (p₂−p₁)² —
+    and whether the current md5-split arms already clear it.
+
+    Conversion = FIRST-TOUCH purchase (the user's first event, by the
+    padded time key, is a purchase) — the Holm convention, so the
+    baseline can never saturate to 100% as activity grows (an any-touch
+    baseline degenerates and the calculator emits nothing).
+
+    Exactness: user counts and conversions are exact BIGINTs; p₁ is
+    one identical double division; the z quantiles are frozen
+    erfc-bisected literals (the Holm convention) and the whole formula
+    is one fixed-order double chain ending in a CEIL both engines
+    floor/ceil identically; the verdict compares exact integers.
+    Degenerate baselines (0% or 100%) emit no row rather than a
+    division by zero.  Scale: one user-level hash agg, one-row output."""
+    ev = _td(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad((F.col("ts").cast("double") * 1000).cast("long").cast("string"), 14, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    u = (
+        ev.select("user_id", "event_type", key.alias("__k"))
+        .groupBy("user_id")
+        .agg(
+            F.when(F.min_by("event_type", "__k") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("conv")
+        )
+        .select(
+            F.when(_md5_even(), F.lit(1)).otherwise(F.lit(0)).alias("is_a"),
+            "conv",
+        )
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("x_conv"),
+        F.sum("is_a").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("n_b"),
+    )
+    f = g.filter(
+        (F.col("n_users") > 0)
+        & (F.col("x_conv") > 0)
+        & (F.col("x_conv") < F.col("n_users"))
+    ).withColumn(
+        "p1", F.col("x_conv").cast("double") / F.col("n_users").cast("double")
+    )
+    c = f.withColumn(
+        "p2",
+        F.when(F.col("p1") + F.lit(0.02) > 1.0, F.lit(1.0)).otherwise(
+            F.col("p1") + F.lit(0.02)
+        ),
+    ).filter(F.col("p2") > F.col("p1"))
+    zsum2 = (F.lit(1.959964) + F.lit(0.841621)) * (
+        F.lit(1.959964) + F.lit(0.841621)
+    )
+    req = F.ceil(
+        zsum2
+        * (
+            F.col("p1") * (F.lit(1.0) - F.col("p1"))
+            + F.col("p2") * (F.lit(1.0) - F.col("p2"))
+        )
+        / ((F.col("p2") - F.col("p1")) * (F.col("p2") - F.col("p1")))
+    ).cast("long")
+    return c.select(
+        "n_users",
+        "x_conv",
+        "n_a",
+        "n_b",
+        (F.floor(F.col("p1") * 1e6 + F.lit(0.5)) / 1e6).alias("p_base_q6"),
+        F.lit(0.02).alias("mde_abs"),
+        req.alias("required_n_per_arm"),
+        (F.least(F.col("n_a"), F.col("n_b")) >= req).alias("powered"),
+    )

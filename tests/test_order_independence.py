@@ -135,6 +135,7 @@ HARDENED = [
     "emb_davies_bouldin",
     "events_quantile_treatment_effect",
     "emb_silhouette",
+    "events_power_analysis",
 ]
 
 
