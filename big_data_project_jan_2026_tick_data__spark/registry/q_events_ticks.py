@@ -6307,10 +6307,10 @@ def events_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFr
     first-crossing pick — never a per-row global rank.  Every output
     is an exact integer difference of exact integers; no float beyond
     the three p literals.  Scale: events→users→value histogram (≤
-    distinct spend values per arm), the cumulative sweep runs on the
-    histogram.  No counterpart in the reference."""
-    from pyspark.sql import Window
-
+    distinct spend values per arm); the cumulative sweep runs on the
+    histogram via ``stats.global_cumsum`` (one range exchange per arm
+    — never a single-partition window).  No counterpart in the
+    reference."""
     ev = _td(spark, sf_dir, "events")
     u = (
         ev.groupBy("user_id")
@@ -6332,10 +6332,16 @@ def events_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFr
     )
     n = u.groupBy("arm").agg(F.count(F.lit(1)).cast("long").alias("n"))
     h = u.groupBy("arm", "cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    wc = Window.partitionBy("arm").orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = h.select("arm", "cents", F.sum("c").over(wc).cast("long").alias("cc"))
+    # per-arm cumulative counts via the range-exchange prefix sum — a
+    # Window.partitionBy(arm) would funnel each arm's ENTIRE value
+    # histogram (millions of distinct spends at corpus scale) through
+    # one task; two global_cumsum calls keep each sweep parallel
+    cum = None
+    for arm in ("T", "C"):
+        part = stats.global_cumsum(
+            h.filter(F.col("arm") == arm), ["cents"], "c"
+        ).select("arm", "cents", F.col("cum_c").cast("long").alias("cc"))
+        cum = part if cum is None else cum.unionByName(part)
     ps = spark.range(1).select(
         F.explode(F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("p")
     )
