@@ -110,13 +110,14 @@ _ADJUDICATION_PRIORITY = [
     "events_quantile_treatment_effect",
     "emb_silhouette",
     "events_power_analysis",
+    "emb_calinski_harabasz",
     "cube_orders",
     "distinct_agg_per_status",
     "doc_exact_dedup",
-    "doc_lang_id",
-    # ---- ~50-slot window boundary; r10 queue from here: the 25
+    # ---- ~50-slot window boundary; r10 queue from here: the 26
     # rotation rows displaced by the late-r9 first-evers (all green in
     # every local sweep), then the r3-era tail ----
+    "doc_lang_id",
     "doc_token_stats",
     "emb_cosine_topk",
     "grouping_sets_orders",

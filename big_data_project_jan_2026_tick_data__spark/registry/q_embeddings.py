@@ -2005,3 +2005,153 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         (F.col("__m6") / 1e6).alias("mean_sil_q6"),
     )
+
+
+def _calinski_oracle(k: int = 8, dim: int = 64) -> str:
+    d1 = dim + 1
+    return (
+        _kmeans_cte(k, dim)
+        + rf"""
+    , w AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(FLOOR(floor(dsq * 1e6 + 0.5) / 1e6 * 1e6 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS w6
+      FROM asn),
+    gm AS (
+      SELECT t.j AS pos,
+             floor(((CAST(sum(CAST(FLOOR(b.v[t.j] * 1e9 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 1e9) / count(*)) * 1e6 + 0.5) / 1e6
+               AS g
+      FROM base b CROSS JOIN range(1, {d1}) t(j)
+      GROUP BY t.j),
+    sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_c FROM asn GROUP BY cid),
+    ce AS (SELECT cid, t.j AS pos, c[t.j] AS x
+           FROM c2, range(1, {d1}) t(j)),
+    bd AS (
+      SELECT ce.cid,
+             CAST(sum(CAST(FLOOR((ce.x - gm.g) * (ce.x - gm.g) * 1e6 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS b6
+      FROM ce JOIN gm ON gm.pos = ce.pos
+      GROUP BY ce.cid),
+    btot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_used,
+             CAST(sum(sz.n_c * bd.b6) AS DOUBLE) AS b6n
+      FROM sz JOIN bd ON bd.cid = sz.cid)
+    SELECT w.n, btot.k_used,
+           FLOOR(CAST(w.w6 AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS w_q6,
+           FLOOR(btot.b6n / 1e6 * 1e6 + 0.5) / 1e6 AS b_q6,
+           CASE WHEN w.w6 > 0 AND btot.k_used > 1 AND w.n > btot.k_used
+                THEN FLOOR(((btot.b6n / 1e6)
+                            / CAST(btot.k_used - 1 AS DOUBLE))
+                           / ((CAST(w.w6 AS DOUBLE) / 1e6)
+                              / CAST(w.n - btot.k_used AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6 END AS ch_q6
+    FROM w, btot
+    """
+    )
+
+
+@_register("emb_calinski_harabasz", _calinski_oracle())
+def emb_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz index — the third clustering-quality lens next
+    to emb_davies_bouldin (pairwise separation) and emb_silhouette
+    (member confidence): the variance-ratio criterion
+    CH = (B/(k−1)) / (W/(n−k)) with W the within-cluster and B the
+    between-cluster dispersion; higher = denser, better-separated
+    buckets, and its k-sweep maximum is the classical pick-k heuristic.
+
+    Exactness: W sums the q6 assignment distances as exact integers on
+    the 1e6 grid; the global mean uses the SAME snap-9/q6 recipe as the
+    centroid update, so both engines derive the identical literal; B's
+    per-cluster squared offsets snap to a deterministic 1e-6 grid (q6
+    centroids minus q6 mean, squared — both engines compute the same
+    doubles and floor identically)
+    (1e-6 grid — 1e-12 would overflow the BIGINT floor for
+    widely-spread centroids) and weight by exact member counts in
+    decimal/HUGEINT; one fixed-order double tail.  Dispersions are measured against the q6
+    centroid literals the final assignment ran against (the
+    davies_bouldin convention); degrees of freedom use the non-empty
+    cluster count.  Scale: one corpus pass for W + one for the global
+    mean; everything else is k×dim metadata."""
+    import math
+
+    emb = _td(spark, sf_dir, "embeddings")
+    asn, cents = similarity.kmeans(emb, k=8, iters=2, return_centroids=True)
+    asn = asn.localCheckpoint()  # feeds W and the per-cluster sizes
+    w = asn.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("dist_sq") * 1e6 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("w6"),
+    )
+    v = emb.select(
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vec")
+    )
+    gm_rows = (
+        v.select(F.posexplode("vec").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * 1e9 + F.lit(0.5)).cast("long")).alias(
+                "s9"
+            ),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+    gm = {
+        r["pos"]: math.floor(((r["s9"] / 1e9) / r["cnt"]) * 1e6 + 0.5) / 1e6
+        for r in gm_rows
+    }
+    sz = asn.groupBy("cluster").agg(F.count(F.lit(1)).cast("long").alias("n_c"))
+    ce = spark.createDataFrame(
+        [
+            (cid, pos, float(x), gm[pos])
+            for cid, cent in enumerate(cents)
+            for pos, x in enumerate(cent)
+        ],
+        "cid int, pos int, x double, g double",
+    )
+    # 1e-6 grid, not 1e-12: the squared offset of widely-spread
+    # centroids times 1e12 overflows the BIGINT floor (silent negative
+    # wrap, caught by the separation-scaling semantic test); 1e-6 keeps
+    # exact-integer headroom to coordinate magnitudes ~1e5
+    bd = ce.groupBy("cid").agg(
+        F.sum(
+            F.floor(
+                (F.col("x") - F.col("g")) * (F.col("x") - F.col("g")) * 1e6
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("b6")
+    )
+    btot = (
+        sz.join(bd, sz.cluster == bd.cid)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_used"),
+            F.sum((F.col("n_c") * F.col("b6")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("b6n"),
+        )
+    )
+    return w.crossJoin(F.broadcast(btot)).select(
+        "n",
+        "k_used",
+        (F.floor(F.col("w6").cast("double") / 1e6 * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "w_q6"
+        ),
+        (F.floor(F.col("b6n") / 1e6 * 1e6 + F.lit(0.5)) / 1e6).alias("b_q6"),
+        F.when(
+            (F.col("w6") > 0) & (F.col("k_used") > 1) & (F.col("n") > F.col("k_used")),
+            F.floor(
+                ((F.col("b6n") / 1e6) / (F.col("k_used") - 1).cast("double"))
+                / (
+                    (F.col("w6").cast("double") / 1e6)
+                    / (F.col("n") - F.col("k_used")).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        ).alias("ch_q6"),
+    )

@@ -671,3 +671,39 @@ def test_silhouette_hand_computable_sites(spark, tmp_path):
     for r in out:
         assert r["n_members"] == 6
         assert r["mean_sil_q6"] == expect
+
+
+def test_calinski_harabasz_separation_scaling(spark, tmp_path):
+    """Same 8-site configuration: W = 48 x 0.25 = 12 exactly; spreading
+    the sites 10x further apart multiplies B (and CH) by ~100 while W
+    is unchanged — the variance-ratio criterion rewards separation."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+
+    def build(spacing, sub):
+        rows, vid = [], 0
+        for rep in range(6):
+            for site in range(8):
+                vec = [0.0] * 64
+                vec[0] = site * spacing
+                vec[1] = 0.5 if rep % 2 == 0 else -0.5
+                rows.append((vid, [float(x) for x in vec], site))
+                vid += 1
+        d = str(tmp_path / sub)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/embeddings.parquet")
+        return d
+
+    near = QUERIES["emb_calinski_harabasz"](spark, build(100.0, "a")).collect()[0]
+    far = QUERIES["emb_calinski_harabasz"](spark, build(1000.0, "b")).collect()[0]
+    assert near["n"] == 48 and near["k_used"] == 8
+    assert near["w_q6"] == 12.0 and far["w_q6"] == 12.0
+    assert 95 < far["ch_q6"] / near["ch_q6"] < 105

@@ -136,6 +136,7 @@ HARDENED = [
     "events_quantile_treatment_effect",
     "emb_silhouette",
     "events_power_analysis",
+    "emb_calinski_harabasz",
 ]
 
 
