@@ -305,7 +305,12 @@ def interval_overlap_join(
     Semantics: half-open intervals ``(start, end]`` on an integer axis
     (epoch micros by convention); a pair matches iff
     ``l.start < r.end AND r.start < l.end`` (plus ``extra``, a SQL
-    predicate over aliases ``l``/``r``).
+    predicate over aliases ``l``/``r``).  The predicate does not require
+    ``start < end``: a zero-length interval ``(s, s]`` behaves as the
+    point ``s`` and matches every interval that strictly straddles it
+    (``other.start < s < other.end``), never another point.  Callers
+    wanting strict-interval semantics should pre-filter
+    ``start < end``; all in-repo callers already guarantee it.
 
     A naive theta-join is O(n·m).  Scale shape: both sides explode over
     the ``bucket_width`` epoch buckets their interval covers and

@@ -2129,7 +2129,10 @@ def emb_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
         sz.join(bd, sz.cluster == bd.cid)
         .agg(
             F.count(F.lit(1)).cast("long").alias("k_used"),
-            F.sum((F.col("n_c") * F.col("b6")).cast("decimal(38,0)"))
+            # operands cast to decimal BEFORE the multiply so the
+            # n_c*b6 product can never wrap int64 (non-ANSI Spark
+            # wraps silently where DuckDB's HUGEINT just grows)
+            F.sum(F.col("n_c").cast("decimal(19,0)") * F.col("b6").cast("decimal(19,0)"))
             .cast("double")
             .alias("b6n"),
         )

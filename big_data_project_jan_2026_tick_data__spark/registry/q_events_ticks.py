@@ -4542,7 +4542,7 @@ def ticks_garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt — mirrored in the oracle."""
     ev = _td(spark, sf_dir, "events")
     key = F.concat(
-        F.lpad((F.col("ts").cast("double") * 1000).cast("long").cast("string"), 14, "0"),
+        F.lpad(F.expr("unix_micros(ts) div 1000").cast("string"), 14, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
     bars = (
@@ -5710,13 +5710,17 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        # operands cast to decimal BEFORE the multiply: a bigint*bigint
+        # product would wrap silently (non-ANSI) past ~9.2e18 while
+        # DuckDB raises; decimal(19,0)^2 -> decimal(38,0) holds any
+        # per-user cent-sum cross-product exactly.
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
         .cast("double")
         .alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
         .cast("double")
         .alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
         .cast("double")
         .alias("syy"),
     )
@@ -6171,7 +6175,8 @@ def events_holm_multiple_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact BIGINTs; each z is one fixed-order double snapped to q6
     BEFORE ranking (so the rank order compares grid values, never raw
     doubles); the critical values are frozen literals (offline erfc
-    bisection, k = 1..8); the step-down "all previous passed" chain is
+    bisection, k = 1..64, clamped above); the step-down "all previous
+    passed" chain is
     a running MIN over the rank order — emitted per metric with its
     rank so the full decision trace is auditable.  Scale: two hash
     aggs over the user-type table; the test table is #metrics rows.
@@ -6180,7 +6185,7 @@ def events_holm_multiple_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _td(spark, sf_dir, "events")
     key = F.concat(
-        F.lpad((F.col("ts").cast("double") * 1000).cast("long").cast("string"), 14, "0"),
+        F.lpad(F.expr("unix_micros(ts) div 1000").cast("string"), 14, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
     u = (
@@ -6439,7 +6444,7 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     division by zero.  Scale: one user-level hash agg, one-row output."""
     ev = _td(spark, sf_dir, "events")
     key = F.concat(
-        F.lpad((F.col("ts").cast("double") * 1000).cast("long").cast("string"), 14, "0"),
+        F.lpad(F.expr("unix_micros(ts) div 1000").cast("string"), 14, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
     u = (

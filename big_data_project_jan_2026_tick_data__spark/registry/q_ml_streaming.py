@@ -1916,7 +1916,7 @@ def ml_information_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy-only, ML Model/Scripts/train.py); this is the signal-quality
     metric its tick features feed at a real desk."""
     key = F.concat(
-        F.lpad((F.col("ts").cast("double") * 1000).cast("long").cast("string"), 14, "0"),
+        F.lpad(F.expr("unix_micros(ts) div 1000").cast("string"), 14, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
     ev = _td(spark, sf_dir, "events")
