@@ -706,6 +706,133 @@ def kmeans_parallel_init(
     )
 
 
+def kmeans_parallel_init_numpy(
+    ids,
+    X,
+    k: int = 256,
+    oversample: int | None = None,
+    rounds: int | None = None,
+) -> list[tuple[int, object, int]]:
+    """Driver-local numpy twin of :func:`kmeans_parallel_init` —
+    bit-identical by shared-formula construction (the frozen-weight
+    oracle pattern of ``autoencoder.fit_autoencoder_numpy``): every
+    distance uses the SAME numpy expression as the distributed pandas
+    UDF (|x|²+|c|²−2x·c for corpus scans, direct Σ(a−b)² for the
+    intra-pool greedy), snapped to the same 1e-6 integer grid, with the
+    same pool/limit/tie rules — and all of those ops are per-row, so
+    Arrow batching in the distributed path cannot change a bit. Parity
+    is asserted in tests/test_similarity.py; the
+    ``emb_ivf_kmeanspar`` ★ oracle freezes this twin's seed ids per
+    testdata scale factor.
+
+    ``ids``: sequence of ids; ``X``: (n, dim) float64 matrix (the
+    doubles of the vector column). Returns the same
+    (sel_step, id, weight) rows as the distributed operator."""
+    import math
+
+    import numpy as np
+
+    ids = list(ids)
+    X = np.asarray(X, dtype=np.float64)
+    n = len(ids)
+    if n == 0:
+        return []
+    ell = oversample if oversample is not None else max(2 * k, 8)
+    n_rounds = (
+        rounds
+        if rounds is not None
+        else max(5, min(10, int(math.ceil(math.log2(max(k, 2))))))
+    )
+
+    def q6m(M: "np.ndarray") -> "np.ndarray":
+        return np.floor(M * 1e6 + 0.5) / 1e6
+
+    first_i = min(range(n), key=lambda i: ids[i])
+    cand_rows: list[int] = [first_i]
+    cand_vecs: list[list[float]] = [[float(x) for x in q6m(X[first_i])]]
+    cand_seen: set = {ids[first_i]}
+
+    xsq = (X * X).sum(axis=1)
+
+    def dmin6_to(new_mat: "np.ndarray") -> "np.ndarray":
+        cn = (new_mat * new_mat).sum(axis=1)
+        d = xsq[:, None] + cn[None, :] - 2.0 * (X @ new_mat.T)
+        dmin = np.maximum(d.min(axis=1), 0.0)
+        return np.floor(dmin * 1e6 + 0.5).astype(np.int64)
+
+    state = dmin6_to(np.array(cand_vecs, dtype=np.float64))
+    for _ in range(n_rounds - 1):
+        live = [int(i) for i in np.where(state > 0)[0]]
+        live.sort(key=lambda i: (-int(state[i]), ids[i]))
+        pool_i = [i for i in live[: 2 * ell] if ids[i] not in cand_seen]
+        if not pool_i:
+            break
+        pmat = q6m(X[np.array(pool_i)])
+        pdmin = state[np.array(pool_i)].astype(np.float64)
+        pool_id_order = sorted(range(len(pool_i)), key=lambda j: ids[pool_i[j]])
+        picked: list[int] = []
+        pset: set[int] = set()
+        for _pick in range(min(ell, len(pool_i))):
+            best = pdmin.max()
+            if best <= 0:
+                break
+            j = next(
+                j for j in pool_id_order if j not in pset and pdmin[j] == best
+            )
+            picked.append(j)
+            pset.add(j)
+            dnew = np.floor(
+                np.maximum(((pmat - pmat[j]) ** 2).sum(axis=1), 0.0) * 1e6
+                + 0.5
+            )
+            pdmin = np.minimum(pdmin, dnew)
+        if not picked:
+            break
+        new_mat = pmat[picked]
+        for j, q in zip(picked, new_mat):
+            cand_rows.append(pool_i[j])
+            cand_vecs.append([float(x) for x in q])
+            cand_seen.add(ids[pool_i[j]])
+        state = np.minimum(state, dmin6_to(new_mat))
+
+    cmat = np.array(cand_vecs, dtype=np.float64)
+    cn_all = (cmat * cmat).sum(axis=1)
+    d = xsq[:, None] + cn_all[None, :] - 2.0 * (X @ cmat.T)
+    d6 = np.floor(np.maximum(d, 0.0) * 1e6 + 0.5)
+    ci = np.argmin(d6, axis=1)
+    weights = np.bincount(ci, minlength=len(cand_rows)).astype(np.int64)
+
+    ids_arr = np.array([ids[i] for i in cand_rows])
+    order = np.argsort(ids_arr, kind="stable")
+    chosen_idx: list[int] = []
+    best_w = weights.max()
+    tied = [i for i in order if weights[i] == best_w]
+    chosen_idx.append(int(tied[0]))
+    dmin = np.floor(
+        np.maximum(((cmat - cmat[chosen_idx[0]]) ** 2).sum(axis=1), 0.0) * 1e6
+        + 0.5
+    )
+    while len(chosen_idx) < min(k, len(cand_rows)):
+        score = weights * dmin
+        best = score.max()
+        if best <= 0:
+            rest = [i for i in order if i not in chosen_idx]
+            chosen_idx.extend(int(i) for i in rest[: k - len(chosen_idx)])
+            break
+        tied = [i for i in order if score[i] == best]
+        nxt = int(tied[0])
+        chosen_idx.append(nxt)
+        dnew = np.floor(
+            np.maximum(((cmat - cmat[nxt]) ** 2).sum(axis=1), 0.0) * 1e6 + 0.5
+        )
+        dmin = np.minimum(dmin, dnew)
+
+    return [
+        (step + 1, ids[cand_rows[i]], int(weights[i]))
+        for step, i in enumerate(chosen_idx)
+    ]
+
+
 def semantic_dedup(
     df: DataFrame,
     k: int = 8,

@@ -562,6 +562,53 @@ def test_kmeans_parallel_init_spreads_seeds_and_matches_contract(spark):
     assert len(set().union(*by_blob.values())) == 3
 
 
+def test_kmeans_parallel_numpy_twin_parity(spark, sf_dir):
+    """The emb_ivf_kmeanspar ★ oracle freezes seed ids computed by the
+    driver-local numpy twin — this asserts the bit-identity claim the
+    frozen-seed oracle rests on: distributed seeder and twin must emit
+    the SAME (sel_step, id, weight) rows on the real embeddings corpus
+    (and on a crafted blob corpus with ties)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dist = sorted(
+        (
+            (r["sel_step"], r["vec_id"], r["weight"])
+            for r in similarity.kmeans_parallel_init(emb, k=16).collect()
+        )
+    )
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    twin = sorted(
+        similarity.kmeans_parallel_init_numpy(
+            [r[0] for r in rows],
+            np.array([r[1] for r in rows], dtype=np.float64),
+            k=16,
+        )
+    )
+    assert dist == twin
+
+    # duplicate-heavy corpus: exercises the dmin==0 break paths
+    dup = spark.createDataFrame(
+        [(i, [float(i % 4)] * 5) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    d2 = sorted(
+        (r["sel_step"], r["vec_id"], r["weight"])
+        for r in similarity.kmeans_parallel_init(dup, k=6).collect()
+    )
+    t2 = sorted(
+        similarity.kmeans_parallel_init_numpy(
+            list(range(40)),
+            np.array([[float(i % 4)] * 5 for i in range(40)]),
+            k=6,
+        )
+    )
+    assert d2 == t2
+
+
 def test_seeders_accept_string_ids(spark):
     """Advisor r8: kmeanspp_init hardcoded '{id_col} long' in its result
     schema, so string/int id corpora failed at createDataFrame. Both
