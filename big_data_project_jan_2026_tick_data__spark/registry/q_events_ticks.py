@@ -6500,3 +6500,421 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         req.alias("required_n_per_arm"),
         (F.least(F.col("n_a"), F.col("n_b")) >= req).alias("powered"),
     )
+
+
+@_register(
+    "events_mann_whitney",
+    r"""
+    WITH su AS (
+      SELECT user_id, SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS spend
+      FROM events WHERE value > 0 GROUP BY user_id),
+    u AS (
+      SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             spend
+      FROM su),
+    g AS (
+      SELECT spend, CAST(count(*) AS BIGINT) AS t,
+             CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS t_a
+      FROM u GROUP BY spend),
+    c AS (SELECT *, SUM(t) OVER (ORDER BY spend) AS cum_t FROM g),
+    s AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(t_a) AS BIGINT) AS n_a,
+             SUM(CAST(t_a AS HUGEINT)
+                 * (2 * (cum_t - t) + t + 1)) AS two_r_a,
+             SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+                 - t) AS ties
+      FROM c),
+    f AS (
+      SELECT n, n_a, n - n_a AS n_b,
+             two_r_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS two_u_a, ties
+      FROM s WHERE n_a > 0 AND n - n_a > 0 AND n >= 2),
+    z AS (
+      SELECT n_a, n_b, CAST(two_u_a AS BIGINT) AS two_u_a,
+             (CAST(two_u_a AS DOUBLE) / 2.0
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+             / sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                    * ((CAST(n AS DOUBLE) + 1.0)
+                       - CAST(ties AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+               AS zval
+      FROM f
+      WHERE (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+            * ((CAST(n AS DOUBLE) + 1.0)
+               - CAST(ties AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) > 0.0)
+    SELECT n_a, n_b, two_u_a,
+           FLOOR(zval * 1e6 + 0.5) / 1e6 AS z_q6,
+           abs(FLOOR(zval * 1e6 + 0.5) / 1e6) >= 1.959964 AS significant
+    FROM z
+    """,
+)
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum test on per-user spend between
+    the md5 arms — the nonparametric workhorse an experimentation
+    platform reaches for when spend is heavy-tailed and the t-test's
+    mean is the wrong functional (one whale flips it; ranks don't care).
+    Midranks over tied spend values with the standard tie-corrected
+    normal approximation; no continuity correction (documented — both
+    engines must pick the same convention).
+
+    Exactness: per-user cent sums are BIGINT; the rank machinery works
+    on DOUBLED ranks so midranks stay integral — per distinct spend v
+    with t(v) users (t_a in A) and cum_below below it,
+    2·R_A += t_a · (2·cum_below + t + 1), accumulated with
+    decimal(19,0)-cast operands (never a raw int64 product — the
+    advisor-r9 wrap class); the tie term Σ(t³−t) likewise. z is ONE
+    fixed-order double formula over those integers, snapped to q6, and
+    the verdict compares the snapped value to the frozen 1.959964
+    literal. Scale: one user agg, one value-histogram agg, a
+    global_cumsum sweep over DISTINCT spend values (range-partitioned
+    prefix sums — the doc_classifier_auc / QTE shape, never a
+    single-partition window), one roll-up. two_u_a is exact BIGINT
+    (bounded by n_a·n_b·2 — past int64 only beyond ~2e9 users per arm).
+    No counterpart in the reference."""
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    su = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("spend")
+    )
+    u = su.select(
+        F.when(_md5_even(), F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+        "spend",
+    )
+    g = u.groupBy("spend").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.count(F.when(F.col("arm") == "A", F.lit(1))).cast("long").alias("t_a"),
+    )
+    c = stats.global_cumsum(g, ["spend"], "t")
+    td = F.col("t").cast("decimal(19,0)")
+    s = c.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum("t_a").cast("long").alias("n_a"),
+        F.sum(
+            F.col("t_a").cast("decimal(19,0)")
+            * (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1).cast(
+                "decimal(19,0)"
+            )
+        ).alias("two_r_a"),
+        F.sum(td * td * td - td).alias("ties"),
+    )
+    f = s.select(
+        "n",
+        "n_a",
+        (F.col("n") - F.col("n_a")).alias("n_b"),
+        (
+            F.col("two_r_a")
+            - F.col("n_a").cast("decimal(19,0)")
+            * (F.col("n_a") + 1).cast("decimal(19,0)")
+        ).alias("two_u_a"),
+        "ties",
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0) & (F.col("n") >= 2))
+    nd = F.col("n").cast("double")
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    var = (nad * nbd / F.lit(12.0)) * (
+        (nd + F.lit(1.0))
+        - F.col("ties").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    zval = (
+        F.col("two_u_a").cast("double") / F.lit(2.0) - nad * nbd / F.lit(2.0)
+    ) / F.sqrt(var)
+    zq6 = F.floor(zval * 1e6 + F.lit(0.5)) / 1e6
+    return (
+        f.filter(var > 0.0)
+        .select(
+            "n_a",
+            "n_b",
+            F.col("two_u_a").cast("long").alias("two_u_a"),
+            zq6.alias("z_q6"),
+            (F.abs(zq6) >= F.lit(1.959964)).alias("significant"),
+        )
+    )
+
+
+def _g_test_oracle() -> str:
+    ln_od = detmath.det_ln_pos_sql("od", "duckdb", assume_ge_1=True)
+    ln_e = detmath.det_ln_pos_sql("e", "duckdb")
+    return rf"""
+    WITH ecells AS (
+      SELECT event_type,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events),
+    cells AS (
+      SELECT event_type, arm, CAST(count(*) AS BIGINT) AS o
+      FROM ecells GROUP BY event_type, arm),
+    rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r_tot
+           FROM cells GROUP BY event_type),
+    ct AS (SELECT arm, CAST(SUM(o) AS BIGINT) AS c_tot FROM cells GROUP BY arm),
+    tt AS (SELECT CAST(SUM(o) AS BIGINT) AS n_tot,
+                  CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+                  CAST(count(DISTINCT arm) AS BIGINT) AS c
+           FROM cells),
+    j AS (
+      SELECT CAST(cells.o AS DOUBLE) AS od,
+             CAST(rt.r_tot AS DOUBLE) * CAST(ct.c_tot AS DOUBLE)
+               / CAST(tt.n_tot AS DOUBLE) AS e,
+             tt.n_tot, tt.r, tt.c
+      FROM cells JOIN rt USING (event_type) JOIN ct USING (arm) CROSS JOIN tt),
+    t AS (
+      SELECT n_tot, r, c,
+             CAST(FLOOR(od * ({ln_od} - {ln_e}) * 1e6 + 0.5) AS BIGINT) AS t6
+      FROM j),
+    s AS (
+      SELECT CAST(MAX(n_tot) AS BIGINT) AS n,
+             CAST(MAX(r) AS BIGINT) AS r, CAST(MAX(c) AS BIGINT) AS c,
+             CAST(SUM(t6) AS BIGINT) AS s6
+      FROM t)
+    SELECT n, (r - 1) * (c - 1) AS df,
+           FLOOR(2.0 * (CAST(s6 AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS g_q6,
+           FLOOR(2.0 * (CAST(s6 AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6
+             > (CASE WHEN (r - 1) * (c - 1) = 1 THEN 3.841459
+                     WHEN (r - 1) * (c - 1) = 2 THEN 5.991465
+                     WHEN (r - 1) * (c - 1) = 3 THEN 7.814728
+                     WHEN (r - 1) * (c - 1) = 4 THEN 9.487729
+                     WHEN (r - 1) * (c - 1) = 5 THEN 11.070498
+                     WHEN (r - 1) * (c - 1) = 6 THEN 12.591587
+                     WHEN (r - 1) * (c - 1) = 7 THEN 14.067140
+                     ELSE 15.507313 END) AS significant
+    FROM s WHERE r >= 2 AND c >= 2
+    """
+
+
+@_register("events_g_test", _g_test_oracle())
+def events_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood-ratio test) of independence between event
+    type and experiment arm — the χ²'s better-behaved sibling for
+    sparse contingency tables (additive across partitions of the table,
+    which is also why it distributes cleanly). Counts are event-level
+    (is the MIX of actions arm-independent?), complementing
+    events_ab_test's user-level conversion z and
+    events_holm_multiple_tests' per-type family.
+
+    Exactness: observed counts and margins are exact BIGINTs from ONE
+    (type, arm) agg; every ln is detmath (bit-identical across
+    engines); each cell's O·(ln O − ln E) term is snapped to a 1e-6
+    integer grid and summed as BIGINT (a 1e-9 grid would overflow int64
+    at ~1e9-event cells — documented headroom choice), so G carries no
+    float-sum order anywhere. df = (r−1)(c−1) from the observed table;
+    the verdict compares snapped G against frozen 95% χ² criticals for
+    df 1..8, clamped above (a >9-type × >2-arm table needs a wider
+    frozen set, not a new algorithm). Scale: one hash agg over events,
+    then metadata-size joins (types × arms rows). No counterpart in the
+    reference."""
+    ev = _td(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.when(_md5_even(), F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+        )
+        .groupBy("event_type", "arm")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint()  # types×2 rows feed four plan branches —
+        # without this each branch re-scans the events corpus
+    )
+    rt = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("r_tot")
+    )
+    ct = cells.groupBy("arm").agg(F.sum("o").cast("long").alias("c_tot"))
+    tt = cells.agg(
+        F.sum("o").cast("long").alias("n_tot"),
+        F.countDistinct("event_type").cast("long").alias("r"),
+        F.countDistinct("arm").cast("long").alias("c"),
+    )
+    j = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "arm")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            F.col("o").cast("double").alias("od"),
+            (
+                F.col("r_tot").cast("double")
+                * F.col("c_tot").cast("double")
+                / F.col("n_tot").cast("double")
+            ).alias("e"),
+            "n_tot",
+            "r",
+            "c",
+        )
+        .withColumn("lno", detmath.det_ln_pos("od", assume_ge_1=True))
+        .withColumn("lne", detmath.det_ln_pos("e"))
+    )
+    s = j.select(
+        "n_tot",
+        "r",
+        "c",
+        F.floor(
+            F.col("od") * (F.col("lno") - F.col("lne")) * 1e6 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("t6"),
+    ).agg(
+        F.max("n_tot").cast("long").alias("n"),
+        F.max("r").cast("long").alias("r"),
+        F.max("c").cast("long").alias("c"),
+        F.sum("t6").cast("long").alias("s6"),
+    )
+    gq6 = (
+        F.floor(
+            F.lit(2.0) * (F.col("s6").cast("double") / F.lit(1e6)) * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    df_col = (F.col("r") - 1) * (F.col("c") - 1)
+    crit = (
+        F.when(df_col == 1, F.lit(3.841459))
+        .when(df_col == 2, F.lit(5.991465))
+        .when(df_col == 3, F.lit(7.814728))
+        .when(df_col == 4, F.lit(9.487729))
+        .when(df_col == 5, F.lit(11.070498))
+        .when(df_col == 6, F.lit(12.591587))
+        .when(df_col == 7, F.lit(14.067140))
+        .otherwise(F.lit(15.507313))
+    )
+    return s.filter((F.col("r") >= 2) & (F.col("c") >= 2)).select(
+        "n",
+        df_col.alias("df"),
+        gq6.alias("g_q6"),
+        (gq6 > crit).alias("significant"),
+    )
+
+
+@_register(
+    "events_jackknife_ratio_ci",
+    r"""
+    WITH bk AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                      1, 7)) AS BIGINT) % 20 AS bucket,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS v_b,
+             CAST(count(*) AS BIGINT) AS n_b
+      FROM events WHERE value > 0 GROUP BY bucket),
+    tot AS (
+      SELECT CAST(SUM(v_b) AS BIGINT) AS v, CAST(SUM(n_b) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS b
+      FROM bk),
+    jk AS (
+      SELECT CAST(FLOOR((CAST(t.v - bk.v_b AS DOUBLE)
+                         / CAST(t.nn - bk.n_b AS DOUBLE)) * 1e9 + 0.5)
+                  AS BIGINT) AS t9,
+             t.v, t.nn, t.b
+      FROM bk CROSS JOIN tot t WHERE t.nn - bk.n_b > 0),
+    ag AS (
+      SELECT CAST(SUM(t9) AS BIGINT) AS s, MAX(v) AS v, MAX(nn) AS nn,
+             MAX(b) AS b
+      FROM jk),
+    sq AS (
+      SELECT MAX(ag.v) AS v, MAX(ag.nn) AS nn, MAX(ag.b) AS b,
+             SUM((CAST(jk.t9 AS HUGEINT) * ag.b - ag.s)
+                 * (CAST(jk.t9 AS HUGEINT) * ag.b - ag.s)) AS ss
+      FROM jk CROSS JOIN ag),
+    f AS (
+      SELECT b AS n_buckets,
+             CAST(v AS DOUBLE) / CAST(nn AS DOUBLE) AS theta,
+             sqrt(((CAST(b AS DOUBLE) - 1.0) / CAST(b AS DOUBLE))
+                  * ((CAST(ss AS DOUBLE)
+                      / (CAST(b AS DOUBLE) * CAST(b AS DOUBLE))) / 1e18))
+               AS se
+      FROM sq WHERE b >= 2)
+    SELECT n_buckets,
+           FLOOR(theta * 1e6 + 0.5) / 1e6 AS theta_q6,
+           FLOOR(se * 1e6 + 0.5) / 1e6 AS se_q6,
+           FLOOR((theta - 1.959964 * se) * 1e6 + 0.5) / 1e6 AS lo_q6,
+           FLOOR((theta + 1.959964 * se) * 1e6 + 0.5) / 1e6 AS hi_q6
+    FROM f
+    """,
+)
+def events_jackknife_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife CI for a ratio metric (revenue per
+    event) — THE standard error machinery for ratio metrics, whose
+    naive per-unit variance is simply wrong (the denominator is random
+    too; Kish's classic result). Units are grouped into 20 portable
+    md5 user buckets so the leave-one-out set is metadata-sized at any
+    corpus scale; n_buckets counts NONEMPTY buckets.
+
+    Exactness: bucket revenue/count sums are exact BIGINTs from one
+    hash agg (the only corpus pass, localCheckpointed); each
+    leave-one-out ratio θ_(i) is one double division snapped to a 1e-9
+    integer grid; the jackknife sum of squares is computed over
+    B·t9_i − Σt9 with decimal/HUGEINT operands (exact while
+    θ·1e9·B < 9.2e18, i.e. mean revenue per event below ~$4.6M —
+    documented headroom); se/CI are one fixed-order double finish
+    snapped to q6 with the frozen 1.959964 normal critical. Scale: one
+    events pass, then ≤20-row frames. No counterpart in the
+    reference."""
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 7), 16, 10)"
+        " as bigint) % 20"
+    )
+    bk = (
+        ev.select(
+            bucket.alias("bucket"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("c").cast("long").alias("v_b"),
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+        )
+        .localCheckpoint()  # one corpus pass feeds three <=20-row frames
+    )
+    tot = bk.agg(
+        F.sum("v_b").cast("long").alias("v"),
+        F.sum("n_b").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("b"),
+    )
+    jk = (
+        bk.crossJoin(F.broadcast(tot))
+        .filter((F.col("nn") - F.col("n_b")) > 0)
+        .select(
+            F.floor(
+                (
+                    (F.col("v") - F.col("v_b")).cast("double")
+                    / (F.col("nn") - F.col("n_b")).cast("double")
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("t9"),
+        )
+    )
+    ag = jk.crossJoin(F.broadcast(tot)).agg(
+        F.sum("t9").cast("long").alias("s"),
+        F.max("v").alias("v"),
+        F.max("nn").alias("nn"),
+        F.max("b").alias("b"),
+    )
+    dev = F.col("t9").cast("decimal(19,0)") * F.col("b").cast(
+        "decimal(19,0)"
+    ) - F.col("s").cast("decimal(19,0)")
+    sq = jk.crossJoin(F.broadcast(ag)).agg(
+        F.max("v").alias("v"),
+        F.max("nn").alias("nn"),
+        F.max("b").alias("b"),
+        F.sum(dev * dev).alias("ss"),
+    )
+    bd = F.col("b").cast("double")
+    theta = F.col("v").cast("double") / F.col("nn").cast("double")
+    se = F.sqrt(
+        ((bd - F.lit(1.0)) / bd)
+        * ((F.col("ss").cast("double") / (bd * bd)) / F.lit(1e18))
+    )
+
+    def q6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return sq.filter(F.col("b") >= 2).select(
+        F.col("b").alias("n_buckets"),
+        q6(theta).alias("theta_q6"),
+        q6(se).alias("se_q6"),
+        q6(theta - F.lit(1.959964) * se).alias("lo_q6"),
+        q6(theta + F.lit(1.959964) * se).alias("hi_q6"),
+    )
