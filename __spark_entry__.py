@@ -33,12 +33,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     exact `unix_micros(ts) div 1000` — advisor r9 #1) and
 #     events_cuped / emb_calinski_harabasz (cross-moment operands cast
 #     to decimal(19,0) BEFORE the multiply — advisor r9 #2);
-# (b) slots 7-10: first-ever verdicts for the four r10 additions —
+# (b) slots 7-12: first-ever verdicts for the six r10 additions —
 #     emb_ivf_kmeanspar (judge r9 #4: IVF end-to-end on the k-means‖
 #     quantizer, frozen-seed oracle via the bit-identical numpy twin)
-#     and the robust-experimentation block events_mann_whitney /
-#     events_g_test / events_jackknife_ratio_ci;
-# (c) slots 11-50: the queued oldest-verdict rotation exactly as staged
+#     and the robust/distributional-experimentation block
+#     events_mann_whitney / events_g_test / events_jackknife_ratio_ci /
+#     events_wasserstein_arms, plus ticks_realized_semivariance;
+# (c) slots 13-50: the queued oldest-verdict rotation exactly as staged
 #     by r9 — ALL 26 displaced r2-era rows (tpch q2/q4/q7/q8/q9/q10/
 #     q11/q12/q13/q15/q16/q17/q19/q20/q21/q22, doc_curation_pipeline,
 #     doc_decontaminate, doc_ngram_jaccard, doc_pack_sequences,
@@ -60,6 +61,8 @@ _ADJUDICATION_PRIORITY = [
     "events_mann_whitney",
     "events_g_test",
     "events_jackknife_ratio_ci",
+    "events_wasserstein_arms",
+    "ticks_realized_semivariance",
     "doc_lang_id",
     "doc_token_stats",
     "emb_cosine_topk",
@@ -97,13 +100,14 @@ _ADJUDICATION_PRIORITY = [
     "tpch_q2_min_acctbal_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
+    "asof_with_tolerance",
+    # ---- ~50-slot window boundary; r11 queue from here: the rotation
+    # rows displaced by the r10 first-evers (q9/q21 defer on the r9
+    # precedent — both are bench headlines exercised and plan-pinned
+    # every round), the rest of the r3-era tail, then r4+ rows, then
+    # the r9-verdicted block ----
     "tpch_q21_sole_fault_supplier",
     "tpch_q9_product_profit",
-    "asof_with_tolerance",
-    # ---- ~50-slot window boundary; r11 queue from here: the three
-    # rotation rows displaced by the r10 robust-experimentation
-    # first-evers, the rest of the r3-era tail, then r4+ rows, then
-    # the r9-verdicted block ----
     "doc_export_shards",
     "doc_md5_fingerprints",
     "doc_md5_minhash_pairs",

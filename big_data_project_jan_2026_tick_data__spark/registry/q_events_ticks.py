@@ -6918,3 +6918,239 @@ def events_jackknife_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(theta - F.lit(1.959964) * se).alias("lo_q6"),
         q6(theta + F.lit(1.959964) * se).alias("hi_q6"),
     )
+
+
+@_register(
+    "ticks_realized_semivariance",
+    r"""
+    WITH t AS (
+      SELECT 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, event_id, value
+      FROM events),
+    r AS (
+      SELECT symbol,
+             CAST(FLOOR((value - lag(value, 1) OVER w) * 100 + 0.5) AS BIGINT)
+               AS r0
+      FROM t WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+    s AS (
+      SELECT symbol,
+             count(r0) AS n_returns,
+             CAST(sum(CASE WHEN r0 < 0
+                           THEN CAST(r0 AS HUGEINT) * r0 ELSE 0 END)
+                  AS DOUBLE) AS sneg,
+             CAST(sum(CASE WHEN r0 > 0
+                           THEN CAST(r0 AS HUGEINT) * r0 ELSE 0 END)
+                  AS DOUBLE) AS spos
+      FROM r GROUP BY symbol),
+    m AS (
+      SELECT symbol, n_returns,
+             sneg / 1e4 AS rs_neg, spos / 1e4 AS rs_pos,
+             (spos + sneg) / 1e4 AS rv
+      FROM s)
+    SELECT symbol, CAST(n_returns AS BIGINT) AS n_returns,
+           FLOOR(rs_neg * 1e6 + 0.5) / 1e6 AS rs_neg_q6,
+           FLOOR(rs_pos * 1e6 + 0.5) / 1e6 AS rs_pos_q6,
+           FLOOR((rs_pos - rs_neg) * 1e6 + 0.5) / 1e6 AS sj_q6,
+           CASE WHEN rv > 0
+                THEN FLOOR((rs_pos - rs_neg) / rv * 1e6 + 0.5) / 1e6 END
+             AS sj_rel_q6
+    FROM m
+    """,
+)
+def ticks_realized_semivariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized semivariances (Barndorff-Nielsen, Kinnebrock & Shephard
+    2010): RS⁻ = Σ r²·1[r<0] and RS⁺ = Σ r²·1[r>0] split realized
+    variance into downside and upside components, and the signed-jump
+    statistic SJ = RS⁺ − RS⁻ (with its RV-relative form) isolates the
+    jump asymmetry that forecasts future volatility better than RV
+    itself (Patton & Sheppard 2015) — the fourth leg of the vol family
+    next to ticks_rv_signature / ticks_bipower_variation /
+    ticks_realized_kernel. Same exactness discipline as bipower:
+    cent-grid returns, conditional exact integer sums of r² with
+    decimal/HUGEINT-cast operands, one window sort + one hash agg; the
+    only float ops are the final 1e-4 scale, the SJ subtraction and the
+    ratio, on identical doubles in fixed order. No counterpart in the
+    reference (its stats are mean/std only, data_summary.py)."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("ts"), F.col("event_id"))
+    r = t.select(
+        "symbol",
+        F.floor(
+            (F.col("value") - F.lag("value", 1).over(w)) * 100 + F.lit(0.5)
+        ).alias("r0"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = r.groupBy("symbol").agg(
+        F.count("r0").alias("n_returns"),
+        F.sum(
+            F.when(F.col("r0") < 0, dec(F.col("r0")) * dec(F.col("r0")))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("double")
+        .alias("sneg"),
+        F.sum(
+            F.when(F.col("r0") > 0, dec(F.col("r0")) * dec(F.col("r0")))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("double")
+        .alias("spos"),
+    )
+    m = s.select(
+        "symbol",
+        "n_returns",
+        (F.col("sneg") / 1e4).alias("rs_neg"),
+        (F.col("spos") / 1e4).alias("rs_pos"),
+        ((F.col("spos") + F.col("sneg")) / 1e4).alias("rv"),
+    )
+
+    def q6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return m.select(
+        "symbol",
+        F.col("n_returns").cast("long").alias("n_returns"),
+        q6(F.col("rs_neg")).alias("rs_neg_q6"),
+        q6(F.col("rs_pos")).alias("rs_pos_q6"),
+        q6(F.col("rs_pos") - F.col("rs_neg")).alias("sj_q6"),
+        F.when(
+            F.col("rv") > 0,
+            q6((F.col("rs_pos") - F.col("rs_neg")) / F.col("rv")),
+        ).alias("sj_rel_q6"),
+    )
+
+
+@_register(
+    "events_wasserstein_arms",
+    r"""
+    WITH su AS (
+      SELECT user_id, SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS spend
+      FROM events WHERE value > 0 GROUP BY user_id),
+    u AS (
+      SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             spend
+      FROM su),
+    g AS (
+      SELECT spend, CAST(count(*) AS BIGINT) AS t,
+             CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS t_a
+      FROM u GROUP BY spend),
+    c AS (
+      SELECT spend, SUM(t) OVER w AS cum_t, SUM(t_a) OVER w AS cum_t_a,
+             row_number() OVER w AS i
+      FROM g WINDOW w AS (ORDER BY spend)),
+    tot AS (SELECT MAX(cum_t) AS n, MAX(cum_t_a) AS n_a FROM c),
+    p AS (
+      SELECT a.cum_t, a.cum_t_a, b.spend - a.spend AS gap
+      FROM c a JOIN c b ON b.i = a.i + 1),
+    s AS (
+      SELECT SUM(abs(CAST(p.cum_t_a AS HUGEINT) * (t.n - t.n_a)
+                     - CAST(p.cum_t - p.cum_t_a AS HUGEINT) * t.n_a)
+                 * gap) AS tv,
+             MAX(t.n) AS n, MAX(t.n_a) AS n_a
+      FROM p CROSS JOIN tot t)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n - n_a AS BIGINT) AS n_b,
+           FLOOR(CAST(tv AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS w1_cents_q6
+    FROM s WHERE n_a > 0 AND n - n_a > 0
+    """,
+)
+def events_wasserstein_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Wasserstein-1 (earth-mover) distance between the two md5
+    arms' per-user spend distributions — the modern distribution-shift
+    readout (a mean diff can be zero while the whole shape moved; W1
+    integrates |F_A − F_B| over the value axis and sees it). The
+    distributional sibling of events_mann_whitney's rank test and
+    events_quantile_treatment_effect's pointwise quantile contrasts.
+
+    Exactness end to end: |F_A(v) − F_B(v)| · gap is computed as
+    |cum_a·n_b − cum_b·n_a| · gap over INTEGER cumulative counts and
+    cent gaps (operands decimal/HUGEINT-cast before every multiply),
+    summed exactly; ONE double division by n_a·n_b at the end, snapped
+    to q6 — no float CDF anywhere. Scale: one user agg, one
+    value-histogram agg, chained global_cumsum sweeps (range-partitioned
+    prefix sums) for the two CDFs and the value index, then an
+    adjacent-index equi-join (shuffle on one int) — the
+    doc_classifier_auc / QTE histogram-sweep family, never a
+    single-partition window over the corpus. No counterpart in the
+    reference."""
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    su = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("spend")
+    )
+    u = su.select(
+        F.when(_md5_even(), F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+        "spend",
+    )
+    g = (
+        u.groupBy("spend")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("t"),
+            F.count(F.when(F.col("arm") == "A", F.lit(1)))
+            .cast("long")
+            .alias("t_a"),
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    c = stats.global_cumsum(
+        stats.global_cumsum(
+            stats.global_cumsum(g, ["spend"], "t"), ["spend"], "t_a"
+        ),
+        ["spend"],
+        "one",
+    )
+    tot = c.agg(
+        F.max("cum_t").cast("long").alias("n"),
+        F.max("cum_t_a").cast("long").alias("n_a"),
+    )
+    a = c.select(
+        "spend", "cum_t", "cum_t_a", F.col("cum_one").alias("i")
+    )
+    b = c.select(
+        F.col("spend").alias("spend_next"), F.col("cum_one").alias("i_next")
+    )
+    p = a.join(b, (F.col("i") + F.lit(1)) == F.col("i_next")).select(
+        "cum_t", "cum_t_a", (F.col("spend_next") - F.col("spend")).alias("gap")
+    )
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    s = p.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.abs(
+                d19(F.col("cum_t_a")) * d19(F.col("n") - F.col("n_a"))
+                - d19(F.col("cum_t") - F.col("cum_t_a")) * d19(F.col("n_a"))
+            )
+            * d19(F.col("gap"))
+        ).alias("tv"),
+        F.max("n").alias("n"),
+        F.max("n_a").alias("n_a"),
+    )
+    return s.filter(
+        (F.col("n_a") > 0) & ((F.col("n") - F.col("n_a")) > 0)
+    ).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        (F.col("n") - F.col("n_a")).cast("long").alias("n_b"),
+        (
+            F.floor(
+                F.col("tv").cast("double")
+                / (
+                    F.col("n_a").cast("double")
+                    * (F.col("n") - F.col("n_a")).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("w1_cents_q6"),
+    )
