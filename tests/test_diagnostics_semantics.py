@@ -707,3 +707,116 @@ def test_calinski_harabasz_separation_scaling(spark, tmp_path):
     assert near["n"] == 48 and near["k_used"] == 8
     assert near["w_q6"] == 12.0 and far["w_q6"] == 12.0
     assert 95 < far["ch_q6"] / near["ch_q6"] < 105
+
+
+# ---- round-10 robust/distributional experimentation block ----------------
+
+
+def test_mann_whitney_planted_shift_and_degenerate_ties(spark, tmp_path):
+    """Arm-A users all out-spend arm-B users: every A rank is above
+    every B rank, so U_A = n_a*n_b (two_u_a = 2*n_a*n_b), z > 0 and
+    significant. An all-tied corpus (one distinct spend) has zero
+    rank variance by the tie correction — the query must emit NOTHING
+    rather than a 0/0."""
+    rows, eid = [], 0
+    for u in range(200):
+        spend = 500.0 if _md5_arm(u) == "A" else 100.0 + (u % 7)
+        rows.append((eid, _ts(u), u, "view", spend, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["events_mann_whitney"](spark, sf).collect()[0]
+    assert r["two_u_a"] == 2 * r["n_a"] * r["n_b"]
+    assert r["z_q6"] > 3 and bool(r["significant"]) is True
+
+    rows = [(i, _ts(i), i, "view", 42.0, "{}") for i in range(50)]
+    sf2 = _write_events(spark, tmp_path / "tied", rows)
+    assert QUERIES["events_mann_whitney"](spark, sf2).collect() == []
+
+
+def test_g_test_independent_vs_dependent_mix(spark, tmp_path):
+    """Every user emits the same (view, click) pair -> the type mix is
+    exactly arm-independent and G must sit at 0. Arm-A users emitting
+    only 'purchase' while arm-B emit only 'view' is maximal dependence
+    -> G blows past the df=1 critical."""
+    rows, eid = [], 0
+    for u in range(100):
+        rows.append((eid, _ts(u), u, "view", 1.0, "{}")); eid += 1
+        rows.append((eid, _ts(u + 1), u, "click", 1.0, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["events_g_test"](spark, sf).collect()[0]
+    assert r["g_q6"] == 0.0 and bool(r["significant"]) is False
+
+    rows, eid = [], 0
+    for u in range(200):
+        et = "purchase" if _md5_arm(u) == "A" else "view"
+        rows.append((eid, _ts(u), u, et, 1.0, "{}")); eid += 1
+    sf2 = _write_events(spark, tmp_path / "dep", rows)
+    r2 = QUERIES["events_g_test"](spark, sf2).collect()[0]
+    assert r2["df"] == 1
+    assert r2["g_q6"] > 100 and bool(r2["significant"]) is True
+
+
+def test_jackknife_constant_ratio_zero_se(spark, tmp_path):
+    """Every event is worth exactly $7.00: every leave-one-bucket-out
+    ratio equals the full ratio, so the jackknife SE is exactly 0 and
+    the CI collapses onto theta (700 cents)."""
+    rows = [(i, _ts(i), i % 60, "view", 7.0, "{}") for i in range(300)]
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["events_jackknife_ratio_ci"](spark, sf).collect()[0]
+    assert r["theta_q6"] == 700.0
+    assert r["se_q6"] == 0.0
+    assert r["lo_q6"] == 700.0 and r["hi_q6"] == 700.0
+    assert r["n_buckets"] >= 2
+
+
+def test_wasserstein_zero_on_matched_mix_exact_on_shift(spark, tmp_path):
+    """Both arms get the same 50/50 mix of $1.00 and $2.00 spenders ->
+    the CDFs coincide and W1 = 0 exactly. Every A-user at $2.00 and
+    every B-user at $1.00 -> the optimal transport moves every unit of
+    mass 100 cents, W1 = 100 exactly."""
+    # exactly 100 users per arm (md5 of a contiguous range splits
+    # unevenly), alternating $1/$2 within each arm -> the two mixes are
+    # EXACTLY 50/50 each and the CDFs coincide
+    rows, eid, per_arm_seen, u = [], 0, {"A": 0, "B": 0}, 0
+    while min(per_arm_seen.values()) < 100:
+        arm = _md5_arm(u)
+        if per_arm_seen[arm] < 100:
+            spend = 1.0 if per_arm_seen[arm] % 2 == 0 else 2.0
+            per_arm_seen[arm] += 1
+            rows.append((eid, _ts(u), u, "view", spend, "{}")); eid += 1
+        u += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["events_wasserstein_arms"](spark, sf).collect()
+    assert r and r[0]["n_a"] == 100 and r[0]["n_b"] == 100
+    assert r[0]["w1_cents_q6"] == 0.0
+
+    rows, eid = [], 0
+    for u in range(400):
+        spend = 2.0 if _md5_arm(u) == "A" else 1.0
+        rows.append((eid, _ts(u), u, "view", spend, "{}")); eid += 1
+    sf2 = _write_events(spark, tmp_path / "shift", rows)
+    r2 = QUERIES["events_wasserstein_arms"](spark, sf2).collect()[0]
+    assert r2["w1_cents_q6"] == 100.0
+
+
+def test_semivariance_monotone_and_jump_paths(spark, tmp_path):
+    """A monotонe-up price path has RS- = 0 and sj_rel = 1; planting a
+    single large down-jump makes RS- dominate (sj flips negative)."""
+    # all user_ids congruent mod 4 -> one symbol S1
+    rows = [
+        (i, _ts(i), 1, "view", 100.0 + 0.01 * i, "{}") for i in range(200)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = {x["symbol"]: x for x in QUERIES["ticks_realized_semivariance"](spark, sf).collect()}
+    assert r["S1"]["rs_neg_q6"] == 0.0
+    assert r["S1"]["rs_pos_q6"] > 0
+    assert r["S1"]["sj_rel_q6"] == 1.0
+
+    rows = [
+        (i, _ts(i), 1, "view", 100.0 + 0.01 * i, "{}") for i in range(100)
+    ] + [
+        (100, _ts(100), 1, "view", 50.0, "{}")  # -50.99 dollar jump
+    ]
+    sf2 = _write_events(spark, tmp_path / "jump", rows)
+    r2 = {x["symbol"]: x for x in QUERIES["ticks_realized_semivariance"](spark, sf2).collect()}
+    assert r2["S1"]["sj_q6"] < 0
+    assert r2["S1"]["rs_neg_q6"] > r2["S1"]["rs_pos_q6"]

@@ -111,7 +111,17 @@ def test_checkpoint_recovery_exactly_once_emission(spark, tmp_path):
     duplicate row, which this asserts against). File-source fixture,
     one 10-min bucket per file, `maxFilesPerTrigger=1` so every file is
     its own batch; the restart is a genuine cold start (new query
-    object, offsets/state/manifest all recovered from disk)."""
+    object, offsets/state/manifest all recovered from disk).
+
+    Determinism note: whether Spark squeezes in a final NO-DATA batch
+    before an availableNow query stops is timing-dependent, so a tail
+    window's emission may ride either that batch or the next restart's
+    first batch. Every assertion therefore keys on windows that close
+    inside a DATA batch: two far-future in-session flush files force
+    all six data buckets to emit deterministically, and the flush
+    buckets themselves (the only ambiguous ones) are excluded from the
+    cross-run comparison — but never from the duplicate check, which
+    must hold for EVERY window."""
     import shutil
 
     import pyarrow as pa
@@ -120,24 +130,42 @@ def test_checkpoint_recovery_exactly_once_emission(spark, tmp_path):
     staging = tmp_path / "slices"
     staging.mkdir()
 
-    def write_slice(dirpath, i):
-        ts = [
-            pd.Timestamp(2024, 1, 2, 8, 10 * i + m, 0) for m in range(5)
-        ]
+    def write_file(name, ts_list, base):
         pdf = pd.DataFrame(
             {
-                "symbol": ["CKPT"] * 5,
-                "ts": pd.Series(ts).astype("datetime64[us]"),
-                "bid": [100.0 + i + m * 0.25 for m in range(5)],
-                "ask": [101.0 + i + m * 0.25 for m in range(5)],
+                "symbol": ["CKPT"] * len(ts_list),
+                "ts": pd.Series(ts_list).astype("datetime64[us]"),
+                "bid": [base + m * 0.25 for m in range(len(ts_list))],
+                "ask": [base + 1.0 + m * 0.25 for m in range(len(ts_list))],
             }
         )
-        pq.write_table(
-            pa.Table.from_pandas(pdf), str(dirpath / f"slice_{i}.parquet")
-        )
+        pq.write_table(pa.Table.from_pandas(pdf), str(staging / name))
 
-    for i in range(6):  # buckets 08:00..08:50; final watermark 08:45
-        write_slice(staging, i)
+    for i in range(6):  # data buckets 08:00..08:50, 5 ticks each
+        write_file(
+            f"slice_{i}.parquet",
+            [pd.Timestamp(2024, 1, 2, 8, 10 * i + m, 0) for m in range(5)],
+            100.0 + i,
+        )
+    # in-session flushes: flush_a's batch runs with the watermark from
+    # slice_5 (08:45 -> emits buckets 08:00..08:30); flush_b's batch
+    # runs with flush_a's (10:50 -> emits 08:40 and 08:50)
+    write_file("zflush_a.parquet", [pd.Timestamp(2024, 1, 2, 11, 0, 0)], 200.0)
+    write_file("zflush_b.parquet", [pd.Timestamp(2024, 1, 2, 11, 59, 0)], 201.0)
+    all_files = [f"slice_{i}.parquet" for i in range(6)] + [
+        "zflush_a.parquet",
+        "zflush_b.parquet",
+    ]
+    # FileStreamSource orders files by (modificationTime, path); fresh
+    # copies land within one clock tick, which once processed a flush
+    # file FIRST — its watermark then dropped every early bucket as
+    # late data. Pin strictly increasing mtimes (preserved below by
+    # copy2) so batch order IS feed order.
+    import os
+
+    t0 = 1_700_000_000
+    for i, f in enumerate(all_files):
+        os.utime(staging / f, (t0 + 60 * i, t0 + 60 * i))
 
     def run(src, out, ck):
         stream = (
@@ -160,40 +188,48 @@ def test_checkpoint_recovery_exactly_once_emission(spark, tmp_path):
 
     def emitted(out):
         rows = spark.read.parquet(str(out)).collect()
-        return sorted(
-            (r["symbol"], str(r["window_start"]), r["n_ticks"]) for r in rows
-        )
+        return [(r["symbol"], str(r["window_start"]), r["n_ticks"]) for r in rows]
 
-    # run A: uninterrupted over all six files
+    def data_windows(rows):
+        # exclude the ambiguous flush buckets (>= 09:00) from cross-run
+        # comparison; data buckets are all on 08:xx
+        return sorted(r for r in rows if "08:" in r[1])
+
+    expected = sorted(
+        ("CKPT", f"2024-01-02 08:{10 * i:02d}:00", 5) for i in range(6)
+    )
+
+    # run A: uninterrupted over all eight files
     src_a = tmp_path / "src_a"
     src_a.mkdir()
-    for i in range(6):
-        shutil.copy(staging / f"slice_{i}.parquet", src_a)
+    for f in all_files:
+        shutil.copy2(staging / f, src_a)
     run(src_a, tmp_path / "out_a", tmp_path / "ck_a")
-    expected = emitted(tmp_path / "out_a")
-    # watermark 10 min: buckets ending <= 08:45 emit — 08:00..08:30
-    assert len(expected) == 4, expected
-    assert all(n == 5 for _, _, n in expected)
+    a_rows = emitted(tmp_path / "out_a")
+    assert data_windows(a_rows) == expected, a_rows
 
-    # run B phase 1: only the first three files exist, then a clean stop
+    # run B phase 1: only the first four files exist, then a clean stop.
+    # slice_3's DATA batch runs with the watermark from slice_2 (08:15),
+    # so the 08:00 bucket emits deterministically before the stop.
     src_b = tmp_path / "src_b"
     src_b.mkdir()
-    for i in range(3):
-        shutil.copy(staging / f"slice_{i}.parquet", src_b)
+    for f in all_files[:4]:
+        shutil.copy2(staging / f, src_b)
     out_b, ck_b = tmp_path / "out_b", tmp_path / "ck_b"
     run(src_b, out_b, ck_b)
     phase1 = emitted(out_b)
-    assert phase1, "phase 1 must emit at least one closed window"
-    assert set(phase1) < set(expected), (phase1, expected)
+    assert ("CKPT", "2024-01-02 08:00:00", 5) in phase1, phase1
+    assert set(data_windows(phase1)) < set(expected), phase1
 
     # phase 2: the rest of the feed arrives; restart from the SAME
     # checkpoint + output dir — must resume, not reprocess
-    for i in range(3, 6):
-        shutil.copy(staging / f"slice_{i}.parquet", src_b)
+    for f in all_files[4:]:
+        shutil.copy2(staging / f, src_b)
     run(src_b, out_b, ck_b)
     final = emitted(out_b)
-    assert final == expected, (final, expected)
-    # exactly-once: no (symbol, window) emitted twice across the restart
+    assert data_windows(final) == expected, (final, expected)
+    # exactly-once across the restart: NO window key (flush buckets
+    # included) may appear twice in the recovered output
     keys = [(s, w) for s, w, _ in final]
     assert len(keys) == len(set(keys)), keys
 
