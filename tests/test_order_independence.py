@@ -137,6 +137,15 @@ HARDENED = [
     "emb_silhouette",
     "events_power_analysis",
     "emb_calinski_harabasz",
+    # r10 robust/distributional block — doubled-midrank & CDF-product
+    # integer machinery, detmath lns, decimal cross-moments, frozen-seed
+    # IVF (float cosine outputs ride the q6 snap + id tie-break)
+    "events_mann_whitney",
+    "events_g_test",
+    "events_jackknife_ratio_ci",
+    "events_wasserstein_arms",
+    "ticks_realized_semivariance",
+    "emb_ivf_kmeanspar",
 ]
 
 
