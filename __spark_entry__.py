@@ -101,11 +101,16 @@ _ADJUDICATION_PRIORITY = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "asof_with_tolerance",
-    # ---- ~50-slot window boundary; r11 queue from here: the rotation
-    # rows displaced by the r10 first-evers (q9/q21 defer on the r9
-    # precedent — both are bench headlines exercised and plan-pinned
-    # every round), the rest of the r3-era tail, then r4+ rows, then
-    # the r9-verdicted block ----
+    # ---- ~50-slot window boundary; r11 queue from here: the two
+    # late-r10 additions (events_ks_test / events_winsorized_ab take
+    # r11 first-ever slots rather than displacing two more r2-era
+    # rotation rows — both are sweep-, hostile-layout-, order-lane- and
+    # semantically-proven locally), the rotation rows displaced by the
+    # r10 first-evers (q9/q21 defer on the r9 precedent — both are
+    # bench headlines exercised and plan-pinned every round), the rest
+    # of the r3-era tail, then r4+ rows, then the r9-verdicted block --
+    "events_ks_test",
+    "events_winsorized_ab",
     "tpch_q21_sole_fault_supplier",
     "tpch_q9_product_profit",
     "doc_export_shards",

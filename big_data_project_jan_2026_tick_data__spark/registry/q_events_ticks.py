@@ -7154,3 +7154,221 @@ def events_wasserstein_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("w1_cents_q6"),
     )
+
+
+@_register(
+    "events_ks_test",
+    r"""
+    WITH su AS (
+      SELECT user_id, SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS spend
+      FROM events WHERE value > 0 GROUP BY user_id),
+    u AS (
+      SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             spend
+      FROM su),
+    g AS (
+      SELECT spend, CAST(count(*) AS BIGINT) AS t,
+             CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS t_a
+      FROM u GROUP BY spend),
+    c AS (
+      SELECT spend, SUM(t) OVER w AS cum_t, SUM(t_a) OVER w AS cum_t_a
+      FROM g WINDOW w AS (ORDER BY spend)),
+    tot AS (SELECT MAX(cum_t) AS n, MAX(cum_t_a) AS n_a FROM c),
+    s AS (
+      SELECT MAX(abs(CAST(c.cum_t_a AS HUGEINT) * (t.n - t.n_a)
+                     - CAST(c.cum_t - c.cum_t_a AS HUGEINT) * t.n_a))
+               AS d_num,
+             MAX(t.n) AS n, MAX(t.n_a) AS n_a
+      FROM c CROSS JOIN tot t)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n - n_a AS BIGINT) AS n_b,
+           FLOOR(CAST(d_num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS d_q6,
+           FLOOR(CAST(d_num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6
+             > FLOOR(1.3580986393225505
+                     * sqrt((CAST(n_a AS DOUBLE) + CAST(n - n_a AS DOUBLE))
+                            / (CAST(n_a AS DOUBLE)
+                               * CAST(n - n_a AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS significant
+    FROM s WHERE n_a > 0 AND n - n_a > 0
+    """,
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the md5 arms' per-user
+    spend distributions — D = sup|F_A − F_B|, the classic any-difference
+    detector that completes the distributional family:
+    events_mann_whitney sees location, events_wasserstein_arms
+    integrates the gap, KS takes its sup (most sensitive near the
+    median, the known trade-off). Asymptotic 95% verdict via the frozen
+    c(0.05) = sqrt(−ln(0.025)/2) literal.
+
+    Exactness: D's numerator is an exact integer max of
+    |cum_a·n_b − cum_b·n_a| over the value-histogram CDF sweep
+    (decimal/HUGEINT-cast products — no float CDF), so sup|F_A − F_B|
+    is a single exact integer divided once; both D and the critical
+    value snap to q6 before comparison. Scale: the same
+    global_cumsum histogram-sweep shape as events_wasserstein_arms —
+    one user agg, one value agg, range-partitioned prefix sums, one
+    roll-up. No counterpart in the reference."""
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    su = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("spend")
+    )
+    u = su.select(
+        F.when(_md5_even(), F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+        "spend",
+    )
+    g = u.groupBy("spend").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.count(F.when(F.col("arm") == "A", F.lit(1)))
+        .cast("long")
+        .alias("t_a"),
+    )
+    c = stats.global_cumsum(
+        stats.global_cumsum(g, ["spend"], "t"), ["spend"], "t_a"
+    )
+    tot = c.agg(
+        F.max("cum_t").cast("long").alias("n"),
+        F.max("cum_t_a").cast("long").alias("n_a"),
+    )
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    s = c.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                d19(F.col("cum_t_a")) * d19(F.col("n") - F.col("n_a"))
+                - d19(F.col("cum_t") - F.col("cum_t_a")) * d19(F.col("n_a"))
+            )
+        ).alias("d_num"),
+        F.max("n").alias("n"),
+        F.max("n_a").alias("n_a"),
+    )
+    nad = F.col("n_a").cast("double")
+    nbd = (F.col("n") - F.col("n_a")).cast("double")
+
+    def q6(col):
+        return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+    dq6 = q6(F.col("d_num").cast("double") / (nad * nbd))
+    crit_q6 = q6(F.lit(1.3580986393225505) * F.sqrt((nad + nbd) / (nad * nbd)))
+    return s.filter((F.col("n_a") > 0) & ((F.col("n") - F.col("n_a")) > 0)).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        (F.col("n") - F.col("n_a")).cast("long").alias("n_b"),
+        dq6.alias("d_q6"),
+        (dq6 > crit_q6).alias("significant"),
+    )
+
+
+@_register(
+    "events_winsorized_ab",
+    r"""
+    WITH su AS (
+      SELECT user_id, SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS spend
+      FROM events WHERE value > 0 GROUP BY user_id),
+    u AS (
+      SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             spend
+      FROM su),
+    g AS (
+      SELECT spend, CAST(count(*) AS BIGINT) AS t,
+             CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS t_a
+      FROM u GROUP BY spend),
+    c AS (
+      SELECT spend, t, t_a, SUM(t) OVER (ORDER BY spend) AS cum_t FROM g),
+    tot AS (
+      SELECT MAX(cum_t) AS n,
+             (95 * MAX(cum_t) + 99) // 100 AS k
+      FROM c),
+    v95 AS (
+      SELECT MIN(c.spend) AS v95 FROM c CROSS JOIN tot t
+      WHERE c.cum_t >= t.k),
+    s AS (
+      SELECT CAST(SUM(c.t_a) AS BIGINT) AS n_a,
+             CAST(SUM(c.t - c.t_a) AS BIGINT) AS n_b,
+             MAX(v.v95) AS v95,
+             SUM(CAST(c.t_a AS HUGEINT) * LEAST(c.spend, v.v95)) AS ws_a,
+             SUM(CAST(c.t - c.t_a AS HUGEINT) * LEAST(c.spend, v.v95)) AS ws_b
+      FROM c CROSS JOIN v95 v)
+    SELECT n_a, n_b, CAST(v95 AS BIGINT) AS v95_cents,
+           FLOOR(CAST(ws_a AS DOUBLE) / CAST(n_a AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS wmean_a_q6,
+           FLOOR(CAST(ws_b AS DOUBLE) / CAST(n_b AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS wmean_b_q6,
+           FLOOR((CAST(ws_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(ws_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e6 + 0.5)
+             / 1e6 AS wdiff_q6
+    FROM s WHERE n_a > 0 AND n_b > 0
+    """,
+)
+def events_winsorized_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized-mean A/B readout: clamp every user's spend at the
+    POOLED exact 95th-percentile order statistic before comparing arm
+    means — the robustness standard for heavy-tailed revenue metrics
+    (one whale in one arm moves a raw mean by itself; the clamp bounds
+    any single user's influence). Pooled clamp, not per-arm, so the
+    estimand is symmetric under the null.
+
+    Exactness: the p95 cut is the exact order statistic v95 =
+    min{v : cum(v) ≥ ceil(95n/100)} with the ceiling computed in
+    integers ((95n+99) div 100); winsorized sums are exact
+    decimal/HUGEINT Σ t_arm(v)·min(v, v95) over the value histogram;
+    means and the diff are one fixed-order double finish snapped to q6.
+    Scale: the same histogram-sweep shape as events_wasserstein_arms /
+    events_ks_test — one user agg, one value agg, a global_cumsum
+    sweep, one broadcast roll-up. No counterpart in the reference."""
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    su = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("spend")
+    )
+    u = su.select(
+        F.when(_md5_even(), F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+        "spend",
+    )
+    g = u.groupBy("spend").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.count(F.when(F.col("arm") == "A", F.lit(1)))
+        .cast("long")
+        .alias("t_a"),
+    )
+    c = stats.global_cumsum(g, ["spend"], "t")
+    tot = c.agg(
+        F.max("cum_t").cast("long").alias("n"),
+        F.expr("(95 * max(cum_t) + 99) div 100").alias("k"),
+    )
+    v95 = (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_t") >= F.col("k"))
+        .agg(F.min("spend").alias("v95"))
+    )
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    clamp = F.least(F.col("spend"), F.col("v95"))
+    s = c.crossJoin(F.broadcast(v95)).agg(
+        F.sum("t_a").cast("long").alias("n_a"),
+        F.sum(F.col("t") - F.col("t_a")).cast("long").alias("n_b"),
+        F.max("v95").alias("v95"),
+        F.sum(d19(F.col("t_a")) * d19(clamp)).alias("ws_a"),
+        F.sum(d19(F.col("t") - F.col("t_a")) * d19(clamp)).alias("ws_b"),
+    )
+    wa = F.col("ws_a").cast("double") / F.col("n_a").cast("double")
+    wb = F.col("ws_b").cast("double") / F.col("n_b").cast("double")
+
+    def q6(col):
+        return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+    return s.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "n_a",
+        "n_b",
+        F.col("v95").cast("long").alias("v95_cents"),
+        q6(wa).alias("wmean_a_q6"),
+        q6(wb).alias("wmean_b_q6"),
+        q6(wa - wb).alias("wdiff_q6"),
+    )

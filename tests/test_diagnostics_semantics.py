@@ -820,3 +820,44 @@ def test_semivariance_monotone_and_jump_paths(spark, tmp_path):
     r2 = {x["symbol"]: x for x in QUERIES["ticks_realized_semivariance"](spark, sf2).collect()}
     assert r2["S1"]["sj_q6"] < 0
     assert r2["S1"]["rs_neg_q6"] > r2["S1"]["rs_pos_q6"]
+
+
+def test_ks_matched_mix_zero_full_separation_one(spark, tmp_path):
+    """Matched 50/50 $1/$2 mixes in both arms -> D = 0; complete
+    separation (every A above every B) -> D = 1 and significant."""
+    rows, eid, per_arm_seen, u = [], 0, {"A": 0, "B": 0}, 0
+    while min(per_arm_seen.values()) < 100:
+        arm = _md5_arm(u)
+        if per_arm_seen[arm] < 100:
+            spend = 1.0 if per_arm_seen[arm] % 2 == 0 else 2.0
+            per_arm_seen[arm] += 1
+            rows.append((eid, _ts(u), u, "view", spend, "{}")); eid += 1
+        u += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["events_ks_test"](spark, sf).collect()[0]
+    assert r["d_q6"] == 0.0 and bool(r["significant"]) is False
+
+    rows, eid = [], 0
+    for u in range(400):
+        spend = 2.0 if _md5_arm(u) == "A" else 1.0
+        rows.append((eid, _ts(u), u, "view", spend, "{}")); eid += 1
+    sf2 = _write_events(spark, tmp_path / "sep", rows)
+    r2 = QUERIES["events_ks_test"](spark, sf2).collect()[0]
+    assert r2["d_q6"] == 1.0 and bool(r2["significant"]) is True
+
+
+def test_winsorized_ab_clamps_the_whale(spark, tmp_path):
+    """Identical $1.00 arms except one arm-A whale at $10,000: the raw
+    mean gap would be dollars, the p95-winsorized gap is EXACTLY zero
+    (the whale clamps to v95 = 100 cents)."""
+    rows, eid, whale_planted = [], 0, False
+    for u in range(400):
+        spend = 1.0
+        if not whale_planted and _md5_arm(u) == "A":
+            spend, whale_planted = 10_000.0, True
+        rows.append((eid, _ts(u), u, "view", spend, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["events_winsorized_ab"](spark, sf).collect()[0]
+    assert r["v95_cents"] == 100
+    assert r["wmean_a_q6"] == 100.0 and r["wmean_b_q6"] == 100.0
+    assert r["wdiff_q6"] == 0.0

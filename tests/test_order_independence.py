@@ -146,6 +146,8 @@ HARDENED = [
     "events_wasserstein_arms",
     "ticks_realized_semivariance",
     "emb_ivf_kmeanspar",
+    "events_ks_test",
+    "events_winsorized_ab",
 ]
 
 
