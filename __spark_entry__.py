@@ -111,6 +111,7 @@ _ADJUDICATION_PRIORITY = [
     # of the r3-era tail, then r4+ rows, then the r9-verdicted block --
     "events_ks_test",
     "events_winsorized_ab",
+    "doc_shap_linear",
     "tpch_q21_sole_fault_supplier",
     "tpch_q9_product_profit",
     "doc_export_shards",

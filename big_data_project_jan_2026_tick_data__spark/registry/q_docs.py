@@ -2047,7 +2047,7 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _quality_classifier_oracle(
     iters: int = 12, lr: float = 1.0, calibration: bool = False,
-    auc: bool = False,
+    auc: bool = False, shap: bool = False,
 ) -> str:
     """Generated chained-CTE oracle for doc_quality_classifier: re-runs
     the IDENTICAL full-batch logistic-regression recipe in DuckDB — same
@@ -2176,6 +2176,46 @@ def _quality_classifier_oracle(
                      - CAST(SUM(y) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6
              AS gap_q6
     FROM scored GROUP BY 1"""
+        )
+    elif shap:
+        # exact linear-SHAP for the trained weights: for a linear model
+        # phi_j = w_j * (x_j - mean(x_j)); means ride 1e-9-grid integer
+        # sums so phi is ONE fixed-order double per (doc, feature)
+        def dphi(wcol: str, fcol: str, scol: str) -> str:
+            x9 = f"CAST(FLOOR(f.{fcol} * 1e9 + 0.5) AS HUGEINT)"
+            return (
+                f"w.{wcol} * (CAST({x9} * m.n - m.{scol} AS DOUBLE)"
+                " / (CAST(m.n AS DOUBLE) * 1e9))"
+            )
+
+        parts.append(
+            f"""
+    , m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(FLOOR(tokens_x * 1e9 + 0.5) AS BIGINT)) AS s_t,
+             SUM(CAST(FLOOR(tok_len_x * 1e9 + 0.5) AS BIGINT)) AS s_l,
+             SUM(CAST(FLOOR(digit_x * 1e9 + 0.5) AS BIGINT)) AS s_d
+      FROM feat),
+    p AS (
+      SELECT f.doc_id,
+             FLOOR(({dphi('w1', 'tokens_x', 's_t')}) * 1e6 + 0.5) / 1e6
+               AS phi_t,
+             FLOOR(({dphi('w2', 'tok_len_x', 's_l')}) * 1e6 + 0.5) / 1e6
+               AS phi_l,
+             FLOOR(({dphi('w3', 'digit_x', 's_d')}) * 1e6 + 0.5) / 1e6
+               AS phi_d
+      FROM feat f CROSS JOIN it{iters} w CROSS JOIN m),
+    e AS (
+      SELECT doc_id, 'tokens_x' AS feature, phi_t AS phi_q6 FROM p
+      UNION ALL SELECT doc_id, 'tok_len_x', phi_l FROM p
+      UNION ALL SELECT doc_id, 'digit_x', phi_d FROM p),
+    r AS (
+      SELECT doc_id, feature, phi_q6,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY abs(phi_q6) DESC, feature DESC)
+               AS rn
+      FROM e)
+    SELECT doc_id, feature, phi_q6 FROM r WHERE rn = 1"""
         )
     else:
         parts.append(
@@ -3692,4 +3732,74 @@ def doc_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1e6
             ).alias("accuracy_q6"),
         )
+    )
+
+
+@_register("doc_shap_linear", _quality_classifier_oracle(shap=True))
+def doc_shap_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-document SHAP attribution for the in-engine quality
+    classifier — for a linear model the Shapley value has the closed
+    form phi_j = w_j·(x_j − E[x_j]) (Lundberg & Lee 2017, "Linear
+    SHAP"), so the interpretability layer every classifier-gated
+    curation pipeline owes its users ("WHY was this document scored
+    down?") costs one feature-means aggregate, no sampling, no
+    approximation. Emits each doc's dominant attribution (argmax |phi|,
+    feature-name tie-break).
+
+    Exactness: weights come from the q9-quantized trainer proven
+    bit-identical cross-engine by doc_quality_classifier ★; feature
+    means ride 1e-9-grid integer sums (a raw float AVG is
+    partial-agg-order-sensitive — the r4 hash-fail class), so each phi
+    is w_j·((x9·n − S_j)/(n·1e9)) — decimal-exact numerator, ONE
+    fixed-order double, snapped to q6 BEFORE the argmax (rank compares
+    grid values). Scale: training is the existing 12-pass recipe over a
+    localCheckpointed feature frame; the attribution adds one means agg
+    + a broadcast join + a 3-row-per-doc window. No counterpart in the
+    reference (its model ships with no attribution surface)."""
+    from pyspark.sql import Window
+
+    from ..operators import classifier
+
+    docs = _td(spark, sf_dir, "documents")
+    feats = classifier.quality_features(docs).localCheckpoint()
+    w = classifier.train_logreg(feats, iters=12, lr=1.0)
+
+    def x9(col: str):
+        return F.floor(F.col(col) * 1e9 + F.lit(0.5)).cast("long")
+
+    m = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x9("tokens_x")).cast("long").alias("s_t"),
+        F.sum(x9("tok_len_x")).cast("long").alias("s_l"),
+        F.sum(x9("digit_x")).cast("long").alias("s_d"),
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+
+    def phi(wj: float, fcol: str, scol: str):
+        d = d19(x9(fcol)) * d19(F.col("n")) - d19(F.col(scol))
+        raw = F.lit(wj) * (
+            d.cast("double") / (F.col("n").cast("double") * F.lit(1e9))
+        )
+        return F.floor(raw * 1e6 + F.lit(0.5)) / 1e6
+
+    p = feats.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        phi(w[1], "tokens_x", "s_t").alias("phi_t"),
+        phi(w[2], "tok_len_x", "s_l").alias("phi_l"),
+        phi(w[3], "digit_x", "s_d").alias("phi_d"),
+    )
+    e = p.select(
+        "doc_id",
+        F.expr(
+            "stack(3, 'tokens_x', phi_t, 'tok_len_x', phi_l,"
+            " 'digit_x', phi_d) as (feature, phi_q6)"
+        ),
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.abs(F.col("phi_q6")).desc(), F.col("feature").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "feature", "phi_q6")
     )

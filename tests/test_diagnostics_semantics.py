@@ -861,3 +861,25 @@ def test_winsorized_ab_clamps_the_whale(spark, tmp_path):
     assert r["v95_cents"] == 100
     assert r["wmean_a_q6"] == 100.0 and r["wmean_b_q6"] == 100.0
     assert r["wdiff_q6"] == 0.0
+
+
+def test_shap_linear_dominant_feature_and_sign(spark, tmp_path):
+    """Separable-by-token-count corpus (en docs long, fr docs short):
+    the trained weight on tokens_x is the discriminator, so every doc's
+    TOP attribution must be tokens_x, positive for the long (en) docs
+    and negative for the short ones — and within each class the phi
+    values must be identical (identical features)."""
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            rows.append((i, " ".join(["word"] * 40), "en", "s"))
+        else:
+            rows.append((i, " ".join(["mot"] * 5), "fr", "s"))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in QUERIES["doc_shap_linear"](spark, sf).collect()}
+    assert len(out) == 60
+    assert all(r["feature"] == "tokens_x" for r in out.values())
+    long_phis = {r["phi_q6"] for i, r in out.items() if i % 2 == 0}
+    short_phis = {r["phi_q6"] for i, r in out.items() if i % 2 == 1}
+    assert len(long_phis) == 1 and len(short_phis) == 1
+    assert long_phis.pop() > 0 > short_phis.pop()

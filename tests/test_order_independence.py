@@ -148,6 +148,7 @@ HARDENED = [
     "emb_ivf_kmeanspar",
     "events_ks_test",
     "events_winsorized_ab",
+    "doc_shap_linear",
 ]
 
 
