@@ -112,6 +112,7 @@ _ADJUDICATION_PRIORITY = [
     "events_ks_test",
     "events_winsorized_ab",
     "doc_shap_linear",
+    "events_msprt_sequential",
     "tpch_q21_sole_fault_supplier",
     "tpch_q9_product_profit",
     "doc_export_shards",

@@ -7372,3 +7372,188 @@ def events_winsorized_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(wb).alias("wmean_b_q6"),
         q6(wa - wb).alias("wdiff_q6"),
     )
+
+
+_MSPRT_TAU2 = 2500.0  # mixture prior tau = 50 cents, frozen cross-engine
+
+
+def _msprt_oracle() -> str:
+    ln_r = detmath.det_ln_pos_sql("r", "duckdb")
+    t2 = _MSPRT_TAU2
+    return rf"""
+    WITH su AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS day,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS spend
+      FROM events WHERE value > 0 GROUP BY user_id),
+    u AS (
+      SELECT day, spend,
+             CAST(spend AS HUGEINT) * spend AS spend2,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'T' ELSE 'C' END AS arm
+      FROM su),
+    d AS (
+      SELECT day,
+             CAST(count(*) FILTER (arm = 'T') AS BIGINT) AS n_t,
+             CAST(count(*) FILTER (arm = 'C') AS BIGINT) AS n_c,
+             CAST(COALESCE(SUM(spend) FILTER (arm = 'T'), 0) AS BIGINT) AS sx_t,
+             CAST(COALESCE(SUM(spend) FILTER (arm = 'C'), 0) AS BIGINT) AS sx_c,
+             COALESCE(SUM(spend2) FILTER (arm = 'T'), 0) AS sxx_t,
+             COALESCE(SUM(spend2) FILTER (arm = 'C'), 0) AS sxx_c
+      FROM u GROUP BY day),
+    c AS (
+      SELECT day,
+             CAST(SUM(n_t) OVER w AS BIGINT) AS c_n_t,
+             CAST(SUM(n_c) OVER w AS BIGINT) AS c_n_c,
+             CAST(SUM(sx_t) OVER w AS BIGINT) AS c_sx_t,
+             CAST(SUM(sx_c) OVER w AS BIGINT) AS c_sx_c,
+             SUM(sxx_t) OVER w AS c_sxx_t,
+             SUM(sxx_c) OVER w AS c_sxx_c
+      FROM d WINDOW w AS (ORDER BY day)),
+    st AS (
+      SELECT day, c_n_t, c_n_c,
+             CAST(c_sx_t AS DOUBLE) / CAST(c_n_t AS DOUBLE)
+               - CAST(c_sx_c AS DOUBLE) / CAST(c_n_c AS DOUBLE) AS delta,
+             ((CAST(c_sxx_t AS DOUBLE)
+               - CAST(c_sx_t AS DOUBLE) * CAST(c_sx_t AS DOUBLE)
+                 / CAST(c_n_t AS DOUBLE))
+              + (CAST(c_sxx_c AS DOUBLE)
+                 - CAST(c_sx_c AS DOUBLE) * CAST(c_sx_c AS DOUBLE)
+                   / CAST(c_n_c AS DOUBLE)))
+             / (CAST(c_n_t AS DOUBLE) + CAST(c_n_c AS DOUBLE) - 2.0) AS sig2,
+             2.0 * CAST(c_n_t AS DOUBLE) * CAST(c_n_c AS DOUBLE)
+               / (CAST(c_n_t AS DOUBLE) + CAST(c_n_c AS DOUBLE)) AS n_eff
+      FROM c WHERE c_n_t >= 1 AND c_n_c >= 1 AND c_n_t + c_n_c >= 3),
+    rr AS (
+      SELECT day, c_n_t, c_n_c, delta, sig2, n_eff,
+             (2.0 * sig2) / (2.0 * sig2 + n_eff * {t2!r}) AS r
+      FROM st WHERE sig2 > 0.0),
+    lam AS (
+      SELECT day, c_n_t, c_n_c,
+             0.5 * ({ln_r})
+             + (n_eff * n_eff * {t2!r} * (delta * delta))
+               / (4.0 * sig2 * (2.0 * sig2 + n_eff * {t2!r})) AS lnl
+      FROM rr WHERE r > 1e-15)
+    SELECT day, c_n_t AS n_t, c_n_c AS n_c,
+           FLOOR(lnl * 1e6 + 0.5) / 1e6 AS log_lambda_q6,
+           FLOOR(lnl * 1e6 + 0.5) / 1e6 >= 2.995732273553991 AS reject
+    FROM lam
+    """
+
+
+@_register("events_msprt_sequential", _msprt_oracle())
+def events_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B testing — the mixture SPRT of Johari,
+    Koomen, Pekelis & Walsh (KDD 2017, "Peeking at A/B Tests"), the
+    statistic behind every modern experimentation platform's
+    'significant so far?' dashboard: peeking at a fixed-horizon z-test
+    daily inflates false positives to ~30%; the mSPRT likelihood ratio
+    Λ_n is a martingale under the null, so rejecting when Λ ≥ 1/α is
+    valid at EVERY day simultaneously. Users enter on their first-event
+    day with their total spend; each output row is the test state after
+    that day's cohort. Emitted in LOG space (one detmath ln, no exp —
+    Λ overflows double past ~day-one at real effect sizes); reject =
+    lnΛ ≥ ln 20 (α = 0.05), frozen literal. Mixture prior τ = 50 cents,
+    frozen (_MSPRT_TAU2).
+
+    Exactness: per-day cohort counts / spend sums / spend-square sums
+    are exact BIGINT/decimal; the day-cumulative prefix sums run over
+    the #days-grain frame (metadata-scale — a plain ordered window here
+    is the bandit-replay precedent, NOT the corpus-scale class
+    global_cumsum exists for); δ, pooled σ², n_eff and lnΛ are fixed-
+    order double formulas over those integers; the ln is detmath. No
+    counterpart in the reference."""
+    from pyspark.sql import Window
+
+    t2 = _MSPRT_TAU2
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    su = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("day"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("spend"),
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    u = su.select(
+        "day",
+        "spend",
+        (d19(F.col("spend")) * d19(F.col("spend"))).alias("spend2"),
+        F.when(_md5_even(), F.lit("T")).otherwise(F.lit("C")).alias("arm"),
+    )
+    t_ = lambda c: F.when(F.col("arm") == "T", c).otherwise(F.lit(0))  # noqa: E731
+    c_ = lambda c: F.when(F.col("arm") == "C", c).otherwise(F.lit(0))  # noqa: E731
+    d = u.groupBy("day").agg(
+        F.count(F.when(F.col("arm") == "T", F.lit(1))).cast("long").alias("n_t"),
+        F.count(F.when(F.col("arm") == "C", F.lit(1))).cast("long").alias("n_c"),
+        F.sum(t_(F.col("spend"))).cast("long").alias("sx_t"),
+        F.sum(c_(F.col("spend"))).cast("long").alias("sx_c"),
+        F.sum(t_(F.col("spend2"))).alias("sxx_t"),
+        F.sum(c_(F.col("spend2"))).alias("sxx_c"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "day",
+        F.sum("n_t").over(w).cast("long").alias("c_n_t"),
+        F.sum("n_c").over(w).cast("long").alias("c_n_c"),
+        F.sum("sx_t").over(w).cast("long").alias("c_sx_t"),
+        F.sum("sx_c").over(w).cast("long").alias("c_sx_c"),
+        F.sum("sxx_t").over(w).alias("c_sxx_t"),
+        F.sum("sxx_c").over(w).alias("c_sxx_c"),
+    )
+    ntd = F.col("c_n_t").cast("double")
+    ncd = F.col("c_n_c").cast("double")
+    sxtd = F.col("c_sx_t").cast("double")
+    sxcd = F.col("c_sx_c").cast("double")
+    st = c.filter(
+        (F.col("c_n_t") >= 1)
+        & (F.col("c_n_c") >= 1)
+        & ((F.col("c_n_t") + F.col("c_n_c")) >= 3)
+    ).select(
+        "day",
+        "c_n_t",
+        "c_n_c",
+        (sxtd / ntd - sxcd / ncd).alias("delta"),
+        (
+            (
+                (F.col("c_sxx_t").cast("double") - sxtd * sxtd / ntd)
+                + (F.col("c_sxx_c").cast("double") - sxcd * sxcd / ncd)
+            )
+            / (ntd + ncd - F.lit(2.0))
+        ).alias("sig2"),
+        (F.lit(2.0) * ntd * ncd / (ntd + ncd)).alias("n_eff"),
+    )
+    rr = st.filter(F.col("sig2") > 0.0).withColumn(
+        "r",
+        (F.lit(2.0) * F.col("sig2"))
+        / (F.lit(2.0) * F.col("sig2") + F.col("n_eff") * F.lit(t2)),
+    )
+    lam = rr.filter(F.col("r") > 1e-15).select(
+        "day",
+        "c_n_t",
+        "c_n_c",
+        (
+            F.lit(0.5) * detmath.det_ln_pos("r")
+            + (
+                F.col("n_eff")
+                * F.col("n_eff")
+                * F.lit(t2)
+                * (F.col("delta") * F.col("delta"))
+            )
+            / (
+                F.lit(4.0)
+                * F.col("sig2")
+                * (
+                    F.lit(2.0) * F.col("sig2")
+                    + F.col("n_eff") * F.lit(t2)
+                )
+            )
+        ).alias("lnl"),
+    )
+    lq6 = F.floor(F.col("lnl") * 1e6 + F.lit(0.5)) / 1e6
+    return lam.select(
+        "day",
+        F.col("c_n_t").alias("n_t"),
+        F.col("c_n_c").alias("n_c"),
+        lq6.alias("log_lambda_q6"),
+        (lq6 >= F.lit(2.995732273553991)).alias("reject"),
+    )

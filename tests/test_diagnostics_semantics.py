@@ -883,3 +883,47 @@ def test_shap_linear_dominant_feature_and_sign(spark, tmp_path):
     short_phis = {r["phi_q6"] for i, r in out.items() if i % 2 == 1}
     assert len(long_phis) == 1 and len(short_phis) == 1
     assert long_phis.pop() > 0 > short_phis.pop()
+
+
+def test_msprt_accumulates_evidence_and_never_rejects_null(spark, tmp_path):
+    """Planted persistent effect (T spends $5, C spends $1, cohorts
+    entering over 10 days): log-lambda must RISE with the cumulative
+    sample and reject by the final day. Exactly-equal arms: delta = 0,
+    so log-lambda = 0.5·ln(r) < 0 on every day — never rejects (the
+    always-valid guarantee's null side)."""
+    from datetime import datetime, timedelta
+
+    def day_ts(d, i):
+        return (datetime(2024, 1, 1 + d) + timedelta(seconds=i)).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+
+    rows, eid = [], 0
+    for d in range(10):
+        for j in range(40):
+            u = d * 40 + j
+            spend = 5.0 if _md5_arm(u) == "A" else 1.0
+            # tiny per-user jitter keeps sigma2 > 0 without moving means
+            jitter = 0.01 if j % 2 == 0 else -0.01
+            rows.append((eid, day_ts(d, j), u, "view", spend + jitter, "{}"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = sorted(
+        QUERIES["events_msprt_sequential"](spark, sf).collect(),
+        key=lambda r: str(r["day"]),
+    )
+    assert len(out) == 10
+    assert out[-1]["log_lambda_q6"] > out[0]["log_lambda_q6"]
+    assert bool(out[-1]["reject"]) is True
+
+    rows, eid = [], 0
+    for d in range(10):
+        for j in range(40):
+            u = d * 40 + j
+            jitter = 0.01 if j % 2 == 0 else -0.01
+            rows.append((eid, day_ts(d, j), u, "view", 3.0 + jitter, "{}"))
+            eid += 1
+    sf2 = _write_events(spark, tmp_path / "null", rows)
+    out2 = QUERIES["events_msprt_sequential"](spark, sf2).collect()
+    assert out2 and all(not bool(r["reject"]) for r in out2)
+    assert all(r["log_lambda_q6"] <= 0.1 for r in out2)

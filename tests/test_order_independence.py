@@ -149,6 +149,7 @@ HARDENED = [
     "events_ks_test",
     "events_winsorized_ab",
     "doc_shap_linear",
+    "events_msprt_sequential",
 ]
 
 
