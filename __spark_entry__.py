@@ -113,6 +113,7 @@ _ADJUDICATION_PRIORITY = [
     "events_winsorized_ab",
     "doc_shap_linear",
     "events_msprt_sequential",
+    "events_did_event_study",
     "tpch_q21_sole_fault_supplier",
     "tpch_q9_product_profit",
     "doc_export_shards",

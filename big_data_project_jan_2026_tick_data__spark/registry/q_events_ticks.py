@@ -7557,3 +7557,115 @@ def events_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         lq6.alias("log_lambda_q6"),
         (lq6 >= F.lit(2.995732273553991)).alias("reject"),
     )
+
+
+@_register(
+    "events_did_event_study",
+    r"""
+    WITH cut AS (
+      SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
+              + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS cut_us
+      FROM events),
+    e AS (
+      SELECT ((CAST(epoch_us(ts) AS BIGINT) - c.cut_us
+               + 100000 * 86400000000) // 86400000000) - 100000 AS rel,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'T' ELSE 'C' END AS arm,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events CROSS JOIN cut c WHERE value > 0),
+    g AS (
+      SELECT rel,
+             CAST(count(*) FILTER (arm = 'T') AS BIGINT) AS n_t,
+             CAST(count(*) FILTER (arm = 'C') AS BIGINT) AS n_c,
+             CAST(COALESCE(SUM(cents) FILTER (arm = 'T'), 0) AS BIGINT) AS s_t,
+             CAST(COALESCE(SUM(cents) FILTER (arm = 'C'), 0) AS BIGINT) AS s_c
+      FROM e GROUP BY rel),
+    pre AS (
+      SELECT CAST(SUM(n_t) AS BIGINT) AS pn_t, CAST(SUM(n_c) AS BIGINT) AS pn_c,
+             CAST(SUM(s_t) AS BIGINT) AS ps_t, CAST(SUM(s_c) AS BIGINT) AS ps_c
+      FROM g WHERE rel < 0)
+    SELECT g.rel, g.n_t, g.n_c,
+           FLOOR(((CAST(g.s_t AS DOUBLE) / CAST(g.n_t AS DOUBLE)
+                   - CAST(g.s_c AS DOUBLE) / CAST(g.n_c AS DOUBLE))
+                  - (CAST(p.ps_t AS DOUBLE) / CAST(p.pn_t AS DOUBLE)
+                     - CAST(p.ps_c AS DOUBLE) / CAST(p.pn_c AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS att_q6,
+           g.rel < 0 AS is_pre
+    FROM g CROSS JOIN pre p
+    WHERE g.n_t > 0 AND g.n_c > 0 AND p.pn_t > 0 AND p.pn_c > 0
+    """,
+)
+def events_did_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic difference-in-differences / event-study coefficients —
+    the per-relative-period ATT(k) curve that modern causal work
+    demands INSTEAD of a single static DiD number (Sun & Abraham 2021):
+    the k < 0 rows are the parallel-trends diagnostic (they should
+    hover near 0 if the design is sound), the k ≥ 0 rows trace the
+    effect's dynamics. Complements the static events_diff_in_diff with
+    the same data-derived integer midpoint cut and md5 arms.
+
+    Exactness: the relative-day index uses the shift-then-floor-divide
+    trick ((us − cut + K·day) div day − K with the dividend forced
+    non-negative) because Spark's `div` truncates toward zero while
+    DuckDB's `//` floors — they disagree exactly on the negative (pre)
+    side this query exists to examine. Cents sums are exact BIGINTs
+    per (rel, arm); each ATT(k) is one fixed-order double formula
+    against the broadcast pre-period baseline, snapped to q6. Scale:
+    one events pass to the (rel, arm) grain, then #days-sized frames.
+    No counterpart in the reference."""
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cut = _mid_cut(ev)
+    e = ev.crossJoin(F.broadcast(cut)).select(
+        F.expr(
+            "((unix_micros(ts) - cut_us + 100000 * 86400000000)"
+            " div 86400000000) - 100000"
+        ).alias("rel"),
+        F.when(_md5_even(), F.lit("T")).otherwise(F.lit("C")).alias("arm"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    t_ = lambda c: F.when(F.col("arm") == "T", c).otherwise(F.lit(0))  # noqa: E731
+    c_ = lambda c: F.when(F.col("arm") == "C", c).otherwise(F.lit(0))  # noqa: E731
+    g = (
+        e.groupBy("rel")
+        .agg(
+            F.count(F.when(F.col("arm") == "T", F.lit(1)))
+            .cast("long")
+            .alias("n_t"),
+            F.count(F.when(F.col("arm") == "C", F.lit(1)))
+            .cast("long")
+            .alias("n_c"),
+            F.sum(t_(F.col("cents"))).cast("long").alias("s_t"),
+            F.sum(c_(F.col("cents"))).cast("long").alias("s_c"),
+        )
+        .localCheckpoint()  # #days rows feed the baseline AND the curve
+    )
+    pre = g.filter(F.col("rel") < 0).agg(
+        F.sum("n_t").cast("long").alias("pn_t"),
+        F.sum("n_c").cast("long").alias("pn_c"),
+        F.sum("s_t").cast("long").alias("ps_t"),
+        F.sum("s_c").cast("long").alias("ps_c"),
+    )
+    att = (
+        F.col("s_t").cast("double") / F.col("n_t").cast("double")
+        - F.col("s_c").cast("double") / F.col("n_c").cast("double")
+    ) - (
+        F.col("ps_t").cast("double") / F.col("pn_t").cast("double")
+        - F.col("ps_c").cast("double") / F.col("pn_c").cast("double")
+    )
+    return (
+        g.crossJoin(F.broadcast(pre))
+        .filter(
+            (F.col("n_t") > 0)
+            & (F.col("n_c") > 0)
+            & (F.col("pn_t") > 0)
+            & (F.col("pn_c") > 0)
+        )
+        .select(
+            "rel",
+            "n_t",
+            "n_c",
+            (F.floor(att * 1e6 + F.lit(0.5)) / 1e6).alias("att_q6"),
+            (F.col("rel") < 0).alias("is_pre"),
+        )
+    )

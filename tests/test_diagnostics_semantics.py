@@ -927,3 +927,30 @@ def test_msprt_accumulates_evidence_and_never_rejects_null(spark, tmp_path):
     out2 = QUERIES["events_msprt_sequential"](spark, sf2).collect()
     assert out2 and all(not bool(r["reject"]) for r in out2)
     assert all(r["log_lambda_q6"] <= 0.1 for r in out2)
+
+
+def test_event_study_flat_pretrends_and_planted_post_effect(spark, tmp_path):
+    """Both arms at $1.00 before the (data-derived) midpoint; T jumps to
+    $3.00 after it: every pre-period ATT(k) must be exactly 0 and every
+    post-period ATT(k) exactly 200 cents."""
+    from datetime import datetime, timedelta
+
+    rows, eid = [], 0
+    # 8 days of data -> midpoint cut lands between day 4 and 5
+    for d in range(8):
+        for j in range(50):
+            u = j
+            ts = (datetime(2024, 1, 1 + d) + timedelta(seconds=j)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+            post = d >= 4
+            val = 3.0 if (post and _md5_arm(u) == "A") else 1.0
+            rows.append((eid, ts, u, "view", val, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = QUERIES["events_did_event_study"](spark, sf).collect()
+    assert out, "no event-study rows"
+    pre = [r for r in out if r["is_pre"]]
+    post = [r for r in out if not r["is_pre"]]
+    assert pre and post
+    assert all(r["att_q6"] == 0.0 for r in pre), pre
+    assert all(r["att_q6"] == 200.0 for r in post), post

@@ -150,6 +150,7 @@ HARDENED = [
     "events_winsorized_ab",
     "doc_shap_linear",
     "events_msprt_sequential",
+    "events_did_event_study",
 ]
 
 
