@@ -114,6 +114,8 @@ _ADJUDICATION_PRIORITY = [
     "doc_shap_linear",
     "events_msprt_sequential",
     "events_did_event_study",
+    "doc_yule_k",
+    "emb_whitening_digest",
     "tpch_q21_sole_fault_supplier",
     "tpch_q9_product_profit",
     "doc_export_shards",

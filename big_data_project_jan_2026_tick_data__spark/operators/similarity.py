@@ -833,6 +833,121 @@ def kmeans_parallel_init_numpy(
     ]
 
 
+def _whitening_finish(n: int, s1, s2, top: int, eps: float):
+    """Shared driver finish for :func:`whitening_matrix` and its numpy
+    twin: exact 1e-9-grid integer sums → population covariance → eigh →
+    canonicalized (eigenvalue-descending; each eigenvector's largest-
+    |component| entry made positive, ties to the lowest index) →
+    top-``top`` whitening rows u_kᵀ/√λ_k, snapped to 6dp exactly like
+    IVF centroid literals. Returns (rows, eigenvalues)."""
+    import numpy as np
+
+    s1 = np.asarray(s1, dtype=np.float64)
+    s2 = np.asarray(s2, dtype=np.float64)
+    mu = (s1 / 1e9) / n
+    cov = (s2 / 1e9) / n - np.outer(mu, mu)
+    w, u = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w = w[order]
+    u = u[:, order]
+    for k in range(u.shape[1]):
+        col = u[:, k]
+        j = int(np.argmax(np.abs(col)))  # first max on ties
+        if col[j] < 0:
+            u[:, k] = -col
+    rows = []
+    for k in range(top):
+        lam = max(float(w[k]), eps)
+        rows.append([_q6(float(x)) for x in (u[:, k] / math_sqrt(lam))])
+    return rows, [float(x) for x in w[:top]]
+
+
+def math_sqrt(x: float) -> float:
+    import math
+
+    return math.sqrt(x)
+
+
+def whitening_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    top: int = 3,
+    eps: float = 1e-9,
+) -> tuple[list[list[float]], list[float]]:
+    """PCA whitening rows (Λ^{-1/2}Uᵀ, top ``top`` components) of the
+    vector corpus — the isotropy post-processing step ("all-but-the-top",
+    Mu & Viswanath 2018; whitening also conditions PQ codebooks). ONE
+    corpus pass: each row explodes to its 64 per-dim values and 2080
+    upper-triangle pair products keyed by a flat index, every term
+    snapped to a 1e-9 integer grid and hash-aggregated with map-side
+    combine (the shuffle is 2144 keys regardless of corpus size) — so
+    the covariance is an EXACT integer statistic, layout-independent,
+    and the driver's eigh (64×64 — metadata) sees bit-identical input
+    from any partitioning. The numpy twin
+    :func:`whitening_matrix_numpy` replays the same snapped sums for
+    the frozen-rotation oracle (the kmeans_parallel_init_numpy /
+    fit_autoencoder_numpy pattern)."""
+    v = df.select(_to_double(F.col(vec_col)).alias("v"))
+    d = dim
+    terms = F.expr(
+        f"""flatten(array(
+          transform(sequence(0, {d - 1}),
+                    i -> struct(i AS k, element_at(v, i + 1) AS val)),
+          flatten(transform(sequence(0, {d - 1}), i ->
+            transform(sequence(i, {d - 1}), j ->
+              struct({d} + i * {d} + j AS k,
+                     element_at(v, i + 1) * element_at(v, j + 1) AS val))))
+        ))"""
+    )
+    agg = (
+        v.select(F.explode(terms).alias("e"))
+        .select(F.col("e.k").alias("k"), F.col("e.val").alias("val"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.floor(F.col("val") * 1e9 + F.lit(0.5)).cast("decimal(38,0)")
+            ).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .collect()
+    )
+    by_k = {r["k"]: (int(r["s"]), int(r["cnt"])) for r in agg}
+    n = by_k[0][1]
+    import numpy as np
+
+    s1 = np.array([by_k[k][0] for k in range(d)], dtype=np.float64)
+    s2 = np.zeros((d, d), dtype=np.float64)
+    for i in range(d):
+        for j in range(i, d):
+            val = by_k[d + i * d + j][0]
+            s2[i, j] = val
+            s2[j, i] = val
+    return _whitening_finish(n, s1, s2, top, eps)
+
+
+def whitening_matrix_numpy(
+    X, top: int = 3, eps: float = 1e-9
+) -> tuple[list[list[float]], list[float]]:
+    """Driver-local twin of :func:`whitening_matrix` — bit-identical by
+    shared-formula construction: the same per-term doubles, the same
+    1e-9 floor snap, integer sums, and the SAME ``_whitening_finish``.
+    Parity asserted in tests/test_similarity.py; the
+    ``emb_whitening_digest`` ★ oracle freezes this twin's rows per sf."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n, d = X.shape
+    s1 = np.floor(X * 1e9 + 0.5).astype(np.int64).sum(axis=0)
+    # row-by-row snapped outer products, int64 partial sums — mirrors
+    # the distributed decimal(38,0) agg exactly at twin scale
+    acc = np.zeros((d, d), dtype=np.int64)
+    for r in range(n):
+        acc += np.floor(np.outer(X[r], X[r]) * 1e9 + 0.5).astype(np.int64)
+    s2 = acc.astype(np.float64)
+    return _whitening_finish(int(n), s1.astype(np.float64), s2, top, eps)
+
+
 def semantic_dedup(
     df: DataFrame,
     k: int = 8,

@@ -3803,3 +3803,70 @@ def doc_shap_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "feature", "phi_q6")
     )
+
+
+@_register(
+    "doc_yule_k",
+    rf"""
+    WITH norm AS (
+      SELECT doc_id, {_norm_sql('text')} AS nrm FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split(nrm, ' ')) AS w
+      FROM norm WHERE length(nrm) > 0),
+    wc AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, w),
+    d AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(SUM(c * c) AS HUGEINT) AS s2
+      FROM wc GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+           FLOOR(1e4 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+                 / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS yule_k_q6
+    FROM d WHERE n_tokens >= 2
+    """,
+)
+def doc_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K characteristic per document (Yule 1944) — the classic
+    repetitiveness/vocabulary-richness statistic
+    K = 10⁴·(Σ_w c_w² − N)/N², length-invariant in expectation (unlike
+    raw type-token ratio) and a standard quality signal next to
+    doc_repetition_signals' n-gram ratios: boilerplate and
+    template-spam score high-K, natural prose low. Also the stylometric
+    workhorse for author/source drift.
+
+    Exactness: per-(doc, word) counts, N, and Σc² are exact
+    BIGINT/decimal from one tokenize + two hash aggs; K is ONE
+    fixed-order double formula snapped to q6. Tokens ride the canonical
+    normalize_text convention shared by the whole doc family. Scale:
+    shuffles on (doc_id, word) then doc_id — O(tokens), no corpus
+    self-join. No counterpart in the reference."""
+    docs = _td(spark, sf_dir, "documents")
+    nrm = docs.select(
+        "doc_id", text.normalize_text(F.col("text")).alias("nrm")
+    ).filter(F.length("nrm") > 0)
+    tok = nrm.select("doc_id", F.explode(F.split(F.col("nrm"), " ")).alias("w"))
+    wc = tok.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    d = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(d19(F.col("c")) * d19(F.col("c"))).alias("s2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    k = (
+        F.lit(1e4)
+        * (F.col("s2").cast("double") - nd)
+        / (nd * nd)
+    )
+    return d.filter(F.col("n_tokens") >= 2).select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (F.floor(k * 1e6 + F.lit(0.5)) / 1e6).alias("yule_k_q6"),
+    )

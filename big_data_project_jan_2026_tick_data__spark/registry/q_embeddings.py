@@ -2309,3 +2309,103 @@ def emb_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6,
         ).alias("ch_q6"),
     )
+
+
+def _whitening_oracle(top: int = 3, dim: int = 64) -> str | None:
+    """Frozen-rotation oracle for emb_whitening_digest: per sf, the
+    numpy twin `similarity.whitening_matrix_numpy` — bit-identical to
+    the distributed covariance pass by shared snapped-sum construction
+    (parity-tested in test_similarity) — freezes the top whitening rows
+    as 6dp literals; the SQL replays the per-vector projections with
+    the proven list_sum/list_transform dot pairing. Branch guards reuse
+    the exact integer embeddings content fingerprint (sf0.001/sf0.01
+    share a row count). Returns None when no testdata is reachable."""
+    import glob
+    import os
+
+    try:
+        import duckdb
+        import numpy as np
+    except ImportError:  # pragma: no cover — baked into this rig
+        return None
+
+    d1 = dim + 1
+    branches = []
+    seen_fps: set[int] = set()
+    for sfd in sorted(glob.glob("/root/testdata/sf*")):
+        path = os.path.join(sfd, "embeddings.parquet")
+        if not os.path.exists(path):
+            continue
+        con = duckdb.connect()
+        try:
+            rows = con.execute(
+                "SELECT CAST(embedding AS DOUBLE[]) "
+                f"FROM read_parquet('{path}') ORDER BY vec_id"
+            ).fetchall()
+            fp = con.execute(
+                "SELECT CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)"
+                " * 1e9 + 0.5) AS BIGINT)) AS BIGINT) "
+                f"FROM read_parquet('{path}')"
+            ).fetchone()[0]
+        finally:
+            con.close()
+        if not rows or fp is None or fp in seen_fps:
+            if fp in seen_fps:
+                return None
+            continue
+        seen_fps.add(fp)
+        X = np.array([r[0] for r in rows], dtype=np.float64)
+        wrows, _eigs = similarity.whitening_matrix_numpy(X, top=top)
+        coords = ", ".join(
+            f"FLOOR(list_sum(list_transform(range(1, {d1}), "
+            f"j -> b.v[j] * ([{', '.join(repr(float(x)) for x in wr)}])[j]))"
+            f" * 1e6 + 0.5) / 1e6 AS wc{k}_q6"
+            for k, wr in enumerate(wrows)
+        )
+        branches.append(
+            f"SELECT * FROM ("
+            f"SELECT b.vec_id, {coords} "
+            f"FROM (SELECT vec_id, "
+            f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+            f"FROM embeddings) b) wbr{abs(int(fp))} "
+            "WHERE (SELECT CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)"
+            f" * 1e9 + 0.5) AS BIGINT)) AS BIGINT) FROM embeddings) = {fp}"
+        )
+    if not branches:
+        return None
+    return "\n    UNION ALL\n    ".join(branches)
+
+
+@_register("emb_whitening_digest", _whitening_oracle())
+def emb_whitening_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening of the embedding corpus, end-to-end: the isotropy
+    post-processing retrieval stacks run before indexing ("all-but-the-
+    top", Mu & Viswanath ICLR 2018 — dominant common directions crush
+    cosine contrast; whitening also conditions PQ codebooks). ONE
+    corpus pass computes an EXACT covariance (every per-dim value and
+    upper-triangle pair product snapped to a 1e-9 integer grid, 2144
+    aggregation keys regardless of corpus size), the driver eigh is
+    64×64 metadata, and a second pass projects every vector onto the
+    top-3 whitening rows (6dp literals, the IVF centroid convention).
+    Digest emits 3 coordinates per vector — the full transform is the
+    same machinery with top=64. ★ via the frozen-rotation twin
+    (whitening_matrix_numpy, bit-identical by shared snapped-sum
+    construction + shared driver finish; eigenvectors canonicalized by
+    eigenvalue order and largest-|component|-positive sign)."""
+    emb = _td(spark, sf_dir, "embeddings")
+    wrows, _eigs = similarity.whitening_matrix(emb, top=3)
+    v = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    from ..operators.similarity import _dot_sql, _sql_arr
+
+    cols = [
+        (
+            F.floor(
+                F.expr(_dot_sql("v", _sql_arr(wr))) * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias(f"wc{k}_q6")
+        for k, wr in enumerate(wrows)
+    ]
+    return v.select("vec_id", *cols)

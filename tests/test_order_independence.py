@@ -151,6 +151,8 @@ HARDENED = [
     "doc_shap_linear",
     "events_msprt_sequential",
     "events_did_event_study",
+    "doc_yule_k",
+    "emb_whitening_digest",
 ]
 
 

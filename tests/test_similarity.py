@@ -644,3 +644,41 @@ def test_ivf_kmeansparallel_quantizer(spark, sf_dir):
     ebase = {(r.query_id, r.vec_id) for r in exact.collect()}
     p = {(r.query_id, r.vec_id) for r in pruned.collect()}
     assert len(ebase & p) / len(ebase) >= 0.5
+
+
+def test_whitening_twin_parity_and_isotropy(spark, sf_dir):
+    """(a) The distributed snapped-sum covariance pass and the numpy
+    twin must produce IDENTICAL whitening rows/eigenvalues — the
+    bit-identity the emb_whitening_digest frozen-rotation oracle rests
+    on. (b) Semantics on a crafted anisotropic corpus: projecting onto
+    the whitening rows must give ~unit variance per component and ~zero
+    cross-covariance (that is what 'whitening' means — parity alone
+    cannot catch a shared-wrong eigh canonicalization)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows_d, eig_d = similarity.whitening_matrix(emb, top=3)
+    vs = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    X = np.array([v for _, v in vs], dtype=np.float64)
+    rows_t, eig_t = similarity.whitening_matrix_numpy(X, top=3)
+    assert rows_d == rows_t and eig_d == eig_t
+
+    # crafted 6-dim corpus: axis 0 has std 10, axis 1 std 1, rest ~0.01
+    rng = np.random.RandomState(11)
+    Y = np.hstack(
+        [
+            rng.normal(0, 10, (500, 1)),
+            rng.normal(0, 1, (500, 1)),
+            rng.normal(0, 0.01, (500, 4)),
+        ]
+    )
+    wrows, eigs = similarity.whitening_matrix_numpy(Y, top=2)
+    W = np.array(wrows)
+    Z = (Y - Y.mean(axis=0)) @ W.T
+    cz = np.cov(Z.T, bias=True)
+    assert abs(cz[0, 0] - 1.0) < 0.05 and abs(cz[1, 1] - 1.0) < 0.05
+    assert abs(cz[0, 1]) < 0.05
+    assert eigs[0] > eigs[1] > 0
