@@ -116,6 +116,7 @@ _ADJUDICATION_PRIORITY = [
     "events_did_event_study",
     "doc_yule_k",
     "emb_whitening_digest",
+    "orders_price_index",
     "tpch_q21_sole_fault_supplier",
     "tpch_q9_product_profit",
     "doc_export_shards",

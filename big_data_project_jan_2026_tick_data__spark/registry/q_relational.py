@@ -2820,3 +2820,130 @@ def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("aa9").cast("double") / 1e9).alias("adamic_adar_q9"),
         )
     )
+
+
+@_register(
+    "orders_price_index",
+    r"""
+    WITH g AS (
+      SELECT CAST(date_part('year', l_shipdate) AS BIGINT) AS yr,
+             l_partkey AS part,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sp,
+             CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sq
+      FROM lineitem GROUP BY yr, part),
+    p AS (
+      SELECT yr, part, sq,
+             CAST(FLOOR(CAST(sp AS DOUBLE) / CAST(sq AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS p6
+      FROM g WHERE sq > 0),
+    b AS (SELECT MIN(yr) AS byr FROM p),
+    base AS (
+      SELECT p.part, p.p6 AS p6_b, p.sq AS sq_b
+      FROM p CROSS JOIN b WHERE p.yr = b.byr),
+    j AS (
+      SELECT p.yr, p.p6, p.sq, base.p6_b, base.sq_b
+      FROM p JOIN base USING (part)),
+    s AS (
+      SELECT yr, CAST(count(*) AS BIGINT) AS n_parts,
+             SUM(CAST(p6 AS HUGEINT) * sq_b) AS l_num,
+             SUM(CAST(p6_b AS HUGEINT) * sq_b) AS l_den,
+             SUM(CAST(p6 AS HUGEINT) * sq) AS p_num,
+             SUM(CAST(p6_b AS HUGEINT) * sq) AS p_den
+      FROM j GROUP BY yr),
+    f AS (
+      SELECT yr, n_parts,
+             CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE) AS lsp,
+             CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) AS psh
+      FROM s WHERE l_den > 0 AND p_den > 0)
+    SELECT yr, n_parts,
+           FLOOR(lsp * 1e6 + 0.5) / 1e6 AS laspeyres_q6,
+           FLOOR(psh * 1e6 + 0.5) / 1e6 AS paasche_q6,
+           FLOOR(sqrt(lsp * psh) * 1e6 + 0.5) / 1e6 AS fisher_q6
+    FROM f
+    """,
+)
+def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher-ideal price indices per ship year
+    against the first observed year — index-number theory's standard
+    triple for separating price inflation from volume/mix shift in a
+    commerce fact table (the Fisher index is the geometric mean that
+    satisfies the time-reversal test; every BI 'price vs volume'
+    decomposition is one of these in disguise). Per (year, part) unit
+    values weight the base-year (Laspeyres) or current-year (Paasche)
+    quantity baskets; only parts present in BOTH years enter (matched
+    sample, documented — n_parts reports the basket size).
+
+    Exactness: revenue/quantity sums are exact BIGINT cent/centi-unit
+    grids; the per-(year, part) unit value is ONE double division
+    snapped to a 1e-6 integer grid; all four basket aggregates are
+    decimal/HUGEINT sums of integer products (operands cast before the
+    multiply); each index is one fixed-order double ratio snapped to
+    q6. Scale: one lineitem pass to the (year, part) grain, a
+    base-year broadcast-shaped join on part, one roll-up per year.
+    No counterpart in the reference."""
+    li = _td(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy(
+            F.year("l_shipdate").cast("long").alias("yr"),
+            F.col("l_partkey").alias("part"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("sp"),
+            F.sum(
+                F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("sq"),
+        )
+        .filter(F.col("sq") > 0)
+        .select(
+            "yr",
+            "part",
+            "sq",
+            F.floor(
+                F.col("sp").cast("double") / F.col("sq").cast("double") * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("p6"),
+        )
+        .localCheckpoint()  # (year, part) grain feeds base + current sides
+    )
+    byr = g.agg(F.min("yr").alias("byr"))
+    base = (
+        g.crossJoin(F.broadcast(byr))
+        .filter(F.col("yr") == F.col("byr"))
+        .select(
+            "part", F.col("p6").alias("p6_b"), F.col("sq").alias("sq_b")
+        )
+    )
+    j = g.join(base, "part")
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    s = j.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(d19(F.col("p6")) * d19(F.col("sq_b"))).alias("l_num"),
+        F.sum(d19(F.col("p6_b")) * d19(F.col("sq_b"))).alias("l_den"),
+        F.sum(d19(F.col("p6")) * d19(F.col("sq"))).alias("p_num"),
+        F.sum(d19(F.col("p6_b")) * d19(F.col("sq"))).alias("p_den"),
+    )
+    lsp = F.col("l_num").cast("double") / F.col("l_den").cast("double")
+    psh = F.col("p_num").cast("double") / F.col("p_den").cast("double")
+
+    def q6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return s.filter((F.col("l_den") > 0) & (F.col("p_den") > 0)).select(
+        "yr",
+        "n_parts",
+        q6(lsp).alias("laspeyres_q6"),
+        q6(psh).alias("paasche_q6"),
+        q6(F.sqrt(lsp * psh)).alias("fisher_q6"),
+    )

@@ -954,3 +954,33 @@ def test_event_study_flat_pretrends_and_planted_post_effect(spark, tmp_path):
     assert pre and post
     assert all(r["att_q6"] == 0.0 for r in pre), pre
     assert all(r["att_q6"] == 200.0 for r in post), post
+
+
+def test_price_index_doubling_prices_fixed_basket(spark, tmp_path):
+    """Two ship years, identical part basket and quantities, every unit
+    price exactly doubled in year 2: Laspeyres = Paasche = Fisher = 2.0
+    exactly; the base-year row indexes at exactly 1.0."""
+    rows = []
+    for yr, mult in ((1995, 1.0), (1996, 2.0)):
+        for pk in range(20):
+            price_per_unit = (10.0 + pk) * mult
+            qty = 4.0
+            rows.append(
+                (pk, pk, 1, 1, qty, price_per_unit * qty, 0.0, 0.0,
+                 "N", "O", f"{yr}-06-15 00:00:00")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    d = str(tmp_path / "sfsynth")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = {r["yr"]: r for r in QUERIES["orders_price_index"](spark, d).collect()}
+    assert out[1995]["laspeyres_q6"] == 1.0 == out[1995]["fisher_q6"]
+    assert out[1996]["laspeyres_q6"] == 2.0
+    assert out[1996]["paasche_q6"] == 2.0
+    assert out[1996]["fisher_q6"] == 2.0
+    assert out[1996]["n_parts"] == 20

@@ -153,6 +153,7 @@ HARDENED = [
     "events_did_event_study",
     "doc_yule_k",
     "emb_whitening_digest",
+    "orders_price_index",
 ]
 
 
