@@ -3870,3 +3870,99 @@ def doc_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types",
         (F.floor(k * 1e6 + F.lit(0.5)) / 1e6).alias("yule_k_q6"),
     )
+
+
+@_register(
+    "doc_rater_agreement",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 55
+                  THEN 1 ELSE 0 END AS rb
+      FROM documents),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(ra * rb) AS BIGINT) AS n11,
+             CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+             CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01,
+             CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+      FROM m),
+    k AS (
+      SELECT *,
+             CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+             (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+              + CAST((n01 + n00) * (n10 + n00) AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+      FROM t WHERE n > 0)
+    SELECT n, n11, n10, n01, n00,
+           FLOOR(po * 1e6 + 0.5) / 1e6 AS po_q6,
+           FLOOR(pe * 1e6 + 0.5) / 1e6 AS pe_q6,
+           FLOOR((po - pe) / (1.0 - pe) * 1e6 + 0.5) / 1e6 AS kappa_q6
+    FROM k WHERE pe < 1.0
+    """,
+)
+def doc_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document raters — the
+    inter-annotator-agreement statistic every labeling/curation loop
+    reports before trusting a rubric (raw percent agreement flatters
+    raters who both say 'keep' to everything; kappa discounts the
+    agreement chance predicts from the marginals). Rater A: long-form
+    (≥300 chars). Rater B: wordy (≥55 word tokens) — both near the
+    corpus median so the 2x2 table is informative, not degenerate. κ = (p_o −
+    p_e)/(1 − p_e) over the 2×2 confusion table; the same machinery
+    scores a trained quality classifier against a heuristic rubric.
+
+    Exactness: the four confusion cells are exact BIGINT counts from
+    one pass (the word regex is the with_quality_score token class,
+    lowercased so both engines tokenize identical text); p_o and p_e
+    are fixed-order double formulas over exact integer cross-products
+    (the marginal products stay in BIGINT before the ONE cast);
+    outputs snap q6. Degenerate corpora where chance agreement is
+    total (p_e = 1: every doc in one cell) emit no row rather than
+    0/0. Scale: one corpus pass, one-row output — per-row codegen
+    expressions, zero shuffles beyond the scalar agg.
+    No counterpart in the reference."""
+    docs = _td(spark, sf_dir, "documents")
+    txt = F.lower(F.col("text"))
+    ra = F.when(F.length("text") >= 300, F.lit(1)).otherwise(F.lit(0))
+    rb = F.when(
+        F.size(F.regexp_extract_all(txt, F.lit(r"[a-z0-9]+"), F.lit(0))) >= 55,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    m = docs.select(ra.alias("ra"), rb.alias("rb"))
+    t = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("n11"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("long").alias("n01"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb"))).cast("long").alias("n00"),
+    ).filter(F.col("n") > 0)
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n").cast("double")
+    pe = (
+        ((F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))).cast(
+            "double"
+        )
+        + ((F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))).cast(
+            "double"
+        )
+    ) / (F.col("n").cast("double") * F.col("n").cast("double"))
+    k = t.select(
+        "n", "n11", "n10", "n01", "n00", po.alias("po"), pe.alias("pe")
+    ).filter(F.col("pe") < 1.0)
+    return k.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        (F.floor(F.col("po") * 1e6 + F.lit(0.5)) / 1e6).alias("po_q6"),
+        (F.floor(F.col("pe") * 1e6 + F.lit(0.5)) / 1e6).alias("pe_q6"),
+        (
+            F.floor(
+                (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe")) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("kappa_q6"),
+    )

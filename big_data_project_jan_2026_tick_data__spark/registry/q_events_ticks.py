@@ -7673,3 +7673,589 @@ def events_did_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rel") < 0).alias("is_pre"),
         )
     )
+
+
+def _bh_fdr_oracle() -> str:
+    # z-stage: LOCKSTEP DUPLICATE of _holm_oracle's u/pop/x/z/zq CTEs
+    # (first-touch two-proportion z per event type on the md5 arms) —
+    # change only together with it and with the Spark twins below.
+    # After zq the procedures diverge: Holm is step-DOWN on frozen
+    # critical values; BH is step-UP on p-values, so this oracle also
+    # re-derives the two-sided normal p via the shared A&S 7.1.26 erfc
+    # chain (frozen constants, detmath exp — bit-identical engines).
+    exp_neg = detmath.det_exp_sql("negx2", "duckdb")
+    return rf"""
+    WITH u AS (
+      SELECT user_id,
+             arg_min(event_type,
+                     lpad(CAST(epoch_ms(ts) AS VARCHAR), 14, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+               AS event_type,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events GROUP BY user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END),
+    pop AS (
+      SELECT CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS n_b
+      FROM u),
+    x AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS x_a,
+             CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS x_b
+      FROM u GROUP BY event_type),
+    z AS (
+      SELECT x.event_type, x.x_a, x.x_b,
+             (CAST(x.x_a AS DOUBLE) / CAST(pop.n_a AS DOUBLE)
+              - CAST(x.x_b AS DOUBLE) / CAST(pop.n_b AS DOUBLE))
+             / sqrt((CAST(x.x_a + x.x_b AS DOUBLE)
+                     / CAST(pop.n_a + pop.n_b AS DOUBLE))
+                    * (1.0 - CAST(x.x_a + x.x_b AS DOUBLE)
+                             / CAST(pop.n_a + pop.n_b AS DOUBLE))
+                    * (1.0 / CAST(pop.n_a AS DOUBLE)
+                       + 1.0 / CAST(pop.n_b AS DOUBLE))) AS zval
+      FROM x, pop
+      WHERE x.x_a + x.x_b > 0 AND x.x_a + x.x_b < pop.n_a + pop.n_b),
+    zq AS (
+      SELECT event_type, x_a, x_b,
+             FLOOR(zval * 1e6 + 0.5) / 1e6 AS z_q6
+      FROM z),
+    st AS (
+      SELECT *,
+             abs(z_q6) * 0.7071067811865476e0 AS xx,
+             1.0 / (1.0 + 0.3275911e0 * (abs(z_q6) * 0.7071067811865476e0))
+               AS t,
+             -(abs(z_q6) * 0.7071067811865476e0)
+               * (abs(z_q6) * 0.7071067811865476e0) AS negx2
+      FROM zq),
+    p AS (
+      SELECT event_type, x_a, x_b, z_q6,
+             FLOOR(((((1.061405429e0 * t - 1.453152027e0) * t
+                      + 1.421413741e0) * t - 0.284496736e0) * t
+                    + 0.254829592e0) * t * ({exp_neg}) * 1e9 + 0.5) / 1e9
+               AS p_q9
+      FROM st),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY p_q9 ASC, event_type)
+                     AS BIGINT) AS rank,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM p),
+    tested AS (
+      SELECT *,
+             CASE WHEN p_q9 <= 0.05e0 * CAST(rank AS DOUBLE)
+                                      / CAST(m AS DOUBLE)
+                  THEN rank END AS pass_rank
+      FROM ranked),
+    kstar AS (SELECT max(pass_rank) AS k_star FROM tested)
+    SELECT t.event_type, t.x_a, t.x_b, t.z_q6, t.p_q9, t.rank,
+           FLOOR(LEAST(min(CAST(t.m AS DOUBLE) * t.p_q9
+                           / CAST(t.rank AS DOUBLE))
+                         OVER (ORDER BY t.rank DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW), 1.0) * 1e6 + 0.5) / 1e6
+             AS p_adj_q6,
+           COALESCE(t.rank <= k.k_star, FALSE) AS significant_bh
+    FROM tested t CROSS JOIN kstar k
+    """
+
+
+@_register("events_bh_fdr", _bh_fdr_oracle())
+def events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-UP FDR control over the same A/B metric
+    family events_holm_multiple_tests step-downs — the modern default
+    for wide metric families (Holm controls FWER and starves power as
+    m grows; BH controls the false-discovery RATE, the quantity a
+    metrics platform actually budgets). Per event type: first-touch
+    two-proportion z on the md5 arms (LOCKSTEP with the Holm z stage —
+    change only together), two-sided p via the Abramowitz-Stegun
+    7.1.26 erfc chain (frozen rational constants, detmath exp — no
+    libm), then the 1995 step-up rule: rank p ascending, k* = the
+    LARGEST rank with p ≤ α·rank/m, everything at rank ≤ k* is
+    significant (unlike Holm, rejections can resume after a failure).
+    Also emits the standard monotone adjusted p (running min of
+    m·p/rank from the bottom, clamped at 1).
+
+    Determinism: counts are exact BIGINTs; z is one fixed-order double
+    snapped q6; p is one fixed-order double chain over z_q6 (the exp
+    via detmath's bit-identical exp2 reduction) snapped q9 BEFORE
+    ranking; ranks tiebreak on event_type; the k* decision compares
+    grid doubles against 0.05·rank/m evaluated in the same order both
+    sides. Scale: two user-grain hash aggs, then #metrics-row frames
+    (the Holm discipline); the reverse running min is over m rows.
+    No counterpart in the reference."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.expr("unix_micros(ts) div 1000").cast("string"), 14, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    u = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.when(_md5_even(), F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+            key.alias("__k"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(F.min_by("event_type", "__k").alias("event_type"))
+        .localCheckpoint()  # feeds both the population and per-type counts
+    )
+    pop = u.agg(
+        F.count(F.when(F.col("arm") == "A", F.lit(1))).cast("long").alias("n_a"),
+        F.count(F.when(F.col("arm") == "B", F.lit(1))).cast("long").alias("n_b"),
+    )
+    x = u.groupBy("event_type").agg(
+        F.count(F.when(F.col("arm") == "A", F.lit(1))).cast("long").alias("x_a"),
+        F.count(F.when(F.col("arm") == "B", F.lit(1))).cast("long").alias("x_b"),
+    )
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    zval = (
+        F.col("x_a").cast("double") / na_d - F.col("x_b").cast("double") / nb_d
+    ) / F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na_d + F.lit(1.0) / nb_d))
+    zq = (
+        x.crossJoin(F.broadcast(pop))
+        .filter(
+            (F.col("x_a") + F.col("x_b") > 0)
+            & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b"))
+        )
+        .select(
+            "event_type",
+            "x_a",
+            "x_b",
+            (F.floor(zval * 1e6 + F.lit(0.5)) / 1e6).alias("z_q6"),
+        )
+    )
+    # A&S 7.1.26 erfc staged exactly as in the oracle: x = |z|/sqrt(2)
+    # as one product with the frozen reciprocal literal, t the rational
+    # node, exp(-x^2) via detmath on a staged column
+    xx = F.abs(F.col("z_q6")) * F.lit(0.7071067811865476)
+    st = zq.withColumn("__t", F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * xx)).withColumn(
+        "__negx2", -(xx * xx)
+    )
+    t = F.col("__t")
+    poly = (
+        (
+            (
+                (F.lit(1.061405429) * t - F.lit(1.453152027)) * t
+                + F.lit(1.421413741)
+            )
+            * t
+            - F.lit(0.284496736)
+        )
+        * t
+        + F.lit(0.254829592)
+    ) * t
+    p = st.select(
+        "event_type",
+        "x_a",
+        "x_b",
+        "z_q6",
+        (
+            F.floor(poly * detmath.det_exp("__negx2") * 1e9 + F.lit(0.5)) / 1e9
+        ).alias("p_q9"),
+    )
+    wr = Window.orderBy(F.col("p_q9").asc(), F.col("event_type"))
+    ranked = p.select(
+        "*",
+        F.row_number().over(wr).cast("long").alias("rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    tested = ranked.withColumn(
+        "pass_rank",
+        F.when(
+            F.col("p_q9")
+            <= F.lit(0.05) * F.col("rank").cast("double") / F.col("m").cast("double"),
+            F.col("rank"),
+        ),
+    ).localCheckpoint()  # feeds both the k* scalar and the output rows
+    kstar = tested.agg(F.max("pass_rank").alias("k_star"))
+    wrev = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    adj = F.least(
+        F.min(
+            F.col("m").cast("double") * F.col("p_q9") / F.col("rank").cast("double")
+        ).over(wrev),
+        F.lit(1.0),
+    )
+    return tested.crossJoin(F.broadcast(kstar)).select(
+        "event_type",
+        "x_a",
+        "x_b",
+        "z_q6",
+        "p_q9",
+        "rank",
+        (F.floor(adj * 1e6 + F.lit(0.5)) / 1e6).alias("p_adj_q6"),
+        F.coalesce(F.col("rank") <= F.col("k_star"), F.lit(False)).alias(
+            "significant_bh"
+        ),
+    )
+
+
+@_register(
+    "events_kruskal_wallis",
+    r"""
+    WITH obs AS (
+      SELECT event_type AS grp,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value > 0),
+    gv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM obs GROUP BY v),
+    c AS (SELECT *, SUM(t) OVER (ORDER BY v) AS cum_t FROM gv),
+    gg AS (SELECT v, grp, CAST(count(*) AS BIGINT) AS tg
+           FROM obs GROUP BY v, grp),
+    r2 AS (
+      SELECT gg.grp,
+             CAST(SUM(tg) AS BIGINT) AS n_g,
+             SUM(CAST(tg AS HUGEINT)
+                 * (2 * (c.cum_t - c.t) + c.t + 1)) AS two_r_g
+      FROM gg JOIN c USING (v) GROUP BY gg.grp),
+    tot AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+                 - t) AS ties
+      FROM gv),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(FLOOR(
+               ((CAST(two_r_g AS DOUBLE) / 2.0)
+                * (CAST(two_r_g AS DOUBLE) / 2.0)
+                / CAST(n_g AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT))
+               AS HUGEINT) AS s6
+      FROM r2),
+    h AS (
+      SELECT tot.n, s.k, (s.k - 1) AS df,
+             12.0 / (CAST(tot.n AS DOUBLE) * (CAST(tot.n AS DOUBLE) + 1.0))
+               * (CAST(s6 AS DOUBLE) / 1e6)
+               - 3.0 * (CAST(tot.n AS DOUBLE) + 1.0) AS h_raw,
+             1.0 - CAST(tot.ties AS DOUBLE)
+                   / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                      * CAST(tot.n AS DOUBLE) - CAST(tot.n AS DOUBLE)) AS corr
+      FROM tot CROSS JOIN s
+      WHERE tot.n >= 2 AND s.k >= 2),
+    f AS (
+      SELECT n, k, df,
+             FLOOR(h_raw * 1e6 + 0.5) / 1e6 AS h_q6,
+             FLOOR(h_raw / corr * 1e6 + 0.5) / 1e6 AS h_adj_q6
+      FROM h WHERE corr > 0.0)
+    SELECT n, k, df, h_q6, h_adj_q6,
+           h_adj_q6 > (CASE WHEN df = 1 THEN 3.841459
+                            WHEN df = 2 THEN 5.991465
+                            WHEN df = 3 THEN 7.814728
+                            WHEN df = 4 THEN 9.487729
+                            WHEN df = 5 THEN 11.070498
+                            WHEN df = 6 THEN 12.591587
+                            WHEN df = 7 THEN 14.067140
+                            ELSE 15.507313 END) AS significant
+    FROM f
+    """,
+)
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H — the k-sample generalization of
+    events_mann_whitney: does event VALUE follow the same distribution
+    across all event types, by ranks (heavy-tail-proof, the question a
+    platform asks before trusting any per-type mean)? Midranks over the
+    shared value histogram with the standard tie correction
+    C = 1 − Σ(t³−t)/(N³−N); H = 12/(N(N+1))·ΣR_g²/n_g − 3(N+1), H/C
+    against the χ²(k−1) frozen critical literals (the g_test table,
+    df clamped at 8 — documented, anti-conservative only for absurdly
+    wide type families).
+
+    Exactness: cents values are exact BIGINTs; doubled rank sums per
+    group accumulate decimal-cast integer products over the value
+    histogram (2R_g += t_g·(2·cum_below + t + 1) — the Mann-Whitney
+    recipe per group); ΣR_g²/n_g snaps each group's double term to the
+    1e-6 grid and sums exactly (the calinski_harabasz convention —
+    identical doubles floor identically, so the k-row sum is
+    order-free); the H tail is one fixed-order double chain snapped
+    q6. Scale: one event pass to the value histogram, one to the
+    (value, type) histogram, a global_cumsum sweep over DISTINCT cents
+    values (range-partitioned prefix sums, never a single-partition
+    window), then k-row frames. No counterpart in the reference."""
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    obs = ev.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    gv = obs.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    c = stats.global_cumsum(gv, ["v"], "t").localCheckpoint()
+    gg = obs.groupBy("v", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("tg")
+    )
+    r2 = (
+        gg.join(c, "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("tg").cast("long").alias("n_g"),
+            F.sum(
+                F.col("tg").cast("decimal(19,0)")
+                * (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1).cast(
+                    "decimal(19,0)"
+                )
+            ).alias("two_r_g"),
+        )
+    )
+    td = F.col("t").cast("decimal(19,0)")
+    tot = c.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(td * td * td - td).alias("ties"),
+    )
+    rg_d = F.col("two_r_g").cast("double") / F.lit(2.0)
+    term6 = F.floor(rg_d * rg_d / F.col("n_g").cast("double") * 1e6 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    s = r2.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(term6).cast("decimal(38,0)").alias("s6"),
+    )
+    nd = F.col("n").cast("double")
+    h_raw = F.lit(12.0) / (nd * (nd + F.lit(1.0))) * (
+        F.col("s6").cast("double") / F.lit(1e6)
+    ) - F.lit(3.0) * (nd + F.lit(1.0))
+    corr = F.lit(1.0) - F.col("ties").cast("double") / (nd * nd * nd - nd)
+    h = (
+        tot.crossJoin(F.broadcast(s))
+        .filter((F.col("n") >= 2) & (F.col("k") >= 2))
+        .select(
+            "n",
+            "k",
+            (F.col("k") - 1).alias("df"),
+            h_raw.alias("h_raw"),
+            corr.alias("corr"),
+        )
+        .filter(F.col("corr") > 0.0)
+    )
+    crit = (
+        F.when(F.col("df") == 1, F.lit(3.841459))
+        .when(F.col("df") == 2, F.lit(5.991465))
+        .when(F.col("df") == 3, F.lit(7.814728))
+        .when(F.col("df") == 4, F.lit(9.487729))
+        .when(F.col("df") == 5, F.lit(11.070498))
+        .when(F.col("df") == 6, F.lit(12.591587))
+        .when(F.col("df") == 7, F.lit(14.067140))
+        .otherwise(F.lit(15.507313))
+    )
+    hq6 = F.floor(F.col("h_raw") * 1e6 + F.lit(0.5)) / 1e6
+    haq6 = F.floor(F.col("h_raw") / F.col("corr") * 1e6 + F.lit(0.5)) / 1e6
+    return h.select(
+        "n",
+        "k",
+        "df",
+        hq6.alias("h_q6"),
+        haq6.alias("h_adj_q6"),
+        (haq6 > crit).alias("significant"),
+    )
+
+
+@_register(
+    "events_page_hinkley",
+    r"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE value > 0 GROUP BY 1),
+    c AS (
+      SELECT *, SUM(n) OVER (ORDER BY day) AS cum_n,
+             SUM(cents) OVER (ORDER BY day) AS cum_cents
+      FROM d),
+    t AS (
+      SELECT day, n,
+             CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS x,
+             CAST(cum_cents AS DOUBLE) / CAST(cum_n AS DOUBLE) / 100.0 AS xb
+      FROM c),
+    t9 AS (
+      SELECT day, n, x,
+             CAST(FLOOR((x - xb - 0.005e0) * 1e9 + 0.5) AS BIGINT) AS term9
+      FROM t),
+    m0 AS (
+      SELECT day, n, x,
+             SUM(term9) OVER (ORDER BY day) AS m9
+      FROM t9),
+    m AS (
+      SELECT day, n, x, m9,
+             MIN(m9) OVER (ORDER BY day) AS minm9
+      FROM m0)
+    SELECT day, n,
+           FLOOR(x * 1e6 + 0.5) / 1e6 AS mean_q6,
+           FLOOR(CAST(m9 - minm9 AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS ph_q6,
+           FLOOR(CAST(m9 - minm9 AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 > 0.5e0
+             AS alarm
+    FROM m
+    """,
+)
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector over the daily mean event value —
+    the classical sequential change-point monitor (Page 1954, the
+    standard drift test in streaming-ML toolkits): accumulate
+    M_T = Σ_t (x_t − x̄_t − δ) where x̄_t is the running mean so far,
+    track its running minimum, and alarm when M_T − min M exceeds λ —
+    an upward mean shift makes the terms persistently positive and the
+    gap grows. δ = 0.005 (drift tolerance, value units), λ = 0.5
+    (alarm threshold); the batch replay of what streaming_cusum_alarms
+    monitors live, sensitive to slow drifts CUSUM's reset forgives.
+
+    Exactness: per-day counts and cent sums are exact BIGINTs; the
+    running means are fixed-order double divisions of exact cumulative
+    integers; each PH term snaps to the 1e-9 grid and the M/min-M
+    machinery is EXACT BIGINT window arithmetic (association-free), so
+    the alarm comparison sees identical grid doubles in both engines.
+    Scale: one event pass to the day grain, then #days-sized window
+    frames (the msprt convention — metadata, never corpus-ordered).
+    No counterpart in the reference."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "day",
+        "n",
+        "cents",
+        F.sum("n").over(wd).alias("cum_n"),
+        F.sum("cents").over(wd).alias("cum_cents"),
+    )
+    x = F.col("cents").cast("double") / F.col("n").cast("double") / F.lit(100.0)
+    xb = (
+        F.col("cum_cents").cast("double")
+        / F.col("cum_n").cast("double")
+        / F.lit(100.0)
+    )
+    t9 = c.select(
+        "day",
+        "n",
+        x.alias("x"),
+        F.floor((x - xb - F.lit(0.005)) * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("term9"),
+    )
+    m = t9.select(
+        "day",
+        "n",
+        "x",
+        F.sum("term9").over(wd).alias("m9"),
+    ).withColumn("minm9", F.min("m9").over(wd))
+    ph = F.floor(
+        (F.col("m9") - F.col("minm9")).cast("double") / F.lit(1e9) * 1e6
+        + F.lit(0.5)
+    ) / 1e6
+    return m.select(
+        "day",
+        "n",
+        (F.floor(F.col("x") * 1e6 + F.lit(0.5)) / 1e6).alias("mean_q6"),
+        ph.alias("ph_q6"),
+        (ph > F.lit(0.5)).alias("alarm"),
+    )
+
+
+@_register(
+    "ticks_theil_sen",
+    r"""
+    WITH t AS (
+      SELECT concat('S', CAST(user_id % 4 AS VARCHAR)) AS symbol,
+             CAST(ts AS DATE) AS day,
+             lpad(CAST(epoch_ms(ts) AS VARCHAR), 14, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value > 0),
+    d AS (
+      SELECT symbol, day,
+             day - DATE '1970-01-01' AS dd,
+             arg_max(cents, k) AS close
+      FROM t GROUP BY symbol, day),
+    nd AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_days
+           FROM d GROUP BY symbol),
+    p AS (
+      SELECT a.symbol,
+             FLOOR(CAST(b.close - a.close AS DOUBLE)
+                   / CAST(b.dd - a.dd AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS slope_q6
+      FROM d a JOIN d b ON a.symbol = b.symbol AND a.day < b.day),
+    r AS (
+      SELECT symbol, slope_q6,
+             CAST(row_number() OVER (PARTITION BY symbol ORDER BY slope_q6)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY symbol) AS BIGINT) AS n_pairs
+      FROM p)
+    SELECT r.symbol, nd.n_days, r.n_pairs, r.slope_q6 AS slope_med_q6
+    FROM r JOIN nd ON nd.symbol = r.symbol
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    """,
+)
+def ticks_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator per symbol — the median of all pairwise
+    daily-close slopes (cents/day), the robust trend line quant and
+    monitoring code reaches for when OLS is one outlier away from
+    nonsense (50% breakdown point vs OLS's zero). Median convention:
+    the LOWER median (order statistic at rank (n+1) div 2 of the
+    slope multiset) — averaging the middle two would reintroduce a
+    cross-engine double mean; an order statistic is exact.
+
+    Exactness: daily closes are last-tick-by-padded-key cents
+    (arg_max/max_by on the exact epoch-ms||event_id key — the
+    first-touch convention reversed); each pairwise slope is ONE
+    double division of exact integers snapped to q6 BEFORE ranking, so
+    the rank order compares grid values; the rank→value map is
+    deterministic under ties because tied ranks carry the same grid
+    value. Scale: one tick pass to the (symbol, day) grain, then the
+    pair self-join and rank window run on #days-sized frames per
+    symbol (metadata — days², not ticks²; at 100 TB the day grain is
+    still thousands of rows). No counterpart in the reference."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    key = F.concat(
+        F.lpad(F.expr("unix_micros(ts) div 1000").cast("string"), 14, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        F.to_date("ts").alias("day"),
+        key.alias("k"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    d = (
+        t.groupBy("symbol", "day")
+        .agg(F.max_by("cents", "k").alias("close"))
+        .withColumn("dd", F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .localCheckpoint()  # feeds the pair join twice + the day count
+    )
+    nd = d.groupBy("symbol").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    a, b = d.alias("a"), d.alias("b")
+    slope = F.floor(
+        (F.col("b.close") - F.col("a.close")).cast("double")
+        / (F.col("b.dd") - F.col("a.dd")).cast("double")
+        * 1e6
+        + F.lit(0.5)
+    ) / 1e6
+    p = a.join(
+        b,
+        (F.col("a.symbol") == F.col("b.symbol")) & (F.col("a.day") < F.col("b.day")),
+    ).select(F.col("a.symbol").alias("symbol"), slope.alias("slope_q6"))
+    w = Window.partitionBy("symbol").orderBy("slope_q6")
+    r = p.select(
+        "symbol",
+        "slope_q6",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("symbol")).cast("long").alias(
+            "n_pairs"
+        ),
+    ).filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+    return r.join(F.broadcast(nd), "symbol").select(
+        "symbol", "n_days", "n_pairs", F.col("slope_q6").alias("slope_med_q6")
+    )

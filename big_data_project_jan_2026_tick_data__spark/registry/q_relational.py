@@ -2947,3 +2947,168 @@ def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(psh).alias("paasche_q6"),
         q6(F.sqrt(lsp * psh)).alias("fisher_q6"),
     )
+
+
+def _theil_oracle() -> str:
+    ln_rt = detmath.det_ln_pos_sql("rt", "duckdb")
+    ln_rw = detmath.det_ln_pos_sql("rw", "duckdb")
+    ln_rb = detmath.det_ln_pos_sql("rb", "duckdb")
+    return rf"""
+    WITH cu AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    cg AS (
+      SELECT cu.x, n.n_name AS grp
+      FROM cu JOIN customer c ON c.c_custkey = cu.ck
+              JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(SUM(x) AS BIGINT) AS x_g
+          FROM cg GROUP BY grp),
+    tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(SUM(x_g) AS BIGINT) AS x_tot FROM g),
+    pc AS (
+      SELECT cg.x, tot.x_tot,
+             CAST(cg.x AS DOUBLE) * CAST(tot.n AS DOUBLE)
+               / CAST(tot.x_tot AS DOUBLE) AS rt,
+             CAST(cg.x AS DOUBLE) * CAST(g.n_g AS DOUBLE)
+               / CAST(g.x_g AS DOUBLE) AS rw
+      FROM cg JOIN g USING (grp) CROSS JOIN tot),
+    pt AS (
+      SELECT CAST(FLOOR((CAST(x AS DOUBLE) / CAST(x_tot AS DOUBLE))
+                        * ({ln_rt}) * 1e12 + 0.5) AS HUGEINT) AS t12,
+             CAST(FLOOR((CAST(x AS DOUBLE) / CAST(x_tot AS DOUBLE))
+                        * ({ln_rw}) * 1e12 + 0.5) AS HUGEINT) AS w12
+      FROM pc),
+    sums AS (SELECT SUM(t12) AS st12, SUM(w12) AS sw12 FROM pt),
+    gb AS (
+      SELECT g.x_g, tot.x_tot,
+             (CAST(g.x_g AS DOUBLE) * CAST(tot.n AS DOUBLE))
+               / (CAST(tot.x_tot AS DOUBLE) * CAST(g.n_g AS DOUBLE)) AS rb
+      FROM g CROSS JOIN tot),
+    bt AS (
+      SELECT CAST(FLOOR((CAST(x_g AS DOUBLE) / CAST(x_tot AS DOUBLE))
+                        * ({ln_rb}) * 1e12 + 0.5) AS HUGEINT) AS b12,
+             1 AS one
+      FROM gb),
+    bsum AS (SELECT SUM(b12) AS sb12, CAST(SUM(one) AS BIGINT) AS k FROM bt)
+    SELECT tot.n AS n_customers, bsum.k AS n_groups,
+           FLOOR(CAST(sums.st12 AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6
+             AS theil_total_q6,
+           FLOOR(CAST(bsum.sb12 AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6
+             AS theil_between_q6,
+           FLOOR(CAST(sums.sw12 AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6
+             AS theil_within_q6
+    FROM tot CROSS JOIN sums CROSS JOIN bsum
+    """
+
+
+@_register("orders_theil_index", _theil_oracle())
+def orders_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend with the classical
+    between/within-nation decomposition — the concentration lens
+    orders_concentration_hhi (market shares) and orders_abc_pareto
+    (cumulative curve) don't give: T = (1/n)Σ(x/μ)ln(x/μ) is the only
+    standard inequality measure that decomposes ADDITIVELY into
+    between-group and within-group components (T ≈ T_B + T_W), so a
+    revenue team can say how much spend inequality lives across
+    nations vs inside them.
+
+    Exactness: customer spend is exact cents (BIGINT); each log ratio
+    is detmath's bit-identical ln over ONE fixed-order double ratio of
+    exact integers (x·n/X — products before the division, replicated
+    verbatim in SQL); per-customer terms snap to the 1e-12 grid and
+    sum as decimal(38,0) (order-free); the three emitted indices are
+    independent fixed-order tails snapped q6 (the decomposition
+    identity holds to grid precision, deliberately NOT forced).
+    Scale: one orders hash agg to the customer grain, one equi-join to
+    customer (shuffle on custkey), broadcast nation, then a 25-row
+    group frame and two one-row roll-ups; the per-customer ln chain is
+    whole-stage codegen, zero extra shuffles.
+    No counterpart in the reference."""
+    o = _td(spark, sf_dir, "orders")
+    c = _td(spark, sf_dir, "customer")
+    nat = _td(spark, sf_dir, "nation")
+    cu = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    cg = (
+        cu.join(c, cu.ck == c.c_custkey)
+        .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .select("x", F.col("n_name").alias("grp"))
+        .localCheckpoint()  # feeds the group frame AND the per-customer pass
+    )
+    g = (
+        cg.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("x").cast("long").alias("x_g"),
+        )
+        .localCheckpoint()  # 25-row frame feeding tot, pc and gb — pin it
+        # so the customer-grain agg runs once, not per branch
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("x_g").cast("long").alias("x_tot"),
+    )
+    xd = F.col("x").cast("double")
+    pc = (
+        cg.join(F.broadcast(g), "grp")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "x_tot",
+            (xd * F.col("n").cast("double") / F.col("x_tot").cast("double")).alias(
+                "rt"
+            ),
+            (xd * F.col("n_g").cast("double") / F.col("x_g").cast("double")).alias(
+                "rw"
+            ),
+        )
+        .withColumn("__lt", detmath.det_ln_pos("rt"))
+        .withColumn("__lw", detmath.det_ln_pos("rw"))
+    )
+    share = F.col("x").cast("double") / F.col("x_tot").cast("double")
+    pt = pc.select(
+        F.floor(share * F.col("__lt") * 1e12 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("t12"),
+        F.floor(share * F.col("__lw") * 1e12 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("w12"),
+    )
+    sums = pt.agg(F.sum("t12").alias("st12"), F.sum("w12").alias("sw12"))
+    gb = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "x_g",
+            "x_tot",
+            (
+                (F.col("x_g").cast("double") * F.col("n").cast("double"))
+                / (F.col("x_tot").cast("double") * F.col("n_g").cast("double"))
+            ).alias("rb"),
+        )
+        .withColumn("__lb", detmath.det_ln_pos("rb"))
+    )
+    gshare = F.col("x_g").cast("double") / F.col("x_tot").cast("double")
+    bsum = gb.select(
+        F.floor(gshare * F.col("__lb") * 1e12 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("b12"),
+        F.lit(1).alias("one"),
+    ).agg(F.sum("b12").alias("sb12"), F.sum("one").cast("long").alias("k"))
+    q6 = lambda col: F.floor(col.cast("double") / F.lit(1e12) * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        tot.crossJoin(F.broadcast(sums))
+        .crossJoin(F.broadcast(bsum))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.col("k").alias("n_groups"),
+            q6(F.col("st12")).alias("theil_total_q6"),
+            q6(F.col("sb12")).alias("theil_between_q6"),
+            q6(F.col("sw12")).alias("theil_within_q6"),
+        )
+    )

@@ -154,6 +154,17 @@ HARDENED = [
     "doc_yule_k",
     "emb_whitening_digest",
     "orders_price_index",
+    # r11 additions: BH rides the Holm z/p grid machinery; KW and the
+    # PH monitor are exact BIGINT histogram/window arithmetic with
+    # fixed-order double tails; Theil-Sen is an order statistic on
+    # q6-snapped slopes; the Theil index and kappa are decimal-grid /
+    # integer-cross-product sums
+    "events_bh_fdr",
+    "events_kruskal_wallis",
+    "events_page_hinkley",
+    "ticks_theil_sen",
+    "orders_theil_index",
+    "doc_rater_agreement",
 ]
 
 
