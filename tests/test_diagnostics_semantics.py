@@ -984,3 +984,200 @@ def test_price_index_doubling_prices_fixed_basket(spark, tmp_path):
     assert out[1996]["paasche_q6"] == 2.0
     assert out[1996]["fisher_q6"] == 2.0
     assert out[1996]["n_parts"] == 20
+
+
+# ---------------------------------------------------------------------------
+# Round-11 statistical family: planted-structure semantics
+# ---------------------------------------------------------------------------
+
+
+def test_bh_fdr_flags_planted_signals_not_nulls(spark, tmp_path):
+    """Users 0-199: arm A first-touches 'purchase', arm B 'view' — two
+    metrics with maximal arm dependence. Users 200-399: first-touch
+    'click'/'error' split by u%2, independent of arm — two null
+    metrics. BH must reject exactly the planted pair; the adjusted p
+    must be monotone nondecreasing in rank; and the significant set
+    must be a prefix of the rank order (step-up rejects everything at
+    or below k*)."""
+    rows, eid = [], 0
+    for u in range(200):
+        et = "purchase" if _md5_arm(u) == "A" else "view"
+        rows.append((eid, _ts(u), u, et, 1.0, "{}")); eid += 1
+    for u in range(200, 400):
+        et = "click" if u % 2 else "error"
+        rows.append((eid, _ts(u), u, et, 1.0, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in QUERIES["events_bh_fdr"](spark, sf).collect()}
+    assert bool(out["purchase"]["significant_bh"]) is True
+    assert bool(out["view"]["significant_bh"]) is True
+    assert bool(out["click"]["significant_bh"]) is False
+    assert bool(out["error"]["significant_bh"]) is False
+    by_rank = sorted(out.values(), key=lambda r: r["rank"])
+    adj = [r["p_adj_q6"] for r in by_rank]
+    assert adj == sorted(adj)  # monotone step-up adjustment
+    sig = [bool(r["significant_bh"]) for r in by_rank]
+    assert sig == sorted(sig, reverse=True)  # rejections form a rank prefix
+
+
+def test_kruskal_wallis_planted_shift_and_degenerate(spark, tmp_path):
+    """One event type's values sit far above the other two (every rank
+    in the top block) -> H blows past the chi-square critical. An
+    all-tied corpus (one distinct value everywhere) has zero rank
+    variance - the tie correction hits 0 and the query must emit
+    NOTHING rather than divide by zero."""
+    rows, eid = [], 0
+    for u in range(300):
+        if u % 3 == 0:
+            et, v = "click", 500.0 + (u % 7)
+        elif u % 3 == 1:
+            et, v = "view", 100.0 + (u % 7)
+        else:
+            et, v = "purchase", 100.0 + ((u + 3) % 7)
+        rows.append((eid, _ts(u), u, et, v, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["events_kruskal_wallis"](spark, sf).collect()[0]
+    assert r["k"] == 3 and r["df"] == 2
+    assert r["h_adj_q6"] > 50 and bool(r["significant"]) is True
+
+    rows = [(i, _ts(i), i, "view" if i % 2 else "click", 42.0, "{}")
+            for i in range(60)]
+    sf2 = _write_events(spark, tmp_path / "tied", rows)
+    assert QUERIES["events_kruskal_wallis"](spark, sf2).collect() == []
+
+
+def test_page_hinkley_alarms_on_shift_never_on_flat(spark, tmp_path):
+    """A flat series drifts nowhere: every PH term is exactly -delta,
+    M is its own running minimum and the statistic is pinned at 0. A
+    10x upward mean shift on day 10 makes the post-shift terms large
+    and positive - the gap must alarm on every post-shift day and on
+    none before."""
+    from datetime import datetime, timedelta
+
+    def dts(day, i):
+        return (datetime(2024, 1, 1) + timedelta(days=day, seconds=i)
+                ).strftime("%Y-%m-%d %H:%M:%S")
+
+    rows, eid = [], 0
+    for day in range(20):
+        for i in range(5):
+            rows.append((eid, dts(day, i), eid, "view", 10.0, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path / "flat", rows)
+    flat = QUERIES["events_page_hinkley"](spark, sf).collect()
+    assert len(flat) == 20
+    assert all(r["ph_q6"] == 0.0 and not r["alarm"] for r in flat)
+
+    rows, eid = [], 0
+    for day in range(20):
+        v = 10.0 if day < 10 else 100.0
+        for i in range(5):
+            rows.append((eid, dts(day, i), eid, "view", v, "{}")); eid += 1
+    sf2 = _write_events(spark, tmp_path / "shift", rows)
+    out = sorted(QUERIES["events_page_hinkley"](spark, sf2).collect(),
+                 key=lambda r: r["day"])
+    assert all(not r["alarm"] for r in out[:10])
+    assert all(r["alarm"] for r in out[10:])
+
+
+def test_theil_sen_ignores_single_outlier_day(spark, tmp_path):
+    """Eleven daily closes on an exact 5.00/day line except day 5,
+    which spikes 100x: 45 of the 55 pairwise slopes are exactly 500
+    cents/day, so the median slope IS 500 - the robustness OLS cannot
+    offer (the spike would drag a least-squares fit far off 500)."""
+    from datetime import datetime, timedelta
+
+    rows = []
+    for d in range(11):
+        ts = (datetime(2024, 1, 1) + timedelta(days=d)).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        v = 10000.0 if d == 5 else 100.0 + 5.0 * d
+        rows.append((d, ts, 0, "view", v, "{}"))  # user 0 -> symbol S0
+    sf = _write_events(spark, tmp_path, rows)
+    out = QUERIES["ticks_theil_sen"](spark, sf).collect()
+    r = {x["symbol"]: x for x in out}["S0"]
+    assert r["n_days"] == 11 and r["n_pairs"] == 55
+    assert r["slope_med_q6"] == 500.0
+
+
+def _write_theil_tables(spark, tmp_path, cust_spend):
+    """cust_spend: list of (custkey, nationkey, totalprice)."""
+    d = str(tmp_path / "sftheil")
+    spark.createDataFrame(
+        [(0, "ALPHA", 0), (1, "BETA", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/nation.parquet")
+    spark.createDataFrame(
+        [(ck, f"c{ck}", nk, 0.0, "SEG") for ck, nk, _ in cust_spend],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [
+            (i, ck, "O", tp, "2024-01-01 00:00:00", "1-URGENT")
+            for i, (ck, _, tp) in enumerate(cust_spend)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    return d
+
+
+def test_theil_index_zero_on_equality_pure_between_on_nation_gap(
+    spark, tmp_path
+):
+    """Perfect equality (every customer spends $100) -> all three Theil
+    components are exactly 0. Equal WITHIN each nation but a 4x gap
+    BETWEEN nations -> the within component is exactly 0 and the total
+    equals the between component (the additive decomposition, observed
+    rather than forced)."""
+    eq = [(ck, ck % 2, 100.0) for ck in range(10)]
+    sf = _write_theil_tables(spark, tmp_path / "eq", eq)
+    r = QUERIES["orders_theil_index"](spark, sf).collect()[0]
+    assert r["n_customers"] == 10 and r["n_groups"] == 2
+    assert r["theil_total_q6"] == 0.0
+    assert r["theil_between_q6"] == 0.0
+    assert r["theil_within_q6"] == 0.0
+
+    gap = [(ck, ck % 2, 400.0 if ck % 2 == 0 else 100.0) for ck in range(10)]
+    sf2 = _write_theil_tables(spark, tmp_path / "gap", gap)
+    r2 = QUERIES["orders_theil_index"](spark, sf2).collect()[0]
+    assert r2["theil_within_q6"] == 0.0
+    assert r2["theil_between_q6"] > 0.1
+    assert abs(r2["theil_total_q6"] - r2["theil_between_q6"]) < 1e-5
+
+
+def _write_docs(spark, tmp_path, texts):
+    d = str(tmp_path / "sfdocs")
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_rater_agreement_perfect_and_independent(spark, tmp_path):
+    """Raters that always agree (long <=> wordy by construction) give
+    kappa exactly 1. A corpus built so the two raters are statistically
+    independent with balanced marginals gives p_o = p_e = 0.5 and kappa
+    exactly 0 - the chance-agreement discount percent-agreement (still
+    50%) cannot see."""
+    long_wordy = "word " * 80            # 400 chars, 80 words: (1,1)
+    short_plain = "hi there"             # (0,0)
+    agree = [long_wordy] * 25 + [short_plain] * 25
+    sf = _write_docs(spark, tmp_path / "agree", agree)
+    r = QUERIES["doc_rater_agreement"](spark, sf).collect()[0]
+    assert (r["n11"], r["n00"], r["n10"], r["n01"]) == (25, 25, 0, 0)
+    assert r["kappa_q6"] == 1.0 and r["po_q6"] == 1.0
+
+    long_plain = "x" * 400               # 400 chars, 1 word: (1,0)
+    short_wordy = "a " * 70              # 140 chars, 70 words: (0,1)
+    indep = ([long_wordy] * 25 + [long_plain] * 25
+             + [short_wordy] * 25 + [short_plain] * 25)
+    sf2 = _write_docs(spark, tmp_path / "indep", indep)
+    r2 = QUERIES["doc_rater_agreement"](spark, sf2).collect()[0]
+    assert r2["po_q6"] == 0.5 and r2["pe_q6"] == 0.5
+    assert r2["kappa_q6"] == 0.0
