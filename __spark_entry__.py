@@ -103,6 +103,13 @@ _ADJUDICATION_PRIORITY = [
     "ticks_theil_sen",
     "orders_theil_index",
     "doc_rater_agreement",
+    # ---- ~50-slot window boundary; r12 queue from here: the three
+    # late-r11 additions take the first r12 first-ever slots (all are
+    # sweep-, sf0.01-, order-lane- and semantically-proven locally),
+    # then the rotation tail oldest-verdict-first ----
+    "events_nelson_aalen",
+    "events_log_rank",
+    "doc_classifier_pr_auc",
     "doc_chunk_windows",
     "doc_cross_overlap",
     "doc_incremental_minhash",

@@ -2047,7 +2047,7 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _quality_classifier_oracle(
     iters: int = 12, lr: float = 1.0, calibration: bool = False,
-    auc: bool = False, shap: bool = False,
+    auc: bool = False, shap: bool = False, pr: bool = False,
 ) -> str:
     """Generated chained-CTE oracle for doc_quality_classifier: re-runs
     the IDENTICAL full-batch logistic-regression recipe in DuckDB — same
@@ -2156,6 +2156,50 @@ def _quality_classifier_oracle(
            FLOOR(CAST(tp + tn AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE)
                  * 1e6 + 0.5) / 1e6 AS accuracy_q6
     FROM cm, num WHERE n_pos > 0 AND n_neg > 0"""
+        )
+    elif pr:
+        # average precision (step-interpolated PR-AUC, the sklearn
+        # convention) over the same s6 buckets: sweep thresholds from
+        # the TOP, tied scores enter together; each bucket contributes
+        # ΔR·P = (pos_c/n_pos)·(cum_pos_ge/cum_tot_ge), snapped to the
+        # 1e-12 grid and summed exactly
+        sig_expr = f"1.0 / (1.0 + {detmath.det_exp_sql('mz', 'duckdb')})"
+        parts.append(
+            f"""
+    , scored AS (
+      SELECT doc_id, y,
+             CAST(FLOOR(sig * 1e6 + 0.5) AS BIGINT) AS s6
+      FROM (SELECT t.doc_id, t.y, {sig_expr} AS sig
+            FROM (SELECT f.doc_id, f.y, 0.0 - ({clamp}) AS mz
+                  FROM feat f CROSS JOIN it{iters} w) t) s),
+    g AS (
+      SELECT s6,
+             CAST(count(*) FILTER (y = 1.0) AS BIGINT) AS pos_c,
+             CAST(count(*) FILTER (y = 0.0) AS BIGINT) AS neg_c
+      FROM scored GROUP BY s6),
+    tt AS (SELECT CAST(SUM(pos_c) AS BIGINT) AS n_pos,
+                  CAST(SUM(neg_c) AS BIGINT) AS n_neg FROM g),
+    sw AS (
+      SELECT s6, pos_c, neg_c,
+             CAST(sum(pos_c) OVER (ORDER BY s6) AS BIGINT) AS cum_pos,
+             CAST(sum(neg_c) OVER (ORDER BY s6) AS BIGINT) AS cum_neg
+      FROM g),
+    terms AS (
+      SELECT CAST(FLOOR(
+               (CAST(pos_c AS DOUBLE) / CAST(tt.n_pos AS DOUBLE))
+               * (CAST(tt.n_pos - cum_pos + pos_c AS DOUBLE)
+                  / CAST((tt.n_pos - cum_pos + pos_c)
+                         + (tt.n_neg - cum_neg + neg_c) AS DOUBLE))
+               * 1e12 + 0.5) AS BIGINT) AS t12
+      FROM sw CROSS JOIN tt
+      WHERE pos_c > 0 AND tt.n_pos > 0),
+    ap AS (SELECT CAST(SUM(t12) AS BIGINT) AS s12 FROM terms)
+    SELECT tt.n_pos, tt.n_neg,
+           FLOOR(CAST(ap.s12 AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS ap_q6,
+           FLOOR(CAST(tt.n_pos AS DOUBLE)
+                 / CAST(tt.n_pos + tt.n_neg AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS prevalence_q6
+    FROM tt CROSS JOIN ap WHERE tt.n_pos > 0 AND tt.n_neg > 0"""
         )
     elif calibration:
         parts.append(
@@ -3965,4 +4009,83 @@ def doc_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1e6
         ).alias("kappa_q6"),
+    )
+
+
+@_register("doc_classifier_pr_auc", _quality_classifier_oracle(pr=True))
+def doc_classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (step-interpolated PR-AUC) for the in-engine
+    quality classifier — the ranking metric that matters when the
+    positive class is rare: ROC-AUC (doc_classifier_auc) flatters a
+    classifier on imbalanced data because false positives barely dent
+    the FPR, while precision collapses; curation pipelines gate on PR.
+    AP = Σ_k ΔR_k·P_k sweeping thresholds from the top, tied scores
+    entering together (the sklearn convention); prevalence n⁺/n is the
+    random-classifier baseline AP is read against.
+
+    Exactness: the trained weights are the q9-quantized cross-engine
+    trainer (doc_quality_classifier ★); scores land on the 1e-6 grid
+    so the threshold sweep is a ≤1e6+1-bucket histogram; cumulative
+    counts from the top are exact integers via stats.global_cumsum
+    (range-exchange prefix sums, never a single-partition window);
+    each bucket's ΔR·P is ONE fixed-order double over exact integers
+    snapped to the 1e-12 grid and summed exactly. Scale: the
+    classifier's one-agg-per-iteration training plus two histogram
+    aggs and the bucket sweep — corpus text is read once.
+    No counterpart in the reference."""
+    from ..operators import classifier
+
+    docs = _td(spark, sf_dir, "documents")
+    scored = classifier.quality_classifier(docs, iters=12, lr=1.0).select(
+        F.floor(F.col("score_q6") * 1e6 + F.lit(0.5)).cast("long").alias("s6"),
+        F.col("y").cast("double").alias("y"),
+    )
+    g = scored.groupBy("s6").agg(
+        F.count(F.when(F.col("y") == 1.0, F.lit(1))).cast("long").alias("pos_c"),
+        F.count(F.when(F.col("y") == 0.0, F.lit(1))).cast("long").alias("neg_c"),
+    )
+    c1 = stats.global_cumsum(g, ["s6"], "pos_c").withColumnRenamed(
+        "cum_pos_c", "cum_pos"
+    )
+    c2 = stats.global_cumsum(c1, ["s6"], "neg_c").withColumnRenamed(
+        "cum_neg_c", "cum_neg"
+    )
+    tt = g.agg(
+        F.sum("pos_c").cast("long").alias("n_pos"),
+        F.sum("neg_c").cast("long").alias("n_neg"),
+    )
+    pos_ge = F.col("n_pos") - F.col("cum_pos") + F.col("pos_c")
+    tot_ge = pos_ge + (F.col("n_neg") - F.col("cum_neg") + F.col("neg_c"))
+    t12 = F.floor(
+        (F.col("pos_c").cast("double") / F.col("n_pos").cast("double"))
+        * (pos_ge.cast("double") / tot_ge.cast("double"))
+        * 1e12
+        + F.lit(0.5)
+    ).cast("long")
+    terms = (
+        c2.crossJoin(F.broadcast(tt))
+        .filter((F.col("pos_c") > 0) & (F.col("n_pos") > 0))
+        .select(t12.alias("t12"))
+    )
+    ap = terms.agg(F.sum("t12").cast("long").alias("s12"))
+    return (
+        tt.crossJoin(F.broadcast(ap))
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "n_pos",
+            "n_neg",
+            (
+                F.floor(F.col("s12").cast("double") / F.lit(1e12) * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("ap_q6"),
+            (
+                F.floor(
+                    F.col("n_pos").cast("double")
+                    / (F.col("n_pos") + F.col("n_neg")).cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("prevalence_q6"),
+        )
     )

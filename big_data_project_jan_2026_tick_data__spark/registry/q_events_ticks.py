@@ -8259,3 +8259,374 @@ def ticks_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.join(F.broadcast(nd), "symbol").select(
         "symbol", "n_days", "n_pairs", F.col("slope_q6").alias("slope_med_q6")
     )
+
+
+def _nelson_aalen_oracle() -> str:
+    """Generated oracle for events_nelson_aalen: the Kaplan-Meier
+    duration/risk-set construction (LOCKSTEP with _kaplan_meier_oracle
+    — change only together), per-event-time hazard d/n snapped to a
+    1e-12 grid and cumulated exactly, detmath exp on the clamped
+    negated hazard for the Fleming-Harrington survival twin."""
+    ex = detmath.det_exp_sql("negh", "duckdb")
+    return rf"""
+    WITH clicks AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'click' GROUP BY user_id),
+    pur AS (
+      SELECT c.user_id, min(e.ts) AS tp
+      FROM clicks c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.t0
+      GROUP BY c.user_id),
+    lastev AS (
+      SELECT user_id, max(ts) AS tl FROM events GROUP BY user_id),
+    u AS (
+      SELECT c.user_id,
+             CASE WHEN p.tp IS NOT NULL
+                  THEN (epoch_us(p.tp) - epoch_us(c.t0)) // 1000000
+                  ELSE (epoch_us(l.tl) - epoch_us(c.t0)) // 1000000
+             END AS d_sec,
+             CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS c
+      FROM clicks c
+      LEFT JOIN pur p ON p.user_id = c.user_id
+      JOIN lastev l ON l.user_id = c.user_id),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM u),
+    grp AS (
+      SELECT d_sec, CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(c) AS BIGINT) AS d_events
+      FROM u GROUP BY d_sec),
+    ord AS (
+      SELECT d_sec, total, d_events,
+             CAST(sum(total) OVER (ORDER BY d_sec) AS BIGINT) AS cumtot
+      FROM grp),
+    ev AS (
+      SELECT d_sec, d_events,
+             n.n_total - cumtot + total AS n_risk
+      FROM ord, n WHERE d_events > 0),
+    h AS (
+      SELECT d_sec, d_events, n_risk,
+             CAST(FLOOR(CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                        * 1e12 + 0.5) AS BIGINT) AS h12
+      FROM ev),
+    cum AS (
+      SELECT d_sec, d_events, n_risk,
+             CAST(sum(h12) OVER (ORDER BY d_sec) AS BIGINT) AS ch12
+      FROM h),
+    s AS (
+      SELECT d_sec, d_events, n_risk, ch12,
+             greatest(-(CAST(ch12 AS DOUBLE) / 1e12), -20.0) AS negh
+      FROM cum)
+    SELECT d_sec, n_risk, d_events,
+           FLOOR(CAST(ch12 AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6
+             AS cum_hazard_q6,
+           FLOOR({ex} * 1e6 + 0.5) / 1e6 AS s_fh_q6
+    FROM s
+    """
+
+
+@_register("events_nelson_aalen", _nelson_aalen_oracle())
+def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for click→purchase conversion —
+    the hazard-space companion to events_kaplan_meier (same entry/
+    censoring construction, LOCKSTEP): H(t) = Σ_{t_i≤t} d_i/n_i, the
+    estimator survival texts prefer for small risk sets (it never hits
+    the KM product's hard zero when d = n) and the input to hazard-
+    ratio eyeballing; also emits the Fleming-Harrington survival
+    S_FH = exp(−H), which dominates KM exactly where risk sets thin.
+
+    Determinism: durations are exact integer seconds; each hazard
+    increment d/n is ONE double division snapped to the 1e-12 grid and
+    the cumulative hazard is an EXACT integer sum over event times
+    (association-free); one detmath exp per output row on the clamped
+    (≥ −20) negated hazard. Scale: both the risk sets and the hazard
+    accumulation ride stats.global_cumsum (range-exchange prefix
+    sums), never a single-partition window; output is event-time-grain.
+    No counterpart in the reference."""
+    ev = _td(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pur = (
+        clicks.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("tp")
+            ),
+            "user_id",
+        )
+        .filter(F.col("tp") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    lastev = ev.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    u = (
+        clicks.join(pur, "user_id", "left")
+        .join(lastev, "user_id")
+        .select(
+            F.when(
+                F.col("tp").isNotNull(),
+                F.expr("(unix_micros(tp) - unix_micros(t0)) div 1000000"),
+            )
+            .otherwise(F.expr("(unix_micros(tl) - unix_micros(t0)) div 1000000"))
+            .alias("d_sec"),
+            F.when(F.col("tp").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("c"),
+        )
+    )
+    n_total = u.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    grp = u.groupBy("d_sec").agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum("c").cast("long").alias("d_events"),
+    )
+    ord_df = stats.global_cumsum(grp, ["d_sec"], "total").withColumnRenamed(
+        "cum_total", "cumtot"
+    )
+    evt = (
+        ord_df.crossJoin(F.broadcast(n_total))
+        .filter(F.col("d_events") > 0)
+        .select(
+            "d_sec",
+            "d_events",
+            (F.col("n_total") - F.col("cumtot") + F.col("total")).alias("n_risk"),
+        )
+    )
+    h = evt.select(
+        "d_sec",
+        "d_events",
+        "n_risk",
+        F.floor(
+            F.col("d_events").cast("double") / F.col("n_risk").cast("double") * 1e12
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("h12"),
+    )
+    cum = stats.global_cumsum(h, ["d_sec"], "h12").withColumnRenamed(
+        "cum_h12", "ch12"
+    )
+    s = cum.withColumn(
+        "negh",
+        F.greatest(
+            -(F.col("ch12").cast("double") / F.lit(1e12)), F.lit(-20.0)
+        ),
+    )
+    return s.select(
+        "d_sec",
+        "n_risk",
+        "d_events",
+        (
+            F.floor(F.col("ch12").cast("double") / F.lit(1e12) * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("cum_hazard_q6"),
+        (F.floor(detmath.det_exp("negh") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "s_fh_q6"
+        ),
+    )
+
+
+@_register(
+    "events_log_rank",
+    r"""
+    WITH clicks AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'click' GROUP BY user_id),
+    pur AS (
+      SELECT c.user_id, min(e.ts) AS tp
+      FROM clicks c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.t0
+      GROUP BY c.user_id),
+    lastev AS (
+      SELECT user_id, max(ts) AS tl FROM events GROUP BY user_id),
+    u AS (
+      SELECT c.user_id,
+             CASE WHEN p.tp IS NOT NULL
+                  THEN (epoch_us(p.tp) - epoch_us(c.t0)) // 1000000
+                  ELSE (epoch_us(l.tl) - epoch_us(c.t0)) // 1000000
+             END AS d_sec,
+             CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS c,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(c.user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE 0 END AS is_a
+      FROM clicks c
+      LEFT JOIN pur p ON p.user_id = c.user_id
+      JOIN lastev l ON l.user_id = c.user_id),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                 CAST(sum(is_a) AS BIGINT) AS n_a_total FROM u),
+    grp AS (
+      SELECT d_sec, CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(c) AS BIGINT) AS d_events,
+             CAST(sum(is_a) AS BIGINT) AS total_a,
+             CAST(sum(c * is_a) AS BIGINT) AS d_a
+      FROM u GROUP BY d_sec),
+    ord AS (
+      SELECT *, CAST(sum(total) OVER (ORDER BY d_sec) AS BIGINT) AS cumtot,
+             CAST(sum(total_a) OVER (ORDER BY d_sec) AS BIGINT) AS cumtot_a
+      FROM grp),
+    ev AS (
+      SELECT d_sec, d_events, d_a,
+             n.n_total - cumtot + total AS n_risk,
+             n.n_a_total - cumtot_a + total_a AS n_risk_a
+      FROM ord, n WHERE d_events > 0),
+    t AS (
+      SELECT d_sec, d_a,
+             CAST(FLOOR(CAST(d_events AS DOUBLE)
+                        * (CAST(n_risk_a AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                        * 1e12 + 0.5) AS HUGEINT) AS e12,
+             CASE WHEN n_risk > 1 THEN
+               CAST(FLOOR(CAST(d_events AS DOUBLE)
+                 * (CAST(n_risk_a AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                 * (1.0 - CAST(n_risk_a AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                 * ((CAST(n_risk AS DOUBLE) - CAST(d_events AS DOUBLE))
+                    / (CAST(n_risk AS DOUBLE) - 1.0))
+                 * 1e12 + 0.5) AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END AS v12
+      FROM ev),
+    s AS (
+      SELECT CAST(SUM(d_a) AS BIGINT) AS o_a,
+             SUM(e12) AS se12, SUM(v12) AS sv12
+      FROM t),
+    f AS (
+      SELECT n.n_total, n.n_a_total, s.o_a,
+             CAST(s.se12 AS DOUBLE) / 1e12 AS e_a,
+             CAST(s.sv12 AS DOUBLE) / 1e12 AS v
+      FROM s CROSS JOIN n WHERE CAST(s.sv12 AS DOUBLE) > 0.0)
+    SELECT n_total AS n_users, n_a_total AS n_a, o_a,
+           FLOOR(e_a * 1e6 + 0.5) / 1e6 AS e_a_q6,
+           FLOOR((CAST(o_a AS DOUBLE) - e_a) * (CAST(o_a AS DOUBLE) - e_a)
+                 / v * 1e6 + 0.5) / 1e6 AS chi2_q6,
+           FLOOR((CAST(o_a AS DOUBLE) - e_a) * (CAST(o_a AS DOUBLE) - e_a)
+                 / v * 1e6 + 0.5) / 1e6 > 3.841459 AS significant
+    FROM f
+    """,
+)
+def events_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank (Mantel-Cox) test between the md5 arms on
+    click→purchase time-to-convert — THE standard test for 'did the
+    treatment change conversion speed', censoring-aware where a naive
+    mean-duration comparison silently drops every non-converter
+    (events_kaplan_meier draws the curves; this says whether they
+    differ): at each event time, compare arm A's observed conversions
+    d_A to its risk-share expectation d·n_A/n and accumulate the
+    hypergeometric variance; χ² = (O_A − E_A)²/V against the frozen
+    df=1 critical.
+
+    Determinism: the duration/censoring construction is LOCKSTEP with
+    events_kaplan_meier / events_nelson_aalen (change only together);
+    risk sets come from exact integer cumsums; each per-time E and V
+    term is a fixed-order double chain over exact integers snapped to
+    the 1e-12 grid and summed exactly (decimal/HUGEINT); the χ² tail
+    is one fixed-order double formula snapped q6. Scale: one user-grain
+    pass, the global_cumsum event-time sweep (range-partitioned — the
+    survival-family shape), then one-row frames.
+    No counterpart in the reference."""
+    ev = _td(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pur = (
+        clicks.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("tp")
+            ),
+            "user_id",
+        )
+        .filter(F.col("tp") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    lastev = ev.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    u = (
+        clicks.join(pur, "user_id", "left")
+        .join(lastev, "user_id")
+        .select(
+            F.when(
+                F.col("tp").isNotNull(),
+                F.expr("(unix_micros(tp) - unix_micros(t0)) div 1000000"),
+            )
+            .otherwise(F.expr("(unix_micros(tl) - unix_micros(t0)) div 1000000"))
+            .alias("d_sec"),
+            F.when(F.col("tp").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("c"),
+            F.when(_md5_even(), F.lit(1)).otherwise(F.lit(0)).alias("is_a"),
+        )
+    )
+    n = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("is_a").cast("long").alias("n_a_total"),
+    )
+    grp = u.groupBy("d_sec").agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum("c").cast("long").alias("d_events"),
+        F.sum("is_a").cast("long").alias("total_a"),
+        F.sum(F.col("c") * F.col("is_a")).cast("long").alias("d_a"),
+    )
+    c1 = stats.global_cumsum(grp, ["d_sec"], "total").withColumnRenamed(
+        "cum_total", "cumtot"
+    )
+    c2 = stats.global_cumsum(c1, ["d_sec"], "total_a").withColumnRenamed(
+        "cum_total_a", "cumtot_a"
+    )
+    evt = (
+        c2.crossJoin(F.broadcast(n))
+        .filter(F.col("d_events") > 0)
+        .select(
+            "d_sec",
+            "d_events",
+            "d_a",
+            (F.col("n_total") - F.col("cumtot") + F.col("total")).alias("n_risk"),
+            (F.col("n_a_total") - F.col("cumtot_a") + F.col("total_a")).alias(
+                "n_risk_a"
+            ),
+        )
+    )
+    dd = F.col("d_events").cast("double")
+    nad = F.col("n_risk_a").cast("double")
+    nd_ = F.col("n_risk").cast("double")
+    e12 = F.floor(dd * (nad / nd_) * 1e12 + F.lit(0.5)).cast("decimal(38,0)")
+    v12 = F.when(
+        F.col("n_risk") > 1,
+        F.floor(
+            dd
+            * (nad / nd_)
+            * (F.lit(1.0) - nad / nd_)
+            * ((nd_ - dd) / (nd_ - F.lit(1.0)))
+            * 1e12
+            + F.lit(0.5)
+        ).cast("decimal(38,0)"),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    t = evt.select("d_a", e12.alias("e12"), v12.alias("v12"))
+    s = t.agg(
+        F.sum("d_a").cast("long").alias("o_a"),
+        F.sum("e12").alias("se12"),
+        F.sum("v12").alias("sv12"),
+    )
+    f = (
+        s.crossJoin(F.broadcast(n))
+        .filter(F.col("sv12").cast("double") > 0.0)
+        .select(
+            F.col("n_total").alias("n_users"),
+            F.col("n_a_total").alias("n_a"),
+            "o_a",
+            (F.col("se12").cast("double") / F.lit(1e12)).alias("e_a"),
+            (F.col("sv12").cast("double") / F.lit(1e12)).alias("v"),
+        )
+    )
+    oad = F.col("o_a").cast("double")
+    chi2 = (
+        F.floor((oad - F.col("e_a")) * (oad - F.col("e_a")) / F.col("v") * 1e6 + F.lit(0.5))
+        / 1e6
+    )
+    return f.select(
+        "n_users",
+        "n_a",
+        "o_a",
+        (F.floor(F.col("e_a") * 1e6 + F.lit(0.5)) / 1e6).alias("e_a_q6"),
+        chi2.alias("chi2_q6"),
+        (chi2 > F.lit(3.841459)).alias("significant"),
+    )

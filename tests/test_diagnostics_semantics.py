@@ -1150,7 +1150,7 @@ def test_theil_index_zero_on_equality_pure_between_on_nation_gap(
     assert abs(r2["theil_total_q6"] - r2["theil_between_q6"]) < 1e-5
 
 
-def _write_docs(spark, tmp_path, texts):
+def _write_doc_texts(spark, tmp_path, texts):
     d = str(tmp_path / "sfdocs")
     spark.createDataFrame(
         [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
@@ -1168,7 +1168,7 @@ def test_rater_agreement_perfect_and_independent(spark, tmp_path):
     long_wordy = "word " * 80            # 400 chars, 80 words: (1,1)
     short_plain = "hi there"             # (0,0)
     agree = [long_wordy] * 25 + [short_plain] * 25
-    sf = _write_docs(spark, tmp_path / "agree", agree)
+    sf = _write_doc_texts(spark, tmp_path / "agree", agree)
     r = QUERIES["doc_rater_agreement"](spark, sf).collect()[0]
     assert (r["n11"], r["n00"], r["n10"], r["n01"]) == (25, 25, 0, 0)
     assert r["kappa_q6"] == 1.0 and r["po_q6"] == 1.0
@@ -1177,7 +1177,90 @@ def test_rater_agreement_perfect_and_independent(spark, tmp_path):
     short_wordy = "a " * 70              # 140 chars, 70 words: (0,1)
     indep = ([long_wordy] * 25 + [long_plain] * 25
              + [short_wordy] * 25 + [short_plain] * 25)
-    sf2 = _write_docs(spark, tmp_path / "indep", indep)
+    sf2 = _write_doc_texts(spark, tmp_path / "indep", indep)
     r2 = QUERIES["doc_rater_agreement"](spark, sf2).collect()[0]
     assert r2["po_q6"] == 0.5 and r2["pe_q6"] == 0.5
     assert r2["kappa_q6"] == 0.0
+
+
+def test_nelson_aalen_single_mass_conversion(spark, tmp_path):
+    """Every user clicks at t=0 and purchases exactly 10 s later: one
+    event time carrying the whole risk set, so the hazard increment is
+    d/n = 1 exactly, the cumulative hazard is 1.0, and the
+    Fleming-Harrington survival is exp(-1) — hand-checkable against
+    the detmath exp. The cumulative hazard must also be nondecreasing
+    in duration on any corpus (checked on the planted two-step one)."""
+    rows, eid = [], 0
+    for u in range(40):
+        rows.append((eid, _ts(0), u, "click", 1.0, "{}")); eid += 1
+        rows.append((eid, _ts(10), u, "purchase", 1.0, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = QUERIES["events_nelson_aalen"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["d_sec"] == 10 and r["n_risk"] == 40 and r["d_events"] == 40
+    assert r["cum_hazard_q6"] == 1.0
+    assert abs(r["s_fh_q6"] - 0.367879) < 2e-6
+
+    rows, eid = [], 0
+    for u in range(40):
+        rows.append((eid, _ts(0), u, "click", 1.0, "{}")); eid += 1
+        # half convert at 10 s, half at 20 s
+        rows.append((eid, _ts(10 if u % 2 == 0 else 20), u, "purchase",
+                     1.0, "{}")); eid += 1
+    sf2 = _write_events(spark, tmp_path / "twostep", rows)
+    out2 = sorted(QUERIES["events_nelson_aalen"](spark, sf2).collect(),
+                  key=lambda r: r["d_sec"])
+    hz = [r["cum_hazard_q6"] for r in out2]
+    assert hz == sorted(hz) and len(hz) == 2
+    # H = 20/40 + 20/20 = 1.5 exactly
+    assert hz[-1] == 1.5
+
+
+def test_log_rank_null_vs_planted_arm_gap(spark, tmp_path):
+    """Conversion delay depends only on u%5 — independent of the arm —
+    so the arms' survival curves coincide and chi2 must sit far below
+    the critical (a single shared event time would carry ZERO log-rank
+    variance and correctly emit nothing, so the null case staggers
+    times). Arm A converts at 10 s while arm B NEVER converts
+    (censored at its last event) -> the gap blows past the df=1
+    critical."""
+    rows, eid = [], 0
+    for u in range(200):
+        rows.append((eid, _ts(0), u, "click", 1.0, "{}")); eid += 1
+        rows.append((eid, _ts(10 + (u % 5) * 10), u, "purchase", 1.0, "{}"))
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["events_log_rank"](spark, sf).collect()[0]
+    assert r["o_a"] == r["n_a"]  # every A user converts
+    assert r["chi2_q6"] < 3.841459 and bool(r["significant"]) is False
+
+    rows, eid = [], 0
+    for u in range(200):
+        rows.append((eid, _ts(0), u, "click", 1.0, "{}")); eid += 1
+        if _md5_arm(u) == "A":
+            rows.append((eid, _ts(10), u, "purchase", 1.0, "{}")); eid += 1
+        else:
+            rows.append((eid, _ts(30), u, "view", 1.0, "{}")); eid += 1
+    sf2 = _write_events(spark, tmp_path / "gap", rows)
+    r2 = QUERIES["events_log_rank"](spark, sf2).collect()[0]
+    assert r2["o_a"] > 0 and r2["chi2_q6"] > 30
+    assert bool(r2["significant"]) is True
+
+
+def test_pr_auc_separable_corpus_and_prevalence(spark, tmp_path):
+    """The separable corpus of test_classifier_auc_separable_corpus:
+    a perfect ranker's average precision is ~1. The prevalence column
+    must equal the exact positive share (the random-classifier
+    baseline AP is read against) — here 0.5."""
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            rows.append((i, " ".join(["word"] * 40), "en", "s"))
+        else:
+            rows.append((i, " ".join(["mot"] * 5), "fr", "s"))
+    sf = _write_docs(spark, tmp_path, rows)
+    r = QUERIES["doc_classifier_pr_auc"](spark, sf).collect()[0]
+    assert r["n_pos"] == 30 and r["n_neg"] == 30
+    assert r["prevalence_q6"] == 0.5
+    assert r["ap_q6"] >= 0.99

@@ -165,6 +165,11 @@ HARDENED = [
     "ticks_theil_sen",
     "orders_theil_index",
     "doc_rater_agreement",
+    # r11 second wave: survival-family exact integer cumsums with
+    # detmath exp tails; PR-AUC rides the AUC bucket-sweep machinery
+    "events_nelson_aalen",
+    "events_log_rank",
+    "doc_classifier_pr_auc",
 ]
 
 
