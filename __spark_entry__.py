@@ -110,6 +110,8 @@ _ADJUDICATION_PRIORITY = [
     "events_nelson_aalen",
     "events_log_rank",
     "doc_classifier_pr_auc",
+    "events_anova_f",
+    "doc_brier_decomposition",
     "doc_chunk_windows",
     "doc_cross_overlap",
     "doc_incremental_minhash",

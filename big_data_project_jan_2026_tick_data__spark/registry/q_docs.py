@@ -2048,6 +2048,7 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _quality_classifier_oracle(
     iters: int = 12, lr: float = 1.0, calibration: bool = False,
     auc: bool = False, shap: bool = False, pr: bool = False,
+    brier: bool = False,
 ) -> str:
     """Generated chained-CTE oracle for doc_quality_classifier: re-runs
     the IDENTICAL full-batch logistic-regression recipe in DuckDB — same
@@ -2200,6 +2201,60 @@ def _quality_classifier_oracle(
                  / CAST(tt.n_pos + tt.n_neg AS DOUBLE) * 1e6 + 0.5) / 1e6
              AS prevalence_q6
     FROM tt CROSS JOIN ap WHERE tt.n_pos > 0 AND tt.n_neg > 0"""
+        )
+    elif brier:
+        # Murphy (1973) decomposition over the calibration deciles with
+        # the BINNED forecast s̄_k (the convention under which
+        # brier = REL − RES + UNC holds as an identity): per-bucket
+        # exact integer sums, per-bucket double terms snapped to the
+        # 1e-12 grid, ≤10-bucket exact roll-up, one fixed-order tail.
+        sig_expr = f"1.0 / (1.0 + {detmath.det_exp_sql('mz', 'duckdb')})"
+        parts.append(
+            f"""
+    , scored AS (
+      SELECT doc_id, y, floor(sig * 1e6 + 0.5) / 1e6 AS sq,
+             CAST(FLOOR(sig * 1e6 + 0.5) AS BIGINT) AS s6
+      FROM (SELECT t.doc_id, t.y, {sig_expr} AS sig
+            FROM (SELECT f.doc_id, f.y, 0.0 - ({clamp}) AS mz
+                  FROM feat f CROSS JOIN it{iters} w) t) s),
+    bk AS (
+      SELECT CAST(LEAST(CAST(FLOOR(sq * 10) AS INT), 9) AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_k,
+             CAST(SUM(s6) AS BIGINT) AS s_sum6,
+             CAST(SUM(y) AS BIGINT) AS y_sum
+      FROM scored GROUP BY 1),
+    tt AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+                  CAST(SUM(y_sum) AS BIGINT) AS y_tot FROM bk),
+    terms AS (
+      SELECT CAST(FLOOR(CAST(n_k AS DOUBLE)
+               * (CAST(s_sum6 AS DOUBLE) / CAST(n_k AS DOUBLE) / 1e6
+                  - CAST(y_sum AS DOUBLE) / CAST(n_k AS DOUBLE))
+               * (CAST(s_sum6 AS DOUBLE) / CAST(n_k AS DOUBLE) / 1e6
+                  - CAST(y_sum AS DOUBLE) / CAST(n_k AS DOUBLE))
+               * 1e12 + 0.5) AS BIGINT) AS rel12,
+             CAST(FLOOR(CAST(n_k AS DOUBLE)
+               * (CAST(y_sum AS DOUBLE) / CAST(n_k AS DOUBLE)
+                  - CAST(tt.y_tot AS DOUBLE) / CAST(tt.n AS DOUBLE))
+               * (CAST(y_sum AS DOUBLE) / CAST(n_k AS DOUBLE)
+                  - CAST(tt.y_tot AS DOUBLE) / CAST(tt.n AS DOUBLE))
+               * 1e12 + 0.5) AS BIGINT) AS res12
+      FROM bk CROSS JOIN tt),
+    s AS (SELECT CAST(SUM(rel12) AS BIGINT) AS srel12,
+                 CAST(SUM(res12) AS BIGINT) AS sres12 FROM terms),
+    o AS (
+      SELECT tt.n,
+             CAST(s.srel12 AS DOUBLE) / 1e12 / CAST(tt.n AS DOUBLE) AS rel,
+             CAST(s.sres12 AS DOUBLE) / 1e12 / CAST(tt.n AS DOUBLE) AS res,
+             (CAST(tt.y_tot AS DOUBLE) / CAST(tt.n AS DOUBLE))
+               * (1.0 - CAST(tt.y_tot AS DOUBLE) / CAST(tt.n AS DOUBLE))
+               AS unc
+      FROM tt CROSS JOIN s WHERE tt.n > 0)
+    SELECT n,
+           FLOOR(rel * 1e6 + 0.5) / 1e6 AS reliability_q6,
+           FLOOR(res * 1e6 + 0.5) / 1e6 AS resolution_q6,
+           FLOOR(unc * 1e6 + 0.5) / 1e6 AS uncertainty_q6,
+           FLOOR((rel - res + unc) * 1e6 + 0.5) / 1e6 AS brier_binned_q6
+    FROM o"""
         )
     elif calibration:
         parts.append(
@@ -4088,4 +4143,80 @@ def doc_classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1e6
             ).alias("prevalence_q6"),
         )
+    )
+
+
+@_register("doc_brier_decomposition", _quality_classifier_oracle(brier=True))
+def doc_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the quality classifier's Brier score —
+    the calibration report's executive summary: reliability (how far
+    the decile forecasts sit from their realized rates — lower is
+    better), resolution (how much the forecasts separate outcomes —
+    higher is better), and uncertainty (the outcome base-rate variance
+    no classifier can remove). Uses the BINNED forecast s̄_k per
+    calibration decile, under which brier = REL − RES + UNC is an
+    identity (Murphy 1973) — the number a curation gate reads next to
+    doc_classifier_calibration's per-bucket table.
+
+    Exactness: per-decile n/Σscore6/Σy are exact integers from one
+    pass over the q9-trained q6-snapped scores; each bucket's REL/RES
+    term is a fixed-order double snapped to the 1e-12 grid and the
+    ≤10-bucket roll-up is exact; the tail is one fixed-order double
+    chain snapped q6. Scale: the classifier's one-agg-per-iteration
+    training plus one decile hash agg — corpus text read once.
+    No counterpart in the reference."""
+    from ..operators import classifier
+
+    docs = _td(spark, sf_dir, "documents")
+    scored = classifier.quality_classifier(docs, iters=12, lr=1.0).select(
+        F.least(F.floor(F.col("score_q6") * 10).cast("int"), F.lit(9)).alias(
+            "bucket"
+        ),
+        F.floor(F.col("score_q6") * 1e6 + F.lit(0.5)).cast("long").alias("s6"),
+        F.col("y").cast("long").alias("y"),
+    )
+    bk = scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum("s6").cast("long").alias("s_sum6"),
+        F.sum("y").cast("long").alias("y_sum"),
+    )
+    tt = bk.agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum("y_sum").cast("long").alias("y_tot"),
+    )
+    nkd = F.col("n_k").cast("double")
+    sbar = F.col("s_sum6").cast("double") / nkd / F.lit(1e6)
+    ybar = F.col("y_sum").cast("double") / nkd
+    ybart = F.col("y_tot").cast("double") / F.col("n").cast("double")
+    rel12 = F.floor(nkd * (sbar - ybar) * (sbar - ybar) * 1e12 + F.lit(0.5)).cast(
+        "long"
+    )
+    res12 = F.floor(
+        nkd * (ybar - ybart) * (ybar - ybart) * 1e12 + F.lit(0.5)
+    ).cast("long")
+    terms = bk.crossJoin(F.broadcast(tt)).select(
+        rel12.alias("rel12"), res12.alias("res12")
+    )
+    s = terms.agg(
+        F.sum("rel12").cast("long").alias("srel12"),
+        F.sum("res12").cast("long").alias("sres12"),
+    )
+    nd = F.col("n").cast("double")
+    rel = F.col("srel12").cast("double") / F.lit(1e12) / nd
+    res = F.col("sres12").cast("double") / F.lit(1e12) / nd
+    unc = (F.col("y_tot").cast("double") / nd) * (
+        F.lit(1.0) - F.col("y_tot").cast("double") / nd
+    )
+    o = (
+        tt.crossJoin(F.broadcast(s))
+        .filter(F.col("n") > 0)
+        .select("n", rel.alias("rel"), res.alias("res"), unc.alias("unc"))
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return o.select(
+        "n",
+        q6(F.col("rel")).alias("reliability_q6"),
+        q6(F.col("res")).alias("resolution_q6"),
+        q6(F.col("unc")).alias("uncertainty_q6"),
+        q6(F.col("rel") - F.col("res") + F.col("unc")).alias("brier_binned_q6"),
     )

@@ -8630,3 +8630,151 @@ def events_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2_q6"),
         (chi2 > F.lit(3.841459)).alias("significant"),
     )
+
+
+@_register(
+    "events_anova_f",
+    r"""
+    WITH obs AS (
+      SELECT event_type AS grp,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value > 0),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(SUM(v) AS BIGINT) AS s_g,
+             SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS ss_g
+      FROM obs GROUP BY grp),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(SUM(ss_g) AS HUGEINT) AS ss,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g),
+    b AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               (CAST(g.s_g AS DOUBLE) * CAST(g.s_g AS DOUBLE)
+                / CAST(g.n_g AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT))
+               AS HUGEINT) AS bsum6
+      FROM g),
+    f AS (
+      SELECT tot.n, tot.k, (tot.k - 1) AS df_between,
+             (tot.n - tot.k) AS df_within,
+             CAST(b.bsum6 AS DOUBLE) / 1e6
+               - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+                 / CAST(tot.n AS DOUBLE) AS ssb,
+             CAST(tot.ss AS DOUBLE) - CAST(b.bsum6 AS DOUBLE) / 1e6 AS ssw
+      FROM tot CROSS JOIN b
+      WHERE tot.k >= 2 AND tot.n > tot.k),
+    o AS (
+      SELECT n, k, df_between, df_within,
+             FLOOR((ssb / CAST(df_between AS DOUBLE))
+                   / (ssw / CAST(df_within AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS f_q6,
+             FLOOR(ssb / (ssb + ssw) * 1e6 + 0.5) / 1e6 AS eta2_q6
+      FROM f WHERE ssw > 0.0)
+    SELECT n, k, df_between, df_within, f_q6, eta2_q6,
+           f_q6 * CAST(df_between AS DOUBLE)
+             > (CASE WHEN df_between = 1 THEN 3.841459
+                     WHEN df_between = 2 THEN 5.991465
+                     WHEN df_between = 3 THEN 7.814728
+                     WHEN df_between = 4 THEN 9.487729
+                     WHEN df_between = 5 THEN 11.070498
+                     WHEN df_between = 6 THEN 12.591587
+                     WHEN df_between = 7 THEN 14.067140
+                     ELSE 15.507313 END) AS significant
+    FROM o
+    """,
+)
+def events_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F on event value across event types — the
+    parametric twin of events_kruskal_wallis (means instead of ranks;
+    run both and disagreement itself is the heavy-tail diagnostic).
+    F = (SSB/(k−1))/(SSW/(n−k)) with the eta² effect size; the
+    significance gate uses the large-sample identity
+    F(k−1, ∞) = χ²(k−1)/(k−1) against the frozen g_test criticals
+    (df_within is corpus-sized at any real scale, so the asymptotic
+    critical is the honest one — documented, df clamped at 8).
+
+    Exactness: per-group n/Σv/Σv² are exact BIGINT/decimal cents
+    moments from ONE corpus pass; the Σ(S_g²/n_g) cross-group sum
+    snaps each group's double term to the 1e-6 grid and sums exactly
+    (the calinski/kruskal convention); the F/eta² tail is one
+    fixed-order double chain snapped q6. Scale: one hash agg to k
+    group rows, then one-row frames — no window, no join, the
+    cheapest query in the statistical family.
+    No counterpart in the reference."""
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    obs = ev.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    vd = F.col("v").cast("decimal(19,0)")
+    g = obs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("v").cast("long").alias("s_g"),
+        F.sum(vd * vd).alias("ss_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("ss_g").cast("decimal(38,0)").alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    bterm6 = F.floor(
+        (
+            F.col("s_g").cast("double")
+            * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double")
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    b = g.select(bterm6.alias("b6")).agg(
+        F.sum("b6").cast("decimal(38,0)").alias("bsum6")
+    )
+    ssb = F.col("bsum6").cast("double") / F.lit(1e6) - F.col("s").cast(
+        "double"
+    ) * F.col("s").cast("double") / F.col("n").cast("double")
+    ssw = F.col("ss").cast("double") - F.col("bsum6").cast("double") / F.lit(1e6)
+    f = (
+        tot.crossJoin(F.broadcast(b))
+        .filter((F.col("k") >= 2) & (F.col("n") > F.col("k")))
+        .select(
+            "n",
+            "k",
+            (F.col("k") - 1).alias("df_between"),
+            (F.col("n") - F.col("k")).alias("df_within"),
+            ssb.alias("ssb"),
+            ssw.alias("ssw"),
+        )
+        .filter(F.col("ssw") > 0.0)
+    )
+    fq6 = (
+        F.floor(
+            (F.col("ssb") / F.col("df_between").cast("double"))
+            / (F.col("ssw") / F.col("df_within").cast("double"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    eq6 = F.floor(F.col("ssb") / (F.col("ssb") + F.col("ssw")) * 1e6 + F.lit(0.5)) / 1e6
+    crit = (
+        F.when(F.col("df_between") == 1, F.lit(3.841459))
+        .when(F.col("df_between") == 2, F.lit(5.991465))
+        .when(F.col("df_between") == 3, F.lit(7.814728))
+        .when(F.col("df_between") == 4, F.lit(9.487729))
+        .when(F.col("df_between") == 5, F.lit(11.070498))
+        .when(F.col("df_between") == 6, F.lit(12.591587))
+        .when(F.col("df_between") == 7, F.lit(14.067140))
+        .otherwise(F.lit(15.507313))
+    )
+    return f.select(
+        "n",
+        "k",
+        "df_between",
+        "df_within",
+        fq6.alias("f_q6"),
+        eq6.alias("eta2_q6"),
+        (fq6 * F.col("df_between").cast("double") > crit).alias("significant"),
+    )

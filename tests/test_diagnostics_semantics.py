@@ -1264,3 +1264,62 @@ def test_pr_auc_separable_corpus_and_prevalence(spark, tmp_path):
     assert r["n_pos"] == 30 and r["n_neg"] == 30
     assert r["prevalence_q6"] == 0.5
     assert r["ap_q6"] >= 0.99
+
+
+def test_anova_f_planted_shift_vs_matched_groups(spark, tmp_path):
+    """One group's mean sits 5x above the others -> F blows past the
+    chi2/df critical and eta2 says most variance is between groups.
+    Three groups drawing the same 7-point value cycle -> F must sit
+    far below the critical (and a zero-spread corpus emits nothing
+    rather than 0/0)."""
+    rows, eid = [], 0
+    for u in range(300):
+        if u % 3 == 0:
+            et, v = "click", 500.0 + (u % 7)
+        elif u % 3 == 1:
+            et, v = "view", 100.0 + (u % 7)
+        else:
+            et, v = "purchase", 100.0 + ((u + 3) % 7)
+        rows.append((eid, _ts(u), u, et, v, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["events_anova_f"](spark, sf).collect()[0]
+    assert r["k"] == 3 and r["df_between"] == 2
+    assert bool(r["significant"]) is True and r["eta2_q6"] > 0.9
+
+    rows, eid = [], 0
+    for u in range(300):
+        et = ("click", "view", "purchase")[u % 3]
+        rows.append((eid, _ts(u), u, et, 100.0 + ((u // 3) % 7), "{}")); eid += 1
+    sf2 = _write_events(spark, tmp_path / "null", rows)
+    r2 = QUERIES["events_anova_f"](spark, sf2).collect()[0]
+    assert bool(r2["significant"]) is False and r2["eta2_q6"] < 0.05
+
+    rows = [(i, _ts(i), i, ("view", "click")[i % 2], 42.0, "{}")
+            for i in range(60)]
+    sf3 = _write_events(spark, tmp_path / "const", rows)
+    assert QUERIES["events_anova_f"](spark, sf3).collect() == []
+
+
+def test_brier_decomposition_separable_corpus(spark, tmp_path):
+    """On the trivially separable corpus the classifier RANKS perfectly
+    (AP ~ 1) but its 12-step logistic scores are NOT calibrated — and
+    Murphy is exactly the lens that separates those two facts:
+    resolution equals uncertainty EXACTLY (every score decile is pure,
+    carrying all the outcome variance; both are p(1-p) = 0.25 at the
+    planted 50% base rate), so the binned Brier collapses to the
+    reliability term alone — which stays well above 0, flagging the
+    miscalibration ROC/PR metrics cannot see. The Murphy identity
+    holds on the q6 grid by construction."""
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            rows.append((i, " ".join(["word"] * 40), "en", "s"))
+        else:
+            rows.append((i, " ".join(["mot"] * 5), "fr", "s"))
+    sf = _write_docs(spark, tmp_path, rows)
+    r = QUERIES["doc_brier_decomposition"](spark, sf).collect()[0]
+    assert r["n"] == 60
+    assert r["uncertainty_q6"] == 0.25
+    assert r["resolution_q6"] == 0.25  # pure deciles: res == unc exactly
+    assert r["brier_binned_q6"] == r["reliability_q6"]  # identity collapses
+    assert 0.0 < r["reliability_q6"] < 0.25  # ranked perfectly, calibrated badly

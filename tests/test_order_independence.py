@@ -170,6 +170,10 @@ HARDENED = [
     "events_nelson_aalen",
     "events_log_rank",
     "doc_classifier_pr_auc",
+    # r11 third wave: exact decimal moment sums (ANOVA) and decile
+    # integer sums with grid-snapped Murphy terms (Brier)
+    "events_anova_f",
+    "doc_brier_decomposition",
 ]
 
 
