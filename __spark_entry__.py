@@ -112,6 +112,7 @@ _ADJUDICATION_PRIORITY = [
     "doc_classifier_pr_auc",
     "events_anova_f",
     "doc_brier_decomposition",
+    "streaming_page_hinkley",
     "doc_chunk_windows",
     "doc_cross_overlap",
     "doc_incremental_minhash",

@@ -2074,3 +2074,88 @@ def streaming_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi_q6.alias("srm_chi2_q6"),
         (chi_q6 >= F.lit(3.841459)).alias("srm_breach"),
     )
+
+
+_STREAM_PH_ORACLE = r"""
+WITH t AS (
+  SELECT event_id, 'S' || CAST(user_id % 4 AS VARCHAR) AS symbol, ts, value
+  FROM events),
+fit AS (
+  SELECT symbol,
+         CAST(SUM(CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2
+           / CAST(COUNT(value) AS DOUBLE) AS mu
+  FROM t WHERE symbol IS NOT NULL GROUP BY symbol),
+z AS (
+  SELECT t.symbol, t.ts, t.event_id,
+         CASE WHEN t.value IS NOT NULL
+              THEN CAST(FLOOR((t.value - fit.mu - 0.005e0) * 1e9 + 0.5)
+                        AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS t9
+  FROM t JOIN fit USING (symbol)),
+p AS (
+  SELECT *, CAST(SUM(t9) OVER w AS BIGINT) AS m9
+  FROM z
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+m AS (
+  SELECT *, LEAST(CAST(MIN(m9) OVER w AS BIGINT), 0) AS mn9
+  FROM p
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT symbol, ts, event_id,
+       FLOOR(CAST(m9 - mn9 AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS ph_q6,
+       TRUE AS alarm
+FROM m
+WHERE FLOOR(CAST(m9 - mn9 AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 > 0.5e0
+"""
+
+
+@_register("streaming_page_hinkley", _STREAM_PH_ORACLE)
+def streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming Page-Hinkley drift monitor
+    (streaming/monitors.ph_monitor) — the slow-drift sibling of
+    streaming_cusum_alarms (CUSUM resets at its running minimum and
+    forgives drifts that never spike; PH's gap to the running minimum
+    accumulates them): reference means fitted batch-side per symbol on
+    the exact cent grid, the events table replayed as a file stream,
+    per-key state TWO BIGINTs (1e-9-grid prefix sum + running min).
+    VALUE-CHECKED bit-for-bit: the per-row terms snap to the integer
+    grid BEFORE accumulation, so — unlike a float prefix — the replay
+    equals the oracle's windowed SUM/MIN exactly at ANY micro-batch
+    boundary placement, not just the single-batch case (the M_0 = 0
+    start is the standard PH convention and is shared by both sides)."""
+    from ..streaming.monitors import ph_monitor
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias("symbol"),
+        "ts",
+        "value",
+    )
+    fit = (
+        t.na.drop(subset=["symbol"])
+        .groupBy("symbol")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("long")).alias(
+                "sc"
+            ),
+        )
+        .collect()
+    )
+    # same fixed-order mu as the oracle: (grid-sum / 1e2) / n
+    ref = {r["symbol"]: (r["sc"] / 1e2) / r["n"] for r in fit}
+
+    with _replayed_events(spark, sf_dir, "stream_ph_") as src:
+        stream = src.select(
+            F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+                "symbol"
+            ),
+            "ts",
+            "event_id",
+            "value",
+        )
+        alarms = ph_monitor(stream, ref, delta=0.005, lam=0.5)
+        return _materialized(spark, alarms, "reg_stream_ph")

@@ -120,3 +120,89 @@ def cusum_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ph_monitor(
+    stream: DataFrame,
+    ref_means: Mapping[str, float],
+    delta: float = 0.005,
+    lam: float = 0.5,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "symbol",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key streaming Page-Hinkley drift monitor — the slow-drift
+    sibling of :func:`cusum_monitor` (CUSUM's reset forgives a drift
+    that never spikes; PH's gap-to-running-minimum accumulates it).
+    Reference means are fitted offline (``ref_means``: key → mean —
+    the same fit-on-history / monitor-live split); keys without a
+    reference contribute 0 terms and never alarm.
+
+    Emits ONLY alarm rows ((M − min M)/1e9 exceeding ``lam``), append
+    mode: (key, ts, tiebreak, ph_q6, alarm). State per key is TWO
+    BIGINTs — the 1e-9-grid prefix sum and its running minimum — so
+    unlike a float prefix the cross-micro-batch continuation is EXACT:
+    a chunked replay reproduces a one-shot replay bit-for-bit at any
+    batch boundary placement (stronger than the cusum_monitor
+    contract, which is drift-equivalent across batches; asserted in
+    tests/test_streaming.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    means = {str(k): float(m) for k, m in ref_means.items()}
+
+    out_schema = (
+        f"{key_col} string, {ts_col} timestamp, {tiebreak_col} long, "
+        "ph_q6 double, alarm boolean"
+    )
+    state_schema = "p long, mn long"
+
+    def monitor(key, pdfs, state):
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            yield pd.DataFrame()
+            return
+        p_last, mn_last = (state.get if state.exists else (0, 0))
+        sym = str(key[0])
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            state.update((int(p_last), int(mn_last)))
+            yield pd.DataFrame()
+            return
+        batch = pd.concat(frames).sort_values([ts_col, tiebreak_col])
+        x = batch[value_col].astype(float).to_numpy()
+        if sym in means:
+            # same fixed-order per-row term as the SQL oracle:
+            # (x - mu - delta) then ONE 1e-9 grid snap — int64 from here
+            t9 = np.floor((x - means[sym] - delta) * 1e9 + 0.5).astype(np.int64)
+            t9 = np.where(np.isnan(x), np.int64(0), t9)
+        else:
+            t9 = np.zeros(len(x), dtype=np.int64)
+        p = np.cumsum(t9) + p_last  # exact: int64 addition commutes
+        run_min = np.minimum(np.minimum.accumulate(p), mn_last)
+        ph = np.floor((p - run_min).astype(np.float64) / 1e9 * 1e6 + 0.5) / 1e6
+        state.update((int(p[-1]), int(run_min[-1])))
+        mask = ph > lam
+        if not mask.any():
+            yield pd.DataFrame()
+            return
+        yield pd.DataFrame(
+            {
+                key_col: sym,
+                ts_col: batch[ts_col].to_numpy()[mask],
+                tiebreak_col: batch[tiebreak_col].to_numpy()[mask],
+                "ph_q6": ph[mask],
+                "alarm": np.ones(int(mask.sum()), dtype=bool),
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        monitor,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

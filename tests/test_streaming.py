@@ -984,3 +984,69 @@ def test_kafka_source_jar_detected_lane(spark):
             "contract asserted; the integration branch runs "
             "automatically once the jar is present"
         )
+
+
+def test_ph_monitor_multi_batch_bit_identical(spark, tmp_path):
+    """ph_monitor's (prefix, running-min) state is 1e-9-grid BIGINTs,
+    so — stronger than cusum_monitor's drift-equivalence — replaying
+    the same rows as 1 file vs 3 files (one per trigger) must produce
+    the IDENTICAL alarm set with bit-identical ph_q6 values, and a
+    planted slow upward drift (each step too small for a spike
+    detector) must alarm once accumulated."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_project_jan_2026_tick_data__spark.streaming.monitors import (
+        ph_monitor,
+    )
+    from big_data_project_jan_2026_tick_data__spark.streaming.session_pipeline import (
+        run_stream_to_memory,
+    )
+
+    base = pd.Timestamp("2026-01-05 09:00:00")
+    # flat around the reference, then a slow +0.1/step drift
+    vals = [10.0, 10.05, 9.95, 10.0] * 5 + [10.0 + 0.1 * i for i in range(1, 21)]
+    rows = pd.DataFrame(
+        {
+            "symbol": "A",
+            "ts": [base + pd.Timedelta(seconds=i) for i in range(len(vals))],
+            "event_id": range(len(vals)),
+            "value": vals,
+        }
+    )
+    ref = {"A": 10.0}
+    schema = "symbol string, ts timestamp, event_id long, value double"
+
+    def run(n_files: int, name: str):
+        d = tmp_path / f"in_{n_files}"
+        d.mkdir()
+        if n_files == 1:
+            chunks = [rows]
+        else:
+            third = len(rows) // 3
+            chunks = [rows.iloc[:third], rows.iloc[third : 2 * third],
+                      rows.iloc[2 * third :]]
+        for i, ch in enumerate(chunks):
+            ch = ch.assign(ts=ch["ts"].astype("datetime64[us]"))
+            pq.write_table(
+                pa.Table.from_pandas(ch, preserve_index=False), d / f"f{i}.parquet"
+            )
+        out = run_stream_to_memory(
+            ph_monitor(
+                (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(str(d))
+                ),
+                ref,
+                delta=0.005,
+                lam=0.5,
+            ),
+            name,
+        )
+        return {r["event_id"]: r["ph_q6"] for r in out.collect()}
+
+    one = run(1, "ph_one")
+    three = run(3, "ph_three")
+    assert one and one == three  # bit-identical at any batch boundary
+    assert min(one) >= 20  # only the drift section alarms
