@@ -699,6 +699,12 @@ _SCAN_BUDGETS = {
     "doc_line_dedup": 1,
     "emb_lsh_topk": 2,
     "emb_ivf_topk": 2,
+    # r11 headline addition: the histogram feeding the CDF sweep is
+    # localCheckpointed inside global_cumsum, so the returned plan's
+    # lineage is checkpoint-truncated — 0 visible scans (the corpus
+    # passes happen at checkpoint materialization, covered by the
+    # registry-wide scan-cap sweep)
+    "events_mann_whitney": 0,
 }
 
 
