@@ -113,6 +113,8 @@ _ADJUDICATION_PRIORITY = [
     "events_anova_f",
     "doc_brier_decomposition",
     "streaming_page_hinkley",
+    "orders_skyline",
+    "events_lorenz_curve",
     "doc_chunk_windows",
     "doc_cross_overlap",
     "doc_incremental_minhash",

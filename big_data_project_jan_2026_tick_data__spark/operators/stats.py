@@ -1154,6 +1154,75 @@ def global_cumsum(
     )
 
 
+def global_cummax(
+    df: DataFrame,
+    order_cols: Sequence,
+    value_col: str,
+    num_partitions: int = 32,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Global running MAX over a total order WITHOUT a single-partition
+    window — the max-monoid sibling of :func:`global_cumsum` (same
+    range-exchange + per-partition window + driver-offsets shape; max
+    is associative and idempotent, so the decomposition is exact for
+    any comparable type Spark can aggregate).
+
+    ``exclusive=True`` returns the running max over STRICTLY PRECEDING
+    rows (NULL for the global first row) — the form dominance/skyline
+    scans need ("best value among everything ranked above me").
+    Requires ``order_cols`` to be a TOTAL order (unique key), exactly
+    like global_cumsum. Returns the input plus ``cummax_<value_col>``.
+    """
+    ordered = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    lo = -1 if exclusive else 0
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, lo)
+    )
+    # same boundary pin as global_cumsum: a recompute must not resample
+    # range boundaries between the offsets action and the final action
+    local = ordered.withColumn(
+        "__local_max", F.max(F.col(value_col)).over(w)
+    ).localCheckpoint()
+    # per-partition INCLUSIVE totals feed the offsets regardless of
+    # exclusive: partition p's offset is the max over all rows of
+    # partitions < p
+    totals = (
+        local.groupBy("__pid")
+        .agg(F.max(F.col(value_col)).alias("__ptot"))
+        .orderBy("__pid")
+        .collect()
+    )
+    offsets, running = [], None
+    for r in totals:
+        offsets.append((r["__pid"], running))
+        t = r["__ptot"]
+        if t is not None:
+            running = t if running is None or t > running else running
+    vtype = df.schema[value_col].dataType.simpleString()
+    off_df = df.sparkSession.createDataFrame(
+        offsets, f"__pid int, __offset {vtype}"
+    )
+    out_col = f"cummax_{value_col}"
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__local_max").isNull(), F.col("__offset")
+            ).otherwise(
+                F.when(
+                    F.col("__offset").isNull(), F.col("__local_max")
+                ).otherwise(F.greatest("__local_max", "__offset"))
+            ),
+        )
+        .drop("__pid", "__local_max", "__offset")
+    )
+
+
 def abc_classification(
     df: DataFrame,
     key_cols: Sequence[str],

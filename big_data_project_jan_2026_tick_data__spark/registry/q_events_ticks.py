@@ -8778,3 +8778,97 @@ def events_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         eq6.alias("eta2_q6"),
         (fq6 * F.col("df_between").cast("double") > crit).alias("significant"),
     )
+
+
+@_register(
+    "events_lorenz_curve",
+    r"""
+    WITH su AS (
+      SELECT user_id, SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS spend
+      FROM events WHERE value > 0 GROUP BY user_id),
+    c AS (
+      SELECT user_id, spend,
+             CAST(row_number() OVER (ORDER BY spend, user_id) AS BIGINT)
+               AS rnk,
+             CAST(SUM(spend) OVER (ORDER BY spend, user_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum_spend
+      FROM su),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(spend) AS BIGINT) AS s FROM su),
+    d AS (SELECT CAST(x AS BIGINT) AS decile
+          FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) v(x)),
+    b AS (
+      SELECT d.decile, (tot.n * d.decile) // 10 AS boundary, tot.n, tot.s
+      FROM d CROSS JOIN tot WHERE (tot.n * d.decile) // 10 >= 1)
+    SELECT b.decile, b.boundary AS users_cum, c.cum_spend AS spend_cum_cents,
+           FLOOR(CAST(b.boundary AS DOUBLE) / CAST(b.n AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS user_share_q6,
+           FLOOR(CAST(c.cum_spend AS DOUBLE) / CAST(b.s AS DOUBLE) * 1e6
+                 + 0.5) / 1e6 AS spend_share_q6
+    FROM b JOIN c ON c.rnk = b.boundary
+    """,
+)
+def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of per-user spend at decile grain — the curve
+    behind events_gini_engagement's single number (the Gini is twice
+    the area between this curve and the diagonal): at each user-count
+    decile boundary, the cumulative share of total spend held by the
+    bottom d/10 of users. The concentration report a monetization or
+    data-mixing review reads directly ("the bottom half of users carry
+    X% of spend").
+
+    Exactness: spend is exact cents; users are ranked by the total
+    order (spend, user_id); both the rank and the cumulative spend
+    ride stats.global_cumsum (range-partitioned prefix sums — the rank
+    is a cumsum of ones, never a global row_number window); decile
+    boundaries are exact integer (n·d) div 10 positions joined against
+    the rank, so every emitted row is an exact order statistic; the
+    two shares are single double divisions of exact integers snapped
+    q6. Scale: one user-grain agg, one range exchange, a 10-row
+    broadcast join. No counterpart in the reference."""
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    su = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("spend")
+    )
+    ranked = stats.global_cumsum(
+        su.withColumn("one", F.lit(1).cast("long")),
+        order_cols=[F.col("spend").asc(), F.col("user_id").asc()],
+        value_col="one",
+    ).withColumnRenamed("cum_one", "rnk")
+    c = stats.global_cumsum(
+        ranked,
+        order_cols=[F.col("spend").asc(), F.col("user_id").asc()],
+        value_col="spend",
+    ).withColumnRenamed("cum_spend", "cum_spend")
+    tot = su.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("spend").cast("long").alias("s"),
+    )
+    d = spark.range(1, 11).select(F.col("id").cast("long").alias("decile"))
+    b = (
+        d.crossJoin(F.broadcast(tot))
+        .withColumn("boundary", F.expr("(n * decile) div 10"))
+        .filter(F.col("boundary") >= 1)
+    )
+    return c.join(F.broadcast(b), c.rnk == b.boundary).select(
+        "decile",
+        F.col("boundary").alias("users_cum"),
+        F.col("cum_spend").alias("spend_cum_cents"),
+        (
+            F.floor(
+                F.col("boundary").cast("double") / F.col("n").cast("double") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("user_share_q6"),
+        (
+            F.floor(
+                F.col("cum_spend").cast("double") / F.col("s").cast("double") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("spend_share_q6"),
+    )

@@ -3112,3 +3112,68 @@ def orders_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             q6(F.col("sw12")).alias("theil_within_q6"),
         )
     )
+
+
+@_register(
+    "orders_skyline",
+    r"""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS pc,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS dd
+      FROM orders),
+    g AS (SELECT pc, CAST(MAX(dd) AS BIGINT) AS gmax FROM o GROUP BY pc),
+    e AS (
+      SELECT pc, gmax,
+             MAX(gmax) OVER (ORDER BY pc DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS exc
+      FROM g)
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM o JOIN e USING (pc)
+    WHERE o.dd = e.gmax AND (e.exc IS NULL OR e.exc < o.dd)
+    """,
+)
+def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query over orders maximizing BOTH
+    total price and recency — the multi-criteria 'best offers' operator
+    (Börzsönyi et al. 2001) relational engines ship as SKYLINE OF: an
+    order survives iff no other order is at least as good on both
+    criteria and strictly better on one. The classical sort-scan
+    insight makes it one pass: an order is on the frontier iff its
+    date strictly beats the best date among all STRICTLY
+    higher-priced orders and nothing at its own price is more recent.
+
+    Exactness: both criteria live on integer grids (price cents, epoch
+    days), so dominance comparisons are exact; the scan rides
+    stats.global_cummax (range-partitioned running max, the max-monoid
+    global_cumsum — never a single-partition window) in its EXCLUSIVE
+    form over the distinct-price grain, then one equi-join back to
+    orders on the price key. Scale: one hash agg to the price
+    histogram, one range exchange over distinct prices, one equi-join
+    back — the frontier test itself is per-row codegen.
+    No counterpart in the reference."""
+    o = _td(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("dd"),
+    )
+    g = o.groupBy("pc").agg(F.max("dd").cast("long").alias("gmax"))
+    e = stats.global_cummax(
+        g, order_cols=[F.col("pc").desc()], value_col="gmax", exclusive=True
+    ).withColumnRenamed("cummax_gmax", "exc")
+    return (
+        o.join(e, "pc")
+        .filter(
+            (F.col("dd") == F.col("gmax"))
+            & (F.col("exc").isNull() | (F.col("exc") < F.col("dd")))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )

@@ -1323,3 +1323,52 @@ def test_brier_decomposition_separable_corpus(spark, tmp_path):
     assert r["resolution_q6"] == 0.25  # pure deciles: res == unc exactly
     assert r["brier_binned_q6"] == r["reliability_q6"]  # identity collapses
     assert 0.0 < r["reliability_q6"] < 0.25  # ranked perfectly, calibrated badly
+
+
+def test_skyline_hand_crafted_frontier(spark, tmp_path):
+    """Hand-checkable Pareto frontier: (100, day5) dominates (100, day4)
+    and (95, day3); (90, day9) dominates (80, day9); an exact duplicate
+    of a frontier point also survives (neither copy strictly beats the
+    other). Frontier = both (100, day5) copies + (90, day9)."""
+    d = str(tmp_path / "sfsky")
+    rows = [
+        (1, 100.0, "2024-01-05"),
+        (2, 90.0, "2024-01-09"),
+        (3, 95.0, "2024-01-03"),
+        (4, 100.0, "2024-01-04"),
+        (5, 80.0, "2024-01-09"),
+        (6, 100.0, "2024-01-05"),  # duplicate frontier point
+    ]
+    spark.createDataFrame(
+        [(k, 7, "O", p, f"{dt} 00:00:00", "1-URGENT") for k, p, dt in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = {r["o_orderkey"] for r in QUERIES["orders_skyline"](spark, d).collect()}
+    assert got == {1, 2, 6}
+
+
+def test_lorenz_diagonal_on_equal_spend_and_concentrated(spark, tmp_path):
+    """Ten users each spending exactly $1.00: the Lorenz curve IS the
+    diagonal — spend share equals user share at every decile, exactly
+    on the q6 grid. One whale holding ~99% of spend: the bottom 90% of
+    users carry under 2%."""
+    rows = [(u, _ts(u), u, "view", 1.0, "{}") for u in range(10)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["decile"]: r for r in QUERIES["events_lorenz_curve"](spark, sf).collect()}
+    assert len(out) == 10
+    for d in range(1, 11):
+        assert out[d]["users_cum"] == d
+        assert out[d]["user_share_q6"] == d / 10
+        assert out[d]["spend_share_q6"] == d / 10  # exact diagonal
+
+    rows = [(u, _ts(u), u, "view", 1.0, "{}") for u in range(9)]
+    rows.append((9, _ts(9), 9, "view", 1000.0, "{}"))
+    sf2 = _write_events(spark, tmp_path / "whale", rows)
+    out2 = {r["decile"]: r for r in QUERIES["events_lorenz_curve"](spark, sf2).collect()}
+    assert out2[9]["spend_share_q6"] < 0.02   # bottom 90% nearly nothing
+    assert out2[10]["spend_share_q6"] == 1.0  # full mass at the top

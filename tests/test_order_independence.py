@@ -174,6 +174,10 @@ HARDENED = [
     # integer sums with grid-snapped Murphy terms (Brier)
     "events_anova_f",
     "doc_brier_decomposition",
+    # r11 fourth wave: integer-grid dominance scan (global_cummax) and
+    # exact order-statistic decile shares (chained global_cumsum)
+    "orders_skyline",
+    "events_lorenz_curve",
 ]
 
 

@@ -2054,3 +2054,43 @@ def test_interval_overlap_join_matches_bruteforce(spark, a_iv, b_iv, width):
         a, b, "a_start", "a_end", "b_start", "b_end", bucket_width=width
     ).select("aid", "bid").collect()
     assert sorted((r.aid, r.bid) for r in got) == expect
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(-(10**6), 10**6), st.none()),
+        min_size=1,
+        max_size=50,
+    ),
+)
+@settings(**SETTINGS)
+def test_global_cummax_matches_sequential(spark, vals):
+    """Range-partitioned running-max decomposition (global_cummax) vs a
+    plain sequential scan, inclusive AND exclusive, with NULLs in play
+    (a NULL value must never poison the running max, and the exclusive
+    form must be NULL until a non-null value precedes), across forced
+    partition boundaries."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    inc = {
+        r["k"]: r["cummax_v"]
+        for r in stats.global_cummax(
+            df, order_cols=[F.col("k").asc()], value_col="v", num_partitions=4
+        ).collect()
+    }
+    exc = {
+        r["k"]: r["cummax_v"]
+        for r in stats.global_cummax(
+            df,
+            order_cols=[F.col("k").asc()],
+            value_col="v",
+            num_partitions=4,
+            exclusive=True,
+        ).collect()
+    }
+    running = None
+    for i, v in enumerate(vals):
+        assert exc[i] == running, f"exclusive@{i}"
+        if v is not None:
+            running = v if running is None or v > running else running
+        assert inc[i] == running, f"inclusive@{i}"
