@@ -378,6 +378,42 @@ def test_global_cumsum_10m_distinct_256_partitions(spark):
     )
 
 
+def test_global_cummax_10m_256_partitions(spark):
+    """The max-monoid sibling lane: 10M distinct keys through
+    global_cummax at 256 range partitions, inclusive and exclusive,
+    on an interleaved two-ramp series (v = k for even k, k-3 for odd)
+    whose running max has the closed form k - (k % 2) — every row
+    checked, so a mis-attributed partition offset cannot hide."""
+    from big_data_project_jan_2026_tick_data__spark.operators.stats import (
+        global_cummax,
+    )
+
+    n, p = 10_000_000, 256
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 2 == 0, F.col("id"))
+            .otherwise(F.col("id") - 3)
+            .alias("v"),
+        )
+        .repartition(64, (F.col("k") * 2654435761) % 997)
+    )
+    inc = global_cummax(df, order_cols=[F.col("k").asc()], value_col="v",
+                        num_partitions=p)
+    assert inc.filter(
+        F.col("cummax_v") != F.col("k") - (F.col("k") % 2)
+    ).count() == 0
+    exc = global_cummax(df, order_cols=[F.col("k").asc()], value_col="v",
+                        num_partitions=p, exclusive=True)
+    bad_exc = exc.filter(
+        F.when(F.col("k") == 0, F.col("cummax_v").isNotNull()).otherwise(
+            F.col("cummax_v") != (F.col("k") - 1) - ((F.col("k") - 1) % 2)
+        )
+    ).count()
+    assert bad_exc == 0
+
+
 def test_quality_classifier_300k_docs(spark, big_docs):
     from big_data_project_jan_2026_tick_data__spark.operators import classifier
 
