@@ -115,6 +115,8 @@ _ADJUDICATION_PRIORITY = [
     "streaming_page_hinkley",
     "orders_skyline",
     "events_lorenz_curve",
+    "events_odds_ratio",
+    "ticks_mann_kendall",
     "doc_chunk_windows",
     "doc_cross_overlap",
     "doc_incremental_minhash",

@@ -8872,3 +8872,273 @@ def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("spend_share_q6"),
     )
+
+
+def _odds_ratio_oracle() -> str:
+    ln_or = detmath.det_ln_pos_sql("orat", "duckdb")
+    ln_rr = detmath.det_ln_pos_sql("rrat", "duckdb")
+    ex_lo = detmath.det_exp_sql("lo_or", "duckdb")
+    ex_hi = detmath.det_exp_sql("hi_or", "duckdb")
+    return rf"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE 0 END AS is_a,
+             CASE WHEN arg_min(event_type,
+                     lpad(CAST(epoch_ms(ts) AS VARCHAR), 14, '0')
+                     || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                   = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE 0 END),
+    t AS (
+      SELECT CAST(SUM(is_a * conv) AS BIGINT) AS a,
+             CAST(SUM(is_a * (1 - conv)) AS BIGINT) AS b,
+             CAST(SUM((1 - is_a) * conv) AS BIGINT) AS c,
+             CAST(SUM((1 - is_a) * (1 - conv)) AS BIGINT) AS d
+      FROM u),
+    f AS (
+      SELECT a, b, c, d,
+             (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+               / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) AS orat,
+             (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+               / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)) AS rrat,
+             sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                  + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)) AS se
+      FROM t WHERE a > 0 AND b > 0 AND c > 0 AND d > 0),
+    g AS (
+      SELECT a, b, c, d, orat, rrat, se,
+             ({ln_or}) - 1.959964e0 * se AS lo_or,
+             ({ln_or}) + 1.959964e0 * se AS hi_or
+      FROM f)
+    SELECT a, b, c, d,
+           FLOOR(orat * 1e6 + 0.5) / 1e6 AS odds_ratio_q6,
+           FLOOR(rrat * 1e6 + 0.5) / 1e6 AS relative_risk_q6,
+           FLOOR(({ex_lo}) * 1e6 + 0.5) / 1e6 AS or_ci_lo_q6,
+           FLOOR(({ex_hi}) * 1e6 + 0.5) / 1e6 AS or_ci_hi_q6,
+           FLOOR(({ex_lo}) * 1e6 + 0.5) / 1e6 > 1.0
+             OR FLOOR(({ex_hi}) * 1e6 + 0.5) / 1e6 < 1.0 AS significant
+    FROM g
+    """
+
+
+@_register("events_odds_ratio", _odds_ratio_oracle())
+def events_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio and relative risk of FIRST-TOUCH purchase conversion
+    between the md5 arms, with the Katz log-normal 95% CI — the
+    effect-size report clinical and growth teams quote next to the
+    p-value machinery (events_ab_test says WHETHER arms differ; this
+    says BY HOW MUCH, on the multiplicative scale that composes across
+    strata): OR = ad/bc, RR = (a/(a+b))/(c/(c+d)),
+    CI = exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)); significant iff the CI
+    excludes 1. Conversion is FIRST-TOUCH (the user's first event by
+    the padded epoch-ms key is a purchase — the Holm/power convention),
+    because any-touch saturates to 100% as activity grows and the 2×2
+    degenerates.
+
+    Exactness: the 2×2 cells are exact BIGINTs from one user-grain
+    agg; OR/RR/SE are fixed-order double chains over the exact cells;
+    ln and exp ride detmath (bit-identical engines); outputs snap q6
+    and the significance verdict compares snapped CI bounds to the
+    exact literal 1. Any empty cell emits no row (the Katz CI is
+    undefined; callers wanting a Haldane correction can add 0.5 —
+    documented, not silently applied). Scale: one hash agg, one-row
+    frames. No counterpart in the reference."""
+    ev = _td(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.expr("unix_micros(ts) div 1000").cast("string"), 14, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    u = (
+        ev.select("user_id", "event_type", key.alias("__k"))
+        .groupBy("user_id")
+        .agg(
+            F.when(F.min_by("event_type", "__k") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("conv")
+        )
+        .select(
+            F.when(_md5_even(), F.lit(1)).otherwise(F.lit(0)).alias("is_a"),
+            "conv",
+        )
+    )
+    t = u.agg(
+        F.sum(F.col("is_a") * F.col("conv")).cast("long").alias("a"),
+        F.sum(F.col("is_a") * (1 - F.col("conv"))).cast("long").alias("b"),
+        F.sum((1 - F.col("is_a")) * F.col("conv")).cast("long").alias("c"),
+        F.sum((1 - F.col("is_a")) * (1 - F.col("conv"))).cast("long").alias("d"),
+    )
+    ad, bd, cd, dd = (F.col(x).cast("double") for x in ("a", "b", "c", "d"))
+    f = (
+        t.filter(
+            (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) & (F.col("d") > 0)
+        )
+        .withColumn("orat", (ad * dd) / (bd * cd))
+        .withColumn("rrat", (ad / (F.col("a") + F.col("b")).cast("double"))
+                    / (cd / (F.col("c") + F.col("d")).cast("double")))
+        .withColumn(
+            "se",
+            F.sqrt(
+                F.lit(1.0) / ad + F.lit(1.0) / bd + F.lit(1.0) / cd + F.lit(1.0) / dd
+            ),
+        )
+        .withColumn("__lnor", detmath.det_ln_pos("orat"))
+        .withColumn("lo_or", F.col("__lnor") - F.lit(1.959964) * F.col("se"))
+        .withColumn("hi_or", F.col("__lnor") + F.lit(1.959964) * F.col("se"))
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    lo = q6(detmath.det_exp("lo_or"))
+    hi = q6(detmath.det_exp("hi_or"))
+    return f.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        q6(F.col("orat")).alias("odds_ratio_q6"),
+        q6(F.col("rrat")).alias("relative_risk_q6"),
+        lo.alias("or_ci_lo_q6"),
+        hi.alias("or_ci_hi_q6"),
+        ((lo > 1.0) | (hi < 1.0)).alias("significant"),
+    )
+
+
+@_register(
+    "ticks_mann_kendall",
+    r"""
+    WITH t AS (
+      SELECT concat('S', CAST(user_id % 4 AS VARCHAR)) AS symbol,
+             CAST(ts AS DATE) AS day,
+             lpad(CAST(epoch_ms(ts) AS VARCHAR), 14, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value > 0),
+    d AS (
+      SELECT symbol, day, arg_max(cents, k) AS close
+      FROM t GROUP BY symbol, day),
+    s AS (
+      SELECT a.symbol,
+             CAST(SUM(CASE WHEN b.close > a.close THEN 1
+                           WHEN b.close < a.close THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM d a JOIN d b ON a.symbol = b.symbol AND a.day < b.day
+      GROUP BY a.symbol),
+    nn AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n FROM d
+           GROUP BY symbol),
+    ties AS (
+      SELECT symbol,
+             CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT symbol, close, CAST(count(*) AS BIGINT) AS tg
+            FROM d GROUP BY symbol, close) x
+      GROUP BY symbol),
+    v AS (
+      SELECT s.symbol, s.s_stat, nn.n,
+             (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0)
+              * (2.0 * CAST(nn.n AS DOUBLE) + 5.0)
+              - CAST(ties.tie_term AS DOUBLE)) / 18.0 AS var
+      FROM s JOIN nn USING (symbol) JOIN ties USING (symbol)
+      WHERE nn.n >= 2),
+    z AS (
+      SELECT symbol, s_stat, n,
+             CASE WHEN s_stat > 0
+                  THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var)
+                  WHEN s_stat < 0
+                  THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var)
+                  ELSE 0.0 END AS zval
+      FROM v WHERE var > 0.0)
+    SELECT symbol, n AS n_days, s_stat,
+           FLOOR(zval * 1e6 + 0.5) / 1e6 AS z_q6,
+           abs(FLOOR(zval * 1e6 + 0.5) / 1e6) >= 1.959964 AS significant
+    FROM z
+    """,
+)
+def ticks_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per symbol on the daily-close series —
+    the nonparametric 'is there a monotone trend at all?' gate that
+    pairs with ticks_theil_sen (same LOCKSTEP daily-close
+    construction; Theil-Sen says the slope, MK says whether to believe
+    it): S = Σ_{i<j} sign(c_j − c_i), tie-corrected variance
+    [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18, the standard ±1 continuity
+    correction, |z| against the frozen two-sided critical.
+
+    Exactness: S is an exact integer from the day-pair join (days² per
+    symbol — metadata at any corpus scale); the tie term is exact
+    integer arithmetic over the per-symbol close histogram; z is one
+    fixed-order double chain snapped q6. Zero-variance series (all
+    closes tied) emit no row. Scale: one tick pass to the (symbol,
+    day) grain, then day-grain frames only.
+    No counterpart in the reference."""
+    ev = _td(spark, sf_dir, "events").filter(F.col("value") > 0)
+    key = F.concat(
+        F.lpad(F.expr("unix_micros(ts) div 1000").cast("string"), 14, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        F.to_date("ts").alias("day"),
+        key.alias("k"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    d = (
+        t.groupBy("symbol", "day")
+        .agg(F.max_by("cents", "k").alias("close"))
+        .localCheckpoint()  # feeds the pair join (twice), counts and ties
+    )
+    a, b = d.alias("a"), d.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.symbol") == F.col("b.symbol"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.symbol").alias("symbol"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.close") > F.col("a.close"), F.lit(1))
+                .when(F.col("b.close") < F.col("a.close"), F.lit(-1))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = d.groupBy("symbol").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        d.groupBy("symbol", "close")
+        .agg(F.count(F.lit(1)).cast("long").alias("tg"))
+        .groupBy("symbol")
+        .agg(
+            F.sum(F.col("tg") * (F.col("tg") - 1) * (2 * F.col("tg") + 5))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    ndd = F.col("n").cast("double")
+    var = (
+        ndd * (ndd - F.lit(1.0)) * (F.lit(2.0) * ndd + F.lit(5.0))
+        - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    v = (
+        s.join(F.broadcast(nn), "symbol")
+        .join(F.broadcast(ties), "symbol")
+        .filter(F.col("n") >= 2)
+        .withColumn("var", var)
+        .filter(F.col("var") > 0.0)
+    )
+    sd = F.col("s_stat").cast("double")
+    zval = (
+        F.when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / F.sqrt(F.col("var")))
+        .when(F.col("s_stat") < 0, (sd + F.lit(1.0)) / F.sqrt(F.col("var")))
+        .otherwise(F.lit(0.0))
+    )
+    zq6 = F.floor(zval * 1e6 + F.lit(0.5)) / 1e6
+    return v.select(
+        "symbol",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        zq6.alias("z_q6"),
+        (F.abs(zq6) >= F.lit(1.959964)).alias("significant"),
+    )

@@ -1372,3 +1372,56 @@ def test_lorenz_diagonal_on_equal_spend_and_concentrated(spark, tmp_path):
     out2 = {r["decile"]: r for r in QUERIES["events_lorenz_curve"](spark, sf2).collect()}
     assert out2[9]["spend_share_q6"] < 0.02   # bottom 90% nearly nothing
     assert out2[10]["spend_share_q6"] == 1.0  # full mass at the top
+
+
+def test_odds_ratio_planted_lift_and_null(spark, tmp_path):
+    """Arm A converts at ~80%, arm B at ~20% (by deterministic u%5):
+    OR = (0.8/0.2)/(0.2/0.8) = 16 up to integer rounding, the CI
+    excludes 1 and RR sits near 4. Identical conversion in both arms
+    (u%2, independent of the md5 split): the CI must straddle 1."""
+    rows, eid = [], 0
+    for u in range(500):
+        conv = (u % 5 != 0) if _md5_arm(u) == "A" else (u % 5 == 0)
+        et = "purchase" if conv else "view"
+        rows.append((eid, _ts(u), u, et, 1.0, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["events_odds_ratio"](spark, sf).collect()[0]
+    assert r["odds_ratio_q6"] > 8 and r["relative_risk_q6"] > 2.5
+    assert r["or_ci_lo_q6"] > 1.0 and bool(r["significant"]) is True
+
+    rows, eid = [], 0
+    for u in range(500):
+        et = "purchase" if u % 2 == 0 else "view"
+        rows.append((eid, _ts(u), u, et, 1.0, "{}")); eid += 1
+    sf2 = _write_events(spark, tmp_path / "null", rows)
+    r2 = QUERIES["events_odds_ratio"](spark, sf2).collect()[0]
+    assert r2["or_ci_lo_q6"] < 1.0 < r2["or_ci_hi_q6"]
+    assert bool(r2["significant"]) is False
+
+
+def test_mann_kendall_monotone_vs_alternating(spark, tmp_path):
+    """A strictly rising daily close series has EVERY pair concordant —
+    S = n(n-1)/2 exactly — and must flag a significant trend; an
+    alternating series has S near 0 and must not. Constant closes
+    (zero variance) emit nothing."""
+    from datetime import datetime, timedelta
+
+    def dts(day):
+        return (datetime(2024, 1, 1) + timedelta(days=day)).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+
+    up = [(d, dts(d), 0, "view", 100.0 + d, "{}") for d in range(15)]
+    sf = _write_events(spark, tmp_path / "up", up)
+    r = {x["symbol"]: x for x in QUERIES["ticks_mann_kendall"](spark, sf).collect()}["S0"]
+    assert r["s_stat"] == 15 * 14 // 2
+    assert r["z_q6"] > 1.959964 and bool(r["significant"]) is True
+
+    alt = [(d, dts(d), 0, "view", 100.0 + (d % 2), "{}") for d in range(15)]
+    sf2 = _write_events(spark, tmp_path / "alt", alt)
+    r2 = {x["symbol"]: x for x in QUERIES["ticks_mann_kendall"](spark, sf2).collect()}["S0"]
+    assert abs(r2["z_q6"]) < 1.959964 and bool(r2["significant"]) is False
+
+    flat = [(d, dts(d), 0, "view", 100.0, "{}") for d in range(15)]
+    sf3 = _write_events(spark, tmp_path / "flat", flat)
+    assert QUERIES["ticks_mann_kendall"](spark, sf3).collect() == []

@@ -178,6 +178,10 @@ HARDENED = [
     # exact order-statistic decile shares (chained global_cumsum)
     "orders_skyline",
     "events_lorenz_curve",
+    # r11 fifth wave: exact 2x2 cells with detmath ln/exp CI chains;
+    # exact integer S / tie-corrected variance with one double tail
+    "events_odds_ratio",
+    "ticks_mann_kendall",
 ]
 
 
