@@ -117,6 +117,7 @@ _ADJUDICATION_PRIORITY = [
     "events_lorenz_curve",
     "events_odds_ratio",
     "ticks_mann_kendall",
+    "emb_procrustes_drift",
     "doc_chunk_windows",
     "doc_cross_overlap",
     "doc_incremental_minhash",

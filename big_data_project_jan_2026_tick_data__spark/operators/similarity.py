@@ -1766,3 +1766,107 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+def procrustes_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    c: float = 0.8,
+    s: float = 0.6,
+) -> dict:
+    """Orthogonal-Procrustes drift digest between an embedding corpus
+    and its deterministically drifted twin v2 (v2_j = c·v1_j +
+    s·v1_{(j+1) mod d} — a fixed non-orthogonal mixing, so the best
+    rotation leaves a genuine residual): the embedding-VERSION
+    alignment check a training pipeline runs before mixing vectors
+    produced by two encoder checkpoints (Schönemann 1966; the
+    min_{RᵀR=I} ‖X₁R − X₂‖²F closed form is ‖X₁‖² + ‖X₂‖² − 2Σσᵢ(M),
+    M = X₁ᵀX₂ — no rotation matrix ever needs to leave the driver).
+
+    ONE corpus pass: each row explodes to d + d + d² flat-keyed terms
+    (‖v1‖² dims, ‖v2‖² dims, the M cross products), every term snapped
+    to the 1e-9 grid and hash-aggregated (map-side combine; the
+    shuffle is 2d + d² keys regardless of corpus size), so M and both
+    norms are EXACT integer statistics and the driver SVD (d×d —
+    metadata) sees bit-identical input from any partitioning. Returns
+    {n, sigmas, sq1, sq2} (ints exact, sigmas from numpy SVD on the
+    shared-construction matrix — :func:`procrustes_drift_numpy` is the
+    frozen-oracle twin)."""
+    import numpy as np
+
+    from ..functions.detmath import dlit
+
+    d = dim
+    v = df.select(_to_double(F.col(vec_col)).alias("v")).withColumn(
+        "w",
+        F.expr(
+            f"transform(sequence(0, {d - 1}), j -> "
+            f"{dlit(c)} * element_at(v, j + 1)"
+            f" + {dlit(s)} * element_at(v, ((j + 1) % {d}) + 1))"
+        ),
+    )
+    terms = F.expr(
+        f"""flatten(array(
+          transform(sequence(0, {d - 1}),
+                    i -> struct(i AS k,
+                                element_at(v, i + 1) * element_at(v, i + 1)
+                                  AS val)),
+          transform(sequence(0, {d - 1}),
+                    i -> struct({d} + i AS k,
+                                element_at(w, i + 1) * element_at(w, i + 1)
+                                  AS val)),
+          flatten(transform(sequence(0, {d - 1}), i ->
+            transform(sequence(0, {d - 1}), j ->
+              struct({2 * d} + i * {d} + j AS k,
+                     element_at(v, i + 1) * element_at(w, j + 1) AS val))))
+        ))"""
+    )
+    agg = (
+        v.select(F.explode(terms).alias("e"))
+        .select(F.col("e.k").alias("k"), F.col("e.val").alias("val"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.floor(F.col("val") * 1e9 + F.lit(0.5)).cast("decimal(38,0)")
+            ).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .collect()
+    )
+    by_k = {r["k"]: int(r["s"]) for r in agg}
+    n = next(int(r["cnt"]) for r in agg)
+    sq1 = sum(by_k[k] for k in range(d))
+    sq2 = sum(by_k[d + k] for k in range(d))
+    m = np.zeros((d, d), dtype=np.float64)
+    for i in range(d):
+        for j in range(d):
+            m[i, j] = float(by_k[2 * d + i * d + j])
+    m /= 1e9
+    sigmas = [float(x) for x in np.linalg.svd(m, compute_uv=False)]
+    return {"n": n, "sigmas": sigmas, "sq1": sq1, "sq2": sq2}
+
+
+def procrustes_drift_numpy(
+    X, c: float = 0.8, s: float = 0.6
+) -> dict:
+    """Driver-local twin of :func:`procrustes_drift` — bit-identical by
+    shared-formula construction: the same drifted v2, the same per-term
+    1e-9 snaps, PYTHON-int accumulation (the advisor-r10 whitening
+    lesson: an int64 accumulator wraps where decimal(38,0) doesn't),
+    the same int→float64 conversion, /1e9, and the same numpy SVD.
+    Parity asserted in tests/test_similarity.py; the
+    ``emb_procrustes_drift`` ★ oracle freezes this twin's outputs."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n, d = X.shape
+    W = c * X + s * np.roll(X, -1, axis=1)
+    sq1 = int(np.floor(X * X * 1e9 + 0.5).astype(np.int64).astype(object).sum())
+    sq2 = int(np.floor(W * W * 1e9 + 0.5).astype(np.int64).astype(object).sum())
+    acc = np.zeros((d, d), dtype=object)
+    for r in range(n):
+        acc += np.floor(np.outer(X[r], W[r]) * 1e9 + 0.5).astype(np.int64)
+    m = acc.astype(np.float64) / 1e9
+    sigmas = [float(x) for x in np.linalg.svd(m, compute_uv=False)]
+    return {"n": int(n), "sigmas": sigmas, "sq1": sq1, "sq2": sq2}

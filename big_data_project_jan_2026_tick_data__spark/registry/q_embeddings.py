@@ -15,6 +15,7 @@ from ..operators import (  # noqa: F401
     text,
     ticks,
 )
+from ..functions import detmath
 from ._base import _register, _td
 
 
@@ -2415,3 +2416,150 @@ def emb_whitening_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, wr in enumerate(wrows)
     ]
     return v.select("vec_id", *cols)
+
+
+def _procrustes_digest(res: dict) -> dict:
+    """Shared digest tail for emb_procrustes_drift — used by BOTH the
+    live query and the frozen-oracle generator so the snap arithmetic
+    can never fork: cast-then-divide norms (mirroring SQL's CAST(x AS
+    DOUBLE)/1e9), a left-fold sigma sum, one fixed-order residual
+    chain, q6 snaps via math.floor."""
+    import math
+
+    q6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    sumsig = 0.0
+    for x in res["sigmas"]:
+        sumsig += x
+    sq1d = float(res["sq1"]) / 1e9
+    sq2d = float(res["sq2"]) / 1e9
+    return {
+        "n": int(res["n"]),
+        "sigma1_q6": q6(res["sigmas"][0]),
+        "sigma2_q6": q6(res["sigmas"][1]),
+        "sigma3_q6": q6(res["sigmas"][2]),
+        "sum_sigma_q6": q6(sumsig),
+        "sum_sigma_raw": sumsig,
+        "residual_q6": q6(sq1d + sq2d - 2.0 * sumsig),
+    }
+
+
+def _procrustes_oracle(dim: int = 64, c: float = 0.8, s: float = 0.6) -> str | None:
+    """Frozen-sigma oracle for emb_procrustes_drift: per sf, the numpy
+    twin similarity.procrustes_drift_numpy — bit-identical to the
+    distributed pass by shared snapped-sum construction (parity-tested
+    in test_similarity) — freezes the singular values; the SQL
+    RE-DERIVES n and both exact grid norms from the parquet (same
+    per-term snaps, HUGEINT sums) and evaluates the residual chain
+    against the frozen Σσ literal, so only the SVD itself (the one
+    step SQL cannot express) is frozen. Content-fingerprint branch
+    guards as in the whitening/IVF oracles; None when no testdata or
+    ambiguous fingerprints."""
+    import glob
+    import os
+
+    try:
+        import duckdb
+        import numpy as np
+    except ImportError:  # pragma: no cover — baked into this rig
+        return None
+
+    dl = detmath.dlit
+    branches = []
+    seen_fps: set[int] = set()
+    for sfd in sorted(glob.glob("/root/testdata/sf*")):
+        path = os.path.join(sfd, "embeddings.parquet")
+        if not os.path.exists(path):
+            continue
+        con = duckdb.connect()
+        try:
+            rows = con.execute(
+                "SELECT CAST(embedding AS DOUBLE[]) "
+                f"FROM read_parquet('{path}') ORDER BY vec_id"
+            ).fetchall()
+            fp = con.execute(
+                "SELECT CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)"
+                " * 1e9 + 0.5) AS BIGINT)) AS BIGINT) "
+                f"FROM read_parquet('{path}')"
+            ).fetchone()[0]
+        finally:
+            con.close()
+        if not rows or fp is None or fp in seen_fps:
+            if fp in seen_fps:
+                return None
+            continue
+        seen_fps.add(fp)
+        X = np.array([r[0] for r in rows], dtype=np.float64)
+        dig = _procrustes_digest(similarity.procrustes_drift_numpy(X, c=c, s=s))
+        d1 = dim + 1
+        w_expr = (
+            f"list_transform(range(1, {d1}), j -> "
+            f"{dl(c)} * v[j] + {dl(s)} * v[(j % {dim}) + 1])"
+        )
+        branches.append(
+            f"""SELECT * FROM (
+    WITH vv{abs(int(fp))} AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    nrm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(list_sum(list_transform(v, x ->
+               CAST(FLOOR(x * x * 1e9 + 0.5) AS HUGEINT)))) AS HUGEINT)
+               AS sq1,
+             CAST(SUM(list_sum(list_transform({w_expr}, x ->
+               CAST(FLOOR(x * x * 1e9 + 0.5) AS HUGEINT)))) AS HUGEINT)
+               AS sq2
+      FROM vv{abs(int(fp))})
+    SELECT n, {dl(dig['sigma1_q6'])} AS sigma1_q6,
+           {dl(dig['sigma2_q6'])} AS sigma2_q6,
+           {dl(dig['sigma3_q6'])} AS sigma3_q6,
+           {dl(dig['sum_sigma_q6'])} AS sum_sigma_q6,
+           FLOOR((CAST(sq1 AS DOUBLE) / 1e9 + CAST(sq2 AS DOUBLE) / 1e9
+                  - 2.0 * {dl(dig['sum_sigma_raw'])}) * 1e6 + 0.5) / 1e6
+             AS residual_q6
+    FROM nrm) pbr{abs(int(fp))}
+    WHERE (SELECT CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
+                 * 1e9 + 0.5) AS BIGINT)) AS BIGINT) FROM embeddings) = {fp}"""
+        )
+    if not branches:
+        return None
+    return "\n    UNION ALL\n    ".join(branches)
+
+
+@_register("emb_procrustes_drift", _procrustes_oracle())
+def emb_procrustes_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthogonal-Procrustes alignment digest between the embedding
+    corpus and a deterministically drifted twin (v2_j = 0.8·v1_j +
+    0.6·v1_{(j+1) mod 64} — a fixed NON-orthogonal mixing) — the
+    embedding-version drift check a pipeline runs before mixing
+    vectors from two encoder checkpoints: min over rotations of
+    ‖X₁R − X₂‖²F has the closed form ‖X₁‖² + ‖X₂‖² − 2Σσᵢ(X₁ᵀX₂)
+    (Schönemann 1966), so the answer needs the cross-covariance
+    spectrum, never a per-vector rotation pass. Emits the top singular
+    values, their sum, and the optimal-alignment residual.
+
+    Exactness: the d² cross products and both norms are per-term
+    1e-9-grid integer statistics from ONE corpus pass (the whitening
+    shuffle shape: 2d + d² agg keys at any corpus size), so the driver
+    SVD (64×64 — metadata) sees bit-identical input from any
+    partitioning; the numpy twin procrustes_drift_numpy is
+    bit-identical by shared construction (Python-int accumulation —
+    the advisor-r10 wrap lesson) and freezes ONLY the SVD outputs for
+    the oracle, which re-derives n and both norms in SQL and evaluates
+    the same residual chain. Scale: one corpus pass, 4224-key shuffle,
+    one-row output. No counterpart in the reference."""
+    emb = _td(spark, sf_dir, "embeddings")
+    dig = _procrustes_digest(similarity.procrustes_drift(emb))
+    return spark.createDataFrame(
+        [
+            (
+                dig["n"],
+                dig["sigma1_q6"],
+                dig["sigma2_q6"],
+                dig["sigma3_q6"],
+                dig["sum_sigma_q6"],
+                dig["residual_q6"],
+            )
+        ],
+        "n long, sigma1_q6 double, sigma2_q6 double, sigma3_q6 double, "
+        "sum_sigma_q6 double, residual_q6 double",
+    )

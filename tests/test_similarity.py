@@ -682,3 +682,35 @@ def test_whitening_twin_parity_and_isotropy(spark, sf_dir):
     assert abs(cz[0, 0] - 1.0) < 0.05 and abs(cz[1, 1] - 1.0) < 0.05
     assert abs(cz[0, 1]) < 0.05
     assert eigs[0] > eigs[1] > 0
+
+
+def test_procrustes_twin_parity_and_semantics(spark, sf_dir):
+    """procrustes_drift (distributed exact-grid pass) and its numpy
+    twin must be BIT-identical on the real corpus — same integer norms,
+    same singular values (shared snapped-sum construction feeding the
+    same SVD). Semantics: with c=1, s=0 the drift is the identity, so
+    the optimal-alignment residual is exactly 0 and Σσ = ‖X‖²."""
+    import duckdb
+    import numpy as np
+
+    from big_data_project_jan_2026_tick_data__spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    live = similarity.procrustes_drift(emb)
+    rows = duckdb.connect().execute(
+        "SELECT CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    twin = similarity.procrustes_drift_numpy(X)
+    assert live["n"] == twin["n"]
+    assert live["sq1"] == twin["sq1"] and live["sq2"] == twin["sq2"]
+    assert live["sigmas"] == twin["sigmas"]  # bit-identical floats
+
+    ident = similarity.procrustes_drift(emb, c=1.0, s=0.0)
+    sumsig = sum(ident["sigmas"])
+    sq1d = float(ident["sq1"]) / 1e9
+    assert ident["sq1"] == ident["sq2"]
+    # identity drift: residual = 2*||X||^2 - 2*sum(sigma) ~ 0 (sum of
+    # singular values of the Gram matrix equals its trace = ||X||^2)
+    assert abs(sq1d * 2 - 2.0 * sumsig) < 1e-3 * max(sq1d, 1.0)
