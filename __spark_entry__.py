@@ -118,6 +118,7 @@ _ADJUDICATION_PRIORITY = [
     "events_odds_ratio",
     "ticks_mann_kendall",
     "emb_procrustes_drift",
+    "doc_conformal_coverage",
     "doc_chunk_windows",
     "doc_cross_overlap",
     "doc_incremental_minhash",

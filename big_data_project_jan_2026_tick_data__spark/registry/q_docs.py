@@ -2048,7 +2048,7 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _quality_classifier_oracle(
     iters: int = 12, lr: float = 1.0, calibration: bool = False,
     auc: bool = False, shap: bool = False, pr: bool = False,
-    brier: bool = False,
+    brier: bool = False, conformal: bool = False,
 ) -> str:
     """Generated chained-CTE oracle for doc_quality_classifier: re-runs
     the IDENTICAL full-batch logistic-regression recipe in DuckDB — same
@@ -2201,6 +2201,62 @@ def _quality_classifier_oracle(
                  / CAST(tt.n_pos + tt.n_neg AS DOUBLE) * 1e6 + 0.5) / 1e6
              AS prevalence_q6
     FROM tt CROSS JOIN ap WHERE tt.n_pos > 0 AND tt.n_neg > 0"""
+        )
+    elif conformal:
+        # split-conformal (Vovk; Angelopoulos & Bates 2023 tutorial
+        # form): md5-even docs calibrate, the rest test. Binary
+        # nonconformity lives EXACTLY on the s6 integer grid
+        # (a6 = 1e6 - s6 for positives, s6 for negatives); q-hat is the
+        # ceil((n_c+1)(1-alpha))-th order statistic of calib a6 via a
+        # histogram cum sweep; coverage and prediction-set size on the
+        # test split are exact integer comparisons against q-hat.
+        sig_expr = f"1.0 / (1.0 + {detmath.det_exp_sql('mz', 'duckdb')})"
+        parts.append(
+            f"""
+    , scored AS (
+      SELECT doc_id, y,
+             CAST(FLOOR(sig * 1e6 + 0.5) AS BIGINT) AS s6,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE 0 END AS is_cal
+      FROM (SELECT t.doc_id, t.y, {sig_expr} AS sig
+            FROM (SELECT f.doc_id, f.y, 0.0 - ({clamp}) AS mz
+                  FROM feat f CROSS JOIN it{iters} w) t) s),
+    a AS (
+      SELECT is_cal,
+             CASE WHEN y = 1.0 THEN 1000000 - s6 ELSE s6 END AS a6, s6
+      FROM scored),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM a WHERE is_cal = 1),
+    hist AS (
+      SELECT a6, CAST(count(*) AS BIGINT) AS cnt
+      FROM a WHERE is_cal = 1 GROUP BY a6),
+    cum AS (
+      SELECT a6, CAST(SUM(cnt) OVER (ORDER BY a6) AS BIGINT) AS cum_cnt
+      FROM hist),
+    k AS (
+      SELECT nc.n_cal,
+             LEAST(CAST(CEIL((CAST(nc.n_cal AS DOUBLE) + 1.0) * 0.9e0)
+                        AS BIGINT), nc.n_cal) AS kth
+      FROM nc),
+    qh AS (
+      SELECT k.n_cal, CAST(MIN(cum.a6) AS BIGINT) AS qhat6
+      FROM cum CROSS JOIN k WHERE cum.cum_cnt >= k.kth GROUP BY k.n_cal),
+    tst AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN a.a6 <= qh.qhat6 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS covered,
+             CAST(SUM((CASE WHEN 1000000 - a.s6 <= qh.qhat6
+                            THEN 1 ELSE 0 END)
+                      + (CASE WHEN a.s6 <= qh.qhat6 THEN 1 ELSE 0 END))
+                  AS BIGINT) AS set_cells
+      FROM a CROSS JOIN qh WHERE a.is_cal = 0)
+    SELECT qh.n_cal AS n_calib, tst.n_test,
+           CAST(qh.qhat6 AS DOUBLE) / 1e6 AS qhat_q6,
+           FLOOR(CAST(tst.covered AS DOUBLE) / CAST(tst.n_test AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS coverage_q6,
+           FLOOR(CAST(tst.set_cells AS DOUBLE) / CAST(tst.n_test AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS avg_set_size_q6
+    FROM qh CROSS JOIN tst WHERE tst.n_test > 0"""
         )
     elif brier:
         # Murphy (1973) decomposition over the calibration deciles with
@@ -4219,4 +4275,113 @@ def doc_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.col("res")).alias("resolution_q6"),
         q6(F.col("unc")).alias("uncertainty_q6"),
         q6(F.col("rel") - F.col("res") + F.col("unc")).alias("brier_binned_q6"),
+    )
+
+
+@_register("doc_conformal_coverage", _quality_classifier_oracle(conformal=True))
+def doc_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction for the quality classifier — the
+    distribution-free coverage guarantee (Vovk et al.; the Angelopoulos
+    & Bates split-conformal recipe) a curation gate quotes instead of
+    hoping the classifier is calibrated: calibrate the nonconformity
+    threshold q̂ on the md5-even half at α = 0.1 (the
+    ⌈(n+1)·0.9⌉-th order statistic), then the prediction set
+    {classes whose score clears q̂} contains the true class with
+    probability ≥ 90% on exchangeable data. Emits q̂, the empirical
+    test-split coverage, and the mean prediction-set size (the price
+    of the guarantee — sets near size 2 mean the classifier abstains).
+
+    Exactness: binary nonconformity lives EXACTLY on the s6 integer
+    grid (1e6 − s6 for positives, s6 for negatives — no new floats);
+    q̂ is an exact order statistic from a histogram cum sweep over
+    DISTINCT grid values (stats.global_cumsum, never a global sort);
+    coverage and set size are exact integer comparisons. Scale: the
+    classifier's one-agg-per-iteration training plus two histogram
+    aggs and one test-split agg. No counterpart in the reference."""
+    from ..operators import classifier
+
+    docs = _td(spark, sf_dir, "documents")
+    is_cal = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % 2
+        == 0
+    )
+    scored = classifier.quality_classifier(docs, iters=12, lr=1.0).select(
+        F.floor(F.col("score_q6") * 1e6 + F.lit(0.5)).cast("long").alias("s6"),
+        F.col("y").cast("double").alias("y"),
+        F.when(is_cal, F.lit(1)).otherwise(F.lit(0)).alias("is_cal"),
+    )
+    a = scored.select(
+        "is_cal",
+        "s6",
+        F.when(F.col("y") == 1.0, F.lit(1000000) - F.col("s6"))
+        .otherwise(F.col("s6"))
+        .alias("a6"),
+    ).localCheckpoint()  # feeds the calib sweep AND the test agg
+    cal = a.filter(F.col("is_cal") == 1)
+    nc = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    hist = cal.groupBy("a6").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = stats.global_cumsum(hist, ["a6"], "cnt").withColumnRenamed(
+        "cum_cnt", "cum_cnt"
+    )
+    k = nc.select(
+        "n_cal",
+        F.least(
+            F.ceil((F.col("n_cal").cast("double") + F.lit(1.0)) * F.lit(0.9)).cast(
+                "long"
+            ),
+            F.col("n_cal"),
+        ).alias("kth"),
+    )
+    qh = (
+        cum.crossJoin(F.broadcast(k))
+        .filter(F.col("cum_cnt") >= F.col("kth"))
+        .groupBy("n_cal")
+        .agg(F.min("a6").cast("long").alias("qhat6"))
+    )
+    tst = (
+        a.filter(F.col("is_cal") == 0)
+        .crossJoin(F.broadcast(qh))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("a6") <= F.col("qhat6"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("covered"),
+            F.sum(
+                F.when(F.lit(1000000) - F.col("s6") <= F.col("qhat6"), F.lit(1))
+                .otherwise(F.lit(0))
+                + F.when(F.col("s6") <= F.col("qhat6"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("set_cells"),
+            F.max("qhat6").alias("qhat6"),
+            F.max("n_cal").alias("n_cal"),
+        )
+    )
+    return tst.filter(F.col("n_test") > 0).select(
+        F.col("n_cal").alias("n_calib"),
+        "n_test",
+        (F.col("qhat6").cast("double") / F.lit(1e6)).alias("qhat_q6"),
+        (
+            F.floor(
+                F.col("covered").cast("double") / F.col("n_test").cast("double")
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("coverage_q6"),
+        (
+            F.floor(
+                F.col("set_cells").cast("double")
+                / F.col("n_test").cast("double")
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("avg_set_size_q6"),
     )

@@ -1425,3 +1425,23 @@ def test_mann_kendall_monotone_vs_alternating(spark, tmp_path):
     flat = [(d, dts(d), 0, "view", 100.0, "{}") for d in range(15)]
     sf3 = _write_events(spark, tmp_path / "flat", flat)
     assert QUERIES["ticks_mann_kendall"](spark, sf3).collect() == []
+
+
+def test_conformal_coverage_guarantee_on_separable_corpus(spark, tmp_path):
+    """Split-conformal on the separable corpus: the empirical test
+    coverage must clear the 1 - alpha = 0.9 guarantee (exchangeable
+    splits, exact order-statistic threshold), and because the
+    classifier separates the classes the average prediction-set size
+    must stay near 1 (a guarantee met by abstention would show ~2)."""
+    rows = []
+    for i in range(200):
+        if i % 2 == 0:
+            rows.append((i, " ".join(["word"] * 40), "en", "s"))
+        else:
+            rows.append((i, " ".join(["mot"] * 5), "fr", "s"))
+    sf = _write_docs(spark, tmp_path, rows)
+    r = QUERIES["doc_conformal_coverage"](spark, sf).collect()[0]
+    assert r["n_calib"] + r["n_test"] == 200
+    assert r["coverage_q6"] >= 0.9
+    assert r["avg_set_size_q6"] < 1.5
+    assert 0.0 <= r["qhat_q6"] <= 1.0

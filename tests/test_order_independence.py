@@ -182,6 +182,10 @@ HARDENED = [
     # exact integer S / tie-corrected variance with one double tail
     "events_odds_ratio",
     "ticks_mann_kendall",
+    # r11 sixth wave: exact-grid SVD digest (twin-frozen) and integer
+    # order-statistic conformal threshold/coverage
+    "emb_procrustes_drift",
+    "doc_conformal_coverage",
 ]
 
 
