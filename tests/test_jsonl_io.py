@@ -105,3 +105,40 @@ def test_avro_env_gated(spark, tmp_path):
             "missing-jar error contract asserted; set SPARK_GRAFT_AVRO=1 "
             "on a rig with the package for the roundtrip"
         )
+
+
+def test_avro_jar_detected_lane(spark, tmp_path):
+    """Avro sink/source gate on avro_available(spark) — an actual
+    Class.forName probe (the kafka/iceberg jar-detection pattern) — so
+    the round-trip lights up automatically the first time a spark-avro
+    jar appears on the classpath. WITH the jar: write/read round-trip
+    must preserve rows exactly. WITHOUT it — this sandbox — the
+    missing-datasource failure must surface as the actionable
+    RuntimeError, not Spark's raw DATA_SOURCE_NOT_FOUND; recorded
+    skip either way the integration cannot run."""
+    import pytest as _pytest
+
+    from big_data_project_jan_2026_tick_data__spark.sources.io import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25)], "id long, s string, v double"
+    )
+    d = str(tmp_path / "avro_rt")
+    if avro_available(spark):
+        write_avro(df, d)
+        back = read_avro(spark, d)
+        assert sorted(tuple(r) for r in back.collect()) == sorted(
+            tuple(r) for r in df.collect()
+        )
+    else:
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            write_avro(df, d)
+        _pytest.skip(
+            "recorded skip: avro_available(spark) is False (no spark-avro "
+            "jar on the classpath) — missing-jar error contract asserted; "
+            "the round-trip runs automatically once the jar is present"
+        )
