@@ -119,6 +119,7 @@ _ADJUDICATION_PRIORITY = [
     "ticks_mann_kendall",
     "emb_procrustes_drift",
     "doc_conformal_coverage",
+    "ticks_dickey_fuller",
     "doc_chunk_windows",
     "doc_cross_overlap",
     "doc_incremental_minhash",

@@ -9142,3 +9142,110 @@ def ticks_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         zq6.alias("z_q6"),
         (F.abs(zq6) >= F.lit(1.959964)).alias("significant"),
     )
+
+
+@_register(
+    "ticks_dickey_fuller",
+    r"""
+    WITH t AS (
+      SELECT concat('S', CAST(user_id % 4 AS VARCHAR)) AS symbol, ts,
+             event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events),
+    l AS (
+      SELECT symbol, v AS y,
+             lag(v, 1) OVER (PARTITION BY symbol
+                             ORDER BY ts, event_id) AS x
+      FROM t),
+    p AS (SELECT symbol, x, y - x AS d FROM l WHERE x IS NOT NULL),
+    s AS (
+      SELECT symbol,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(d) AS BIGINT) AS sd,
+             SUM(CAST(x AS HUGEINT) * CAST(d AS HUGEINT)) AS sxd,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sdd
+      FROM p GROUP BY symbol),
+    f AS (
+      SELECT symbol, n,
+             CAST(n AS DOUBLE) * CAST(sxd AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE) AS num,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+             CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+               - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) AS dy
+      FROM s WHERE n >= 3),
+    g AS (
+      SELECT symbol, n, num, dx, dy, num / dx AS q
+      FROM f WHERE dx > 0.0),
+    o AS (
+      SELECT symbol, n, q,
+             q / sqrt((dy - q * num)
+                      / ((CAST(n AS DOUBLE) - 2.0) * dx)) AS tval
+      FROM g WHERE dy - q * num > 0.0)
+    SELECT symbol, n AS n_pairs,
+           FLOOR(q * 1e6 + 0.5) / 1e6 AS gamma_q6,
+           FLOOR(tval * 1e6 + 0.5) / 1e6 AS t_stat_q6,
+           FLOOR(tval * 1e6 + 0.5) / 1e6 < -2.8621 AS mean_reverting
+    FROM o
+    """,
+)
+def ticks_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test per symbol — the classical 'is this
+    price series actually mean-reverting or a random walk?' verdict
+    that gates every OU/stat-arb readout (ticks_ou_half_life assumes
+    reversion; this tests it): regress Δv_t on v_{t−1} with a constant
+    and compare γ̂'s t-statistic against the Dickey-Fuller
+    distribution's 5% critical (−2.8621, constant-only, large n — a
+    frozen literal; the DF t does NOT follow Student's t, which is the
+    whole point of the test). γ̂ near 0 → unit root (random walk);
+    significantly negative → mean reversion.
+
+    Exactness: the lag pairs live on the exact cent grid; all five
+    regression sums ride decimal/HUGEINT integer products (the
+    exact_corr_sums discipline — no float partial-agg order to
+    disagree on); γ̂ and the t-statistic are ONE fixed-order double
+    chain over those integers, snapped q6 before the frozen-critical
+    compare. Degenerate series (constant levels or perfect fit) emit
+    no row. Scale: the per-symbol lag window + one hash agg —
+    #symbols-sized frames after the sums.
+    No counterpart in the reference."""
+    from pyspark.sql import Window
+
+    ev = _td(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string")).alias(
+            "symbol"
+        ),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("ts"), F.col("event_id"))
+    lagd = t.select(
+        "symbol", F.col("v").alias("y"), F.lag("v", 1).over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    p = lagd.select("symbol", "x", (F.col("y") - F.col("x")).alias("d"))
+    s = p.groupBy("symbol").agg(*stats.exact_corr_sums(F.col("x"), F.col("d"), "df"))
+    num, dx, dy = stats.corr_terms("df")
+    f = (
+        s.filter(F.col("df_n") >= 3)
+        .select("symbol", F.col("df_n").alias("n"), num.alias("num"),
+                dx.alias("dx"), dy.alias("dy"))
+        .filter(F.col("dx") > 0.0)
+        .withColumn("q", F.col("num") / F.col("dx"))
+        .filter(F.col("dy") - F.col("q") * F.col("num") > 0.0)
+    )
+    tval = F.col("q") / F.sqrt(
+        (F.col("dy") - F.col("q") * F.col("num"))
+        / ((F.col("n").cast("double") - F.lit(2.0)) * F.col("dx"))
+    )
+    tq6 = F.floor(tval * 1e6 + F.lit(0.5)) / 1e6
+    return f.select(
+        "symbol",
+        F.col("n").alias("n_pairs"),
+        (F.floor(F.col("q") * 1e6 + F.lit(0.5)) / 1e6).alias("gamma_q6"),
+        tq6.alias("t_stat_q6"),
+        (tq6 < F.lit(-2.8621)).alias("mean_reverting"),
+    )

@@ -1445,3 +1445,33 @@ def test_conformal_coverage_guarantee_on_separable_corpus(spark, tmp_path):
     assert r["coverage_q6"] >= 0.9
     assert r["avg_set_size_q6"] < 1.5
     assert 0.0 <= r["qhat_q6"] <= 1.0
+
+
+def test_dickey_fuller_mean_reverting_vs_random_walk(spark, tmp_path):
+    """A strongly mean-reverting alternating series (every step pulls
+    all the way back) must reject the unit root with a deeply negative
+    t; a hash-random walk (cumulative md5 coin steps, no reversion)
+    must NOT reject. Constant series emit nothing (zero lag
+    variance)."""
+    # jitter keeps the fit imperfect: a PERFECT alternation has zero
+    # residual variance and correctly emits nothing (like `flat` below)
+    alt = [(i, _ts(i), 0, "view", 100.0 + 10.0 * (i % 2) + 0.01 * (i % 7),
+            "{}") for i in range(400)]
+    sf = _write_events(spark, tmp_path / "alt", alt)
+    r = {x["symbol"]: x for x in
+         QUERIES["ticks_dickey_fuller"](spark, sf).collect()}["S0"]
+    assert r["gamma_q6"] < -1.5  # overshooting reversion
+    assert r["t_stat_q6"] < -2.8621 and bool(r["mean_reverting"]) is True
+
+    lvl, rows = 100.0, []
+    for i in range(400):
+        lvl += 1.0 if _md5_bit(i) else -1.0
+        rows.append((i, _ts(i), 0, "view", lvl, "{}"))
+    sf2 = _write_events(spark, tmp_path / "walk", rows)
+    r2 = {x["symbol"]: x for x in
+          QUERIES["ticks_dickey_fuller"](spark, sf2).collect()}["S0"]
+    assert bool(r2["mean_reverting"]) is False
+
+    flat = [(i, _ts(i), 0, "view", 100.0, "{}") for i in range(50)]
+    sf3 = _write_events(spark, tmp_path / "flat", flat)
+    assert QUERIES["ticks_dickey_fuller"](spark, sf3).collect() == []

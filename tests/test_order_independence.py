@@ -186,6 +186,8 @@ HARDENED = [
     # order-statistic conformal threshold/coverage
     "emb_procrustes_drift",
     "doc_conformal_coverage",
+    # exact_corr_sums decimal regression sums, one double tail
+    "ticks_dickey_fuller",
 ]
 
 
