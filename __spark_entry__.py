@@ -120,6 +120,7 @@ _ADJUDICATION_PRIORITY = [
     "emb_procrustes_drift",
     "doc_conformal_coverage",
     "ticks_dickey_fuller",
+    "events_cramers_v",
     "doc_chunk_windows",
     "doc_cross_overlap",
     "doc_incremental_minhash",

@@ -9249,3 +9249,150 @@ def ticks_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
         tq6.alias("t_stat_q6"),
         (tq6 < F.lit(-2.8621)).alias("mean_reverting"),
     )
+
+
+@_register(
+    "events_cramers_v",
+    r"""
+    WITH ecells AS (
+      SELECT event_type,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                                1, 7)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events),
+    cells AS (
+      SELECT event_type, arm, CAST(count(*) AS BIGINT) AS o
+      FROM ecells GROUP BY event_type, arm),
+    rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r_tot
+           FROM cells GROUP BY event_type),
+    ct AS (SELECT arm, CAST(SUM(o) AS BIGINT) AS c_tot FROM cells GROUP BY arm),
+    tt AS (SELECT CAST(SUM(o) AS BIGINT) AS n_tot,
+                  CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+                  CAST(count(DISTINCT arm) AS BIGINT) AS c
+           FROM cells),
+    grid AS (
+      -- FULL r x c scaffold: a zero cell still contributes (0-E)^2/E,
+      -- which a bare GROUP BY silently drops (the G-test is immune --
+      -- 0*ln(0/E) = 0 -- but chi-square is NOT; caught by the
+      -- deterministic-association semantic test, invisible to parity)
+      SELECT rt.event_type, ct.arm, rt.r_tot, ct.c_tot,
+             COALESCE(cells.o, 0) AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cells USING (event_type, arm)),
+    j AS (
+      SELECT CAST(grid.o AS DOUBLE) AS od,
+             CAST(grid.r_tot AS DOUBLE) * CAST(grid.c_tot AS DOUBLE)
+               / CAST(tt.n_tot AS DOUBLE) AS e,
+             tt.n_tot, tt.r, tt.c
+      FROM grid CROSS JOIN tt),
+    t AS (
+      SELECT n_tot, r, c,
+             CAST(FLOOR((od - e) * (od - e) / e * 1e6 + 0.5) AS BIGINT) AS t6
+      FROM j WHERE e > 0.0),
+    s AS (
+      SELECT CAST(MAX(n_tot) AS BIGINT) AS n,
+             CAST(MAX(r) AS BIGINT) AS r, CAST(MAX(c) AS BIGINT) AS c,
+             CAST(SUM(t6) AS BIGINT) AS s6
+      FROM t)
+    SELECT n, r, c,
+           FLOOR(CAST(s6 AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS chi2_q6,
+           FLOOR(sqrt((CAST(s6 AS DOUBLE) / 1e6)
+                      / (CAST(n AS DOUBLE)
+                         * CAST(LEAST(r - 1, c - 1) AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS cramers_v_q6
+    FROM s WHERE r >= 2 AND c >= 2 AND LEAST(r - 1, c - 1) >= 1
+    """,
+)
+def events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event-type × arm contingency —
+    the 'is the dependence LARGE, not just detectable' number that
+    belongs next to events_g_test (at 100 TB every test is
+    significant; V ∈ [0,1] is sample-size-free): Pearson χ² over the
+    same exact contingency cells, V = √(χ²/(n·min(r−1, c−1))).
+
+    Exactness: the contingency machinery extends events_g_test's CTEs
+    with a FULL r×c scaffold — a zero cell still contributes
+    (0−E)²/E to χ², which a bare GROUP BY silently drops (the G-test
+    is immune: 0·ln(0/E) = 0; Pearson χ² is not — a both-engines-wrong
+    class only the deterministic-association semantic test can catch);
+    each cell's (O−E)²/E snaps to the 1e-6 grid and sums as an exact
+    BIGINT (r×c terms), then χ² and V are one fixed-order double tail
+    snapped q6. Scale: one hash agg to r×c cells, metadata frames
+    after. No counterpart in the reference."""
+    ev = _td(spark, sf_dir, "events")
+    ecells = ev.select(
+        "event_type",
+        F.when(_md5_even(), F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+    )
+    cells = ecells.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).localCheckpoint()  # feeds the row/col/grand totals and the cell pass
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("r_tot"))
+    ct = cells.groupBy("arm").agg(F.sum("o").cast("long").alias("c_tot"))
+    tt = cells.agg(
+        F.sum("o").cast("long").alias("n_tot"),
+        F.countDistinct("event_type").cast("long").alias("r"),
+        F.countDistinct("arm").cast("long").alias("c"),
+    )
+    # FULL r x c scaffold: a zero cell still contributes (0-E)^2/E,
+    # which a bare groupBy silently drops (the G-test is immune --
+    # 0*ln(0/E) = 0 -- but chi-square is NOT)
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(cells, ["event_type", "arm"], "left")
+        .select(
+            "event_type",
+            "arm",
+            "r_tot",
+            "c_tot",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    j = (
+        grid.crossJoin(F.broadcast(tt))
+        .select(
+            F.col("o").cast("double").alias("od"),
+            (
+                F.col("r_tot").cast("double")
+                * F.col("c_tot").cast("double")
+                / F.col("n_tot").cast("double")
+            ).alias("e"),
+            "n_tot",
+            "r",
+            "c",
+        )
+        .filter(F.col("e") > 0.0)
+    )
+    t6 = F.floor(
+        (F.col("od") - F.col("e")) * (F.col("od") - F.col("e")) / F.col("e") * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    s = j.select("n_tot", "r", "c", t6.alias("t6")).agg(
+        F.max("n_tot").cast("long").alias("n"),
+        F.max("r").cast("long").alias("r"),
+        F.max("c").cast("long").alias("c"),
+        F.sum("t6").cast("long").alias("s6"),
+    )
+    chi2 = F.floor(F.col("s6").cast("double") / F.lit(1e6) * 1e6 + F.lit(0.5)) / 1e6
+    v = (
+        F.floor(
+            F.sqrt(
+                (F.col("s6").cast("double") / F.lit(1e6))
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                )
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return (
+        s.filter(
+            (F.col("r") >= 2)
+            & (F.col("c") >= 2)
+            & (F.least(F.col("r") - 1, F.col("c") - 1) >= 1)
+        )
+        .select("n", "r", "c", chi2.alias("chi2_q6"), v.alias("cramers_v_q6"))
+    )

@@ -1475,3 +1475,24 @@ def test_dickey_fuller_mean_reverting_vs_random_walk(spark, tmp_path):
     flat = [(i, _ts(i), 0, "view", 100.0, "{}") for i in range(50)]
     sf3 = _write_events(spark, tmp_path / "flat", flat)
     assert QUERIES["ticks_dickey_fuller"](spark, sf3).collect() == []
+
+
+def test_cramers_v_bounds_on_independence_and_determinism(spark, tmp_path):
+    """Exactly arm-independent type mix (every user emits the same
+    pair) -> chi2 = 0 and V = 0. Arm fully DETERMINES the type -> V
+    = 1 exactly (the [0,1] normalization's upper bound)."""
+    rows, eid = [], 0
+    for u in range(100):
+        rows.append((eid, _ts(u), u, "view", 1.0, "{}")); eid += 1
+        rows.append((eid, _ts(u + 1), u, "click", 1.0, "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = QUERIES["events_cramers_v"](spark, sf).collect()[0]
+    assert r["chi2_q6"] == 0.0 and r["cramers_v_q6"] == 0.0
+
+    rows, eid = [], 0
+    for u in range(200):
+        et = "purchase" if _md5_arm(u) == "A" else "view"
+        rows.append((eid, _ts(u), u, et, 1.0, "{}")); eid += 1
+    sf2 = _write_events(spark, tmp_path / "det", rows)
+    r2 = QUERIES["events_cramers_v"](spark, sf2).collect()[0]
+    assert r2["cramers_v_q6"] > 0.999

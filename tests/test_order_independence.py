@@ -188,6 +188,8 @@ HARDENED = [
     "doc_conformal_coverage",
     # exact_corr_sums decimal regression sums, one double tail
     "ticks_dickey_fuller",
+    # full-grid exact contingency, 1e-6-grid cell terms
+    "events_cramers_v",
 ]
 
 
