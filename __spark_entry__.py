@@ -103,10 +103,15 @@ _ADJUDICATION_PRIORITY = [
     "ticks_theil_sen",
     "orders_theil_index",
     "doc_rater_agreement",
-    # ---- ~50-slot window boundary; r12 queue from here: the three
-    # late-r11 additions take the first r12 first-ever slots (all are
-    # sweep-, sf0.01-, order-lane- and semantically-proven locally),
-    # then the rotation tail oldest-verdict-first ----
+    # ---- ~50-slot window boundary; r12 queue from here: the FOURTEEN
+    # late-r11 additions take the first r12 first-ever slots (every one
+    # sweep-, hostile-layout-, sf0.01-vanilla-, order-lane- and
+    # semantically-proven locally: the survival pair + PR-AUC, ANOVA,
+    # Brier, the streaming PH monitor, skyline, Lorenz, odds ratio,
+    # Mann-Kendall, Procrustes drift, conformal coverage,
+    # Dickey-Fuller, Cramér's V), then the rotation tail
+    # oldest-verdict-first (the full r4 block clears inside the r12
+    # window) ----
     "events_nelson_aalen",
     "events_log_rank",
     "doc_classifier_pr_auc",
