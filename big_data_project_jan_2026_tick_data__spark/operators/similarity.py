@@ -1834,6 +1834,8 @@ def procrustes_drift(
         )
         .collect()
     )
+    if not agg:
+        raise ValueError("procrustes_drift: empty corpus (no vectors of the requested dim)")
     by_k = {r["k"]: int(r["s"]) for r in agg}
     n = next(int(r["cnt"]) for r in agg)
     sq1 = sum(by_k[k] for k in range(d))

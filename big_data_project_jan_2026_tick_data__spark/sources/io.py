@@ -370,29 +370,6 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         raise
 
 
-def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Avro sink (row-oriented interchange — Kafka-ecosystem exports).
-    Requires the external ``spark-avro`` package; absent here, so the
-    missing-datasource failure is rewritten into an actionable error
-    (the Kafka-source convention) and the test records the skip."""
-    try:
-        df.write.mode(mode).format("avro").save(path)
-    except Exception as e:
-        if "avro" in str(e).lower() and (
-            "not found" in str(e).lower()
-            or "failed to find" in str(e).lower()
-            or "provider" in str(e).lower()
-        ):
-            raise RuntimeError(
-                "Avro requires the spark-avro package on the classpath "
-                "(spark.jars.packages="
-                "org.apache.spark:spark-avro_2.13:<spark-version>); no Avro "
-                "jar ships in this environment — use parquet (columnar) or "
-                "JSONL (interchange) instead"
-            ) from e
-        raise
-
-
 def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """JSONL corpus source. ``schema`` (DDL string) is REQUIRED: schema
     inference on JSON is a full extra pass over the corpus — at 100 TB
