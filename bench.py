@@ -69,6 +69,31 @@ HEADLINE = [
 _R11_ADDITIONS = {"events_mann_whitney"}
 
 
+def _calibration_sec(spark) -> float:
+    """Fixed CPU-bound calibration workload (judge r11 #2): a pinned
+    1.5G-row xxhash64 chain + single-row sum on 32 partitions — zero
+    I/O, zero data shuffle, pure whole-stage-codegen throughput. Its
+    wall time moves with host CPU contention and nothing else, so the
+    driver can NORMALIZE throttle out of round-over-round comparisons
+    in-band (r10 and r11 both needed the uniform-inflation argument
+    adjudicated by hand). Reported best-of-2; idle-host reference in
+    BASELINE.md (calibration_ref). Cost: ~3 s idle per call site."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df = spark.range(0, 1_500_000_000, 1, 32).select(
+            F.xxhash64("id").alias("h")
+        )
+        for _ in range(4):
+            df = df.select(F.xxhash64("h").alias("h"))
+        df.agg(F.sum("h").alias("s")).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -78,6 +103,15 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
+
+    # JIT-warm the calibration shape once (uncounted), then take the
+    # pre-suite reading; the post-suite reading closes the bracket so a
+    # load spike DURING the suite is also visible.
+    try:
+        _calibration_sec(spark)  # warm (range+hash codegen compile)
+        calib_pre = _calibration_sec(spark)
+    except Exception:  # noqa: BLE001 — calibration must never kill bench
+        calib_pre = None
 
     # Steady-state measurement: run each query once at the smallest SF
     # first so JVM JIT + whole-stage codegen compile outside the timed
@@ -141,6 +175,11 @@ def main() -> None:
             3,
         )
     )
+    try:
+        calib_post = _calibration_sec(spark)
+    except Exception:  # noqa: BLE001
+        calib_post = None
+
     out = {
         "metric": "headline_suite_total",
         "value": total,
@@ -149,6 +188,9 @@ def main() -> None:
         "sf": sf,
         "loadavg": loadavg,
         "total_19q": total_19q,
+        # pinned CPU-bound probe bracketing the suite; divide by
+        # BASELINE.md's calibration_ref to get the host-throttle factor
+        "calibration_sec": {"pre": calib_pre, "post": calib_post},
     }
     if errors:
         out["errors"] = errors
