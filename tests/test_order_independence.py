@@ -236,3 +236,4 @@ def test_hardened_query_matches_oracle_at_3_partitions(spark3, sf_dir, duck, nam
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
     assert _multiset(sdf.columns, srows) == _multiset(ocols, orows), name
+
