@@ -838,3 +838,30 @@ def test_partition_pruning_on_gold_layout(spark, sf_dir, tmp_path):
         (F.col("symbol") == "S1") & (F.col("day") == F.lit("2024-01-03").cast("date"))
     ).count()
     assert pruned.count() == expected > 0
+
+
+def test_skyline_range_sweep_no_global_window(spark, sf_dir):
+    """orders_skyline plan (r12 pin): the dominance scan must ride the
+    checkpoint-truncated global_cummax range sweep — like abc_pareto,
+    the prefix frame shows as an ExistingRDD scan — and no Window node
+    may sit on an Exchange SinglePartition (the formulation the
+    operator exists to avoid at 100 TB). The join back to orders stays
+    a hash join on the price key, never a cartesian."""
+    _, full = _explain(spark, "orders_skyline", sf_dir)
+    assert "Scan ExistingRDD" in full
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", full)
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
+
+
+def test_lorenz_chained_sweeps_broadcast_deciles(spark, sf_dir):
+    """events_lorenz_curve plan (r12 pin): both rank and cumulative
+    spend ride checkpoint-truncated global_cumsum sweeps (ExistingRDD
+    scans, no Window over SinglePartition) and the 10-row decile frame
+    joins by BROADCAST — the only tolerated SinglePartition is the
+    scalar totals aggregate feeding it."""
+    _, full = _explain(spark, "events_lorenz_curve", sf_dir)
+    assert "Scan ExistingRDD" in full
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", full)
+    assert "BroadcastHashJoin" in full
+    assert "CartesianProduct" not in full
