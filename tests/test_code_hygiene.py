@@ -86,3 +86,36 @@ def test_no_row_at_a_time_python_udfs():
             if "F.udf(" in stripped or stripped.startswith("@udf"):
                 offenders.append(f"{path.name}:{i}: {stripped[:100]}")
     assert not offenders, "\n".join(offenders)
+
+
+def test_no_duplicate_literal_dict_keys():
+    """Python silently keeps the LAST value for a duplicated key in a
+    dict literal — the dict-literal cousin of the shadowed-def class.
+    Scan every constant-keyed dict display in the package and tests'
+    scan-budget tables for duplicates."""
+    roots = [PKG, PKG.parent / "tests", PKG.parent / "bench.py"]
+    offenders = []
+    for root in roots:
+        files = root.rglob("*.py") if root.is_dir() else [root]
+        for path in files:
+            tree = ast.parse(path.read_text(), filename=str(path))
+            for node in ast.walk(tree):
+                if not isinstance(node, ast.Dict):
+                    continue
+                seen: dict[object, int] = {}
+                for k in node.keys:
+                    if k is None or not isinstance(k, ast.Constant):
+                        continue
+                    try:
+                        key = k.value
+                        hash(key)
+                    except TypeError:
+                        continue
+                    if key in seen:
+                        offenders.append(
+                            f"{path.name}:{k.lineno} duplicate dict key "
+                            f"{key!r} (first at line {seen[key]})"
+                        )
+                    else:
+                        seen[key] = k.lineno
+    assert not offenders, "\n".join(offenders)
