@@ -189,8 +189,10 @@ def main() -> None:
         "loadavg": loadavg,
         "total_19q": total_19q,
         # pinned CPU-bound probe bracketing the suite; divide by
-        # BASELINE.md's calibration_ref to get the host-throttle factor
+        # calibration_ref (the running-minimum idle reference, ledger in
+        # BASELINE.md) to get the host-throttle factor in-band
         "calibration_sec": {"pre": calib_pre, "post": calib_post},
+        "calibration_ref": 1.234,
     }
     if errors:
         out["errors"] = errors
