@@ -1143,3 +1143,109 @@ def test_events_lorenz_curve_10m_end_to_end(spark, lorenz_events_dir):
         import math
         assert r["user_share_q6"] == math.floor(boundary / users * 1e6 + 0.5) / 1e6
         assert r["spend_share_q6"] == math.floor(cum / s_total * 1e6 + 0.5) / 1e6
+
+
+@pytest.fixture(scope="module")
+def big_events_dir(spark, tmp_path_factory):
+    """10M synthetic events shaped like the testdata contract (same
+    columns/types/value ranges; 200k users, 5 event types, 30 days of
+    microsecond timestamps, cent-grid values), written as parquet so
+    the FULL VALUE ORACLES can run over it in DuckDB — extending the
+    sf0.01 correctness gate to 10M rows for the statistical family."""
+    d = str(tmp_path_factory.mktemp("events_sf10m") / "td")
+    n, users = 10_000_000, 200_000
+    et = (
+        F.when(F.pmod(F.xxhash64("event_id"), F.lit(5)) == 0, "view")
+        .when(F.pmod(F.xxhash64("event_id"), F.lit(5)) == 1, "click")
+        .when(F.pmod(F.xxhash64("event_id"), F.lit(5)) == 2, "purchase")
+        .when(F.pmod(F.xxhash64("event_id"), F.lit(5)) == 3, "signup")
+        .otherwise("error")
+    )
+    (
+        spark.range(n)
+        .select(F.col("id").alias("event_id"))
+        .select(
+            "event_id",
+            # 30 days of microsecond timestamps, deterministic jitter
+            F.timestamp_micros(
+                F.lit(1704067200000000)
+                + (F.col("event_id") % (30 * 86400)) * 1_000_000
+                + F.pmod(F.xxhash64("event_id", F.lit(1)), F.lit(1_000_000))
+            ).alias("ts"),
+            F.pmod(F.xxhash64("event_id", F.lit(2)), F.lit(users)).alias(
+                "user_id"
+            ),
+            et.alias("event_type"),
+            # cent grid, 0.01..500.00
+            (
+                (F.pmod(F.xxhash64("event_id", F.lit(3)), F.lit(50000)) + 1)
+                .cast("double")
+                / 100.0
+            ).alias("value"),
+            F.concat(
+                F.lit('{"k": '),
+                F.pmod(F.xxhash64("event_id", F.lit(4)), F.lit(100)).cast(
+                    "string"
+                ),
+                F.lit("}"),
+            ).alias("props"),
+        )
+        .repartition(64, (F.col("event_id") * 2654435761) % 997)
+        .write.mode("overwrite")
+        .parquet(d + "/events.parquet")
+    )
+    return d
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the r11 statistical wave's heaviest value-oracle queries: full
+        # Spark-vs-DuckDB parity at 10M rows (170x the sf0.01 gate)
+        "events_odds_ratio",
+        "events_cramers_v",
+        "ticks_mann_kendall",
+        "events_mann_whitney",
+        "events_lorenz_curve",
+    ],
+)
+def test_statistical_oracle_parity_10m(spark, big_events_dir, name):
+    """Value-oracle parity AT SCALE: the registered Spark query and its
+    registered DuckDB oracle both run over the same 10M-row events
+    parquet and must agree exactly under the strict full-precision
+    canon — the sf0.01 driver gate's semantics at 170x the rows. This
+    is the strongest available proof that the exact-arithmetic
+    contracts (decimal sums, grid snaps, detmath ln/exp, global_cumsum
+    offsets) hold when partial-aggregate counts, range boundaries, and
+    per-partition totals all change by orders of magnitude."""
+    import math
+
+    import duckdb
+
+    from big_data_project_jan_2026_tick_data__spark.registry import (
+        ORACLE,
+        QUERIES,
+    )
+
+    def canon(v):
+        if v is None:
+            return "<null>"
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else repr(v)
+        return str(v)
+
+    def multiset(cols, rows):
+        idx = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+
+    sdf = QUERIES[name](spark, big_events_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{big_events_dir}/events.parquet/*.parquet')"
+    )
+    res = con.execute(ORACLE[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert multiset(sdf.columns, srows) == multiset(ocols, orows), name
