@@ -36,10 +36,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     Mann-Kendall, Procrustes drift, conformal coverage,
 #     Dickey-Fuller, Cramér's V. Every one is sweep-, hostile-layout-,
 #     order-lane- and sf0.01-vanilla-proven locally.
-# (b) slots 15-45: the FULL r4-era rotation block (VERDICT r11 #3) —
+# (b) slot 15: events_kruskal_wallis CHANGED-CODE RE-PROOF — the r12
+#     10M-row parity lane caught a silent BIGINT wrap in the per-group
+#     grid snaps of events_anova_f (first-ever above, fixed pre-verdict)
+#     and kruskal (r11-verdicted, plan changed to exact decimal
+#     division via exactagg.dec_round_div, so its verdict re-proves).
+# (c) slots 16-46: the FULL r4-era rotation block (VERDICT r11 #3) —
 #     all 31 queries whose standing verdict is r4, oldest block first;
 #     after this window no standing verdict predates r5.
-# (c) slots 46+: the rotation tail, strictly oldest-verdict-first
+# (d) slots 47+: the rotation tail, strictly oldest-verdict-first
 #     (r5 block, then r6, r7, ...), alphabetical within a round — the
 #     ready-made r13 window is simply the head of the tail.
 # Rows-only entries: NONE — all registry queries carry value oracles.
@@ -58,6 +63,13 @@ _ADJUDICATION_PRIORITY = [
     "doc_conformal_coverage",
     "ticks_dickey_fuller",
     "events_cramers_v",
+    # slot 15: CHANGED-CODE RE-PROOF (outranks rotation) — the r12
+    # 10M-row parity lane caught a silent BIGINT wrap in the
+    # per-group grid snaps of events_anova_f (in-window above) and
+    # events_kruskal_wallis; both now snap via exact decimal
+    # division (exactagg.dec_round_div), so kruskal's r11 verdict
+    # must be re-proven on the new plan
+    "events_kruskal_wallis",
     # ---- standing verdict r4 ----
     "doc_chunk_windows",
     "doc_cross_overlap",
@@ -95,11 +107,12 @@ _ADJUDICATION_PRIORITY = [
     "doc_hash_sample",
     "doc_jsonl_roundtrip",
     "emb_diversity_report",
-    "emb_ivf_exact",
     # ---- ~50-slot window boundary; the r12 window above = the 14
-    # late-r11 first-evers + the full 31-query r4 block + the first
-    # 5 of the r5 block; r13's ready-made window is the head of the
-    # tail below (r5 remainder, then r6, ...) ----
+    # late-r11 first-evers + the kruskal changed-code re-proof + the
+    # full 31-query r4 block + the first 4 of the r5 block; r13's
+    # ready-made window is the head of the tail below (r5 remainder,
+    # then r6, ...) ----
+    "emb_ivf_exact",
     "emb_lsh_topk",
     "emb_mmr_rerank",
     "emb_near_dup_pairs",
@@ -350,7 +363,6 @@ _ADJUDICATION_PRIORITY = [
     "events_bh_fdr",
     "events_did_event_study",
     "events_key_skew_report",
-    "events_kruskal_wallis",
     "events_ks_test",
     "events_msprt_sequential",
     "events_page_hinkley",

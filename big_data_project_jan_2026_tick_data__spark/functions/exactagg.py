@@ -120,3 +120,28 @@ def exact_avg(col: Column, k: int) -> Column:
 
 def exact_avg_sql(expr: str, k: int) -> str:
     return f"({exact_sum_sql(expr, k)} / COUNT({expr}))"
+
+
+def dec_round_div(p: Column, q: Column) -> Column:
+    """Round-half-up of the EXACT rational p/q for nonnegative
+    integer-valued decimal columns, computed entirely in decimal
+    arithmetic: ``(2p + q) div (2q)`` via subtract-remainder-divide, so
+    the result is exact for any magnitude that fits decimal(38,0).
+
+    This exists because ``F.floor(<double>)`` returns a BIGINT: a
+    per-GROUP grid snap like ``floor(s_g^2/n_g * 1e6 + 0.5)`` silently
+    wraps past 9.2e18 — invisible at the sf0.01 gate, catastrophic at
+    10M rows (negative ANOVA F statistics; found by the round-12
+    10M-row value-oracle parity lane). Per-ROW snaps with bounded
+    magnitudes may keep the cheap double floor; any snap of an
+    aggregate-derived ratio must use this.
+
+    The division is exact despite Spark's decimal-division rounding
+    rules: the numerator is reduced by its remainder first, so the
+    quotient is integral and any result scale >= 0 represents it
+    exactly (quotients up to ~1e32 fit precision 38 / scale 6).
+    DuckDB twin: ``(2*p + q) // (2*q)`` in HUGEINT."""
+    num = p * F.lit(2).cast("decimal(19,0)") + q
+    den = q * F.lit(2).cast("decimal(19,0)")
+    r = F.pmod(num, den)
+    return ((num - r) / den).cast("decimal(38,0)")

@@ -17,7 +17,7 @@ from ..operators import (  # noqa: F401
     text,
     ticks,
 )
-from ..functions import detmath
+from ..functions import detmath, exactagg
 from ._base import _register, _td
 
 _CS_DEN = 3.0 - 2.0 * math.sqrt(2.0)  # Corwin-Schultz denominator
@@ -7924,10 +7924,10 @@ def events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gv),
     s AS (
       SELECT CAST(count(*) AS BIGINT) AS k,
-             CAST(SUM(CAST(FLOOR(
-               ((CAST(two_r_g AS DOUBLE) / 2.0)
-                * (CAST(two_r_g AS DOUBLE) / 2.0)
-                / CAST(n_g AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT))
+             CAST(SUM(
+               (2 * (CAST(two_r_g AS HUGEINT) * CAST(two_r_g AS HUGEINT)
+                     * 1000000) + 4 * CAST(n_g AS HUGEINT))
+               // (8 * CAST(n_g AS HUGEINT)))
                AS HUGEINT) AS s6
       FROM r2),
     h AS (
@@ -8007,9 +8007,15 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t").cast("long").alias("n"),
         F.sum(td * td * td - td).alias("ties"),
     )
-    rg_d = F.col("two_r_g").cast("double") / F.lit(2.0)
-    term6 = F.floor(rg_d * rg_d / F.col("n_g").cast("double") * 1e6 + F.lit(0.5)).cast(
-        "decimal(38,0)"
+    # round-half-up of the EXACT rational R_g^2*1e6/n_g =
+    # two_r_g^2*1e6/(4*n_g) in decimal arithmetic — the double-based
+    # F.floor snap returns a BIGINT, which silently wraps past 9.2e18
+    # (R_g^2/n_g*1e6 ~ 5e25 at 10M rows; the same overflow class the
+    # 10M parity lane caught in events_anova_f)
+    xr = F.col("two_r_g").cast("decimal(38,0)")
+    term6 = exactagg.dec_round_div(
+        xr * xr * F.lit(1000000).cast("decimal(19,0)"),
+        F.lit(4).cast("decimal(19,0)") * F.col("n_g").cast("decimal(19,0)"),
     )
     s = r2.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -8651,9 +8657,10 @@ def events_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS k
       FROM g),
     b AS (
-      SELECT CAST(SUM(CAST(FLOOR(
-               (CAST(g.s_g AS DOUBLE) * CAST(g.s_g AS DOUBLE)
-                / CAST(g.n_g AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT))
+      SELECT CAST(SUM(
+               (2 * (CAST(g.s_g AS HUGEINT) * CAST(g.s_g AS HUGEINT)
+                     * 1000000) + CAST(g.n_g AS HUGEINT))
+               // (2 * CAST(g.n_g AS HUGEINT)))
                AS HUGEINT) AS bsum6
       FROM g),
     f AS (
@@ -8720,15 +8727,17 @@ def events_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ss_g").cast("decimal(38,0)").alias("ss"),
         F.count(F.lit(1)).cast("long").alias("k"),
     )
-    bterm6 = F.floor(
-        (
-            F.col("s_g").cast("double")
-            * F.col("s_g").cast("double")
-            / F.col("n_g").cast("double")
-        )
-        * 1e6
-        + F.lit(0.5)
-    ).cast("decimal(38,0)")
+    # round-half-up of the EXACT rational s_g^2 * 1e6 / n_g in decimal
+    # arithmetic (exactagg.dec_round_div): the old double-based
+    # F.floor(...) snap returned a BIGINT, which silently WRAPS past
+    # 9.2e18 — at 10M rows s_g^2/n_g*1e6 ~ 1.25e21, producing a
+    # negative SSB/F (caught by the 10M value-oracle parity lane; the
+    # sf0.01 gate never reached the overflow region)
+    s2 = F.col("s_g").cast("decimal(19,0)") * F.col("s_g").cast("decimal(19,0)")
+    bterm6 = exactagg.dec_round_div(
+        s2 * F.lit(1000000).cast("decimal(19,0)"),
+        F.col("n_g").cast("decimal(19,0)"),
+    )
     b = g.select(bterm6.alias("b6")).agg(
         F.sum("b6").cast("decimal(38,0)").alias("bsum6")
     )

@@ -1207,6 +1207,15 @@ def big_events_dir(spark, tmp_path_factory):
         "ticks_mann_kendall",
         "events_mann_whitney",
         "events_lorenz_curve",
+        # the remaining events-table r12 first-evers (survival pair,
+        # ANOVA, unit root): every adjudication-window statistical
+        # first-ever that reads events is also proven at 10M
+        "events_nelson_aalen",
+        "events_log_rank",
+        "events_anova_f",
+        "ticks_dickey_fuller",
+        # same per-group snap class as anova — fixed together (r12)
+        "events_kruskal_wallis",
     ],
 )
 def test_statistical_oracle_parity_10m(spark, big_events_dir, name):
