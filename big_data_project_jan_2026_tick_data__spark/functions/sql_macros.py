@@ -33,14 +33,14 @@ _STOP_EN = r"'\\b(the|and|of|to|is|that|with)\\b'"
 # quality components over lower(t) — term-for-term the formula of
 # text.with_quality_score (and of the shared DuckDB oracle CTE in
 # registry/q_docs.py)
-_NW = f"size(regexp_extract_all(lower(t), '{_WORD_RE}', 0))"
+_NW = f"coalesce(regexp_count(lower(t), '{_WORD_RE}'), -1)"
 _QUALITY_BODY = f"""floor((
     0.35 * least(length(lower(t)) / 2000.0, 1.0)
-  + 0.25 * (1.0 - least(size(regexp_extract_all(lower(t), '[^\\\\w\\\\s]', 0))
+  + 0.25 * (1.0 - least(coalesce(regexp_count(lower(t), '[^\\\\w\\\\s]'), -1)
                         / greatest(length(lower(t)), 1) * 4.0, 1.0))
-  + 0.25 * least(least(size(regexp_extract_all(lower(t), {_STOP_EN}, 0))
+  + 0.25 * least(least(coalesce(regexp_count(lower(t), {_STOP_EN}), -1)
                        / greatest({_NW}, 1), 1.0) * 5.0, 1.0)
-  + 0.15 * (CASE WHEN size(regexp_extract_all(lower(t), '[A-Za-z0-9]', 0))
+  + 0.15 * (CASE WHEN coalesce(regexp_count(lower(t), '[A-Za-z0-9]'), -1)
                       / greatest({_NW}, 1) BETWEEN 3.0 AND 10.0
             THEN 1.0 ELSE 0.5 END)) * 1e6 + 0.5) / 1e6"""
 
@@ -59,7 +59,7 @@ def _lang_id_body() -> str:
     }
     structs = ", ".join(
         f"named_struct('score', "
-        f"size(regexp_extract_all(lower(t), '\\\\b({alts})\\\\b', 0))"
+        f"coalesce(regexp_count(lower(t), '\\\\b({alts})\\\\b'), -1)"
         f" / greatest({_NW}, 1), 'lang', '{lang}')"
         for lang, alts in markers.items()
     )
@@ -82,8 +82,8 @@ def sql_function_ddls() -> dict[str, str]:
         ),
         "word_count": (
             "(t STRING) RETURNS INT",
-            # coalesce mirrors with_token_count's NULL-text -> 0
-            f"coalesce(size(regexp_extract_all(t, '{_WORD_RE}', 0)), 0)",
+            # outer coalesce is historical; legacy size(NULL) was -1, kept
+            f"coalesce(coalesce(regexp_count(t, '{_WORD_RE}'), -1), 0)",
         ),
         "quality_score": ("(t STRING) RETURNS DOUBLE", _QUALITY_BODY),
         "lang_id": ("(t STRING) RETURNS STRING", _lang_id_body()),

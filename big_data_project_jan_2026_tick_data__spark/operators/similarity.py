@@ -97,6 +97,51 @@ def _norm_sql(vec_expr: str) -> str:
     return f"sqrt(aggregate({vec_expr}, 0D, (a, v) -> a + v * v))"
 
 
+# ---------------------------------------------------------------------------
+# RAW-input fold twins: same HOF folds as dot/norm above, but the
+# double-widening happens INSIDE the lambda (CAST per element) instead of
+# materializing a transform()-casted copy of the vector per row. Values
+# are bit-identical (same seed, same add order, each term cast before
+# multiply exactly as the casted-array element was).
+#
+# r12 negative result, kept on record: unrolling these folds to fixed-dim
+# straight-line `CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)` terms was
+# measured both ways and REJECTED — at nlist×dim = 16×64 the 1024-term
+# expression exceeds janino's 64 KB method limit, codegen aborts, and the
+# giant tree runs interpreted (cell assignment 2.9 s vs 0.43 s for the
+# fold at sf0.1); at dim 64 the codegen-safe pairwise unroll was
+# bench-neutral for emb_lsh_topk (1.066 -> 1.059 s) and its extra plan
+# text made emb_ivf_topk ~0.3 s slower end-to-end (plan parse/analyze/
+# codegen cost on a 2 000-row table). The folds keep plans small, which
+# is what the fixed-cost-dominated bench actually measures.
+# ---------------------------------------------------------------------------
+
+
+def _dot_sql_raw(a_expr: str, b_expr: str) -> str:
+    """``a . b`` for two RAW array columns (cast-per-element in-lambda)."""
+    return (
+        f"aggregate(zip_with({a_expr}, {b_expr}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0D, (a, v) -> a + v)"
+    )
+
+
+def _dot_lit_sql(vec_expr: str, arr_expr: str) -> str:
+    """``raw-vec . double-literal-array`` (cast-per-element in-lambda)."""
+    return (
+        f"aggregate(zip_with({vec_expr}, {arr_expr}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)"
+    )
+
+
+def _norm_sql_raw(vec_expr: str) -> str:
+    """L2 norm of a RAW array column (cast-per-element in-lambda)."""
+    return (
+        f"sqrt(aggregate({vec_expr}, 0D, "
+        f"(a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+
+
 def _signature_expr(
     vec_expr: str, dim: int, num_planes: int, seed: int
 ) -> Column:
@@ -107,14 +152,19 @@ def _signature_expr(
     driver latency per call at dim 64); a single F.expr string is parsed
     JVM-side in one hop. Same lesson as dedup.shingle_hashes.
     """
-    planes = "array(" + ", ".join(
-        _sql_arr(_hyperplane(dim, p, seed)) for p in range(num_planes)
-    ) + ")"
-    return F.expr(
-        f"aggregate(transform({planes}, (p, i) -> "
-        f"IF({_dot_sql(vec_expr, 'p')} >= 0D, shiftleft(1, i), 0)), "
-        f"0, (a, v) -> a + v)"
+    # Flat sum-of-IFs twin of the historical
+    #   aggregate(transform(planes, (p, i) ->
+    #       IF(<fold dot> >= 0D, shiftleft(1, i), 0)), 0, +)
+    # — same per-plane fold-dot value (see _dot_lit_sql: cast-in-lambda,
+    # no casted vector copy), same bit weights (1 << p = the shiftleft
+    # literal), same integer sum — without the outer transform/aggregate
+    # pair wrapping the per-plane work in two more interpreted HOFs.
+    bits = " + ".join(
+        f"IF({_dot_lit_sql(vec_expr, _sql_arr(_hyperplane(dim, p, seed)))}"
+        f" >= 0D, {1 << p}, 0)"
+        for p in range(num_planes)
     )
+    return F.expr(f"({bits})")
 
 
 def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
@@ -157,17 +207,24 @@ def lsh_bucket_topk(
     rerank within buckets. Recall < 1 by design; the bucket join replaces
     the full cross product (corpus shuffles on a 1-int key).
     """
-    c = corpus.select(F.col(corpus_id), _to_double(F.col(vec_col)).alias("cvec"))
+    # cvec/qvec stay the RAW arrays; the folds cast per element in-lambda
+    # (see _dot_sql_raw) instead of materializing a transform()-casted
+    # copy of every vector per row.
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("cvec"))
     c = c.withColumn(
         "bucket", _signature_expr("cvec", dim, num_planes, seed)
-    ).withColumn("cnorm", norm(F.col("cvec")))
-    q = queries.select(F.col(query_id), _to_double(F.col(vec_col)).alias("qvec"))
+    ).withColumn("cnorm", F.expr(_norm_sql_raw("cvec")))
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("qvec"))
     q = q.withColumn(
         "bucket", _signature_expr("qvec", dim, num_planes, seed)
-    ).withColumn("qnorm", norm(F.col("qvec")))
+    ).withColumn("qnorm", F.expr(_norm_sql_raw("qvec")))
     scored = c.join(F.broadcast(q), "bucket").withColumn(
         "cosine",
-        F.round(dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6),
+        F.round(
+            F.expr(_dot_sql_raw("cvec", "qvec"))
+            / (F.col("cnorm") * F.col("qnorm")),
+            6,
+        ),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
     return (
@@ -210,7 +267,10 @@ def ivf_topk(
     across runs/partitionings with no RNG state; the cheap samplers'
     quality is equivalent only when ids are assignment-order ints
     uncorrelated with embedding geometry."""
-    c = corpus.select(F.col(corpus_id), _to_double(F.col(vec_col)).alias("cvec"))
+    # RAW array kept end-to-end (same reason as lsh_bucket_topk); the
+    # centroid collect widens in Python — float(x) of a float/int element
+    # is the same exact value CAST AS DOUBLE produced.
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("cvec"))
     if sample in ("hash", "lowest_id"):
         seed_key = (
             F.xxhash64(F.col(corpus_id)) if sample == "hash" else F.col(corpus_id)
@@ -245,39 +305,50 @@ def ivf_topk(
     # Exactness at nprobe == nlist is untouched (every cell probed, and
     # the cosine rerank always uses the REAL vectors, never centroids).
     centroids = [[_q6(float(x)) for x in r.cvec] for r in cent_rows]
+    cnorms = [math.sqrt(sum(v * v for v in cent)) or 1.0 for cent in centroids]
 
     cents_sql = "array(" + ", ".join(_sql_arr(cent) for cent in centroids) + ")"
-    cnorms_sql = _sql_arr(
-        [math.sqrt(sum(v * v for v in cent)) or 1.0 for cent in centroids]
-    )
+    cnorms_sql = _sql_arr(cnorms)
 
-    def cell_scores(vec_expr: str) -> str:
+    def cell_scores(vec_expr: str, norm_col: str) -> str:
         """array<struct<score,cid>> of cosine-to-centroid, one per cell —
-        emitted as ONE SQL string: nlist×dim literal Column builders cost
-        ~2000 py4j round-trips (≈2.5 s of pure driver latency at
-        nlist=16, dim=64); one parsed expression costs one."""
+        ONE SQL string (nlist×dim literal Column builders would cost
+        ~2000 py4j round-trips). Deliberately the HOF fold, NOT the
+        unrolled form: nlist×dim unrolled terms (1024 at 16×64) in a
+        single expression exceed janino's 64 KB method limit, so codegen
+        aborts and the giant tree runs interpreted — measured 2.9 s vs
+        0.43 s for this fold on the same input. Two fold improvements
+        kept: the cast happens inside the zip_with lambda (no casted
+        copy of the vector materialized per row) and the row's norm is
+        hoisted into ``norm_col`` — the historical form recomputed the
+        identical dim-step norm fold once per cell."""
         return (
             f"transform({cents_sql}, (c, i) -> struct("
-            f"{_dot_sql(vec_expr, 'c')} / "
-            f"(element_at({cnorms_sql}, i + 1) * {_norm_sql(vec_expr)}) "
+            f"aggregate(zip_with({vec_expr}, c, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v) / "
+            f"(element_at({cnorms_sql}, i + 1) * {norm_col}) "
             f"AS score, i AS cid))"
         )
 
-    c = c.withColumn("cell", F.expr(f"array_max({cell_scores('cvec')}).cid"))
-    c = c.withColumn("cnorm", norm(F.col("cvec")))
+    c = c.withColumn("cnorm", F.expr(_norm_sql_raw("cvec")))
+    c = c.withColumn(
+        "cell", F.expr(f"array_max({cell_scores('cvec', 'cnorm')}).cid")
+    )
 
-    q = queries.select(F.col(query_id), _to_double(F.col(vec_col)).alias("qvec"))
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("qvec"))
+    q = q.withColumn("qnorm", F.expr(_norm_sql_raw("qvec")))
     probes = F.expr(
-        f"transform(slice(reverse(array_sort({cell_scores('qvec')})), 1, {nprobe}), "
-        f"s -> s.cid)"
+        f"transform(slice(reverse(array_sort({cell_scores('qvec', 'qnorm')})), "
+        f"1, {nprobe}), s -> s.cid)"
     )
-    q = (
-        q.withColumn("cell", F.explode(probes))
-        .withColumn("qnorm", norm(F.col("qvec")))
-    )
+    q = q.withColumn("cell", F.explode(probes))
     scored = c.join(F.broadcast(q), "cell").withColumn(
         "cosine",
-        F.round(dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6),
+        F.round(
+            F.expr(_dot_sql_raw("cvec", "qvec"))
+            / (F.col("cnorm") * F.col("qnorm")),
+            6,
+        ),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
     return (

@@ -25,11 +25,37 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def _rc_legacy(col: Column, pat: str) -> Column:
+    """``regexp_count`` with the exact value the previous
+    ``size(regexp_extract_all(...))`` formulation produced: identical
+    match count on non-NULL input (same regex engine, same
+    non-overlapping scan) and **-1 on NULL input** — the engine runs
+    with ``ansi.enabled=false``, where legacy ``size(NULL)`` is -1, and
+    several downstream formulas (and their DuckDB oracles) bake that in.
+    regexp_count itself skips the per-match (for single-char classes:
+    per-CHARACTER) string array the old form materialized per row just
+    to take its size."""
+    return F.coalesce(F.regexp_count(col, F.lit(pat)), F.lit(-1))
+
+
 def _word_count(col: Column, word: str) -> Column:
     # \b word boundaries; case-insensitive via lower() upstream.
-    return F.coalesce(
-        F.size(F.regexp_extract_all(col, F.lit(rf"\b{word}\b"), F.lit(0))), F.lit(0)
-    )
+    # (The historical coalesce(size(...), 0) never actually fired — old
+    # size() returned -1, not NULL, on NULL input; _rc_legacy keeps it.)
+    return _rc_legacy(col, rf"\b{word}\b")
+
+
+def _marker_hits(col: Column, markers: list[str]) -> Column:
+    """Total hits of ``markers`` in ``col`` as ONE regex pass.
+
+    Equal by construction to summing :func:`_word_count` per marker:
+    every match is a whole ``\\b``-delimited token, tokens are disjoint
+    spans, and no token can equal two different markers — so the union
+    alternation finds exactly the same match set in one scan instead of
+    ``len(markers)`` scans over the text (the former per-row hot spot of
+    quality/lang scoring). NULL input sums len(markers) legacy -1s."""
+    pat = r"\b(" + "|".join(markers) + r")\b"
+    return F.coalesce(F.regexp_count(col, F.lit(pat)), F.lit(-len(markers)))
 
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -37,7 +63,7 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     budget estimate)."""
     txt = F.col(text_col)
     ws = F.size(F.split(F.trim(txt), r"\s+"))
-    words = F.size(F.regexp_extract_all(txt, F.lit(WORD_RE), F.lit(0)))
+    words = _rc_legacy(txt, WORD_RE)
     return df.withColumn(
         "ws_tokens", F.when(F.length(F.trim(txt)) == 0, 0).otherwise(ws)
     ).withColumn("word_tokens", F.coalesce(words, F.lit(0)))
@@ -55,14 +81,15 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     txt = F.lower(F.col(text_col))
     n_chars = F.length(txt)
-    words = F.size(F.regexp_extract_all(txt, F.lit(WORD_RE), F.lit(0)))
+    # _rc_legacy everywhere: bit-identical to the former
+    # size(regexp_extract_all(...)) terms (including legacy -1 on NULL)
+    # at a fraction of the per-row cost — no match arrays, and the seven
+    # per-stopword scans collapse into one alternation scan.
+    words = _rc_legacy(txt, WORD_RE)
     n_words = F.greatest(words, F.lit(1))
-    n_punct = F.size(F.regexp_extract_all(txt, F.lit(r"[^\w\s]"), F.lit(0)))
-    stop_hits = None
-    for wrd in LANG_MARKERS["en"]:
-        h = _word_count(txt, wrd)
-        stop_hits = h if stop_hits is None else stop_hits + h
-    word_chars = F.size(F.regexp_extract_all(txt, F.lit(r"[A-Za-z0-9]"), F.lit(0)))
+    n_punct = _rc_legacy(txt, r"[^\w\s]")
+    stop_hits = _marker_hits(txt, LANG_MARKERS["en"])
+    word_chars = _rc_legacy(txt, r"[A-Za-z0-9]")
 
     len_score = F.least(n_chars / F.lit(2000.0), F.lit(1.0))
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
@@ -94,15 +121,12 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     marker-word hits per word; argmax wins, 'und' (undetermined) when no
     markers hit."""
     txt = F.lower(F.col(text_col))
-    n_words = F.greatest(
-        F.size(F.regexp_extract_all(txt, F.lit(WORD_RE), F.lit(0))), F.lit(1)
-    )
+    n_words = F.greatest(_rc_legacy(txt, WORD_RE), F.lit(1))
     scores = []
     for lang, markers in LANG_MARKERS.items():
-        hits = None
-        for wrd in markers:
-            h = _word_count(txt, wrd)
-            hits = h if hits is None else hits + h
+        # one alternation scan per language (see _marker_hits), not one
+        # scan per marker word — 4 regex passes per row instead of 28
+        hits = _marker_hits(txt, markers)
         scores.append(F.struct((hits / n_words).alias("score"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
     return df.withColumn(
