@@ -666,8 +666,12 @@ def cpcv_folds(
         for f, gs in enumerate(combinations(range(n_groups), k_test))
         for g in gs
     ]
+    # LEFT join: a test group with no observed days (n_groups > n_days)
+    # must not drop its folds from the grid — the fold still exists with
+    # every day 'train' (null lo/hi make the margin predicate NULL,
+    # which max() ignores and the role CASE treats as not-purged).
     fg = spark.createDataFrame(combos, "fold int, g int").join(
-        F.broadcast(bounds), "g"
+        F.broadcast(bounds), "g", "left"
     )
     grid = ranked.crossJoin(F.broadcast(fg))
     cell = grid.groupBy("fold", "day", "n_rows").agg(
