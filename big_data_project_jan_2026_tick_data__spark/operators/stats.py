@@ -1126,26 +1126,44 @@ def global_cumsum(
         "__local_cum", F.sum(F.col(value_col)).over(w)
     ).localCheckpoint()
     # partition total = sum of the values, NOT max(prefix): with negative
-    # values the running prefix can peak before the last row
-    totals = (
-        local.groupBy("__pid")
-        .agg(F.sum(F.col(value_col)).alias("__ptot"))
-        .orderBy("__pid")
-        .collect()
+    # values the running prefix can peak before the last row.
+    #
+    # The exclusive offsets are computed DISTRIBUTIVELY — a running sum
+    # over the num_partitions-row totals frame (metadata-scale, one
+    # single-partition window) broadcast-joined back — instead of the
+    # r11 collect + Python loop + createDataFrame round trip, which
+    # cost a separate job plus py4j serialization per call (~0.45 s at
+    # 32 partitions; this operator is called up to 3× per query in the
+    # CDF-sweep family). Values are bit-identical: the window's
+    # left-to-right add order over __pid equals the Python loop's, the
+    # integral path stays exact 64-bit, and the non-integral path casts
+    # each partition total to double BEFORE accumulating — exactly the
+    # float(t) the loop applied (TPC-H decimal totals must not hit
+    # exact-decimal accumulation here, which could flip 1e-6 snaps vs
+    # the driver-pinned oracle values).
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = isinstance(
+        local.schema[value_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
     )
-    # all-NULL partitions sum to None — they contribute 0 to the offset
-    ptots = [(r["__pid"], r["__ptot"] if r["__ptot"] is not None else 0) for r in totals]
-    integral = all(isinstance(t, int) for _, t in ptots)
-    if not integral:
-        # decimal totals (TPC-H money columns) must not hit float += Decimal
-        ptots = [(pid, float(t)) for pid, t in ptots]
-    running = 0 if integral else 0.0
-    offsets = []
-    for pid, t in ptots:
-        offsets.append((pid, running))
-        running += t
-    off_df = df.sparkSession.createDataFrame(
-        offsets, f"__pid int, __offset {'bigint' if integral else 'double'}"
+    ptot = F.sum(F.col(value_col))
+    totals = local.groupBy("__pid").agg(
+        (ptot if integral else ptot.cast("double")).alias("__ptot")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # all-NULL partitions sum to a NULL total — the window sum skips
+    # NULLs, so they contribute 0 to every later offset, same as the
+    # loop's None -> 0; the first partition's empty exclusive frame
+    # (NULL) is the loop's running = 0 start
+    off_df = totals.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__ptot").over(w_off),
+            F.lit(0).cast("bigint" if integral else "double"),
+        ).alias("__offset"),
     )
     return (
         local.join(F.broadcast(off_df), "__pid")
@@ -1190,21 +1208,21 @@ def global_cummax(
     # per-partition INCLUSIVE totals feed the offsets regardless of
     # exclusive: partition p's offset is the max over all rows of
     # partitions < p
-    totals = (
-        local.groupBy("__pid")
-        .agg(F.max(F.col(value_col)).alias("__ptot"))
-        .orderBy("__pid")
-        .collect()
+    # distributive offsets, same shape as global_cumsum: running max
+    # over the num_partitions-row totals frame (exclusive window; max
+    # skips NULL totals exactly like the old loop skipped None, and the
+    # empty first frame is the loop's running = None start — no
+    # coalesce, a NULL offset means "no preceding partition has a
+    # value"). Max never changes the value type, so no integral/double
+    # branching is needed.
+    totals = local.groupBy("__pid").agg(
+        F.max(F.col(value_col)).alias("__ptot")
     )
-    offsets, running = [], None
-    for r in totals:
-        offsets.append((r["__pid"], running))
-        t = r["__ptot"]
-        if t is not None:
-            running = t if running is None or t > running else running
-    vtype = df.schema[value_col].dataType.simpleString()
-    off_df = df.sparkSession.createDataFrame(
-        offsets, f"__pid int, __offset {vtype}"
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_df = totals.select(
+        "__pid", F.max("__ptot").over(w_off).alias("__offset")
     )
     out_col = f"cummax_{value_col}"
     return (
