@@ -653,8 +653,16 @@ def dup_clusters(
     from ..engine import CheckpointTracker
 
     ckpts = CheckpointTracker(df.sparkSession)
-    e_fwd = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    e_rev = pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    # Materialize the PAIR PIPELINE once (pinned for the whole loop):
+    # every iteration joins against `edges`, and the convergence count
+    # doubles the consumers — without this the upstream pair generation
+    # (LSH bucket join + cosine rerank on the embedding path) re-executed
+    # in FULL on every consumer of every iteration (measured 11.1 s ->
+    # 2.8 s steady-state for emb_dup_clusters at sf0.01). The checkpoint is edge-set
+    # sized, the same O(pairs) the loop shuffles anyway.
+    cp = ckpts.ckpt(pairs.select("id_a", "id_b"), pin=True)
+    e_fwd = cp.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e_rev = cp.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
     edges = e_fwd.union(e_rev)
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     for it in range(max_iter):
@@ -797,6 +805,14 @@ def hamming_pairs(
     when fingerprints from different spaces share one table (media kinds,
     languages): the group columns become part of the bucket key, so
     cross-group coincidences are never even generated."""
+    # Materialize the fingerprint table INSIDE the operator: the segment
+    # explode has three consumers (hot-bucket count + both self-join
+    # sides), and an un-materialized fps lineage re-executes per branch —
+    # harmless for a cheap projection, 3× the whole decode pipeline for
+    # pandas-UDF upstreams (the multimodal perceptual-hash path paid it
+    # until the r12 sweep). #rows × 1-long — the cheapest frame in the
+    # plan; callers no longer need their own call-site checkpoint.
+    fps = fps.localCheckpoint()
     seg_bits = 64 // blocks
     segs = fps.select(
         F.col(id_col),
@@ -933,10 +949,8 @@ def simhash_near_pairs(
         else simhash(df, text_col, id_col)
     )
     return hamming_pairs(
-        # fingerprints feed the segment explode's three consumers (hot
-        # count + both join sides); materialize the #docs × 1-long
-        # table once instead of re-running the corpus simhash per branch
-        fps.localCheckpoint(),
+        # hamming_pairs materializes the #docs × 1-long fps table itself
+        fps,
         fp_col="simhash",
         id_col=id_col,
         max_hamming=max_hamming,

@@ -65,16 +65,26 @@ def pagerank(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # pin loop-invariant frames BEFORE the node count so the count (and
+    # every later consumer) reads the checkpoint instead of re-running
+    # the caller's edge derivation; has_out was the straggler — unpinned,
+    # its upstream groupBy re-executed inside every iteration's
+    # dangling-mass anti-join (r12 sweep finding, same class as the
+    # dup_clusters edge pipeline)
+    frac = ckpts.ckpt(frac, pin=True)
+    nodes = ckpts.ckpt(nodes, pin=True)
+    has_out = ckpts.ckpt(
+        out_tot.select(F.col("src").alias("node")), pin=True
+    )
     n_nodes = nodes.count()
     if n_nodes == 0:
+        # keep the (empty) pinned checkpoints alive — the returned frame
+        # still reads them, and freeing a live localCheckpoint is
+        # unrecoverable
         return nodes.withColumn("rank_q6", F.lit(0.0))
     base = (1.0 - damping) / n_nodes
     init = math.floor(1.0 / n_nodes * 1e9 + 0.5) / 1e9
     ranks = nodes.withColumn("rank", F.lit(init))
-    # frac/nodes are re-read every superstep — pin them for the run
-    frac = ckpts.ckpt(frac, pin=True)
-    nodes = ckpts.ckpt(nodes, pin=True)
-    has_out = out_tot.select(F.col("src").alias("node"))
     for _ in range(iters):
         contrib = (
             ranks.join(frac, ranks["node"] == frac["src"])

@@ -1352,9 +1352,10 @@ def doc_md5_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole join (doc_simhash_pairs' xxhash64 fast path stays
     rows-only by nature)."""
     docs = _td(spark, sf_dir, "documents")
-    # #docs × 1 long — materialize once so the segment join's three
-    # branches don't re-run the corpus md5-simhash (scan-audit rule)
-    fps = dedup.md5_simhash(docs).localCheckpoint()
+    # hamming_pairs materializes the #docs × 1-long fps table itself
+    # (scan-audit rule: the segment join's branches must not re-run the
+    # corpus md5-simhash)
+    fps = dedup.md5_simhash(docs)
     return dedup.hamming_pairs(
         fps, fp_col="simhash", id_col="doc_id", max_hamming=6, blocks=4
     )

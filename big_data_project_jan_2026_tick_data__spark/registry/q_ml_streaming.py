@@ -49,12 +49,17 @@ def _replayed_events(spark: SparkSession, sf_dir: str, prefix: str = "stream_rep
 
 def _materialized(spark: SparkSession, streaming_df: DataFrame, name: str) -> DataFrame:
     """Run a streaming aggregate to the memory sink and pin the result
-    as a local batch frame (safe to return after the replay dir dies)."""
+    as a local batch frame (safe to return after the replay dir dies).
+
+    Pinning is a ``localCheckpoint`` — one JVM-side pass from the memory
+    sink into executor blocks — not the r11 collect + createDataFrame
+    round trip, which converted every result row through py4j TWICE
+    (driver-out, driver-back-in) and dominated the big-output streaming
+    queries (streaming_interval_join's pair table most of all). Same
+    rows, same schema, self-contained after the sink's temp view dies."""
     from ..streaming.session_pipeline import run_stream_to_memory
 
-    out = run_stream_to_memory(streaming_df, name)
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    return run_stream_to_memory(streaming_df, name).localCheckpoint()
 
 
 _TENSOR_ROWS_SQL = """
