@@ -160,8 +160,16 @@ def quality_classifier(
 ) -> DataFrame:
     """End-to-end: features → distributed GD fit → corpus scoring.
     Returns (doc_id, y, score_q6, pred)."""
+    # materialize the slim feature frame (#docs × 5 doubles) ONCE:
+    # train_logreg's full-batch GD aggregates it `iters` times and the
+    # final scoring once more — without the checkpoint each of those 13
+    # consumers re-ran the corpus scan + regex feature extraction
+    # (measured 6.3 s -> 3.9 s warm for doc_classifier_auc at sf0.01
+    # — the rest is the 12 sequential GD aggregate jobs, the algorithm;
+    # the one registry caller that fed train_logreg directly already
+    # checkpointed at the call site)
     feats = quality_features(
         df, text_col=text_col, lang_col=lang_col, id_col=id_col, pos_label=pos_label
-    )
+    ).localCheckpoint()
     weights = train_logreg(feats, iters=iters, lr=lr)
     return score(feats, weights, id_col=id_col)
