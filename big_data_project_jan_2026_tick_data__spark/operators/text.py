@@ -995,19 +995,34 @@ def source_js_divergence(
     stream = df.select(F.col(group_col).alias("grp"), F.explode(toks).alias("term")).filter(
         F.length("term") > 0
     )
-    freq = stream.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    # ONE corpus pass: aggregate the token stream to (grp, term) counts
+    # first and derive everything downstream from that model-sized table
+    # (checkpointed — three consumers). The r11 form computed the
+    # corpus-wide term frequencies AND the vocab-bucketing join directly
+    # over the token stream, re-running the tokenize+explode twice and
+    # shuffling the full stream into the bucketing aggregation; summing
+    # gt0's per-group counts gives the identical frequencies, and
+    # re-aggregating the bucketed gt0 gives the identical (grp, term)
+    # counts (guide: aggregate before you shuffle).
+    gt0 = (
+        stream.groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("c0"))
+        .localCheckpoint()
+    )
+    freq = gt0.groupBy("term").agg(F.sum("c0").alias("f"))
     vocab = (
         freq.orderBy(F.col("f").desc(), F.col("term").asc())
         .limit(vocab_size)
         .select("term", F.lit(1).alias("__in_v"))
     )
-    bucketed = stream.join(F.broadcast(vocab), "term", "left").select(
+    bucketed = gt0.join(F.broadcast(vocab), "term", "left").select(
         "grp",
         F.when(F.col("__in_v").isNotNull(), F.col("term"))
         .otherwise(F.lit("<oov>"))
         .alias("term"),
+        "c0",
     )
-    gt = bucketed.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("c"))
+    gt = bucketed.groupBy("grp", "term").agg(F.sum("c0").alias("c"))
     gtot = gt.groupBy("grp").agg(F.sum("c").alias("nt"))
     probs = gt.join(gtot, "grp").select(
         "grp",
