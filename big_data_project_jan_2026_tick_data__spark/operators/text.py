@@ -1201,6 +1201,14 @@ def _bpe_train(df: DataFrame, text_col: str, num_merges: int, batch_size: int = 
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    wo = Window.partitionBy("word").orderBy("pos")
+    # the checkpointed state carries nxt = lead(sym) precomputed: a
+    # localCheckpoint scans back as UnknownPartitioning, so a window
+    # in the pair-count job would re-exchange+sort the whole symbol
+    # table by word EVERY merge step just to recompute a column the
+    # apply job's window (which the step pays for anyway) can emit for
+    # free. With nxt in the state, the per-step count job is a plain
+    # partial-aggregation — no exchange-by-word, no sort (guide §2.4).
     state = ckpts.ckpt(
         words.select(
             "word",
@@ -1208,9 +1216,8 @@ def _bpe_train(df: DataFrame, text_col: str, num_merges: int, batch_size: int = 
             F.posexplode(F.expr("regexp_extract_all(word, '.', 0)")).alias(
                 "pos", "sym"
             ),
-        )
+        ).withColumn("nxt", F.lead("sym").over(wo))
     )
-    wo = Window.partitionBy("word").orderBy("pos")
     merges: list[tuple[int, str, str, str, int]] = []
     while len(merges) < num_merges:
         want = min(batch_size, num_merges - len(merges))
@@ -1219,9 +1226,7 @@ def _bpe_train(df: DataFrame, text_col: str, num_merges: int, batch_size: int = 
         # the candidate table is alphabet²-bounded, the collect is
         # (4m+16)-row metadata
         limit = 1 if want == 1 else want * 4 + 16
-        pairs = state.withColumn("nxt", F.lead("sym").over(wo)).filter(
-            F.col("nxt").isNotNull()
-        )
+        pairs = state.filter(F.col("nxt").isNotNull())
         top = (
             pairs.groupBy("sym", "nxt")
             .agg(F.sum("freq").alias("c"))
@@ -1244,7 +1249,7 @@ def _bpe_train(df: DataFrame, text_col: str, num_merges: int, batch_size: int = 
                 break
         for a, b, c in picked:
             merges.append((len(merges) + 1, a, b, a + b, c))
-        st = state.withColumn("nxt", F.lead("sym").over(wo)).withColumn(
+        st = state.withColumn(
             "chg",
             (
                 (F.col("sym") != F.lag("sym").over(wo))
@@ -1274,14 +1279,21 @@ def _bpe_train(df: DataFrame, text_col: str, num_merges: int, batch_size: int = 
         st = st.withColumn("m", is_m).withColumn(
             "consumed", F.coalesce(F.lag("m").over(wo), F.lit(False))
         )
+        new_sym = (
+            F.when(F.col("m"), F.concat(F.col("sym"), F.col("nxt")))
+            .otherwise(F.col("sym"))
+        )
+        # row_number and lead share one Window operator (same
+        # partitioning+ordering over the same input), so emitting the
+        # next step's nxt here is free — it rides the sort this job
+        # already does.
         state = ckpts.ckpt(
             st.filter(~F.col("consumed")).select(
                 "word",
                 "freq",
                 F.row_number().over(wo).alias("pos"),
-                F.when(F.col("m"), F.concat(F.col("sym"), F.col("nxt")))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
+                new_sym.alias("sym"),
+                F.lead(new_sym).over(wo).alias("nxt"),
             )
         )
         ckpts.release_superseded()
