@@ -214,9 +214,17 @@ def label_propagation(
     a = F.col(src).alias("a")
     b = F.col(dst).alias("b")
     e = edges.select(a, b).filter(F.col("a") != F.col("b")).na.drop().distinct()
-    und = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # pin the loop-invariant undirected edge list: without this, every
+    # superstep's neighbor join (and the nodes derivation) re-executes
+    # the CALLER's edge pipeline — for the co-purchase query that is a
+    # lineitem self-join re-run per iteration (the pagerank has_out /
+    # dup_clusters pair-table lesson, r12 sweep class)
+    und = ckpts.ckpt(
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct(),
+        pin=True,
+    )
     nodes = und.select(F.col("a").alias("node")).distinct()
     labels = ckpts.ckpt(nodes.select("node", F.col("node").alias("label")))
     w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
