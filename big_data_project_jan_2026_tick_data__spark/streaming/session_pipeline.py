@@ -21,6 +21,7 @@ Structured Streaming job:
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -492,14 +493,41 @@ def run_stream_to_memory(
     agg: DataFrame, query_name: str, output_mode: str = "append"
 ) -> "DataFrame":
     """Drive a streaming aggregate to completion against a memory sink
-    (test/smoke harness — processAllAvailable is synchronous)."""
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    (test/smoke harness — processAllAvailable is synchronous).
+
+    ``SPARK_GRAFT_STATE_PARTITIONS`` (optional env): state-store
+    partition count for the stream. A stateful query creates ONE state
+    store per shuffle partition per stateful operator, and every
+    micro-batch pays that store lifecycle (load, commit, snapshot)
+    whether or not the partition holds keys — so state partitioning is
+    a throughput/latency knob independent of the session's batch
+    shuffle sizing. Spark pins it from ``spark.sql.shuffle.partitions``
+    AT STREAM START (it is fixed for the checkpoint's lifetime
+    thereafter), which is why this is applied here, bracketing the
+    synchronous start→stop window, and restored afterwards so batch
+    planning in the same session is untouched. Unset (the default) the
+    session value applies unchanged. Production sizing: match expected
+    state size (~100 MB-1 GB of state per partition) rather than core
+    count; for the availableNow replay harness both defaults are fine
+    because results are partition-count-independent (key-partitioned
+    stateful operators emit the same rows under any layout — covered by
+    the order-independence lane)."""
+    spark = agg.sparkSession
+    override = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    prev = spark.conf.get("spark.sql.shuffle.partitions") if override else None
+    if override:
+        spark.conf.set("spark.sql.shuffle.partitions", override)
+    try:
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if override:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return agg.sparkSession.sql(f"SELECT * FROM {query_name}")
