@@ -9,6 +9,8 @@ cluster-pruned search.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -74,6 +76,16 @@ def _sql_arr(vals) -> str:
     from data, so a poisoned embedding CAN reach here)."""
     import math
 
+    vals = _check_finite(vals)
+    return "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
+
+
+def _check_finite(vals) -> list[float]:
+    """Reject NaN/Inf in a vector destined for a literal (see _sql_arr:
+    centroids are computed from data, so a poisoned embedding CAN reach
+    here — fail with a pointed message, not a cryptic analysis error)."""
+    import math
+
     vals = [float(v) for v in vals]
     for v in vals:
         if not math.isfinite(v):
@@ -83,7 +95,7 @@ def _sql_arr(vals) -> str:
                 "LSH/IVF (e.g. filter on aggregate(v, true, (a,x) -> a AND "
                 "NOT isnan(x) AND NOT x IN (double('inf'), double('-inf'))))"
             )
-    return "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
+    return vals
 
 
 def _dot_sql(vec_expr: str, arr_expr: str) -> str:
@@ -299,47 +311,78 @@ def ivf_topk(
     import math
 
     # Centroid literals are quantized to 6dp before rendering: a coarse
-    # quantizer's cell boundaries don't care about the 7th decimal, and
-    # full-precision repr() doubles the SQL text (nlist×dim literals are
-    # the plan-build cost here — ~23 KB → ~12 KB at nlist=16, dim=64).
-    # Exactness at nprobe == nlist is untouched (every cell probed, and
-    # the cosine rerank always uses the REAL vectors, never centroids).
-    centroids = [[_q6(float(x)) for x in r.cvec] for r in cent_rows]
+    # quantizer's cell boundaries don't care about the 7th decimal
+    # (nlist×dim literals are the plan-build cost here). Exactness at
+    # nprobe == nlist is untouched (every cell probed, and the cosine
+    # rerank always uses the REAL vectors, never centroids).
+    centroids = [
+        _check_finite([_q6(float(x)) for x in r.cvec]) for r in cent_rows
+    ]
     cnorms = [math.sqrt(sum(v * v for v in cent)) or 1.0 for cent in centroids]
 
-    cents_sql = "array(" + ", ".join(_sql_arr(cent) for cent in centroids) + ")"
-    cnorms_sql = _sql_arr(cnorms)
+    # r13: the centroid matrix rides ONE json string literal +
+    # from_json, which Catalyst CONSTANT-FOLDS to a single ArrayType
+    # Literal in the optimized plan (pinned in tests/test_similarity.py).
+    # Measured alternatives on this exact shape (nlist=16, dim=64):
+    # one F.lit(ndarray) per centroid = 208 ms of py4j element-wise
+    # conversion; the historical 12 KB F.expr text = 1.6 ms to parse
+    # BUT leaves ~1100 scalar Literal nodes inside CreateArray for
+    # every later analysis/optimizer pass (and two copies of it in the
+    # final plan). from_json(lit) = 2 ms, a 2-node tree during
+    # analysis, and a single opaque array Literal after folding. Values
+    # are bit-identical: repr-based json floats round-trip exactly
+    # (shortest-repr doubles; NaN/Inf rejected by _check_finite above).
+    cents_col = F.from_json(
+        F.lit(json.dumps(centroids)), "array<array<double>>"
+    )
+    cnorms_col = F.from_json(F.lit(json.dumps(cnorms)), "array<double>")
 
-    def cell_scores(vec_expr: str, norm_col: str) -> str:
-        """array<struct<score,cid>> of cosine-to-centroid, one per cell —
-        ONE SQL string (nlist×dim literal Column builders would cost
-        ~2000 py4j round-trips). Deliberately the HOF fold, NOT the
-        unrolled form: nlist×dim unrolled terms (1024 at 16×64) in a
-        single expression exceed janino's 64 KB method limit, so codegen
-        aborts and the giant tree runs interpreted — measured 2.9 s vs
-        0.43 s for this fold on the same input. Two fold improvements
-        kept: the cast happens inside the zip_with lambda (no casted
-        copy of the vector materialized per row) and the row's norm is
-        hoisted into ``norm_col`` — the historical form recomputed the
-        identical dim-step norm fold once per cell."""
-        return (
-            f"transform({cents_sql}, (c, i) -> struct("
-            f"aggregate(zip_with({vec_expr}, c, "
-            f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v) / "
-            f"(element_at({cnorms_sql}, i + 1) * {norm_col}) "
-            f"AS score, i AS cid))"
-        )
+    def cell_scores(vec_col: Column, norm_col: Column) -> Column:
+        """array<struct<score,cid>> of cosine-to-centroid, one per cell.
+        Deliberately the HOF fold, NOT the unrolled form: nlist×dim
+        unrolled terms (1024 at 16×64) in a single expression exceed
+        janino's 64 KB method limit, so codegen aborts and the giant
+        tree runs interpreted — measured 2.9 s vs 0.43 s for this fold
+        on the same input. Two fold improvements kept: the cast happens
+        inside the zip_with lambda (no casted copy of the vector
+        materialized per row) and the row's norm is hoisted into
+        ``norm_col`` — the historical form recomputed the identical
+        dim-step norm fold once per cell."""
+
+        def per_cell(cvals: Column, i: Column) -> Column:
+            dot = F.aggregate(
+                F.zip_with(vec_col, cvals, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            return F.struct(
+                (dot / (F.element_at(cnorms_col, i + 1) * norm_col)).alias(
+                    "score"
+                ),
+                i.alias("cid"),
+            )
+
+        return F.transform(cents_col, per_cell)
 
     c = c.withColumn("cnorm", F.expr(_norm_sql_raw("cvec")))
     c = c.withColumn(
-        "cell", F.expr(f"array_max({cell_scores('cvec', 'cnorm')}).cid")
+        "cell",
+        F.array_max(cell_scores(F.col("cvec"), F.col("cnorm"))).getField(
+            "cid"
+        ),
     )
 
     q = queries.select(F.col(query_id), F.col(vec_col).alias("qvec"))
     q = q.withColumn("qnorm", F.expr(_norm_sql_raw("qvec")))
-    probes = F.expr(
-        f"transform(slice(reverse(array_sort({cell_scores('qvec', 'qnorm')})), "
-        f"1, {nprobe}), s -> s.cid)"
+    probes = F.transform(
+        F.slice(
+            F.reverse(
+                F.array_sort(cell_scores(F.col("qvec"), F.col("qnorm")))
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: s.getField("cid"),
     )
     q = q.withColumn("cell", F.explode(probes))
     scored = c.join(F.broadcast(q), "cell").withColumn(

@@ -59,6 +59,19 @@ def test_ivf_rank_contract(spark, sf_dir):
         assert cosines == sorted(cosines, reverse=True)
 
 
+def test_ivf_centroid_literal_constant_folds(spark, sf_dir):
+    """r13 pin: the centroid matrix enters the plan as from_json over ONE
+    string literal, which Catalyst must CONSTANT-FOLD to an ArrayType
+    Literal. If a Spark upgrade stopped folding JsonToStructs, the JSON
+    would silently re-parse per corpus row — this test fails loudly
+    instead (the optimized plan must not retain the from_json call)."""
+    emb, queries = _load(spark, sf_dir)
+    out = similarity.ivf_topk(emb, queries, k=10, nlist=8, nprobe=2)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "from_json" not in optimized
+    assert "jsontostructs" not in optimized.lower()
+
+
 def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
     """similarity.kmeans vs an independent numpy Lloyd's implementation
     of the same deterministic spec (lowest-id init, q6-quantized means,
