@@ -476,18 +476,37 @@ def despike(
         .rowsBetween(-(k - 1), 0)
     )
     arr = F.array_sort(F.collect_list(value_col).over(w))
-    n = F.size(arr)
-    lo = F.element_at(arr, (F.floor((n - 1) / 2) + 1).cast("int"))
-    hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
-    med = (lo + hi) / 2.0
-    rel_dev = F.abs(F.col(value_col) - med) / F.abs(med)
-    return (
-        df.withColumn("__rel_dev", rel_dev)
-        .filter(
-            F.col("__rel_dev").isNull() | (F.col("__rel_dev") <= max_rel_dev)
+
+    # r13 (guide §4.1 per-row work): the historical form referenced the
+    # sorted window buffer 4x inside `med` and `med` twice inside
+    # rel_dev, and the filter referenced rel_dev twice — after predicate
+    # pushdown substituted the aliases, the plan re-SORTED the k-row
+    # collect_list buffer up to 8x per row (a 4 KB filter condition in
+    # the optimized plan). Binding the sorted array and the median to
+    # lambda variables (the shingle_hashes idiom: transform over a
+    # 1-element array) evaluates each exactly once, and
+    # coalesce(rel <= max, TRUE) is the single-reference twin of
+    # `rel IS NULL OR rel <= max` (NULL -> TRUE keeps the n=1/all-null
+    # frames; NaN from med=0 compares false either way -> dropped).
+    def _keep_for(a: Column) -> Column:
+        n = F.size(a)
+        lo = F.element_at(a, (F.floor((n - 1) / 2) + 1).cast("int"))
+        hi = F.element_at(a, (F.floor(n / 2) + 1).cast("int"))
+        med = (lo + hi) / 2.0
+        return F.element_at(
+            F.transform(
+                F.array(med),
+                lambda m: F.coalesce(
+                    (F.abs(F.col(value_col) - m) / F.abs(m))
+                    <= F.lit(max_rel_dev),
+                    F.lit(True),
+                ),
+            ),
+            1,
         )
-        .drop("__rel_dev")
-    )
+
+    keep = F.element_at(F.transform(F.array(arr), _keep_for), 1)
+    return df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
 
 
 def gap_fill(
