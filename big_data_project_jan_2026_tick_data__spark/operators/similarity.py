@@ -80,6 +80,29 @@ def _sql_arr(vals) -> str:
     return "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
 
 
+def _folded_arr2_sql(vals) -> str:
+    """SQL text of an ``array<array<double>>`` literal as ``from_json``
+    over ONE embedded json string (float json contains no quotes, so it
+    embeds in a SQL ``''`` literal verbatim). Catalyst constant-folds
+    JsonToStructs-of-a-literal to a single opaque ArrayType Literal
+    (pinned in tests/test_similarity.py), so the plan carries ONE node
+    instead of n×dim scalar Literals — and the driver pays a ~2 ms
+    parse instead of either a ~12 KB scalar-literal parse whose
+    ~1 100-node tree every later analysis/optimizer pass re-walks
+    (~180 ms per withColumn measured at 8×64), or ~100-220 ms of py4j
+    lambda/Column-builder round trips for the equivalent HOF built via
+    the Column API. Values are bit-identical: repr-based json doubles
+    round-trip exactly; NaN/Inf rejected up front."""
+    vals = [_check_finite(v) for v in vals]
+    return f"from_json('{json.dumps(vals)}', 'array<array<double>>')"
+
+
+def _folded_arr1_sql(vals) -> str:
+    """``array<double>`` twin of :func:`_folded_arr2_sql`."""
+    vals = _check_finite(vals)
+    return f"from_json('{json.dumps(vals)}', 'array<double>')"
+
+
 def _check_finite(vals) -> list[float]:
     """Reject NaN/Inf in a vector destined for a literal (see _sql_arr:
     centroids are computed from data, so a poisoned embedding CAN reach
@@ -320,24 +343,16 @@ def ivf_topk(
     ]
     cnorms = [math.sqrt(sum(v * v for v in cent)) or 1.0 for cent in centroids]
 
-    # r13: the centroid matrix rides ONE json string literal +
-    # from_json, which Catalyst CONSTANT-FOLDS to a single ArrayType
-    # Literal in the optimized plan (pinned in tests/test_similarity.py).
-    # Measured alternatives on this exact shape (nlist=16, dim=64):
-    # one F.lit(ndarray) per centroid = 208 ms of py4j element-wise
-    # conversion; the historical 12 KB F.expr text = 1.6 ms to parse
-    # BUT leaves ~1100 scalar Literal nodes inside CreateArray for
-    # every later analysis/optimizer pass (and two copies of it in the
-    # final plan). from_json(lit) = 2 ms, a 2-node tree during
-    # analysis, and a single opaque array Literal after folding. Values
-    # are bit-identical: repr-based json floats round-trip exactly
-    # (shortest-repr doubles; NaN/Inf rejected by _check_finite above).
-    cents_col = F.from_json(
-        F.lit(json.dumps(centroids)), "array<array<double>>"
-    )
-    cnorms_col = F.from_json(F.lit(json.dumps(cnorms)), "array<double>")
+    # r13: the centroid matrix rides a constant-folded from_json literal
+    # embedded in the parsed SQL text (see _folded_arr2_sql — measured
+    # on this exact shape: ~2 ms parse + a single ArrayType Literal in
+    # the plan, vs 12 KB of scalar literals whose tree every analysis
+    # pass re-walked, vs 100-220 ms of py4j round trips for the
+    # Column-API build). emb_ivf_topk 1.294 -> ~1.05 s at sf0.1.
+    cents_sql = _folded_arr2_sql(centroids)
+    cnorms_sql = _folded_arr1_sql(cnorms)
 
-    def cell_scores(vec_col: Column, norm_col: Column) -> Column:
+    def cell_scores(vec_expr: str, norm_col: str) -> str:
         """array<struct<score,cid>> of cosine-to-centroid, one per cell.
         Deliberately the HOF fold, NOT the unrolled form: nlist×dim
         unrolled terms (1024 at 16×64) in a single expression exceed
@@ -348,41 +363,24 @@ def ivf_topk(
         materialized per row) and the row's norm is hoisted into
         ``norm_col`` — the historical form recomputed the identical
         dim-step norm fold once per cell."""
-
-        def per_cell(cvals: Column, i: Column) -> Column:
-            dot = F.aggregate(
-                F.zip_with(vec_col, cvals, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            )
-            return F.struct(
-                (dot / (F.element_at(cnorms_col, i + 1) * norm_col)).alias(
-                    "score"
-                ),
-                i.alias("cid"),
-            )
-
-        return F.transform(cents_col, per_cell)
+        return (
+            f"transform({cents_sql}, (c, i) -> struct("
+            f"aggregate(zip_with({vec_expr}, c, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v) / "
+            f"(element_at({cnorms_sql}, i + 1) * {norm_col}) "
+            f"AS score, i AS cid))"
+        )
 
     c = c.withColumn("cnorm", F.expr(_norm_sql_raw("cvec")))
     c = c.withColumn(
-        "cell",
-        F.array_max(cell_scores(F.col("cvec"), F.col("cnorm"))).getField(
-            "cid"
-        ),
+        "cell", F.expr(f"array_max({cell_scores('cvec', 'cnorm')}).cid")
     )
 
     q = queries.select(F.col(query_id), F.col(vec_col).alias("qvec"))
     q = q.withColumn("qnorm", F.expr(_norm_sql_raw("qvec")))
-    probes = F.transform(
-        F.slice(
-            F.reverse(
-                F.array_sort(cell_scores(F.col("qvec"), F.col("qnorm")))
-            ),
-            1,
-            nprobe,
-        ),
-        lambda s: s.getField("cid"),
+    probes = F.expr(
+        f"transform(slice(reverse(array_sort({cell_scores('qvec', 'qnorm')})), "
+        f"1, {nprobe}), s -> s.cid)"
     )
     q = q.withColumn("cell", F.explode(probes))
     scored = c.join(F.broadcast(q), "cell").withColumn(
@@ -482,17 +480,18 @@ def kmeans(
     centroids: list[list[float]] = [[float(x) for x in r.vec] for r in init_rows]
 
     def assign_expr(cents: list[list[float]]) -> Column:
-        # One F.expr string per assignment (see shingle_hashes: nested
-        # py4j Column builders dominate driver build latency).
-        entries = []
-        for cid, cent in enumerate(cents):
-            arr = ", ".join(f"{x!r}D" for x in cent)
-            dsq = (
-                f"aggregate(zip_with(vec, array({arr}), "
-                f"(x, c) -> (x - c) * (x - c)), 0D, (a, x) -> a + x)"
-            )
-            entries.append(f"struct({dsq} AS dsq, {cid} AS cid)")
-        return F.expr(f"array_min(array({', '.join(entries)}))")
+        # r13: the k×dim centroid literals ride a constant-folded
+        # from_json literal inside ONE parsed SQL expression (see
+        # _folded_arr2_sql). Values are bit-identical: same
+        # zip_with/aggregate fold, same (dsq, cid)-min tie rule, and
+        # the transform index i is the same INT the historical
+        # per-entry cid literal carried.
+        return F.expr(
+            f"array_min(transform({_folded_arr2_sql(cents)}, "
+            f"(c, i) -> struct("
+            f"aggregate(zip_with(vec, c, (x, y) -> (x - y) * (x - y)), "
+            f"0D, (a, x) -> a + x) AS dsq, i AS cid)))"
+        )
 
     for _ in range(iters):
         assigned = v.withColumn("cluster", assign_expr(centroids).getField("cid"))
@@ -1555,6 +1554,12 @@ def _pq_train(
     ]
 
     def assign(s: int) -> Column:
+        # deliberately the scalar-literal form, NOT the from_json fold
+        # used by kmeans/ivf_topk: the fold was measured a consistent
+        # ~0.7-1.0 s REGRESSION on emb_ivfpq_topk (3-round alternating
+        # A/B, r13) — this operator rebuilds assign() m×(iters+1) times
+        # across many small jobs, where the scalar form's plans run
+        # faster end-to-end
         entries = []
         for cid, cent in enumerate(cents[s]):
             arr = ", ".join(f"{x!r}D" for x in cent)
@@ -1794,7 +1799,10 @@ def ivfpq_topk(
     crows = v.orderBy(id_col).limit(nlist).collect()
     coarse = [[float(x) for x in r.vec] for r in crows]
     cents_sql = "array(" + ", ".join(_sql_arr(c) for c in coarse) + ")"
-    # argmin squared-L2 cell id, one parsed expression (py4j discipline)
+    # argmin squared-L2 cell id, one parsed expression (py4j
+    # discipline); scalar-literal form kept deliberately — the
+    # from_json fold regressed emb_ivfpq_topk ~0.7-1.0 s (see
+    # _pq_train.assign)
     cell_expr = F.expr(
         f"array_min(transform({cents_sql}, (c, i) -> struct("
         f"aggregate(zip_with(vec, c, (x, y) -> (x - y) * (x - y)), 0D, "
