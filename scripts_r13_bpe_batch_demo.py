@@ -5,10 +5,12 @@ production-sized vocabulary, vs the sequential oracle path.
 `_bpe_train(batch_size=1)` is EXACT sequential greedy BPE — the
 semantics the registry queries pin and the DuckDB oracles replay; it
 costs one top-pair collect + one merge-apply checkpoint per merge.
-`batch_size=m` applies up to m pairwise-disjoint merges per pass
-(property-tested against the sequential reference in
-tests/test_properties.py), cutting the pass count ~m-fold for the
-production regime (num_merges in the thousands). This script measures
+`batch_size=m` applies up to m symbol-disjoint merges per pass — a
+deliberately different (vocab-scale) training schedule whose exact
+semantics are property-tested against a driver-local Python reference
+in tests/test_properties.py::test_bpe_batched_matches_python_reference
+— cutting the pass count ~m-fold for the production regime
+(num_merges in the thousands). This script measures
 both at a production-shaped num_merges on the sf0.1 corpus and prints
 pass counts + wall time. It does NOT change any registry default — the
 oracle-pinned sequential semantics stay the registry surface.
@@ -38,7 +40,7 @@ def main() -> None:
     def job_count() -> int:
         # DAGScheduler's monotonically increasing job-id counter: the
         # delta across a run is the number of Spark jobs it launched
-        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId().get()
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
 
     results = {}
     for label, bs in (("sequential", 1), (f"batch[{batch_size}]", batch_size)):
