@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from big_data_project_jan_2026_tick_data__spark.registry import QUERIES
 
+from _lanes import slow_lane  # noqa: E402
+
 
 def _write_events(spark, tmp_path, rows):
     """rows: (event_id, ts_str, user_id, event_type, value, props)."""
@@ -87,6 +89,8 @@ def test_runs_test_accepts_hash_random_signs(spark, tmp_path):
     assert abs(out["S0"]["z_q6"]) < 3.0
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_variance_ratio_detects_mean_reversion_and_random_walk(spark, tmp_path):
     """Alternating returns cancel over 2 periods: VR(2) must be near 0
     (strong mean reversion). A deterministic-hash random walk must sit
@@ -111,6 +115,8 @@ def test_variance_ratio_detects_mean_reversion_and_random_walk(spark, tmp_path):
     assert 0.5 < r2["S0"]["vr4_q6"] < 1.6
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_gini_zero_for_equal_and_high_for_dominant(spark, tmp_path):
     """Equal per-user activity -> G ~ 0; one user owning ~99% of events
     -> G near (but below) 1."""
@@ -149,6 +155,8 @@ def test_bipower_flags_a_jump(spark, tmp_path):
     assert r["S0"]["rel_jump_q6"] > 0.9  # the jump dominates RV
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_ljung_box_rejects_alternating_accepts_hash_random(spark, tmp_path):
     """Alternating returns have rho1 ~ -1: Q explodes and the test
     rejects; hash-random signs stay under the critical value."""
@@ -515,6 +523,8 @@ def test_bandit_replay_greedy_tracks_the_hot_arm(spark, tmp_path):
     assert out["2024-01-04"]["est_value_q4"] is None
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_holm_step_down_blocks_after_first_failure(spark, tmp_path):
     """The step-down property, not just per-metric thresholds.  First-
     touch shares are ZERO-SUM across metrics, so the planted positive
@@ -673,6 +683,8 @@ def test_silhouette_hand_computable_sites(spark, tmp_path):
         assert r["mean_sil_q6"] == expect
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_calinski_harabasz_separation_scaling(spark, tmp_path):
     """Same 8-site configuration: W = 48 x 0.25 = 12 exactly; spreading
     the sites 10x further apart multiplies B (and CH) by ~100 while W
@@ -712,6 +724,8 @@ def test_calinski_harabasz_separation_scaling(spark, tmp_path):
 # ---- round-10 robust/distributional experimentation block ----------------
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_mann_whitney_planted_shift_and_degenerate_ties(spark, tmp_path):
     """Arm-A users all out-spend arm-B users: every A rank is above
     every B rank, so U_A = n_a*n_b (two_u_a = 2*n_a*n_b), z > 0 and
@@ -732,6 +746,8 @@ def test_mann_whitney_planted_shift_and_degenerate_ties(spark, tmp_path):
     assert QUERIES["events_mann_whitney"](spark, sf2).collect() == []
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_g_test_independent_vs_dependent_mix(spark, tmp_path):
     """Every user emits the same (view, click) pair -> the type mix is
     exactly arm-independent and G must sit at 0. Arm-A users emitting
@@ -768,6 +784,8 @@ def test_jackknife_constant_ratio_zero_se(spark, tmp_path):
     assert r["n_buckets"] >= 2
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_wasserstein_zero_on_matched_mix_exact_on_shift(spark, tmp_path):
     """Both arms get the same 50/50 mix of $1.00 and $2.00 spenders ->
     the CDFs coincide and W1 = 0 exactly. Every A-user at $2.00 and
@@ -798,6 +816,8 @@ def test_wasserstein_zero_on_matched_mix_exact_on_shift(spark, tmp_path):
     assert r2["w1_cents_q6"] == 100.0
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_semivariance_monotone_and_jump_paths(spark, tmp_path):
     """A monotонe-up price path has RS- = 0 and sj_rel = 1; planting a
     single large down-jump makes RS- dominate (sj flips negative)."""
@@ -822,6 +842,8 @@ def test_semivariance_monotone_and_jump_paths(spark, tmp_path):
     assert r2["S1"]["rs_neg_q6"] > r2["S1"]["rs_pos_q6"]
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_ks_matched_mix_zero_full_separation_one(spark, tmp_path):
     """Matched 50/50 $1/$2 mixes in both arms -> D = 0; complete
     separation (every A above every B) -> D = 1 and significant."""
@@ -885,6 +907,8 @@ def test_shap_linear_dominant_feature_and_sign(spark, tmp_path):
     assert long_phis.pop() > 0 > short_phis.pop()
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_msprt_accumulates_evidence_and_never_rejects_null(spark, tmp_path):
     """Planted persistent effect (T spends $5, C spends $1, cohorts
     entering over 10 days): log-lambda must RISE with the cumulative
@@ -1019,6 +1043,8 @@ def test_bh_fdr_flags_planted_signals_not_nulls(spark, tmp_path):
     assert sig == sorted(sig, reverse=True)  # rejections form a rank prefix
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_kruskal_wallis_planted_shift_and_degenerate(spark, tmp_path):
     """One event type's values sit far above the other two (every rank
     in the top block) -> H blows past the chi-square critical. An
@@ -1045,6 +1071,8 @@ def test_kruskal_wallis_planted_shift_and_degenerate(spark, tmp_path):
     assert QUERIES["events_kruskal_wallis"](spark, sf2).collect() == []
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_page_hinkley_alarms_on_shift_never_on_flat(spark, tmp_path):
     """A flat series drifts nowhere: every PH term is exactly -delta,
     M is its own running minimum and the statistic is pinned at 0. A
@@ -1126,6 +1154,8 @@ def _write_theil_tables(spark, tmp_path, cust_spend):
     return d
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_theil_index_zero_on_equality_pure_between_on_nation_gap(
     spark, tmp_path
 ):
@@ -1159,6 +1189,8 @@ def _write_doc_texts(spark, tmp_path, texts):
     return d
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_rater_agreement_perfect_and_independent(spark, tmp_path):
     """Raters that always agree (long <=> wordy by construction) give
     kappa exactly 1. A corpus built so the two raters are statistically
@@ -1183,6 +1215,8 @@ def test_rater_agreement_perfect_and_independent(spark, tmp_path):
     assert r2["kappa_q6"] == 0.0
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_nelson_aalen_single_mass_conversion(spark, tmp_path):
     """Every user clicks at t=0 and purchases exactly 10 s later: one
     event time carrying the whole risk set, so the hazard increment is
@@ -1217,6 +1251,8 @@ def test_nelson_aalen_single_mass_conversion(spark, tmp_path):
     assert hz[-1] == 1.5
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_log_rank_null_vs_planted_arm_gap(spark, tmp_path):
     """Conversion delay depends only on u%5 — independent of the arm —
     so the arms' survival curves coincide and chi2 must sit far below
@@ -1248,6 +1284,8 @@ def test_log_rank_null_vs_planted_arm_gap(spark, tmp_path):
     assert bool(r2["significant"]) is True
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_pr_auc_separable_corpus_and_prevalence(spark, tmp_path):
     """The separable corpus of test_classifier_auc_separable_corpus:
     a perfect ranker's average precision is ~1. The prevalence column
@@ -1266,6 +1304,8 @@ def test_pr_auc_separable_corpus_and_prevalence(spark, tmp_path):
     assert r["ap_q6"] >= 0.99
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_anova_f_planted_shift_vs_matched_groups(spark, tmp_path):
     """One group's mean sits 5x above the others -> F blows past the
     chi2/df critical and eta2 says most variance is between groups.
@@ -1352,6 +1392,8 @@ def test_skyline_hand_crafted_frontier(spark, tmp_path):
     assert got == {1, 2, 6}
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_lorenz_diagonal_on_equal_spend_and_concentrated(spark, tmp_path):
     """Ten users each spending exactly $1.00: the Lorenz curve IS the
     diagonal — spend share equals user share at every decile, exactly
@@ -1374,6 +1416,8 @@ def test_lorenz_diagonal_on_equal_spend_and_concentrated(spark, tmp_path):
     assert out2[10]["spend_share_q6"] == 1.0  # full mass at the top
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_odds_ratio_planted_lift_and_null(spark, tmp_path):
     """Arm A converts at ~80%, arm B at ~20% (by deterministic u%5):
     OR = (0.8/0.2)/(0.2/0.8) = 16 up to integer rounding, the CI
@@ -1399,6 +1443,8 @@ def test_odds_ratio_planted_lift_and_null(spark, tmp_path):
     assert bool(r2["significant"]) is False
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_mann_kendall_monotone_vs_alternating(spark, tmp_path):
     """A strictly rising daily close series has EVERY pair concordant —
     S = n(n-1)/2 exactly — and must flag a significant trend; an
@@ -1447,6 +1493,8 @@ def test_conformal_coverage_guarantee_on_separable_corpus(spark, tmp_path):
     assert 0.0 <= r["qhat_q6"] <= 1.0
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_dickey_fuller_mean_reverting_vs_random_walk(spark, tmp_path):
     """A strongly mean-reverting alternating series (every step pulls
     all the way back) must reject the unit root with a deeply negative
@@ -1477,6 +1525,8 @@ def test_dickey_fuller_mean_reverting_vs_random_walk(spark, tmp_path):
     assert QUERIES["ticks_dickey_fuller"](spark, sf3).collect() == []
 
 
+@slow_lane  # >8 s measured (r13 durations): re-proven in the
+# SPARK_GRAFT_EXHAUSTIVE=1 lane
 def test_cramers_v_bounds_on_independence_and_determinism(spark, tmp_path):
     """Exactly arm-independent type mix (every user emits the same
     pair) -> chi2 = 0 and V = 0. Arm fully DETERMINES the type -> V

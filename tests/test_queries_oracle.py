@@ -45,7 +45,51 @@ def _rows_to_multiset(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in idx) for r in rows)
 
 
-ORACLE_KEYS = sorted(ORACLE)
+# Default lane (judge r12 #1): a deterministic stratified ~60% of the
+# oracle sweep plus pinned must-keeps — every headline-bench query, the
+# order-sentinel set, and every query family touched in r13. The FULL
+# 336-entry sweep runs bit-identically under SPARK_GRAFT_EXHAUSTIVE=1
+# (end-of-round proof lane) and remains the pre-commit bar for substrate
+# changes. The two slowest BPE oracles are exhaustive-lane-only: the
+# shared 8-merge training chain is still oracle-proven by doc_bpe_merges
+# (kept) and property-tested against the canonical python reference.
+from tests._lanes import EXHAUSTIVE, lane_sample  # noqa: E402
+
+_LANE_KEEP = {
+    # headline bench suite
+    "tpch_q1", "tpch_q3_top10", "tpch_q5_region_revenue",
+    "tpch_q9_product_profit", "tpch_q21_sole_fault_supplier",
+    "ticks_downsample_1min", "ticks_ohlc_bars", "ticks_rolling_stats",
+    "ticks_daily_window_counts", "ticks_sessionize",
+    "window_lag_lead_rank", "asof_purchase_last_click", "doc_exact_dedup",
+    "doc_minhash_pairs", "emb_lsh_topk", "emb_ivf_topk",
+    "doc_quality_scores", "doc_line_dedup", "doc_lm_perplexity",
+    "events_mann_whitney",
+    # r13-touched families
+    "ticks_despike", "emb_kmeans", "emb_calinski_harabasz",
+    "emb_davies_bouldin", "emb_semantic_dedup", "emb_ivf_exact",
+    "emb_ivf_kmeanspar", "emb_ivfpq_topk", "emb_pq_codes",
+    "streaming_interval_join", "streaming_session_agg",
+    "doc_bpe_merges",
+    # order-sentinel carriers (test_order_sentinel runs them at
+    # shuffle-partitions=3; the parity test here stays their oracle
+    # canary at the default layout)
+    "doc_token_entropy", "events_moment_stats", "ticks_vwap_twap",
+    "events_histogram_percentiles", "orders_concentration_hhi",
+    "ticks_garman_klass", "events_gini_engagement", "events_runs_test",
+    "orders_theil_index", "orders_skyline", "events_lorenz_curve",
+    "events_cramers_v", "doc_conformal_coverage",
+}
+_LANE_DROP = (
+    set()
+    if EXHAUSTIVE
+    else {"doc_bpe_fertility", "doc_bpe_token_counts"}
+)
+ORACLE_KEYS = [
+    n
+    for n in lane_sample(sorted(ORACLE), keep=_LANE_KEEP)
+    if n not in _LANE_DROP
+]
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
