@@ -542,11 +542,18 @@ def run_stream_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        # stop() in a finally (advisor r12): if processAllAvailable
-        # raises, an orphaned query would stay registered under
-        # query_name and block any retry with the same name.
+        # stop() in a finally (advisor r12): if the wait raises, an
+        # orphaned query would stay registered under query_name and
+        # block any retry with the same name. The wait itself is
+        # awaitTermination, not processAllAvailable: an availableNow
+        # query self-terminates only after its final no-data batch
+        # (which commits watermark-finalized append-mode windows),
+        # while processAllAvailable can return as soon as no INPUT is
+        # pending — stop() then races the finalization batch and can
+        # drop its rows (observed once as a suite-order flake in
+        # test_cusum_monitor_multi_batch_state_continuity).
         try:
-            q.processAllAvailable()
+            q.awaitTermination()
         finally:
             q.stop()
     finally:

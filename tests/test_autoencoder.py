@@ -11,6 +11,8 @@ import numpy as np
 import pytest
 
 from big_data_project_jan_2026_tick_data__spark.operators import autoencoder as ae
+
+from _lanes import slow_lane  # noqa: E402
 from big_data_project_jan_2026_tick_data__spark.operators import mlfeat
 
 
@@ -105,6 +107,8 @@ def test_training_reduces_loss_and_is_deterministic(spark):
     assert again.history["SYM"] == hist
 
 
+@slow_lane  # 20 s: a second full training run; the determinism and
+# validation trainings above stay default
 def test_trained_model_beats_mean_baseline(spark):
     tensors = _toy_tensors(spark, n_windows=32)
     model = ae.fit_autoencoder(

@@ -291,6 +291,7 @@ def test_information_coefficient_monotone_momentum(spark, tmp_path):
     assert out["S0"]["n"] == 10  # 12 closes -> 11 returns -> 10 (x, y) pairs
 
 
+@slow_lane  # 5-8 s (r13 durations): exhaustive-lane
 def test_kaplan_meier_no_censoring_matches_ecdf(spark, tmp_path):
     """Every user converts at a distinct duration: KM(t_k) must equal
     the empirical survival (n-k)/n at the k-th event time (within the
@@ -313,6 +314,7 @@ def test_kaplan_meier_no_censoring_matches_ecdf(spark, tmp_path):
     assert out[-1]["km_q6"] == 0.0  # last at-risk converts -> S = 0
 
 
+@slow_lane  # 5-8 s (r13 durations): exhaustive-lane
 def test_kaplan_meier_censoring_shrinks_risk_not_survival(spark, tmp_path):
     """A user censored between two event times leaves the risk set but
     multiplies no factor: S drops by (n-d)/n only at EVENT times."""
@@ -590,6 +592,7 @@ def test_holm_step_down_blocks_after_first_failure(spark, tmp_path):
     assert bool(out["base"]["significant_holm"]) is False
 
 
+@slow_lane  # 5-8 s (r13 durations): exhaustive-lane
 def test_classifier_auc_separable_corpus(spark, tmp_path):
     """A corpus where the weak label is trivially separable by the
     token-count feature (en docs long, others short): the trained
@@ -610,6 +613,7 @@ def test_classifier_auc_separable_corpus(spark, tmp_path):
     assert r["accuracy_q6"] >= 0.9
 
 
+@slow_lane  # 5-8 s (r13 durations): exhaustive-lane
 def test_davies_bouldin_hand_computable_sites(spark, tmp_path):
     """8 sites on a line at spacing 100, each with symmetric members at
     site ± 0.5 on a second axis: every cluster's centroid collapses to
@@ -885,6 +889,7 @@ def test_winsorized_ab_clamps_the_whale(spark, tmp_path):
     assert r["wdiff_q6"] == 0.0
 
 
+@slow_lane  # 5-8 s (r13 durations): exhaustive-lane
 def test_shap_linear_dominant_feature_and_sign(spark, tmp_path):
     """Separable-by-token-count corpus (en docs long, fr docs short):
     the trained weight on tokens_x is the discriminator, so every doc's
@@ -1340,6 +1345,7 @@ def test_anova_f_planted_shift_vs_matched_groups(spark, tmp_path):
     assert QUERIES["events_anova_f"](spark, sf3).collect() == []
 
 
+@slow_lane  # 5-8 s (r13 durations): exhaustive-lane
 def test_brier_decomposition_separable_corpus(spark, tmp_path):
     """On the trivially separable corpus the classifier RANKS perfectly
     (AP ~ 1) but its 12-step logistic scores are NOT calibrated — and
@@ -1365,6 +1371,7 @@ def test_brier_decomposition_separable_corpus(spark, tmp_path):
     assert 0.0 < r["reliability_q6"] < 0.25  # ranked perfectly, calibrated badly
 
 
+@slow_lane  # 5-8 s (r13 durations): exhaustive-lane
 def test_skyline_hand_crafted_frontier(spark, tmp_path):
     """Hand-checkable Pareto frontier: (100, day5) dominates (100, day4)
     and (95, day3); (90, day9) dominates (80, day9); an exact duplicate
@@ -1473,6 +1480,7 @@ def test_mann_kendall_monotone_vs_alternating(spark, tmp_path):
     assert QUERIES["ticks_mann_kendall"](spark, sf3).collect() == []
 
 
+@slow_lane  # 5-8 s (r13 durations): exhaustive-lane
 def test_conformal_coverage_guarantee_on_separable_corpus(spark, tmp_path):
     """Split-conformal on the separable corpus: the empirical test
     coverage must clear the 1 - alpha = 0.9 guarantee (exchangeable

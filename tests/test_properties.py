@@ -14,7 +14,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 
 from big_data_project_jan_2026_tick_data__spark.operators import dedup, joins, stats
 
-from _lanes import hyp_examples  # noqa: E402
+from _lanes import hyp_examples, slow_lane  # noqa: E402
 
 # Default lane runs every property with a reduced example budget
 # (judge r12 #1: the driver's pytest window); the full budgets run in
@@ -1856,13 +1856,22 @@ def test_exactagg_split_matches_decimal_reference(spark, data, k):
         exact_sum,
     )
 
-    # fixed-decimal doubles at <= 4 dp
+    # fixed-decimal doubles at <= 4 dp. EXACT half-grid ties are
+    # excluded: for an input like 3.965 at k=2 the true decimal product
+    # lands exactly on x.5, where round-half-up's direction depends on
+    # which side of the tie the double representation falls (3.965's
+    # double is a hair below -> the engine and DuckDB both snap the
+    # SAME double to 3.96, while Decimal("3.965") rounds to 3.97). The
+    # documented magnitude bound covers representation error STRICTLY
+    # INSIDE half a grid unit; at a tie the decimal-truth claim is
+    # undefined by that argument, so tie inputs are out of scope (found
+    # by hypothesis in r13: vals=[3.965], k=2).
     max_units = 10**9 if k <= 6 else 10**7  # |x| <= 1e5 / 1e3
     vals = data.draw(
         st.lists(
-            st.integers(min_value=-max_units, max_value=max_units).map(
-                lambda i: i / 1e4
-            ),
+            st.integers(min_value=-max_units, max_value=max_units)
+            .filter(lambda i: (abs(i) * 10**k) % 10**4 != 5 * 10**3)
+            .map(lambda i: i / 1e4),
             min_size=1,
             max_size=60,
         )
@@ -2001,6 +2010,8 @@ def test_dup_spans_matches_python_interval_oracle(spark, docs):
     seed=st.integers(min_value=0, max_value=2**16),
 )
 @settings(**SETTINGS)
+@slow_lane  # 50 s full / ~20 s reduced: the seeder contract is also
+# pinned by test_similarity's numpy-twin parity (default lane)
 def test_kmeans_parallel_init_invariants(spark, n, k, dim, seed):
     """k-means|| seeding invariants under fuzzed corpora: returns
     min(k, #distinct-enough points) seeds with DISTINCT ids, contiguous

@@ -50,9 +50,9 @@ def _rows_to_multiset(cols, rows):
 # order-sentinel set, and every query family touched in r13. The FULL
 # 336-entry sweep runs bit-identically under SPARK_GRAFT_EXHAUSTIVE=1
 # (end-of-round proof lane) and remains the pre-commit bar for substrate
-# changes. The two slowest BPE oracles are exhaustive-lane-only: the
-# shared 8-merge training chain is still oracle-proven by doc_bpe_merges
-# (kept) and property-tested against the canonical python reference.
+# changes. The three BPE oracles (77 s combined, one shared 8-merge
+# training chain) are exhaustive-lane-only: the chain stays
+# property-tested against the canonical python reference by default.
 from tests._lanes import EXHAUSTIVE, lane_sample  # noqa: E402
 
 _LANE_KEEP = {
@@ -70,7 +70,6 @@ _LANE_KEEP = {
     "emb_davies_bouldin", "emb_semantic_dedup", "emb_ivf_exact",
     "emb_ivf_kmeanspar", "emb_ivfpq_topk", "emb_pq_codes",
     "streaming_interval_join", "streaming_session_agg",
-    "doc_bpe_merges",
     # order-sentinel carriers (test_order_sentinel runs them at
     # shuffle-partitions=3; the parity test here stays their oracle
     # canary at the default layout)
@@ -83,7 +82,7 @@ _LANE_KEEP = {
 _LANE_DROP = (
     set()
     if EXHAUSTIVE
-    else {"doc_bpe_fertility", "doc_bpe_token_counts"}
+    else {"doc_bpe_fertility", "doc_bpe_token_counts", "doc_bpe_merges"}
 )
 ORACLE_KEYS = [
     n
